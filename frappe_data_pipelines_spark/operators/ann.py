@@ -1,0 +1,159 @@
+"""Approximate nearest-neighbor search — the scale path for vector search.
+
+The reference leans on Qdrant's HNSW index (SURVEY §4 O10) — the one physical
+capability Spark has no built-in for. Strategy ladder:
+
+1. ``knn_topk`` (operators/search.py) — brute force, the correctness baseline.
+2. ``ivf_build`` / ``ivf_search`` — IVF-style partition pruning: k-means-lite
+   centroids (deterministic seeded sample + Lloyd iterations via DataFrame
+   ops), assignment column, then search only the ``n_probe`` closest
+   clusters. At 100 TB the assignment column becomes a partition key so
+   cluster pruning = partition pruning in the parquet scan.
+3. ``lsh_similarity_join`` — random-hyperplane LSH bucket join for all-pairs
+   similarity at scale (MinHash analogue for dense vectors).
+
+Everything is DataFrame-native; the only driver-side data is the centroid set
+(small, broadcast).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Signed-projection bucket id: bit i = sign(v · plane_i). Pure column
+    expression (no UDF): sum of shifted indicator bits."""
+    bits = []
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col.cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def lsh_similarity_join(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs candidates via shared hyperplane bucket, then exact cosine.
+    Shuffles on the small bucket key instead of crossJoin's O(n²)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _seeded_planes(dim, n_planes, seed)
+    b = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos")
+    )
+
+
+# -- IVF -------------------------------------------------------------------
+
+def ivf_build(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """K-means over the vectors with deterministic init (hash-sampled rows).
+    Returns (assigned DataFrame with ``cluster`` column, centroids).
+
+    Iterations are DataFrame aggregations (posexplode → mean per position) —
+    only the centroid list (n_clusters × dim floats) ever reaches the driver.
+    """
+    init_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+
+    for _ in range(n_iter):
+        assigned = _assign(vectors, centroids, vec_col)
+        agg = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = {r["cluster"]: list(r["centroid"]) for r in agg}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return _assign(vectors, centroids, vec_col), centroids
+
+
+def _assign(vectors: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    cents = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in c]).alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dist = lambda c: F.aggregate(  # noqa: E731 — squared L2 to centroid
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    best = F.aggregate(
+        cents,
+        F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d")),
+        lambda acc, s: F.when(dist(s["c"]) < acc["d"], F.struct(s["cid"].alias("cid"), dist(s["c"]).alias("d"))).otherwise(acc),
+    )
+    return vectors.withColumn("cluster", best["cid"])
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the n_probe clusters whose centroids are closest to the
+    query. The ``cluster IN (...)`` predicate prunes partitions when the
+    table is written partitioned by cluster."""
+    q = np.array(query_vec, dtype=np.float64)
+    d = [(i, float(np.sum((np.array(c) - q) ** 2))) for i, c in enumerate(centroids)]
+    probe = [i for i, _ in sorted(d, key=lambda t: t[1])[:n_probe]]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .withColumn("score", F.round(cosine_similarity(F.col(vec_col), qcol), 6))
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each designed for 100 TB scale:
+
+* ``exact_duplicates``       — hash-groupBy on a normalized fingerprint. One
+  shuffle on a short hash key; skew-free (hashes are uniform).
+* ``ngram_jaccard_pairs``    — candidate generation via shared-shingle join
+  (inverted index) then exact Jaccard on the candidates. Fully relational and
+  SQL-oracle-able. The shingle join is the classic inverted-index pattern: a
+  pair is compared only if it shares ≥1 shingle, so cost is bounded by shingle
+  co-occurrence, not n².
+* ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH:
+  shingle → k independent min-hashes → band buckets → bucket join. Hashing is
+  md5-based (portable, deterministic across engines). At scale the band join
+  shuffles only (band, bucket) keys.
+* ``simhash64``              — 64-bit SimHash per doc; near-dups = signatures
+  within Hamming distance d (joined on band prefixes).
+* ``embedding_neardup_pairs``— cosine near-dup over the embeddings table
+  (brute candidates at small SF; LSH via operators/ann.py at scale).
+
+All pair outputs are canonicalized (id_a < id_b) for stable hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.functions.text import fingerprint_expr
+from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization) docs.
+    Returns (fingerprint, n_docs, doc_ids sorted) for groups with n>1."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint_expr(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct pairs; shingle = n consecutive lowercase
+    word tokens joined by single spaces."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
+    idx = F.sequence(F.lit(0), F.col("n_toks") - n)
+    shingle = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by n-gram (word-shingle) Jaccard ≥ threshold.
+
+    inverted-index self-join on shingle → common-shingle counts per pair →
+    jaccard = common / (|A| + |B| - common)."""
+    sh = word_shingles(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -- MinHash ---------------------------------------------------------------
+
+def _md5_64(col):
+    """Portable 64-bit hash: first 16 hex chars of md5 → bigint. The same
+    expression exists in DuckDB SQL, so signatures are oracle-checkable."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+# fixed affine family over a 31-bit Mersenne prime: products stay < 2^37 so
+# the arithmetic is exact in int64 on every engine (no ANSI overflow, and the
+# same formula is writable in DuckDB SQL for the oracle)
+_MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of
+    (a_i * h + b_i) mod 2^31-1, h = md5-64 of the shingle reduced mod 2^31-1."""
+    sh = word_shingles(docs, shingle_n, id_col, text_col)
+    sh = sh.withColumn("h", _md5_64(F.col("shingle")) % F.lit(_MERSENNE31))
+    aggs = [
+        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(i * 12582917)) % F.lit(_MERSENNE31)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` rows-per-band groups;
+    docs colliding in ANY band become a candidate pair. Returns distinct
+    (id_a < id_b) candidates with estimated jaccard (= fraction of equal
+    signature positions)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col).cache()
+    bucketed = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.to_json(F.slice("sig", b * rows_per_band + 1, rows_per_band))).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    pairs = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+                / F.lit(float(num_hashes)),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token md5-64 hash; bit i of the signature is the
+    majority vote of token-bit i. Relational formulation: explode tokens ×
+    bits is avoided — instead sum per-bit contributions via bit arithmetic in
+    an array comprehension (64 shiftright/sum aggregates)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    t = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+    t = t.withColumn("h", _md5_64(F.col("tok")))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = t.groupBy("doc_id").agg(*aggs)
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    return sig
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs ≥ threshold. Brute candidates (id_a < id_b);
+    at scale swap the crossJoin for ann.lsh_similarity_join."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

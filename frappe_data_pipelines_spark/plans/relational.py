@@ -1,0 +1,509 @@
+"""Relational operator queries (SURVEY §2.B–2.H) over the star schema.
+
+Each query exercises one (or a few) inventory rows and carries an ANSI-SQL
+DuckDB oracle. Float-sum parity: monetary aggregates accumulate in exact
+DECIMAL and are cast back to DOUBLE at the end, so Spark's parallel partial
+aggregation and DuckDB's serial fold produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# B — filters / projections
+# ---------------------------------------------------------------------------
+
+@register(
+    "b1_type_filter",
+    oracle="SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'fr')",
+    tags=("B1",),
+)
+def b1_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 supported-type filter (isin over an enabled list); predicate pushes
+    into the parquet scan (reference: services/text_extraction.py:42-61)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang").isin("en", "fr")).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "b3_size_filter",
+    oracle="SELECT doc_id, n_chars FROM documents WHERE n_chars <= 300",
+    tags=("B3",),
+)
+def b3_size_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 size-limit gate (reference: handlers/drive_file_handler.py:52-61)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("n_chars") <= 300).select("doc_id", "n_chars")
+
+
+@register(
+    "b5_retention_cutoff",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    GROUP BY event_type
+    """,
+    tags=("B5", "H9"),
+)
+def b5_retention_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 retention predicate: rows older than (max ts − 7 days), the batch
+    analogue of 'completed_at < today − 30d' (reference:
+    tasks/process_embedding.py:552-563)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("cut"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "b6_conjunctive_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity < 10
+    """,
+    tags=("B6",),
+)
+def b6_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 conjunctive equality filter — the only filter shape the reference's
+    vector search supports (services/qdrant_service.py:131-137). All three
+    predicates reach the parquet scan as PushedFilters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F") & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "b10_truncation_projection",
+    oracle="""
+    SELECT doc_id, substring(text, 1, 100) AS preview,
+           CAST(length(text) AS BIGINT) AS character_count
+    FROM documents
+    """,
+    tags=("B10", "H12"),
+)
+def b10_truncation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 payload preview truncation + H12 character count (reference:
+    tasks/process_embedding.py:394-395, document_chunk.py:9-11)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 1, 100).alias("preview"),
+        F.length("text").cast("bigint").alias("character_count"),
+    )
+
+
+@register(
+    "b11_nonempty_guard",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY source
+    """,
+    tags=("B11",),
+)
+def b11_nonempty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 empty-text guard (reference: chunking_service.py:158-163)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C — joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "c1_permission_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("C1",),
+)
+def c1_permission_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 RLS semi-join: rows visible iff key ∈ grant set (reference:
+    permissions.py:43-79). left_semi keeps the probe side unduplicated and
+    lets AQE broadcast the (small) grant set."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return orders.join(
+        cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "c2_backfill_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("C2",),
+)
+def c2_backfill_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 backfill dedup anti-join: entities with no existing job row
+    (reference: data_pipeline_settings.py:165-180)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "c3_broadcast_lookup_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("C3", "D4"),
+)
+def c3_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 metadata lookup join, explicitly broadcast (part is the small dim —
+    reference does per-row ORM lookups, tasks/process_embedding.py:379-384;
+    here it is one map-side hash join, zero shuffle of the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D — aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "d1_status_counts",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("D1",),
+)
+def d1_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 status-bucket counts (reference: data_pipeline_settings.py:223-236)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "d3_sampling_aggregates",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value,
+           CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS has_error
+    FROM events GROUP BY user_id
+    """,
+    tags=("D3", "D2"),
+)
+def d3_sampling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 per-group means/max/any — the shape of the reference's PDF page
+    sampling (decision_agent.py:186-230) and OCR confidence mean."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("int").alias("has_error"),
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18, 6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18, 2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("D1", "D4", "headline"),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline scan+aggregate (TPC-H Q1 shape): one pass over the fact
+    table, partial aggregation map-side, 6 aggregates. DECIMAL accumulation
+    for cross-engine bit parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 4))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("C3", "E2", "headline"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline 3-way join + top-k (TPC-H Q3 shape). Filters push below the
+    joins; customer/orders sides shrink before the fact join; AQE picks
+    broadcast for the dimension side. Deterministic tie-break for the LIMIT."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E — windows / ranking
+# ---------------------------------------------------------------------------
+
+@register(
+    "e1_chunk_enumeration",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS INT) AS line_index,
+           CAST(count(*) OVER (PARTITION BY l_orderkey) AS INT) AS total_lines
+    FROM lineitem
+    """,
+    tags=("E1", "D4"),
+)
+def e1_chunk_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 per-group dense enumeration + D4 group totals — the relational form
+    of the reference's enumerate(chunks)/total_chunks bookkeeping
+    (tasks/process_embedding.py:387,463)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    wt = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.row_number().over(w) - 1).cast("int").alias("line_index"),
+        F.count("*").over(wt).cast("int").alias("total_lines"),
+    )
+
+
+@register(
+    "e2_topk_by_score",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("E2", "F1"),
+)
+def e2_topk_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/F1 top-k: Spark executes as TakeOrderedAndProject (per-partition
+    heap, no global sort) — the plan shape our KNN relies on."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# G — set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "g1_union_grant_sources",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("G1",),
+)
+def g1_union_grant_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 UNION-distinct of two grant sources (reference: permissions.py:66-77)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@register(
+    "g2_concat_channels",
+    oracle="""
+    SELECT n.n_nationkey, concat_ws(' > ', r.r_name, n.n_name) AS region_path
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("G2", "H16"),
+)
+def g2_concat_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/H16 channel concatenation — the section-path / context-prefix
+    concat shape (reference: context_service.py:99-103)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", F.concat_ws(" > ", "r_name", "n_name").alias("region_path")
+    )
+
+
+# ---------------------------------------------------------------------------
+# H — scalar functions / time
+# ---------------------------------------------------------------------------
+
+@register(
+    "h9_daily_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("H9",),
+)
+def h9_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 date arithmetic: day-bucket rollup (batch form of a tumbling
+    window; the streaming twin lives in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "h_json_extraction",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("H", "extension"),
+)
+def h_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (get_json_object) — the props column models
+    the reference's free-form Qdrant payload dict."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    tags=("I", "extension", "headline"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — batch twin
+    of Structured Streaming's session_window (streaming/windows.py). One
+    shuffle on user_id shared by both windows and the final groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            lag_ts.isNull() | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

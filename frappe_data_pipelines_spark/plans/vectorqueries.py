@@ -1,0 +1,146 @@
+"""Vector-search queries (SURVEY §2 C5/C6/B6/F1 + ANN extensions) over the
+``embeddings`` table. Oracles use DuckDB ``list_cosine_similarity`` on
+DOUBLE[] — same sequential-fold double math as our ``cosine_similarity``
+expression, so scores match bit-for-bit before the round(…, 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.functions.vectors import dot_product
+from frappe_data_pipelines_spark.operators import ann
+from frappe_data_pipelines_spark.operators.dedup import embedding_neardup_pairs
+from frappe_data_pipelines_spark.operators.search import filtered_knn, find_similar, knn_topk
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+QUERY_VEC_ID = 0
+SIMILAR_TARGET_ID = 42
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"])
+
+
+@register(
+    "c6_knn_topk",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {QUERY_VEC_ID})), 6) AS score
+    FROM embeddings e
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("C6", "F1", "headline"),
+)
+def c6_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 KNN theta-join: brute-force cosine top-10 (reference:
+    services/qdrant_service.py:139-145). TakeOrderedAndProject physical plan;
+    only (vec_id, label, score) survive the projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=10).select("vec_id", "label", "score")
+
+
+@register(
+    "b6_filtered_knn",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {QUERY_VEC_ID})), 6) AS score
+    FROM embeddings e
+    WHERE e.label = 3
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("B6", "C6"),
+)
+def b6_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6+C6 filter-then-score: the equality filter prunes the scan BEFORE
+    any vector math (reference: search_service.py:92-108). .explain shows the
+    label predicate in PushedFilters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_knn(emb, _query_vec(spark, sf_dir), {"label": 3}, k=10).select(
+        "vec_id", "label", "score"
+    )
+
+
+@register(
+    "c5_find_similar",
+    oracle=f"""
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {SIMILAR_TARGET_ID})), 6) AS score
+    FROM embeddings e
+    WHERE e.vec_id <> {SIMILAR_TARGET_ID}
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    tags=("C5", "B7"),
+)
+def c5_find_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 item-to-item similarity with B7 self-exclusion (reference:
+    search_service.py:162-236): look up stored vector by id (1-row
+    broadcast), score the collection, drop self, top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return find_similar(emb, SIMILAR_TARGET_ID, k=5).select("vec_id", "label", "score")
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    tags=("dedup", "extension"),
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the testdata's
+    vectors are near-orthogonal, max pairwise cos ≈ 0.51). Brute-force
+    candidates here; the LSH-bucketed scale path is ``ann_lsh_pairs``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "vector_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm
+    FROM embeddings
+    """,
+    tags=("H", "vectors"),
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via higher-order functions — validates the write-time
+    normalization invariant (SURVEY §1.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(dot_product(F.col("embedding"), F.col("embedding"))), 6).alias("norm"),
+    )
+
+
+@register("ann_ivf_search", tags=("O10", "extension", "rows-only"))
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: k-means-lite clustering + n_probe cluster pruning
+    (SURVEY §4 O10c). Non-SQL-expressible (iterative algorithm) → rows-only;
+    tests/test_ann.py checks recall vs the brute-force oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_build(emb, n_clusters=8, n_iter=2)
+    return ann.ivf_search(assigned, centroids, _query_vec(spark, sf_dir), k=10, n_probe=4).select(
+        "vec_id", "label", "score"
+    )
+
+
+@register("ann_lsh_pairs", tags=("O10", "extension", "rows-only"))
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH similarity join (SURVEY §4 O10b): bucket join
+    instead of crossJoin — the 100 TB all-pairs path. Rows-only (seeded
+    planes aren't SQL-expressible); recall checked in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_similarity_join(emb, n_planes=6, threshold=0.3)

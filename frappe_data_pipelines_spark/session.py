@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the same config block is what we would
+ship to a 1000-executor cluster (AQE on, skew-join handling on, adaptive
+partition coalescing on). Shuffle partitions default small for local runs and
+should be raised (or left to AQE) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "frappe-data-pipelines-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    AQE is enabled so runtime statistics re-plan joins (broadcast conversion,
+    skew splitting, partition coalescing) — this is the scale story: the same
+    logical plans run unchanged from sf0.001 to 100 TB because the physical
+    strategy is chosen at runtime, not hard-coded here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: the cluster-scale knobs ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # --- Arrow for every pandas UDF / applyInPandas hop ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- parquet vectorized reader + pushdown are on by default; keep
+        #     session tz fixed so timestamp semantics match the DuckDB oracle ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long and convert in sources.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,64 @@
+"""Parquet table sources.
+
+The engine's persistent tables (SURVEY.md §1.1):
+  * ``documents``  — source corpus (Drive File + extracted text stand-in)
+  * ``embeddings`` — vector store stand-in (Qdrant points)
+  * ``events``     — stream table
+  * TPC-H-ish star (region nation customer supplier part orders lineitem)
+
+All reads go through ``spark.read.parquet`` so Catalyst's vectorized parquet
+reader, predicate pushdown and column pruning apply. Nothing here collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Filters applied by callers push down into this scan.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
+    convert to a microsecond timestamp (floor-truncation — identical to how
+    DuckDB coerces nanos to its micro-resolution TIMESTAMP, so oracle hashes
+    agree)."""
+    if name == "events":
+        # runtime-settable session conf — the caller's session (e.g. the
+        # driver's) may not have it; without it the scan rejects TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer DIV: ns values exceed double's 2^53 mantissa, so `/`
+            # followed by floor() would round — DIV stays exact in int64
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Expose the tables to ``spark.sql`` under their bare names."""
+    for n in names or TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

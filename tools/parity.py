@@ -1,0 +1,106 @@
+"""Local self-check mirroring the driver's correctness gate: run every
+catalog query on Spark AND its DuckDB oracle, compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def df_to_rows(cols, rows):
+    out = [tuple(norm_cell(r[c]) for c in cols) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from frappe_data_pipelines_spark.plans.catalog import REGISTRY, queries
+
+    queries()  # trigger registration
+    from frappe_data_pipelines_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.sql(spec.oracle)
+            dcols = [c for c in ddf.columns]
+            drows = ddf.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"row count spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"cols spark={scols} duck={dcols}")
+        if ok:
+            s_sorted = df_to_rows(sorted(scols), [r.asDict() for r in srows])
+            d_sorted = df_to_rows(
+                sorted(dcols), [dict(zip(dcols, r)) for r in drows]
+            )
+            if s_sorted != d_sorted:
+                ok = False
+                diffs = [
+                    (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+                ][:3]
+                msgs.append(f"values differ; first diffs: {diffs}")
+        if ok:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
