@@ -32,14 +32,14 @@ def token_count_expr(text: Column) -> Column:
 def punct_ratio_expr(text: Column) -> Column:
     """(# non-alnum-non-space chars) / length."""
     stripped = F.regexp_replace(text, "[a-zA-Z0-9\\s]", "")
-    return F.length(stripped).cast("double") / F.length(text)
+    return F.try_divide(F.length(stripped).cast("double"), F.length(text))
 
 
 def stopword_ratio_expr(text: Column) -> Column:
     toks = tokens_expr(text)
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_sw.cast("double") / F.size(toks)
+    return F.try_divide(n_sw.cast("double"), F.size(toks))
 
 
 def detect_language_expr(text: Column) -> Column:

@@ -34,13 +34,13 @@ def vector_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """cosine(a,b) = dot / (|a| |b|); NULL-safe on zero vectors (returns NULL
-    via division), matching SQL division semantics in the oracle."""
-    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
+    """cosine(a,b) = dot / (|a| |b|); zero vectors → NULL (try_divide — under
+    ANSI mode a plain division would raise)."""
+    return F.try_divide(dot_product(a, b), vector_norm(a) * vector_norm(b))
 
 
 def l2_normalize(a: Column) -> Column:
     """Normalize at write time so search is a plain dot product
-    (SURVEY §1.3). Stays array<double>."""
+    (SURVEY §1.3). Stays array<double>; zero vectors → array of NULLs."""
     n = vector_norm(a)
-    return F.transform(_as_double(a), lambda x: x / n)
+    return F.transform(_as_double(a), lambda x: F.try_divide(x, n))

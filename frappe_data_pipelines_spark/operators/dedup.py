@@ -206,13 +206,27 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cosine near-dup pairs ≥ threshold. Brute candidates (id_a < id_b);
-    at scale swap the crossJoin for ann.lsh_similarity_join."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    at scale swap the crossJoin for ann.lsh_similarity_join.
+
+    Norms are precomputed once per vector (O(n)) instead of inside the O(n²)
+    pair loop — per pair only the dot product remains. Product-of-norms vs
+    norm-of-products differs by ≤2 ulp, invisible at the 6-dp round."""
+    from frappe_data_pipelines_spark.functions.vectors import dot_product, vector_norm
+
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        vector_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(F.try_divide(dot_product(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

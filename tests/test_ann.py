@@ -1,0 +1,52 @@
+"""ANN operator tests: IVF and LSH recall against the brute-force oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators import ann
+from frappe_data_pipelines_spark.operators.search import knn_topk
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+def _query_vec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = [r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()]
+    assigned, centroids = ann.ivf_build(emb, n_clusters=8, n_iter=2)
+    approx = [r["vec_id"] for r in ann.ivf_search(assigned, centroids, qv, k=10, n_probe=6).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, c1 = ann.ivf_build(emb, n_clusters=4, n_iter=1)
+    _, c2 = ann.ivf_build(emb, n_clusters=4, n_iter=1)
+    assert c1 == c2
+
+
+def test_lsh_pairs_subset_of_brute(spark, sf_dir):
+    """Every LSH pair must be a true ≥threshold pair (precision = 1 since we
+    re-score exactly); recall over the bucketed candidates is partial by
+    design."""
+    from frappe_data_pipelines_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in ann.lsh_similarity_join(emb, n_planes=6, threshold=0.3).collect()
+    }
+    assert lsh, "LSH should find some pairs"
+    for k, v in lsh.items():
+        assert k in brute
+        assert abs(brute[k] - v) < 1e-9

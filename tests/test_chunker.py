@@ -1,0 +1,159 @@
+"""Property tests for the chunkers (SURVEY §5 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frappe_data_pipelines_spark.operators.chunker import (
+    SemanticChunker,
+    detect_header,
+    recursive_character_split,
+)
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+
+
+def make_text(n_words: int, sep: str = " ") -> str:
+    return sep.join(WORDS[i % len(WORDS)] for i in range(n_words))
+
+
+class TestRecursiveSplit:
+    def test_empty_and_whitespace(self):
+        assert recursive_character_split("") == []
+        assert recursive_character_split("   \n\n  ") == []
+
+    def test_short_text_single_chunk(self):
+        assert recursive_character_split("hello world", 100, 20) == ["hello world"]
+
+    def test_no_empty_chunks_and_size_bound(self):
+        text = make_text(500)
+        chunks = recursive_character_split(text, 100, 20)
+        assert chunks
+        for c in chunks:
+            assert c.strip() == c and c != ""
+            assert len(c) <= 100
+
+    def test_coverage_all_content_present(self):
+        """Concatenated chunks must cover the input (every word survives)."""
+        text = make_text(300)
+        chunks = recursive_character_split(text, 120, 30)
+        joined = " ".join(chunks)
+        for w in set(text.split()):
+            assert w in joined
+
+    def test_overlap_present_between_consecutive_chunks(self):
+        text = make_text(200)
+        chunks = recursive_character_split(text, 100, 40)
+        assert len(chunks) >= 2
+        # with 40-char overlap on space-separated text, consecutive chunks
+        # share a suffix/prefix word sequence
+        overlaps = 0
+        for a, b in zip(chunks, chunks[1:]):
+            tail = a.split()[-3:]
+            if " ".join(tail) in b:
+                overlaps += 1
+        assert overlaps >= len(chunks) - 2
+
+    def test_paragraph_separator_preferred(self):
+        text = "para one is here.\n\npara two is here.\n\npara three."
+        chunks = recursive_character_split(text, 25, 0)
+        # splits should respect paragraph boundaries first
+        assert any("para one" in c for c in chunks)
+        assert all("\n\n" not in c for c in chunks)
+
+    def test_exact_langchain_fixture(self):
+        """Golden fixture hand-computed from the published algorithm."""
+        text = "aaaa bbbb cccc dddd eeee"
+        # size 10, overlap 4: the ' dddd' split (len 5 > overlap 4) is popped
+        # by the overlap-carry loop, so chunk 3 starts fresh at 'eeee'
+        chunks = recursive_character_split(text, 10, 4)
+        assert chunks == ["aaaa bbbb", "cccc dddd", "eeee"]
+        # overlap 9 keeps one 5-char split in the carry window
+        chunks = recursive_character_split(text, 10, 9)
+        assert chunks == ["aaaa bbbb", "bbbb cccc", "cccc dddd", "dddd eeee"]
+
+    @given(
+        st.integers(min_value=10, max_value=400),
+        st.integers(min_value=20, max_value=120),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_property_random_sizes(self, n_words, chunk_size):
+        overlap = chunk_size // 4
+        text = make_text(n_words)
+        chunks = recursive_character_split(text, chunk_size, overlap)
+        longest_word = max(len(w) for w in WORDS)
+        for c in chunks:
+            assert len(c) <= max(chunk_size, longest_word)
+        if text and text.strip():
+            assert chunks
+        # dense coverage: first/last words present
+        assert text.split()[0] in chunks[0]
+        assert text.split()[-1] in chunks[-1]
+
+
+class TestHeaderDetection:
+    @pytest.mark.parametrize(
+        "line,expected",
+        [
+            ("# Title", (1, "Title")),
+            ("### Sub", (3, "Sub")),
+            ("1. Introduction", (1, "Introduction")),
+            ("2.3 Methods", (2, "Methods")),
+            ("2.3.1 Detail", (3, "Detail")),
+            ("THIS IS CAPS", (1, "This Is Caps")),
+            ("Summary:", (2, "Summary")),
+            ("plain text line", None),
+            ("", None),
+        ],
+    )
+    def test_detect(self, line, expected):
+        assert detect_header(line) == expected
+
+
+class TestSemanticChunker:
+    def test_section_paths(self):
+        text = "# Intro\nintro text here\n## Sub A\nsub a body\n# Outro\noutro body"
+        ch = SemanticChunker(target_size=10, overlap=0)
+        secs = ch.sectionize(text)
+        paths = [s.path for s in secs]
+        assert paths == ["Intro", "Intro > Sub A", "Outro"]
+
+    def test_headerless_doc_gets_document_path(self):
+        ch = SemanticChunker(target_size=100)
+        out = ch.chunk("just some plain text with no headers at all")
+        assert len(out) == 1
+        assert out[0].path == "Document"
+
+    def test_merge_small_sections(self):
+        text = "# A\nshort\n# B\nalso short\n# C\ntiny"
+        ch = SemanticChunker(target_size=1000, overlap=0)
+        out = ch.chunk(text)
+        assert len(out) == 1  # merged toward target; latest path wins
+        assert out[0].path == "C"
+
+    def test_split_big_section_at_paragraphs(self):
+        paras = "\n\n".join("para %d %s" % (i, "x" * 50) for i in range(10))
+        ch = SemanticChunker(target_size=120, overlap=0)
+        out = ch.chunk(paras)
+        assert len(out) > 1
+        for s in out:
+            assert s.text.strip()
+
+
+def test_distributed_chunker_matches_local(spark, sf_dir):
+    """chunk_documents (mapInPandas) must agree with the pure-python core."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    got = {
+        (r["doc_id"], r["chunk_index"]): (r["chunk_text"], r["total_chunks"])
+        for r in out.collect()
+    }
+    for row in docs.collect():
+        expected = recursive_character_split(row["text"], 200, 40)
+        for i, c in enumerate(expected):
+            assert got[(row["doc_id"], i)] == (c, len(expected))

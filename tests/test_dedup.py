@@ -1,0 +1,79 @@
+"""Dedup operator tests: MinHash estimates track exact Jaccard; LSH recalls
+the planted near-duplicate pairs; SimHash puts near-dups close in Hamming
+space."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+def test_exact_duplicates_finds_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the same text"),
+            (2, "THE  SAME   text"),  # ws/case-normalized duplicate
+            (3, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["doc_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_planted_pairs(spark, sf_dir):
+    """The testdata plants ~0.99-jaccard near-dup doc pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    assert len(pairs) > 0
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover the high-jaccard (≥0.8) exact pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_minhash_estimate_tracks_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3).collect()
+    }
+    common = set(exact) & set(est)
+    assert common
+    for k in common:
+        assert abs(exact[k] - est[k]) < 0.35  # 16 hashes → coarse but unbiased
+
+
+def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    assert near
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    for r in near[:20]:
+        d = bin(sig[r["id_a"]] ^ sig[r["id_b"]]).count("1")
+        assert d <= 16, f"near-dup pair {r} has hamming {d}"
