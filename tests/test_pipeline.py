@@ -1,0 +1,114 @@
+"""Batch pipeline-engine tests (A12/B4/I4/A15/J6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.pipeline import (
+    backfill_jobs,
+    cascade_delete,
+    retention_sweep,
+    retry_eligible,
+    run_pipeline_batch,
+)
+
+
+def _files(spark):
+    rows = [(i, f"word{i} " * 30, "en", "src", 30 * (6 + len(str(i)))) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def _jobs(spark):
+    rows = [
+        (0, "Completed", 0),
+        (1, "Failed", 1),
+        (2, "Failed", 3),   # over retry cap
+        (3, "Queued", 0),
+    ]
+    return spark.createDataFrame(rows, "source_doc_id long, status string, retry_count int")
+
+
+def test_backfill_anti_join(spark):
+    out = backfill_jobs(_files(spark), _jobs(spark)).collect()
+    ids = sorted(r["source_doc_id"] for r in out)
+    # docs 0,3 have active jobs; 1,2 are Failed (not active) → re-queued
+    assert ids == [1, 2, 4, 5, 6, 7, 8, 9]
+    assert all(r["status"] == "Queued" and r["retry_count"] == 0 for r in out)
+
+
+def test_retry_cap(spark):
+    out = retry_eligible(_jobs(spark)).collect()
+    assert [(r["source_doc_id"], r["retry_count"]) for r in out] == [(1, 2)]
+
+
+def test_retention_boundary_exact(spark):
+    import datetime
+
+    now = datetime.datetime(2024, 3, 1)
+    jobs = spark.createDataFrame(
+        [
+            (1, "Completed", now - datetime.timedelta(days=31)),
+            (2, "Completed", now - datetime.timedelta(days=29)),
+            (3, "Failed", now - datetime.timedelta(days=365)),
+            (4, "Completed", now - datetime.timedelta(days=30)),  # boundary: kept (strict <)
+        ],
+        "source_doc_id long, status string, completed_at timestamp",
+    )
+    kept = retention_sweep(jobs, now_col=F.lit(now).cast("timestamp"), days=30)
+    assert sorted(r["source_doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+
+def test_cascade_delete(spark):
+    files = _files(spark)
+    jobs = _jobs(spark)
+    kept_f, kept_j = cascade_delete(1, files, jobs)
+    assert kept_f.filter(F.col("doc_id") == 1).count() == 0
+    assert kept_j.filter(F.col("source_doc_id") == 1).count() == 0
+    assert kept_f.count() == 9 and kept_j.count() == 3
+
+
+def test_run_pipeline_batch_full_dag(spark):
+    files, jobs = _files(spark), _jobs(spark)
+    chunks, done = run_pipeline_batch(files, jobs, chunk_size=100, chunk_overlap=20)
+    c = chunks.collect()
+    # only Queued/Failed jobs processed (B8 guard): docs 1,2,3
+    assert sorted({r["doc_id"] for r in c}) == [1, 2, 3]
+    assert all(len(r["embedding"]) == 64 for r in c)
+    d = {r["source_doc_id"]: r for r in done.collect()}
+    assert sorted(d) == [1, 2, 3]
+    assert all(r["status"] == "Completed" and r["n_chunks"] > 0 for r in d.values())
+
+
+def test_pipeline_idempotent_rerun(spark):
+    """Re-running the same batch produces identical chunk keys (I5: keyed by
+    (doc_id, chunk_index) → MERGE upserts are no-ops)."""
+    files, jobs = _files(spark), _jobs(spark)
+    c1, _ = run_pipeline_batch(files, jobs, chunk_size=100, chunk_overlap=20)
+    c2, _ = run_pipeline_batch(files, jobs, chunk_size=100, chunk_overlap=20)
+    k1 = sorted((r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in c1.collect())
+    k2 = sorted((r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in c2.collect())
+    assert k1 == k2
+
+
+def test_multimodal_plumbing(spark):
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        decode_media_meta,
+        documents_as_media,
+        frame_sample,
+    )
+    import pytest as _pytest
+
+    files = _files(spark)
+    media = documents_as_media(files)
+    assert dict(media.dtypes)["content"] == "binary"
+    meta = decode_media_meta(media)
+    rows = meta.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_bytes"] > 0 and r["width"] >= 320 and r["n_frames"] >= 1
+        assert r["caption"].startswith("media:word")
+    # real decoder path is explicitly stubbed
+    with _pytest.raises(NotImplementedError):
+        decode_media_meta(media, real=True)
+    fs = frame_sample(meta, every_n=2)
+    assert fs.filter(F.col("frame_index") % 2 != 0).count() == 0

@@ -1,0 +1,111 @@
+"""Structured Streaming ingest tests (SURVEY §5 item 5: incremental
+semantics — idempotence via checkpoint, job state machine, telemetry)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.sources.tables import load_table
+from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {
+        "input": str(tmp_path / "input"),
+        "output": str(tmp_path / "output"),
+        "checkpoint": str(tmp_path / "checkpoint"),
+    }
+    os.makedirs(d["input"])
+    return d
+
+
+def _feed(spark, sf_dir, input_dir, limit=40, offset=0):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= offset) & (F.col("doc_id") < offset + limit)
+    )
+    docs.coalesce(2).write.mode("append").parquet(input_dir)
+    return docs.count()
+
+
+def test_ingest_stream_end_to_end(spark, sf_dir, stream_dirs):
+    n_docs = _feed(spark, sf_dir, stream_dirs["input"], limit=40)
+    q = start_ingest_stream(
+        spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"]
+    )
+    q.awaitTermination(120)
+
+    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+
+    # every input doc produced chunks with embeddings
+    assert chunks.select("doc_id").distinct().count() == n_docs
+    assert chunks.filter(F.size("embedding") != 64).count() == 0
+
+    # I2: each doc has a Queued AND a Completed job row
+    per_status = {r["status"]: r["n"] for r in
+                  jobs.groupBy("status").agg(F.countDistinct("source_doc_id").alias("n")).collect()}
+    assert per_status == {"Queued": n_docs, "Completed": n_docs}
+
+    # I6: metrics recorded per batch
+    metrics = spark.read.parquet(os.path.join(stream_dirs["output"], "metrics"))
+    assert metrics.agg(F.sum("n_docs")).first()[0] == n_docs
+
+
+def test_ingest_incremental_and_checkpointed(spark, sf_dir, stream_dirs):
+    """Second run with NO new files is a no-op (checkpoint skips processed
+    files); new files are picked up incrementally."""
+    _feed(spark, sf_dir, stream_dirs["input"], limit=20)
+    q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
+    q.awaitTermination(120)
+    chunks_dir = os.path.join(stream_dirs["output"], "chunks")
+    n1 = spark.read.parquet(chunks_dir).count()
+
+    # re-run without new input: nothing re-processed (I5 idempotence)
+    q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(chunks_dir).count() == n1
+
+    # feed 20 more docs → only the delta is processed
+    _feed(spark, sf_dir, stream_dirs["input"], limit=20, offset=20)
+    q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
+    q.awaitTermination(120)
+    n2 = spark.read.parquet(chunks_dir).count()
+    assert n2 > n1
+    docs_seen = spark.read.parquet(chunks_dir).select("doc_id").distinct().count()
+    assert docs_seen == 40
+
+
+def test_streaming_window_plan_builds(spark, sf_dir, stream_dirs, tmp_path):
+    """The windowed aggs accept a genuine streaming DataFrame (watermark +
+    window survive analysis) and produce correct results via the batch twin
+    oracle path (tumbling_hourly_counts parity covers values)."""
+    from frappe_data_pipelines_spark.streaming.windows import session_windows, tumbling_counts
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    ev_dir = str(tmp_path / "events_in")
+    ev.write.parquet(ev_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    assert stream.isStreaming
+
+    out = tumbling_counts(stream)
+    sess = session_windows(stream)
+    sink = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination(120)
+    # append mode emits only watermark-closed windows; plan validity +
+    # state handling is what we assert here (values come from the batch twin)
+    assert spark.table("tumbling_test").columns == [
+        "window_start", "window_end", "event_type", "n", "total_value",
+    ]
+    assert sess.schema.fieldNames() == ["session_start", "session_end", "user_id", "n_events"]
