@@ -64,6 +64,7 @@ def _load_all() -> None:
     from frappe_data_pipelines_spark.plans import (  # noqa: F401
         pipelinequeries,
         relational,
+        scalarqueries,
         textqueries,
         vectorqueries,
     )

@@ -1,0 +1,306 @@
+"""Scalar-function + extended-join queries (SURVEY §2.H remainder, §2.C
+extensions, MinHash oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+@register(
+    "h2_paragraph_split",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, string_split_regex(replace(text, ' table ', chr(10) || chr(10)), '\\n\\s*\\n') AS parts
+      FROM documents
+    )
+    SELECT doc_id, CAST(i.i - 1 AS INT) AS para_index, trim(parts[i.i]) AS para
+    FROM paras, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+    WHERE trim(parts[i.i]) <> ''
+    """,
+    tags=("H2", "E1"),
+)
+def h2_paragraph_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 paragraph split + enumeration (reference:
+    chunking_service.py:422-426): the testdata has no blank lines, so a
+    delimiter word is rewritten to a paragraph break first — the split/
+    posexplode/strip/drop-empty pipeline is the operator under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.regexp_replace(F.col("text"), " table ", "\n\n"), "\\n\\s*\\n")
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("para_index", "para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .select("doc_id", F.col("para_index").cast("int").alias("para_index"), "para")
+    )
+
+
+@register(
+    "h3_sentence_split",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, string_split_regex(replace(text, ' scan ', '. '), '\\.\\s+') AS parts
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(list_filter(parts, p -> trim(p) <> '')) AS BIGINT) AS n_sentences
+    FROM sents
+    """,
+    tags=("H3",),
+)
+def h3_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 sentence split (reference: chunking_service.py:428-473) — period
+    markers synthesized, then split on '\\.\\s+' (no lookbehind: DuckDB's
+    RE2 lacks it; dropping the period is identical on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.regexp_replace(F.col("text"), " scan ", ". "), "\\.\\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(parts, lambda p: F.trim(p) != "")).cast("bigint").alias("n_sentences"),
+    )
+
+
+@register(
+    "h8_h15_type_routing",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_type IN ('ECONOMY', 'STANDARD') THEN 'text'
+                WHEN p_type = 'PROMO' THEN 'visual'
+                WHEN p_type IN ('SMALL', 'MEDIUM') THEN 'structured'
+                ELSE 'hybrid' END AS strategy,
+           CASE WHEN p_type = 'PROMO' THEN 1200
+                WHEN p_type IN ('SMALL', 'MEDIUM') THEN 800
+                WHEN p_type = 'LARGE' THEN 500
+                ELSE 1000 END AS suggested_chunk_size
+    FROM part
+    """,
+    tags=("H8", "H15", "J5"),
+)
+def h8_h15_type_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H8 MIME/extension→strategy map + H15 chunk-size suggestion — the
+    metadata half of the J5 decision agent (reference:
+    decision_agent.py:37-83, 275-286) as a pure when/otherwise expression."""
+    part = load_table(spark, sf_dir, "part")
+    strategy = (
+        F.when(F.col("p_type").isin("ECONOMY", "STANDARD"), "text")
+        .when(F.col("p_type") == "PROMO", "visual")
+        .when(F.col("p_type").isin("SMALL", "MEDIUM"), "structured")
+        .otherwise("hybrid")
+    )
+    size = (
+        F.when(F.col("p_type") == "PROMO", 1200)
+        .when(F.col("p_type").isin("SMALL", "MEDIUM"), 800)
+        .when(F.col("p_type") == "LARGE", 500)
+        .otherwise(1000)
+    )
+    return part.select("p_partkey", strategy.alias("strategy"), size.alias("suggested_chunk_size"))
+
+
+@register(
+    "h13_deterministic_ids",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS point_id
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("H13",),
+)
+def h13_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H13 point-id generation, test-deterministic form: content-hash ids
+    instead of uuid4 (SURVEY hard spot: uuid() is non-reproducible;
+    reference qdrant_service.py:102)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat_ws(":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")).cast("binary")
+        ).alias("point_id"),
+    )
+
+
+@register(
+    "h14_base64_data_url",
+    oracle="""
+    SELECT doc_id,
+           'data:text/plain;base64,' || base64(encode(substring(text, 1, 48))) AS data_url
+    FROM documents
+    """,
+    tags=("H14",),
+)
+def h14_base64_data_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H14 base64 + data-URL encoding (reference: vision_service.py:108-131)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("data:text/plain;base64,"),
+            F.base64(F.encode(F.substring("text", 1, 48), "UTF-8")),
+        ).alias("data_url"),
+    )
+
+
+@register(
+    "h16_context_prefix_concat",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang <> 'en'
+                THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' [' || lang || ']' || chr(10) || chr(10) || substring(text, 1, 80)
+                ELSE substring(text, 1, 80) END AS embedded_text
+    FROM documents
+    """,
+    tags=("H16", "J2"),
+)
+def h16_context_prefix_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H16 conditional context-prefix concat (reference:
+    context_service.py:99-103): embedded_text = context + '\\n\\n' + chunk
+    when a context exists, else the chunk alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" ["), F.col("lang"), F.lit("]"))
+    chunk = F.substring("text", 1, 80)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("lang") != "en", F.concat_ws("\n\n", prefix, chunk)).otherwise(chunk).alias("embedded_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join/set extensions
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, max(c.ts) AS last_click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("C-ext", "asof", "headline"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension — reference has no as-of; SURVEY §2.C note):
+    for each purchase, the latest click by the same user at or before it.
+    Equi-key on user_id + range predicate → sort-merge join with the range
+    as a post-filter, then greatest-per-group; no crossJoin."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    return (
+        p.join(c, (p.user_id == c.c_user) & (F.col("click_ts") <= F.col("purchase_ts")))
+        .groupBy("event_id", "user_id", "purchase_ts")
+        .agg(F.max("click_ts").alias("last_click_ts"))
+    )
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, n_nationkey AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS side, n_nationkey AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    tags=("G-ext",),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (not present in the reference —
+    SURVEY §2.G note — but part of a complete relational surface)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).select(F.lit("both").alias("side"), "nationkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would leave multiset survivors)
+    only = cust.subtract(supp).select(F.lit("customer_only").alias("side"), "nationkey")
+    return both.unionByName(only)
+
+
+@register(
+    "rollup_order_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("D-ext",),
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grand total + per-flag subtotals) — builtin
+    Spark df.rollup (SURVEY §2.D note: available natively for extensions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "exact_distinct_counts",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("D-ext",),
+)
+def exact_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct per group (expand+two-phase agg in Spark; HLL sketch
+    variant is approx_count_distinct — not oracle-able bit-for-bit, so the
+    exact form carries the check)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.count("*").cast("bigint").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — full SQL oracle (the md5-based portable hash family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_signatures",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    )
+    SELECT doc_id, CAST(i.i AS INT) AS hash_index,
+           min(((2 * i.i + 1) * h + i.i * 12582917) % 2147483647) AS min_hash
+    FROM hashed, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) i
+    GROUP BY doc_id, i.i
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures, exploded to (doc_id, hash_index, min_hash) rows —
+    the md5-based affine hash family is bit-for-bit reproducible in SQL, so
+    the signature computation itself is oracle-checked (the banded-LSH
+    pairing on top is dedup_minhash_lsh, rows-only)."""
+    from frappe_data_pipelines_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=16, shingle_n=3)
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("hash_index", "min_hash")
+    ).select("doc_id", F.col("hash_index").cast("int").alias("hash_index"), "min_hash")
