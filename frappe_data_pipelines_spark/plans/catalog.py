@@ -65,6 +65,7 @@ def _load_all() -> None:
         pipelinequeries,
         relational,
         scalarqueries,
+        servicequeries,
         textqueries,
         vectorqueries,
     )

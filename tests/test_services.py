@@ -1,0 +1,101 @@
+"""Extraction decode chain, enrichment, routing, and the SearchService
+facade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.api import SearchService
+from frappe_data_pipelines_spark.operators.extraction import (
+    decode_text_with_fallback,
+    extract_text,
+)
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+class TestDecodeChain:
+    def test_utf8(self):
+        assert decode_text_with_fallback("héllo".encode()) == ("héllo", "utf-8")
+
+    def test_utf8_sig_bom(self):
+        text, enc = decode_text_with_fallback("﻿hello".encode("utf-8-sig"))
+        # plain utf-8 decodes a BOM'd file too (keeps the BOM char) — the
+        # reference's chain has the same property; enc records the branch hit
+        assert "hello" in text
+
+    def test_latin1_fallback(self):
+        payload = "café".encode("latin-1")  # invalid as utf-8
+        text, enc = decode_text_with_fallback(payload)
+        assert text == "café" and enc == "latin-1"
+
+    def test_never_raises(self):
+        text, enc = decode_text_with_fallback(bytes([0xFF, 0xFE, 0x00, 0x41]))
+        assert isinstance(text, str)
+
+
+def test_extract_dispatch_and_type_gate(spark):
+    rows = [
+        ("a.txt", b"plain text"),
+        ("b.md", "# md héader".encode("latin-1")),
+        ("c.pdf", b"%PDF-1.4 fake"),
+        ("d.png", b"\x89PNG fake"),
+        ("e.exe", b"MZ not supported"),  # filtered by B1 gate
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r["path"]: r for r in extract_text(df).collect()}
+    assert set(out) == {"a.txt", "b.md", "c.pdf", "d.png"}  # exe gated out
+    assert out["a.txt"]["text"] == "plain text" and out["a.txt"]["method"] == "utf-8"
+    assert out["b.md"]["method"] == "latin-1"
+    assert out["c.pdf"]["method"] == "pdf-stub"
+    assert out["d.png"]["confidence"] == 0.5
+
+
+def test_extract_enabled_extensions_subset(spark):
+    df = spark.createDataFrame([("a.txt", b"x"), ("c.pdf", b"y")], "path string, content binary")
+    out = extract_text(df, enabled_extensions=["txt"]).collect()
+    assert [r["path"] for r in out] == ["a.txt"]
+
+
+class TestSearchService:
+    @pytest.fixture(scope="class")
+    def svc(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        return SearchService(vectors=emb, corpus=docs)
+
+    def test_dense_search(self, svc):
+        hits = svc.search("fast join table scan", top_k=5).collect()
+        assert len(hits) == 5
+        scores = [r["score"] for r in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_filtered_search(self, svc):
+        hits = svc.search("fast join", top_k=5, filters={"label": 3}).collect()
+        assert all(r["label"] == 3 for r in hits)
+
+    def test_find_similar_excludes_self(self, svc):
+        hits = svc.find_similar(42, top_k=5).collect()
+        assert len(hits) == 5
+        assert all(r["vec_id"] != 42 for r in hits)
+
+    def test_rerank_overfetch_path(self, svc):
+        hits = svc.search("fast join table scan", top_k=5, use_reranker=True).collect()
+        assert len(hits) == 5
+        rel = [r["relevance"] for r in hits]
+        assert rel == sorted(rel, reverse=True)
+        assert all(0.0 <= x <= 1.0 for x in rel)
+
+    def test_hybrid_rrf(self, svc):
+        hits = svc.hybrid_search("fast join table scan", top_k=10).collect()
+        assert len(hits) == 10
+        # RRF score bounded by 2/(60+1)
+        assert all(0 < r["rrf"] <= 2 / 61 for r in hits)
+
+
+def test_enrich_failure_tolerance_contract():
+    """Non-template providers must be explicit stubs (no silent network)."""
+    from frappe_data_pipelines_spark.operators.enrich import enrich_chunks
+
+    with pytest.raises(NotImplementedError):
+        enrich_chunks(None, provider=object())
