@@ -35,6 +35,12 @@ HEADLINE = [
     "chunk_recursive",
     "c1_permission_semi_join",
     "ann_lsh_pairs",
+    "asof_join_purchase_click",
+    "dedup_minhash_signatures",
+    "multimodal_decode_meta",
+    "j2_enrich_contexts",
+    "tumbling_hourly_counts",
+    "a2_extraction_dispatch",
 ]
 
 
