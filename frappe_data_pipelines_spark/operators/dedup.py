@@ -52,10 +52,10 @@ def word_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col:
     d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
     idx = F.sequence(F.lit(0), F.col("n_toks") - n)
     shingle = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
-    return (
-        d.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
-        .distinct()
-    )
+    # array_distinct dedupes within a document BEFORE the explode, so no
+    # global .distinct() shuffle is needed (doc_id is a unique key of docs).
+    # At 100 TB that saves a full shuffle of the exploded shingle set.
+    return d.select("doc_id", F.explode(F.array_distinct(shingle)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -205,28 +205,54 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-dup pairs ≥ threshold. Brute candidates (id_a < id_b);
-    at scale swap the crossJoin for ann.lsh_similarity_join.
+    """Cosine near-dup pairs >= threshold, canonicalized (id_a < id_b).
 
-    Norms are precomputed once per vector (O(n)) instead of inside the O(n²)
-    pair loop — per pair only the dot product remains. Product-of-norms vs
-    norm-of-products differs by ≤2 ulp, invisible at the 6-dp round."""
-    from frappe_data_pipelines_spark.functions.vectors import dot_product, vector_norm
+    Physically a broadcast-nested-loop join, but the inner loop is one float64
+    GEMM per Arrow batch (A_block @ B.T in numpy) instead of O(n^2) interpreted
+    per-element expressions — the pair similarity matrix is computed blockwise
+    and only passing pairs are materialized. The build side is collected and
+    broadcast, so this carries the same size constraint as any broadcast join;
+    the scale path for all-pairs similarity is ``ann.lsh_similarity_join``
+    (bucket join, no n^2 term)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
+    sess = vectors.sparkSession
     base = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        vector_norm(F.col(vec_col)).alias("nrm"),
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos",
-            F.round(F.try_divide(dot_product(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+    pdf_b = base.toPandas()
+    ids_b = pdf_b["id"].to_numpy()
+    mat_b = np.stack(pdf_b["v"].to_numpy()).astype(np.float64)
+    nrm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bcast = sess.sparkContext.broadcast((ids_b, mat_b, nrm_b))
+
+    id_type = base.schema["id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
+    thr = float(threshold)
+
+    def block(batches):
+        ids_full, mat_full, nrm_full = bcast.value
+        for pa in batches:
+            if len(pa) == 0:
+                continue
+            mat_a = np.stack(pa["v"].to_numpy()).astype(np.float64)
+            ids_a = pa["id"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nrm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+                sims = np.round((mat_a @ mat_full.T) / np.outer(nrm_a, nrm_full), 6)
+                ia, jb = np.nonzero(sims >= thr)  # NaN (zero norm) never passes
+            keep = ids_a[ia] < ids_full[jb]
+            yield pd.DataFrame(
+                {"id_a": ids_a[ia][keep], "id_b": ids_full[jb][keep], "cos": sims[ia, jb][keep]}
+            )
+
+    par = sess.sparkContext.defaultParallelism
+    return base.repartition(par).mapInPandas(block, schema)
