@@ -304,3 +304,202 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id", F.posexplode("sig").alias("hash_index", "min_hash")
     ).select("doc_id", F.col("hash_index").cast("int").alias("hash_index"), "min_hash")
+
+
+@register(
+    "h4_header_detection",
+    oracle="""
+    WITH rewritten AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(text,
+               ' join ',   chr(10) || '## '),
+               ' merge ',  chr(10) || '1.2 '),
+               ' vector ', chr(10) || 'BIG SECTION HEADING' || chr(10)),
+               ' stream ', chr(10) || 'Overview:' || chr(10)) AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS line_no, trim(parts[i.i]) AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM rewritten),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+    )
+    SELECT doc_id, line_no, line,
+           CASE WHEN regexp_matches(line, '^#{1,6} ') THEN 'markdown'
+                WHEN regexp_matches(line, '^[0-9]+(\\.[0-9]+)*\\.? ') THEN 'numbered'
+                WHEN regexp_matches(line, '^[A-Z][A-Z ]{4,59}$') THEN 'allcaps'
+                WHEN regexp_matches(line, ':$') AND length(line) <= 60 THEN 'colon'
+                END AS kind,
+           CASE WHEN regexp_matches(line, '^#{1,6} ')
+                  THEN length(regexp_extract(line, '^(#{1,6}) ', 1))
+                WHEN regexp_matches(line, '^[0-9]+(\\.[0-9]+)*\\.? ')
+                  THEN len(string_split(regexp_extract(line, '^([0-9]+(\\.[0-9]+)*)', 1), '.'))
+                ELSE 1 END AS level
+    FROM lines
+    WHERE line <> ''
+      AND (regexp_matches(line, '^#{1,6} ')
+           OR regexp_matches(line, '^[0-9]+(\\.[0-9]+)*\\.? ')
+           OR regexp_matches(line, '^[A-Z][A-Z ]{4,59}$')
+           OR (regexp_matches(line, ':$') AND length(line) <= 60))
+    """,
+    tags=("H4",),
+)
+def h4_header_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 header detection (reference: chunking_service.py:174-184, 335-364):
+    markdown ``#{1,6}``, numbered ``1.2.3``, ALL-CAPS (5-60 chars), and
+    colon-suffixed headers with their levels. The word-salad testdata has no
+    newlines, so header lines are synthesized by deterministic rewrites
+    (identical on both engines) before the line classifier runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    for pat, rep in [
+        (" join ", "\n## "),
+        (" merge ", "\n1.2 "),
+        (" vector ", "\nBIG SECTION HEADING\n"),
+        (" stream ", "\nOverview:\n"),
+    ]:
+        t = F.replace(t, F.lit(pat), F.lit(rep))
+    lines = (
+        docs.select("doc_id", F.posexplode(F.split(t, "\n")).alias("line_no", "line"))
+        .withColumn("line", F.trim("line"))
+        .withColumn("line_no", F.col("line_no").cast("int"))
+        .filter(F.col("line") != "")
+    )
+    is_md = F.col("line").rlike("^#{1,6} ")
+    is_num = F.col("line").rlike("^[0-9]+(\\.[0-9]+)*\\.? ")
+    is_caps = F.col("line").rlike("^[A-Z][A-Z ]{4,59}$")
+    is_colon = F.col("line").rlike(":$") & (F.length("line") <= 60)
+    kind = (
+        F.when(is_md, "markdown")
+        .when(is_num, "numbered")
+        .when(is_caps, "allcaps")
+        .when(is_colon, "colon")
+    )
+    level = (
+        F.when(is_md, F.length(F.regexp_extract("line", "^(#{1,6}) ", 1)))
+        .when(is_num, F.size(F.split(F.regexp_extract("line", "^([0-9]+(\\.[0-9]+)*)", 1), "\\.")))
+        .otherwise(F.lit(1))
+    )
+    return lines.filter(is_md | is_num | is_caps | is_colon).select(
+        "doc_id", "line_no", "line", kind.alias("kind"), level.cast("bigint").alias("level")
+    )
+
+
+@register(
+    "h7_element_classifier",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+             list_filter(['chart', 'table', 'diagram', 'infographic', 'photo',
+                          'screenshot', 'map', 'logo', 'equation'],
+                         k -> contains(lower(text), k)) AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(l) > 0 THEN l ELSE ['image'] END AS elements
+    FROM hits
+    """,
+    tags=("H7",),
+)
+def h7_element_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 keyword element classifier (reference: vision_service.py:179-208):
+    tag a description with visual-element keywords; default ['image'] when
+    nothing matches. Pure higher-order-function expression — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    kws = F.array(
+        *[
+            F.lit(k)
+            for k in [
+                "chart", "table", "diagram", "infographic", "photo",
+                "screenshot", "map", "logo", "equation",
+            ]
+        ]
+    )
+    hits = F.filter(kws, lambda k: F.contains(F.lower(F.col("text")), k))
+    elements = F.when(F.size(hits) > 0, hits).otherwise(F.array(F.lit("image")))
+    return docs.select("doc_id", elements.alias("elements"))
+
+
+@register(
+    "d2_ocr_confidence",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, trim(parts[i.i]) AS line
+      FROM (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+    ), scored AS (
+      SELECT doc_id,
+             (CAST(('0x' || substring(md5(line), 1, 15)) AS BIGINT) % 1000) / 1000.0 AS conf
+      FROM lines WHERE line <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(conf), 6) AS avg_confidence
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("D2",),
+)
+def d2_ocr_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 mean OCR confidence (reference: ocr_service.py:148-150): avg of
+    per-line recognition confidences. The container has no OCR engine, so
+    line confidences are a deterministic md5-derived stand-in (same formula
+    both engines) over synthesized lines — the aggregate is the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", " table ")).alias("line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("line").cast("binary")), 1, 15), 16, 10).cast("bigint")
+    scored = lines.withColumn("conf", (h % 1000) / F.lit(1000.0))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(F.avg("conf"), 6).alias("avg_confidence"),
+    )
+
+
+@register(
+    "e4_order_restoration",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS para_index, trim(parts[i.i]) AS para
+      FROM (SELECT doc_id, string_split_regex(replace(text, ' table ', chr(10) || chr(10)), '\\n\\s*\\n') AS parts
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+      WHERE trim(parts[i.i]) <> ''
+    ), scrambled AS (
+      SELECT doc_id, para_index,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY md5(para), para_index) AS INT) - 1
+               AS provider_order
+      FROM paras
+    )
+    SELECT doc_id, para_index, provider_order,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY para_index) AS INT) - 1
+             = para_index AS restored_in_order
+    FROM scrambled
+    """,
+    tags=("E4",),
+)
+def e4_order_restoration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 order restoration (reference: embedding_service.py:171-173,
+    239-241): a provider returns batch results in arbitrary order (here:
+    md5-scrambled); keeping the input index through the stage and re-sorting
+    on it restores input order — verified by the restored_in_order flag."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.regexp_replace(F.col("text"), " table ", "\n\n"), "\\n\\s*\\n")
+    paras = (
+        docs.select("doc_id", F.posexplode(parts).alias("para_index", "para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .withColumn("para_index", F.col("para_index").cast("int"))
+    )
+    scramble = Window.partitionBy("doc_id").orderBy(F.md5(F.col("para").cast("binary")), "para_index")
+    restore = Window.partitionBy("doc_id").orderBy("para_index")
+    return (
+        paras.withColumn("provider_order", (F.row_number().over(scramble) - 1).cast("int"))
+        .withColumn(
+            "restored_in_order",
+            (F.row_number().over(restore) - 1) == F.col("para_index"),
+        )
+        .select("doc_id", "para_index", "provider_order", "restored_in_order")
+    )
