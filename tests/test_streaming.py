@@ -109,3 +109,55 @@ def test_streaming_window_plan_builds(spark, sf_dir, stream_dirs, tmp_path):
         "window_start", "window_end", "event_type", "n", "total_value",
     ]
     assert sess.schema.fieldNames() == ["session_start", "session_end", "user_id", "n_events"]
+
+
+def test_stateful_dedup_stream_across_batches(spark, sf_dir, stream_dirs, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a doc re-delivered in a later
+    micro-batch is dropped; only first-seen fingerprints are emitted."""
+    from frappe_data_pipelines_spark.streaming.stateful import dedup_stream
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # file 1: docs 0-19; file 2: docs 10-19 again (duplicate texts, new ids)
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dirs["input"])
+    docs.filter(F.col("doc_id") >= 10).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    ).select("doc_id", "text", "lang", "source", "n_chars").coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dirs["input"])
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dirs["input"])
+    )
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", stream_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # exactly the 20 distinct texts survive, all flagged first_in_stream;
+    # none of the +1000 re-crawled ids appear
+    assert out.count() == 20
+    assert set(rows) == set(range(20))
+    assert all(r["first_in_stream"] for r in rows.values())
+
+    # batch twin: same distinct set, duplicate counted
+    both = docs.unionByName(
+        docs.filter(F.col("doc_id") >= 10).withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    batch = dedup_stream(both)
+    assert batch.count() == 20
+    assert batch.filter(F.col("n_dupes_dropped") == 1).count() == 10
