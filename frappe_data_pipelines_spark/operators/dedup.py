@@ -48,7 +48,10 @@ def word_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col:
     """(doc_id, shingle) distinct pairs; shingle = n consecutive lowercase
     word tokens joined by single spaces."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    # A small-file source arrives as 1 input partition; shingle generation is
+    # the CPU-heavy step, so spread the rows first (cheap: pre-explode rows).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).repartition(par)
     d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
     idx = F.sequence(F.lit(0), F.col("n_toks") - n)
     shingle = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
