@@ -218,7 +218,7 @@ _MEDIA_META_SQL = """
 """
 
 
-@register("multimodal_decode_meta", oracle=_MEDIA_META_SQL, tags=("multimodal", "extension"))
+@register("multimodal_decode_meta", oracle=_MEDIA_META_SQL, tags=("multimodal", "extension", "A7", "J3"))
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary payload → typed metadata via
     Arrow-batched mapInPandas (deterministic fake kernel; real decoder is a
@@ -243,3 +243,157 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = decode_media_meta(documents_as_media(docs))
     return frame_sample(meta, every_n=2).select("doc_id", F.col("frame_index").cast("int").alias("frame_index"))
+
+
+# ---------------------------------------------------------------------------
+# Extraction formats, ingest harness, orchestrator
+# ---------------------------------------------------------------------------
+
+@register(
+    "a3_a6_binary_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             ['txt', 'md', 'pdf', 'docx', 'png'][CAST(doc_id % 5 AS INT) + 1] AS ext,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT '/data/doc_' || doc_id || '.' || ext AS path, ext,
+           CASE WHEN ext IN ('txt', 'md') THEN text
+                WHEN ext = 'pdf' THEN '[pdf:' || n || ' bytes]'
+                WHEN ext = 'docx' THEN '[docx:' || n || ' bytes]'
+                ELSE '[ocr:' || n || ' bytes]' END AS text,
+           CASE WHEN ext IN ('txt', 'md') THEN 'utf-8'
+                WHEN ext = 'pdf' THEN 'pdf-stub'
+                WHEN ext = 'docx' THEN 'docx-stub'
+                ELSE 'ocr-stub' END AS method,
+           CASE WHEN ext IN ('png') THEN 0.5 ELSE 1.0 END AS confidence
+    FROM b
+    """,
+    tags=("A3", "A4", "A5", "A6", "A8", "A9", "B1"),
+)
+def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A5/A6 format scans + A4 decode chain + A8/A9 OCR stub through the
+    A2 dispatch (reference: text_extraction.py:63-122, ocr_service.py:81-187):
+    documents are re-encoded as binary payloads with synthetic paths, pushed
+    through the Arrow-batched extractor, and the oracle reproduces each
+    format branch's deterministic stand-in. TXT/MD rows round-trip the real
+    encoding-fallback decoder."""
+    from frappe_data_pipelines_spark.operators.extraction import extract_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in ["txt", "md", "pdf", "docx", "png"]]),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    binary = docs.select(
+        F.concat(F.lit("/data/doc_"), F.col("doc_id"), F.lit("."), ext).alias("path"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return extract_text(binary).select("path", "ext", "text", "method", "confidence")
+
+
+@register("i1_i2_ingest_snapshot", tags=("A1", "I1", "I2", "I5", "I6", "A13", "A14", "rows-only"))
+def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1/I2 event-driven ingest driven end-to-end (reference: hooks.py:28-33,
+    drive_file_handler.py:63-88): a 40-doc slice streams through the
+    availableNow micro-batch pipeline (chunk → embed → A13/A14 sinks + job
+    state machine + I6 metrics); returns one row per doc with its job states
+    and chunk count. Rows-only: the harness is Structured Streaming, outside
+    DuckDB's vocabulary."""
+    import os
+    import shutil
+    import tempfile
+
+    from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
+
+    tmp = tempfile.mkdtemp(prefix="fdp_ingest_q_")
+    inp, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+    try:
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+        docs.coalesce(2).write.parquet(inp)
+        q = start_ingest_stream(spark, inp, out, ckpt)
+        q.awaitTermination(180)
+        jobs = spark.read.parquet(os.path.join(out, "jobs"))
+        chunks = spark.read.parquet(os.path.join(out, "chunks"))
+        per_doc = (
+            jobs.groupBy("source_doc_id")
+            .agg(F.array_join(F.array_sort(F.collect_set("status")), ",").alias("states"))
+            .join(
+                chunks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks")),
+                F.col("source_doc_id") == F.col("doc_id"),
+            )
+            .select(F.col("source_doc_id").alias("doc_id"), "states", "n_chunks")
+        )
+        per_doc = spark.createDataFrame(per_doc.collect(), per_doc.schema)
+        return per_doc
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("j6_pipeline_batch", tags=("J6", "B8", "A13", "A14", "D4", "rows-only"))
+def j6_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 orchestrator, batch form (reference: process_embedding.py:84-281):
+    Queued jobs semi-join files → chunk → embed in one DataFrame plan;
+    returns per-doc terminal accounting. Rows-only: the chunker is
+    procedural (its relational pieces are oracle-checked elsewhere)."""
+    from frappe_data_pipelines_spark.operators.pipeline import run_pipeline_batch
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    jobs = docs.select(
+        F.col("doc_id").alias("source_doc_id"),
+        # alternate Queued/Completed: only Queued rows are eligible (B8)
+        F.when(F.col("doc_id") % 2 == 0, "Queued").otherwise("Completed").alias("status"),
+    )
+    embedded, done = run_pipeline_batch(docs, jobs, chunk_size=200, chunk_overlap=40)
+    return done.select(
+        "source_doc_id", "status", F.col("n_chunks").cast("bigint").alias("n_chunks")
+    )
+
+
+@register(
+    "a10_a11_scanned_pdf_detect",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS page_no, trim(parts[i.i]) AS page_text
+      FROM (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+    ), sampled AS (
+      SELECT doc_id, page_no, page_text,
+             '[ocr:' || octet_length(encode(page_text)) || ' bytes]' AS ocr_text
+      FROM pages WHERE page_no < 3
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pages_sampled,
+           round(avg(length(page_text)), 6) AS avg_chars,
+           avg(length(page_text)) < 50 AS is_scanned,
+           max(CASE WHEN page_no = 0 THEN ocr_text END) AS first_page_ocr
+    FROM sampled GROUP BY doc_id
+    """,
+    tags=("A10", "A11", "D3"),
+)
+def a10_a11_scanned_pdf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 scanned-PDF detection by page sampling (reference:
+    ocr_service.py:291-321 — avg embedded-text length of ≤3 sampled pages
+    < 50 chars → scanned) + the A10 render→OCR hand-off for the sampled
+    first page (ocr_service.py:228-289; render is the deterministic stub —
+    the container has no PyMuPDF/PaddleOCR)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = (
+        docs.select("doc_id", F.posexplode(F.split("text", " table ")).alias("page_no", "page_text"))
+        .withColumn("page_text", F.trim("page_text"))
+        .withColumn("page_no", F.col("page_no").cast("int"))
+        .filter(F.col("page_no") < 3)
+        .withColumn(
+            "ocr_text",
+            F.concat(
+                F.lit("[ocr:"), F.octet_length(F.encode("page_text", "UTF-8")), F.lit(" bytes]")
+            ),
+        )
+    )
+    return pages.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pages_sampled"),
+        F.round(F.avg(F.length("page_text")), 6).alias("avg_chars"),
+        (F.avg(F.length("page_text")) < 50).alias("is_scanned"),
+        F.max(F.when(F.col("page_no") == 0, F.col("ocr_text"))).alias("first_page_ocr"),
+    )

@@ -503,3 +503,165 @@ def e4_order_restoration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "para_index", "provider_order", "restored_in_order")
     )
+
+
+@register(
+    "b2_b8_b9_job_guards",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             (doc_id % 10 = 0) AS is_group,
+             ['Queued', 'Failed', 'Completed'][CAST(doc_id % 3 AS INT) + 1] AS status
+      FROM documents
+    )
+    SELECT doc_id AS job_id, source, status, 'ready' AS state
+    FROM f
+    WHERE NOT is_group AND status IN ('Queued', 'Failed')
+    """,
+    tags=("B2", "B8", "B9"),
+)
+def b2_b8_b9_job_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 folder filter + B8 status guard + B9 result projection (reference:
+    drive_file_handler.py:32-35, process_embedding.py:38-39,
+    search_service.py:110-122) — the admission-control prefix of every job,
+    as one pushed-down filter + projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    status = F.element_at(
+        F.array(F.lit("Queued"), F.lit("Failed"), F.lit("Completed")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return (
+        docs.select(
+            "doc_id", "source",
+            (F.col("doc_id") % 10 == 0).alias("is_group"),
+            status.alias("status"),
+        )
+        .filter(~F.col("is_group") & F.col("status").isin("Queued", "Failed"))
+        .select(
+            F.col("doc_id").alias("job_id"), "source", "status", F.lit("ready").alias("state")
+        )
+    )
+
+
+@register(
+    "c4_keyed_alignment",
+    oracle="""
+    WITH paras AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS para_index, trim(parts[i.i]) AS para
+      FROM (SELECT doc_id, string_split_regex(replace(text, ' table ', chr(10) || chr(10)), '\\n\\s*\\n') AS parts
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+      WHERE trim(parts[i.i]) <> ''
+    ), ctx AS (
+      SELECT doc_id, para_index, 'ctx-' || substring(md5(para), 1, 8) AS context_prefix
+      FROM paras
+    )
+    SELECT p.doc_id, p.para_index, c.context_prefix,
+           c.context_prefix || chr(10) || chr(10) || p.para AS embedded_text
+    FROM paras p JOIN ctx c ON p.doc_id = c.doc_id AND p.para_index = c.para_index
+    """,
+    tags=("C4", "H16"),
+)
+def c4_keyed_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 positional-zip replacement (reference zips parallel lists at
+    process_embedding.py:463,493 — SURVEY hard spot (e)): two independently
+    derived per-chunk tables align on the composite key (doc_id, chunk_index)
+    instead of list position, so alignment survives repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = F.split(F.regexp_replace(F.col("text"), " table ", "\n\n"), "\\n\\s*\\n")
+    paras = (
+        docs.select("doc_id", F.posexplode(parts).alias("para_index", "para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .withColumn("para_index", F.col("para_index").cast("int"))
+    )
+    ctx = paras.select(
+        "doc_id", "para_index",
+        F.concat(F.lit("ctx-"), F.substring(F.md5(F.col("para").cast("binary")), 1, 8)).alias(
+            "context_prefix"
+        ),
+    )
+    return paras.join(ctx, ["doc_id", "para_index"]).select(
+        "doc_id", "para_index", "context_prefix",
+        F.concat_ws("\n\n", "context_prefix", "para").alias("embedded_text"),
+    )
+
+
+@register(
+    "d5_partial_agg_batches",
+    oracle="""
+    WITH partials AS (
+      SELECT l_returnflag, l_orderkey // 50 AS batch_id,
+             sum(CAST(l_quantity AS DECIMAL(18, 2))) AS batch_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(batch_qty) AS DOUBLE) AS sum_qty
+    FROM partials GROUP BY l_returnflag
+    """,
+    tags=("D5", "D1"),
+)
+def d5_partial_agg_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 partial/final aggregation made explicit (reference's only partial
+    execution is the batch-of-50 embed loop, process_embedding.py:356-370):
+    per-batch partial sums then a final combine — the shape Spark's
+    map-side partial aggregation applies automatically to every groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        "l_returnflag", F.expr("l_orderkey DIV 50").alias("batch_id")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("batch_qty"))
+    return partials.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_batches"),
+        F.sum("batch_qty").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "f2_recency_topk",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 100
+    """,
+    tags=("F2",),
+)
+def f2_recency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 descending recency sort (reference doctype default
+    document_chunk.json:212-213) — Spark plans this as
+    TakeOrderedAndProject, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "h10_h11_progress_langs",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS processed,
+           CAST(count(CASE WHEN lang = 'en' THEN 1 END) * 80 // count(*) AS BIGINT)
+             AS progress_percent,
+           array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs_csv
+    FROM documents GROUP BY source
+    """,
+    tags=("H10", "H11", "D1"),
+)
+def h10_h11_progress_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 progress arithmetic (int(processed/total*80),
+    process_embedding.py:366) in exact integer form + H11 CSV-join of the
+    language array (process_embedding.py:446,511)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("processed"),
+        F.expr("CAST(count(CASE WHEN lang = 'en' THEN 1 END) * 80 DIV count(*) AS BIGINT)").alias(
+            "progress_percent"
+        ),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs_csv"),
+    )

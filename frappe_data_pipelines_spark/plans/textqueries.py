@@ -344,7 +344,7 @@ def rerank_overfetch_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship pipeline (rows-only — exercises chunk → embed → search end-to-end)
 # ---------------------------------------------------------------------------
 
-@register("flagship_chunk_embed_search", tags=("M0", "rows-only", "headline"))
+@register("flagship_chunk_embed_search", tags=("M0", "J1", "H1", "C6", "rows-only", "headline"))
 def flagship_chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M0 flagship: documents → recursive chunks → deterministic embeddings
     → cosine top-10 for an embedded text query. The full ingest+search path
