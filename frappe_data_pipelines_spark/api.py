@@ -99,3 +99,80 @@ class SearchService:
         sparse = bm25_scores(self.corpus, query_text.split(),
                              id_col="doc_id", text_col=self.text_col)
         return rrf_fuse(dense, sparse, k=rrf_k, top_k=top_k)
+
+
+@dataclass
+class PipelineEngine:
+    """The reference's whitelisted + scheduled task surface (§3.3) as one
+    facade: backfill, retry, retention, stats, cascade delete, batch run.
+
+    State tables (``files``, ``jobs``) are caller-provided DataFrames —
+    parquet, Delta, or anything ``spark.read`` produces; every method
+    returns a lazy plan (or a dict of scalars for stats)."""
+
+    files: DataFrame
+    jobs: DataFrame
+    chunks: DataFrame | None = None
+
+    ACTIVE_STATUSES = (
+        "Queued", "Extracting Text", "Chunking", "Enriching Context",
+        "Embedding", "Storing Vectors", "Completed",
+    )  # data_pipeline_settings.py:166-170
+
+    def process_existing_files(
+        self, enabled_langs: list[str] | None = None, max_chars: int | None = None
+    ) -> DataFrame:
+        """A12 backfill: files without an active-or-done job, type+size
+        gated, as new Queued job rows (data_pipeline_settings.py:142-220)."""
+        from frappe_data_pipelines_spark.operators.pipeline import backfill_jobs
+
+        return backfill_jobs(
+            self.files, self.jobs, enabled_langs=enabled_langs, max_chars=max_chars
+        )
+
+    def retry_failed_jobs(self) -> DataFrame:
+        """B4/I3 hourly retry sweep (process_embedding.py:518-544)."""
+        from frappe_data_pipelines_spark.operators.pipeline import retry_eligible
+
+        return retry_eligible(self.jobs)
+
+    def cleanup_old_jobs(self, days: int = 30) -> DataFrame:
+        """I4 retention: kept-rows complement of Completed-older-than-N-days
+        (process_embedding.py:547-573)."""
+        from frappe_data_pipelines_spark.operators.pipeline import retention_sweep
+
+        return retention_sweep(self.jobs, days=days)
+
+    def on_file_delete(self, doc_id) -> list[DataFrame]:
+        """A15 cascading delete across jobs/chunks
+        (drive_file_handler.py:98-149)."""
+        from frappe_data_pipelines_spark.operators.pipeline import cascade_delete
+
+        tables = [self.jobs] + ([self.chunks] if self.chunks is not None else [])
+        return cascade_delete(doc_id, *tables)
+
+    def get_processing_stats(self) -> dict:
+        """D1 status-bucket counts (data_pipeline_settings.py:223-236) in a
+        single aggregation pass."""
+        agg = self.jobs.agg(
+            F.count("*").alias("total_jobs"),
+            *[
+                F.count(F.when(F.col("status") == s, 1)).alias(s)
+                for s in ("Queued", "Failed", "Completed")
+            ],
+        ).first()
+        stats = {
+            "total_files": self.files.count(),
+            "total_jobs": agg["total_jobs"],
+            "jobs_by_status": {s: agg[s] for s in ("Queued", "Failed", "Completed")},
+        }
+        if self.chunks is not None:
+            stats["total_chunks"] = self.chunks.count()
+        return stats
+
+    def run_batch(self, **kwargs) -> tuple[DataFrame, DataFrame]:
+        """J6 orchestrator: chunk → embed every eligible job in one plan
+        (process_embedding.py:84-281)."""
+        from frappe_data_pipelines_spark.operators.pipeline import run_pipeline_batch
+
+        return run_pipeline_batch(self.files, self.jobs, **kwargs)

@@ -1,0 +1,58 @@
+"""Physical-plan regression tests (SURVEY §4): the scale properties the
+engine relies on — pushdown into the parquet scan, broadcast for small
+dimensions, TakeOrderedAndProject for top-k, shuffle-free chunking — are
+asserted on the *executed* plan so a refactor can't silently trade them away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.plans.catalog import queries
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filtered_knn_pushdown_and_topk(spark, sf_dir):
+    plan = _executed_plan(queries()["b6_filtered_knn"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label," in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_permission_semi_join_broadcasts(spark, sf_dir):
+    plan = _executed_plan(queries()["c1_permission_semi_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan  # grant set is small → must broadcast
+
+
+def test_tpch_q3_broadcast_and_pushdown(spark, sf_dir):
+    plan = _executed_plan(queries()["tpch_q3_shipping_priority"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter reached the scan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _executed_plan(queries()["e2_topk_by_score"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunker_is_shuffle_free(spark, sf_dir):
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    plan = _executed_plan(
+        chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    )
+    assert "Exchange" not in plan  # chunk+enumerate happens per input split
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed_plan(df.limit(1))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+    assert "l_comment" not in plan  # untouched columns never leave parquet

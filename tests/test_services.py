@@ -99,3 +99,53 @@ def test_enrich_failure_tolerance_contract():
 
     with pytest.raises(NotImplementedError):
         enrich_chunks(None, provider=object())
+
+
+class TestPipelineEngine:
+    @pytest.fixture()
+    def engine(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.api import PipelineEngine
+
+        docs = load_table(spark, sf_dir, "documents")
+        jobs = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("source_doc_id"),
+            F.when(F.col("doc_id") % 4 == 0, "Completed").otherwise("Failed").alias("status"),
+            (F.col("doc_id") % 5).cast("int").alias("retry_count"),
+            F.current_timestamp().alias("completed_at"),
+        )
+        return PipelineEngine(files=docs, jobs=jobs)
+
+    def test_backfill_skips_active(self, engine):
+        out = engine.process_existing_files()
+        # Completed jobs (doc_id % 4 == 0) block re-queue; Failed jobs do NOT
+        # (reference skip-list is active∪Completed, settings.py:166-170)
+        assert out.filter(F.col("source_doc_id") % 4 == 0).count() == 0
+        assert out.filter((F.col("source_doc_id") % 2 == 0) & (F.col("source_doc_id") % 4 != 0)).count() > 0
+        assert out.filter(F.col("status") != "Queued").count() == 0
+
+    def test_retry_cap(self, engine):
+        out = engine.retry_failed_jobs()
+        assert out.filter(F.col("retry_count") > 3).count() == 0  # cap is <3 pre-bump
+        assert out.filter(F.col("status") != "Queued").count() == 0
+
+    def test_retention_keeps_recent(self, engine):
+        kept = engine.cleanup_old_jobs(days=30)
+        # everything is completed_at=now → nothing expired
+        assert kept.count() == engine.jobs.count()
+
+    def test_cascade_delete(self, engine):
+        (kept_jobs,) = engine.on_file_delete(4)
+        assert kept_jobs.filter(F.col("source_doc_id") == 4).count() == 0
+        assert kept_jobs.count() == engine.jobs.count() - 1
+
+    def test_stats_shape(self, engine):
+        stats = engine.get_processing_stats()
+        assert stats["total_jobs"] == engine.jobs.count()
+        by = stats["jobs_by_status"]
+        assert by["Completed"] + by["Failed"] == stats["total_jobs"]
+
+    def test_run_batch(self, engine):
+        embedded, done = engine.run_batch(chunk_size=200, chunk_overlap=40)
+        n_eligible = engine.jobs.filter(F.col("status").isin("Queued", "Failed")).count()
+        assert done.count() == n_eligible
+        assert embedded.filter(F.size("embedding") != 64).count() == 0
