@@ -507,3 +507,26 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("D1", "skew", "extension"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation via two-stage salting (operators/skew.py):
+    event_type is low-cardinality (a hot key would serialize on one reducer
+    at scale); the salted partial/final plan returns byte-identical results
+    to the plain GROUP BY the oracle runs."""
+    from frappe_data_pipelines_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev, ["event_type"], sum_cols=["value"], buckets=32, salt_on=["event_id"]
+    ).withColumnRenamed("sum_value", "sum_value")

@@ -11,6 +11,7 @@ from frappe_data_pipelines_spark.operators.pipeline import (
     retry_eligible,
     run_pipeline_batch,
 )
+from frappe_data_pipelines_spark.sources.tables import load_table
 
 
 def _files(spark):
@@ -112,3 +113,31 @@ def test_multimodal_plumbing(spark):
         decode_media_meta(media, real=True)
     fs = frame_sample(meta, every_n=2)
     assert fs.filter(F.col("frame_index") % 2 != 0).count() == 0
+
+
+class TestSkew:
+    def test_salted_agg_matches_plain(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.skew import salted_aggregate
+
+        ev = load_table(spark, sf_dir, "events")
+        salted = salted_aggregate(ev, ["event_type"], sum_cols=["value"], buckets=16,
+                                  salt_on=["event_id"])
+        plain = ev.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+    def test_salted_join_matches_plain(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.skew import salted_join
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+        dim = ev.select("event_type").distinct().withColumn(
+            "type_code", F.length("event_type").cast("int")
+        )
+        out = salted_join(ev, dim, on="event_type", buckets=4)
+        plain = ev.join(dim, "event_type")
+        assert out.count() == plain.count()
+        assert {tuple(r) for r in out.select("event_id", "type_code").collect()} == {
+            tuple(r) for r in plain.select("event_id", "type_code").collect()
+        }
