@@ -22,6 +22,8 @@ HEADLINE = [
     "flagship_chunk_embed_search",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
     "c6_knn_topk",
     "b6_filtered_knn",
     "c5_find_similar",
