@@ -623,3 +623,66 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+@register(
+    "range_join_click_window",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_recent_clicks
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    tags=("join", "range", "extension"),
+)
+def range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (extended surface — the reference has no join
+    executor at all, SURVEY §2.C): clicks in the 30 minutes before each
+    purchase, per user. Equi-key (user_id) + range predicate → Spark plans a
+    hash/sort-merge join on the key with the range as a join condition, not
+    a cartesian product."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").cast("bigint").alias("n_recent_clicks")
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("D1", "cube", "extension"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (extended surface; reference has no grouping sets —
+    SURVEY §2.D): all 4 grouping combinations in one pass via Spark's
+    expand-based cube, matching DuckDB's GROUP BY CUBE."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
