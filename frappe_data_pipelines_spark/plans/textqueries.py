@@ -358,3 +358,74 @@ def flagship_chunk_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_topk(
         embedded, qv, k=10, vec_col="embedding", id_col="doc_id"
     ).select("doc_id", "chunk_index", "chunk_text", "score")
+
+
+@register(
+    "dataset_splits",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("text-analysis", "extension"),
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment (80/10/10) by salted
+    content hash — the standard training-data split that survives
+    re-partitioning, re-runs, and incremental appends (no rand(), SURVEY
+    hard spot (c))."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE regexp_matches(text, '[a-zA-Z]')
+      AND NOT regexp_matches(text, '[{chr(0x0600)}-{chr(0x06FF)}{chr(0x4E00)}-{chr(0x9FFF)}]')
+      AND n_chars BETWEEN 100 AND 100000
+      AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+            <= length(text) * 0.2
+      AND len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_SW}, t)))
+            * 10 >= len({_SQL_TOKS})
+    """,
+    tags=("text-analysis", "extension", "B11"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training corpus filter (C4/Gopher-style rules over the
+    engine's text-analysis functions): latin-script language, length bounds,
+    punctuation ratio ≤ 0.2, stopword ratio ≥ 0.1 — one conjunctive
+    predicate, fully pushed/codegen'd; at 100 TB this is a single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(F.lit(STOPWORDS).cast("array<string>"), t)))
+    punct_len = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    keep = (
+        F.col("text").rlike("[a-zA-Z]")
+        & ~F.col("text").rlike("[؀-ۿ一-鿿]")
+        & F.col("n_chars").between(100, 100000)
+        & (punct_len <= F.length("text") * 0.2)
+        & (n_stop * 10 >= n_toks)
+    )
+    return docs.filter(keep).select("doc_id", "lang", "n_chars")
