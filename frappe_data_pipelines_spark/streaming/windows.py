@@ -60,3 +60,34 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
             "n_events",
         )
     )
+
+
+def stream_stream_click_purchase(events: DataFrame, window_minutes: int = 30,
+                                 watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream time-interval join (extension — SURVEY §2.I lists it as
+    absent from the reference): purchases joined to same-user clicks from the
+    preceding ``window_minutes``. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can expire join state —
+    the unbounded-state stream join is exactly what we must NOT write at
+    100 TB/day. Batch twin with DuckDB oracle: plans/relational.py
+    range_join_click_window."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")

@@ -56,3 +56,35 @@ def test_scan_prunes_columns(spark, sf_dir):
     plan = _executed_plan(df.limit(1))
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
     assert "l_comment" not in plan  # untouched columns never leave parquet
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key gives a co-located join: the
+    executed plan has no Exchange on either side — at 100 TB this is the
+    difference between a terabyte-scale shuffle per join and none."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    for df, name in ((o, "orders_bkt"), (li, "lineitem_bkt")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, df.columns[0])
+            .sortBy(df.columns[0])
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table("lineitem_bkt")
+        # hint forces SMJ (tiny test tables would otherwise broadcast) so the
+        # bucket-layout property is what the assertion exercises
+        .join(spark.table("orders_bkt").hint("merge"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = _executed_plan(joined)
+    assert "SortMergeJoin" in plan
+    # neither join input reads from an Exchange: bucket layout co-locates keys
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    for name in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -161,3 +161,39 @@ def test_stateful_dedup_stream_across_batches(spark, sf_dir, stream_dirs, tmp_pa
     batch = dedup_stream(both)
     assert batch.count() == 20
     assert batch.filter(F.col("n_dupes_dropped") == 1).count() == 10
+
+
+def test_stream_stream_interval_join(spark, sf_dir, stream_dirs, tmp_path):
+    """Stream-stream join with watermarks + bounded event-time condition:
+    same pairs as the batch range join over identical input."""
+    from frappe_data_pipelines_spark.streaming.windows import stream_stream_click_purchase
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(stream_dirs["input"])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        ).parquet(stream_dirs["input"])
+    )
+    out_dir = str(tmp_path / "ssj_out")
+    q = (
+        stream_stream_click_purchase(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", stream_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_click_purchase(ev).collect()
+    }
+    assert want, "batch twin should produce pairs"
+    assert got == want
