@@ -259,3 +259,67 @@ def embedding_neardup_pairs(
 
     par = sess.sparkContext.defaultParallelism
     return base.repartition(par).mapInPandas(block, schema)
+
+
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with PPJoin-style prefix filtering — the
+    100 TB candidate-generation path.
+
+    Jaccard >= t implies two docs share at least one of each other's
+    ``|S| - ceil(t * |S|) + 1`` globally-rarest shingles (prefix-filter
+    principle, Chaudhuri et al. / Xiao et al.). So only that prefix enters
+    the inverted index: the self-join touches a small, rare-token slice
+    instead of every shingle, and hot (high-document-frequency) shingles —
+    the skew and blow-up source — are exactly the ones excluded. Ordering is
+    (document_frequency, shingle): per-doc ranking is a window partitioned
+    by doc, never a global sort. Verification then counts common shingles
+    over the FULL sets for the surviving candidates only, so results equal
+    the unfiltered operator exactly (tests assert this)."""
+    from pyspark.sql.window import Window
+
+    sh = word_shingles(docs, n, id_col, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "shingle")
+
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    common = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -77,3 +77,17 @@ def test_simhash_near_dups_close_in_hamming(spark, sf_dir):
     for r in near[:20]:
         d = bin(sig[r["id_a"]] ^ sig[r["id_b"]]).count("1")
         assert d <= 16, f"near-dup pair {r} has hamming {d}"
+
+
+def test_prefix_filtered_jaccard_equals_baseline(spark, sf_dir):
+    from frappe_data_pipelines_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()}
+    pref = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=5, threshold=0.5).collect()}
+    assert base, "expected planted near-dup pairs in testdata"
+    assert pref == base
