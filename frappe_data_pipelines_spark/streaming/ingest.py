@@ -67,12 +67,24 @@ def start_ingest_stream(
             F.lit("Queued").alias("status"),
             F.lit(batch_id).alias("batch_id"),
             F.current_timestamp().alias("created_at"),
+            F.lit(None).cast("string").alias("error_message"),
         )
         jobs.write.mode("append").parquet(jobs_dir)
 
-        # I3: guard the procedural stage per-row — nulls become dead letters
+        # I3: guard the procedural stage per-row — unprocessable rows become
+        # Failed job rows with a captured error (dead letters), never a
+        # batch abort (process_embedding.py:69-81)
+        bad = F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0
+        failed = batch_df.filter(bad).select(
+            F.col("doc_id").alias("source_doc_id"),
+            F.lit("Failed").alias("status"),
+            F.lit(batch_id).alias("batch_id"),
+            F.current_timestamp().alias("created_at"),
+            F.lit("empty or null text").alias("error_message"),
+        )
         chunks = chunk_documents(
-            batch_df, strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap
+            batch_df.filter(~bad),
+            strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap,
         )
         embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)
         embedded = embedded.withColumn("batch_id", F.lit(batch_id))
@@ -87,9 +99,10 @@ def start_ingest_stream(
                 F.lit("Completed").alias("status"),
                 F.lit(batch_id).alias("batch_id"),
                 F.current_timestamp().alias("created_at"),
+                F.lit(None).cast("string").alias("error_message"),
             )
         )
-        done.write.mode("append").parquet(jobs_dir)
+        done.unionByName(failed).write.mode("append").parquet(jobs_dir)
         batch_df.sparkSession.createDataFrame(
             [(batch_id, batch_df.count())], "batch_id LONG, n_docs LONG"
         ).write.mode("append").parquet(metrics_dir)

@@ -197,3 +197,29 @@ def test_stream_stream_interval_join(spark, sf_dir, stream_dirs, tmp_path):
     }
     assert want, "batch twin should produce pairs"
     assert got == want
+
+
+def test_ingest_dead_letters_failed_rows(spark, sf_dir, stream_dirs):
+    """I3: an unprocessable doc (empty text) gets a Failed job row with a
+    captured error; good docs in the same micro-batch still complete."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    poisoned = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 3, F.lit("   ")).otherwise(F.col("text"))
+    )
+    poisoned.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+
+    q = start_ingest_stream(
+        spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"]
+    )
+    q.awaitTermination(120)
+
+    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    failed = jobs.filter(F.col("status") == "Failed").collect()
+    assert [r["source_doc_id"] for r in failed] == [3]
+    assert failed[0]["error_message"] == "empty or null text"
+    assert jobs.filter(
+        (F.col("status") == "Completed") & (F.col("source_doc_id") == 3)
+    ).count() == 0
+    assert jobs.filter(F.col("status") == "Completed").count() == 9
+    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    assert chunks.filter(F.col("doc_id") == 3).count() == 0
