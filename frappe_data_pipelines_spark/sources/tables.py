@@ -62,3 +62,33 @@ def register_temp_views(spark: SparkSession, sf_dir: str, names: list[str] | Non
     """Expose the tables to ``spark.sql`` under their bare names."""
     for n in names or TABLE_NAMES:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def load_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-generic source (A2's dispatch idea applied to table formats):
+    parquet / csv / json / text / orc through one entry point. CSV and JSON
+    REQUIRE an explicit schema at scale — schema inference is a full extra
+    pass over the data, unacceptable at 100 TB (and non-deterministic under
+    sampling), so passing ``schema=None`` for those formats raises."""
+    fmt = fmt.lower()
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} source requires an explicit schema (no inference at scale)")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.format(fmt).options(**options).load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+    """Format-generic sink twin of ``load_any``."""
+    if fmt.lower() == "csv":
+        options.setdefault("header", "true")
+    df.write.format(fmt.lower()).options(**options).mode(mode).save(path)
