@@ -226,7 +226,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", tags=("dedup", "rows-only"))
+_MINHASH_LSH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    ), sigrows AS (
+      SELECT doc_id, i.i AS hash_index,
+             min(((2 * i.i + 1) * h + i.i * 12582917) % 2147483647) AS min_hash
+      FROM hashed, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) i
+      GROUP BY doc_id, i.i
+    ), sigs AS (
+      SELECT doc_id, list(min_hash ORDER BY hash_index) AS sig FROM sigrows GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, b.b AS band,
+             md5('[' || array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',') || ']') AS bucket
+      FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) b
+    ), pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0, 6)
+             AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_LSH_SQL, tags=("dedup",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate pairs with estimated jaccard.
     Rows-only (hash-family composition is procedural); tests/test_dedup.py
@@ -235,7 +274,87 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=3)
 
 
-@register("dedup_simhash", tags=("dedup", "rows-only"))
+_SIMHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             sum(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+             sum(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+             sum(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+             sum(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+             sum(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+             sum(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+             sum(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+             sum(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+             sum(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+             sum(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+             sum(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+             sum(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+             sum(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+             sum(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+             sum(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+             sum(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+             sum(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+             sum(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+             sum(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+             sum(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+             sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+             sum(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+             sum(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+             sum(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+             sum(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+             sum(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+             sum(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+             sum(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+             sum(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+             sum(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+             sum(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+             sum(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+             sum(CASE WHEN (h >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+             sum(CASE WHEN (h >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+             sum(CASE WHEN (h >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+             sum(CASE WHEN (h >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+             sum(CASE WHEN (h >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+             sum(CASE WHEN (h >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+             sum(CASE WHEN (h >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+             sum(CASE WHEN (h >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+             sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+             sum(CASE WHEN (h >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+             sum(CASE WHEN (h >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+             sum(CASE WHEN (h >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+             sum(CASE WHEN (h >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+             sum(CASE WHEN (h >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+             sum(CASE WHEN (h >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+             sum(CASE WHEN (h >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+             sum(CASE WHEN (h >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+             sum(CASE WHEN (h >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+             sum(CASE WHEN (h >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+             sum(CASE WHEN (h >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+             sum(CASE WHEN (h >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+             sum(CASE WHEN (h >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+             sum(CASE WHEN (h >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+             sum(CASE WHEN (h >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+             sum(CASE WHEN (h >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+             sum(CASE WHEN (h >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+             sum(CASE WHEN (h >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+             sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS b59,
+             sum(CASE WHEN (h >> 60) & 1 = 1 THEN 1 ELSE -1 END) AS b60,
+             sum(CASE WHEN (h >> 61) & 1 = 1 THEN 1 ELSE -1 END) AS b61,
+             sum(CASE WHEN (h >> 62) & 1 = 1 THEN 1 ELSE -1 END) AS b62,
+             sum(CASE WHEN (h >> 63) & 1 = 1 THEN 1 ELSE -1 END) AS b63
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN b16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN b17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN b18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN b19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END) + (CASE WHEN b32 > 0 THEN 4294967296 ELSE 0 END) + (CASE WHEN b33 > 0 THEN 8589934592 ELSE 0 END) + (CASE WHEN b34 > 0 THEN 17179869184 ELSE 0 END) + (CASE WHEN b35 > 0 THEN 34359738368 ELSE 0 END) + (CASE WHEN b36 > 0 THEN 68719476736 ELSE 0 END) + (CASE WHEN b37 > 0 THEN 137438953472 ELSE 0 END) + (CASE WHEN b38 > 0 THEN 274877906944 ELSE 0 END) + (CASE WHEN b39 > 0 THEN 549755813888 ELSE 0 END) + (CASE WHEN b40 > 0 THEN 1099511627776 ELSE 0 END) + (CASE WHEN b41 > 0 THEN 2199023255552 ELSE 0 END) + (CASE WHEN b42 > 0 THEN 4398046511104 ELSE 0 END) + (CASE WHEN b43 > 0 THEN 8796093022208 ELSE 0 END) + (CASE WHEN b44 > 0 THEN 17592186044416 ELSE 0 END) + (CASE WHEN b45 > 0 THEN 35184372088832 ELSE 0 END) + (CASE WHEN b46 > 0 THEN 70368744177664 ELSE 0 END) + (CASE WHEN b47 > 0 THEN 140737488355328 ELSE 0 END) + (CASE WHEN b48 > 0 THEN 281474976710656 ELSE 0 END) + (CASE WHEN b49 > 0 THEN 562949953421312 ELSE 0 END) + (CASE WHEN b50 > 0 THEN 1125899906842624 ELSE 0 END) + (CASE WHEN b51 > 0 THEN 2251799813685248 ELSE 0 END) + (CASE WHEN b52 > 0 THEN 4503599627370496 ELSE 0 END) + (CASE WHEN b53 > 0 THEN 9007199254740992 ELSE 0 END) + (CASE WHEN b54 > 0 THEN 18014398509481984 ELSE 0 END) + (CASE WHEN b55 > 0 THEN 36028797018963968 ELSE 0 END) + (CASE WHEN b56 > 0 THEN 72057594037927936 ELSE 0 END) + (CASE WHEN b57 > 0 THEN 144115188075855872 ELSE 0 END) + (CASE WHEN b58 > 0 THEN 288230376151711744 ELSE 0 END) + (CASE WHEN b59 > 0 THEN 576460752303423488 ELSE 0 END) + (CASE WHEN b60 > 0 THEN 1152921504606846976 ELSE 0 END) + (CASE WHEN b61 > 0 THEN 2305843009213693952 ELSE 0 END) + (CASE WHEN b62 > 0 THEN 4611686018427387904 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    """
+
+
+@register("dedup_simhash", oracle=_SIMHASH_SQL, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures per doc (majority-vote bits over md5 token
     hashes) — relational bit-vote formulation, no UDF."""
