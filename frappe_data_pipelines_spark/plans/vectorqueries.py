@@ -137,10 +137,48 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_pairs", tags=("O10", "extension", "rows-only"))
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of ann.lsh_similarity_join(n_planes=6, threshold=0.3):
+    the seeded hyperplanes are embedded as literal constants (same doubles
+    the Spark expression uses — repr() round-trips exactly), so bucket
+    assignment and the cosine cut reproduce bit-for-bit."""
+    from frappe_data_pipelines_spark.operators.ann import _seeded_planes
+
+    planes = _seeded_planes(64, 6, 42)
+    plane_lists = ",\n        ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], p{i}.p) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    )
+    joins = "\n      ".join(
+        f"CROSS JOIN (SELECT planes[{i + 1}] AS p FROM planes_t) p{i}" for i in range(6)
+    )
+    return f"""
+    WITH planes_t AS (
+      SELECT [
+        {plane_lists}
+      ]::DOUBLE[][] AS planes
+    ), bucketed AS (
+      SELECT vec_id, embedding,
+             {bit_terms} AS bucket
+      FROM embeddings
+      {joins}
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos
+    FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket
+    WHERE x.vec_id < y.vec_id
+      AND round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.3
+    """
+
+
+@register("ann_lsh_pairs", oracle=_lsh_oracle_sql(), tags=("O10", "extension"))
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH similarity join (SURVEY §4 O10b): bucket join
-    instead of crossJoin — the 100 TB all-pairs path. Rows-only (seeded
-    planes aren't SQL-expressible); recall checked in tests/test_ann.py."""
+    instead of crossJoin — the 100 TB all-pairs path. Fully oracle-checked:
+    the seeded planes are embedded as SQL literals (_lsh_oracle_sql);
+    recall vs brute force additionally checked in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.lsh_similarity_join(emb, n_planes=6, threshold=0.3)
