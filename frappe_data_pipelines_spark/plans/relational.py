@@ -686,3 +686,49 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "percentile_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("D1", "percentile", "extension"),
+)
+def percentile_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (extension — no percentile
+    anywhere in the reference): Spark `percentile` and DuckDB quantile_cont
+    share the linear-interpolation definition. At 100 TB switch to
+    approx_percentile (t-digest) — exact percentile needs a per-group sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95_price"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "moments_value_by_type",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("D1", "extension"),
+)
+def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per group; 6-dp round absorbs the
+    accumulation-order float noise between engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )
