@@ -548,3 +548,35 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_stop * 10 >= n_toks)
     )
     return docs.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')), 6)
+             AS chars_per_token
+    FROM documents WHERE length(text) > 0
+    """,
+    tags=("text-analysis", "extension"),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation with a BPE-style pre-tokenizer regex (GPT-2's
+    contraction / word / number / punctuation / whitespace classes) next to
+    plain whitespace counting — the budget estimator every training-data
+    pipeline runs before paying for real tokenization. Pure regexp
+    expressions, identical pattern both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    bpe = F.expr(f"regexp_extract_all(text, \"{pat}\", 0)")
+    ws = F.split(F.trim("text"), "\\s+")
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / F.size(bpe), 6).alias("chars_per_token"),
+    )
