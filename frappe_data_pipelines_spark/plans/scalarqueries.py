@@ -184,19 +184,22 @@ def h16_context_prefix_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (extension — reference has no as-of; SURVEY §2.C note):
     for each purchase, the latest click by the same user at or before it.
-    Equi-key on user_id + range predicate → sort-merge join with the range
-    as a post-filter, then greatest-per-group; no crossJoin."""
+    Union + running-window formulation (operators/joins.py asof_backward):
+    one shuffle on user_id, no purchase×clicks pair explosion — the oracle
+    states the same semantics as the naive join+max for the hash check."""
+    from frappe_data_pipelines_spark.operators.joins import asof_backward
+
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_backward(
+        p, c, key_cols=["user_id"], left_ts="purchase_ts", right_ts="ts",
+        value_col="ts", out_col="last_click_ts",
     )
-    return (
-        p.join(c, (p.user_id == c.c_user) & (F.col("click_ts") <= F.col("purchase_ts")))
-        .groupBy("event_id", "user_id", "purchase_ts")
-        .agg(F.max("click_ts").alias("last_click_ts"))
+    return out.filter(F.col("last_click_ts").isNotNull()).select(
+        "event_id", "user_id", "purchase_ts", "last_click_ts"
     )
 
 

@@ -141,3 +141,37 @@ class TestSkew:
         assert {tuple(r) for r in out.select("event_id", "type_code").collect()} == {
             tuple(r) for r in plain.select("event_id", "type_code").collect()
         }
+
+
+class TestAsofJoin:
+    def test_asof_backward_matches_naive(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.joins import asof_backward
+
+        ev = load_table(spark, sf_dir, "events")
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("pts")
+        )
+        c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        fast = (
+            asof_backward(p, c, ["user_id"], left_ts="pts", value_col="ts", out_col="last_click")
+            .filter(F.col("last_click").isNotNull())
+        )
+        naive = (
+            p.join(c.withColumnRenamed("user_id", "cu"),
+                   (F.col("cu") == p.user_id) & (F.col("ts") <= F.col("pts")))
+            .groupBy("event_id").agg(F.max("ts").alias("last_click"))
+        )
+        a = {(r["event_id"], r["last_click"]) for r in fast.collect()}
+        b = {(r["event_id"], r["last_click"]) for r in naive.collect()}
+        assert a == b and a
+
+    def test_asof_strict_exclusive(self, spark):
+        from frappe_data_pipelines_spark.operators.joins import asof_backward
+
+        left = spark.createDataFrame([(1, 10)], "k INT, t INT")
+        right = spark.createDataFrame([(1, 10), (1, 5)], "k INT, t INT")
+        inc = asof_backward(left, right, ["k"], left_ts="t", right_ts="t",
+                            value_col="t", out_col="m").first()["m"]
+        exc = asof_backward(left, right, ["k"], left_ts="t", right_ts="t",
+                            value_col="t", out_col="m", inclusive=False).first()["m"]
+        assert inc == 10 and exc == 5
