@@ -25,3 +25,37 @@ def test_roundtrip(spark, sf_dir, tmp_path, fmt):
 def test_csv_requires_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         load_any(spark, str(tmp_path), fmt="csv")
+
+
+class TestMaintenance:
+    def test_upsert_idempotent_and_overwrites(self, spark, sf_dir, tmp_path):
+        from frappe_data_pipelines_spark.sources.maintenance import upsert_parquet
+
+        path = str(tmp_path / "tbl")
+        base = load_table(spark, sf_dir, "documents").select("doc_id", "lang").limit(50)
+        upsert_parquet(spark, base, path, ["doc_id"])
+        assert spark.read.parquet(path).count() == 50
+
+        # re-delivery of the same batch: no dupes (I5)
+        upsert_parquet(spark, base, path, ["doc_id"])
+        assert spark.read.parquet(path).count() == 50
+
+        # keyed overwrite wins
+        patch = base.limit(5).withColumn("lang", F.lit("xx"))
+        upsert_parquet(spark, patch, path, ["doc_id"])
+        out = spark.read.parquet(path)
+        assert out.count() == 50
+        assert out.filter(F.col("lang") == "xx").count() == 5
+
+    def test_compaction_reduces_files(self, spark, sf_dir, tmp_path):
+        import glob
+        from frappe_data_pipelines_spark.sources.maintenance import compact_parquet
+
+        path = str(tmp_path / "many")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        docs.repartition(20).write.parquet(path)
+        before = len(glob.glob(path + "/*.parquet"))
+        n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+        after = len(glob.glob(path + "/*.parquet"))
+        assert before >= 20 and n == 1 and after == 1
+        assert spark.read.parquet(path).count() == docs.count()
