@@ -85,3 +85,15 @@ def processing_plan_expr(
         suggested.cast("int").alias("suggested_chunk_size"),
         (has_headers if has_headers is not None else F.lit(False)).alias("has_structure"),
     )
+
+
+def order_for_prompt_cache(chunks: DataFrame, doc_col: str = "doc_id",
+                           order_col: str = "chunk_index") -> DataFrame:
+    """O7 prompt-cache locality (reference claims ~90% savings from caching
+    the shared document prefix across a doc's chunk-context calls,
+    context_service.py:1-11): repartition by document and sort within each
+    partition by (doc, chunk_index), so an LLM-backed mapInPandas stage sees
+    one document's chunks consecutively in one task — every call after the
+    first hits the provider's prompt cache. Pure layout change: same rows,
+    one hash shuffle, no global sort."""
+    return chunks.repartition(doc_col).sortWithinPartitions(doc_col, order_col)

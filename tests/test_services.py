@@ -149,3 +149,39 @@ class TestPipelineEngine:
         n_eligible = engine.jobs.filter(F.col("status").isin("Queued", "Failed")).count()
         assert done.count() == n_eligible
         assert embedded.filter(F.size("embedding") != 64).count() == 0
+
+
+def test_prompt_cache_ordering_layout(spark, sf_dir):
+    """O7: after order_for_prompt_cache, each partition holds whole documents
+    with chunk_index ascending — the layout provider-side caching needs."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.operators.enrich import order_for_prompt_cache
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunk_documents(docs, strategy="recursive", chunk_size=150, chunk_overlap=30)
+    laid = order_for_prompt_cache(chunks.repartition(7))  # scramble first
+
+    def check(it):
+        import pandas as pd
+        for pdf in it:
+            ok = True
+            last = {}
+            docs_seen = list(pdf["doc_id"])
+            # chunk_index strictly increasing within each doc's run
+            for d, i in zip(pdf["doc_id"], pdf["chunk_index"]):
+                if d in last and i != last[d] + 1:
+                    ok = False
+                last[d] = i
+            # each doc appears in one contiguous run
+            runs = [k for k, _ in __import__("itertools").groupby(docs_seen)]
+            if len(runs) != len(set(runs)):
+                ok = False
+            yield pd.DataFrame({"ok": [ok]})
+
+    flags = laid.mapInPandas(check, "ok boolean").collect()
+    assert all(r["ok"] for r in flags)
+
+    # every document's chunks land in exactly one partition
+    parts = laid.select("doc_id", F.spark_partition_id().alias("pid")).distinct()
+    per_doc = parts.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    assert per_doc == 0
