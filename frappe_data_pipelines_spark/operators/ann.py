@@ -157,3 +157,41 @@ def ivf_search(
         .orderBy(F.desc("score"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mllib_lsh_similarity_join(
+    vectors: DataFrame,
+    threshold_dist: float = 1.2,
+    bucket_length: float = 0.5,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SURVEY C5's named scale path: Spark MLlib's
+    ``BucketedRandomProjectionLSH`` (Euclidean LSH) approxSimilarityJoin.
+    For L2-normalized vectors, euclidean² = 2 - 2·cos, so a distance
+    threshold maps directly to a cosine floor (dist 1.2 ≈ cos 0.28).
+    Returns canonical (id_a < id_b, dist) candidate pairs."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    feats = vectors.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold_dist, distCol="dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )

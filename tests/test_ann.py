@@ -50,3 +50,28 @@ def test_lsh_pairs_subset_of_brute(spark, sf_dir):
     for k, v in lsh.items():
         assert k in brute
         assert abs(brute[k] - v) < 1e-9
+
+
+def test_mllib_lsh_recall_vs_brute(spark, sf_dir):
+    """MLlib BucketedRandomProjectionLSH candidates cover most true
+    near-pairs (vectors are L2-normalized, so dist² = 2 - 2·cos)."""
+    import math
+
+    from frappe_data_pipelines_spark.operators.ann import mllib_lsh_similarity_join
+    from frappe_data_pipelines_spark.operators.dedup import embedding_neardup_pairs
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cos_floor = 0.3
+    dist_ceil = math.sqrt(2 - 2 * cos_floor) + 1e-6
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=cos_floor).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in mllib_lsh_similarity_join(emb, threshold_dist=dist_ceil, num_tables=4).collect()
+    }
+    assert truth, "expected true near pairs"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"recall {recall}"
