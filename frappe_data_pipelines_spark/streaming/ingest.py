@@ -41,6 +41,7 @@ def start_ingest_stream(
     chunk_size: int = 200,
     chunk_overlap: int = 40,
     embed_provider=None,
+    max_files_per_trigger: int = 4,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -52,7 +53,7 @@ def start_ingest_stream(
     """
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -61,6 +62,10 @@ def start_ingest_stream(
     metrics_dir = os.path.join(output_dir, "metrics")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every action below re-derives from the micro-batch source; persist
+        # once so the 4 sinks/aggregates share one scan (and one chunk+embed
+        # computation) instead of five
+        batch_df.persist()
         # I2: job rows for this micro-batch start Queued
         jobs = batch_df.select(
             F.col("doc_id").alias("source_doc_id"),
@@ -87,7 +92,7 @@ def start_ingest_stream(
             strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap,
         )
         embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)
-        embedded = embedded.withColumn("batch_id", F.lit(batch_id))
+        embedded = embedded.withColumn("batch_id", F.lit(batch_id)).persist()
         embedded.write.mode("append").parquet(chunks_dir)
 
         # I2 terminal states + I6 telemetry in the same batch
@@ -106,6 +111,8 @@ def start_ingest_stream(
         batch_df.sparkSession.createDataFrame(
             [(batch_id, batch_df.count())], "batch_id LONG, n_docs LONG"
         ).write.mode("append").parquet(metrics_dir)
+        embedded.unpersist()
+        batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
