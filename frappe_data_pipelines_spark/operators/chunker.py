@@ -308,6 +308,23 @@ def chunk_documents(
                 if strategy == "semantic":
                     secs = sem.chunk(text)
                     chunks = [(s.text, s.path) for s in secs]
+                elif strategy == "hybrid":
+                    # DoclingChunker analogue (chunking_service.py:23-124):
+                    # structure-aware sectioning first, then any section still
+                    # over 2x the target is re-split by the recursive splitter
+                    # (keeping its section path) — merge_peers behavior comes
+                    # from SemanticChunker's small-section merging
+                    chunks = []
+                    for s in sem.chunk(text):
+                        if len(s.text) > 2 * chunk_size:
+                            chunks.extend(
+                                (piece, s.path)
+                                for piece in recursive_character_split(
+                                    s.text, chunk_size, chunk_overlap
+                                )
+                            )
+                        else:
+                            chunks.append((s.text, s.path))
                 else:
                     chunks = [
                         (c, "Document")

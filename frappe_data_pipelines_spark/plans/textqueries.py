@@ -580,3 +580,14 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
         F.round(F.length("text").cast("double") / F.size(bpe), 6).alias("chars_per_token"),
     )
+
+
+@register("chunk_hybrid", tags=("H1", "H4", "H5", "rows-only"))
+def chunk_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid chunker (Docling-hybrid analogue, chunking_service.py:23-124):
+    semantic sectioning, oversized sections re-split recursively with their
+    section path kept — the third strategy of the reference's factory."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, strategy="hybrid", chunk_size=300, chunk_overlap=60).select(
+        "doc_id", "chunk_index", "chunk_text", "character_count", "section_path"
+    )

@@ -75,3 +75,25 @@ def test_mllib_lsh_recall_vs_brute(spark, sf_dir):
     assert truth, "expected true near pairs"
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_ivf_cluster_becomes_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF promise (operators/ann.py): persisting vectors partitioned by
+    cluster turns n_probe selection into parquet partition pruning — the
+    scan's PartitionFilters carries the cluster predicate, so non-probed
+    clusters are never read."""
+    from frappe_data_pipelines_spark.operators import ann
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_build(emb, n_clusters=4, n_iter=1)
+    path = str(tmp_path / "ivf_vectors")
+    assigned.write.partitionBy("cluster").parquet(path)
+
+    stored = spark.read.parquet(path)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    hits = ann.ivf_search(stored, centroids, qv, k=5, n_probe=2)
+    hits.collect()
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan
+    assert hits.count() == 5

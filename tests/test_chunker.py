@@ -157,3 +157,23 @@ def test_distributed_chunker_matches_local(spark, sf_dir):
         expected = recursive_character_split(row["text"], 200, 40)
         for i, c in enumerate(expected):
             assert got[(row["doc_id"], i)] == (c, len(expected))
+
+
+def test_hybrid_strategy_bounds_and_paths(spark, sf_dir):
+    """Hybrid = semantic sections + recursive re-split of oversized ones:
+    every chunk ≤ 2x target, section paths preserved, indexes dense."""
+    from pyspark.sql import functions as F
+
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = chunk_documents(docs, strategy="hybrid", chunk_size=150, chunk_overlap=30).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        assert r["character_count"] <= 2 * 150
+        assert r["section_path"]
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_index"])
+    for idxs in by_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))
