@@ -16,3 +16,5 @@ pluggable embedders).
 __version__ = "0.1.0"
 
 from frappe_data_pipelines_spark.session import get_spark  # noqa: F401
+from frappe_data_pipelines_spark.api import PipelineEngine, SearchService  # noqa: F401
+from frappe_data_pipelines_spark.config import EngineSettings  # noqa: F401

@@ -56,18 +56,37 @@ class HashingEmbedder:
         return out
 
 
+# per-executor-process provider cache (O6 lazy singletons: the model loads on
+# first batch on each executor, never on the driver — the pattern the
+# reference uses for PaddleOCR/Qdrant clients, services/ocr_service.py:56-79)
+_PROVIDER_CACHE: dict = {}
+
+
+def _resolve_provider(provider):
+    if provider is None:
+        return HashingEmbedder()
+    if hasattr(provider, "embed") and not isinstance(provider, type):
+        return provider  # instance: pickled to executors (fine when stateless)
+    key = (getattr(provider, "__module__", ""), getattr(provider, "__qualname__", repr(provider)))
+    if key not in _PROVIDER_CACHE:
+        _PROVIDER_CACHE[key] = provider()
+    return _PROVIDER_CACHE[key]
+
+
 def make_embed_udf(provider=None) -> Column:
     """Factory: returns a pandas UDF column fn embedding a string column.
 
-    The provider is constructed once per executor (lazy singleton — same
-    pattern the reference uses for its PaddleOCR/Qdrant clients,
-    services/ocr_service.py:56-79)."""
-    provider = provider or HashingEmbedder()
+    ``provider`` is either an embedder instance (shipped pickled — right for
+    stateless embedders like the hashing default) or a zero-arg factory
+    callable, resolved lazily once per executor process — the right shape
+    for model-backed providers whose weights must never load on the driver
+    or be pickled."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        prov = _resolve_provider(provider)
         for s in it:
-            yield pd.Series(provider.embed(s.fillna("").tolist()))
+            yield pd.Series(prov.embed(s.fillna("").tolist()))
 
     return embed_udf
 

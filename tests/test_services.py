@@ -185,3 +185,21 @@ def test_prompt_cache_ordering_layout(spark, sf_dir):
     parts = laid.select("doc_id", F.spark_partition_id().alias("pid")).distinct()
     per_doc = parts.groupBy("doc_id").count().filter(F.col("count") > 1).count()
     assert per_doc == 0
+
+
+def test_embed_provider_factory_lazy(spark):
+    """O6: a zero-arg provider factory resolves per executor process and
+    produces the same vectors as a pickled instance."""
+    from frappe_data_pipelines_spark.operators.embed import HashingEmbedder, embed_documents
+
+    df = spark.createDataFrame([(1, "fast join table")], "doc_id long, chunk_text string")
+    via_instance = embed_documents(df, provider=HashingEmbedder()).first()["embedding"]
+    via_factory = embed_documents(df, provider=HashingEmbedder).first()["embedding"]
+    assert via_instance == via_factory and len(via_factory) == 64
+
+
+def test_top_level_exports():
+    import frappe_data_pipelines_spark as pkg
+
+    assert pkg.SearchService and pkg.PipelineEngine and pkg.EngineSettings
+    assert pkg.get_spark
