@@ -43,6 +43,11 @@ HEADLINE = [
     "j2_enrich_contexts",
     "tumbling_hourly_counts",
     "a2_extraction_dispatch",
+    "range_join_click_window",
+    "skew_salted_agg",
+    "corpus_quality_filter",
+    "dataset_splits",
+    "percentile_price_by_priority",
 ]
 
 
