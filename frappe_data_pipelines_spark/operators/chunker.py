@@ -341,3 +341,28 @@ def chunk_documents(
             yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+def register_chunk_udtf(spark, name: str = "chunk_split") -> None:
+    """Expose the recursive chunker to SQL as a Python UDTF (SURVEY §7:
+    'every operator both callable from Python and exposed as SQL where
+    sensible'):
+
+        SELECT d.doc_id, c.* FROM documents d,
+        LATERAL chunk_split(d.text, 200, 40) c
+
+    Arrow-optimized; one UDTF eval per row, same splitter as
+    chunk_documents."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_index int, chunk_text string, character_count int")
+    class ChunkSplit:
+        def eval(self, text: str, chunk_size: int = 1000, chunk_overlap: int = 200):
+            if text is None:
+                return
+            for i, piece in enumerate(
+                recursive_character_split(text, chunk_size, chunk_overlap)
+            ):
+                yield i, piece, len(piece)
+
+    spark.udtf.register(name, ChunkSplit)

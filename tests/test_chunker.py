@@ -177,3 +177,29 @@ def test_hybrid_strategy_bounds_and_paths(spark, sf_dir):
         by_doc.setdefault(r["doc_id"], []).append(r["chunk_index"])
     for idxs in by_doc.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_chunk_udtf_sql_surface(spark, sf_dir):
+    """The chunker is callable from pure SQL via the registered UDTF and
+    agrees with the DataFrame operator."""
+    from pyspark.sql import functions as F
+
+    from frappe_data_pipelines_spark.operators.chunker import (
+        chunk_documents,
+        register_chunk_udtf,
+    )
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    register_chunk_udtf(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("docs_udtf_test")
+    via_sql = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk_text
+        FROM docs_udtf_test d, LATERAL chunk_split(d.text, 200, 40) c
+        """
+    ).collect()
+    via_df = chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40).collect()
+    a = {(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in via_sql}
+    b = {(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in via_df}
+    assert a == b and a
