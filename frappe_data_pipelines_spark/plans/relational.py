@@ -732,3 +732,24 @@ def moments_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
     )
+
+
+_SQL_API_TEXT = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18, 2))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_api_parity", oracle=_SQL_API_TEXT, tags=("SQL", "extension"))
+def sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's spark.sql surface: tables registered as views
+    (sources/tables.py:register_temp_views), then the IDENTICAL ANSI SQL text
+    runs on Spark and on the DuckDB oracle — one query string, two engines,
+    one hash."""
+    from frappe_data_pipelines_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(_SQL_API_TEXT)
