@@ -753,3 +753,58 @@ def sql_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir, ["customer", "nation"])
     return spark.sql(_SQL_API_TEXT)
+
+
+@register(
+    "moving_avg_order_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3
+    FROM orders
+    """,
+    tags=("E-ext", "window-frame", "extension"),
+)
+def moving_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window (extension — SURVEY §2.E notes the reference has no
+    rows/range frames): 3-order moving average per customer. Deterministic
+    frame via the (date, orderkey) tie-break."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.round(F.avg("o_totalprice").over(w), 6).alias("mov_avg_3")
+    )
+
+
+@register(
+    "trailing_week_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 6) AS value_7d
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("E-ext", "window-frame", "extension"),
+)
+def trailing_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: trailing-7-day purchase value per
+    user — the hypertable-style rolling aggregate, one shuffle + sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 24 * 3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 6).alias("value_7d")
+    )
