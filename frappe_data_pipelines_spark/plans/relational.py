@@ -808,3 +808,105 @@ def trailing_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 6).alias("value_7d")
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags=("D1", "join", "outer"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    with a join-side predicate (kept in the ON clause — moving it to WHERE
+    would silently turn the join inner), then a two-level aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").cast("bigint").alias("custdist"))
+
+
+@register(
+    "tpch_q16_supplier_parts",
+    oracle="""
+    SELECT p.p_type, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_type
+    """,
+    tags=("D1", "anti", "distinct-agg"),
+)
+def tpch_q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count-per-type (TPC-H Q16 shape): NOT IN as a left_anti join
+    (null-safe because s_suppkey is a key) + countDistinct — the distinct
+    aggregation runs as partial distinct then final, no row explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_type")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(CAST(l.l_extendedprice AS DECIMAL(18, 2))) AS min_price
+      FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(min_price) AS best_price FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+           CAST(c.min_price AS DOUBLE) AS price
+    FROM costs c JOIN best b
+      ON b.l_partkey = c.l_partkey AND c.min_price = b.best_price
+    """,
+    tags=("join", "correlated"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2's correlated-subquery shape,
+    decorrelated): aggregate → per-key min → equi-join back. Ties keep every
+    minimal supplier, exactly like the correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("min_price")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("min_price").alias("best_price")).withColumnRenamed(
+        "l_partkey", "b_partkey"
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey")) & (F.col("min_price") == F.col("best_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("min_price").cast("double").alias("price"),
+        )
+    )
