@@ -42,6 +42,7 @@ def start_ingest_stream(
     chunk_overlap: int = 40,
     embed_provider=None,
     max_files_per_trigger: int = 4,
+    exactly_once: bool = False,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -93,7 +94,18 @@ def start_ingest_stream(
         )
         embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)
         embedded = embedded.withColumn("batch_id", F.lit(batch_id)).persist()
-        embedded.write.mode("append").parquet(chunks_dir)
+        if exactly_once:
+            # I5 exactly-once even across checkpoint loss: the chunk sink is
+            # a MERGE keyed on (doc_id, chunk_index) — re-delivered batches
+            # overwrite their own keys instead of appending duplicates
+            # (Delta deployment: MERGE; here sources/maintenance.upsert_parquet)
+            from frappe_data_pipelines_spark.sources.maintenance import upsert_parquet
+
+            upsert_parquet(
+                batch_df.sparkSession, embedded, chunks_dir, ["doc_id", "chunk_index"]
+            )
+        else:
+            embedded.write.mode("append").parquet(chunks_dir)
 
         # I2 terminal states + I6 telemetry in the same batch
         done = (

@@ -271,3 +271,27 @@ def test_stateful_dedup_ttl_plan_builds(spark, sf_dir, stream_dirs):
     assert "FlatMapGroupsInPandasWithState" in out._jdf.queryExecution().analyzed().toString()
     # batch path ignores TTL and still works
     assert dedup_stream(docs, ttl_minutes=5).count() == 5
+
+
+def test_exactly_once_survives_checkpoint_loss(spark, sf_dir, stream_dirs):
+    """I5 hard case: losing the checkpoint re-delivers everything; the
+    append sink duplicates, the upsert (exactly_once) sink does not."""
+    n = _feed(spark, sf_dir, stream_dirs["input"], limit=15)
+    q = start_ingest_stream(
+        spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"],
+        exactly_once=True,
+    )
+    q.awaitTermination(120)
+    chunks_dir = os.path.join(stream_dirs["output"], "chunks")
+    n1 = spark.read.parquet(chunks_dir).count()
+
+    shutil.rmtree(stream_dirs["checkpoint"])  # simulate checkpoint loss
+    q = start_ingest_stream(
+        spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"],
+        exactly_once=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(chunks_dir)
+    assert out.count() == n1  # no duplicates despite full re-delivery
+    assert out.groupBy("doc_id", "chunk_index").count().filter(F.col("count") > 1).count() == 0
+    assert out.select("doc_id").distinct().count() == n
