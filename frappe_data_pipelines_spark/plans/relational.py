@@ -910,3 +910,30 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_price").cast("double").alias("price"),
         )
     )
+
+
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= count(DISTINCT user_id) * 0.05 AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("D1", "sketch", "extension"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counting next to the exact form: at 100 TB
+    approx_count_distinct replaces the exact distinct's full shuffle with a
+    mergeable fixed-size sketch. Each engine runs its own sketch; the hashed
+    contract is exact count + a 5%-accuracy flag (sketches differ across
+    engines by design, their guarantees don't)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= F.countDistinct("user_id") * 0.05
+        ).alias("approx_within_5pct"),
+    )
