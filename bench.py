@@ -94,17 +94,38 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # streaming ingest throughput (docs/sec, steady-state: JVM/stream init
+    # already warmed by the suite above)
+    ingest_rate = None
+    try:
+        import shutil
+        import tempfile
+
+        from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
+
+        tmp = tempfile.mkdtemp(prefix="fdp_bench_ingest_")
+        inp, outp, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents")
+        docs.coalesce(8).write.parquet(inp)
+        n_docs = docs.count()
+        t0 = time.time()
+        q_stream = start_ingest_stream(spark, inp, outp, ckpt)
+        q_stream.awaitTermination(300)
+        ingest_rate = round(n_docs / (time.time() - t0), 1)
+        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench ingest error: {e}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if ingest_rate is not None:
+        out["ingest_docs_per_sec"] = ingest_rate
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
