@@ -33,22 +33,25 @@ def df_to_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def run_parity(sf_dir: str, only=None, spark=None, echo=print):
+    """Run the gate; returns (n_pass, n_fail, n_rows_only, failures list).
+    Importable so the pytest suite carries the same check as the driver."""
+    only = set(only or ())
 
     from frappe_data_pipelines_spark.plans.catalog import REGISTRY, queries
 
     queries()  # trigger registration
-    from frappe_data_pipelines_spark.session import get_spark
+    if spark is None:
+        from frappe_data_pipelines_spark.session import get_spark
 
-    spark = get_spark()
+        spark = get_spark()
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_rows_only = 0
+    failures = []
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -58,11 +61,11 @@ def main() -> int:
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            echo(f"FAIL  {name}: spark error: {e}"); failures.append(name)
             n_fail += 1
             continue
         if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            echo(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
             n_rows_only += 1
             continue
         try:
@@ -70,7 +73,7 @@ def main() -> int:
             dcols = [c for c in ddf.columns]
             drows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            echo(f"FAIL  {name}: duckdb error: {e}"); failures.append(name)
             n_fail += 1
             continue
         ok = True
@@ -93,12 +96,18 @@ def main() -> int:
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
         if ok:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            echo(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
         else:
-            print(f"FAIL  {name}: {'; '.join(msgs)}")
+            echo(f"FAIL  {name}: {'; '.join(msgs)}"); failures.append(name)
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    echo(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return n_pass, n_fail, n_rows_only, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    _, n_fail, _, _ = run_parity(sf_dir, only=sys.argv[2:])
     return 1 if n_fail else 0
 
 
