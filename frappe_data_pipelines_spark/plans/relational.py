@@ -937,3 +937,62 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.countDistinct("user_id") * 0.05
         ).alias("approx_within_5pct"),
     )
+
+
+@register(
+    "full_outer_nation_reconciliation",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           CAST(coalesce(c.n_cust, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(s.n_supp, 0) AS BIGINT) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "outer", "extension"),
+)
+def full_outer_nation_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two aggregates — the audit-join shape
+    (which side is missing rows?). Aggregates BEFORE the join, so the outer
+    join touches nation-count rows, not raw tables."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_suppliers"),
+    )
+
+
+@register(
+    "edit_distance_types",
+    oracle="""
+    WITH t AS (SELECT DISTINCT p_type FROM part)
+    SELECT a.p_type AS type_a, b.p_type AS type_b,
+           CAST(levenshtein(a.p_type, b.p_type) AS INT) AS dist
+    FROM t a JOIN t b ON a.p_type < b.p_type
+    """,
+    tags=("H-ext", "fuzzy", "extension"),
+)
+def edit_distance_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein distance over the distinct type vocabulary —
+    fuzzy matching as a JVM builtin (no UDF); at corpus scale the same
+    expression runs after a blocking join keeps the pair count bounded."""
+    t = load_table(spark, sf_dir, "part").select("p_type").distinct()
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, F.col("a.p_type") < F.col("b.p_type"))
+        .select(
+            F.col("a.p_type").alias("type_a"),
+            F.col("b.p_type").alias("type_b"),
+            F.levenshtein(F.col("a.p_type"), F.col("b.p_type")).cast("int").alias("dist"),
+        )
+    )
