@@ -195,3 +195,119 @@ def mllib_lsh_similarity_join(
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+# -- Product quantization ---------------------------------------------------
+
+def pq_train(
+    vectors: DataFrame,
+    m_subvectors: int = 8,
+    k_centroids: int = 16,
+    n_iter: int = 5,
+    sample_rows: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: split dim into ``m`` subvectors, k-means each
+    subspace. Returns codebooks array (m, k, dsub).
+
+    Training collects a bounded deterministic sample to the driver (standard
+    PQ practice — codebooks are tiny; here m*k*dsub floats). Encoding and
+    search stay fully distributed. Deterministic: hash-ordered sample,
+    seeded init, fixed iteration count."""
+    sample = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([list(map(float, r[vec_col])) for r in sample], dtype=np.float64)
+    # L2-normalize so ADC's squared-euclidean ranking is monotone with cosine
+    # (the engine's similarity space, SURVEY §1.3)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+    n, dim = X.shape
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    dsub = dim // m_subvectors
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subvectors, k_centroids, dsub))
+    for m in range(m_subvectors):
+        sub = X[:, m * dsub : (m + 1) * dsub]
+        cents = sub[rng.choice(n, size=k_centroids, replace=n < k_centroids)]
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k_centroids):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): each subvector replaced by its nearest
+    codebook index — 64 float32 dims become m small ints (here 8 bytes/vec
+    at k<=256). Arrow-batched numpy argmin; no shuffle."""
+    import pandas as pd
+
+    sess = vectors.sparkSession
+    bc = sess.sparkContext.broadcast(codebooks)
+    mm, kk, dsub = codebooks.shape
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            X = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for m in range(mm):
+                sub = X[:, m * dsub : (m + 1) * dsub]
+                d = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes.tolist())})
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, "id long, codes array<int>")
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance search: precompute the m×k lookup table of
+    (query-subvector ↔ centroid) squared distances once, then each vector's
+    approximate distance is m table lookups — no float math per candidate.
+    Top-k with deterministic (dist ASC, id ASC) tie-break."""
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    mm, kk, dsub = codebooks.shape
+    lut = np.empty((mm, kk))
+    for m in range(mm):
+        lut[m] = (((codebooks[m] - q[m * dsub : (m + 1) * dsub])) ** 2).sum(axis=1)
+    sess = codes_df.sparkSession
+    bc = sess.sparkContext.broadcast(lut)
+
+    def score(batches):
+        table = bc.value
+        cols = np.arange(table.shape[0])
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].map(np.asarray))
+            dist = table[cols[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "adc_dist": np.round(dist, 6)})
+
+    scored = codes_df.mapInPandas(score, "id long, adc_dist double")
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(k)

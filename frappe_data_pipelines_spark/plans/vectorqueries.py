@@ -182,3 +182,16 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force additionally checked in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.lsh_similarity_join(emb, n_planes=6, threshold=0.3)
+
+
+@register("ann_pq_search", tags=("O10", "extension", "rows-only"))
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (O10 ladder rung 4): train codebooks on a
+    deterministic sample, encode 64 float dims into 16 small ints, search by
+    asymmetric distance (per-query lookup table, no per-candidate float
+    math). Rows-only (k-means training is iterative); recall vs brute force
+    asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb, m_subvectors=16, k_centroids=64)
+    codes = ann.pq_encode(emb, books)
+    return ann.pq_search(codes, books, _query_vec(spark, sf_dir), k=10)

@@ -97,3 +97,37 @@ def test_ivf_cluster_becomes_partition_pruning(spark, sf_dir, tmp_path):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cluster" in plan
     assert hits.count() == 5
+
+
+class TestProductQuantization:
+    def test_pq_recall_and_determinism(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators import ann
+        from frappe_data_pipelines_spark.operators.search import knn_topk
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = [float(x) for x in emb.first()["embedding"]]
+
+        # fine quantization: the testdata vectors are near-orthogonal noise,
+        # so neighbor gaps are tiny — 16 subvectors x 64 centroids keeps them
+        books = ann.pq_train(emb, m_subvectors=16, k_centroids=64)
+        books2 = ann.pq_train(emb, m_subvectors=16, k_centroids=64)
+        assert (books == books2).all()  # deterministic training
+
+        codes = ann.pq_encode(emb, books)
+        assert codes.count() == emb.count()
+        row = codes.first()
+        assert len(row["codes"]) == 16 and all(0 <= c < 64 for c in row["codes"])
+
+        exact = [r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()]
+        approx = [r["id"] for r in ann.pq_search(codes, books, qv, k=20).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.5, f"PQ recall@10-in-20 {recall}"
+
+    def test_pq_compression_shape(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators import ann
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with __import__("pytest").raises(ValueError, match="divisible"):
+            ann.pq_train(emb, m_subvectors=7)
