@@ -118,3 +118,84 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its driver worker; this
+    container ships Spark 4.1 with the API but without python-protobuf, so
+    the operator is gated (SURVEY env rule: gate missing deps, don't crash)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_activity_stream(events: DataFrame) -> DataFrame:
+    """Second-generation stateful operator (Spark 4.x
+    ``transformWithStateInPandas``): running per-user counters (event count,
+    total value) maintained in typed ValueState and re-emitted each time the
+    user appears in a micro-batch — the continuously-updated profile table a
+    training pipeline keeps per source/user.
+
+    Versus ``applyInPandasWithState``: explicit named state variables,
+    composable timers, and state schema evolution. Requires python-protobuf
+    at runtime (``tws_available()``); on a batch DataFrame it degrades to the
+    equivalent groupBy so the semantics stay testable everywhere."""
+    if events.isStreaming and not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires python-protobuf; "
+            "use dedup_stream/applyInPandasWithState operators instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class ActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState("counts", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._counts.get() if self._counts.exists() else (0, 0.0)
+            n, total = int(prior[0]), float(prior[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._counts.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n], "total_value": [round(total, 6)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = events.select("user_id", "value")
+    if not events.isStreaming:
+        return (
+            src.groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+            )
+        )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ActivityProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -295,3 +295,63 @@ def test_exactly_once_survives_checkpoint_loss(spark, sf_dir, stream_dirs):
     assert out.count() == n1  # no duplicates despite full re-delivery
     assert out.groupBy("doc_id", "chunk_index").count().filter(F.col("count") > 1).count() == 0
     assert out.select("doc_id").distinct().count() == n
+
+
+def test_transform_with_state_running_counters(spark, sf_dir, stream_dirs, tmp_path):
+    """transformWithStateInPandas: per-user counters accumulate across
+    micro-batches; the final emission per user equals the batch aggregate.
+    Skipped where python-protobuf (the TWS driver-worker dep) is absent."""
+    from frappe_data_pipelines_spark.streaming.stateful import (
+        tws_available,
+        user_activity_stream,
+    )
+
+    if not tws_available():
+        ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+        batch = user_activity_stream(ev)  # batch twin still exercised
+        assert batch.count() > 0
+        with pytest.raises(ImportError, match="protobuf"):
+            stream = spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+                " value DOUBLE, props STRING"
+            ).parquet(stream_dirs["input"])
+            user_activity_stream(stream)
+        pytest.skip("python-protobuf absent: TWS driver worker cannot start")
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+    other.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dirs["input"])
+    )
+    out_dir = str(tmp_path / "activity_out")
+    q = (
+        user_activity_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", stream_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emission per user (max n_events) must equal the batch aggregate
+    out = spark.read.parquet(out_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    expected = user_activity_stream(ev)  # batch twin
+    a = {(r["user_id"], r["n_events"], r["total_value"]) for r in final.collect()}
+    b = {(r["user_id"], r["n_events"], r["total_value"]) for r in expected.collect()}
+    assert a == b and a
