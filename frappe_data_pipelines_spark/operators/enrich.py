@@ -49,16 +49,64 @@ def enrich_chunks(chunks: DataFrame, provider=None) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("."),
         )
-    else:  # pragma: no cover — network providers aren't exercised in CI
-        raise NotImplementedError("HTTP context providers: wrap in mapInPandas with dead-letter capture")
-    out = chunks.withColumn("context_prefix", ctx)
+        out = chunks.withColumn("context_prefix", ctx).withColumn(
+            "enrich_error", F.lit(None).cast("string")
+        )
+    elif hasattr(provider, "contextualize"):
+        out = _enrich_with_provider(chunks, provider)
+    else:
+        raise TypeError("provider must expose contextualize(doc_ids, chunk_indexes, totals)")
     return out.withColumn(
         "embedded_text",
         F.when(
-            F.length("context_prefix") > 0,
+            F.length(F.coalesce("context_prefix", F.lit(""))) > 0,
             F.concat_ws("\n\n", F.col("context_prefix"), F.col("chunk_text")),
         ).otherwise(F.col("chunk_text")),
     )
+
+
+def _enrich_with_provider(chunks: DataFrame, provider) -> DataFrame:
+    """J2 with an arbitrary provider: Arrow-batched mapInPandas calling
+    ``provider.contextualize`` per batch; ANY per-batch failure is retried
+    row-at-a-time so only the genuinely failing rows dead-letter (I3: error
+    column, never a job abort — reference process_embedding.py:175-209 treats
+    enrichment failure as empty context + continue)."""
+    from pyspark.sql import types as T
+
+    in_schema = chunks.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField("context_prefix", T.StringType()),
+            T.StructField("enrich_error", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = list(pdf["doc_id"])
+            idxs = list(pdf["chunk_index"])
+            totals = list(pdf["total_chunks"])
+            try:
+                ctxs = provider.contextualize(ids, idxs, totals)
+                errs = [None] * len(ctxs)
+            except Exception:  # noqa: BLE001 — isolate failing rows
+                ctxs, errs = [], []
+                for d, i, t in zip(ids, idxs, totals):
+                    try:
+                        ctxs.append(provider.contextualize([d], [i], [t])[0])
+                        errs.append(None)
+                    except Exception as row_e:  # noqa: BLE001
+                        ctxs.append("")  # reference: failure → empty context
+                        errs.append(str(row_e)[:500])
+            pdf = pdf.copy()
+            pdf["context_prefix"] = pd.Series(ctxs, index=pdf.index, dtype=object)
+            pdf["enrich_error"] = pd.Series(errs, index=pdf.index, dtype=object)
+            yield pdf
+
+    return chunks.mapInPandas(run, out_schema)
 
 
 def processing_plan_expr(

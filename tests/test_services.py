@@ -94,11 +94,41 @@ class TestSearchService:
 
 
 def test_enrich_failure_tolerance_contract():
-    """Non-template providers must be explicit stubs (no silent network)."""
+    """Objects without the contextualize contract are rejected loudly."""
     from frappe_data_pipelines_spark.operators.enrich import enrich_chunks
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(TypeError, match="contextualize"):
         enrich_chunks(None, provider=object())
+
+
+def test_enrich_provider_dead_letters(spark, sf_dir):
+    """J2 + I3: a provider that fails on some rows dead-letters exactly those
+    rows (empty context + error message) while the rest enrich normally."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.operators.enrich import enrich_chunks
+
+    class FlakyProvider:
+        def contextualize(self, doc_ids, chunk_indexes, totals):
+            out = []
+            for d, i, t in zip(doc_ids, chunk_indexes, totals):
+                if d % 7 == 0:
+                    raise RuntimeError(f"provider exploded on doc {d}")
+                out.append(f"ctx {d}/{i}")
+            return out
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    chunks = chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    out = enrich_chunks(chunks, provider=FlakyProvider()).collect()
+    assert out
+    for r in out:
+        if r["doc_id"] % 7 == 0:
+            assert r["enrich_error"] and "exploded" in r["enrich_error"]
+            assert r["context_prefix"] == ""
+            assert r["embedded_text"] == r["chunk_text"]  # H16: empty → bare chunk
+        else:
+            assert r["enrich_error"] is None
+            assert r["context_prefix"].startswith("ctx ")
+            assert r["embedded_text"].startswith(r["context_prefix"])
 
 
 class TestPipelineEngine:
