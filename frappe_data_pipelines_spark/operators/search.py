@@ -215,3 +215,40 @@ def lexical_rerank(
         .orderBy(F.desc("relevance"), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def rerank_with_provider(
+    candidates: DataFrame,
+    query_text: str,
+    provider=None,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """J4 pluggable reranker with the reference's failure contract
+    (search_service.py:239-316): call ``provider.rerank(query, texts) ->
+    scores``; on ANY provider failure fall back to the incoming vector-score
+    order cut to top_k — reranking is an enhancement, never a point of
+    failure.
+
+    The candidate set is an overfetched top-k (small — reference top_k×5),
+    so the provider call happens driver-side on collected rows, exactly like
+    the reference's HTTP rerank; the result is returned as a DataFrame for
+    further composition."""
+    rows = candidates.orderBy(F.desc(score_col), F.col(id_col).asc()).collect()
+    sess = candidates.sparkSession
+    try:
+        scores = provider.rerank(query_text, [r[text_col] for r in rows])
+        if len(scores) != len(rows):
+            raise ValueError("provider returned wrong score count")
+        ranked = sorted(
+            zip(rows, scores), key=lambda t: (-float(t[1]), t[0][id_col])
+        )[:top_k]
+        out = [
+            {**r.asDict(), "relevance": round(float(s), 6)} for r, s in ranked
+        ]
+    except Exception:  # noqa: BLE001 — graceful fallback (reference :305-316)
+        out = [{**r.asDict(), "relevance": None} for r in rows[:top_k]]
+    schema = candidates.schema.add("relevance", "double")
+    return sess.createDataFrame(out, schema)

@@ -233,3 +233,45 @@ def test_top_level_exports():
 
     assert pkg.SearchService and pkg.PipelineEngine and pkg.EngineSettings
     assert pkg.get_spark
+
+
+class TestRerankProvider:
+    def _candidates(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.search import knn_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        docs = load_table(spark, sf_dir, "documents")
+        qv = [float(x) for x in emb.first()["embedding"]]
+        return (
+            knn_topk(emb, qv, k=25)
+            .join(docs, F.col("vec_id") == F.col("doc_id"))
+            .select("doc_id", "text", "score")
+        )
+
+    def test_provider_reorders(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.search import rerank_with_provider
+
+        class ReverseProvider:
+            def rerank(self, query, texts):
+                return [float(len(t)) for t in texts]  # longest text wins
+
+        out = rerank_with_provider(
+            self._candidates(spark, sf_dir), "q", ReverseProvider(), top_k=5
+        ).collect()
+        assert len(out) == 5
+        rel = [r["relevance"] for r in out]
+        assert rel == sorted(rel, reverse=True)
+
+    def test_provider_failure_falls_back_to_vector_order(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.search import rerank_with_provider
+
+        class BrokenProvider:
+            def rerank(self, query, texts):
+                raise RuntimeError("cohere is down")
+
+        cands = self._candidates(spark, sf_dir)
+        out = rerank_with_provider(cands, "q", BrokenProvider(), top_k=5).collect()
+        expected = [r["doc_id"] for r in
+                    cands.orderBy(F.desc("score"), F.col("doc_id").asc()).limit(5).collect()]
+        assert [r["doc_id"] for r in out] == expected  # vector order preserved
+        assert all(r["relevance"] is None for r in out)
