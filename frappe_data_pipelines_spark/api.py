@@ -50,6 +50,7 @@ class SearchService:
     vec_col: str = "embedding"
     text_col: str = "text"
     embedder: object = field(default_factory=HashingEmbedder)
+    reranker: object | None = None  # object with rerank(query, texts) -> scores
 
     def _embed_query(self, query_text: str) -> list[float]:
         return self.embedder.embed([query_text])[0]
@@ -70,6 +71,13 @@ class SearchService:
         if use_reranker and self.corpus is not None:
             cands = hits.join(self.corpus, hits[self.id_col] == self.corpus["doc_id"]) \
                 if self.id_col != "doc_id" else hits.join(self.corpus, "doc_id")
+            if self.reranker is not None:
+                from frappe_data_pipelines_spark.operators.search import rerank_with_provider
+
+                # provider failure falls back to vector order (J4 contract)
+                return rerank_with_provider(cands, query_text, self.reranker,
+                                            top_k=top_k, id_col="doc_id",
+                                            text_col=self.text_col)
             return lexical_rerank(cands, query_text.split(), top_k=top_k,
                                   id_col="doc_id", text_col=self.text_col)
         return hits

@@ -397,3 +397,38 @@ def a10_a11_scanned_pdf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(F.length("page_text")) < 50).alias("is_scanned"),
         F.max(F.when(F.col("page_no") == 0, F.col("ocr_text"))).alias("first_page_ocr"),
     )
+
+
+@register("j6_smart_pipeline_e2e", tags=("J6", "J5", "J2", "J1", "G2", "rows-only"))
+def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.1 lifecycle as ONE DataFrame plan: J5 route (metadata →
+    strategy) → strategy-branched chunking (filtered unions, SURVEY J6) →
+    J2 enrichment (H16 prefix concat) → J1 embedding → per-doc accounting.
+    Rows-only: chunking is procedural; each stage's relational core is
+    oracle-checked by its own query."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.operators.embed import embed_documents
+    from frappe_data_pipelines_spark.operators.enrich import enrich_chunks, processing_plan_expr
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    routed = docs.withColumn("plan", processing_plan_expr(F.col("lang"), F.col("n_chars")))
+
+    # branch by strategy; each branch chunks with its suggested size (H15)
+    branches = []
+    for strategy, size in (("text", 200), ("structured", 300), ("visual", 150)):
+        part = routed.filter(F.col("plan.strategy") == strategy)
+        chunks = chunk_documents(
+            part, strategy="recursive", chunk_size=size, chunk_overlap=size // 5
+        ).withColumn("strategy", F.lit(strategy))
+        branches.append(chunks)
+    all_chunks = branches[0]
+    for b in branches[1:]:
+        all_chunks = all_chunks.unionByName(b)
+
+    enriched = enrich_chunks(all_chunks)
+    embedded = embed_documents(enriched, text_col="embedded_text")
+    return embedded.groupBy("doc_id", "strategy").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.min(F.size("embedding")).cast("int").alias("dim"),
+        F.max(F.length("context_prefix") > 0).alias("all_enriched"),
+    )

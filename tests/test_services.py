@@ -275,3 +275,19 @@ class TestRerankProvider:
                     cands.orderBy(F.desc("score"), F.col("doc_id").asc()).limit(5).collect()]
         assert [r["doc_id"] for r in out] == expected  # vector order preserved
         assert all(r["relevance"] is None for r in out)
+
+
+def test_search_service_uses_injected_reranker(spark, sf_dir):
+    from frappe_data_pipelines_spark.api import SearchService
+
+    class LenProvider:
+        def rerank(self, query, texts):
+            return [float(len(t)) for t in texts]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(vectors=emb, corpus=docs, reranker=LenProvider())
+    out = svc.search("fast join table scan", top_k=5, use_reranker=True).collect()
+    assert len(out) == 5
+    rel = [r["relevance"] for r in out]
+    assert rel == sorted(rel, reverse=True) and all(x is not None for x in rel)
