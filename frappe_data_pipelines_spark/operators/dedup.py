@@ -323,3 +323,51 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via iterative min-label
+    propagation: every node starts labeled with itself; each round a node
+    adopts the minimum label in its neighborhood; fixpoint = connected
+    components. Returns (doc_id, cluster_id) where cluster_id = min doc_id
+    of the component — the canonical representative a dedup pipeline keeps.
+
+    Converges in O(component diameter) rounds (near-dup clusters are
+    shallow); each round is one join + one aggregate on the (small) pair
+    set, with an early-exit count. At web scale this is the standard
+    large-star/small-star pattern; the per-round plan here is its
+    two-step core."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -91,3 +91,29 @@ def test_prefix_filtered_jaccard_equals_baseline(spark, sf_dir):
     pref = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs, n=5, threshold=0.5).collect()}
     assert base, "expected planted near-dup pairs in testdata"
     assert pref == base
+
+
+def test_connected_clusters_properties(spark, sf_dir):
+    """Every pair endpoint gets a cluster; both ends of any pair share one;
+    cluster_id is the component minimum."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        connected_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    labels = {r["doc_id"]: r["cluster_id"] for r in connected_dup_clusters(pairs).collect()}
+    prs = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert prs
+    for a, b in prs:
+        assert labels[a] == labels[b]
+    for n, c in labels.items():
+        assert c <= n
+    # each cluster's id is a member of the cluster
+    by_cluster = {}
+    for n, c in labels.items():
+        by_cluster.setdefault(c, set()).add(n)
+    for c, members in by_cluster.items():
+        assert c in members
