@@ -311,3 +311,25 @@ def pq_search(
 
     scored = codes_df.mapInPandas(score, "id long, adc_dist double")
     return scored.orderBy(F.col("adc_dist").asc(), F.col("id").asc()).limit(k)
+
+
+def ivf_write(assigned: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist an IVF index: vectors written PARTITIONED BY cluster (so
+    ``ivf_search``'s n_probe filter becomes parquet partition pruning —
+    proven in tests/test_ann.py) + centroids as a JSON sidecar."""
+    import json
+    import os
+
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index (vectors DataFrame + centroid list)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids

@@ -131,3 +131,19 @@ class TestProductQuantization:
         emb = load_table(spark, sf_dir, "embeddings")
         with __import__("pytest").raises(ValueError, match="divisible"):
             ann.pq_train(emb, m_subvectors=7)
+
+
+def test_ivf_write_read_roundtrip(spark, sf_dir, tmp_path):
+    from frappe_data_pipelines_spark.operators import ann
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ann.ivf_build(emb, n_clusters=4, n_iter=1)
+    path = str(tmp_path / "ivf_idx")
+    ann.ivf_write(assigned, cents, path)
+    stored, cents2 = ann.ivf_read(spark, path)
+    assert cents2 == cents
+    assert stored.count() == emb.count()
+    qv = [float(x) for x in emb.first()["embedding"]]
+    hits = ann.ivf_search(stored, cents2, qv, k=5, n_probe=2)
+    assert hits.count() == 5
