@@ -184,3 +184,39 @@ class PipelineEngine:
         from frappe_data_pipelines_spark.operators.pipeline import run_pipeline_batch
 
         return run_pipeline_batch(self.files, self.jobs, **kwargs)
+
+
+def search_documents(
+    service: SearchService,
+    query: str,
+    top_k: int = 10,
+    document_id=None,
+) -> list[dict]:
+    """The reference's whitelisted HTTP entry point
+    (search_service.py:324-358), byte-compatible result dicts: chunk_id,
+    score, text, context, source_file, section_path. DataFrame plan runs
+    distributed; only the top_k dicts reach the caller."""
+    if document_id is not None:
+        hits = service.search_by_document(query, document_id, top_k=int(top_k))
+    else:
+        hits = service.search(query, top_k=int(top_k))
+    if service.corpus is not None and "text" not in hits.columns:
+        hits = hits.join(
+            service.corpus, hits[service.id_col] == service.corpus["doc_id"], "left"
+        )
+    rows = hits.collect()
+
+    def get(r, k, default=None):
+        return r[k] if k in r.__fields__ else default
+
+    return [
+        {
+            "chunk_id": get(r, service.id_col),
+            "score": get(r, "score"),
+            "text": get(r, service.text_col, ""),
+            "context": get(r, "context_prefix", ""),
+            "source_file": get(r, "source", None),
+            "section_path": get(r, "section_path", "Document"),
+        }
+        for r in rows
+    ]

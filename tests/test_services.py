@@ -291,3 +291,18 @@ def test_search_service_uses_injected_reranker(spark, sf_dir):
     assert len(out) == 5
     rel = [r["relevance"] for r in out]
     assert rel == sorted(rel, reverse=True) and all(x is not None for x in rel)
+
+
+def test_search_documents_api_dict_shape(spark, sf_dir):
+    """Reference HTTP entry (search_service.py:324-358): same dict keys."""
+    from frappe_data_pipelines_spark.api import SearchService, search_documents
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    svc = SearchService(vectors=emb, corpus=docs)
+    out = search_documents(svc, "fast join table scan", top_k=5)
+    assert len(out) == 5
+    assert set(out[0]) == {"chunk_id", "score", "text", "context", "source_file", "section_path"}
+    assert all(isinstance(d["score"], float) for d in out)
+    scoped = search_documents(svc, "fast join", top_k=3, document_id=3)
+    assert len(scoped) == 3
