@@ -693,3 +693,89 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_dup_clusters(pairs)
     dupes_to_drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return docs.join(dupes_to_drop, "doc_id", "left_anti").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_clean_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             '  <b>' || text || '</b> ' || chr(9) || 'tail  ' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(raw,
+             '<[^>]+>', '', 'g'),
+             '[\\t\\r\\n]+', ' ', 'g'),
+             ' {2,}', ' ', 'g')) AS clean,
+           CAST(length(raw) - length(trim(regexp_replace(regexp_replace(regexp_replace(raw,
+             '<[^>]+>', '', 'g'),
+             '[\\t\\r\\n]+', ' ', 'g'),
+             ' {2,}', ' ', 'g'))) AS BIGINT) AS chars_removed
+    FROM dirty
+    """,
+    tags=("text-analysis", "extension"),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: strip markup tags, collapse control/whitespace runs,
+    trim — the normalization pass before dedup/tokenization (dirty input
+    synthesized identically on both engines; the cleaning chain is the
+    operator). Pure regexp_replace — whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("  <b>"), F.col("text"), F.lit("</b> \t"), F.lit("tail  "))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(raw, "<[^>]+>", ""), "[\\t\\r\\n]+", " "),
+            " {2,}", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length(raw) - F.length(clean)).cast("bigint").alias("chars_removed"),
+    )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 192.168.' ||
+             (doc_id % 255) || '.1 phone 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(length(raw) - length(replace(regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}-\\d{4,}\\b', '<PHONE>', 'g'), '<', '')) AS BIGINT) / 7 > 0 AS has_pii
+    FROM seeded
+    """,
+    tags=("text-analysis", "extension", "B10"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone patterns → typed masks) — the
+    redaction pass a compliant training pipeline runs before storage. PII is
+    seeded deterministically (same expression both engines); the scrub chain
+    is the operator under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com or 192.168."),
+        (F.col("doc_id") % 255).cast("string"), F.lit(".1 phone 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>",
+        ),
+        "\\b\\d{3}-\\d{4,}\\b", "<PHONE>",
+    )
+    has_pii = (F.length(raw) - F.length(F.replace(scrubbed, F.lit("<"), F.lit("")))).cast("bigint") / 7 > 0
+    return docs.select("doc_id", scrubbed.alias("scrubbed"), has_pii.alias("has_pii"))
