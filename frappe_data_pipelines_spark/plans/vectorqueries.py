@@ -125,11 +125,62 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_search", tags=("O10", "extension", "rows-only"))
+_IVF_SQL = """
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)
+    ), a1 AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT i.cid FROM init i
+              ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    ), c1m AS (
+      SELECT cluster AS cid, pos.i AS i, avg(embedding[pos.i]) AS m
+      FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) pos
+      GROUP BY 1, 2
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY i)::DOUBLE[] AS c FROM c1m GROUP BY cid
+      UNION ALL
+      SELECT i.cid, i.c FROM init i WHERE i.cid NOT IN (SELECT cid FROM c1m)
+    ), a2 AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT x.cid FROM c1 x
+              ORDER BY list_distance(e.embedding::DOUBLE[], x.c), x.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    ), c2m AS (
+      SELECT cluster AS cid, pos.i AS i, avg(embedding[pos.i]) AS m
+      FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) pos
+      GROUP BY 1, 2
+    ), c2 AS (
+      SELECT cid, list(m ORDER BY i)::DOUBLE[] AS c FROM c2m GROUP BY cid
+      UNION ALL
+      SELECT x.cid, x.c FROM c1 x WHERE x.cid NOT IN (SELECT cid FROM c2m)
+    ), afinal AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             (SELECT x.cid FROM c2 x
+              ORDER BY list_distance(e.embedding::DOUBLE[], x.c), x.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    ), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT x.cid FROM c2 x, q ORDER BY list_distance(q.qv, x.c), x.cid LIMIT 4
+    )
+    SELECT a.vec_id, a.label,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM afinal a, q
+    WHERE a.cluster IN (SELECT cid FROM probe)
+    ORDER BY score DESC, a.vec_id ASC
+    LIMIT 10
+"""
+
+
+@register("ann_ivf_search", oracle=_IVF_SQL, tags=("O10", "extension"))
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: k-means-lite clustering + n_probe cluster pruning
-    (SURVEY §4 O10c). Non-SQL-expressible (iterative algorithm) → rows-only;
-    tests/test_ann.py checks recall vs the brute-force oracle."""
+    (SURVEY §4 O10c). Fully oracle-checked: the deterministic Lloyd
+    iterations (hash-ordered init, tie-broken assignment, empty-cluster
+    fallback) unroll into a DuckDB CTE chain that reproduces the Spark
+    result bit-for-bit; recall vs brute force in tests/test_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ann.ivf_build(emb, n_clusters=8, n_iter=2)
     return ann.ivf_search(assigned, centroids, _query_vec(spark, sf_dir), k=10, n_probe=4).select(
