@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, each designed for 100 TB scale:
+Five detection strategies plus clustering, each designed for 100 TB scale:
 
 * ``exact_duplicates``       — hash-groupBy on a normalized fingerprint. One
   shuffle on a short hash key; skew-free (hashes are uniform).
@@ -18,7 +18,10 @@ Five strategies, each designed for 100 TB scale:
 * ``embedding_neardup_pairs``— cosine near-dup over the embeddings table
   (brute candidates at small SF; LSH via operators/ann.py at scale).
 
-All pair outputs are canonicalized (id_a < id_b) for stable hashing.
+Pair outputs are canonicalized (id_a < id_b) for stable hashing;
+``ngram_jaccard_pairs_prefix`` is the PPJoin-style candidate path for hot
+shingles, and ``connected_dup_clusters`` turns pairs into components with a
+canonical representative per cluster.
 """
 
 from __future__ import annotations

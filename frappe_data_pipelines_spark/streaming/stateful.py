@@ -1,4 +1,5 @@
-"""Custom stateful streaming operators (applyInPandasWithState).
+"""Custom stateful streaming operators (applyInPandasWithState +
+Spark 4.x transformWithStateInPandas).
 
 SURVEY §2.I marks the reference's incremental semantics as an event-bus/job
 queue; Spark's arbitrary-stateful API is the native home for the pieces that
