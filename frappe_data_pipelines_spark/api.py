@@ -121,6 +121,7 @@ class PipelineEngine:
     files: DataFrame
     jobs: DataFrame
     chunks: DataFrame | None = None
+    settings: object | None = None  # EngineSettings; defaults when None
 
     ACTIVE_STATUSES = (
         "Queued", "Extracting Text", "Chunking", "Enriching Context",
@@ -180,10 +181,22 @@ class PipelineEngine:
 
     def run_batch(self, **kwargs) -> tuple[DataFrame, DataFrame]:
         """J6 orchestrator: chunk → embed every eligible job in one plan
-        (process_embedding.py:84-281)."""
+        (process_embedding.py:84-281). When ``settings`` is present, its
+        strategy + size/overlap (factory precedence, chunking_service.py:
+        484-522) become the defaults; explicit kwargs still win."""
         from frappe_data_pipelines_spark.operators.pipeline import run_pipeline_batch
 
+        if self.settings is not None:
+            size, overlap = self.settings.effective_chunk_params
+            kwargs.setdefault("strategy", self.settings.chunking_strategy)
+            kwargs.setdefault("chunk_size", size)
+            kwargs.setdefault("chunk_overlap", overlap)
         return run_pipeline_batch(self.files, self.jobs, **kwargs)
+
+    def cleanup_old_jobs_default(self) -> DataFrame:
+        """I4 with the configured retention window."""
+        days = self.settings.retention_days if self.settings else 30
+        return self.cleanup_old_jobs(days=days)
 
 
 def search_documents(

@@ -175,3 +175,37 @@ class TestAsofJoin:
         exc = asof_backward(left, right, ["k"], left_ts="t", right_ts="t",
                             value_col="t", out_col="m", inclusive=False).first()["m"]
         assert inc == 10 and exc == 5
+
+
+class TestSkewSpread:
+    def test_salt_spreads_hot_key_across_reducers(self, spark):
+        """Zipf-style input: one key holds 90% of rows. The salted partial
+        stage must see the hot key under MANY distinct salts (spreading it
+        over reducers) while results stay exact."""
+        from frappe_data_pipelines_spark.operators.skew import salted_aggregate
+
+        rows = [(i, "hot" if i % 10 != 0 else f"cold{i % 7}", float(i % 100))
+                for i in range(20000)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+        salts = (
+            df.select(
+                "event_type",
+                F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("_salt"),
+            )
+            .filter(F.col("event_type") == "hot")
+            .select("_salt").distinct().count()
+        )
+        assert salts >= 16  # hot key spread over at least half the buckets
+
+        out = {r["event_type"]: (r["n"], r["sum_value"]) for r in
+               salted_aggregate(df, ["event_type"], sum_cols=["value"],
+                                buckets=32, salt_on=["event_id"]).collect()}
+        import collections
+        exact_n = collections.Counter(t for _, t, _ in rows)
+        exact_sum = collections.defaultdict(float)
+        for _, t, v in rows:
+            exact_sum[t] += v
+        for t, (n, s) in out.items():
+            assert n == exact_n[t]
+            assert abs(s - exact_sum[t]) < 1e-6

@@ -306,3 +306,20 @@ def test_search_documents_api_dict_shape(spark, sf_dir):
     assert all(isinstance(d["score"], float) for d in out)
     scoped = search_documents(svc, "fast join", top_k=3, document_id=3)
     assert len(scoped) == 3
+
+
+def test_pipeline_engine_settings_drive_chunking(spark, sf_dir):
+    from frappe_data_pipelines_spark.api import PipelineEngine
+    from frappe_data_pipelines_spark.config import EngineSettings
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    jobs = docs.select(
+        F.col("doc_id").alias("source_doc_id"), F.lit("Queued").alias("status")
+    )
+    st = EngineSettings(chunking_strategy="semantic",
+                        semantic_chunk_target=250, semantic_chunk_overlap=50)
+    engine = PipelineEngine(files=docs, jobs=jobs, settings=st)
+    embedded, done = engine.run_batch()
+    rows = embedded.collect()
+    assert rows and all("section_path" in r.asDict() for r in rows)
+    assert done.count() == 20
