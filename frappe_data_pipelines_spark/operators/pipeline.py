@@ -142,3 +142,22 @@ def run_pipeline_batch(
         )
     )
     return embedded, done
+
+
+def with_quality_observation(chunks: DataFrame, name: str = "chunk_quality"):
+    """I6 telemetry without a second pass: attach a Spark ``Observation`` to
+    the chunk stream so row counts / char statistics are collected DURING
+    whatever action materializes the plan (write, collect) — the
+    StreamingQueryListener's batch twin. Returns (observed_df, observation);
+    read ``observation.get`` after the action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = chunks.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.avg("character_count").alias("avg_chars"),
+        F.max("character_count").alias("max_chars"),
+        F.count(F.when(F.length(F.trim("chunk_text")) == 0, 1)).alias("n_empty"),
+    )
+    return observed, obs

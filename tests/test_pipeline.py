@@ -209,3 +209,19 @@ class TestSkewSpread:
         for t, (n, s) in out.items():
             assert n == exact_n[t]
             assert abs(s - exact_sum[t]) < 1e-6
+
+
+def test_quality_observation_piggybacks_on_action(spark, sf_dir):
+    """Observation metrics arrive from the SAME job that writes/collects —
+    no second scan of the chunk stream."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.operators.pipeline import with_quality_observation
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    observed, obs = with_quality_observation(chunks)
+    n = observed.count()  # the one action
+    m = obs.get
+    assert m["n_chunks"] == n
+    assert m["n_empty"] == 0
+    assert 0 < m["avg_chars"] <= m["max_chars"] <= 200
