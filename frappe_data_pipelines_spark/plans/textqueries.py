@@ -779,3 +779,51 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     has_pii = (F.length(raw) - F.length(F.replace(scrubbed, F.lit("<"), F.lit("")))).cast("bigint") / 7 > 0
     return docs.select("doc_id", scrubbed.alias("scrubbed"), has_pii.alias("has_pii"))
+
+
+@register(
+    "doc_winnowed_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i.i AS INT) AS pos,
+             CAST(('0x' || substring(md5(array_to_string(t[i.i:i.i+3], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) i
+      WHERE len(t) >= 4
+    ), winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM grams
+    )
+    SELECT doc_id, fp FROM winmin GROUP BY doc_id, fp
+    """,
+    tags=("dedup", "text-analysis", "extension"),
+)
+def doc_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. MOSS scheme, simplified):
+    rolling 4-gram hashes, keep each sliding-window minimum — a document
+    sketch robust to insertions/reorderings that whole-doc md5
+    (doc_fingerprints) is not. Pure window function over the hash sequence;
+    two docs sharing fingerprints are near-dup candidates."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    gram = F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i, 4), " "))
+    grams = d.select("doc_id", F.posexplode(gram).alias("pos0", "g")).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, Window.currentRow)
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .groupBy("doc_id", "fp")
+        .agg(F.lit(1).alias("_one"))
+        .select("doc_id", "fp")
+    )
