@@ -827,3 +827,60 @@ def doc_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.lit(1).alias("_one"))
         .select("doc_id", "fp")
     )
+
+
+@register(
+    "winnow_neardup_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i.i AS INT) AS pos,
+             CAST(('0x' || substring(md5(array_to_string(t[i.i:i.i+3], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 3, 0))) AS i) i
+      WHERE len(t) >= 4
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM grams)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c / least(sa.n_fp, sb.n_fp), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(c / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+    """,
+    tags=("dedup", "extension"),
+)
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint containment (shared fps /
+    smaller sketch ≥ 0.5) — the MOSS detection step: inverted-index join on
+    the SKETCH (orders of magnitude smaller than the shingle set), so the
+    candidate join touches a fraction of ngram_jaccard's index."""
+    from pyspark.sql.window import Window
+
+    fps = doc_winnowed_fingerprints(spark, sf_dir).cache()
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    common = (
+        fps.alias("a")
+        .join(fps.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_fp", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_fp", "n_b"), "id_b")
+        .withColumn("containment", F.round(F.col("c") / F.least("n_a", "n_b"), 6))
+        .filter(F.col("containment") >= 0.5)
+        .select("id_a", "id_b", "containment")
+    )
