@@ -996,3 +996,35 @@ def edit_distance_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p_type"), F.col("b.p_type")).cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "outlier_events_p99",
+    oracle="""
+    WITH thresholds AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, round(t.p99, 6) AS p99
+    FROM events e JOIN thresholds t ON t.event_type = e.event_type
+    WHERE e.value > round(t.p99, 6)
+    """,
+    tags=("D1", "percentile", "extension"),
+)
+def outlier_events_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile-threshold outlier filter (anomalous spend /
+    oversized-document screening): compute p99 per type once (tiny
+    broadcast), join back, keep exceeders. At 100 TB the threshold table
+    stays a broadcast; only the scan is full-size."""
+    ev = load_table(spark, sf_dir, "events")
+    thresholds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.99)").alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(thresholds), "event_type")
+        # round the threshold before comparing: interpolated quantiles can
+        # differ by an ulp between engines, and a borderline row must not
+        # flip the oracle hash
+        .filter(F.col("value") > F.round("p99", 6))
+        .select("event_id", "event_type", "value", F.round("p99", 6).alias("p99"))
+    )
