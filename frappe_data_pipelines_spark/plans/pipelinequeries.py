@@ -432,3 +432,73 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.size("embedding")).cast("int").alias("dim"),
         F.max(F.length("context_prefix") > 0).alias("all_enriched"),
     )
+
+
+@register(
+    "j5_pdf_refinement",
+    oracle="""
+    WITH pages AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS page_no, trim(parts[i.i]) AS page_text
+      FROM (SELECT doc_id, string_split(text, ' table ') AS parts FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) i
+    ), sampled AS (
+      SELECT doc_id, page_no, length(page_text) AS text_len,
+             CAST(('0x' || substring(md5(page_text), 1, 2)) AS INT) % 4 AS n_images
+      FROM pages WHERE page_no < 5
+    ), stats AS (
+      SELECT doc_id,
+             avg(text_len) AS avg_text,
+             avg(n_images) AS avg_images,
+             max(n_images) > 0 AS has_images
+      FROM sampled GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(avg_text, 6) AS avg_text,
+           round(avg_images, 6) AS avg_images,
+           has_images,
+           CASE WHEN avg_text < 100 AND has_images THEN 'visual'
+                WHEN has_images AND avg_images > 1 THEN 'hybrid'
+                ELSE 'text' END AS strategy,
+           (avg_text < 100 AND has_images) AS requires_ocr,
+           avg_text > 500 AS has_tables
+    FROM stats
+    """,
+    tags=("J5", "D3", "A11"),
+)
+def j5_pdf_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5's PDF-sampling refinement, exact decision table (reference:
+    decision_agent.py:176-237): ≤5 sampled pages → avg text length / image
+    counts → (avg_text<100 ∧ images → visual+OCR; images ∧ avg_images>1 →
+    hybrid; else text; avg_text>500 → has_tables). Page stats synthesized
+    deterministically (same md5 formula both engines); the decision rules
+    are the operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = (
+        docs.select("doc_id", F.posexplode(F.split("text", " table ")).alias("page_no", "page_text"))
+        .withColumn("page_text", F.trim("page_text"))
+        .filter(F.col("page_no") < 5)
+        .withColumn("text_len", F.length("page_text"))
+        .withColumn(
+            "n_images",
+            (F.conv(F.substring(F.md5(F.col("page_text").cast("binary")), 1, 2), 16, 10).cast("int") % 4),
+        )
+    )
+    stats = pages.groupBy("doc_id").agg(
+        F.avg("text_len").alias("avg_text_raw"),
+        F.avg("n_images").alias("avg_images_raw"),
+        (F.max("n_images") > 0).alias("has_images"),
+    )
+    strategy = (
+        F.when((F.col("avg_text_raw") < 100) & F.col("has_images"), "visual")
+        .when(F.col("has_images") & (F.col("avg_images_raw") > 1), "hybrid")
+        .otherwise("text")
+    )
+    return stats.select(
+        "doc_id",
+        F.round("avg_text_raw", 6).alias("avg_text"),
+        F.round("avg_images_raw", 6).alias("avg_images"),
+        "has_images",
+        strategy.alias("strategy"),
+        ((F.col("avg_text_raw") < 100) & F.col("has_images")).alias("requires_ocr"),
+        (F.col("avg_text_raw") > 500).alias("has_tables"),
+    )
