@@ -502,3 +502,44 @@ def j5_pdf_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("avg_text_raw") < 100) & F.col("has_images")).alias("requires_ocr"),
         (F.col("avg_text_raw") > 500).alias("has_tables"),
     )
+
+
+@register(
+    "g2_vision_combine",
+    oracle="""
+    WITH chans AS (
+      SELECT doc_id,
+             'media:' || substring(text, 1, 24) AS description,
+             '[ocr:' || octet_length(encode(text)) || ' bytes]' AS ocr_text,
+             substring(text, 1, 120) AS body_text
+      FROM documents
+    )
+    SELECT doc_id,
+           'Visual Description:' || chr(10) || description ||
+             chr(10) || 'Extracted Text:' || chr(10) || ocr_text AS combined,
+           body_text || chr(10) || chr(10) || ocr_text AS merged_text
+    FROM chans
+    """,
+    tags=("G2", "A7", "J3"),
+)
+def g2_vision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2's exact reference templates: the vision ``combined`` format
+    ('Visual Description:\\n{desc}\\nExtracted Text:\\n{ocr}',
+    vision_service.py:78-85) and the text+OCR channel merge
+    (text + '\\n\\n' + ocr_text, process_embedding.py:313-315), over
+    deterministic channel stand-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    description = F.concat(F.lit("media:"), F.substring("text", 1, 24))
+    ocr_text = F.concat(
+        F.lit("[ocr:"), F.octet_length(F.encode("text", "UTF-8")), F.lit(" bytes]")
+    )
+    body = F.substring("text", 1, 120)
+    combined = F.concat(
+        F.lit("Visual Description:\n"), description,
+        F.lit("\nExtracted Text:\n"), ocr_text,
+    )
+    return docs.select(
+        "doc_id",
+        combined.alias("combined"),
+        F.concat_ws("\n\n", body, ocr_text).alias("merged_text"),
+    )
