@@ -43,9 +43,12 @@ def asof_backward(
     # inclusive: order right (side=1) before left (side=0) — and after when
     # strict
     side_order = F.col("_side").desc() if inclusive else F.col("_side").asc()
+    # full tie-break: several right rows at the SAME timestamp must resolve
+    # deterministically (max value wins) or the picked asof_value would vary
+    # run to run (SURVEY hard spot (c))
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_evt_ts").asc(), side_order)
+        .orderBy(F.col("_evt_ts").asc(), side_order, F.col("_val").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = both.withColumn(
