@@ -884,3 +884,28 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.5)
         .select("id_a", "id_b", "containment")
     )
+
+
+@register(
+    "pivot_lang_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+           CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+           CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+           CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+           CAST(count(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+    tags=("D1", "pivot", "extension"),
+)
+def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT to wide format: language distribution per source — the corpus
+    composition report. Values enumerated explicitly (never let pivot infer
+    its columns with an extra distinct pass at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    out = docs.groupBy("source").pivot("lang", langs).count()
+    for c in langs:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("bigint"))
+    return out
