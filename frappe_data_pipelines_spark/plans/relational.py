@@ -1064,3 +1064,76 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("order_count")
     )
+
+
+@register(
+    "topk_customers_per_nation",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer
+    )
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("E2", "window", "extension"),
+)
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (vs the global TakeOrderedAndProject): windowed
+    row_number + filter. Spark pushes the rk<=3 predicate into the window
+    stage (WindowGroupLimit), so each group materializes only its top rows."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
+    "event_funnel_stages",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, t_signup, t_click, t_purchase,
+           CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     AND t_purchase > t_click THEN 'converted'
+                WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 'engaged'
+                WHEN t_signup IS NOT NULL THEN 'signed_up'
+                ELSE 'anonymous' END AS funnel_stage
+    FROM per_user
+    """,
+    tags=("D1", "funnel", "extension"),
+)
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → click → purchase in order): first timestamp
+    per stage via conditional mins in ONE aggregation pass, then ordering
+    logic — no self-joins, one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "converted",
+        )
+        .when(F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), "engaged")
+        .when(F.col("t_signup").isNotNull(), "signed_up")
+        .otherwise("anonymous")
+    )
+    return per_user.select("user_id", "t_signup", "t_click", "t_purchase", stage.alias("funnel_stage"))
