@@ -1137,3 +1137,45 @@ def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("anonymous")
     )
     return per_user.select("user_id", "t_signup", "t_click", "t_purchase", stage.alias("funnel_stage"))
+
+
+@register(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7) AS INT)
+               AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("D1", "cohort", "extension"),
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per week-offset they return — two aggregations + one broadcast
+    join on the (small) per-user cohort map; both engines truncate weeks to
+    ISO Monday."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
