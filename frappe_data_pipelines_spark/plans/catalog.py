@@ -67,6 +67,7 @@ def _load_all() -> None:
         scalarqueries,
         servicequeries,
         textqueries,
+        tpch_extra,
         vectorqueries,
     )
 
