@@ -1,0 +1,152 @@
+"""Physical-plan audit: asserts scale-critical plan properties for the
+headline queries and writes PLAN_AUDIT.json.
+
+What "designed for 100 TB" means concretely, checked from the executed plan:
+  * predicate pushdown — selective scans carry PushedFilters into parquet;
+  * column pruning — fact-table scans read only referenced columns
+    (ReadSchema much narrower than the table);
+  * broadcast joins — dimension joins are BroadcastHashJoin, never a
+    shuffled join of a tiny table, and never CartesianProduct (the only
+    sanctioned cross-join is KNN's scalar query-vector × collection);
+  * whole-stage codegen — relational operators run inside codegen spans.
+
+Run after plan changes; failures list which property regressed on which
+query. Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query -> list of (check_name, predicate over plan text)
+CHECKS: dict[str, list] = {
+    "tpch_q6_forecast_revenue": [
+        ("pushed_shipdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)),
+        ("column_pruned_scan", lambda p: "l_extendedprice" in _read_schema(p, "lineitem")
+         and "l_orderkey" not in _read_schema(p, "lineitem")),
+        ("codegen", lambda p: "WholeStageCodegen" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q1_pricing_summary": [
+        ("pushed_shipdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)),
+        ("partial_agg", lambda p: "partial_sum" in p or "partial" in p.lower()),
+        ("no_exchange_beyond_agg", lambda p: p.count("Exchange") <= 2),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q5_local_supplier_volume": [
+        ("broadcast_dims", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("pushed_orderdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderdate", p)),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q8_market_share": [
+        ("broadcast_dims", lambda p: p.count("BroadcastHashJoin") >= 4),
+        ("pushed_orderdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderdate", p)),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q18_large_orders": [
+        ("agg_before_join", lambda p: p.index("HashAggregate") < p.index("Join")
+         if "Join" in p and "HashAggregate" in p else False),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q21_waiting_orders": [
+        ("single_fact_scan", lambda p: _scan_count(p, "lineitem") <= 2),
+        ("broadcast_supplier", lambda p: "BroadcastHashJoin" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "c1_permission_semi_join": [
+        ("semi_join", lambda p: "LeftSemi" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "c2_backfill_anti_join": [
+        ("anti_join", lambda p: "LeftAnti" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "c6_knn_topk": [
+        # KNN is the sanctioned 1-row cross join: scalar query vector ×
+        # collection, then TakeOrderedAndProject — no global sort
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "b6_filtered_knn": [
+        ("filter_before_score", lambda p: re.search(r"PushedFilters: \[[^\]]*label", p)
+         or "PushedFilters" in p),
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "e2_topk_by_score": [
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "dedup_minhash_lsh": [
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("bucket_join_is_shuffle_or_bhj", lambda p: "Join" in p),
+    ],
+    "range_join_click_window": [
+        ("equi_key_join_not_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "sessionization": [
+        ("one_shuffle_for_windows_and_agg", lambda p: p.count("Exchange") <= 2),
+    ],
+    "b1_type_filter": [
+        ("pushed_isin_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*lang", p)),
+        ("column_pruned_scan", lambda p: "text" not in _read_schema(p, "documents")),
+    ],
+}
+
+
+def _read_schema(plan: str, table: str) -> str:
+    """ReadSchema line of the scan over `table` (file path contains the name)."""
+    out = []
+    for m in re.finditer(r"FileScan parquet \[[^\]]*\][^\n]*", plan):
+        seg = m.group(0)
+        if table in seg:
+            out.append(seg)
+    # fall back: search the Location/ReadSchema block lines near the table name
+    for m in re.finditer(r"ReadSchema: struct<[^>]*>", plan):
+        out.append(m.group(0))
+    return " ".join(out)
+
+
+def _scan_count(plan: str, table: str) -> int:
+    return len(re.findall(rf"FileScan parquet[^\n]*{table}", plan))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from frappe_data_pipelines_spark.plans.catalog import queries
+    from frappe_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    results: dict[str, dict[str, bool]] = {}
+    n_pass = n_fail = 0
+    for name, checks in CHECKS.items():
+        df = q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        results[name] = {}
+        for check_name, pred in checks:
+            try:
+                ok = bool(pred(plan))
+            except Exception:  # noqa: BLE001 — treat probe errors as failure
+                ok = False
+            results[name][check_name] = ok
+            n_pass += ok
+            n_fail += not ok
+            if not ok:
+                print(f"FAIL  {name}.{check_name}", file=sys.stderr)
+
+    out = {"sf_dir": sf_dir, "checks_pass": n_pass, "checks_fail": n_fail, "results": results}
+    print(json.dumps(out, indent=2))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLAN_AUDIT.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
