@@ -659,7 +659,12 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("late"),
     )
-    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("supp_late"))
+    # per_supp feeds BOTH the late-rows branch and the per-order rollup;
+    # without cache() Spark would recompute the lineitem⋈orders subtree
+    # twice (verified via tools/plan_audit.py single_fact_scan)
+    per_supp = (
+        flagged.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("supp_late")).cache()
+    )
     per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
         F.count("*").cast("int").alias("n_supp"),
         F.sum("supp_late").cast("int").alias("n_late_supp"),

@@ -29,7 +29,7 @@ CHECKS: dict[str, list] = {
         ("pushed_shipdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*l_shipdate", p)),
         ("column_pruned_scan", lambda p: "l_extendedprice" in _read_schema(p, "lineitem")
          and "l_orderkey" not in _read_schema(p, "lineitem")),
-        ("codegen", lambda p: "WholeStageCodegen" in p),
+        ("codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "tpch_q1_pricing_summary": [
@@ -49,12 +49,18 @@ CHECKS: dict[str, list] = {
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "tpch_q18_large_orders": [
-        ("agg_before_join", lambda p: p.index("HashAggregate") < p.index("Join")
-         if "Join" in p and "HashAggregate" in p else False),
+        # plans print top-down (root first): the per-orderkey aggregate must
+        # be a DESCENDANT of the join (appear after it) — i.e. the fact table
+        # is collapsed before joining, and top-100 is a heap not a full sort
+        ("agg_before_join", lambda p: "HashAggregate(keys=[l_orderkey" in p
+         and "Join" in p and p.index("Join") < p.index("HashAggregate(keys=[l_orderkey")),
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
     "tpch_q21_waiting_orders": [
-        ("single_fact_scan", lambda p: _scan_count(p, "lineitem") <= 2),
+        # per_supp is consumed by two branches; the cached relation must be
+        # reused (InMemoryTableScan) instead of recomputing lineitem⋈orders
+        ("shared_subtree_cached", lambda p: "InMemoryTableScan" in p),
         ("broadcast_supplier", lambda p: "BroadcastHashJoin" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
@@ -126,7 +132,7 @@ def main() -> None:
     n_pass = n_fail = 0
     for name, checks in CHECKS.items():
         df = q[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        df.collect()  # finalize AQE on df's own execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         results[name] = {}
         for check_name, pred in checks:
