@@ -333,3 +333,67 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     return spark.read.parquet(path), centroids
+
+
+def pq_search_rerank(
+    codes_df: DataFrame,
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank_depth: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC-style two-stage search: PQ asymmetric-distance shortlist of
+    ``rerank_depth`` candidates (scans only the m-byte codes), then exact
+    cosine re-rank of the shortlist against the full vectors.
+
+    This is the standard fix for ADC's quantization error: recall is set by
+    whether the true neighbors survive into the shortlist (depth/k margin),
+    while the expensive float math touches only ``rerank_depth`` rows. At
+    100 TB the codes table is ~1% the bytes of the vectors table, and the
+    re-rank join is a broadcast of ``rerank_depth`` ids. Measured in
+    ANN_SWEEP.json (pq+rerank rows)."""
+    shortlist = pq_search(codes_df, codebooks, query_vec, k=rerank_depth).select("id")
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        vectors.join(F.broadcast(shortlist), vectors[id_col] == F.col("id"), "left_semi")
+        .withColumn("score", F.round(cosine_similarity(F.col(vec_col), qcol), 6))
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched multi-query KNN: ALL queries scored in ONE job — broadcast
+    the query set against the collection, per-query top-k via ranked window.
+
+    This is the serving shape at scale: per-query jobs pay scheduler+scan
+    overhead per query; batching amortizes one collection scan across the
+    whole query set (queries/sec scales with cluster width, verified in
+    ANN_SWEEP.json batch rows). The window partitions by query id, so the
+    only shuffle is on the (small) query dimension."""
+    scored = vectors.join(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col).cast("array<double>")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

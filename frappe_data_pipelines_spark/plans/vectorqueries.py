@@ -246,3 +246,38 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = ann.pq_train(emb, m_subvectors=16, k_centroids=64)
     codes = ann.pq_encode(emb, books)
     return ann.pq_search(codes, books, _query_vec(spark, sf_dir), k=10)
+
+
+BATCH_QUERY_IDS = (0, 42, 77, 123)
+
+
+@register(
+    "knn_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN {BATCH_QUERY_IDS}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= 10
+    """,
+    tags=("C6", "F1", "extension", "headline"),
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query KNN (operators/ann.py:knn_batch): the serving
+    shape at 100 TB — one collection scan amortized over the whole query
+    set (broadcast), per-query top-k via ranked window. Extends C6 beyond
+    the reference's one-query-per-call API (search_service.py:63-137)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.knn_batch(emb, queries, k=10)

@@ -147,3 +147,40 @@ def test_ivf_write_read_roundtrip(spark, sf_dir, tmp_path):
     qv = [float(x) for x in emb.first()["embedding"]]
     hits = ann.ivf_search(stored, cents2, qv, k=5, n_probe=2)
     assert hits.count() == 5
+
+
+def test_pq_rerank_beats_adc_only(spark, sf_dir):
+    """Exact re-rank of the ADC shortlist recovers the recall PQ's
+    quantization error loses (the IVFADC pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
+    books = ann.pq_train(emb, m_subvectors=8, k_centroids=16, n_iter=3)
+    codes = emb.sparkSession.createDataFrame(
+        ann.pq_encode(emb, books).collect()
+    )  # materialize once for both searches
+    adc = {r["id"] for r in ann.pq_search(codes, books, qv, k=10).collect()}
+    rr = {
+        r["vec_id"]
+        for r in ann.pq_search_rerank(codes, emb, books, qv, k=10, rerank_depth=100).collect()
+    }
+    assert len(rr & exact) >= len(adc & exact)
+    assert len(rr & exact) >= 5  # shortlist depth 100 on this corpus
+
+
+def test_knn_batch_matches_per_query(spark, sf_dir):
+    """Batched multi-query KNN returns exactly the per-query brute-force
+    top-k for every query in the batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [0, 7, 42]
+    qdf = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.knn_batch(emb, qdf, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in ids:
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        expect = [(r["vec_id"], r["score"]) for r in knn_topk(emb, qv, k=5).collect()]
+        assert sorted(by_q[qid]) == sorted(expect), f"query {qid} diverged"

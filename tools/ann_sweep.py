@@ -121,7 +121,42 @@ def main() -> None:
                 "params": {"m_subvectors": m_sub, "k_centroids": 16, "bytes_per_vec": m_sub},
             }
         )
+
+        # ADC shortlist + exact re-rank (IVFADC-style): recall limited only
+        # by whether true neighbors survive into the shortlist
+        for depth in (50, 100):
+
+            def pqr_one(qv, _codes=codes, _b=books, _d=depth):
+                return ann.pq_search_rerank(_codes, vectors, _b, qv, k=k, rerank_depth=_d)
+
+            pqr_one.id_col = "vec_id"
+            r, qps = recall(pqr_one)
+            results.append(
+                {
+                    "variant": "pq_rerank",
+                    "recall_at_k": round(r, 4),
+                    "qps": round(qps, 2),
+                    "params": {"m_subvectors": m_sub, "rerank_depth": depth},
+                }
+            )
         codes.unpersist()
+
+    # batched brute force: every query in ONE job (the serving shape at
+    # scale) — throughput, recall exact by construction
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "query_id long, query_vec array<float>"
+    )
+    t0 = time.time()
+    ann.knn_batch(vectors, qdf, k=k).collect()
+    batch_sec = time.time() - t0
+    results.append(
+        {
+            "variant": "brute_force_batched",
+            "recall_at_k": 1.0,
+            "qps": round(n_queries / batch_sec, 2),
+            "params": {"note": "all queries in one job; qps scales with cluster width"},
+        }
+    )
 
     out = {
         "sf_dir": sf_dir,
