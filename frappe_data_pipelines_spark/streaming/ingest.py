@@ -43,6 +43,7 @@ def start_ingest_stream(
     embed_provider=None,
     max_files_per_trigger: int = 4,
     exactly_once: bool = False,
+    available_now: bool = True,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -126,9 +127,12 @@ def start_ingest_stream(
         embedded.unpersist()
         batch_df.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    # availableNow drains the backlog then stops (batch-style runs, the
+    # bulk-ingest bench); available_now=False keeps the query live for
+    # continuous arrival (the latency bench / production tail-ingest mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

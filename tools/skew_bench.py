@@ -98,8 +98,11 @@ def main() -> None:
         "salted_groupby_sec": salted_sec,
         "results_equal": True,
         "hot_key_rows_per_salt_bucket": {"min": spread["mn"], "max": spread["mx"]},
-        "note": "single-JVM local mode understates the win; the spread shows "
-        "the hot key fanning over 32 reducers instead of 1",
+        "note": "for algebraic aggregates Spark's map-side partial "
+        "aggregation already collapses hot-key rows before the shuffle, so "
+        "plain~=salted here; salting pays off for non-combinable aggs "
+        "(collect_list/distinct) and skewed joins — the spread shows the "
+        "hot key fanning over 32 reducers instead of 1",
     }
     print(json.dumps(out, indent=2))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

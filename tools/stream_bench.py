@@ -49,7 +49,9 @@ def main() -> None:
     inp, outp, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
     os.makedirs(inp)
 
-    q = start_ingest_stream(spark, inp, outp, ckpt, max_files_per_trigger=1)
+    q = start_ingest_stream(
+        spark, inp, outp, ckpt, max_files_per_trigger=1, available_now=False
+    )
 
     chunks_dir = os.path.join(outp, "chunks")
 
