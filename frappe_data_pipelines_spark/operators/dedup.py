@@ -374,3 +374,63 @@ def connected_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def simhash_incremental_pairs(
+    docs: DataFrame,
+    new_sources: list[str],
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Incremental corpus dedup: near-dup pairs between a NEW batch (rows
+    whose source is in ``new_sources``) and the existing corpus, by SimHash
+    Hamming distance.
+
+    Scale path: the signature is split into 4 bands of 16 bits; a pair
+    within ``max_hamming`` ≤ 3 bits must share at least one unchanged band
+    (pigeonhole), so the candidate join is an equi-join on (band_idx,
+    band_value) — never new×corpus quadratic. Exact Hamming
+    (bit_count(xor)) then filters candidates. This is the nightly
+    "dedupe today's crawl against the 100 TB corpus" operation; the corpus
+    side's band table is precomputable and incrementally appendable."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is only exact for max_hamming <= 3")
+    sig = simhash64(docs, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", "source", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", "source", F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    is_new = F.col("source").isin(*new_sources)
+    new_b = banded.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("simhash").alias("new_sig"),
+        "band_idx", "band_val",
+    )
+    corp_b = banded.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), F.col("simhash").alias("corp_sig"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        new_b.join(corp_b, ["band_idx", "band_val"])
+        .select("new_id", "corpus_id", "new_sig", "corp_sig")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("new_sig").bitwiseXOR(F.col("corp_sig"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+    )

@@ -909,3 +909,75 @@ def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in langs:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("bigint"))
     return out
+
+
+_NEW_SOURCES = ("src0", "src1")
+
+
+@register(
+    "dedup_incremental_simhash",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SQL}),
+    j AS (SELECT s.doc_id, s.simhash, d.source
+          FROM sig s JOIN documents d USING (doc_id))
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(n.simhash, c.simhash)) AS INT) AS hamming
+    FROM j n, j c
+    WHERE n.source IN {_NEW_SOURCES}
+      AND c.source NOT IN {_NEW_SOURCES}
+      AND bit_count(xor(n.simhash, c.simhash)) <= 3
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.py:simhash_incremental_pairs):
+    today's batch (source in src0/src1) against the standing corpus via
+    SimHash 4x16-bit band blocking + exact Hamming <= 3 — the nightly
+    "dedupe the new crawl against 100 TB" shape. The oracle brute-forces
+    all cross pairs; banding is pigeonhole-exact at this threshold, so the
+    results must match exactly."""
+    from frappe_data_pipelines_spark.operators.dedup import simhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_incremental_pairs(docs, list(_NEW_SOURCES), max_hamming=3)
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 0.9
+                  WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 0.5
+                  ELSE 0.2 END AS rate,
+             CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source FROM rated WHERE bucket < rate * 1000
+    """,
+    tags=("text-analysis", "extension"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — the training-mixture operator: per-source
+    sampling rates (high-quality sources oversampled) applied via a salted
+    content hash, so the sample is deterministic, re-runnable, and stable
+    under repartitioning/appends (no rand(); same stance as dataset_splits).
+    At 100 TB this is one scan with a pushed-down CASE predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 0.9)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 0.5)
+        .otherwise(0.2)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000
+    )
+    return docs.select("doc_id", "source").filter(bucket < rate * 1000)

@@ -117,3 +117,37 @@ def test_connected_clusters_properties(spark, sf_dir):
         by_cluster.setdefault(c, set()).add(n)
     for c, members in by_cluster.items():
         assert c in members
+
+
+def test_simhash_incremental_banding_exact(spark, sf_dir):
+    """4x16-bit band blocking must find EXACTLY the brute-force pairs at
+    hamming <= 3 (pigeonhole), and refuse unsound thresholds."""
+    import pytest
+    from frappe_data_pipelines_spark.operators.dedup import (
+        simhash64,
+        simhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in simhash_incremental_pairs(docs, ["src0", "src1"], max_hamming=3).collect()
+    }
+    sig = simhash64(docs).join(docs.select("doc_id", "source"), "doc_id")
+    new = sig.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("doc_id").alias("new_id"), F.col("simhash").alias("a")
+    )
+    corp = sig.filter(~F.col("source").isin("src0", "src1")).select(
+        F.col("doc_id").alias("corpus_id"), F.col("simhash").alias("b")
+    )
+    brute = {
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in new.join(corp)
+        .withColumn("hamming", F.bit_count(F.col("a").bitwiseXOR(F.col("b"))).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("new_id", "corpus_id", "hamming")
+        .collect()
+    }
+    assert got == brute
+    with pytest.raises(ValueError):
+        simhash_incremental_pairs(docs, ["src0"], max_hamming=4)
