@@ -434,3 +434,41 @@ def simhash_incremental_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("new_id", "corpus_id", "hamming")
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    eval_sources: list[str],
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination: for every training doc, the share of its
+    n-gram shingles that appear anywhere in the eval set (rows whose source
+    is in ``eval_sources``). Returns (doc_id, n_shingles, n_hit,
+    contamination) for contaminated docs — the standard pre-training
+    hygiene step (drop or flag docs that leak eval data).
+
+    Scale shape: the eval shingle set is tiny relative to the corpus →
+    broadcast semi-join against the exploded training shingles; one
+    aggregation per doc. No quadratic pair generation."""
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
+        "doc_id",
+    )
+    is_eval = F.col("source").isin(*eval_sources)
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train = sh.filter(~is_eval)
+    sizes = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+    )

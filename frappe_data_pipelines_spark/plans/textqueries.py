@@ -981,3 +981,60 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1000
     )
     return docs.select("doc_id", "source").filter(bucket < rate * 1000)
+
+
+@register(
+    "benchmark_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), j AS (
+      SELECT sh.doc_id, sh.shingle, d.source
+      FROM sh JOIN documents d USING (doc_id)
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM j WHERE source = 'src19'
+    ), train AS (
+      SELECT * FROM j WHERE source <> 'src19'
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM train GROUP BY doc_id
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM train WHERE shingle IN (SELECT shingle FROM eval_sh)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_shingles, h.n_hit,
+           round(h.n_hit * 1.0 / s.n_shingles, 6) AS contamination
+    FROM sizes s JOIN hits h USING (doc_id)
+    """,
+    tags=("text-analysis", "dedup", "extension"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:benchmark_contamination):
+    per-training-doc share of 3-gram shingles leaking from the eval set
+    (source src19) — broadcast semi-join against the eval shingle set, no
+    pair explosion. The standard pre-training hygiene filter."""
+    from frappe_data_pipelines_spark.operators.dedup import benchmark_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination(docs, ["src19"], n=3)
+
+
+@register(
+    "sequence_packing",
+    tags=("text-analysis", "extension"),  # rows-only: bin packing is procedural
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): greedy first-fit-decreasing
+    fill of 2048-token training sequences, packed independently per hash
+    shard — deterministic, linear-scaling. Property tests in
+    tests/test_packing.py (partition coverage, budget bound)."""
+    from frappe_data_pipelines_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=2048, n_shards=32)
