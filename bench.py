@@ -89,27 +89,28 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).count()
 
-    # best-of-3 per query: single-JVM local mode shares the host with the
-    # test driver, so any one execution can catch a GC pause or CPU-steal
-    # spike; the min of three runs reports steady-state plan cost
+    # best-of-3 per query, ROUND-ROBIN passes: the host is shared (driver
+    # verify jobs, page-cache drops), and back-to-back repeats put all of a
+    # query's samples inside the same contention window — interleaving
+    # spreads a bad window across many queries' single samples instead
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(3):
+    for _ in range(3):
+        for name in HEADLINE:
+            if timings.get(name, 0) < 0:
+                continue  # errored on an earlier pass
             t0 = time.time()
             try:
                 df = q[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                timings[name] = min(timings.get(name, dt), dt)
             except Exception as e:  # noqa: BLE001
-                best = -1.0
+                timings[name] = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
-                break
-        timings[name] = round(best, 3)
         # queries may cache intermediates by design (Q11/Q15-style reuse);
-        # drop them so one query's cache doesn't squeeze the next's memory
+        # drop them between passes so caches don't accumulate
         spark.catalog.clearCache()
+    timings = {n: round(t, 3) for n, t in timings.items()}
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
     # streaming ingest throughput (docs/sec, steady-state: JVM/stream init
@@ -121,16 +122,21 @@ def main() -> None:
 
         from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
 
-        tmp = tempfile.mkdtemp(prefix="fdp_bench_ingest_")
-        inp, outp, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
-        docs = load_table(spark, sf_dir, "documents")
-        docs.coalesce(8).write.parquet(inp)
-        n_docs = docs.count()
-        t0 = time.time()
-        q_stream = start_ingest_stream(spark, inp, outp, ckpt)
-        q_stream.awaitTermination(300)
-        ingest_rate = round(n_docs / (time.time() - t0), 1)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # best-of-2 fresh streams: stream wall time is dominated by
+        # checkpoint fsyncs + first-trigger init, both hostage to disk
+        # contention windows — same rationale as the round-robin above
+        for _ in range(2):
+            tmp = tempfile.mkdtemp(prefix="fdp_bench_ingest_")
+            inp, outp, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
+            docs = load_table(spark, sf_dir, "documents")
+            docs.coalesce(8).write.parquet(inp)
+            n_docs = docs.count()
+            t0 = time.time()
+            q_stream = start_ingest_stream(spark, inp, outp, ckpt)
+            q_stream.awaitTermination(300)
+            rate = round(n_docs / (time.time() - t0), 1)
+            ingest_rate = rate if ingest_rate is None else max(ingest_rate, rate)
+            shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         print(f"# bench ingest error: {e}", file=sys.stderr)
 
