@@ -1179,3 +1179,61 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+_PROFILE_COLS = ("o_totalprice", "o_custkey")
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_v,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE),
+           CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+    tags=("D", "profiling", "extension"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality first step of any pipeline
+    onboarding a new 100 TB source: rows/nulls/distinct/min/max per column.
+    All columns' aggregates run in ONE scan (a single agg projecting every
+    metric), then unpivot to long form driver-side via unionByName of
+    1-row selects — no second pass, unlike per-column describe() loops."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__dist"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
