@@ -1237,3 +1237,84 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_order_stats", oracle=_GROUPING_SETS_SQL, tags=("D", "SQL", "extension"))
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup, which have their own
+    queries): four grouping combinations in ONE aggregation pass with
+    grouping() flags disambiguating the NULL placeholder rows. Same SQL
+    text runs on both engines (the DataFrame API only exposes cube/rollup;
+    GROUPING SETS is the SQL surface's job)."""
+    from frappe_data_pipelines_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["orders"])
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0 FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(d0, d0 + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), grid AS (
+      SELECT t.event_type, h.hour FROM types t CROSS JOIN hours h
+    ), actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events, bounds
+      WHERE ts < d0 + INTERVAL 24 HOUR
+      GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a
+      ON a.event_type = g.event_type AND a.hour = g.hour
+    """,
+    tags=("H9", "time-series", "extension"),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: a complete (event_type x hour) grid for
+    the first day, zero-filled where no events landed — the gap-fill shape
+    every metrics rollup needs before windowed math. The grid comes from
+    sequence()+explode (no driver loop); the left join is broadcast (grid
+    is tiny relative to the fact side at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"),
+                F.col("d0") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    actual = (
+        ev.join(F.broadcast(bounds))
+        .filter(F.col("ts") < F.col("d0") + F.expr("INTERVAL 24 HOURS"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        grid.join(actual.withColumnRenamed("event_type", "a_type").withColumnRenamed("hour", "a_hour"),
+                  (F.col("a_type") == grid.event_type) & (F.col("a_hour") == grid.hour), "left")
+        .select(grid.event_type, grid.hour, F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"))
+    )
