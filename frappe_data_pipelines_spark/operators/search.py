@@ -120,21 +120,30 @@ def bm25_scores(
 ) -> DataFrame:
     """Okapi BM25 over a corpus, fully relational (SQL-oracle-able).
 
-    Pipeline: tokenize → explode → per-(doc,term) tf → per-term df →
+    Pipeline: tokenize → per-doc length via size() (NO explode) → explode
+    only the query-term matches → per-(doc,term) tf → per-term df →
     idf = ln((N - df + 0.5)/(df + 0.5) + 1) → score sum per doc.
     Two shuffles total (tf groupBy, doc-level sum); the per-term df table is
-    tiny (|query_terms| rows) and broadcast into the join.
+    tiny (|query_terms| rows) and broadcast into the join. Document length
+    is size(token_array) on the scan projection — the naive
+    explode-then-count form shuffles the ENTIRE exploded token set (every
+    token of every doc) just to count per-doc rows; at 100 TB that shuffle
+    is bigger than the corpus. Filtering the array BEFORE explode likewise
+    bounds the exploded rows by |matches|, not corpus token count.
     """
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")).alias("term"),
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks_arr.alias("toks")
     )
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    doclen = base.select("doc_id", F.size("toks").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qtoks = toks.filter(F.col("term").isin(terms))
+    qtoks = base.select(
+        "doc_id",
+        F.explode(F.filter(F.col("toks"), lambda t: t.isin(terms))).alias("term"),
+    )
     tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
