@@ -397,3 +397,27 @@ def knn_batch(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def pq_write(codes_df: DataFrame, codebooks: np.ndarray, path: str) -> None:
+    """Persist a PQ index: the codes table as parquet (m small ints per
+    vector — ~1-2% of the float vectors' bytes) + codebooks as a JSON
+    sidecar. The codes table is the thing that scans at query time; at
+    100 TB of vectors the codes are the only full-scan surface and fit in
+    page cache 50x more often."""
+    import json
+    import os
+
+    codes_df.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_codebooks.json"), "w") as f:
+        json.dump(codebooks.tolist(), f)
+
+
+def pq_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a persisted PQ index (codes DataFrame + codebooks array)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        books = np.array(json.load(f))
+    return spark.read.parquet(path), books

@@ -1038,3 +1038,62 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget_tokens=2048, n_shards=32)
+
+
+@register(
+    "corpus_mixture_upsample",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 2.5
+                  WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 1.0
+                  ELSE 0.25 END AS rate,
+             CAST(('0x' || substring(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS INT)
+               + CASE WHEN bucket < (rate - floor(rate)) * 1000 THEN 1 ELSE 0 END AS n_copies
+      FROM rated
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+    FROM counted WHERE n_copies > 0
+    """,
+    tags=("text-analysis", "extension"),
+)
+def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture with UPSAMPLING: rates > 1 replicate high-quality
+    sources (epochs-per-source), fractional parts resolved by salted hash —
+    deterministic replication without rand() or a shuffle: floor(rate)
+    copies plus one more iff the doc's hash bucket falls under the
+    fractional mass; copies materialize via sequence()+explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 2.5)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 1.0)
+        .otherwise(0.25)
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("up:"), F.col("doc_id").cast("string")).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 1000
+    )
+    n_copies = (
+        F.floor(rate).cast("int")
+        + F.when(bucket < (rate - F.floor(rate)) * 1000, 1).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )

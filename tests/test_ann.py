@@ -184,3 +184,17 @@ def test_knn_batch_matches_per_query(spark, sf_dir):
         qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
         expect = [(r["vec_id"], r["score"]) for r in knn_topk(emb, qv, k=5).collect()]
         assert sorted(by_q[qid]) == sorted(expect), f"query {qid} diverged"
+
+
+def test_pq_write_read_roundtrip(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    books = ann.pq_train(emb, m_subvectors=8, k_centroids=16, n_iter=2)
+    codes = ann.pq_encode(emb, books)
+    path = str(tmp_path / "pq_index")
+    ann.pq_write(codes, books, path)
+    codes2, books2 = ann.pq_read(spark, path)
+    assert (books == books2).all()
+    before = [tuple(r) for r in ann.pq_search(codes, books, qv, k=5).collect()]
+    after = [tuple(r) for r in ann.pq_search(codes2, books2, qv, k=5).collect()]
+    assert before == after
