@@ -45,7 +45,9 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # the "driver" heap is the whole engine's heap — size accordingly
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
