@@ -1,0 +1,263 @@
+"""HTTP-backed embedding provider with retry / rate-limit / dead-letter
+(SURVEY §2.J J1 depth; reference: services/embedding_service.py:72-313,
+tasks/process_embedding.py:60-90, 351-371).
+
+The reference runs a driver-side loop: batches of 50 → ``provider.embed`` →
+on exception mark the job Failed with ``error_message = str(e)[:500]`` and
+bump ``retry_count`` (the B4 retry sweep re-enqueues it later). Here the
+same semantics run *inside the executors*:
+
+- ``HTTPEmbedder`` is the provider: request batching, token-bucket rate
+  limiting and exponential-backoff retries happen per executor process, so
+  a 1000-executor cluster self-throttles against the endpoint without any
+  driver coordination. The HTTP transport is injectable — tests (and
+  air-gapped runs) plug in a deterministic substitute; production plugs in
+  the real endpoint. Only the transport touches the network.
+- ``embed_with_dead_letter`` is the operator: ``mapInPandas`` that appends
+  ``embedding`` + ``embed_error`` columns. A batch that still fails after
+  the retry budget dead-letters its rows (null embedding, truncated error
+  message — the reference's Failed-job record, row-grained) instead of
+  failing the Spark task: one poisoned document cannot kill a 100 TB job.
+- ``split_dead_letters`` separates successes from the retry queue — the
+  Spark analogue of the B4 sweep's ``status = 'Failed' AND retry_count <
+  max_retries`` scan.
+
+Scale notes: the operator is a narrow transformation (no shuffle); memory
+is bounded by the Arrow batch size; rate limiting is per-process token
+bucket, so cluster-wide QPS = rate × executors — size accordingly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ERROR_MESSAGE_MAX = 500  # reference truncation: process_embedding.py:71
+
+
+class ProviderError(Exception):
+    """Embedding call failed. ``retryable`` mirrors HTTP semantics:
+    429/5xx/timeouts are transient, 4xx are permanent."""
+
+    def __init__(self, message: str, retryable: bool = True):
+        super().__init__(message)
+        self.retryable = retryable
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Exponential backoff: base, base*mult, base*mult², … capped at max.
+
+    ``max_attempts`` counts calls, not retries (4 attempts = 3 retries) —
+    same accounting as the reference's ``retry_count < max_retries`` guard
+    (doctype/ingest_job, B4 sweep).
+    """
+
+    max_attempts: int = 4
+    base_delay: float = 0.5
+    multiplier: float = 2.0
+    max_delay: float = 8.0
+
+    def delays(self) -> Iterator[float]:
+        d = self.base_delay
+        for _ in range(self.max_attempts - 1):
+            yield min(d, self.max_delay)
+            d *= self.multiplier
+
+
+@dataclass
+class TokenBucket:
+    """Per-process token bucket: ``rate`` requests/sec, burst ``capacity``.
+
+    Executor-local by design — no cluster coordination. With R executors the
+    aggregate ceiling is R×rate; callers size ``rate`` for the endpoint's
+    quota divided by expected executor count.
+    """
+
+    rate: float
+    capacity: float = 0.0
+    clock: Callable[[], float] = time.monotonic
+    sleeper: Callable[[float], None] = time.sleep
+    _tokens: float = field(init=False, default=0.0)
+    _last: float = field(init=False, default=-1.0)
+
+    def __post_init__(self):
+        if self.capacity <= 0:
+            self.capacity = max(1.0, self.rate)
+        self._tokens = self.capacity
+
+    def acquire(self) -> None:
+        now = self.clock()
+        if self._last >= 0:
+            self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self.rate
+            self.sleeper(wait)
+            self._last = self.clock()
+            self._tokens = min(self.capacity, self._tokens + wait * self.rate)
+        self._tokens -= 1.0
+
+
+def _default_transport(url: str, payload: dict, timeout: float, headers: dict) -> dict:
+    """urllib POST JSON → JSON. Raises ProviderError with HTTP-derived
+    retryability. Kept tiny so tests swap it wholesale."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode())
+    except urllib.error.HTTPError as e:  # pragma: no cover - needs network
+        raise ProviderError(f"HTTP {e.code}: {e.reason}", retryable=e.code == 429 or e.code >= 500)
+    except (urllib.error.URLError, TimeoutError, OSError) as e:  # pragma: no cover
+        raise ProviderError(str(e), retryable=True)
+
+
+@dataclass
+class HTTPEmbedder:
+    """Batched, rate-limited, retrying embedding provider.
+
+    Same ``embed(texts) -> list[list[float]]`` contract as the reference's
+    OllamaProvider/OpenRouterProvider (embedding_service.py:72-180) and the
+    local ``HashingEmbedder``; response shape follows the Ollama embed API
+    (``{"embeddings": [[...], ...]}``).
+
+    ``transport(payload) -> response_dict`` is the seam: production binds
+    the URL via ``make_transport``; tests pass a scripted fake. ``sleeper``
+    is injectable so retry tests assert backoff without wall-clock waits.
+    """
+
+    dim: int
+    model: str = "embed-model"
+    batch_size: int = 50  # reference batch loop: process_embedding.py:356
+    transport: Callable[[dict], dict] | None = None
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    rate_limit_per_sec: float | None = None
+    sleeper: Callable[[float], None] = time.sleep
+    _bucket: TokenBucket | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        if self.rate_limit_per_sec:
+            self._bucket = TokenBucket(self.rate_limit_per_sec, sleeper=self.sleeper)
+        if self.transport is None:
+            raise ValueError("HTTPEmbedder needs a transport; use make_transport(url) for real HTTP")
+
+    def get_dimension(self) -> int:
+        return self.dim
+
+    def _call_once(self, batch: list[str]) -> list[list[float]]:
+        if self._bucket is not None:
+            self._bucket.acquire()
+        resp = self.transport({"model": self.model, "input": batch})
+        embs = resp.get("embeddings")
+        if not isinstance(embs, list) or len(embs) != len(batch):
+            raise ProviderError(
+                f"malformed response: expected {len(batch)} embeddings", retryable=False
+            )
+        return embs
+
+    def _call_with_retry(self, batch: list[str]) -> list[list[float]]:
+        delays = self.retry.delays()
+        while True:
+            try:
+                return self._call_once(batch)
+            except ProviderError as e:
+                if not e.retryable:
+                    raise
+                try:
+                    self.sleeper(next(delays))
+                except StopIteration:
+                    raise ProviderError(
+                        f"retries exhausted after {self.retry.max_attempts} attempts: {e}",
+                        retryable=False,
+                    ) from e
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            out.extend(self._call_with_retry(texts[i : i + self.batch_size]))
+        return out
+
+
+def make_transport(url: str, timeout: float = 60.0, headers: dict | None = None):
+    """Bind the default urllib transport to an endpoint (reference timeout:
+    embedding_service.py:108)."""
+
+    def transport(payload: dict) -> dict:
+        return _default_transport(url, payload, timeout, headers or {})
+
+    return transport
+
+
+def embed_with_dead_letter(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    provider_factory: Callable[[], object] | None = None,
+    out_col: str = "embedding",
+    error_col: str = "embed_error",
+    sub_batch: int | None = None,
+) -> DataFrame:
+    """Embed with row-grained failure capture instead of task failure.
+
+    ``mapInPandas``: each Arrow batch is split into provider-sized
+    sub-batches; a sub-batch that exhausts retries (or hits a permanent
+    error) yields its rows with ``embedding = null`` and ``embed_error`` set
+    — everything else proceeds. Narrow op, no shuffle; one bad row costs its
+    sub-batch one error message, not a task retry storm.
+
+    ``provider_factory`` is a zero-arg picklable callable built **on each
+    executor** (lazy-singleton pattern, see embed.py) so HTTP sessions and
+    buckets are per-process, never serialized from the driver.
+    """
+    from frappe_data_pipelines_spark.operators.embed import HashingEmbedder
+
+    factory = provider_factory or HashingEmbedder
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out_col, T.ArrayType(T.FloatType())),
+            T.StructField(error_col, T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prov = factory()
+        size = sub_batch or getattr(prov, "batch_size", 50)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            embs: list = [None] * len(texts)
+            errs: list = [None] * len(texts)
+            for i in range(0, len(texts), size):
+                chunk = texts[i : i + size]
+                try:
+                    for j, v in enumerate(prov.embed(chunk)):
+                        embs[i + j] = v
+                except Exception as e:
+                    msg = str(e)[:ERROR_MESSAGE_MAX]  # process_embedding.py:71
+                    for j in range(len(chunk)):
+                        errs[i + j] = msg
+            out = pdf.copy()
+            out[out_col] = embs
+            out[error_col] = errs
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def split_dead_letters(df: DataFrame, error_col: str = "embed_error"):
+    """(ok, dead) pair — the B4 retry sweep's input queue, as DataFrames."""
+    return df.filter(F.col(error_col).isNull()), df.filter(F.col(error_col).isNotNull())

@@ -543,3 +543,66 @@ def g2_vision_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         combined.alias("combined"),
         F.concat_ws("\n\n", body, ocr_text).alias("merged_text"),
     )
+
+
+def _flaky_provider_factory():
+    """Deterministic 'flaky endpoint' stand-in: embeds with the hashing
+    default but permanently fails any text whose length % 97 == 0 — a
+    data-dependent predicate both Spark and the DuckDB oracle can compute.
+    Module-level (importable on executors) so it pickles by reference."""
+    from frappe_data_pipelines_spark.operators.embed import HashingEmbedder
+    from frappe_data_pipelines_spark.operators.providers import ProviderError
+
+    inner = HashingEmbedder(dim=16)
+
+    class FlakyProvider:
+        batch_size = 50
+
+        def embed(self, texts):
+            for t in texts:
+                if len(t) % 97 == 0:
+                    raise ProviderError(f"unprocessable payload ({len(t)} chars)", retryable=False)
+            return inner.embed(texts)
+
+    return FlakyProvider()
+
+
+@register(
+    "provider_dead_letter_audit",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length(text) % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dead,
+           CAST(SUM(CASE WHEN length(text) % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_embedded
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    tags=("J1", "B4", "I2", "extension"),
+)
+def provider_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter embedding audit (J1/B4: provider failures become rows,
+    not task aborts — reference marks the job Failed and the retry sweep
+    re-enqueues it, process_embedding.py:60-90).
+
+    Runs the real ``embed_with_dead_letter`` mapInPandas operator with a
+    deterministic flaky provider (sub_batch=1 → row-grained dead letters),
+    then audits per-source success/dead counts. The oracle reproduces the
+    failure predicate in SQL; the embedding payload itself is checked by
+    tests/test_providers.py."""
+    from frappe_data_pipelines_spark.operators.providers import embed_with_dead_letter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = embed_with_dead_letter(
+        docs, text_col="text", provider_factory=_flaky_provider_factory, sub_batch=1
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("embed_error").isNotNull().cast("int")).cast("bigint").alias("n_dead"),
+            F.sum(F.col("embedding").isNotNull().cast("int")).cast("bigint").alias("n_embedded"),
+        )
+        .orderBy("source")
+    )
