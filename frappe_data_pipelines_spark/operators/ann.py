@@ -216,6 +216,18 @@ def pq_train(
     PQ practice — codebooks are tiny; here m*k*dsub floats). Encoding and
     search stay fully distributed. Deterministic: hash-ordered sample,
     seeded init, fixed iteration count."""
+    X = _collect_normalized_sample(vectors, id_col, vec_col, sample_rows)
+    if X.shape[1] % m_subvectors:
+        raise ValueError(f"dim {X.shape[1]} not divisible by m={m_subvectors}")
+    rng = np.random.default_rng(seed)
+    return _fit_codebooks(X, m_subvectors, k_centroids, n_iter, rng)
+
+
+def _collect_normalized_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """Bounded deterministic training sample: hash-ordered, L2-normalized so
+    ADC's squared-euclidean ranking is monotone with cosine (SURVEY §1.3)."""
     sample = (
         vectors.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
@@ -223,15 +235,15 @@ def pq_train(
         .collect()
     )
     X = np.array([list(map(float, r[vec_col])) for r in sample], dtype=np.float64)
-    # L2-normalize so ADC's squared-euclidean ranking is monotone with cosine
-    # (the engine's similarity space, SURVEY §1.3)
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
-    X = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+    return np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
+
+
+def _fit_codebooks(
+    X: np.ndarray, m_subvectors: int, k_centroids: int, n_iter: int, rng
+) -> np.ndarray:
     n, dim = X.shape
-    if dim % m_subvectors:
-        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
     dsub = dim // m_subvectors
-    rng = np.random.default_rng(seed)
     books = np.empty((m_subvectors, k_centroids, dsub))
     for m in range(m_subvectors):
         sub = X[:, m * dsub : (m + 1) * dsub]
@@ -247,32 +259,90 @@ def pq_train(
     return books
 
 
+def _encode_np(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    mm, kk, dsub = books.shape
+    codes = np.empty((len(X), mm), dtype=np.int32)
+    for m in range(mm):
+        sub = X[:, m * dsub : (m + 1) * dsub]
+        d = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = d.argmin(axis=1)
+    return codes
+
+
+def _reconstruct_np(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    mm, kk, dsub = books.shape
+    out = np.empty((len(codes), mm * dsub))
+    for m in range(mm):
+        out[:, m * dsub : (m + 1) * dsub] = books[m][codes[:, m]]
+    return out
+
+
+def opq_train(
+    vectors: DataFrame,
+    m_subvectors: int = 8,
+    k_centroids: int = 16,
+    n_iter: int = 5,
+    opq_iters: int = 10,
+    sample_rows: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized PQ (Ge et al., CVPR'13, non-parametric variant): learn an
+    orthonormal rotation R that redistributes variance across subspaces
+    before quantizing, minimizing ‖XR − q(XR)‖². Alternates (a) fit/assign
+    PQ codebooks on the rotated sample with (b) the Procrustes update
+    R ← UVᵀ from SVD(Xᵀ·X̂). Returns ``(R, codebooks)``; pass R as the
+    ``rotation`` argument of pq_encode/pq_search/pq_search_rerank.
+
+    Why it matters at scale: real embedding matrices concentrate energy in
+    a few correlated directions; plain PQ splits dims positionally, so one
+    subspace eats most of the distortion. The rotation is a dim×dim matrix
+    trained driver-side on the same bounded sample as pq_train — encoding
+    stays fully distributed (one extra matmul per Arrow batch)."""
+    X = _collect_normalized_sample(vectors, id_col, vec_col, sample_rows)
+    dim = X.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m={m_subvectors}")
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        Y = X @ R
+        books = _fit_codebooks(Y, m_subvectors, k_centroids, n_iter, rng)
+        Yhat = _reconstruct_np(_encode_np(Y, books), books)
+        U, _s, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    # final codebooks for the final rotation
+    books = _fit_codebooks(X @ R, m_subvectors, k_centroids, n_iter, rng)
+    return R, books
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes ARRAY<INT>): each subvector replaced by its nearest
     codebook index — 64 float32 dims become m small ints (here 8 bytes/vec
-    at k<=256). Arrow-batched numpy argmin; no shuffle."""
+    at k<=256). Arrow-batched numpy argmin; no shuffle. ``rotation`` (from
+    opq_train) is one matmul per batch before quantizing."""
     import pandas as pd
 
     sess = vectors.sparkSession
-    bc = sess.sparkContext.broadcast(codebooks)
-    mm, kk, dsub = codebooks.shape
+    bc = sess.sparkContext.broadcast((codebooks, rotation))
 
     def encode(batches):
-        books = bc.value
+        books, rot = bc.value
         for pdf in batches:
             X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             nrm = np.linalg.norm(X, axis=1, keepdims=True)
             X = np.divide(X, nrm, out=np.zeros_like(X), where=nrm > 0)
-            codes = np.empty((len(X), mm), dtype=np.int32)
-            for m in range(mm):
-                sub = X[:, m * dsub : (m + 1) * dsub]
-                d = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d.argmin(axis=1)
+            if rot is not None:
+                X = X @ rot
+            codes = _encode_np(X, books)
             yield pd.DataFrame({"id": pdf[id_col], "codes": list(codes.tolist())})
 
     return vectors.select(id_col, vec_col).mapInPandas(encode, "id long, codes array<int>")
@@ -283,17 +353,21 @@ def pq_search(
     codebooks: np.ndarray,
     query_vec: list[float],
     k: int = 10,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Asymmetric-distance search: precompute the m×k lookup table of
     (query-subvector ↔ centroid) squared distances once, then each vector's
     approximate distance is m table lookups — no float math per candidate.
-    Top-k with deterministic (dist ASC, id ASC) tie-break."""
+    Top-k with deterministic (dist ASC, id ASC) tie-break. ``rotation``
+    (OPQ) is applied to the query once, driver-side — free."""
     import pandas as pd
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
+    if rotation is not None:
+        q = q @ rotation
     mm, kk, dsub = codebooks.shape
     lut = np.empty((mm, kk))
     for m in range(mm):
@@ -344,6 +418,7 @@ def pq_search_rerank(
     rerank_depth: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVFADC-style two-stage search: PQ asymmetric-distance shortlist of
     ``rerank_depth`` candidates (scans only the m-byte codes), then exact
@@ -355,7 +430,7 @@ def pq_search_rerank(
     100 TB the codes table is ~1% the bytes of the vectors table, and the
     re-rank join is a broadcast of ``rerank_depth`` ids. Measured in
     ANN_SWEEP.json (pq+rerank rows)."""
-    shortlist = pq_search(codes_df, codebooks, query_vec, k=rerank_depth).select("id")
+    shortlist = pq_search(codes_df, codebooks, query_vec, k=rerank_depth, rotation=rotation).select("id")
     qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         vectors.join(F.broadcast(shortlist), vectors[id_col] == F.col("id"), "left_semi")
@@ -399,7 +474,12 @@ def knn_batch(
     )
 
 
-def pq_write(codes_df: DataFrame, codebooks: np.ndarray, path: str) -> None:
+def pq_write(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    path: str,
+    rotation: np.ndarray | None = None,
+) -> None:
     """Persist a PQ index: the codes table as parquet (m small ints per
     vector — ~1-2% of the float vectors' bytes) + codebooks as a JSON
     sidecar. The codes table is the thing that scans at query time; at
@@ -411,13 +491,22 @@ def pq_write(codes_df: DataFrame, codebooks: np.ndarray, path: str) -> None:
     codes_df.write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_codebooks.json"), "w") as f:
         json.dump(codebooks.tolist(), f)
+    if rotation is not None:
+        with open(os.path.join(path, "_rotation.json"), "w") as f:
+            json.dump(rotation.tolist(), f)
 
 
-def pq_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
-    """Load a persisted PQ index (codes DataFrame + codebooks array)."""
+def pq_read(spark, path: str):
+    """Load a persisted PQ index: (codes DataFrame, codebooks, rotation).
+    ``rotation`` is None for plain-PQ indexes (backward compatible)."""
     import json
     import os
 
     with open(os.path.join(path, "_codebooks.json")) as f:
         books = np.array(json.load(f))
-    return spark.read.parquet(path), books
+    rot_path = os.path.join(path, "_rotation.json")
+    rotation = None
+    if os.path.exists(rot_path):
+        with open(rot_path) as f:
+            rotation = np.array(json.load(f))
+    return spark.read.parquet(path), books, rotation

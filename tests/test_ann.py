@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import functions as F
 
 from frappe_data_pipelines_spark.operators import ann
@@ -193,8 +195,66 @@ def test_pq_write_read_roundtrip(spark, sf_dir, tmp_path):
     codes = ann.pq_encode(emb, books)
     path = str(tmp_path / "pq_index")
     ann.pq_write(codes, books, path)
-    codes2, books2 = ann.pq_read(spark, path)
+    codes2, books2, rot2 = ann.pq_read(spark, path)
     assert (books == books2).all()
+    assert rot2 is None  # plain-PQ index: no rotation sidecar
     before = [tuple(r) for r in ann.pq_search(codes, books, qv, k=5).collect()]
     after = [tuple(r) for r in ann.pq_search(codes2, books2, qv, k=5).collect()]
+    assert before == after
+
+
+def _correlated_vectors(spark, n=600, dim=16, seed=7):
+    """Deterministic correlated corpus: low-rank structure + noise — the
+    regime where plain PQ's positional dim-split quantizes badly."""
+    rng = np.random.default_rng(seed)
+    basis = rng.standard_normal((3, dim))
+    Z = rng.standard_normal((n, 3)) @ basis + 0.05 * rng.standard_normal((n, dim))
+    Z /= np.linalg.norm(Z, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in Z[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), Z
+
+
+def test_opq_rotation_is_orthonormal_and_improves_distortion(spark):
+    df, Z = _correlated_vectors(spark)
+    R, obooks = ann.opq_train(df, m_subvectors=4, k_centroids=8, n_iter=4, opq_iters=6,
+                              sample_rows=600)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-8)
+    books = ann.pq_train(df, m_subvectors=4, k_centroids=8, n_iter=4, sample_rows=600)
+
+    def distortion(X, bks):
+        rec = ann._reconstruct_np(ann._encode_np(X, bks), bks)
+        return float(((X - rec) ** 2).sum())
+
+    d_pq = distortion(Z, books)
+    d_opq = distortion(Z @ R, obooks)
+    assert d_opq < d_pq, f"OPQ distortion {d_opq} !< PQ {d_pq}"
+
+
+def test_opq_search_recall_at_least_pq(spark):
+    df, Z = _correlated_vectors(spark)
+    qv = [float(x) for x in Z[0]]
+    exact = {r["vec_id"] for r in knn_topk(df, qv, k=10).collect()}
+    books = ann.pq_train(df, m_subvectors=4, k_centroids=8, n_iter=4, sample_rows=600)
+    R, obooks = ann.opq_train(df, m_subvectors=4, k_centroids=8, n_iter=4, opq_iters=6,
+                              sample_rows=600)
+    pq_hits = {r["id"] for r in ann.pq_search(
+        ann.pq_encode(df, books), books, qv, k=10).collect()}
+    opq_hits = {r["id"] for r in ann.pq_search(
+        ann.pq_encode(df, obooks, rotation=R), obooks, qv, k=10, rotation=R).collect()}
+    assert len(opq_hits & exact) >= len(pq_hits & exact)
+    assert len(opq_hits & exact) >= 5
+
+
+def test_opq_write_read_roundtrip(spark, tmp_path):
+    df, Z = _correlated_vectors(spark, n=200)
+    R, obooks = ann.opq_train(df, m_subvectors=4, k_centroids=8, n_iter=2, opq_iters=3,
+                              sample_rows=200)
+    codes = ann.pq_encode(df, obooks, rotation=R)
+    path = str(tmp_path / "opq_index")
+    ann.pq_write(codes, obooks, path, rotation=R)
+    codes2, books2, rot2 = ann.pq_read(spark, path)
+    assert np.allclose(rot2, R)
+    qv = [float(x) for x in Z[3]]
+    before = [tuple(r) for r in ann.pq_search(codes, obooks, qv, k=5, rotation=R).collect()]
+    after = [tuple(r) for r in ann.pq_search(codes2, books2, qv, k=5, rotation=rot2).collect()]
     assert before == after
