@@ -510,3 +510,184 @@ def pq_read(spark, path: str):
         with open(rot_path) as f:
             rotation = np.array(json.load(f))
     return spark.read.parquet(path), books, rotation
+
+
+# -- HNSW per partition ------------------------------------------------------
+
+class HNSWIndex:
+    """Minimal numpy HNSW (Malkov & Yashunin, TPAMI'18): layered greedy
+    search over a small-world graph. Deterministic — level assignment comes
+    from a hash of the insert order, not an RNG stream.
+
+    This is the per-partition building block of ``hnsw_partition_search``;
+    it indexes ONE partition's vectors (≤ a few hundred MB by
+    maxPartitionBytes), never the whole table. A C-backed library would
+    drop in here unchanged (same build/search contract) — pure numpy keeps
+    the container dependency-free while exercising the real algorithm.
+    """
+
+    def __init__(self, M: int = 8, ef_construction: int = 64, ml: float | None = None):
+        self.M = M
+        self.M0 = 2 * M  # bottom layer gets double degree (paper §4.1)
+        self.ef_construction = ef_construction
+        self.ml = ml if ml is not None else 1.0 / np.log(M)
+        self.X: np.ndarray | None = None
+        self.levels: list[int] = []
+        self.graphs: list[dict[int, list[int]]] = []  # graphs[l][node] = neighbors
+        self.entry: int = -1
+
+    @staticmethod
+    def _level_for(i: int, ml: float) -> int:
+        # deterministic "uniform" in (0,1) from the insert index
+        h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        u = (h + 1) / float(1 << 64)
+        return int(-np.log(u) * ml)
+
+    def _dist(self, q: np.ndarray, idxs) -> np.ndarray:
+        d = self.X[idxs] - q
+        return np.einsum("ij,ij->i", d, d)
+
+    def _search_layer(self, q: np.ndarray, entry: int, ef: int, layer: int) -> list[int]:
+        """Beam search in one layer; returns up to ef candidates (ids)."""
+        import heapq
+
+        g = self.graphs[layer]
+        visited = {entry}
+        d0 = float(self._dist(q, [entry])[0])
+        cand = [(d0, entry)]           # min-heap by distance
+        best = [(-d0, entry)]          # max-heap of current ef best
+        while cand:
+            d, c = heapq.heappop(cand)
+            if d > -best[0][0]:
+                break
+            for nb in g.get(c, ()):
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                dn = float(self._dist(q, [nb])[0])
+                if len(best) < ef or dn < -best[0][0]:
+                    heapq.heappush(cand, (dn, nb))
+                    heapq.heappush(best, (-dn, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return [n for _, n in sorted((-d, n) for d, n in best)]
+
+    def _select_neighbors(self, q_idx: int, candidates: list[int], m: int) -> list[int]:
+        d = self._dist(self.X[q_idx], candidates)
+        order = np.argsort(d, kind="stable")[:m]
+        return [candidates[int(i)] for i in order]
+
+    def build(self, X: np.ndarray) -> "HNSWIndex":
+        self.X = np.ascontiguousarray(X, dtype=np.float64)
+        n = len(X)
+        self.levels = [self._level_for(i, self.ml) for i in range(n)]
+        max_level = max(self.levels, default=0)
+        self.graphs = [dict() for _ in range(max_level + 1)]
+        self.entry = -1
+        top = -1
+        for i in range(n):
+            li = self.levels[i]
+            if self.entry < 0:
+                self.entry, top = i, li
+                for l in range(li + 1):
+                    self.graphs[l][i] = []
+                continue
+            ep = self.entry
+            # greedy descent through layers above li
+            for l in range(top, li, -1):
+                ep = self._search_layer(self.X[i], ep, 1, l)[0]
+            # insert with ef_construction candidates from li down
+            for l in range(min(li, top), -1, -1):
+                cands = self._search_layer(self.X[i], ep, self.ef_construction, l)
+                m = self.M0 if l == 0 else self.M
+                nbrs = self._select_neighbors(i, cands, m)
+                self.graphs[l][i] = list(nbrs)
+                for nb in nbrs:
+                    lst = self.graphs[l].setdefault(nb, [])
+                    lst.append(i)
+                    if len(lst) > m:  # prune back-links to degree bound
+                        self.graphs[l][nb] = self._select_neighbors(nb, lst, m)
+                ep = nbrs[0] if nbrs else ep
+            if li > top:
+                for l in range(top + 1, li + 1):
+                    self.graphs[l][i] = []
+                self.entry, top = i, li
+        return self
+
+    def search(self, q: np.ndarray, k: int, ef: int = 64) -> list[tuple[int, float]]:
+        if self.entry < 0:
+            return []
+        ep = self.entry
+        for l in range(len(self.graphs) - 1, 0, -1):
+            ep = self._search_layer(q, ep, 1, l)[0]
+        cands = self._search_layer(q, ep, max(ef, k), 0)
+        d = self._dist(q, cands)
+        order = np.argsort(d, kind="stable")[:k]
+        return [(cands[int(i)], float(d[int(i)])) for i in order]
+
+
+def hnsw_partition_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    M: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Sharded HNSW (O10 ladder rung 6 — the Qdrant-shaped scale path,
+    reference SURVEY §4 O10): every partition builds an in-memory HNSW over
+    its own vectors, answers ALL queries locally (graph traversal touches
+    ~ef·log n of the partition, not all of it), and a window merge keeps the
+    global top-k per query.
+
+    Scale shape: build cost is per-partition and embarrassingly parallel;
+    the only shuffle is the per-query candidate union (num_queries × k ×
+    partitions rows — tiny). Index memory is bounded by partition size.
+    Queries are collected (they're the small side by contract) and
+    broadcast. L2-normalized → euclidean ranking equals cosine ranking."""
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.array([list(map(float, r[query_vec_col])) for r in qrows], dtype=np.float64)
+    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = np.divide(Q, nrm, out=np.zeros_like(Q), where=nrm > 0)
+    sess = vectors.sparkSession
+    bc = sess.sparkContext.broadcast((qids, Q))
+
+    def run(batches):
+        ids_all: list = []
+        mats: list = []
+        for pdf in batches:
+            ids_all.extend(pdf[id_col].tolist())
+            mats.append(np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))))
+        if not ids_all:
+            return
+        X = np.concatenate(mats)
+        nr = np.linalg.norm(X, axis=1, keepdims=True)
+        X = np.divide(X, nr, out=np.zeros_like(X), where=nr > 0)
+        index = HNSWIndex(M=M, ef_construction=ef_construction).build(X)
+        q_ids, Qm = bc.value
+        out_q, out_id, out_d = [], [], []
+        for qi, qv in zip(q_ids, Qm):
+            for local, dist in index.search(qv, k, ef=ef_search):
+                out_q.append(qi)
+                out_id.append(ids_all[local])
+                out_d.append(round(dist, 6))
+        yield pd.DataFrame({query_id_col: out_q, id_col: out_id, "dist": out_d})
+
+    local_topk = vectors.select(id_col, vec_col).mapInPandas(
+        run, f"{query_id_col} long, {id_col} long, dist double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        local_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -263,6 +263,21 @@ def ann_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_search(codes, books, _query_vec(spark, sf_dir), k=10, rotation=R)
 
 
+@register("ann_hnsw_search", tags=("O10", "extension", "rows-only"))
+def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HNSW ANN (O10 ladder rung 6): per-partition small-world
+    graphs built inside mapInPandas, broadcast query batch answered locally
+    (~ef*log n distance evals per partition instead of a full scan), global
+    top-k via window merge. The Qdrant-HNSW analogue from SURVEY §4 O10.
+    Rows-only (graph build is iterative); recall vs brute force asserted in
+    tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(4)
+    qdf = emb.filter(F.col("vec_id").isin([0, 42])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.hnsw_partition_search(emb, qdf, k=10, ef_search=64)
+
+
 BATCH_QUERY_IDS = (0, 42, 77, 123)
 
 

@@ -258,3 +258,45 @@ def test_opq_write_read_roundtrip(spark, tmp_path):
     before = [tuple(r) for r in ann.pq_search(codes, obooks, qv, k=5, rotation=R).collect()]
     after = [tuple(r) for r in ann.pq_search(codes2, books2, qv, k=5, rotation=rot2).collect()]
     assert before == after
+
+
+def test_hnsw_index_exact_on_small_graph():
+    """With ef >= n the beam search degenerates to exhaustive — results must
+    equal brute force exactly."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((80, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    idx = ann.HNSWIndex(M=6, ef_construction=80).build(X)
+    q = X[5]
+    got = [i for i, _ in idx.search(q, k=5, ef=80)]
+    brute = np.argsort(((X - q) ** 2).sum(axis=1), kind="stable")[:5].tolist()
+    assert got == brute
+
+
+def test_hnsw_deterministic_build():
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((60, 8))
+    a = ann.HNSWIndex(M=4, ef_construction=24).build(X)
+    b = ann.HNSWIndex(M=4, ef_construction=24).build(X)
+    assert a.levels == b.levels and a.entry == b.entry
+    assert a.graphs == b.graphs
+
+
+def test_hnsw_partition_search_recall(spark, sf_dir):
+    """Sharded HNSW over the real embeddings table: per-partition graphs +
+    global merge reach >=80% recall@10 vs brute force, for every query."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(4)
+    ids = [0, 7, 42]
+    qdf = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.hnsw_partition_search(emb, qdf, k=10, ef_search=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in ids:
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        exact = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
+        rec = len(by_q[qid] & exact) / 10
+        assert rec >= 0.8, f"query {qid} recall {rec}"
+        assert len(by_q[qid]) == 10
