@@ -81,3 +81,61 @@ def pack_sequences(
         pack_shard,
         "pack_id string, doc_ids array<bigint>, total_tokens bigint, n_docs int",
     )
+
+
+def rebalance_tail_packs(
+    packs: DataFrame,
+    budget_tokens: int = 2048,
+    fill_threshold: float = 0.85,
+) -> DataFrame:
+    """Cross-shard rebalancing pass for the tail packs.
+
+    Per-shard FFD leaves roughly one underfilled pack per shard (the last
+    one opened). Those tails are merged ACROSS shards: packs below
+    ``fill_threshold × budget`` are re-packed first-fit-decreasing treating
+    each tail pack as an atom (doc membership never splits, so the budget
+    bound and doc conservation both survive by construction).
+
+    Scale shape: the tail set is O(n_shards) rows regardless of corpus size
+    — at 100 TB with 10⁵ shards it is 10⁵ tiny rows, so the single-partition
+    repack is deliberate, not a bottleneck; full packs never move (they are
+    filtered, not shuffled). Merged packs get ids ``r-{seq}``.
+    """
+    import pandas as pd
+
+    floor = int(budget_tokens * fill_threshold)
+    full = packs.filter(F.col("total_tokens") >= floor)
+    tail = packs.filter(F.col("total_tokens") < floor)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["total_tokens", "pack_id"], ascending=[False, True])
+        merged: list[dict] = []
+        for _, row in pdf.iterrows():
+            placed = False
+            for p in merged:
+                if p["total"] + row["total_tokens"] <= budget_tokens:
+                    p["ids"].extend(int(d) for d in row["doc_ids"])
+                    p["total"] += int(row["total_tokens"])
+                    placed = True
+                    break
+            if not placed:
+                merged.append(
+                    {"ids": [int(d) for d in row["doc_ids"]], "total": int(row["total_tokens"])}
+                )
+        return pd.DataFrame(
+            {
+                "pack_id": [f"r-{i}" for i in range(len(merged))],
+                "doc_ids": [sorted(p["ids"]) for p in merged],
+                "total_tokens": [p["total"] for p in merged],
+                "n_docs": [len(p["ids"]) for p in merged],
+            }
+        )
+
+    rebalanced = (
+        tail.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            merge, "pack_id string, doc_ids array<bigint>, total_tokens bigint, n_docs int"
+        )
+    )
+    return full.unionByName(rebalanced)

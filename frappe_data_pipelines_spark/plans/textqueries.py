@@ -1041,6 +1041,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packing_rebalance_audit",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+    tags=("text-analysis", "extension"),
+)
+def packing_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservation audit for pack + cross-shard rebalance: every document
+    appears in exactly one pack and token mass is preserved through BOTH
+    procedural passes (per-shard FFD, then tail merge across shards), so the
+    oracle is a direct aggregate over the input corpus. The pack-shape
+    invariants (budget bound, at-most-one-half-empty merged pack) live in
+    tests/test_packing.py."""
+    from frappe_data_pipelines_spark.operators.packing import (
+        pack_sequences,
+        rebalance_tail_packs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packs = rebalance_tail_packs(pack_sequences(docs, budget_tokens=2048, n_shards=32))
+    return packs.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
     "corpus_mixture_upsample",
     oracle="""
     WITH rated AS (
