@@ -691,3 +691,60 @@ def hnsw_partition_search(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def filtered_ann_search(
+    vectors: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    selectivity_cutoff: float = 0.05,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ef_search: int = 64,
+    force: str | None = None,
+) -> DataFrame:
+    """Filtered vector search with the pre-/post-filter strategy switch
+    (the decision Qdrant makes inside its filtered-HNSW planner; reference
+    SURVEY §2.B B6 conjunctive payload filters).
+
+    - **Pre-filter** (selective predicate): evaluate the predicate FIRST —
+      it pushes into the parquet scan — and brute-force-score only the
+      survivors. Exact; cost ∝ matching rows. The right plan when the
+      filter keeps ≪ the corpus (an ANN graph walk would spend its budget
+      stepping over non-matching nodes and recall collapses).
+    - **Post-filter** (broad predicate): sharded-HNSW overfetch of
+      ``k × overfetch`` candidates, then apply the predicate and keep k.
+      Approximate; cost ∝ ef·log n per partition, independent of filter.
+
+    The switch measures true selectivity with a pushdown-backed count —
+    one cheap metadata-heavy scan; at 100 TB this reads statistics and the
+    predicate columns only, not the vectors. ``force='pre'|'post'`` pins a
+    branch (for testing and for callers that know their selectivity).
+    Returns (vec_id, score, strategy)."""
+    from frappe_data_pipelines_spark.operators.search import knn_topk
+
+    total = vectors.count()
+    matching = vectors.filter(predicate).count()
+    sel = matching / max(total, 1)
+    use_pre = force == "pre" or (force is None and sel <= selectivity_cutoff)
+    if use_pre:
+        hits = knn_topk(vectors.filter(predicate), query_vec, k=k,
+                        id_col=id_col, vec_col=vec_col)
+        return hits.select(id_col, "score", F.lit("pre-filter").alias("strategy"))
+    qdf = vectors.sparkSession.createDataFrame(
+        [(0, [float(x) for x in query_vec])], f"query_id long, query_vec array<double>"
+    )
+    shortlist = hnsw_partition_search(
+        vectors, qdf, k=k * overfetch, ef_search=ef_search, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+        .filter(predicate)
+        .withColumn("score", F.round(cosine_similarity(F.col(vec_col), qcol), 6))
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", F.lit("post-filter").alias("strategy"))
+    )

@@ -263,6 +263,31 @@ def ann_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_search(codes, books, _query_vec(spark, sf_dir), k=10, rotation=R)
 
 
+@register(
+    "ann_filtered_adaptive",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score,
+           'pre-filter' AS strategy
+    FROM embeddings e
+    WHERE e.label = 3 AND e.vec_id % 7 = 0
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+    tags=("B6", "O10", "extension"),
+)
+def ann_filtered_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search with the pre-/post-filter strategy switch
+    (Qdrant's filtered-HNSW planner decision, SURVEY §2.B B6). The very
+    selective predicate here routes to the exact pre-filter branch — fully
+    SQL-oracled; the post-filter (HNSW overfetch) branch is recall-tested
+    in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (F.col("label") == 3) & (F.col("vec_id") % 7 == 0)
+    return ann.filtered_ann_search(emb, _query_vec(spark, sf_dir), pred, k=5)
+
+
 @register("ann_hnsw_search", tags=("O10", "extension", "rows-only"))
 def ann_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded HNSW ANN (O10 ladder rung 6): per-partition small-world

@@ -300,3 +300,34 @@ def test_hnsw_partition_search_recall(spark, sf_dir):
         rec = len(by_q[qid] & exact) / 10
         assert rec >= 0.8, f"query {qid} recall {rec}"
         assert len(by_q[qid]) == 10
+
+
+class TestFilteredANN:
+    def test_selective_predicate_takes_pre_filter_and_is_exact(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = _query_vec(spark, sf_dir)
+        pred = (F.col("label") == 3) & (F.col("vec_id") % 7 == 0)  # very selective
+        got = ann.filtered_ann_search(emb, qv, pred, k=5).collect()
+        assert all(r.strategy == "pre-filter" for r in got)
+        exact = [(r.vec_id, r.score) for r in knn_topk(emb.filter(pred), qv, k=5).collect()]
+        assert [(r.vec_id, r.score) for r in got] == exact
+
+    def test_broad_predicate_takes_post_filter(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings").repartition(4)
+        qv = _query_vec(spark, sf_dir)
+        pred = F.col("label") < 8  # keeps most of the corpus
+        got = ann.filtered_ann_search(emb, qv, pred, k=10, overfetch=8).collect()
+        assert got and all(r.strategy == "post-filter" for r in got)
+        # all hits satisfy the predicate; recall vs exact filtered top-k
+        exact = {r.vec_id for r in knn_topk(emb.filter(pred), qv, k=10).collect()}
+        hits = {r.vec_id for r in got}
+        assert len(hits & exact) / 10 >= 0.6, hits
+
+    def test_force_pins_branch(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings").repartition(2)
+        qv = _query_vec(spark, sf_dir)
+        pred = F.col("label") == 3
+        pre = ann.filtered_ann_search(emb, qv, pred, k=3, force="pre").collect()
+        post = ann.filtered_ann_search(emb, qv, pred, k=3, force="post", overfetch=16).collect()
+        assert {r.strategy for r in pre} == {"pre-filter"}
+        assert {r.strategy for r in post} == {"post-filter"}
