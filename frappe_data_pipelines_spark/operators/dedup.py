@@ -472,3 +472,85 @@ def benchmark_contamination(
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 12, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond',
+    SoCC'14) — the web-scale upgrade of ``connected_dup_clusters``.
+
+    Min-label propagation converges in O(component diameter) rounds; dup
+    graphs usually have shallow components, but one pathological chain
+    (A≈B≈C≈…, common under transitive near-dup thresholds) makes diameter
+    — and therefore round count — linear. Star contraction converges in
+    O(log n) rounds on ANY topology:
+
+    - **large-star** (per node u): attach every strictly-larger neighbor
+      to m = min(Γ(u) ∪ {u});
+    - **small-star**: orient edges toward the smaller endpoint, then
+      attach every smaller-or-equal neighbor (and u) to m.
+
+    Each half-round is one groupBy-min + one join on the edge set — no
+    driver-side graph state. Every round ends in ``localCheckpoint`` to
+    TRUNCATE LINEAGE — without it each iteration's plan embeds all prior
+    iterations and Catalyst planning + stage replay go superlinear (the
+    same reason GraphFrames checkpoints its iterative algorithms; on a
+    cluster swap in a reliable ``checkpoint`` dir for fault tolerance).
+    Fixpoint = unchanged (count, XOR of xxhash64(u,v)) signature — one tiny
+    aggregate per round instead of two exceptAll jobs. Returns (doc_id,
+    cluster_id = component min), same contract as connected_dup_clusters;
+    ``stats['rounds']`` records the converged round count."""
+    edges = (
+        pairs.select(F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        return (r["n"], r["h"])
+
+    prev_sig = signature(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: bidirectional adjacency, larger neighbors → m
+        adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        mins = adj.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star: orient toward smaller endpoint, ≤ neighbors → m
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = signature(small)
+        edges = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .union(roots)
+        .distinct()
+    )

@@ -151,3 +151,44 @@ def test_simhash_incremental_banding_exact(spark, sf_dir):
     assert got == brute
     with pytest.raises(ValueError):
         simhash_incremental_pairs(docs, ["src0"], max_hamming=4)
+
+
+class TestStarContraction:
+    def test_matches_label_propagation_on_real_pairs(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.dedup import (
+            connected_components_star,
+            connected_dup_clusters,
+            minhash_lsh_pairs,
+        )
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs).cache()
+        a = {(r.doc_id, r.cluster_id) for r in connected_dup_clusters(pairs).collect()}
+        b = {(r.doc_id, r.cluster_id) for r in connected_components_star(pairs).collect()}
+        assert a == b
+
+    def test_chain_converges_logarithmically(self, spark):
+        """A 64-node path graph: diameter 63 (label propagation would need
+        ~63 rounds) — star contraction must finish in <= ~log2(64)+c."""
+        from frappe_data_pipelines_spark.operators.dedup import connected_components_star
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        stats = {}
+        labels = connected_components_star(pairs, max_iter=12, stats=stats)
+        rows = {r.doc_id: r.cluster_id for r in labels.collect()}
+        assert set(rows) == set(range(64))
+        assert set(rows.values()) == {0}
+        assert stats["rounds"] <= 8, stats
+
+    def test_multiple_components_and_singletons_excluded(self, spark):
+        from frappe_data_pipelines_spark.operators.dedup import connected_components_star
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+            "id_a long, id_b long",
+        )
+        rows = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+        assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
