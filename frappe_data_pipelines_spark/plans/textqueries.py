@@ -642,6 +642,57 @@ def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_star_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(c / (sa.n_sh + sb.n_sh - c), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "extension", "scale-path"),
+)
+def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as ``dedup_dup_clusters`` but via alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14) — O(log n)
+    shuffle rounds on ANY pair topology, vs label propagation's
+    O(component diameter). This is the variant that survives the
+    pathological transitive-near-dup chains a 100 TB crawl produces; same
+    recursive-transitive-closure oracle as the propagation query, so the
+    driver verifies both algorithms land identical components."""
+    from frappe_data_pipelines_spark.operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    return connected_components_star(pairs)
+
+
+@register(
     "dedup_canonical_corpus",
     oracle="""
     WITH RECURSIVE toks AS (
