@@ -1092,6 +1092,56 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_trained_tokens",
+    tags=("text-analysis", "extension"),  # rows-only: sequential merge fit
+)
+def text_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real trained BPE token counts (operators/bpe.py): distributed
+    pretoken histogram → deterministic driver-side merge learning (the
+    vocab is a small model artifact, like the PQ codebooks) → Arrow-batched
+    encode with a Zipfian pretoken LRU. The strict upgrade of
+    text_bpe_token_estimate; verified token-exact against a pure-Python
+    GPT-2-style encoder in tests/test_bpe.py."""
+    from frappe_data_pipelines_spark.operators.bpe import (
+        bpe_token_counts,
+        pretoken_frequencies,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(pretoken_frequencies(docs, max_pretokens=20000), n_merges=192)
+    return bpe_token_counts(docs, merges)
+
+
+@register(
+    "sequence_packing_bpe",
+    tags=("text-analysis", "extension"),  # rows-only: bin packing is procedural
+)
+def sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by REAL trained-BPE token counts instead of
+    the whitespace estimator — token budgets now mean what the training job
+    thinks they mean. Same deterministic per-shard first-fit-decreasing;
+    the token-count column is computed upstream and passed through
+    pack_sequences' token_count_col hook."""
+    from frappe_data_pipelines_spark.operators.bpe import (
+        bpe_token_counts,
+        pretoken_frequencies,
+        train_bpe,
+    )
+    from frappe_data_pipelines_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(pretoken_frequencies(docs, max_pretokens=20000), n_merges=192)
+    counted = docs.join(bpe_token_counts(docs, merges).select("doc_id", "n_tokens"), "doc_id")
+    return pack_sequences(
+        counted.withColumnRenamed("n_tokens", "bpe_tokens"),
+        budget_tokens=2048,
+        n_shards=32,
+        token_count_col="bpe_tokens",
+    )
+
+
+@register(
     "packing_rebalance_audit",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
