@@ -1,0 +1,126 @@
+"""Data selection for pre-training corpora: DSIR importance weighting.
+
+Implements the hashed-ngram importance-resampling estimator of DSIR (Xie et
+al., "Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023 — public): score every raw document by the log-likelihood
+ratio of a TARGET feature distribution (the data you want more of) against
+the RAW distribution (what the crawl actually is), under unigram+bigram
+bag-of-ngrams models with Laplace smoothing:
+
+    w(d) = Σ_{f ∈ d} tf_d(f) · [ ln p_tgt(f) − ln p_raw(f) ]
+    p(f) = (c(f) + 1) / (N + V)
+
+Spark-first shape — this is a word-count, not an ML job:
+
+- feature extraction is pure Column expressions (tokenize, zip_with
+  bigrams, explode) — whole-stage codegen, no UDF;
+- the two distributions are groupBy-count aggregates with map-side partial
+  combine (one shuffle each, keyed by feature);
+- per-doc scoring is one join of the per-(doc,feature) tf table against the
+  feature dictionary, then a decimal-summed aggregate back to doc grain.
+  Per-feature contributions are round(·,6)-ed and accumulated in
+  DECIMAL so the result is associative — identical under any partitioning
+  and hash-stable against the DuckDB oracle.
+
+At 100 TB the feature dictionary is the memory risk, not the shuffles: cap
+it by hashing features into 2^k buckets (DSIR's actual trick) via
+``n_buckets`` — counts then bound at 2^k rows regardless of corpus size.
+The catalog query runs unhashed (bucket ids must match the SQL oracle
+exactly; xxhash64 has no DuckDB twin); scale runs set n_buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+
+def _ngram_features(text: Column) -> Column:
+    """Unigrams + space-joined bigrams of the lowercased word tokens."""
+    toks = tokens_expr(text)
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.concat(toks, bigrams)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-document DSIR log-likelihood-ratio weights.
+
+    ``target`` is a boolean Column over ``docs`` selecting the in-domain
+    subset whose distribution we steer toward (e.g. ``col('lang') ==
+    'en'``, or a quality-score predicate). Returns
+    (doc_id, n_features BIGINT, dsir_weight DOUBLE); documents with no
+    tokens are excluded (no features → no evidence).
+
+    ``n_buckets``: hash features into 2^k buckets (xxhash64 % n) — bounds
+    dictionary size for web-scale corpora at the cost of oracle parity.
+    """
+    feat = _ngram_features(F.col(text_col))
+    tcol = F.col(target) if isinstance(target, str) else target
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tcol.alias("is_target"), feat.alias("feats")
+    ).filter(F.size("feats") > 0)
+    exploded = base.select("doc_id", "is_target", F.explode("feats").alias("f"))
+    if n_buckets is not None:
+        exploded = exploded.withColumn("f", F.pmod(F.xxhash64("f"), F.lit(n_buckets)).cast("string"))
+    tf = exploded.groupBy("doc_id", "is_target", "f").agg(F.count("*").alias("tf"))
+
+    raw = tf.groupBy("f").agg(F.sum("tf").alias("c_raw"))
+    tgt = tf.filter("is_target").groupBy("f").agg(F.sum("tf").alias("c_tgt"))
+    dictionary = raw.join(tgt, "f", "left").select(
+        "f", "c_raw", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    stats = dictionary.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    scored = dictionary.crossJoin(F.broadcast(stats)).select(
+        "f",
+        F.round(
+            F.log((F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.col("v")))
+            - F.log((F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.col("v"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        tf.join(scored, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_features"),
+            (F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lr")))
+            .cast("double")
+            .alias("dsir_weight"),
+        )
+        .select("doc_id", "n_features", F.round("dsir_weight", 6).alias("dsir_weight"))
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k raw documents by DSIR weight (deterministic tie-break by id) —
+    the selected training subset. DSIR proper resamples with Gumbel noise;
+    top-k is the deterministic variant (their 'top-k heuristic' baseline),
+    which is what an oracled, reproducible pipeline wants."""
+    w = dsir_weights(docs, target, id_col=id_col, text_col=text_col)
+    return (
+        w.orderBy(F.col("dsir_weight").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "n_features", "dsir_weight")
+    )

@@ -1227,3 +1227,76 @@ def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (data selection; operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_WEIGHTS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+    ), feats AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(t || list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS f
+      FROM toks WHERE len(t) > 0
+    ), tf AS (
+      SELECT doc_id, is_target, f, CAST(count(*) AS BIGINT) AS tf
+      FROM feats GROUP BY 1, 2, 3
+    ), dict AS (
+      SELECT f, SUM(tf) AS c_raw,
+             COALESCE(SUM(tf) FILTER (WHERE is_target), 0) AS c_tgt
+      FROM tf GROUP BY f
+    ), stats AS (
+      SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM dict
+    ), scored AS (
+      SELECT f, CAST(round(ln((c_tgt + 1.0) / (n_tgt + v))
+                         - ln((c_raw + 1.0) / (n_raw + v)), 6)
+                     AS DECIMAL(18,6)) AS lr
+      FROM dict CROSS JOIN stats
+    )
+    SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_features,
+           round(CAST(SUM(CAST(tf.tf AS DECIMAL(10,0)) * scored.lr) AS DOUBLE), 6) AS dsir_weight
+    FROM tf JOIN scored USING (f)
+    GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_WEIGHTS_SQL,
+    tags=("data-selection", "extension"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., NeurIPS 2023) importance weights: log-likelihood
+    ratio of target (lang='en') vs raw unigram+bigram distributions with
+    Laplace smoothing — the published data-selection estimator, as a pure
+    word-count-shaped relational plan (two feature aggregates + one
+    dictionary join; decimal-summed so the result is partition-invariant).
+    operators/selection.py; scale path hashes features into 2^k buckets."""
+    from frappe_data_pipelines_spark.operators.selection import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+@register(
+    "dsir_selected_corpus",
+    oracle=f"""
+    WITH w AS ({_DSIR_WEIGHTS_SQL})
+    SELECT doc_id, n_features, dsir_weight FROM w
+    ORDER BY dsir_weight DESC, doc_id ASC LIMIT 100
+    """,
+    tags=("data-selection", "extension"),
+)
+def dsir_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection end product: top-100 documents by DSIR weight
+    (deterministic tie-break) — the subset a pre-training run would keep.
+    Top-k is DSIR's deterministic selection variant; the paper's Gumbel
+    resampling adds noise an oracled pipeline can't reproduce."""
+    from frappe_data_pipelines_spark.operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100)

@@ -1,0 +1,47 @@
+"""DSIR importance weighting (operators/selection.py)."""
+
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.selection import dsir_select, dsir_weights
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+
+def test_target_docs_score_higher_on_average(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r["is_en"]: r["m"]
+        for r in w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    }
+    # the estimator's whole point: in-domain docs get higher log-ratios
+    assert means[True] > means[False]
+
+
+def test_weights_cover_all_nonempty_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    n_nonempty = docs.filter(
+        F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")) > 0
+    ).count()
+    assert w.count() == n_nonempty
+    assert w.filter(F.col("dsir_weight").isNull()).count() == 0
+
+
+def test_hashed_buckets_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = dsir_weights(docs, F.col("lang") == "en", n_buckets=4096)
+    b = dsir_weights(docs.repartition(11), F.col("lang") == "en", n_buckets=4096)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_select_is_topk_of_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+    sel = dsir_select(docs, F.col("lang") == "en", k=25).collect()
+    assert len(sel) == 25
+    want = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [(r["doc_id"], r["dsir_weight"]) for r in sel] == want
