@@ -1,0 +1,276 @@
+"""Corpus-quality operators for training-data curation (extensions beyond
+the reference surface — SURVEY §2.H notes the reference's only quality
+signals are truncation + empty guards; these add the standard LLM-corpus
+filters: Gopher-style repetition metrics, deterministic stratified
+sampling, and exact heavy-hitter detection with a sketch pre-filter).
+
+Scale notes
+-----------
+* ``gopher_repetition_metrics`` is computed entirely with higher-order
+  array functions on the per-row token array — ZERO shuffle, whole-stage
+  codegen, embarrassingly parallel. The per-doc work is O(g·d) where g =
+  #n-grams and d = #distinct n-grams (quadratic in doc length but bounded
+  by chunking upstream); at 100 TB this is a pure map stage.
+* ``hash_bernoulli_sample`` uses an md5-prefix threshold so the sample is
+  deterministic, engine-portable (same rows selected by any engine with
+  md5), and needs no shuffle, no global count, and no state. This is how
+  you sample 100 TB without a pass to count it first.
+* ``misra_gries_heavy_hitters`` finds exact heavy hitters in two passes:
+  a per-partition weighted Misra-Gries summary (bounded memory, no
+  shuffle) produces a guaranteed superset of candidates; a broadcast
+  semi-join then recounts only those. The long tail — the expensive part
+  of a naive groupBy at 100 TB — never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+def _grams_expr(toks: Column, n: int) -> Column:
+    """Word n-grams of the token array as space-joined strings (empty array
+    when the doc has < n tokens)."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    # sequence(0, negative) yields a DESCENDING range, not empty — guard it
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+
+
+def _zero() -> Column:
+    return F.lit(0).cast("long")
+
+
+def _occ_chars(gram: Column, run: Column, n: int) -> Column:
+    """Token-chars covered by `run` occurrences of `gram` (joiner spaces
+    excluded); 0 for the initial null accumulator."""
+    return F.coalesce(run * (F.length(gram) - F.lit(n - 1)), _zero()).cast("long")
+
+
+def _top_run_chars(grams: Column, n: int) -> Column:
+    """max over distinct grams of occurrences·token-chars, via a single
+    linear pass over the sorted gram array (equal grams are adjacent, so a
+    run-length accumulator replaces the O(d·g) count-each-distinct scan)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _zero().alias("run"),
+        _zero().alias("best"),
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(g == a["prev"], a["best"])
+            .otherwise(F.greatest(a["best"], _occ_chars(a["prev"], a["run"], n)))
+            .alias("best"),
+        ),
+        lambda a: F.greatest(a["best"], _occ_chars(a["prev"], a["run"], n)),
+    )
+
+
+def _dup_run_chars(grams: Column, n: int) -> Column:
+    """sum over grams occurring more than once of occurrences·token-chars,
+    same sorted run-length pass as :func:`_top_run_chars`."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _zero().alias("run"),
+        _zero().alias("acc"),
+    )
+
+    def flush(a: Column, n: int) -> Column:
+        return a["acc"] + F.when(a["run"] > 1, _occ_chars(a["prev"], a["run"], n)).otherwise(_zero())
+
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        lambda a, g: F.struct(
+            g.alias("prev"),
+            F.when(g == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(g == a["prev"], a["acc"]).otherwise(flush(a, n)).alias("acc"),
+        ),
+        lambda a: flush(a, n),
+    )
+
+
+def gopher_repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.10,
+) -> DataFrame:
+    """Per-document repetition metrics à la Gopher:
+
+    * ``top_{top_n}gram_char_frac`` — fraction of token characters covered
+      by occurrences of the single most-frequent ``top_n``-gram.
+    * ``dup_{dup_n}gram_char_frac`` — fraction of token characters covered
+      by ``dup_n``-grams that occur more than once (overlapping occurrences
+      each count, so the weighted fraction may exceed 1 on degenerate docs).
+    * ``keep`` — both metrics under their thresholds.
+
+    Character base is the sum of token lengths (separator-insensitive).
+    Entirely higher-order functions on the token array: no explode, no
+    shuffle. Duplicate counting runs over the SORTED gram array with a
+    run-length accumulator — linear per doc instead of the naive
+    count-each-distinct O(d·g) scan — and each metric is materialized once
+    as an intermediate column so the expression tree isn't re-evaluated
+    for the verdict.
+    """
+    toks = tokens_expr(F.col(text_col))
+    staged = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).cast("double").alias("total_chars"),
+    ).select(
+        "doc_id",
+        F.size(F.col("t")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    _top_run_chars(_grams_expr(F.col("t"), top_n), top_n).cast("double"),
+                    F.col("total_chars"),
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"top_{top_n}gram_char_frac"),
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    _dup_run_chars(_grams_expr(F.col("t"), dup_n), dup_n).cast("double"),
+                    F.col("total_chars"),
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias(f"dup_{dup_n}gram_char_frac"),
+    )
+    return staged.withColumn(
+        "keep",
+        (F.col(f"top_{top_n}gram_char_frac") <= top_frac_max)
+        & (F.col(f"dup_{dup_n}gram_char_frac") <= dup_frac_max),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold such that P[md5_prefix < threshold] = rate.
+    String comparison of fixed-width lowercase hex == numeric comparison,
+    so the oracle can mirror it without hex→int conversion."""
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def hash_bernoulli_sample(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, float],
+    strata_col: str | None = None,
+    default_rate: float = 0.0,
+    salt: str = "sample:v1:",
+) -> DataFrame:
+    """Deterministic (re-runnable, engine-portable) Bernoulli sample.
+
+    Each row's uniform draw is the first 8 hex digits of
+    ``md5(salt || key)``; a row survives iff that prefix is below its
+    stratum's rate threshold. With ``strata_col`` the rate varies per
+    stratum (downsample over-represented languages / sources — the standard
+    corpus-mixture move). No shuffle, no count pass, no RNG state.
+    """
+    u = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")), 1, 8
+    )
+    if strata_col is None:
+        thresh = F.lit(rate_threshold_hex(default_rate))
+    else:
+        thresh = F.lit(rate_threshold_hex(default_rate))
+        for value, rate in sorted(rates.items()):
+            thresh = F.when(
+                F.col(strata_col) == value, F.lit(rate_threshold_hex(rate))
+            ).otherwise(thresh)
+    return df.where(u < thresh)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via per-partition Misra-Gries candidates
+# ---------------------------------------------------------------------------
+
+def _mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition weighted Misra-Gries summaries, unioned.
+
+    Guarantee used downstream: any key with global count > N/k appears in
+    at least one partition's summary (pigeonhole: it exceeds n_p/k on some
+    partition, and MG with k counters retains every key whose local count
+    exceeds n_p/k). Batches are pre-aggregated with pandas value_counts so
+    the python loop runs over distinct keys, not rows. Each partition also
+    emits one sentinel row (key NULL, w = partition row count) so the
+    global N comes out of the same scan — no separate count() pass.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for key, w in pdf["k"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(w)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {c: v - m for c, v in counters.items() if v > m}
+        yield pd.DataFrame(
+            {"k": list(counters.keys()) + [None], "w": list(counters.values()) + [n]}
+        )
+
+    keyed = df.select(F.col(key_col).cast("string").alias("k"))
+    return keyed.mapInPandas(part, schema="k string, w long")
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float,
+    k_multiplier: int = 4,
+) -> DataFrame:
+    """EXACT keys with frequency > ``threshold_frac`` of all rows, plus
+    exact counts — without shuffling the long tail.
+
+    Pass 1 scans once, building a bounded-memory Misra-Gries candidate
+    summary per partition (k = k_multiplier/threshold_frac counters — the
+    multiplier absorbs the weighted-decrement slack, so the candidate set
+    is a guaranteed superset of the true heavy hitters) plus the global
+    row count. The summary is tiny (≤ k+1 rows per partition) so it is
+    collected to the driver. Pass 2 recounts only rows matching a
+    candidate — the IN-filter pushes into the parquet scan — and applies
+    the exact threshold. Output is exact and deterministic; the sketch
+    only prunes the long tail, which at 100 TB is what makes a plain
+    groupBy+HAVING expensive.
+    """
+    k = max(int(k_multiplier / threshold_frac), 16)
+    rows = _mg_summaries(df, key_col, k).collect()
+    total = sum(r["w"] for r in rows if r["k"] is None)
+    cands = sorted({r["k"] for r in rows if r["k"] is not None})
+    cutoff = int(total * threshold_frac)
+    return (
+        df.where(F.col(key_col).cast("string").isin(cands))
+        .groupBy(F.col(key_col).cast("string").alias(key_col))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .where(F.col("cnt") > cutoff)
+    )

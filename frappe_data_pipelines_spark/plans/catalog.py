@@ -63,6 +63,7 @@ def _load_all() -> None:
         return
     from frappe_data_pipelines_spark.plans import (  # noqa: F401
         pipelinequeries,
+        qualityqueries,
         relational,
         scalarqueries,
         servicequeries,

@@ -1,0 +1,407 @@
+"""Corpus-quality + time-series-repair queries (training-data extensions:
+Gopher repetition filtering, deterministic stratified sampling, exact
+heavy hitters with a Misra-Gries pre-filter, linear gap interpolation).
+
+All four are DuckDB-oracled; the sampling + heavy-hitter oracles verify
+the *exact result*, which is the point — the Spark side earns its scale
+tricks (hash thresholds, per-partition sketches) without changing the
+answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frappe_data_pipelines_spark.operators.quality import (
+    gopher_repetition_metrics,
+    hash_bernoulli_sample,
+    misra_gries_heavy_hitters,
+    rate_threshold_hex,
+)
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) AS total_chars,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> array_to_string(t[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, greatest(len(t) - 4, 0)), i -> array_to_string(t[i:i+4], ' ')) AS g5
+      FROM toks
+    ), c2 AS (
+      SELECT doc_id, max(cnt * chars) AS top_chars FROM (
+        SELECT doc_id, g, count(*) AS cnt, len(g) - 1 AS chars
+        FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ), c5 AS (
+      SELECT doc_id, sum(cnt * chars) AS dup_chars FROM (
+        SELECT doc_id, g, count(*) AS cnt, len(g) - 4 AS chars
+        FROM (SELECT doc_id, unnest(g5) AS g FROM base) GROUP BY doc_id, g
+      ) WHERE cnt > 1 GROUP BY doc_id
+    ), metrics AS (
+      SELECT b.doc_id,
+             CAST(len(b.t) AS BIGINT) AS n_tokens,
+             round(coalesce(c2.top_chars / nullif(b.total_chars, 0), 0), 6) AS top_2gram_char_frac,
+             round(coalesce(c5.dup_chars / nullif(b.total_chars, 0), 0), 6) AS dup_5gram_char_frac
+      FROM base b
+      LEFT JOIN c2 ON b.doc_id = c2.doc_id
+      LEFT JOIN c5 ON b.doc_id = c5.doc_id
+    )
+    SELECT doc_id, n_tokens, top_2gram_char_frac, dup_5gram_char_frac,
+           (top_2gram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.10) AS keep
+    FROM metrics
+    """
+
+
+@register("gopher_repetition_filter", oracle=_GOPHER_SQL, tags=("quality", "extension"))
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) repetition metrics per document:
+    char-fraction of the top bigram and of duplicated 5-grams, plus the
+    keep/drop verdict. Pure higher-order array functions — zero shuffle,
+    one codegen map stage; the scale cost is linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_metrics(docs, top_n=2, dup_n=5, top_frac_max=0.20, dup_frac_max=0.10)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified hash sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.30}
+_SAMPLE_DEFAULT = 0.65
+_SAMPLE_SALT = "sample:v1:"
+
+_SAMPLE_SQL = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substring(md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE WHEN lang = 'en' THEN '{rate_threshold_hex(_SAMPLE_RATES["en"])}'
+               ELSE '{rate_threshold_hex(_SAMPLE_DEFAULT)}' END
+    """
+
+
+@register("hash_stratified_sample", oracle=_SAMPLE_SQL, tags=("sampling", "extension"))
+def hash_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (downsample the
+    over-represented 'en' stratum to rebalance the mixture). The draw is an
+    md5-prefix threshold — re-runnable, engine-portable, shuffle-free, and
+    needs no count pass: exactly how you sample 100 TB in one map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_bernoulli_sample(
+        docs, key_col="doc_id", rates=_SAMPLE_RATES, strata_col="lang",
+        default_rate=_SAMPLE_DEFAULT, salt=_SAMPLE_SALT,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_FRAC = 0.0015
+
+_HH_SQL = f"""
+    WITH keyed AS (
+      SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS key FROM events
+    )
+    SELECT key, CAST(count(*) AS BIGINT) AS cnt
+    FROM keyed GROUP BY key
+    HAVING count(*) > CAST(floor((SELECT count(*) FROM events) * {_HH_FRAC}) AS BIGINT)
+    """
+
+
+@register("heavy_hitters_exact", oracle=_HH_SQL, tags=("agg", "sketch", "extension"))
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (user, event_type) keys above 0.15% frequency. Spark path:
+    per-partition weighted Misra-Gries summaries (bounded memory, no
+    shuffle) give a guaranteed candidate superset; an IN-filtered exact
+    recount confirms. The long tail never shuffles — the oracle's plain
+    GROUP BY..HAVING is what this avoids at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type")).alias("key")
+    )
+    return misra_gries_heavy_hitters(keyed, "key", threshold_frac=_HH_FRAC)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of time-series gaps
+# ---------------------------------------------------------------------------
+
+_INTERP_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), grid AS (
+      SELECT s.event_type, s.hour, h.v
+      FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    ), ctx AS (
+      SELECT event_type, hour, v,
+        last_value(CASE WHEN v IS NOT NULL THEN struct_pack(h := hour, x := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        first_value(CASE WHEN v IS NOT NULL THEN struct_pack(h := hour, x := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM grid
+    )
+    SELECT event_type, hour,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN p IS NULL THEN nx.x
+                      WHEN nx IS NULL THEN p.x
+                      ELSE p.x + (nx.x - p.x) * (epoch(hour) - epoch(p.h)) / (epoch(nx.h) - epoch(p.h))
+                 END, 6) AS value_interp,
+           (v IS NULL) AS was_gap
+    FROM ctx
+    """
+
+
+@register("ts_linear_interpolation", oracle=_INTERP_SQL, tags=("time-series", "extension"))
+def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type averages on a dense spine with gaps filled by linear
+    interpolation between nearest non-null neighbors (edges clamp to the
+    nearest value). Complements events_gap_fill's zero-fill: this is the
+    sensor-style repair. Two IGNORE-NULLS windows partitioned by
+    event_type — state per partition is O(1), so the plan scales with the
+    spine, not the events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    grid = spine.join(hourly, ["event_type", "hour"], "left")
+
+    nn = F.when(F.col("v").isNotNull(), F.struct(F.col("hour").alias("h"), F.col("v").alias("x")))
+    w_prev = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = grid.select(
+        "event_type", "hour", "v",
+        F.last(nn, ignorenulls=True).over(w_prev).alias("p"),
+        F.first(nn, ignorenulls=True).over(w_next).alias("nx"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("p.h")).cast("double")
+        / (F.unix_timestamp("nx.h") - F.unix_timestamp("p.h")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("p").isNull(), F.col("nx.x"))
+        .when(F.col("nx").isNull(), F.col("p.x"))
+        .otherwise(F.col("p.x") + (F.col("nx.x") - F.col("p.x")) * frac)
+    )
+    return ctx.select(
+        "event_type", "hour",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+# ---------------------------------------------------------------------------
+# C4-style document filter (word-level rules; Raffel et al. 2020 §2.2,
+# adapted to word-salad corpora: no line/sentence structure to key on)
+# ---------------------------------------------------------------------------
+
+_C4_SQL = """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS word_count,
+             round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / nullif(len(t), 0), 6) AS mean_word_len,
+             (contains(text, '{') OR contains(lower(text), 'lorem ipsum')) AS has_bad_tokens,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','a','an','and','or','of','to','in','is','it'])) AS BIGINT) AS n_stopwords
+      FROM toks
+    )
+    SELECT doc_id, word_count, mean_word_len, has_bad_tokens, n_stopwords,
+           (word_count BETWEEN 30 AND 100000
+            AND mean_word_len BETWEEN 2 AND 10
+            AND NOT has_bad_tokens
+            AND n_stopwords >= 2) AS keep
+    FROM m
+    """
+
+
+@register("c4_doc_filter", oracle=_C4_SQL, tags=("quality", "extension"))
+def c4_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanliness rules per document: word-count bounds, mean word
+    length bounds, boilerplate/bad-token markers ('{', 'lorem ipsum'),
+    minimum distinct-stopword presence (prose-likeness). One map stage,
+    no shuffle, all whole-stage-codegen expressions."""
+    from frappe_data_pipelines_spark.functions.text import STOPWORDS, tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("word_count"),
+        F.round(
+            F.try_divide(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+                ).cast("double"),
+                F.size(toks).cast("double"),
+            ),
+            6,
+        ).alias("mean_word_len"),
+        (
+            F.col("text").contains("{") | F.lower(F.col("text")).contains("lorem ipsum")
+        ).alias("has_bad_tokens"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+            )
+        ).cast("bigint").alias("n_stopwords"),
+    )
+    return staged.withColumn(
+        "keep",
+        F.col("word_count").between(30, 100000)
+        & F.col("mean_word_len").between(2, 10)
+        & ~F.col("has_bad_tokens")
+        & (F.col("n_stopwords") >= 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup spans (Lee et al. 2021-style, shingle approximation)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_SQL = """
+    WITH sh AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(text) - 39, 1), 10)) AS p
+      ) p
+      WHERE len(substr(text, p.p, 40)) = 40
+    ), dup AS (
+      SELECT s, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT sh.doc_id, CAST(sh.pos AS BIGINT) AS pos, md5(sh.s) AS fp, dup.n_docs
+    FROM sh JOIN dup ON sh.s = dup.s
+    """
+
+
+@register("substring_dup_spans", oracle=_SUBSTR_SQL, tags=("dedup", "extension"))
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication (the signal behind
+    suffix-array dedup, Lee et al. 2021), approximated with 40-char shingles
+    at stride 10: every span whose shingle appears verbatim in ≥2 docs.
+    Shingling is a higher-order-function map (no explode blowup beyond
+    len/10 rows per doc); the duplicate test is one shuffle keyed on the
+    shingle — the inverted-index pattern that scales to 100 TB because
+    unique shingles (the vast majority) partial-aggregate away map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 39, F.lit(1)), F.lit(10)),
+            lambda p: F.struct(
+                p.cast("long").alias("pos"), F.substring(F.col("text"), p, 40).alias("s")
+            ),
+        ),
+        lambda st: F.length(st["s"]) == 40,
+    )
+    sh = docs.select("doc_id", F.explode(spans).alias("sp")).select(
+        "doc_id", F.col("sp.pos").alias("pos"), F.col("sp.s").alias("s")
+    )
+    dup = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+    return sh.join(dup, "s").select(
+        "doc_id", "pos", F.md5(F.col("s").cast("binary")).alias("fp"), "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine near-duplicates (lexical-vector alternative to MinHash)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+    ), idf AS (
+      SELECT tok, ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM tf) /
+                     CAST(count(DISTINCT doc_id) AS DOUBLE)) AS idf
+      FROM tf GROUP BY tok
+    ), w AS (
+      SELECT doc_id, tok, tf.tf * idf.idf AS w FROM tf JOIN idf USING (tok)
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots JOIN nrm x ON id_a = x.doc_id JOIN nrm y ON id_b = y.doc_id
+    WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9
+    """
+
+
+@register("tfidf_cosine_pairs", oracle=_TFIDF_SQL, tags=("dedup", "extension"))
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs (τ=0.9) via the inverted-index
+    join — the dot product only materializes for docs sharing a term, so
+    cost is bounded by posting-list co-occurrence, not n². Every stage is a
+    keyed hash aggregate (tok or doc_id): partial aggregation and AQE skew
+    handling apply; no crossJoin anywhere."""
+    from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("double").alias("tf"))
+    n_docs = tf.select(F.countDistinct("doc_id").cast("double").alias("n"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", F.log(F.col("n") / F.col("df")).alias("idf"))
+    )
+    w = tf.join(idf, "tok").select("doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w"))
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    x = nrm.alias("x")
+    y = nrm.alias("y")
+    cos = F.round(F.col("dot") / (F.col("x.nrm") * F.col("y.nrm")), 6)
+    return (
+        dots.join(x, F.col("id_a") == F.col("x.doc_id"))
+        .join(y, F.col("id_b") == F.col("y.doc_id"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.9)
+    )
