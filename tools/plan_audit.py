@@ -99,6 +99,39 @@ CHECKS: dict[str, list] = {
         ("pushed_isin_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*lang", p)),
         ("column_pruned_scan", lambda p: "text" not in _read_schema(p, "documents")),
     ],
+    "gopher_repetition_filter": [
+        # higher-order-function metrics: pure map stage, one scan, no shuffle
+        ("zero_shuffle", lambda p: "Exchange" not in p),
+        ("single_scan", lambda p: p.count("FileScan") == 1),
+        ("column_pruned_scan", lambda p: "lang" not in _read_schema(p, "documents")),
+    ],
+    "c4_doc_filter": [
+        ("zero_shuffle", lambda p: "Exchange" not in p),
+        ("single_scan", lambda p: p.count("FileScan") == 1),
+    ],
+    "hash_stratified_sample": [
+        # md5-threshold sampling: filter evaluates at the scan, nothing moves
+        ("zero_shuffle", lambda p: "Exchange" not in p),
+        ("filter_at_scan", lambda p: re.search(r"DataFilters: \[[^\]]*md5", p)),
+        ("column_pruned_scan", lambda p: "text" not in _read_schema(p, "documents")),
+    ],
+    "substring_dup_spans": [
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("keyed_shuffles_only", lambda p: p.count("Exchange hashpartitioning") <= 4),
+    ],
+    "tfidf_cosine_pairs": [
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+    ],
+    "heavy_hitters_exact": [
+        # pass-2 recount: the candidate IN-filter must evaluate at the scan
+        ("candidate_filter_at_scan", lambda p: re.search(r"DataFilters: \[[^\]]*concat_ws", p)),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "ts_linear_interpolation": [
+        ("windows_partitioned_by_type", lambda p: "windowspecdefinition(event_type" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
