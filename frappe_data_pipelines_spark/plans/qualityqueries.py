@@ -405,3 +405,63 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.9)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the similarity graph: k-NN edges + triangle count
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+    WITH sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    ), edges AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b FROM knn
+    )
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM edges e1
+                 JOIN edges e2 ON e1.id_b = e2.id_a
+                 JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b) AS BIGINT) AS n_triangles
+    """
+
+
+@register("knn_graph_triangles", oracle=_TRIANGLE_SQL, tags=("graph", "extension"))
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph analytics: build the undirected k=5 cosine-NN graph
+    over the embeddings and count triangles (the standard node-iterator
+    3-way self-join on ordered edges, so each triangle counts once).
+    Ordering uses the 6-dp-rounded score with a dst tie-break, so the graph
+    is engine-deterministic. Brute-force O(n²) edge construction is the
+    correctness baseline — at 100 TB the edge list comes from the LSH / IVF
+    candidate generators (ann_*), and the triangle join itself stays keyed
+    on vertex ids (shuffle-partitionable, AQE-skew-safe)."""
+    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    knn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    edges = knn.select(
+        F.least("src", "dst").alias("id_a"), F.greatest("src", "dst").alias("id_b")
+    ).distinct()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(e3, (F.col("e3.id_a") == F.col("e1.id_a")) & (F.col("e3.id_b") == F.col("e2.id_b")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    n_nodes = emb.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

@@ -203,3 +203,51 @@ def test_chunk_udtf_sql_surface(spark, sf_dir):
     a = {(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in via_sql}
     b = {(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in via_df}
     assert a == b and a
+
+
+class TestBoundaryCases:
+    """Pin separator-at-boundary and multi-byte behavior (ROADMAP item 5).
+
+    Golden values were produced by the current implementation and are
+    locked here so future edits can't silently shift chunk boundaries —
+    chunk identity feeds embedding ids (h13) and dedup fingerprints.
+    """
+
+    def test_separator_exactly_at_chunk_boundary(self):
+        text = "a" * 20 + "\n\n" + "b" * 20
+        assert recursive_character_split(text, chunk_size=20, chunk_overlap=4) == [
+            "a" * 20,
+            "b" * 19,
+            "b" * 5,
+        ]
+
+    def test_trailing_separator_emits_orphan_piece(self):
+        out = recursive_character_split("alpha beta gamma. ", chunk_size=10, chunk_overlap=2)
+        assert out == ["alpha beta", "gamma", "."]
+
+    def test_consecutive_separators_collapse(self):
+        assert recursive_character_split("x\n\n\n\ny\n\nz", chunk_size=3, chunk_overlap=1) == [
+            "x", "y", "z",
+        ]
+
+    def test_separator_only_text(self):
+        assert recursive_character_split("\n\n\n\n. . ", chunk_size=5, chunk_overlap=1) == [". ."]
+
+    def test_multibyte_chars_counted_as_single_units(self):
+        # emoji + CJK: sizes are codepoint counts (python len), so a chunk
+        # never splits inside a codepoint and bounds hold in codepoints
+        text = "🎉🎊" * 30 + "\n\n" + "中文字符测试" * 10
+        out = recursive_character_split(text, chunk_size=40, chunk_overlap=8)
+        assert all(len(c) <= 40 for c in out)
+        assert out[0] == "🎉🎊" * 20
+        joined = "".join(out)
+        assert joined.count("🎉") >= 30 and joined.count("中") >= 10
+
+    def test_multibyte_separator_cjk_sentences(self):
+        out = recursive_character_split("第一句. 第二句. 第三句. 第四句. ", chunk_size=10, chunk_overlap=2)
+        assert out == ["第一句. 第二句", ". 第三句. 第四句", "."]
+
+    def test_chunk_size_smaller_than_separator(self):
+        # degenerate: chunk_size 1 with 2-char separators still terminates
+        out = recursive_character_split("ab\n\ncd", chunk_size=1, chunk_overlap=0)
+        assert out and all(c.strip() for c in out)
