@@ -89,9 +89,16 @@ def pretoken_frequencies(
     count, id-ordered tie-break), NOT the corpus. At 100 TB this is the
     same shape as a word-count: one shuffle of (distinct pretokens ×
     executors) partial counts."""
-    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    # Native Column API, NOT F.expr: a pattern embedded in a Spark SQL
+    # double-quoted literal gets backslash-unescaped a second time (\s -> s),
+    # silently changing the pretokenization. F.lit bypasses SQL parsing so
+    # the JVM regex sees exactly PRETOKEN_RE.pattern.
     freq = (
-        docs.select(F.explode(F.expr(f'regexp_extract_all({text_col}, "{pat}", 0)')).alias("pt"))
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE.pattern), F.lit(0))
+            ).alias("pt")
+        )
         .groupBy("pt")
         .count()
         .orderBy(F.col("count").desc(), F.col("pt"))
@@ -201,11 +208,12 @@ def bpe_token_counts(
             lambda t: sum(count_pt(m) for m in PRETOKEN_RE.findall(t)) if t else 0
         ).astype("int64")
 
-    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    # F.lit keeps the pattern out of SQL literal parsing (see
+    # pretoken_frequencies) so n_pretokens agrees with PRETOKEN_RE exactly.
     return docs.select(
         F.col(id_col),
         n_tokens(F.col(text_col)).alias("n_tokens"),
-        F.size(F.expr(f'regexp_extract_all({text_col}, "{pat}", 0)'))
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE.pattern), F.lit(0)))
         .cast("bigint")
         .alias("n_pretokens"),
     ).withColumn(

@@ -571,8 +571,11 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before paying for real tokenization. Pure regexp
     expressions, identical pattern both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
-    bpe = F.expr(f"regexp_extract_all(text, \"{pat}\", 0)")
+    # F.lit, not F.expr: the SQL double-quoted literal would strip the
+    # backslash from \s, changing the pattern (punctuation class would stop
+    # excluding whitespace). Native API hands the JVM regex the exact string.
+    pat = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
     ws = F.split(F.trim("text"), "\\s+")
     return docs.filter(F.length("text") > 0).select(
         "doc_id",

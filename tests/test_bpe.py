@@ -59,6 +59,28 @@ def test_spark_counts_match_pure_python(spark, sf_dir):
     assert merges, "training produced no merges"
 
 
+def test_spark_pretokenizer_matches_python_on_ws_punct_runs(spark):
+    # Regression for the F.expr SQL-literal escaping bug: inside a Spark SQL
+    # double-quoted literal \s became s, so 'x  ,  y' pretokenized into 3
+    # pieces JVM-side vs 5 Python-side. Pin parity on exactly those shapes.
+    texts = ["x  ,  y", "a ,  b", "end.  Next", "tabs\t ; \t mix", "a b"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    freqs = dict(pretoken_frequencies(docs, max_pretokens=1000))
+    want: dict[str, int] = {}
+    for t in texts:
+        for pt in PRETOKEN_RE.findall(t):
+            want[pt] = want.get(pt, 0) + 1
+    assert freqs == want
+
+    got = {
+        r["doc_id"]: r["n_pretokens"] for r in bpe_token_counts(docs, []).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[f"d{i}"] == len(PRETOKEN_RE.findall(t)), t
+
+
 def test_training_deterministic(spark, sf_dir):
     from frappe_data_pipelines_spark.sources.tables import load_table
 
