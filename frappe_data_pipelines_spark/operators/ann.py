@@ -450,13 +450,22 @@ def knn_batch(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Batched multi-query KNN: ALL queries scored in ONE job — broadcast
-    the query set against the collection, per-query top-k via ranked window.
+    the query set against the collection, per-query top-k via a two-level
+    reduction.
 
     This is the serving shape at scale: per-query jobs pay scheduler+scan
     overhead per query; batching amortizes one collection scan across the
     whole query set (queries/sec scales with cluster width, verified in
-    ANN_SWEEP.json batch rows). The window partitions by query id, so the
-    only shuffle is on the (small) query dimension."""
+    ANN_SWEEP.json batch rows).
+
+    A naive ``Window.partitionBy(query_id)`` over the scored relation would
+    shuffle the ENTIRE |vectors|x|queries| product into only |queries|
+    partitions — each query's full corpus scan landing on one task (ADVICE
+    r2). Instead, a map-side local top-k (bounded pandas heap per input
+    partition, same (score desc, id asc) total order as the final ranking,
+    so it keeps every row that could reach the global top-k) runs BEFORE
+    the window, and the merge shuffles only ≤ partitions·|queries|·k rows.
+    """
     scored = vectors.join(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
@@ -464,11 +473,27 @@ def knn_batch(
             cosine_similarity(F.col(vec_col), F.col(query_vec_col).cast("array<double>")), 6
         ).alias("score"),
     )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            both = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            both = both.sort_values(
+                [query_id_col, "score", id_col], ascending=[True, False, True]
+            )
+            best = both.groupby(query_id_col, sort=False).head(k)
+        if best is not None:
+            yield best
+
+    pruned = scored.mapInPandas(_local_topk, schema=scored.schema)
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col).asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

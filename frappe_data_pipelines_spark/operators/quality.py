@@ -175,8 +175,15 @@ def gopher_repetition_metrics(
 def rate_threshold_hex(rate: float) -> str:
     """8-hex-digit threshold such that P[md5_prefix < threshold] = rate.
     String comparison of fixed-width lowercase hex == numeric comparison,
-    so the oracle can mirror it without hex→int conversion."""
-    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+    so the oracle can mirror it without hex→int conversion.
+
+    ``rate >= 1.0`` returns the sentinel ``"g"``: ``'g'`` sorts after every
+    lowercase-hex string (in Spark and DuckDB alike), so ``u < threshold``
+    keeps ALL rows — including the 2^-32-probability prefix ``"ffffffff"``
+    that a clamped hex threshold would silently drop (ADVICE r2)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 2**32), 0), "08x")
 
 
 def hash_bernoulli_sample(
@@ -221,16 +228,23 @@ def _mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
     partition, and MG with k counters retains every key whose local count
     exceeds n_p/k). Batches are pre-aggregated with pandas value_counts so
     the python loop runs over distinct keys, not rows. Each partition also
-    emits one sentinel row (key NULL, w = partition row count) so the
-    global N comes out of the same scan — no separate count() pass.
+    emits one sentinel row (key NULL, w = partition non-null row count) so
+    the global N comes out of the same scan — no separate count() pass.
+
+    NULL keys are excluded from BOTH the candidate counters and the row
+    total (ADVICE r2): a null-heavy column neither hides a reportable key
+    nor inflates the threshold denominator. "Heavy hitter" is therefore
+    defined over the non-null population, matching the pass-2 recount
+    whose isin() filter never matches NULL.
     """
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n = 0
         for pdf in batches:
-            n += len(pdf)
-            for key, w in pdf["k"].value_counts().items():
+            keys = pdf["k"].dropna()
+            n += len(keys)
+            for key, w in keys.value_counts().items():
                 counters[key] = counters.get(key, 0) + int(w)
             while len(counters) > k:
                 m = min(counters.values())

@@ -60,8 +60,26 @@ class TestHashSample:
     def test_threshold_hex(self):
         assert rate_threshold_hex(0.0) == "00000000"
         assert rate_threshold_hex(0.5) == "80000000"
-        assert rate_threshold_hex(1.0) == "ffffffff"
+        # rate >= 1.0 -> sentinel above every hex string, so u < t keeps all
+        assert rate_threshold_hex(1.0) == "g"
+        assert "ffffffff" < rate_threshold_hex(1.0)
         assert len(rate_threshold_hex(0.123)) == 8
+
+    def test_rate_one_keeps_everything(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        out = hash_bernoulli_sample(df, "doc_id", {}, default_rate=1.0)
+        assert out.count() == 1000
+
+    def test_rate_one_stratum(self, spark):
+        df = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+        out = hash_bernoulli_sample(
+            df, "doc_id", {"en": 1.0}, strata_col="lang", default_rate=0.0
+        )
+        got = out.groupBy("lang").count().collect()
+        assert {r["lang"]: r["count"] for r in got} == {"en": 200}
 
     def test_deterministic_and_stratified(self, spark):
         df = spark.range(2000).select(
@@ -118,3 +136,13 @@ class TestHeavyHitters:
         df = spark.range(100).select((F.col("id") % 3).alias("key"))
         out = misra_gries_heavy_hitters(df, "key", threshold_frac=0.2)
         assert {r["key"] for r in out.collect()} == {"0", "1", "2"}
+
+    def test_null_keys_excluded_from_denominator(self, spark):
+        # 60 'hot' rows, 40 distinct tail keys, 900 NULLs. Over the non-null
+        # population (100 rows) 'hot' is 60% — reportable at 30%. If NULLs
+        # leaked into the denominator (1000 rows) it would be 6% and hidden.
+        rows = [("hot",)] * 60 + [(f"t{j}",) for j in range(40)] + [(None,)] * 900
+        df = spark.createDataFrame(rows, "key string").repartition(8)
+        got = {(r["key"], r["cnt"]) for r in
+               misra_gries_heavy_hitters(df, "key", threshold_frac=0.3).collect()}
+        assert got == {("hot", 60)}
