@@ -33,11 +33,19 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Filters applied by callers push down into this scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
-    convert to a microsecond timestamp (floor-truncation — identical to how
-    DuckDB coerces nanos to its micro-resolution TIMESTAMP, so oracle hashes
-    agree)."""
+    ``events.ts`` has shipped under two physical types across testdata
+    generations, both normalized here so every downstream operator sees one
+    canonical ``timestamp`` (LTZ) column:
+
+    * TIMESTAMP(NANOS) — with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      surfaces as a long we convert to a microsecond timestamp
+      (floor-truncation — identical to how DuckDB coerces nanos to its
+      micro-resolution TIMESTAMP, so oracle hashes agree).
+    * ``timestamp[us]`` with no timezone — pyspark reads it as
+      TIMESTAMP_NTZ, which rejects LTZ-only expressions (``unix_micros``,
+      ``withWatermark``, cast-to-long). The session timezone is pinned UTC
+      (session.py), so an NTZ→LTZ cast is value-identical and DuckDB oracle
+      hashes agree."""
     if name == "events":
         # runtime-settable session conf — the caller's session (e.g. the
         # driver's) may not have it; without it the scan rejects TIMESTAMP(NANOS)
@@ -51,6 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV: ns values exceed double's 2^53 mantissa, so `/`
             # followed by floor() would round — DIV stays exact in int64
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # session tz is pinned UTC, so this cast is value-identical; it
+            # restores the LTZ type that event-time operators require
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
