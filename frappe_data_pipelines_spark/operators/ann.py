@@ -466,12 +466,22 @@ def knn_batch(
     so it keeps every row that could reach the global top-k) runs BEFORE
     the window, and the merge shuffles only ≤ partitions·|queries|·k rows.
     """
-    scored = vectors.join(F.broadcast(queries)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            cosine_similarity(F.col(vec_col), F.col(query_vec_col).cast("array<double>")), 6
-        ).alias("score"),
+    scored = (
+        vectors.join(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col).cast("array<double>")), 6
+            ).alias("score"),
+        )
+        # NaN scores (an embedding containing NaN) would rank FIRST under
+        # Spark's DESC (NaN = largest double) but LAST under pandas
+        # sort_values — the local prune would drop a row the global window
+        # ranks top. Null scores (zero vectors via try_divide) carry no
+        # ranking signal either. Exclude both so the pruned path is
+        # rank-identical to a naive single-window implementation.
+        .where(F.col("score").isNotNull() & ~F.isnan("score"))
     )
 
     def _local_topk(batches):
@@ -483,7 +493,10 @@ def knn_batch(
             both = both.sort_values(
                 [query_id_col, "score", id_col], ascending=[True, False, True]
             )
-            best = both.groupby(query_id_col, sort=False).head(k)
+            # dropna=False: a null query id is a legal (if odd) key — the
+            # final Window.partitionBy keeps NULL as its own partition, so
+            # the local prune must too or that query returns no rows
+            best = both.groupby(query_id_col, sort=False, dropna=False).head(k)
         if best is not None:
             yield best
 

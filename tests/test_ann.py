@@ -188,6 +188,39 @@ def test_knn_batch_matches_per_query(spark, sf_dir):
         assert sorted(by_q[qid]) == sorted(expect), f"query {qid} diverged"
 
 
+def test_knn_batch_nan_embedding_excluded(spark, sf_dir):
+    """A corpus row whose embedding contains NaN must not appear in any
+    query's top-k (Spark DESC ranks NaN as the largest double; the batched
+    path excludes NaN scores so pruned and naive rankings agree)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(50)
+    dim = len(emb.first()["embedding"])
+    poisoned = emb.unionByName(
+        emb.sparkSession.createDataFrame(
+            [(999_999, [float("nan")] * dim)], "vec_id long, embedding array<float>"
+        )
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.knn_batch(poisoned, qdf, k=5).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] != 999_999 for r in got)
+    assert all(r["score"] == r["score"] for r in got)  # no NaN survives
+
+
+def test_knn_batch_null_query_id_kept(spark, sf_dir):
+    """A null query id is still a partition key: it must come back with its
+    own top-k, not be silently dropped by the map-side prune."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    qv = list(emb.first()["embedding"])
+    qdf = emb.sparkSession.createDataFrame(
+        [(None, qv)], "query_id long, query_vec array<float>"
+    )
+    got = ann.knn_batch(emb, qdf, k=5).collect()
+    assert len(got) == 5
+    assert all(r["query_id"] is None for r in got)
+
+
 def test_pq_write_read_roundtrip(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
