@@ -689,7 +689,11 @@ def hnsw_partition_search(
     broadcast. L2-normalized → euclidean ranking equals cosine ranking."""
     import pandas as pd
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    from .guards import MAX_BATCH_QUERIES, collect_bounded
+
+    qrows = collect_bounded(
+        queries.select(query_id_col, query_vec_col), MAX_BATCH_QUERIES, "HNSW query batch"
+    )
     qids = [r[query_id_col] for r in qrows]
     Q = np.array([list(map(float, r[query_vec_col])) for r in qrows], dtype=np.float64)
     nrm = np.linalg.norm(Q, axis=1, keepdims=True)

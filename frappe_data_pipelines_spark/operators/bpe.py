@@ -104,7 +104,12 @@ def pretoken_frequencies(
         .orderBy(F.col("count").desc(), F.col("pt"))
         .limit(max_pretokens)
     )
-    return [(r["pt"], int(r["count"])) for r in freq.collect()]
+    from .guards import collect_bounded
+
+    # bounded by construction (limit above) — the guard documents and
+    # enforces the contract if the limit is ever refactored away
+    rows = collect_bounded(freq, max_pretokens, "BPE pretoken histogram")
+    return [(r["pt"], int(r["count"])) for r in rows]
 
 
 def train_bpe(freqs: list[tuple[str, int]], n_merges: int = 256) -> list[tuple[str, str]]:

@@ -1,0 +1,39 @@
+"""Driver-side collect guards.
+
+Several operators collect a DataFrame that is small BY CONTRACT (rerank
+candidates, Misra-Gries summaries, BPE pretoken histograms, batched ANN
+query sets). On a 1000-executor cluster a miscalled operator — e.g.
+``rerank`` handed the whole corpus instead of an overfetched top-k —
+would OOM the driver long before any error surfaced. ``collect_bounded``
+makes misuse fail loudly and cheaply: it collects at most ``cap + 1``
+rows (the extra row is the tripwire), so the driver never materializes
+more than the contract regardless of the input's true size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Contract caps for the known small-by-contract collects. Deliberately
+# generous — they exist to catch "collected the corpus", not to tune.
+MAX_RERANK_CANDIDATES = 10_000
+MAX_SKETCH_SUMMARY_ROWS = 1_000_000
+MAX_BATCH_QUERIES = 100_000
+
+
+def collect_bounded(df: DataFrame, cap: int, what: str) -> list:
+    """Collect ``df``, raising if it holds more than ``cap`` rows.
+
+    Ships ``limit(cap + 1)`` to the cluster so the violation is detected
+    after transferring at most one row past the cap — never the full
+    oversized result. Row order of the first ``cap`` rows is preserved
+    (an ``orderBy`` upstream of ``limit`` stays a TakeOrdered plan).
+    """
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: driver-side collect exceeded its small-by-contract cap "
+            f"({cap} rows) — the input is not the small side this operator "
+            f"requires; at scale this collect would OOM the driver"
+        )
+    return rows

@@ -278,7 +278,11 @@ def misra_gries_heavy_hitters(
     groupBy+HAVING expensive.
     """
     k = max(int(k_multiplier / threshold_frac), 16)
-    rows = _mg_summaries(df, key_col, k).collect()
+    from .guards import MAX_SKETCH_SUMMARY_ROWS, collect_bounded
+
+    rows = collect_bounded(
+        _mg_summaries(df, key_col, k), MAX_SKETCH_SUMMARY_ROWS, "Misra-Gries summaries"
+    )
     total = sum(r["w"] for r in rows if r["k"] is None)
     cands = sorted({r["k"] for r in rows if r["k"] is not None})
     cutoff = int(total * threshold_frac)

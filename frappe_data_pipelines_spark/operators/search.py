@@ -245,7 +245,13 @@ def rerank_with_provider(
     so the provider call happens driver-side on collected rows, exactly like
     the reference's HTTP rerank; the result is returned as a DataFrame for
     further composition."""
-    rows = candidates.orderBy(F.desc(score_col), F.col(id_col).asc()).collect()
+    from .guards import MAX_RERANK_CANDIDATES, collect_bounded
+
+    rows = collect_bounded(
+        candidates.orderBy(F.desc(score_col), F.col(id_col).asc()),
+        MAX_RERANK_CANDIDATES,
+        "rerank candidates",
+    )
     sess = candidates.sparkSession
     try:
         scores = provider.rerank(query_text, [r[text_col] for r in rows])
