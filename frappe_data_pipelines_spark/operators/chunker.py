@@ -129,7 +129,11 @@ def recursive_character_split(
 
     if not text or not text.strip():
         return []
-    return [c.strip() for c in _split(text, separators) if c.strip()]
+    # exact published semantics: merge-path chunks are stripped inside
+    # _join_docs (strip_whitespace=True) and empty ones dropped there; a
+    # raw-appended oversized piece (reachable only when the separator
+    # ladder lacks "") is returned UNstripped, as the library does
+    return _split(text, separators)
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,9 @@ class TestBoundaryCases:
         assert out == ["第一句. 第二句", ". 第三句. 第四句", "."]
 
     def test_chunk_size_smaller_than_separator(self):
-        # degenerate: chunk_size 1 with 2-char separators still terminates
+        # degenerate: chunk_size 1 with 2-char separators still terminates.
+        # Exact published semantics: a 1-char split is NOT < chunk_size, so
+        # every char raw-appends unstripped — newlines included, and the
+        # concatenation reproduces the input losslessly.
         out = recursive_character_split("ab\n\ncd", chunk_size=1, chunk_overlap=0)
-        assert out and all(c.strip() for c in out)
+        assert out == ["a", "b", "\n", "\n", "c", "d"]

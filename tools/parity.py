@@ -2,7 +2,12 @@
 catalog query on Spark AND its DuckDB oracle, compare row count, column
 names, and order-insensitive values.
 
-Usage: python tools/parity.py [sf_dir] [query ...]
+Usage: python tools/parity.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the FULL per-query result (status, rows, seconds,
+failure detail) as one JSON object — the per-round artifact that closes
+the driver-sample coverage hole (VERDICT r3 #4: the driver hashes a
+50-query sample; this file records all ~141 oracled queries every round).
 """
 
 from __future__ import annotations
@@ -33,9 +38,10 @@ def df_to_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def run_parity(sf_dir: str, only=None, spark=None, echo=print):
+def run_parity(sf_dir: str, only=None, spark=None, echo=print, results=None):
     """Run the gate; returns (n_pass, n_fail, n_rows_only, failures list).
-    Importable so the pytest suite carries the same check as the driver."""
+    Importable so the pytest suite carries the same check as the driver.
+    Pass a dict as ``results`` to receive a per-query record."""
     only = set(only or ())
 
     from frappe_data_pipelines_spark.plans.catalog import REGISTRY, queries
@@ -63,10 +69,15 @@ def run_parity(sf_dir: str, only=None, spark=None, echo=print):
         except Exception as e:  # noqa: BLE001
             echo(f"FAIL  {name}: spark error: {e}"); failures.append(name)
             n_fail += 1
+            if results is not None:
+                results[name] = {"status": "fail", "err": f"spark: {e}"[:500]}
             continue
         if spec.oracle is None:
-            echo(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            secs = round(time.time() - t0, 2)
+            echo(f"rows  {name}: {len(srows)} rows ({secs:.1f}s) [rows-only]")
             n_rows_only += 1
+            if results is not None:
+                results[name] = {"status": "rows_only", "rows": len(srows), "secs": secs}
             continue
         try:
             ddf = con.sql(spec.oracle)
@@ -75,6 +86,8 @@ def run_parity(sf_dir: str, only=None, spark=None, echo=print):
         except Exception as e:  # noqa: BLE001
             echo(f"FAIL  {name}: duckdb error: {e}"); failures.append(name)
             n_fail += 1
+            if results is not None:
+                results[name] = {"status": "fail", "err": f"duckdb: {e}"[:500]}
             continue
         ok = True
         msgs = []
@@ -95,19 +108,46 @@ def run_parity(sf_dir: str, only=None, spark=None, echo=print):
                     (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
+        secs = round(time.time() - t0, 2)
         if ok:
-            echo(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            echo(f"PASS  {name}: {len(srows)} rows ({secs:.1f}s)")
             n_pass += 1
+            if results is not None:
+                results[name] = {"status": "pass", "rows": len(srows), "secs": secs}
         else:
             echo(f"FAIL  {name}: {'; '.join(msgs)}"); failures.append(name)
             n_fail += 1
+            if results is not None:
+                results[name] = {"status": "fail", "err": "; ".join(msgs)[:500]}
     echo(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return n_pass, n_fail, n_rows_only, failures
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    _, n_fail, _, _ = run_parity(sf_dir, only=sys.argv[2:])
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    results: dict = {}
+    n_pass, n_fail, n_rows_only, _ = run_parity(
+        sf_dir, only=argv[1:], results=results
+    )
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
