@@ -310,12 +310,19 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="fdp_ingest_q_")
     inp, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
     try:
+        from frappe_data_pipelines_spark.sources.merge import MergeTable
+
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
         docs.coalesce(2).write.parquet(inp)
-        q = start_ingest_stream(spark, inp, out, ckpt)
+        # exactly_once: the chunk sink is the transactional MERGE tier
+        # (sources/merge.py) keyed on (doc_id, chunk_index) with txn dedup —
+        # the reference's Qdrant upsert contract (qdrant_service.py:86-115)
+        q = start_ingest_stream(
+            spark, inp, out, ckpt, exactly_once=True, txn_app_id="i1_i2_ingest"
+        )
         q.awaitTermination(180)
         jobs = spark.read.parquet(os.path.join(out, "jobs"))
-        chunks = spark.read.parquet(os.path.join(out, "chunks"))
+        chunks = MergeTable(os.path.join(out, "chunks")).read(spark)
         per_doc = (
             jobs.groupBy("source_doc_id")
             .agg(F.array_join(F.array_sort(F.collect_set("status")), ",").alias("states"))

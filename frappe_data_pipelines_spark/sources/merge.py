@@ -1,0 +1,276 @@
+"""Transactional MERGE tier for the idempotent sink (SURVEY I5).
+
+The reference's vector sink is a Qdrant upsert — same-id points overwrite
+(``fdp/services/qdrant_service.py:86-115``). Lakehouse engines express that
+as ``MERGE INTO`` on (doc_id, chunk_index). This container ships no
+delta-spark/iceberg JARs, so ``MergeTable`` implements the same contract
+from scratch on plain parquet with a Delta-style commit log:
+
+* **Hash-bucketed copy-on-write.** The table is bucketed by
+  ``pmod(xxhash64(key...), n_buckets)``. A merge rewrites ONLY the buckets
+  its new rows hash into — write amplification is |touched buckets| /
+  n_buckets of the table, not a full rewrite. At 100 TB with 4096 buckets a
+  typical micro-batch touches a few buckets; everything else is untouched
+  files. (This is the same file-pruning idea Delta gets from min/max stats;
+  bucketing makes it deterministic.)
+* **Atomic versioned commits.** Every merge writes new data dirs, then
+  publishes ``_log/<version>.json`` naming added/removed dirs. The publish
+  is an O_EXCL create — two concurrent writers race on the version number
+  and the loser retries (optimistic concurrency, as Delta). Readers replay
+  the log, so they always see a complete version — never a half-written
+  table.
+* **Txn replay dedup.** ``merge(..., app_id=, batch_id=)`` records the
+  latest batch id per app in the commit. A re-delivered ``foreachBatch``
+  (same app, batch_id <= last committed) is skipped entirely — the
+  exactly-once guarantee holds even when the batch content is
+  nondeterministic (e.g. ``current_timestamp`` columns), which keyed
+  overwrite alone cannot promise. Same semantics as Delta's
+  ``txnAppId``/``txnVersion``.
+* **Time travel + VACUUM.** ``read(version=N)`` reconstructs any committed
+  snapshot; ``vacuum(retain_versions)`` deletes data dirs no recent
+  snapshot references.
+
+If a Delta runtime IS on the classpath, ``merge_into`` dispatches to a real
+``DeltaTable.merge`` instead — call sites don't change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in this container
+    from delta.tables import DeltaTable  # noqa: F401
+
+    HAS_DELTA = True
+except Exception:  # noqa: BLE001
+    HAS_DELTA = False
+
+_BUCKET = "__bucket"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a conflicting version; retry the merge."""
+
+
+class MergeTable:
+    """A keyed MERGE (upsert) table on plain parquet with a commit log."""
+
+    def __init__(self, path: str, key_cols: list[str] | None = None, n_buckets: int = 16):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.files_dir = os.path.join(path, "files")
+        meta_path = os.path.join(self.log_dir, "_table.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.key_cols = meta["key_cols"]
+            self.n_buckets = meta["n_buckets"]
+            if key_cols is not None and list(key_cols) != self.key_cols:
+                raise ValueError(
+                    f"table at {path} is keyed on {self.key_cols}, not {key_cols}"
+                )
+        else:
+            if key_cols is None:
+                raise ValueError("key_cols required to create a new MergeTable")
+            self.key_cols = list(key_cols)
+            self.n_buckets = n_buckets
+            os.makedirs(self.log_dir, exist_ok=True)
+            os.makedirs(self.files_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                json.dump({"key_cols": self.key_cols, "n_buckets": n_buckets}, f)
+
+    # ---------------------------------------------------------------- log
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _entry(self, v: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _snapshot(self, version: int | None = None) -> tuple[dict[int, list[str]], dict[str, int]]:
+        """Replay the log → (bucket -> live dirs, app_id -> last batch_id)."""
+        state: dict[int, list[str]] = {}
+        txns: dict[str, int] = {}
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            e = self._entry(v)
+            removes = set(e.get("removes", []))
+            for b in list(state):
+                state[b] = [d for d in state[b] if d not in removes]
+            for b_str, d in e.get("adds", {}).items():
+                state.setdefault(int(b_str), []).append(d)
+            t = e.get("txn")
+            if t and t.get("app_id") is not None:
+                prev = txns.get(t["app_id"])
+                if prev is None or t["batch_id"] > prev:
+                    txns[t["app_id"]] = t["batch_id"]
+        return state, txns
+
+    def _commit(self, version: int, entry: dict) -> None:
+        """O_EXCL publish — the atomicity point of the whole merge."""
+        final = os.path.join(self.log_dir, f"{version:08d}.json")
+        fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(entry).encode())
+        finally:
+            os.close(fd)
+
+    # -------------------------------------------------------------- bucket
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets))
+
+    # --------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        new_rows: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        max_retries: int = 3,
+    ) -> bool:
+        """MERGE: matched keys update (last-writer-wins), unmatched insert.
+
+        Returns False without touching the table when (app_id, batch_id)
+        was already committed — the replayed-micro-batch no-op.
+        """
+        spark = new_rows.sparkSession
+        for attempt in range(max_retries):
+            state, txns = self._snapshot()
+            if app_id is not None and batch_id is not None:
+                last = txns.get(app_id)
+                if last is not None and batch_id <= last:
+                    return False  # replay of an already-committed batch
+
+            staged = new_rows.withColumn(_BUCKET, self._bucket_col())
+            # touched buckets: tiny by construction (<= n_buckets ints)
+            touched = sorted(
+                r[_BUCKET] for r in staged.select(_BUCKET).distinct().collect()
+            )
+            old_dirs = [d for b in touched for d in state.get(b, [])]
+            if old_dirs:
+                existing = spark.read.parquet(
+                    *[os.path.join(self.files_dir, d) for d in old_dirs]
+                )
+                cols = existing.columns
+                keys = staged.select(*self.key_cols).distinct()
+                # eqNullSafe: a NULL key must match itself (plain = would
+                # keep the old null-keyed row and duplicate it)
+                cond = None
+                for k in self.key_cols:
+                    c = existing[k].eqNullSafe(keys[k])
+                    cond = c if cond is None else (cond & c)
+                kept = (
+                    existing.join(keys, cond, "left_anti")
+                    .withColumn(_BUCKET, self._bucket_col())
+                )
+                merged = kept.unionByName(staged.select(*cols, _BUCKET))
+            else:
+                merged = staged
+            vdir = f"v{uuid.uuid4().hex[:12]}"
+            merged.write.partitionBy(_BUCKET).parquet(os.path.join(self.files_dir, vdir))
+            adds = {
+                str(b): f"{vdir}/{_BUCKET}={b}"
+                for b in touched
+                if os.path.isdir(os.path.join(self.files_dir, vdir, f"{_BUCKET}={b}"))
+            }
+            entry = {
+                "adds": adds,
+                "removes": old_dirs,
+                "txn": {"app_id": app_id, "batch_id": batch_id},
+                "ts": time.time(),
+            }
+            versions = self._versions()
+            next_v = (versions[-1] + 1) if versions else 0
+            try:
+                self._commit(next_v, entry)
+                return True
+            except FileExistsError:
+                # a concurrent writer won this version — if it touched any of
+                # our buckets the snapshot we merged against is stale: redo
+                # the merge (next loop re-reads the log); our orphaned data
+                # dir is reclaimed by vacuum()
+                continue
+        raise ConcurrentCommitError(
+            f"merge lost the commit race {max_retries} times at {self.path}"
+        )
+
+    # ---------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read (latest, or time-travel to ``version``). The
+        ``__bucket`` partition column stays internal — passing each bucket
+        dir as its own root means no partition discovery surfaces it."""
+        state, _ = self._snapshot(version)
+        dirs = [os.path.join(self.files_dir, d) for ds in state.values() for d in ds]
+        if not dirs:
+            raise ValueError(f"MergeTable at {self.path} is empty")
+        return spark.read.parquet(*dirs)
+
+    def history(self) -> list[dict]:
+        return [dict(self._entry(v), version=v) for v in self._versions()]
+
+    # -------------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_versions: int = 2) -> int:
+        """Delete data dirs referenced by NO snapshot in the last
+        ``retain_versions`` versions (nor any uncommitted orphan). Returns
+        the number of version-dirs removed."""
+        versions = self._versions()
+        keep = versions[-retain_versions:] if versions else []
+        live: set[str] = set()
+        for v in keep:
+            state, _ = self._snapshot(v)
+            for ds in state.values():
+                live.update(d.split("/", 1)[0] for d in ds)
+        removed = 0
+        for d in os.listdir(self.files_dir):
+            if d not in live:
+                shutil.rmtree(os.path.join(self.files_dir, d), ignore_errors=True)
+                removed += 1
+        return removed
+
+
+def merge_into(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key_cols: list[str],
+    app_id: str | None = None,
+    batch_id: int | None = None,
+    n_buckets: int = 16,
+) -> bool:
+    """Dispatch: real Delta MERGE when a Delta runtime is present, else the
+    log-backed ``MergeTable``. One call site for both deployments."""
+    if HAS_DELTA:  # pragma: no cover - no delta runtime in this container
+        from delta.tables import DeltaTable
+
+        if DeltaTable.isDeltaTable(spark, path):
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            (
+                DeltaTable.forPath(spark, path).alias("t")
+                .merge(new_rows.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            new_rows.write.format("delta").save(path)
+        return True
+    return MergeTable(path, key_cols, n_buckets=n_buckets).merge(
+        new_rows, app_id=app_id, batch_id=batch_id
+    )

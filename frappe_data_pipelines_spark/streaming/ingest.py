@@ -15,9 +15,10 @@ Reference behavior preserved:
     qdrant_service.py:109-113)
   * I6 progress telemetry: per-batch counts appended to a metrics table
 
-Sinks are parquet-append here (the container has no Delta); on a Delta
-deployment the ``foreachBatch`` body becomes two MERGE statements keyed on
-(doc_id, chunk_index) / (source_doc_id) giving exactly-once upserts.
+The default chunk sink is parquet-append; ``exactly_once=True`` routes it
+through ``sources/merge.py`` — a log-backed MERGE keyed on
+(doc_id, chunk_index) with optional (app_id, batch_id) txn replay dedup,
+dispatching to a real Delta ``MERGE`` when that runtime is present.
 """
 
 from __future__ import annotations
@@ -44,6 +45,7 @@ def start_ingest_stream(
     max_files_per_trigger: int = 4,
     exactly_once: bool = False,
     available_now: bool = True,
+    txn_app_id: str | None = None,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -96,14 +98,20 @@ def start_ingest_stream(
         embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)
         embedded = embedded.withColumn("batch_id", F.lit(batch_id)).persist()
         if exactly_once:
-            # I5 exactly-once even across checkpoint loss: the chunk sink is
-            # a MERGE keyed on (doc_id, chunk_index) — re-delivered batches
-            # overwrite their own keys instead of appending duplicates
-            # (Delta deployment: MERGE; here sources/maintenance.upsert_parquet)
-            from frappe_data_pipelines_spark.sources.maintenance import upsert_parquet
+            # I5 exactly-once: the chunk sink is a MERGE keyed on
+            # (doc_id, chunk_index) — re-delivered batches overwrite their
+            # own keys instead of appending duplicates, surviving even
+            # checkpoint loss. With txn_app_id set, (app_id, batch_id) txn
+            # dedup additionally makes a replayed micro-batch a full no-op
+            # (Delta txnAppId/txnVersion semantics) — exactly-once holds
+            # even for nondeterministic batch content, at the documented
+            # cost that batch ids must keep ascending across restarts.
+            from frappe_data_pipelines_spark.sources.merge import merge_into
 
-            upsert_parquet(
-                batch_df.sparkSession, embedded, chunks_dir, ["doc_id", "chunk_index"]
+            merge_into(
+                batch_df.sparkSession, embedded, chunks_dir,
+                ["doc_id", "chunk_index"],
+                app_id=txn_app_id, batch_id=batch_id,
             )
         else:
             embedded.write.mode("append").parquet(chunks_dir)

@@ -1,0 +1,119 @@
+"""MergeTable: log-backed MERGE with txn replay dedup (SURVEY I5,
+VERDICT r3 #3 — crash-replay must yield identical table state)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.sources.merge import MergeTable, merge_into
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, chunk_index long, payload string")
+
+
+def test_merge_insert_then_update(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=4)
+    t.merge(_df(spark, [(1, 0, "a"), (1, 1, "b"), (2, 0, "c")]))
+    assert t.read(spark).count() == 3
+    # matched keys update, unmatched insert — one call, both behaviors
+    t.merge(_df(spark, [(1, 1, "B2"), (3, 0, "d")]))
+    got = {(r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()}
+    assert got == {(1, 0): "a", (1, 1): "B2", (2, 0): "c", (3, 0): "d"}
+
+
+def test_merge_partial_bucket_rewrite(spark, tmp_path):
+    """COW touches only the buckets the batch hashes into: dirs belonging to
+    untouched buckets survive across a merge (bounded write amplification —
+    the property that matters at 100 TB)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=8)
+    t.merge(_df(spark, [(i, 0, f"p{i}") for i in range(40)]))
+    state1, _ = t._snapshot()
+    t.merge(_df(spark, [(1, 0, "updated")]))
+    state2, _ = t._snapshot()
+    touched = {
+        b for b in state1 if state1.get(b) != state2.get(b)
+    }
+    assert len(touched) == 1  # a single-key batch rewrites exactly one bucket
+    untouched_dirs = {d for b, ds in state1.items() for d in ds if b not in touched}
+    live_dirs = {d for ds in state2.values() for d in ds}
+    assert untouched_dirs <= live_dirs
+
+
+def test_txn_replay_is_noop_even_with_nondeterministic_content(spark, tmp_path):
+    """Crash-replay: the same (app_id, batch_id) delivered twice — with
+    DIFFERENT content the second time (what a nondeterministic transform
+    would produce on replay) — leaves the table byte-identical."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=4)
+    assert t.merge(_df(spark, [(1, 0, "v1")]), app_id="ingest", batch_id=0) is True
+    before = sorted(map(tuple, t.read(spark).collect()))
+    n_versions = len(t._versions())
+    # replay with mutated content must be skipped outright
+    assert t.merge(_df(spark, [(1, 0, "MUTATED")]), app_id="ingest", batch_id=0) is False
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert len(t._versions()) == n_versions  # no new commit either
+    # an EARLIER batch id replayed late is also a no-op (Delta txnVersion)
+    assert t.merge(_df(spark, [(9, 9, "x")]), app_id="ingest", batch_id=-1) is False
+    # the next real batch goes through
+    assert t.merge(_df(spark, [(1, 1, "v2")]), app_id="ingest", batch_id=1) is True
+    assert t.read(spark).count() == 2
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    t.merge(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(1, 0, "b")]))
+    assert t.read(spark, version=0).first().payload == "a"
+    assert t.read(spark, version=1).first().payload == "b"
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1]
+
+
+def test_vacuum_reclaims_dead_and_orphan_dirs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    t.merge(_df(spark, [(1, 0, "a"), (2, 0, "b")]))
+    for i in range(3):
+        t.merge(_df(spark, [(1, 0, f"u{i}")]))
+    # plant an uncommitted orphan (a crashed writer's data dir)
+    os.makedirs(os.path.join(path, "files", "vdeadbeef0000"))
+    removed = t.vacuum(retain_versions=1)
+    assert removed >= 1
+    assert not os.path.exists(os.path.join(path, "files", "vdeadbeef0000"))
+    # table still reads correctly at head after vacuum
+    got = {(r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()}
+    assert got == {(1, 0): "u2", (2, 0): "b"}
+    # time travel beyond the retention horizon is gone (dirs deleted)
+    with pytest.raises(Exception):
+        t.read(spark, version=0).collect()
+
+
+def test_key_schema_pinned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    MergeTable(path, ["doc_id", "chunk_index"]).merge(_df(spark, [(1, 0, "a")]))
+    with pytest.raises(ValueError, match="keyed on"):
+        MergeTable(path, ["doc_id"])
+
+
+def test_merge_into_dispatch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    assert merge_into(spark, _df(spark, [(1, 0, "a")]), path, ["doc_id", "chunk_index"]) is True
+    assert MergeTable(path).read(spark).count() == 1
+
+
+def test_null_keys_merge_as_their_own_key(spark, tmp_path):
+    """xxhash64 treats NULL as a stable value, so a null-keyed row upserts
+    itself like any other key instead of duplicating."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=4)
+    t.merge(_df(spark, [(None, 0, "a")]))
+    t.merge(_df(spark, [(None, 0, "b")]))
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0].payload == "b"

@@ -276,6 +276,8 @@ def test_stateful_dedup_ttl_plan_builds(spark, sf_dir, stream_dirs):
 def test_exactly_once_survives_checkpoint_loss(spark, sf_dir, stream_dirs):
     """I5 hard case: losing the checkpoint re-delivers everything; the
     append sink duplicates, the upsert (exactly_once) sink does not."""
+    from frappe_data_pipelines_spark.sources.merge import MergeTable
+
     n = _feed(spark, sf_dir, stream_dirs["input"], limit=15)
     q = start_ingest_stream(
         spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"],
@@ -283,7 +285,8 @@ def test_exactly_once_survives_checkpoint_loss(spark, sf_dir, stream_dirs):
     )
     q.awaitTermination(120)
     chunks_dir = os.path.join(stream_dirs["output"], "chunks")
-    n1 = spark.read.parquet(chunks_dir).count()
+    table = MergeTable(chunks_dir, ["doc_id", "chunk_index"])
+    n1 = table.read(spark).count()
 
     shutil.rmtree(stream_dirs["checkpoint"])  # simulate checkpoint loss
     q = start_ingest_stream(
@@ -291,7 +294,7 @@ def test_exactly_once_survives_checkpoint_loss(spark, sf_dir, stream_dirs):
         exactly_once=True,
     )
     q.awaitTermination(120)
-    out = spark.read.parquet(chunks_dir)
+    out = table.read(spark)
     assert out.count() == n1  # no duplicates despite full re-delivery
     assert out.groupBy("doc_id", "chunk_index").count().filter(F.col("count") > 1).count() == 0
     assert out.select("doc_id").distinct().count() == n
