@@ -57,6 +57,112 @@ def _stub_docx(payload: bytes) -> str:
     return f"[docx:{len(payload)} bytes]"
 
 
+# ---------------------------------------------------------------------------
+# Real kernels (A3/A5) — stdlib-only, no external parser wheels.
+#
+# The reference's A3 runs pdfplumber (text_extraction.py:63-75) and A5 runs
+# python-docx (:94-101). Neither wheel exists in this container, so these
+# kernels parse the formats directly:
+#   * DOCX is a zip of OOXML — zipfile + xml.etree cover the full
+#     paragraph/run/tab/break text model python-docx exposes.
+#   * PDF: a minimal object/stream parser — FlateDecode via zlib, then the
+#     text-showing operators (Tj / TJ / ' / ") from each content stream in
+#     document order. Covers single-byte-encoded (WinAnsi/ASCII) text PDFs;
+#     CID/Type0 font cmaps are out of scope (documented), and any parse
+#     failure falls back to the deterministic stub, so the operator never
+#     hard-fails on exotic input.
+# ---------------------------------------------------------------------------
+
+_DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def docx_extract_text(payload: bytes) -> str:
+    """A5 real kernel: paragraphs from word/document.xml, runs concatenated,
+    w:tab → TAB, w:br → newline; paragraphs joined with newline (the same
+    text model ``"\\n".join(p.text ...)`` yields under python-docx)."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter(f"{_DOCX_W}p"):
+        parts: list[str] = []
+        for node in p.iter():
+            if node.tag == f"{_DOCX_W}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_DOCX_W}tab":
+                parts.append("\t")
+            elif node.tag == f"{_DOCX_W}br":
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+_PDF_STREAM_RE = None  # compiled lazily on executors
+_PDF_TEXT_OP_RE = None
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> bytes:
+    import re as _re
+
+    def sub(m):
+        e = m.group(1)
+        if e[:1].isdigit():
+            return bytes([int(e, 8) & 0xFF])
+        return _PDF_ESCAPES.get(e, e)
+
+    return _re.sub(rb"\\([0-7]{1,3}|.)", sub, raw)
+
+
+def pdf_extract_text(payload: bytes) -> str:
+    """A3 real kernel: decompress content streams, emit the strings shown by
+    Tj / ' / " and TJ-array operators in stream order — one line per showing
+    op, streams joined with a blank line (pdfplumber's page join)."""
+    global _PDF_STREAM_RE, _PDF_TEXT_OP_RE
+    import re as _re
+    import zlib
+
+    if _PDF_STREAM_RE is None:
+        _PDF_STREAM_RE = _re.compile(
+            rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", _re.DOTALL
+        )
+        _PDF_TEXT_OP_RE = _re.compile(
+            rb"(?:\(((?:\\.|[^\\()])*)\)\s*(?:Tj|'|\")"  # literal-string ops
+            rb"|\[((?:\\.|[^\]])*)\]\s*TJ)",  # array op
+            _re.DOTALL,
+        )
+    pages: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(payload):
+        meta, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in meta:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        if b"BT" not in data:
+            continue  # not a text content stream (image XObject, fonts, ...)
+        lines: list[str] = []
+        for op in _PDF_TEXT_OP_RE.finditer(data):
+            if op.group(1) is not None:
+                lines.append(_pdf_unescape(op.group(1)).decode("latin-1"))
+            else:
+                inner = _re.findall(rb"\(((?:\\.|[^\\()])*)\)", op.group(2))
+                lines.append(
+                    "".join(_pdf_unescape(s).decode("latin-1") for s in inner)
+                )
+        if lines:
+            pages.append("\n".join(lines))
+    if not pages:
+        raise ValueError("no text content streams found")
+    return "\n\n".join(pages)
+
+
 def _stub_ocr(payload: bytes) -> tuple[str, float]:
     """A8/A9 stand-in: returns (text, confidence); the pytesseract fallback
     fixes confidence at 0.5 (ocr_service.py:162-187) — mirrored here."""
@@ -73,13 +179,19 @@ def extract_text(
     path_col: str = "path",
     content_col: str = "content",
     enabled_extensions: list[str] | None = None,
+    real_kernels: bool = False,
 ) -> DataFrame:
     """A2 extension-dispatch extraction over a binary source.
 
     The dispatch itself happens inside the pandas batch loop (one Python pass
     regardless of format mix); the B1 enabled-type gate is a pushed-down
     column filter BEFORE the Python boundary so disabled rows never cross
-    Arrow."""
+    Arrow.
+
+    ``real_kernels=True`` runs the stdlib PDF/DOCX parsers above (method
+    ``pdf-mini`` / ``docx-xml``), falling back per-row to the deterministic
+    stub on any parse failure — the operator's output stays total. The
+    default stays ``False`` so synthetic-corpus oracles remain stable."""
     enabled = [e for e in (enabled_extensions or SUPPORTED_EXTENSIONS) if e in SUPPORTED_EXTENSIONS]
     narrow = binary_df.select(
         F.col(path_col).alias("path"),
@@ -99,8 +211,18 @@ def extract_text(
                     text, method = decode_text_with_fallback(payload)
                 elif ext == "pdf":
                     text, method = _stub_pdf(payload), "pdf-stub"
+                    if real_kernels:
+                        try:
+                            text, method = pdf_extract_text(payload), "pdf-mini"
+                        except Exception:  # noqa: BLE001 — per-row fallback
+                            pass
                 elif ext == "docx":
                     text, method = _stub_docx(payload), "docx-stub"
+                    if real_kernels:
+                        try:
+                            text, method = docx_extract_text(payload), "docx-xml"
+                        except Exception:  # noqa: BLE001
+                            pass
                 else:  # images → OCR stub (vision branch would append J3 output)
                     text, conf = _stub_ocr(payload)
                     method = "ocr-stub"

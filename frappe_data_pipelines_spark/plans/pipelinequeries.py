@@ -293,6 +293,47 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(binary).select("path", "ext", "text", "method", "confidence")
 
 
+@register(
+    "a3_a5_real_kernel_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/fixtures/sample.pdf', 'pdf',
+       'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
+        || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
+       'pdf-mini', 1.0),
+      ('/fixtures/sample.docx', 'docx',
+       'Quarterly Report' || chr(10) || 'Revenue:' || chr(9) || '42 units'
+        || chr(10) || 'Café notes — 日本語 line one' || chr(10) || 'after the break',
+       'docx-xml', 1.0)
+    ) AS t(path, ext, text, method, confidence)
+    """,
+    tags=("A3", "A5", "A2"),
+)
+def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A5 REAL kernels on checked-in fixture bytes (VERDICT r3 #6): the
+    stdlib PDF parser (FlateDecode + Tj/TJ/escape/octal handling) and the
+    OOXML DOCX parser (paragraph/run/tab/break model) run through the same
+    A2 dispatch as the stubs; the oracle pins the exact decoded text.
+    Reference kernels: pdfplumber (text_extraction.py:63-75), python-docx
+    (text_extraction.py:94-101)."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import extract_text
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "fixtures",
+    )
+    rows = []
+    for name in ("sample.pdf", "sample.docx"):
+        with open(os.path.join(fixtures, name), "rb") as f:
+            rows.append((f"/fixtures/{name}", bytearray(f.read())))
+    binary = spark.createDataFrame(rows, "path string, content binary")
+    return extract_text(binary, real_kernels=True).select(
+        "path", "ext", "text", "method", "confidence"
+    )
+
+
 @register("i1_i2_ingest_snapshot", tags=("A1", "I1", "I2", "I5", "I6", "A13", "A14", "rows-only"))
 def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1/I2 event-driven ingest driven end-to-end (reference: hooks.py:28-33,
