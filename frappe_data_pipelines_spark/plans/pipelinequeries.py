@@ -373,7 +373,14 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("source_doc_id").alias("doc_id"), "states", "n_chunks")
         )
-        per_doc = spark.createDataFrame(per_doc.collect(), per_doc.schema)
+        # harness round-trip: materialize before the tmp dir is deleted;
+        # bounded — one row per ingested doc by construction
+        from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+        per_doc = spark.createDataFrame(
+            collect_bounded(per_doc, 10_000, "ingest snapshot per-doc rows"),
+            per_doc.schema,
+        )
         return per_doc
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -22,10 +22,87 @@ import numpy as np
 from pyspark.sql import functions as F
 
 
+def filtered_grid(spark, vectors, queries, k) -> list[dict]:
+    """Filtered search grid (VERDICT r3 #5): selectivity x strategy x recall.
+
+    At 100 TB filtered search is the COMMON case (reference B6: every search
+    carries equality filters, qdrant_service.py:131-137) — this grid is the
+    evidence that the adaptive pre-/post-filter switch point
+    (selectivity_cutoff=0.05) keeps recall >= 0.8 on both sides. The post
+    branch rebuilds the sharded HNSW per call, so the grid uses a small
+    query sample; the adaptive row verifies the BRANCH CHOICE once per
+    selectivity (the branch's recall is the matching forced row's)."""
+    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+    from frappe_data_pipelines_spark.operators import ann
+
+    def brute_filtered(pred, qv):
+        qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+        return (
+            vectors.filter(pred)
+            .withColumn("score", F.round(cosine_similarity(F.col("embedding"), qcol), 6))
+            .orderBy(F.desc("score"), F.col("vec_id").asc())
+            .limit(k)
+        )
+
+    out: list[dict] = []
+    fq = queries[: min(4, len(queries))]
+    for mod, sel_nominal in ((2, 0.5), (20, 0.05), (100, 0.01)):
+        pred = F.col("vec_id") % mod == 0
+        ftruth = {
+            qid: {r["vec_id"] for r in brute_filtered(pred, qv).collect()}
+            for qid, qv in fq
+        }
+        denom = sum(min(k, len(t)) for t in ftruth.values())
+        for force in ("pre", "post"):
+            t0 = time.time()
+            hits = 0
+            for qid, qv in fq:
+                got = {
+                    r["vec_id"]
+                    for r in ann.filtered_ann_search(
+                        vectors, qv, pred, k=k, force=force
+                    ).collect()
+                }
+                hits += len(got & ftruth[qid])
+            out.append(
+                {
+                    "variant": "filtered",
+                    "recall_at_k": round(hits / max(denom, 1), 4),
+                    "qps": round(len(fq) / (time.time() - t0), 2),
+                    "params": {
+                        "selectivity": sel_nominal,
+                        "strategy": force,
+                        "predicate": f"vec_id % {mod} = 0",
+                    },
+                }
+            )
+        # adaptive: verify which branch the measured-selectivity switch takes
+        picked = {
+            r["strategy"]
+            for r in ann.filtered_ann_search(vectors, fq[0][1], pred, k=k).collect()
+        }
+        out.append(
+            {
+                "variant": "filtered",
+                "recall_at_k": None,
+                "qps": None,
+                "params": {
+                    "selectivity": sel_nominal,
+                    "strategy": "adaptive",
+                    "picked": sorted(picked),
+                    "note": "recall equals the forced row of the picked branch",
+                },
+            }
+        )
+    return out
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    argv = [a for a in sys.argv[1:] if a != "--filtered-only"]
+    filtered_only = "--filtered-only" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    n_queries = int(argv[1]) if len(argv) > 1 else 32
+    k = int(argv[2]) if len(argv) > 2 else 10
 
     from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
     from frappe_data_pipelines_spark.operators import ann
@@ -54,6 +131,20 @@ def main() -> None:
             .orderBy(F.desc("score"), F.col("vec_id").asc())
             .limit(k)
         )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, "ANN_SWEEP.json")
+    if filtered_only:
+        # refresh just the filtered grid, preserving other sweep rows
+        with open(out_path) as f:
+            out = json.load(f)
+        out["results"] = [
+            r for r in out["results"] if r.get("variant") != "filtered"
+        ] + filtered_grid(spark, vectors, queries, k)
+        print(json.dumps(out, indent=2))
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+        return
 
     # ground truth + brute-force QPS
     t0 = time.time()
@@ -141,6 +232,8 @@ def main() -> None:
             )
         codes.unpersist()
 
+    results.extend(filtered_grid(spark, vectors, queries, k))
+
     # batched brute force: every query in ONE job (the serving shape at
     # scale) — throughput, recall exact by construction
     qdf = spark.createDataFrame(
@@ -167,7 +260,7 @@ def main() -> None:
         "results": results,
     }
     print(json.dumps(out, indent=2))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_SWEEP.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
 
 
