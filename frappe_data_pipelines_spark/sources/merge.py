@@ -224,6 +224,69 @@ class MergeTable:
     def history(self) -> list[dict]:
         return [dict(self._entry(v), version=v) for v in self._versions()]
 
+    # ------------------------------------------------------------ optimize
+
+    def optimize(self, min_files_per_bucket: int = 2) -> int:
+        """OPTIMIZE (compaction). Merges are copy-on-write per bucket, so a
+        bucket always has ONE live dir — but that dir holds one parquet part
+        per shuffle partition of the write that produced it. A streaming
+        sink rewriting buckets every micro-batch therefore accumulates many
+        small part files — the small-files problem (thousands of footer
+        reads per scan). Rewrite every bucket whose live dir holds >=
+        ``min_files_per_bucket`` parts into a single part, committed through
+        the log like any other writer: readers never see a half-compacted
+        table, and time travel to pre-OPTIMIZE versions keeps working until
+        vacuum reclaims the old dirs.
+
+        Returns the number of buckets compacted. All buckets rewrite in ONE
+        Spark job — ``repartition`` on the bucket column lands each bucket
+        in one task, which writes exactly one part per bucket dir."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        state, _ = self._snapshot()
+
+        def n_parts(ds: list[str]) -> int:
+            return sum(
+                sum(
+                    1
+                    for f in os.listdir(os.path.join(self.files_dir, d))
+                    if f.endswith(".parquet")
+                )
+                for d in ds
+            )
+
+        todo = {
+            b: ds for b, ds in state.items()
+            if ds and n_parts(ds) >= min_files_per_bucket
+        }
+        if not todo:
+            return 0
+        old_dirs = [d for ds in todo.values() for d in ds]
+        df = spark.read.parquet(
+            *[os.path.join(self.files_dir, d) for d in old_dirs]
+        ).withColumn(_BUCKET, self._bucket_col())
+        vdir = f"v{uuid.uuid4().hex[:12]}"
+        df.repartition(len(todo), F.col(_BUCKET)).write.partitionBy(_BUCKET).parquet(
+            os.path.join(self.files_dir, vdir)
+        )
+        adds = {
+            str(b): f"{vdir}/{_BUCKET}={b}"
+            for b in todo
+            if os.path.isdir(os.path.join(self.files_dir, vdir, f"{_BUCKET}={b}"))
+        }
+        versions = self._versions()
+        next_v = (versions[-1] + 1) if versions else 0
+        entry = {
+            "adds": adds,
+            "removes": old_dirs,
+            "txn": {"app_id": None, "batch_id": None},
+            "optimize": True,
+            "ts": time.time(),
+        }
+        self._commit(next_v, entry)  # loser of a commit race raises; rerun
+        return len(todo)
+
     # -------------------------------------------------------------- vacuum
 
     def vacuum(self, retain_versions: int = 2) -> int:

@@ -95,6 +95,44 @@ def test_vacuum_reclaims_dead_and_orphan_dirs(spark, tmp_path):
         t.read(spark, version=0).collect()
 
 
+def test_optimize_compacts_buckets(spark, tmp_path):
+    """OPTIMIZE rewrites multi-part bucket dirs into single-part dirs; data
+    is unchanged, pre-OPTIMIZE time travel still works, and vacuum then
+    reclaims the superseded dirs."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    # a deliberately over-partitioned batch: each bucket dir gets many parts
+    wide = _df(spark, [(i, j, f"p{i}.{j}") for i in range(20) for j in range(2)])
+    t.merge(wide.repartition(8))
+
+    def parts_per_bucket():
+        state, _ = t._snapshot()
+        return {
+            b: sum(
+                1
+                for f in _os.listdir(_os.path.join(path, "files", ds[0]))
+                if f.endswith(".parquet")
+            )
+            for b, ds in state.items()
+            if ds
+        }
+
+    before = sorted(map(tuple, t.read(spark).collect()))
+    assert any(n > 1 for n in parts_per_bucket().values())
+    assert t.optimize() >= 1
+    assert all(n == 1 for n in parts_per_bucket().values())
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    # pre-OPTIMIZE snapshot still reconstructable
+    v_pre = t._versions()[-2]
+    assert sorted(map(tuple, t.read(spark, version=v_pre).collect())) == before
+    assert t.vacuum(retain_versions=1) >= 1
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    # idempotent: nothing left to compact
+    assert t.optimize() == 0
+
+
 def test_key_schema_pinned(spark, tmp_path):
     path = str(tmp_path / "t")
     MergeTable(path, ["doc_id", "chunk_index"]).merge(_df(spark, [(1, 0, "a")]))
