@@ -41,15 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       surfaces as a long we convert to a microsecond timestamp
       (floor-truncation — identical to how DuckDB coerces nanos to its
       micro-resolution TIMESTAMP, so oracle hashes agree).
-    * ``timestamp[us]`` with no timezone — pyspark reads it as
+    * ``timestamp[us]`` with no timezone — by default pyspark infers
       TIMESTAMP_NTZ, which rejects LTZ-only expressions (``unix_micros``,
-      ``withWatermark``, cast-to-long). The session timezone is pinned UTC
-      (session.py), so an NTZ→LTZ cast is value-identical and DuckDB oracle
-      hashes agree."""
+      ``withWatermark``, cast-to-long). Disabling
+      ``inferTimestampNTZ`` makes the scan produce LTZ directly, which
+      keeps ts-range predicates pushed into the parquet scan (a
+      ``withColumn`` cast would sit between scan and filter and forfeit
+      row-group pruning — decisive on a 100 TB event table). The session
+      timezone is pinned UTC (session.py), so the values are identical to
+      the NTZ reading and DuckDB oracle hashes agree. A residual cast
+      branch below covers frames resolved before the conf applied."""
     if name == "events":
-        # runtime-settable session conf — the caller's session (e.g. the
-        # driver's) may not have it; without it the scan rejects TIMESTAMP(NANOS)
+        # runtime-settable session confs — the caller's session (e.g. the
+        # driver's) may not have them; without nanosAsLong the scan rejects
+        # TIMESTAMP(NANOS) testdata generations outright
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
