@@ -132,6 +132,31 @@ CHECKS: dict[str, list] = {
         ("windows_partitioned_by_type", lambda p: "windowspecdefinition(event_type" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "trailing_week_user_value": [
+        # the tz-less parquet ts must surface as LTZ at the SCAN (conf-based
+        # read, sources/tables.py) — a post-scan cast would forfeit parquet
+        # row-group pruning for every ts-range predicate downstream
+        ("events_ts_ltz_at_scan", lambda p: re.search(r"ReadSchema: [^\n]*ts:timestamp[,>]", p)
+         and "timestamp_ntz" not in p),
+        ("range_frame_window", lambda p: "windowspecdefinition" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "knn_batch_topk": [
+        # the sanctioned broadcast cross: tiny query set x collection
+        ("query_set_broadcast", lambda p: "BroadcastNestedLoopJoin" in p),
+        # plans print root-first: the final Window must sit ABOVE the
+        # map-side local top-k (MapInPandas) — i.e. the prune runs before
+        # the merge shuffle, so only partitions*queries*k rows move
+        ("local_topk_before_window_merge", lambda p: "MapInPandas" in p
+         and "Window" in p and p.index("Window") < p.index("MapInPandas")),
+        ("no_global_sort", lambda p: "Sort [score" not in p),
+    ],
+    "ann_filtered_adaptive": [
+        # selective predicate routes to the exact pre-filter branch and the
+        # equality conjuncts reach the parquet scan
+        ("pushed_equality_filters", lambda p: re.search(r"PushedFilters: \[[^\]]*label", p)),
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
 }
 
 
