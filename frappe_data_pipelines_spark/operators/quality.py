@@ -292,3 +292,74 @@ def misra_gries_heavy_hitters(
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .where(F.col("cnt") > cutoff)
     )
+
+
+def extract_domain(url_col: Column) -> Column:
+    """Registered host of a URL as a column expression (scheme-agnostic,
+    port-stripped). Deliberately regexp-based rather than ``F.parse_url``
+    so the DuckDB oracle can evaluate the identical expression."""
+    return F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/:?#]+)", 1))
+
+
+def domain_cap(
+    docs: DataFrame,
+    url_col: str = "url",
+    cap: int = 5,
+    priority_cols: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/C4-style dominance guard: no
+    single host may contribute more than ``cap`` documents to the corpus.
+    Deterministic priority (default: longest document first, id tiebreak)
+    decides WHICH documents a crowded domain keeps.
+
+    Scale shape: one hash shuffle on the extracted domain, then a windowed
+    rank with the cap applied — the rank never materializes more than the
+    running window per task. A pathological mega-domain is the classic skew
+    key; at 100 TB put AQE skew-join handling on (enabled in session.py) or
+    pre-aggregate per-domain counts and broadcast the under-cap domains past
+    the window entirely (they need no ranking). That short-circuit is
+    ``domain_cap_skew_aware`` below.
+    """
+    from pyspark.sql.window import Window
+
+    priority = priority_cols or [F.col("n_chars").desc(), F.col(id_col).asc()]
+    dom = docs.withColumn("domain", extract_domain(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy(*priority)
+    return (
+        dom.withColumn("domain_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("domain_rank") <= cap)
+    )
+
+
+def domain_cap_skew_aware(
+    docs: DataFrame,
+    url_col: str = "url",
+    cap: int = 5,
+    priority_cols: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``domain_cap`` with the under-cap short-circuit: domains whose TOTAL
+    count is <= cap keep every row WITHOUT entering the ranking window —
+    only crowded domains shuffle into the rank. On web-scale corpora the
+    under-cap long tail is the overwhelming majority of domains, so the
+    expensive windowed path sees only the head; the pre-count is a
+    partial-aggregated (map-side combined) count, far cheaper than a
+    window over everything. Output matches ``domain_cap`` minus the
+    ``domain_rank`` column (the tail never gets ranked)."""
+    from pyspark.sql.window import Window
+
+    priority = priority_cols or [F.col("n_chars").desc(), F.col(id_col).asc()]
+    dom = docs.withColumn("domain", extract_domain(F.col(url_col)))
+    counts = dom.groupBy("domain").agg(F.count("*").alias("__dom_n"))
+    dom = dom.join(F.broadcast(counts.where(F.col("__dom_n") > cap)), "domain", "left")
+    under = dom.where(F.col("__dom_n").isNull()).drop("__dom_n")
+    w = Window.partitionBy("domain").orderBy(*priority)
+    crowded = (
+        dom.where(F.col("__dom_n").isNotNull())
+        .drop("__dom_n")
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= cap)
+        .drop("__rank")
+    )
+    return under.unionByName(crowded)

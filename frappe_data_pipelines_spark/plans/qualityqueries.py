@@ -465,3 +465,44 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = emb.agg(F.count("*").cast("bigint").alias("n_nodes"))
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+_DOMAIN_CAP_SQL = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || source || '.example.com/docs/' || doc_id AS url
+  FROM documents
+), d AS (
+  SELECT doc_id, n_chars, url,
+         lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS domain
+  FROM u
+), r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id ASC) AS domain_rank
+  FROM d
+)
+SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 5
+"""
+
+
+@register("corpus_domain_cap", oracle=_DOMAIN_CAP_SQL, tags=("quality", "dedup", "extension"))
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4-style host-dominance guard):
+    extract the registered host from each document URL, keep at most 5
+    documents per host by deterministic priority (longest first). URLs are
+    synthesized from (source, doc_id) so both engines derive identical
+    inputs; the operator itself (operators/quality.py:domain_cap) is the
+    real URL-parse → hash-shuffle-on-domain → windowed-cap pipeline. The
+    skew-aware twin short-circuits under-cap domains past the window
+    (equivalence pinned in tests/test_quality.py)."""
+    from frappe_data_pipelines_spark.operators.quality import domain_cap
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+        ),
+    )
+    return domain_cap(docs, cap=5).select("doc_id", "domain", "domain_rank")

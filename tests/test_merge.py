@@ -146,6 +146,56 @@ def test_merge_into_dispatch(spark, tmp_path):
     assert MergeTable(path).read(spark).count() == 1
 
 
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: a random interleaving of merge / optimize /
+    vacuum / replayed-batch ops must leave the table equal to a plain dict
+    applying last-writer-wins upserts (replays applied zero times)."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=4)
+        model: dict[tuple, str] = {}
+        applied_batches: set[int] = set()
+        batch_id = 0
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "merge", "replay", "optimize", "vacuum"])
+            if op == "merge":
+                rows = [
+                    (rng.randrange(8), rng.randrange(3), f"s{step}.{i}")
+                    for i in range(rng.randrange(1, 5))
+                ]
+                # last occurrence wins within a batch too — dedupe like the
+                # anti-join does (new rows replace, and Spark keeps all new
+                # rows; use distinct keys per batch to keep the model exact)
+                rows = list({(d, c): v for d, c, v in rows}.items())
+                rows = [(d, c, v) for (d, c), v in rows]
+                assert t.merge(_df(spark, rows), app_id="model", batch_id=batch_id)
+                for d, c, v in rows:
+                    model[(d, c)] = v
+                applied_batches.add(batch_id)
+                batch_id += 1
+            elif op == "replay" and applied_batches:
+                replay_id = rng.choice(sorted(applied_batches))
+                assert (
+                    t.merge(
+                        _df(spark, [(99, 99, "REPLAY-GARBAGE")]),
+                        app_id="model",
+                        batch_id=replay_id,
+                    )
+                    is False
+                )
+            elif op == "optimize":
+                t.optimize()
+            elif op == "vacuum":
+                t.vacuum(retain_versions=2)
+        got = {
+            (r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()
+        }
+        assert got == model, f"trial {trial} diverged from model"
+
+
 def test_null_keys_merge_as_their_own_key(spark, tmp_path):
     """xxhash64 treats NULL as a stable value, so a null-keyed row upserts
     itself like any other key instead of duplicating."""

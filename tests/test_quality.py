@@ -146,3 +146,46 @@ class TestHeavyHitters:
         got = {(r["key"], r["cnt"]) for r in
                misra_gries_heavy_hitters(df, "key", threshold_frac=0.3).collect()}
         assert got == {("hot", 60)}
+
+
+def test_domain_cap_skew_aware_equivalence(spark, sf_dir):
+    """The under-cap short-circuit must select exactly the same documents
+    as the plain windowed cap — only the execution shape differs (the long
+    tail of small domains never enters the ranking window)."""
+    from frappe_data_pipelines_spark.operators.quality import (
+        domain_cap,
+        domain_cap_skew_aware,
+    )
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+        ),
+    )
+    for cap in (1, 3, 1000):  # crowded, mixed, nothing-capped
+        plain = {r.doc_id for r in domain_cap(docs, cap=cap).collect()}
+        skew = {r.doc_id for r in domain_cap_skew_aware(docs, cap=cap).collect()}
+        assert plain == skew, f"cap={cap} diverged"
+    # cap large enough: nothing dropped
+    assert len({r.doc_id for r in domain_cap_skew_aware(docs, cap=1000).collect()}) \
+        == docs.count()
+
+
+def test_domain_extraction_edge_cases(spark):
+    from frappe_data_pipelines_spark.operators.quality import extract_domain
+
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Example.COM/path?q=1", "www.example.com"),
+            ("http://host.tld:8080/x", "host.tld"),
+            ("ftp://files.example.org", "files.example.org"),
+            ("not a url", ""),
+        ],
+        "url string, want string",
+    )
+    rows = df.select(extract_domain(F.col("url")).alias("got"), "want").collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
