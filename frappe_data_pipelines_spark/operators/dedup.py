@@ -554,3 +554,59 @@ def connected_components_star(
         .union(roots)
         .distinct()
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    cluster-then-compare — k-means the embedding space, then compare pairs
+    ONLY within a cluster; a vector is a duplicate when a lower-id clustermate
+    sits within cosine ``threshold``. Keep-lowest-id is the deterministic
+    stand-in for the paper's keep-one-per-epsilon-group rule.
+
+    Scale shape: the clustering bounds pairwise work to Σ|cluster|² instead
+    of n² — with balanced clusters that is n²/k — and the within-cluster
+    self-join shuffles on the cluster key only. Iterations are DataFrame
+    aggregations (see ivf_build); only centroids reach the driver. Returns
+    (id, cluster, is_dup) for every vector; filter ``~is_dup`` for the
+    deduplicated corpus. Cross-cluster near-dups are out of scope by design
+    (the paper's trade: boundary pairs are rare when k ≪ n)."""
+    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+    from frappe_data_pipelines_spark.operators.ann import ivf_build
+
+    assigned, _ = ivf_build(
+        vectors, n_clusters=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("a_id"),
+        F.col("cluster").alias("a_cluster"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    dups = (
+        a.join(b, (F.col("a_cluster") == F.col("b_cluster")) & (F.col("b_id") < F.col("a_id")))
+        .where(
+            F.round(cosine_similarity(F.col("a_vec"), F.col("b_vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -336,3 +336,65 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ann.knn_batch(emb, queries, k=10)
+
+
+_SEMDEDUP_SQL = """
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8)
+    ), a1 AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT i.cid FROM init i
+              ORDER BY list_distance(e.embedding::DOUBLE[], i.c), i.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    ), c1m AS (
+      SELECT cluster AS cid, pos.i AS i, avg(embedding[pos.i]) AS m
+      FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) pos
+      GROUP BY 1, 2
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY i)::DOUBLE[] AS c FROM c1m GROUP BY cid
+      UNION ALL
+      SELECT i.cid, i.c FROM init i WHERE i.cid NOT IN (SELECT cid FROM c1m)
+    ), a2 AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT x.cid FROM c1 x
+              ORDER BY list_distance(e.embedding::DOUBLE[], x.c), x.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    ), c2m AS (
+      SELECT cluster AS cid, pos.i AS i, avg(embedding[pos.i]) AS m
+      FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) pos
+      GROUP BY 1, 2
+    ), c2 AS (
+      SELECT cid, list(m ORDER BY i)::DOUBLE[] AS c FROM c2m GROUP BY cid
+      UNION ALL
+      SELECT x.cid, x.c FROM c1 x WHERE x.cid NOT IN (SELECT cid FROM c2m)
+    ), afinal AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT x.cid FROM c2 x
+              ORDER BY list_distance(e.embedding::DOUBLE[], x.c), x.cid LIMIT 1) AS cluster
+      FROM embeddings e
+    )
+    SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+           EXISTS (
+             SELECT 1 FROM afinal b
+             WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+               AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) >= 0.40
+           ) AS is_dup
+    FROM afinal a
+"""
+
+
+@register("semdedup_clusters", oracle=_SEMDEDUP_SQL, tags=("dedup", "O10", "extension"))
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pruning: k-means
+    cluster the embedding space (same deterministic Lloyd unroll the IVF
+    oracle pins), compare pairs only WITHIN clusters (Σ|c|² work, not n²),
+    mark any vector with a lower-id clustermate above cosine 0.40. The
+    DuckDB oracle replays the two Lloyd rounds as CTEs and the dup rule as
+    a correlated EXISTS — bit-for-bit cluster assignments and flags."""
+    from frappe_data_pipelines_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=8, n_iter=2, threshold=0.40)

@@ -192,3 +192,22 @@ class TestStarContraction:
         )
         rows = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
         assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_semdedup_flags_planted_duplicate(spark, sf_dir):
+    """A vector duplicated verbatim under a higher id must be flagged
+    is_dup (same cluster by construction, cosine 1.0); its original —
+    the lowest id in the pair — survives."""
+    from frappe_data_pipelines_spark.operators.dedup import semdedup
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = semdedup(emb.unionByName(clone), threshold=0.99).collect()
+    flags = {r.vec_id: r.is_dup for r in out}
+    assert flags[1_000_007] is True   # the clone dies
+    assert flags[7] is False          # the original survives
+    # at 0.99 on this corpus nothing else pairs up
+    assert sum(flags.values()) == 1
