@@ -124,3 +124,85 @@ def dsir_select(
         .limit(k)
         .select("doc_id", "n_features", "dsir_weight")
     )
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    ref_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020, public): score
+    every document by its average token log-probability under a unigram LM
+    trained on a reference subset (``ref_pred`` — CCNet uses Wikipedia;
+    here any boolean Column over ``docs``), then split the corpus into
+    ``n_buckets`` perplexity buckets — head / middle / tail for the default
+    3 — by ranked score. Tail pruning or per-bucket mixture weights are the
+    standard downstream moves.
+
+    Spark-first shape: the LM is a word-count aggregate (one shuffle,
+    map-side combined); scoring is one join of per-(doc,word) tf against
+    the dictionary; add-one smoothing covers OOV. Per-word contributions
+    are round(·,6)-ed and accumulated in DECIMAL so the sum is associative
+    — identical under any partitioning, hash-stable vs the DuckDB oracle.
+    The bucket split is one ntile window over (score, id) — deterministic
+    total order. At 100 TB cap the dictionary by frequency or hash-bucket
+    it (the DSIR trick above); the ntile over all docs becomes a
+    quantile-cut against approx_percentile bounds instead of a global
+    window."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_expr(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ref_ids = docs.filter(ref_pred).select(id_col)
+    dict_counts = (
+        tf.join(F.broadcast(ref_ids), id_col, "left_semi")
+        .groupBy("w")
+        .agg(F.sum("tf").alias("c"))
+    )
+    stats = dict_counts.agg(
+        F.sum("c").alias("n_ref"), F.count("*").alias("v")
+    )
+    scored_dict = dict_counts.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.round(F.log((F.col("c") + 1.0) / (F.col("n_ref") + F.col("v"))), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    oov = F.round(
+        F.log(1.0 / (F.col("n_ref") + F.col("v"))), 6
+    ).cast("decimal(18,6)")
+    per_doc = (
+        tf.join(scored_dict, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "tf",
+            F.coalesce(F.col("lp"), oov).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            # divide as DOUBLE on both engines: decimal-division scale
+            # rules differ between Spark and DuckDB at the last digit
+            F.round(
+                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp")).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+    w = Window.orderBy(F.col("lm_score").desc(), F.col(id_col).asc())
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    bucket = F.ntile(n_buckets).over(w)
+    label = bucket.cast("string") if n_buckets != 3 else (
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
+    )
+    return per_doc.select(
+        id_col, "n_tokens", "lm_score", label.alias("ppl_bucket")
+    )

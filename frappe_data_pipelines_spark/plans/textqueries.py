@@ -1303,3 +1303,60 @@ def dsir_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity buckets (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_LM_BUCKETS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+    ), words AS (
+      SELECT doc_id, lang, unnest(t) AS w FROM toks WHERE len(t) > 0
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words GROUP BY 1, 2
+    ), ref AS (
+      SELECT tf.w, SUM(tf.tf) AS c
+      FROM tf JOIN (SELECT doc_id FROM documents WHERE lang = 'en') r USING (doc_id)
+      GROUP BY tf.w
+    ), stats AS (
+      SELECT SUM(c) AS n_ref, COUNT(*) AS v FROM ref
+    ), scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(round(ln((COALESCE(ref.c, 0) + 1.0) / (stats.n_ref + stats.v)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tf LEFT JOIN ref USING (w) CROSS JOIN stats
+    ), per_doc AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lp) AS DOUBLE) / SUM(tf), 6)
+               AS lm_score
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, n_tokens, lm_score,
+             ntile(3) OVER (ORDER BY lm_score DESC, doc_id ASC) AS b
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, lm_score,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+"""
+
+
+@register(
+    "lm_perplexity_buckets",
+    oracle=_LM_BUCKETS_SQL,
+    tags=("text-analysis", "quality", "extension"),
+)
+def lm_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): unigram LM
+    word-counted from the English reference slice, every document scored
+    by average token log-prob (add-one smoothing, OOV included), corpus
+    cut into head/middle/tail perplexity terciles by a deterministic
+    ranked ntile. The classic pretraining-corpus quality signal, as two
+    shuffles and a window."""
+    from frappe_data_pipelines_spark.operators.selection import lm_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_buckets(docs, F.col("lang") == "en")

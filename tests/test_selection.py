@@ -45,3 +45,22 @@ def test_select_is_topk_of_weights(spark, sf_dir):
     assert len(sel) == 25
     want = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     assert [(r["doc_id"], r["dsir_weight"]) for r in sel] == want
+
+
+def test_lm_perplexity_buckets_semantics(spark, sf_dir):
+    """Head bucket strictly outscores tail; terciles are balanced within 1;
+    every non-empty document is bucketed exactly once."""
+    from frappe_data_pipelines_spark.operators.selection import lm_perplexity_buckets
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lm_perplexity_buckets(docs, F.col("lang") == "en").collect()
+    by_bucket: dict[str, list[float]] = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.lm_score)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1
+    assert min(by_bucket["head"]) >= max(by_bucket["tail"])
+    n_nonempty = docs.where(F.length(F.trim("text")) > 0).count()
+    assert len(out) == n_nonempty
