@@ -1318,3 +1318,110 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("a_type") == grid.event_type) & (F.col("a_hour") == grid.hour), "left")
         .select(grid.event_type, grid.hour, F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"))
     )
+
+
+@register(
+    "event_funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           s3.t3 IS NOT NULL AS completed,
+           CASE WHEN s3.t3 IS NOT NULL
+                THEN CAST(floor(epoch(s3.t3 - s1.t1)) AS BIGINT) END AS funnel_sec
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("E", "event-time", "extension"),
+)
+def event_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over event time: per user, the earliest view, the
+    earliest click strictly after it, the earliest purchase strictly after
+    that — partial funnels kept via left joins, completion time in seconds.
+    Three keyed min-aggregations and two user-keyed joins: every stage
+    shuffles on user_id only, so the stages share one partitioning at scale
+    (no re-shuffle under AQE); no window over the raw stream is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.col("t3").isNotNull().alias("completed"),
+            F.when(
+                F.col("t3").isNotNull(),
+                F.floor(
+                    (F.unix_micros("t3") - F.unix_micros("t1")) / 1_000_000
+                ).cast("bigint"),
+            ).alias("funnel_sec"),
+        )
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("D", "event-time", "extension"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by first-seen ISO week; per
+    (cohort, week-offset) distinct-active-user counts — the standard
+    retention triangle. Two user-keyed shuffles (first-seen min, then the
+    distinct) plus one broadcastable join of the per-user cohort map; the
+    triangle itself is tiny at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
