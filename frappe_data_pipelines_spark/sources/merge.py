@@ -224,6 +224,27 @@ class MergeTable:
     def history(self) -> list[dict]:
         return [dict(self._entry(v), version=v) for v in self._versions()]
 
+    def lookup(self, spark: SparkSession, key_values: dict) -> DataFrame:
+        """Bucket-pruned point read: a full equality predicate on the key
+        columns hashes to exactly ONE bucket, so only that bucket's dirs are
+        opened — at 4096 buckets a lookup touches ~1/4096 of the table's
+        files, the difference between a point query and a table scan. The
+        residual equality filter still applies (bucket collision)."""
+        if sorted(key_values) != sorted(self.key_cols):
+            raise ValueError(f"lookup needs all key columns {self.key_cols}")
+        # evaluate the SAME bucket expression the writers use, on a 1-row frame
+        probe = spark.createDataFrame([tuple(key_values[k] for k in self.key_cols)],
+                                      schema=self.key_cols)
+        bucket = probe.select(self._bucket_col().alias("b")).first()["b"]
+        state, _ = self._snapshot()
+        dirs = [os.path.join(self.files_dir, d) for d in state.get(bucket, [])]
+        if not dirs:
+            return self.read(spark).limit(0)  # empty frame, right schema
+        out = spark.read.parquet(*dirs)
+        for k, v in key_values.items():
+            out = out.where(F.col(k).eqNullSafe(F.lit(v)))
+        return out
+
     # ------------------------------------------------------------ optimize
 
     def optimize(self, min_files_per_bucket: int = 2) -> int:

@@ -46,6 +46,7 @@ def start_ingest_stream(
     exactly_once: bool = False,
     available_now: bool = True,
     txn_app_id: str | None = None,
+    optimize_every: int | None = 8,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -113,6 +114,20 @@ def start_ingest_stream(
                 ["doc_id", "chunk_index"],
                 app_id=txn_app_id, batch_id=batch_id,
             )
+            # self-compacting sink: periodic OPTIMIZE keeps the per-bucket
+            # part-file count flat instead of growing with batch count —
+            # without it a week of micro-batches turns every downstream
+            # scan into thousands of footer reads
+            if optimize_every and batch_id % optimize_every == optimize_every - 1:
+                from frappe_data_pipelines_spark.sources.merge import (
+                    HAS_DELTA,
+                    MergeTable,
+                )
+
+                if not HAS_DELTA:
+                    t = MergeTable(chunks_dir)
+                    t.optimize()
+                    t.vacuum()
         else:
             embedded.write.mode("append").parquet(chunks_dir)
 

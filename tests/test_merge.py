@@ -205,3 +205,68 @@ def test_null_keys_merge_as_their_own_key(spark, tmp_path):
     t.merge(_df(spark, [(None, 0, "b")]))
     rows = t.read(spark).collect()
     assert len(rows) == 1 and rows[0].payload == "b"
+
+
+def test_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """A full-key lookup opens only the matching bucket's dirs and returns
+    exactly the matching row (residual filter handles collisions)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=8)
+    t.merge(_df(spark, [(i, j, f"p{i}.{j}") for i in range(30) for j in range(2)]))
+    got = t.lookup(spark, {"doc_id": 7, "chunk_index": 1}).collect()
+    assert len(got) == 1 and got[0].payload == "p7.1"
+    # pruning actually happened: the plan reads fewer dirs than the table has
+    state, _ = t._snapshot()
+    n_live_buckets = sum(1 for ds in state.values() if ds)
+    assert n_live_buckets > 1  # otherwise pruning would be vacuous
+    target_bucket = (
+        _df(spark, [(7, 1, "x")])
+        .select(t._bucket_col().alias("b")).first()["b"]
+    )
+    read_files = set(t.lookup(spark, {"doc_id": 7, "chunk_index": 1}).inputFiles())
+    for b, ds in state.items():
+        for d in ds:
+            touched = any(f"/{d}/" in f for f in read_files)
+            if b == target_bucket:
+                assert touched  # the one bucket we must read
+            else:
+                assert not touched  # every other bucket is pruned
+    # missing key -> empty, correct schema
+    empty = t.lookup(spark, {"doc_id": 999, "chunk_index": 0})
+    assert empty.count() == 0 and set(empty.columns) >= {"doc_id", "chunk_index", "payload"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all key columns"):
+        t.lookup(spark, {"doc_id": 7})
+
+
+def test_self_compacting_ingest_sink(spark, sf_dir, tmp_path):
+    """optimize_every=1: after the availableNow drain the chunk table's
+    buckets each hold a single part file, and the data matches a plain
+    exactly-once run."""
+    import os as _os
+
+    from frappe_data_pipelines_spark.sources.tables import load_table
+    from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(2).write.mode(
+        "append"
+    ).parquet(inp)
+    q = start_ingest_stream(
+        spark, inp, out, ckpt, exactly_once=True, optimize_every=1,
+    )
+    q.awaitTermination(120)
+    chunks_dir = _os.path.join(out, "chunks")
+    t = MergeTable(chunks_dir)
+    state, _ = t._snapshot()
+    for b, ds in state.items():
+        for d in ds:
+            n = sum(
+                1
+                for f in _os.listdir(_os.path.join(chunks_dir, "files", d))
+                if f.endswith(".parquet")
+            )
+            assert n == 1, f"bucket {b} dir {d} holds {n} parts after OPTIMIZE"
+    assert t.read(spark).select("doc_id").distinct().count() == 10
