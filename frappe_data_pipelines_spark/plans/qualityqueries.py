@@ -138,7 +138,9 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERP_SQL = """
     WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS v
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(value), 6) AS v
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT event_type, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
@@ -176,9 +178,19 @@ def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type — state per partition is O(1), so the plan scales with the
     spine, not the events."""
     ev = load_table(spark, sf_dir, "events")
+    # DECIMAL-accumulated mean: a float avg() differs from DuckDB's by the
+    # summation order (1 ulp), which flips round(.,6) at a boundary once
+    # enough rows exist per hour (seen at sf0.1) — round-then-decimal-sum
+    # is associative, so the mean is bit-identical on both engines
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.avg("value").alias("v"))
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("v")
+    )
     bounds = ev.groupBy("event_type").agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -203,15 +215,18 @@ def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(nn, ignorenulls=True).over(w_prev).alias("p"),
         F.first(nn, ignorenulls=True).over(w_next).alias("nx"),
     )
-    frac = (
-        (F.unix_timestamp("hour") - F.unix_timestamp("p.h")).cast("double")
-        / (F.unix_timestamp("nx.h") - F.unix_timestamp("p.h")).cast("double")
-    )
+    # associate EXACTLY like the oracle's `a * b / c` = (a*b)/c — the
+    # algebraically-equal a*(b/c) differs by 1 ulp on some rows, which
+    # flips round(.,6) at a boundary (seen at sf0.01/sf0.1)
+    dt_num = (F.unix_timestamp("hour") - F.unix_timestamp("p.h")).cast("double")
+    dt_den = (F.unix_timestamp("nx.h") - F.unix_timestamp("p.h")).cast("double")
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(F.col("p").isNull(), F.col("nx.x"))
         .when(F.col("nx").isNull(), F.col("p.x"))
-        .otherwise(F.col("p.x") + (F.col("nx.x") - F.col("p.x")) * frac)
+        .otherwise(
+            F.col("p.x") + ((F.col("nx.x") - F.col("p.x")) * dt_num) / dt_den
+        )
     )
     return ctx.select(
         "event_type", "hour",

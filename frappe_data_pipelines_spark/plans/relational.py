@@ -918,7 +918,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
            abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-             <= count(DISTINCT user_id) * 0.05 AS approx_within_5pct
+             <= count(DISTINCT user_id) * 0.10 AS approx_within_10pct
     FROM events GROUP BY event_type
     """,
     tags=("D1", "sketch", "extension"),
@@ -927,15 +927,18 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch distinct counting next to the exact form: at 100 TB
     approx_count_distinct replaces the exact distinct's full shuffle with a
     mergeable fixed-size sketch. Each engine runs its own sketch; the hashed
-    contract is exact count + a 5%-accuracy flag (sketches differ across
-    engines by design, their guarantees don't)."""
+    contract is exact count + an accuracy flag (sketches differ across
+    engines by design, their guarantees don't). The sketch runs at rsd=0.01
+    and the flag asserts 10% — a ~10-sigma margin, so the boolean is stable
+    at every scale factor (the old default-rsd/5%-band pairing flipped at
+    sf0.1, where Spark's default sketch strayed past 5% on 1500 users)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
-            <= F.countDistinct("user_id") * 0.05
-        ).alias("approx_within_5pct"),
+            F.abs(F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id"))
+            <= F.countDistinct("user_id") * 0.10
+        ).alias("approx_within_10pct"),
     )
 
 

@@ -51,12 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       timezone is pinned UTC (session.py), so the values are identical to
       the NTZ reading and DuckDB oracle hashes agree. A residual cast
       branch below covers frames resolved before the conf applied."""
-    if name == "events":
-        # runtime-settable session confs — the caller's session (e.g. the
-        # driver's) may not have them; without nanosAsLong the scan rejects
-        # TIMESTAMP(NANOS) testdata generations outright
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # runtime-settable session confs — the caller's session (e.g. the
+    # driver's) may not have them. Set for EVERY load, not just events:
+    # orders/lineitem also store tz-less timestamp[us], and a conf flipped
+    # only on the events path would make their dtype depend on which table
+    # loaded first in the session. Without nanosAsLong the scan rejects
+    # TIMESTAMP(NANOS) testdata generations outright.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
