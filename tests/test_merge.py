@@ -270,3 +270,44 @@ def test_self_compacting_ingest_sink(spark, sf_dir, tmp_path):
             )
             assert n == 1, f"bucket {b} dir {d} holds {n} parts after OPTIMIZE"
     assert t.read(spark).select("doc_id").distinct().count() == 10
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    """Optimistic concurrency: when another writer claims the next version
+    number between snapshot and publish, the merge retries against the new
+    log state and lands on the following version — data intact."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    t.merge(_df(spark, [(1, 0, "a")]))
+    # a concurrent writer publishes version 1 (a no-op commit) just before us
+    with open(os.path.join(path, "_log", f"{1:08d}.json"), "w") as f:
+        _json.dump({"adds": {}, "removes": [], "txn": {"app_id": None, "batch_id": None}}, f)
+    assert t.merge(_df(spark, [(2, 0, "b")])) is True
+    assert [h["version"] for h in t.history()] == [0, 1, 2]
+    got = {(r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()}
+    assert got == {(1, 0): "a", (2, 0): "b"}
+
+
+def test_commit_race_exhaustion_raises(spark, tmp_path):
+    """A writer that loses the race on every retry surfaces
+    ConcurrentCommitError instead of spinning forever."""
+    from frappe_data_pipelines_spark.sources.merge import ConcurrentCommitError
+
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    t.merge(_df(spark, [(1, 0, "a")]))
+
+    real_commit = t._commit
+
+    def always_lose(version, entry):
+        # simulate a rival landing first on EVERY attempt
+        real_commit(version, {"adds": {}, "removes": [], "txn": {"app_id": None, "batch_id": None}})
+        return real_commit(version, entry)  # now raises FileExistsError
+
+    t._commit = always_lose
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(_df(spark, [(2, 0, "b")]), max_retries=2)
+    # the rival's no-op commits are in the log; our data never landed
+    assert t.read(spark).count() == 1
