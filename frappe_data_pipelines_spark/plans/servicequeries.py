@@ -151,3 +151,56 @@ def a2_extraction_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     return extract_text(binary)
+
+
+@register(
+    "a2_csv_json_source_equivalence",
+    oracle="""
+    SELECT fmt, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM (SELECT 'csv' AS fmt, * FROM documents
+          UNION ALL
+          SELECT 'json' AS fmt, * FROM documents)
+    GROUP BY fmt, lang
+    """,
+    tags=("A2", "source", "extension"),
+)
+def a2_csv_json_source_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-generic source fidelity (A2 dispatch over table formats): the
+    documents table round-trips through REAL csv and json writes + reads
+    (sources/tables.load_any — explicit schema, no inference pass) and the
+    per-lang aggregates must hash-match the parquet-derived oracle. CSV
+    quoting of free text and JSON escaping are thereby part of the checked
+    contract, not just a unit test."""
+    import shutil
+    import tempfile
+
+    from frappe_data_pipelines_spark.sources.tables import load_any, write_any
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="fdp_src_eq_")
+    try:
+        frames = []
+        for fmt in ("csv", "json"):
+            path = f"{tmp}/{fmt}"
+            write_any(docs, path, fmt=fmt)
+            back = load_any(spark, path, fmt=fmt, schema=schema)
+            frames.append(back.withColumn("fmt", F.lit(fmt)))
+        both = frames[0].unionByName(frames[1])
+        out = both.groupBy("fmt", "lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        # materialize before the tmp dir disappears
+        from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+        return spark.createDataFrame(
+            collect_bounded(out, 10_000, "source-equivalence aggregates"), out.schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
