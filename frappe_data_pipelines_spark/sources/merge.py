@@ -209,6 +209,79 @@ class MergeTable:
             f"merge lost the commit race {max_retries} times at {self.path}"
         )
 
+    # --------------------------------------------------------------- delete
+
+    def delete(
+        self,
+        keys: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+        max_retries: int = 3,
+    ) -> bool:
+        """Keyed DELETE — ``MERGE ... WHEN MATCHED THEN DELETE`` (the
+        reference's A15 cascade delete against the vector store,
+        drive_file_handler.py:98-149). Same bounded copy-on-write as merge:
+        only the buckets the keys hash into rewrite; same txn replay dedup;
+        a bucket emptied entirely simply publishes no dir for itself.
+        ``keys`` must carry exactly the key columns; a prefix delete (e.g.
+        every chunk of one doc) is expressed upstream as the filter that
+        produces the full key set."""
+        if sorted(keys.columns) != sorted(self.key_cols):
+            raise ValueError(f"delete needs exactly the key columns {self.key_cols}")
+        spark = keys.sparkSession
+        for _attempt in range(max_retries):
+            state, txns = self._snapshot()
+            if app_id is not None and batch_id is not None:
+                last = txns.get(app_id)
+                if last is not None and batch_id <= last:
+                    return False
+            staged = keys.withColumn(_BUCKET, self._bucket_col())
+            touched = sorted(
+                r[_BUCKET] for r in staged.select(_BUCKET).distinct().collect()
+            )
+            old_dirs = [d for b in touched for d in state.get(b, [])]
+            adds: dict[str, str] = {}
+            if old_dirs:
+                existing = spark.read.parquet(
+                    *[os.path.join(self.files_dir, d) for d in old_dirs]
+                )
+                cond = None
+                for k in self.key_cols:
+                    c = existing[k].eqNullSafe(staged[k])
+                    cond = c if cond is None else (cond & c)
+                kept = (
+                    existing.join(staged, cond, "left_anti")
+                    .withColumn(_BUCKET, self._bucket_col())
+                )
+                vdir = f"v{uuid.uuid4().hex[:12]}"
+                kept.write.partitionBy(_BUCKET).parquet(
+                    os.path.join(self.files_dir, vdir)
+                )
+                adds = {
+                    str(b): f"{vdir}/{_BUCKET}={b}"
+                    for b in touched
+                    if os.path.isdir(
+                        os.path.join(self.files_dir, vdir, f"{_BUCKET}={b}")
+                    )
+                }
+            entry = {
+                "adds": adds,
+                "removes": old_dirs,
+                "txn": {"app_id": app_id, "batch_id": batch_id},
+                "delete": True,
+                "ts": time.time(),
+            }
+            versions = self._versions()
+            next_v = (versions[-1] + 1) if versions else 0
+            try:
+                self._commit(next_v, entry)
+                return True
+            except FileExistsError:
+                continue
+        raise ConcurrentCommitError(
+            f"delete lost the commit race {max_retries} times at {self.path}"
+        )
+
     # ---------------------------------------------------------------- read
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

@@ -311,3 +311,40 @@ def test_commit_race_exhaustion_raises(spark, tmp_path):
         t.merge(_df(spark, [(2, 0, "b")]), max_retries=2)
     # the rival's no-op commits are in the log; our data never landed
     assert t.read(spark).count() == 1
+
+
+def test_delete_removes_keys_and_spares_other_buckets(spark, tmp_path):
+    """DELETE drops exactly the named keys; untouched buckets keep their
+    dirs; an emptied bucket publishes no dir; replayed delete batches
+    are no-ops (txn dedup covers deletes too)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=8)
+    t.merge(_df(spark, [(i, 0, f"p{i}") for i in range(40)]))
+    state1, _ = t._snapshot()
+
+    keys = spark.createDataFrame([(7, 0), (8, 0)], "doc_id long, chunk_index long")
+    assert t.delete(keys, app_id="gdpr", batch_id=0) is True
+    got = {r.doc_id for r in t.read(spark).collect()}
+    assert got == set(range(40)) - {7, 8}
+    # untouched buckets keep their exact dirs
+    touched = {
+        r["b"]
+        for r in keys.withColumn("b", t._bucket_col()).select("b").collect()
+    }
+    state2, _ = t._snapshot()
+    for b, ds in state1.items():
+        if b not in touched:
+            assert state2.get(b) == ds
+    # replay is a no-op even with different keys
+    other = spark.createDataFrame([(1, 0)], "doc_id long, chunk_index long")
+    assert t.delete(other, app_id="gdpr", batch_id=0) is False
+    assert 1 in {r.doc_id for r in t.read(spark).collect()}
+    # cascade shape: delete every chunk of one doc via an upstream filter
+    all_of_doc3 = t.read(spark).where(F.col("doc_id") == 3).select(
+        "doc_id", "chunk_index"
+    )
+    assert t.delete(all_of_doc3, app_id="gdpr", batch_id=1) is True
+    assert 3 not in {r.doc_id for r in t.read(spark).collect()}
+    # wrong key shape rejected
+    with pytest.raises(ValueError, match="key columns"):
+        t.delete(spark.createDataFrame([(1,)], "doc_id long"))
