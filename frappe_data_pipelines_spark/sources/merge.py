@@ -28,7 +28,9 @@ from scratch on plain parquet with a Delta-style commit log:
   ``txnAppId``/``txnVersion``.
 * **Time travel + VACUUM.** ``read(version=N)`` reconstructs any committed
   snapshot; ``vacuum(retain_versions)`` deletes data dirs no recent
-  snapshot references.
+  snapshot references — but only past a ``retention_seconds`` age gate, so
+  an in-flight writer's not-yet-committed dir is never reclaimed from
+  under it (Delta's vacuum retention check).
 
 If a Delta runtime IS on the classpath, ``merge_into`` dispatches to a real
 ``DeltaTable.merge`` instead — call sites don't change.
@@ -100,13 +102,24 @@ class MergeTable:
         with open(os.path.join(self.log_dir, f"{v:08d}.json")) as f:
             return json.load(f)
 
-    def _snapshot(self, version: int | None = None) -> tuple[dict[int, list[str]], dict[str, int]]:
-        """Replay the log → (bucket -> live dirs, app_id -> last batch_id)."""
+    def _snapshot(
+        self, version: int | None = None
+    ) -> tuple[dict[int, list[str]], dict[str, int], int]:
+        """Replay the log → (bucket -> live dirs, app_id -> last batch_id,
+        base_version). ``base_version`` is the highest version actually
+        replayed (-1 on an empty log); writers MUST commit at exactly
+        ``base_version + 1`` so that any commit landing between this
+        snapshot and the publish collides on the O_EXCL create and forces a
+        retry — recomputing the next version at publish time would silently
+        skip past the rival and publish a stale-snapshot rewrite on top of
+        it (lost update / duplicated bucket rows)."""
         state: dict[int, list[str]] = {}
         txns: dict[str, int] = {}
+        base_version = -1
         for v in self._versions():
             if version is not None and v > version:
                 break
+            base_version = v
             e = self._entry(v)
             removes = set(e.get("removes", []))
             for b in list(state):
@@ -118,7 +131,7 @@ class MergeTable:
                 prev = txns.get(t["app_id"])
                 if prev is None or t["batch_id"] > prev:
                     txns[t["app_id"]] = t["batch_id"]
-        return state, txns
+        return state, txns, base_version
 
     def _commit(self, version: int, entry: dict) -> None:
         """O_EXCL publish — the atomicity point of the whole merge."""
@@ -142,25 +155,51 @@ class MergeTable:
         app_id: str | None = None,
         batch_id: int | None = None,
         max_retries: int = 3,
+        on_duplicate: str = "error",
     ) -> bool:
         """MERGE: matched keys update (last-writer-wins), unmatched insert.
 
         Returns False without touching the table when (app_id, batch_id)
         was already committed — the replayed-micro-batch no-op.
+
+        ``on_duplicate`` governs two source rows sharing one key in a
+        single batch: ``"error"`` raises (Delta's multiple-source-match
+        error — the anti-join would otherwise insert BOTH, leaving
+        duplicate-keyed rows), ``"any"`` keeps one arbitrary-but-
+        deterministic row per key via ``dropDuplicates``.
         """
+        if on_duplicate not in ("error", "any"):
+            raise ValueError("on_duplicate must be 'error' or 'any'")
         spark = new_rows.sparkSession
+        if on_duplicate == "any":
+            new_rows = new_rows.dropDuplicates(self.key_cols)
         for attempt in range(max_retries):
-            state, txns = self._snapshot()
+            state, txns, base_v = self._snapshot()
             if app_id is not None and batch_id is not None:
                 last = txns.get(app_id)
                 if last is not None and batch_id <= last:
                     return False  # replay of an already-committed batch
 
             staged = new_rows.withColumn(_BUCKET, self._bucket_col())
-            # touched buckets: tiny by construction (<= n_buckets ints)
-            touched = sorted(
-                r[_BUCKET] for r in staged.select(_BUCKET).distinct().collect()
+            # ONE job gives both the touched-bucket set (tiny: <= n_buckets
+            # rows) and duplicate-key detection (map-side combinable agg —
+            # no extra pass over the batch on the ingest hot path)
+            stats = (
+                staged.groupBy(*self.key_cols, _BUCKET)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .groupBy(_BUCKET)
+                .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__rows"),
+                     F.count(F.lit(1)).alias("__keys"))
+                .collect()
             )
+            if on_duplicate == "error" and any(r["__mx"] > 1 for r in stats):
+                n_dup = sum(r["__rows"] - r["__keys"] for r in stats)
+                raise ValueError(
+                    f"merge source batch has {n_dup} duplicate row(s) on key "
+                    f"{self.key_cols}; dedupe upstream or pass "
+                    "on_duplicate='any'"
+                )
+            touched = sorted(r[_BUCKET] for r in stats)
             old_dirs = [d for b in touched for d in state.get(b, [])]
             if old_dirs:
                 existing = spark.read.parquet(
@@ -194,16 +233,17 @@ class MergeTable:
                 "txn": {"app_id": app_id, "batch_id": batch_id},
                 "ts": time.time(),
             }
-            versions = self._versions()
-            next_v = (versions[-1] + 1) if versions else 0
             try:
-                self._commit(next_v, entry)
+                # commit at EXACTLY snapshot+1: a rival that landed anywhere
+                # in the snapshot→publish window owns this version number,
+                # so the O_EXCL create collides and we retry on fresh state
+                self._commit(base_v + 1, entry)
                 return True
             except FileExistsError:
-                # a concurrent writer won this version — if it touched any of
-                # our buckets the snapshot we merged against is stale: redo
-                # the merge (next loop re-reads the log); our orphaned data
-                # dir is reclaimed by vacuum()
+                # a concurrent writer won this version — the snapshot we
+                # merged against is stale: redo the merge (next loop
+                # re-reads the log); our orphaned data dir is reclaimed by
+                # vacuum() once past the retention window
                 continue
         raise ConcurrentCommitError(
             f"merge lost the commit race {max_retries} times at {self.path}"
@@ -230,7 +270,7 @@ class MergeTable:
             raise ValueError(f"delete needs exactly the key columns {self.key_cols}")
         spark = keys.sparkSession
         for _attempt in range(max_retries):
-            state, txns = self._snapshot()
+            state, txns, base_v = self._snapshot()
             if app_id is not None and batch_id is not None:
                 last = txns.get(app_id)
                 if last is not None and batch_id <= last:
@@ -271,10 +311,8 @@ class MergeTable:
                 "delete": True,
                 "ts": time.time(),
             }
-            versions = self._versions()
-            next_v = (versions[-1] + 1) if versions else 0
             try:
-                self._commit(next_v, entry)
+                self._commit(base_v + 1, entry)  # pinned: see merge()
                 return True
             except FileExistsError:
                 continue
@@ -288,7 +326,7 @@ class MergeTable:
         """Snapshot read (latest, or time-travel to ``version``). The
         ``__bucket`` partition column stays internal — passing each bucket
         dir as its own root means no partition discovery surfaces it."""
-        state, _ = self._snapshot(version)
+        state, _, _ = self._snapshot(version)
         dirs = [os.path.join(self.files_dir, d) for ds in state.values() for d in ds]
         if not dirs:
             raise ValueError(f"MergeTable at {self.path} is empty")
@@ -309,7 +347,7 @@ class MergeTable:
         probe = spark.createDataFrame([tuple(key_values[k] for k in self.key_cols)],
                                       schema=self.key_cols)
         bucket = probe.select(self._bucket_col().alias("b")).first()["b"]
-        state, _ = self._snapshot()
+        state, _, _ = self._snapshot()
         dirs = [os.path.join(self.files_dir, d) for d in state.get(bucket, [])]
         if not dirs:
             return self.read(spark).limit(0)  # empty frame, right schema
@@ -320,7 +358,7 @@ class MergeTable:
 
     # ------------------------------------------------------------ optimize
 
-    def optimize(self, min_files_per_bucket: int = 2) -> int:
+    def optimize(self, min_files_per_bucket: int = 2, max_retries: int = 3) -> int:
         """OPTIMIZE (compaction). Merges are copy-on-write per bucket, so a
         bucket always has ONE live dir — but that dir holds one parquet part
         per shuffle partition of the write that produced it. A streaming
@@ -338,7 +376,6 @@ class MergeTable:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-        state, _ = self._snapshot()
 
         def n_parts(ds: list[str]) -> int:
             return sum(
@@ -350,54 +387,74 @@ class MergeTable:
                 for d in ds
             )
 
-        todo = {
-            b: ds for b, ds in state.items()
-            if ds and n_parts(ds) >= min_files_per_bucket
-        }
-        if not todo:
-            return 0
-        old_dirs = [d for ds in todo.values() for d in ds]
-        df = spark.read.parquet(
-            *[os.path.join(self.files_dir, d) for d in old_dirs]
-        ).withColumn(_BUCKET, self._bucket_col())
-        vdir = f"v{uuid.uuid4().hex[:12]}"
-        df.repartition(len(todo), F.col(_BUCKET)).write.partitionBy(_BUCKET).parquet(
-            os.path.join(self.files_dir, vdir)
+        for _attempt in range(max_retries):
+            state, _, base_v = self._snapshot()
+            todo = {
+                b: ds for b, ds in state.items()
+                if ds and n_parts(ds) >= min_files_per_bucket
+            }
+            if not todo:
+                return 0
+            old_dirs = [d for ds in todo.values() for d in ds]
+            df = spark.read.parquet(
+                *[os.path.join(self.files_dir, d) for d in old_dirs]
+            ).withColumn(_BUCKET, self._bucket_col())
+            vdir = f"v{uuid.uuid4().hex[:12]}"
+            df.repartition(len(todo), F.col(_BUCKET)).write.partitionBy(_BUCKET).parquet(
+                os.path.join(self.files_dir, vdir)
+            )
+            adds = {
+                str(b): f"{vdir}/{_BUCKET}={b}"
+                for b in todo
+                if os.path.isdir(os.path.join(self.files_dir, vdir, f"{_BUCKET}={b}"))
+            }
+            entry = {
+                "adds": adds,
+                "removes": old_dirs,
+                "txn": {"app_id": None, "batch_id": None},
+                "optimize": True,
+                "ts": time.time(),
+            }
+            try:
+                self._commit(base_v + 1, entry)  # pinned: see merge()
+                return len(todo)
+            except FileExistsError:
+                continue
+        raise ConcurrentCommitError(
+            f"optimize lost the commit race {max_retries} times at {self.path}"
         )
-        adds = {
-            str(b): f"{vdir}/{_BUCKET}={b}"
-            for b in todo
-            if os.path.isdir(os.path.join(self.files_dir, vdir, f"{_BUCKET}={b}"))
-        }
-        versions = self._versions()
-        next_v = (versions[-1] + 1) if versions else 0
-        entry = {
-            "adds": adds,
-            "removes": old_dirs,
-            "txn": {"app_id": None, "batch_id": None},
-            "optimize": True,
-            "ts": time.time(),
-        }
-        self._commit(next_v, entry)  # loser of a commit race raises; rerun
-        return len(todo)
 
     # -------------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_versions: int = 2) -> int:
+    def vacuum(self, retain_versions: int = 2, retention_seconds: float = 3600.0) -> int:
         """Delete data dirs referenced by NO snapshot in the last
-        ``retain_versions`` versions (nor any uncommitted orphan). Returns
-        the number of version-dirs removed."""
+        ``retain_versions`` versions — but ONLY when the dir is older than
+        ``retention_seconds`` (mtime). The age gate mirrors Delta's vacuum
+        retention check: an in-flight concurrent writer's freshly written
+        dir is an "uncommitted orphan" until its commit publishes, and an
+        age-blind vacuum would delete it mid-write, leaving the writer's
+        commit pointing at dead paths. Streaming's auto-vacuum relies on
+        this default; pass ``retention_seconds=0`` only when no concurrent
+        writer can exist (tests, offline maintenance). Returns the number
+        of version-dirs removed."""
         versions = self._versions()
         keep = versions[-retain_versions:] if versions else []
         live: set[str] = set()
         for v in keep:
-            state, _ = self._snapshot(v)
+            state, _, _ = self._snapshot(v)
             for ds in state.values():
                 live.update(d.split("/", 1)[0] for d in ds)
         removed = 0
+        cutoff = time.time() - retention_seconds
         for d in os.listdir(self.files_dir):
+            full = os.path.join(self.files_dir, d)
             if d not in live:
-                shutil.rmtree(os.path.join(self.files_dir, d), ignore_errors=True)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # too young — may be an in-flight writer
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
                 removed += 1
         return removed
 
@@ -410,24 +467,50 @@ def merge_into(
     app_id: str | None = None,
     batch_id: int | None = None,
     n_buckets: int = 16,
+    on_duplicate: str = "error",
 ) -> bool:
     """Dispatch: real Delta MERGE when a Delta runtime is present, else the
     log-backed ``MergeTable``. One call site for both deployments."""
     if HAS_DELTA:  # pragma: no cover - no delta runtime in this container
         from delta.tables import DeltaTable
 
-        if DeltaTable.isDeltaTable(spark, path):
-            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-            (
-                DeltaTable.forPath(spark, path).alias("t")
-                .merge(new_rows.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-        else:
-            new_rows.write.format("delta").save(path)
+        if on_duplicate == "any":
+            # Delta MERGE raises on multiple source matches; mirror
+            # MergeTable's keep-one policy before dispatching
+            new_rows = new_rows.dropDuplicates(key_cols)
+        # Idempotent-write options: Delta records (txnAppId, txnVersion) in
+        # the commit and skips any write whose version <= the last recorded
+        # one for that app — the same replay dedup MergeTable implements.
+        # Without these, a replayed nondeterministic micro-batch would
+        # re-merge on a real Delta deployment.
+        txn_confs = {}
+        if app_id is not None and batch_id is not None:
+            txn_confs = {
+                "spark.databricks.delta.write.txnAppId": app_id,
+                "spark.databricks.delta.write.txnVersion": str(batch_id),
+            }
+        saved = {k: spark.conf.get(k, None) for k in txn_confs}
+        try:
+            for k, v in txn_confs.items():
+                spark.conf.set(k, v)
+            if DeltaTable.isDeltaTable(spark, path):
+                cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+                (
+                    DeltaTable.forPath(spark, path).alias("t")
+                    .merge(new_rows.alias("s"), cond)
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            else:
+                new_rows.write.format("delta").save(path)
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
         return True
     return MergeTable(path, key_cols, n_buckets=n_buckets).merge(
-        new_rows, app_id=app_id, batch_id=batch_id
+        new_rows, app_id=app_id, batch_id=batch_id, on_duplicate=on_duplicate
     )

@@ -68,18 +68,22 @@ def start_ingest_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # every action below re-derives from the micro-batch source; persist
-        # once so the 4 sinks/aggregates share one scan (and one chunk+embed
-        # computation) instead of five
+        # once so the sinks/aggregates share one scan (and one chunk+embed
+        # computation) instead of re-running it per action
         batch_df.persist()
-        # I2: job rows for this micro-batch start Queued
-        jobs = batch_df.select(
+        # I2: job rows for this micro-batch start Queued. The Queued rows
+        # are UNIONED with the terminal (Completed/Failed) rows into one
+        # parquet append at the end of the batch — both states still land
+        # in the job table with their own timestamps, but the sink does one
+        # write action instead of two, which matters for trickle-latency
+        # micro-batches where per-write fixed overhead dominates.
+        queued = batch_df.select(
             F.col("doc_id").alias("source_doc_id"),
             F.lit("Queued").alias("status"),
             F.lit(batch_id).alias("batch_id"),
             F.current_timestamp().alias("created_at"),
             F.lit(None).cast("string").alias("error_message"),
         )
-        jobs.write.mode("append").parquet(jobs_dir)
 
         # I3: guard the procedural stage per-row — unprocessable rows become
         # Failed job rows with a captured error (dead letters), never a
@@ -109,10 +113,15 @@ def start_ingest_stream(
             # cost that batch ids must keep ascending across restarts.
             from frappe_data_pipelines_spark.sources.merge import merge_into
 
+            # on_duplicate="any": the same doc re-delivered twice within ONE
+            # micro-batch (two input files carrying it) produces the same
+            # (doc_id, chunk_index) keys; last-writer-wins is the sink
+            # contract, not a merge error
             merge_into(
                 batch_df.sparkSession, embedded, chunks_dir,
                 ["doc_id", "chunk_index"],
                 app_id=txn_app_id, batch_id=batch_id,
+                on_duplicate="any",
             )
             # self-compacting sink: periodic OPTIMIZE keeps the per-bucket
             # part-file count flat instead of growing with batch count —
@@ -143,7 +152,7 @@ def start_ingest_stream(
                 F.lit(None).cast("string").alias("error_message"),
             )
         )
-        done.unionByName(failed).write.mode("append").parquet(jobs_dir)
+        queued.unionByName(done).unionByName(failed).write.mode("append").parquet(jobs_dir)
         batch_df.sparkSession.createDataFrame(
             [(batch_id, batch_df.count())], "batch_id LONG, n_docs LONG"
         ).write.mode("append").parquet(metrics_dir)

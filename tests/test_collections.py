@@ -6,12 +6,17 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+# `test_connection` is a library function (the reference's Qdrant
+# health-check); alias it so pytest doesn't collect it as a test and warn
+# about its non-None return value
 from frappe_data_pipelines_spark.sources.collections import (
     ensure_collection,
     get_all_collections,
     get_collection_info,
-    test_connection,
     upsert_vectors,
+)
+from frappe_data_pipelines_spark.sources.collections import (
+    test_connection as check_connection,
 )
 from frappe_data_pipelines_spark.sources.tables import load_table
 
@@ -25,7 +30,7 @@ def test_collection_ddl_roundtrip(spark, sf_dir, tmp_path):
     assert info["dim"] == 64 and info["metric"] == "cosine"
     assert info["points_count"] == 0
     assert name in get_all_collections(spark)
-    assert test_connection(spark)
+    assert check_connection(spark)
 
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     rows = emb.select(

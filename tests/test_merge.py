@@ -33,9 +33,9 @@ def test_merge_partial_bucket_rewrite(spark, tmp_path):
     path = str(tmp_path / "t")
     t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=8)
     t.merge(_df(spark, [(i, 0, f"p{i}") for i in range(40)]))
-    state1, _ = t._snapshot()
+    state1, _, _ = t._snapshot()
     t.merge(_df(spark, [(1, 0, "updated")]))
-    state2, _ = t._snapshot()
+    state2, _, _ = t._snapshot()
     touched = {
         b for b in state1 if state1.get(b) != state2.get(b)
     }
@@ -84,7 +84,7 @@ def test_vacuum_reclaims_dead_and_orphan_dirs(spark, tmp_path):
         t.merge(_df(spark, [(1, 0, f"u{i}")]))
     # plant an uncommitted orphan (a crashed writer's data dir)
     os.makedirs(os.path.join(path, "files", "vdeadbeef0000"))
-    removed = t.vacuum(retain_versions=1)
+    removed = t.vacuum(retain_versions=1, retention_seconds=0)
     assert removed >= 1
     assert not os.path.exists(os.path.join(path, "files", "vdeadbeef0000"))
     # table still reads correctly at head after vacuum
@@ -108,7 +108,7 @@ def test_optimize_compacts_buckets(spark, tmp_path):
     t.merge(wide.repartition(8))
 
     def parts_per_bucket():
-        state, _ = t._snapshot()
+        state, _, _ = t._snapshot()
         return {
             b: sum(
                 1
@@ -127,7 +127,7 @@ def test_optimize_compacts_buckets(spark, tmp_path):
     # pre-OPTIMIZE snapshot still reconstructable
     v_pre = t._versions()[-2]
     assert sorted(map(tuple, t.read(spark, version=v_pre).collect())) == before
-    assert t.vacuum(retain_versions=1) >= 1
+    assert t.vacuum(retain_versions=1, retention_seconds=0) >= 1
     assert sorted(map(tuple, t.read(spark).collect())) == before
     # idempotent: nothing left to compact
     assert t.optimize() == 0
@@ -189,7 +189,7 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             elif op == "optimize":
                 t.optimize()
             elif op == "vacuum":
-                t.vacuum(retain_versions=2)
+                t.vacuum(retain_versions=2, retention_seconds=0)
         got = {
             (r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()
         }
@@ -216,7 +216,7 @@ def test_lookup_prunes_to_one_bucket(spark, tmp_path):
     got = t.lookup(spark, {"doc_id": 7, "chunk_index": 1}).collect()
     assert len(got) == 1 and got[0].payload == "p7.1"
     # pruning actually happened: the plan reads fewer dirs than the table has
-    state, _ = t._snapshot()
+    state, _, _ = t._snapshot()
     n_live_buckets = sum(1 for ds in state.values() if ds)
     assert n_live_buckets > 1  # otherwise pruning would be vacuous
     target_bucket = (
@@ -260,7 +260,7 @@ def test_self_compacting_ingest_sink(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     chunks_dir = _os.path.join(out, "chunks")
     t = MergeTable(chunks_dir)
-    state, _ = t._snapshot()
+    state, _, _ = t._snapshot()
     for b, ds in state.items():
         for d in ds:
             n = sum(
@@ -320,7 +320,7 @@ def test_delete_removes_keys_and_spares_other_buckets(spark, tmp_path):
     path = str(tmp_path / "t")
     t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=8)
     t.merge(_df(spark, [(i, 0, f"p{i}") for i in range(40)]))
-    state1, _ = t._snapshot()
+    state1, _, _ = t._snapshot()
 
     keys = spark.createDataFrame([(7, 0), (8, 0)], "doc_id long, chunk_index long")
     assert t.delete(keys, app_id="gdpr", batch_id=0) is True
@@ -331,7 +331,7 @@ def test_delete_removes_keys_and_spares_other_buckets(spark, tmp_path):
         r["b"]
         for r in keys.withColumn("b", t._bucket_col()).select("b").collect()
     }
-    state2, _ = t._snapshot()
+    state2, _, _ = t._snapshot()
     for b, ds in state1.items():
         if b not in touched:
             assert state2.get(b) == ds
@@ -348,3 +348,74 @@ def test_delete_removes_keys_and_spares_other_buckets(spark, tmp_path):
     # wrong key shape rejected
     with pytest.raises(ValueError, match="key columns"):
         t.delete(spark.createDataFrame([(1,)], "doc_id long"))
+
+
+def test_occ_rival_landing_during_write_forces_retry(spark, tmp_path):
+    """ADVICE r4 (high): a rival commit landing BETWEEN our snapshot and our
+    publish must collide on the pinned version and force a retry — not be
+    silently skipped past (which would publish a stale-snapshot bucket
+    rewrite on top of the rival: its update lost AND shared-bucket rows
+    duplicated)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=1)
+    t.merge(_df(spark, [(1, 0, "a"), (2, 0, "b")]))
+
+    real_snapshot = t._snapshot
+    planted = {"done": False}
+
+    def snapshot_then_rival(version=None):
+        out = real_snapshot(version)
+        if not planted["done"]:
+            planted["done"] = True
+            # rival writer commits AFTER our snapshot was taken, i.e. inside
+            # the snapshot->publish window of the merge under test
+            MergeTable(path).merge(_df(spark, [(1, 0, "rival")]))
+        return out
+
+    t._snapshot = snapshot_then_rival
+    assert t.merge(_df(spark, [(2, 0, "ours"), (3, 0, "new")])) is True
+    got = {(r.doc_id, r.chunk_index): r.payload for r in t.read(spark).collect()}
+    # rival's update survives, our rows land once each — no lost update,
+    # no duplicated bucket rows
+    assert got == {(1, 0): "rival", (2, 0): "ours", (3, 0): "new"}
+    assert [h["version"] for h in t.history()] == [0, 1, 2]
+
+
+def test_vacuum_age_gate_spares_fresh_orphans(spark, tmp_path):
+    """ADVICE r4 (medium): an in-flight concurrent writer's freshly written
+    dir is an uncommitted orphan until its commit publishes; the default
+    retention window must spare it. Aged past the window it is reclaimed."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=2)
+    t.merge(_df(spark, [(1, 0, "a")]))
+    t.merge(_df(spark, [(1, 0, "b")]))
+    orphan = os.path.join(path, "files", "vinflightwriter")
+    os.makedirs(orphan)
+    # default retention: fresh orphan + fresh superseded dirs all survive
+    assert t.vacuum(retain_versions=1) == 0
+    assert os.path.exists(orphan)
+    # age everything past the window -> reclaimed
+    old = _time.time() - 7200
+    os.utime(orphan, (old, old))
+    assert t.vacuum(retain_versions=1) == 1
+    assert not os.path.exists(orphan)
+
+
+def test_merge_duplicate_source_keys(spark, tmp_path):
+    """ADVICE r4 (low): two source rows sharing a key in one batch raise by
+    default (Delta's multiple-source-match error) instead of silently
+    inserting both; on_duplicate='any' keeps exactly one row per key."""
+    path = str(tmp_path / "t")
+    t = MergeTable(path, ["doc_id", "chunk_index"], n_buckets=4)
+    dup = _df(spark, [(1, 0, "x"), (1, 0, "y"), (2, 0, "z")])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup)
+    assert t._versions() == []  # nothing committed by the failed merge
+    assert t.merge(dup, on_duplicate="any") is True
+    assert t.read(spark).count() == 2
+    assert {(r.doc_id, r.chunk_index) for r in t.read(spark).collect()} == {
+        (1, 0),
+        (2, 0),
+    }
