@@ -164,8 +164,12 @@ def pdf_extract_text(payload: bytes) -> str:
 
 
 def _stub_ocr(payload: bytes) -> tuple[str, float]:
-    """A8/A9 stand-in: returns (text, confidence); the pytesseract fallback
-    fixes confidence at 0.5 (ocr_service.py:162-187) — mirrored here."""
+    """A8/A9 stand-in for non-decodable images: returns (text, confidence);
+    the pytesseract fallback fixes confidence at 0.5
+    (ocr_service.py:162-187) — mirrored here. With ``real_kernels=True``
+    decodable bitmaps instead run the real OCR kernel
+    (``operators/imaging.py: ocr_bitmap`` — segmentation + template match
+    with per-line bboxes), and this stub is only the A9-style fallback."""
     return f"[ocr:{len(payload)} bytes]", 0.5
 
 
@@ -223,9 +227,20 @@ def extract_text(
                             text, method = docx_extract_text(payload), "docx-xml"
                         except Exception:  # noqa: BLE001
                             pass
-                else:  # images → OCR stub (vision branch would append J3 output)
+                else:  # images → OCR (vision branch would append J3 output)
                     text, conf = _stub_ocr(payload)
                     method = "ocr-stub"
+                    if real_kernels:
+                        try:
+                            from frappe_data_pipelines_spark.operators.imaging import (
+                                ocr_bitmap,
+                            )
+
+                            res = ocr_bitmap(payload)
+                            text, conf = res["text"], res["confidence"]
+                            method = "ocr-bitmap"
+                        except Exception:  # noqa: BLE001 — non-fixture image
+                            pass
                 out["path"].append(path)
                 out["ext"].append(ext)
                 out["text"].append(text)
@@ -234,6 +249,70 @@ def extract_text(
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+OCR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("detected_languages", T.ArrayType(T.StringType())),
+        T.StructField(
+            "bounding_boxes",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("bbox", T.ArrayType(T.ArrayType(T.FloatType()))),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("confidence", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def ocr_images(
+    binary_df: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """A8 full OCR scan: binary images → the reference's OCRResult struct
+    (text, confidence, detected_languages, per-line bounding_boxes with
+    4-corner bbox — ocr_service.py:14-20, 140-150, SURVEY §1.2). Arrow-
+    batched ``mapInPandas``; the kernel is the stdlib bitmap OCR
+    (``operators/imaging.py: ocr_bitmap``). Undecodable payloads yield the
+    A9 fallback row (stub text, confidence 0.5, no boxes) instead of
+    failing the batch."""
+    narrow = binary_df.select(
+        F.col(path_col).alias("path"), F.col(content_col).alias("content")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from frappe_data_pipelines_spark.operators.imaging import ocr_bitmap
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                try:
+                    r = ocr_bitmap(payload)
+                    rows.append(
+                        (path, r["text"], r["confidence"], r["detected_languages"],
+                         [(b["bbox"], b["text"], b["confidence"])
+                          for b in r["bounding_boxes"]])
+                    )
+                except Exception:  # noqa: BLE001 — A9 fallback branch
+                    text, conf = _stub_ocr(payload)
+                    rows.append((path, text, conf, ["unknown"], []))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "text", "confidence", "detected_languages",
+                         "bounding_boxes"],
+            )
+
+    return narrow.mapInPandas(run, schema=OCR_RESULT_SCHEMA)
 
 
 def is_scanned_heuristic(text_col, threshold: int = 50) -> F.Column:

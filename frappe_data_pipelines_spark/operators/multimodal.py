@@ -1,12 +1,15 @@
 """Multimodal column operators — image/audio/video as opaque ``binary``
 columns with typed metadata (SURVEY §2.A A7/A8/J3 restated for Spark).
 
-The container has no image/audio decoders, so the decode kernels are STUBS:
-``decode_image_meta(real=True)`` raises NotImplementedError where PIL/ffmpeg
-would run; the default deterministic fake derives metadata purely from the
-bytes (md5-seeded), so the Spark-side plumbing — binary schema, Arrow batch
-shape, ``mapInPandas`` signature, partitioning — is real and tested while the
-kernel stays swappable.
+``decode_media_meta(real=True)`` runs REAL stdlib decoders for the formats
+they can fully parse — PNG (complete codec: zlib inflate + all five
+scanline filters, ``operators/imaging.py``), GIF (block walk incl. frame
+count), JPEG (SOF dimensions) — and falls back to the deterministic
+md5-seeded fake for anything else (audio/video codecs are not in this
+container). The default ``real=False`` keeps the fake everywhere so
+synthetic-corpus oracles stay stable. Either way the Spark-side plumbing —
+binary schema, Arrow batch shape, ``mapInPandas`` signature, partitioning —
+is identical.
 
 Reference parity: A7 image scan via vision (text_extraction.py:108-122), J3
 vision description (vision_service.py:61-177) — both are "binary column in,
@@ -46,6 +49,29 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, n_frames, caption
 
 
+def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Magic-sniffed real decode: PNG (full pixel decode), GIF (block walk),
+    JPEG (SOF scan). Raises ValueError for formats without a stdlib decoder
+    — the caller falls back to the deterministic fake."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        gif_meta,
+        jpeg_meta,
+        png_decode,
+    )
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, channels, _rows = png_decode(payload)
+        kind = {1: "gray", 2: "gray+alpha", 3: "rgb", 4: "rgba"}[channels]
+        return w, h, 1, f"image/png {w}x{h} {kind}"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, n = gif_meta(payload)
+        return w, h, n, f"image/gif {w}x{h} {n} frame(s)"
+    if payload[:2] == b"\xff\xd8":
+        w, h = jpeg_meta(payload)
+        return w, h, 1, f"image/jpeg {w}x{h}"
+    raise ValueError("no stdlib decoder for this payload")
+
+
 def decode_media_meta(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -54,13 +80,9 @@ def decode_media_meta(
     real: bool = False,
 ) -> DataFrame:
     """binary column → typed metadata struct rows via Arrow-batched
-    ``mapInPandas``. One pass, shuffle-free; per-executor decoder init would
-    live in the generator prologue (the lazy-singleton pattern)."""
-    if real:
-        raise NotImplementedError(
-            "real decoders (PIL/ffmpeg/torchaudio) are not installed in this "
-            "environment; the deterministic fake exercises identical plumbing"
-        )
+    ``mapInPandas``. One pass, shuffle-free; heavier decoders (video/audio)
+    would be constructed once per executor task in the generator prologue
+    (the lazy-singleton pattern)."""
     narrow = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(bin_col).alias("content"),
@@ -70,12 +92,17 @@ def decode_media_meta(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # real decoders would be constructed HERE, once per executor task
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "caption")}
             for doc_id, content, mime in zip(pdf["doc_id"], pdf["content"], pdf["mime"]):
                 payload = bytes(content) if content is not None else b""
-                w, h, nf, cap = _fake_decode(payload)
+                if real:
+                    try:
+                        w, h, nf, cap = _real_decode(payload)
+                    except Exception:  # noqa: BLE001 — no decoder: keep total
+                        w, h, nf, cap = _fake_decode(payload)
+                else:
+                    w, h, nf, cap = _fake_decode(payload)
                 out["doc_id"].append(doc_id)
                 out["mime"].append(mime)
                 out["n_bytes"].append(len(payload))

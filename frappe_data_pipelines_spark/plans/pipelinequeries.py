@@ -334,6 +334,134 @@ def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OCR_FIXTURE_TEXT = (
+    "'INVOICE 2026-08' || chr(10) || 'TOTAL DUE: 1,234.56' || chr(10) "
+    "|| 'PAY BY: 2026-09-01'"
+)
+
+
+@register(
+    "a8_real_kernel_ocr",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('/fixtures/sample_ocr.png', 'png', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0),
+      ('/fixtures/sample_ocr_rgb.png', 'png', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0)
+    ) AS t(path, ext, text, method, confidence)
+    """,
+    tags=("A8", "A9", "A2"),
+)
+def a8_real_kernel_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 REAL OCR kernel on checked-in fixture bitmaps (VERDICT r4 #2): the
+    stdlib pipeline — PNG decode (all filters, gray + RGB), binarize,
+    projection line/glyph segmentation, nearest-template match against the
+    5×7 font — through the same A2 dispatch as the stubs; the oracle pins
+    the exact recognized text at confidence 1.0. ``[ocr:N bytes]`` is no
+    longer reachable for decodable bitmaps. Reference kernel: PaddleOCR
+    per-line recognition, newline-join, avg confidence
+    (ocr_service.py:81-160)."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import extract_text
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "fixtures",
+    )
+    rows = []
+    for name in ("sample_ocr.png", "sample_ocr_rgb.png"):
+        with open(os.path.join(fixtures, name), "rb") as f:
+            rows.append((f"/fixtures/{name}", bytearray(f.read())))
+    binary = spark.createDataFrame(rows, "path string, content binary")
+    return extract_text(binary, real_kernels=True).select(
+        "path", "ext", "text", "method", "confidence"
+    )
+
+
+@register(
+    "a8_ocr_bounding_boxes",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('INVOICE 2026-08', 3.0, 2.0, 91.0, 9.0, 1.0),
+      ('TOTAL DUE: 1,234.56', 2.0, 11.0, 115.0, 18.0, 1.0),
+      ('PAY BY: 2026-09-01', 2.0, 20.0, 108.0, 27.0, 1.0)
+    ) AS t(line_text, x0, y0, x1, y1, line_confidence)
+    """,
+    tags=("A8", "D2"),
+)
+def a8_ocr_bounding_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 OCRResult struct fidelity: the full (text, confidence,
+    detected_languages, bounding_boxes) struct per SURVEY §1.2
+    (ocr_service.py:14-20, bbox list :140-144), flattened to one row per
+    recognized line with its 4-corner box reduced to (x0,y0,x1,y1). The
+    oracle pins exact pixel geometry of the fixture render."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import ocr_images
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_ocr.png"), "rb") as f:
+        payload = bytearray(f.read())
+    binary = spark.createDataFrame(
+        [("/fixtures/sample_ocr.png", payload)], "path string, content binary"
+    )
+    line = F.explode("bounding_boxes").alias("line")
+    return (
+        ocr_images(binary)
+        .select(line)
+        .select(
+            F.col("line.text").alias("line_text"),
+            F.col("line.bbox")[0][0].cast("double").alias("x0"),
+            F.col("line.bbox")[0][1].cast("double").alias("y0"),
+            F.col("line.bbox")[2][0].cast("double").alias("x1"),
+            F.col("line.bbox")[2][1].cast("double").alias("y1"),
+            F.col("line.confidence").alias("line_confidence"),
+        )
+    )
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'image/png', 370, 117, 29, 1, 'image/png 117x29 gray'),
+      (2, 'image/gif', 59, 4, 3, 3, 'image/gif 4x3 3 frame(s)'),
+      (3, 'image/jpeg', 41, 240, 180, 1, 'image/jpeg 240x180')
+    ) AS t(doc_id, mime, n_bytes, width, height, n_frames, caption)
+    """,
+    tags=("A7", "J3", "multimodal"),
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/J3 REAL image decode (VERDICT r4 #3): PNG full pixel decode, GIF
+    block walk (frame count), JPEG SOF scan — ``decode_media_meta(
+    real=True)``; the NotImplementedError path is gone for these formats.
+    Reference: vision/image metadata extraction
+    (vision_service.py:61-177, text_extraction.py:108-122)."""
+    import os
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "fixtures",
+    )
+    rows = []
+    for i, (name, mime) in enumerate(
+        [("sample_ocr.png", "image/png"), ("sample.gif", "image/gif"),
+         ("sample.jpg", "image/jpeg")],
+        start=1,
+    ):
+        with open(os.path.join(fixtures, name), "rb") as f:
+            rows.append((i, bytearray(f.read()), mime))
+    media = spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+    return decode_media_meta(media, real=True).select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        "mime",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        "width", "height", "n_frames", "caption",
+    )
+
+
 @register("i1_i2_ingest_snapshot", tags=("A1", "I1", "I2", "I5", "I6", "A13", "A14", "rows-only"))
 def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1/I2 event-driven ingest driven end-to-end (reference: hooks.py:28-33,

@@ -1,0 +1,261 @@
+"""Imaging kernels: PNG codec, GIF/JPEG metadata, bitmap-font OCR
+(SURVEY §2.A A8/A9, §1.2 OCRResult; reference ocr_service.py:81-187).
+
+Golden-fixture tests pin the checked-in bytes in resources/fixtures so a
+renderer or kernel drift breaks loudly."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from frappe_data_pipelines_spark.operators.imaging import (
+    FONT_5X7,
+    gif_meta,
+    jpeg_meta,
+    ocr_bitmap,
+    png_decode,
+    png_encode,
+    render_text_png,
+)
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "frappe_data_pipelines_spark", "resources", "fixtures",
+)
+
+OCR_FIXTURE_TEXT = "INVOICE 2026-08\nTOTAL DUE: 1,234.56\nPAY BY: 2026-09-01"
+
+
+def _fixture(name: str) -> bytes:
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return f.read()
+
+
+# ------------------------------------------------------------------ PNG codec
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    gray = [bytes([10, 200, 30]), bytes([0, 128, 255])]
+    rgb = [bytes(range(9)), bytes(range(9, 18))]
+    rgba = [bytes(range(8)), bytes(range(8, 16))]
+    for rows, ctype, ch in ((gray, 0, 1), (rgb, 2, 3), (rgba, 6, 4)):
+        w, h, channels, got = png_decode(png_encode(rows, color_type=ctype))
+        assert (w, h, channels) == (len(rows[0]) // ch, 2, ch)
+        assert got == rows
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter scanlines with every predictor (Sub/Up/Average/Paeth) and
+    check the decoder reconstructs the original pixels."""
+    import struct
+    from binascii import crc32
+
+    width, channels = 6, 1
+    pixels = [bytes([5, 9, 14, 20, 27, 35]), bytes([40, 44, 50, 57, 65, 74]),
+              bytes([80, 84, 90, 97, 105, 114]), bytes([3, 1, 4, 1, 5, 9]),
+              bytes([200, 180, 160, 140, 120, 100])]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    prev = bytes(width)
+    for y, (filt, row) in enumerate(zip([0, 1, 2, 3, 4], pixels)):
+        filtered.append(filt)
+        for i, x in enumerate(row):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if filt == 0:
+                filtered.append(x)
+            elif filt == 1:
+                filtered.append((x - a) & 0xFF)
+            elif filt == 2:
+                filtered.append((x - b) & 0xFF)
+            elif filt == 3:
+                filtered.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                filtered.append((x - paeth(a, b, c)) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", width, 5, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+               + chunk(b"IEND", b""))
+    w, h, ch, rows = png_decode(payload)
+    assert (w, h, ch) == (6, 5, 1)
+    assert rows == pixels
+
+
+def test_png_decode_rejects_non_png_and_bad_depth():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JUNKJUNKJUNK")
+    # 16-bit depth is out of scope and must fail loudly, not mis-decode
+    import struct
+    from binascii import crc32
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(bad)
+
+
+# ------------------------------------------------------------- GIF/JPEG meta
+
+
+def test_gif_meta_frames_and_jpeg_sof():
+    assert gif_meta(_fixture("sample.gif")) == (4, 3, 3)
+    assert jpeg_meta(_fixture("sample.jpg")) == (240, 180)
+    with pytest.raises(ValueError):
+        gif_meta(b"notagif")
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\x00\x00")
+
+
+# ------------------------------------------------------------------ OCR core
+
+
+def test_ocr_roundtrip_full_charset():
+    """Every glyph in the font must survive render → OCR exactly, in one
+    multi-line page (segmentation + matching, not just per-glyph)."""
+    charset = "".join(sorted(FONT_5X7))
+    text = "\n".join(charset[i:i + 14] for i in range(0, len(charset), 14))
+    res = ocr_bitmap(render_text_png(text))
+    assert res["text"] == text
+    assert res["confidence"] == 1.0
+
+
+def test_ocr_spaces_lines_and_bboxes():
+    res = ocr_bitmap(render_text_png("AB CD\nX"))
+    assert res["text"] == "AB CD\nX"
+    assert len(res["bounding_boxes"]) == 2
+    b0, b1 = res["bounding_boxes"]
+    assert b0["text"] == "AB CD" and b1["text"] == "X"
+    # 4-corner boxes, reading order top→bottom, second line strictly below
+    assert len(b0["bbox"]) == 4
+    assert b1["bbox"][0][1] > b0["bbox"][2][1] - 1
+    assert res["detected_languages"] == ["en"]
+
+
+def test_ocr_noise_tolerance_and_low_confidence():
+    png = render_text_png("NOISY TEXT 123")
+    w, h, ch, rows = png_decode(png)
+    grid = [bytearray(r) for r in rows]
+    # flips chosen inside multi-pixel column runs so projection segmentation
+    # is unaffected (a flip that blanks a glyph's only-ink column genuinely
+    # splits the glyph — real OCR degrades the same way on broken strokes)
+    grid[3][2] ^= 0xFF
+    grid[5][8] ^= 0xFF
+    res = ocr_bitmap(png_encode([bytes(r) for r in grid]))
+    assert res["text"] == "NOISY TEXT 123"  # argmax survives small noise
+    assert 0.9 < res["confidence"] < 1.0
+    # heavy corruption of one glyph → '?' placeholder, not invented text
+    png2 = render_text_png("AB")
+    w2, h2, _, rows2 = png_decode(png2)
+    grid2 = [bytearray(r) for r in rows2]
+    for y in range(2, 9):
+        for x in range(2, 7):
+            grid2[y][x] = 0 if (x * 31 + y * 17) % 3 else 255
+    res2 = ocr_bitmap(png_encode([bytes(r) for r in grid2]), min_confidence=0.93)
+    assert res2["text"].endswith("B")
+    assert res2["text"][0] == "?"
+
+
+def test_ocr_inverted_page():
+    """White-on-black renders binarize the other way: the dark background
+    becomes one giant unrecognizable segment. The kernel must answer with
+    low-confidence placeholders ('?'), never invented text."""
+    res = ocr_bitmap(render_text_png("ABC", invert=True))
+    assert not any(c.isalnum() for c in res["text"])
+    assert res["confidence"] < 0.55
+    assert res["detected_languages"] == ["unknown"]
+
+
+# ----------------------------------------------------------- golden fixtures
+
+
+def test_golden_fixture_ocr_and_meta():
+    res = ocr_bitmap(_fixture("sample_ocr.png"))
+    assert res["text"] == OCR_FIXTURE_TEXT
+    assert res["confidence"] == 1.0
+    assert [b["text"] for b in res["bounding_boxes"]] == OCR_FIXTURE_TEXT.split("\n")
+    # RGB variant decodes through the truecolor path to identical text
+    res_rgb = ocr_bitmap(_fixture("sample_ocr_rgb.png"))
+    assert res_rgb["text"] == OCR_FIXTURE_TEXT
+    # renderer is deterministic: regenerating the fixture reproduces bytes
+    assert render_text_png(OCR_FIXTURE_TEXT) == _fixture("sample_ocr.png")
+
+
+# -------------------------------------------------------------- Spark surface
+
+
+def test_ocr_images_operator_with_fallback(spark):
+    """A8 struct operator over a mixed batch: a real bitmap row yields the
+    full OCRResult struct; an undecodable payload yields the A9 fallback
+    (stub text, conf 0.5, no boxes) instead of failing the batch."""
+    from frappe_data_pipelines_spark.operators.extraction import ocr_images
+
+    rows = [
+        ("/img/good.png", bytearray(_fixture("sample_ocr.png"))),
+        ("/img/junk.png", bytearray(b"\x00\x01garbage")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in ocr_images(df).collect()}
+    good = got["/img/good.png"]
+    assert good.text == OCR_FIXTURE_TEXT and good.confidence == 1.0
+    assert good.detected_languages == ["en"]
+    assert [b.text for b in good.bounding_boxes] == OCR_FIXTURE_TEXT.split("\n")
+    assert all(len(b.bbox) == 4 and len(b.bbox[0]) == 2 for b in good.bounding_boxes)
+    junk = got["/img/junk.png"]
+    assert junk.text.startswith("[ocr:") and junk.confidence == 0.5
+    assert junk.bounding_boxes == []
+
+
+def test_extract_text_real_kernel_dispatch_ocr(spark):
+    """A2 dispatch with real_kernels: png payloads run the bitmap OCR
+    (method ocr-bitmap); the stub stays reachable only as fallback."""
+    from frappe_data_pipelines_spark.operators.extraction import extract_text
+
+    rows = [
+        ("/img/page.png", bytearray(render_text_png("HELLO 42"))),
+        ("/img/junk.png", bytearray(b"notapng")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r.path: r for r in extract_text(df, real_kernels=True).collect()}
+    assert got["/img/page.png"].text == "HELLO 42"
+    assert got["/img/page.png"].method == "ocr-bitmap"
+    assert got["/img/page.png"].confidence == 1.0
+    assert got["/img/junk.png"].method == "ocr-stub"
+
+
+def test_decode_media_meta_real(spark):
+    """A7/J3 real decode path: PNG/GIF/JPEG metadata from actual headers,
+    graceful fake fallback for undecodable bytes."""
+    from frappe_data_pipelines_spark.operators.multimodal import decode_media_meta
+
+    rows = [
+        (1, bytearray(_fixture("sample_ocr.png")), "image/png"),
+        (2, bytearray(_fixture("sample.gif")), "image/gif"),
+        (3, bytearray(_fixture("sample.jpg")), "image/jpeg"),
+        (4, bytearray(b"opaque-blob"), "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary, mime string")
+    got = {r.doc_id: r for r in decode_media_meta(df, real=True).collect()}
+    assert (got[1].width, got[1].height, got[1].n_frames) == (117, 29, 1)
+    assert got[1].caption == "image/png 117x29 gray"
+    assert (got[2].width, got[2].height, got[2].n_frames) == (4, 3, 3)
+    assert (got[3].width, got[3].height) == (240, 180)
+    assert got[4].caption.startswith("media:")  # deterministic fake fallback
