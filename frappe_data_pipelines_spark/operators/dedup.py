@@ -131,21 +131,10 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Banded LSH: split the signature into ``bands`` rows-per-band groups;
-    docs colliding in ANY band become a candidate pair. Returns distinct
-    (id_a < id_b) candidates with estimated jaccard (= fraction of equal
-    signature positions)."""
+def _lsh_bucketize(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: one bucket key per signature band."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col).cache()
-    bucketed = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -159,13 +148,90 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    pairs = (
-        bucketed.alias("x")
-        .join(bucketed.alias("y"), ["band", "bucket"])
+
+
+def minhash_lsh_bucket_stats(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Operational diagnostic for the hot-bucket degrade in
+    ``minhash_lsh_pairs``: per (band, bucket) size plus whether the bucket
+    exceeds ``max_bucket_size`` (→ star-linked instead of all-pairs). Run
+    this alongside a production dedup sweep so the degrade is OBSERVED, not
+    silent — the count/excess of hot buckets is the number to alert on."""
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    return (
+        _lsh_bucketize(sig, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("is_hot", F.col("bucket_size") > F.lit(max_bucket_size))
+        .withColumn(
+            "skipped_pairs",
+            F.when(
+                F.col("is_hot"),
+                (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+                 - (F.col("bucket_size") - 1)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` rows-per-band groups;
+    docs colliding in ANY band become a candidate pair. Returns distinct
+    (id_a < id_b) candidates with estimated jaccard (= fraction of equal
+    signature positions).
+
+    **Hot-bucket bound (VERDICT r4 #4):** a (band, bucket) key holding B
+    docs yields B² rows from the self-join in ONE task — on a 100 TB corpus
+    with a large near-identical family (boilerplate pages, templated spam)
+    B can reach 10⁵+ and the bucket alone would emit ~10¹⁰ candidates.
+    Buckets larger than ``max_bucket_size`` therefore degrade to STAR
+    linking: every member pairs with the bucket's minimum doc_id only
+    (B−1 pairs). This keeps the candidate graph's connected components
+    identical — downstream clustering (``dedup_star_clusters``) groups the
+    family exactly as all-pairs would — while bounding any bucket's output
+    linearly. The degrade is deterministic and observable via
+    ``minhash_lsh_bucket_stats`` (skipped-pair counts per hot bucket); what
+    is lost is only the per-pair jaccard estimate between non-hub members
+    of a hot bucket, never membership of the duplicate cluster.
+    """
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col).cache()
+    bucketed = _lsh_bucketize(sig, num_hashes, bands)
+    sizes = (
+        bucketed.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"), F.min("doc_id").alias("__hub"))
+    )
+    bk = bucketed.join(sizes, ["band", "bucket"])
+    cool = bk.filter(F.col("__bsz") <= F.lit(max_bucket_size)).select(
+        "doc_id", "band", "bucket"
+    )
+    pairs_cool = (
+        cool.alias("x")
+        .join(cool.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-        .distinct()
     )
+    # hot buckets: hub = min(doc_id) < every other member, so (hub, member)
+    # is already canonically ordered
+    pairs_hot = (
+        bk.filter((F.col("__bsz") > F.lit(max_bucket_size)) & (F.col("doc_id") != F.col("__hub")))
+        .select(F.col("__hub").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    pairs = pairs_cool.unionByName(pairs_hot).distinct()
     est = (
         pairs.join(sig.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
         .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")

@@ -211,3 +211,54 @@ def test_semdedup_flags_planted_duplicate(spark, sf_dir):
     assert flags[7] is False          # the original survives
     # at 0.99 on this corpus nothing else pairs up
     assert sum(flags.values()) == 1
+
+
+def test_lsh_hot_bucket_star_degrade(spark, sf_dir):
+    """VERDICT r4 #4: an adversarial near-identical family must NOT explode
+    into B² candidates. Above max_bucket_size the bucket degrades to star
+    linking — bounded B−1 pairs, identical connected components."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        connected_dup_clusters,
+        minhash_lsh_bucket_stats,
+        minhash_lsh_pairs,
+    )
+
+    n_family = 120
+    rows = [(i, "the same boilerplate page repeated verbatim many times over") for i in range(n_family)]
+    rows += [(1000, "a genuinely distinct document about something else entirely"),
+             (1001, "another unrelated text with its own vocabulary and phrasing")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(docs, max_bucket_size=16)
+    got = capped.collect()
+    # star shape: exactly B-1 pairs, every one anchored at the hub (min id)
+    assert len(got) == n_family - 1
+    assert all(r.id_a == 0 and 0 < r.id_b < n_family for r in got)
+    # identical signatures → est_jaccard 1.0 survives the degrade
+    assert all(r.est_jaccard == 1.0 for r in got)
+    # connectivity is preserved: one cluster holding the whole family
+    clusters = connected_dup_clusters(capped).collect()
+    assert {r.cluster_id for r in clusters} == {0}
+    assert {r.doc_id for r in clusters} == set(range(n_family))
+
+    # the degrade is observable, not silent
+    stats = minhash_lsh_bucket_stats(docs, max_bucket_size=16).collect()
+    hot = [r for r in stats if r.is_hot]
+    assert hot and all(r.bucket_size == n_family for r in hot)
+    expected_skip = n_family * (n_family - 1) // 2 - (n_family - 1)
+    assert all(r.skipped_pairs == expected_skip for r in hot)
+
+    # uncapped reference on the same corpus: full quadratic candidate set
+    full = minhash_lsh_pairs(docs, max_bucket_size=10**9)
+    assert full.count() == n_family * (n_family - 1) // 2
+
+
+def test_lsh_cap_is_invariant_on_normal_data(spark, sf_dir):
+    """On a normal corpus no bucket crosses the default cap, so the capped
+    plan returns byte-identical candidates to the uncapped one."""
+    from frappe_data_pipelines_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    a = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, max_bucket_size=10**9).collect()))
+    assert a == b and len(a) > 0
