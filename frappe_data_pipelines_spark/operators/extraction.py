@@ -121,9 +121,28 @@ def _pdf_unescape(raw: bytes) -> bytes:
 
 
 def pdf_extract_text(payload: bytes) -> str:
-    """A3 real kernel: decompress content streams, emit the strings shown by
-    Tj / ' / " and TJ-array operators in stream order — one line per showing
-    op, streams joined with a blank line (pdfplumber's page join)."""
+    """A3 real kernel, two tiers (VERDICT r4 #5):
+
+    1. ``pdfmini.pdf_document_text`` — full object-graph walk: xref tables
+       AND PDF-1.5 xref/object streams, page-tree document order, Type0/CID
+       fonts via ToUnicode CMaps, hex-string show ops (what pdfplumber does
+       for the reference at text_extraction.py:63-75).
+    2. On any structural failure, the round-4 stream-order scan below:
+       decompress top-level content streams, emit Tj / ' / " / TJ strings
+       in byte order — one line per showing op, streams joined with a blank
+       line. Handles truncated/damaged files tier 1 refuses."""
+    from frappe_data_pipelines_spark.operators.pdfmini import (
+        PdfParseError,
+        pdf_document_text,
+    )
+
+    try:
+        return pdf_document_text(payload)
+    except PdfParseError:
+        return _pdf_extract_streamorder(payload)
+
+
+def _pdf_extract_streamorder(payload: bytes) -> str:
     global _PDF_STREAM_RE, _PDF_TEXT_OP_RE
     import re as _re
     import zlib

@@ -1,0 +1,730 @@
+"""Stdlib PDF document parser for the A3 real kernel (VERDICT r4 #5).
+
+The reference delegates PDF text to pdfplumber (text_extraction.py:63-75),
+which walks the real document object graph: cross-reference tables (classic
+AND PDF-1.5 compressed xref streams), object streams, the page tree in
+document order, and per-font ToUnicode CMaps for CID/Type0 text. Round 4's
+kernel only scanned top-level streams in byte order with single-byte
+decoding; this module adds the missing graph walk so multi-byte (Type0 /
+Identity-H) text, hex-string show operators, and xref-stream PDFs decode
+correctly.
+
+Scope (everything stdlib — zlib only external dep):
+  * object model: dicts, arrays, names, literal + hex strings, numbers,
+    booleans, null, indirect references
+  * xref: classic ``xref`` tables, ``/Type /XRef`` streams (W-field decode,
+    PNG predictors 0-4 via /DecodeParms), /Prev chains, hybrid files
+  * object streams (``/Type /ObjStm``): header pairs + embedded objects
+  * page tree walk (/Root → /Pages → /Kids, inherited /Resources), page
+    /Contents as single stream or array of streams
+  * fonts: /ToUnicode CMap (bfchar, scalar + array bfrange), 2-byte code
+    path for /Subtype /Type0, latin-1 fallback for simple fonts
+  * text operators: Tj ' " TJ with literal and hex strings, Tf font switch
+
+Any structural failure raises ``PdfParseError`` so the caller can fall back
+to the round-4 stream-order kernel (kept in extraction.py) and, past that,
+the deterministic stub — the extraction operator stays total.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["PdfParseError", "pdf_document_text"]
+
+
+class PdfParseError(ValueError):
+    """Structural parse failure — caller falls back to simpler kernels."""
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover — debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class Name(str):
+    """PDF /Name — distinct from strings so dict keys compare cleanly."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+            pos += 1
+        elif c == b"%":  # comment to end of line
+            while pos < n and data[pos : pos + 1] not in (b"\r", b"\n"):
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _read_token_word(data: bytes, pos: int) -> tuple[bytes, int]:
+    start = pos
+    n = len(data)
+    while pos < n and data[pos] not in _WS and data[pos] not in _DELIM:
+        pos += 1
+    return data[start:pos], pos
+
+
+_LITERAL_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _read_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    """pos points just past the opening '('. Handles nesting, escapes,
+    octal codes, and backslash-newline continuations (PDF 7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos : pos + 1]
+            if e.isdigit() and e < b"8":
+                oct_digits = e
+                pos += 1
+                while len(oct_digits) < 3 and pos < n and data[pos : pos + 1].isdigit() and data[pos : pos + 1] < b"8":
+                    oct_digits += data[pos : pos + 1]
+                    pos += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                continue
+            if e in (b"\r", b"\n"):  # line continuation: swallow EOL
+                pos += 1
+                if e == b"\r" and data[pos : pos + 1] == b"\n":
+                    pos += 1
+                continue
+            out += _LITERAL_ESCAPES.get(e, e)
+            pos += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise PdfParseError("unterminated literal string")
+
+
+def _read_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    """pos points just past the opening '<' (already known not '<<')."""
+    end = data.find(b">", pos)
+    if end < 0:
+        raise PdfParseError("unterminated hex string")
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos:end])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"  # odd count: final digit padded with 0 (7.3.4.3)
+    return bytes.fromhex(hexdigits.decode("ascii")), end + 1
+
+
+def _read_name(data: bytes, pos: int) -> tuple[Name, int]:
+    """pos points just past the '/'. #xx hex escapes per 7.3.5."""
+    raw, pos = _read_token_word(data, pos)
+    if b"#" in raw:
+        raw = re.sub(
+            rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+        )
+    return Name(raw.decode("latin-1")), pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def parse_object(data: bytes, pos: int):
+    """Parse one PDF object at ``pos``; returns (object, next_pos)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfParseError("unexpected end of data")
+    c = data[pos : pos + 1]
+    if data[pos : pos + 2] == b"<<":
+        return _parse_dict(data, pos + 2)
+    if c == b"<":
+        return _read_hex_string(data, pos + 1)
+    if c == b"(":
+        return _read_literal_string(data, pos + 1)
+    if c == b"/":
+        return _read_name(data, pos + 1)
+    if c == b"[":
+        arr = []
+        pos += 1
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 1] == b"]":
+                return arr, pos + 1
+            if pos >= len(data):
+                raise PdfParseError("unterminated array")
+            item, pos = parse_object(data, pos)
+            arr.append(item)
+    m = _NUM_RE.match(data, pos)
+    if m and m.start() == pos:
+        tok = m.group(0)
+        end = m.end()
+        if b"." not in tok:
+            # lookahead for an indirect reference: INT INT R
+            m2 = re.match(rb"\s+(\d+)\s+R(?![A-Za-z0-9])", data[end : end + 32])
+            if m2:
+                return Ref(int(tok), int(m2.group(1))), end + m2.end()
+            return int(tok), end
+        return float(tok), end
+    word, end = _read_token_word(data, pos)
+    if word == b"true":
+        return True, end
+    if word == b"false":
+        return False, end
+    if word == b"null":
+        return None, end
+    raise PdfParseError(f"cannot parse object at {pos}: {data[pos:pos+16]!r}")
+
+
+def _parse_dict(data: bytes, pos: int):
+    d: dict[str, object] = {}
+    while True:
+        pos = _skip_ws(data, pos)
+        if data[pos : pos + 2] == b">>":
+            return d, pos + 2
+        if data[pos : pos + 1] != b"/":
+            raise PdfParseError(f"dict key is not a name at {pos}")
+        key, pos = _read_name(data, pos + 1)
+        val, pos = parse_object(data, pos)
+        d[str(key)] = val
+    return d, pos
+
+
+# ---------------------------------------------------------------------------
+# Stream filters
+# ---------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo PNG row predictors 0-4 (used by xref streams, /Predictor >= 10)."""
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise PdfParseError(f"unsupported PNG predictor row filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
+    filters = sdict.get("Filter")
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = sdict.get("DecodeParms") or sdict.get("DP")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms):
+        f = str(resolve(f))
+        if f in ("FlateDecode", "Fl"):
+            data = zlib.decompress(data)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            hx = re.sub(rb"[^0-9A-Fa-f>]", b"", data).rstrip(b">")
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        else:
+            raise PdfParseError(f"unsupported stream filter /{f}")
+        p = resolve(p)
+        if isinstance(p, dict):
+            pred = resolve(p.get("Predictor", 1)) or 1
+            if pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(resolve(p.get("Columns", 1)) or 1),
+                    int(resolve(p.get("Colors", 1)) or 1),
+                    int(resolve(p.get("BitsPerComponent", 8)) or 8),
+                )
+            elif pred != 1:
+                raise PdfParseError(f"unsupported predictor {pred}")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Document: xref resolution + object loading
+# ---------------------------------------------------------------------------
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class PdfDocument:
+    """Lazy object store over one PDF payload.
+
+    xref entries: obj_num -> ("at", byte_offset) | ("in", objstm_num, index).
+    Built from the startxref chain when present, else reconstructed by
+    scanning ``N G obj`` headers (the same recovery move real viewers make
+    for damaged files — sample.pdf ships without any xref).
+    """
+
+    def __init__(self, payload: bytes) -> None:
+        self.data = payload
+        self.xref: dict[int, tuple] = {}
+        self.trailer: dict[str, object] = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        try:
+            self._load_xref_chain()
+        except PdfParseError:
+            self.xref.clear()
+        if not self.xref or "Root" not in self.trailer:
+            self._reconstruct()
+        if "Root" not in self.trailer:
+            raise PdfParseError("no /Root found in trailer")
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref_chain(self) -> None:
+        tail = self.data[-1024:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfParseError("no startxref")
+        offset = int(m.group(1))
+        seen: set[int] = set()
+        while offset and offset not in seen:
+            seen.add(offset)
+            offset = self._load_xref_section(offset)
+
+    def _load_xref_section(self, offset: int) -> int:
+        """Parse one xref section (classic or stream) at ``offset``; merge
+        entries (earlier sections in the chain win — they are newer) and
+        return the /Prev offset or 0."""
+        pos = _skip_ws(self.data, offset)
+        if self.data[pos : pos + 4] == b"xref":
+            return self._load_classic_xref(pos + 4)
+        return self._load_xref_stream(pos)
+
+    def _load_classic_xref(self, pos: int) -> int:
+        data = self.data
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos : pos + 7] == b"trailer":
+                tdict, _ = parse_object(data, pos + 7)
+                for k, v in tdict.items():
+                    self.trailer.setdefault(k, v)
+                # hybrid files: /XRefStm points at a parallel xref stream
+                if "XRefStm" in tdict:
+                    try:
+                        self._load_xref_stream(int(tdict["XRefStm"]))
+                    except PdfParseError:
+                        pass
+                return int(tdict.get("Prev", 0))
+            m = re.match(rb"(\d+)\s+(\d+)", data[pos : pos + 32])
+            if not m:
+                raise PdfParseError(f"bad xref subsection header at {pos}")
+            start, count = int(m.group(1)), int(m.group(2))
+            pos = _skip_ws(data, pos + m.end())
+            for i in range(count):
+                entry = data[pos : pos + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", entry)
+                if not em:
+                    raise PdfParseError(f"bad xref entry at {pos}")
+                if em.group(3) == b"n":
+                    self.xref.setdefault(start + i, ("at", int(em.group(1))))
+                # entries are fixed 20 bytes, but tolerate 18/19-byte writers
+                pos += em.end()
+                pos = _skip_ws(data, pos)
+
+    def _load_xref_stream(self, pos: int) -> int:
+        sdict, raw = self._stream_at(pos)
+        if str(sdict.get("Type")) != "XRef":
+            raise PdfParseError("object at startxref is not an XRef stream")
+        data = _decode_stream(sdict, raw, self.resolve)
+        w = [int(x) for x in sdict["W"]]
+        size = int(sdict["Size"])
+        index = sdict.get("Index", [0, size])
+        entry_len = sum(w)
+        fields_pos = 0
+
+        def field(buf: bytes, width: int, default: int) -> int:
+            return int.from_bytes(buf, "big") if width else default
+
+        pairs = [(int(index[i]), int(index[i + 1])) for i in range(0, len(index), 2)]
+        for start, count in pairs:
+            for i in range(count):
+                if fields_pos + entry_len > len(data):
+                    raise PdfParseError("xref stream too short")
+                buf = data[fields_pos : fields_pos + entry_len]
+                fields_pos += entry_len
+                f1 = field(buf[: w[0]], w[0], 1)
+                f2 = field(buf[w[0] : w[0] + w[1]], w[1], 0)
+                f3 = field(buf[w[0] + w[1] :], w[2], 0)
+                num = start + i
+                if f1 == 1:
+                    self.xref.setdefault(num, ("at", f2))
+                elif f1 == 2:
+                    self.xref.setdefault(num, ("in", f2, f3))
+        for k, v in sdict.items():
+            if k not in ("W", "Index", "Filter", "DecodeParms", "Length", "Type"):
+                self.trailer.setdefault(k, v)
+        return int(sdict.get("Prev", 0))
+
+    def _reconstruct(self) -> None:
+        """Recovery path: scan all ``N G obj`` headers; last definition of a
+        number wins (incremental updates append later)."""
+        for m in _OBJ_HEADER_RE.finditer(self.data):
+            self.xref[int(m.group(1))] = ("at", m.start())
+        for m in re.finditer(rb"trailer", self.data):
+            try:
+                tdict, _ = parse_object(self.data, m.end())
+            except PdfParseError:
+                continue
+            if isinstance(tdict, dict):
+                self.trailer.update(tdict)
+        if "Root" not in self.trailer:
+            # xref-stream-only file with a broken chain: look for a Catalog
+            for num, entry in self.xref.items():
+                try:
+                    obj = self.load(num)
+                except PdfParseError:
+                    continue
+                if isinstance(obj, dict) and str(obj.get("Type")) == "Catalog":
+                    self.trailer["Root"] = Ref(num, 0)
+                    break
+            # also surface any ObjStm members so reconstruction sees them
+            if "Root" not in self.trailer:
+                for num in list(self.xref):
+                    try:
+                        obj, raw = self._stream_at(self.xref[num][1])
+                    except (PdfParseError, IndexError, TypeError):
+                        continue
+                    if isinstance(obj, dict) and str(obj.get("Type")) == "ObjStm":
+                        for inner, iobj in self._load_objstm_by_offset(num).items():
+                            self.xref.setdefault(inner, ("in", num, 0))
+                            if (
+                                isinstance(iobj, dict)
+                                and str(iobj.get("Type")) == "Catalog"
+                            ):
+                                self.trailer["Root"] = Ref(inner, 0)
+
+    # -- object loading -----------------------------------------------------
+
+    def _stream_at(self, offset: int) -> tuple[dict, bytes]:
+        """Parse the indirect object at ``offset``; must be a stream.
+        Returns (dict, raw_stream_bytes)."""
+        obj, raw = self._object_at(offset, want_stream=True)
+        if raw is None:
+            raise PdfParseError(f"object at {offset} is not a stream")
+        return obj, raw
+
+    def _object_at(self, offset: int, want_stream: bool = False):
+        data = self.data
+        m = _OBJ_HEADER_RE.match(data, _skip_ws(data, offset))
+        if not m:
+            raise PdfParseError(f"no object header at {offset}")
+        obj, pos = parse_object(data, m.end())
+        pos = _skip_ws(data, pos)
+        if data[pos : pos + 6] == b"stream":
+            pos += 6
+            if data[pos : pos + 2] == b"\r\n":
+                pos += 2
+            elif data[pos : pos + 1] == b"\n":
+                pos += 1
+            length = self.resolve(obj.get("Length")) if isinstance(obj, dict) else None
+            if isinstance(length, int) and data[pos + length : pos + length + 32].lstrip().startswith(b"endstream"):
+                raw = data[pos : pos + length]
+            else:  # /Length missing or wrong: scan for endstream
+                end = data.find(b"endstream", pos)
+                if end < 0:
+                    raise PdfParseError("unterminated stream")
+                raw = data[pos:end].rstrip(b"\r\n")
+            return obj, raw
+        return obj, None
+
+    def _load_objstm_by_offset(self, stm_num: int) -> dict[int, object]:
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        entry = self.xref.get(stm_num)
+        if not entry or entry[0] != "at":
+            raise PdfParseError(f"object stream {stm_num} not at a byte offset")
+        sdict, raw = self._stream_at(entry[1])
+        data = _decode_stream(sdict, raw, self.resolve)
+        n = int(self.resolve(sdict["N"]))
+        first = int(self.resolve(sdict["First"]))
+        header = data[:first].split()
+        objs: dict[int, object] = {}
+        for i in range(n):
+            onum = int(header[2 * i])
+            ooff = int(header[2 * i + 1])
+            obj, _ = parse_object(data, first + ooff)
+            objs[onum] = obj
+        self._objstm_cache[stm_num] = objs
+        return objs
+
+    def load(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            raise PdfParseError(f"object {num} not in xref")
+        if entry[0] == "at":
+            obj, raw = self._object_at(entry[1], want_stream=True)
+            result = (obj, raw) if raw is not None else obj
+        else:
+            _, stm_num, _idx = entry
+            members = self._load_objstm_by_offset(stm_num)
+            if num not in members:
+                raise PdfParseError(f"object {num} missing from ObjStm {stm_num}")
+            result = members[num]
+        self._cache[num] = result
+        return result
+
+    def resolve(self, obj):
+        """Follow indirect references to the concrete value."""
+        depth = 0
+        while isinstance(obj, Ref):
+            obj = self.load(obj.num)
+            depth += 1
+            if depth > 32:
+                raise PdfParseError("reference cycle")
+        return obj
+
+    def stream_bytes(self, obj) -> bytes:
+        """Resolve ``obj`` to a stream and return its decoded data."""
+        obj = self.resolve(obj)
+        if not (isinstance(obj, tuple) and len(obj) == 2 and isinstance(obj[0], dict)):
+            raise PdfParseError("expected a stream object")
+        sdict, raw = obj
+        return _decode_stream(sdict, raw, self.resolve)
+
+
+# ---------------------------------------------------------------------------
+# Page tree, fonts, content interpretation
+# ---------------------------------------------------------------------------
+
+
+def _walk_pages(doc: PdfDocument, node, inherited_resources, out: list) -> None:
+    node = doc.resolve(node)
+    if isinstance(node, tuple):
+        node = node[0]
+    if not isinstance(node, dict):
+        raise PdfParseError("page tree node is not a dict")
+    resources = node.get("Resources", inherited_resources)
+    ntype = str(node.get("Type", ""))
+    if ntype == "Pages" or (ntype != "Page" and "Kids" in node):
+        for kid in doc.resolve(node.get("Kids", [])) or []:
+            _walk_pages(doc, kid, resources, out)
+    else:
+        out.append((node, resources))
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a ToUnicode CMap stream: bfchar pairs + bfrange (scalar and
+    array destination forms). Destinations are UTF-16BE (9.10.3)."""
+
+    def _clean(hexs: bytes) -> bytes:
+        return re.sub(rb"\s", b"", hexs)
+
+    def _dst_text(hexs: bytes) -> str:
+        b = bytes.fromhex(_clean(hexs).decode("ascii"))
+        return b.decode("utf-16-be", errors="replace")
+
+    mapping: dict[int, str] = {}
+    for block in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f\s]+)>", block
+        ):
+            mapping[int(src, 16)] = _dst_text(dst)
+    for block in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        entry_re = re.compile(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]+>)",
+            re.S,
+        )
+        for m in entry_re.finditer(block):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f\s]+)>", dst)
+                for i, d in enumerate(dsts):
+                    if lo + i > hi:
+                        break
+                    mapping[lo + i] = _dst_text(d)
+            else:
+                base_hex = _clean(dst.strip(b"<>"))
+                base_bytes = bytes.fromhex(base_hex.decode("ascii"))
+                base_int = int.from_bytes(base_bytes, "big")
+                width = len(base_bytes)
+                for c in range(lo, hi + 1):
+                    val = base_int + (c - lo)
+                    mapping[c] = val.to_bytes(width, "big").decode(
+                        "utf-16-be", errors="replace"
+                    )
+            pos = m.end()
+    return mapping
+
+
+def _load_fonts(doc: PdfDocument, resources) -> dict[str, dict]:
+    fonts: dict[str, dict] = {}
+    resources = doc.resolve(resources)
+    if not isinstance(resources, dict):
+        return fonts
+    font_dict = doc.resolve(resources.get("Font"))
+    if not isinstance(font_dict, dict):
+        return fonts
+    for fname, fref in font_dict.items():
+        try:
+            fobj = doc.resolve(fref)
+            if isinstance(fobj, tuple):
+                fobj = fobj[0]
+            two_byte = str(fobj.get("Subtype", "")) == "Type0"
+            cmap = None
+            if "ToUnicode" in fobj:
+                cmap = _parse_tounicode(doc.stream_bytes(fobj["ToUnicode"]))
+            fonts[fname] = {"two_byte": two_byte, "cmap": cmap}
+        except PdfParseError:
+            fonts[fname] = {"two_byte": False, "cmap": None}
+    return fonts
+
+
+def _decode_shown(b: bytes, font: dict | None) -> str:
+    if font and font["two_byte"]:
+        cmap = font["cmap"] or {}
+        parts = []
+        for i in range(0, len(b) - 1, 2):
+            code = (b[i] << 8) | b[i + 1]
+            parts.append(cmap.get(code, chr(code)))
+        return "".join(parts)
+    if font and font["cmap"]:
+        return "".join(font["cmap"].get(c, chr(c)) for c in b)
+    return b.decode("latin-1")
+
+
+_OPERATOR_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def _interpret_content(content: bytes, fonts: dict[str, dict]) -> list[str]:
+    """One pass over a page's content stream(s): track Tf, emit one output
+    line per show operator (Tj ' "), one per TJ array — the same line model
+    the round-4 kernel and its golden fixtures use."""
+    lines: list[str] = []
+    cur_font: dict | None = None
+    operands: list = []
+    pos, n = 0, len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos : pos + 1]
+        if c in b"([</" or c.isdigit() or c in b"+-.":
+            if content[pos : pos + 2] == b"<<":
+                obj, pos = _parse_dict(content, pos + 2)
+            else:
+                try:
+                    obj, pos = parse_object(content, pos)
+                except PdfParseError:
+                    pos += 1
+                    continue
+            operands.append(obj)
+            continue
+        m = _OPERATOR_RE.match(content, pos)
+        if not m:
+            pos += 1
+            continue
+        op = m.group(0)
+        pos = m.end()
+        if op == b"Tf":
+            if len(operands) >= 2 and isinstance(operands[-2], Name):
+                cur_font = fonts.get(str(operands[-2]))
+        elif op in (b"Tj", b"'", b'"'):
+            if operands and isinstance(operands[-1], bytes):
+                lines.append(_decode_shown(operands[-1], cur_font))
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                text = "".join(
+                    _decode_shown(item, cur_font)
+                    for item in operands[-1]
+                    if isinstance(item, bytes)
+                )
+                lines.append(text)
+        elif op == b"BI":  # inline image: skip to EI
+            end = content.find(b"EI", pos)
+            pos = n if end < 0 else end + 2
+        operands = []  # every operator consumes its operands
+    return lines
+
+
+def pdf_document_text(payload: bytes) -> str:
+    """Full-graph A3 kernel: document-order pages, CID/Type0 + ToUnicode
+    decoding, xref-stream and object-stream files. Pages with text joined by
+    a blank line (pdfplumber's page join); raises PdfParseError when the
+    graph cannot be walked or no page shows any text."""
+    if not payload.startswith(b"%PDF"):
+        raise PdfParseError("missing %PDF header")
+    doc = PdfDocument(payload)
+    root = doc.resolve(doc.trailer["Root"])
+    if isinstance(root, tuple):
+        root = root[0]
+    if not isinstance(root, dict) or "Pages" not in root:
+        raise PdfParseError("catalog has no /Pages")
+    pages: list[tuple[dict, object]] = []
+    _walk_pages(doc, root["Pages"], None, pages)
+    if not pages:
+        raise PdfParseError("empty page tree")
+    out: list[str] = []
+    for page, resources in pages:
+        fonts = _load_fonts(doc, resources)
+        contents = doc.resolve(page.get("Contents"))
+        if contents is None:
+            continue
+        if isinstance(contents, list):
+            parts = [doc.stream_bytes(cs) for cs in contents]
+            content = b"\n".join(parts)
+        else:
+            content = doc.stream_bytes(page.get("Contents"))
+        lines = _interpret_content(content, fonts)
+        if lines:
+            out.append("\n".join(lines))
+    if not out:
+        raise PdfParseError("no text on any page")
+    return "\n\n".join(out)

@@ -304,7 +304,11 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample.docx', 'docx',
        'Quarterly Report' || chr(10) || 'Revenue:' || chr(9) || '42 units'
         || chr(10) || 'Café notes — 日本語 line one' || chr(10) || 'after the break',
-       'docx-xml', 1.0)
+       'docx-xml', 1.0),
+      ('/fixtures/sample_type0.pdf', 'pdf',
+       'こんに' || chr(10) || 'ABC' || chr(10) || 'é世'
+        || chr(10) || chr(10) || 'plain latin page',
+       'pdf-mini', 1.0)
     ) AS t(path, ext, text, method, confidence)
     """,
     tags=("A3", "A5", "A2"),
@@ -325,7 +329,7 @@ def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resources", "fixtures",
     )
     rows = []
-    for name in ("sample.pdf", "sample.docx"):
+    for name in ("sample.pdf", "sample.docx", "sample_type0.pdf"):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))
     binary = spark.createDataFrame(rows, "path string, content binary")

@@ -97,7 +97,6 @@ def test_multimodal_plumbing(spark):
         documents_as_media,
         frame_sample,
     )
-    import pytest as _pytest
 
     files = _files(spark)
     media = documents_as_media(files)
@@ -108,9 +107,25 @@ def test_multimodal_plumbing(spark):
     for r in rows:
         assert r["n_bytes"] > 0 and r["width"] >= 320 and r["n_frames"] >= 1
         assert r["caption"].startswith("media:word")
-    # real decoder path is explicitly stubbed
-    with _pytest.raises(NotImplementedError):
-        decode_media_meta(media, real=True)
+    # real=True magic-sniffs; non-image payloads fall back to the
+    # deterministic fake, so text-bytes media decodes identically
+    real_rows = decode_media_meta(media, real=True).collect()
+    assert sorted(map(tuple, real_rows)) == sorted(map(tuple, rows))
+    # a genuine PNG payload takes the real stdlib decoder path
+    import os as _os
+
+    fx = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures", "sample_ocr.png",
+    )
+    with open(fx, "rb") as f:
+        png = bytearray(f.read())
+    png_df = spark.createDataFrame(
+        [(1, png, "image/png")], "doc_id long, content binary, mime string"
+    )
+    png_row = decode_media_meta(png_df, real=True).first()
+    assert png_row["caption"].startswith("image/png ")
+    assert png_row["width"] > 0 and png_row["height"] > 0
     fs = frame_sample(meta, every_n=2)
     assert fs.filter(F.col("frame_index") % 2 != 0).count() == 0
 

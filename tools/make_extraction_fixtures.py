@@ -80,6 +80,124 @@ def make_pdf() -> bytes:
     return body + b"trailer << /Root 1 0 R >>\n%%EOF\n"
 
 
+TYPE0_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfchar
+<0001> <3053>
+<0002> <3093>
+<0003> <306B>
+endbfchar
+2 beginbfrange
+<0010> <0012> <0041>
+<0020> <0021> [<00E9> <4E16>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+# hex-string show ops through the Type0 font: bfchar range ("こんに"),
+# a TJ array with kerning across a scalar bfrange (ABC), an array bfrange row
+TYPE0_PAGE_A = (
+    b"BT /F1 12 Tf <000100020003> Tj T* "
+    b"[<0010> -120 <0011 0012>] TJ T* "
+    b"<00200021> Tj ET"
+)
+TYPE0_PAGE_B = b"BT /F2 12 Tf (plain latin page) Tj ET"
+
+
+def _png_up_predict(rows: list[bytes]) -> bytes:
+    """Apply the PNG Up (type 2) row filter — what real writers emit for
+    xref streams with /Predictor 12."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for row in rows:
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def make_type0_pdf() -> bytes:
+    """A PDF-1.5-style file: compressed xref STREAM (W [1 2 1], Up
+    predictor), all page-tree dicts inside an object STREAM, a Type0
+    (Identity-H) font whose ToUnicode CMap exercises bfchar + both bfrange
+    forms, hex-string Tj/TJ, plus a second page with a simple font."""
+    objstm_members = [
+        (2, b"<</Type/Catalog/Pages 3 0 R>>"),
+        (3, b"<</Type/Pages/Kids[4 0 R 8 0 R]/Count 2>>"),
+        (4, b"<</Type/Page/Parent 3 0 R/Resources<</Font<</F1 5 0 R>>>>"
+            b"/Contents 6 0 R/MediaBox[0 0 612 792]>>"),
+        (5, b"<</Type/Font/Subtype/Type0/BaseFont/FixtureCID"
+            b"/Encoding/Identity-H/ToUnicode 7 0 R>>"),
+        (8, b"<</Type/Page/Parent 3 0 R/Resources<</Font<</F2 9 0 R>>>>"
+            b"/Contents 10 0 R/MediaBox[0 0 612 792]>>"),
+        (9, b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>"),
+    ]
+    offsets, payloads, pos = [], [], 0
+    for _num, body in objstm_members:
+        offsets.append(pos)
+        payloads.append(body)
+        pos += len(body) + 1
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(objstm_members, offsets)
+    ).encode() + b"\n"
+    objstm_data = header + b"\n".join(payloads) + b"\n"
+    objstm_z = zlib.compress(objstm_data)
+    cmap_z = zlib.compress(TYPE0_CMAP)
+    page_a_z = zlib.compress(TYPE0_PAGE_A)
+
+    out = bytearray(b"%PDF-1.5\n")
+    obj_off: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        obj_off[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<</Type/ObjStm/N %d/First %d/Length %d/Filter/FlateDecode>>\n"
+            b"stream\n%s\nendstream"
+            % (len(objstm_members), len(header), len(objstm_z), objstm_z))
+    emit(6, b"<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream"
+            % (len(page_a_z), page_a_z))
+    emit(7, b"<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream"
+            % (len(cmap_z), cmap_z))
+    emit(10, b"<</Length %d>>\nstream\n%s\nendstream"
+             % (len(TYPE0_PAGE_B), TYPE0_PAGE_B))
+
+    xref_pos = len(out)
+    obj_off[11] = xref_pos
+    entries = {
+        0: (0, 0, 65535),
+        1: (1, obj_off[1], 0),
+        2: (2, 1, 0), 3: (2, 1, 1), 4: (2, 1, 2), 5: (2, 1, 3),
+        6: (1, obj_off[6], 0),
+        7: (1, obj_off[7], 0),
+        8: (2, 1, 4), 9: (2, 1, 5),
+        10: (1, obj_off[10], 0),
+        11: (1, xref_pos, 0),
+    }
+    rows = [
+        bytes([t]) + f2.to_bytes(2, "big") + bytes([f3 & 0xFF])
+        for t, f2, f3 in (entries[i] for i in range(12))
+    ]
+    xref_z = zlib.compress(_png_up_predict(rows))
+    out.extend(
+        b"11 0 obj\n<</Type/XRef/Size 12/W[1 2 1]/Index[0 12]"
+        b"/Root 2 0 R/Filter/FlateDecode"
+        b"/DecodeParms<</Predictor 12/Columns 4>>/Length %d>>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(xref_z), xref_z)
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out)
+
+
+EXPECTED_TYPE0_TEXT = "こんに\nABC\né世\n\nplain latin page"
+
 EXPECTED_PDF_TEXT = (
     "Hello PDF world\nSecond line with (escaped) parens\nCafé menu"
     "\n\nFlate page two"
@@ -90,16 +208,25 @@ EXPECTED_DOCX_TEXT = (
 )
 
 
+def _write_if_missing(name: str, data) -> None:
+    """Existing committed fixtures stay byte-identical (the docx zip embeds
+    timestamps; regenerating would churn bytes the goldens already pin)."""
+    path = os.path.join(OUT, name)
+    if os.path.exists(path):
+        return
+    mode = "wb" if isinstance(data, bytes) else "w"
+    with open(path, mode) as f:
+        f.write(data)
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "sample.docx"), "wb") as f:
-        f.write(make_docx())
-    with open(os.path.join(OUT, "sample.pdf"), "wb") as f:
-        f.write(make_pdf())
-    with open(os.path.join(OUT, "sample.pdf.txt"), "w") as f:
-        f.write(EXPECTED_PDF_TEXT)
-    with open(os.path.join(OUT, "sample.docx.txt"), "w") as f:
-        f.write(EXPECTED_DOCX_TEXT)
+    _write_if_missing("sample.docx", make_docx())
+    _write_if_missing("sample.pdf", make_pdf())
+    _write_if_missing("sample.pdf.txt", EXPECTED_PDF_TEXT)
+    _write_if_missing("sample.docx.txt", EXPECTED_DOCX_TEXT)
+    _write_if_missing("sample_type0.pdf", make_type0_pdf())
+    _write_if_missing("sample_type0.pdf.txt", EXPECTED_TYPE0_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
