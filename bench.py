@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_quality_filter",
     "dataset_splits",
     "percentile_price_by_priority",
+    "extract_real_kernels",
 ]
 
 
@@ -114,14 +115,17 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
     # streaming ingest throughput (docs/sec, steady-state: JVM/stream init
-    # already warmed by the suite above)
-    ingest_rate = None
-    try:
+    # already warmed by the suite above); measured for BOTH sink tiers —
+    # parquet-append (default) and the exactly-once MERGE sink (VERDICT r4
+    # #6: the transactional path needs a tracked number before it can be
+    # the default)
+    def measure_ingest(exactly_once: bool) -> float | None:
         import shutil
         import tempfile
 
         from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
 
+        best = None
         # best-of-2 fresh streams: stream wall time is dominated by
         # checkpoint fsyncs + first-trigger init, both hostage to disk
         # contention windows — same rationale as the round-robin above
@@ -132,11 +136,19 @@ def main() -> None:
             docs.coalesce(8).write.parquet(inp)
             n_docs = docs.count()
             t0 = time.time()
-            q_stream = start_ingest_stream(spark, inp, outp, ckpt)
+            q_stream = start_ingest_stream(
+                spark, inp, outp, ckpt, exactly_once=exactly_once
+            )
             q_stream.awaitTermination(300)
             rate = round(n_docs / (time.time() - t0), 1)
-            ingest_rate = rate if ingest_rate is None else max(ingest_rate, rate)
+            best = rate if best is None else max(best, rate)
             shutil.rmtree(tmp, ignore_errors=True)
+        return best
+
+    ingest_rate = exactly_once_rate = None
+    try:
+        ingest_rate = measure_ingest(exactly_once=False)
+        exactly_once_rate = measure_ingest(exactly_once=True)
     except Exception as e:  # noqa: BLE001
         print(f"# bench ingest error: {e}", file=sys.stderr)
 
@@ -149,6 +161,8 @@ def main() -> None:
     }
     if ingest_rate is not None:
         out["ingest_docs_per_sec"] = ingest_rate
+    if exactly_once_rate is not None:
+        out["ingest_exactly_once_docs_per_sec"] = exactly_once_rate
     print(json.dumps(out))
 
 

@@ -1,0 +1,137 @@
+"""Deterministic document synthesis — text → real PDF / DOCX bytes.
+
+Gives the real extraction kernels (operators/extraction.py,
+operators/pdfmini.py) a corpus-scale workload: wrap each document's text in
+a structurally valid PDF (classic xref table, FlateDecode content stream,
+one Tj per line) or DOCX (OOXML zip, one w:p per line), so
+``extract_text(real_kernels=True)`` round-trips the text byte-exactly. Used
+by the ``extract_real_kernels`` catalog/bench query and the kernel tests;
+the reference has no counterpart (its inputs are user files), so this is
+pure harness, not an operator claim.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+from collections.abc import Iterator
+from xml.sax.saxutils import escape
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def synth_pdf(text: str) -> bytes:
+    """One-page PDF showing each line of ``text`` as a latin-1 literal-string
+    Tj (the A3 kernel emits one output line per show op, so decode returns
+    ``text`` exactly). Classic xref table so the full-graph parser tier is
+    the one exercised."""
+    lines = text.split("\n")
+    ops = b" T* ".join(
+        b"(%s) Tj"
+        % line.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        for line in lines
+    )
+    content = zlib.compress(b"BT /F1 11 Tf 72 720 Td " + ops + b" ET")
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+        b"5 0 obj\n<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>\nendobj\n",
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(body))
+        body += o
+    xref_pos = len(body)
+    body += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += (
+        b"trailer\n<</Size 6/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    )
+    return bytes(body)
+
+
+_DOCX_SHELL = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
+def synth_docx(text: str) -> bytes:
+    """DOCX whose word/document.xml has one paragraph per line of ``text``
+    (the A5 kernel joins paragraphs with newline → exact round-trip)."""
+    paras = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(line)}</w:t></w:r></w:p>'
+        for line in text.split("\n")
+    )
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{paras}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in _DOCX_SHELL.items():
+            z.writestr(zipfile.ZipInfo(name), data)
+        z.writestr(zipfile.ZipInfo("word/document.xml"), doc)
+    return buf.getvalue()
+
+
+def documents_as_files(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """documents → (path, content BINARY): even ids become real PDFs, odd
+    ids real DOCX — one Arrow-batched pass, partition-preserving (the synth
+    is per-row Python, but it IS the workload being generated, not overhead
+    on some other operator's hot path)."""
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            paths, contents = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                if doc_id % 2 == 0:
+                    paths.append(f"/gen/doc_{doc_id}.pdf")
+                    contents.append(synth_pdf(text))
+                else:
+                    paths.append(f"/gen/doc_{doc_id}.docx")
+                    contents.append(synth_docx(text))
+            yield pd.DataFrame({"path": paths, "content": contents})
+
+    return narrow.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
