@@ -264,6 +264,66 @@ class SemanticChunker:
             out.extend(self.split_big(sec))
         return out
 
+    # -- docling-HybridChunker-faithful path (VERDICT r4 #8) ----------------
+
+    PEER_DELIM = "\n"  # HybridChunker joins merged peers with "\n"
+
+    def peer_items(self, text: str) -> list[Section]:
+        """HierarchicalChunker analogue: one item per paragraph, carrying its
+        section path as the headings metadata (the reference builds one
+        PARAGRAPH doc item per '\\n\\n' block, chunking_service.py:57-63)."""
+        items: list[Section] = []
+        for sec in self.sectionize(text):
+            for p in re.split(r"\n\s*\n", sec.text):
+                p = p.strip()
+                if p:
+                    items.append(Section(sec.path, p))
+        return items
+
+    def merge_peers(self, items: list[Section]) -> list[Section]:
+        """``HybridChunker(merge_peers=True)`` semantics: greedily merge
+        CONSECUTIVE items with IDENTICAL headings metadata while the joined
+        text still fits the budget; never merge across section paths, never
+        exceed the budget by merging. (Docling merges on matching
+        headings+captions up to max_tokens with a '\\n' delimiter; the
+        budget here is characters, the same unit the rest of this chunker
+        uses.)"""
+        merged: list[Section] = []
+        cur_path: str | None = None
+        cur_parts: list[str] = []
+        cur_len = 0
+        for item in items:
+            joined = cur_len + len(self.PEER_DELIM) + len(item.text)
+            if cur_parts and item.path == cur_path and joined <= self.target_size:
+                cur_parts.append(item.text)
+                cur_len = joined
+            else:
+                if cur_parts:
+                    merged.append(Section(cur_path, self.PEER_DELIM.join(cur_parts)))
+                cur_path, cur_parts, cur_len = item.path, [item.text], len(item.text)
+        if cur_parts:
+            merged.append(Section(cur_path, self.PEER_DELIM.join(cur_parts)))
+        return merged
+
+    def chunk_hybrid(self, text: str) -> list[Section]:
+        """Full hybrid pipeline in docling's order (split oversize FIRST,
+        then merge peers — split fragments are themselves peers and may
+        merge with neighbors): items → token-budget split → merge_peers."""
+        if not text or not text.strip():
+            return []
+        split_items: list[Section] = []
+        for item in self.peer_items(text):
+            if len(item.text) > self.target_size:
+                split_items.extend(
+                    Section(item.path, piece)
+                    for piece in recursive_character_split(
+                        item.text, self.target_size, self.overlap
+                    )
+                )
+            else:
+                split_items.append(item)
+        return self.merge_peers(split_items)
+
 
 # ---------------------------------------------------------------------------
 # Distributed operator
@@ -313,22 +373,12 @@ def chunk_documents(
                     secs = sem.chunk(text)
                     chunks = [(s.text, s.path) for s in secs]
                 elif strategy == "hybrid":
-                    # DoclingChunker analogue (chunking_service.py:23-124):
-                    # structure-aware sectioning first, then any section still
-                    # over 2x the target is re-split by the recursive splitter
-                    # (keeping its section path) — merge_peers behavior comes
-                    # from SemanticChunker's small-section merging
-                    chunks = []
-                    for s in sem.chunk(text):
-                        if len(s.text) > 2 * chunk_size:
-                            chunks.extend(
-                                (piece, s.path)
-                                for piece in recursive_character_split(
-                                    s.text, chunk_size, chunk_overlap
-                                )
-                            )
-                        else:
-                            chunks.append((s.text, s.path))
+                    # DoclingChunker analogue (chunking_service.py:23-124) in
+                    # HybridChunker's own order: per-paragraph peer items
+                    # (headings = section path) → budget split of oversize
+                    # items → merge_peers (same-path consecutive items merged
+                    # while they fit; '\n' delimiter; never across sections)
+                    chunks = [(s.text, s.path) for s in sem.chunk_hybrid(text)]
                 else:
                     chunks = [
                         (c, "Document")

@@ -142,6 +142,68 @@ class TestSemanticChunker:
             assert s.text.strip()
 
 
+class TestMergePeers:
+    """Docling ``HybridChunker(merge_peers=True)`` boundary semantics
+    (VERDICT r4 #8, reference chunking_service.py:23-124): same-metadata
+    consecutive peers merge greedily within the budget, never across
+    section paths, never past the budget."""
+
+    def test_same_path_peers_merge_greedily(self):
+        sem = SemanticChunker(target_size=30, overlap=0)
+        text = "aaaa\n\nbbbb\n\ncccc\n\ndddd"
+        out = sem.chunk_hybrid(text)
+        # 4+1+4+1+4+1+4 = 19 <= 30: all four merge into one chunk
+        assert [s.text for s in out] == ["aaaa\nbbbb\ncccc\ndddd"]
+        assert out[0].path == "Document"
+
+    def test_merge_stops_before_exceeding_budget(self):
+        sem = SemanticChunker(target_size=10, overlap=0)
+        out = sem.chunk_hybrid("aaaa\n\nbbbb\n\ncccc")
+        # aaaa+\n+bbbb = 9 <= 10 merges; +\n+cccc = 14 > 10 starts new chunk
+        assert [s.text for s in out] == ["aaaa\nbbbb", "cccc"]
+
+    def test_never_merges_across_section_paths(self):
+        sem = SemanticChunker(target_size=200, overlap=0)
+        text = "# Alpha\ntiny a\n\n# Beta\ntiny b"
+        out = sem.chunk_hybrid(text)
+        assert [(s.path, s.text) for s in out] == [
+            ("Alpha", "tiny a"),
+            ("Beta", "tiny b"),
+        ]
+
+    def test_split_fragments_can_merge_with_neighbors(self):
+        """Docling splits oversize items BEFORE the merge pass, so a split
+        tail fragment merges with the small paragraph after it."""
+        sem = SemanticChunker(target_size=20, overlap=0)
+        big = "w" * 25  # splits into 20 + 5
+        out = sem.chunk_hybrid(f"{big}\n\nzz")
+        assert [s.text for s in out] == ["w" * 20, "w" * 5 + "\nzz"]
+
+    @given(
+        st.lists(
+            st.text(alphabet="abcd efg", min_size=1, max_size=60).map(str.strip).filter(bool),
+            min_size=1,
+            max_size=20,
+        ),
+        st.integers(min_value=15, max_value=120),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_merge_peers_invariants(self, paras, target):
+        sem = SemanticChunker(target_size=target, overlap=0)
+        text = "\n\n".join(paras)
+        out = sem.chunk_hybrid(text)
+        # 1. budget: no chunk exceeds the target
+        assert all(len(s.text) <= target for s in out)
+        # 2. maximality: no two consecutive same-path chunks could merge
+        for a, b in zip(out, out[1:]):
+            if a.path == b.path:
+                assert len(a.text) + 1 + len(b.text) > target
+        # 3. conservation (overlap=0): content survives end-to-end
+        joined = "\n".join(s.text for s in out).replace("\n", " ")
+        expected = " ".join(" ".join(p.split()) for p in paras if p)
+        assert " ".join(joined.split()) == expected
+
+
 def test_distributed_chunker_matches_local(spark, sf_dir):
     """chunk_documents (mapInPandas) must agree with the pure-python core."""
     from frappe_data_pipelines_spark.operators.chunker import chunk_documents
