@@ -182,6 +182,30 @@ def _pdf_extract_streamorder(payload: bytes) -> str:
     return "\n\n".join(pages)
 
 
+def pdf_ocr_scanned(payload: bytes) -> tuple[str, float]:
+    """A10 REAL render→OCR hand-off for scanned PDFs: extract each page's
+    embedded raster (image XObjects via the pdfmini graph walk — the
+    equivalent of the reference's PyMuPDF 2x-zoom page render,
+    ocr_service.py:228-289), then run the real bitmap OCR kernel per page.
+    Pages joined with a blank line; confidence is the page average —
+    mirroring the reference's per-page OCR loop. Raises when the PDF has no
+    decodable embedded rasters (caller falls back to the stub)."""
+    from frappe_data_pipelines_spark.operators.imaging import ocr_bitmap, png_encode
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_page_images
+
+    texts: list[str] = []
+    confs: list[float] = []
+    for _w, _h, channels, rows in pdf_page_images(payload):
+        png = png_encode(rows, color_type=0 if channels == 1 else 2)
+        result = ocr_bitmap(png)
+        if result["text"]:
+            texts.append(result["text"])
+            confs.append(result["confidence"])
+    if not texts:
+        raise ValueError("no OCR-able page images")
+    return "\n\n".join(texts), round(sum(confs) / len(confs), 6)
+
+
 def _stub_ocr(payload: bytes) -> tuple[str, float]:
     """A8/A9 stand-in for non-decodable images: returns (text, confidence);
     the pytesseract fallback fixes confidence at 0.5
@@ -237,8 +261,14 @@ def extract_text(
                     if real_kernels:
                         try:
                             text, method = pdf_extract_text(payload), "pdf-mini"
-                        except Exception:  # noqa: BLE001 — per-row fallback
-                            pass
+                        except Exception:  # noqa: BLE001 — no embedded text
+                            # A10/A11: textless PDF → try the scanned path
+                            # (page images → OCR) before giving up
+                            try:
+                                text, conf = pdf_ocr_scanned(payload)
+                                method = "pdf-ocr"
+                            except Exception:  # noqa: BLE001 — per-row fallback
+                                pass
                 elif ext == "docx":
                     text, method = _stub_docx(payload), "docx-stub"
                     if real_kernels:

@@ -694,6 +694,52 @@ def _interpret_content(content: bytes, fonts: dict[str, dict]) -> list[str]:
     return lines
 
 
+def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
+    """Embedded raster pages for the A10 scanned-PDF path: walk the page
+    tree and decode every /Subtype /Image XObject in each page's resources.
+    Returns (width, height, channels, rows) per image in document order —
+    the raw samples a render step would have produced, ready for the OCR
+    kernel. Supports 8-bit /DeviceGray (1 channel) and /DeviceRGB (3),
+    FlateDecode or uncompressed; anything else raises PdfParseError."""
+    doc = PdfDocument(payload)
+    root = doc.resolve(doc.trailer["Root"])
+    if isinstance(root, tuple):
+        root = root[0]
+    pages: list[tuple[dict, object]] = []
+    _walk_pages(doc, root.get("Pages"), None, pages)
+    images: list[tuple[int, int, int, list[bytes]]] = []
+    for page, resources in pages:
+        resources = doc.resolve(resources)
+        if not isinstance(resources, dict):
+            continue
+        xobjects = doc.resolve(resources.get("XObject"))
+        if not isinstance(xobjects, dict):
+            continue
+        for _name, xref_ in xobjects.items():
+            xobj = doc.resolve(xref_)
+            if not (isinstance(xobj, tuple) and len(xobj) == 2):
+                continue
+            xdict, _raw = xobj
+            if str(xdict.get("Subtype")) != "Image":
+                continue
+            width = int(doc.resolve(xdict["Width"]))
+            height = int(doc.resolve(xdict["Height"]))
+            bpc = int(doc.resolve(xdict.get("BitsPerComponent", 8)))
+            cs = str(doc.resolve(xdict.get("ColorSpace", "DeviceGray")))
+            if bpc != 8:
+                raise PdfParseError(f"unsupported image depth {bpc}")
+            channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+            if channels is None:
+                raise PdfParseError(f"unsupported image colorspace /{cs}")
+            samples = doc.stream_bytes(xobj)
+            stride = width * channels
+            if len(samples) < stride * height:
+                raise PdfParseError("image samples truncated")
+            rows = [samples[y * stride : (y + 1) * stride] for y in range(height)]
+            images.append((width, height, channels, rows))
+    return images
+
+
 def pdf_document_text(payload: bytes) -> str:
     """Full-graph A3 kernel: document-order pages, CID/Type0 + ToUnicode
     decoding, xref-stream and object-stream files. Pages with text joined by

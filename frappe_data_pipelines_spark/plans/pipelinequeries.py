@@ -467,6 +467,53 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a10_real_scanned_pdf_ocr",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('/fixtures/sample_scanned.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
+      ('/fixtures/sample.pdf', 'pdf', false,
+       'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
+        || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
+       'pdf-mini', 1.0)
+    ) AS t(path, ext, is_scanned, text, method, confidence)
+    """,
+    tags=("A10", "A11", "A8", "A2"),
+)
+def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 REAL scanned-PDF pipeline (upgrades the stub noted in VERDICT r4
+    A10): a PDF whose only page content is an embedded /DeviceGray image
+    XObject goes through text extraction (finds nothing → A11 scanned),
+    then the render→OCR hand-off — pdfmini extracts the page raster, the
+    real bitmap OCR kernel reads it (method ``pdf-ocr``). The text-bearing
+    sample.pdf rides along to prove routing picks text extraction when text
+    exists. Reference: render+OCR loop ocr_service.py:228-289, scanned
+    detection :291-321."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import extract_text
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "fixtures",
+    )
+    rows = []
+    for name in ("sample_scanned.pdf", "sample.pdf"):
+        with open(os.path.join(fixtures, name), "rb") as f:
+            rows.append((f"/fixtures/{name}", bytearray(f.read())))
+    binary = spark.createDataFrame(rows, "path string, content binary")
+    return extract_text(binary, real_kernels=True).select(
+        "path",
+        "ext",
+        (F.col("method") == "pdf-ocr").alias("is_scanned"),
+        "text",
+        "method",
+        "confidence",
+    )
+
+
+@register(
     "extract_real_kernels",
     oracle="""
     SELECT '/gen/doc_' || doc_id

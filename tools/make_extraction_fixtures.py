@@ -198,6 +198,49 @@ def make_type0_pdf() -> bytes:
 
 EXPECTED_TYPE0_TEXT = "こんに\nABC\né世\n\nplain latin page"
 
+SCANNED_TEXT = "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+
+
+def make_scanned_pdf() -> bytes:
+    """A 'scanned' PDF (A10/A11 fixture): the only page content is an
+    embedded /DeviceGray image XObject of rasterized text — no text
+    operators anywhere, exactly what a scanner produces. The OCR golden is
+    the rasterized text itself."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.imaging import (
+        png_decode,
+        render_text_png,
+    )
+
+    w, h, _channels, rows = png_decode(render_text_png(SCANNED_TEXT))
+    samples = zlib.compress(b"".join(rows))
+    content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Type/XObject/Subtype/Image/Width %d/Height %d"
+        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/FlateDecode"
+        b"/Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (w, h, len(samples), samples),
+        b"5 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(body))
+        body += o
+    xref_pos = len(body)
+    body += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += b"trailer\n<</Size 6/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(body)
+
 EXPECTED_PDF_TEXT = (
     "Hello PDF world\nSecond line with (escaped) parens\nCafé menu"
     "\n\nFlate page two"
@@ -227,6 +270,8 @@ def main() -> None:
     _write_if_missing("sample.docx.txt", EXPECTED_DOCX_TEXT)
     _write_if_missing("sample_type0.pdf", make_type0_pdf())
     _write_if_missing("sample_type0.pdf.txt", EXPECTED_TYPE0_TEXT)
+    _write_if_missing("sample_scanned.pdf", make_scanned_pdf())
+    _write_if_missing("sample_scanned.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
