@@ -157,6 +157,23 @@ CHECKS: dict[str, list] = {
         ("pushed_equality_filters", lambda p: re.search(r"PushedFilters: \[[^\]]*label", p)),
         ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
     ],
+    "extract_real_kernels": [
+        # document synth + kernel decode stay one shuffle-free Arrow chain:
+        # two MapInPandas stages (docgen, extract), no Exchange between them
+        ("no_shuffle_in_kernel_chain", lambda p: "Exchange" not in p),
+        ("arrow_batched_kernels", lambda p: p.count("MapInPandas") == 2),
+        # column pruning through the Python boundary: the documents scan
+        # reads only (doc_id, text), not the full table
+        ("documents_scan_pruned", lambda p: (
+            (lambda s: "doc_id" in s and "text" in s and "lang" not in s and "url" not in s)
+            (_read_schema(p, "documents"))
+        )),
+    ],
+    "a10_real_scanned_pdf_ocr": [
+        # fixture-driven: no parquet scan at all, one Arrow kernel pass
+        ("single_kernel_pass", lambda p: p.count("MapInPandas") == 1),
+        ("no_shuffle", lambda p: "Exchange" not in p),
+    ],
 }
 
 
