@@ -676,3 +676,71 @@ def semdedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def boilerplate_segment_removal(
+    docs: DataFrame,
+    seg_words: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicated-segment removal (the CCNet paragraph-dedup /
+    RefinedWeb line-dedup move, adapted to a corpus whose documents are
+    single-line): chop each document into non-overlapping ``seg_words``-word
+    segments, count how many DISTINCT documents each exact segment occurs
+    in corpus-wide, drop every copy of segments appearing in ≥ ``min_docs``
+    documents, and reconstruct the surviving text in order.
+
+    Returns (doc_id, clean_text, n_segments, n_removed, removed_frac).
+
+    Scale shape: one explode to segment granularity, one aggregation on the
+    uniform segment hash (count distinct docs — sketchable if needed), one
+    shuffle join back on the same key, one per-doc regroup. No all-pairs
+    anything; hot segments ("the the the ...") cost one aggregation row
+    each, and the join fans out only to their actual occurrences — which is
+    exactly the data being deleted. Reference has no counterpart (its
+    corpus is user files); this is the training-pipeline extension surface
+    (SURVEY "beyond the reference" list).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    segs = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(seg_arr).alias("seg_no", "seg")
+    )
+    # df(segment) — count over distinct (doc, segment): duplicated segments
+    # WITHIN one doc don't count toward the cross-document threshold
+    seg_df = (
+        segs.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").cast("bigint").alias("n_docs_with_seg"))
+    )
+    kept = segs.join(seg_df, "seg").withColumn(
+        "drop", F.col("n_docs_with_seg") >= min_docs
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("drop"), F.struct("seg_no", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum(F.col("drop").cast("bigint")).alias("n_removed"),
+            F.round(
+                F.sum(F.col("drop").cast("int")) / F.count("*"), 6
+            ).alias("removed_frac"),
+        )
+    )

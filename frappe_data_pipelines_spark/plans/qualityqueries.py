@@ -303,6 +303,52 @@ def c4_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level duplicated-segment removal (CCNet / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+_SEG_DEDUP_SQL = """
+    WITH segs AS (
+      SELECT doc_id, CAST(i.i - 1 AS INT) AS seg_no,
+             array_to_string(ws[(i.i-1)*10+1:(i.i-1)*10+10], ' ') AS seg
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           LATERAL (
+             SELECT unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+           ) i
+    ), seg_df AS (
+      SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           coalesce(
+             string_agg(CASE WHEN d.nd < 2 THEN s.seg END, ' ' ORDER BY s.seg_no),
+             ''
+           ) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           round(CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS removed_frac
+    FROM segs s JOIN seg_df d USING (seg)
+    GROUP BY s.doc_id
+    """
+
+
+@register("corpus_segment_dedup", oracle=_SEG_DEDUP_SQL, tags=("dedup", "extension"))
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-segment removal (CCNet's paragraph dedup /
+    RefinedWeb's line dedup, over 10-word segments since this corpus is
+    single-line): drop every copy of any exact segment present in ≥2
+    distinct documents, reconstruct surviving text in order, report removal
+    accounting. One segment-hash aggregation + one join back + one per-doc
+    regroup — uniform keys throughout, no all-pairs stage."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        boilerplate_segment_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_segment_removal(docs, seg_words=10, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 # Exact substring dedup spans (Lee et al. 2021-style, shingle approximation)
 # ---------------------------------------------------------------------------
 

@@ -262,3 +262,35 @@ def test_lsh_cap_is_invariant_on_normal_data(spark, sf_dir):
     a = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs, max_bucket_size=10**9).collect()))
     assert a == b and len(a) > 0
+
+
+def test_boilerplate_segment_removal_semantics(spark):
+    """Hand-built corpus: a 10-word boilerplate block shared by two docs is
+    removed from BOTH; unique segments survive; within-doc repetition alone
+    does not cross the min_docs=2 threshold."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        boilerplate_segment_removal,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    self_rep = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, f"{self_rep} {self_rep}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_removal(docs, seg_words=10, min_docs=2).collect()
+    }
+    assert got[1]["clean_text"] == uniq_a and got[1]["n_removed"] == 1
+    assert got[2]["clean_text"] == uniq_b and got[2]["n_removed"] == 1
+    # same segment twice in ONE doc: distinct-doc count is 1 → kept
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == f"{self_rep} {self_rep}"
+    assert got[1]["n_segments"] == 2 and got[1]["removed_frac"] == 0.5
