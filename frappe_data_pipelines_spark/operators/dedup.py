@@ -131,11 +131,17 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def _lsh_bucketize(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, bucket) rows: one bucket key per signature band."""
+def _lsh_bucketize(
+    sig: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
+) -> DataFrame:
+    """(doc_id, band, bucket) rows: one bucket key per signature band.
+    ``keep_sig=True`` carries the signature array through the explode so
+    downstream pair estimation needs no join back to the signature table
+    (bands× more shuffled bytes per doc, two fewer shuffle joins)."""
     rows_per_band = num_hashes // bands
+    cols = ["doc_id"] + (["sig"] if keep_sig else [])
     return sig.select(
-        "doc_id",
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -147,7 +153,7 @@ def _lsh_bucketize(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select(*cols, "bb.band", "bb.bucket")
 
 
 def minhash_lsh_bucket_stats(
@@ -209,43 +215,59 @@ def minhash_lsh_pairs(
     is lost is only the per-pair jaccard estimate between non-hub members
     of a hot bucket, never membership of the duplicate cluster.
     """
-    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col).cache()
-    bucketed = _lsh_bucketize(sig, num_hashes, bands)
-    sizes = (
+    sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
+    # signatures ride along with the bucket rows (bands× bytes) so pair
+    # estimation happens INSIDE the bucket join — no join back to the
+    # signature table, which previously cost two extra shuffle joins
+    bucketed = _lsh_bucketize(sig, num_hashes, bands, keep_sig=True).cache()
+
+    def est(a, b):
+        return F.round(
+            F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda x: x))
+            / F.lit(float(num_hashes)),
+            6,
+        )
+
+    # The hot list is tiny BY CONSTRUCTION (≤ corpus/max_bucket_size rows),
+    # so route via broadcast joins: the common cool path pays one broadcast
+    # anti-join instead of a second (band,bucket) shuffle of the full
+    # bucketed set against the size table.
+    hot = (
         bucketed.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__bsz"), F.min("doc_id").alias("__hub"))
+        .agg(
+            F.count(F.lit(1)).alias("__bsz"),
+            F.min("doc_id").alias("__hub"),
+            F.min_by("sig", "doc_id").alias("__hub_sig"),
+        )
+        .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    bk = bucketed.join(sizes, ["band", "bucket"])
-    cool = bk.filter(F.col("__bsz") <= F.lit(max_bucket_size)).select(
-        "doc_id", "band", "bucket"
+    cool = bucketed.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
     )
     pairs_cool = (
         cool.alias("x")
         .join(cool.alias("y"), ["band", "bucket"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            est(F.col("x.sig"), F.col("y.sig")).alias("est_jaccard"),
+        )
     )
     # hot buckets: hub = min(doc_id) < every other member, so (hub, member)
     # is already canonically ordered
     pairs_hot = (
-        bk.filter((F.col("__bsz") > F.lit(max_bucket_size)) & (F.col("doc_id") != F.col("__hub")))
-        .select(F.col("__hub").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    pairs = pairs_cool.unionByName(pairs_hot).distinct()
-    est = (
-        pairs.join(sig.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-                / F.lit(float(num_hashes)),
-                6,
-            ),
+        bucketed.join(F.broadcast(hot), ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("__hub"))
+        .select(
+            F.col("__hub").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            est(F.col("__hub_sig"), F.col("sig")).alias("est_jaccard"),
         )
-        .select("id_a", "id_b", "est_jaccard")
     )
-    return est
+    # a pair colliding in k bands appears k times with the SAME estimate —
+    # distinct over the 3 columns is the same dedup as over (id_a, id_b)
+    return pairs_cool.unionByName(pairs_hot).distinct()
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
