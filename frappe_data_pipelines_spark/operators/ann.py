@@ -60,17 +60,36 @@ def lsh_similarity_join(
 ) -> DataFrame:
     """All-pairs candidates via shared hyperplane bucket, then exact cosine.
     Shuffles on the small bucket key instead of crossJoin's O(n²)."""
+    from frappe_data_pipelines_spark.functions.vectors import (
+        dot_product,
+        vector_norm,
+    )
+
     dim = len(vectors.select(vec_col).first()[0])
     planes = _seeded_planes(dim, n_planes, seed)
+    # norm hoisted to one per ROW instead of two per PAIR: cosine here is
+    # dot/(nx*ny) with the identical fold arithmetic, so results (and the
+    # oracle hash) are bit-for-bit unchanged while the per-pair cost drops
+    # from three zip_with folds to one
     b = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        vector_norm(F.col(vec_col)).alias("nrm"),
     )
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, "bucket")
         .filter(F.col("x.id") < F.col("y.id"))
-        .withColumn("cos", F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("x.v"), F.col("y.v")),
+                    F.col("x.nrm") * F.col("y.nrm"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cos")
     )

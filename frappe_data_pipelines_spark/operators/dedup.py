@@ -665,26 +665,39 @@ def semdedup(
     (id, cluster, is_dup) for every vector; filter ``~is_dup`` for the
     deduplicated corpus. Cross-cluster near-dups are out of scope by design
     (the paper's trade: boundary pairs are rare when k ≪ n)."""
-    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+    from frappe_data_pipelines_spark.functions.vectors import (
+        dot_product,
+        vector_norm,
+    )
     from frappe_data_pipelines_spark.operators.ann import ivf_build
 
     assigned, _ = ivf_build(
         vectors, n_clusters=n_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
+    # norm hoisted to one per ROW (same fold arithmetic as the per-pair
+    # cosine, so dot/(na*nb) is bit-identical and the oracle hash holds)
     a = assigned.select(
         F.col(id_col).alias("a_id"),
         F.col("cluster").alias("a_cluster"),
         F.col(vec_col).alias("a_vec"),
+        vector_norm(F.col(vec_col)).alias("a_nrm"),
     )
     b = assigned.select(
         F.col(id_col).alias("b_id"),
         F.col("cluster").alias("b_cluster"),
         F.col(vec_col).alias("b_vec"),
+        vector_norm(F.col(vec_col)).alias("b_nrm"),
     )
     dups = (
         a.join(b, (F.col("a_cluster") == F.col("b_cluster")) & (F.col("b_id") < F.col("a_id")))
         .where(
-            F.round(cosine_similarity(F.col("a_vec"), F.col("b_vec")), 6)
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("a_vec"), F.col("b_vec")),
+                    F.col("a_nrm") * F.col("b_nrm"),
+                ),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("a_id").alias(id_col))
