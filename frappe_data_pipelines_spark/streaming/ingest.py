@@ -47,20 +47,29 @@ def start_ingest_stream(
     available_now: bool = True,
     txn_app_id: str | None = None,
     optimize_every: int | None = 8,
+    source_stream: DataFrame | None = None,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
+
+    ``source_stream`` swaps the file source for ANY streaming DataFrame in
+    DOC_SCHEMA shape (e.g. a Kafka topic through
+    ``streaming/sources.parse_document_messages``) — the micro-batch body,
+    sinks, and exactly-once contract are source-agnostic.
 
     Scale notes: maxFilesPerTrigger bounds micro-batch size; the per-batch
     plan is the same shuffle-free chunk+embed DAG as the batch engine, so
     throughput scales with executors; checkpointing makes restarts resume
     from the last committed batch (at-least-once into an idempotent sink).
     """
-    stream = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    if source_stream is not None:
+        stream = source_stream
+    else:
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
 
     chunks_dir = os.path.join(output_dir, "chunks")
     jobs_dir = os.path.join(output_dir, "jobs")

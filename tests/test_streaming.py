@@ -358,3 +358,89 @@ def test_transform_with_state_running_counters(spark, sf_dir, stream_dirs, tmp_p
     a = {(r["user_id"], r["n_events"], r["total_value"]) for r in final.collect()}
     b = {(r["user_id"], r["n_events"], r["total_value"]) for r in expected.collect()}
     assert a == b and a
+
+
+def test_kafka_shaped_source_through_ingest(spark, stream_dirs):
+    """Message-bus ingest: the Kafka wire envelope (rate-micro-batch
+    transport) parses into DOC_SCHEMA and drives the SAME micro-batch body
+    — chunks, job state machine, metrics — proving the pipeline is
+    source-agnostic (reference trigger: hooks.py:28-33)."""
+    import time
+
+    from frappe_data_pipelines_spark.streaming.sources import (
+        kafka_shaped_stream,
+        parse_document_messages,
+    )
+
+    wire = kafka_shaped_stream(spark, rows_per_batch=25, num_partitions=4)
+    assert [c for c, _ in wire.dtypes] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    ]
+    docs = parse_document_messages(wire)
+    q = start_ingest_stream(
+        spark,
+        input_dir="",  # unused with source_stream
+        output_dir=stream_dirs["output"],
+        checkpoint_dir=stream_dirs["checkpoint"],
+        source_stream=docs,
+        available_now=False,
+    )
+    chunks_dir = os.path.join(stream_dirs["output"], "chunks")
+    try:
+        deadline = time.time() + 120
+        seen = 0
+        while time.time() < deadline:
+            try:
+                seen = (
+                    spark.read.parquet(chunks_dir).select("doc_id").distinct().count()
+                )
+            except Exception:  # noqa: BLE001 — sink not created yet
+                seen = 0
+            if seen >= 50:  # at least two 25-doc batches landed
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert seen >= 50
+
+    chunks = spark.read.parquet(chunks_dir)
+    # offsets are deterministic 0..N so doc ids are dense from 0
+    ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert set(range(25)) <= ids
+    # payload text round-tripped through the JSON envelope
+    sample = chunks.filter(F.col("doc_id") == 3).first()
+    assert "stream document 3" in sample["chunk_text"]
+
+    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    per_status = {
+        r["status"]: r["n"]
+        for r in jobs.groupBy("status")
+        .agg(F.countDistinct("source_doc_id").alias("n"))
+        .collect()
+    }
+    assert per_status.get("Completed", 0) >= 50
+    assert per_status.get("Queued", 0) >= 50
+
+
+def test_kafka_envelope_round_trip(spark, sf_dir):
+    """Producer-side encode → consumer-side parse is lossless for the
+    document fields (batch DataFrames: the envelope logic is identical)."""
+    from frappe_data_pipelines_spark.streaming.sources import (
+        encode_document_messages,
+        parse_document_messages,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    wire = encode_document_messages(docs).withColumn(
+        "offset", F.monotonically_increasing_id()
+    )
+    back = parse_document_messages(wire)
+    want = {
+        (r["doc_id"], r["text"], r["lang"], r["n_chars"])
+        for r in docs.select("doc_id", "text", "lang", "n_chars").collect()
+    }
+    got = {
+        (r["doc_id"], r["text"], r["lang"], r["n_chars"])
+        for r in back.select("doc_id", "text", "lang", "n_chars").collect()
+    }
+    assert got == want
