@@ -198,10 +198,18 @@ class TestMergePeers:
         for a, b in zip(out, out[1:]):
             if a.path == b.path:
                 assert len(a.text) + 1 + len(b.text) > target
-        # 3. conservation (overlap=0): content survives end-to-end
-        joined = "\n".join(s.text for s in out).replace("\n", " ")
-        expected = " ".join(" ".join(p.split()) for p in paras if p)
-        assert " ".join(joined.split()) == expected
+        # 3. conservation (overlap=0): every non-whitespace character
+        # survives in order. (Whitespace-insensitive because an unsplittable
+        # word longer than the target is split intra-word — LangChain's
+        # character-level fallback — which introduces a chunk boundary.)
+        import re as _re
+
+        def strip_ws(s: str) -> str:
+            return _re.sub(r"\s+", "", s)
+
+        joined = strip_ws("".join(s.text for s in out))
+        expected = strip_ws("".join(paras))
+        assert joined == expected
 
 
 def test_distributed_chunker_matches_local(spark, sf_dir):
