@@ -1,0 +1,451 @@
+"""Baseline JPEG codec (stdlib-only) for the scanned-PDF kernel path.
+
+Real scanner output embedded in PDFs is almost always /DCTDecode (JPEG);
+round 5's image-XObject extraction handled Flate-compressed raw samples
+only. This module implements the baseline sequential DCT process from
+ITU-T T.81 well enough for that workload:
+
+  * decoder: SOI/APP/DQT/SOF0/DHT/SOS/RSTn/EOI marker walk, standard or
+    custom Huffman tables, byte-unstuffing, per-MCU entropy decode with DC
+    prediction + restart handling, dequantize, dezigzag, float IDCT,
+    level shift. Components with sampling factors 1×1 (4:4:4) — grayscale
+    returns the single component; YCbCr returns luma (the OCR path only
+    needs gray). Subsampled chroma raises (out of scope).
+  * encoder (fixture/round-trip side): level shift, float FDCT, Annex-K
+    luminance quant table scaled by quality, zigzag, DC-diff + AC
+    run-length coding with the Annex-K standard Huffman tables, byte
+    stuffing. Single-component (grayscale) only.
+
+Both sides are deterministic; the encoder exists so fixtures and
+round-trip tests need no external imaging wheel.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = ["jpeg_encode_gray", "jpeg_decode_gray", "JpegError"]
+
+
+class JpegError(ValueError):
+    pass
+
+
+# Annex K.1 — luminance quantization table, natural (row-major) order
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# zigzag index: _ZIGZAG[k] = natural index of the k-th zigzag coefficient
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 — standard Huffman tables: (bits[1..16], huffval)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _scaled_quant(quality: int) -> list[int]:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in _QUANT_LUMA]
+
+
+# -- DCT ---------------------------------------------------------------------
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _fdct_block(block: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cu = _COS[u][x]
+                row = x * 8
+                for y in range(8):
+                    s += block[row + y] * cu * _COS[v][y]
+            out[u * 8 + v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _idct_block(coef: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cux = _COS[u][x]
+                row = u * 8
+                for v in range(8):
+                    s += _C[u] * _C[v] * coef[row + v] * cux * _COS[v][y]
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+# -- bit IO ------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise JpegError("read past marker")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                self.marker = nxt
+                self.pos += 1
+                b = 0  # spec: treat as padding before the marker
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+def _huff_category(value: int) -> tuple[int, int]:
+    """(size, amplitude-bits) for a DC diff / AC coefficient."""
+    if value == 0:
+        return 0, 0
+    mag = abs(value)
+    size = mag.bit_length()
+    bits = value if value > 0 else value + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _huff_category: sign-extend a size-bit amplitude."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by canonical Huffman assignment."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid Huffman code")
+
+
+# -- encoder -----------------------------------------------------------------
+
+
+def jpeg_encode_gray(rows: list[bytes], quality: int = 90) -> bytes:
+    """Grayscale baseline JPEG from 8-bit rows (all equal length)."""
+    h = len(rows)
+    if h == 0:
+        raise JpegError("empty image")
+    w = len(rows[0])
+    quant = _scaled_quant(quality)
+    dc_tab = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_tab = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = [
+                float(rows[min(by + i, h - 1)][min(bx + j, w - 1)]) - 128.0
+                for i in range(8)
+                for j in range(8)
+            ]
+            coef = _fdct_block(block)
+            q = [
+                int(round(coef[_ZIGZAG[k]] / quant[_ZIGZAG[k]]))
+                for k in range(64)
+            ]
+            # DC
+            size, ampl = _huff_category(q[0] - prev_dc)
+            code, length = dc_tab[size]
+            bw.write(code, length)
+            if size:
+                bw.write(ampl, size)
+            prev_dc = q[0]
+            # AC
+            run = 0
+            for k in range(1, 64):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_tab[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                size, ampl = _huff_category(q[k])
+                code, length = ac_tab[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(ampl, size)
+                run = 0
+            if run:
+                code, length = ac_tab[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    zz_quant = bytes(quant[_ZIGZAG[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + zz_quant)  # DQT id 0, 8-bit
+    out += seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
+    )  # SOF0: 1 component, 1x1 sampling, quant table 0
+    out += seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -- decoder -----------------------------------------------------------------
+
+
+def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a baseline JPEG to (width, height, gray rows). Multi-component
+    images must be 1×1-sampled (4:4:4); luma is returned."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    scan_comps: list[dict] = []
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            raise JpegError("EOI before scan data")
+        length = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + length]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                zz = list(body[i : i + 64])
+                i += 64
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = zz[k]
+                quant[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            n = body[5]
+            comps = []
+            for ci in range(n):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise JpegError("subsampled chroma unsupported")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise JpegError(f"non-baseline SOF 0x{marker:02x}")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": huff_dc[tabs >> 4], "ac": huff_ac[tabs & 0x0F]}
+                )
+            pos += length
+            break
+        pos += length
+    else:
+        raise JpegError("no SOS marker")
+
+    if not scan_comps or w == 0 or h == 0:
+        raise JpegError("missing SOF before SOS")
+
+    bw_blocks = (w + 7) // 8
+    bh_blocks = (h + 7) // 8
+    luma = [[0.0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+    r = _BitReader(payload, pos)
+    prev_dc = [0] * len(scan_comps)
+    mcu_index = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                r.byte_align()
+                if r.marker is None:
+                    # consume the RSTn marker directly from the stream
+                    while r.data[r.pos] == 0xFF and 0xD0 <= r.data[r.pos + 1] <= 0xD7:
+                        r.pos += 2
+                        break
+                r.marker = None
+                prev_dc = [0] * len(scan_comps)
+            for ci, comp in enumerate(scan_comps):
+                qtbl = quant[comp["tq"]]
+                zz = [0] * 64
+                size = _decode_symbol(r, comp["dc"])
+                diff = _extend(r.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _decode_symbol(r, comp["ac"])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise JpegError("AC run past block end")
+                    size = sym & 0x0F
+                    zz[k] = _extend(r.read_bits(size), size)
+                    k += 1
+                if ci == 0:  # only luma pixels are materialized
+                    coef = [0.0] * 64
+                    for k2 in range(64):
+                        coef[_ZIGZAG[k2]] = zz[k2] * qtbl[_ZIGZAG[k2]]
+                    pix = _idct_block(coef)
+                    y0, x0 = by * 8, bx * 8
+                    for i in range(8):
+                        rowbuf = luma[y0 + i]
+                        for j in range(8):
+                            v = int(round(pix[i * 8 + j] + 128.0))
+                            rowbuf[x0 + j] = 0 if v < 0 else (255 if v > 255 else v)
+            mcu_index += 1
+
+    rows = [bytes(luma[y][:w]) for y in range(h)]
+    return w, h, rows

@@ -699,8 +699,10 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
     tree and decode every /Subtype /Image XObject in each page's resources.
     Returns (width, height, channels, rows) per image in document order —
     the raw samples a render step would have produced, ready for the OCR
-    kernel. Supports 8-bit /DeviceGray (1 channel) and /DeviceRGB (3),
-    FlateDecode or uncompressed; anything else raises PdfParseError."""
+    kernel. Supports 8-bit /DeviceGray (1 channel) and /DeviceRGB (3) with
+    FlateDecode or no filter, plus /DCTDecode (baseline JPEG — what real
+    scanners embed) via the stdlib codec in operators/jpegmini (luma
+    returned, channels=1); anything else raises PdfParseError."""
     doc = PdfDocument(payload)
     root = doc.resolve(doc.trailer["Root"])
     if isinstance(root, tuple):
@@ -728,6 +730,22 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
             cs = str(doc.resolve(xdict.get("ColorSpace", "DeviceGray")))
             if bpc != 8:
                 raise PdfParseError(f"unsupported image depth {bpc}")
+            filters = doc.resolve(xdict.get("Filter"))
+            flist = filters if isinstance(filters, list) else [filters]
+            if any(str(doc.resolve(f)) in ("DCTDecode", "DCT") for f in flist):
+                from frappe_data_pipelines_spark.operators.jpegmini import (
+                    JpegError,
+                    jpeg_decode_gray,
+                )
+
+                try:
+                    jw, jh, rows = jpeg_decode_gray(xobj[1])
+                except JpegError as e:
+                    raise PdfParseError(f"DCTDecode: {e}") from e
+                if (jw, jh) != (width, height):
+                    raise PdfParseError("DCTDecode dims disagree with /Width /Height")
+                images.append((jw, jh, 1, rows))
+                continue
             channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
             if channels is None:
                 raise PdfParseError(f"unsupported image colorspace /{cs}")

@@ -201,21 +201,7 @@ EXPECTED_TYPE0_TEXT = "こんに\nABC\né世\n\nplain latin page"
 SCANNED_TEXT = "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
 
 
-def make_scanned_pdf() -> bytes:
-    """A 'scanned' PDF (A10/A11 fixture): the only page content is an
-    embedded /DeviceGray image XObject of rasterized text — no text
-    operators anywhere, exactly what a scanner produces. The OCR golden is
-    the rasterized text itself."""
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from frappe_data_pipelines_spark.operators.imaging import (
-        png_decode,
-        render_text_png,
-    )
-
-    w, h, _channels, rows = png_decode(render_text_png(SCANNED_TEXT))
-    samples = zlib.compress(b"".join(rows))
+def _scanned_pdf_from_image(w: int, h: int, samples: bytes, filt: bytes) -> bytes:
     content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
     objs = [
         b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
@@ -223,9 +209,9 @@ def make_scanned_pdf() -> bytes:
         b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
         b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>\nendobj\n",
         b"4 0 obj\n<</Type/XObject/Subtype/Image/Width %d/Height %d"
-        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/FlateDecode"
+        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/%s"
         b"/Length %d>>\nstream\n%s\nendstream\nendobj\n"
-        % (w, h, len(samples), samples),
+        % (w, h, filt, len(samples), samples),
         b"5 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
         % (len(content), content),
     ]
@@ -240,6 +226,43 @@ def make_scanned_pdf() -> bytes:
         body += b"%010d 00000 n \n" % off
     body += b"trailer\n<</Size 6/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(body)
+
+
+def _scanned_raster() -> tuple[int, int, list[bytes]]:
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.imaging import (
+        png_decode,
+        render_text_png,
+    )
+
+    w, h, _channels, rows = png_decode(render_text_png(SCANNED_TEXT))
+    return w, h, rows
+
+
+def make_scanned_pdf() -> bytes:
+    """A 'scanned' PDF (A10/A11 fixture): the only page content is an
+    embedded /DeviceGray image XObject of rasterized text — no text
+    operators anywhere, exactly what a scanner produces. The OCR golden is
+    the rasterized text itself."""
+    w, h, rows = _scanned_raster()
+    return _scanned_pdf_from_image(
+        w, h, zlib.compress(b"".join(rows)), b"FlateDecode"
+    )
+
+
+def make_scanned_jpeg_pdf() -> bytes:
+    """Same page, but the raster is a baseline JPEG behind /DCTDecode — the
+    encoding real scanners actually embed. Exercises the stdlib JPEG
+    decoder end-to-end through pdf_page_images → OCR."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_encode_gray
+
+    w, h, rows = _scanned_raster()
+    return _scanned_pdf_from_image(w, h, jpeg_encode_gray(rows, quality=90), b"DCTDecode")
 
 EXPECTED_PDF_TEXT = (
     "Hello PDF world\nSecond line with (escaped) parens\nCafé menu"
@@ -272,6 +295,8 @@ def main() -> None:
     _write_if_missing("sample_type0.pdf.txt", EXPECTED_TYPE0_TEXT)
     _write_if_missing("sample_scanned.pdf", make_scanned_pdf())
     _write_if_missing("sample_scanned.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpeg.pdf", make_scanned_jpeg_pdf())
+    _write_if_missing("sample_scanned_jpeg.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
