@@ -337,7 +337,8 @@ def _match_glyph(tight: list[list[int]], row_off: int) -> tuple[str, float]:
 
 
 def ocr_bitmap(payload: bytes, min_confidence: float = 0.55) -> dict:
-    """OCR a rendered-text PNG → the reference's OCRResult shape
+    """OCR a rendered-text image (PNG, or baseline JPEG via the stdlib
+    codec in operators/jpegmini) → the reference's OCRResult shape
     (ocr_service.py:14-20): ``{"text", "confidence", "detected_languages",
     "bounding_boxes": [{"bbox": [[x,y]×4], "text", "confidence"}, ...]}``.
 
@@ -347,7 +348,13 @@ def ocr_bitmap(payload: bytes, min_confidence: float = 0.55) -> dict:
     best score falls below ``min_confidence`` come out as ``?`` — mirroring
     real OCR's low-confidence placeholders rather than inventing text.
     """
-    width, height, channels, rows = png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from frappe_data_pipelines_spark.operators.jpegmini import jpeg_decode_gray
+
+        width, height, rows = jpeg_decode_gray(payload)
+        channels = 1
+    else:
+        width, height, channels, rows = png_decode(payload)
     # luma binarize; any alpha channel is ignored (ink is dark)
     ink: list[list[int]] = []
     for r in rows:

@@ -349,7 +349,8 @@ _OCR_FIXTURE_TEXT = (
     oracle=f"""
     SELECT * FROM (VALUES
       ('/fixtures/sample_ocr.png', 'png', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0),
-      ('/fixtures/sample_ocr_rgb.png', 'png', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0)
+      ('/fixtures/sample_ocr_rgb.png', 'png', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0),
+      ('/fixtures/sample_ocr.jpg', 'jpg', {_OCR_FIXTURE_TEXT}, 'ocr-bitmap', 1.0)
     ) AS t(path, ext, text, method, confidence)
     """,
     tags=("A8", "A9", "A2"),
@@ -372,7 +373,7 @@ def a8_real_kernel_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resources", "fixtures",
     )
     rows = []
-    for name in ("sample_ocr.png", "sample_ocr_rgb.png"):
+    for name in ("sample_ocr.png", "sample_ocr_rgb.png", "sample_ocr.jpg"):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))
     binary = spark.createDataFrame(rows, "path string, content binary")

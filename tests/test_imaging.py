@@ -259,3 +259,11 @@ def test_decode_media_meta_real(spark):
     assert (got[2].width, got[2].height, got[2].n_frames) == (4, 3, 3)
     assert (got[3].width, got[3].height) == (240, 180)
     assert got[4].caption.startswith("media:")  # deterministic fake fallback
+
+
+def test_ocr_bitmap_reads_jpeg():
+    """A8 kernel accepts baseline JPEG input (scanner-style): the q90
+    fixture twin of sample_ocr.png OCRs to the identical text."""
+    res = ocr_bitmap(_fixture("sample_ocr.jpg"))
+    assert res["text"] == OCR_FIXTURE_TEXT
+    assert res["confidence"] == 1.0

@@ -252,6 +252,25 @@ def make_scanned_pdf() -> bytes:
     )
 
 
+OCR_FIXTURE_TEXT = "INVOICE 2026-08\nTOTAL DUE: 1,234.56\nPAY BY: 2026-09-01"
+
+
+def make_ocr_jpeg() -> bytes:
+    """JPEG twin of sample_ocr.png (same rasterized text, q90 baseline
+    encode) — the A8 kernel must read scanner-style JPEG input too."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.imaging import (
+        png_decode,
+        render_text_png,
+    )
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_encode_gray
+
+    _w, _h, _c, rows = png_decode(render_text_png(OCR_FIXTURE_TEXT))
+    return jpeg_encode_gray(rows, quality=90)
+
+
 def make_scanned_jpeg_pdf() -> bytes:
     """Same page, but the raster is a baseline JPEG behind /DCTDecode — the
     encoding real scanners actually embed. Exercises the stdlib JPEG
@@ -297,6 +316,7 @@ def main() -> None:
     _write_if_missing("sample_scanned.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jpeg.pdf", make_scanned_jpeg_pdf())
     _write_if_missing("sample_scanned_jpeg.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_ocr.jpg", make_ocr_jpeg())
     print(f"wrote fixtures to {OUT}")
 
 
