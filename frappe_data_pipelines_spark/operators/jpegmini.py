@@ -6,15 +6,16 @@ only. This module implements the baseline sequential DCT process from
 ITU-T T.81 well enough for that workload:
 
   * decoder: SOI/APP/DQT/SOF0/DHT/SOS/RSTn/EOI marker walk, standard or
-    custom Huffman tables, byte-unstuffing, per-MCU entropy decode with DC
-    prediction + restart handling, dequantize, dezigzag, float IDCT,
-    level shift. Components with sampling factors 1×1 (4:4:4) — grayscale
-    returns the single component; YCbCr returns luma (the OCR path only
-    needs gray). Subsampled chroma raises (out of scope).
-  * encoder (fixture/round-trip side): level shift, float FDCT, Annex-K
+    custom Huffman tables, byte-unstuffing, interleaved-MCU entropy decode
+    with DC prediction + restart handling, sampling factors up to 2×2
+    (4:4:4, 4:2:2, 4:2:0 — the formats cameras and scanners emit),
+    dequantize, dezigzag, float IDCT, level shift. Grayscale returns the
+    single component; YCbCr returns luma (the OCR path only needs gray),
+    with chroma blocks entropy-decoded to keep the bitstream in sync.
+  * encoders (fixture/round-trip side): level shift, float FDCT, Annex-K
     luminance quant table scaled by quality, zigzag, DC-diff + AC
     run-length coding with the Annex-K standard Huffman tables, byte
-    stuffing. Single-component (grayscale) only.
+    stuffing. Grayscale baseline and a 4:2:0 YCbCr color variant.
 
 Both sides are deterministic; the encoder exists so fixtures and
 round-trip tests need no external imaging wheel.
@@ -244,6 +245,56 @@ def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 # -- encoder -----------------------------------------------------------------
 
 
+def _encode_block(
+    bw: _BitWriter,
+    block: list[float],
+    quant: list[int],
+    prev_dc: int,
+    dc_tab: dict,
+    ac_tab: dict,
+) -> int:
+    """FDCT + quantize + entropy-code one level-shifted 8×8 block; returns
+    the new DC predictor."""
+    coef = _fdct_block(block)
+    q = [int(round(coef[_ZIGZAG[k]] / quant[_ZIGZAG[k]])) for k in range(64)]
+    size, ampl = _huff_category(q[0] - prev_dc)
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(ampl, size)
+    run = 0
+    for k in range(1, 64):
+        if q[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+        size, ampl = _huff_category(q[k])
+        code, length = ac_tab[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(ampl, size)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return q[0]
+
+
+def _plane_block(plane: list, w: int, h: int, bx: int, by: int) -> list[float]:
+    """Edge-replicated level-shifted 8×8 block from a float/int plane."""
+    return [
+        float(plane[min(by + i, h - 1)][min(bx + j, w - 1)]) - 128.0
+        for i in range(8)
+        for j in range(8)
+    ]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
 def jpeg_encode_gray(rows: list[bytes], quality: int = 90) -> bytes:
     """Grayscale baseline JPEG from 8-bit rows (all equal length)."""
     h = len(rows)
@@ -258,58 +309,91 @@ def jpeg_encode_gray(rows: list[bytes], quality: int = 90) -> bytes:
     prev_dc = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = [
-                float(rows[min(by + i, h - 1)][min(bx + j, w - 1)]) - 128.0
-                for i in range(8)
-                for j in range(8)
-            ]
-            coef = _fdct_block(block)
-            q = [
-                int(round(coef[_ZIGZAG[k]] / quant[_ZIGZAG[k]]))
-                for k in range(64)
-            ]
-            # DC
-            size, ampl = _huff_category(q[0] - prev_dc)
-            code, length = dc_tab[size]
-            bw.write(code, length)
-            if size:
-                bw.write(ampl, size)
-            prev_dc = q[0]
-            # AC
-            run = 0
-            for k in range(1, 64):
-                if q[k] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_tab[0xF0]
-                    bw.write(code, length)
-                    run -= 16
-                size, ampl = _huff_category(q[k])
-                code, length = ac_tab[(run << 4) | size]
-                bw.write(code, length)
-                bw.write(ampl, size)
-                run = 0
-            if run:
-                code, length = ac_tab[0x00]  # EOB
-                bw.write(code, length)
+            prev_dc = _encode_block(
+                bw, _plane_block(rows, w, h, bx, by), quant, prev_dc, dc_tab, ac_tab
+            )
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
     zz_quant = bytes(quant[_ZIGZAG[k]] for k in range(64))
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xDB, b"\x00" + zz_quant)  # DQT id 0, 8-bit
-    out += seg(
+    out += _seg(0xDB, b"\x00" + zz_quant)  # DQT id 0, 8-bit
+    out += _seg(
         0xC0,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
     )  # SOF0: 1 component, 1x1 sampling, quant table 0
-    out += seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
-    out += seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += _seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_rgb420(rows_rgb: list[bytes], quality: int = 90) -> bytes:
+    """4:2:0 YCbCr baseline JPEG from interleaved RGB rows (len = 3·width).
+    The standard camera/scanner layout: each MCU is four Y blocks plus one
+    2×2-averaged Cb and Cr block. (All components share the luminance
+    quant + Huffman tables — valid JPEG, simplest fixture encoder.)"""
+    h = len(rows_rgb)
+    if h == 0:
+        raise JpegError("empty image")
+    w = len(rows_rgb[0]) // 3
+    yp = [[0.0] * w for _ in range(h)]
+    cbp = [[0.0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    crp = [[0.0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    cbsum = [[0.0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    crsum = [[0.0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    cnt = [[0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    for y in range(h):
+        row = rows_rgb[y]
+        for x in range(w):
+            r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            yp[y][x] = yy
+            cbsum[y // 2][x // 2] += -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            crsum[y // 2][x // 2] += 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            cnt[y // 2][x // 2] += 1
+    for cy in range(len(cbp)):
+        for cx in range(len(cbp[0])):
+            cbp[cy][cx] = cbsum[cy][cx] / cnt[cy][cx]
+            crp[cy][cx] = crsum[cy][cx] / cnt[cy][cx]
+    cw, ch = len(cbp[0]), len(cbp)
+
+    quant = _scaled_quant(quality)
+    dc_tab = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_tab = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    for my in range(0, h, 16):
+        for mx in range(0, w, 16):
+            for byi in range(2):
+                for bxi in range(2):
+                    dc[0] = _encode_block(
+                        bw,
+                        _plane_block(yp, w, h, mx + bxi * 8, my + byi * 8),
+                        quant, dc[0], dc_tab, ac_tab,
+                    )
+            dc[1] = _encode_block(
+                bw, _plane_block(cbp, cw, ch, mx // 2, my // 2), quant, dc[1], dc_tab, ac_tab
+            )
+            dc[2] = _encode_block(
+                bw, _plane_block(crp, cw, ch, mx // 2, my // 2), quant, dc[2], dc_tab, ac_tab
+            )
+    bw.flush()
+
+    zz_quant = bytes(quant[_ZIGZAG[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + zz_quant)
+    out += _seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x00\x03\x11\x00",
+    )  # SOF0: 3 components, Y 2x2 / Cb 1x1 / Cr 1x1, quant table 0
+    out += _seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += _seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -362,9 +446,9 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
             comps = []
             for ci in range(n):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise JpegError("subsampled chroma unsupported")
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "h": sampling >> 4, "v": sampling & 0x0F}
+                )
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise JpegError(f"non-baseline SOF 0x{marker:02x}")
         elif marker == 0xC4:  # DHT
@@ -396,14 +480,46 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
     if not scan_comps or w == 0 or h == 0:
         raise JpegError("missing SOF before SOS")
 
-    bw_blocks = (w + 7) // 8
-    bh_blocks = (h + 7) // 8
-    luma = [[0.0] * (bw_blocks * 8) for _ in range(bh_blocks * 8)]
+    # interleaved MCU geometry: hmax×vmax luma blocks per MCU; chroma
+    # components contribute h×v blocks each (decoded to keep the bitstream
+    # in sync, pixels discarded — only luma is materialized)
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise JpegError(f"unsupported sampling {hmax}x{vmax}")
+    if scan_comps[0]["h"] != hmax or scan_comps[0]["v"] != vmax:
+        raise JpegError("luma must carry the max sampling factors")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    luma = [[0] * (mcus_x * 8 * hmax) for _ in range(mcus_y * 8 * vmax)]
     r = _BitReader(payload, pos)
     prev_dc = [0] * len(scan_comps)
     mcu_index = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+
+    def decode_block(ci: int, comp: dict) -> list[int]:
+        zz = [0] * 64
+        size = _decode_symbol(r, comp["dc"])
+        diff = _extend(r.read_bits(size), size) if size else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = _decode_symbol(r, comp["ac"])
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise JpegError("AC run past block end")
+            size = sym & 0x0F
+            zz[k] = _extend(r.read_bits(size), size)
+            k += 1
+        return zz
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 r.byte_align()
                 if r.marker is None:
@@ -415,36 +531,22 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
                 prev_dc = [0] * len(scan_comps)
             for ci, comp in enumerate(scan_comps):
                 qtbl = quant[comp["tq"]]
-                zz = [0] * 64
-                size = _decode_symbol(r, comp["dc"])
-                diff = _extend(r.read_bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(r, comp["ac"])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise JpegError("AC run past block end")
-                    size = sym & 0x0F
-                    zz[k] = _extend(r.read_bits(size), size)
-                    k += 1
-                if ci == 0:  # only luma pixels are materialized
-                    coef = [0.0] * 64
-                    for k2 in range(64):
-                        coef[_ZIGZAG[k2]] = zz[k2] * qtbl[_ZIGZAG[k2]]
-                    pix = _idct_block(coef)
-                    y0, x0 = by * 8, bx * 8
-                    for i in range(8):
-                        rowbuf = luma[y0 + i]
-                        for j in range(8):
-                            v = int(round(pix[i * 8 + j] + 128.0))
-                            rowbuf[x0 + j] = 0 if v < 0 else (255 if v > 255 else v)
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        zz = decode_block(ci, comp)
+                        if ci != 0:
+                            continue  # chroma: bitstream sync only
+                        coef = [0.0] * 64
+                        for k2 in range(64):
+                            coef[_ZIGZAG[k2]] = zz[k2] * qtbl[_ZIGZAG[k2]]
+                        pix = _idct_block(coef)
+                        y0 = (my * vmax + byi) * 8
+                        x0 = (mx * hmax + bxi) * 8
+                        for i in range(8):
+                            rowbuf = luma[y0 + i]
+                            for j in range(8):
+                                v = int(round(pix[i * 8 + j] + 128.0))
+                                rowbuf[x0 + j] = 0 if v < 0 else (255 if v > 255 else v)
             mcu_index += 1
 
     rows = [bytes(luma[y][:w]) for y in range(h)]

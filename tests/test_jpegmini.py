@@ -107,3 +107,46 @@ def test_dct_scanned_pdf_through_ocr():
     with open(os.path.join(fixtures, "sample_scanned_jpeg.pdf.txt")) as f:
         assert text == f.read()
     assert conf == 1.0
+
+
+def test_decode_420_color_luma():
+    """4:2:0 YCbCr (the standard camera/scanner layout): interleaved MCUs
+    of four Y blocks + Cb + Cr decode to the correct luma plane; odd
+    dimensions exercise MCU padding."""
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_encode_rgb420
+
+    w, h = 37, 21
+    rows_rgb = [
+        bytes(
+            v
+            for x in range(w)
+            for v in ((x * 6) % 256, (y * 11) % 256, ((x + y) * 3) % 256)
+        )
+        for y in range(h)
+    ]
+    jp = jpeg_encode_rgb420(rows_rgb, quality=90)
+    w2, h2, luma = jpeg_decode_gray(jp)
+    assert (w2, h2) == (w, h)
+    maxerr = 0.0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = rows_rgb[y][3 * x], rows_rgb[y][3 * x + 1], rows_rgb[y][3 * x + 2]
+            maxerr = max(maxerr, abs(luma[y][x] - (0.299 * r + 0.587 * g + 0.114 * b)))
+    assert maxerr <= 25
+
+
+def test_ocr_reads_420_color_scan():
+    """A color 4:2:0 photograph of a document still OCRs: gray glyphs carry
+    through the luma channel."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        ocr_bitmap,
+        png_decode,
+        render_text_png,
+    )
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_encode_rgb420
+
+    w, h, _c, rows = png_decode(render_text_png("COLOR SCAN 42"))
+    rows_rgb = [bytes(v for g in row for v in (g, g, g)) for row in rows]
+    jp = jpeg_encode_rgb420(rows_rgb, quality=90)
+    res = ocr_bitmap(jp)
+    assert res["text"] == "COLOR SCAN 42"
