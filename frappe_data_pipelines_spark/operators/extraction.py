@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_EXTENSIONS = ["txt", "md", "pdf", "docx", "png", "jpg", "jpeg"]
+# the reference's full dispatch map (text_extraction.py:13-27): text formats
+# plus every image extension it routes to the vision/OCR branch
+SUPPORTED_EXTENSIONS = [
+    "txt", "md", "pdf", "docx",
+    "png", "jpg", "jpeg", "gif", "webp", "bmp", "tiff", "tif",
+]
 
 EXTRACT_SCHEMA = T.StructType(
     [

@@ -195,6 +195,219 @@ def jpeg_meta(payload: bytes) -> tuple[int, int]:
     raise ValueError("JPEG has no SOF marker")
 
 
+def bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Uncompressed BMP (8-bit paletted/gray or 24-bit BGR) → gray rows.
+    BMP stores rows bottom-up, 4-byte padded; 24-bit pixels are BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core header unsupported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP unsupported ({compression})")
+    top_down = h < 0
+    h = abs(h)
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        palette = [
+            (payload[pal_off + 4 * i + 2] * 299
+             + payload[pal_off + 4 * i + 1] * 587
+             + payload[pal_off + 4 * i] * 114) // 1000
+            for i in range(n_colors)
+        ]
+    elif bpp != 24:
+        raise ValueError(f"{bpp}-bit BMP unsupported")
+    stride = ((w * bpp // 8) + 3) & ~3
+    rows: list[bytes] = []
+    for yi in range(h):
+        src = yi if top_down else h - 1 - yi
+        line = payload[data_off + src * stride : data_off + src * stride + stride]
+        if bpp == 8:
+            rows.append(bytes(palette[b] for b in line[:w]))
+        else:
+            rows.append(
+                bytes(
+                    (line[3 * x + 2] * 299 + line[3 * x + 1] * 587 + line[3 * x] * 114)
+                    // 1000
+                    for x in range(w)
+                )
+            )
+    return w, h, rows
+
+
+def bmp_encode_gray(rows: list[bytes]) -> bytes:
+    """8-bit grayscale BMP writer (fixture/round-trip side): linear gray
+    palette, bottom-up rows, 4-byte padding."""
+    h, w = len(rows), len(rows[0])
+    stride = (w + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    pixel_off = 14 + 40 + len(palette)
+    body = b"".join(
+        rows[h - 1 - yi] + b"\x00" * (stride - w) for yi in range(h)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0)
+    )
+    return header + palette + body
+
+
+def gif_decode_first_frame(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """First frame of a GIF87a/89a → gray rows: LZW decompress the image
+    data, map through the color table, luma-convert. Interlace supported;
+    frames after the first are ignored (the OCR path reads page one)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            raise ValueError("GIF has no image data")
+        if b == 0x21:  # extension
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        x0, y0, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        lflags = payload[pos + 9]
+        pos += 10
+        table = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 0x07)
+            table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        indices = _lzw_decode(bytes(data), min_code)
+        gray = [
+            (table[3 * i] * 299 + table[3 * i + 1] * 587 + table[3 * i + 2] * 114)
+            // 1000
+            for i in range(len(table) // 3)
+        ]
+        pix = [gray[i] for i in indices[: iw * ih]]
+        rows = [bytes(pix[y * iw : (y + 1) * iw]) for y in range(ih)]
+        if lflags & 0x40:  # interlaced: reorder passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            deinter: list[bytes] = [b""] * ih
+            for src_i, dst_y in enumerate(order):
+                deinter[dst_y] = rows[src_i]
+            rows = deinter
+        return iw, ih, rows
+    raise ValueError("GIF has no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable code width, clear + end codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [[i] for i in range(clear)] + [[], []]
+        return min_code_size + 1
+
+    width = reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def gif_encode_gray(rows: list[bytes]) -> bytes:
+    """Single-frame grayscale GIF writer (fixture/round-trip side): 256-gray
+    global table, LZW with a clear code before every pixel (the classic
+    'uncompressed GIF' trick — valid stream, fixed 9-bit codes)."""
+    h, w = len(rows), len(rows[0])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries
+    out += b"".join(bytes((i, i, i)) for i in range(256))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW min code size
+    bits = bytearray()
+    acc = nbits = 0
+
+    def push(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for row in rows:
+        for px in row:
+            push(256)  # clear: keep the table empty, codes stay 9-bit
+            push(px)
+    push(257)  # end
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # 5×7 dot-matrix font (rows top→bottom, 5-bit masks, MSB = leftmost column)
 # ---------------------------------------------------------------------------
@@ -337,8 +550,8 @@ def _match_glyph(tight: list[list[int]], row_off: int) -> tuple[str, float]:
 
 
 def ocr_bitmap(payload: bytes, min_confidence: float = 0.55) -> dict:
-    """OCR a rendered-text image (PNG, or baseline JPEG via the stdlib
-    codec in operators/jpegmini) → the reference's OCRResult shape
+    """OCR a rendered-text image (PNG, baseline JPEG via operators/jpegmini,
+    uncompressed BMP, or GIF first frame) → the reference's OCRResult shape
     (ocr_service.py:14-20): ``{"text", "confidence", "detected_languages",
     "bounding_boxes": [{"bbox": [[x,y]×4], "text", "confidence"}, ...]}``.
 
@@ -352,6 +565,12 @@ def ocr_bitmap(payload: bytes, min_confidence: float = 0.55) -> dict:
         from frappe_data_pipelines_spark.operators.jpegmini import jpeg_decode_gray
 
         width, height, rows = jpeg_decode_gray(payload)
+        channels = 1
+    elif payload[:2] == b"BM":
+        width, height, rows = bmp_decode(payload)
+        channels = 1
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, rows = gif_decode_first_frame(payload)
         channels = 1
     else:
         width, height, channels, rows = png_decode(payload)

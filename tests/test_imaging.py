@@ -267,3 +267,54 @@ def test_ocr_bitmap_reads_jpeg():
     res = ocr_bitmap(_fixture("sample_ocr.jpg"))
     assert res["text"] == OCR_FIXTURE_TEXT
     assert res["confidence"] == 1.0
+
+
+def test_bmp_roundtrip_and_ocr():
+    """8-bit BMP round-trips losslessly (bottom-up rows, padding) and OCRs
+    identically to the PNG fixture."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        bmp_decode,
+        bmp_encode_gray,
+        png_decode,
+    )
+
+    _w, _h, _c, rows = png_decode(_fixture("sample_ocr.png"))
+    bmp = bmp_encode_gray(rows)
+    w2, h2, rows2 = bmp_decode(bmp)
+    assert rows2 == rows and (w2, h2) == (len(rows[0]), len(rows))
+    res = ocr_bitmap(bmp)
+    assert res["text"] == OCR_FIXTURE_TEXT and res["confidence"] == 1.0
+
+
+def test_gif_roundtrip_and_ocr():
+    """GIF LZW decode (clear-code-per-pixel writer) round-trips losslessly
+    and OCRs identically."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        gif_decode_first_frame,
+        gif_encode_gray,
+        png_decode,
+    )
+
+    _w, _h, _c, rows = png_decode(_fixture("sample_ocr.png"))
+    gif = gif_encode_gray(rows)
+    w2, h2, rows2 = gif_decode_first_frame(gif)
+    assert rows2 == rows and (w2, h2) == (len(rows[0]), len(rows))
+    res = ocr_bitmap(gif)
+    assert res["text"] == OCR_FIXTURE_TEXT and res["confidence"] == 1.0
+
+
+def test_gif_decode_rejects_tableless_fixture():
+    """sample.gif is the header-only meta fixture (no color table): the
+    pixel decoder must reject it cleanly, not crash — the OCR dispatch
+    then falls back to the stub for such payloads."""
+    import pytest as _pytest
+
+    from frappe_data_pipelines_spark.operators.imaging import (
+        gif_decode_first_frame,
+        gif_meta,
+    )
+
+    payload = _fixture("sample.gif")
+    assert gif_meta(payload) == (4, 3, 3)  # meta walk still works
+    with _pytest.raises(ValueError):
+        gif_decode_first_frame(payload)
