@@ -195,6 +195,59 @@ def jpeg_meta(payload: bytes) -> tuple[int, int]:
     raise ValueError("JPEG has no SOF marker")
 
 
+def webp_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from a WebP RIFF container: VP8X canvas, VP8
+    keyframe, or VP8L stream header."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    fourcc = payload[12:16]
+    if fourcc == b"VP8X":
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8 ":
+        # keyframe header after the 3-byte frame tag + sync code 9D 01 2A
+        if payload[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 sync code missing")
+        w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+        h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+        return w, h
+    if fourcc == b"VP8L":
+        if payload[20] != 0x2F:
+            raise ValueError("VP8L signature missing")
+        bits = int.from_bytes(payload[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
+def tiff_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the first IFD of a TIFF (II or MM byte order)."""
+    if payload[:4] == b"II\x2a\x00":
+        endian = "little"
+    elif payload[:4] == b"MM\x00\x2a":
+        endian = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, endian)
+
+    ifd = u(payload[4:8])
+    n = u(payload[ifd : ifd + 2])
+    w = h = 0
+    for i in range(n):
+        e = payload[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+        tag, typ = u(e[0:2]), u(e[2:4])
+        val = u(e[8:10]) if typ == 3 else u(e[8:12])  # SHORT vs LONG inline
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    if not w or not h:
+        raise ValueError("TIFF missing dimension tags")
+    return w, h
+
+
 def bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Uncompressed BMP (8-bit paletted/gray or 24-bit BGR) → gray rows.
     BMP stores rows bottom-up, 4-byte padded; 24-bit pixels are BGR."""

@@ -51,12 +51,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
 
 def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Magic-sniffed real decode: PNG (full pixel decode), GIF (block walk),
-    JPEG (SOF scan). Raises ValueError for formats without a stdlib decoder
-    — the caller falls back to the deterministic fake."""
+    JPEG (SOF scan), BMP (header+pixels), WebP (VP8/VP8L/VP8X header),
+    TIFF (first IFD) — every image format the reference dispatch routes
+    (text_extraction.py:13-27). Raises ValueError for anything else — the
+    caller falls back to the deterministic fake."""
     from frappe_data_pipelines_spark.operators.imaging import (
+        bmp_decode,
         gif_meta,
         jpeg_meta,
         png_decode,
+        tiff_meta,
+        webp_meta,
     )
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -69,6 +74,15 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     if payload[:2] == b"\xff\xd8":
         w, h = jpeg_meta(payload)
         return w, h, 1, f"image/jpeg {w}x{h}"
+    if payload[:2] == b"BM":
+        w, h, _rows = bmp_decode(payload)
+        return w, h, 1, f"image/bmp {w}x{h}"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        w, h = webp_meta(payload)
+        return w, h, 1, f"image/webp {w}x{h}"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        w, h = tiff_meta(payload)
+        return w, h, 1, f"image/tiff {w}x{h}"
     raise ValueError("no stdlib decoder for this payload")
 
 

@@ -318,3 +318,50 @@ def test_gif_decode_rejects_tableless_fixture():
     assert gif_meta(payload) == (4, 3, 3)  # meta walk still works
     with _pytest.raises(ValueError):
         gif_decode_first_frame(payload)
+
+
+def test_webp_and_tiff_meta():
+    """Header-only dims for the remaining reference-dispatch formats."""
+    import struct as _struct
+
+    from frappe_data_pipelines_spark.operators.imaging import tiff_meta, webp_meta
+
+    # hand-built VP8L header: signature + 14-bit (w-1), (h-1)
+    w, h = 320, 240
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4 + b"\x2f" + bits.to_bytes(4, "little")
+    assert webp_meta(vp8l) == (w, h)
+    # VP8X canvas: 24-bit (w-1), (h-1)
+    vp8x = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X" + b"\x0a\x00\x00\x00"
+            + b"\x00" * 4 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    assert webp_meta(vp8x) == (w, h)
+    # little-endian TIFF: IFD with SHORT width/LONG height
+    ifd_off = 8
+    entries = (
+        _struct.pack("<HHIHH", 256, 3, 1, w, 0)
+        + _struct.pack("<HHII", 257, 4, 1, h)
+    )
+    tiff = (b"II\x2a\x00" + ifd_off.to_bytes(4, "little")
+            + _struct.pack("<H", 2) + entries + b"\x00" * 4)
+    assert tiff_meta(tiff) == (w, h)
+    # big-endian variant
+    entries_be = (
+        _struct.pack(">HHIHH", 256, 3, 1, w, 0)
+        + _struct.pack(">HHII", 257, 4, 1, h)
+    )
+    tiff_be = (b"MM\x00\x2a" + ifd_off.to_bytes(4, "big")
+               + _struct.pack(">H", 2) + entries_be + b"\x00" * 4)
+    assert tiff_meta(tiff_be) == (w, h)
+
+
+def test_real_decode_bmp_webp_tiff_captions():
+    from frappe_data_pipelines_spark.operators.imaging import (
+        bmp_encode_gray,
+        png_decode,
+    )
+    from frappe_data_pipelines_spark.operators.multimodal import _real_decode
+
+    _w, _h, _c, rows = png_decode(_fixture("sample_ocr.png"))
+    w, h = len(rows[0]), len(rows)
+    got = _real_decode(bmp_encode_gray(rows))
+    assert got == (w, h, 1, f"image/bmp {w}x{h}")
