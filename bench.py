@@ -56,6 +56,7 @@ HEADLINE = [
     "dataset_splits",
     "percentile_price_by_priority",
     "extract_real_kernels",
+    "corpus_segment_dedup",
 ]
 
 
