@@ -1324,6 +1324,40 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_topk_per_user",
+    oracle="""
+    SELECT user_id, rnk, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC
+             ) AS INT) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("E2", "event-time", "extension"),
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k (E2 generalized from global to per-group): each user's
+    3 highest-value events with a full deterministic tie-break (value DESC,
+    event_id ASC). One shuffle on user_id; Spark evaluates the rank with a
+    running WindowGroupLimit / partial top-k per partition before the
+    shuffle where the optimizer supports it, so the full per-user sort
+    never materializes at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", "value",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "event_type", "value")
+    )
+
+
+@register(
     "event_funnel_view_click_purchase",
     oracle="""
     WITH s1 AS (

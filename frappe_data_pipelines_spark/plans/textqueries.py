@@ -516,6 +516,56 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_aware_splits",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ), b AS (
+      SELECT doc_id, fingerprint,
+             CAST(('0x' || substring(md5('split:' || fingerprint), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM fp
+    )
+    SELECT doc_id, fingerprint,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("text-analysis", "dedup", "extension"),
+)
+def dedup_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation/test assignment: the split hash is
+    salted over the CONTENT FINGERPRINT (whitespace-normalized lowercase
+    md5), not the doc id — so byte-identical documents (the duplicates
+    exact dedup finds) always land in the SAME split and can never leak a
+    test document into training. The standard eval-hygiene complement to
+    dedup (Lee et al. 2021 §5 discuss train/test contamination via
+    duplicates); one narrow projection + hash, no shuffle at all."""
+    from frappe_data_pipelines_spark.functions.text import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_expr(F.col("text"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), fp).cast("binary")), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), split.alias("split")
+    )
+
+
+@register(
     "corpus_quality_filter",
     oracle=f"""
     SELECT doc_id, lang, n_chars
