@@ -174,7 +174,24 @@ CHECKS: dict[str, list] = {
         ("single_kernel_pass", lambda p: p.count("MapInPandas") == 1),
         ("no_shuffle", lambda p: "Exchange" not in p),
     ],
+    "events_topk_per_user": [
+        # rank<=k prunes BEFORE the user_id shuffle: partial + final
+        # WindowGroupLimit around exactly one Exchange — the full per-user
+        # sort never materializes
+        ("window_group_limit_pushdown", lambda p: _final_plan(p).count("WindowGroupLimit") >= 2),
+        ("single_shuffle", lambda p: _final_plan(p).count("Exchange hashpartitioning") == 1),
+    ],
+    "dedup_aware_splits": [
+        ("shuffle_free", lambda p: "Exchange" not in p),
+        ("documents_scan_pruned", lambda p: "lang" not in _read_schema(p, "documents")),
+    ],
 }
+
+
+def _final_plan(plan: str) -> str:
+    """AQE toString prints '== Final Plan ==' followed by '== Initial
+    Plan =='; structural counts must look at the final section only."""
+    return plan.split("== Initial Plan ==")[0]
 
 
 def _read_schema(plan: str, table: str) -> str:
