@@ -52,15 +52,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     """Decode a non-interlaced 8-bit PNG → (width, height, channels, rows).
 
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) and
-    all five scanline filters (None/Sub/Up/Average/Paeth). Raises
-    ``ValueError`` on anything else — callers treat that as "not a PNG this
-    kernel can read" and fall back.
+    Supports color types 0 (gray), 2 (RGB), 3 (palette — expanded to RGB
+    through the PLTE chunk), 4 (gray+alpha), 6 (RGBA) and all five scanline
+    filters (None/Sub/Up/Average/Paeth). Raises ``ValueError`` on anything
+    else — callers treat that as "not a PNG this kernel can read" and fall
+    back.
     """
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos, width = 8, None
     idat = bytearray()
+    palette: bytes | None = None
+    color_type = 0
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
@@ -69,12 +72,14 @@ def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bit_depth != 8 or color_type not in _CHANNELS or interlace:
+            if bit_depth != 8 or (color_type not in _CHANNELS and color_type != 3) or interlace:
                 raise ValueError(
                     f"unsupported PNG (depth={bit_depth} color={color_type} "
                     f"interlace={interlace})"
                 )
-            channels = _CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            palette = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -109,6 +114,18 @@ def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"unknown PNG filter {filt}")
         rows.append(bytes(line))
         prev = line
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rows = [
+            bytes(
+                palette[3 * idx + c]
+                for idx in row
+                for c in range(3)
+            )
+            for row in rows
+        ]
+        return width, height, 3, rows
     return width, height, channels, rows
 
 

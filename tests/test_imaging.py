@@ -365,3 +365,33 @@ def test_real_decode_bmp_webp_tiff_captions():
     w, h = len(rows[0]), len(rows)
     got = _real_decode(bmp_encode_gray(rows))
     assert got == (w, h, 1, f"image/bmp {w}x{h}")
+
+
+def test_png_palette_decode_and_ocr():
+    """Color type 3 (palette) PNGs expand through PLTE to RGB; a
+    gray-palette render OCRs identically."""
+    import struct as _struct
+    from binascii import crc32
+
+    from frappe_data_pipelines_spark.operators.imaging import png_decode
+
+    _w, _h, _c, rows = png_decode(_fixture("sample_ocr.png"))
+    w, h = len(rows[0]), len(rows)
+
+    def chunk(ctype, data):
+        return (_struct.pack(">I", len(data)) + ctype + data
+                + _struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF))
+
+    # identity gray palette: index == gray value
+    plte = b"".join(bytes((i, i, i)) for i in range(256))
+    raw = b"".join(b"\x00" + row for row in rows)  # filter 0 per line
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    w2, h2, ch, rgb_rows = png_decode(payload)
+    assert (w2, h2, ch) == (w, h, 3)
+    assert rgb_rows[0][:3] == bytes([rows[0][0]] * 3)
+    res = ocr_bitmap(payload)
+    assert res["text"] == OCR_FIXTURE_TEXT and res["confidence"] == 1.0
