@@ -265,6 +265,94 @@ def tiff_meta(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def tiff_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Uncompressed striped TIFF (8-bit gray or RGB) → gray rows. Reads the
+    first IFD's geometry + StripOffsets/StripByteCounts; RGB luma-converts.
+    Compressed TIFFs raise (callers fall back)."""
+    if payload[:4] == b"II\x2a\x00":
+        endian = "little"
+    elif payload[:4] == b"MM\x00\x2a":
+        endian = "big"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, endian)
+
+    ifd = u(payload[4:8])
+    n = u(payload[ifd : ifd + 2])
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for i in range(n):
+        e = payload[ifd + 2 + 12 * i : ifd + 14 + 12 * i]
+        tags[u(e[0:2])] = (u(e[2:4]), u(e[4:8]), e[8:12])
+
+    def values(tag: int) -> list[int]:
+        typ, count, inline = tags[tag]
+        size = {3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF tag {tag} type {typ} unsupported")
+        if count * size <= 4:
+            return [u(inline[k * size : (k + 1) * size]) for k in range(count)]
+        off = u(inline)
+        return [
+            u(payload[off + k * size : off + (k + 1) * size]) for k in range(count)
+        ]
+
+    w, h = values(256)[0], values(257)[0]
+    spp = values(277)[0] if 277 in tags else 1
+    if 259 in tags and values(259)[0] != 1:
+        raise ValueError("compressed TIFF unsupported")
+    if 258 in tags and any(b != 8 for b in values(258)):
+        raise ValueError("non-8-bit TIFF unsupported")
+    if spp not in (1, 3):
+        raise ValueError(f"{spp}-sample TIFF unsupported")
+    offsets = values(273)
+    counts = values(279) if 279 in tags else None
+    rows_per_strip = values(278)[0] if 278 in tags else h
+    stride = w * spp
+    raw = bytearray()
+    for si, off in enumerate(offsets):
+        ln = counts[si] if counts else min(rows_per_strip, h - si * rows_per_strip) * stride
+        raw += payload[off : off + ln]
+    if len(raw) < stride * h:
+        raise ValueError("TIFF strip data truncated")
+    rows: list[bytes] = []
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        if spp == 1:
+            rows.append(bytes(line))
+        else:
+            rows.append(
+                bytes(
+                    (line[3 * x] * 299 + line[3 * x + 1] * 587 + line[3 * x + 2] * 114)
+                    // 1000
+                    for x in range(w)
+                )
+            )
+    return w, h, rows
+
+
+def tiff_encode_gray(rows: list[bytes]) -> bytes:
+    """Minimal little-endian uncompressed gray TIFF writer (one strip)."""
+    h, w = len(rows), len(rows[0])
+    pixels = b"".join(rows)
+    ifd_off = 8 + len(pixels)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1),  # BlackIsZero
+        (273, 4, 1, 8),  # strip starts right after the header
+        (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(pixels)),
+    ]
+    out = bytearray(b"II\x2a\x00") + ifd_off.to_bytes(4, "little")
+    out += pixels
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        out += val.to_bytes(4, "little") if typ == 4 else struct.pack("<HH", val, 0)
+    out += b"\x00\x00\x00\x00"
+    return bytes(out)
+
+
 def bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Uncompressed BMP (8-bit paletted/gray or 24-bit BGR) → gray rows.
     BMP stores rows bottom-up, 4-byte padded; 24-bit pixels are BGR."""
@@ -641,6 +729,9 @@ def ocr_bitmap(payload: bytes, min_confidence: float = 0.55) -> dict:
         channels = 1
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         width, height, rows = gif_decode_first_frame(payload)
+        channels = 1
+    elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        width, height, rows = tiff_decode_gray(payload)
         channels = 1
     else:
         width, height, channels, rows = png_decode(payload)

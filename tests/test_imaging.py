@@ -395,3 +395,29 @@ def test_png_palette_decode_and_ocr():
     assert rgb_rows[0][:3] == bytes([rows[0][0]] * 3)
     res = ocr_bitmap(payload)
     assert res["text"] == OCR_FIXTURE_TEXT and res["confidence"] == 1.0
+
+
+def test_tiff_roundtrip_and_ocr():
+    """Uncompressed gray TIFF round-trips losslessly and OCRs identically;
+    the kernel reads strips through the first IFD."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        png_decode,
+        tiff_decode_gray,
+        tiff_encode_gray,
+    )
+
+    _w, _h, _c, rows = png_decode(_fixture("sample_ocr.png"))
+    tif = tiff_encode_gray(rows)
+    w2, h2, rows2 = tiff_decode_gray(tif)
+    assert rows2 == rows and (w2, h2) == (len(rows[0]), len(rows))
+    res = ocr_bitmap(tif)
+    assert res["text"] == OCR_FIXTURE_TEXT and res["confidence"] == 1.0
+    # compressed TIFF must be rejected cleanly
+    import pytest as _pytest
+
+    bad = bytearray(tif)
+    # flip the Compression tag value (259) to 5 (LZW): find its entry
+    idx = tif.index(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    bad[idx + 8] = 5
+    with _pytest.raises(ValueError):
+        tiff_decode_gray(bytes(bad))
