@@ -779,3 +779,170 @@ def boilerplate_segment_removal(
             ).alias("removed_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021 ExactSubstr, Spark-distributed)
+# ---------------------------------------------------------------------------
+
+def _char_windows(docs: DataFrame, length: int, id_col: str, text_col: str) -> DataFrame:
+    """All stride-1 character windows of ``length``: (doc_id, pos, s).
+
+    ``pos`` is 1-based to match SQL ``substr``. Docs shorter than ``length``
+    produce no rows. One higher-order-function map builds the window array
+    JVM-side; the explode is the unavoidable row blowup of stride-1
+    detection — at scale, call only on the winnow-prefiltered cohort
+    (see ``exact_dup_spans(prefilter='winnow')``)."""
+    spans = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - (length - 1)),
+        lambda p: F.struct(
+            p.cast("long").alias("pos"),
+            F.substring(F.col(text_col), p, length).alias("s"),
+        ),
+    )
+    return (
+        docs.filter(F.length(text_col) >= length)
+        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.s").alias("s"))
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 33,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-gram, then in each
+    window of ``w`` consecutive k-gram hashes select the minimum (rightmost
+    position on ties). Returns distinct (doc_id, pos, fp).
+
+    Guarantee (the reason this is the 100 TB prefilter for exact-substring
+    dedup): any two copies of a string of length >= w + k - 1 share at
+    least one selected fingerprint, because some window of w k-grams lies
+    entirely inside both copies and its minimum is content-determined.
+    Expected density is 2/(w+1) — ~6% of positions at w=33 — so the first
+    pass over the corpus emits ~16x fewer rows than stride-1.
+
+    The per-window argmin is ONE sliding-frame ``min`` over an
+    order-encoding string key (hash hex ‖ zero-padded inverted position, so
+    lexicographic min = (hash asc, pos desc)) — no self-join, and the same
+    expression runs verbatim in the DuckDB oracle."""
+    grams = _char_windows(docs, k, id_col, text_col)
+    # 64-bit content hash as fixed-width hex; inverted pos for rightmost-tie
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.concat(
+            F.substring(F.md5(F.col("s").cast("binary")), 1, 16),
+            F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # a full window starts at every pos up to n_grams - w + 1; count grams per doc
+    n_grams = Window.partitionBy("doc_id")
+    sel = (
+        keyed.withColumn("win_min", F.min("key").over(frame))
+        .withColumn("n", F.count("*").over(n_grams))
+        .filter(F.col("pos") <= F.col("n") - F.lit(w - 1))
+        .select(
+            "doc_id",
+            (F.lit(99999999) - F.substring("win_min", 17, 8).cast("long")).alias("fp_pos"),
+            F.substring("win_min", 1, 16).alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.withColumnRenamed("fp_pos", "pos")
+
+
+def exact_dup_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """Exact cross-document duplicated-substring spans (the guarantee of
+    suffix-array dedup, Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): every maximal span of text covered by
+    stride-1 windows of length ``min_len`` that occur verbatim in >=
+    ``min_docs`` distinct documents. Returns one row per maximal span:
+    (doc_id, span_start, span_end, span_len) with 1-based [start, end).
+
+    Exactness: a substring of length >= min_len duplicated across docs
+    contains at least one duplicated window of exactly min_len, and every
+    char of a duplicated span lies in such a window — so the merged islands
+    are precisely the maximal duplicated regions, the same set a suffix
+    array yields at threshold min_len.
+
+    Distribution: windows shuffle once on their content (inverted index —
+    unique windows, the overwhelming majority, partial-aggregate away
+    map-side); island-merging is a per-doc sort-window, shuffled by doc_id.
+
+    ``prefilter='winnow'`` is the scale path: a winnowing pass (w =
+    min_len - k + 1, guarantee length exactly min_len) first finds docs
+    sharing any selected fingerprint; only that cohort — at 100 TB a tiny
+    fraction of the corpus — pays the stride-1 blowup. The winnowing
+    guarantee makes the prefilter lossless: every doc holding a duplicated
+    min_len-window shares that window's in-span fingerprint, so the cohort
+    contains ALL occurrences and window doc-counts inside the cohort equal
+    the global counts (tested differentially in tests/test_dedup.py)."""
+    base = docs
+    if prefilter == "winnow":
+        fps = winnow_fingerprints(base, k=k, w=min_len - k + 1, id_col=id_col, text_col=text_col)
+        shared = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= F.least(F.lit(min_docs), F.lit(2)))
+            .select("fp")
+        )
+        cohort = fps.join(shared, "fp").select("doc_id").distinct()
+        base = base.join(
+            cohort, base[id_col] == cohort["doc_id"], "left_semi"
+        )
+    win = _char_windows(base, min_len, id_col, text_col)
+    dup = (
+        win.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("s")
+    )
+    marked = win.join(dup, "s").select("doc_id", "pos")
+
+    from pyspark.sql.window import Window
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        marked.withColumn("prev_end", F.max(F.col("pos") + min_len).over(prev))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("pos") > F.coalesce(F.col("prev_end"), F.lit(-1)), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(run))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

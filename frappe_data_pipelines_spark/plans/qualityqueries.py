@@ -567,3 +567,95 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return domain_cap(docs, cap=5).select("doc_id", "domain", "domain_rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup, stride-1 (Lee et al. ExactSubstr) + winnowing
+# ---------------------------------------------------------------------------
+
+_EXACT_SPAN_SQL = """
+    WITH win AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS p) p
+      WHERE len(text) >= 40
+    ), dup AS (
+      SELECT s FROM win GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+    ), d AS (
+      SELECT w.doc_id, w.pos FROM win w JOIN dup USING (s)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM d
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 40 AS BIGINT) AS span_end,
+           CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+    FROM isl2
+    GROUP BY doc_id, island
+    """
+
+
+@register("exact_substring_spans", oracle=_EXACT_SPAN_SQL, tags=("dedup", "extension"))
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact suffix-array-equivalent dedup spans (Lee et al. 2021): maximal
+    regions covered by stride-1 40-char windows duplicated verbatim across
+    >=2 documents — the exact detection the round-4 ``substring_dup_spans``
+    only approximated at stride 10. One inverted-index shuffle on window
+    content + a per-doc gaps-and-islands merge. The winnow-prefiltered
+    variant (same result, differentially tested) is the 100 TB path."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_spans(docs, min_len=40, min_docs=2).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+    )
+
+
+_WINNOW_SQL = """
+    WITH grams AS (
+      SELECT doc_id, p.p AS pos,
+             substr(md5(substr(text, p.p, 8)), 1, 16)
+               || lpad(CAST(99999999 - p.p AS VARCHAR), 8, '0') AS key
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 7)) AS p) p
+      WHERE len(text) >= 8
+    ), winm AS (
+      SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 32 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM grams
+    )
+    SELECT DISTINCT doc_id,
+           CAST(99999999 - CAST(substr(wmin, 17, 8) AS BIGINT) AS BIGINT) AS pos,
+           substr(wmin, 1, 16) AS fp
+    FROM winm
+    WHERE pos <= n - 32
+    """
+
+
+@register("winnow_fingerprint_select", oracle=_WINNOW_SQL, tags=("dedup", "extension"))
+def winnow_fingerprint_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) at
+    k=8, w=33: in every window of 33 consecutive 8-gram hashes keep the
+    minimum (rightmost on ties) — ~2/(w+1) of positions, with the guarantee
+    that any cross-doc duplicate of length >= w+k-1 = 40 shares a selected
+    fingerprint. The argmin is ONE sliding-frame min over an order-encoding
+    key (hash hex ‖ inverted position), identical SQL on the oracle side —
+    no self-join, no UDF, so the selection pass streams at scan speed."""
+    from frappe_data_pipelines_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=33).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "fp"
+    )

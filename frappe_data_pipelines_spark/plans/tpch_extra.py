@@ -733,3 +733,210 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("C1", "D1", "tpch"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (no l_commitdate/l_receiptdate in the star, so "late"
+    means shipped >60 days after the order date): priority distribution of
+    one quarter's orders that had at least one late line.  The correlated
+    EXISTS is a left-semi join with a non-equi residual — Catalyst keeps the
+    equi part (l_orderkey = o_orderkey) as the shuffle key and evaluates the
+    date comparison as a join residual, so at 100 TB this is one
+    hash-partitioned semi join over two date-pruned scans, no fact-side
+    re-scan per row (reference analogue: the job-status EXISTS sweeps,
+    fdp/jobs/pipeline_runner.py)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) dist
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("C3", "D1", "tpch"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (o_orderpriority filter stands in for the missing
+    o_comment NOT LIKE): how many customers placed 0, 1, 2, ... non-urgent
+    orders.  The classic double aggregation over a left outer join — the
+    outer join preserves order-less customers so the 0 bucket is real.  At
+    scale: count(o_orderkey) per custkey partial-aggregates map-side after
+    the join; the second groupBy is over ~50 distinct counts, a trivial
+    shuffle.  The filter lives in the join condition (not a WHERE), which
+    both engines honor as outer-join semantics."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18, 4)))
+               AS supply_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(supply_value) AS min_value FROM cost GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, p.p_type,
+           CAST(c.supply_value AS DOUBLE) AS supply_value
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.supply_value = b.min_value
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("C3", "subquery", "tpch"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp: the part↔supplier relation and its cost
+    are derived from lineitem — supply_value = the supplier's total traded
+    value for that part, an exact DECIMAL so the min-equality join is
+    bit-stable on both engines): for each EUROPE-sourced part of one
+    size/type class, the supplier(s) with the minimum supply value.  The
+    correlated min subquery is groupBy-then-self-equi-join on
+    (partkey, min) — the standard decorrelation.  Scale: cost is one
+    shuffle of lineitem by (partkey, suppkey) after broadcast dim pruning;
+    best reuses cost (cached) so lineitem is scanned once; part/supplier/
+    nation joins broadcast.  LIMIT has a full tie-break chain (s_name and
+    p_partkey make the order total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_revenue()).alias("supply_value"))
+        .cache()
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supply_value").alias("min_value")
+    )
+    return (
+        cost.join(
+            best,
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("supply_value") == F.col("min_value")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "p_type",
+            F.col("supply_value").cast("double").alias("supply_value"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("C2", "D1", "tpch"),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem is the part↔supplier relation; negative
+    account balance stands in for the complaints NOT IN): how many distinct
+    suppliers serve each surviving (brand, type, size) bucket.  NOT IN over
+    a key with no NULLs is a broadcast anti-join; count(DISTINCT) Catalyst
+    expands to a two-phase aggregate (distinct-by-key then count) so the
+    shuffle carries (brand, type, size, suppkey) pairs, not row
+    multiplicities — the plan that survives skewed popular parts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

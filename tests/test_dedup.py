@@ -294,3 +294,71 @@ def test_boilerplate_segment_removal_semantics(spark):
     assert got[3]["n_removed"] == 0
     assert got[3]["clean_text"] == f"{self_rep} {self_rep}"
     assert got[1]["n_segments"] == 2 and got[1]["removed_frac"] == 0.5
+
+
+def test_exact_dup_spans_semantics(spark):
+    """Hand-built corpus: a shared 60-char block yields one maximal span of
+    exactly [start, start+60) in both docs; a 39-char shared block (below
+    min_len=40) yields nothing; within-doc-only repetition yields nothing."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_dup_spans
+
+    block = "the quick brown fox jumps over the lazy dog AGAIN and again!"
+    assert len(block) == 60
+    short = "s" * 39
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa-" + block + "-bbbb" + short),
+            (2, "cccccccc~" + block + "~dddd"),
+            (3, "unique text " + short + " padding that reaches forty chars easily"),
+            (4, ("z" * 50) + "totally-distinct-suffix-0123456789abcdefgh"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_dup_spans(docs, min_len=40, min_docs=2).collect()
+    }
+    # doc 1: block occupies 1-based [6, 66); doc 2: [10, 70)
+    assert spans[1] == (6, 66, 60)
+    assert spans[2] == (10, 70, 60)
+    assert 3 not in spans and 4 not in spans
+
+
+def test_exact_dup_spans_winnow_prefilter_lossless(spark, sf_dir):
+    """The winnowing guarantee (any >=40-char cross-doc duplicate shares a
+    selected fingerprint at k=8, w=33) makes the prefiltered path EXACTLY
+    equal to the full stride-1 path — on the real corpus, not a toy."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = sorted(map(tuple, exact_dup_spans(docs).collect()))
+    pre = sorted(map(tuple, exact_dup_spans(docs, prefilter="winnow").collect()))
+    assert len(full) > 0
+    assert full == pre
+
+
+def test_winnow_density_and_guarantee(spark):
+    """Winnowing selects ~2/(w+1) of positions and every 40-char cross-doc
+    duplicate shares a fingerprint: plant one duplicate pair among
+    random-ish docs and check bucket co-membership + selection density."""
+    import random
+
+    from frappe_data_pipelines_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    dup = mk(40)
+    rows = [(i, mk(300)) for i in range(20)]
+    rows.append((100, mk(120) + dup + mk(80)))
+    rows.append((101, mk(33) + dup + mk(150)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=8, w=33).collect()
+    by_fp = {}
+    for r in fps:
+        by_fp.setdefault(r["fp"], set()).add(r["doc_id"])
+    assert any({100, 101} <= d for d in by_fp.values()), "planted pair must share a fp"
+    # density: ~2/(w+1)=5.9% of k-gram positions; allow a generous band
+    n_positions = sum(max(len(t) - 7, 0) for _, t in rows)
+    frac = len(fps) / n_positions
+    assert 0.02 < frac < 0.15
