@@ -20,6 +20,12 @@ Scope (everything stdlib — zlib only external dep):
   * fonts: /ToUnicode CMap (bfchar, scalar + array bfrange), 2-byte code
     path for /Subtype /Type0, latin-1 fallback for simple fonts
   * text operators: Tj ' " TJ with literal and hex strings, Tf font switch
+  * encryption: standard security handler, RC4 (V=1/2, R=2/3) with an
+    empty user password — the ubiquitous "owner-locked" case; per-object
+    keys per PDF 1.7 §7.6.2, strings and streams decrypted at load, xref
+    streams and the /Encrypt dict exempt per spec
+  * filters: FlateDecode, ASCIIHexDecode, RunLengthDecode (+ DCTDecode
+    rasters via jpegmini at the page-image layer)
 
 Any structural failure raises ``PdfParseError`` so the caller can fall back
 to the round-4 stream-order kernel (kept in extraction.py) and, past that,
@@ -28,10 +34,68 @@ the deterministic stub — the extraction operator stays total.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
 __all__ = ["PdfParseError", "pdf_document_text"]
+
+# Standard security handler padding string (PDF 1.7 Table 3.19 / §7.6.3.3)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric — used for both the decrypt path and
+    the test fixtures' encrypt path)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for t, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[t] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+    """Algorithm 2 (PDF 1.7 §7.6.3.3): the file encryption key from the
+    (padded) user password, /O, /P, and the first document ID."""
+    h = hashlib.md5()
+    h.update((user_pw + _PW_PAD)[:32])
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_user_check(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
+    """Algorithms 4/5 (compute /U from the key) compared against the stored
+    /U — true iff the empty user password opens the file."""
+    if not isinstance(u, bytes):
+        return False
+    if r == 2:
+        return _rc4(key, _PW_PAD) == u[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u[:16]
 
 
 class PdfParseError(ValueError):
@@ -273,6 +337,20 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
             if len(hx) % 2:
                 hx += b"0"
             data = bytes.fromhex(hx.decode("ascii"))
+        elif f in ("RunLengthDecode", "RL"):
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                length = data[i]
+                if length == 128:  # EOD
+                    break
+                if length < 128:
+                    out += data[i + 1 : i + 2 + length]
+                    i += 2 + length
+                else:
+                    out += data[i + 1 : i + 2] * (257 - length)
+                    i += 2
+            data = bytes(out)
         else:
             raise PdfParseError(f"unsupported stream filter /{f}")
         p = resolve(p)
@@ -312,6 +390,8 @@ class PdfDocument:
         self.trailer: dict[str, object] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._enc_key: bytes | None = None
+        self._encrypt_num = -1
         try:
             self._load_xref_chain()
         except PdfParseError:
@@ -320,6 +400,59 @@ class PdfDocument:
             self._reconstruct()
         if "Root" not in self.trailer:
             raise PdfParseError("no /Root found in trailer")
+        if self.trailer.get("Encrypt") is not None:
+            self._setup_encryption(self.trailer["Encrypt"])
+
+    # -- encryption (standard security handler, RC4) ------------------------
+
+    def _setup_encryption(self, enc_ref) -> None:
+        """RC4 standard security handler with an empty user password (the
+        owner-locked case pdfplumber also opens transparently). AES (V>=4)
+        and non-Standard handlers raise — the caller's fallback chain keeps
+        extraction total."""
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfParseError("malformed /Encrypt dictionary")
+        filt = str(self.resolve(enc.get("Filter")))
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 2)) or 2)
+        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+            raise PdfParseError(f"unsupported encryption /{filt} V={v} R={r}")
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfParseError("missing /O or /U in /Encrypt")
+        p = int(self.resolve(enc.get("P", -1)))
+        n = int(self.resolve(enc.get("Length", 40)) or 40) // 8 if r >= 3 else 5
+        if not 5 <= n <= 16:
+            raise PdfParseError(f"bad key length {n * 8}")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        id0 = self.resolve(id0)
+        if not isinstance(id0, bytes):
+            id0 = b""
+        key = _std_file_key(b"", o, p, id0, r, n)
+        if not _std_user_check(key, u, id0, r):
+            raise PdfParseError("encrypted PDF requires a user password")
+        self._enc_key = key
+        # anything cached pre-key (reconstruction probes) is ciphertext
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        mat = self._enc_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        return hashlib.md5(mat).digest()[: min(len(self._enc_key) + 5, 16)]
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        if isinstance(obj, bytes):
+            return _rc4(self._object_key(num, gen), obj)
+        if isinstance(obj, list):
+            return [self._decrypt_strings(x, num, gen) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(x, num, gen) for k, x in obj.items()}
+        return obj
 
     # -- xref ---------------------------------------------------------------
 
@@ -452,8 +585,9 @@ class PdfDocument:
 
     def _stream_at(self, offset: int) -> tuple[dict, bytes]:
         """Parse the indirect object at ``offset``; must be a stream.
-        Returns (dict, raw_stream_bytes)."""
-        obj, raw = self._object_at(offset, want_stream=True)
+        Returns (dict, raw_stream_bytes) — raw is NOT decrypted (callers
+        that read encrypted streams decrypt with their own object key)."""
+        obj, raw, _gen = self._object_at(offset, want_stream=True)
         if raw is None:
             raise PdfParseError(f"object at {offset} is not a stream")
         return obj, raw
@@ -463,6 +597,7 @@ class PdfDocument:
         m = _OBJ_HEADER_RE.match(data, _skip_ws(data, offset))
         if not m:
             raise PdfParseError(f"no object header at {offset}")
+        gen = int(m.group(2))
         obj, pos = parse_object(data, m.end())
         pos = _skip_ws(data, pos)
         if data[pos : pos + 6] == b"stream":
@@ -479,8 +614,8 @@ class PdfDocument:
                 if end < 0:
                     raise PdfParseError("unterminated stream")
                 raw = data[pos:end].rstrip(b"\r\n")
-            return obj, raw
-        return obj, None
+            return obj, raw, gen
+        return obj, None, gen
 
     def _load_objstm_by_offset(self, stm_num: int) -> dict[int, object]:
         if stm_num in self._objstm_cache:
@@ -488,7 +623,12 @@ class PdfDocument:
         entry = self.xref.get(stm_num)
         if not entry or entry[0] != "at":
             raise PdfParseError(f"object stream {stm_num} not at a byte offset")
-        sdict, raw = self._stream_at(entry[1])
+        sdict, raw, gen = self._object_at(entry[1], want_stream=True)
+        if raw is None:
+            raise PdfParseError(f"ObjStm {stm_num} is not a stream")
+        if self._enc_key is not None and stm_num != self._encrypt_num:
+            # members inherit the container's decryption (PDF 1.7 §7.6.2)
+            raw = _rc4(self._object_key(stm_num, gen), raw)
         data = _decode_stream(sdict, raw, self.resolve)
         n = int(self.resolve(sdict["N"]))
         first = int(self.resolve(sdict["First"]))
@@ -509,7 +649,11 @@ class PdfDocument:
         if entry is None:
             raise PdfParseError(f"object {num} not in xref")
         if entry[0] == "at":
-            obj, raw = self._object_at(entry[1], want_stream=True)
+            obj, raw, gen = self._object_at(entry[1], want_stream=True)
+            if self._enc_key is not None and num != self._encrypt_num:
+                obj = self._decrypt_strings(obj, num, gen)
+                if raw is not None:
+                    raw = _rc4(self._object_key(num, gen), raw)
             result = (obj, raw) if raw is not None else obj
         else:
             _, stm_num, _idx = entry
@@ -727,8 +871,13 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
             width = int(doc.resolve(xdict["Width"]))
             height = int(doc.resolve(xdict["Height"]))
             bpc = int(doc.resolve(xdict.get("BitsPerComponent", 8)))
-            cs = str(doc.resolve(xdict.get("ColorSpace", "DeviceGray")))
-            if bpc != 8:
+            cs_obj = doc.resolve(xdict.get("ColorSpace", "DeviceGray"))
+            indexed = isinstance(cs_obj, list) and str(doc.resolve(cs_obj[0])) in (
+                "Indexed",
+                "I",
+            )
+            cs = "" if indexed else str(cs_obj)
+            if bpc != 8 and not (indexed and bpc in (1, 2, 4)):
                 raise PdfParseError(f"unsupported image depth {bpc}")
             filters = doc.resolve(xdict.get("Filter"))
             flist = filters if isinstance(filters, list) else [filters]
@@ -745,6 +894,40 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
                 if (jw, jh) != (width, height):
                     raise PdfParseError("DCTDecode dims disagree with /Width /Height")
                 images.append((jw, jh, 1, rows))
+                continue
+            if indexed:
+                # [/Indexed base hival lookup]: palette indices at 1/2/4/8
+                # bits per sample (rows byte-padded), expanded through the
+                # lookup table to the base colorspace's components
+                base = doc.resolve(cs_obj[1])
+                if isinstance(base, list):
+                    base = doc.resolve(base[0])
+                channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(str(base))
+                if channels is None:
+                    raise PdfParseError(f"unsupported Indexed base /{base}")
+                hival = int(doc.resolve(cs_obj[2]))
+                lookup = doc.resolve(cs_obj[3]) if len(cs_obj) > 3 else None
+                if isinstance(lookup, tuple):
+                    lookup = doc.stream_bytes(lookup)
+                if not isinstance(lookup, bytes) or len(lookup) < (hival + 1) * channels:
+                    raise PdfParseError("Indexed lookup table missing or short")
+                samples = doc.stream_bytes(xobj)
+                row_bytes = (width * bpc + 7) // 8
+                if len(samples) < row_bytes * height:
+                    raise PdfParseError("image samples truncated")
+                rows = []
+                mask = (1 << bpc) - 1
+                for y in range(height):
+                    rb = samples[y * row_bytes : (y + 1) * row_bytes]
+                    out = bytearray()
+                    for x in range(width):
+                        bit = x * bpc
+                        idx = (rb[bit >> 3] >> (8 - bpc - (bit & 7))) & mask
+                        if idx > hival:
+                            idx = hival
+                        out += lookup[idx * channels : (idx + 1) * channels]
+                    rows.append(bytes(out))
+                images.append((width, height, channels, rows))
                 continue
             channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
             if channels is None:

@@ -186,3 +186,127 @@ def test_damaged_inputs_raise_not_crash():
     ):
         with pytest.raises(PdfParseError):
             pdf_document_text(payload)
+
+
+# -- RC4 standard security handler ------------------------------------------
+
+
+def _build_encrypted_pdf(
+    text: str,
+    r: int = 3,
+    nbits: int = 128,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"",
+) -> bytes:
+    """Test-side encryptor implementing the standard security handler's
+    *encrypt* direction (Algorithms 2/3/4/5 of PDF 1.7 §7.6.3) so the
+    production decrypt path is exercised against independently-derived
+    ciphertext. RC4 is symmetric, so _rc4 serves both directions."""
+    import hashlib
+
+    from frappe_data_pipelines_spark.operators.pdfmini import (
+        _PW_PAD,
+        _rc4,
+        _std_file_key,
+    )
+
+    n = nbits // 8 if r >= 3 else 5
+    id0 = hashlib.md5(text.encode()).digest()
+
+    # Algorithm 3: /O from the owner password
+    okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o = _rc4(okey, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    p = -1 & 0xFFFFFFFF
+    p_signed = p - (1 << 32)
+    key = _std_file_key(user_pw, o, p_signed, id0, r, n)
+
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+    def objkey(num: int, gen: int = 0) -> bytes:
+        mat = key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        return hashlib.md5(mat).digest()[: min(n + 5, 16)]
+
+    esc = (
+        text.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+    content = zlib.compress(b"BT /F1 11 Tf 72 720 Td (" + esc + b") Tj ET")
+    enc_content = _rc4(objkey(4), content)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content),
+        b"5 0 obj\n<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>\nendobj\n",
+        b"6 0 obj\n<</Filter/Standard/V %d/R %d/Length %d/P %d/O %s/U %s>>\nendobj\n"
+        % (1 if r == 2 else 2, r, n * 8, p_signed, hexs(o), hexs(u)),
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for ob in objs:
+        offsets.append(len(body))
+        body += ob
+    xref_pos = len(body)
+    body += b"xref\n0 7\n0000000000 65535 f \n"
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += (
+        b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R/ID[%s%s]>>\nstartxref\n%d\n%%%%EOF\n"
+        % (hexs(id0), hexs(id0), xref_pos)
+    )
+    return bytes(body)
+
+
+@pytest.mark.parametrize("r,nbits", [(2, 40), (3, 128), (3, 40)])
+def test_rc4_encrypted_pdf_decodes(r, nbits):
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    text = "Owner-locked secret line with RC4!"
+    payload = _build_encrypted_pdf(text, r=r, nbits=nbits)
+    assert pdf_document_text(payload) == text
+
+
+def test_rc4_nonempty_user_password_raises():
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    payload = _build_encrypted_pdf("hidden", r=3, nbits=128, user_pw=b"secret")
+    with pytest.raises(PdfParseError, match="user password"):
+        pdf_document_text(payload)
+
+
+def test_rc4_known_vector():
+    """RC4 self-check against the classic published test vector."""
+    from frappe_data_pipelines_spark.operators.pdfmini import _rc4
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex("bbf316e8d940af0ad3")
+    assert _rc4(b"Wiki", b"pedia") == bytes.fromhex("1021bf0420")
+
+
+def test_runlength_filter():
+    # 3 literal bytes, then 'Z' x 4 (257-253), then EOD
+    data = b"\x02abc" + bytes([253]) + b"Z" + b"\x80"
+    out = _decode_stream({Name("Filter"): Name("RunLengthDecode")}, data, lambda x: x)
+    assert out == b"abcZZZZ"
