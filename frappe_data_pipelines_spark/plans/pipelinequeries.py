@@ -308,6 +308,9 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_type0.pdf', 'pdf',
        'こんに' || chr(10) || 'ABC' || chr(10) || 'é世'
         || chr(10) || chr(10) || 'plain latin page',
+       'pdf-mini', 1.0),
+      ('/fixtures/sample_encrypted.pdf', 'pdf',
+       'RC4 secret: quarterly figures' || chr(10) || 'Owner-locked but readable',
        'pdf-mini', 1.0)
     ) AS t(path, ext, text, method, confidence)
     """,
@@ -315,10 +318,11 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A5 REAL kernels on checked-in fixture bytes (VERDICT r3 #6): the
-    stdlib PDF parser (FlateDecode + Tj/TJ/escape/octal handling) and the
-    OOXML DOCX parser (paragraph/run/tab/break model) run through the same
-    A2 dispatch as the stubs; the oracle pins the exact decoded text.
-    Reference kernels: pdfplumber (text_extraction.py:63-75), python-docx
+    stdlib PDF parser (FlateDecode + Tj/TJ/escape/octal handling, Type0 +
+    ToUnicode, RC4 standard-security decryption) and the OOXML DOCX parser
+    (paragraph/run/tab/break model) run through the same A2 dispatch as the
+    stubs; the oracle pins the exact decoded text. Reference kernels:
+    pdfplumber (text_extraction.py:63-75), python-docx
     (text_extraction.py:94-101)."""
     import os
 
@@ -329,7 +333,7 @@ def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resources", "fixtures",
     )
     rows = []
-    for name in ("sample.pdf", "sample.docx", "sample_type0.pdf"):
+    for name in ("sample.pdf", "sample.docx", "sample_type0.pdf", "sample_encrypted.pdf"):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))
     binary = spark.createDataFrame(rows, "path string, content binary")

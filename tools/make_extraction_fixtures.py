@@ -317,8 +317,87 @@ def main() -> None:
     _write_if_missing("sample_scanned_jpeg.pdf", make_scanned_jpeg_pdf())
     _write_if_missing("sample_scanned_jpeg.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_ocr.jpg", make_ocr_jpeg())
+    _write_if_missing("sample_encrypted.pdf", make_encrypted_pdf())
+    _write_if_missing("sample_encrypted.pdf.txt", ENCRYPTED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
 if __name__ == "__main__":
     main()
+
+
+ENCRYPTED_TEXT = "RC4 secret: quarterly figures\nOwner-locked but readable"
+
+
+def make_encrypted_pdf() -> bytes:
+    """RC4-encrypted (R=3, 128-bit, empty user password) one-page PDF —
+    the 'owner-locked' case the A3 kernel must open transparently, like
+    pdfplumber does. Encrypt-side Algorithms 2/3/4/5 of PDF 1.7 §7.6.3;
+    the kernel's _rc4/_std_file_key serve the symmetric direction."""
+    import hashlib
+
+    from frappe_data_pipelines_spark.operators.pdfmini import (
+        _PW_PAD,
+        _rc4,
+        _std_file_key,
+    )
+
+    r, n = 3, 16
+    id0 = hashlib.md5(ENCRYPTED_TEXT.encode()).digest()
+    okey = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o = _rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    p_signed = -1
+    key = _std_file_key(b"", o, p_signed, id0, r, n)
+    u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+
+    def objkey(num: int) -> bytes:
+        mat = key + num.to_bytes(3, "little") + b"\x00\x00"
+        return hashlib.md5(mat).digest()[:16]
+
+    ops = b" T* ".join(
+        b"(%s) Tj"
+        % line.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        for line in ENCRYPTED_TEXT.split("\n")
+    )
+    content = zlib.compress(b"BT /F1 11 Tf 72 720 Td " + ops + b" ET")
+    enc_content = _rc4(objkey(4), content)
+
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
+
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content),
+        b"5 0 obj\n<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>\nendobj\n",
+        b"6 0 obj\n<</Filter/Standard/V 2/R 3/Length 128/P -1/O %s/U %s>>\nendobj\n"
+        % (hexs(o), hexs(u)),
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for ob in objs:
+        offsets.append(len(body))
+        body += ob
+    xref_pos = len(body)
+    body += b"xref\n0 7\n0000000000 65535 f \n"
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += (
+        b"trailer\n<</Size 7/Root 1 0 R/Encrypt 6 0 R/ID[%s%s]>>\nstartxref\n%d\n%%%%EOF\n"
+        % (hexs(id0), hexs(id0), xref_pos)
+    )
+    return bytes(body)
