@@ -748,6 +748,78 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return mapping
 
 
+# Adobe Glyph List subset: the names that appear in real-world /Differences
+# arrays (AGL is public: github.com/adobe-type-tools/agl-aglfn). 'uniXXXX'
+# and 'uXXXX(XX)' forms are handled by rule in _glyph_to_unicode.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "fi": "ﬁ", "fl": "ﬂ",
+    "Euro": "€", "sterling": "£", "yen": "¥", "cent": "¢",
+    "currency": "¤", "copyright": "©", "registered": "®",
+    "trademark": "™", "section": "§", "paragraph": "¶",
+    "degree": "°", "plusminus": "±", "multiply": "×", "divide": "÷",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "exclamdown": "¡", "questiondown": "¿", "middot": "·",
+    "periodcentered": "·", "guillemotleft": "«", "guillemotright": "»",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ", "germandbls": "ß",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "Yacute": "Ý", "Thorn": "Þ", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Ydieresis": "Ÿ", "florin": "ƒ", "circumflex": "ˆ", "tilde": "˜",
+    "perthousand": "‰", "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„", "minus": "−",
+    "fraction": "⁄", "dotlessi": "ı", "lslash": "ł", "Lslash": "Ł",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """Glyph name → text per the AGL specification's resolution rules:
+    single letters map to themselves, uniXXXX / uXXXX[XX] by codepoint,
+    the named table otherwise; unknown names become U+FFFD."""
+    if len(name) == 1:
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return "�"
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
 def _load_fonts(doc: PdfDocument, resources) -> dict[str, dict]:
     fonts: dict[str, dict] = {}
     resources = doc.resolve(resources)
@@ -765,22 +837,59 @@ def _load_fonts(doc: PdfDocument, resources) -> dict[str, dict]:
             cmap = None
             if "ToUnicode" in fobj:
                 cmap = _parse_tounicode(doc.stream_bytes(fobj["ToUnicode"]))
-            fonts[fname] = {"two_byte": two_byte, "cmap": cmap}
+            # simple-font /Encoding: base codec + /Differences glyph names
+            codec, diffs = "latin-1", {}
+            enc = doc.resolve(fobj.get("Encoding"))
+            base_name = ""
+            if isinstance(enc, Name):
+                base_name = str(enc)
+            elif isinstance(enc, dict):
+                base_name = str(doc.resolve(enc.get("BaseEncoding", "")))
+                darr = doc.resolve(enc.get("Differences"))
+                if isinstance(darr, list):
+                    code = 0
+                    for item in darr:
+                        item = doc.resolve(item)
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, Name):
+                            diffs[code] = _glyph_to_unicode(str(item))
+                            code += 1
+            if base_name == "WinAnsiEncoding":
+                codec = "cp1252"
+            elif base_name == "MacRomanEncoding":
+                codec = "mac_roman"
+            fonts[fname] = {
+                "two_byte": two_byte,
+                "cmap": cmap,
+                "codec": codec,
+                "diffs": diffs,
+            }
         except PdfParseError:
-            fonts[fname] = {"two_byte": False, "cmap": None}
+            fonts[fname] = {"two_byte": False, "cmap": None, "codec": "latin-1", "diffs": {}}
     return fonts
 
 
 def _decode_shown(b: bytes, font: dict | None) -> str:
     if font and font["two_byte"]:
-        cmap = font["cmap"] or {}
+        cmap = font["cmap"]
         parts = []
         for i in range(0, len(b) - 1, 2):
             code = (b[i] << 8) | b[i + 1]
-            parts.append(cmap.get(code, chr(code)))
+            if cmap is not None:
+                parts.append(cmap.get(code, chr(code)))
+            else:
+                # no ToUnicode: CIDs are opaque glyph ids — emit the
+                # pdfminer-compatible placeholder rather than garbage text
+                parts.append(f"(cid:{code})")
         return "".join(parts)
     if font and font["cmap"]:
         return "".join(font["cmap"].get(c, chr(c)) for c in b)
+    if font and (font.get("diffs") or font.get("codec", "latin-1") != "latin-1"):
+        diffs, codec = font["diffs"], font["codec"]
+        return "".join(
+            diffs.get(c, bytes([c]).decode(codec, errors="replace")) for c in b
+        )
     return b.decode("latin-1")
 
 

@@ -310,3 +310,71 @@ def test_runlength_filter():
     data = b"\x02abc" + bytes([253]) + b"Z" + b"\x80"
     out = _decode_stream({Name("Filter"): Name("RunLengthDecode")}, data, lambda x: x)
     assert out == b"abcZZZZ"
+
+
+# -- simple-font /Encoding: WinAnsi, /Differences, Type0 without ToUnicode --
+
+
+def _font_encoding_pdf(font_obj: bytes, shown: bytes) -> bytes:
+    content = zlib.compress(b"BT /F1 11 Tf 72 720 Td (" + shown + b") Tj ET")
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+        b"5 0 obj\n" + font_obj + b"\nendobj\n",
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(body))
+        body += o
+    xref_pos = len(body)
+    body += b"xref\n0 6\n0000000000 65535 f \n"
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += b"trailer\n<</Size 6/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(body)
+
+
+def test_differences_encoding_glyph_names():
+    """/Differences remaps codes to AGL glyph names: code 65 -> eacute,
+    66 -> uni0142 (by-rule), 67 stays base WinAnsi."""
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    font = (
+        b"<</Type/Font/Subtype/Type1/BaseFont/Custom"
+        b"/Encoding<</BaseEncoding/WinAnsiEncoding"
+        b"/Differences[65/eacute/uni0142]>>>>"
+    )
+    out = pdf_document_text(_font_encoding_pdf(font, b"ABC"))
+    assert out == "éłC"
+
+
+def test_winansi_base_encoding():
+    """WinAnsiEncoding = cp1252: byte 0x93 is a left curly quote, not the
+    latin-1 control char."""
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    font = (
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        b"/Encoding/WinAnsiEncoding>>"
+    )
+    out = pdf_document_text(_font_encoding_pdf(font, b"\x93quoted\x94"))
+    assert out == "“quoted”"
+
+
+def test_type0_without_tounicode_emits_cid_placeholders():
+    """Identity-H with no /ToUnicode: CIDs are opaque glyph ids — emit the
+    pdfminer-compatible (cid:N) placeholder instead of garbage codepoints."""
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    font = (
+        b"<</Type/Font/Subtype/Type0/BaseFont/NoMap/Encoding/Identity-H"
+        b"/DescendantFonts[<</Type/Font/Subtype/CIDFontType2>>]>>"
+    )
+    # two 2-byte codes: 0x0041 0x0123
+    out = pdf_document_text(_font_encoding_pdf(font, b"\x00\x41\x01\x23"))
+    assert out == "(cid:65)(cid:291)"
