@@ -57,6 +57,7 @@ HEADLINE = [
     "percentile_price_by_priority",
     "extract_real_kernels",
     "corpus_segment_dedup",
+    "exact_substring_spans",
 ]
 
 

@@ -185,6 +185,42 @@ CHECKS: dict[str, list] = {
         ("shuffle_free", lambda p: "Exchange" not in p),
         ("documents_scan_pruned", lambda p: "lang" not in _read_schema(p, "documents")),
     ],
+    "tpch_q2_min_cost_supplier": [
+        # decorrelated min: cost computed once (cached), reused by both the
+        # min-per-part branch and the equality join back
+        ("shared_cost_cached", lambda p: "InMemoryTableScan" in p),
+        ("broadcast_dims", lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q4_order_priority": [
+        ("exists_is_semi_join", lambda p: "LeftSemi" in p),
+        ("pushed_orderdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderdate", p)),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q13_customer_distribution": [
+        ("outer_join_preserved", lambda p: "LeftOuter" in p or "RightOuter" in p),
+        ("partial_agg", lambda p: "partial_count" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "tpch_q16_supplier_part_counts": [
+        ("not_in_is_anti_join", lambda p: "LeftAnti" in p),
+        ("distinct_two_phase", lambda p: p.count("HashAggregate") >= 3),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "exact_substring_spans": [
+        # stride-1 inverted index: shuffles keyed on window content / doc_id
+        # only; islands merged in a per-doc window, never a global sort
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
+        ("keyed_shuffles_only", lambda p: "Exchange rangepartitioning" not in _final_plan(p)),
+    ],
+    "winnow_fingerprint_select": [
+        # selection = one scan + one per-doc sliding window: a single
+        # hash shuffle on doc_id, no joins at all
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_join", lambda p: "Join" not in p),
+        ("windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
+    ],
 }
 
 
