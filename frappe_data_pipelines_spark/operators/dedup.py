@@ -800,9 +800,16 @@ def _char_windows(docs: DataFrame, length: int, id_col: str, text_col: str) -> D
             F.substring(F.col(text_col), p, length).alias("s"),
         ),
     )
+    # A small-file source arrives as 1 input partition; the stride-1 blowup
+    # is the CPU-heavy step, so spread the rows first (cheap: pre-explode
+    # rows — same move as word_shingles). At 100 TB the scan already has
+    # thousands of partitions and this is a no-op-cost rebalance.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.filter(F.length(text_col) >= length)
-        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("w"))
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(par)
+        .select(F.col("doc_id"), F.explode(spans).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.s").alias("s"))
     )
 
