@@ -37,6 +37,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, tags: tuple = ()):  # decorator
     def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:  # silent shadowing once hid a duplicate Q16
+            raise ValueError(f"duplicate catalog query name: {name}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
         return fn
 

@@ -736,50 +736,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
-    "tpch_q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1996-04-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-    tags=("C1", "D1", "tpch"),
-)
-def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (no l_commitdate/l_receiptdate in the star, so "late"
-    means shipped >60 days after the order date): priority distribution of
-    one quarter's orders that had at least one late line.  The correlated
-    EXISTS is a left-semi join with a non-equi residual — Catalyst keeps the
-    equi part (l_orderkey = o_orderkey) as the shuffle key and evaluates the
-    date comparison as a join residual, so at 100 TB this is one
-    hash-partitioned semi join over two date-pruned scans, no fact-side
-    re-scan per row (reference analogue: the job-status EXISTS sweeps,
-    fdp/jobs/pipeline_runner.py)."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    return (
-        o.join(
-            li,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").cast("bigint").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@register(
-    "tpch_q13_customer_distribution",
+    "tpch_q13_nonurgent_order_distribution",
     oracle="""
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
     FROM (
@@ -794,7 +751,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("C3", "D1", "tpch"),
 )
-def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_q13_nonurgent_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (o_orderpriority filter stands in for the missing
     o_comment NOT LIKE): how many customers placed 0, 1, 2, ... non-urgent
     orders.  The classic double aggregation over a left outer join — the
@@ -823,7 +780,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "tpch_q2_min_cost_supplier",
+    "tpch_q2_region_min_cost_supplier",
     oracle="""
     WITH cost AS (
       SELECT l.l_partkey, l.l_suppkey,
@@ -851,7 +808,7 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     tags=("C3", "subquery", "tpch"),
 )
-def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tpch_q2_region_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp: the part↔supplier relation and its cost
     are derived from lineitem — supply_value = the supplier's total traded
     value for that part, an exact DECIMAL so the min-equality join is

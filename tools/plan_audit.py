@@ -185,7 +185,7 @@ CHECKS: dict[str, list] = {
         ("shuffle_free", lambda p: "Exchange" not in p),
         ("documents_scan_pruned", lambda p: "lang" not in _read_schema(p, "documents")),
     ],
-    "tpch_q2_min_cost_supplier": [
+    "tpch_q2_region_min_cost_supplier": [
         # decorrelated min: cost computed once (cached), reused by both the
         # min-per-part branch and the equality join back
         ("shared_cost_cached", lambda p: "InMemoryTableScan" in p),
@@ -197,7 +197,7 @@ CHECKS: dict[str, list] = {
         ("pushed_orderdate_filter", lambda p: re.search(r"PushedFilters: \[[^\]]*o_orderdate", p)),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
-    "tpch_q13_customer_distribution": [
+    "tpch_q13_nonurgent_order_distribution": [
         ("outer_join_preserved", lambda p: "LeftOuter" in p or "RightOuter" in p),
         ("partial_agg", lambda p: "partial_count" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
