@@ -70,7 +70,10 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+def _std_file_key(
+    user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
     """Algorithm 2 (PDF 1.7 §7.6.3.3): the file encryption key from the
     (padded) user password, /O, /P, and the first document ID."""
     h = hashlib.md5()
@@ -78,6 +81,8 @@ def _std_file_key(user_pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int) 
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -96,6 +101,46 @@ def _std_user_check(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     for i in range(1, 20):
         x = _rc4(bytes(b ^ i for b in key), x)
     return x == u[:16]
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the hardened hash for /R 6 key
+    derivation (iterated SHA-2 family keyed through AES-128-CBC)."""
+    from frappe_data_pipelines_spark.operators.aesmini import aes_cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aes_v5_file_key(enc: dict, resolve) -> bytes:
+    """Algorithm 2.A (ISO 32000-2 §7.6.4.3.3) for the empty user password:
+    validate against /U's validation salt, then unwrap the file key from
+    /UE with the key-salt-derived intermediate key."""
+    from frappe_data_pipelines_spark.operators.aesmini import aes_cbc_decrypt
+
+    r = int(resolve(enc.get("R", 6)) or 6)
+    u = resolve(enc.get("U"))
+    ue = resolve(enc.get("UE"))
+    if not isinstance(u, bytes) or not isinstance(ue, bytes) or len(u) < 48:
+        raise PdfParseError("missing /U or /UE for V5 encryption")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        valid = _hash_2b(b"", vsalt, b"")
+        ikey = _hash_2b(b"", ksalt, b"")
+    else:  # R=5 (deprecated ExtensionLevel 3): single SHA-256
+        valid = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    if valid != u[:32]:
+        raise PdfParseError("encrypted PDF requires a user password")
+    return aes_cbc_decrypt(ikey, bytes(16), ue[:32], unpad=False)
 
 
 class PdfParseError(ValueError):
@@ -391,6 +436,7 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._enc_key: bytes | None = None
+        self._cipher = "rc4"
         self._encrypt_num = -1
         try:
             self._load_xref_chain()
@@ -406,10 +452,11 @@ class PdfDocument:
     # -- encryption (standard security handler, RC4) ------------------------
 
     def _setup_encryption(self, enc_ref) -> None:
-        """RC4 standard security handler with an empty user password (the
-        owner-locked case pdfplumber also opens transparently). AES (V>=4)
-        and non-Standard handlers raise — the caller's fallback chain keeps
-        extraction total."""
+        """Standard security handler with an empty user password (the
+        owner-locked case pdfplumber also opens transparently): RC4
+        (V=1/2, R=2/3), AES-128 (/AESV2, V=4 R=4) and AES-256 (/AESV3,
+        V=5 R=5/6). Non-Standard handlers raise — the caller's fallback
+        chain keeps extraction total."""
         if isinstance(enc_ref, Ref):
             self._encrypt_num = enc_ref.num
         enc = self.resolve(enc_ref)
@@ -418,8 +465,28 @@ class PdfDocument:
         filt = str(self.resolve(enc.get("Filter")))
         v = int(self.resolve(enc.get("V", 0)) or 0)
         r = int(self.resolve(enc.get("R", 2)) or 2)
-        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+        if filt != "Standard" or (v, r) not in (
+            (1, 2), (1, 3), (2, 2), (2, 3), (4, 4), (5, 5), (5, 6),
+        ):
             raise PdfParseError(f"unsupported encryption /{filt} V={v} R={r}")
+        if v == 5:
+            self._enc_key = _aes_v5_file_key(enc, self.resolve)
+            self._cipher = "aes"
+            self._cache.clear()
+            self._objstm_cache.clear()
+            return
+        if v == 4:
+            # crypt-filter dictionary must name AESV2 (or V2=RC4) for StdCF
+            cf = self.resolve(enc.get("CF")) or {}
+            stmf = str(self.resolve(enc.get("StmF", Name("Identity"))))
+            stdcf = self.resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            cfm = str(self.resolve(stdcf.get("CFM"))) if isinstance(stdcf, dict) else "V2"
+            if cfm == "AESV2":
+                self._cipher = "aes"
+            elif cfm == "V2":
+                self._cipher = "rc4"
+            else:
+                raise PdfParseError(f"unsupported crypt filter /{cfm}")
         o = self.resolve(enc.get("O"))
         u = self.resolve(enc.get("U"))
         if not isinstance(o, bytes) or not isinstance(u, bytes):
@@ -433,7 +500,8 @@ class PdfDocument:
         id0 = self.resolve(id0)
         if not isinstance(id0, bytes):
             id0 = b""
-        key = _std_file_key(b"", o, p, id0, r, n)
+        enc_meta = self.resolve(enc.get("EncryptMetadata")) is not False
+        key = _std_file_key(b"", o, p, id0, r, n, encrypt_metadata=enc_meta)
         if not _std_user_check(key, u, id0, r):
             raise PdfParseError("encrypted PDF requires a user password")
         self._enc_key = key
@@ -442,12 +510,26 @@ class PdfDocument:
         self._objstm_cache.clear()
 
     def _object_key(self, num: int, gen: int) -> bytes:
+        if self._cipher == "aes" and len(self._enc_key) == 32:
+            return self._enc_key  # /AESV3: file key used directly (§7.6.4)
         mat = self._enc_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if self._cipher == "aes":
+            mat += b"sAlT"  # /AESV2 salt (PDF 1.7 Algorithm 1 step b)
         return hashlib.md5(mat).digest()[: min(len(self._enc_key) + 5, 16)]
+
+    def _decrypt_data(self, num: int, gen: int, data: bytes) -> bytes:
+        key = self._object_key(num, gen)
+        if self._cipher == "aes":
+            from frappe_data_pipelines_spark.operators.aesmini import aes_cbc_decrypt
+
+            if len(data) < 16:
+                return b""
+            return aes_cbc_decrypt(key, data[:16], data[16:])
+        return _rc4(key, data)
 
     def _decrypt_strings(self, obj, num: int, gen: int):
         if isinstance(obj, bytes):
-            return _rc4(self._object_key(num, gen), obj)
+            return self._decrypt_data(num, gen, obj)
         if isinstance(obj, list):
             return [self._decrypt_strings(x, num, gen) for x in obj]
         if isinstance(obj, dict):
@@ -628,7 +710,7 @@ class PdfDocument:
             raise PdfParseError(f"ObjStm {stm_num} is not a stream")
         if self._enc_key is not None and stm_num != self._encrypt_num:
             # members inherit the container's decryption (PDF 1.7 §7.6.2)
-            raw = _rc4(self._object_key(stm_num, gen), raw)
+            raw = self._decrypt_data(stm_num, gen, raw)
         data = _decode_stream(sdict, raw, self.resolve)
         n = int(self.resolve(sdict["N"]))
         first = int(self.resolve(sdict["First"]))
@@ -653,7 +735,7 @@ class PdfDocument:
             if self._enc_key is not None and num != self._encrypt_num:
                 obj = self._decrypt_strings(obj, num, gen)
                 if raw is not None:
-                    raw = _rc4(self._object_key(num, gen), raw)
+                    raw = self._decrypt_data(num, gen, raw)
             result = (obj, raw) if raw is not None else obj
         else:
             _, stm_num, _idx = entry

@@ -363,3 +363,52 @@ def domain_cap_skew_aware(
         .drop("__rank")
     )
     return under.unionByName(crowded)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences/lookaround, ASCII \b, explicit [0-9] classes) so the same
+# literal string drives both the Spark plan and the DuckDB oracle.
+# Replacement order matters only for nested shapes; these five are mutually
+# non-overlapping by construction (word boundaries + distinct group widths).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scrub PII from a text column: each pattern family is replaced with
+    its ``<NAME>`` token and counted. Pure ``regexp_replace``/
+    ``regexp_count`` Column expressions — JVM-side, whole-stage codegen,
+    zero shuffle; at 100 TB this is a map-only pass (the standard
+    pre-training scrub step, cf. C4/RefinedWeb pipeline descriptions).
+
+    Returns ``keep_cols`` (default: all input columns) + ``redacted`` +
+    one ``n_<name>`` count per pattern + ``pii_total``.
+    """
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in pats.items()
+    ]
+    total = sum(
+        (F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint") for p in pats.values()),
+        F.lit(0).cast("bigint"),
+    ).alias("pii_total")
+    cols = keep_cols if keep_cols is not None else df.columns
+    return df.select(*cols, red.alias("redacted"), *counts, total)

@@ -206,3 +206,4 @@ def lm_perplexity_buckets(
     return per_doc.select(
         id_col, "n_tokens", "lm_score", label.alias("ppl_bucket")
     )
+

@@ -311,6 +311,12 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
        'pdf-mini', 1.0),
       ('/fixtures/sample_encrypted.pdf', 'pdf',
        'RC4 secret: quarterly figures' || chr(10) || 'Owner-locked but readable',
+       'pdf-mini', 1.0),
+      ('/fixtures/sample_aes128.pdf', 'pdf',
+       'AES-128 secret: ledger totals' || chr(10) || 'Crypt filter StdCF (AESV2)',
+       'pdf-mini', 1.0),
+      ('/fixtures/sample_aes256.pdf', 'pdf',
+       'AES-256 secret: board minutes' || chr(10) || 'Hardened R6 key wrap (AESV3)',
        'pdf-mini', 1.0)
     ) AS t(path, ext, text, method, confidence)
     """,
@@ -319,7 +325,8 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A5 REAL kernels on checked-in fixture bytes (VERDICT r3 #6): the
     stdlib PDF parser (FlateDecode + Tj/TJ/escape/octal handling, Type0 +
-    ToUnicode, RC4 standard-security decryption) and the OOXML DOCX parser
+    ToUnicode, RC4/AES-128/AES-256 standard-security decryption) and the
+    OOXML DOCX parser
     (paragraph/run/tab/break model) run through the same A2 dispatch as the
     stubs; the oracle pins the exact decoded text. Reference kernels:
     pdfplumber (text_extraction.py:63-75), python-docx
@@ -333,7 +340,10 @@ def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resources", "fixtures",
     )
     rows = []
-    for name in ("sample.pdf", "sample.docx", "sample_type0.pdf", "sample_encrypted.pdf"):
+    for name in (
+        "sample.pdf", "sample.docx", "sample_type0.pdf",
+        "sample_encrypted.pdf", "sample_aes128.pdf", "sample_aes256.pdf",
+    ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))
     binary = spark.createDataFrame(rows, "path string, content binary")

@@ -659,3 +659,72 @@ def winnow_fingerprint_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=8, w=33).select(
         "doc_id", F.col("pos").cast("bigint").alias("pos"), "fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pre-training scrub)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    from frappe_data_pipelines_spark.operators.quality import PII_PATTERNS
+
+    inj = (
+        "substr(text, 1, 80) || ' contact: user' || doc_id || '@example.com tel 555-' "
+        "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+        "|| lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "|| ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+    )
+    chain = "t"
+    for name, pat in PII_PATTERNS.items():
+        chain = f"regexp_replace({chain}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH inj AS (SELECT doc_id, {inj} AS t FROM documents)
+    SELECT doc_id,
+           {chain} AS redacted,
+           {counts},
+           CAST({total} AS BIGINT) AS pii_total
+    FROM inj
+    """
+
+
+@register("pii_redaction", oracle=_pii_oracle(), tags=("quality", "extension"))
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: deterministic PII-shaped strings (email,
+    phone, credit card, SSN, IPv4 — all derived from doc_id so the oracle
+    can rebuild the identical input) are injected, then redacted and
+    counted by ``redact_pii`` (five pattern families vs pii_scrub's three;
+    adds per-type counts). Pure regexp Column expressions: a map-only
+    whole-stage-codegen pass, no shuffle at any scale. Reference has no
+    PII pass; this is the standard pre-training scrub (cf. C4/RefinedWeb).
+    """
+    from frappe_data_pipelines_spark.operators.quality import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def _lp(mod: int, w: int) -> F.Column:
+        return F.lpad((d % mod).cast("string"), w, "0")
+
+    injected = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" contact: user"), d.cast("string"), F.lit("@example.com tel 555-"),
+        _lp(1000, 3), F.lit("-"), _lp(10000, 4),
+        F.lit(" card 4111 1111 1111 "), _lp(10000, 4),
+        F.lit(" ssn "), _lp(1000, 3), F.lit("-"), _lp(100, 2), F.lit("-"), _lp(10000, 4),
+        F.lit(" ip 10.0."), (d % 256).cast("string"), F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+    inj = docs.select("doc_id", injected.alias("text"))
+    return redact_pii(inj, keep_cols=["doc_id"])
+

@@ -197,49 +197,28 @@ def _build_encrypted_pdf(
     nbits: int = 128,
     user_pw: bytes = b"",
     owner_pw: bytes = b"",
+    cipher: str = "rc4",
 ) -> bytes:
     """Test-side encryptor implementing the standard security handler's
-    *encrypt* direction (Algorithms 2/3/4/5 of PDF 1.7 §7.6.3) so the
-    production decrypt path is exercised against independently-derived
-    ciphertext. RC4 is symmetric, so _rc4 serves both directions."""
+    *encrypt* direction (PDF 1.7 §7.6.3 Algorithms 2/3/4/5 for RC4/AESV2;
+    ISO 32000-2 §7.6.4 Algorithms 8/9/10 for AESV3) so the production
+    decrypt path is exercised against independently-derived ciphertext."""
     import hashlib
 
+    from frappe_data_pipelines_spark.operators.aesmini import aes_cbc_encrypt
     from frappe_data_pipelines_spark.operators.pdfmini import (
         _PW_PAD,
+        _hash_2b,
         _rc4,
         _std_file_key,
     )
 
-    n = nbits // 8 if r >= 3 else 5
-    id0 = hashlib.md5(text.encode()).digest()
-
-    # Algorithm 3: /O from the owner password
-    okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
-    if r >= 3:
-        for _ in range(50):
-            okey = hashlib.md5(okey).digest()
-    okey = okey[:n]
-    o = _rc4(okey, (user_pw + _PW_PAD)[:32])
-    if r >= 3:
-        for i in range(1, 20):
-            o = _rc4(bytes(b ^ i for b in okey), o)
-
     p = -1 & 0xFFFFFFFF
     p_signed = p - (1 << 32)
-    key = _std_file_key(user_pw, o, p_signed, id0, r, n)
+    id0 = hashlib.md5(text.encode()).digest()
 
-    # Algorithm 4/5: /U
-    if r == 2:
-        u = _rc4(key, _PW_PAD)
-    else:
-        u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
-        for i in range(1, 20):
-            u = _rc4(bytes(b ^ i for b in key), u)
-        u = u + b"\x00" * 16
-
-    def objkey(num: int, gen: int = 0) -> bytes:
-        mat = key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        return hashlib.md5(mat).digest()[: min(n + 5, 16)]
+    def hexs(b: bytes) -> bytes:
+        return b"<" + b.hex().encode() + b">"
 
     esc = (
         text.encode("latin-1")
@@ -248,10 +227,88 @@ def _build_encrypted_pdf(
         .replace(b")", b"\\)")
     )
     content = zlib.compress(b"BT /F1 11 Tf 72 720 Td (" + esc + b") Tj ET")
-    enc_content = _rc4(objkey(4), content)
+    iv = hashlib.md5(b"iv:" + text.encode()).digest()
 
-    def hexs(b: bytes) -> bytes:
-        return b"<" + b.hex().encode() + b">"
+    if cipher == "aesv3":
+        # Algorithm 8: /U and /UE from the user password (hardened 2.B hash
+        # for R=6, single SHA-256 for the deprecated R=5)
+        key = hashlib.sha256(b"filekey:" + text.encode()).digest()
+        vsalt = hashlib.md5(b"vs" + text.encode()).digest()[:8]
+        ksalt = hashlib.md5(b"ks" + text.encode()).digest()[:8]
+        if r == 6:
+            u = _hash_2b(user_pw, vsalt, b"") + vsalt + ksalt
+            ikey = _hash_2b(user_pw, ksalt, b"")
+        else:
+            u = hashlib.sha256(user_pw + vsalt).digest() + vsalt + ksalt
+            ikey = hashlib.sha256(user_pw + ksalt).digest()
+        ue = aes_cbc_encrypt(ikey, bytes(16), key, pad=False)
+        # Algorithm 9: /O and /OE (udata = the 48-byte /U)
+        ovs = hashlib.md5(b"ovs" + text.encode()).digest()[:8]
+        oks = hashlib.md5(b"oks" + text.encode()).digest()[:8]
+        if r == 6:
+            o = _hash_2b(owner_pw, ovs, u) + ovs + oks
+            oikey = _hash_2b(owner_pw, oks, u)
+        else:
+            o = hashlib.sha256(owner_pw + ovs + u).digest() + ovs + oks
+            oikey = hashlib.sha256(owner_pw + oks + u).digest()
+        oe = aes_cbc_encrypt(oikey, bytes(16), key, pad=False)
+        # Algorithm 10: /Perms (AES-ECB one block == CBC with zero IV)
+        perms = aes_cbc_encrypt(
+            key, bytes(16),
+            p.to_bytes(4, "little") + b"\xff\xff\xff\xffTadb" + b"\x00" * 4,
+            pad=False,
+        )
+        enc_content = iv + aes_cbc_encrypt(key, iv, content)
+        enc_obj = (
+            b"6 0 obj\n<</Filter/Standard/V 5/R %d/Length 256/P %d"
+            b"/O %s/U %s/OE %s/UE %s/Perms %s"
+            b"/CF<</StdCF<</CFM/AESV3/Length 32>>>>/StmF/StdCF/StrF/StdCF>>\nendobj\n"
+            % (r, p_signed, hexs(o), hexs(u), hexs(oe), hexs(ue), hexs(perms))
+        )
+    else:
+        n = nbits // 8 if r >= 3 else 5
+
+        # Algorithm 3: /O from the owner password
+        okey = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey).digest()
+        okey = okey[:n]
+        o = _rc4(okey, (user_pw + _PW_PAD)[:32])
+        if r >= 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(b ^ i for b in okey), o)
+
+        key = _std_file_key(user_pw, o, p_signed, id0, r, n)
+
+        # Algorithm 4/5: /U
+        if r == 2:
+            u = _rc4(key, _PW_PAD)
+        else:
+            u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            u = u + b"\x00" * 16
+
+        def objkey(num: int, gen: int = 0) -> bytes:
+            mat = key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+            if cipher == "aesv2":
+                mat += b"sAlT"
+            return hashlib.md5(mat).digest()[: min(n + 5, 16)]
+
+        if cipher == "aesv2":
+            enc_content = iv + aes_cbc_encrypt(objkey(4), iv, content)
+            enc_obj = (
+                b"6 0 obj\n<</Filter/Standard/V 4/R 4/Length 128/P %d/O %s/U %s"
+                b"/CF<</StdCF<</CFM/AESV2/Length 16>>>>/StmF/StdCF/StrF/StdCF>>\nendobj\n"
+                % (p_signed, hexs(o), hexs(u))
+            )
+        else:
+            enc_content = _rc4(objkey(4), content)
+            enc_obj = (
+                b"6 0 obj\n<</Filter/Standard/V %d/R %d/Length %d/P %d/O %s/U %s>>\nendobj\n"
+                % (1 if r == 2 else 2, r, n * 8, p_signed, hexs(o), hexs(u))
+            )
 
     objs = [
         b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
@@ -261,8 +318,7 @@ def _build_encrypted_pdf(
         b"4 0 obj\n<</Length %d/Filter/FlateDecode>>\nstream\n%s\nendstream\nendobj\n"
         % (len(enc_content), enc_content),
         b"5 0 obj\n<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>\nendobj\n",
-        b"6 0 obj\n<</Filter/Standard/V %d/R %d/Length %d/P %d/O %s/U %s>>\nendobj\n"
-        % (1 if r == 2 else 2, r, n * 8, p_signed, hexs(o), hexs(u)),
+        enc_obj,
     ]
     body = bytearray(b"%PDF-1.4\n")
     offsets = []
@@ -293,6 +349,31 @@ def test_rc4_nonempty_user_password_raises():
     from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
 
     payload = _build_encrypted_pdf("hidden", r=3, nbits=128, user_pw=b"secret")
+    with pytest.raises(PdfParseError, match="user password"):
+        pdf_document_text(payload)
+
+
+def test_aesv2_encrypted_pdf_decodes():
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    text = "AES-128 (AESV2) secret: per-object sAlT keys"
+    payload = _build_encrypted_pdf(text, r=4, cipher="aesv2")
+    assert pdf_document_text(payload) == text
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aesv3_encrypted_pdf_decodes(r):
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    text = "AES-256 (AESV3 R=%d) secret: file-wide key" % r
+    payload = _build_encrypted_pdf(text, r=r, cipher="aesv3")
+    assert pdf_document_text(payload) == text
+
+
+def test_aesv3_nonempty_user_password_raises():
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    payload = _build_encrypted_pdf("hidden", r=6, cipher="aesv3", user_pw=b"pw")
     with pytest.raises(PdfParseError, match="user password"):
         pdf_document_text(payload)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import os
+import sys
 import zipfile
 import zlib
 
@@ -319,14 +320,27 @@ def main() -> None:
     _write_if_missing("sample_ocr.jpg", make_ocr_jpeg())
     _write_if_missing("sample_encrypted.pdf", make_encrypted_pdf())
     _write_if_missing("sample_encrypted.pdf.txt", ENCRYPTED_TEXT)
+    _write_if_missing("sample_aes128.pdf", make_aes_pdf(AES128_TEXT, "aesv2"))
+    _write_if_missing("sample_aes128.pdf.txt", AES128_TEXT)
+    _write_if_missing("sample_aes256.pdf", make_aes_pdf(AES256_TEXT, "aesv3"))
+    _write_if_missing("sample_aes256.pdf.txt", AES256_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 ENCRYPTED_TEXT = "RC4 secret: quarterly figures\nOwner-locked but readable"
+AES128_TEXT = "AES-128 secret: ledger totals\nCrypt filter StdCF (AESV2)"
+AES256_TEXT = "AES-256 secret: board minutes\nHardened R6 key wrap (AESV3)"
+
+
+def make_aes_pdf(text: str, cipher: str) -> bytes:
+    """AES-encrypted one-page PDFs (AESV2 = AES-128-CBC V=4 R=4; AESV3 =
+    AES-256-CBC V=5 R=6 with the hardened 2.B hash), empty user password.
+    Delegates to the test-side encryptor so fixture bytes and the
+    property-tested path share one encrypt implementation."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_pdfmini import _build_encrypted_pdf
+
+    return _build_encrypted_pdf(text, r=6 if cipher == "aesv3" else 4, cipher=cipher)
 
 
 def make_encrypted_pdf() -> bytes:
@@ -401,3 +415,7 @@ def make_encrypted_pdf() -> bytes:
         % (hexs(id0), hexs(id0), xref_pos)
     )
     return bytes(body)
+
+
+if __name__ == "__main__":
+    main()
