@@ -830,6 +830,108 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return mapping
 
 
+def _ttf_cmap_gid_to_unicode(data: bytes) -> dict[int, str]:
+    """Glyph-id → unicode map recovered from an embedded TrueType font's
+    'cmap' table (OpenType spec, public). For /Identity-H Type0 fonts the
+    CID *is* the glyph id, so inverting the font's char→glyph cmap
+    recovers text when the PDF carries no /ToUnicode — the same trick
+    pdfminer's FontFile2 path uses. Supports the two subtable formats
+    real fonts carry: 4 (BMP segmented) and 12 (full-range groups).
+    Returns {} on any structural problem (caller falls back to (cid:N))."""
+    try:
+        if len(data) < 12:
+            return {}
+        num_tables = int.from_bytes(data[4:6], "big")
+        cmap_off = None
+        for i in range(num_tables):
+            rec = 12 + 16 * i
+            if data[rec : rec + 4] == b"cmap":
+                cmap_off = int.from_bytes(data[rec + 8 : rec + 12], "big")
+                break
+        if cmap_off is None:
+            return {}
+        n_enc = int.from_bytes(data[cmap_off + 2 : cmap_off + 4], "big")
+        subtables: dict[tuple[int, int], int] = {}
+        for i in range(n_enc):
+            rec = cmap_off + 4 + 8 * i
+            plat = int.from_bytes(data[rec : rec + 2], "big")
+            enc = int.from_bytes(data[rec + 2 : rec + 4], "big")
+            off = int.from_bytes(data[rec + 4 : rec + 8], "big")
+            subtables[(plat, enc)] = cmap_off + off
+        # preference: full-repertoire (3,10) f12, then BMP (3,1)/(0,*) f4
+        order = [(3, 10), (0, 4), (3, 1), (0, 3), (0, 0)]
+        out: dict[int, str] = {}
+        for key in order:
+            if key not in subtables:
+                continue
+            st = subtables[key]
+            fmt = int.from_bytes(data[st : st + 2], "big")
+            if fmt == 12:
+                n_groups = int.from_bytes(data[st + 12 : st + 16], "big")
+                for g in range(n_groups):
+                    base = st + 16 + 12 * g
+                    c0 = int.from_bytes(data[base : base + 4], "big")
+                    c1 = int.from_bytes(data[base + 4 : base + 8], "big")
+                    g0 = int.from_bytes(data[base + 8 : base + 12], "big")
+                    for c in range(c0, min(c1, c0 + 0xFFFF) + 1):
+                        gid = g0 + (c - c0)
+                        if gid and gid not in out:
+                            out[gid] = chr(c)
+            elif fmt == 4:
+                seg2 = int.from_bytes(data[st + 6 : st + 8], "big")
+                segs = seg2 // 2
+                ends = st + 14
+                starts = ends + seg2 + 2
+                deltas = starts + seg2
+                offsets = deltas + seg2
+
+                def u16(p: int) -> int:
+                    return int.from_bytes(data[p : p + 2], "big")
+
+                for s in range(segs):
+                    c0, c1 = u16(starts + 2 * s), u16(ends + 2 * s)
+                    if c0 == 0xFFFF:
+                        continue
+                    delta, roff = u16(deltas + 2 * s), u16(offsets + 2 * s)
+                    for c in range(c0, min(c1, 0xFFFE) + 1):
+                        if roff == 0:
+                            gid = (c + delta) & 0xFFFF
+                        else:
+                            gp = offsets + 2 * s + roff + 2 * (c - c0)
+                            gid = u16(gp)
+                            if gid:
+                                gid = (gid + delta) & 0xFFFF
+                        if gid and gid not in out:
+                            out[gid] = chr(c)
+            if out:
+                return out
+        return out
+    except Exception:
+        return {}
+
+
+def _cid_font_gidmap(doc: "PdfDocument", fobj: dict) -> dict[int, str] | None:
+    """For a Type0 font with no /ToUnicode: dig the embedded TrueType
+    program out of DescendantFonts[0]/FontDescriptor/FontFile2 and invert
+    its cmap. None when there is no usable font program."""
+    desc = doc.resolve(fobj.get("DescendantFonts"))
+    if not isinstance(desc, list) or not desc:
+        return None
+    d0 = doc.resolve(desc[0])
+    if isinstance(d0, tuple):
+        d0 = d0[0]
+    if not isinstance(d0, dict):
+        return None
+    fd = doc.resolve(d0.get("FontDescriptor"))
+    if not isinstance(fd, dict) or "FontFile2" not in fd:
+        return None
+    try:
+        ttf = doc.stream_bytes(fd["FontFile2"])
+    except PdfParseError:
+        return None
+    return _ttf_cmap_gid_to_unicode(ttf) or None
+
+
 # Adobe Glyph List subset: the names that appear in real-world /Differences
 # arrays (AGL is public: github.com/adobe-type-tools/agl-aglfn). 'uniXXXX'
 # and 'uXXXX(XX)' forms are handled by rule in _glyph_to_unicode.
@@ -919,6 +1021,10 @@ def _load_fonts(doc: PdfDocument, resources) -> dict[str, dict]:
             cmap = None
             if "ToUnicode" in fobj:
                 cmap = _parse_tounicode(doc.stream_bytes(fobj["ToUnicode"]))
+            elif two_byte:
+                # no ToUnicode: recover glyph→unicode from the embedded
+                # TrueType cmap (Identity-H: CID == glyph id)
+                cmap = _cid_font_gidmap(doc, fobj)
             # simple-font /Encoding: base codec + /Differences glyph names
             codec, diffs = "latin-1", {}
             enc = doc.resolve(fobj.get("Encoding"))
@@ -946,6 +1052,9 @@ def _load_fonts(doc: PdfDocument, resources) -> dict[str, dict]:
                 "cmap": cmap,
                 "codec": codec,
                 "diffs": diffs,
+                # gid-derived maps are partial by nature: unmapped CIDs
+                # must degrade to (cid:N), never chr(gid)
+                "cid_fallback": two_byte and "ToUnicode" not in fobj,
             }
         except PdfParseError:
             fonts[fname] = {"two_byte": False, "cmap": None, "codec": "latin-1", "diffs": {}}
@@ -959,10 +1068,13 @@ def _decode_shown(b: bytes, font: dict | None) -> str:
         for i in range(0, len(b) - 1, 2):
             code = (b[i] << 8) | b[i + 1]
             if cmap is not None:
-                parts.append(cmap.get(code, chr(code)))
+                hit = cmap.get(code)
+                if hit is None:
+                    hit = f"(cid:{code})" if font.get("cid_fallback") else chr(code)
+                parts.append(hit)
             else:
-                # no ToUnicode: CIDs are opaque glyph ids — emit the
-                # pdfminer-compatible placeholder rather than garbage text
+                # no ToUnicode and no usable font program: CIDs are opaque
+                # glyph ids — emit the pdfminer-compatible placeholder
                 parts.append(f"(cid:{code})")
         return "".join(parts)
     if font and font["cmap"]:

@@ -459,3 +459,56 @@ def test_type0_without_tounicode_emits_cid_placeholders():
     # two 2-byte codes: 0x0041 0x0123
     out = pdf_document_text(_font_encoding_pdf(font, b"\x00\x41\x01\x23"))
     assert out == "(cid:65)(cid:291)"
+
+
+# -- embedded TrueType cmap inversion (CID fonts without ToUnicode) ----------
+
+
+def _fmt4_subtable(char_to_gid):
+    import struct
+
+    codes = sorted(char_to_gid)
+    segs = [(c, c, (char_to_gid[c] - c) & 0xFFFF) for c in codes] + [(0xFFFF, 0xFFFF, 1)]
+    n = len(segs)
+    body = struct.pack(">HHHH", 2 * n, 2, 1, 2 * n - 2)
+    body += b"".join(struct.pack(">H", e) for _s, e, _d in segs) + b"\x00\x00"
+    body += b"".join(struct.pack(">H", s) for s, _e, _d in segs)
+    body += b"".join(struct.pack(">H", d) for _s, _e, d in segs)
+    body += b"\x00\x00" * n  # idRangeOffset all zero
+    return struct.pack(">HHH", 4, 6 + len(body), 0) + body
+
+
+def _wrap_ttf(plat, enc, subtable):
+    import struct
+
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", plat, enc, 12) + subtable
+    hdr = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    hdr += b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+    return hdr + cmap
+
+
+def test_ttf_cmap_format4_inversion():
+    from frappe_data_pipelines_spark.operators.pdfmini import _ttf_cmap_gid_to_unicode
+
+    mapping = {ord("A"): 40, ord("b"): 41, ord("é"): 42}
+    got = _ttf_cmap_gid_to_unicode(_wrap_ttf(3, 1, _fmt4_subtable(mapping)))
+    assert got == {40: "A", 41: "b", 42: "é"}
+
+
+def test_ttf_cmap_format12_inversion():
+    import struct
+
+    from frappe_data_pipelines_spark.operators.pdfmini import _ttf_cmap_gid_to_unicode
+
+    groups = [(0x1F600, 0x1F602, 7)]  # 😀😁😂 -> gids 7,8,9
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    sub += b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    got = _ttf_cmap_gid_to_unicode(_wrap_ttf(3, 10, sub))
+    assert got == {7: "😀", 8: "😁", 9: "😂"}
+
+
+def test_ttf_cmap_garbage_returns_empty():
+    from frappe_data_pipelines_spark.operators.pdfmini import _ttf_cmap_gid_to_unicode
+
+    assert _ttf_cmap_gid_to_unicode(b"not a font") == {}
+    assert _ttf_cmap_gid_to_unicode(b"") == {}

@@ -324,6 +324,8 @@ def main() -> None:
     _write_if_missing("sample_aes128.pdf.txt", AES128_TEXT)
     _write_if_missing("sample_aes256.pdf", make_aes_pdf(AES256_TEXT, "aesv3"))
     _write_if_missing("sample_aes256.pdf.txt", AES256_TEXT)
+    _write_if_missing("sample_cidgid.pdf", make_cidgid_pdf())
+    _write_if_missing("sample_cidgid.pdf.txt", CIDGID_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -416,6 +418,118 @@ def make_encrypted_pdf() -> bytes:
     )
     return bytes(body)
 
+
+
+# -- CID font WITHOUT ToUnicode: glyph ids resolved via embedded TTF cmap ----
+
+CIDGID_LINE1 = "Graph query engine"
+CIDGID_LINE2 = "Σ ok 😀(cid:999)"
+CIDGID_TEXT = CIDGID_LINE1 + "\n" + CIDGID_LINE2
+
+
+def _ttf_cmap_format4(char_to_gid: dict[int, int]) -> bytes:
+    """One segment per char + the required 0xFFFF terminator."""
+    import struct
+
+    codes = sorted(char_to_gid)
+    segs = [(c, c, (char_to_gid[c] - c) & 0xFFFF, 0) for c in codes]
+    segs.append((0xFFFF, 0xFFFF, 1, 0))
+    n = len(segs)
+    k = n.bit_length() - 1
+    search = 2 * (2 ** k)
+    body = struct.pack(">HHHH", 2 * n, search, k, 2 * n - search)
+    body += b"".join(struct.pack(">H", e) for _s, e, _d, _r in segs)
+    body += b"\x00\x00"  # reservedPad
+    body += b"".join(struct.pack(">H", s) for s, _e, _d, _r in segs)
+    body += b"".join(struct.pack(">H", d) for _s, _e, d, _r in segs)
+    body += b"".join(struct.pack(">H", r) for _s, _e, _d, r in segs)
+    return struct.pack(">HHH", 4, 6 + len(body), 0) + body
+
+
+def _ttf_cmap_format12(char_to_gid: dict[int, int]) -> bytes:
+    import struct
+
+    groups = [(c, c, g) for c, g in sorted(char_to_gid.items())]
+    return (
+        struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+        + b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    )
+
+
+def make_ttf(subtables: list[tuple[int, int, bytes]]) -> bytes:
+    """Minimal sfnt wrapper holding just a cmap table (all the text
+    extractor reads; checksums zeroed)."""
+    import struct
+
+    cmap = struct.pack(">HH", 0, len(subtables))
+    off = 4 + 8 * len(subtables)
+    recs = b""
+    for plat, enc, st in subtables:
+        recs += struct.pack(">HHI", plat, enc, off)
+        off += len(st)
+    cmap += recs + b"".join(st for _p, _e, st in subtables)
+    header = struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    header += b"cmap" + struct.pack(">III", 0, 28, len(cmap))
+    return header + cmap
+
+
+def make_cidgid_pdf() -> bytes:
+    """Type0/Identity-H fonts with NO /ToUnicode: text is recoverable only
+    by inverting the embedded TrueType cmap (format 4 for F1, format 12
+    for F2); one deliberately unmapped gid pins the (cid:N) fallback."""
+    f1_chars = sorted(set(CIDGID_LINE1))
+    f1_map = {ord(ch): 5 + i for i, ch in enumerate(f1_chars)}  # non-identity
+    ttf1 = make_ttf([(3, 1, _ttf_cmap_format4(f1_map))])
+
+    f2_chars = ["Σ", " ", "o", "k", "😀"]
+    f2_map = {ord(ch): 2 + i for i, ch in enumerate(f2_chars)}
+    ttf2 = make_ttf([(3, 10, _ttf_cmap_format12(f2_map))])
+
+    def gid_hex(font_map: dict[int, int], text: str) -> bytes:
+        return ("".join(f"{font_map[ord(ch)]:04x}" for ch in text)).encode()
+
+    content = (
+        b"BT /F1 12 Tf <" + gid_hex(f1_map, CIDGID_LINE1) + b"> Tj T* "
+        b"/F2 12 Tf <" + gid_hex(f2_map, "Σ ok 😀") + b"03e7> Tj ET"
+    )
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R/F2 9 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+        b"5 0 obj\n<</Type/Font/Subtype/Type0/BaseFont/FixtureGID1"
+        b"/Encoding/Identity-H/DescendantFonts[6 0 R]>>\nendobj\n",
+        b"6 0 obj\n<</Type/Font/Subtype/CIDFontType2/BaseFont/FixtureGID1"
+        b"/FontDescriptor 7 0 R>>\nendobj\n",
+        b"7 0 obj\n<</Type/FontDescriptor/FontName/FixtureGID1"
+        b"/FontFile2 8 0 R>>\nendobj\n",
+        b"8 0 obj\n<</Length %d/Length1 %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(ttf1), len(ttf1), ttf1),
+        b"9 0 obj\n<</Type/Font/Subtype/Type0/BaseFont/FixtureGID2"
+        b"/Encoding/Identity-H/DescendantFonts[10 0 R]>>\nendobj\n",
+        b"10 0 obj\n<</Type/Font/Subtype/CIDFontType2/BaseFont/FixtureGID2"
+        b"/FontDescriptor 11 0 R>>\nendobj\n",
+        b"11 0 obj\n<</Type/FontDescriptor/FontName/FixtureGID2"
+        b"/FontFile2 12 0 R>>\nendobj\n",
+        b"12 0 obj\n<</Length %d/Length1 %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(ttf2), len(ttf2), ttf2),
+    ]
+    body = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for ob in objs:
+        offsets.append(len(body))
+        body += ob
+    xref_pos = len(body)
+    body += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += (
+        b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(body)
 
 if __name__ == "__main__":
     main()
