@@ -953,3 +953,102 @@ def exact_dup_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document exact repetition via suffix automaton
+# ---------------------------------------------------------------------------
+
+def _sam_longest_repeat(symbols: list) -> int:
+    """Length of the longest subsequence of consecutive ``symbols`` that
+    occurs at least twice (overlaps allowed), via the classic suffix
+    automaton construction (Blumer et al. 1985; the linear-time structure
+    Lee et al. 2022's ExactSubstr deduplication is built on). O(n) states,
+    O(n·Σ) time with dict transitions.
+
+    The answer is max(len(v)) over states whose endpos-class size ≥ 2;
+    endpos sizes propagate up suffix links (clones seed 0, originals 1).
+    """
+    if len(symbols) < 2:
+        return 0
+    # state arrays: length, suffix link, transitions, endpos seed
+    length = [0]
+    link = [-1]
+    trans: list[dict] = [{}]
+    cnt = [0]
+    last = 0
+    for ch in symbols:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        trans.append({})
+        cnt.append(1)
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                trans.append(dict(trans[q]))
+                cnt.append(0)
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # propagate endpos sizes in decreasing-length order
+    order = sorted(range(1, len(length)), key=length.__getitem__, reverse=True)
+    for v in order:
+        if link[v] > 0:
+            cnt[link[v]] += cnt[v]
+    best = 0
+    for v in range(1, len(length)):
+        if cnt[v] >= 2 and length[v] > best:
+            best = length[v]
+    return best
+
+
+def longest_intra_doc_repeat(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document longest repeated token sequence — the exact version of
+    Gopher's dup-n-gram-fraction repetition signals (a document whose
+    longest repeat is huge is boilerplate or a scrape loop).
+
+    Spark-first shape: tokenization stays in the JVM (``tokens_expr``);
+    only the token arrays cross into an Arrow-batched ``mapInPandas``
+    where the suffix automaton runs linear per doc. No shuffle at all —
+    a pure map stage, embarrassingly parallel at any corpus size. Docs
+    with zero tokens are dropped (no sequence → no metric).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "max_repeat_tokens": [
+                        _sam_longest_repeat(list(t)) for t in pdf["toks"]
+                    ],
+                }
+            )
+
+    return base.mapInPandas(run, "doc_id long, max_repeat_tokens long")

@@ -728,3 +728,47 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     inj = docs.select("doc_id", injected.alias("text"))
     return redact_pii(inj, keep_cols=["doc_id"])
 
+
+
+# ---------------------------------------------------------------------------
+# Intra-document exact repetition (suffix automaton)
+# ---------------------------------------------------------------------------
+
+# Oracle: longest repeated token sequence == max LCP over ADJACENT suffixes
+# in sorted order (suffix-array identity) — tractable in SQL because prefix
+# equality is monotone in i, so counting equal prefixes measures the LCP.
+_INTRA_REPEAT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), suf AS (
+      SELECT doc_id, t[g.i:len(t)] AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+      WHERE len(t) >= 1
+    ), ordered AS (
+      SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM suf
+    ), lcp AS (
+      SELECT doc_id,
+             CASE WHEN prev IS NULL THEN 0 ELSE
+               len(list_filter(generate_series(1, least(len(s), len(prev))),
+                               i -> s[1:i] = prev[1:i]))
+             END AS l
+      FROM ordered
+    )
+    SELECT doc_id, CAST(max(l) AS BIGINT) AS max_repeat_tokens
+    FROM lcp GROUP BY doc_id
+"""
+
+
+@register("intra_doc_repeat_len", oracle=_INTRA_REPEAT_SQL, tags=("dedup", "quality", "extension"))
+def intra_doc_repeat_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest repeated token sequence per document via a suffix automaton
+    (operators/dedup.py:longest_intra_doc_repeat) — the exact repetition
+    metric behind Gopher-style boilerplate pruning. Linear per doc, pure
+    map stage; the oracle cross-checks with the suffix-array adjacent-LCP
+    identity, so two independent algorithms must agree on every doc."""
+    from frappe_data_pipelines_spark.operators.dedup import longest_intra_doc_repeat
+
+    docs = load_table(spark, sf_dir, "documents")
+    return longest_intra_doc_repeat(docs)

@@ -362,3 +362,41 @@ def test_winnow_density_and_guarantee(spark):
     n_positions = sum(max(len(t) - 7, 0) for _, t in rows)
     frac = len(fps) / n_positions
     assert 0.02 < frac < 0.15
+
+
+# -- suffix-automaton longest intra-doc repeat -------------------------------
+
+
+def _brute_longest_repeat(sym):
+    n = len(sym)
+    best = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            l = 0
+            while j + l < n and sym[i + l] == sym[j + l]:
+                l += 1
+            best = max(best, l)
+    return best
+
+
+def test_sam_longest_repeat_known_cases():
+    from frappe_data_pipelines_spark.operators.dedup import _sam_longest_repeat
+
+    assert _sam_longest_repeat([]) == 0
+    assert _sam_longest_repeat(["a"]) == 0
+    assert _sam_longest_repeat(["a", "a"]) == 1
+    assert _sam_longest_repeat(list("mississippi")) == 4  # "issi"
+    assert _sam_longest_repeat(["a", "b", "a", "b", "a"]) == 3  # overlap ok
+
+
+def test_sam_vs_bruteforce_random():
+    import random
+
+    from frappe_data_pipelines_spark.operators.dedup import _sam_longest_repeat
+
+    rng = random.Random(42)
+    for trial in range(300):
+        n = rng.randrange(0, 40)
+        sigma = rng.choice([2, 3, 5])
+        sym = [rng.randrange(sigma) for _ in range(n)]
+        assert _sam_longest_repeat(sym) == _brute_longest_repeat(sym), sym
