@@ -58,6 +58,8 @@ HEADLINE = [
     "extract_real_kernels",
     "corpus_segment_dedup",
     "exact_substring_spans",
+    "pii_redaction",
+    "intra_doc_repeat_len",
 ]
 
 

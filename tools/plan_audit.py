@@ -221,6 +221,22 @@ CHECKS: dict[str, list] = {
         ("no_join", lambda p: "Join" not in p),
         ("windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
     ],
+    "pii_redaction": [
+        # regexp scrub is a pure map stage: one scan, zero shuffles, all
+        # expressions inside codegen — nothing leaves the JVM
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_shuffle", lambda p: "Exchange" not in _final_plan(p)),
+        ("no_python", lambda p: "Python" not in p and "ArrowEval" not in p),
+        ("codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
+    ],
+    "intra_doc_repeat_len": [
+        # suffix automaton over per-doc token arrays: one scan feeding one
+        # Arrow-batched map — per-doc work, no shuffle, no join
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_shuffle", lambda p: "Exchange" not in _final_plan(p)),
+        ("no_join", lambda p: "Join" not in p),
+        ("arrow_map_stage", lambda p: "MapInPandas" in p),
+    ],
 }
 
 
