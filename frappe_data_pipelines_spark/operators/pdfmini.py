@@ -1180,10 +1180,13 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
                 "I",
             )
             cs = "" if indexed else str(cs_obj)
-            if bpc != 8 and not (indexed and bpc in (1, 2, 4)):
-                raise PdfParseError(f"unsupported image depth {bpc}")
             filters = doc.resolve(xdict.get("Filter"))
             flist = filters if isinstance(filters, list) else [filters]
+            is_ccitt = any(
+                str(doc.resolve(f)) in ("CCITTFaxDecode", "CCF") for f in flist
+            )
+            if bpc != 8 and not (indexed and bpc in (1, 2, 4)) and not (is_ccitt and bpc == 1):
+                raise PdfParseError(f"unsupported image depth {bpc}")
             if any(str(doc.resolve(f)) in ("DCTDecode", "DCT") for f in flist):
                 from frappe_data_pipelines_spark.operators.jpegmini import (
                     JpegError,
@@ -1197,6 +1200,49 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
                 if (jw, jh) != (width, height):
                     raise PdfParseError("DCTDecode dims disagree with /Width /Height")
                 images.append((jw, jh, 1, rows))
+                continue
+            if is_ccitt:
+                from frappe_data_pipelines_spark.operators.faxmini import (
+                    FaxError,
+                    g3_1d_decode,
+                    g4_decode,
+                )
+
+                parms = doc.resolve(xdict.get("DecodeParms") or xdict.get("DP"))
+                if isinstance(parms, list):
+                    parms = next(
+                        (doc.resolve(p) for p in parms if isinstance(doc.resolve(p), dict)),
+                        {},
+                    )
+                parms = parms if isinstance(parms, dict) else {}
+                k = int(doc.resolve(parms.get("K", 0)) or 0)
+                cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+                nrows = int(doc.resolve(parms.get("Rows", height)) or height)
+                black_is_1 = doc.resolve(parms.get("BlackIs1")) is True
+                try:
+                    if k < 0:
+                        bitrows = g4_decode(xobj[1], cols, nrows)
+                    elif k == 0:
+                        bitrows = g3_1d_decode(xobj[1], cols, nrows)
+                    else:
+                        raise PdfParseError("CCITT 2-D Group 3 (K>0) unsupported")
+                except FaxError as e:
+                    raise PdfParseError(f"CCITTFaxDecode: {e}") from e
+                if (cols, nrows) != (width, height):
+                    raise PdfParseError("CCITT dims disagree with /Width /Height")
+                # sample mapping: fax black -> bit 0 unless BlackIs1; a
+                # /Decode [1 0] inverts once more (producers often pair them)
+                dec_arr = doc.resolve(xdict.get("Decode"))
+                dec_inv = (
+                    isinstance(dec_arr, list)
+                    and len(dec_arr) >= 2
+                    and float(doc.resolve(dec_arr[0])) == 1.0
+                )
+                blk = 255 if (black_is_1 ^ dec_inv) else 0
+                rows = [
+                    bytes(blk if px else 255 - blk for px in r) for r in bitrows
+                ]
+                images.append((cols, nrows, 1, rows))
                 continue
             if indexed:
                 # [/Indexed base hival lookup]: palette indices at 1/2/4/8

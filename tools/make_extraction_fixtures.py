@@ -202,7 +202,9 @@ EXPECTED_TYPE0_TEXT = "こんに\nABC\né世\n\nplain latin page"
 SCANNED_TEXT = "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
 
 
-def _scanned_pdf_from_image(w: int, h: int, samples: bytes, filt: bytes) -> bytes:
+def _scanned_pdf_from_image(
+    w: int, h: int, samples: bytes, filt: bytes, bpc: int = 8, extra: bytes = b""
+) -> bytes:
     content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
     objs = [
         b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
@@ -210,9 +212,9 @@ def _scanned_pdf_from_image(w: int, h: int, samples: bytes, filt: bytes) -> byte
         b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
         b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>\nendobj\n",
         b"4 0 obj\n<</Type/XObject/Subtype/Image/Width %d/Height %d"
-        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/%s"
+        b"/ColorSpace/DeviceGray/BitsPerComponent %d/Filter/%s%s"
         b"/Length %d>>\nstream\n%s\nendstream\nendobj\n"
-        % (w, h, filt, len(samples), samples),
+        % (w, h, bpc, filt, extra, len(samples), samples),
         b"5 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
         % (len(content), content),
     ]
@@ -326,6 +328,8 @@ def main() -> None:
     _write_if_missing("sample_aes256.pdf.txt", AES256_TEXT)
     _write_if_missing("sample_cidgid.pdf", make_cidgid_pdf())
     _write_if_missing("sample_cidgid.pdf.txt", CIDGID_TEXT)
+    _write_if_missing("sample_scanned_g4.pdf", make_scanned_g4_pdf())
+    _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -530,6 +534,19 @@ def make_cidgid_pdf() -> bytes:
         % (len(objs) + 1, xref_pos)
     )
     return bytes(body)
+
+def make_scanned_g4_pdf() -> bytes:
+    """CCITT Group 4 (T.6) scanned page — the compression real B/W scanners
+    emit; 1-bit DeviceGray with /K -1 DecodeParms."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.faxmini import g4_encode
+
+    w, h, rows = _scanned_raster()
+    bitrows = [[1 if b < 128 else 0 for b in r] for r in rows]
+    data = g4_encode(bitrows, w)
+    extra = b"/DecodeParms<</K -1/Columns %d/Rows %d>>" % (w, h)
+    return _scanned_pdf_from_image(w, h, data, b"CCITTFaxDecode", bpc=1, extra=extra)
+
 
 if __name__ == "__main__":
     main()
