@@ -1278,7 +1278,7 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
                     rows.append(bytes(out))
                 images.append((width, height, channels, rows))
                 continue
-            channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+            channels = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}.get(cs)
             if channels is None:
                 raise PdfParseError(f"unsupported image colorspace /{cs}")
             samples = doc.stream_bytes(xobj)
@@ -1286,6 +1286,18 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
             if len(samples) < stride * height:
                 raise PdfParseError("image samples truncated")
             rows = [samples[y * stride : (y + 1) * stride] for y in range(height)]
+            if channels == 4:
+                # naive additive CMYK -> RGB (the uncalibrated inverse PDF
+                # 8.6.4.4 specifies: component = 255 - min(255, x + k))
+                rows = [
+                    bytes(
+                        255 - min(255, r[4 * x + ch] + r[4 * x + 3])
+                        for x in range(width)
+                        for ch in range(3)
+                    )
+                    for r in rows
+                ]
+                channels = 3
             images.append((width, height, channels, rows))
     return images
 

@@ -112,3 +112,39 @@ def test_scanned_g4_pdf_golden():
     with open(os.path.join(FIXTURES, "sample_scanned_g4.pdf.txt")) as f:
         assert text == f.read()
     assert conf == 1.0
+
+
+def test_cmyk_raster_converts_to_rgb():
+    """DeviceCMYK image XObjects convert via the uncalibrated inverse
+    (PDF 8.6.4.4) to RGB rows."""
+    import zlib
+
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_page_images
+
+    # 2x1: pure cyan (C=255) and mid-gray via K=128
+    cmyk = bytes([255, 0, 0, 0, 0, 0, 0, 128])
+    z = zlib.compress(cmyk)
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Type/XObject/Subtype/Image/Width 2/Height 1"
+        b"/ColorSpace/DeviceCMYK/BitsPerComponent 8/Filter/FlateDecode"
+        b"/Length %d>>\nstream\n%s\nendstream\nendobj\n" % (len(z), z),
+        b"5 0 obj\n<</Length 26>>\nstream\nq 2 0 0 1 0 0 cm /Im0 Do Q\nendstream\nendobj\n",
+    ]
+    body = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for o in objs:
+        offs.append(len(body))
+        body += o
+    xp = len(body)
+    body += b"xref\n0 6\n0000000000 65535 f \n"
+    for o in offs:
+        body += b"%010d 00000 n \n" % o
+    body += b"trailer\n<</Size 6/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n" % xp
+
+    (w, h, ch, rows), = pdf_page_images(bytes(body))
+    assert (w, h, ch) == (2, 1, 3)
+    assert list(rows[0]) == [0, 255, 255, 127, 127, 127]
