@@ -1410,3 +1410,81 @@ def lm_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lm_perplexity_buckets(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = f"""
+    WITH tf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ), top AS (
+      SELECT w, c FROM tf ORDER BY c DESC, w ASC LIMIT 1000
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM top
+    ), xy AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / n, 6) AS zipf_intercept
+    FROM s
+"""
+
+
+@register("token_zipf_fit", oracle=_ZIPF_SQL, tags=("text-analysis", "extension"))
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope/intercept
+    of ln(freq) over ln(rank) for the top-1000 terms — the standard sanity
+    statistic for a pre-training mix (natural text ≈ -1 slope; scrape loops
+    and template spam bend it).
+
+    Scale shape: term frequencies are one map-side-combined groupBy; the
+    global ordering problem is bounded by taking top-1000 FIRST
+    (TakeOrderedAndProject heap, no full sort) so the rank window runs
+    over ≤1000 rows. ln terms are round(·,6)-ed then accumulated in exact
+    DECIMAL, so the regression is bit-identical to the oracle under any
+    partitioning."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("w").asc()).limit(1000)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    )
+    d6 = "decimal(18,6)"
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")), 6).cast(d6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).cast(d6).alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n"), 6).alias("zipf_intercept"),
+    )
