@@ -493,30 +493,46 @@ _TRIANGLE_SQL = """
     """
 
 
+def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Undirected k-cosine-NN edge list over the embeddings table. Norms
+    hoisted to one per row (dot/(na*nb) — identical fold arithmetic to
+    cosine_similarity, so 6-dp scores and oracle hashes are unchanged).
+    Brute-force O(n²) construction is the correctness baseline; at 100 TB
+    the edge list comes from the LSH / IVF candidate generators (ann_*)."""
+    from frappe_data_pipelines_spark.functions.vectors import dot_product, vector_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.round(
+            F.try_divide(
+                dot_product(F.col("a.embedding"), F.col("b.embedding")),
+                F.col("a.nrm") * F.col("b.nrm"),
+            ),
+            6,
+        ).alias("s"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    knn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return knn.select(
+        F.least("src", "dst").alias("id_a"), F.greatest("src", "dst").alias("id_b")
+    ).distinct()
+
+
 @register("knn_graph_triangles", oracle=_TRIANGLE_SQL, tags=("graph", "extension"))
 def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-graph analytics: build the undirected k=5 cosine-NN graph
     over the embeddings and count triangles (the standard node-iterator
     3-way self-join on ordered edges, so each triangle counts once).
     Ordering uses the 6-dp-rounded score with a dst tie-break, so the graph
-    is engine-deterministic. Brute-force O(n²) edge construction is the
-    correctness baseline — at 100 TB the edge list comes from the LSH / IVF
-    candidate generators (ann_*), and the triangle join itself stays keyed
-    on vertex ids (shuffle-partitionable, AQE-skew-safe)."""
-    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
-    knn = sims.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
-    edges = knn.select(
-        F.least("src", "dst").alias("id_a"), F.greatest("src", "dst").alias("id_b")
-    ).distinct()
+    is engine-deterministic; the triangle join itself stays keyed on vertex
+    ids (shuffle-partitionable, AQE-skew-safe)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = _knn_edges(spark, sf_dir, k=5)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
@@ -772,3 +788,76 @@ def intra_doc_repeat_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return longest_intra_doc_repeat(docs)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the k-NN similarity graph
+# ---------------------------------------------------------------------------
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Oracle with the fixed-point iterations unrolled as CTEs (the same
+    determinism move as semdedup's unrolled k-means)."""
+    parts = [
+        """sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )""",
+        """knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    )""",
+        """edges AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b FROM knn
+    )""",
+        """directed AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+    )""",
+        "deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY src)",
+        "consts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        # rank mass in exact BIGINT nano-units, mirroring operators/graph.py
+        """r0 AS (
+      SELECT src AS vid,
+             CAST(floor(1000000000.0 / (SELECT n FROM consts)) AS BIGINT) AS r
+      FROM deg
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""c{t} AS (
+      SELECT d.dst AS vid, r{t-1}.r // g.deg AS c
+      FROM directed d JOIN r{t-1} ON d.src = r{t-1}.vid JOIN deg g ON d.src = g.src
+    )"""
+        )
+        parts.append(
+            f"s{t} AS (SELECT vid, CAST(sum(c) AS BIGINT) AS s FROM c{t} GROUP BY vid)"
+        )
+        parts.append(
+            f"""r{t} AS (
+      SELECT r{t-1}.vid,
+             CAST(floor((1.0 - 0.85) * 1000000000.0 / (SELECT n FROM consts)) AS BIGINT)
+             + CAST(floor(0.85 * coalesce(s{t}.s, 0)) AS BIGINT) AS r
+      FROM r{t-1} LEFT JOIN s{t} ON r{t-1}.vid = s{t}.vid
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vid, r AS pagerank_nanos,"
+        f" r / 1000000000.0 AS pagerank FROM r{iters}"
+    )
+
+
+@register("knn_graph_pagerank", oracle=_pagerank_sql(3), tags=("graph", "extension"))
+def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed-point steps, d=0.85) over the undirected k=5
+    cosine-NN graph on the embeddings table — graph-centrality data
+    selection (operators/graph.py:pagerank). Each iteration is one keyed
+    join + one partial-agg groupBy; rank mass rides in exact BIGINT
+    nano-units so Spark and the unrolled-CTE oracle agree bit-for-bit."""
+    from frappe_data_pipelines_spark.operators.graph import pagerank
+
+    return pagerank(_knn_edges(spark, sf_dir, k=5), damping=0.85, iters=3)

@@ -1,0 +1,50 @@
+"""PageRank (operators/graph.py): Spark result vs an independent pure-
+Python mirror of the integer nano-unit algorithm, plus structural
+properties."""
+
+from __future__ import annotations
+
+import math
+
+from frappe_data_pipelines_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edge_list, damping=0.85, iters=3):
+    adj: dict = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    deg = {v: len(nb) for v, nb in adj.items()}
+    base = int((1.0 - damping) * 1000000000.0 / n)
+    r = {v: int(1000000000.0 / n) for v in adj}
+    for _ in range(iters):
+        s = {v: 0 for v in adj}
+        for u, nbs in adj.items():
+            c = r[u] // deg[u]
+            for v in nbs:
+                s[v] += c
+        r = {v: base + math.floor(damping * s[v]) for v in adj}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    edge_list = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6), (6, 4), (7, 1)]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {
+        row["vid"]: row["pagerank_nanos"]
+        for row in pagerank(edges, damping=0.85, iters=3).collect()
+    }
+    assert got == _py_pagerank(edge_list)
+
+
+def test_pagerank_star_center_dominates(spark):
+    edge_list = [(0, i) for i in range(1, 8)]
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    rows = pagerank(edges, iters=3).collect()
+    ranks = {r["vid"]: r["pagerank_nanos"] for r in rows}
+    assert all(ranks[0] > ranks[i] for i in range(1, 8))
+    # mass conservation up to integer-floor loss: one nano per floor per
+    # vertex per iteration, plus the initial split remainder
+    total = sum(ranks.values())
+    assert abs(total - 1_000_000_000) < 8 * 4 * 2 + 1000
