@@ -398,3 +398,18 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, n_clusters=8, n_iter=2, threshold=0.40)
+
+
+@register("ann_sq_search", tags=("O10", "extension", "rows-only"))
+def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization SQ8 (O10 ladder rung between brute force and
+    PQ): per-dimension uniform 8-bit grids — 4x smaller vectors with no
+    codebook training and far lower distortion than PQ. Encode is pure
+    Column expressions (map-only); search decodes to grid midpoints and
+    dots against the query in numpy over Arrow batches. Rows-only (min/max
+    training state is driver-held, bounded by dimensionality); recall vs
+    brute force asserted in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = ann.sq_train(emb)
+    codes = ann.sq_encode(emb, lo, hi)
+    return ann.sq_search(codes, lo, hi, _query_vec(spark, sf_dir), k=10)

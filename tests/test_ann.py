@@ -388,3 +388,24 @@ class TestFilteredANN:
         post = ann.filtered_ann_search(emb, qv, pred, k=3, force="post", overfetch=16).collect()
         assert {r.strategy for r in pre} == {"pre-filter"}
         assert {r.strategy for r in post} == {"post-filter"}
+
+
+def test_sq8_recall_vs_brute(spark, sf_dir):
+    """SQ8's distortion is tiny (8 bits per dim on a per-dim grid), so its
+    top-10 should nearly coincide with the exact top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    exact = [r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()]
+    lo, hi = ann.sq_train(emb)
+    codes = ann.sq_encode(emb, lo, hi)
+    approx = [r["id"] for r in ann.sq_search(codes, lo, hi, qv, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"SQ8 recall {recall}"
+
+
+def test_sq8_codes_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = ann.sq_train(emb)
+    row = ann.sq_encode(emb, lo, hi).first()
+    assert all(0 <= c <= 255 for c in row["codes"])
+    assert len(lo) == len(hi) == len(row["codes"])
