@@ -1488,3 +1488,70 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n"), 6).alias("zipf_intercept"),
     )
+
+
+_VOCAB_GROWTH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> t[i] || ' ' || t[i+1])) AS w
+      FROM toks WHERE len(t) >= 2
+    ), bounds AS (
+      SELECT max(doc_id) + 1 AS m FROM documents
+    ), first_seen AS (
+      SELECT w, min(doc_id) AS fs FROM tok GROUP BY w
+    ), bucketed AS (
+      SELECT least(9, CAST(floor(fs * 10.0 / (SELECT m FROM bounds)) AS BIGINT)) AS decile,
+             count(*) AS new_terms
+      FROM first_seen GROUP BY 1
+    )
+    SELECT decile,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+    FROM bucketed
+"""
+
+
+@register("vocab_growth_curve", oracle=_VOCAB_GROWTH_SQL, tags=("text-analysis", "extension"))
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct BIGRAM count as the corpus is
+    consumed in doc_id order, sampled at deciles (bigrams because the
+    synthetic corpus's unigram vocabulary saturates in the first docs). Computed without any
+    ordered scan: each token's FIRST-occurrence doc (one map-side-combined
+    min-aggregate) is bucketed into deciles, and the running sum over ten
+    bucket rows is the growth curve — the cumulative window touches 10
+    rows, never the corpus. Sub-linear growth is the healthy-corpus
+    signature; near-linear growth flags id-like token spam."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks = tokens_expr(F.col("text"))
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.zip_with(heads, tails, lambda a, b: F.concat(a, F.lit(" "), b))
+    first_seen = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(m))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(F.col("fs") * 10.0 / F.col("m")).cast("bigint"),
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        "decile",
+        F.col("new_terms").cast("bigint").alias("new_terms"),
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
+    )
