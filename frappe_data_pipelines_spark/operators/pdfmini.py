@@ -376,7 +376,10 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
     for f, p in zip(filters, parms):
         f = str(resolve(f))
         if f in ("FlateDecode", "Fl"):
-            data = zlib.decompress(data)
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode: {e}") from e
         elif f in ("ASCIIHexDecode", "AHx"):
             hx = re.sub(rb"[^0-9A-Fa-f>]", b"", data).rstrip(b">")
             if len(hx) % 2:
@@ -1141,7 +1144,7 @@ def _interpret_content(content: bytes, fonts: dict[str, dict]) -> list[str]:
     return lines
 
 
-def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
+def _pdf_page_images_impl(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
     """Embedded raster pages for the A10 scanned-PDF path: walk the page
     tree and decode every /Subtype /Image XObject in each page's resources.
     Returns (width, height, channels, rows) per image in document order —
@@ -1302,7 +1305,7 @@ def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
     return images
 
 
-def pdf_document_text(payload: bytes) -> str:
+def _pdf_document_text_impl(payload: bytes) -> str:
     """Full-graph A3 kernel: document-order pages, CID/Type0 + ToUnicode
     decoding, xref-stream and object-stream files. Pages with text joined by
     a blank line (pdfplumber's page join); raises PdfParseError when the
@@ -1336,3 +1339,25 @@ def pdf_document_text(payload: bytes) -> str:
     if not out:
         raise PdfParseError("no text on any page")
     return "\n\n".join(out)
+
+
+def _total(fn, payload):
+    """Totality boundary: the extraction dispatch's fallback chain keys on
+    PdfParseError, so no other exception type may escape the parser —
+    corrupted files can hit any int()/index/codec path with garbage."""
+    try:
+        return fn(payload)
+    except PdfParseError:
+        raise
+    except RecursionError:
+        raise PdfParseError("object graph recursion limit")
+    except Exception as e:  # noqa: BLE001 — boundary conversion by design
+        raise PdfParseError(f"{type(e).__name__}: {e}") from e
+
+
+def pdf_document_text(payload: bytes) -> str:
+    return _total(_pdf_document_text_impl, payload)
+
+
+def pdf_page_images(payload: bytes) -> list[tuple[int, int, int, list[bytes]]]:
+    return _total(_pdf_page_images_impl, payload)

@@ -512,3 +512,35 @@ def test_ttf_cmap_garbage_returns_empty():
 
     assert _ttf_cmap_gid_to_unicode(b"not a font") == {}
     assert _ttf_cmap_gid_to_unicode(b"") == {}
+
+
+# -- byte-mutation fuzz: the parser's failure contract -----------------------
+
+
+def test_mutated_fixture_bytes_never_crash():
+    """Random byte mutations of real fixture PDFs must either decode to a
+    string or raise PdfParseError — no other exception type escapes (the
+    A2 dispatch relies on this contract for its fallback chain)."""
+    import os
+    import random
+
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_document_text
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    rng = random.Random(20260814)
+    for name in ("sample.pdf", "sample_type0.pdf", "sample_encrypted.pdf",
+                 "sample_aes256.pdf", "sample_cidgid.pdf"):
+        with open(os.path.join(fixtures, name), "rb") as f:
+            base = bytearray(f.read())
+        for _ in range(40):
+            mutated = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            try:
+                out = pdf_document_text(bytes(mutated))
+                assert isinstance(out, str)
+            except PdfParseError:
+                pass
