@@ -504,7 +504,10 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", vector_norm(F.col("embedding")).alias("nrm")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # a small parquet arrives as ONE input partition; the nested-loop
+    # self-join streams it through a single task unless spread first
+    par = spark.sparkContext.defaultParallelism
+    a, b = emb.repartition(par).alias("a"), emb.alias("b")
     sims = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("src"),
         F.col("b.vec_id").alias("dst"),
