@@ -298,12 +298,18 @@ def g4_encode(rows: list, columns: int) -> bytes:
     return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
 
 
-def g3_1d_decode(data: bytes, columns: int, rows: int) -> list[bytearray]:
-    """T.4 one-dimensional (MH) decode, K=0 layout without EOL markers
-    (EncodedByteAlign false); each line is white-first alternating runs."""
+def g3_1d_decode(
+    data: bytes, columns: int, rows: int, byte_align: bool = False
+) -> list[bytearray]:
+    """T.4 one-dimensional (MH) decode, K=0 layout without EOL markers;
+    ``byte_align`` = the PDF /EncodedByteAlign flag (each coded line
+    starts on a byte boundary). Each line is white-first alternating
+    runs."""
     br = _BitReader(data)
     out: list[bytearray] = []
     for _ in range(rows):
+        if byte_align and br.pos % 8:
+            br.skip(8 - br.pos % 8)
         row = bytearray(columns)
         pos, color = 0, 0
         while pos < columns:
@@ -319,9 +325,13 @@ def g3_1d_decode(data: bytes, columns: int, rows: int) -> list[bytearray]:
     return out
 
 
-def g3_1d_encode(rows: list, columns: int) -> bytes:
+def g3_1d_encode(rows: list, columns: int, byte_align: bool = False) -> bytes:
     bits: list[str] = []
     for row in rows:
+        if byte_align:
+            n = sum(len(b) for b in bits)
+            if n % 8:
+                bits.append("0" * (8 - n % 8))
         pos, color = 0, 0
         changes = _changes(row) + [columns]
         for nxt in changes:

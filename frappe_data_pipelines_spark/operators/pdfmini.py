@@ -1222,11 +1222,12 @@ def _pdf_page_images_impl(payload: bytes) -> list[tuple[int, int, int, list[byte
                 cols = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
                 nrows = int(doc.resolve(parms.get("Rows", height)) or height)
                 black_is_1 = doc.resolve(parms.get("BlackIs1")) is True
+                aligned = doc.resolve(parms.get("EncodedByteAlign")) is True
                 try:
                     if k < 0:
                         bitrows = g4_decode(xobj[1], cols, nrows)
                     elif k == 0:
-                        bitrows = g3_1d_decode(xobj[1], cols, nrows)
+                        bitrows = g3_1d_decode(xobj[1], cols, nrows, byte_align=aligned)
                     else:
                         raise PdfParseError("CCITT 2-D Group 3 (K>0) unsupported")
                 except FaxError as e:

@@ -148,3 +148,12 @@ def test_cmyk_raster_converts_to_rgb():
     (w, h, ch, rows), = pdf_page_images(bytes(body))
     assert (w, h, ch) == (2, 1, 3)
     assert list(rows[0]) == [0, 255, 255, 127, 127, 127]
+
+
+@settings(max_examples=30, deadline=None)
+@given(_row)
+def test_g3_1d_byte_aligned_roundtrip(case):
+    """/EncodedByteAlign: each coded line starts on a byte boundary."""
+    w, rows = case
+    enc = g3_1d_encode(rows, w, byte_align=True)
+    assert [list(r) for r in g3_1d_decode(enc, w, len(rows), byte_align=True)] == rows
