@@ -412,3 +412,62 @@ def redact_pii(
     ).alias("pii_total")
     cols = keep_cols if keep_cols is not None else df.columns
     return df.select(*cols, red.alias("redacted"), *counts, total)
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "sample:v1:",
+) -> DataFrame:
+    """Per-stratum mixture rebalance to a UNIFORM target by downsampling
+    only (the Pile/Dolma-style mixing step): every stratum is sampled at
+    rate = min_stratum_count / its_count, so expected post-sample counts
+    are equal across strata and the smallest stratum keeps everything.
+
+    Fully distributed — no driver collect: stratum counts are one
+    partial-agg groupBy; the 20-odd (stratum, threshold) rows broadcast
+    back onto the corpus; the survivor count reuses the
+    ``hash_bernoulli_sample`` draw (md5 prefix < rate threshold), so the
+    realized sample is deterministic, re-runnable, and engine-portable.
+
+    Returns (stratum, n_docs, rate, sampled_docs).
+    """
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "stratum",
+        "n_docs",
+        (F.col("min_n").cast("double") / F.col("n_docs")).alias("rate"),
+    )
+    # rate_threshold_hex as a Column expression (same semantics incl. the
+    # 'g' sentinel for rate >= 1 — see rate_threshold_hex docstring)
+    thresh = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        )
+    )
+    rates = rates.withColumn("thresh", thresh)
+    u = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")), 1, 8
+    )
+    drawn = df.select(F.col(strata_col).alias("stratum"), u.alias("u"))
+    survivors = (
+        drawn.join(F.broadcast(rates.select("stratum", "thresh")), "stratum")
+        .where(F.col("u") < F.col("thresh"))
+        .groupBy("stratum")
+        .agg(F.count("*").cast("bigint").alias("sampled_docs"))
+    )
+    return (
+        rates.join(survivors, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("sampled_docs", F.lit(0)).cast("bigint").alias("sampled_docs"),
+        )
+    )

@@ -864,3 +864,50 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frappe_data_pipelines_spark.operators.graph import pagerank
 
     return pagerank(_knn_edges(spark, sf_dir, k=5), damping=0.85, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture rebalance (uniform target, downsample-only)
+# ---------------------------------------------------------------------------
+
+_MIXTURE_SQL = """
+    WITH counts AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), rates AS (
+      SELECT stratum, n_docs,
+             CAST((SELECT min(n_docs) FROM counts) AS DOUBLE) / n_docs AS rate
+      FROM counts
+    ), th AS (
+      SELECT stratum, n_docs, rate,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+             END AS thresh
+      FROM rates
+    ), drawn AS (
+      SELECT d.source AS stratum,
+             substring(md5('sample:v1:' || d.doc_id), 1, 8) AS u
+      FROM documents d
+    ), survivors AS (
+      SELECT drawn.stratum, CAST(count(*) AS BIGINT) AS sampled_docs
+      FROM drawn JOIN th ON drawn.stratum = th.stratum
+      WHERE drawn.u < th.thresh
+      GROUP BY drawn.stratum
+    )
+    SELECT th.stratum, th.n_docs, round(th.rate, 6) AS rate,
+           CAST(coalesce(s.sampled_docs, 0) AS BIGINT) AS sampled_docs
+    FROM th LEFT JOIN survivors s ON th.stratum = s.stratum
+"""
+
+
+@register("mixture_rebalance", oracle=_MIXTURE_SQL, tags=("quality", "sampling", "extension"))
+def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target corpus mixing (operators/quality.py:mixture_rebalance):
+    per-source sampling rates that equalize expected counts across sources,
+    realized by the deterministic md5-threshold draw — re-runnable and
+    engine-portable, no RNG state, no count pass per row. The standard
+    pre-training mixture step when one crawl dominates."""
+    from frappe_data_pipelines_spark.operators.quality import mixture_rebalance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rebalance(docs)
