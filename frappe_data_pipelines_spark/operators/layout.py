@@ -89,3 +89,69 @@ def write_range_clustered(
             *cluster_cols
         )
     out.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom index: data skipping on NON-clustered columns
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(value, m_bits: int, k_hashes: int) -> list[int]:
+    """k deterministic bit positions for a value (md5 with salt counters —
+    engine-portable, no RNG)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:12], 16) % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def build_bloom_index(
+    spark,
+    table_path: str,
+    column: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> dict[str, bytes]:
+    """Per-FILE Bloom filters over ``column`` (the Delta bloom-index move):
+    clustering prunes the sort key, blooms prune point lookups on every
+    OTHER column. Build is one distributed pass — each file's distinct
+    values hash into a bitmap inside ``applyInPandas`` on the file group,
+    and only (file, m/8-byte bitmap) rows come back; lookup is driver-side
+    bit tests, touching no data.
+
+    Returns {file_path: bloom_bytes}. Never false-negative by
+    construction; false-positive rate set by m_bits/k_hashes vs per-file
+    cardinality."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_path).select(
+        F.col(column).alias("v"), F.input_file_name().alias("f")
+    )
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = bytearray(m_bits // 8)
+        for v in pdf["v"].unique():
+            for p in _bloom_positions(v, m_bits, k_hashes):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame({"f": [pdf["f"].iloc[0]], "bloom": [bytes(bits)]})
+
+    rows = (
+        df.groupBy("f")
+        .applyInPandas(per_file, "f string, bloom binary")
+        .collect()
+    )
+    return {r["f"]: bytes(r["bloom"]) for r in rows}
+
+
+def bloom_candidate_files(
+    index: dict[str, bytes], value, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> list[str]:
+    """Files that MAY contain ``value`` (bit-test only — no data read)."""
+    pos = _bloom_positions(value, m_bits, k_hashes)
+    return sorted(
+        f
+        for f, bits in index.items()
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+    )

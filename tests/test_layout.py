@@ -91,3 +91,31 @@ def test_zorder_locality_prunes_both_dimensions(spark, tmp_path):
 def test_zorder_bit_budget_guard():
     with pytest.raises(ValueError, match="64-bit"):
         zorder_key_expr([(F.lit(0), 0, 1)] * 5, bits=16)
+
+
+def test_bloom_index_skips_files_without_false_negatives(spark, tmp_path):
+    from frappe_data_pipelines_spark.operators.layout import (
+        bloom_candidate_files,
+        build_bloom_index,
+    )
+
+    # user_id ranges are contiguous per file (clustered), so each file
+    # holds ~1/8 of the key space — blooms must reflect exactly that
+    df = spark.range(0, 16000).select(
+        (F.col("id") % 800).alias("user_id"), F.col("id").alias("seq")
+    )
+    path = str(tmp_path / "bloomed")
+    write_range_clustered(df, path, ["user_id"], n_files=8)
+    index = build_bloom_index(spark, path, "user_id")
+    assert len(index) == 8
+
+    full = spark.read.parquet(path).select("user_id", F.input_file_name().alias("f"))
+    for probe in (0, 399, 799):
+        truth = {r["f"] for r in full.where(F.col("user_id") == probe).select("f").distinct().collect()}
+        cand = set(bloom_candidate_files(index, probe))
+        assert truth <= cand, "false negative!"
+        assert len(cand) <= 3, f"bloom skipped nothing: {len(cand)}"
+    # absent values: with 5 hashes over 64Kbit vs ~100 distinct/file,
+    # false positives are vanishingly rare
+    misses = sum(len(bloom_candidate_files(index, v)) for v in range(10_000, 10_050))
+    assert misses == 0, misses
