@@ -135,3 +135,79 @@ def documents_as_files(
             ]
         ),
     )
+
+# ---------------------------------------------------------------------------
+# HTML pages (operators/htmlmini.py workload)
+# ---------------------------------------------------------------------------
+
+_HTML_PAGE = """<!DOCTYPE html>
+<html><head><title>Doc {i}</title>
+<style>p {{ margin: 0; }}</style>
+<script>var x = 1 < 2;</script>
+</head>
+<body>
+<header><h1>Corpus viewer</h1></header>
+<nav><ul>
+<li><a href="/doc_{t1}.html">doc {t1}</a></li>
+<li><a href="/doc_{t2}.html">doc {t2}</a></li>
+<li><a href="/doc_{t3}.html">doc {t3}</a></li>
+</ul></nav>
+<article><p>{body}</p></article>
+<aside><p>Subscribe to our <a href="/newsletter">newsletter</a> today</p></aside>
+<footer><p>&#169; corpus {i}</p></footer>
+</body></html>
+"""
+
+
+def link_targets(doc_id: int, n_chars: int, n_docs: int) -> tuple[int, int, int]:
+    """The three deterministic outlinks of a page: stride derived from the
+    document's length so in-degrees vary; reproducible in plain SQL
+    ((doc_id + k*(1 + n_chars % 7)) % n_docs for k=1..3)."""
+    stride = 1 + n_chars % 7
+    return tuple((doc_id + k * stride) % n_docs for k in (1, 2, 3))
+
+
+def synth_html(doc_id: int, text: str, n_chars: int, n_docs: int) -> str:
+    """Wrap one document's text as a realistic web page: title/style/script
+    head, header + nav + aside + footer chrome, the document body as the
+    single <article> paragraph. ``extract_main`` must return ``text``
+    exactly; the chrome's visible character count is a closed-form function
+    of (doc_id, outlink ids) so the oracle can verify the removal
+    accounting, not just the kept text."""
+    t1, t2, t3 = link_targets(doc_id, n_chars, n_docs)
+    return _HTML_PAGE.format(i=doc_id, t1=t1, t2=t2, t3=t3, body=escape(text))
+
+
+def documents_as_html(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """documents → (doc_id, html STRING). The corpus size (for the modular
+    outlink targets) rides along via a broadcast single-row cross join —
+    no driver collect, the plan stays fully declarative."""
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ).crossJoin(F.broadcast(n))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            html = [
+                synth_html(int(i), t or "", int(c), int(n))
+                for i, t, c, n in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"], pdf["n_docs"]
+                )
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": html})
+
+    return narrow.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("html", T.StringType()),
+            ]
+        ),
+    )

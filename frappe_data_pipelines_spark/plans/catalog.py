@@ -72,6 +72,7 @@ def _load_all() -> None:
         textqueries,
         tpch_extra,
         vectorqueries,
+        webqueries,
     )
 
     _loaded = True

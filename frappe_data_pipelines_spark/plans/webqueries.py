@@ -1,0 +1,154 @@
+"""Web-corpus queries: HTML boilerplate removal + link graph.
+
+Beyond the reference (its dispatch stops at pdf/txt/docx/md/images —
+``services/text_extraction.py:13-27``): a web-scale training pipeline opens
+with main-content extraction over crawled HTML (C4 §2.1, CCNet, RefinedWeb).
+``operators/htmlmini.py`` implements the extractor; ``operators/docgen.py``
+wraps every document in realistic page chrome so the extractor gets a
+corpus-scale workload whose correct output is a closed-form function of the
+raw tables — hence fully DuckDB-oracled, like the PDF/DOCX round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.plans.catalog import register
+from frappe_data_pipelines_spark.sources.tables import load_table
+
+# Closed-form chrome accounting for docgen's synthetic page: h1 (13) + three
+# nav links ("doc " + id) + aside (33) + footer ("© corpus " + id) = 67 fixed
+# chars + the digit counts of the page id and its three outlink targets.
+_MAIN_SQL = """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id,
+           text AS main_text,
+           CAST(1 AS BIGINT) AS n_content_blocks,
+           CAST(length(text) AS BIGINT) AS content_chars,
+           CAST(67 + length(CAST(doc_id AS VARCHAR))
+                  + length(CAST((doc_id + 1 * (1 + n_chars % 7)) % n_docs AS VARCHAR))
+                  + length(CAST((doc_id + 2 * (1 + n_chars % 7)) % n_docs AS VARCHAR))
+                  + length(CAST((doc_id + 3 * (1 + n_chars % 7)) % n_docs AS VARCHAR))
+                AS BIGINT) AS boiler_chars
+    FROM documents, n
+"""
+
+
+@register("html_extract_main", oracle=_MAIN_SQL, tags=("web", "extraction", "bench"))
+def html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal at corpus scale: every document wrapped as a web
+    page (head/script/style + header/nav/aside/footer chrome), then the
+    block classifier must return exactly the original text and account for
+    every removed chrome character. One Arrow pass, no shuffle — the plan
+    is scan → mapInPandas → mapInPandas, embarrassingly parallel."""
+    from frappe_data_pipelines_spark.operators.docgen import documents_as_html
+    from frappe_data_pipelines_spark.operators.htmlmini import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    return html_extract(documents_as_html(docs), html_col="html").select(
+        "doc_id", "main_text", "n_content_blocks", "content_chars", "boiler_chars"
+    )
+
+
+_LINK_SQL = """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    e AS (
+      SELECT (doc_id + k * (1 + n_chars % 7)) % n_docs AS dst
+      FROM documents, n, (VALUES (1), (2), (3)) AS ks(k)
+    )
+    SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS in_degree
+    FROM e GROUP BY dst
+"""
+
+
+@register("html_link_graph", oracle=_LINK_SQL, tags=("web", "graph"))
+def html_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph construction from extracted <a href>: parse pages, pull
+    internal links, aggregate in-degree per target page. The only shuffle is
+    the final groupBy on the link target — uniform by construction of the
+    synthetic graph; at 100 TB the same plan holds because href extraction
+    is map-side and in-degree is a partial-aggregated count."""
+    from frappe_data_pipelines_spark.operators.docgen import documents_as_html
+    from frappe_data_pipelines_spark.operators.htmlmini import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = html_extract(documents_as_html(docs), html_col="html")
+    edges = (
+        pages.select(F.explode("links").alias("href"))
+        .filter(F.col("href").rlike(r"^/doc_\d+\.html$"))
+        .select(F.regexp_extract("href", r"/doc_(\d+)\.html", 1).cast("long").alias("doc_id"))
+    )
+    return edges.groupBy("doc_id").agg(F.count("*").cast("long").alias("in_degree"))
+
+
+# ---------------------------------------------------------------------------
+# Hand-written messy fixtures: no <article>/<main> — the length and
+# link-density rules do all the work (golden main text pinned in the oracle).
+# ---------------------------------------------------------------------------
+
+FIXTURE_PAGES = {
+    "blog": (
+        '<html><body>\n'
+        '<div id="top"><a href="/">Home</a> | <a href="/about">About</a> | '
+        '<a href="/contact">Contact</a></div>\n'
+        '<div class="post">\n'
+        "<h2>Performance notes for the quarterly report</h2>\n"
+        "<div>Partition pruning cuts the scan cost before execution begins, "
+        "and broadcast joins avoid the shuffle entirely.</div>\n"
+        "<div>Skewed keys need salting before the aggregation or one task "
+        "drags the whole stage.</div>\n"
+        '</div>\n'
+        '<div class="share">Share: <a href="#">tw</a> <a href="#">fb</a></div>\n'
+        '<div class="foot">Copyright 2026 Example</div>\n'
+        "</body></html>"
+    ),
+    "portal": (
+        "<html><body>\n<ul>\n"
+        '<li><a href="/a.html">alpha section of the portal</a></li>\n'
+        '<li><a href="/b.html">bravo section of the portal</a></li>\n'
+        "</ul>\n"
+        "<div>The portal also hosts a long-form engineering digest, and the "
+        '<a href="/d.html">digest</a> index is refreshed weekly.</div>\n'
+        "</body></html>"
+    ),
+    "broken": (
+        "<div>Broken &amp; unclosed <b>markup still parses into a readable "
+        "block<br>with a second line after the break\n"
+        '<div class="menu"><a href="/x">x</a><a href="/y">y</a></div>'
+    ),
+}
+
+_FIXTURE_SQL = """
+    SELECT * FROM (VALUES
+      ('blog',
+       'Performance notes for the quarterly report' || chr(10) ||
+       'Partition pruning cuts the scan cost before execution begins, and broadcast joins avoid the shuffle entirely.' || chr(10) ||
+       'Skewed keys need salting before the aggregation or one task drags the whole stage.',
+       CAST(3 AS BIGINT)),
+      ('portal',
+       'The portal also hosts a long-form engineering digest, and the digest index is refreshed weekly.',
+       CAST(1 AS BIGINT)),
+      ('broken',
+       'Broken & unclosed markup still parses into a readable block' || chr(10) ||
+       'with a second line after the break',
+       CAST(1 AS BIGINT))
+    ) AS t(page, main_text, n_content_blocks)
+"""
+
+
+@register("html_fixture_boilerplate", oracle=_FIXTURE_SQL, tags=("web", "extraction"))
+def html_fixture_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extractor against adversarial hand-written pages — nav/share/
+    footer chrome as plain <div>s, a link farm whose items clear the length
+    bar but fail link density, malformed unclosed markup with entities and
+    <br>. Golden main text pinned as a VALUES oracle (the same move as
+    a3_a5_real_kernel_decode)."""
+    from frappe_data_pipelines_spark.operators.htmlmini import html_extract
+
+    pages = spark.createDataFrame(
+        [(k, v) for k, v in sorted(FIXTURE_PAGES.items())], "page string, html string"
+    )
+    return html_extract(pages, html_col="html", id_col="page").select(
+        "page", "main_text", "n_content_blocks"
+    )

@@ -1,0 +1,146 @@
+"""HTML block segmentation + boilerplate classifier (operators/htmlmini.py).
+
+Covers the parser's tolerance contract (malformed markup, entities, <br>,
+stray close tags), each classifier rule at its boundary, link extraction,
+and the synthetic-page round trip the html_extract_main oracle relies on.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frappe_data_pipelines_spark.operators.docgen import (
+    link_targets,
+    synth_html,
+)
+from frappe_data_pipelines_spark.operators.htmlmini import (
+    MIN_CONTENT_CHARS,
+    extract_links,
+    extract_main,
+    html_extract,
+    is_content_block,
+    parse_blocks,
+)
+
+LONG = "a sufficiently long sentence that clears the content length bar"
+
+
+def blocks_text(html):
+    return [b["text"] for b in parse_blocks(html)]
+
+
+class TestParser:
+    def test_script_style_head_dropped(self):
+        html = (
+            "<head><title>t</title></head><style>p{}</style>"
+            "<script>if (1 < 2) {}</script><p>kept body text</p>"
+        )
+        assert blocks_text(html) == ["kept body text"]
+
+    def test_entities_resolved(self):
+        assert blocks_text("<p>a &amp; b &lt;c&gt; &#169;</p>") == ["a & b <c> ©"]
+
+    def test_br_becomes_newline_and_whitespace_collapses(self):
+        html = "<p>first   line<br>second\t line</p>"
+        assert blocks_text(html) == ["first line\nsecond line"]
+
+    def test_nested_blocks_split(self):
+        html = "<div>outer start<p>inner</p></div>"
+        assert blocks_text(html) == ["outer start", "inner"]
+
+    def test_unclosed_and_stray_tags_do_not_raise(self):
+        html = "</div></article><div>text<b>bold"
+        assert blocks_text(html) == ["textbold"]
+
+    def test_link_chars_counted(self):
+        (b,) = parse_blocks('<p>pre <a href="/x">link text</a> post</p>')
+        assert b["chars"] == len("pre link text post")
+        assert b["link_chars"] == len("link text")
+
+    def test_whitespace_only_blocks_skipped(self):
+        assert parse_blocks("<div>\n   \n</div><p>x y</p>") == [
+            {
+                "tag": "p", "text": "x y", "chars": 3, "link_chars": 0,
+                "boiler": False, "content": False,
+            }
+        ]
+
+
+class TestClassifier:
+    def test_boiler_container_dropped_even_if_long(self):
+        (b,) = parse_blocks(f"<nav><p>{LONG}</p></nav>")
+        assert b["boiler"] and not is_content_block(b)
+
+    def test_content_container_kept_even_if_short(self):
+        (b,) = parse_blocks("<article><p>hi</p></article>")
+        assert b["content"] and is_content_block(b)
+
+    def test_length_boundary(self):
+        short = "x" * (MIN_CONTENT_CHARS - 1)
+        exact = "x" * MIN_CONTENT_CHARS
+        (b1,) = parse_blocks(f"<p>{short}</p>")
+        (b2,) = parse_blocks(f"<p>{exact}</p>")
+        assert not is_content_block(b1)
+        assert is_content_block(b2)
+
+    def test_link_density_boundary(self):
+        # 60 chars total, 20 inside <a> → exactly 1/3: kept; 21 → dropped
+        kept = f'<p>{"x" * 40}<a href="/">{"y" * 20}</a></p>'
+        dropped = f'<p>{"x" * 39}<a href="/">{"y" * 21}</a></p>'
+        assert is_content_block(parse_blocks(kept)[0])
+        assert not is_content_block(parse_blocks(dropped)[0])
+
+    def test_nav_flag_clears_after_close(self):
+        blocks = parse_blocks(f"<nav><li>menu item</li></nav><p>{LONG}</p>")
+        assert [b["boiler"] for b in blocks] == [True, False]
+
+
+class TestLinks:
+    def test_links_in_order_with_duplicates(self):
+        html = '<a href="/a">1</a><a href="/b">2</a><a href="/a">3</a><a>no href</a>'
+        assert extract_links(html) == ["/a", "/b", "/a"]
+
+
+class TestSyntheticRoundTrip:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(0, 499),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\r\x0b\x0c  \x85  "
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+    )
+    def test_extract_main_round_trips_any_text(self, doc_id, text):
+        # the page embeds escaped text; extraction must return it after
+        # HTML whitespace collapse (the oracle corpus is pre-collapsed, so
+        # there it is the identity)
+        collapsed = "\n".join(
+            " ".join(line.split()) for line in text.split("\n")
+        ).strip("\n")
+        html = synth_html(doc_id, text, len(text), 500)
+        got = extract_main(html)["main_text"]
+        assert got == collapsed
+
+    def test_chrome_accounting_closed_form(self):
+        doc_id, text, n = 123, "some body words here now ok", 500
+        t1, t2, t3 = link_targets(doc_id, len(text), n)
+        res = extract_main(synth_html(doc_id, text, len(text), n))
+        expect = 67 + sum(len(str(x)) for x in (doc_id, t1, t2, t3))
+        assert res["boiler_chars"] == expect
+        assert res["content_chars"] == len(text)
+        assert res["n_content_blocks"] == 1
+
+
+def test_html_extract_string_keys(spark):
+    df = spark.createDataFrame(
+        [("p1", f"<p>{LONG}</p>"), ("p2", "<nav><li>menu</li></nav>")],
+        "page string, html string",
+    )
+    rows = {r["page"]: r for r in html_extract(df, id_col="page").collect()}
+    assert rows["p1"]["main_text"] == LONG
+    assert rows["p2"]["main_text"] == ""
+    assert rows["p2"]["boiler_chars"] == len("menu")
