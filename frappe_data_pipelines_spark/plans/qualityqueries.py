@@ -911,3 +911,86 @@ def mixture_rebalance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_rebalance(docs)
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier (operators/classifier.py) — the trainable
+# quality-filter bootstrap (CCNet §4.3 / GPT-3 appendix A), train + score
+# both in plain aggregates so the whole model fits in one SQL oracle.
+# ---------------------------------------------------------------------------
+
+_NB_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_NB_SCORES_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS pos, unnest({_NB_TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT term,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c0
+      FROM toks GROUP BY term HAVING count(*) >= 2
+    ), totals AS (
+      SELECT CAST(sum(c1) AS DOUBLE) AS n1_tok, CAST(sum(c0) AS DOUBLE) AS n0_tok,
+             CAST(count(*) AS DOUBLE) AS vocab
+      FROM counts
+    ), w AS (
+      SELECT term,
+             CAST(round(ln((c1 + 0.5) / (n1_tok + 0.5 * vocab))
+                      - ln((c0 + 0.5) / (n0_tok + 0.5 * vocab)), 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM counts, totals
+    ), prior AS (
+      SELECT CAST(round(ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                         / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)), 6)
+                  AS DECIMAL(28,6)) AS p
+      FROM documents
+    ), sums AS (
+      SELECT doc_id, sum(w.w) AS sw FROM toks JOIN w USING (term) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(p + COALESCE(sw, 0) AS DOUBLE) AS nb_llr,
+           (p + COALESCE(sw, 0)) >= 0 AS pred,
+           d.lang = 'en' AS is_en
+    FROM documents d CROSS JOIN prior LEFT JOIN sums USING (doc_id)
+"""
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frappe_data_pipelines_spark.operators.classifier import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights, prior = nb_train(docs, label=F.col("lang") == "en", min_count=2)
+    return nb_score(docs, weights, prior).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_en")), "doc_id"
+    )
+
+
+@register("nb_quality_classifier", oracle=_NB_SCORES_SQL, tags=("quality", "classifier", "extension"))
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB trained on the corpus (reference class: lang='en')
+    and scored back over every document — per-doc log-likelihood ratio and
+    verdict, bit-identical to the SQL restatement via the exact-decimal
+    weight trick. On this synthetic corpus token rates are homogeneous
+    across languages, so learned weights hover near zero — the unit tests
+    (tests/test_classifier.py) prove real separation on a corpus that has
+    signal; THIS query proves distributed train+score parity at scale."""
+    return _nb_scored(spark, sf_dir).select("doc_id", "nb_llr", "pred", "is_en")
+
+
+@register(
+    "nb_quality_confusion",
+    oracle=f"""
+    WITH scored AS ({_NB_SCORES_SQL})
+    SELECT pred, is_en, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY pred, is_en
+    """,
+    tags=("quality", "classifier", "extension"),
+)
+def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB verdict vs the true reference class — the
+    accuracy report a filtering run ships with its corpus."""
+    return (
+        _nb_scored(spark, sf_dir)
+        .groupBy("pred", "is_en")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
