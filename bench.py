@@ -60,6 +60,8 @@ HEADLINE = [
     "exact_substring_spans",
     "pii_redaction",
     "intra_doc_repeat_len",
+    "html_extract_main",
+    "nb_quality_classifier",
 ]
 
 

@@ -46,6 +46,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this container
     from delta.tables import DeltaTable  # noqa: F401
@@ -55,6 +56,54 @@ except Exception:  # noqa: BLE001
     HAS_DELTA = False
 
 _BUCKET = "__bucket"
+
+
+def _pad_to(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+    """Project ``df`` onto ``fields`` in order, adding typed NULL columns
+    for fields the frame lacks — how old rows acquire a newly evolved
+    column (and how a canonical column order survives parquet's
+    mergeSchema, whose union order follows file order)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
+def _evolve_fields(
+    table: list[T.StructField] | None,
+    source: list[T.StructField],
+    schema_mode: str,
+    where: str,
+) -> list[T.StructField]:
+    """Delta-style schema resolution: same-name fields must agree on type
+    (no implicit widening); ``strict`` rejects any column-set change;
+    ``merge`` appends the source's new columns after the table's and lets
+    missing source columns fill with NULL."""
+    if table is None:
+        return list(source)
+    by_name = {f.name: f for f in table}
+    conflicts = [
+        f.name for f in source
+        if f.name in by_name and f.dataType != by_name[f.name].dataType
+    ]
+    if conflicts:
+        raise ValueError(
+            f"{where}: column type conflict on {conflicts} "
+            "(schema evolution never rewrites a column's type)"
+        )
+    new = [f for f in source if f.name not in by_name]
+    missing = [f.name for f in table if f.name not in {s.name for s in source}]
+    if schema_mode == "strict" and (new or missing):
+        raise ValueError(
+            f"{where}: source schema differs from table "
+            f"(new: {[f.name for f in new]}, missing: {missing}); "
+            "pass schema_mode='merge' to evolve"
+        )
+    return list(table) + new
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -133,6 +182,19 @@ class MergeTable:
                     txns[t["app_id"]] = t["batch_id"]
         return state, txns, base_version
 
+    def _schema_at(self, version: int | None = None) -> list[T.StructField] | None:
+        """Canonical column list: the latest commit at-or-before ``version``
+        that recorded one (every evolving merge does). ``None`` on tables
+        whose log predates schema tracking — those read with parquet's
+        natural schema, exactly as before."""
+        for v in reversed(self._versions()):
+            if version is not None and v > version:
+                continue
+            js = self._entry(v).get("schema")
+            if js is not None:
+                return [T.StructField.fromJson(j) for j in js]
+        return None
+
     def _commit(self, version: int, entry: dict) -> None:
         """O_EXCL publish — the atomicity point of the whole merge."""
         final = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -156,6 +218,7 @@ class MergeTable:
         batch_id: int | None = None,
         max_retries: int = 3,
         on_duplicate: str = "error",
+        schema_mode: str = "strict",
     ) -> bool:
         """MERGE: matched keys update (last-writer-wins), unmatched insert.
 
@@ -167,9 +230,20 @@ class MergeTable:
         error — the anti-join would otherwise insert BOTH, leaving
         duplicate-keyed rows), ``"any"`` keeps one arbitrary-but-
         deterministic row per key via ``dropDuplicates``.
+
+        ``schema_mode``: ``"strict"`` (default) rejects a source whose
+        column set differs from the table's; ``"merge"`` evolves the table
+        Delta-style — new source columns append (existing rows read NULL
+        for them, no data rewrite outside the touched buckets), missing
+        source columns fill with NULL, and a same-name type conflict always
+        raises. The canonical post-merge schema is recorded in the commit,
+        so readers keep a deterministic column order across bucket files
+        written in different schema epochs.
         """
         if on_duplicate not in ("error", "any"):
             raise ValueError("on_duplicate must be 'error' or 'any'")
+        if schema_mode not in ("strict", "merge"):
+            raise ValueError("schema_mode must be 'strict' or 'merge'")
         spark = new_rows.sparkSession
         if on_duplicate == "any":
             new_rows = new_rows.dropDuplicates(self.key_cols)
@@ -201,11 +275,27 @@ class MergeTable:
                 )
             touched = sorted(r[_BUCKET] for r in stats)
             old_dirs = [d for b in touched for d in state.get(b, [])]
+            # resolve the post-merge schema against the snapshot's canonical
+            # one (falling back to a footer read for pre-tracking tables)
+            src_fields = [f for f in new_rows.schema.fields if f.name != _BUCKET]
+            table_fields = self._schema_at(base_v)
+            if table_fields is None:
+                any_dirs = [d for ds in state.values() for d in ds]
+                if any_dirs:
+                    table_fields = [
+                        f
+                        for f in spark.read.option("mergeSchema", "true")
+                        .parquet(*[os.path.join(self.files_dir, d) for d in any_dirs])
+                        .schema.fields
+                        if f.name != _BUCKET
+                    ]
+            out_fields = _evolve_fields(
+                table_fields, src_fields, schema_mode, f"merge into {self.path}"
+            )
             if old_dirs:
-                existing = spark.read.parquet(
+                existing = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.files_dir, d) for d in old_dirs]
                 )
-                cols = existing.columns
                 keys = staged.select(*self.key_cols).distinct()
                 # eqNullSafe: a NULL key must match itself (plain = would
                 # keep the old null-keyed row and duplicate it)
@@ -213,13 +303,16 @@ class MergeTable:
                 for k in self.key_cols:
                     c = existing[k].eqNullSafe(keys[k])
                     cond = c if cond is None else (cond & c)
-                kept = (
-                    existing.join(keys, cond, "left_anti")
-                    .withColumn(_BUCKET, self._bucket_col())
+                kept = _pad_to(
+                    existing.join(keys, cond, "left_anti"), out_fields
+                ).withColumn(_BUCKET, self._bucket_col())
+                merged = kept.unionByName(
+                    _pad_to(staged, out_fields).withColumn(_BUCKET, self._bucket_col())
                 )
-                merged = kept.unionByName(staged.select(*cols, _BUCKET))
             else:
-                merged = staged
+                merged = _pad_to(staged, out_fields).withColumn(
+                    _BUCKET, self._bucket_col()
+                )
             vdir = f"v{uuid.uuid4().hex[:12]}"
             merged.write.partitionBy(_BUCKET).parquet(os.path.join(self.files_dir, vdir))
             adds = {
@@ -231,6 +324,7 @@ class MergeTable:
                 "adds": adds,
                 "removes": old_dirs,
                 "txn": {"app_id": app_id, "batch_id": batch_id},
+                "schema": [f.jsonValue() for f in out_fields],
                 "ts": time.time(),
             }
             try:
@@ -282,7 +376,7 @@ class MergeTable:
             old_dirs = [d for b in touched for d in state.get(b, [])]
             adds: dict[str, str] = {}
             if old_dirs:
-                existing = spark.read.parquet(
+                existing = spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.files_dir, d) for d in old_dirs]
                 )
                 cond = None
@@ -326,11 +420,17 @@ class MergeTable:
         """Snapshot read (latest, or time-travel to ``version``). The
         ``__bucket`` partition column stays internal — passing each bucket
         dir as its own root means no partition discovery surfaces it."""
-        state, _, _ = self._snapshot(version)
+        state, _, base_v = self._snapshot(version)
         dirs = [os.path.join(self.files_dir, d) for ds in state.values() for d in ds]
         if not dirs:
             raise ValueError(f"MergeTable at {self.path} is empty")
-        return spark.read.parquet(*dirs)
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        fields = self._schema_at(base_v)
+        if fields is not None:
+            # canonical order + NULL-pad columns evolved after some buckets
+            # were last rewritten (or since deleted from every live file)
+            df = _pad_to(df, fields)
+        return df
 
     def history(self) -> list[dict]:
         return [dict(self._entry(v), version=v) for v in self._versions()]
@@ -347,11 +447,14 @@ class MergeTable:
         probe = spark.createDataFrame([tuple(key_values[k] for k in self.key_cols)],
                                       schema=self.key_cols)
         bucket = probe.select(self._bucket_col().alias("b")).first()["b"]
-        state, _, _ = self._snapshot()
+        state, _, base_v = self._snapshot()
         dirs = [os.path.join(self.files_dir, d) for d in state.get(bucket, [])]
         if not dirs:
             return self.read(spark).limit(0)  # empty frame, right schema
-        out = spark.read.parquet(*dirs)
+        out = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        fields = self._schema_at(base_v)
+        if fields is not None:
+            out = _pad_to(out, fields)
         for k, v in key_values.items():
             out = out.where(F.col(k).eqNullSafe(F.lit(v)))
         return out
@@ -396,9 +499,13 @@ class MergeTable:
             if not todo:
                 return 0
             old_dirs = [d for ds in todo.values() for d in ds]
-            df = spark.read.parquet(
+            df = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.files_dir, d) for d in old_dirs]
-            ).withColumn(_BUCKET, self._bucket_col())
+            )
+            fields = self._schema_at(base_v)
+            if fields is not None:
+                df = _pad_to(df, fields)  # compacted files land on the canonical schema
+            df = df.withColumn(_BUCKET, self._bucket_col())
             vdir = f"v{uuid.uuid4().hex[:12]}"
             df.repartition(len(todo), F.col(_BUCKET)).write.partitionBy(_BUCKET).parquet(
                 os.path.join(self.files_dir, vdir)
@@ -468,9 +575,12 @@ def merge_into(
     batch_id: int | None = None,
     n_buckets: int = 16,
     on_duplicate: str = "error",
+    schema_mode: str = "strict",
 ) -> bool:
     """Dispatch: real Delta MERGE when a Delta runtime is present, else the
-    log-backed ``MergeTable``. One call site for both deployments."""
+    log-backed ``MergeTable``. One call site for both deployments.
+    ``schema_mode='merge'`` maps to Delta's autoMerge conf on the real
+    runtime and to MergeTable schema evolution here."""
     if HAS_DELTA:  # pragma: no cover - no delta runtime in this container
         from delta.tables import DeltaTable
 
@@ -484,6 +594,8 @@ def merge_into(
         # Without these, a replayed nondeterministic micro-batch would
         # re-merge on a real Delta deployment.
         txn_confs = {}
+        if schema_mode == "merge":
+            txn_confs["spark.databricks.delta.schema.autoMerge.enabled"] = "true"
         if app_id is not None and batch_id is not None:
             txn_confs = {
                 "spark.databricks.delta.write.txnAppId": app_id,
@@ -512,5 +624,6 @@ def merge_into(
                     spark.conf.set(k, old)
         return True
     return MergeTable(path, key_cols, n_buckets=n_buckets).merge(
-        new_rows, app_id=app_id, batch_id=batch_id, on_duplicate=on_duplicate
+        new_rows, app_id=app_id, batch_id=batch_id, on_duplicate=on_duplicate,
+        schema_mode=schema_mode,
     )
