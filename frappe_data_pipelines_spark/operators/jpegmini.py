@@ -449,7 +449,9 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
                 comps.append(
                     {"id": cid, "tq": tq, "h": sampling >> 4, "v": sampling & 0x0F}
                 )
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+        elif marker == 0xC2:  # SOF2: progressive — full multi-scan decode
+            return _decode_progressive(payload)
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise JpegError(f"non-baseline SOF 0x{marker:02x}")
         elif marker == 0xC4:  # DHT
             i = 0
@@ -458,6 +460,8 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
                 bits = list(body[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    raise JpegError("truncated DHT segment")
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
@@ -551,3 +555,463 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
 
     rows = [bytes(luma[y][:w]) for y in range(h)]
     return w, h, rows
+
+
+# -- progressive (SOF2) ------------------------------------------------------
+#
+# Progressive JPEG splits the coefficient data across scans: DC first /
+# DC refine (1 raw bit per block), AC spectral bands with EOB-run coding,
+# AC successive-approximation refinement (T.81 Annex G). Coefficients
+# accumulate per block across scans; dequant+IDCT happens once at EOI.
+# ``jpeg_decode_gray`` delegates here on SOF2, so the PDF /DCTDecode raster
+# path and the imaging OCR path gain progressive support transparently.
+
+
+def _prog_dc_scan(r, scan, coefs, geom, ah, al, restart_interval):
+    """DC scan — interleaved MCU order over all scan components (or the
+    single component's own block grid). First pass codes diffs at 1<<al;
+    refinement appends one raw bit per block."""
+    prev_dc = [0] * len(scan)
+    mcus_x, mcus_y, hmax, vmax = geom
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _prog_restart(r)
+                prev_dc = [0] * len(scan)
+            for ci, comp in enumerate(scan):
+                for byi in range(comp["v"]):
+                    for bxi in range(comp["h"]):
+                        blk = coefs[comp["ci"]][my * comp["v"] + byi][mx * comp["h"] + bxi]
+                        if ah == 0:
+                            size = _decode_symbol(r, comp["dc"])
+                            diff = _extend(r.read_bits(size), size) if size else 0
+                            prev_dc[ci] += diff
+                            blk[0] = prev_dc[ci] << al
+                        elif r.read_bit():
+                            blk[0] |= 1 << al
+            mcu += 1
+
+
+def _prog_ac_first(r, comp, coefs, ss, se, al, restart_interval):
+    """AC spectral-selection first pass — non-interleaved (T.81 requires
+    single-component AC scans), with EOB-run coding across blocks."""
+    blocks = _comp_blocks(coefs, comp)
+    eobrun = 0
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            _prog_restart(r)
+            eobrun = 0
+        if eobrun:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _decode_symbol(r, comp["ac"])
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.read_bits(run)
+                break
+            k += run
+            if k > se:
+                raise JpegError("AC run past band end")
+            blk[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+
+
+def _prog_ac_refine(r, comp, coefs, ss, se, al, restart_interval):
+    """AC refinement (T.81 G.1.2.3): newly-nonzero coefficients arrive as
+    ±1<<al; history-nonzero coefficients absorb one correction bit each as
+    the run/EOB coding passes over them."""
+    blocks = _comp_blocks(coefs, comp)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    def correct(blk, k):
+        if r.read_bit():
+            if (blk[k] >= 0 and blk[k] < p1 and blk[k] > m1):
+                raise JpegError("refinement bit on zero coefficient")
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    for i, blk in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            _prog_restart(r)
+            eobrun = 0
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_symbol(r, comp["ac"])
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if run < 15:
+                        # EOBn counts the CURRENT block too (the sweep below
+                        # finishes it, then decrements) — unlike the first
+                        # pass, where EOB leaves nothing to read in-block
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break  # rest of block handled by the EOB sweep below
+                    # run == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise JpegError("AC refine size must be 1")
+                    newval = p1 if r.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def _prog_restart(r):
+    r.byte_align()
+    if r.marker is None:
+        while r.data[r.pos] == 0xFF and 0xD0 <= r.data[r.pos + 1] <= 0xD7:
+            r.pos += 2
+            break
+    r.marker = None
+
+
+def _comp_blocks(coefs, comp):
+    """Raster-order block list for a non-interleaved scan: the component's
+    own ceil(dim/8) grid, which may be smaller than its padded MCU grid."""
+    grid = coefs[comp["ci"]]
+    return [grid[by][bx] for by in range(comp["nby"]) for bx in range(comp["nbx"])]
+
+
+def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Multi-scan progressive decode; returns (w, h, gray rows) like the
+    baseline path (luma materialized, chroma coefficients tracked for
+    stream correctness)."""
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    coefs: list[list[list[list[int]]]] = []
+    w = h = 0
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    restart_interval = 0
+
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                zz = list(body[i : i + 64])
+                i += 64
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = zz[k]
+                quant[tq] = tbl
+        elif marker == 0xC2:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            n = body[5]
+            comps = []
+            for ci in range(n):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "tq": tq, "h": sampling >> 4, "v": sampling & 0x0F, "ci": ci}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+                raise JpegError(f"unsupported sampling {hmax}x{vmax}")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            for c in comps:
+                # padded to the MCU grid for interleaved DC scans; the
+                # component's true block dims ride along for AC scans
+                c["nbx"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+                c["nby"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+                coefs.append(
+                    [
+                        [[0] * 64 for _ in range(mcus_x * c["h"])]
+                        for _ in range(mcus_y * c["v"])
+                    ]
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    raise JpegError("truncated DHT segment")
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if not comps:
+                raise JpegError("SOS before SOF2")
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                comp = dict(next(c for c in comps if c["id"] == cid))
+                comp["dc"] = huff_dc.get(tabs >> 4)
+                comp["ac"] = huff_ac.get(tabs & 0x0F)
+                scan.append(comp)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            r = _BitReader(payload, pos + length)
+            try:
+                _run_prog_scan = True
+                if ss == 0:
+                    if se != 0:
+                        raise JpegError("DC scan must have Se=0")
+                    if ns == 1:
+                        geom = (scan[0]["nbx"], scan[0]["nby"], 1, 1)
+                        one = dict(scan[0], h=1, v=1)
+                        _prog_dc_scan(r, [one], coefs, geom, ah, al, restart_interval)
+                    else:
+                        _prog_dc_scan(
+                            r, scan, coefs, (mcus_x, mcus_y, hmax, vmax), ah, al,
+                            restart_interval,
+                        )
+                else:
+                    if ns != 1:
+                        raise JpegError("progressive AC scan must be single-component")
+                    if ah == 0:
+                        _prog_ac_first(r, scan[0], coefs, ss, se, al, restart_interval)
+                    else:
+                        _prog_ac_refine(r, scan[0], coefs, ss, se, al, restart_interval)
+            except IndexError as e:  # _BitReader ran off the payload
+                raise JpegError("truncated progressive scan data") from e
+            pos = r.pos - (2 if r.marker is not None else 0)
+            continue
+        pos += length
+
+    if not comps or w == 0 or h == 0:
+        raise JpegError("missing SOF2")
+
+    # materialize luma (component 0 must carry max sampling, as baseline)
+    luma_c = comps[0]
+    if luma_c["h"] != hmax or luma_c["v"] != vmax:
+        raise JpegError("luma must carry the max sampling factors")
+    if luma_c["tq"] not in quant:
+        raise JpegError("missing quantization table for luma")
+    qtbl = quant[luma_c["tq"]]
+    grid = coefs[0]
+    luma = [[0] * (mcus_x * 8 * hmax) for _ in range(mcus_y * 8 * vmax)]
+    for by in range(len(grid)):
+        for bx in range(len(grid[0])):
+            zz = grid[by][bx]
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[_ZIGZAG[k]] = zz[k] * qtbl[_ZIGZAG[k]]
+            pix = _idct_block(coef)
+            for i in range(8):
+                rowbuf = luma[by * 8 + i]
+                for j in range(8):
+                    v = int(round(pix[i * 8 + j] + 128.0))
+                    rowbuf[bx * 8 + j] = 0 if v < 0 else (255 if v > 255 else v)
+    return w, h, [bytes(luma[y][:w]) for y in range(h)]
+
+
+# Progressive AC scans need EOBn symbols (r<<4 for r>=1), which the Annex-K
+# baseline AC table does not contain. Fixture encoder uses a flat 9-bit
+# canonical table over every symbol a progressive AC scan can emit.
+_AC_PROG_VALS = sorted(
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 16
+_AC_PROG_BITS[8] = len(_AC_PROG_VALS)  # all codes 9 bits long
+
+
+def jpeg_encode_gray_progressive(rows: list[bytes], quality: int = 90) -> bytes:
+    """Grayscale progressive JPEG with a 4-scan script that exercises every
+    progressive scan kind: DC first (Al=1), AC 1..63 first (Al=1), DC
+    refine, AC 1..63 refine. Coefficient-exact with the baseline encoder at
+    the same quality (successive approximation is lossless once all scans
+    land), which is what the round-trip tests assert."""
+    h = len(rows)
+    if h == 0:
+        raise JpegError("empty image")
+    w = len(rows[0])
+    quant = _scaled_quant(quality)
+    dc_tab = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_tab = _build_encode_table(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    blocks: list[list[int]] = []  # quantized, zigzag order
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            coef = _fdct_block(_plane_block(rows, w, h, bx, by))
+            blocks.append(
+                [int(round(coef[_ZIGZAG[k]] / quant[_ZIGZAG[k]])) for k in range(64)]
+            )
+
+    def trunc2(v: int) -> int:  # AC point transform: toward zero
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    # scan 1: DC first, Al=1
+    s1 = _BitWriter()
+    prev = 0
+    for q in blocks:
+        v = q[0] >> 1  # DC point transform: arithmetic shift
+        size, ampl = _huff_category(v - prev)
+        code, length = dc_tab[size]
+        s1.write(code, length)
+        if size:
+            s1.write(ampl, size)
+        prev = v
+    s1.flush()
+
+    # scan 2: AC 1..63 first, Al=1, EOB-run coded
+    s2 = _BitWriter()
+    eobrun = 0
+
+    def flush_eob(bw: _BitWriter, pending: list[int] | None = None) -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, length = ac_tab[nbits << 4]
+            bw.write(code, length)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+            if pending:
+                for b in pending:
+                    bw.write(b, 1)
+                pending.clear()
+
+    for q in blocks:
+        band = [trunc2(q[k]) for k in range(64)]
+        last = max((k for k in range(1, 64) if band[k]), default=0)
+        if last == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob(s2)
+            continue
+        flush_eob(s2)
+        run = 0
+        for k in range(1, last + 1):
+            if band[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, length = ac_tab[0xF0]
+                s2.write(code, length)
+                run -= 16
+            size, ampl = _huff_category(band[k])
+            code, length = ac_tab[(run << 4) | size]
+            s2.write(code, length)
+            s2.write(ampl, size)
+            run = 0
+        if last < 63:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob(s2)
+    flush_eob(s2)
+    s2.flush()
+
+    # scan 3: DC refine (one raw bit per block)
+    s3 = _BitWriter()
+    for q in blocks:
+        s3.write(q[0] & 1, 1)
+    s3.flush()
+
+    # scan 4: AC 1..63 refine (T.81 G.1.2.3 / libjpeg structure). Two-level
+    # bit buffering is load-bearing: correction bits from COMPLETED blocks
+    # (`be`) ride with the next EOBn code — the decoder reads them in its
+    # EOB sweep — while the CURRENT block's corrections (`br`) ride with its
+    # own next ZRL/newly-nonzero symbol, which the decoder's run advance
+    # consumes. Folding them into one buffer desyncs the stream.
+    s4 = _BitWriter()
+    eobrun = 0
+    be: list[int] = []  # bits owed to the pending EOB run
+    for q in blocks:
+        br: list[int] = []  # bits owed to this block's next symbol
+        absv = [abs(q[k]) for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        run = 0
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                flush_eob(s4, be)
+                code, length = ac_tab[0xF0]
+                s4.write(code, length)
+                run -= 16
+                for b in br:
+                    s4.write(b, 1)
+                br.clear()
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob(s4, be)
+            code, length = ac_tab[(run << 4) | 1]
+            s4.write(code, length)
+            s4.write(1 if q[k] > 0 else 0, 1)
+            for b in br:
+                s4.write(b, 1)
+            br.clear()
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob(s4, be)
+    flush_eob(s4, be)
+    s4.flush()
+
+    zz_quant = bytes(quant[_ZIGZAG[k]] for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + zz_quant)
+    out += _seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00",
+    )  # SOF2: 1 component, 1x1 sampling
+    out += _seg(0xC4, b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x11" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+    # SOS header: ns=1, comp 1 → (DC table, AC table), Ss, Se, Ah<<4|Al
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0x01])) + s1.out
+    out += _seg(0xDA, b"\x01\x01\x01" + bytes([1, 63, 0x01])) + s2.out
+    out += _seg(0xDA, b"\x01\x01\x00" + bytes([0, 0, 0x10])) + s3.out
+    out += _seg(0xDA, b"\x01\x01\x01" + bytes([1, 63, 0x10])) + s4.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -80,7 +80,7 @@ def test_decoder_rejects_garbage():
         jpeg_decode_gray(b"not a jpeg")
     with pytest.raises(JpegError):
         jpeg_decode_gray(b"\xff\xd8\xff\xd9")  # SOI then EOI, no scan
-    # progressive SOF2 explicitly unsupported
+    # progressive SOF2 header with no tables/scans → JpegError, not a crash
     sof2 = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     with pytest.raises(JpegError):
         jpeg_decode_gray(sof2)
@@ -150,3 +150,85 @@ def test_ocr_reads_420_color_scan():
     jp = jpeg_encode_rgb420(rows_rgb, quality=90)
     res = ocr_bitmap(jp)
     assert res["text"] == "COLOR SCAN 42"
+
+
+# -- progressive (SOF2) ------------------------------------------------------
+
+
+class TestProgressive:
+    """Progressive decode must be coefficient-exact with baseline at the
+    same quality: successive approximation (DC Al=1 + refine, AC Al=1 +
+    refine) is lossless once all four scans land."""
+
+    @staticmethod
+    def _equal(rows, quality=85):
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            jpeg_decode_gray,
+            jpeg_encode_gray,
+            jpeg_encode_gray_progressive,
+        )
+
+        base = jpeg_decode_gray(jpeg_encode_gray(rows, quality))
+        prog = jpeg_decode_gray(jpeg_encode_gray_progressive(rows, quality))
+        assert base[:2] == prog[:2]
+        assert base[2] == prog[2]
+
+    def test_gradient(self):
+        import math
+
+        self._equal(
+            [
+                bytes(
+                    int(128 + 100 * math.sin(x / 5.0) * math.cos(y / 3.0)) & 0xFF
+                    for x in range(40)
+                )
+                for y in range(24)
+            ]
+        )
+
+    def test_flat_long_eob_runs(self):
+        self._equal([bytes([200]) * 64 for _ in range(64)], quality=90)
+
+    def test_noise_dense_refinement(self):
+        import random
+
+        rng = random.Random(3)
+        self._equal(
+            [bytes(rng.randrange(256) for _ in range(56)) for _ in range(40)],
+            quality=70,
+        )
+
+    def test_non_multiple_of_8(self):
+        import random
+
+        rng = random.Random(9)
+        self._equal(
+            [bytes(rng.randrange(256) for _ in range(13)) for _ in range(11)]
+        )
+
+    def test_rendered_text_ocrs_from_progressive(self):
+        from frappe_data_pipelines_spark.operators.imaging import (
+            ocr_bitmap,
+            png_decode,
+            render_text_png,
+        )
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            jpeg_encode_gray_progressive,
+        )
+
+        w, h, _c, rows = png_decode(render_text_png("PROG SCAN 7"))
+        res = ocr_bitmap(jpeg_encode_gray_progressive([bytes(r) for r in rows], 95))
+        assert res["text"] == "PROG SCAN 7"
+
+    def test_truncated_raises(self):
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            JpegError,
+            jpeg_decode_gray,
+            jpeg_encode_gray_progressive,
+        )
+
+        data = jpeg_encode_gray_progressive([bytes([90]) * 16] * 16)
+        with pytest.raises(JpegError):
+            jpeg_decode_gray(data[: len(data) // 2])
