@@ -258,6 +258,24 @@ def make_scanned_pdf() -> bytes:
 OCR_FIXTURE_TEXT = "INVOICE 2026-08\nTOTAL DUE: 1,234.56\nPAY BY: 2026-09-01"
 
 
+def make_scanned_pjpeg_pdf() -> bytes:
+    """Same page again, raster encoded as a PROGRESSIVE JPEG (SOF2, four
+    scans: DC first/refine + AC first/refine) behind /DCTDecode — web-era
+    scan pipelines emit these; exercises the multi-scan decoder through
+    pdf_page_images → OCR."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jpegmini import (
+        jpeg_encode_gray_progressive,
+    )
+
+    w, h, rows = _scanned_raster()
+    return _scanned_pdf_from_image(
+        w, h, jpeg_encode_gray_progressive(rows, quality=90), b"DCTDecode"
+    )
+
+
 def make_ocr_jpeg() -> bytes:
     """JPEG twin of sample_ocr.png (same rasterized text, q90 baseline
     encode) — the A8 kernel must read scanner-style JPEG input too."""
@@ -319,6 +337,8 @@ def main() -> None:
     _write_if_missing("sample_scanned.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jpeg.pdf", make_scanned_jpeg_pdf())
     _write_if_missing("sample_scanned_jpeg.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_pjpeg.pdf", make_scanned_pjpeg_pdf())
+    _write_if_missing("sample_scanned_pjpeg.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_ocr.jpg", make_ocr_jpeg())
     _write_if_missing("sample_encrypted.pdf", make_encrypted_pdf())
     _write_if_missing("sample_encrypted.pdf.txt", ENCRYPTED_TEXT)
