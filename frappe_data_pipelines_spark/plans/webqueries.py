@@ -152,3 +152,59 @@ def html_fixture_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages, html_col="html", id_col="page").select(
         "page", "main_text", "n_content_blocks"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/urls.py) — crawl-dedup's first step.
+# Messy URLs are synthesized deterministically from the documents table;
+# the oracle states the expected canonical form in closed form per case,
+# so it verifies the normalizer's OUTPUT without re-implementing it.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'https://' || lower(source) || '.example.com/Docs/'
+                         || doc_id || '?a=1&b=2'
+             WHEN 1 THEN 'http://' || lower(source) || '.example.com/?a=1&z=9'
+             ELSE 'https://' || lower(source) || '.example.com/'
+           END AS url_norm,
+           lower(source) || '.example.com' AS host
+    FROM documents
+"""
+
+
+@register("url_normalize_canonical", oracle=_URL_SQL, tags=("web", "dedup", "extension"))
+def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize deliberately messy URLs (uppercase scheme/host, www
+    prefix, default ports, tracking params, unsorted query, fragments,
+    trailing slashes). Pure Column expressions — whole-stage codegen, no
+    UDF, no shuffle; at 100 TB this is a free map over the scan."""
+    from frappe_data_pipelines_spark.functions.urls import (
+        url_host_expr,
+        url_normalize_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+                F.when(F.col("doc_id") % 3 == 1, F.lit("HTTP://www.")).otherwise(
+                    F.lit("https://")
+                )
+            ),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(":443/Docs/"), F.col("doc_id").cast("string"),
+                            F.lit("/?utm_source=x&b=2&a=1#frag")))
+             .when(F.col("doc_id") % 3 == 1, F.lit(":80?z=9&utm_campaign=c&a=1"))
+             .otherwise(F.lit("/#top")),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id",
+        url_normalize_expr(F.col("url")).alias("url_norm"),
+        url_host_expr(F.col("url")).alias("host"),
+    )

@@ -144,3 +144,37 @@ def test_html_extract_string_keys(spark):
     assert rows["p1"]["main_text"] == LONG
     assert rows["p2"]["main_text"] == ""
     assert rows["p2"]["boiler_chars"] == len("menu")
+
+
+class TestUrlNormalize:
+    CASES = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/Docs/9/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/Docs/9?a=1&b=2"),
+        ("http://www.ex.com:80?z=9&utm_campaign=c&a=1", "http://ex.com/?a=1&z=9"),
+        ("https://ex.com/#top", "https://ex.com/"),
+        ("https://ex.com:8443/x/", "https://ex.com:8443/x"),  # non-default port kept
+        ("http://EX.com/CaseSensitive/Path", "http://ex.com/CaseSensitive/Path"),
+        ("https://ex.com/?utm_source=a&utm_medium=b", "https://ex.com/"),
+        ("  https://ex.com/a  ", "https://ex.com/a"),  # trimmed
+    ]
+
+    def test_normalize_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from frappe_data_pipelines_spark.functions.urls import url_normalize_expr
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["n"] for r in df.select(url_normalize_expr(F.col("url")).alias("n")).collect()]
+        assert got == [e for _, e in self.CASES]
+
+    def test_host_extraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from frappe_data_pipelines_spark.functions.urls import url_host_expr
+
+        df = spark.createDataFrame(
+            [("HTTPS://WWW.Sub.Ex.COM:443/p",), ("http://ex.com:8080/q",)], "url string"
+        )
+        got = [r["h"] for r in df.select(url_host_expr(F.col("url")).alias("h")).collect()]
+        assert got == ["sub.ex.com", "ex.com"]
