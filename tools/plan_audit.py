@@ -237,6 +237,31 @@ CHECKS: dict[str, list] = {
         ("no_join", lambda p: "Join" not in p),
         ("arrow_map_stage", lambda p: "MapInPandas" in p),
     ],
+    "html_extract_main": [
+        # page synth + boilerplate removal: two chained Arrow maps over one
+        # scan; the only exchange is the broadcast of the 1-row corpus count
+        ("single_scan_pair", lambda p: _final_plan(p).count("FileScan") <= 2),
+        ("no_shuffle_exchange", lambda p: "Exchange hashpartitioning" not in _final_plan(p)
+         and "Exchange rangepartitioning" not in _final_plan(p)),
+        ("arrow_map_stages", lambda p: p.count("MapInPandas") >= 2),
+        ("broadcast_count_only", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
+    ],
+    "nb_quality_classifier": [
+        # NB train+score: counts shuffle on term, score shuffles tokens on
+        # term + docs on doc_id — bounded fan of hash exchanges, no
+        # cartesian blowup, no Python anywhere
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("partial_agg", lambda p: "partial" in p.lower()),
+        ("no_cartesian_blowup", lambda p: "CartesianProduct" not in p),
+        ("decimal_exact_sum", lambda p: "sum(w" in p or re.search(r"sum\([^)]*w", p)),
+    ],
+    "url_normalize_canonical": [
+        # pure expression map: one scan, zero shuffles, zero Python
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_shuffle", lambda p: "Exchange" not in _final_plan(p)),
+        ("no_python", lambda p: "Python" not in p and "ArrowEval" not in p),
+        ("codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
+    ],
 }
 
 
