@@ -913,10 +913,209 @@ def _ttf_cmap_gid_to_unicode(data: bytes) -> dict[int, str]:
         return {}
 
 
+# CFF standard strings (Appendix A of the CFF spec, public): SID 0..390.
+# Charsets of non-CID CFF fonts map glyph ids to these names (or to the
+# font's own string INDEX past 390); the names resolve to text via AGL.
+_CFF_STD_STRINGS = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period slash "
+    "zero one two three four five six seven eight nine colon semicolon less "
+    "equal greater question at A B C D E F G H I J K L M N O P Q R S T U V W "
+    "X Y Z bracketleft backslash bracketright asciicircum underscore "
+    "quoteleft a b c d e f g h i j k l m n o p q r s t u v w x y z braceleft "
+    "bar braceright asciitilde exclamdown cent sterling fraction yen florin "
+    "section currency quotesingle quotedblleft guillemotleft guilsinglleft "
+    "guilsinglright fi fl endash dagger daggerdbl periodcentered paragraph "
+    "bullet quotesinglbase quotedblbase quotedblright guillemotright "
+    "ellipsis perthousand questiondown grave acute circumflex tilde macron "
+    "breve dotaccent dieresis ring cedilla hungarumlaut ogonek caron emdash "
+    "AE ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash oslash "
+    "oe germandbls onesuperior logicalnot mu trademark Eth onehalf plusminus "
+    "Thorn onequarter divide brokenbar degree thorn threequarters "
+    "twosuperior registered minus eth multiply threesuperior copyright "
+    "Aacute Acircumflex Adieresis Agrave Aring Atilde Ccedilla Eacute "
+    "Ecircumflex Edieresis Egrave Iacute Icircumflex Idieresis Igrave "
+    "Ntilde Oacute Ocircumflex Odieresis Ograve Otilde Scaron Uacute "
+    "Ucircumflex Udieresis Ugrave Yacute Ydieresis Zcaron aacute "
+    "acircumflex adieresis agrave aring atilde ccedilla eacute ecircumflex "
+    "edieresis egrave iacute icircumflex idieresis igrave ntilde oacute "
+    "ocircumflex odieresis ograve otilde scaron uacute ucircumflex "
+    "udieresis ugrave yacute ydieresis zcaron exclamsmall Hungarumlautsmall "
+    "dollaroldstyle dollarsuperior ampersandsmall Acutesmall "
+    "parenleftsuperior parenrightsuperior twodotenleader onedotenleader "
+    "zerooldstyle oneoldstyle twooldstyle threeoldstyle fouroldstyle "
+    "fiveoldstyle sixoldstyle sevenoldstyle eightoldstyle nineoldstyle "
+    "commasuperior threequartersemdash periodsuperior questionsmall "
+    "asuperior bsuperior centsuperior dsuperior esuperior isuperior "
+    "lsuperior msuperior nsuperior osuperior rsuperior ssuperior tsuperior "
+    "ff ffi ffl parenleftinferior parenrightinferior Circumflexsmall "
+    "hyphensuperior Gravesmall Asmall Bsmall Csmall Dsmall Esmall Fsmall "
+    "Gsmall Hsmall Ismall Jsmall Ksmall Lsmall Msmall Nsmall Osmall Psmall "
+    "Qsmall Rsmall Ssmall Tsmall Usmall Vsmall Wsmall Xsmall Ysmall Zsmall "
+    "colonmonetary onefitted rupiah Tildesmall exclamdownsmall centoldstyle "
+    "Lslashsmall Scaronsmall Zcaronsmall Dieresissmall Brevesmall "
+    "Caronsmall Dotaccentsmall Macronsmall figuredash hypheninferior "
+    "Ogoneksmall Ringsmall Cedillasmall questiondownsmall oneeighth "
+    "threeeighths fiveeighths seveneighths onethird twothirds zerosuperior "
+    "foursuperior fivesuperior sixsuperior sevensuperior eightsuperior "
+    "ninesuperior zeroinferior oneinferior twoinferior threeinferior "
+    "fourinferior fiveinferior sixinferior seveninferior eightinferior "
+    "nineinferior centinferior dollarinferior periodinferior commainferior "
+    "Agravesmall Aacutesmall Acircumflexsmall Atildesmall Adieresissmall "
+    "Aringsmall AEsmall Ccedillasmall Egravesmall Eacutesmall "
+    "Ecircumflexsmall Edieresissmall Igravesmall Iacutesmall "
+    "Icircumflexsmall Idieresissmall Ethsmall Ntildesmall Ogravesmall "
+    "Oacutesmall Ocircumflexsmall Otildesmall Odieresissmall OEsmall "
+    "Oslashsmall Ugravesmall Uacutesmall Ucircumflexsmall Udieresissmall "
+    "Yacutesmall Thornsmall Ydieresissmall 001.000 001.001 001.002 001.003 "
+    "Black Bold Book Light Medium Regular Roman Semibold"
+).split()
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """One CFF INDEX → (items, position after the INDEX)."""
+    count = int.from_bytes(data[pos : pos + 2], "big")
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    p = pos + 3
+    offs = []
+    for _ in range(count + 1):
+        offs.append(int.from_bytes(data[p : p + off_size], "big"))
+        p += off_size
+    base = p - 1  # offsets are 1-based relative to the byte before data
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _cff_dict(data: bytes) -> dict[int, list]:
+    """CFF DICT → {operator (1200+x for the 12-escape page): operands}."""
+    out: dict[int, list] = {}
+    operands: list = []
+    i = 0
+    while i < len(data):
+        b0 = data[i]
+        if b0 <= 21:
+            op = b0
+            i += 1
+            if b0 == 12:
+                op = 1200 + data[i]
+                i += 1
+            out[op] = operands
+            operands = []
+        elif b0 == 28:
+            operands.append(int.from_bytes(data[i + 1 : i + 3], "big", signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(data[i + 1 : i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:  # real number: BCD nibbles until 0xf terminator
+            i += 1
+            while i < len(data):
+                b = data[i]
+                i += 1
+                if (b & 0x0F) == 0x0F or (b >> 4) == 0x0F:
+                    break
+            operands.append(0.0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        else:
+            i += 1
+    return out
+
+
+def _cff_gid_to_unicode(data: bytes) -> dict[int, str]:
+    """Glyph id → text for a NON-CID-keyed CFF (Type1C) font program, via
+    the charset's glyph names resolved through AGL — the recovery pdfminer
+    applies when a Type0 font carries neither /ToUnicode nor a TrueType
+    cmap. CID-keyed CFFs (Top DICT has ROS) get {} — their charset holds
+    bare CIDs, not names, so there is nothing to recover. Accepts a bare
+    CFF or an OpenType (OTTO) wrapper with a 'CFF ' table."""
+    try:
+        if data[:4] == b"OTTO":  # locate the CFF table inside an OTF
+            n_tables = int.from_bytes(data[4:6], "big")
+            for i in range(n_tables):
+                rec = 12 + 16 * i
+                if data[rec : rec + 4] == b"CFF ":
+                    off = int.from_bytes(data[rec + 8 : rec + 12], "big")
+                    ln = int.from_bytes(data[rec + 12 : rec + 16], "big")
+                    data = data[off : off + ln]
+                    break
+            else:
+                return {}
+        pos = data[2]  # hdrSize
+        _names, pos = _cff_index(data, pos)
+        top_dicts, pos = _cff_index(data, pos)
+        strings, pos = _cff_index(data, pos)
+        if not top_dicts:
+            return {}
+        top = _cff_dict(top_dicts[0])
+        if 1230 in top:  # ROS operator → CID-keyed
+            return {}
+        cs_op = top.get(17)
+        if not cs_op:
+            return {}
+        charstrings, _ = _cff_index(data, int(cs_op[0]))
+        n = len(charstrings)
+        coff = int(top.get(15, [0])[0])
+        if coff == 0:
+            sids = list(range(n))  # predefined ISOAdobe charset: SID == gid
+        elif coff in (1, 2):
+            return {}  # Expert charsets: not text fonts
+        else:
+            fmt = data[coff]
+            p = coff + 1
+            sids = [0]
+            if fmt == 0:
+                for _ in range(n - 1):
+                    sids.append(int.from_bytes(data[p : p + 2], "big"))
+                    p += 2
+            elif fmt in (1, 2):
+                while len(sids) < n:
+                    first = int.from_bytes(data[p : p + 2], "big")
+                    p += 2
+                    if fmt == 1:
+                        nleft = data[p]
+                        p += 1
+                    else:
+                        nleft = int.from_bytes(data[p : p + 2], "big")
+                        p += 2
+                    for d in range(nleft + 1):
+                        if len(sids) >= n:
+                            break
+                        sids.append(first + d)
+            else:
+                return {}
+        out: dict[int, str] = {}
+        for gid, sid in enumerate(sids):
+            if gid == 0:
+                continue
+            if sid < len(_CFF_STD_STRINGS):
+                name = _CFF_STD_STRINGS[sid]
+            elif sid - 391 < len(strings):
+                name = strings[sid - 391].decode("latin-1")
+            else:
+                continue
+            ch = _glyph_to_unicode(name)
+            if ch != "�":
+                out[gid] = ch
+        return out
+    except Exception:  # noqa: BLE001 — malformed font: no recovery
+        return {}
+
+
 def _cid_font_gidmap(doc: "PdfDocument", fobj: dict) -> dict[int, str] | None:
-    """For a Type0 font with no /ToUnicode: dig the embedded TrueType
-    program out of DescendantFonts[0]/FontDescriptor/FontFile2 and invert
-    its cmap. None when there is no usable font program."""
+    """For a Type0 font with no /ToUnicode: dig the embedded font program
+    out of DescendantFonts[0]/FontDescriptor and invert it — FontFile2
+    (TrueType cmap) or FontFile3 (CFF charset glyph names, incl. the OTTO
+    wrapper). None when there is no usable font program."""
     desc = doc.resolve(fobj.get("DescendantFonts"))
     if not isinstance(desc, list) or not desc:
         return None
@@ -926,13 +1125,21 @@ def _cid_font_gidmap(doc: "PdfDocument", fobj: dict) -> dict[int, str] | None:
     if not isinstance(d0, dict):
         return None
     fd = doc.resolve(d0.get("FontDescriptor"))
-    if not isinstance(fd, dict) or "FontFile2" not in fd:
+    if not isinstance(fd, dict):
         return None
-    try:
-        ttf = doc.stream_bytes(fd["FontFile2"])
-    except PdfParseError:
-        return None
-    return _ttf_cmap_gid_to_unicode(ttf) or None
+    if "FontFile2" in fd:
+        try:
+            ttf = doc.stream_bytes(fd["FontFile2"])
+        except PdfParseError:
+            return None
+        return _ttf_cmap_gid_to_unicode(ttf) or None
+    if "FontFile3" in fd:
+        try:
+            cff = doc.stream_bytes(fd["FontFile3"])
+        except PdfParseError:
+            return None
+        return _cff_gid_to_unicode(cff) or None
+    return None
 
 
 # Adobe Glyph List subset: the names that appear in real-world /Differences

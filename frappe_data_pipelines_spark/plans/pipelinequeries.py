@@ -320,6 +320,9 @@ def a3_a6_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
        'pdf-mini', 1.0),
       ('/fixtures/sample_cidgid.pdf', 'pdf',
        'Graph query engine' || chr(10) || 'Σ ok 😀(cid:999)',
+       'pdf-mini', 1.0),
+      ('/fixtures/sample_cff.pdf', 'pdf',
+       'CFF charset recovery: Type1C names! Δ=ok',
        'pdf-mini', 1.0)
     ) AS t(path, ext, text, method, confidence)
     """,
@@ -346,7 +349,7 @@ def a3_a5_real_kernel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in (
         "sample.pdf", "sample.docx", "sample_type0.pdf",
         "sample_encrypted.pdf", "sample_aes128.pdf", "sample_aes256.pdf",
-        "sample_cidgid.pdf",
+        "sample_cidgid.pdf", "sample_cff.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))

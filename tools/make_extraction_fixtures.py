@@ -348,6 +348,8 @@ def main() -> None:
     _write_if_missing("sample_aes256.pdf.txt", AES256_TEXT)
     _write_if_missing("sample_cidgid.pdf", make_cidgid_pdf())
     _write_if_missing("sample_cidgid.pdf.txt", CIDGID_TEXT)
+    _write_if_missing("sample_cff.pdf", make_cff_pdf())
+    _write_if_missing("sample_cff.pdf.txt", CFF_TEXT)
     _write_if_missing("sample_scanned_g4.pdf", make_scanned_g4_pdf())
     _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
@@ -554,6 +556,125 @@ def make_cidgid_pdf() -> bytes:
         % (len(objs) + 1, xref_pos)
     )
     return bytes(body)
+
+CFF_TEXT = "CFF charset recovery: Type1C names! \u0394=ok"
+
+
+def _cff_index_bytes(items: list[bytes]) -> bytes:
+    if not items:
+        return b"\x00\x00"
+    end = 1 + sum(len(i) for i in items)
+    osz = 1 if end <= 0xFF else (2 if end <= 0xFFFF else 3)
+    out = bytearray(len(items).to_bytes(2, "big"))
+    out.append(osz)
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    for o in offs:
+        out += o.to_bytes(osz, "big")
+    for it in items:
+        out += it
+    return bytes(out)
+
+
+def make_cff(glyph_names: list[str]) -> bytes:
+    """Minimal non-CID CFF (Type1C) font program: gid 0 = .notdef, gid i =
+    glyph_names[i-1] via a format-0 charset. Charstrings are one-byte
+    endchar dummies — the kernel only reads the charset, never renders.
+    Names found in the standard strings use their SID; others go through
+    the font's string INDEX (SID 391+)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.pdfmini import _CFF_STD_STRINGS
+
+    std = {n: i for i, n in enumerate(_CFF_STD_STRINGS)}
+    sids, strings = [], []
+    for nm in glyph_names:
+        if nm in std:
+            sids.append(std[nm])
+        else:
+            sids.append(391 + len(strings))
+            strings.append(nm.encode("latin-1"))
+    header = bytes([1, 0, 4, 1])
+    name_idx = _cff_index_bytes([b"FixtureCFF"])
+    str_idx = _cff_index_bytes(strings)
+    gsubr = b"\x00\x00"
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    charstrings = _cff_index_bytes([b"\x0e"] * (len(glyph_names) + 1))
+    top_idx_size = 2 + 1 + 2 + 12  # count, offSize=1, offsets[2], 12-byte dict
+    charset_off = len(header) + len(name_idx) + top_idx_size + len(str_idx) + len(gsubr)
+    cs_off = charset_off + len(charset)
+    top = (
+        b"\x1d" + charset_off.to_bytes(4, "big") + b"\x0f"  # op 15 charset
+        + b"\x1d" + cs_off.to_bytes(4, "big") + b"\x11"      # op 17 CharStrings
+    )
+    top_idx = b"\x00\x01\x01\x01" + bytes([1 + len(top)]) + top
+    assert len(top_idx) == top_idx_size
+    return header + name_idx + top_idx + str_idx + gsubr + charset + charstrings
+
+
+def make_cff_pdf() -> bytes:
+    """Type0/Identity-H font with NO /ToUnicode and a CFF (FontFile3,
+    /Subtype/Type1C) descendant font program: text is recoverable only by
+    reading the CFF charset's glyph names (pdfminer's Type1C move). One
+    glyph uses a custom string-INDEX name (uni0394) to exercise SIDs past
+    the standard table."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.pdfmini import _AGL
+
+    rev = {v: k for k, v in _AGL.items()}
+    chars = []
+    for ch in CFF_TEXT:
+        if ch not in chars:
+            chars.append(ch)
+
+    def name_of(ch: str) -> str:
+        if ch.isalnum() and ord(ch) < 128 and not ch.isdigit():
+            return ch
+        if ch in rev:
+            return rev[ch]
+        return "uni%04X" % ord(ch)
+
+    gid_of = {ch: i + 1 for i, ch in enumerate(chars)}
+    cff = make_cff([name_of(ch) for ch in chars])
+    cid_hex = ("".join("%04x" % gid_of[ch] for ch in CFF_TEXT)).encode()
+    content = b"BT /F1 12 Tf <" + cid_hex + b"> Tj ET"
+    objs = [
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n",
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n",
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 5 0 R>>>>/Contents 4 0 R>>\nendobj\n",
+        b"4 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content),
+        b"5 0 obj\n<</Type/Font/Subtype/Type0/BaseFont/FixtureCFF"
+        b"/Encoding/Identity-H/DescendantFonts[6 0 R]>>\nendobj\n",
+        b"6 0 obj\n<</Type/Font/Subtype/CIDFontType0/BaseFont/FixtureCFF"
+        b"/FontDescriptor 7 0 R>>\nendobj\n",
+        b"7 0 obj\n<</Type/FontDescriptor/FontName/FixtureCFF"
+        b"/FontFile3 8 0 R>>\nendobj\n",
+        b"8 0 obj\n<</Length %d/Subtype/Type1C>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(cff), cff),
+    ]
+    body = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for ob in objs:
+        offsets.append(len(body))
+        body += ob
+    xref_pos = len(body)
+    body += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        body += b"%010d 00000 n \n" % off
+    body += (
+        b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_pos)
+    )
+    return bytes(body)
+
 
 def make_scanned_g4_pdf() -> bytes:
     """CCITT Group 4 (T.6) scanned page — the compression real B/W scanners
