@@ -92,3 +92,50 @@ def pagerank(
         F.col("r").alias("pagerank_nanos"),
         (F.col("r") / F.lit(1000000000.0)).alias("pagerank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED edge list — community detection for similarity graphs
+    (pick one representative per community, or cap per-community counts,
+    the coarser cousin of the near-dup clusters).
+
+    Every vertex starts labeled with its own id; each round it adopts the
+    label most frequent among its neighbors, ties broken by smallest
+    label — the deterministic variant, so a fixed ``iters`` unrolls into
+    a DuckDB CTE oracle exactly like pagerank. Each round is one keyed
+    join + one partial-agg count + one per-vertex top-1 (row_number over
+    a count/label ordering) — all shuffle-partitioned on vertex id, no
+    driver-side state at any point.
+    """
+    from pyspark.sql import Window
+
+    directed = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    directed = directed.cache()  # same pin as pagerank: one derivation
+    labels = directed.select(F.col("src").alias("vid")).distinct().select(
+        "vid", F.col("vid").alias("lbl")
+    )
+    for _ in range(iters):
+        neigh = directed.join(
+            labels, directed["dst"] == labels["vid"]
+        ).select(directed["src"].alias("v"), "lbl")
+        cnt = neigh.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("vid"), "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        "vid", F.col("lbl").alias("community"), "community_size"
+    )

@@ -994,3 +994,71 @@ def nb_quality_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pred", "is_en")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the k-NN similarity graph
+# ---------------------------------------------------------------------------
+
+def _label_prop_sql(iters: int = 3) -> str:
+    """Unrolled-CTE oracle (same determinism move as pagerank): majority
+    neighbor label per round, ties to the smallest label."""
+    parts = [
+        """sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )""",
+        """knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    )""",
+        """edges AS (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b FROM knn
+    )""",
+        """directed AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+    )""",
+        "l0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM directed)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""n{t} AS (
+      SELECT d.src AS vid, l{t-1}.lbl FROM directed d JOIN l{t-1} ON d.dst = l{t-1}.vid
+    )"""
+        )
+        parts.append(
+            f"c{t} AS (SELECT vid, lbl, CAST(count(*) AS BIGINT) AS c FROM n{t} GROUP BY vid, lbl)"
+        )
+        parts.append(
+            f"""l{t} AS (
+      SELECT vid, lbl FROM (
+        SELECT vid, lbl, row_number() OVER (PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rn
+        FROM c{t}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+              FROM l{iters} GROUP BY lbl)
+    SELECT l.vid, l.lbl AS community, sizes.community_size
+    FROM l{iters} l JOIN sizes USING (lbl)"""
+    )
+
+
+@register("knn_graph_communities", oracle=_label_prop_sql(3), tags=("graph", "extension"))
+def knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the undirected k=5 cosine-NN graph via 3
+    synchronous label-propagation rounds (operators/graph.py) — the
+    cluster-then-curate step between pairwise near-dup and corpus-level
+    caps. Deterministic by construction (majority label, smallest-label
+    ties), so the unrolled SQL oracle matches hash-for-hash."""
+    from frappe_data_pipelines_spark.operators.graph import label_propagation
+
+    return label_propagation(_knn_edges(spark, sf_dir, k=5), iters=3)

