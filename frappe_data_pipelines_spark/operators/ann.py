@@ -155,7 +155,12 @@ def ivf_build(
     return _assign(vectors, centroids, vec_col), centroids
 
 
-def _assign(vectors: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+def _assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    keep_dist: bool = False,
+) -> DataFrame:
     cents = F.array(
         *[
             F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(float(x)) for x in c]).alias("c"))
@@ -171,7 +176,10 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], vec_col: str) -> D
         F.struct(F.lit(-1).alias("cid"), F.lit(float("inf")).alias("d")),
         lambda acc, s: F.when(dist(s["c"]) < acc["d"], F.struct(s["cid"].alias("cid"), dist(s["c"]).alias("d"))).otherwise(acc),
     )
-    return vectors.withColumn("cluster", best["cid"])
+    out = vectors.withColumn("cluster", best["cid"])
+    if keep_dist:
+        out = out.withColumn("centroid_dist", best["d"])
+    return out
 
 
 def ivf_search(
@@ -446,6 +454,75 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     return spark.read.parquet(path), centroids
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_threshold: float = 2.0,
+) -> dict:
+    """Incremental IVF maintenance: assign a new batch to the EXISTING
+    centroids and append it into the partitioned index — no retrain, no
+    rewrite of resident partitions. This is how a 100 TB index absorbs a
+    daily embedding delta: the append costs one assignment pass over the
+    batch plus partitioned file appends; `ivf_search`'s partition pruning
+    is unchanged because appended files land in their `cluster=` dirs.
+
+    The quantization-drift guard makes staleness measurable instead of
+    silent (faiss's recommended practice): the index stores its training
+    mean squared centroid distance in a `_ivf_stats.json` sidecar
+    (computed lazily from resident vectors for pre-stats indexes), and
+    each append reports `drift_ratio` = batch MSE / train MSE.
+    `needs_retrain` fires when the ratio exceeds ``drift_threshold`` —
+    the batch lands either way (search stays correct, just less pruned;
+    recall via n_probe is unaffected, only efficiency decays).
+
+    Returns ``{"appended", "batch_mse", "train_mse", "drift_ratio",
+    "needs_retrain", "n_rows"}``.
+    """
+    import json
+    import os
+
+    _, centroids = ivf_read(spark, path)
+    stats_path = os.path.join(path, "_ivf_stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            stats = json.load(f)
+    else:
+        resident = spark.read.parquet(path)
+        base = _assign(
+            resident.select(id_col, vec_col), centroids, vec_col, keep_dist=True
+        ).agg(
+            F.avg("centroid_dist").alias("mse"), F.count(F.lit(1)).alias("n")
+        ).first()
+        stats = {"train_mse": float(base["mse"]), "n_rows": int(base["n"])}
+
+    batch = _assign(
+        new_vectors.select(id_col, vec_col), centroids, vec_col, keep_dist=True
+    )
+    agg = batch.agg(
+        F.avg("centroid_dist").alias("mse"), F.count(F.lit(1)).alias("n")
+    ).first()
+    batch_mse, n_new = float(agg["mse"] or 0.0), int(agg["n"])
+    if n_new:
+        batch.drop("centroid_dist").write.partitionBy("cluster").mode(
+            "append"
+        ).parquet(path)
+    stats["n_rows"] += n_new
+    with open(stats_path, "w") as f:
+        json.dump(stats, f)
+    ratio = batch_mse / stats["train_mse"] if stats["train_mse"] > 0 else float("inf")
+    return {
+        "appended": n_new,
+        "batch_mse": batch_mse,
+        "train_mse": stats["train_mse"],
+        "drift_ratio": ratio,
+        "needs_retrain": bool(n_new) and ratio > drift_threshold,
+        "n_rows": stats["n_rows"],
+    }
 
 
 def pq_search_rerank(

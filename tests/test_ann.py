@@ -409,3 +409,56 @@ def test_sq8_codes_bounded(spark, sf_dir):
     row = ann.sq_encode(emb, lo, hi).first()
     assert all(0 <= c <= 255 for c in row["codes"])
     assert len(lo) == len(hi) == len(row["codes"])
+
+
+class TestIvfAppend:
+    """Incremental index maintenance: append assigns to existing centroids,
+    search sees the new vectors, drift guard fires only on shifted data."""
+
+    @staticmethod
+    def _build(spark, sf_dir, tmp_path, n=100):
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < n)
+        assigned, cents = ann.ivf_build(emb, n_clusters=8, n_iter=2)
+        path = str(tmp_path / "ivf_idx")
+        ann.ivf_write(assigned, cents, path)
+        return emb, cents, path
+
+    def test_append_in_distribution_low_drift(self, spark, sf_dir, tmp_path):
+        emb, _cents, path = self._build(spark, sf_dir, tmp_path)
+        delta = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 150)
+        )
+        res = ann.ivf_append(spark, path, delta)
+        assert res["appended"] == 50
+        assert not res["needs_retrain"], res
+        # appended ids are searchable through the same pruned search
+        stored, cents2 = ann.ivf_read(spark, path)
+        qv = list(delta.filter(F.col("vec_id") == 120).first()["embedding"])
+        hits = [r["vec_id"] for r in
+                ann.ivf_search(stored, cents2, qv, k=5, n_probe=8).collect()]
+        assert 120 in hits
+
+    def test_out_of_distribution_triggers_retrain_flag(self, spark, sf_dir, tmp_path):
+        emb, cents, path = self._build(spark, sf_dir, tmp_path)
+        dim = len(cents[0])
+        far = spark.createDataFrame(
+            [(10_000 + i, [50.0 + i] * dim) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        res = ann.ivf_append(spark, path, far, drift_threshold=2.0)
+        assert res["appended"] == 10
+        assert res["needs_retrain"], res
+        assert res["drift_ratio"] > 2.0
+
+    def test_stats_accumulate_across_appends(self, spark, sf_dir, tmp_path):
+        emb, _c, path = self._build(spark, sf_dir, tmp_path)
+        d1 = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+        )
+        d2 = load_table(spark, sf_dir, "embeddings").filter(
+            (F.col("vec_id") >= 120) & (F.col("vec_id") < 130)
+        )
+        r1 = ann.ivf_append(spark, path, d1)
+        r2 = ann.ivf_append(spark, path, d2)
+        assert r2["n_rows"] == r1["n_rows"] + 10
+        assert r1["train_mse"] == r2["train_mse"]  # baseline is pinned
