@@ -208,3 +208,73 @@ def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_normalize_expr(F.col("url")).alias("url_norm"),
         url_host_expr(F.col("url")).alias("host"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness filter (operators/robots.py). Hosts get a real
+# robots body (archiver fully blocked; '*' blocks /private/, odd-length
+# hosts also block /Docs/ except /Docs/pub/); the oracle states the
+# resulting per-URL verdicts in closed form.
+# ---------------------------------------------------------------------------
+
+_ROBOTS_SQL = """
+    WITH urls AS (
+      SELECT doc_id, lower(source) || '.example.com' AS host, source,
+             CASE doc_id % 4
+               WHEN 0 THEN '/Docs/' || doc_id
+               WHEN 1 THEN '/Docs/pub/' || doc_id
+               WHEN 2 THEN '/private/profile'
+               ELSE '/blog/' || doc_id
+             END AS path
+      FROM documents
+    )
+    SELECT doc_id, host, path,
+           CASE WHEN path LIKE '/private/%' THEN false
+                WHEN length(source) % 2 = 1 AND path LIKE '/Docs/%'
+                     AND path NOT LIKE '/Docs/pub/%' THEN false
+                ELSE true END AS allowed
+    FROM urls
+"""
+
+
+@register("robots_politeness_filter", oracle=_ROBOTS_SQL, tags=("web", "extension"))
+def robots_politeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness filtering end to end: per-host robots.txt BODIES are
+    synthesized, parsed by the real RFC 9309 group parser (agent-group
+    selection, longest prefix match, Allow tie-wins, default allow), and
+    applied to the URL fact side via a broadcast host→rules join — the
+    oracle pins every verdict, including the /Docs/pub/ override where a
+    longer Allow beats a shorter Disallow."""
+    from frappe_data_pipelines_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select("source").distinct().select(
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit(
+                "# synthetic corpus robots\n"
+                "User-agent: archiver\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /private/\n"
+            ),
+            F.when(
+                F.length("source") % 2 == 1,
+                F.lit("Disallow: /Docs/\nAllow: /Docs/pub/\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = robots_rules(hosts)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("host"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/Docs/"), F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("/Docs/pub/"), F.col("doc_id").cast("string")))
+         .when(F.col("doc_id") % 4 == 2, F.lit("/private/profile"))
+         .otherwise(F.concat(F.lit("/blog/"), F.col("doc_id").cast("string")))
+         .alias("path"),
+    )
+    return robots_filter(urls, rules).select("doc_id", "host", "path", "allowed")

@@ -178,3 +178,56 @@ class TestUrlNormalize:
         )
         got = [r["h"] for r in df.select(url_host_expr(F.col("url")).alias("h")).collect()]
         assert got == ["sub.ex.com", "ex.com"]
+
+
+class TestRobots:
+    def test_group_selection_prefers_exact_agent(self):
+        from frappe_data_pipelines_spark.operators.robots import parse_robots
+
+        txt = (
+            "User-agent: mybot\nDisallow: /only-mybot/\n\n"
+            "User-agent: *\nDisallow: /everyone/\n"
+        )
+        assert parse_robots(txt, agent="MyBot") == [(False, "/only-mybot/")]
+        assert parse_robots(txt) == [(False, "/everyone/")]
+
+    def test_multi_agent_group_and_comments(self):
+        from frappe_data_pipelines_spark.operators.robots import parse_robots
+
+        txt = (
+            "User-agent: a\nUser-agent: b  # both\nDisallow: /x/  # comment\n"
+            "Allow: /x/pub/\n"
+        )
+        assert parse_robots(txt, agent="b") == [(False, "/x/"), (True, "/x/pub/")]
+
+    def test_empty_disallow_and_wildcards_skipped(self):
+        from frappe_data_pipelines_spark.operators.robots import parse_robots
+
+        txt = "User-agent: *\nDisallow:\nDisallow: /a*/b\nAllow: /c$\nDisallow: /real/\n"
+        assert parse_robots(txt) == [(False, "/real/")]
+
+    def test_no_matching_group(self):
+        from frappe_data_pipelines_spark.operators.robots import parse_robots
+
+        assert parse_robots("User-agent: other\nDisallow: /\n") == []
+
+    def test_filter_longest_match_semantics(self, spark):
+        from frappe_data_pipelines_spark.operators.robots import (
+            robots_filter,
+            robots_rules,
+        )
+
+        hosts = spark.createDataFrame(
+            [("h1", "User-agent: *\nDisallow: /d/\nAllow: /d/pub/\n"),
+             ("h2", "User-agent: *\nDisallow: /\n"),
+             ("h3", "")],
+            "host string, robots_txt string",
+        )
+        urls = spark.createDataFrame(
+            [(1, "h1", "/d/secret"), (2, "h1", "/d/pub/x"), (3, "h1", "/open"),
+             (4, "h2", "/anything"), (5, "h3", "/x")],
+            "uid long, host string, path string",
+        )
+        got = {r["uid"]: r["allowed"]
+               for r in robots_filter(urls, robots_rules(hosts)).collect()}
+        assert got == {1: False, 2: True, 3: True, 4: False, 5: True}
