@@ -211,3 +211,55 @@ def documents_as_html(docs: DataFrame, id_col: str = "doc_id",
             ]
         ),
     )
+
+
+def documents_as_warc(docs: DataFrame, n_files: int = 8,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents → (path, content BINARY) WARC files (gzip members), each
+    holding a warcinfo record plus one HTTP-response record per document
+    whose body is the synth_html page. Grouping docs into n_files mirrors
+    real crawl packaging (many pages per archive); records are ordered by
+    doc_id inside each file so bytes are deterministic."""
+    from frappe_data_pipelines_spark.sources.warc import write_warc
+
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    narrow = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn("part", F.pmod(F.col("doc_id"), F.lit(n_files)))
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        part = int(pdf["part"].iloc[0])
+        records = [
+            {
+                "warc_type": "warcinfo",
+                "uri": "",
+                "content_type": "application/warc-fields",
+                "body": b"software: fdp-spark docgen\r\n",
+            }
+        ]
+        for i, t, c, n_docs in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"], pdf["n_docs"]):
+            html = synth_html(int(i), t or "", int(c), int(n_docs))
+            records.append(
+                {
+                    "warc_type": "response",
+                    "uri": f"https://corpus.example.com/doc_{int(i)}.html",
+                    "content_type": "text/html; charset=utf-8",
+                    "body": html.encode("utf-8"),
+                }
+            )
+        return pd.DataFrame(
+            {"path": [f"/warc/part-{part:05d}.warc.gz"], "content": [write_warc(records)]}
+        )
+
+    return narrow.groupBy("part").applyInPandas(
+        build, schema="path string, content binary"
+    )

@@ -278,3 +278,38 @@ def robots_politeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("path"),
     )
     return robots_filter(urls, rules).select("doc_id", "host", "path", "allowed")
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (sources/warc.py): the container web corpora arrive in.
+# ---------------------------------------------------------------------------
+
+_WARC_SQL = """
+    SELECT doc_id,
+           'https://corpus.example.com/doc_' || doc_id || '.html' AS uri,
+           text AS main_text
+    FROM documents
+"""
+
+
+@register("warc_roundtrip_extract", oracle=_WARC_SQL, tags=("web", "source", "extension"))
+def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl ingest chain: documents packaged as member-gzipped
+    WARC archives (warcinfo + HTTP response records) → WARC record parse
+    (gzip members, Content-Length framing, HTTP envelope strip, charset) →
+    HTML boilerplate removal → original text, exactly. WARC files parse
+    independently (no shuffle); the oracle pins uri and recovered text
+    per document."""
+    from frappe_data_pipelines_spark.operators.docgen import documents_as_warc
+    from frappe_data_pipelines_spark.operators.htmlmini import html_extract
+    from frappe_data_pipelines_spark.sources.warc import read_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = read_warc(documents_as_warc(docs))
+    pages = recs.select(F.col("uri"), F.col("text").alias("html"))
+    out = html_extract(pages, html_col="html", id_col="uri")
+    return out.select(
+        F.regexp_extract("uri", r"doc_(\d+)\.html", 1).cast("long").alias("doc_id"),
+        "uri",
+        "main_text",
+    )

@@ -59,3 +59,74 @@ class TestMaintenance:
         after = len(glob.glob(path + "/*.parquet"))
         assert before >= 20 and n == 1 and after == 1
         assert spark.read.parquet(path).count() == docs.count()
+
+
+class TestWarc:
+    """WARC container parsing (sources/warc.py): framing, gzip members,
+    HTTP envelope, charsets, corruption totality."""
+
+    @staticmethod
+    def _one(uri="https://x/y.html", body=b"<p>hello</p>",
+             ctype="text/html; charset=utf-8", wtype="response"):
+        return {"warc_type": wtype, "uri": uri, "content_type": ctype, "body": body}
+
+    def test_roundtrip_plain_and_gzipped(self):
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        recs = [self._one(), self._one(uri="https://x/z.html", body="héllo".encode())]
+        for gz in (False, True):
+            got = parse_warc(write_warc(recs, gzip_members=gz))
+            assert [r["uri"] for r in got] == ["https://x/y.html", "https://x/z.html"]
+            assert got[0]["text"] == "<p>hello</p>"
+            assert got[1]["text"] == "héllo"
+            assert got[0]["content_type"].startswith("text/html")
+
+    def test_warcinfo_record_and_filtering(self, spark):
+        from frappe_data_pipelines_spark.sources.warc import (
+            parse_warc,
+            read_warc,
+            write_warc,
+        )
+
+        data = write_warc(
+            [
+                {"warc_type": "warcinfo", "uri": "", "content_type":
+                 "application/warc-fields", "body": b"software: t\r\n"},
+                self._one(),
+            ]
+        )
+        assert [r["warc_type"] for r in parse_warc(data)] == ["warcinfo", "response"]
+        df = spark.createDataFrame([("/w/a.warc.gz", bytearray(data))],
+                                   "path string, content binary")
+        rows = read_warc(df).collect()
+        assert len(rows) == 1 and rows[0]["warc_type"] == "response"
+        all_rows = read_warc(df, response_only=False).collect()
+        assert len(all_rows) == 2
+
+    def test_latin1_charset_honored(self):
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        body = "café".encode("latin-1")
+        data = write_warc([self._one(body=body, ctype="text/html; charset=latin-1")])
+        (rec,) = parse_warc(data)
+        assert rec["text"] == "café"
+
+    def test_body_containing_crlf_crlf_framed_correctly(self):
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        tricky = b"a\r\n\r\nWARC/1.0\r\nnot a real record"
+        data = write_warc([self._one(body=tricky), self._one(uri="https://x/2")])
+        got = parse_warc(data)
+        assert len(got) == 2
+        assert got[0]["text"] == tricky.decode()
+
+    def test_corrupt_archive_total(self, spark):
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, read_warc
+
+        assert parse_warc(b"") == []
+        assert parse_warc(b"garbage no records") == []
+        df = spark.createDataFrame(
+            [("/w/bad.warc", bytearray(b"\x1f\x8b broken gzip"))],
+            "path string, content binary",
+        )
+        assert read_warc(df).count() == 0
