@@ -62,6 +62,7 @@ HEADLINE = [
     "intra_doc_repeat_len",
     "html_extract_main",
     "nb_quality_classifier",
+    "warc_roundtrip_extract",
 ]
 
 

@@ -109,7 +109,7 @@ def documents_as_files(
     on some other operator's hot path)."""
     narrow = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
-    )
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -189,6 +189,10 @@ def documents_as_html(docs: DataFrame, id_col: str = "doc_id",
         F.col(text_col).alias("text"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     ).crossJoin(F.broadcast(n))
+    # a small parquet arrives as ONE split; the per-row Python below is the
+    # workload, so spread it across the cluster first (same move as
+    # _knn_edges) — round-robin, no key skew possible
+    narrow = narrow.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -213,7 +217,7 @@ def documents_as_html(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def documents_as_warc(docs: DataFrame, n_files: int = 8,
+def documents_as_warc(docs: DataFrame, n_files: int | None = None,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents → (path, content BINARY) WARC files (gzip members), each
     holding a warcinfo record plus one HTTP-response record per document
@@ -222,6 +226,10 @@ def documents_as_warc(docs: DataFrame, n_files: int = 8,
     doc_id inside each file so bytes are deterministic."""
     from frappe_data_pipelines_spark.sources.warc import write_warc
 
+    if n_files is None:
+        # one archive per core by default: packaging AND the downstream
+        # parse then both run at full cluster width
+        n_files = docs.sparkSession.sparkContext.defaultParallelism
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     narrow = (
         docs.select(

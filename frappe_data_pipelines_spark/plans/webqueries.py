@@ -305,7 +305,10 @@ def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frappe_data_pipelines_spark.sources.warc import read_warc
 
     docs = load_table(spark, sf_dir, "documents")
-    recs = read_warc(documents_as_warc(docs))
+    # the archive frame is tiny in ROWS (one per file) but heavy in BYTES;
+    # AQE would coalesce it to one task — pin one parse task per archive
+    par = spark.sparkContext.defaultParallelism
+    recs = read_warc(documents_as_warc(docs, n_files=par).repartition(par))
     pages = recs.select(F.col("uri"), F.col("text").alias("html"))
     out = html_extract(pages, html_col="html", id_col="uri")
     return out.select(

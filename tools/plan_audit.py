@@ -158,10 +158,12 @@ CHECKS: dict[str, list] = {
         ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
     ],
     "extract_real_kernels": [
-        # document synth + kernel decode stay one shuffle-free Arrow chain:
-        # two MapInPandas stages (docgen, extract), no Exchange between them
-        ("no_shuffle_in_kernel_chain", lambda p: "Exchange" not in p),
-        ("arrow_batched_kernels", lambda p: p.count("MapInPandas") == 2),
+        # document synth + kernel decode form one Arrow chain whose only
+        # exchange is the deliberate round-robin spread of the Python-bound
+        # work (a small parquet is one split); never a keyed shuffle
+        ("only_roundrobin_spread", lambda p: "Exchange hashpartitioning" not in p
+         and "Exchange rangepartitioning" not in p),
+        ("arrow_batched_kernels", lambda p: p.count("MapInPandas") >= 2),
         # column pruning through the Python boundary: the documents scan
         # reads only (doc_id, text), not the full table
         ("documents_scan_pruned", lambda p: (
