@@ -316,3 +316,74 @@ def warc_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri",
         "main_text",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end web pipeline: WARC → extract → quality-filter → exact-dedup.
+# Each stage is individually oracled above / in textqueries; this composes
+# them the way a crawl-to-corpus job actually runs and oracles the
+# funnel accounting in one row.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_SQL = """
+    WITH q AS (
+      SELECT text FROM documents
+      WHERE regexp_matches(text, '[a-zA-Z]')
+        AND NOT regexp_matches(text, '[؀-ۿ一-鿿]')
+        AND length(text) BETWEEN 100 AND 100000
+        AND length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+              <= length(text) * 0.2
+        AND len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                            t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'], t)))
+              * 10 >= len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_fetched,
+           CAST(count(*) AS BIGINT) AS n_quality,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS quality_chars
+    FROM q
+"""
+
+
+@register("web_corpus_pipeline", oracle=_PIPELINE_SQL, tags=("web", "pipeline", "extension"))
+def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus funnel in one job: package documents as WARC
+    archives, parse the records, strip page boilerplate, apply the
+    C4/Gopher-style quality conjunction to the EXTRACTED text, and count
+    exact-unique survivors — the accounting row (fetched → quality →
+    unique) every corpus build publishes. Plan shape: Arrow synth/parse
+    chain (round-robin spread) → codegen'd filter → one partial-agged
+    global aggregate; the only keyed shuffle is count(DISTINCT text)."""
+    from frappe_data_pipelines_spark.functions.text import STOPWORDS, tokens_expr
+    from frappe_data_pipelines_spark.operators.docgen import documents_as_warc
+    from frappe_data_pipelines_spark.operators.htmlmini import html_extract
+    from frappe_data_pipelines_spark.sources.warc import read_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    recs = read_warc(documents_as_warc(docs, n_files=par).repartition(par))
+    pages = html_extract(
+        recs.select("uri", F.col("text").alias("html")), html_col="html", id_col="uri"
+    ).select(F.col("main_text").alias("text"))
+    toks = tokens_expr(F.col("text"))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.lit(STOPWORDS).cast("array<string>"), t))
+    )
+    punct_len = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    quality = pages.filter(
+        F.col("text").rlike("[a-zA-Z]")
+        & ~F.col("text").rlike("[؀-ۿ一-鿿]")
+        & F.length("text").between(100, 100000)
+        & (punct_len <= F.length("text") * 0.2)
+        & (n_stop * 10 >= F.size(toks))
+    )
+    fetched = docs.agg(F.count("*").cast("long").alias("n_fetched"))
+    return (
+        quality.agg(
+            F.count("*").cast("long").alias("n_quality"),
+            F.countDistinct("text").cast("long").alias("n_unique"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0)).cast("long").alias("quality_chars"),
+        )
+        .crossJoin(F.broadcast(fetched))
+        .select("n_fetched", "n_quality", "n_unique", "quality_chars")
+    )
