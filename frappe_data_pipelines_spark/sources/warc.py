@@ -38,13 +38,21 @@ CRLF = b"\r\n"
 
 def _gunzip_members(payload: bytes) -> bytes:
     """Concatenated gzip members → concatenated plaintext (the standard
-    WARC packaging: one member per record)."""
+    WARC packaging: one member per record). A corrupt member ends the
+    walk — everything inflated so far still parses (totality: a damaged
+    archive yields its readable prefix, never an exception)."""
     out = bytearray()
     data = payload
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(data)
-        data = d.unused_data
+        try:
+            out += d.decompress(data)
+        except zlib.error:
+            break
+        nxt = d.unused_data
+        if nxt == data:  # no progress — malformed trailing member
+            break
+        data = nxt
     return bytes(out) if out else payload
 
 

@@ -231,3 +231,30 @@ class TestRobots:
         got = {r["uid"]: r["allowed"]
                for r in robots_filter(urls, robots_rules(hosts)).collect()}
         assert got == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
+class TestParserFuzz:
+    def test_parse_blocks_total_on_arbitrary_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.text(max_size=300))
+        def run(s):
+            blocks = parse_blocks(s)
+            for b in blocks:
+                assert b["chars"] == len(b["text"])
+                assert 0 <= b["link_chars"] <= b["chars"]
+
+        run()
+
+    def test_parse_blocks_total_on_tag_soup(self):
+        import random
+
+        frags = ["<div>", "</div>", "<a href='/x'>", "</a>", "<br>", "<p", ">",
+                 "text ", "&amp;", "&#x41;", "<script>", "</script>", "<!--", "-->",
+                 "<nav>", "</nav>", "<article>", "</article>", "<![CDATA[", "]]>"]
+        rng = random.Random(5)
+        for _ in range(200):
+            soup = "".join(rng.choice(frags) for _ in range(rng.randrange(1, 40)))
+            parse_blocks(soup)  # must not raise

@@ -130,3 +130,60 @@ class TestWarc:
             "path string, content binary",
         )
         assert read_warc(df).count() == 0
+
+
+class TestWarcFuzz:
+    """Totality + round-trip under hypothesis."""
+
+    def test_roundtrip_random_records(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.text(alphabet=st.characters(codec="utf-8",
+                                                   exclude_characters="\r\n"),
+                            min_size=0, max_size=80),
+                    st.binary(min_size=0, max_size=200),
+                    st.booleans(),
+                ),
+                min_size=1, max_size=5,
+            ),
+            st.booleans(),
+        )
+        def run(items, gz):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "uri": f"https://h/{i}",
+                    "content_type": "text/html; charset=utf-8",
+                    "body": (uri_txt.encode("utf-8") + body) if html else body,
+                }
+                for i, (uri_txt, body, html) in enumerate(items)
+            ]
+            got = parse_warc(write_warc(recs, gzip_members=gz))
+            assert len(got) == len(recs)
+            for rec, g in zip(recs, got):
+                assert g["text"] == rec["body"].decode("utf-8", errors="replace")
+
+        run()
+
+    def test_corruption_never_raises(self):
+        import random
+
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        base = write_warc(
+            [{"warc_type": "response", "uri": "https://h/x",
+              "content_type": "text/html; charset=utf-8", "body": b"<p>x</p>"}] * 3
+        )
+        rng = random.Random(11)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            parse_warc(bytes(b))  # any output is fine; raising is not
