@@ -207,3 +207,76 @@ def lm_perplexity_buckets(
         id_col, "n_tokens", "lm_score", label.alias("ppl_bucket")
     )
 
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget — "give me the
+    best N tokens" (the curation step after scoring: fill the training
+    budget from the top of the quality ranking; cf. DSIR's resampling and
+    every data-mix ablation that fixes token counts).
+
+    Score: stopword ratio rounded to 4 decimals (a deterministic quality
+    proxy sharing the engine's tokenizer); rank by (score DESC, id ASC);
+    keep documents while the running token total stays within
+    ``budget_tokens``.
+
+    Exact WITHOUT a global sort: scores are quantized, so (1) one
+    partial-agged groupBy sums tokens per score bucket (≤ 10⁴+1 rows
+    regardless of corpus size), (2) a bounded driver cumsum over the
+    bucket table picks the threshold score and the residual budget inside
+    the boundary bucket, (3) whole buckets above the threshold are kept by
+    a broadcast-join filter and the boundary bucket alone pays a windowed
+    cumsum — partitioned BY the boundary score, not global. Identical
+    output to the textbook global-window cumsum (the oracle states that
+    form), but every stage is distributed and the driver holds only the
+    bucket table."""
+    from frappe_data_pipelines_spark.functions.text import STOPWORDS, tokens_expr
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.lit(STOPWORDS).cast("array<string>"), t))
+    )
+    scored = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(n_stop / F.size(toks), 4).alias("score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    buckets = collect_bounded(
+        scored.groupBy("score").agg(F.sum("n_tokens").alias("bucket_tokens")),
+        cap=10_002,
+        what="token-budget score buckets",
+    )
+    buckets.sort(key=lambda r: -r["score"])
+    spent = 0
+    threshold, residual = None, 0
+    for b in buckets:
+        if spent + b["bucket_tokens"] <= budget_tokens:
+            spent += b["bucket_tokens"]
+            continue
+        threshold, residual = b["score"], budget_tokens - spent
+        break
+    if threshold is None:  # whole corpus fits
+        return scored
+    kept_whole = scored.filter(F.col("score") > threshold)
+    w = (
+        Window.partitionBy("score")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        scored.filter(F.col("score") == threshold)
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= residual)
+        .drop("__cum")
+    )
+    return kept_whole.unionByName(boundary)

