@@ -1099,3 +1099,55 @@ def token_budget_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_select(docs, budget_tokens=15_000)
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity: distinct-n per source (Li et al. 2016's distinct-1/2/3,
+# the standard text-diversity measure — low values flag template/boilerplate
+# sources worth capping before training).
+# ---------------------------------------------------------------------------
+
+_DISTINCT_N_SQL = """
+    WITH toks AS (
+      SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT source, n, unnest(CASE WHEN len(t) >= n
+               THEN list_transform(range(0, len(t) - n + 1),
+                                   i -> array_to_string(t[i + 1 : i + n], ' '))
+               ELSE [] END) AS g
+      FROM toks, (VALUES (1), (2), (3)) AS ns(n)
+    )
+    SELECT source, n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+    FROM grams GROUP BY source, n
+"""
+
+
+@register("corpus_distinct_ngrams", oracle=_DISTINCT_N_SQL, tags=("quality", "diversity", "extension"))
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1/2/3 per source: unique-ngram ratio over total ngrams —
+    one explode + one two-level aggregate (partial distinct on (source, n,
+    gram), then the count rollup); shuffles key on the gram space, which is
+    uniform, so the plan is skew-safe at corpus scale."""
+    from frappe_data_pipelines_spark.functions.text import tokens_expr
+    from frappe_data_pipelines_spark.operators.quality import _grams_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    per_n = [
+        docs.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(_grams_expr(toks, n)).alias("g"),
+        )
+        for n in (1, 2, 3)
+    ]
+    grams = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    return grams.groupBy("source", "n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        F.round(F.countDistinct("g") / F.count("*"), 6).alias("distinct_ratio"),
+    )
