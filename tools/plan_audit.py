@@ -264,6 +264,51 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "Python" not in p and "ArrowEval" not in p),
         ("codegen", lambda p: "WholeStageCodegen" in p or "*(" in p),
     ],
+    "warc_roundtrip_extract": [
+        # WARC packaging (applyInPandas per archive) → parse+extract chain;
+        # keyed shuffles limited to the archive grouping itself
+        ("arrow_stages", lambda p: ("FlatMapGroupsInPandas" in p or "MapInPandas" in p)
+         and p.count("MapInPandas") >= 2),
+        ("no_join", lambda p: "Join" not in p or "BroadcastNestedLoopJoin" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "web_corpus_pipeline": [
+        # funnel: Arrow chain → codegen filter → ONE global aggregate; the
+        # only keyed shuffle belongs to count(DISTINCT text)
+        ("partial_agg", lambda p: "partial" in p.lower()),
+        ("single_result_row_agg", lambda p: "HashAggregate" in p or "SortAggregate" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "robots_politeness_filter": [
+        # rules side is a broadcast dimension; URL side shuffles once for
+        # the per-URL longest-match window
+        ("rules_broadcast", lambda p: "BroadcastExchange" in p or "BroadcastHashJoin" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("single_url_scan", lambda p: _final_plan(p).count("FileScan") <= 2),
+    ],
+    "token_budget_select": [
+        # NO global sort: the boundary window partitions by the quantized
+        # score (a hash exchange on score, never a range partition)
+        ("no_global_sort", lambda p: "rangepartitioning" not in p.lower()),
+        ("window_partitioned_by_score", lambda p: re.search(
+            r"Exchange hashpartitioning\([^)]*score", p) is not None
+         or "Window" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "corpus_distinct_ngrams": [
+        # explode → two-level distinct aggregate; keyed on the uniform gram
+        # space, partial aggregation present
+        ("partial_agg", lambda p: "partial" in p.lower()),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "knn_graph_communities": [
+        # iterated join-aggregate like pagerank: cached edges, keyed joins,
+        # per-vertex top-1 windows — never a cartesian
+        ("cached_edges", lambda p: "InMemoryTableScan" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("keyed_aggregate", lambda p: "HashAggregate" in p or "SortAggregate" in p),
+    ],
 }
 
 
