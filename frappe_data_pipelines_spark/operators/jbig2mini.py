@@ -1,0 +1,365 @@
+"""JBIG2 (ITU-T T.88 arithmetic coder + T.89/ISO 14492 generic regions).
+
+Modern B/W scanner pipelines embed JBIG2 in PDFs (/JBIG2Decode) — the last
+scanned-page encoding the A10 raster path did not speak. This module
+implements the arithmetically-coded generic-region subset, stdlib-only:
+
+* the **MQ arithmetic coder** (T.88 Annex E software conventions: Qe state
+  table, BYTEIN/BYTEOUT with 0xFF stuffing, INITDEC/INITENC, FLUSH) — both
+  directions, so fixtures and round-trip fuzzing need no external encoder;
+* **generic region** decoding/encoding, GBTEMPLATE 0, nominal AT pixels,
+  MMR off, TPGDON off — the profile a plain arithmetic JBIG2 encoder emits
+  for a generic bitmap region;
+* the **PDF-embedded segment stream** (no file header): segment headers
+  (type, referred-segment bytes, page association, data length), page-info
+  and immediate-generic-region segments; other segment types are skipped.
+
+Scope honesty: symbol-dictionary/text-region and refinement coding (the
+other JBIG2 profiles) are NOT implemented — a stream using them raises
+``Jbig2Error`` and the PDF dispatch falls back exactly like any other
+unsupported filter. The template-0 context is built in the spec figure's
+raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
+their nominal positions); encoder and decoder share one context builder
+and are validated by exhaustive round-trip fuzzing plus the PDF
+integration fixture.
+"""
+
+from __future__ import annotations
+
+
+class Jbig2Error(ValueError):
+    pass
+
+
+# T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH)
+_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 Annex E decoder (software conventions)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            b1 = data[self.bp] if self.bp < len(data) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: list) -> int:
+        """cx = [index, mps] mutable context state."""
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                d = cx[1]
+                cx[0] = nmps
+            else:
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return cx[1]
+            if self.a < qe:
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+            else:
+                d = cx[1]
+                cx[0] = nmps
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 Annex E encoder (software conventions, incl. FLUSH). Uses the
+    leading-dummy-byte convention for carry propagation: ``out[0]`` absorbs
+    a carry that would otherwise fall off the front and is discarded at
+    flush."""
+
+    def __init__(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray(b"\x00")  # dummy; dropped at flush
+        self.bp = 0
+
+    def _byteout(self) -> None:
+        if self.out[self.bp] == 0xFF:
+            # previous byte was a stuffed 0xFF → next carries 7 bits
+            self.bp += 1
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+            return
+        if self.c >= 0x8000000:
+            self.out[self.bp] += 1  # carry
+            if self.out[self.bp] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.bp += 1
+                self.out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+                return
+            self.c &= 0x7FFFFFF
+        self.bp += 1
+        self.out.append((self.c >> 19) & 0xFF)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, cx: list, d: int) -> None:
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        if d == cx[1]:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe  # MPS owns the upper subinterval
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[0] = nmps
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - cx[1]
+            cx[0] = nlps
+        while True:  # RENORME
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        # SETBITS, 1s-fill form: pick the value inside [C, C+A) whose low
+        # 16 bits are all ones — decoders feed 1-bits past the stream end
+        # (the marker convention), so the implied suffix must stay inside
+        # the final interval
+        top = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= top:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        return bytes(self.out[1:]) + b"\xff\xac"  # drop dummy; MQ terminator
+
+
+# -- generic region (GBTEMPLATE 0, nominal AT, no TPGDON) --------------------
+
+# template pixels in raster order (dy, dx); AT1..AT4 at nominal positions
+_TEMPLATE0 = [
+    (-2, -2), (-2, -1), (-2, 0), (-2, 1), (-2, 2),   # row y-2 incl. A4, A3
+    (-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (-1, 3),  # incl. A2, A1
+    (0, -4), (0, -3), (0, -2), (0, -1),              # current row
+]
+
+
+def _context(rows: list[bytearray], x: int, y: int, w: int) -> int:
+    ctx = 0
+    for dy, dx in _TEMPLATE0:
+        yy, xx = y + dy, x + dx
+        bit = rows[yy][xx] if 0 <= yy and 0 <= xx < w else 0
+        ctx = (ctx << 1) | bit
+    return ctx
+
+
+def generic_region_decode(data: bytes, w: int, h: int) -> list[bytes]:
+    """MQ data → rows of 0/1 bytes (template 0)."""
+    mq = MQDecoder(data)
+    cxs = [[0, 0] for _ in range(1 << 16)]
+    rows: list[bytearray] = []
+    for y in range(h):
+        row = bytearray(w)
+        rows.append(row)
+        for x in range(w):
+            row[x] = mq.decode(cxs[_context(rows, x, y, w)])
+    return [bytes(r) for r in rows]
+
+
+def generic_region_encode(rows: list[bytes], w: int, h: int) -> bytes:
+    mq = MQEncoder()
+    cxs = [[0, 0] for _ in range(1 << 16)]
+    built: list[bytearray] = []
+    for y in range(h):
+        row = bytearray(rows[y][:w])
+        built.append(row)
+        for x in range(w):
+            mq.encode(cxs[_context(built, x, y, w)], row[x] & 1)
+    return mq.flush()
+
+
+# -- PDF-embedded segment stream (T.89 §7; no file header) -------------------
+
+_GENERIC_TYPES = {36, 38, 39}
+
+
+def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
+    if pos + 11 > len(data):
+        raise Jbig2Error("truncated segment header")
+    number = int.from_bytes(data[pos : pos + 4], "big")
+    flags = data[pos + 4]
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    pos += 5
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:
+        count = int.from_bytes(data[pos : pos + 4], "big") & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8  # retain bits
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    refs = []
+    for _ in range(count):
+        refs.append(int.from_bytes(data[pos : pos + ref_size], "big"))
+        pos += ref_size
+    page = int.from_bytes(data[pos : pos + (4 if page_assoc_4 else 1)], "big")
+    pos += 4 if page_assoc_4 else 1
+    length = int.from_bytes(data[pos : pos + 4], "big")
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise Jbig2Error("unknown-length segments unsupported")
+    return {"number": number, "type": seg_type, "refs": refs, "page": page,
+            "length": length}, pos
+
+
+def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, int, list[bytes]]:
+    """PDF-embedded JBIG2 → (width, height, rows of 0/1 bytes, 1 = black).
+
+    Supported: page-info + arithmetic generic regions (template 0, no MMR,
+    no TPGDON), composed onto the page bitmap with OR. Symbol/text/
+    refinement/halftone segments raise — the PDF raster path treats that
+    like any other unsupported filter (fallback, not a crash)."""
+    page_w = page_h = None
+    page: list[bytearray] | None = None
+    for blob in (globals_data, data):
+        pos = 0
+        while pos < len(blob):
+            head, pos = _parse_segment_header(blob, pos)
+            body = blob[pos : pos + head["length"]]
+            pos += head["length"]
+            t = head["type"]
+            if t == 48:  # page info
+                page_w = int.from_bytes(body[0:4], "big")
+                page_h = int.from_bytes(body[4:8], "big")
+                if page_h == 0xFFFFFFFF:
+                    raise Jbig2Error("striped unknown-height pages unsupported")
+                page = [bytearray(page_w) for _ in range(page_h)]
+            elif t in _GENERIC_TYPES:
+                if len(body) < 18:
+                    raise Jbig2Error("truncated generic region")
+                rw = int.from_bytes(body[0:4], "big")
+                rh = int.from_bytes(body[4:8], "big")
+                rx = int.from_bytes(body[8:12], "big")
+                ry = int.from_bytes(body[12:16], "big")
+                gflags = body[17]
+                if gflags & 0x01:
+                    raise Jbig2Error("MMR-coded generic region unsupported")
+                template = (gflags >> 1) & 0x03
+                if template != 0:
+                    raise Jbig2Error(f"GBTEMPLATE {template} unsupported")
+                if gflags & 0x08:
+                    raise Jbig2Error("TPGDON unsupported")
+                at_end = 18 + 8  # four signed AT pairs (template 0)
+                rows = generic_region_decode(body[at_end:], rw, rh)
+                if page is None:
+                    page_w, page_h = rx + rw, ry + rh
+                    page = [bytearray(page_w) for _ in range(page_h)]
+                for y in range(rh):
+                    if ry + y >= len(page):
+                        break
+                    prow = page[ry + y]
+                    row = rows[y]
+                    for x in range(min(rw, page_w - rx)):
+                        prow[rx + x] |= row[x]
+            elif t in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+                raise Jbig2Error(f"JBIG2 segment type {t} unsupported "
+                                 "(symbol/text/halftone/refinement profile)")
+            # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52-53
+            # extensions: nothing to do
+    if page is None:
+        raise Jbig2Error("no page in JBIG2 stream")
+    return page_w, page_h, [bytes(r) for r in page]
+
+
+def jbig2_encode_embedded(rows: list[bytes], w: int, h: int) -> bytes:
+    """Fixture/round-trip producer: page info + one immediate lossless
+    generic region (template 0, nominal AT) + end-of-page, as a PDF
+    /JBIG2Decode stream (no file header)."""
+    def seg(number: int, seg_type: int, page: int, body: bytes) -> bytes:
+        head = number.to_bytes(4, "big") + bytes([seg_type & 0x3F, 0x00])
+        head += bytes([page]) + len(body).to_bytes(4, "big")
+        return head + body
+
+    page_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0x01]) + (0).to_bytes(2, "big")
+    )
+    region_info = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+    )
+    at = bytes([3 & 0xFF, 0xFF, (-3) & 0xFF, 0xFF, 2 & 0xFF, 0xFE, (-2) & 0xFF, 0xFE])
+    gflags = bytes([0x00])  # arithmetic, template 0, no TPGDON
+    body = region_info + gflags + at + generic_region_encode(rows, w, h)
+    return (
+        seg(0, 48, 1, page_info)
+        + seg(1, 39, 1, body)
+        + seg(2, 49, 1, b"")
+    )

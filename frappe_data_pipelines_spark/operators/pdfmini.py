@@ -1395,8 +1395,48 @@ def _pdf_page_images_impl(payload: bytes) -> list[tuple[int, int, int, list[byte
             is_ccitt = any(
                 str(doc.resolve(f)) in ("CCITTFaxDecode", "CCF") for f in flist
             )
-            if bpc != 8 and not (indexed and bpc in (1, 2, 4)) and not (is_ccitt and bpc == 1):
+            is_jbig2 = any(str(doc.resolve(f)) == "JBIG2Decode" for f in flist)
+            if (
+                bpc != 8
+                and not (indexed and bpc in (1, 2, 4))
+                and not ((is_ccitt or is_jbig2) and bpc == 1)
+            ):
                 raise PdfParseError(f"unsupported image depth {bpc}")
+            if is_jbig2:
+                from frappe_data_pipelines_spark.operators.jbig2mini import (
+                    Jbig2Error,
+                    jbig2_decode_embedded,
+                )
+
+                parms = doc.resolve(xdict.get("DecodeParms") or xdict.get("DP"))
+                if isinstance(parms, list):
+                    parms = next(
+                        (doc.resolve(p) for p in parms if isinstance(doc.resolve(p), dict)),
+                        {},
+                    )
+                parms = parms if isinstance(parms, dict) else {}
+                gl = b""
+                if "JBIG2Globals" in parms:
+                    gl = doc.stream_bytes(parms["JBIG2Globals"])
+                try:
+                    jw, jh, bitrows = jbig2_decode_embedded(xobj[1], gl)
+                except Jbig2Error as e:
+                    raise PdfParseError(f"JBIG2Decode: {e}") from e
+                if (jw, jh) != (width, height):
+                    raise PdfParseError("JBIG2 dims disagree with /Width /Height")
+                # JBIG2 1-bits are black; /Decode [1 0] inverts once more
+                dec_arr = doc.resolve(xdict.get("Decode"))
+                dec_inv = (
+                    isinstance(dec_arr, list)
+                    and len(dec_arr) >= 2
+                    and float(doc.resolve(dec_arr[0])) == 1.0
+                )
+                blk = 255 if dec_inv else 0
+                rows = [
+                    bytes(blk if px else 255 - blk for px in r) for r in bitrows
+                ]
+                images.append((jw, jh, 1, rows))
+                continue
             if any(str(doc.resolve(f)) in ("DCTDecode", "DCT") for f in flist):
                 from frappe_data_pipelines_spark.operators.jpegmini import (
                     JpegError,

@@ -1,0 +1,124 @@
+"""JBIG2 kernel (operators/jbig2mini.py): MQ coder round-trips under fuzz,
+generic-region and embedded-segment round-trips, profile/truncation
+refusal, and the full PDF /JBIG2Decode → OCR chain."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from frappe_data_pipelines_spark.operators.jbig2mini import (
+    Jbig2Error,
+    MQDecoder,
+    MQEncoder,
+    generic_region_decode,
+    generic_region_encode,
+    jbig2_decode_embedded,
+    jbig2_encode_embedded,
+)
+
+
+def _mq_roundtrip(bits, n_ctx=8):
+    enc = MQEncoder()
+    cxs = [[0, 0] for _ in range(n_ctx)]
+    for ctx, b in bits:
+        enc.encode(cxs[ctx], b)
+    data = enc.flush()
+    dec = MQDecoder(data)
+    cxs2 = [[0, 0] for _ in range(n_ctx)]
+    return all(dec.decode(cxs2[ctx]) == b for ctx, b in bits)
+
+
+class TestMQCoder:
+    def test_fuzz_biased_streams(self):
+        rng = random.Random(1)
+        for _ in range(500):
+            n = rng.randrange(1, 500)
+            p = rng.choice([0.0, 0.01, 0.1, 0.5, 0.9, 0.99, 1.0])
+            bits = [(rng.randrange(8), 1 if rng.random() < p else 0) for _ in range(n)]
+            assert _mq_roundtrip(bits)
+
+    def test_single_bits(self):
+        assert _mq_roundtrip([(0, 0)])
+        assert _mq_roundtrip([(0, 1)])
+
+    def test_stuffing_survives_long_mps_runs(self):
+        # long deterministic runs drive Qe to its smallest states and
+        # produce 0xFF-dense output — the stuffing path
+        bits = [(0, 1)] * 5000
+        assert _mq_roundtrip(bits)
+
+
+class TestGenericRegion:
+    def test_random_bitmaps(self):
+        rng = random.Random(2)
+        for _ in range(5):
+            w, h = rng.randrange(3, 50), rng.randrange(2, 30)
+            rows = [bytes(rng.randrange(2) for _ in range(w)) for _ in range(h)]
+            assert generic_region_decode(generic_region_encode(rows, w, h), w, h) == rows
+
+    def test_textlike_compresses(self):
+        w, h = 120, 40
+        rows = [
+            bytes(1 if (y % 7 < 3 and (x // 6) % 3 == 0) else 0 for x in range(w))
+            for y in range(h)
+        ]
+        data = generic_region_encode(rows, w, h)
+        assert generic_region_decode(data, w, h) == rows
+        assert len(data) < w * h // 8  # beats raw packing
+
+    def test_all_white_and_all_black(self):
+        for v in (0, 1):
+            rows = [bytes([v]) * 33] * 9
+            assert generic_region_decode(generic_region_encode(rows, 33, 9), 33, 9) == rows
+
+
+class TestEmbeddedSegments:
+    def test_roundtrip(self):
+        w, h = 90, 30
+        rows = [
+            bytes(1 if (y % 5 < 2 and (x // 4) % 3 == 0) else 0 for x in range(w))
+            for y in range(h)
+        ]
+        gw, gh, got = jbig2_decode_embedded(jbig2_encode_embedded(rows, w, h))
+        assert (gw, gh, got) == (w, h, rows)
+
+    def test_symbol_profile_refused(self):
+        # a symbol-dictionary segment header (type 0) must refuse loudly
+        head = (0).to_bytes(4, "big") + bytes([0x00, 0x00, 0x01]) + (4).to_bytes(4, "big")
+        with pytest.raises(Jbig2Error, match="symbol"):
+            jbig2_decode_embedded(head + b"\x00\x00\x00\x00")
+
+    def test_truncated_refused(self):
+        data = jbig2_encode_embedded([bytes([1, 0, 1])] * 3, 3, 3)
+        with pytest.raises(Jbig2Error):
+            jbig2_decode_embedded(data[:7])
+
+    def test_mmr_flag_refused(self):
+        w = h = 4
+        region_info = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+        )
+        body = region_info + bytes([0x01]) + b"\x00" * 8
+        seg = (0).to_bytes(4, "big") + bytes([39, 0x00, 0x01]) + len(body).to_bytes(4, "big") + body
+        with pytest.raises(Jbig2Error, match="MMR"):
+            jbig2_decode_embedded(seg)
+
+
+def test_jbig2_scanned_pdf_through_ocr():
+    """Full A10 chain: /JBIG2Decode page raster → bitmap OCR → exact text."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jbig2.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+    assert conf == 1.0

@@ -352,6 +352,8 @@ def main() -> None:
     _write_if_missing("sample_cff.pdf.txt", CFF_TEXT)
     _write_if_missing("sample_scanned_g4.pdf", make_scanned_g4_pdf())
     _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
+    _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -687,6 +689,22 @@ def make_scanned_g4_pdf() -> bytes:
     data = g4_encode(bitrows, w)
     extra = b"/DecodeParms<</K -1/Columns %d/Rows %d>>" % (w, h)
     return _scanned_pdf_from_image(w, h, data, b"CCITTFaxDecode", bpc=1, extra=extra)
+
+
+def make_scanned_jbig2_pdf() -> bytes:
+    """JBIG2 (arithmetic generic region, template 0) scanned page — the
+    encoding modern B/W scanner pipelines embed; 1-bit DeviceGray,
+    PDF-embedded segment stream (page info + immediate lossless generic
+    region)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_embedded,
+    )
+
+    w, h, rows = _scanned_raster()
+    bitrows = [bytes(1 if b < 128 else 0 for b in r) for r in rows]
+    data = jbig2_encode_embedded(bitrows, w, h)
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 
 if __name__ == "__main__":
