@@ -8,8 +8,8 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   table, BYTEIN/BYTEOUT with 0xFF stuffing, INITDEC/INITENC, FLUSH) — both
   directions, so fixtures and round-trip fuzzing need no external encoder;
 * **generic region** decoding/encoding, GBTEMPLATE 0, nominal AT pixels,
-  MMR off, TPGDON off — the profile a plain arithmetic JBIG2 encoder emits
-  for a generic bitmap region;
+  MMR off, TPGDON supported (typical-prediction row copies — the mode real
+  encoders enable by default);
 * the **PDF-embedded segment stream** (no file header): segment headers
   (type, referred-segment bytes, page association, data length), page-info
   and immediate-generic-region segments; other segment types are skipped.
@@ -218,12 +218,23 @@ def _context(rows: list[bytearray], x: int, y: int, w: int) -> int:
     return ctx
 
 
-def generic_region_decode(data: bytes, w: int, h: int) -> list[bytes]:
-    """MQ data → rows of 0/1 bytes (template 0)."""
+# SLTP (typical-prediction) pseudo-pixel context for GBTEMPLATE 0 — shares
+# the pixel context space by design (T.89 6.2.5.7)
+_SLTP_CTX0 = 0x9B25
+
+
+def generic_region_decode(data: bytes, w: int, h: int, tpgdon: bool = False) -> list[bytes]:
+    """MQ data → rows of 0/1 bytes (template 0, optional TPGDON)."""
     mq = MQDecoder(data)
     cxs = [[0, 0] for _ in range(1 << 16)]
     rows: list[bytearray] = []
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            ltp ^= mq.decode(cxs[_SLTP_CTX0])
+            if ltp:  # typical row: copy the previous one, no pixel decode
+                rows.append(bytearray(rows[y - 1]) if y else bytearray(w))
+                continue
         row = bytearray(w)
         rows.append(row)
         for x in range(w):
@@ -231,13 +242,23 @@ def generic_region_decode(data: bytes, w: int, h: int) -> list[bytes]:
     return [bytes(r) for r in rows]
 
 
-def generic_region_encode(rows: list[bytes], w: int, h: int) -> bytes:
+def generic_region_encode(rows: list[bytes], w: int, h: int, tpgdon: bool = False) -> bytes:
     mq = MQEncoder()
     cxs = [[0, 0] for _ in range(1 << 16)]
     built: list[bytearray] = []
+    ltp = 0
     for y in range(h):
         row = bytearray(rows[y][:w])
-        built.append(row)
+        if tpgdon:
+            typical = y > 0 and row == built[y - 1] or (y == 0 and not any(row))
+            # y==0 typical only if all-zero (the implicit row above is blank)
+            mq.encode(cxs[_SLTP_CTX0], (ltp ^ typical) & 1)
+            ltp = 1 if typical else 0
+            built.append(row)
+            if typical:
+                continue
+        else:
+            built.append(row)
         for x in range(w):
             mq.encode(cxs[_context(built, x, y, w)], row[x] & 1)
     return mq.flush()
@@ -313,10 +334,10 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 template = (gflags >> 1) & 0x03
                 if template != 0:
                     raise Jbig2Error(f"GBTEMPLATE {template} unsupported")
-                if gflags & 0x08:
-                    raise Jbig2Error("TPGDON unsupported")
                 at_end = 18 + 8  # four signed AT pairs (template 0)
-                rows = generic_region_decode(body[at_end:], rw, rh)
+                rows = generic_region_decode(
+                    body[at_end:], rw, rh, tpgdon=bool(gflags & 0x08)
+                )
                 if page is None:
                     page_w, page_h = rx + rw, ry + rh
                     page = [bytearray(page_w) for _ in range(page_h)]
@@ -337,10 +358,13 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
     return page_w, page_h, [bytes(r) for r in page]
 
 
-def jbig2_encode_embedded(rows: list[bytes], w: int, h: int) -> bytes:
+def jbig2_encode_embedded(
+    rows: list[bytes], w: int, h: int, tpgdon: bool = True
+) -> bytes:
     """Fixture/round-trip producer: page info + one immediate lossless
-    generic region (template 0, nominal AT) + end-of-page, as a PDF
-    /JBIG2Decode stream (no file header)."""
+    generic region (template 0, nominal AT, TPGDON by default — the mode
+    real encoders ship) + end-of-page, as a PDF /JBIG2Decode stream (no
+    file header)."""
     def seg(number: int, seg_type: int, page: int, body: bytes) -> bytes:
         head = number.to_bytes(4, "big") + bytes([seg_type & 0x3F, 0x00])
         head += bytes([page]) + len(body).to_bytes(4, "big")
@@ -356,8 +380,8 @@ def jbig2_encode_embedded(rows: list[bytes], w: int, h: int) -> bytes:
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
     at = bytes([3 & 0xFF, 0xFF, (-3) & 0xFF, 0xFF, 2 & 0xFF, 0xFE, (-2) & 0xFF, 0xFE])
-    gflags = bytes([0x00])  # arithmetic, template 0, no TPGDON
-    body = region_info + gflags + at + generic_region_encode(rows, w, h)
+    gflags = bytes([0x08 if tpgdon else 0x00])  # arithmetic, template 0
+    body = region_info + gflags + at + generic_region_encode(rows, w, h, tpgdon=tpgdon)
     return (
         seg(0, 48, 1, page_info)
         + seg(1, 39, 1, body)

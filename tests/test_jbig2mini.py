@@ -122,3 +122,28 @@ def test_jbig2_scanned_pdf_through_ocr():
     text, conf = pdf_ocr_scanned(data)
     assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
     assert conf == 1.0
+
+
+class TestTpgdon:
+    def test_roundtrip_with_repeated_rows(self):
+        w, h = 64, 24
+        base = bytes(1 if (x // 5) % 2 == 0 else 0 for x in range(w))
+        rows = [base if y % 6 < 4 else bytes(w) for y in range(h)]
+        plain = generic_region_encode(rows, w, h, tpgdon=False)
+        tp = generic_region_encode(rows, w, h, tpgdon=True)
+        assert generic_region_decode(plain, w, h, tpgdon=False) == rows
+        assert generic_region_decode(tp, w, h, tpgdon=True) == rows
+        assert len(tp) < len(plain)  # typical rows cost one SLTP bit
+
+    def test_embedded_flag_round_trip_both_modes(self):
+        rows = [bytes([1, 0, 1, 1, 0])] * 7
+        for tp in (False, True):
+            gw, gh, got = jbig2_decode_embedded(
+                jbig2_encode_embedded(rows, 5, 7, tpgdon=tp)
+            )
+            assert (gw, gh, got) == (5, 7, rows)
+
+    def test_leading_blank_rows_typical(self):
+        rows = [bytes(9)] * 4 + [bytes([1] * 9)] * 2
+        data = jbig2_encode_embedded(rows, 9, 6, tpgdon=True)
+        assert jbig2_decode_embedded(data)[2] == rows
