@@ -7,9 +7,9 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
 * the **MQ arithmetic coder** (T.88 Annex E software conventions: Qe state
   table, BYTEIN/BYTEOUT with 0xFF stuffing, INITDEC/INITENC, FLUSH) — both
   directions, so fixtures and round-trip fuzzing need no external encoder;
-* **generic region** decoding/encoding, GBTEMPLATE 0, nominal AT pixels,
-  MMR off, TPGDON supported (typical-prediction row copies — the mode real
-  encoders enable by default);
+* **generic region** decoding/encoding, GBTEMPLATEs 0-3, nominal AT
+  pixels, MMR off, TPGDON supported (typical-prediction row copies — the
+  mode real encoders enable by default);
 * the **PDF-embedded segment stream** (no file header): segment headers
   (type, referred-segment bytes, page association, data length), page-info
   and immediate-generic-region segments; other segment types are skipped.
@@ -199,52 +199,73 @@ class MQEncoder:
         return bytes(self.out[1:]) + b"\xff\xac"  # drop dummy; MQ terminator
 
 
-# -- generic region (GBTEMPLATE 0, nominal AT, no TPGDON) --------------------
+# -- generic regions (GBTEMPLATE 0-3, nominal AT) -----------------------------
 
-# template pixels in raster order (dy, dx); AT1..AT4 at nominal positions
-_TEMPLATE0 = [
-    (-2, -2), (-2, -1), (-2, 0), (-2, 1), (-2, 2),   # row y-2 incl. A4, A3
-    (-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (-1, 3),  # incl. A2, A1
-    (0, -4), (0, -3), (0, -2), (0, -1),              # current row
-]
+# template pixels in raster order (dy, dx), AT pixels at nominal positions
+_TEMPLATES = {
+    0: [
+        (-2, -2), (-2, -1), (-2, 0), (-2, 1), (-2, 2),   # row y-2 incl. A4, A3
+        (-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (-1, 3),  # A2, A1
+        (0, -4), (0, -3), (0, -2), (0, -1),
+    ],
+    1: [
+        (-2, -1), (-2, 0), (-2, 1), (-2, 2),
+        (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (-1, 3),  # incl. A1
+        (0, -3), (0, -2), (0, -1),
+    ],
+    2: [
+        (-2, -1), (-2, 0), (-2, 1),
+        (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),  # incl. A1
+        (0, -2), (0, -1),
+    ],
+    3: [
+        (-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),  # incl. A1
+        (0, -4), (0, -3), (0, -2), (0, -1),
+    ],
+}
+# SLTP pseudo-pixel contexts per template (T.89 6.2.5.7)
+_SLTP_CTXS = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+# AT pixel pairs carried in the segment per template
+_N_AT = {0: 4, 1: 1, 2: 1, 3: 1}
 
 
-def _context(rows: list[bytearray], x: int, y: int, w: int) -> int:
+def _context(rows: list[bytearray], x: int, y: int, w: int, template: int = 0) -> int:
     ctx = 0
-    for dy, dx in _TEMPLATE0:
+    for dy, dx in _TEMPLATES[template]:
         yy, xx = y + dy, x + dx
         bit = rows[yy][xx] if 0 <= yy and 0 <= xx < w else 0
         ctx = (ctx << 1) | bit
     return ctx
 
 
-# SLTP (typical-prediction) pseudo-pixel context for GBTEMPLATE 0 — shares
-# the pixel context space by design (T.89 6.2.5.7)
-_SLTP_CTX0 = 0x9B25
-
-
-def generic_region_decode(data: bytes, w: int, h: int, tpgdon: bool = False) -> list[bytes]:
-    """MQ data → rows of 0/1 bytes (template 0, optional TPGDON)."""
+def generic_region_decode(
+    data: bytes, w: int, h: int, tpgdon: bool = False, template: int = 0
+) -> list[bytes]:
+    """MQ data → rows of 0/1 bytes (templates 0-3, optional TPGDON)."""
     mq = MQDecoder(data)
-    cxs = [[0, 0] for _ in range(1 << 16)]
+    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    sltp_ctx = _SLTP_CTXS[template]
     rows: list[bytearray] = []
     ltp = 0
     for y in range(h):
         if tpgdon:
-            ltp ^= mq.decode(cxs[_SLTP_CTX0])
+            ltp ^= mq.decode(cxs[sltp_ctx])
             if ltp:  # typical row: copy the previous one, no pixel decode
                 rows.append(bytearray(rows[y - 1]) if y else bytearray(w))
                 continue
         row = bytearray(w)
         rows.append(row)
         for x in range(w):
-            row[x] = mq.decode(cxs[_context(rows, x, y, w)])
+            row[x] = mq.decode(cxs[_context(rows, x, y, w, template)])
     return [bytes(r) for r in rows]
 
 
-def generic_region_encode(rows: list[bytes], w: int, h: int, tpgdon: bool = False) -> bytes:
+def generic_region_encode(
+    rows: list[bytes], w: int, h: int, tpgdon: bool = False, template: int = 0
+) -> bytes:
     mq = MQEncoder()
-    cxs = [[0, 0] for _ in range(1 << 16)]
+    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    sltp_ctx = _SLTP_CTXS[template]
     built: list[bytearray] = []
     ltp = 0
     for y in range(h):
@@ -252,7 +273,7 @@ def generic_region_encode(rows: list[bytes], w: int, h: int, tpgdon: bool = Fals
         if tpgdon:
             typical = y > 0 and row == built[y - 1] or (y == 0 and not any(row))
             # y==0 typical only if all-zero (the implicit row above is blank)
-            mq.encode(cxs[_SLTP_CTX0], (ltp ^ typical) & 1)
+            mq.encode(cxs[sltp_ctx], (ltp ^ typical) & 1)
             ltp = 1 if typical else 0
             built.append(row)
             if typical:
@@ -260,7 +281,7 @@ def generic_region_encode(rows: list[bytes], w: int, h: int, tpgdon: bool = Fals
         else:
             built.append(row)
         for x in range(w):
-            mq.encode(cxs[_context(built, x, y, w)], row[x] & 1)
+            mq.encode(cxs[_context(built, x, y, w, template)], row[x] & 1)
     return mq.flush()
 
 
@@ -332,11 +353,10 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 if gflags & 0x01:
                     raise Jbig2Error("MMR-coded generic region unsupported")
                 template = (gflags >> 1) & 0x03
-                if template != 0:
-                    raise Jbig2Error(f"GBTEMPLATE {template} unsupported")
-                at_end = 18 + 8  # four signed AT pairs (template 0)
+                at_end = 18 + 2 * _N_AT[template]  # signed AT pairs
                 rows = generic_region_decode(
-                    body[at_end:], rw, rh, tpgdon=bool(gflags & 0x08)
+                    body[at_end:], rw, rh,
+                    tpgdon=bool(gflags & 0x08), template=template,
                 )
                 if page is None:
                     page_w, page_h = rx + rw, ry + rh
@@ -359,7 +379,7 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
 
 
 def jbig2_encode_embedded(
-    rows: list[bytes], w: int, h: int, tpgdon: bool = True
+    rows: list[bytes], w: int, h: int, tpgdon: bool = True, template: int = 0
 ) -> bytes:
     """Fixture/round-trip producer: page info + one immediate lossless
     generic region (template 0, nominal AT, TPGDON by default — the mode
@@ -379,9 +399,12 @@ def jbig2_encode_embedded(
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
-    at = bytes([3 & 0xFF, 0xFF, (-3) & 0xFF, 0xFF, 2 & 0xFF, 0xFE, (-2) & 0xFF, 0xFE])
-    gflags = bytes([0x08 if tpgdon else 0x00])  # arithmetic, template 0
-    body = region_info + gflags + at + generic_region_encode(rows, w, h, tpgdon=tpgdon)
+    at_all = bytes([3 & 0xFF, 0xFF, (-3) & 0xFF, 0xFF, 2 & 0xFF, 0xFE, (-2) & 0xFF, 0xFE])
+    at = at_all[: 2 * _N_AT[template]]
+    gflags = bytes([(0x08 if tpgdon else 0x00) | (template << 1)])
+    body = region_info + gflags + at + generic_region_encode(
+        rows, w, h, tpgdon=tpgdon, template=template
+    )
     return (
         seg(0, 48, 1, page_info)
         + seg(1, 39, 1, body)

@@ -147,3 +147,25 @@ class TestTpgdon:
         rows = [bytes(9)] * 4 + [bytes([1] * 9)] * 2
         data = jbig2_encode_embedded(rows, 9, 6, tpgdon=True)
         assert jbig2_decode_embedded(data)[2] == rows
+
+
+class TestTemplates123:
+    def test_all_templates_roundtrip_embedded(self):
+        w, h = 70, 22
+        rows = [
+            bytes(1 if (y % 4 < 2 and (x // 3) % 2 == 0) else 0 for x in range(w))
+            for y in range(h)
+        ]
+        for template in (0, 1, 2, 3):
+            for tp in (False, True):
+                data = jbig2_encode_embedded(rows, w, h, tpgdon=tp, template=template)
+                gw, gh, got = jbig2_decode_embedded(data)
+                assert (gw, gh, got) == (w, h, rows), (template, tp)
+
+    def test_random_bitmaps_per_template(self):
+        rng = random.Random(8)
+        for template in (1, 2, 3):
+            w, h = rng.randrange(5, 40), rng.randrange(3, 20)
+            rows = [bytes(rng.randrange(2) for _ in range(w)) for _ in range(h)]
+            data = generic_region_encode(rows, w, h, template=template)
+            assert generic_region_decode(data, w, h, template=template) == rows
