@@ -50,13 +50,13 @@ def url_normalize_expr(url: Column) -> Column:
         (F.length(path) > 1) & path.endswith("/"),
         F.substring(path, 1, F.length(path) - 1),
     ).otherwise(path)
-    params = F.filter(
-        F.split(p["query"], "&"),
-        lambda kv: (kv != "")
-        & ~kv.startswith("utm_")
-        & ~kv.startswith("gclid")
-        & ~kv.startswith("fbclid"),
-    )
+    def _keep(kv: Column) -> Column:
+        cond = kv != ""
+        for prefix in TRACKING_PREFIXES:  # single source of truth
+            cond = cond & ~kv.startswith(prefix)
+        return cond
+
+    params = F.filter(F.split(p["query"], "&"), _keep)
     sorted_q = F.array_join(F.array_sort(params), "&")
     return F.concat(
         scheme,

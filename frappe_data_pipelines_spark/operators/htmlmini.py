@@ -41,7 +41,7 @@ BLOCK_TAGS = {
     "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
     "td", "th", "tr", "table", "pre", "blockquote", "article", "section",
     "main", "nav", "header", "footer", "aside", "form", "figcaption",
-    "dd", "dt", "body",
+    "dd", "dt", "body", "menu",
 }
 # Semantic boilerplate containers: anything inside is chrome, not content.
 BOILER_CONTAINERS = {"nav", "header", "footer", "aside", "form", "menu"}

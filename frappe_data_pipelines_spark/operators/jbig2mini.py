@@ -341,7 +341,8 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 page_h = int.from_bytes(body[4:8], "big")
                 if page_h == 0xFFFFFFFF:
                     raise Jbig2Error("striped unknown-height pages unsupported")
-                page = [bytearray(page_w) for _ in range(page_h)]
+                default_px = (body[16] >> 2) & 1 if len(body) > 16 else 0
+                page = [bytearray([default_px]) * page_w for _ in range(page_h)]
             elif t in _GENERIC_TYPES:
                 if len(body) < 18:
                     raise Jbig2Error("truncated generic region")
@@ -349,6 +350,7 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 rh = int.from_bytes(body[4:8], "big")
                 rx = int.from_bytes(body[8:12], "big")
                 ry = int.from_bytes(body[12:16], "big")
+                comb_op = body[16] & 0x07  # external combination operator
                 gflags = body[17]
                 if gflags & 0x01:
                     raise Jbig2Error("MMR-coded generic region unsupported")
@@ -367,7 +369,18 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                     prow = page[ry + y]
                     row = rows[y]
                     for x in range(min(rw, page_w - rx)):
-                        prow[rx + x] |= row[x]
+                        p = prow[rx + x]
+                        b = row[x]
+                        if comb_op == 0:  # OR
+                            prow[rx + x] = p | b
+                        elif comb_op == 1:  # AND
+                            prow[rx + x] = p & b
+                        elif comb_op == 2:  # XOR
+                            prow[rx + x] = p ^ b
+                        elif comb_op == 3:  # XNOR
+                            prow[rx + x] = 1 - (p ^ b)
+                        else:  # REPLACE
+                            prow[rx + x] = b
             elif t in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
                 raise Jbig2Error(f"JBIG2 segment type {t} unsupported "
                                  "(symbol/text/halftone/refinement profile)")

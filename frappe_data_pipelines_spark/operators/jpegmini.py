@@ -185,6 +185,36 @@ class _BitReader:
         self.acc = 0
 
 
+def _parse_dqt(body: bytes, quant: dict[int, list[int]]) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        i += 1
+        if pq != 0:
+            raise JpegError("16-bit quant tables unsupported")
+        zz = list(body[i : i + 64])
+        i += 64
+        if len(zz) < 64:
+            raise JpegError("truncated DQT segment")
+        tbl = [0] * 64
+        for k in range(64):
+            tbl[_ZIGZAG[k]] = zz[k]
+        quant[tq] = tbl
+
+
+def _parse_dht(body: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1 : i + 17])
+        nvals = sum(bits)
+        vals = list(body[i + 17 : i + 17 + nvals])
+        if len(bits) < 16 or len(vals) < nvals:
+            raise JpegError("truncated DHT segment")
+        (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+        i += 17 + nvals
+
+
 def _huff_category(value: int) -> tuple[int, int]:
     """(size, amplitude-bits) for a DC diff / AC coefficient."""
     if value == 0:
@@ -401,8 +431,20 @@ def jpeg_encode_rgb420(rows_rgb: list[bytes], quality: int = 90) -> bytes:
 
 
 def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """Decode a baseline JPEG to (width, height, gray rows). Multi-component
-    images must be 1×1-sampled (4:4:4); luma is returned."""
+    """Decode a baseline or progressive JPEG to (width, height, gray rows).
+
+    Totality boundary (same contract as pdfmini's public entry points): any
+    structurally malformed stream raises ``JpegError`` — never a bare
+    IndexError/ValueError/KeyError from a truncated segment."""
+    try:
+        return _jpeg_decode_gray_impl(payload)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, KeyError, ZeroDivisionError, OverflowError) as e:
+        raise JpegError(f"malformed JPEG: {e}") from e
+
+
+def _jpeg_decode_gray_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     pos = 2
@@ -427,18 +469,7 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
         length = int.from_bytes(payload[pos : pos + 2], "big")
         body = payload[pos + 2 : pos + length]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                zz = list(body[i : i + 64])
-                i += 64
-                tbl = [0] * 64
-                for k in range(64):
-                    tbl[_ZIGZAG[k]] = zz[k]
-                quant[tq] = tbl
+            _parse_dqt(body, quant)
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -454,24 +485,21 @@ def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
         elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise JpegError(f"non-baseline SOF 0x{marker:02x}")
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1 : i + 17])
-                nvals = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nvals])
-                if len(bits) < 16 or len(vals) < nvals:
-                    raise JpegError("truncated DHT segment")
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
-                i += 17 + nvals
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise JpegError("truncated SOS header")
             ns = body[0]
             scan_comps = []
             for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise JpegError(f"SOS names unknown component {cid}")
+                if (tabs >> 4) not in huff_dc or (tabs & 0x0F) not in huff_ac:
+                    raise JpegError("SOS references undefined Huffman table")
                 scan_comps.append(
                     {**comp, "dc": huff_dc[tabs >> 4], "ac": huff_ac[tabs & 0x0F]}
                 )
@@ -725,18 +753,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
         length = int.from_bytes(payload[pos : pos + 2], "big")
         body = payload[pos + 2 : pos + length]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                i += 1
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                zz = list(body[i : i + 64])
-                i += 64
-                tbl = [0] * 64
-                for k in range(64):
-                    tbl[_ZIGZAG[k]] = zz[k]
-                quant[tq] = tbl
+            _parse_dqt(body, quant)
         elif marker == 0xC2:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -766,26 +783,22 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
                     ]
                 )
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1 : i + 17])
-                nvals = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nvals])
-                if len(bits) < 16 or len(vals) < nvals:
-                    raise JpegError("truncated DHT segment")
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
-                i += 17 + nvals
+            _parse_dht(body, huff_dc, huff_ac)
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             if not comps:
                 raise JpegError("SOS before SOF2")
+            if not body or len(body) < 4 + 2 * body[0]:
+                raise JpegError("truncated SOS header")
             ns = body[0]
             scan = []
             for ci in range(ns):
                 cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
-                comp = dict(next(c for c in comps if c["id"] == cid))
+                base = next((c for c in comps if c["id"] == cid), None)
+                if base is None:
+                    raise JpegError(f"SOS names unknown component {cid}")
+                comp = dict(base)
                 comp["dc"] = huff_dc.get(tabs >> 4)
                 comp["ac"] = huff_ac.get(tabs & 0x0F)
                 scan.append(comp)
@@ -793,7 +806,6 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             r = _BitReader(payload, pos + length)
             try:
-                _run_prog_scan = True
                 if ss == 0:
                     if se != 0:
                         raise JpegError("DC scan must have Se=0")
@@ -815,6 +827,8 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
                         _prog_ac_refine(r, scan[0], coefs, ss, se, al, restart_interval)
             except IndexError as e:  # _BitReader ran off the payload
                 raise JpegError("truncated progressive scan data") from e
+            except (AttributeError, TypeError) as e:  # undefined Huffman table
+                raise JpegError("scan references undefined Huffman table") from e
             pos = r.pos - (2 if r.marker is not None else 0)
             continue
         pos += length

@@ -65,10 +65,16 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             in_group_body = in_group_body or bool(agents)
     if agents:
         groups.append((agents, rules))
+    # RFC 9309 §2.2.1: ALL groups naming the most specific matching agent
+    # merge into one rule set (sites commonly repeat "User-agent: *")
     for want in (agent.lower(), "*"):
-        for group_agents, group_rules in groups:
-            if want in group_agents:
-                return group_rules
+        merged = [
+            r for group_agents, group_rules in groups
+            if want in group_agents
+            for r in group_rules
+        ]
+        if any(want in group_agents for group_agents, _ in groups):
+            return merged
     return []
 
 
@@ -107,31 +113,32 @@ def robots_rules(robots_df: DataFrame, host_col: str = "host",
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   host_col: str = "host", path_col: str = "path") -> DataFrame:
     """Annotate every URL row with ``allowed``: longest matching prefix
-    rule wins, Allow wins ties, no match → allowed. The rules side is
-    broadcast (it is the per-host dimension); the per-URL top-1 uses a
-    max_by over (prefix length, allow) — a partial-aggregable reduction,
-    not a window sort, so the fact side shuffles once at most."""
-    from pyspark.sql import Window
+    rule wins, Allow wins ties, no match → allowed.
 
-    u = urls.withColumn("__uid", F.monotonically_increasing_id())
-    m = (
-        u.join(F.broadcast(rules), [host_col], "left")
-        .withColumn(
-            "__match",
-            F.col("prefix").isNotNull() & F.col(path_col).startswith(F.col("prefix")),
-        )
+    A verdict is a pure function of (host, path), so it is computed once
+    per DISTINCT pair — broadcast-join the per-host rules dimension,
+    reduce with ``max_by`` over (match length, allow) (partial-aggregable,
+    no window sort, no synthetic row ids), then join the verdicts back to
+    the fact side. Duplicate URLs across the corpus pay the rule scan
+    once."""
+    pairs = urls.select(host_col, path_col).distinct()
+    m = pairs.join(F.broadcast(rules), [host_col], "left").withColumn(
+        "__match",
+        F.col("prefix").isNotNull() & F.col(path_col).startswith(F.col("prefix")),
     )
-    w = Window.partitionBy("__uid").orderBy(
-        F.when(F.col("__match"), F.length("prefix")).otherwise(-1).desc(),
-        F.col("allow").desc_nulls_last(),
+    verdicts = m.groupBy(host_col, path_col).agg(
+        F.coalesce(
+            F.max_by(
+                # verdict of the best rule (NULL when that rule is no match)
+                F.when(F.col("__match"), F.col("allow")),
+                F.struct(
+                    F.when(F.col("__match"), F.length("prefix"))
+                    .otherwise(F.lit(-1))
+                    .alias("l"),
+                    F.coalesce(F.col("allow"), F.lit(False)).alias("a"),
+                ),
+            ),
+            F.lit(True),  # no matching rule → allowed
+        ).alias("allowed")
     )
-    best = (
-        m.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn(
-            "allowed",
-            F.when(F.col("__match"), F.col("allow")).otherwise(F.lit(True)),
-        )
-        .drop("__rn", "__match", "allow", "prefix", "__uid")
-    )
-    return best
+    return urls.join(verdicts, [host_col, path_col])

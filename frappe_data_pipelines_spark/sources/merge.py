@@ -597,10 +597,9 @@ def merge_into(
         if schema_mode == "merge":
             txn_confs["spark.databricks.delta.schema.autoMerge.enabled"] = "true"
         if app_id is not None and batch_id is not None:
-            txn_confs = {
-                "spark.databricks.delta.write.txnAppId": app_id,
-                "spark.databricks.delta.write.txnVersion": str(batch_id),
-            }
+            # update, never reassign — schema autoMerge may already be set
+            txn_confs["spark.databricks.delta.write.txnAppId"] = app_id
+            txn_confs["spark.databricks.delta.write.txnVersion"] = str(batch_id)
         saved = {k: spark.conf.get(k, None) for k in txn_confs}
         try:
             for k, v in txn_confs.items():

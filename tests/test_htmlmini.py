@@ -211,6 +211,16 @@ class TestRobots:
 
         assert parse_robots("User-agent: other\nDisallow: /\n") == []
 
+    def test_repeated_star_groups_merge(self):
+        from frappe_data_pipelines_spark.operators.robots import parse_robots
+
+        txt = (
+            "User-agent: *\nDisallow: /private/\n\n"
+            "User-agent: googlebot\nDisallow: /nogoog/\n\n"
+            "User-agent: *\nDisallow: /secret/\n"
+        )
+        assert parse_robots(txt) == [(False, "/private/"), (False, "/secret/")]
+
     def test_filter_longest_match_semantics(self, spark):
         from frappe_data_pipelines_spark.operators.robots import (
             robots_filter,
@@ -258,3 +268,14 @@ class TestParserFuzz:
         for _ in range(200):
             soup = "".join(rng.choice(frags) for _ in range(rng.randrange(1, 40)))
             parse_blocks(soup)  # must not raise
+
+
+class TestMenuBoundary:
+    def test_menu_flushes_surrounding_content(self):
+        # <menu> must delimit blocks like every other boiler container:
+        # content before it survives, menu items drop, tail text survives
+        long_pre = "a real content sentence long enough to clear the bar"
+        html = f"<p>{long_pre}<menu><li><a href='/x'>x</a></li></menu> and a trailing clause long enough to keep</p>"
+        res = extract_main(html)
+        assert long_pre in res["main_text"]
+        assert "x" not in res["main_text"].replace("clause", "")

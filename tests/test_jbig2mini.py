@@ -169,3 +169,45 @@ class TestTemplates123:
             rows = [bytes(rng.randrange(2) for _ in range(w)) for _ in range(h)]
             data = generic_region_encode(rows, w, h, template=template)
             assert generic_region_decode(data, w, h, template=template) == rows
+
+
+class TestPageComposition:
+    @staticmethod
+    def _stream(rows, w, h, page_flags, comb_op):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            generic_region_encode,
+        )
+
+        def seg(number, seg_type, body):
+            return (number.to_bytes(4, "big") + bytes([seg_type & 0x3F, 0x00, 0x01])
+                    + len(body).to_bytes(4, "big") + body)
+
+        page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                     + bytes(8) + bytes([page_flags]) + bytes(2))
+        region_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                       + bytes(8) + bytes([comb_op]))
+        at = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
+        body = region_info + bytes([0x00]) + at + generic_region_encode(rows, w, h)
+        return seg(0, 48, page_info) + seg(1, 39, body)
+
+    def test_default_black_page_with_and(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+        )
+
+        w, h = 8, 4
+        # region: 1s in the left half → AND with black page keeps left half
+        rows = [bytes([1] * 4 + [0] * 4)] * h
+        data = self._stream(rows, w, h, page_flags=0x04, comb_op=1)
+        _, _, got = jbig2_decode_embedded(data)
+        assert got == rows
+
+    def test_replace_overwrites_default_black(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+        )
+
+        w, h = 6, 3
+        rows = [bytes([0, 1, 0, 1, 0, 1])] * h
+        data = self._stream(rows, w, h, page_flags=0x04, comb_op=4)
+        assert jbig2_decode_embedded(data)[2] == rows

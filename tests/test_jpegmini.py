@@ -232,3 +232,46 @@ class TestProgressive:
         data = jpeg_encode_gray_progressive([bytes([90]) * 16] * 16)
         with pytest.raises(JpegError):
             jpeg_decode_gray(data[: len(data) // 2])
+
+
+class TestMalformedTotality:
+    """Corrupt streams must raise JpegError — never StopIteration (which
+    PEP 479 turns into RuntimeError inside generators) or AttributeError."""
+
+    def test_sos_with_unknown_component(self):
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            JpegError,
+            jpeg_decode_gray,
+            jpeg_encode_gray,
+            jpeg_encode_gray_progressive,
+        )
+
+        for enc in (jpeg_encode_gray, jpeg_encode_gray_progressive):
+            data = bytearray(enc([bytes([120]) * 16] * 16))
+            # flip the component selector in the first SOS
+            i = data.find(b"\xff\xda")
+            data[i + 5] = 0x77
+            with pytest.raises(JpegError):
+                jpeg_decode_gray(bytes(data))
+
+    def test_byte_mutation_fuzz_total(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            JpegError,
+            jpeg_decode_gray,
+            jpeg_encode_gray_progressive,
+        )
+
+        base = jpeg_encode_gray_progressive([bytes([90, 40] * 8)] * 16, 80)
+        rng = random.Random(13)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jpeg_decode_gray(bytes(b))
+            except JpegError:
+                pass  # refusing is fine; any other exception is not
