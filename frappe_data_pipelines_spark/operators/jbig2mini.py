@@ -289,6 +289,12 @@ def generic_region_encode(
 
 _GENERIC_TYPES = {36, 38, 39}
 
+# Allocation guard: corrupted/adversarial dimension fields (4-byte widths) must
+# not turn into multi-gigapixel decode loops or OOM an executor — cap the page
+# and region area at 64 MPix (~8k×8k, far above any real scanned page) and
+# raise Jbig2Error beyond it, same totality contract as every other kernel.
+_MAX_PIXELS = 1 << 26
+
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
     if pos + 11 > len(data):
@@ -302,6 +308,8 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
     count = rts >> 5
     if count == 7:
         count = int.from_bytes(data[pos : pos + 4], "big") & 0x1FFFFFFF
+        if count > (len(data) - pos):  # each ref is ≥1 byte — corrupt count
+            raise Jbig2Error("referred-segment count exceeds stream size")
         pos += 4 + (count + 8) // 8  # retain bits
     else:
         pos += 1
@@ -341,6 +349,8 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 page_h = int.from_bytes(body[4:8], "big")
                 if page_h == 0xFFFFFFFF:
                     raise Jbig2Error("striped unknown-height pages unsupported")
+                if page_w * page_h > _MAX_PIXELS:
+                    raise Jbig2Error(f"page {page_w}x{page_h} exceeds pixel budget")
                 default_px = (body[16] >> 2) & 1 if len(body) > 16 else 0
                 page = [bytearray([default_px]) * page_w for _ in range(page_h)]
             elif t in _GENERIC_TYPES:
@@ -351,6 +361,8 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 rx = int.from_bytes(body[8:12], "big")
                 ry = int.from_bytes(body[12:16], "big")
                 comb_op = body[16] & 0x07  # external combination operator
+                if rw * rh > _MAX_PIXELS or (rx + rw) * (ry + rh) > _MAX_PIXELS:
+                    raise Jbig2Error(f"region {rw}x{rh}@{rx},{ry} exceeds pixel budget")
                 gflags = body[17]
                 if gflags & 0x01:
                     raise Jbig2Error("MMR-coded generic region unsupported")

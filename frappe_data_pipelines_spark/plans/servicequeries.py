@@ -204,3 +204,49 @@ def a2_csv_json_source_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "a2_orc_source_equivalence",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("A2", "source", "extension"),
+)
+def a2_orc_source_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-generic source fidelity, ORC leg (A2 dispatch over table
+    formats): documents round-trip through a REAL ORC write + read via
+    sources/tables.load_any — Spark's other built-in columnar format, with
+    its own encoder for strings — and per-lang aggregates (including a
+    UTF-8 byte-length checksum over the free text, so encoding fidelity is
+    part of the hash) must match the parquet-derived oracle. Complements
+    a2_csv_json_source_equivalence, which covers the row formats."""
+    import shutil
+    import tempfile
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+    from frappe_data_pipelines_spark.sources.tables import load_any, write_any
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="fdp_src_eq_orc_")
+    try:
+        write_any(docs, f"{tmp}/orc", fmt="orc")
+        back = load_any(spark, f"{tmp}/orc", fmt="orc")
+        out = back.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.octet_length(F.encode("text", "UTF-8"))).cast("bigint").alias("sum_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        return spark.createDataFrame(
+            collect_bounded(out, 10_000, "source-equivalence aggregates"), out.schema
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -211,3 +211,40 @@ class TestPageComposition:
         rows = [bytes([0, 1, 0, 1, 0, 1])] * h
         data = self._stream(rows, w, h, page_flags=0x04, comb_op=4)
         assert jbig2_decode_embedded(data)[2] == rows
+
+
+def test_corruption_totality(monkeypatch):
+    """Byte-mutated streams either decode to something or raise Jbig2Error —
+    never IndexError/ValueError leaks (same contract as the other kernels).
+    The pixel budget is shrunk so mutated dimension fields hit the allocation
+    guard instead of grinding through megapixel pure-Python decodes; the
+    un-mutated fixture (800 px) stays well under it."""
+    from frappe_data_pipelines_spark.operators import jbig2mini
+
+    monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+    base = jbig2_encode_embedded(
+        [bytes(1 if (x + y) % 3 == 0 else 0 for x in range(40)) for y in range(20)],
+        40, 20,
+    )
+    assert jbig2_decode_embedded(base)[0] == 40  # fixture under the test budget
+    rng = random.Random(17)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            jbig2_decode_embedded(bytes(b))
+        except Jbig2Error:
+            pass
+
+
+def test_pixel_budget_guards():
+    """Oversized page / region dimension fields raise Jbig2Error up front
+    (allocation guard) instead of looping over gigapixels."""
+    rows = [bytes([1, 0, 1, 0])] * 4
+    stream = bytearray(jbig2_encode_embedded(rows, 4, 4))
+    # page-info body starts after the 11-byte segment header: width at +0
+    stream[11:15] = (1 << 20).to_bytes(4, "big")
+    stream[15:19] = (1 << 20).to_bytes(4, "big")
+    with pytest.raises(Jbig2Error, match="pixel budget"):
+        jbig2_decode_embedded(bytes(stream))
