@@ -244,6 +244,15 @@ def generic_region_decode(
     """MQ data → rows of 0/1 bytes (templates 0-3, optional TPGDON)."""
     mq = MQDecoder(data)
     cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    return _generic_decode_into(mq, cxs, w, h, tpgdon=tpgdon, template=template)
+
+
+def _generic_decode_into(
+    mq: MQDecoder, cxs: list, w: int, h: int, tpgdon: bool = False, template: int = 0
+) -> list[bytes]:
+    """Generic-region decode driven by a SHARED MQ decoder + context array —
+    the form symbol dictionaries use (T.88 6.5.8.1: every symbol bitmap in a
+    dictionary continues the same arithmetic decoder and GB contexts)."""
     sltp_ctx = _SLTP_CTXS[template]
     rows: list[bytearray] = []
     ltp = 0
@@ -265,6 +274,15 @@ def generic_region_encode(
 ) -> bytes:
     mq = MQEncoder()
     cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    _generic_encode_into(mq, cxs, rows, w, h, tpgdon=tpgdon, template=template)
+    return mq.flush()
+
+
+def _generic_encode_into(
+    mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
+    tpgdon: bool = False, template: int = 0,
+) -> None:
+    """Encoder twin of _generic_decode_into: no flush, shared MQ + contexts."""
     sltp_ctx = _SLTP_CTXS[template]
     built: list[bytearray] = []
     ltp = 0
@@ -282,7 +300,6 @@ def generic_region_encode(
             built.append(row)
         for x in range(w):
             mq.encode(cxs[_context(built, x, y, w, template)], row[x] & 1)
-    return mq.flush()
 
 
 # -- PDF-embedded segment stream (T.89 §7; no file header) -------------------
