@@ -31,7 +31,11 @@ def url_parts(url: Column) -> dict[str, Column]:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1))
     path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchor the query to BEFORE the fragment: a '?' that first appears
+    # inside the fragment ('https://h/p#sec?x') is fragment content, not a
+    # query string — the unanchored r"\?([^#]*)" would leak it into the
+    # canonical form and split URL-level dedup groups
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     return {"scheme": scheme, "hostport": hostport, "path": path, "query": query}
 
 

@@ -312,13 +312,23 @@ def embedding_neardup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from frappe_data_pipelines_spark.operators.guards import (
+        MAX_GEMM_BUILD_ROWS,
+        collect_bounded,
+    )
+
     sess = vectors.sparkSession
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    pdf_b = base.toPandas()
-    ids_b = pdf_b["id"].to_numpy()
-    mat_b = np.stack(pdf_b["v"].to_numpy()).astype(np.float64)
+    rows_b = collect_bounded(
+        base,
+        MAX_GEMM_BUILD_ROWS,
+        "embedding_neardup_pairs broadcast-GEMM build side "
+        "(use ann.lsh_similarity_join for corpora past the broadcast budget)",
+    )
+    ids_b = np.array([r["id"] for r in rows_b])
+    mat_b = np.stack([np.asarray(r["v"]) for r in rows_b]).astype(np.float64)
     nrm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
     bcast = sess.sparkContext.broadcast((ids_b, mat_b, nrm_b))
 

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame
 MAX_RERANK_CANDIDATES = 10_000
 MAX_SKETCH_SUMMARY_ROWS = 1_000_000
 MAX_BATCH_QUERIES = 100_000
+# broadcast-GEMM build side (embedding_neardup_pairs): 1M rows x 1k dims of
+# float64 is already ~8 GB of broadcast — anything bigger is not "the small
+# side"; the scale path is ann.lsh_similarity_join
+MAX_GEMM_BUILD_ROWS = 1_000_000
 
 
 def collect_bounded(df: DataFrame, cap: int, what: str) -> list:

@@ -227,6 +227,17 @@ _TEMPLATES = {
 _SLTP_CTXS = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 # AT pixel pairs carried in the segment per template
 _N_AT = {0: 4, 1: 1, 2: 1, 3: 1}
+# nominal AT coordinates (x, y) per template (T.88 6.2.5.3). _TEMPLATES
+# hard-codes this geometry, so a stream carrying NON-nominal AT pixels
+# (legal for encoders) would decode to silent garbage if we ignored the
+# bytes — the decoder validates them and refuses into the standard
+# fallback instead (ADVICE r5).
+_NOMINAL_AT = {
+    0: ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
 
 
 def _context(rows: list[bytearray], x: int, y: int, w: int, template: int = 0) -> int:
@@ -385,6 +396,18 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                     raise Jbig2Error("MMR-coded generic region unsupported")
                 template = (gflags >> 1) & 0x03
                 at_end = 18 + 2 * _N_AT[template]  # signed AT pairs
+                if len(body) < at_end:
+                    raise Jbig2Error("truncated AT pixel coordinates")
+                got_at = tuple(
+                    (int.from_bytes(body[18 + 2 * i : 19 + 2 * i], "big", signed=True),
+                     int.from_bytes(body[19 + 2 * i : 20 + 2 * i], "big", signed=True))
+                    for i in range(_N_AT[template])
+                )
+                if got_at != _NOMINAL_AT[template]:
+                    raise Jbig2Error(
+                        f"non-nominal AT pixels {got_at} for template {template} "
+                        "unsupported (context geometry is nominal-only)"
+                    )
                 rows = generic_region_decode(
                     body[at_end:], rw, rh,
                     tpgdon=bool(gflags & 0x08), template=template,
@@ -441,8 +464,9 @@ def jbig2_encode_embedded(
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
-    at_all = bytes([3 & 0xFF, 0xFF, (-3) & 0xFF, 0xFF, 2 & 0xFF, 0xFE, (-2) & 0xFF, 0xFE])
-    at = at_all[: 2 * _N_AT[template]]
+    # emit the per-template NOMINAL AT pairs — the decoder validates them
+    # against _NOMINAL_AT (templates 2/3 use A1=(2,-1), not template 0's A1)
+    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template])
     gflags = bytes([(0x08 if tpgdon else 0x00) | (template << 1)])
     body = region_info + gflags + at + generic_region_encode(
         rows, w, h, tpgdon=tpgdon, template=template

@@ -200,7 +200,9 @@ def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat(F.lit(":443/Docs/"), F.col("doc_id").cast("string"),
                             F.lit("/?utm_source=x&b=2&a=1#frag")))
              .when(F.col("doc_id") % 3 == 1, F.lit(":80?z=9&utm_campaign=c&a=1"))
-             .otherwise(F.lit("/#top")),
+             # fragment containing '?': ADVICE r5 — the query must anchor
+             # before '#' or '?sec=2' leaks into the canonical form
+             .otherwise(F.lit("/#top?sec=2")),
         ).alias("url"),
     )
     return messy.select(

@@ -106,7 +106,13 @@ def parse_warc(payload: bytes) -> list[dict]:
     records = []
     pos = 0
     while True:
+        # resync only on a record BOUNDARY: 'WARC/' at offset 0 or preceded
+        # by the CRLFCRLF record trailer (ADVICE r5: an unanchored find can
+        # land on 'WARC/' bytes inside an unskipped body after a record with
+        # a corrupt Content-Length, fabricating bogus records from content)
         start = data.find(b"WARC/", pos)
+        while start > 0 and data[max(0, start - 4) : start] != b"\r\n\r\n":
+            start = data.find(b"WARC/", start + 1)
         if start < 0:
             break
         head_end = data.find(b"\r\n\r\n", start)
@@ -117,9 +123,15 @@ def parse_warc(payload: bytes) -> list[dict]:
             k, _, v = line.decode("latin-1").partition(":")
             headers[k.strip().lower()] = v.strip()
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            # no parseable Content-Length → the record cannot be framed;
+            # drop it (never emit a guessed body) and resync at the next
+            # boundary-anchored 'WARC/'
+            pos = head_end + 4
+            continue
         body = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
         ctype = headers.get("content-type", "")

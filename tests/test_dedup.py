@@ -400,3 +400,25 @@ def test_sam_vs_bruteforce_random():
         sigma = rng.choice([2, 3, 5])
         sym = [rng.randrange(sigma) for _ in range(n)]
         assert _sam_longest_repeat(sym) == _brute_longest_repeat(sym), sym
+
+
+def test_embedding_neardup_build_side_guarded(spark, monkeypatch):
+    """VERDICT r5 nit: the broadcast-GEMM build side must go through
+    collect_bounded — above the cap it fails loudly with a pointer to the
+    LSH scale path, never a silent driver OOM."""
+    import pytest
+
+    from frappe_data_pipelines_spark.operators import guards
+    from frappe_data_pipelines_spark.operators.dedup import embedding_neardup_pairs
+
+    # i and i+4 are parallel → exactly 4 near-dup pairs at cos ~ 1.0
+    vecs = spark.createDataFrame(
+        [(f"v{i}", [float(i % 4 + 1), float(i % 4 + 1)]) for i in range(8)],
+        "vec_id string, embedding array<float>",
+    )
+    monkeypatch.setattr(guards, "MAX_GEMM_BUILD_ROWS", 5)
+    with pytest.raises(ValueError, match="lsh_similarity_join"):
+        embedding_neardup_pairs(vecs, threshold=0.99)
+    monkeypatch.setattr(guards, "MAX_GEMM_BUILD_ROWS", 1000)
+    out = embedding_neardup_pairs(vecs, threshold=0.999999)
+    assert out.count() == 8 * 7 // 2  # all directions identical here

@@ -162,6 +162,25 @@ class TestTemplates123:
                 gw, gh, got = jbig2_decode_embedded(data)
                 assert (gw, gh, got) == (w, h, rows), (template, tp)
 
+    def test_non_nominal_at_pixels_refuse_not_garbage(self):
+        """ADVICE r5: encoders may legally emit non-nominal AT pixels; our
+        context tables model only the nominal geometry, so such streams must
+        raise Jbig2Error (→ PDF filter fallback) instead of decoding to a
+        silently wrong bitmap."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import Jbig2Error
+
+        rows = [bytes([1, 0, 1, 0]), bytes([0, 1, 0, 1])]
+        for template in (0, 1, 2, 3):
+            data = bytearray(jbig2_encode_embedded(rows, 4, 2, template=template))
+            # generic-region segment body starts after page-info segment
+            # (11-byte header + 19-byte body) + its own 11-byte header;
+            # AT bytes sit at body offset 18
+            at_off = 11 + 19 + 11 + 18
+            assert data[at_off] == 3 if template in (0, 1) else data[at_off] == 2
+            data[at_off] = 0xFC  # A1.x = -4: legal, but non-nominal
+            with pytest.raises(Jbig2Error, match="non-nominal AT"):
+                jbig2_decode_embedded(bytes(data))
+
     def test_random_bitmaps_per_template(self):
         rng = random.Random(8)
         for template in (1, 2, 3):

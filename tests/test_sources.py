@@ -120,6 +120,37 @@ class TestWarc:
         assert len(got) == 2
         assert got[0]["text"] == tricky.decode()
 
+    def test_missing_content_length_never_fabricates_records(self):
+        """ADVICE r5: a record whose Content-Length header is missing or
+        corrupt must be DROPPED, and the scanner must not resync on 'WARC/'
+        bytes inside its unskipped body (they are body content, not a record
+        boundary — only CRLFCRLF-preceded occurrences qualify)."""
+        from frappe_data_pipelines_spark.sources.warc import parse_warc, write_warc
+
+        # body contains 'WARC/' NOT at a record boundary (no CRLFCRLF before)
+        evil_body = b"payload mentions WARC/1.0\r\nWARC-Type: response\r\n junk"
+        bad = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://h/bad\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"\r\n" + evil_body + b"\r\n\r\n"
+        )  # note: NO Content-Length header
+        good = write_warc([self._one(uri="https://h/good", body=b"ok")],
+                          gzip_members=False)
+        got = parse_warc(bad + good)
+        assert [r["uri"] for r in got] == ["https://h/good"]
+        assert got[0]["text"] == "ok"
+
+        # corrupt (non-integer / negative) lengths are equally dropped
+        for cl in (b"banana", b"-7"):
+            corrupt = bad.replace(
+                b"Content-Type: text/plain\r\n",
+                b"Content-Type: text/plain\r\nContent-Length: " + cl + b"\r\n",
+            )
+            got = parse_warc(corrupt + good)
+            assert [r["uri"] for r in got] == ["https://h/good"]
+
     def test_corrupt_archive_total(self, spark):
         from frappe_data_pipelines_spark.sources.warc import parse_warc, read_warc
 
