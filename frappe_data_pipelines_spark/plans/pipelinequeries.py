@@ -585,25 +585,62 @@ def extract_real_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("i1_i2_ingest_snapshot", tags=("A1", "I1", "I2", "I5", "I6", "A13", "A14", "rows-only"))
+_INGEST_CHECKS = (
+    "all_docs_have_jobs",
+    "chunk_indexes_dense",
+    "chunk_text_from_doc",
+    "embedding_dim_ok",
+    "exactly_once_replay_ok",
+    "job_states_legal",
+    "metrics_totals_match",
+)
+
+_INGEST_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{c}', true)" for c in _INGEST_CHECKS
+) + ") AS t(check_name, ok)"
+
+
+@register(
+    "i1_i2_ingest_snapshot",
+    oracle=_INGEST_ORACLE,
+    tags=("A1", "I1", "I2", "I5", "I6", "A13", "A14"),
+)
 def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1/I2 event-driven ingest driven end-to-end (reference: hooks.py:28-33,
     drive_file_handler.py:63-88): a 40-doc slice streams through the
-    availableNow micro-batch pipeline (chunk → embed → A13/A14 sinks + job
-    state machine + I6 metrics); returns one row per doc with its job states
-    and chunk count. Rows-only: the harness is Structured Streaming, outside
-    DuckDB's vocabulary."""
+    availableNow micro-batch pipeline (chunk → embed → A13/A14 MERGE sinks +
+    job state machine + I6 metrics). Emits scale-independent INVARIANT rows
+    (VERDICT r5 #1) pinned by a VALUES oracle — regeneration-proof because
+    every boolean must hold for ANY document corpus:
+
+      * all_docs_have_jobs      — job table covers exactly the input doc set
+      * job_states_legal        — each doc: one Queued row + exactly one
+                                  terminal row, states ⊆ the I2 state machine,
+                                  terminal Failed ⇔ blank text (I3 dead letter)
+      * chunk_indexes_dense     — per doc: chunk_index is 0..n-1 and
+                                  total_chunks == n (E1 enumeration contract)
+      * chunk_text_from_doc     — every chunk_text is a substring of its
+                                  source document (extraction integrity)
+      * embedding_dim_ok        — every vector has the provider's dimension
+                                  (A13 write validation)
+      * metrics_totals_match    — I6 telemetry sums to the input doc count
+      * exactly_once_replay_ok  — replaying ALL micro-batches from a fresh
+                                  checkpoint (same txn app id) leaves the
+                                  chunk table digest unchanged (I5 MERGE +
+                                  txn dedup, Delta txnAppId/txnVersion
+                                  semantics)
+    """
     import os
     import shutil
     import tempfile
 
+    from frappe_data_pipelines_spark.operators.embed import DEFAULT_DIM
+    from frappe_data_pipelines_spark.sources.merge import MergeTable
     from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
 
     tmp = tempfile.mkdtemp(prefix="fdp_ingest_q_")
     inp, out, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
     try:
-        from frappe_data_pipelines_spark.sources.merge import MergeTable
-
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
         docs.coalesce(2).write.parquet(inp)
         # exactly_once: the chunk sink is the transactional MERGE tier
@@ -613,36 +650,147 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, inp, out, ckpt, exactly_once=True, txn_app_id="i1_i2_ingest"
         )
         q.awaitTermination(180)
+
         jobs = spark.read.parquet(os.path.join(out, "jobs"))
         chunks = MergeTable(os.path.join(out, "chunks")).read(spark)
-        per_doc = (
-            jobs.groupBy("source_doc_id")
-            .agg(F.array_join(F.array_sort(F.collect_set("status")), ",").alias("states"))
-            .join(
-                chunks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks")),
-                F.col("source_doc_id") == F.col("doc_id"),
-            )
-            .select(F.col("source_doc_id").alias("doc_id"), "states", "n_chunks")
+        metrics = spark.read.parquet(os.path.join(out, "metrics"))
+        docs_in = spark.read.parquet(inp).select(
+            "doc_id", F.col("text").alias("doc_text")
         )
-        # harness round-trip: materialize before the tmp dir is deleted;
-        # bounded — one row per ingested doc by construction
+        n_docs = docs_in.count()
+
+        def one(name: str, df_bool: DataFrame) -> DataFrame:
+            return df_bool.select(F.lit(name).alias("check_name"),
+                                  F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
+
+        all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
+
+        c_docs = one(
+            "all_docs_have_jobs",
+            docs_in.join(jobs, docs_in.doc_id == jobs.source_doc_id, "full")
+            .agg(all_true(docs_in.doc_id.isNotNull() & jobs.source_doc_id.isNotNull())),
+        )
+        per_doc_states = (
+            jobs.join(docs_in, jobs.source_doc_id == docs_in.doc_id)
+            .groupBy("source_doc_id")
+            .agg(
+                F.sum(F.when(F.col("status") == "Queued", 1).otherwise(0)).alias("n_q"),
+                F.sum(F.when(F.col("status") == "Completed", 1).otherwise(0)).alias("n_c"),
+                F.sum(F.when(F.col("status") == "Failed", 1).otherwise(0)).alias("n_f"),
+                F.count("*").alias("n_all"),
+                F.bool_and(F.length(F.trim(F.coalesce("doc_text", F.lit(""))))
+                           == 0).alias("blank"),
+            )
+        )
+        c_states = one(
+            "job_states_legal",
+            per_doc_states.agg(all_true(
+                (F.col("n_q") == 1) & (F.col("n_c") + F.col("n_f") == 1)
+                & (F.col("n_all") == F.col("n_q") + F.col("n_c") + F.col("n_f"))
+                & (F.col("blank") == (F.col("n_f") == 1))
+            )),
+        )
+        per_doc_chunks = chunks.groupBy("doc_id").agg(
+            F.min("chunk_index").alias("mn"),
+            F.max("chunk_index").alias("mx"),
+            F.count("*").alias("n"),
+            F.count_distinct("chunk_index").alias("nd"),
+            F.min("total_chunks").alias("t_mn"),
+            F.max("total_chunks").alias("t_mx"),
+        )
+        c_dense = one(
+            "chunk_indexes_dense",
+            per_doc_chunks.agg(all_true(
+                (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
+                & (F.col("nd") == F.col("n"))
+                & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
+            )),
+        )
+        c_sub = one(
+            "chunk_text_from_doc",
+            chunks.join(docs_in, "doc_id").agg(
+                all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)
+            ),
+        )
+        c_dim = one(
+            "embedding_dim_ok",
+            chunks.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+        )
+        c_metrics = one(
+            "metrics_totals_match",
+            metrics.agg((F.coalesce(F.sum("n_docs"), F.lit(0)) == n_docs).alias("ok")),
+        )
+
+        # materialize the six first-run checks NOW — the job/metrics sinks
+        # are append-mode parquet, so the replay below would otherwise leak
+        # into these lazily-evaluated plans
+        result = c_docs
+        for c in (c_dense, c_sub, c_dim, c_states, c_metrics):
+            result = result.unionByName(c)
         from frappe_data_pipelines_spark.operators.guards import collect_bounded
 
-        per_doc = spark.createDataFrame(
-            collect_bounded(per_doc, 10_000, "ingest snapshot per-doc rows"),
-            per_doc.schema,
+        rows = [tuple(r) for r in collect_bounded(result, 100, "ingest invariant rows")]
+
+        # I5 proof: drain the SAME input again from a FRESH checkpoint — every
+        # micro-batch replays with its original batch_id, the (app_id,
+        # batch_id) txn log marks each a no-op, and the chunk digest is
+        # byte-identical. Without txn dedup this would still be idempotent by
+        # MERGE key, so the digest compares the full row content.
+        def digest() -> tuple[int, int]:
+            row = (
+                MergeTable(os.path.join(out, "chunks")).read(spark)
+                .select(F.xxhash64("doc_id", "chunk_index", "chunk_text").alias("h"))
+                .agg(F.bit_xor("h").alias("s"), F.count("*").alias("n"))
+                .collect()[0]
+            )
+            return (row["s"] or 0, row["n"])
+
+        before = digest()
+        q2 = start_ingest_stream(
+            spark, inp, out, os.path.join(tmp, "ckpt_replay"),
+            exactly_once=True, txn_app_id="i1_i2_ingest",
         )
-        return per_doc
+        q2.awaitTermination(180)
+        rows.append(("exactly_once_replay_ok", digest() == before))
+        return spark.createDataFrame(rows, "check_name string, ok boolean")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("j6_pipeline_batch", tags=("J6", "B8", "A13", "A14", "D4", "rows-only"))
+_J6_BATCH_CHECKS = (
+    "all_terminal_completed",
+    "chunk_indexes_dense",
+    "chunk_text_from_doc",
+    "embedding_dim_ok",
+    "n_chunks_accounting",
+    "only_queued_processed",
+)
+
+_J6_BATCH_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{c}', true)" for c in _J6_BATCH_CHECKS
+) + ") AS t(check_name, ok)"
+
+
+@register("j6_pipeline_batch", oracle=_J6_BATCH_ORACLE,
+          tags=("J6", "B8", "A13", "A14", "D4"))
 def j6_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 orchestrator, batch form (reference: process_embedding.py:84-281):
-    Queued jobs semi-join files → chunk → embed in one DataFrame plan;
-    returns per-doc terminal accounting. Rows-only: the chunker is
-    procedural (its relational pieces are oracle-checked elsewhere)."""
+    Queued jobs semi-join files → chunk → embed in one DataFrame plan.
+    Emits scale-independent INVARIANT rows (VERDICT r5 #1) pinned by a
+    VALUES oracle — each must hold for ANY corpus:
+
+      * only_queued_processed   — B8 guard: the processed doc set is exactly
+                                  the Queued jobs with non-blank text (the
+                                  Completed half is untouched)
+      * all_terminal_completed  — every terminal row is Completed with a
+                                  timestamp and ≥1 chunk
+      * chunk_indexes_dense     — E1 enumeration: 0..n-1 and total_chunks==n
+      * chunk_text_from_doc     — every chunk is a substring of its source
+      * n_chunks_accounting     — D4: terminal n_chunks equals an independent
+                                  recount of the chunk output
+      * embedding_dim_ok        — A13 write validation
+    """
+    from frappe_data_pipelines_spark.operators.embed import DEFAULT_DIM
     from frappe_data_pipelines_spark.operators.pipeline import run_pipeline_batch
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -652,9 +800,60 @@ def j6_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, "Queued").otherwise("Completed").alias("status"),
     )
     embedded, done = run_pipeline_batch(docs, jobs, chunk_size=200, chunk_overlap=40)
-    return done.select(
-        "source_doc_id", "status", F.col("n_chunks").cast("bigint").alias("n_chunks")
+
+    all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
+
+    def one(name: str, df_bool: DataFrame) -> DataFrame:
+        return df_bool.select(F.lit(name).alias("check_name"),
+                              F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
+
+    expected = docs.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
+    ).select("doc_id")
+    c_queued = one(
+        "only_queued_processed",
+        expected.join(done, expected.doc_id == done.source_doc_id, "full")
+        .agg(all_true(expected.doc_id.isNotNull() & done.source_doc_id.isNotNull())),
     )
+    c_term = one(
+        "all_terminal_completed",
+        done.agg(all_true(
+            (F.col("status") == "Completed") & F.col("completed_at").isNotNull()
+            & (F.col("n_chunks") >= 1)
+        )),
+    )
+    per_doc = embedded.groupBy("doc_id").agg(
+        F.min("chunk_index").alias("mn"), F.max("chunk_index").alias("mx"),
+        F.count("*").alias("n"), F.count_distinct("chunk_index").alias("nd"),
+        F.min("total_chunks").alias("t_mn"), F.max("total_chunks").alias("t_mx"),
+    )
+    c_dense = one(
+        "chunk_indexes_dense",
+        per_doc.agg(all_true(
+            (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
+            & (F.col("nd") == F.col("n"))
+            & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
+        )),
+    )
+    c_sub = one(
+        "chunk_text_from_doc",
+        embedded.join(docs.select("doc_id", F.col("text").alias("doc_text")), "doc_id")
+        .agg(all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)),
+    )
+    c_acct = one(
+        "n_chunks_accounting",
+        done.join(per_doc, done.source_doc_id == per_doc.doc_id, "full")
+        .agg(all_true(F.col("n_chunks") == F.col("n"))),
+    )
+    c_dim = one(
+        "embedding_dim_ok",
+        embedded.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+    )
+    result = c_term
+    for c in (c_dense, c_sub, c_dim, c_acct, c_queued):
+        result = result.unionByName(c)
+    return result
 
 
 @register(
@@ -705,15 +904,43 @@ def a10_a11_scanned_pdf_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j6_smart_pipeline_e2e", tags=("J6", "J5", "J2", "J1", "G2", "rows-only"))
+_J6_SMART_CHECKS = (
+    "chunk_indexes_dense",
+    "embedded_text_rule",
+    "embedding_dim_ok",
+    "enrich_template_ok",
+    "routing_rule_respected",
+    "strategies_partition_docs",
+)
+
+_J6_SMART_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{c}', true)" for c in _J6_SMART_CHECKS
+) + ") AS t(check_name, ok)"
+
+
+@register("j6_smart_pipeline_e2e", oracle=_J6_SMART_ORACLE,
+          tags=("J6", "J5", "J2", "J1", "G2"))
 def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full §3.1 lifecycle as ONE DataFrame plan: J5 route (metadata →
     strategy) → strategy-branched chunking (filtered unions, SURVEY J6) →
-    J2 enrichment (H16 prefix concat) → J1 embedding → per-doc accounting.
-    Rows-only: chunking is procedural; each stage's relational core is
-    oracle-checked by its own query."""
+    J2 enrichment (H16 prefix concat) → J1 embedding. Emits
+    scale-independent INVARIANT rows (VERDICT r5 #1), VALUES-oracled:
+
+      * strategies_partition_docs — every non-blank doc lands in EXACTLY one
+                                    strategy branch (filtered-union soundness)
+      * routing_rule_respected    — the branch agrees with an independent
+                                    inline restatement of the J5 rule
+                                    (n_chars<80 → visual, >450 → structured,
+                                    else text)
+      * chunk_indexes_dense       — E1 enumeration within each doc
+      * enrich_template_ok        — J2: context_prefix equals the reference
+                                    template recomputed from columns
+      * embedded_text_rule        — H16: embedded_text == prefix + blank line
+                                    + chunk when prefix non-empty
+      * embedding_dim_ok          — J1 output dimension
+    """
     from frappe_data_pipelines_spark.operators.chunker import chunk_documents
-    from frappe_data_pipelines_spark.operators.embed import embed_documents
+    from frappe_data_pipelines_spark.operators.embed import DEFAULT_DIM, embed_documents
     from frappe_data_pipelines_spark.operators.enrich import enrich_chunks, processing_plan_expr
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -733,11 +960,71 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enriched = enrich_chunks(all_chunks)
     embedded = embed_documents(enriched, text_col="embedded_text")
-    return embedded.groupBy("doc_id", "strategy").agg(
-        F.count("*").cast("bigint").alias("n_chunks"),
-        F.min(F.size("embedding")).cast("int").alias("dim"),
-        F.max(F.length("context_prefix") > 0).alias("all_enriched"),
+
+    all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
+
+    def one(name: str, df_bool: DataFrame) -> DataFrame:
+        return df_bool.select(F.lit(name).alias("check_name"),
+                              F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
+
+    per_doc = embedded.groupBy("doc_id").agg(
+        F.count_distinct("strategy").alias("n_strat"),
+        F.min("strategy").alias("strategy"),
+        F.min("chunk_index").alias("mn"), F.max("chunk_index").alias("mx"),
+        F.count("*").alias("n"), F.count_distinct("chunk_index").alias("nd"),
+        F.min("total_chunks").alias("t_mn"), F.max("total_chunks").alias("t_mx"),
     )
+    nonblank = docs.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0).select(
+        "doc_id", "n_chars"
+    )
+    c_part = one(
+        "strategies_partition_docs",
+        nonblank.join(per_doc, "doc_id", "full")
+        .agg(all_true(nonblank.doc_id.isNotNull() & (F.col("n_strat") == 1))),
+    )
+    # independent inline restatement of the routing rule — NOT a call back
+    # into processing_plan_expr
+    expected = (
+        F.when(F.col("n_chars") < 80, "visual")
+        .when(F.col("n_chars") > 450, "structured")
+        .otherwise("text")
+    )
+    c_rule = one(
+        "routing_rule_respected",
+        nonblank.join(per_doc, "doc_id").agg(all_true(F.col("strategy") == expected)),
+    )
+    c_dense = one(
+        "chunk_indexes_dense",
+        per_doc.agg(all_true(
+            (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
+            & (F.col("nd") == F.col("n"))
+            & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
+        )),
+    )
+    tmpl = F.concat(
+        F.lit("Chunk "), (F.col("chunk_index") + 1).cast("string"),
+        F.lit(" of "), F.col("total_chunks").cast("string"),
+        F.lit(" from document "), F.col("doc_id").cast("string"), F.lit("."),
+    )
+    c_tmpl = one(
+        "enrich_template_ok",
+        embedded.agg(all_true(F.col("context_prefix") == tmpl)),
+    )
+    c_h16 = one(
+        "embedded_text_rule",
+        embedded.agg(all_true(
+            F.col("embedded_text")
+            == F.concat_ws("\n\n", F.col("context_prefix"), F.col("chunk_text"))
+        )),
+    )
+    c_dim = one(
+        "embedding_dim_ok",
+        embedded.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+    )
+    result = c_dense
+    for c in (c_h16, c_dim, c_tmpl, c_rule, c_part):
+        result = result.unionByName(c)
+    return result
 
 
 @register(
