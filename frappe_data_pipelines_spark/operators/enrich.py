@@ -82,21 +82,34 @@ def _enrich_with_provider(chunks: DataFrame, provider) -> DataFrame:
         ]
     )
 
+    # providers that build prompts from real chunk content (reference
+    # document+chunk template, context_service.py:26-44) declare
+    # ``wants_text = True`` and receive the chunk texts as a 4th argument
+    wants_text = bool(getattr(provider, "wants_text", False))
+
     def run(batches):
         import pandas as pd
+
+        def call(ids, idxs, totals, texts):
+            if wants_text:
+                return provider.contextualize(ids, idxs, totals, texts)
+            return provider.contextualize(ids, idxs, totals)
 
         for pdf in batches:
             ids = list(pdf["doc_id"])
             idxs = list(pdf["chunk_index"])
             totals = list(pdf["total_chunks"])
+            texts = (
+                list(pdf["chunk_text"]) if "chunk_text" in pdf.columns else [""] * len(ids)
+            )
             try:
-                ctxs = provider.contextualize(ids, idxs, totals)
+                ctxs = call(ids, idxs, totals, texts)
                 errs = [None] * len(ctxs)
             except Exception:  # noqa: BLE001 — isolate failing rows
                 ctxs, errs = [], []
-                for d, i, t in zip(ids, idxs, totals):
+                for d, i, t, x in zip(ids, idxs, totals, texts):
                     try:
-                        ctxs.append(provider.contextualize([d], [i], [t])[0])
+                        ctxs.append(call([d], [i], [t], [x])[0])
                         errs.append(None)
                     except Exception as row_e:  # noqa: BLE001
                         ctxs.append("")  # reference: failure → empty context

