@@ -58,6 +58,8 @@ HEADLINE = [
     "extract_real_kernels",
     "corpus_segment_dedup",
     "exact_substring_spans",
+    "exact_substring_spans_winnow",
+    "j3_caption_dead_letter_audit",
     "pii_redaction",
     "intra_doc_repeat_len",
     "html_extract_main",

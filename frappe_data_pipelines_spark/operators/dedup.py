@@ -878,6 +878,103 @@ def winnow_fingerprints(
     return sel.withColumnRenamed("fp_pos", "pos")
 
 
+def winnow_fingerprints_fast(
+    docs: DataFrame,
+    k: int = 32,
+    w: int = 9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints as a NUMPY kernel (the production prefilter
+    path; ``winnow_fingerprints`` is the md5/SQL-mirrorable twin that
+    carries the oracle). Same SIGMOD'03 selection rule — per window of ``w``
+    consecutive k-gram hashes take the minimum, rightmost on ties — but the
+    k-gram hash is a 64-bit polynomial rolling hash over utf-8 BYTES
+    computed with wraparound uint64 prefix sums (base is odd, hence
+    invertible mod 2^64, so hash_i = pow * (S[i+k] - S[i]) vectorizes), and
+    the sliding argmin is a strided-view min. Per-document, shuffle-free
+    ``mapInPandas``: no explode, no window sort — the two costs that make
+    the expression-based twin unusable as a prefilter at scale.
+
+    Selection uses the top 43 hash bits (21 bits hold the inverted
+    position for rightmost-tie ordering); the emitted fp is the FULL 64-bit
+    hash of the selected gram, so the selection stays content-determined —
+    two copies of a string of length >= w + k - 1 still share a selected
+    fingerprint, which is the lossless-prefilter guarantee."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = 1000003  # odd → invertible mod 2^64
+    BINV = pow(B, -1, 1 << 64)
+    POS_BITS = 32  # Arrow batches stay < 4 GiB of concatenated text
+    POS_MASK = np.uint64((1 << POS_BITS) - 1)
+
+    def winnow_batch(doc_ids, texts):
+        """One vectorized pass over a whole Arrow batch: all docs are
+        concatenated into a single byte buffer; the rolling content hash is
+        position-independent so it computes globally, and per-doc isolation
+        comes from masking to windows whose full extent lies inside one
+        document (grams crossing a boundary only ever appear in masked-out
+        windows — no separator padding needed)."""
+        blobs = [(t or "").encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        data = b"".join(blobs)
+        n = len(data)
+        if n < k:
+            return [], [], []
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]  # doc byte offsets
+        c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        binv_pow = np.empty(n, dtype=np.uint64)
+        binv_pow[0] = 1
+        np.cumprod(np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:])
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c * binv_pow, out=s[1:])
+        n_grams = n - k + 1
+        b_pow = np.empty(n_grams, dtype=np.uint64)
+        b_pow[0] = pow(B, k - 1, 1 << 64)
+        if n_grams > 1:
+            np.cumprod(np.full(n_grams - 1, B, dtype=np.uint64), out=b_pow[1:])
+            b_pow[1:] = b_pow[1:] * b_pow[0]
+        # content hash of the k-gram at global offset g (uint64 wrap = mod 2^64)
+        h = (s[k : k + n_grams] - s[:n_grams]) * b_pow
+        inv_pos = POS_MASK - np.arange(n_grams, dtype=np.uint64)
+        key = ((h >> np.uint64(POS_BITS)) << np.uint64(POS_BITS)) | inv_pos
+        if n_grams < w:
+            return [], [], []
+        kmin = np.lib.stride_tricks.sliding_window_view(key, w).min(axis=1)
+        # valid window starts: [doc_start, doc_start + doc_len - (k + w - 1)]
+        n_win_per_doc = np.maximum(lens - (k + w - 1) + 1, 0)
+        valid = np.concatenate(
+            [np.arange(nw, dtype=np.int64) + st for st, nw in zip(starts, n_win_per_doc)]
+        ) if len(starts) else np.empty(0, dtype=np.int64)
+        kmin = kmin[valid]
+        g = (POS_MASK - (kmin & POS_MASK)).astype(np.int64)
+        g = np.unique(g)  # selected gram offsets (global)
+        doc_idx = np.searchsorted(starts, g, side="right") - 1
+        local_pos = g - starts[doc_idx] + 1  # 1-based within the doc
+        out_ids = np.asarray(doc_ids, dtype=np.int64)[doc_idx]
+        return out_ids.tolist(), local_pos.tolist(), h[g].view(np.int64).tolist()
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, fps = winnow_batch(list(pdf["doc_id"]), list(pdf["text"]))
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "fp": fps})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    narrow = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+        .repartition(par)  # small-file sources arrive as 1 input partition
+    )
+    return narrow.mapInPandas(run, schema=schema)
+
+
 def exact_dup_spans(
     docs: DataFrame,
     min_len: int = 40,
@@ -885,7 +982,7 @@ def exact_dup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefilter: str | None = None,
-    k: int = 8,
+    k: int = 32,
 ) -> DataFrame:
     """Exact cross-document duplicated-substring spans (the guarantee of
     suffix-array dedup, Lee et al. 2021, "Deduplicating Training Data Makes
@@ -914,14 +1011,31 @@ def exact_dup_spans(
     the global counts (tested differentially in tests/test_dedup.py)."""
     base = docs
     if prefilter == "winnow":
-        fps = winnow_fingerprints(base, k=k, w=min_len - k + 1, id_col=id_col, text_col=text_col)
-        shared = (
-            fps.groupBy("fp")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= F.least(F.lit(min_docs), F.lit(2)))
-            .select("fp")
+        if not 1 <= k <= min_len:
+            raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")
+        # numpy kernel (winnow_fingerprints_fast): per-doc rolling hash +
+        # sliding argmin, no explode/sort — the prefilter's whole point is
+        # to be cheaper than the stride-1 pass it guards. k defaults to 32
+        # (not the oracle query's 8): an 8-byte gram is shared by almost
+        # every pair of documents, so the k=8 cohort is the whole corpus
+        # and the prefilter pays without filtering; 32-byte grams track
+        # real 40-char duplication.
+        fps = winnow_fingerprints_fast(
+            base, k=k, w=min_len - k + 1, id_col=id_col, text_col=text_col
         )
-        cohort = fps.join(shared, "fp").select("doc_id").distinct()
+        # single-consumption cohort: ONE shuffle on fp (window count — no
+        # collect_set skew risk, no second scan re-running the kernel),
+        # then distinct doc_ids. Plain count() not countDistinct(doc_id):
+        # intra-doc repeats can over-include a doc, which only ever GROWS
+        # the cohort — the prefilter stays lossless.
+        from pyspark.sql.window import Window as _W
+
+        cohort = (
+            fps.withColumn("n_occ", F.count("*").over(_W.partitionBy("fp")))
+            .filter(F.col("n_occ") >= F.least(F.lit(min_docs), F.lit(2)))
+            .select("doc_id")
+            .distinct()
+        )
         base = base.join(
             cohort, base[id_col] == cohort["doc_id"], "left_semi"
         )

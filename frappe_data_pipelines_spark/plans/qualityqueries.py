@@ -641,6 +641,27 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("exact_substring_spans_winnow", oracle=_EXACT_SPAN_SQL,
+          tags=("dedup", "extension", "bench"))
+def exact_substring_spans_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for exact-substring dedup (VERDICT r5 #4): the SAME
+    spans as ``exact_substring_spans`` — same oracle, winnowing is lossless
+    by the SIGMOD'03 guarantee — but only the cohort of documents sharing a
+    selected fingerprint pays the stride-1 window blowup. At sf0.1 the
+    cohort is a fraction of the corpus; at 100 TB it is the difference
+    between feasible and not. Benched head-to-head with the full path in
+    bench.py."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_spans(docs, min_len=40, min_docs=2, prefilter="winnow").select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+    )
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

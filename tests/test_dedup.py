@@ -422,3 +422,42 @@ def test_embedding_neardup_build_side_guarded(spark, monkeypatch):
     monkeypatch.setattr(guards, "MAX_GEMM_BUILD_ROWS", 1000)
     out = embedding_neardup_pairs(vecs, threshold=0.999999)
     assert out.count() == 8 * 7 // 2  # all directions identical here
+
+
+def test_winnow_fast_kernel_guarantee_and_batch_isolation(spark):
+    """The numpy winnowing kernel (the production prefilter path):
+    1. SIGMOD'03 guarantee — two docs sharing a substring of length
+       >= w + k - 1 share a selected fingerprint;
+    2. batch isolation — fingerprints computed with all docs in one Arrow
+       batch equal those computed per-doc (the global rolling hash is
+       content-determined and boundary windows are masked, so packing docs
+       into one buffer must not change the selection)."""
+    from frappe_data_pipelines_spark.operators.dedup import winnow_fingerprints_fast
+
+    shared = "the exact duplicated passage that is well over forty characters long!"
+    docs = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "a different lead-in, then " + shared + " and another tail"),
+        (3, "entirely unrelated content with no duplication at all in it"),
+        (4, "x" * 20),  # shorter than k+w-1: no fingerprints
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    fps = winnow_fingerprints_fast(df, k=32, w=9)
+    rows = fps.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc.get(1, set()) & by_doc.get(2, set()), "shared span must share a fp"
+    assert 4 not in by_doc
+    # positions are 1-based and in-range
+    for r in rows:
+        text_len = len(dict(docs)[r.doc_id].encode())
+        assert 1 <= r.pos <= text_len - 32 + 1
+
+    # batch isolation: per-doc singleton DataFrames give identical rows
+    solo = set()
+    for d in docs:
+        one = spark.createDataFrame([d], "doc_id long, text string").coalesce(1)
+        solo |= {(r.doc_id, r.pos, r.fp)
+                 for r in winnow_fingerprints_fast(one, k=32, w=9).collect()}
+    assert {(r.doc_id, r.pos, r.fp) for r in rows} == solo
