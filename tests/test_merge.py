@@ -419,3 +419,54 @@ def test_merge_duplicate_source_keys(spark, tmp_path):
         (1, 0),
         (2, 0),
     }
+
+
+def test_concurrent_writers_interleaved_epochs_no_lost_updates(spark, tmp_path):
+    """VERDICT r5 #7: two simultaneous writers race the O_EXCL versioned
+    commit across interleaved epochs. Loser-retry semantics must guarantee:
+    every merge eventually commits, the version log is gapless, no update
+    is lost (each writer's final epoch survives on its exclusive keys; the
+    overlap is uniformly owned by whichever writer committed last), and
+    per-app txn replay dedup still holds afterwards."""
+    import threading
+
+    path = os.path.join(tmp_path, "race_tbl")
+    t = MergeTable(path, ["k"], n_buckets=4)
+    errors: list = []
+    barrier = threading.Barrier(2)
+
+    def writer(name: str, keys: list[int]) -> None:
+        try:
+            barrier.wait(timeout=30)
+            for epoch in range(4):
+                df = spark.createDataFrame(
+                    [(k, f"{name}{epoch}") for k in keys], "k long, val string"
+                )
+                # generous retry budget: each attempt can lose to at most
+                # one rival commit, and the rival makes progress each time
+                assert t.merge(df, app_id=name, batch_id=epoch, max_retries=30)
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=("A", list(range(0, 30))))
+    tb = threading.Thread(target=writer, args=("B", list(range(20, 50))))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errors, errors
+
+    vals = {r.k: r.val for r in t.read(spark).collect()}
+    assert set(vals) == set(range(50))  # one row per key — no dup keys
+    for k in range(0, 20):
+        assert vals[k] == "A3"  # A-exclusive keys: A's last epoch survives
+    for k in range(30, 50):
+        assert vals[k] == "B3"
+    overlap = {vals[k] for k in range(20, 30)}
+    assert overlap in ({"A3"}, {"B3"})  # uniform winner = last committer
+
+    # 8 merges → 8 commits, contiguous version numbers (no gaps, no reuse)
+    versions = t._versions()
+    assert versions == list(range(8))
+
+    # replay dedup across the race: an old (app, batch) is still a no-op
+    stale = spark.createDataFrame([(0, "stale")], "k long, val string")
+    assert t.merge(stale, app_id="A", batch_id=2) is False
+    assert {r.k: r.val for r in t.read(spark).collect()}[0] == "A3"
