@@ -1,0 +1,164 @@
+"""Scale-up proof run (VERDICT r5 #6): synthesize a ~10x corpus from
+sf0.1 and measure how the dedup / ANN / web headline queries scale.
+
+Replication is structure-preserving but duplication-free across replicas:
+
+* ``documents``: replica r applies a Caesar substitution (shift r) to the
+  text — token lengths, whitespace, and intra-replica duplicate structure
+  are preserved, but no shingle/window/fingerprint collides across
+  replicas, so the duplicate density per byte stays constant (the honest
+  scaling regime; naive copying would make every doc a 10-way near-dup and
+  measure a data artifact, not the plan).
+* ``embeddings``: replica r rotates each vector by r positions — norms
+  preserved, directions distinct across replicas, neighborhood structure
+  preserved within a replica.
+
+Emits SCALE_PROOF.json: per-query seconds at 1x and ~10x rows plus the
+scaling exponent log(t_10x / t_1x) / log(10). Exponent <= ~1.15 is the
+"no worse than linear" bar (fixed per-query overheads bias the ratio DOWN,
+shuffle log-factors slightly up).
+
+Usage: python tools/scaleproof.py [replicas] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    # dedup
+    "exact_substring_spans",
+    "exact_substring_spans_winnow",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "corpus_segment_dedup",
+    "dedup_minhash_signatures",
+    # ANN / vector
+    "ann_lsh_pairs",
+    "c6_knn_topk",
+    "b6_filtered_knn",
+    # web
+    "html_extract_main",
+    "warc_roundtrip_extract",
+    "url_normalize_canonical",
+]
+
+ID_OFFSET = 10_000_000
+
+
+def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    parts = []
+    for r in range(replicas):
+        shifted = alpha[r % 26:] + alpha[: r % 26]
+        d = docs.select(
+            (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+            F.translate(
+                F.col("text"), alpha + alpha.upper(), shifted + shifted.upper()
+            ).alias("text"),
+            "lang",
+            F.concat(F.col("source"), F.lit(f"_r{r}")).alias("source"),
+            "n_chars",
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    dim = len(emb.select("embedding").first()["embedding"])
+    parts = []
+    for r in range(replicas):
+        rot = r % dim or dim
+        e = emb.select(
+            (F.col("vec_id") + r * ID_OFFSET).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot)
+            ).alias("embedding"),
+            "label",
+        )
+        parts.append(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "embeddings.parquet")
+    )
+
+
+def time_query(q, spark, sf_dir: str, passes: int = 2) -> float:
+    best = math.inf
+    for _ in range(passes):
+        t0 = time.time()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_PROOF.json"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from frappe_data_pipelines_spark.plans.catalog import queries
+    from frappe_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="fdp-scaleproof")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = queries()
+
+    tmp = tempfile.mkdtemp(prefix="fdp_scaleproof_")
+    try:
+        build_corpus(spark, src, tmp, replicas)
+        # warm-up
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: (p for p in it), "id long"
+        ).count()
+
+        results = {}
+        for name in QUERIES:
+            try:
+                t1 = time_query(q[name], spark, src)
+                t10 = time_query(q[name], spark, tmp)
+                exp = math.log(t10 / t1) / math.log(replicas)
+                results[name] = {
+                    "sec_1x": round(t1, 3),
+                    f"sec_{replicas}x": round(t10, 3),
+                    "exponent": round(exp, 3),
+                }
+                print(f"{name}: {t1:.2f}s -> {t10:.2f}s  exponent {exp:.2f}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                results[name] = {"error": str(e)[:300]}
+                print(f"{name}: ERROR {e}", flush=True)
+
+        payload = {
+            "replicas": replicas,
+            "base_sf_dir": src,
+            "queries": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps({k: v.get("exponent") for k, v in results.items()}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
