@@ -313,6 +313,306 @@ def _generic_encode_into(
             mq.encode(cxs[_context(built, x, y, w, template)], row[x] & 1)
 
 
+# -- arithmetic integer decoding (T.88 Annex A) ------------------------------
+
+# Each IAx procedure owns a 512-entry context bank indexed by the PREV
+# prefix register (A.2: PREV caps at 9 bits, sticky top bit past 256).
+
+
+def _int_ctx() -> list:
+    return [[0, 0] for _ in range(512)]
+
+
+# (prefix-length, value-bits, offset) buckets of the A.2 integer code
+_INT_BUCKETS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def arith_int_decode(mq: MQDecoder, cx: list) -> int | None:
+    """T.88 A.2 IAx integer decode; returns None for OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = mq.decode(cx[prev])
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    n = off = None
+    for i, (nb, o) in enumerate(_INT_BUCKETS):
+        if i == len(_INT_BUCKETS) - 1 or not bit():
+            n, off = nb, o
+            break
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def arith_int_encode(mq: MQEncoder, cx: list, value: int | None) -> None:
+    """Encoder twin of arith_int_decode (None encodes OOB)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        mq.encode(cx[prev], b)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is None:
+        bit(1)           # sign
+        bit(0)           # first bucket
+        bit(0); bit(0)   # V = 0 → OOB
+        return
+    s = 1 if value < 0 else 0
+    v = -value if s else value
+    bit(s)
+    for i, (nb, off) in enumerate(_INT_BUCKETS):
+        last = i == len(_INT_BUCKETS) - 1
+        top = off + (1 << nb)
+        if v < top or last:
+            if not last:
+                bit(0)
+            vv = v - off
+            for j in reversed(range(nb)):
+                bit((vv >> j) & 1)
+            return
+        bit(1)
+
+
+def arith_iaid_decode(mq: MQDecoder, cx: list, code_len: int) -> int:
+    """T.88 A.3 IAID: ``code_len`` bits through a prefix-tree context."""
+    prev = 1
+    for _ in range(code_len):
+        b = mq.decode(cx[prev])
+        prev = (prev << 1) | b
+    return prev - (1 << code_len)
+
+
+def arith_iaid_encode(mq: MQEncoder, cx: list, value: int, code_len: int) -> None:
+    prev = 1
+    for j in reversed(range(code_len)):
+        b = (value >> j) & 1
+        mq.encode(cx[prev], b)
+        prev = (prev << 1) | b
+
+
+def _iaid_ctx(code_len: int) -> list:
+    return [[0, 0] for _ in range(1 << (code_len + 1))]
+
+
+# -- symbol dictionary (T.88 6.5, segment type 0) ----------------------------
+
+_MAX_SYMBOLS = 1 << 16
+_MAX_SYM_DIM = 1 << 12
+
+
+def _read_at(body: bytes, pos: int, template: int) -> int:
+    """Validate the AT bytes at ``pos`` against the nominal geometry (same
+    contract as generic regions); returns the new offset."""
+    n_at = _N_AT[template]
+    if len(body) < pos + 2 * n_at:
+        raise Jbig2Error("truncated AT pixel coordinates")
+    got = tuple(
+        (int.from_bytes(body[pos + 2 * i : pos + 2 * i + 1], "big", signed=True),
+         int.from_bytes(body[pos + 2 * i + 1 : pos + 2 * i + 2], "big", signed=True))
+        for i in range(n_at)
+    )
+    if got != _NOMINAL_AT[template]:
+        raise Jbig2Error(
+            f"non-nominal AT pixels {got} for template {template} unsupported"
+        )
+    return pos + 2 * n_at
+
+
+def decode_symbol_dict(body: bytes, input_syms: list) -> list:
+    """Symbol-dictionary segment body → exported symbol bitmaps (each a
+    list of 0/1-byte rows). Supported profile: SDHUFF=0 (arithmetic),
+    SDREFAGG=0 (no refinement/aggregation) — the profile jbig2enc emits for
+    lossless symbol mode. Height classes via IADH/IADW (6.5.5), per-symbol
+    bitmaps through the SHARED MQ decoder + GB contexts (6.5.8.1), exports
+    via IAEX run lengths (6.5.10)."""
+    if len(body) < 2:
+        raise Jbig2Error("truncated symbol dictionary")
+    flags = int.from_bytes(body[0:2], "big")
+    if flags & 0x0001:
+        raise Jbig2Error("huffman-coded symbol dictionary unsupported")
+    if flags & 0x0002:
+        raise Jbig2Error("refinement/aggregate symbol coding unsupported")
+    template = (flags >> 10) & 0x03
+    pos = _read_at(body, 2, template)
+    if len(body) < pos + 8:
+        raise Jbig2Error("truncated symbol dictionary header")
+    num_ex = int.from_bytes(body[pos : pos + 4], "big")
+    num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
+    pos += 8
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
+        raise Jbig2Error("symbol dictionary exceeds symbol budget")
+
+    mq = MQDecoder(body[pos:])
+    cx_gb = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    new_syms: list = []
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = arith_int_decode(mq, iadh)
+        if dh is None:
+            raise Jbig2Error("OOB delta-height in symbol dictionary")
+        hc_height += dh
+        if not 0 < hc_height <= _MAX_SYM_DIM:
+            raise Jbig2Error(f"symbol height {hc_height} out of range")
+        sym_width = 0
+        while True:
+            dw = arith_int_decode(mq, iadw)
+            if dw is None:
+                break  # end of height class
+            sym_width += dw
+            if not 0 < sym_width <= _MAX_SYM_DIM:
+                raise Jbig2Error(f"symbol width {sym_width} out of range")
+            if len(new_syms) >= num_new:
+                raise Jbig2Error("more symbols than SDNUMNEWSYMS declares")
+            if sym_width * hc_height > _MAX_PIXELS:
+                raise Jbig2Error("symbol exceeds pixel budget")
+            new_syms.append(
+                _generic_decode_into(mq, cx_gb, sym_width, hc_height,
+                                     tpgdon=False, template=template)
+            )
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    i, exflag = 0, 0
+    while i < len(all_syms):
+        run = arith_int_decode(mq, iaex)
+        if run is None or run < 0 or i + run > len(all_syms):
+            raise Jbig2Error("bad export run in symbol dictionary")
+        if exflag:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"symbol dictionary exported {len(exported)}, declared {num_ex}"
+        )
+    return exported
+
+
+# -- text region (T.88 6.4, segment types 4/6/7) -----------------------------
+
+
+def decode_text_region(body: bytes, syms: list):
+    """Text-region segment body + referred symbols → (rw, rh, rx, ry,
+    comb_op, rows). Supported profile: SBHUFF=0, REFINE=0 instances,
+    TRANSPOSED=0; REFCORNER all four; SBSTRIPS any power of two (IAIT
+    decoded when SBSTRIPS > 1); SBDSOFFSET honored."""
+    if len(body) < 19:
+        raise Jbig2Error("truncated text region")
+    rw = int.from_bytes(body[0:4], "big")
+    rh = int.from_bytes(body[4:8], "big")
+    rx = int.from_bytes(body[8:12], "big")
+    ry = int.from_bytes(body[12:16], "big")
+    ext_comb = body[16] & 0x07
+    flags = int.from_bytes(body[17:19], "big")
+    if flags & 0x0001:
+        raise Jbig2Error("huffman-coded text region unsupported")
+    refine = (flags >> 1) & 1
+    strips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise Jbig2Error("transposed text region unsupported")
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    r_template = (flags >> 15) & 1
+    pos = 19
+    if refine and r_template == 0:
+        pos += 4  # refinement AT pixels (validated only if an RI=1 arrives)
+    if len(body) < pos + 4:
+        raise Jbig2Error("truncated text region header")
+    num_instances = int.from_bytes(body[pos : pos + 4], "big")
+    pos += 4
+    if not syms:
+        raise Jbig2Error("text region refers to no symbols")
+    if rw * rh > _MAX_PIXELS or num_instances > _MAX_SYMBOLS:
+        raise Jbig2Error("text region exceeds budget")
+    code_len = max(len(syms) - 1, 0).bit_length()
+
+    mq = MQDecoder(body[pos:])
+    iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
+    iaid = _iaid_ctx(code_len)
+    rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
+
+    dt = arith_int_decode(mq, iadt)
+    if dt is None:
+        raise Jbig2Error("OOB initial STRIPT")
+    stript = -dt * strips
+    firsts = 0
+    ninst = 0
+    guard = 0
+    while ninst < num_instances:
+        guard += 1
+        if guard > 2 * num_instances + 16:
+            raise Jbig2Error("text region fails to make progress")
+        dt = arith_int_decode(mq, iadt)
+        if dt is None:
+            raise Jbig2Error("OOB strip delta-T")
+        stript += dt * strips
+        dfs = arith_int_decode(mq, iafs)
+        if dfs is None:
+            raise Jbig2Error("OOB first-S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while ninst < num_instances:
+            if first:
+                first = False
+            else:
+                ids = arith_int_decode(mq, iads)
+                if ids is None:
+                    break  # end of strip
+                curs += ids + ds_offset
+            curt = arith_int_decode(mq, iait) if strips > 1 else 0
+            if curt is None:
+                raise Jbig2Error("OOB in-strip T")
+            tt = stript + curt
+            sid = arith_iaid_decode(mq, iaid, code_len)
+            if not 0 <= sid < len(syms):
+                raise Jbig2Error(f"symbol id {sid} out of range")
+            if refine:
+                ri = arith_int_decode(mq, iari)
+                if ri:
+                    raise Jbig2Error("refined text symbol instance unsupported")
+            sym = syms[sid]
+            hs = len(sym)
+            ws = len(sym[0]) if hs else 0
+            y0 = tt if refcorner in (1, 3) else tt - hs + 1  # TOPx vs BOTTOMx
+            for yy in range(hs):
+                py = y0 + yy
+                if not 0 <= py < rh:
+                    continue
+                prow = rows[py]
+                srow = sym[yy]
+                for xx in range(ws):
+                    px = curs + xx
+                    if not 0 <= px < rw:
+                        continue
+                    b = srow[xx]
+                    p = prow[px]
+                    if comb_op == 0:
+                        prow[px] = p | b
+                    elif comb_op == 1:
+                        prow[px] = p & b
+                    elif comb_op == 2:
+                        prow[px] = p ^ b
+                    else:
+                        prow[px] = 1 - (p ^ b)
+            curs += ws - 1
+            ninst += 1
+    return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
+
+
 # -- PDF-embedded segment stream (T.89 §7; no file header) -------------------
 
 _GENERIC_TYPES = {36, 38, 39}
@@ -356,15 +656,46 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
             "length": length}, pos
 
 
+def _compose_region(
+    page: list[bytearray], page_w: int,
+    rows: list[bytes], rx: int, ry: int, rw: int, rh: int, comb_op: int,
+) -> None:
+    """Compose a decoded region onto the page bitmap with the external
+    combination operator (OR/AND/XOR/XNOR/REPLACE), clipped to the page."""
+    for y in range(rh):
+        if ry + y >= len(page):
+            break
+        prow = page[ry + y]
+        row = rows[y]
+        for x in range(min(rw, page_w - rx)):
+            p = prow[rx + x]
+            b = row[x]
+            if comb_op == 0:  # OR
+                prow[rx + x] = p | b
+            elif comb_op == 1:  # AND
+                prow[rx + x] = p & b
+            elif comb_op == 2:  # XOR
+                prow[rx + x] = p ^ b
+            elif comb_op == 3:  # XNOR
+                prow[rx + x] = 1 - (p ^ b)
+            else:  # REPLACE
+                prow[rx + x] = b
+
+
 def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, int, list[bytes]]:
     """PDF-embedded JBIG2 → (width, height, rows of 0/1 bytes, 1 = black).
 
-    Supported: page-info + arithmetic generic regions (template 0, no MMR,
-    no TPGDON), composed onto the page bitmap with OR. Symbol/text/
-    refinement/halftone segments raise — the PDF raster path treats that
-    like any other unsupported filter (fallback, not a crash)."""
+    Supported: page-info + arithmetic generic regions (templates 0-3,
+    nominal AT, no MMR, TPGDON ok), arithmetic symbol dictionaries
+    (SDHUFF=0, SDREFAGG=0) and immediate text regions (SBHUFF=0,
+    TRANSPOSED=0, no refined instances) — the profile real symbol-mode
+    encoders (jbig2enc) emit — all composed onto the page bitmap.
+    Huffman/refinement/halftone/transposed streams raise — the PDF raster
+    path treats that like any other unsupported filter (fallback, not a
+    crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
+    sym_store: dict[int, list] = {}  # segment number → exported symbols
     for blob in (globals_data, data):
         pos = 0
         while pos < len(blob):
@@ -415,27 +746,24 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 if page is None:
                     page_w, page_h = rx + rw, ry + rh
                     page = [bytearray(page_w) for _ in range(page_h)]
-                for y in range(rh):
-                    if ry + y >= len(page):
-                        break
-                    prow = page[ry + y]
-                    row = rows[y]
-                    for x in range(min(rw, page_w - rx)):
-                        p = prow[rx + x]
-                        b = row[x]
-                        if comb_op == 0:  # OR
-                            prow[rx + x] = p | b
-                        elif comb_op == 1:  # AND
-                            prow[rx + x] = p & b
-                        elif comb_op == 2:  # XOR
-                            prow[rx + x] = p ^ b
-                        elif comb_op == 3:  # XNOR
-                            prow[rx + x] = 1 - (p ^ b)
-                        else:  # REPLACE
-                            prow[rx + x] = b
-            elif t in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+                _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
+            elif t == 0:  # symbol dictionary
+                input_syms: list = []
+                for r in head["refs"]:
+                    input_syms.extend(sym_store.get(r, []))
+                sym_store[head["number"]] = decode_symbol_dict(body, input_syms)
+            elif t in (6, 7):  # immediate (lossless) text region
+                syms: list = []
+                for r in head["refs"]:
+                    syms.extend(sym_store.get(r, []))
+                rw, rh, rx, ry, comb_op, rows = decode_text_region(body, syms)
+                if page is None:
+                    page_w, page_h = rx + rw, ry + rh
+                    page = [bytearray(page_w) for _ in range(page_h)]
+                _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
+            elif t in (4, 16, 20, 22, 23, 40, 42, 43):
                 raise Jbig2Error(f"JBIG2 segment type {t} unsupported "
-                                 "(symbol/text/halftone/refinement profile)")
+                                 "(intermediate/halftone/refinement profile)")
             # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52-53
             # extensions: nothing to do
     if page is None:
@@ -475,4 +803,121 @@ def jbig2_encode_embedded(
         seg(0, 48, 1, page_info)
         + seg(1, 39, 1, body)
         + seg(2, 49, 1, b"")
+    )
+
+
+def _seg_with_refs(number: int, seg_type: int, page: int, body: bytes,
+                   refs: tuple[int, ...] = ()) -> bytes:
+    """Segment header incl. referred-segment numbers (count <= 4, 1-byte
+    refs — enough for fixture streams; real streams with more use the
+    long-count form the parser already reads)."""
+    if len(refs) > 4:
+        raise Jbig2Error("fixture encoder supports <= 4 referred segments")
+    head = number.to_bytes(4, "big") + bytes([seg_type & 0x3F])
+    head += bytes([len(refs) << 5])
+    head += bytes(refs)  # number <= 256 → 1-byte referred numbers
+    head += bytes([page]) + len(body).to_bytes(4, "big")
+    return head + body
+
+
+def jbig2_encode_symbol_text(
+    glyphs: list[list[bytes]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    template: int = 0,
+) -> bytes:
+    """Symbol-mode fixture producer (the profile real scanned PDFs ship):
+    page info + arithmetic symbol dictionary (type 0) + immediate text
+    region (type 6, TOPLEFT corner, SBSTRIPS=1) + end-of-page.
+
+    ``glyphs``: distinct bitmaps (rows of 0/1 bytes). ``placements``:
+    (glyph_index, x, y) with (x, y) the TOP-LEFT pixel of the instance on
+    the page. Emits the height-class structure of 6.5.5 (classes ascending
+    by height, IADW deltas within, OOB closing every class) and the strip
+    walk of 6.4.5 (strips ascending by y, instances ascending by x)."""
+    if not glyphs or not placements:
+        raise Jbig2Error("symbol-mode encoder needs glyphs and placements")
+
+    # --- symbol dictionary: order symbols by (height, first-use) ---------
+    order = sorted(range(len(glyphs)), key=lambda g: (len(glyphs[g]), g))
+    new_id = {g: i for i, g in enumerate(order)}
+    mq = MQEncoder()
+    cx_gb = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    hc_height = 0
+    i = 0
+    while i < len(order):
+        h = len(glyphs[order[i]])
+        arith_int_encode(mq, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(order) and len(glyphs[order[i]]) == h:
+            gl = glyphs[order[i]]
+            w = len(gl[0]) if gl else 0
+            arith_int_encode(mq, iadw, w - sym_width)
+            sym_width = w
+            _generic_encode_into(mq, cx_gb, gl, w, h, tpgdon=False, template=template)
+            i += 1
+        arith_int_encode(mq, iadw, None)  # OOB closes the height class
+    # export ALL symbols: run of 0 non-exported, then run of all exported
+    arith_int_encode(mq, iaex, 0)
+    arith_int_encode(mq, iaex, len(order))
+    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template])
+    sd_flags = (template << 10)  # SDHUFF=0, SDREFAGG=0
+    sd_body = (
+        sd_flags.to_bytes(2, "big") + at
+        + len(order).to_bytes(4, "big")   # SDNUMEXSYMS
+        + len(order).to_bytes(4, "big")   # SDNUMNEWSYMS
+        + mq.flush()
+    )
+
+    # --- text region: strips ascending by y, instances ascending by x ----
+    strips: dict[int, list[tuple[int, int]]] = {}
+    for g, x, y in placements:
+        strips.setdefault(y, []).append((x, g))
+    code_len = max(len(order) - 1, 0).bit_length()
+    mq = MQEncoder()
+    iadt, iafs, iads = _int_ctx(), _int_ctx(), _int_ctx()
+    iaid = _iaid_ctx(code_len)
+    arith_int_encode(mq, iadt, 0)  # STRIPT = 0
+    stript = 0
+    firsts = 0
+    for y in sorted(strips):
+        arith_int_encode(mq, iadt, y - stript)
+        stript = y
+        insts = sorted(strips[y])
+        first_x = insts[0][0]
+        arith_int_encode(mq, iafs, first_x - firsts)
+        firsts = first_x
+        curs = firsts
+        for j, (x, g) in enumerate(insts):
+            if j > 0:
+                arith_int_encode(mq, iads, x - curs)  # SBDSOFFSET = 0
+                curs = x
+            gl = glyphs[g]
+            arith_iaid_encode(mq, iaid, new_id[g], code_len)
+            curs += (len(gl[0]) if gl else 0) - 1
+        arith_int_encode(mq, iads, None)  # OOB ends the strip
+    region_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])  # OR
+    )
+    tr_flags = 1 << 4  # REFCORNER = TOPLEFT; everything else zero
+    tr_body = (
+        region_info + tr_flags.to_bytes(2, "big")
+        + len(placements).to_bytes(4, "big")
+        + mq.flush()
+    )
+
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0x01]) + (0).to_bytes(2, "big")
+    )
+    return (
+        _seg_with_refs(0, 48, 1, page_info)
+        + _seg_with_refs(1, 0, 1, sd_body)
+        + _seg_with_refs(2, 6, 1, tr_body, refs=(1,))
+        + _seg_with_refs(3, 49, 1, b"")
     )

@@ -84,10 +84,14 @@ class TestEmbeddedSegments:
         gw, gh, got = jbig2_decode_embedded(jbig2_encode_embedded(rows, w, h))
         assert (gw, gh, got) == (w, h, rows)
 
-    def test_symbol_profile_refused(self):
-        # a symbol-dictionary segment header (type 0) must refuse loudly
+    def test_halftone_profile_refused_and_truncated_symbol_dict(self):
+        # halftone region (type 22) stays unsupported and refuses loudly
+        head = (0).to_bytes(4, "big") + bytes([22, 0x00, 0x01]) + (4).to_bytes(4, "big")
+        with pytest.raises(Jbig2Error, match="halftone"):
+            jbig2_decode_embedded(head + b"\x00\x00\x00\x00")
+        # a truncated symbol dictionary (type 0, now supported) also refuses
         head = (0).to_bytes(4, "big") + bytes([0x00, 0x00, 0x01]) + (4).to_bytes(4, "big")
-        with pytest.raises(Jbig2Error, match="symbol"):
+        with pytest.raises(Jbig2Error, match="truncated"):
             jbig2_decode_embedded(head + b"\x00\x00\x00\x00")
 
     def test_truncated_refused(self):
@@ -267,3 +271,192 @@ def test_pixel_budget_guards():
     stream[15:19] = (1 << 20).to_bytes(4, "big")
     with pytest.raises(Jbig2Error, match="pixel budget"):
         jbig2_decode_embedded(bytes(stream))
+
+
+class TestSymbolText:
+    """Symbol-dictionary + text-region profile (VERDICT r5 #8): round-trip
+    through the fixture encoder, differential against an independently
+    composed page, multi-dictionary reference chains, refusal paths."""
+
+    I = [bytes([0, 1, 0]), bytes([0, 1, 0]), bytes([0, 1, 0]),
+         bytes([0, 1, 0]), bytes([0, 1, 0])]
+    O = [bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1]), bytes([1, 0, 0, 1]),
+         bytes([1, 0, 0, 1]), bytes([1, 1, 1, 1])]
+    DOT = [bytes([1, 1]), bytes([1, 1])]  # different height class
+
+    @staticmethod
+    def _compose(glyphs, placements, w, h):
+        page = [bytearray(w) for _ in range(h)]
+        for g, x, y in placements:
+            for yy, row in enumerate(glyphs[g]):
+                for xx, b in enumerate(row):
+                    if 0 <= y + yy < h and 0 <= x + xx < w:
+                        page[y + yy][x + xx] |= b
+        return [bytes(r) for r in page]
+
+    def test_roundtrip_differential_multi_class(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+        )
+
+        glyphs = [self.I, self.O, self.DOT]  # two height classes, 3 ids
+        placements = [
+            (0, 2, 1), (1, 7, 1), (0, 13, 1), (2, 18, 4),
+            (1, 2, 8), (0, 8, 8), (2, 12, 11), (2, 1, 11),
+        ]
+        data = jbig2_encode_symbol_text(glyphs, placements, 22, 16)
+        w, h, rows = jbig2_decode_embedded(data)
+        assert (w, h) == (22, 16)
+        assert rows == self._compose(glyphs, placements, 22, 16)
+
+    def test_roundtrip_random_layouts(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+        )
+
+        rng = random.Random(17)
+        for _ in range(10):
+            n_glyphs = rng.randrange(1, 6)
+            glyphs = []
+            for _ in range(n_glyphs):
+                gw, gh = rng.randrange(1, 7), rng.randrange(1, 8)
+                glyphs.append(
+                    [bytes(rng.randrange(2) for _ in range(gw)) for _ in range(gh)]
+                )
+            w, h = 40, 30
+            placements = []
+            for _ in range(rng.randrange(1, 12)):
+                g = rng.randrange(n_glyphs)
+                placements.append(
+                    (g, rng.randrange(0, w - 8), rng.randrange(0, h - 9))
+                )
+            # encoder strips sort by (x) within y; duplicate (x, y) pairs
+            # would place two symbols at one spot — allowed, keep them
+            data = jbig2_encode_symbol_text(glyphs, placements, w, h)
+            got = jbig2_decode_embedded(data)[2]
+            assert got == self._compose(glyphs, placements, w, h)
+
+    def test_multi_dictionary_reference_chain(self):
+        """A text region referring to TWO symbol dictionaries: the symbol
+        id space is the concatenation of both exports in referred order."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _int_ctx,
+            _iaid_ctx,
+            _generic_encode_into,
+            _seg_with_refs,
+            _NOMINAL_AT,
+            _TEMPLATES,
+            arith_iaid_encode,
+            arith_int_encode,
+            jbig2_decode_embedded,
+        )
+
+        def sym_dict_body(glyphs):
+            mq = MQEncoder()
+            cx = [[0, 0] for _ in range(1 << len(_TEMPLATES[0]))]
+            iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+            hc = 0
+            by_h = sorted(range(len(glyphs)), key=lambda g: (len(glyphs[g]), g))
+            i = 0
+            while i < len(by_h):
+                h = len(glyphs[by_h[i]])
+                arith_int_encode(mq, iadh, h - hc); hc = h
+                sw = 0
+                while i < len(by_h) and len(glyphs[by_h[i]]) == h:
+                    gl = glyphs[by_h[i]]
+                    w = len(gl[0])
+                    arith_int_encode(mq, iadw, w - sw); sw = w
+                    _generic_encode_into(mq, cx, gl, w, h)
+                    i += 1
+                arith_int_encode(mq, iadw, None)
+            arith_int_encode(mq, iaex, 0)
+            arith_int_encode(mq, iaex, len(glyphs))
+            at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+            return (
+                (0).to_bytes(2, "big") + at
+                + len(glyphs).to_bytes(4, "big") + len(glyphs).to_bytes(4, "big")
+                + mq.flush()
+            )
+
+        # dict 1 exports [I]; dict 2 exports [O] → text ids: 0=I, 1=O
+        glyphs = [self.I, self.O]
+        placements = [(0, 1, 1), (1, 6, 1), (0, 12, 1)]
+        mq = MQEncoder()
+        iadt, iafs, iads = _int_ctx(), _int_ctx(), _int_ctx()
+        iaid = _iaid_ctx(1)
+        arith_int_encode(mq, iadt, 0)
+        arith_int_encode(mq, iadt, 1)      # strip at T=1
+        arith_int_encode(mq, iafs, 1)      # first S
+        curs = 1
+        for j, (g, x, y) in enumerate(placements):
+            if j > 0:
+                arith_int_encode(mq, iads, x - curs)
+                curs = x
+            arith_iaid_encode(mq, iaid, g, 1)
+            curs += len(glyphs[g][0]) - 1
+        arith_int_encode(mq, iads, None)
+        region = (
+            (16).to_bytes(4, "big") + (7).to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
+        )
+        tr_body = region + (1 << 4).to_bytes(2, "big") + (3).to_bytes(4, "big") + mq.flush()
+        page_info = (
+            (16).to_bytes(4, "big") + (7).to_bytes(4, "big")
+            + (0).to_bytes(8, "big") + bytes([0x01]) + (0).to_bytes(2, "big")
+        )
+        stream = (
+            _seg_with_refs(0, 48, 1, page_info)
+            + _seg_with_refs(1, 0, 1, sym_dict_body([self.I]))
+            + _seg_with_refs(2, 0, 1, sym_dict_body([self.O]))
+            + _seg_with_refs(3, 6, 1, tr_body, refs=(1, 2))
+            + _seg_with_refs(4, 49, 1, b"")
+        )
+        w, h, rows = jbig2_decode_embedded(stream)
+        assert rows == self._compose(glyphs, placements, 16, 7)
+
+    def test_unsupported_profiles_refuse(self):
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            decode_symbol_dict,
+            decode_text_region,
+        )
+
+        at = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
+        base = at + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
+        with pytest.raises(Jbig2Error, match="huffman"):
+            decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
+        with pytest.raises(Jbig2Error, match="refinement/aggregate"):
+            decode_symbol_dict((0x0002).to_bytes(2, "big") + base, [])
+        region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
+        tail = (1).to_bytes(4, "big") + b"\x00" * 8
+        with pytest.raises(Jbig2Error, match="huffman"):
+            decode_text_region(region + (0x0001).to_bytes(2, "big") + tail, [self.I])
+        with pytest.raises(Jbig2Error, match="transposed"):
+            decode_text_region(region + (1 << 6).to_bytes(2, "big") + tail, [self.I])
+        with pytest.raises(Jbig2Error, match="no symbols"):
+            decode_text_region(region + (1 << 4).to_bytes(2, "big") + tail, [])
+
+    def test_symbol_fixture_pdf_ocrs_to_golden(self):
+        """The checked-in symbol-mode scanned PDF goes through the full A10
+        path (PDF raster extraction → JBIG2 symbol/text decode → bitmap
+        OCR) and reads the exact golden text."""
+        import os
+
+        from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "frappe_data_pipelines_spark", "resources", "fixtures",
+        )
+        with open(os.path.join(fixtures, "sample_scanned_jbig2sym.pdf"), "rb") as f:
+            data = f.read()
+        text, conf = pdf_ocr_scanned(data)
+        assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+        assert conf == 1.0

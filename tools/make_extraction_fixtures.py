@@ -354,6 +354,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
+    _write_if_missing("sample_scanned_jbig2sym.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -704,6 +706,53 @@ def make_scanned_jbig2_pdf() -> bytes:
     w, h, rows = _scanned_raster()
     bitrows = [bytes(1 if b < 128 else 0 for b in r) for r in rows]
     data = jbig2_encode_embedded(bitrows, w, h)
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2sym_pdf() -> bytes:
+    """JBIG2 SYMBOL-mode scanned page (VERDICT r5 #8): the same page as the
+    generic-region fixture, but coded the way real scanned PDFs are —
+    arithmetic symbol dictionary (one symbol per distinct glyph) + immediate
+    text region placing instances, referred across segments. The page
+    bitmap is constructed ONLY through the symbol/text decode path, yet
+    must OCR to the identical SCANNED_TEXT golden."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.imaging import (
+        FONT_5X7,
+        GLYPH_H,
+        GLYPH_W,
+        _LINE_PITCH,
+        _MARGIN,
+        _PITCH,
+    )
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text,
+    )
+
+    lines = [ln.upper() for ln in SCANNED_TEXT.split("\n")]
+    w = _MARGIN * 2 + max(len(ln) * _PITCH - 1 for ln in lines)
+    h = _MARGIN * 2 + len(lines) * _LINE_PITCH - 2
+
+    def glyph_bitmap(ch: str) -> list[bytes]:
+        masks = FONT_5X7.get(ch, FONT_5X7["?"])
+        return [
+            bytes((m >> (GLYPH_W - 1 - gx)) & 1 for gx in range(GLYPH_W))
+            for m in masks
+        ][:GLYPH_H]
+
+    glyphs: list[list[bytes]] = []
+    idx: dict[str, int] = {}
+    placements: list[tuple[int, int, int]] = []
+    for li, ln in enumerate(lines):
+        y0 = _MARGIN + li * _LINE_PITCH
+        for ci, ch in enumerate(ln):
+            if ch == " ":
+                continue
+            if ch not in idx:
+                idx[ch] = len(glyphs)
+                glyphs.append(glyph_bitmap(ch))
+            placements.append((idx[ch], _MARGIN + ci * _PITCH, y0))
+    data = jbig2_encode_symbol_text(glyphs, placements, w, h)
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 
