@@ -8,16 +8,22 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   table, BYTEIN/BYTEOUT with 0xFF stuffing, INITDEC/INITENC, FLUSH) — both
   directions, so fixtures and round-trip fuzzing need no external encoder;
 * **generic region** decoding/encoding, GBTEMPLATEs 0-3, nominal AT
-  pixels, MMR off, TPGDON supported (typical-prediction row copies — the
-  mode real encoders enable by default);
+  pixels, TPGDON supported (typical-prediction row copies — the mode real
+  encoders enable by default); MMR-coded regions decode through the T.6
+  kernel in ``operators/faxmini``;
+* **symbol dictionaries** (arithmetic: IADH/IADW height classes, shared
+  MQ + GB contexts per 6.5.8.1, IAEX export runs) and **immediate text
+  regions** (strip walk with IADT/IAFS/IADS/IAIT, IAID symbol codes, all
+  four reference corners) — the profile real scanned PDFs ship — plus the
+  Annex A arithmetic integer coder both directions;
 * the **PDF-embedded segment stream** (no file header): segment headers
-  (type, referred-segment bytes, page association, data length), page-info
-  and immediate-generic-region segments; other segment types are skipped.
+  (type, referred-segment bytes, page association, data length), page-info,
+  generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: symbol-dictionary/text-region and refinement coding (the
-other JBIG2 profiles) are NOT implemented — a stream using them raises
-``Jbig2Error`` and the PDF dispatch falls back exactly like any other
-unsupported filter. The template-0 context is built in the spec figure's
+Scope honesty: huffman-coded symbol/text, refinement/aggregation,
+transposed text regions, and halftone regions are NOT implemented — a
+stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
+exactly like any other unsupported filter. The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
 their nominal positions); encoder and decoder share one context builder
 and are validated by exhaustive round-trip fuzzing plus the PDF
@@ -724,25 +730,39 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                     raise Jbig2Error(f"region {rw}x{rh}@{rx},{ry} exceeds pixel budget")
                 gflags = body[17]
                 if gflags & 0x01:
-                    raise Jbig2Error("MMR-coded generic region unsupported")
-                template = (gflags >> 1) & 0x03
-                at_end = 18 + 2 * _N_AT[template]  # signed AT pairs
-                if len(body) < at_end:
-                    raise Jbig2Error("truncated AT pixel coordinates")
-                got_at = tuple(
-                    (int.from_bytes(body[18 + 2 * i : 19 + 2 * i], "big", signed=True),
-                     int.from_bytes(body[19 + 2 * i : 20 + 2 * i], "big", signed=True))
-                    for i in range(_N_AT[template])
-                )
-                if got_at != _NOMINAL_AT[template]:
-                    raise Jbig2Error(
-                        f"non-nominal AT pixels {got_at} for template {template} "
-                        "unsupported (context geometry is nominal-only)"
+                    # MMR-coded generic region: the body IS a T.6 (Group 4)
+                    # code stream (T.88 6.2.6) — decode with the CCITT
+                    # kernel; MMR segments carry no AT bytes
+                    from frappe_data_pipelines_spark.operators.faxmini import (
+                        FaxError,
+                        g4_decode,
                     )
-                rows = generic_region_decode(
-                    body[at_end:], rw, rh,
-                    tpgdon=bool(gflags & 0x08), template=template,
-                )
+
+                    try:
+                        rows = [bytes(r) for r in g4_decode(body[18:], rw, rh)]
+                    except (FaxError, ValueError, IndexError) as e:
+                        raise Jbig2Error(f"MMR region: {e}") from e
+                    if len(rows) < rh:  # truncated stream: pad like T.6 white
+                        rows += [bytes(rw)] * (rh - len(rows))
+                else:
+                    template = (gflags >> 1) & 0x03
+                    at_end = 18 + 2 * _N_AT[template]  # signed AT pairs
+                    if len(body) < at_end:
+                        raise Jbig2Error("truncated AT pixel coordinates")
+                    got_at = tuple(
+                        (int.from_bytes(body[18 + 2 * i : 19 + 2 * i], "big", signed=True),
+                         int.from_bytes(body[19 + 2 * i : 20 + 2 * i], "big", signed=True))
+                        for i in range(_N_AT[template])
+                    )
+                    if got_at != _NOMINAL_AT[template]:
+                        raise Jbig2Error(
+                            f"non-nominal AT pixels {got_at} for template {template} "
+                            "unsupported (context geometry is nominal-only)"
+                        )
+                    rows = generic_region_decode(
+                        body[at_end:], rw, rh,
+                        tpgdon=bool(gflags & 0x08), template=template,
+                    )
                 if page is None:
                     page_w, page_h = rx + rw, ry + rh
                     page = [bytearray(page_w) for _ in range(page_h)]
@@ -772,12 +792,13 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
 
 
 def jbig2_encode_embedded(
-    rows: list[bytes], w: int, h: int, tpgdon: bool = True, template: int = 0
+    rows: list[bytes], w: int, h: int, tpgdon: bool = True, template: int = 0,
+    mmr: bool = False,
 ) -> bytes:
     """Fixture/round-trip producer: page info + one immediate lossless
     generic region (template 0, nominal AT, TPGDON by default — the mode
-    real encoders ship) + end-of-page, as a PDF /JBIG2Decode stream (no
-    file header)."""
+    real encoders ship; ``mmr=True`` emits a T.6-coded region instead) +
+    end-of-page, as a PDF /JBIG2Decode stream (no file header)."""
     def seg(number: int, seg_type: int, page: int, body: bytes) -> bytes:
         head = number.to_bytes(4, "big") + bytes([seg_type & 0x3F, 0x00])
         head += bytes([page]) + len(body).to_bytes(4, "big")
@@ -792,13 +813,21 @@ def jbig2_encode_embedded(
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
     )
-    # emit the per-template NOMINAL AT pairs — the decoder validates them
-    # against _NOMINAL_AT (templates 2/3 use A1=(2,-1), not template 0's A1)
-    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template])
-    gflags = bytes([(0x08 if tpgdon else 0x00) | (template << 1)])
-    body = region_info + gflags + at + generic_region_encode(
-        rows, w, h, tpgdon=tpgdon, template=template
-    )
+    if mmr:
+        from frappe_data_pipelines_spark.operators.faxmini import g4_encode
+
+        body = region_info + bytes([0x01]) + g4_encode(
+            [[1 if b else 0 for b in r[:w]] for r in rows], w
+        )
+    else:
+        # emit the per-template NOMINAL AT pairs — the decoder validates
+        # them against _NOMINAL_AT (templates 2/3 use A1=(2,-1), not
+        # template 0's A1)
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template])
+        gflags = bytes([(0x08 if tpgdon else 0x00) | (template << 1)])
+        body = region_info + gflags + at + generic_region_encode(
+            rows, w, h, tpgdon=tpgdon, template=template
+        )
     return (
         seg(0, 48, 1, page_info)
         + seg(1, 39, 1, body)

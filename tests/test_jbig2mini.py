@@ -99,16 +99,20 @@ class TestEmbeddedSegments:
         with pytest.raises(Jbig2Error):
             jbig2_decode_embedded(data[:7])
 
-    def test_mmr_flag_refused(self):
-        w = h = 4
-        region_info = (
-            w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])
-        )
-        body = region_info + bytes([0x01]) + b"\x00" * 8
-        seg = (0).to_bytes(4, "big") + bytes([39, 0x00, 0x01]) + len(body).to_bytes(4, "big") + body
-        with pytest.raises(Jbig2Error, match="MMR"):
-            jbig2_decode_embedded(seg)
+    def test_mmr_region_roundtrip_via_t6_kernel(self):
+        """MMR-coded generic regions (T.88 6.2.6) decode through the CCITT
+        Group-4 kernel (operators/faxmini) — the same page round-trips in
+        both arithmetic and MMR form."""
+        w, h = 33, 11
+        rows = [
+            bytes(1 if (y % 3 < 2 and (x // 4) % 2 == 0) else 0 for x in range(w))
+            for y in range(h)
+        ]
+        for mmr in (False, True):
+            gw, gh, got = jbig2_decode_embedded(
+                jbig2_encode_embedded(rows, w, h, mmr=mmr)
+            )
+            assert (gw, gh, got) == (w, h, rows), f"mmr={mmr}"
 
 
 def test_jbig2_scanned_pdf_through_ocr():
