@@ -14,14 +14,14 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
 * **symbol dictionaries** (arithmetic: IADH/IADW height classes, shared
   MQ + GB contexts per 6.5.8.1, IAEX export runs) and **immediate text
   regions** (strip walk with IADT/IAFS/IADS/IAIT, IAID symbol codes, all
-  four reference corners) — the profile real scanned PDFs ship — plus the
+  four reference corners, both TRANSPOSED orientations) — the profile real scanned PDFs ship — plus the
   Annex A arithmetic integer coder both directions;
 * the **PDF-embedded segment stream** (no file header): segment headers
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: huffman-coded symbol/text, refinement/aggregation,
-transposed text regions, and halftone regions are NOT implemented — a
+Scope honesty: huffman-coded symbol/text, refinement/aggregation, and
+halftone regions are NOT implemented — a
 stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
 exactly like any other unsupported filter. The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
@@ -508,9 +508,9 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
 
 def decode_text_region(body: bytes, syms: list):
     """Text-region segment body + referred symbols → (rw, rh, rx, ry,
-    comb_op, rows). Supported profile: SBHUFF=0, REFINE=0 instances,
-    TRANSPOSED=0; REFCORNER all four; SBSTRIPS any power of two (IAIT
-    decoded when SBSTRIPS > 1); SBDSOFFSET honored."""
+    comb_op, rows). Supported profile: SBHUFF=0, REFINE=0 instances;
+    TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
+    of two (IAIT decoded when SBSTRIPS > 1); SBDSOFFSET honored."""
     if len(body) < 19:
         raise Jbig2Error("truncated text region")
     rw = int.from_bytes(body[0:4], "big")
@@ -524,8 +524,7 @@ def decode_text_region(body: bytes, syms: list):
     refine = (flags >> 1) & 1
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3
-    if (flags >> 6) & 1:
-        raise Jbig2Error("transposed text region unsupported")
+    transposed = (flags >> 6) & 1
     comb_op = (flags >> 7) & 3
     def_pixel = (flags >> 9) & 1
     ds_offset = (flags >> 10) & 0x1F
@@ -593,7 +592,14 @@ def decode_text_region(body: bytes, syms: list):
             sym = syms[sid]
             hs = len(sym)
             ws = len(sym[0]) if hs else 0
-            y0 = tt if refcorner in (1, 3) else tt - hs + 1  # TOPx vs BOTTOMx
+            if transposed:
+                # S runs down the page, T across: x from T (right corners
+                # back up by the width), y from CURS (6.4.5 step 3c)
+                x0 = tt if refcorner in (0, 1) else tt - ws + 1
+                y0 = curs
+            else:
+                x0 = curs
+                y0 = tt if refcorner in (1, 3) else tt - hs + 1  # TOPx/BOTTOMx
             for yy in range(hs):
                 py = y0 + yy
                 if not 0 <= py < rh:
@@ -601,7 +607,7 @@ def decode_text_region(body: bytes, syms: list):
                 prow = rows[py]
                 srow = sym[yy]
                 for xx in range(ws):
-                    px = curs + xx
+                    px = x0 + xx
                     if not 0 <= px < rw:
                         continue
                     b = srow[xx]
@@ -614,7 +620,7 @@ def decode_text_region(body: bytes, syms: list):
                         prow[px] = p ^ b
                     else:
                         prow[px] = 1 - (p ^ b)
-            curs += ws - 1
+            curs += (hs if transposed else ws) - 1
             ninst += 1
     return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
 
@@ -855,6 +861,7 @@ def jbig2_encode_symbol_text(
     page_w: int,
     page_h: int,
     template: int = 0,
+    transposed: bool = False,
 ) -> bytes:
     """Symbol-mode fixture producer (the profile real scanned PDFs ship):
     page info + arithmetic symbol dictionary (type 0) + immediate text
@@ -901,10 +908,13 @@ def jbig2_encode_symbol_text(
         + mq.flush()
     )
 
-    # --- text region: strips ascending by y, instances ascending by x ----
+    # --- text region: strips ascending by T, instances ascending by S ----
+    # non-transposed: T = y (strip rows), S = x; transposed: T = x (strip
+    # columns), S = y — the decode walks S down the page
     strips: dict[int, list[tuple[int, int]]] = {}
     for g, x, y in placements:
-        strips.setdefault(y, []).append((x, g))
+        t_coord, s_coord = (x, y) if transposed else (y, x)
+        strips.setdefault(t_coord, []).append((s_coord, g))
     code_len = max(len(order) - 1, 0).bit_length()
     mq = MQEncoder()
     iadt, iafs, iads = _int_ctx(), _int_ctx(), _int_ctx()
@@ -912,27 +922,28 @@ def jbig2_encode_symbol_text(
     arith_int_encode(mq, iadt, 0)  # STRIPT = 0
     stript = 0
     firsts = 0
-    for y in sorted(strips):
-        arith_int_encode(mq, iadt, y - stript)
-        stript = y
-        insts = sorted(strips[y])
-        first_x = insts[0][0]
-        arith_int_encode(mq, iafs, first_x - firsts)
-        firsts = first_x
+    for t_coord in sorted(strips):
+        arith_int_encode(mq, iadt, t_coord - stript)
+        stript = t_coord
+        insts = sorted(strips[t_coord])
+        first_s = insts[0][0]
+        arith_int_encode(mq, iafs, first_s - firsts)
+        firsts = first_s
         curs = firsts
-        for j, (x, g) in enumerate(insts):
+        for j, (s_coord, g) in enumerate(insts):
             if j > 0:
-                arith_int_encode(mq, iads, x - curs)  # SBDSOFFSET = 0
-                curs = x
+                arith_int_encode(mq, iads, s_coord - curs)  # SBDSOFFSET = 0
+                curs = s_coord
             gl = glyphs[g]
             arith_iaid_encode(mq, iaid, new_id[g], code_len)
-            curs += (len(gl[0]) if gl else 0) - 1
+            # decode advances S by width (or height when transposed) - 1
+            curs += (len(gl) if transposed else (len(gl[0]) if gl else 0)) - 1
         arith_int_encode(mq, iads, None)  # OOB ends the strip
     region_info = (
         page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])  # OR
     )
-    tr_flags = 1 << 4  # REFCORNER = TOPLEFT; everything else zero
+    tr_flags = (1 << 4) | ((1 << 6) if transposed else 0)  # TOPLEFT corner
     tr_body = (
         region_info + tr_flags.to_bytes(2, "big")
         + len(placements).to_bytes(4, "big")

@@ -423,6 +423,27 @@ class TestSymbolText:
         w, h, rows = jbig2_decode_embedded(stream)
         assert rows == self._compose(glyphs, placements, 16, 7)
 
+    def test_transposed_roundtrip_matches_normal(self):
+        """TRANSPOSED=1 walks S down the page (strips are columns); the
+        same placements must produce the identical page either way."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+        )
+
+        glyphs = [self.I, self.O, self.DOT]
+        placements = [
+            (0, 2, 1), (1, 2, 8), (2, 3, 14),   # a column of symbols
+            (1, 9, 2), (0, 9, 9), (2, 16, 5),
+        ]
+        normal = jbig2_decode_embedded(
+            jbig2_encode_symbol_text(glyphs, placements, 21, 18)
+        )[2]
+        transp = jbig2_decode_embedded(
+            jbig2_encode_symbol_text(glyphs, placements, 21, 18, transposed=True)
+        )[2]
+        assert transp == normal == self._compose(glyphs, placements, 21, 18)
+
     def test_unsupported_profiles_refuse(self):
         import pytest
 
@@ -442,8 +463,6 @@ class TestSymbolText:
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
         with pytest.raises(Jbig2Error, match="huffman"):
             decode_text_region(region + (0x0001).to_bytes(2, "big") + tail, [self.I])
-        with pytest.raises(Jbig2Error, match="transposed"):
-            decode_text_region(region + (1 << 6).to_bytes(2, "big") + tail, [self.I])
         with pytest.raises(Jbig2Error, match="no symbols"):
             decode_text_region(region + (1 << 4).to_bytes(2, "big") + tail, [])
 
