@@ -223,6 +223,22 @@ CHECKS: dict[str, list] = {
         ("no_join", lambda p: "Join" not in p),
         ("windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
     ],
+    "exact_substring_spans_winnow": [
+        # numpy winnow prefilter: ONE Arrow kernel (the fingerprint pass),
+        # one window-count shuffle on fp, cohort semi-join, then the same
+        # per-doc island merge as the full path — no cartesian anywhere
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("arrow_winnow_kernel", lambda p: ("MapInPandas" in p) or ("ArrowEval" in p)),
+        ("cohort_semi_join", lambda p: "LeftSemi" in p),
+        ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
+    ],
+    "j3_caption_dead_letter_audit": [
+        # caption dead-letter path: one scan through one Arrow stage,
+        # shuffle-free (I3 is row-grained, never a repartition)
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("arrow_stage", lambda p: "MapInPandas" in p or "ArrowEval" in p),
+        ("no_shuffle", lambda p: "Exchange" not in _final_plan(p)),
+    ],
     "pii_redaction": [
         # regexp scrub is a pure map stage: one scan, zero shuffles, all
         # expressions inside codegen — nothing leaves the JVM
