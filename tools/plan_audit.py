@@ -300,7 +300,10 @@ CHECKS: dict[str, list] = {
         # the per-URL longest-match window
         ("rules_broadcast", lambda p: "BroadcastExchange" in p or "BroadcastHashJoin" in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
-        ("single_url_scan", lambda p: _final_plan(p).count("FileScan") <= 2),
+        # designed shape is THREE scans: the URL fact side, the distinct
+        # (host, path) verdict side, and the hosts dimension — AQE may
+        # collapse some via exchange reuse but must never add a fourth
+        ("bounded_scans", lambda p: _final_plan(p).count("FileScan") <= 3),
     ],
     "token_budget_select": [
         # NO global sort: the boundary window partitions by the quantized
