@@ -878,6 +878,13 @@ def winnow_fingerprints(
     return sel.withColumnRenamed("fp_pos", "pos")
 
 
+# order-key position width for the fast winnowing kernel: per-Arrow-batch
+# concatenated text must fit in this many bits of inverted position or the
+# key silently corrupts — the kernel guards it. Module-level so tests can
+# shrink it to exercise the guard without a 4 GiB batch.
+_WINNOW_POS_BITS = 32
+
+
 def winnow_fingerprints_fast(
     docs: DataFrame,
     k: int = 32,
@@ -896,18 +903,19 @@ def winnow_fingerprints_fast(
     ``mapInPandas``: no explode, no window sort — the two costs that make
     the expression-based twin unusable as a prefilter at scale.
 
-    Selection uses the top 43 hash bits (21 bits hold the inverted
-    position for rightmost-tie ordering); the emitted fp is the FULL 64-bit
-    hash of the selected gram, so the selection stays content-determined —
-    two copies of a string of length >= w + k - 1 still share a selected
-    fingerprint, which is the lossless-prefilter guarantee."""
+    Selection uses the top 32 hash bits (the low 32 bits of the order key
+    hold the inverted global position for rightmost-tie ordering); the
+    emitted fp is the FULL 64-bit hash of the selected gram, so the
+    selection stays content-determined — two copies of a string of length
+    >= w + k - 1 still share a selected fingerprint, which is the
+    lossless-prefilter guarantee."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     B = 1000003  # odd → invertible mod 2^64
     BINV = pow(B, -1, 1 << 64)
-    POS_BITS = 32  # Arrow batches stay < 4 GiB of concatenated text
+    POS_BITS = _WINNOW_POS_BITS  # per-batch positions must fit; guarded below
     POS_MASK = np.uint64((1 << POS_BITS) - 1)
 
     def winnow_batch(doc_ids, texts):
@@ -923,6 +931,16 @@ def winnow_fingerprints_fast(
         n = len(data)
         if n < k:
             return [], [], []
+        if n > int(POS_MASK):
+            # the inverted position must fit in POS_BITS or the order key
+            # silently corrupts (missed duplicate spans downstream) — fail
+            # loudly; Arrow batches are row-capped, not byte-capped, so a
+            # corpus of huge documents CAN get here
+            raise ValueError(
+                f"winnow_fingerprints_fast: batch holds {n} bytes of text, "
+                f"over the 2^{POS_BITS}-1 position budget; lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
         starts = np.concatenate([[0], np.cumsum(lens)])[:-1]  # doc byte offsets
         c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
         binv_pow = np.empty(n, dtype=np.uint64)
@@ -953,11 +971,14 @@ def winnow_fingerprints_fast(
         g = np.unique(g)  # selected gram offsets (global)
         doc_idx = np.searchsorted(starts, g, side="right") - 1
         local_pos = g - starts[doc_idx] + 1  # 1-based within the doc
-        out_ids = np.asarray(doc_ids, dtype=np.int64)[doc_idx]
-        return out_ids.tolist(), local_pos.tolist(), h[g].view(np.int64).tolist()
+        out_ids = [doc_ids[i] for i in doc_idx.tolist()]  # any id type
+        return out_ids, local_pos.tolist(), h[g].view(np.int64).tolist()
 
+    # carry the caller's id type through (string doc ids are as legal here
+    # as bigints — the md5 twin never casts either)
+    id_type = docs.schema[id_col].dataType
     schema = T.StructType([
-        T.StructField("doc_id", T.LongType()),
+        T.StructField("doc_id", id_type),
         T.StructField("pos", T.LongType()),
         T.StructField("fp", T.LongType()),
     ])
@@ -969,7 +990,7 @@ def winnow_fingerprints_fast(
 
     par = docs.sparkSession.sparkContext.defaultParallelism
     narrow = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .repartition(par)  # small-file sources arrive as 1 input partition
     )
     return narrow.mapInPandas(run, schema=schema)

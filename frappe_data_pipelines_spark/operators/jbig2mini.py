@@ -462,7 +462,14 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
     iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
     new_syms: list = []
     hc_height = 0
+    guard = 0
     while len(new_syms) < num_new:
+        # progress guard: an exhausted MQ stream decodes free bits forever,
+        # so empty height classes (dh then immediate OOB) must be bounded —
+        # a corrupt stream raises instead of pinning an executor core
+        guard += 1
+        if guard > 2 * num_new + 16:
+            raise Jbig2Error("symbol dictionary fails to make progress")
         dh = arith_int_decode(mq, iadh)
         if dh is None:
             raise Jbig2Error("OOB delta-height in symbol dictionary")
@@ -487,8 +494,13 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
             )
     all_syms = list(input_syms) + new_syms
     exported: list = []
-    i, exflag = 0, 0
+    i, exflag, ex_guard = 0, 0, 0
     while i < len(all_syms):
+        # run=0 toggles exflag without advancing i — legal once per flip,
+        # but a corrupt stream repeating it would spin forever
+        ex_guard += 1
+        if ex_guard > 2 * len(all_syms) + 8:
+            raise Jbig2Error("export runs fail to make progress")
         run = arith_int_decode(mq, iaex)
         if run is None or run < 0 or i + run > len(all_syms):
             raise Jbig2Error("bad export run in symbol dictionary")
@@ -540,7 +552,11 @@ def decode_text_region(body: bytes, syms: list):
     pos += 4
     if not syms:
         raise Jbig2Error("text region refers to no symbols")
-    if rw * rh > _MAX_PIXELS or num_instances > _MAX_SYMBOLS:
+    # same allocation guard as generic regions: the rx/ry offsets feed the
+    # page allocation when no page-info segment preceded this region, so a
+    # corrupt 4-byte offset must not become a multi-GB bytearray
+    if (rw * rh > _MAX_PIXELS or (rx + rw) * (ry + rh) > _MAX_PIXELS
+            or num_instances > _MAX_SYMBOLS):
         raise Jbig2Error("text region exceeds budget")
     code_len = max(len(syms) - 1, 0).bit_length()
 
@@ -697,14 +713,14 @@ def _compose_region(
 def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, int, list[bytes]]:
     """PDF-embedded JBIG2 → (width, height, rows of 0/1 bytes, 1 = black).
 
-    Supported: page-info + arithmetic generic regions (templates 0-3,
-    nominal AT, no MMR, TPGDON ok), arithmetic symbol dictionaries
-    (SDHUFF=0, SDREFAGG=0) and immediate text regions (SBHUFF=0,
-    TRANSPOSED=0, no refined instances) — the profile real symbol-mode
-    encoders (jbig2enc) emit — all composed onto the page bitmap.
-    Huffman/refinement/halftone/transposed streams raise — the PDF raster
-    path treats that like any other unsupported filter (fallback, not a
-    crash)."""
+    Supported: page-info + generic regions (arithmetic templates 0-3 with
+    nominal AT and TPGDON, or MMR through the T.6 kernel), arithmetic
+    symbol dictionaries (SDHUFF=0, SDREFAGG=0) and immediate text regions
+    (SBHUFF=0, both TRANSPOSED orientations, no refined instances) — the
+    profile real symbol-mode encoders (jbig2enc) emit — all composed onto
+    the page bitmap. Huffman/refinement/halftone streams raise — the PDF
+    raster path treats that like any other unsupported filter (fallback,
+    not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
     sym_store: dict[int, list] = {}  # segment number → exported symbols

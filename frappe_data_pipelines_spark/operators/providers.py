@@ -171,20 +171,7 @@ class HTTPEmbedder:
         return embs
 
     def _call_with_retry(self, batch: list[str]) -> list[list[float]]:
-        delays = self.retry.delays()
-        while True:
-            try:
-                return self._call_once(batch)
-            except ProviderError as e:
-                if not e.retryable:
-                    raise
-                try:
-                    self.sleeper(next(delays))
-                except StopIteration:
-                    raise ProviderError(
-                        f"retries exhausted after {self.retry.max_attempts} attempts: {e}",
-                        retryable=False,
-                    ) from e
+        return _call_with_retry(lambda: self._call_once(batch), self.retry, self.sleeper)
 
     def embed(self, texts: list[str]) -> list[list[float]]:
         out: list[list[float]] = []
@@ -262,13 +249,6 @@ class HTTPChatClient:
 
     def complete(self, content) -> str:
         return _call_with_retry(lambda: self._complete_once(content), self.retry, self.sleeper)
-
-
-_MIME_BY_EXT = {
-    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
-    ".gif": "image/gif", ".webp": "image/webp", ".bmp": "image/bmp",
-    ".tiff": "image/tiff", ".tif": "image/tiff",
-}
 
 
 @dataclass

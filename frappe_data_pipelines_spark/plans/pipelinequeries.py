@@ -589,6 +589,24 @@ def extract_real_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _all_true(col):
+    """Aggregate "every row satisfies ``col``", NULL-safe in BOTH
+    directions: a NULL condition counts as a FAILURE (Spark's ``bool_and``
+    silently skips NULLs, which would let a full-join orphan or a NULL
+    embedding slip through), while an EMPTY input is vacuously true."""
+    return F.coalesce(
+        F.bool_and(F.coalesce(col, F.lit(False))), F.lit(True)
+    ).alias("ok")
+
+
+def _check_row(name: str, df_bool: DataFrame) -> DataFrame:
+    """One (check_name, ok) row from a single-row boolean aggregate."""
+    return df_bool.select(
+        F.lit(name).alias("check_name"),
+        F.coalesce(F.col("ok"), F.lit(True)).alias("ok"),
+    )
+
+
 _INGEST_CHECKS = (
     "all_docs_have_jobs",
     "chunk_indexes_dense",
@@ -663,16 +681,11 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_docs = docs_in.count()
 
-        def one(name: str, df_bool: DataFrame) -> DataFrame:
-            return df_bool.select(F.lit(name).alias("check_name"),
-                                  F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
 
-        all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
-
-        c_docs = one(
+        c_docs = _check_row(
             "all_docs_have_jobs",
             docs_in.join(jobs, docs_in.doc_id == jobs.source_doc_id, "full")
-            .agg(all_true(docs_in.doc_id.isNotNull() & jobs.source_doc_id.isNotNull())),
+            .agg(_all_true(docs_in.doc_id.isNotNull() & jobs.source_doc_id.isNotNull())),
         )
         per_doc_states = (
             jobs.join(docs_in, jobs.source_doc_id == docs_in.doc_id)
@@ -686,9 +699,9 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                            == 0).alias("blank"),
             )
         )
-        c_states = one(
+        c_states = _check_row(
             "job_states_legal",
-            per_doc_states.agg(all_true(
+            per_doc_states.agg(_all_true(
                 (F.col("n_q") == 1) & (F.col("n_c") + F.col("n_f") == 1)
                 & (F.col("n_all") == F.col("n_q") + F.col("n_c") + F.col("n_f"))
                 & (F.col("blank") == (F.col("n_f") == 1))
@@ -702,25 +715,25 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total_chunks").alias("t_mn"),
             F.max("total_chunks").alias("t_mx"),
         )
-        c_dense = one(
+        c_dense = _check_row(
             "chunk_indexes_dense",
-            per_doc_chunks.agg(all_true(
+            per_doc_chunks.agg(_all_true(
                 (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
                 & (F.col("nd") == F.col("n"))
                 & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
             )),
         )
-        c_sub = one(
+        c_sub = _check_row(
             "chunk_text_from_doc",
             chunks.join(docs_in, "doc_id").agg(
-                all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)
+                _all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)
             ),
         )
-        c_dim = one(
+        c_dim = _check_row(
             "embedding_dim_ok",
-            chunks.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+            chunks.agg(_all_true(F.size("embedding") == DEFAULT_DIM)),
         )
-        c_metrics = one(
+        c_metrics = _check_row(
             "metrics_totals_match",
             metrics.agg((F.coalesce(F.sum("n_docs"), F.lit(0)) == n_docs).alias("ok")),
         )
@@ -805,24 +818,19 @@ def j6_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     embedded, done = run_pipeline_batch(docs, jobs, chunk_size=200, chunk_overlap=40)
 
-    all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
-
-    def one(name: str, df_bool: DataFrame) -> DataFrame:
-        return df_bool.select(F.lit(name).alias("check_name"),
-                              F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
 
     expected = docs.filter(
         (F.col("doc_id") % 2 == 0)
         & (F.length(F.trim(F.coalesce("text", F.lit("")))) > 0)
     ).select("doc_id")
-    c_queued = one(
+    c_queued = _check_row(
         "only_queued_processed",
         expected.join(done, expected.doc_id == done.source_doc_id, "full")
-        .agg(all_true(expected.doc_id.isNotNull() & done.source_doc_id.isNotNull())),
+        .agg(_all_true(expected.doc_id.isNotNull() & done.source_doc_id.isNotNull())),
     )
-    c_term = one(
+    c_term = _check_row(
         "all_terminal_completed",
-        done.agg(all_true(
+        done.agg(_all_true(
             (F.col("status") == "Completed") & F.col("completed_at").isNotNull()
             & (F.col("n_chunks") >= 1)
         )),
@@ -832,27 +840,27 @@ def j6_pipeline_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.count_distinct("chunk_index").alias("nd"),
         F.min("total_chunks").alias("t_mn"), F.max("total_chunks").alias("t_mx"),
     )
-    c_dense = one(
+    c_dense = _check_row(
         "chunk_indexes_dense",
-        per_doc.agg(all_true(
+        per_doc.agg(_all_true(
             (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
             & (F.col("nd") == F.col("n"))
             & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
         )),
     )
-    c_sub = one(
+    c_sub = _check_row(
         "chunk_text_from_doc",
         embedded.join(docs.select("doc_id", F.col("text").alias("doc_text")), "doc_id")
-        .agg(all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)),
+        .agg(_all_true(F.instr(F.col("doc_text"), F.col("chunk_text")) > 0)),
     )
-    c_acct = one(
+    c_acct = _check_row(
         "n_chunks_accounting",
         done.join(per_doc, done.source_doc_id == per_doc.doc_id, "full")
-        .agg(all_true(F.col("n_chunks") == F.col("n"))),
+        .agg(_all_true(F.col("n_chunks") == F.col("n"))),
     )
-    c_dim = one(
+    c_dim = _check_row(
         "embedding_dim_ok",
-        embedded.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+        embedded.agg(_all_true(F.size("embedding") == DEFAULT_DIM)),
     )
     result = c_term
     for c in (c_dense, c_sub, c_dim, c_acct, c_queued):
@@ -965,11 +973,6 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_chunks(all_chunks)
     embedded = embed_documents(enriched, text_col="embedded_text")
 
-    all_true = lambda col: F.coalesce(F.bool_and(col), F.lit(True)).alias("ok")  # noqa: E731
-
-    def one(name: str, df_bool: DataFrame) -> DataFrame:
-        return df_bool.select(F.lit(name).alias("check_name"),
-                              F.coalesce(F.col("ok"), F.lit(True)).alias("ok"))
 
     per_doc = embedded.groupBy("doc_id").agg(
         F.count_distinct("strategy").alias("n_strat"),
@@ -981,10 +984,10 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonblank = docs.filter(F.length(F.trim(F.coalesce("text", F.lit("")))) > 0).select(
         "doc_id", "n_chars"
     )
-    c_part = one(
+    c_part = _check_row(
         "strategies_partition_docs",
         nonblank.join(per_doc, "doc_id", "full")
-        .agg(all_true(nonblank.doc_id.isNotNull() & (F.col("n_strat") == 1))),
+        .agg(_all_true(nonblank.doc_id.isNotNull() & (F.col("n_strat") == 1))),
     )
     # independent inline restatement of the routing rule — NOT a call back
     # into processing_plan_expr
@@ -993,13 +996,13 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") > 450, "structured")
         .otherwise("text")
     )
-    c_rule = one(
+    c_rule = _check_row(
         "routing_rule_respected",
-        nonblank.join(per_doc, "doc_id").agg(all_true(F.col("strategy") == expected)),
+        nonblank.join(per_doc, "doc_id").agg(_all_true(F.col("strategy") == expected)),
     )
-    c_dense = one(
+    c_dense = _check_row(
         "chunk_indexes_dense",
-        per_doc.agg(all_true(
+        per_doc.agg(_all_true(
             (F.col("mn") == 0) & (F.col("mx") == F.col("n") - 1)
             & (F.col("nd") == F.col("n"))
             & (F.col("t_mn") == F.col("n")) & (F.col("t_mx") == F.col("n"))
@@ -1010,20 +1013,20 @@ def j6_smart_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" of "), F.col("total_chunks").cast("string"),
         F.lit(" from document "), F.col("doc_id").cast("string"), F.lit("."),
     )
-    c_tmpl = one(
+    c_tmpl = _check_row(
         "enrich_template_ok",
-        embedded.agg(all_true(F.col("context_prefix") == tmpl)),
+        embedded.agg(_all_true(F.col("context_prefix") == tmpl)),
     )
-    c_h16 = one(
+    c_h16 = _check_row(
         "embedded_text_rule",
-        embedded.agg(all_true(
+        embedded.agg(_all_true(
             F.col("embedded_text")
             == F.concat_ws("\n\n", F.col("context_prefix"), F.col("chunk_text"))
         )),
     )
-    c_dim = one(
+    c_dim = _check_row(
         "embedding_dim_ok",
-        embedded.agg(all_true(F.size("embedding") == DEFAULT_DIM)),
+        embedded.agg(_all_true(F.size("embedding") == DEFAULT_DIM)),
     )
     result = c_dense
     for c in (c_h16, c_dim, c_tmpl, c_rule, c_part):

@@ -461,3 +461,45 @@ def test_winnow_fast_kernel_guarantee_and_batch_isolation(spark):
         solo |= {(r.doc_id, r.pos, r.fp)
                  for r in winnow_fingerprints_fast(one, k=32, w=9).collect()}
     assert {(r.doc_id, r.pos, r.fp) for r in rows} == solo
+
+
+def test_winnow_fast_string_ids_and_byte_budget(spark, monkeypatch):
+    """Review r6: the fast kernel must carry arbitrary id types (the md5
+    twin never casts), and a batch whose concatenated text exceeds the
+    POS_BITS position budget must fail loudly — silent key wraparound
+    would mean MISSED duplicate spans downstream."""
+    import pytest
+
+    from frappe_data_pipelines_spark.operators.dedup import (
+        exact_dup_spans,
+        winnow_fingerprints_fast,
+    )
+
+    shared = "an exactly duplicated phrase comfortably over forty characters!!"
+    docs = spark.createDataFrame(
+        [("doc-a", "lead " + shared + " tail one"),
+         ("doc-b", "other " + shared + " tail two"),
+         ("doc-c", "no duplication in this one at all, nothing shared here")],
+        "doc_id string, text string",
+    )
+    fps = winnow_fingerprints_fast(docs, k=32, w=9)
+    assert dict(fps.dtypes)["doc_id"] == "string"
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc["doc-a"] & by_doc["doc-b"]
+
+    # the full prefilter path works end-to-end on string ids
+    spans = exact_dup_spans(docs, min_len=40, min_docs=2, prefilter="winnow")
+    assert {r.doc_id for r in spans.collect()} == {"doc-a", "doc-b"}
+
+    # byte-budget guard: shrink the position width so a modest batch
+    # exceeds it — the kernel must raise, never silently wrap the key
+    import frappe_data_pipelines_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "_WINNOW_POS_BITS", 6)  # budget: 63 bytes
+    big = spark.createDataFrame(
+        [("x", "a" * 200)], "doc_id string, text string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="position budget"):
+        dd.winnow_fingerprints_fast(big, k=8, w=4).count()

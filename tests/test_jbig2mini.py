@@ -483,3 +483,69 @@ class TestSymbolText:
         text, conf = pdf_ocr_scanned(data)
         assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
         assert conf == 1.0
+
+
+class TestReviewRegressions:
+    """Round-6 review findings, pinned: corrupt streams must RAISE, never
+    hang an executor or allocate past the pixel budget."""
+
+    def test_symbol_dict_export_runs_cannot_spin(self):
+        """A stream whose IAEX section repeats run=0 forever must raise the
+        progress guard, not loop on free post-stream bits."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _NOMINAL_AT,
+            _int_ctx,
+            arith_int_encode,
+            decode_symbol_dict,
+            Jbig2Error,
+        )
+
+        mq = MQEncoder()
+        iaex = _int_ctx()
+        for _ in range(200):
+            arith_int_encode(mq, iaex, 0)  # run 0: toggles exflag, no progress
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        body = ((0).to_bytes(2, "big") + at
+                + (1).to_bytes(4, "big") + (0).to_bytes(4, "big") + mq.flush())
+        I = [bytes([1])]
+        with pytest.raises(Jbig2Error, match="progress"):
+            decode_symbol_dict(body, [I])
+
+    def test_symbol_dict_empty_height_classes_cannot_spin(self):
+        """dh followed by an immediate OOB repeated forever (and then free
+        bits past the stream) must hit the height-class progress guard."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _NOMINAL_AT,
+            _int_ctx,
+            arith_int_encode,
+            decode_symbol_dict,
+            Jbig2Error,
+        )
+
+        mq = MQEncoder()
+        iadh, iadw = _int_ctx(), _int_ctx()
+        for _ in range(100):
+            arith_int_encode(mq, iadh, 1)     # new height class...
+            arith_int_encode(mq, iadw, None)  # ...that never adds a symbol
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        body = ((0).to_bytes(2, "big") + at
+                + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + mq.flush())
+        with pytest.raises(Jbig2Error, match="progress"):
+            decode_symbol_dict(body, [])
+
+    def test_text_region_offset_cannot_blow_page_allocation(self):
+        """rx/ry feed the page allocation when no page-info segment came
+        first — a corrupt offset must hit the pixel budget, not allocate."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            decode_text_region,
+        )
+
+        region = ((8).to_bytes(4, "big") + (8).to_bytes(4, "big")
+                  + (1 << 25).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                  + bytes([0]))
+        body = region + (1 << 4).to_bytes(2, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
+        with pytest.raises(Jbig2Error, match="budget"):
+            decode_text_region(body, [[bytes([1])]])
