@@ -20,10 +20,12 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: huffman-coded symbol/text, refinement/aggregation, and
-halftone regions are NOT implemented — a
+Scope honesty: huffman-coded symbol/text, GRTEMPLATE-0 refinement,
+multi-instance aggregates, and halftone regions are NOT implemented — a
 stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
-exactly like any other unsupported filter. The template-0 context is built in the spec figure's
+exactly like any other unsupported filter. GRTEMPLATE-1 refinement (both
+refined text instances and single-instance REFAGG symbols) IS implemented,
+both directions. The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
 their nominal positions); encoder and decoder share one context builder
 and are validated by exhaustive round-trip fuzzing plus the PDF
@@ -409,6 +411,69 @@ def _iaid_ctx(code_len: int) -> list:
     return [[0, 0] for _ in range(1 << (code_len + 1))]
 
 
+# -- generic refinement regions (T.88 6.3, GRTEMPLATE 1) ---------------------
+
+# Refinement decodes a bitmap given a REFERENCE bitmap: each pixel's
+# context mixes already-decoded neighbors of the current bitmap with a 3x2
+# neighborhood of the reference (template 1 geometry, T.88 figure 12 — the
+# fixed-AT template; template 0's movable AT pixels are refused). Context
+# bit order: coding pixels then reference pixels, raster order, matching
+# the shared-builder convention of the generic templates.
+_REF_CODING = ((-1, -1), (0, -1), (1, -1), (-1, 0))
+_REF_REFERENCE = ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1))
+_REF_CTX_BITS = len(_REF_CODING) + len(_REF_REFERENCE)
+
+
+def _ref_context(rows, ref, x, y, w, dx, dy) -> int:
+    ctx = 0
+    for ddx, ddy in _REF_CODING:
+        # every coding pixel is already decoded by raster order (row y-1,
+        # or left of x in row y); only bounds need guarding
+        xx, yy = x + ddx, y + ddy
+        bit = rows[yy][xx] if 0 <= yy < len(rows) and 0 <= xx < w else 0
+        ctx = (ctx << 1) | bit
+    rh = len(ref)
+    rw = len(ref[0]) if rh else 0
+    for ddx, ddy in _REF_REFERENCE:
+        xx, yy = x - dx + ddx, y - dy + ddy
+        bit = ref[yy][xx] if 0 <= yy < rh and 0 <= xx < rw else 0
+        ctx = (ctx << 1) | bit
+    return ctx
+
+
+def refinement_region_decode(
+    mq: MQDecoder, cxs: list, w: int, h: int, ref: list, dx: int = 0, dy: int = 0
+) -> list[bytes]:
+    """GRTEMPLATE-1 refinement decode driven by a shared MQ decoder +
+    context bank (the form both refined text instances and REFAGG symbol
+    dictionaries use). ``ref`` is the reference bitmap; (dx, dy) position
+    it under the decoded bitmap (GRREFERENCEDX/DY)."""
+    rows: list[bytearray] = []
+    for y in range(h):
+        row = bytearray(w)
+        rows.append(row)
+        for x in range(w):
+            row[x] = mq.decode(cxs[_ref_context(rows, ref, x, y, w, dx, dy)])
+    return [bytes(r) for r in rows]
+
+
+def refinement_region_encode(
+    mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
+    ref: list, dx: int = 0, dy: int = 0,
+) -> None:
+    """Encoder twin of refinement_region_decode (no flush)."""
+    built: list[bytearray] = []
+    for y in range(h):
+        row = bytearray(rows[y][:w])
+        built.append(row)
+        for x in range(w):
+            mq.encode(cxs[_ref_context(built, ref, x, y, w, dx, dy)], row[x] & 1)
+
+
+def _ref_ctx_bank() -> list:
+    return [[0, 0] for _ in range(1 << _REF_CTX_BITS)]
+
+
 # -- symbol dictionary (T.88 6.5, segment type 0) ----------------------------
 
 _MAX_SYMBOLS = 1 << 16
@@ -435,20 +500,23 @@ def _read_at(body: bytes, pos: int, template: int) -> int:
 
 def decode_symbol_dict(body: bytes, input_syms: list) -> list:
     """Symbol-dictionary segment body → exported symbol bitmaps (each a
-    list of 0/1-byte rows). Supported profile: SDHUFF=0 (arithmetic),
-    SDREFAGG=0 (no refinement/aggregation) — the profile jbig2enc emits for
-    lossless symbol mode. Height classes via IADH/IADW (6.5.5), per-symbol
-    bitmaps through the SHARED MQ decoder + GB contexts (6.5.8.1), exports
-    via IAEX run lengths (6.5.10)."""
+    list of 0/1-byte rows). Supported profiles: SDHUFF=0 (arithmetic) with
+    SDREFAGG=0 (direct coding — what jbig2enc emits for lossless symbol
+    mode) or SDREFAGG=1 single-instance refinement (each symbol refined
+    from an earlier one via GRTEMPLATE 1). Height classes via IADH/IADW
+    (6.5.5), per-symbol bitmaps through the SHARED MQ decoder + GB/GR
+    contexts (6.5.8), exports via IAEX run lengths (6.5.10)."""
     if len(body) < 2:
         raise Jbig2Error("truncated symbol dictionary")
     flags = int.from_bytes(body[0:2], "big")
     if flags & 0x0001:
         raise Jbig2Error("huffman-coded symbol dictionary unsupported")
-    if flags & 0x0002:
-        raise Jbig2Error("refinement/aggregate symbol coding unsupported")
+    refagg = bool(flags & 0x0002)
     template = (flags >> 10) & 0x03
+    r_template = (flags >> 12) & 0x01
     pos = _read_at(body, 2, template)
+    if refagg and r_template == 0:
+        raise Jbig2Error("REFAGG symbol dictionary with GRTEMPLATE 0 unsupported")
     if len(body) < pos + 8:
         raise Jbig2Error("truncated symbol dictionary header")
     num_ex = int.from_bytes(body[pos : pos + 4], "big")
@@ -456,10 +524,15 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
     pos += 8
     if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
         raise Jbig2Error("symbol dictionary exceeds symbol budget")
+    # 6.5.8.2.3: refinement-aggregate symbol ids index input + new symbols
+    ref_code_len = max(len(input_syms) + num_new - 1, 0).bit_length()
 
     mq = MQDecoder(body[pos:])
     cx_gb = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
     iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+    iaid = _iaid_ctx(ref_code_len)
+    gr_cxs = _ref_ctx_bank()
     new_syms: list = []
     hc_height = 0
     guard = 0
@@ -488,10 +561,35 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
                 raise Jbig2Error("more symbols than SDNUMNEWSYMS declares")
             if sym_width * hc_height > _MAX_PIXELS:
                 raise Jbig2Error("symbol exceeds pixel budget")
-            new_syms.append(
-                _generic_decode_into(mq, cx_gb, sym_width, hc_height,
-                                     tpgdon=False, template=template)
-            )
+            if refagg:
+                # 6.5.8.2: each symbol is a refinement of an earlier one.
+                # Only the single-instance form (REFAGGNINST == 1) is
+                # decoded — the multi-instance form embeds a full text
+                # region and is refused like the huffman profile.
+                n_inst = arith_int_decode(mq, iaai)
+                if n_inst != 1:
+                    raise Jbig2Error(
+                        f"aggregate symbol with {n_inst} instances unsupported"
+                    )
+                rid = arith_iaid_decode(mq, iaid, ref_code_len)
+                pool = list(input_syms) + new_syms
+                if not 0 <= rid < len(pool):
+                    raise Jbig2Error(f"refinement reference id {rid} out of range")
+                rdx = arith_int_decode(mq, iardx)
+                rdy = arith_int_decode(mq, iardy)
+                if rdx is None or rdy is None:
+                    raise Jbig2Error("OOB refinement offset")
+                new_syms.append(
+                    refinement_region_decode(
+                        mq, gr_cxs, sym_width, hc_height, pool[rid],
+                        dx=rdx, dy=rdy,
+                    )
+                )
+            else:
+                new_syms.append(
+                    _generic_decode_into(mq, cx_gb, sym_width, hc_height,
+                                         tpgdon=False, template=template)
+                )
     all_syms = list(input_syms) + new_syms
     exported: list = []
     i, exflag, ex_guard = 0, 0, 0
@@ -520,8 +618,8 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
 
 def decode_text_region(body: bytes, syms: list):
     """Text-region segment body + referred symbols → (rw, rh, rx, ry,
-    comb_op, rows). Supported profile: SBHUFF=0, REFINE=0 instances;
-    TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
+    comb_op, rows). Supported profile: SBHUFF=0; refined instances (RI=1)
+    via GRTEMPLATE-1 refinement; TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
     of two (IAIT decoded when SBSTRIPS > 1); SBDSOFFSET honored."""
     if len(body) < 19:
         raise Jbig2Error("truncated text region")
@@ -562,7 +660,9 @@ def decode_text_region(body: bytes, syms: list):
 
     mq = MQDecoder(body[pos:])
     iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
+    iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
     iaid = _iaid_ctx(code_len)
+    gr_cxs = _ref_ctx_bank()  # refinement contexts persist across instances
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
 
     dt = arith_int_decode(mq, iadt)
@@ -601,11 +701,31 @@ def decode_text_region(body: bytes, syms: list):
             sid = arith_iaid_decode(mq, iaid, code_len)
             if not 0 <= sid < len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
+            sym = syms[sid]
             if refine:
                 ri = arith_int_decode(mq, iari)
                 if ri:
-                    raise Jbig2Error("refined text symbol instance unsupported")
-            sym = syms[sid]
+                    # 6.4.11: the instance bitmap is a refinement of the
+                    # symbol — size adjusted by RDW/RDH, reference placed
+                    # at (floor(RDW/2)+RDX, floor(RDH/2)+RDY)
+                    if r_template != 1:
+                        raise Jbig2Error(
+                            "refined text instance with GRTEMPLATE 0 unsupported"
+                        )
+                    rdw = arith_int_decode(mq, iardw)
+                    rdh = arith_int_decode(mq, iardh)
+                    rdx = arith_int_decode(mq, iardx)
+                    rdy = arith_int_decode(mq, iardy)
+                    if None in (rdw, rdh, rdx, rdy):
+                        raise Jbig2Error("OOB refinement delta")
+                    nw = len(sym[0]) + rdw if sym else rdw
+                    nh = len(sym) + rdh
+                    if nw <= 0 or nh <= 0 or nw * nh > _MAX_PIXELS:
+                        raise Jbig2Error("refined instance exceeds budget")
+                    sym = refinement_region_decode(
+                        mq, gr_cxs, nw, nh, sym,
+                        dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+                    )
             hs = len(sym)
             ws = len(sym[0]) if hs else 0
             if transposed:
@@ -715,12 +835,13 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
 
     Supported: page-info + generic regions (arithmetic templates 0-3 with
     nominal AT and TPGDON, or MMR through the T.6 kernel), arithmetic
-    symbol dictionaries (SDHUFF=0, SDREFAGG=0) and immediate text regions
-    (SBHUFF=0, both TRANSPOSED orientations, no refined instances) — the
-    profile real symbol-mode encoders (jbig2enc) emit — all composed onto
-    the page bitmap. Huffman/refinement/halftone streams raise — the PDF
-    raster path treats that like any other unsupported filter (fallback,
-    not a crash)."""
+    symbol dictionaries (SDHUFF=0; direct or single-instance-REFAGG
+    refinement coding) and immediate text regions (SBHUFF=0, both
+    TRANSPOSED orientations, refined instances via GRTEMPLATE 1) — the
+    profiles real symbol-mode encoders emit — all composed onto the page
+    bitmap. Huffman, GRTEMPLATE-0 refinement, multi-instance aggregates,
+    and halftone streams raise — the PDF raster path treats that like any
+    other unsupported filter (fallback, not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
     sym_store: dict[int, list] = {}  # segment number → exported symbols

@@ -457,7 +457,8 @@ class TestSymbolText:
         base = at + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
         with pytest.raises(Jbig2Error, match="huffman"):
             decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
-        with pytest.raises(Jbig2Error, match="refinement/aggregate"):
+        # SDREFAGG alone is now supported (GRTEMPLATE 1); template 0 refuses
+        with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
             decode_symbol_dict((0x0002).to_bytes(2, "big") + base, [])
         region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
@@ -549,3 +550,236 @@ class TestReviewRegressions:
         body = region + (1 << 4).to_bytes(2, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
         with pytest.raises(Jbig2Error, match="budget"):
             decode_text_region(body, [[bytes([1])]])
+
+
+class TestRefinement:
+    """GRTEMPLATE-1 refinement coding: direct round-trips, refined text
+    instances, single-instance REFAGG symbol dictionaries, refusals."""
+
+    I = [bytes([0, 1, 0]), bytes([0, 1, 0]), bytes([0, 1, 0]),
+         bytes([0, 1, 0]), bytes([0, 1, 0])]
+    O = [bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1]), bytes([1, 0, 0, 1]),
+         bytes([1, 0, 0, 1]), bytes([1, 1, 1, 1])]
+
+    def test_refinement_roundtrip_random(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQDecoder,
+            MQEncoder,
+            _ref_ctx_bank,
+            refinement_region_decode,
+            refinement_region_encode,
+        )
+
+        rng = random.Random(23)
+        for _ in range(20):
+            rw, rh = rng.randrange(1, 12), rng.randrange(1, 10)
+            ref = [bytes(rng.randrange(2) for _ in range(rw)) for _ in range(rh)]
+            w, h = rng.randrange(1, 12), rng.randrange(1, 10)
+            # target correlates with the reference (the realistic case) but
+            # with random flips
+            rows = [
+                bytes(
+                    (ref[y][x] if y < rh and x < rw else 0) ^ (rng.random() < 0.15)
+                    for x in range(w)
+                )
+                for y in range(h)
+            ]
+            dx, dy = rng.randrange(-2, 3), rng.randrange(-2, 3)
+            enc = MQEncoder()
+            refinement_region_encode(enc, _ref_ctx_bank(), rows, w, h, ref, dx, dy)
+            dec = MQDecoder(enc.flush())
+            got = refinement_region_decode(dec, _ref_ctx_bank(), w, h, ref, dx, dy)
+            assert got == rows
+
+    def test_refinement_close_to_reference_compresses(self):
+        """The whole point of refinement: a bitmap near its reference costs
+        far fewer bits than direct generic coding."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _ref_ctx_bank,
+            generic_region_encode,
+            refinement_region_encode,
+        )
+
+        w, h = 64, 40
+        ref = [bytes(1 if (y % 7 < 3 and (x // 5) % 2 == 0) else 0
+                     for x in range(w)) for y in range(h)]
+        rows = [bytearray(r) for r in ref]
+        rows[3][7] ^= 1  # two flipped pixels
+        rows[20][33] ^= 1
+        rows = [bytes(r) for r in rows]
+        enc = MQEncoder()
+        refinement_region_encode(enc, _ref_ctx_bank(), rows, w, h, ref)
+        refined = len(enc.flush())
+        direct = len(generic_region_encode(rows, w, h))
+        assert refined < direct / 2, (refined, direct)
+
+    @staticmethod
+    def _sym_dict_body(glyphs, refagg_from=None):
+        """Direct-coded dict body, or (with refagg_from=(pool, specs))
+        a REFAGG dict whose new symbols refine pool entries."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _NOMINAL_AT,
+            _TEMPLATES,
+            _generic_encode_into,
+            _iaid_ctx,
+            _int_ctx,
+            _ref_ctx_bank,
+            arith_iaid_encode,
+            arith_int_encode,
+            refinement_region_encode,
+        )
+
+        mq = MQEncoder()
+        iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        if refagg_from is None:
+            cx = [[0, 0] for _ in range(1 << len(_TEMPLATES[0]))]
+            hc = 0
+            for gl in sorted(glyphs, key=len):
+                h, w = len(gl), len(gl[0])
+                arith_int_encode(mq, iadh, h - hc); hc = h
+                arith_int_encode(mq, iadw, w)
+                _generic_encode_into(mq, cx, gl, w, h)
+                arith_int_encode(mq, iadw, None)
+            flags = 0x0000
+            n_new = len(glyphs)
+        else:
+            pool, specs = refagg_from  # specs: [(ref_id, rows)]
+            iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+            code_len = max(len(pool) + len(specs) - 1, 0).bit_length()
+            iaid = _iaid_ctx(code_len)
+            gr = _ref_ctx_bank()
+            hc = 0
+            for ref_id, rows in specs:
+                h, w = len(rows), len(rows[0])
+                arith_int_encode(mq, iadh, h - hc); hc = h
+                arith_int_encode(mq, iadw, w)
+                arith_int_encode(mq, iaai, 1)
+                arith_iaid_encode(mq, iaid, ref_id, code_len)
+                arith_int_encode(mq, iardx, 0)
+                arith_int_encode(mq, iardy, 0)
+                refinement_region_encode(mq, gr, rows, w, h, pool[ref_id])
+                arith_int_encode(mq, iadw, None)
+            flags = 0x0002 | (1 << 12)  # SDREFAGG, GRTEMPLATE 1
+            n_new = len(specs)
+        # export everything (input + new)
+        n_in = 0 if refagg_from is None else len(refagg_from[0])
+        arith_int_encode(mq, iaex, 0)
+        arith_int_encode(mq, iaex, n_in + n_new)
+        n_ex = n_in + n_new
+        return (flags.to_bytes(2, "big") + at
+                + n_ex.to_bytes(4, "big") + n_new.to_bytes(4, "big")
+                + mq.flush())
+
+    def test_refagg_symbol_dict_and_refined_text_instance(self):
+        """End-to-end: dict 1 direct-codes I and O; dict 2 REFAGG-refines I
+        into an 'I with serifs'; the text region places a normal instance,
+        a REFAGG symbol instance, and an RI=1 instance refined inline."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _iaid_ctx,
+            _int_ctx,
+            _ref_ctx_bank,
+            _seg_with_refs,
+            arith_iaid_encode,
+            arith_int_encode,
+            jbig2_decode_embedded,
+            refinement_region_encode,
+        )
+
+        serif_I = [bytes([1, 1, 1]), bytes([0, 1, 0]), bytes([0, 1, 0]),
+                   bytes([0, 1, 0]), bytes([1, 1, 1])]
+        inline = [bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1]), bytes([1, 1, 1, 1]),
+                  bytes([1, 0, 0, 1]), bytes([1, 1, 1, 1])]  # refined O → 8
+
+        d1 = self._sym_dict_body([self.I, self.O])
+        # dict 1 exports sorted-by-height... both height 5: order I, O
+        d2 = self._sym_dict_body(None, refagg_from=([self.I, self.O],
+                                                    [(0, serif_I)]))
+        # text symbols = d1 exports (I, O) + d2 exports (I, O, serif_I)
+        # → ids: 0=I 1=O 2=I 3=O 4=serif_I ; code_len = 3
+        code_len = 3
+        mq = MQEncoder()
+        iadt, iafs, iads, iari = (_int_ctx() for _ in range(4))
+        iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
+        iaid = _iaid_ctx(code_len)
+        gr = _ref_ctx_bank()
+        arith_int_encode(mq, iadt, 0)
+        arith_int_encode(mq, iadt, 1)   # strip at T=1
+        arith_int_encode(mq, iafs, 1)   # S=1: plain I
+        arith_iaid_encode(mq, iaid, 0, code_len)
+        arith_int_encode(mq, iari, 0)
+        curs = 1 + 3 - 1
+        arith_int_encode(mq, iads, 6 - curs)  # S=6: serif_I (REFAGG symbol)
+        curs = 6
+        arith_iaid_encode(mq, iaid, 4, code_len)
+        arith_int_encode(mq, iari, 0)
+        curs += 3 - 1
+        arith_int_encode(mq, iads, 12 - curs)  # S=12: O refined INLINE
+        curs = 12
+        arith_iaid_encode(mq, iaid, 1, code_len)
+        arith_int_encode(mq, iari, 1)
+        arith_int_encode(mq, iardw, 0)
+        arith_int_encode(mq, iardh, 0)
+        arith_int_encode(mq, iardx, 0)
+        arith_int_encode(mq, iardy, 0)
+        refinement_region_encode(mq, gr, inline, 4, 5, self.O)
+        arith_int_encode(mq, iads, None)
+        region = ((18).to_bytes(4, "big") + (7).to_bytes(4, "big")
+                  + (0).to_bytes(8, "big") + bytes([0]))
+        flags = (1 << 4) | (1 << 1) | (1 << 15)  # TOPLEFT, REFINE, GRTEMPLATE1
+        tr = region + flags.to_bytes(2, "big") + (3).to_bytes(4, "big") + mq.flush()
+        page_info = ((18).to_bytes(4, "big") + (7).to_bytes(4, "big")
+                     + (0).to_bytes(8, "big") + bytes([0x01]) + (0).to_bytes(2, "big"))
+        stream = (
+            _seg_with_refs(0, 48, 1, page_info)
+            + _seg_with_refs(1, 0, 1, d1)
+            + _seg_with_refs(2, 0, 1, d2, refs=(1,))
+            + _seg_with_refs(3, 6, 1, tr, refs=(1, 2))
+            + _seg_with_refs(4, 49, 1, b"")
+        )
+        w, h, rows = jbig2_decode_embedded(stream)
+        page = [bytearray(18) for _ in range(7)]
+        for glyph, x in ((self.I, 1), (serif_I, 6), (inline, 12)):
+            for yy, r in enumerate(glyph):
+                for xx, b in enumerate(r):
+                    page[1 + yy][x + xx] |= b
+        assert rows == [bytes(r) for r in page]
+
+    def test_refagg_multi_instance_refused(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            MQEncoder,
+            _NOMINAL_AT,
+            _int_ctx,
+            arith_int_encode,
+            decode_symbol_dict,
+            Jbig2Error,
+        )
+
+        mq = MQEncoder()
+        iadh, iadw, iaai = _int_ctx(), _int_ctx(), _int_ctx()
+        arith_int_encode(mq, iadh, 1)
+        arith_int_encode(mq, iadw, 1)
+        arith_int_encode(mq, iaai, 2)  # two aggregate instances: refused
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        body = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
+                + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + mq.flush())
+        with pytest.raises(Jbig2Error, match="aggregate"):
+            decode_symbol_dict(body, [[bytes([1])]])
+
+    def test_refagg_template0_refused(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            _NOMINAL_AT,
+            decode_symbol_dict,
+            Jbig2Error,
+        )
+
+        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+        body = ((0x0002).to_bytes(2, "big") + at  # SDREFAGG, GRTEMPLATE 0
+                + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8)
+        with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
+            decode_symbol_dict(body, [])
