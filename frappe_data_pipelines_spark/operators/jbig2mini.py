@@ -992,6 +992,139 @@ def _seg_with_refs(number: int, seg_type: int, page: int, body: bytes,
     return head + body
 
 
+def jbig2_encode_symbol_text_refagg(
+    rough_glyphs: list[list[bytes]],
+    clean_glyphs: list[list[bytes]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    inline_refine_last: bool = True,
+) -> bytes:
+    """Refinement-profile fixture producer: dictionary 1 direct-codes the
+    ROUGH glyphs, dictionary 2 REFAGG-refines each rough glyph into its
+    CLEAN form (exporting only the clean set), and the text region places
+    clean symbols — optionally refining the last instance inline (RI=1).
+    Decodes to exactly the clean-glyph composition, so an OCR golden pinned
+    on the clean font survives the whole refinement path."""
+    if len(rough_glyphs) != len(clean_glyphs) or not placements:
+        raise Jbig2Error("refagg encoder needs paired glyph lists + placements")
+    for r, c in zip(rough_glyphs, clean_glyphs):
+        if len(r) != len(c) or len(r[0]) != len(c[0]):
+            raise Jbig2Error("rough/clean glyph dimensions must match")
+
+    order = sorted(range(len(rough_glyphs)), key=lambda g: (len(rough_glyphs[g]), g))
+    new_id = {g: i for i, g in enumerate(order)}
+
+    # --- dict 1: rough glyphs, direct-coded, export all ------------------
+    mq = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << len(_TEMPLATES[0]))]
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    hc = 0
+    for g in order:
+        gl = rough_glyphs[g]
+        h, w = len(gl), len(gl[0])
+        arith_int_encode(mq, iadh, h - hc)
+        hc = h
+        arith_int_encode(mq, iadw, w)
+        _generic_encode_into(mq, cx, gl, w, h)
+        arith_int_encode(mq, iadw, None)
+    arith_int_encode(mq, iaex, 0)
+    arith_int_encode(mq, iaex, len(order))
+    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+    d1 = ((0).to_bytes(2, "big") + at
+          + len(order).to_bytes(4, "big") + len(order).to_bytes(4, "big")
+          + mq.flush())
+
+    # --- dict 2: REFAGG — clean[i] refined from rough id i; export CLEAN only
+    n = len(order)
+    mq = MQEncoder()
+    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
+    iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+    code_len = max(2 * n - 1, 0).bit_length()
+    iaid = _iaid_ctx(code_len)
+    gr = _ref_ctx_bank()
+    hc = 0
+    for i, g in enumerate(order):
+        gl = clean_glyphs[g]
+        h, w = len(gl), len(gl[0])
+        arith_int_encode(mq, iadh, h - hc)
+        hc = h
+        arith_int_encode(mq, iadw, w)
+        arith_int_encode(mq, iaai, 1)
+        arith_iaid_encode(mq, iaid, i, code_len)  # refine from rough twin
+        arith_int_encode(mq, iardx, 0)
+        arith_int_encode(mq, iardy, 0)
+        refinement_region_encode(mq, gr, gl, w, h, rough_glyphs[g])
+        arith_int_encode(mq, iadw, None)
+    arith_int_encode(mq, iaex, n)   # skip the n input (rough) symbols
+    arith_int_encode(mq, iaex, n)   # export the n new (clean) symbols
+    d2 = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
+          + n.to_bytes(4, "big") + n.to_bytes(4, "big") + mq.flush())
+
+    # --- text region over the clean exports (refs dict 2 only) -----------
+    strips: dict[int, list[tuple[int, int]]] = {}
+    for g, x, y in placements:
+        strips.setdefault(y, []).append((x, g))
+    t_code_len = max(n - 1, 0).bit_length()
+    mq = MQEncoder()
+    iadt, iafs, iads, iari = (_int_ctx() for _ in range(4))
+    iardw, iardh = _int_ctx(), _int_ctx()
+    iardx2, iardy2 = _int_ctx(), _int_ctx()
+    t_iaid = _iaid_ctx(t_code_len)
+    t_gr = _ref_ctx_bank()
+    arith_int_encode(mq, iadt, 0)
+    stript = firsts = 0
+    n_done = 0
+    n_total = len(placements)
+    for y in sorted(strips):
+        arith_int_encode(mq, iadt, y - stript)
+        stript = y
+        insts = sorted(strips[y])
+        arith_int_encode(mq, iafs, insts[0][0] - firsts)
+        firsts = insts[0][0]
+        curs = firsts
+        for j, (x, g) in enumerate(insts):
+            if j > 0:
+                arith_int_encode(mq, iads, x - curs)
+                curs = x
+            gl = clean_glyphs[g]
+            arith_iaid_encode(mq, t_iaid, new_id[g], t_code_len)
+            n_done += 1
+            if inline_refine_last and n_done == n_total:
+                # identity refinement: RDW/RDH/RDX/RDY = 0, bitmap == symbol
+                arith_int_encode(mq, iari, 1)
+                arith_int_encode(mq, iardw, 0)
+                arith_int_encode(mq, iardh, 0)
+                arith_int_encode(mq, iardx2, 0)
+                arith_int_encode(mq, iardy2, 0)
+                refinement_region_encode(
+                    mq, t_gr, gl, len(gl[0]), len(gl), gl
+                )
+            else:
+                arith_int_encode(mq, iari, 0)
+            curs += len(gl[0]) - 1
+        arith_int_encode(mq, iads, None)
+    region_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(8, "big") + bytes([0])
+    )
+    tr_flags = (1 << 4) | (1 << 1) | (1 << 15)  # TOPLEFT, REFINE, GRTEMPLATE1
+    tr = (region_info + tr_flags.to_bytes(2, "big")
+          + n_total.to_bytes(4, "big") + mq.flush())
+
+    page_info = (
+        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
+        + (0).to_bytes(8, "big") + bytes([0x01]) + (0).to_bytes(2, "big")
+    )
+    return (
+        _seg_with_refs(0, 48, 1, page_info)
+        + _seg_with_refs(1, 0, 1, d1)
+        + _seg_with_refs(2, 0, 1, d2, refs=(1,))
+        + _seg_with_refs(3, 6, 1, tr, refs=(2,))
+        + _seg_with_refs(4, 49, 1, b"")
+    )
+
+
 def jbig2_encode_symbol_text(
     glyphs: list[list[bytes]],
     placements: list[tuple[int, int, int]],

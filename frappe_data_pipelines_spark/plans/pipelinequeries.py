@@ -510,6 +510,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jbig2sym.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jbig2ref.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample.pdf', 'pdf', false,
        'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
         || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
@@ -543,7 +546,8 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in (
         "sample_scanned.pdf", "sample_scanned_jpeg.pdf",
         "sample_scanned_g4.pdf", "sample_scanned_pjpeg.pdf",
-        "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf", "sample.pdf",
+        "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf",
+        "sample_scanned_jbig2ref.pdf", "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))

@@ -783,3 +783,50 @@ class TestRefinement:
                 + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8)
         with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
             decode_symbol_dict(body, [])
+
+
+def test_symbol_stream_corruption_totality(monkeypatch):
+    """Byte-mutated SYMBOL-mode streams (dictionary + text region +
+    refinement paths) either decode or raise Jbig2Error — never hang, leak
+    IndexError, or blow the allocation budget. Complements the generic-
+    region totality fuzz with the round-6 decoder surface."""
+    from frappe_data_pipelines_spark.operators import jbig2mini
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text,
+    )
+
+    monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+    I = [bytes([0, 1, 0])] * 5
+    O = [bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1]), bytes([1, 1, 1, 1])]
+    base = jbig2_encode_symbol_text(
+        [I, O], [(0, 2, 1), (1, 7, 1), (0, 13, 8)], 20, 15
+    )
+    assert jbig2_decode_embedded(base)[0] == 20
+    rng = random.Random(29)
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            jbig2_decode_embedded(bytes(b))
+        except Jbig2Error:
+            pass
+
+
+def test_refagg_fixture_pdf_ocrs_to_golden():
+    """The checked-in REFAGG/refined-instance scanned PDF: rough symbols →
+    refinement-corrected clean symbols → inline-refined final instance →
+    bitmap OCR reads the exact golden text."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jbig2ref.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+    assert conf == 1.0
