@@ -530,9 +530,16 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
     mq = MQDecoder(body[pos:])
     cx_gb = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
     iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
-    iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
-    iaid = _iaid_ctx(ref_code_len)
-    gr_cxs = _ref_ctx_bank()
+    if refagg:
+        # refinement-only banks; the common SDREFAGG=0 path must not pay
+        # the iaid allocation (2^(code_len+1) entries — a stream merely
+        # DECLARING 64k symbols would otherwise churn ~25 MB up front)
+        iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
+        iaid = _iaid_ctx(ref_code_len)
+        gr_cxs = _ref_ctx_bank()
+    # one growing pool: input symbols + decoded-so-far (all_syms at the
+    # end); avoids the O(n^2) per-symbol list rebuild for REFAGG streams
+    pool: list = list(input_syms)
     new_syms: list = []
     hc_height = 0
     guard = 0
@@ -572,25 +579,22 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
                         f"aggregate symbol with {n_inst} instances unsupported"
                     )
                 rid = arith_iaid_decode(mq, iaid, ref_code_len)
-                pool = list(input_syms) + new_syms
                 if not 0 <= rid < len(pool):
                     raise Jbig2Error(f"refinement reference id {rid} out of range")
                 rdx = arith_int_decode(mq, iardx)
                 rdy = arith_int_decode(mq, iardy)
                 if rdx is None or rdy is None:
                     raise Jbig2Error("OOB refinement offset")
-                new_syms.append(
-                    refinement_region_decode(
-                        mq, gr_cxs, sym_width, hc_height, pool[rid],
-                        dx=rdx, dy=rdy,
-                    )
+                sym = refinement_region_decode(
+                    mq, gr_cxs, sym_width, hc_height, pool[rid],
+                    dx=rdx, dy=rdy,
                 )
             else:
-                new_syms.append(
-                    _generic_decode_into(mq, cx_gb, sym_width, hc_height,
-                                         tpgdon=False, template=template)
-                )
-    all_syms = list(input_syms) + new_syms
+                sym = _generic_decode_into(mq, cx_gb, sym_width, hc_height,
+                                           tpgdon=False, template=template)
+            new_syms.append(sym)
+            pool.append(sym)
+    all_syms = pool  # input symbols + all decoded symbols, in id order
     exported: list = []
     i, exflag, ex_guard = 0, 0, 0
     while i < len(all_syms):
@@ -704,6 +708,8 @@ def decode_text_region(body: bytes, syms: list):
             sym = syms[sid]
             if refine:
                 ri = arith_int_decode(mq, iari)
+                if ri is None:
+                    raise Jbig2Error("OOB refinement flag")  # totality: raise
                 if ri:
                     # 6.4.11: the instance bitmap is a refinement of the
                     # symbol — size adjusted by RDW/RDH, reference placed
@@ -720,7 +726,11 @@ def decode_text_region(body: bytes, syms: list):
                         raise Jbig2Error("OOB refinement delta")
                     nw = len(sym[0]) + rdw if sym else rdw
                     nh = len(sym) + rdh
-                    if nw <= 0 or nh <= 0 or nw * nh > _MAX_PIXELS:
+                    # same per-dimension cap as dictionary symbols — the
+                    # area check alone admits 67M x 1 shapes that pin a
+                    # core on pure-Python refinement of free MQ bits
+                    if (nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM
+                            or nh > _MAX_SYM_DIM):
                         raise Jbig2Error("refined instance exceeds budget")
                     sym = refinement_region_decode(
                         mq, gr_cxs, nw, nh, sym,
@@ -992,6 +1002,81 @@ def _seg_with_refs(number: int, seg_type: int, page: int, body: bytes,
     return head + body
 
 
+def _emit_dict_classes(mq: MQEncoder, order: list[int], glyphs, emit_symbol) -> None:
+    """Grouped height-class walk, encoder side of 6.5.5: IADH deltas
+    between classes (ascending height), IADW deltas within, OOB closing
+    each class. ``emit_symbol(g, gl, w, h)`` writes the per-symbol payload
+    (direct generic bits, or a refinement record)."""
+    iadh, iadw = _int_ctx(), _int_ctx()
+    hc = 0
+    i = 0
+    while i < len(order):
+        h = len(glyphs[order[i]])
+        arith_int_encode(mq, iadh, h - hc)
+        hc = h
+        sw = 0
+        while i < len(order) and len(glyphs[order[i]]) == h:
+            gl = glyphs[order[i]]
+            w = len(gl[0]) if gl else 0
+            arith_int_encode(mq, iadw, w - sw)
+            sw = w
+            emit_symbol(order[i], gl, w, h)
+            i += 1
+        arith_int_encode(mq, iadw, None)  # OOB closes the height class
+
+
+def _emit_export_runs(mq: MQEncoder, n_skip: int, n_export: int) -> None:
+    """IAEX runs (6.5.10): skip ``n_skip`` symbols, export the next
+    ``n_export``."""
+    iaex = _int_ctx()
+    arith_int_encode(mq, iaex, n_skip)
+    arith_int_encode(mq, iaex, n_export)
+
+
+def _group_strips(placements, transposed: bool) -> dict[int, list[tuple[int, int]]]:
+    """(glyph, x, y) placements → {T: [(S, glyph), ...]}. Non-transposed:
+    T = y (strip rows), S = x; transposed: T = x (strip columns), S = y —
+    the decoder walks S down the page."""
+    strips: dict[int, list[tuple[int, int]]] = {}
+    for g, x, y in placements:
+        t_coord, s_coord = (x, y) if transposed else (y, x)
+        strips.setdefault(t_coord, []).append((s_coord, g))
+    return strips
+
+
+def _emit_strip_walk(mq: MQEncoder, strips, emit_instance) -> None:
+    """Encoder side of the 6.4.5 strip walk: strips ascending by T,
+    instances ascending by S, SBSTRIPS=1 (no IAIT), SBDSOFFSET=0.
+    ``emit_instance(g)`` writes the symbol id plus any refinement payload
+    and returns the S-extent the decoder advances by."""
+    iadt, iafs, iads = _int_ctx(), _int_ctx(), _int_ctx()
+    arith_int_encode(mq, iadt, 0)  # STRIPT = 0
+    stript = firsts = 0
+    for t_coord in sorted(strips):
+        arith_int_encode(mq, iadt, t_coord - stript)
+        stript = t_coord
+        insts = sorted(strips[t_coord])
+        arith_int_encode(mq, iafs, insts[0][0] - firsts)
+        firsts = insts[0][0]
+        curs = firsts
+        for j, (s_coord, g) in enumerate(insts):
+            if j > 0:
+                arith_int_encode(mq, iads, s_coord - curs)
+                curs = s_coord
+            curs += emit_instance(g) - 1
+        arith_int_encode(mq, iads, None)  # OOB ends the strip
+
+
+def _region_info(w: int, h: int) -> bytes:
+    return (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + (0).to_bytes(8, "big") + bytes([0]))  # at (0,0), external OR
+
+
+def _page_info(w: int, h: int) -> bytes:
+    return (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + (0).to_bytes(8, "big") + bytes([0x01]) + (0).to_bytes(2, "big"))
+
+
 def jbig2_encode_symbol_text_refagg(
     rough_glyphs: list[list[bytes]],
     clean_glyphs: list[list[bytes]],
@@ -1014,110 +1099,75 @@ def jbig2_encode_symbol_text_refagg(
 
     order = sorted(range(len(rough_glyphs)), key=lambda g: (len(rough_glyphs[g]), g))
     new_id = {g: i for i, g in enumerate(order)}
+    n = len(order)
+    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
 
     # --- dict 1: rough glyphs, direct-coded, export all ------------------
     mq = MQEncoder()
     cx = [[0, 0] for _ in range(1 << len(_TEMPLATES[0]))]
-    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
-    hc = 0
-    for g in order:
-        gl = rough_glyphs[g]
-        h, w = len(gl), len(gl[0])
-        arith_int_encode(mq, iadh, h - hc)
-        hc = h
-        arith_int_encode(mq, iadw, w)
-        _generic_encode_into(mq, cx, gl, w, h)
-        arith_int_encode(mq, iadw, None)
-    arith_int_encode(mq, iaex, 0)
-    arith_int_encode(mq, iaex, len(order))
-    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+    _emit_dict_classes(
+        mq, order, rough_glyphs,
+        lambda g, gl, w, h: _generic_encode_into(mq, cx, gl, w, h),
+    )
+    _emit_export_runs(mq, 0, n)
     d1 = ((0).to_bytes(2, "big") + at
-          + len(order).to_bytes(4, "big") + len(order).to_bytes(4, "big")
-          + mq.flush())
+          + n.to_bytes(4, "big") + n.to_bytes(4, "big") + mq.flush())
 
-    # --- dict 2: REFAGG — clean[i] refined from rough id i; export CLEAN only
-    n = len(order)
+    # --- dict 2: REFAGG — clean[g] refined from its rough twin; export
+    # only the n NEW (clean) symbols ---------------------------------------
     mq = MQEncoder()
-    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
     iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
-    code_len = max(2 * n - 1, 0).bit_length()
+    code_len = max(2 * n - 1, 0).bit_length()  # ids over input + new
     iaid = _iaid_ctx(code_len)
     gr = _ref_ctx_bank()
-    hc = 0
-    for i, g in enumerate(order):
-        gl = clean_glyphs[g]
-        h, w = len(gl), len(gl[0])
-        arith_int_encode(mq, iadh, h - hc)
-        hc = h
-        arith_int_encode(mq, iadw, w)
+
+    def refine_symbol(g, gl, w, h):
         arith_int_encode(mq, iaai, 1)
-        arith_iaid_encode(mq, iaid, i, code_len)  # refine from rough twin
+        arith_iaid_encode(mq, iaid, new_id[g], code_len)  # rough twin's id
         arith_int_encode(mq, iardx, 0)
         arith_int_encode(mq, iardy, 0)
         refinement_region_encode(mq, gr, gl, w, h, rough_glyphs[g])
-        arith_int_encode(mq, iadw, None)
-    arith_int_encode(mq, iaex, n)   # skip the n input (rough) symbols
-    arith_int_encode(mq, iaex, n)   # export the n new (clean) symbols
+
+    _emit_dict_classes(mq, order, clean_glyphs, refine_symbol)
+    _emit_export_runs(mq, n, n)  # skip the rough inputs, export the clean
     d2 = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
           + n.to_bytes(4, "big") + n.to_bytes(4, "big") + mq.flush())
 
     # --- text region over the clean exports (refs dict 2 only) -----------
-    strips: dict[int, list[tuple[int, int]]] = {}
-    for g, x, y in placements:
-        strips.setdefault(y, []).append((x, g))
     t_code_len = max(n - 1, 0).bit_length()
     mq = MQEncoder()
-    iadt, iafs, iads, iari = (_int_ctx() for _ in range(4))
+    iari = _int_ctx()
     iardw, iardh = _int_ctx(), _int_ctx()
     iardx2, iardy2 = _int_ctx(), _int_ctx()
     t_iaid = _iaid_ctx(t_code_len)
     t_gr = _ref_ctx_bank()
-    arith_int_encode(mq, iadt, 0)
-    stript = firsts = 0
-    n_done = 0
     n_total = len(placements)
-    for y in sorted(strips):
-        arith_int_encode(mq, iadt, y - stript)
-        stript = y
-        insts = sorted(strips[y])
-        arith_int_encode(mq, iafs, insts[0][0] - firsts)
-        firsts = insts[0][0]
-        curs = firsts
-        for j, (x, g) in enumerate(insts):
-            if j > 0:
-                arith_int_encode(mq, iads, x - curs)
-                curs = x
-            gl = clean_glyphs[g]
-            arith_iaid_encode(mq, t_iaid, new_id[g], t_code_len)
-            n_done += 1
-            if inline_refine_last and n_done == n_total:
-                # identity refinement: RDW/RDH/RDX/RDY = 0, bitmap == symbol
-                arith_int_encode(mq, iari, 1)
-                arith_int_encode(mq, iardw, 0)
-                arith_int_encode(mq, iardh, 0)
-                arith_int_encode(mq, iardx2, 0)
-                arith_int_encode(mq, iardy2, 0)
-                refinement_region_encode(
-                    mq, t_gr, gl, len(gl[0]), len(gl), gl
-                )
-            else:
-                arith_int_encode(mq, iari, 0)
-            curs += len(gl[0]) - 1
-        arith_int_encode(mq, iads, None)
-    region_info = (
-        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
-        + (0).to_bytes(8, "big") + bytes([0])
-    )
+    n_done = 0
+
+    def emit_instance(g: int) -> int:
+        nonlocal n_done
+        gl = clean_glyphs[g]
+        arith_iaid_encode(mq, t_iaid, new_id[g], t_code_len)
+        n_done += 1
+        if inline_refine_last and n_done == n_total:
+            # identity refinement: RDW/RDH/RDX/RDY = 0, bitmap == symbol
+            arith_int_encode(mq, iari, 1)
+            arith_int_encode(mq, iardw, 0)
+            arith_int_encode(mq, iardh, 0)
+            arith_int_encode(mq, iardx2, 0)
+            arith_int_encode(mq, iardy2, 0)
+            refinement_region_encode(mq, t_gr, gl, len(gl[0]), len(gl), gl)
+        else:
+            arith_int_encode(mq, iari, 0)
+        return len(gl[0])
+
+    _emit_strip_walk(mq, _group_strips(placements, transposed=False), emit_instance)
     tr_flags = (1 << 4) | (1 << 1) | (1 << 15)  # TOPLEFT, REFINE, GRTEMPLATE1
-    tr = (region_info + tr_flags.to_bytes(2, "big")
+    tr = (_region_info(page_w, page_h) + tr_flags.to_bytes(2, "big")
           + n_total.to_bytes(4, "big") + mq.flush())
 
-    page_info = (
-        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
-        + (0).to_bytes(8, "big") + bytes([0x01]) + (0).to_bytes(2, "big")
-    )
     return (
-        _seg_with_refs(0, 48, 1, page_info)
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
         + _seg_with_refs(1, 0, 1, d1)
         + _seg_with_refs(2, 0, 1, d2, refs=(1,))
         + _seg_with_refs(3, 6, 1, tr, refs=(2,))
@@ -1139,9 +1189,8 @@ def jbig2_encode_symbol_text(
 
     ``glyphs``: distinct bitmaps (rows of 0/1 bytes). ``placements``:
     (glyph_index, x, y) with (x, y) the TOP-LEFT pixel of the instance on
-    the page. Emits the height-class structure of 6.5.5 (classes ascending
-    by height, IADW deltas within, OOB closing every class) and the strip
-    walk of 6.4.5 (strips ascending by y, instances ascending by x)."""
+    the page. Emits the height-class structure of 6.5.5 and the strip walk
+    of 6.4.5 through the shared emitters."""
     if not glyphs or not placements:
         raise Jbig2Error("symbol-mode encoder needs glyphs and placements")
 
@@ -1150,25 +1199,13 @@ def jbig2_encode_symbol_text(
     new_id = {g: i for i, g in enumerate(order)}
     mq = MQEncoder()
     cx_gb = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
-    iadh, iadw, iaex = _int_ctx(), _int_ctx(), _int_ctx()
-    hc_height = 0
-    i = 0
-    while i < len(order):
-        h = len(glyphs[order[i]])
-        arith_int_encode(mq, iadh, h - hc_height)
-        hc_height = h
-        sym_width = 0
-        while i < len(order) and len(glyphs[order[i]]) == h:
-            gl = glyphs[order[i]]
-            w = len(gl[0]) if gl else 0
-            arith_int_encode(mq, iadw, w - sym_width)
-            sym_width = w
-            _generic_encode_into(mq, cx_gb, gl, w, h, tpgdon=False, template=template)
-            i += 1
-        arith_int_encode(mq, iadw, None)  # OOB closes the height class
-    # export ALL symbols: run of 0 non-exported, then run of all exported
-    arith_int_encode(mq, iaex, 0)
-    arith_int_encode(mq, iaex, len(order))
+    _emit_dict_classes(
+        mq, order, glyphs,
+        lambda g, gl, w, h: _generic_encode_into(
+            mq, cx_gb, gl, w, h, tpgdon=False, template=template
+        ),
+    )
+    _emit_export_runs(mq, 0, len(order))
     at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[template])
     sd_flags = (template << 10)  # SDHUFF=0, SDREFAGG=0
     sd_body = (
@@ -1178,55 +1215,27 @@ def jbig2_encode_symbol_text(
         + mq.flush()
     )
 
-    # --- text region: strips ascending by T, instances ascending by S ----
-    # non-transposed: T = y (strip rows), S = x; transposed: T = x (strip
-    # columns), S = y — the decode walks S down the page
-    strips: dict[int, list[tuple[int, int]]] = {}
-    for g, x, y in placements:
-        t_coord, s_coord = (x, y) if transposed else (y, x)
-        strips.setdefault(t_coord, []).append((s_coord, g))
+    # --- text region ------------------------------------------------------
     code_len = max(len(order) - 1, 0).bit_length()
     mq = MQEncoder()
-    iadt, iafs, iads = _int_ctx(), _int_ctx(), _int_ctx()
     iaid = _iaid_ctx(code_len)
-    arith_int_encode(mq, iadt, 0)  # STRIPT = 0
-    stript = 0
-    firsts = 0
-    for t_coord in sorted(strips):
-        arith_int_encode(mq, iadt, t_coord - stript)
-        stript = t_coord
-        insts = sorted(strips[t_coord])
-        first_s = insts[0][0]
-        arith_int_encode(mq, iafs, first_s - firsts)
-        firsts = first_s
-        curs = firsts
-        for j, (s_coord, g) in enumerate(insts):
-            if j > 0:
-                arith_int_encode(mq, iads, s_coord - curs)  # SBDSOFFSET = 0
-                curs = s_coord
-            gl = glyphs[g]
-            arith_iaid_encode(mq, iaid, new_id[g], code_len)
-            # decode advances S by width (or height when transposed) - 1
-            curs += (len(gl) if transposed else (len(gl[0]) if gl else 0)) - 1
-        arith_int_encode(mq, iads, None)  # OOB ends the strip
-    region_info = (
-        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
-        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([0])  # OR
-    )
+
+    def emit_instance(g: int) -> int:
+        gl = glyphs[g]
+        arith_iaid_encode(mq, iaid, new_id[g], code_len)
+        # decode advances S by width (or height when transposed)
+        return len(gl) if transposed else (len(gl[0]) if gl else 0)
+
+    _emit_strip_walk(mq, _group_strips(placements, transposed), emit_instance)
     tr_flags = (1 << 4) | ((1 << 6) if transposed else 0)  # TOPLEFT corner
     tr_body = (
-        region_info + tr_flags.to_bytes(2, "big")
+        _region_info(page_w, page_h) + tr_flags.to_bytes(2, "big")
         + len(placements).to_bytes(4, "big")
         + mq.flush()
     )
 
-    page_info = (
-        page_w.to_bytes(4, "big") + page_h.to_bytes(4, "big")
-        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
-        + bytes([0x01]) + (0).to_bytes(2, "big")
-    )
     return (
-        _seg_with_refs(0, 48, 1, page_info)
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
         + _seg_with_refs(1, 0, 1, sd_body)
         + _seg_with_refs(2, 6, 1, tr_body, refs=(1,))
         + _seg_with_refs(3, 49, 1, b"")

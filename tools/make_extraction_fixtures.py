@@ -711,13 +711,10 @@ def make_scanned_jbig2_pdf() -> bytes:
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 
-def make_scanned_jbig2sym_pdf() -> bytes:
-    """JBIG2 SYMBOL-mode scanned page (VERDICT r5 #8): the same page as the
-    generic-region fixture, but coded the way real scanned PDFs are —
-    arithmetic symbol dictionary (one symbol per distinct glyph) + immediate
-    text region placing instances, referred across segments. The page
-    bitmap is constructed ONLY through the symbol/text decode path, yet
-    must OCR to the identical SCANNED_TEXT golden."""
+def _scanned_symbol_layout():
+    """Shared glyph/placement layout for the symbol-mode scanned fixtures:
+    mirrors render_text_png's geometry so the symbol-coded page is pixel-
+    identical to the raster fixtures. Returns (glyphs, placements, w, h)."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from frappe_data_pipelines_spark.operators.imaging import (
         FONT_5X7,
@@ -726,9 +723,6 @@ def make_scanned_jbig2sym_pdf() -> bytes:
         _LINE_PITCH,
         _MARGIN,
         _PITCH,
-    )
-    from frappe_data_pipelines_spark.operators.jbig2mini import (
-        jbig2_encode_symbol_text,
     )
 
     lines = [ln.upper() for ln in SCANNED_TEXT.split("\n")]
@@ -754,6 +748,21 @@ def make_scanned_jbig2sym_pdf() -> bytes:
                 idx[ch] = len(glyphs)
                 glyphs.append(glyph_bitmap(ch))
             placements.append((idx[ch], _MARGIN + ci * _PITCH, y0))
+    return glyphs, placements, w, h
+
+
+def make_scanned_jbig2sym_pdf() -> bytes:
+    """JBIG2 SYMBOL-mode scanned page (VERDICT r5 #8): the same page as the
+    generic-region fixture, but coded the way real scanned PDFs are —
+    arithmetic symbol dictionary (one symbol per distinct glyph) + immediate
+    text region placing instances, referred across segments. The page
+    bitmap is constructed ONLY through the symbol/text decode path, yet
+    must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
     data = jbig2_encode_symbol_text(glyphs, placements, w, h)
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
@@ -764,47 +773,17 @@ def make_scanned_jbig2ref_pdf() -> bytes:
     the clean font, and the text region places the clean symbols with the
     final instance refined inline (RI=1) — the full GRTEMPLATE-1 path the
     round-6 decoder added, OCRing to the same golden text."""
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from frappe_data_pipelines_spark.operators.imaging import (
-        FONT_5X7,
-        GLYPH_H,
-        GLYPH_W,
-        _LINE_PITCH,
-        _MARGIN,
-        _PITCH,
-    )
     from frappe_data_pipelines_spark.operators.jbig2mini import (
         jbig2_encode_symbol_text_refagg,
     )
 
-    lines = [ln.upper() for ln in SCANNED_TEXT.split("\n")]
-    w = _MARGIN * 2 + max(len(ln) * _PITCH - 1 for ln in lines)
-    h = _MARGIN * 2 + len(lines) * _LINE_PITCH - 2
-
-    def glyph_bitmap(ch: str) -> list[bytes]:
-        masks = FONT_5X7.get(ch, FONT_5X7["?"])
-        return [
-            bytes((m >> (GLYPH_W - 1 - gx)) & 1 for gx in range(GLYPH_W))
-            for m in masks
-        ][:GLYPH_H]
+    clean, placements, w, h = _scanned_symbol_layout()
 
     def roughen(gl: list[bytes]) -> list[bytes]:
         top = bytearray(gl[0])
         top[0] ^= 1  # one wrong corner pixel the refinement must correct
         return [bytes(top)] + list(gl[1:])
 
-    clean: list[list[bytes]] = []
-    idx: dict[str, int] = {}
-    placements: list[tuple[int, int, int]] = []
-    for li, ln in enumerate(lines):
-        y0 = _MARGIN + li * _LINE_PITCH
-        for ci, ch in enumerate(ln):
-            if ch == " ":
-                continue
-            if ch not in idx:
-                idx[ch] = len(clean)
-                clean.append(glyph_bitmap(ch))
-            placements.append((idx[ch], _MARGIN + ci * _PITCH, y0))
     rough = [roughen(g) for g in clean]
     data = jbig2_encode_symbol_text_refagg(rough, clean, placements, w, h)
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
