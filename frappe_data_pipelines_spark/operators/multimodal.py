@@ -166,6 +166,110 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_wav(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic REAL WAV bytes (RIFF + 8-bit unsigned mono PCM) from a
+    doc id: n = 400 + (doc_id % 5) * 100 samples with the integer pattern
+    samples[i] = (i * (doc_id % 7 + 1)) % 256 — trig-free so both Spark and
+    the DuckDB oracle reproduce every sample exactly."""
+    import io
+    import wave
+
+    step = doc_id % 7 + 1
+    n = 400 + (doc_id % 5) * 100
+    frames = bytes((i * step) % 256 for i in range(n))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def documents_as_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content BINARY) of synthetic-but-REAL WAV files — the audio
+    twin of ``documents_as_files``: real RIFF containers the ``wave``-module
+    kernel must actually parse."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [synth_wav(int(d)) for d in pdf["doc_id"]],
+            })
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=schema)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
+) -> DataFrame:
+    """REAL audio feature extraction over WAV binary columns: stdlib
+    ``wave`` parses the RIFF container on the executors; numpy computes
+    peak / RMS / zero-crossing rate over the centered samples. The A7
+    shape for audio — binary column in, typed feature struct out, one
+    Arrow-batched shuffle-free pass. Samples are 8-bit unsigned PCM
+    centered at 128 (the WAV convention); RMS uses exact integer
+    sum-of-squares before one rounded sqrt, so the same numbers fall out
+    of integer SQL (the ``multimodal_audio_features`` oracle)."""
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for doc_id, content in zip(pdf[id_col], pdf[bin_col]):
+                payload = bytes(content) if content is not None else b""
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    n = w.getnframes()
+                    frames = w.readframes(n)
+                c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+                peak = int(np.abs(c).max()) if len(c) else 0
+                rms = round(float(np.sqrt((c * c).sum() / len(c))), 6) if len(c) else 0.0
+                zc = int(((c[:-1] * c[1:]) < 0).sum()) if len(c) > 1 else 0
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["peak"].append(peak)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample(media_meta: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode n_frames into (doc_id, frame_index)
     rows, keeping every ``every_n``-th frame — the video-pipeline shape

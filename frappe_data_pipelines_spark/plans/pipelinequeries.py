@@ -245,6 +245,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(meta, every_n=2).select("doc_id", F.col("frame_index").cast("int").alias("frame_index"))
 
 
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, doc_id % 7 + 1 AS step, 400 + (doc_id % 5) * 100 AS n
+      FROM documents
+    ), samples AS (
+      SELECT doc_id, n, i.i AS i, ((i.i * step) % 256) - 128 AS c
+      FROM params, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+    ), paired AS (
+      SELECT doc_id, n, i, c,
+             lead(c) OVER (PARTITION BY doc_id ORDER BY i) AS c2
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST((max(n) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(max(abs(c)) AS INT) AS peak,
+           round(sqrt(sum(c * c) * 1.0 / max(n)), 6) AS rms,
+           CAST(sum(CASE WHEN c2 IS NOT NULL AND c * c2 < 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM paired GROUP BY doc_id
+    """,
+    tags=("multimodal", "A7", "extension"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline plumbing (the A7 shape for sound): deterministic
+    WAV containers (RIFF + 8-bit mono PCM, trig-free integer samples) are
+    parsed back through the stdlib ``wave`` kernel and numpy feature
+    extraction — container metadata, peak, RMS over exact integer
+    sum-of-squares, zero-crossing count. The oracle regenerates every
+    sample in SQL, so the whole decode+featurize path is value-checked,
+    not just row-counted."""
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        audio_features,
+        documents_as_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features(documents_as_wav(docs))
+
+
 # ---------------------------------------------------------------------------
 # Extraction formats, ingest harness, orchestrator
 # ---------------------------------------------------------------------------
