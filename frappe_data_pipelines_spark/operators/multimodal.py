@@ -222,6 +222,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
     T.StructField("peak", T.IntegerType()),
     T.StructField("rms", T.DoubleType()),
     T.StructField("zero_crossings", T.LongType()),
+    T.StructField("audio_error", T.StringType()),
 ])
 
 
@@ -232,39 +233,63 @@ def audio_features(
     ``wave`` parses the RIFF container on the executors; numpy computes
     peak / RMS / zero-crossing rate over the centered samples. The A7
     shape for audio — binary column in, typed feature struct out, one
-    Arrow-batched shuffle-free pass. Samples are 8-bit unsigned PCM
-    centered at 128 (the WAV convention); RMS uses exact integer
-    sum-of-squares before one rounded sqrt, so the same numbers fall out
-    of integer SQL (the ``multimodal_audio_features`` oracle)."""
+    Arrow-batched shuffle-free pass.
+
+    8-bit unsigned and 16-bit signed PCM are decoded (multi-channel takes
+    channel 0 — the deterministic convention, not a silent mixdown); RMS
+    uses exact integer sum-of-squares before one rounded sqrt, so the same
+    numbers fall out of integer SQL (the ``multimodal_audio_features``
+    oracle). A malformed container dead-letters its row into
+    ``audio_error`` (I3 semantics) instead of failing the task."""
     import wave
 
     import numpy as np
     import pandas as pd
 
-    def run(batches: Iterator) -> Iterator:
+    def one(payload: bytes):
         import io
 
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            frames = w.readframes(n)
+        if width == 1:
+            c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+        elif width == 2:
+            c = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        else:
+            raise ValueError(f"unsupported PCM sample width {width}")
+        if nch > 1:
+            c = c[::nch]  # channel 0
+        if sr <= 0:
+            raise ValueError("non-positive sample rate")
+        peak = int(np.abs(c).max()) if len(c) else 0
+        rms = round(float(np.sqrt((c * c).sum() / len(c))), 6) if len(c) else 0.0
+        zc = int(((c[:-1] * c[1:]) < 0).sum()) if len(c) > 1 else 0
+        return sr, nch, n, n * 1000 // sr, peak, rms, zc
+
+    def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
             for doc_id, content in zip(pdf[id_col], pdf[bin_col]):
                 payload = bytes(content) if content is not None else b""
-                with wave.open(io.BytesIO(payload), "rb") as w:
-                    sr = w.getframerate()
-                    nch = w.getnchannels()
-                    n = w.getnframes()
-                    frames = w.readframes(n)
-                c = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
-                peak = int(np.abs(c).max()) if len(c) else 0
-                rms = round(float(np.sqrt((c * c).sum() / len(c))), 6) if len(c) else 0.0
-                zc = int(((c[:-1] * c[1:]) < 0).sum()) if len(c) > 1 else 0
+                try:
+                    sr, nch, n, dur, peak, rms, zc = one(payload)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — dead-letter the row
+                    sr = nch = n = dur = peak = rms = zc = None
+                    err = str(e)[:500]
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(sr)
                 out["n_channels"].append(nch)
                 out["n_samples"].append(n)
-                out["duration_ms"].append(n * 1000 // sr)
+                out["duration_ms"].append(dur)
                 out["peak"].append(peak)
                 out["rms"].append(rms)
                 out["zero_crossings"].append(zc)
+                out["audio_error"].append(err)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -286,7 +286,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_features(documents_as_wav(docs))
+    return audio_features(documents_as_wav(docs)).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "duration_ms", "peak", "rms", "zero_crossings",
+    )
 
 
 # ---------------------------------------------------------------------------

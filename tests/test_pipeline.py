@@ -281,3 +281,37 @@ class TestAudioKernel:
             assert r.zero_crossings == sum(
                 1 for a, b in zip(c, c[1:]) if a * b < 0
             )
+
+    def test_16bit_stereo_and_malformed_dead_letter(self, spark):
+        """16-bit signed PCM parses (channel 0 of a stereo file), malformed
+        bytes dead-letter into audio_error instead of failing the task."""
+        import io
+        import struct
+        import wave
+
+        from frappe_data_pipelines_spark.operators.multimodal import audio_features
+
+        buf = io.BytesIO()
+        left = [1000, -1000, 1000, -1000, 0, 500]
+        right = [7, 7, 7, 7, 7, 7]
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            frames = b"".join(
+                struct.pack("<hh", a, b) for a, b in zip(left, right)
+            )
+            w.writeframes(frames)
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a wav at all"))],
+            "doc_id long, content binary",
+        )
+        rows = {r.doc_id: r for r in audio_features(df).collect()}
+        good = rows[1]
+        assert (good.sample_rate, good.n_channels, good.n_samples) == (16000, 2, 6)
+        assert good.peak == 1000
+        assert good.zero_crossings == 3  # sign flips in channel 0 only
+        assert good.audio_error is None
+        bad = rows[2]
+        assert bad.audio_error is not None
+        assert bad.n_samples is None
