@@ -295,6 +295,98 @@ def audio_features(
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _synth_video_frames(doc_id: int) -> tuple[list[bytes], int, int]:
+    """Deterministic MJPEG frames for a doc: 1 + doc_id % 3 grayscale 16x8
+    JPEGs whose pixels derive from (x, y, frame, doc_id)."""
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_encode_gray
+
+    n = 1 + doc_id % 3
+    frames = []
+    for f in range(n):
+        rows = [
+            bytes((x * 3 + y * 5 + doc_id * 7 + f * 11) % 256 for x in range(16))
+            for y in range(8)
+        ]
+        frames.append(jpeg_encode_gray(rows))
+    return frames, 16, 8
+
+
+def documents_as_avi(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content BINARY) of real MJPEG AVI containers — the video
+    twin of ``documents_as_files``/``documents_as_wav``."""
+    import pandas as pd
+
+    from frappe_data_pipelines_spark.operators.avimini import avi_write
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames, w, h = _synth_video_frames(int(d))
+                payloads.append(avi_write(frames, w, h, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=schema)
+    )
+
+
+VIDEO_AUDIT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("frames_intact", T.BooleanType()),
+    T.StructField("first_frame_decodes", T.BooleanType()),
+    T.StructField("n_sampled", T.LongType()),
+])
+
+
+def video_frame_audit(df: DataFrame, id_col: str = "doc_id",
+                      bin_col: str = "content") -> DataFrame:
+    """Parse MJPEG AVI binary columns on the executors (container walk via
+    ``operators/avimini``, first frame decoded through the baseline JPEG
+    codec) and emit per-video accounting: geometry, frame counts, byte
+    round-trip integrity against the deterministic synthesis, and the
+    every-2nd frame-sampling count — the decode → sample → featurize shape
+    of a video pipeline with every stage real."""
+    import pandas as pd
+
+    from frappe_data_pipelines_spark.operators.avimini import avi_parse
+    from frappe_data_pipelines_spark.operators.jpegmini import jpeg_decode_gray
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k: [] for k in VIDEO_AUDIT_SCHEMA.fieldNames()}
+            for doc_id, content in zip(pdf[id_col], pdf[bin_col]):
+                m = avi_parse(bytes(content))
+                frames = m["frames"]
+                expected, _, _ = _synth_video_frames(int(doc_id))
+                dw, dh, _rows = jpeg_decode_gray(frames[0]) if frames else (0, 0, [])
+                out["doc_id"].append(doc_id)
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["fps"].append(m["fps"])
+                out["n_frames"].append(len(frames))
+                out["frames_intact"].append(
+                    len(frames) == m["n_frames_declared"] and frames == expected
+                )
+                out["first_frame_decodes"].append((dw, dh) == (m["width"], m["height"]))
+                out["n_sampled"].append((len(frames) + 1) // 2)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=VIDEO_AUDIT_SCHEMA)
+
+
 def frame_sample(media_meta: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode n_frames into (doc_id, frame_index)
     rows, keeping every ``every_n``-th frame — the video-pipeline shape

@@ -246,6 +246,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(10 AS INT) AS fps,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
+           true AS frames_intact,
+           true AS first_frame_decodes,
+           CAST((1 + doc_id % 3 + 1) // 2 AS BIGINT) AS n_sampled
+    FROM documents
+    """,
+    tags=("multimodal", "A7", "extension"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline plumbing: MJPEG AVI containers (RIFF walk via
+    operators/avimini, per-frame baseline JPEG via operators/jpegmini) are
+    synthesized per document, then parsed back on the executors — geometry
+    and fps from the avih header, frame payload round-trip integrity, a
+    real first-frame JPEG decode, and every-2nd frame-sampling accounting.
+    The oracle pins every column in closed form, so container parse +
+    frame decode are value-checked."""
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        documents_as_avi,
+        video_frame_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_audit(documents_as_avi(docs))
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH params AS (
