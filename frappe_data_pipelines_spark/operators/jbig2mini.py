@@ -20,12 +20,14 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: huffman-coded symbol/text, GRTEMPLATE-0 refinement,
-multi-instance aggregates, and halftone regions are NOT implemented — a
-stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
-exactly like any other unsupported filter. GRTEMPLATE-1 refinement (both
-refined text instances and single-instance REFAGG symbols) IS implemented,
-both directions. The template-0 context is built in the spec figure's
+Scope honesty: huffman-coded segments, GRTEMPLATE-0 refinement, and
+multi-instance aggregates are NOT implemented — a stream using them raises
+``Jbig2Error`` and the PDF dispatch falls back exactly like any other
+unsupported filter. Every ARITHMETIC region type IS implemented, both
+directions: generic (incl. custom AT + MMR via T.6), symbol/text,
+GRTEMPLATE-1 refinement (refined instances + single-instance REFAGG), and
+halftone (pattern dictionaries with the A1=(-HDPW,0) collective template,
+gray-coded bitplanes, skewable grid placement). The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
 their nominal positions); encoder and decoder share one context builder
 and are validated by exhaustive round-trip fuzzing plus the PDF
@@ -248,9 +250,31 @@ _NOMINAL_AT = {
 }
 
 
-def _context(rows: list[bytearray], x: int, y: int, w: int, template: int = 0) -> int:
+# fixed (non-AT) pixels per template, for rebuilding the raster-order
+# pixel list when a caller supplies NON-nominal AT positions (pattern
+# dictionaries legally use A1 = (-HDPW, 0)). With nominal AT the rebuilt
+# list equals _TEMPLATES — the nominal slots sit at their raster positions.
+_FIXED_PIXELS = {
+    t: tuple(p for p in pix if p not in {(dy, dx) for dx, dy in _NOMINAL_AT[t]})
+    for t, pix in _TEMPLATES.items()
+}
+
+
+def _template_pixels(template: int, at: list | None) -> list:
+    """Raster-ordered context pixels for ``template`` with AT pixels at
+    ``at`` ((x, y) pairs; None → nominal)."""
+    if at is None:
+        return _TEMPLATES[template]
+    if len(at) != _N_AT[template]:
+        raise Jbig2Error(f"template {template} needs {_N_AT[template]} AT pixels")
+    pix = list(_FIXED_PIXELS[template]) + [(dy, dx) for dx, dy in at]
+    pix.sort()  # (dy, dx) raster order — the order the figures read in
+    return pix
+
+
+def _context(rows: list[bytearray], x: int, y: int, w: int, pixels) -> int:
     ctx = 0
-    for dy, dx in _TEMPLATES[template]:
+    for dy, dx in pixels:
         yy, xx = y + dy, x + dx
         bit = rows[yy][xx] if 0 <= yy and 0 <= xx < w else 0
         ctx = (ctx << 1) | bit
@@ -258,20 +282,24 @@ def _context(rows: list[bytearray], x: int, y: int, w: int, template: int = 0) -
 
 
 def generic_region_decode(
-    data: bytes, w: int, h: int, tpgdon: bool = False, template: int = 0
+    data: bytes, w: int, h: int, tpgdon: bool = False, template: int = 0,
+    at: list | None = None,
 ) -> list[bytes]:
-    """MQ data → rows of 0/1 bytes (templates 0-3, optional TPGDON)."""
+    """MQ data → rows of 0/1 bytes (templates 0-3, optional TPGDON,
+    optional custom AT pixels)."""
     mq = MQDecoder(data)
     cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
-    return _generic_decode_into(mq, cxs, w, h, tpgdon=tpgdon, template=template)
+    return _generic_decode_into(mq, cxs, w, h, tpgdon=tpgdon, template=template, at=at)
 
 
 def _generic_decode_into(
-    mq: MQDecoder, cxs: list, w: int, h: int, tpgdon: bool = False, template: int = 0
+    mq: MQDecoder, cxs: list, w: int, h: int, tpgdon: bool = False, template: int = 0,
+    at: list | None = None,
 ) -> list[bytes]:
     """Generic-region decode driven by a SHARED MQ decoder + context array —
     the form symbol dictionaries use (T.88 6.5.8.1: every symbol bitmap in a
     dictionary continues the same arithmetic decoder and GB contexts)."""
+    pixels = _template_pixels(template, at)
     sltp_ctx = _SLTP_CTXS[template]
     rows: list[bytearray] = []
     ltp = 0
@@ -284,24 +312,26 @@ def _generic_decode_into(
         row = bytearray(w)
         rows.append(row)
         for x in range(w):
-            row[x] = mq.decode(cxs[_context(rows, x, y, w, template)])
+            row[x] = mq.decode(cxs[_context(rows, x, y, w, pixels)])
     return [bytes(r) for r in rows]
 
 
 def generic_region_encode(
-    rows: list[bytes], w: int, h: int, tpgdon: bool = False, template: int = 0
+    rows: list[bytes], w: int, h: int, tpgdon: bool = False, template: int = 0,
+    at: list | None = None,
 ) -> bytes:
     mq = MQEncoder()
     cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
-    _generic_encode_into(mq, cxs, rows, w, h, tpgdon=tpgdon, template=template)
+    _generic_encode_into(mq, cxs, rows, w, h, tpgdon=tpgdon, template=template, at=at)
     return mq.flush()
 
 
 def _generic_encode_into(
     mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
-    tpgdon: bool = False, template: int = 0,
+    tpgdon: bool = False, template: int = 0, at: list | None = None,
 ) -> None:
     """Encoder twin of _generic_decode_into: no flush, shared MQ + contexts."""
+    pixels = _template_pixels(template, at)
     sltp_ctx = _SLTP_CTXS[template]
     built: list[bytearray] = []
     ltp = 0
@@ -318,7 +348,7 @@ def _generic_encode_into(
         else:
             built.append(row)
         for x in range(w):
-            mq.encode(cxs[_context(built, x, y, w, template)], row[x] & 1)
+            mq.encode(cxs[_context(built, x, y, w, pixels)], row[x] & 1)
 
 
 # -- arithmetic integer decoding (T.88 Annex A) ------------------------------
@@ -771,6 +801,185 @@ def decode_text_region(body: bytes, syms: list):
     return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
 
 
+# -- halftone profile (T.88 6.6/6.7, segment types 16 + 20/22/23) ------------
+
+
+def decode_pattern_dict(body: bytes) -> list:
+    """Pattern-dictionary segment body → list of pattern bitmaps. The
+    patterns are decoded as ONE collective generic region of width
+    (GRAYMAX+1)*HDPW with A1 = (-HDPW, 0) — each pattern predicts from its
+    left neighbor — then sliced (6.7.5)."""
+    if len(body) < 7:
+        raise Jbig2Error("truncated pattern dictionary")
+    flags = body[0]
+    if flags & 0x01:
+        raise Jbig2Error("MMR-coded pattern dictionary unsupported")
+    template = (flags >> 1) & 0x03
+    hdpw, hdph = body[1], body[2]
+    graymax = int.from_bytes(body[3:7], "big")
+    if hdpw == 0 or hdph == 0:
+        raise Jbig2Error("zero-size halftone pattern")
+    if (graymax + 1) * hdpw * hdph > _MAX_PIXELS:
+        raise Jbig2Error("pattern dictionary exceeds pixel budget")
+    at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
+    collective = generic_region_decode(
+        body[7:], (graymax + 1) * hdpw, hdph, template=template, at=at
+    )
+    return [
+        [row[i * hdpw : (i + 1) * hdpw] for row in collective]
+        for i in range(graymax + 1)
+    ]
+
+
+def decode_halftone_region(body: bytes, patterns: list):
+    """Halftone-region segment body + patterns → (rw, rh, rx, ry, comb_op,
+    rows). Grayscale image decoded as gray-coded bitplanes (MSB first, one
+    shared MQ decoder + GB context bank, C.5), each cell's pattern placed
+    on the skewable grid x = HGX + (mg*HRY + ng*HRX)>>8,
+    y = HGY + (mg*HRX - ng*HRY)>>8 (vector components in 1/256 px,
+    6.6.5.2). HMMR and HENABLESKIP refuse."""
+    if len(body) < 18:
+        raise Jbig2Error("truncated halftone region")
+    if not patterns:
+        raise Jbig2Error("halftone region refers to no pattern dictionary")
+    rw = int.from_bytes(body[0:4], "big")
+    rh = int.from_bytes(body[4:8], "big")
+    rx = int.from_bytes(body[8:12], "big")
+    ry = int.from_bytes(body[12:16], "big")
+    ext_comb = body[16] & 0x07
+    flags = body[17]
+    if flags & 0x01:
+        raise Jbig2Error("MMR-coded halftone region unsupported")
+    template = (flags >> 1) & 0x03
+    if (flags >> 3) & 0x01:
+        raise Jbig2Error("HENABLESKIP unsupported")
+    comb_op = (flags >> 4) & 0x07
+    def_pixel = (flags >> 7) & 0x01
+    if len(body) < 38:
+        raise Jbig2Error("truncated halftone region header")
+    hgw = int.from_bytes(body[18:22], "big")
+    hgh = int.from_bytes(body[22:26], "big")
+    hgx = int.from_bytes(body[26:30], "big", signed=True)
+    hgy = int.from_bytes(body[30:34], "big", signed=True)
+    hrx = int.from_bytes(body[34:36], "big")
+    hry = int.from_bytes(body[36:38], "big")
+    if rw * rh > _MAX_PIXELS or (rx + rw) * (ry + rh) > _MAX_PIXELS:
+        raise Jbig2Error("halftone region exceeds budget")
+    if hgw * hgh > _MAX_PIXELS:
+        raise Jbig2Error("halftone grid exceeds budget")
+
+    bpv = max(len(patterns) - 1, 0).bit_length() or 1
+    mq = MQDecoder(body[38:])
+    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    gray = [[0] * hgw for _ in range(hgh)]
+    for _j in range(bpv):  # MSB-first gray-code planes share MQ + contexts
+        plane = _generic_decode_into(mq, cxs, hgw, hgh, template=template)
+        for m in range(hgh):
+            gm = gray[m]
+            pm = plane[m]
+            for n in range(hgw):
+                bit = pm[n] ^ (gm[n] & 1)
+                gm[n] = (gm[n] << 1) | bit
+
+    rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
+    hph = len(patterns[0])
+    for m in range(hgh):
+        for n in range(hgw):
+            val = gray[m][n]
+            if val >= len(patterns):
+                raise Jbig2Error(f"gray value {val} outside the pattern dictionary")
+            pat = patterns[val]
+            x0 = hgx + ((m * hry + n * hrx) >> 8)
+            y0 = hgy + ((m * hrx - n * hry) >> 8)
+            for yy in range(hph):
+                py = y0 + yy
+                if not 0 <= py < rh:
+                    continue
+                prow = rows[py]
+                srow = pat[yy]
+                for xx in range(len(srow)):
+                    px = x0 + xx
+                    if not 0 <= px < rw:
+                        continue
+                    b = srow[xx]
+                    p = prow[px]
+                    if comb_op == 0:
+                        prow[px] = p | b
+                    elif comb_op == 1:
+                        prow[px] = p & b
+                    elif comb_op == 2:
+                        prow[px] = p ^ b
+                    elif comb_op == 3:
+                        prow[px] = 1 - (p ^ b)
+                    else:
+                        prow[px] = b
+    return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
+
+
+def encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
+    """Encoder twin of decode_pattern_dict (equal-size patterns)."""
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    collective = [
+        bytes(b for pat in patterns for b in pat[y]) for y in range(hdph)
+    ]
+    at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
+    data = generic_region_encode(
+        collective, hdpw * len(patterns), hdph, template=template, at=at
+    )
+    return (bytes([template << 1, hdpw, hdph])
+            + (len(patterns) - 1).to_bytes(4, "big") + data)
+
+
+def encode_halftone_region(
+    values: list[list[int]], patterns: list, rw: int, rh: int,
+    template: int = 0,
+) -> bytes:
+    """Encoder twin of decode_halftone_region: axis-aligned grid at (0,0)
+    with x-pitch = pattern width and y-pitch also = pattern width (HRX
+    carries both per the grid equations — fixtures use square patterns)."""
+    hgh = len(values)
+    hgw = len(values[0])
+    hdpw = len(patterns[0][0])
+    bpv = max(len(patterns) - 1, 0).bit_length() or 1
+    mq = MQEncoder()
+    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    for j in reversed(range(bpv)):
+        # binary→gray MSB-first: plane_j = b_j ^ b_{j+1}
+        plane = [
+            bytes(((v >> j) & 1) ^ ((v >> (j + 1)) & 1) for v in row)
+            for row in values
+        ]
+        _generic_encode_into(mq, cxs, plane, hgw, hgh, template=template)
+    head = (
+        rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+        + (0).to_bytes(8, "big") + bytes([0])       # region at (0,0), OR
+        + bytes([template << 1])                     # flags: arithmetic, no skip
+        + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # HGX, HGY
+        + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")  # HRX, HRY
+    )
+    return head + mq.flush()
+
+
+def jbig2_encode_halftone(
+    values: list[list[int]], patterns: list, page_w: int, page_h: int,
+    template: int = 0,
+) -> bytes:
+    """Halftone fixture producer: page info + pattern dictionary + one
+    immediate lossless halftone region + end-of-page."""
+    return (
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
+        + _seg_with_refs(1, 16, 1, encode_pattern_dict(patterns, template))
+        + _seg_with_refs(
+            2, 23, 1,
+            encode_halftone_region(values, patterns, page_w, page_h, template),
+            refs=(1,),
+        )
+        + _seg_with_refs(3, 49, 1, b"")
+    )
+
+
 # -- PDF-embedded segment stream (T.89 §7; no file header) -------------------
 
 _GENERIC_TYPES = {36, 38, 39}
@@ -849,12 +1058,14 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
     refinement coding) and immediate text regions (SBHUFF=0, both
     TRANSPOSED orientations, refined instances via GRTEMPLATE 1) — the
     profiles real symbol-mode encoders emit — all composed onto the page
-    bitmap. Huffman, GRTEMPLATE-0 refinement, multi-instance aggregates,
-    and halftone streams raise — the PDF raster path treats that like any
-    other unsupported filter (fallback, not a crash)."""
+    bitmap, as are pattern dictionaries + immediate halftone regions.
+    Huffman, GRTEMPLATE-0 refinement, and multi-instance aggregates raise —
+    the PDF raster path treats that like any other unsupported filter
+    (fallback, not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
-    sym_store: dict[int, list] = {}  # segment number → exported symbols
+    sym_store: dict[int, list] = {}   # segment number → exported symbols
+    pat_store: dict[int, list] = {}   # segment number → pattern bitmaps
     for blob in (globals_data, data):
         pos = 0
         while pos < len(blob):
@@ -934,9 +1145,20 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                     page_w, page_h = rx + rw, ry + rh
                     page = [bytearray(page_w) for _ in range(page_h)]
                 _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
-            elif t in (4, 16, 20, 22, 23, 40, 42, 43):
+            elif t == 16:  # pattern dictionary
+                pat_store[head["number"]] = decode_pattern_dict(body)
+            elif t in (22, 23):  # immediate (lossless) halftone region
+                pats: list = []
+                for r in head["refs"]:
+                    pats.extend(pat_store.get(r, []))
+                rw, rh, rx, ry, comb_op, rows = decode_halftone_region(body, pats)
+                if page is None:
+                    page_w, page_h = rx + rw, ry + rh
+                    page = [bytearray(page_w) for _ in range(page_h)]
+                _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
+            elif t in (4, 20, 40, 42, 43):
                 raise Jbig2Error(f"JBIG2 segment type {t} unsupported "
-                                 "(intermediate/halftone/refinement profile)")
+                                 "(intermediate/refinement-region profile)")
             # 49 end-of-page / 50 end-of-stripe / 51 end-of-file / 52-53
             # extensions: nothing to do
     if page is None:

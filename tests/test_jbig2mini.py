@@ -830,3 +830,87 @@ def test_refagg_fixture_pdf_ocrs_to_golden():
     text, conf = pdf_ocr_scanned(data)
     assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
     assert conf == 1.0
+
+
+class TestHalftone:
+    """Pattern dictionaries + halftone regions (T.88 6.6/6.7): collective
+    pattern decode with the A1=(-HDPW,0) template, gray-coded bitplanes,
+    grid placement, refusals, and stream totality."""
+
+    @staticmethod
+    def _pats(k: int = 4, side: int = 4):
+        import random
+
+        rng = random.Random(41)
+        return [
+            [bytes(rng.randrange(2) for _ in range(side)) for _ in range(side)]
+            for _ in range(k)
+        ]
+
+    def test_roundtrip_random_grids(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_halftone,
+        )
+
+        rng = random.Random(43)
+        for _ in range(6):
+            k = rng.randrange(2, 9)
+            pats = self._pats(k)
+            hgw, hgh = rng.randrange(2, 8), rng.randrange(2, 7)
+            values = [[rng.randrange(k) for _ in range(hgw)] for _ in range(hgh)]
+            w, h = hgw * 4 + 2, hgh * 4 + 2
+            got = jbig2_decode_embedded(jbig2_encode_halftone(values, pats, w, h))[2]
+            page = [bytearray(w) for _ in range(h)]
+            for m in range(hgh):
+                for n in range(hgw):
+                    pat = pats[values[m][n]]
+                    for yy in range(4):
+                        for xx in range(4):
+                            if m * 4 + yy < h and n * 4 + xx < w:
+                                page[m * 4 + yy][n * 4 + xx] |= pat[yy][xx]
+            assert got == [bytes(r) for r in page]
+
+    def test_refusals_and_guards(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            decode_halftone_region,
+            decode_pattern_dict,
+        )
+
+        with pytest.raises(Jbig2Error, match="MMR"):
+            decode_pattern_dict(bytes([1, 4, 4]) + (3).to_bytes(4, "big") + b"\x00" * 4)
+        with pytest.raises(Jbig2Error, match="zero-size"):
+            decode_pattern_dict(bytes([0, 0, 4]) + (3).to_bytes(4, "big") + b"\x00" * 4)
+        region = ((8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0]))
+        tail = (2).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + (1 << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        pats = self._pats(2)
+        with pytest.raises(Jbig2Error, match="HENABLESKIP"):
+            decode_halftone_region(region + bytes([1 << 3]) + tail + b"\x00" * 8, pats)
+        with pytest.raises(Jbig2Error, match="no pattern"):
+            decode_halftone_region(region + bytes([0]) + tail + b"\x00" * 8, [])
+
+    def test_stream_mutation_totality(self, monkeypatch):
+        import random
+
+        from frappe_data_pipelines_spark.operators import jbig2mini
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_encode_halftone,
+        )
+
+        monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+        pats = self._pats(3)
+        values = [[(m + n) % 3 for n in range(4)] for m in range(3)]
+        base = jbig2_encode_halftone(values, pats, 18, 14)
+        assert jbig2_decode_embedded(base)[0] == 18
+        rng = random.Random(47)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except Jbig2Error:
+                pass
