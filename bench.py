@@ -65,6 +65,8 @@ HEADLINE = [
     "html_extract_main",
     "nb_quality_classifier",
     "warc_roundtrip_extract",
+    "bloom_incremental_dedup",
+    "heavy_hitters_cms",
 ]
 
 

@@ -69,6 +69,7 @@ def _load_all() -> None:
         relational,
         scalarqueries,
         servicequeries,
+        sketchqueries,
         textqueries,
         tpch_extra,
         vectorqueries,

@@ -328,6 +328,25 @@ CHECKS: dict[str, list] = {
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("keyed_aggregate", lambda p: "HashAggregate" in p or "SortAggregate" in p),
     ],
+    "bloom_incremental_dedup": [
+        # the bitmap (≤ m/32 rows) and the truth confirm must broadcast —
+        # the history is never shuffled against the incoming batch
+        ("all_joins_broadcast", lambda p: "SortMergeJoin" not in p
+         and "BroadcastHashJoin" in p),
+        ("partial_bit_or", lambda p: "partial_bit_or" in p or "bit_or" in p),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "heavy_hitters_cms": [
+        # the ≤ depth×width grid broadcasts for the estimate join; the grid
+        # build partial-aggregates map-side; top-15 is a heap not a sort
+        ("all_joins_broadcast", lambda p: "SortMergeJoin" not in p
+         and "BroadcastHashJoin" in p),
+        ("partial_agg", lambda p: "partial" in p.lower()),
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
