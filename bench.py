@@ -67,6 +67,8 @@ HEADLINE = [
     "warc_roundtrip_extract",
     "bloom_incremental_dedup",
     "heavy_hitters_cms",
+    "approx_distinct_hll_registers",
+    "priority_weighted_sample",
 ]
 
 

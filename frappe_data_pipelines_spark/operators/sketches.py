@@ -1,7 +1,7 @@
 """Mergeable sketches for corpus-scale membership and frequency queries.
 
-Two classic shapes a 100 TB ingest pipeline leans on when an exact join or
-groupBy over the full history is the bottleneck:
+Four classic shapes a 100 TB ingest pipeline leans on when an exact join
+or groupBy over the full history is the bottleneck:
 
 * **Bloom filter** — "has this fingerprint been ingested before?" without
   shuffling the historical corpus: the history compresses to an ``m``-bit
@@ -20,7 +20,16 @@ groupBy over the full history is the bottleneck:
   ``groupBy(row, col).sum`` — partial-aggregated, mergeable across
   partitions, streams and days, and broadcastable for estimate joins.
 
-Both use the repo's portable md5-affine hash family (``_md5_64`` in
+* **HyperLogLog** — distinct counts from an ``m``-register table
+  (``groupBy(bucket).max(rho)``) that merges via ``max`` across any split
+  of the data; the estimate's indicator sum accumulates as an exact int64
+  so the float surface is one IEEE-exact multiply/divide chain.
+
+* **Priority sampling** — weighted sampling without replacement as a plain
+  top-k by ``w/u`` priority (Duffield–Lund–Thorup), with the uniform drawn
+  as an exact md5-derived rational so both engines rank identically.
+
+All four use the repo's portable md5-affine hash family (``_md5_64`` in
 ``operators/dedup.py``) so every bit position and counter cell is
 reproducible in DuckDB SQL — the catalog queries over these sketches are
 EXACT oracles, not tolerance checks.
@@ -163,6 +172,117 @@ def cms_cells(
         )
         .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.col_i").alias("col_i"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """HyperLogLog register table: (bucket INT, m_j INT) — at most ``m``
+    rows after one partial-aggregated ``groupBy(bucket).max(rho)``.
+
+    The register table IS the sketch: registers merge across partitions,
+    streams, and days via ``max`` (see ``test_sketches.py::test_hll_merge``)
+    and the estimate derives from it alone. The rank ``rho`` is computed
+    integer-exactly — ``length(bin(w))`` is ``floor(log2 w) + 1`` with no
+    float in sight — so the whole construction reproduces bit-for-bit in
+    DuckDB (``bin`` exists there with identical semantics).
+
+    ``m`` must be a power of two; the hash is 60 bits (15 md5 hex chars),
+    leaving ``61 - log2(m)`` bits of rank field."""
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    field_bits = 60 - (m.bit_length() - 1)
+    rho_max = field_bits + 1
+    key = F.col(key_col).cast("string")
+    hashed = df.where(key.isNotNull()).select(_h64(key).alias("h"))
+    # h DIV m must be INTEGER division — h has 60 bits, beyond double's 53-bit
+    # mantissa, so a float divide would corrupt the rank field
+    w = F.expr(f"h DIV {m}")
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - F.length(F.bin(w)))
+    return (
+        hashed.select((F.col("h") % m).cast("int").alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
+    """One-row cardinality estimate from a register table.
+
+    Float discipline (oracle-exactness): the indicator sum accumulates as
+    the INTEGER ``S = Σ 2^(rho_max − M_j)`` (absent buckets contribute
+    ``2^rho_max``), which fits int64 for m ≤ 256 — so the only float ops
+    are one multiply chain and one divide, both IEEE-exactly-rounded and
+    therefore identical across engines. The small-range correction is
+    classic linear counting ``m·ln(m/V)``; columns: ``nonzero_registers``,
+    ``raw_hll_est``, ``linear_est``, ``hll_est`` (the corrected choice)."""
+    field_bits = 60 - (m.bit_length() - 1)
+    rho_max = field_bits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    agg = registers.agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - m_j AS INT))")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("s_present"),
+        F.count(F.lit(1)).cast("int").alias("nonzero_registers"),
+    )
+    two_pow = float(1 << rho_max)
+    out = agg.select(
+        "nonzero_registers",
+        (
+            F.col("s_present")
+            + (F.lit(m) - F.col("nonzero_registers")).cast("bigint") * F.lit(1 << rho_max)
+        ).alias("s_total"),
+    ).select(
+        "nonzero_registers",
+        (F.lit(alpha * m * m * two_pow) / F.col("s_total").cast("double")).alias("raw_hll_est"),
+    )
+    v = (F.lit(m) - F.col("nonzero_registers")).cast("double")
+    linear = F.when(v > 0, F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+    return out.select(
+        "nonzero_registers",
+        F.round("raw_hll_est", 6).alias("raw_hll_est"),
+        F.round(linear, 6).alias("linear_est"),
+        F.round(
+            F.when(
+                (F.col("raw_hll_est") <= F.lit(2.5 * m)) & linear.isNotNull(), linear
+            ).otherwise(F.col("raw_hll_est")),
+            6,
+        ).alias("hll_est"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    u_grain: int = 1 << 20,
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    sampling WITHOUT replacement as a plain top-k — priority
+    q_i = w_i / u_i with u_i uniform in (0,1]; keep the k largest.
+    Subset sums are then estimable unbiasedly via max(w_i, τ) with τ the
+    (k+1)-th priority.
+
+    Engine-exactness: u_i is the deterministic rational (r+1)/u_grain with
+    r = md5-derived, so the priority is one integer-product double divide —
+    IEEE-exactly-rounded, NO transcendental — and the selection reproduces
+    bit-for-bit in DuckDB (unlike A-Res u^(1/w) exponentials, whose last-ulp
+    libm drift could flip ranks between engines).
+
+    At 100 TB: top-k by priority is ``TakeOrderedAndProject`` — per-partition
+    bounded heaps, no global sort."""
+    key = F.col(id_col).cast("string")
+    r = _h64(key, "#ps") % u_grain
+    priority = (
+        F.col(weight_col).cast("double") * F.lit(float(u_grain)) / (r + 1).cast("double")
+    )
+    return (
+        df.select(id_col, weight_col, priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

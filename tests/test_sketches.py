@@ -21,6 +21,9 @@ from frappe_data_pipelines_spark.operators.sketches import (
     bloom_maybe_member,
     cms_cells,
     cms_estimates,
+    hll_estimate,
+    hll_registers,
+    priority_sample,
 )
 
 M, K = 1 << 12, 4
@@ -117,3 +120,61 @@ class TestCms:
         cells = cms_cells(st, "k", self.D, self.W)
         # only the 5 non-null rows counted
         assert cells.agg(F.sum("cnt")).collect()[0][0] == 5 * self.D
+
+
+class TestHll:
+    def _keys(self, spark, lo, hi):
+        return spark.sql(f"SELECT concat('u-', id) AS k FROM range({lo}, {hi})")
+
+    def test_registers_bounded(self, spark):
+        regs = hll_registers(self._keys(spark, 0, 2000), "k", 256).collect()
+        assert len(regs) <= 256
+        assert all(0 <= r["bucket"] < 256 and 1 <= r["m_j"] <= 53 for r in regs)
+
+    def test_estimate_within_hll_error(self, spark):
+        # m=256 → relative standard error 1.04/sqrt(256) ≈ 6.5%; allow 4σ
+        for n in (100, 2000):
+            est = hll_estimate(hll_registers(self._keys(spark, 0, n), "k", 256), 256).collect()[0]
+            assert abs(est["hll_est"] - n) / n < 0.26, (n, est)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        once = self._keys(spark, 0, 500)
+        thrice = once.unionAll(once).unionAll(once)
+        a = sorted(map(tuple, hll_registers(once, "k", 256).collect()))
+        b = sorted(map(tuple, hll_registers(thrice, "k", 256).collect()))
+        assert a == b
+
+    def test_merge_via_max(self, spark):
+        whole = hll_registers(self._keys(spark, 0, 1000), "k", 256)
+        merged = (
+            hll_registers(self._keys(spark, 0, 600), "k", 256)
+            .unionByName(hll_registers(self._keys(spark, 600, 1000), "k", 256))
+            .groupBy("bucket")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+class TestPrioritySample:
+    def _docs(self, spark):
+        return spark.sql(
+            "SELECT id AS doc_id, CASE WHEN id < 10 THEN 1000 ELSE 10 END AS w FROM range(500)"
+        )
+
+    def test_k_rows_and_determinism(self, spark):
+        d = self._docs(spark)
+        a = priority_sample(d, "w", "doc_id", 50).collect()
+        b = priority_sample(d, "w", "doc_id", 50).collect()
+        assert len(a) == 50 and a == b
+
+    def test_weight_bias(self, spark):
+        # the 10 heavy docs (100× weight) should essentially all be sampled
+        rows = priority_sample(self._docs(spark), "w", "doc_id", 50).collect()
+        heavy = sum(1 for r in rows if r["doc_id"] < 10)
+        assert heavy >= 8
+
+    def test_priorities_sorted_and_positive(self, spark):
+        rows = priority_sample(self._docs(spark), "w", "doc_id", 50).collect()
+        ps = [r["priority"] for r in rows]
+        assert all(p > 0 for p in ps)
+        assert ps == sorted(ps, reverse=True)

@@ -488,3 +488,62 @@ def test_warc_stream_through_ingest(spark, stream_dirs):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     one = chunks.filter(F.col("doc_id") == 3).orderBy("chunk_index").collect()
     assert "".join(c["chunk_text"] for c in one).replace(" ", "")[:40] in texts[3].replace(" ", "")
+
+
+def test_streaming_sketch_rollup(spark, sf_dir, stream_dirs, tmp_path):
+    """Daily-rollup pattern for the mergeable sketches: each micro-batch
+    appends its own HLL register table / CMS counter grid (a few hundred
+    rows) to a sketch store; the periodic rollup — max over registers, sum
+    over cells — must equal the sketch of the whole corpus computed in one
+    batch. This is the property that lets per-day sketches answer
+    "distinct users this quarter" / "hot keys this quarter" without ever
+    rescanning the raw 100 TB."""
+    from frappe_data_pipelines_spark.operators.sketches import cms_cells, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    for lo, hi in ((0, 350), (350, 700), (700, 1000)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dirs["input"])
+
+    regs_dir = str(tmp_path / "regs")
+    cells_dir = str(tmp_path / "cells")
+
+    def sink(batch_df, batch_id):
+        hll_registers(batch_df, "k", 256).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(regs_dir)
+        cms_cells(batch_df, "k", 4, 64).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(cells_dir)
+
+    q = (
+        spark.readStream.schema("event_id BIGINT, k STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dirs["input"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", stream_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    whole = ev.filter(F.col("event_id") < 1000)
+    rolled_regs = (
+        spark.read.parquet(regs_dir).groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    )
+    # the rollup must span MULTIPLE micro-batches for the merge to be real
+    assert spark.read.parquet(regs_dir).select("batch_id").distinct().count() >= 2
+    assert sorted(map(tuple, rolled_regs.collect())) == sorted(
+        map(tuple, hll_registers(whole, "k", 256).collect())
+    )
+    rolled_cells = (
+        spark.read.parquet(cells_dir)
+        .groupBy("row_i", "col_i")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, rolled_cells.collect())) == sorted(
+        map(tuple, cms_cells(whole, "k", 4, 64).collect())
+    )

@@ -347,6 +347,21 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "approx_distinct_hll_registers": [
+        # register build partial-aggregates to ≤ m rows per partition; the
+        # one-row estimate × one-row exact combine is the sanctioned
+        # 1×1 cross join; no sort-merge anywhere
+        ("partial_agg", lambda p: "partial_max" in p or "partial" in p.lower()),
+        ("no_smj", lambda p: "SortMergeJoin" not in p),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+    ],
+    "priority_weighted_sample": [
+        # weighted sampling as a bounded heap — never a global sort
+        ("topk_not_full_sort", lambda p: "TakeOrderedAndProject" in p),
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
