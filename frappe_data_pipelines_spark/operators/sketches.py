@@ -29,10 +29,15 @@ or groupBy over the full history is the bottleneck:
   top-k by ``w/u`` priority (Duffield–Lund–Thorup), with the uniform drawn
   as an exact md5-derived rational so both engines rank identically.
 
-All four use the repo's portable md5-affine hash family (``_md5_64`` in
-``operators/dedup.py``) so every bit position and counter cell is
-reproducible in DuckDB SQL — the catalog queries over these sketches are
-EXACT oracles, not tolerance checks.
+All four build on the repo's portable md5 hash (``_md5_64`` in
+``operators/dedup.py`` — imported, not duplicated, so the family has one
+definition) and every bit position / counter cell is reproducible in
+DuckDB SQL — the catalog queries over these sketches are EXACT oracles,
+not tolerance checks.
+
+NULL keys are excluded everywhere (a NULL is not a key): the bitmap,
+grids and registers never contain a NULL-derived entry, and membership
+probes report ``false`` for NULL-key rows rather than NULL.
 
 Reference scope note: the reference engine has no sketch surface; these are
 the beyond-reference training-pipeline extensions the build brief asks for
@@ -44,14 +49,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from frappe_data_pipelines_spark.operators.dedup import _md5_64
+
 
 def _h64(col: Column, salt: str = "") -> Column:
-    """Portable 60-bit hash (first 15 md5 hex chars → bigint), optionally
-    salted — DuckDB mirror: CAST(('0x' || substring(md5(x || salt), 1, 15))
-    AS BIGINT). Non-negative, so ``%`` agrees between engines."""
+    """The repo-wide portable 60-bit hash (``_md5_64``), optionally salted —
+    DuckDB mirror: CAST(('0x' || substring(md5(x || salt), 1, 15)) AS
+    BIGINT). Non-negative, so ``%`` agrees between engines."""
     if salt:
         col = F.concat(col, F.lit(salt))
-    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+    return _md5_64(col)
 
 
 # ---------------------------------------------------------------------------
@@ -61,11 +68,28 @@ def _h64(col: Column, salt: str = "") -> Column:
 
 def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
     """Array of ``k`` bit positions via Kirsch–Mitzenmacher double hashing:
-    pos_i = (h1 + i·h2) mod m, both sub-hashes pre-reduced mod m so the
-    arithmetic stays far below int64 overflow."""
+    pos_i = (h1 + i·h2) mod m, both sub-hashes pre-reduced so the arithmetic
+    stays far below int64 overflow. The step ``h2`` is forced into
+    [1, m−1] (``% (m−1) + 1``): a zero step would collapse all ``k`` probes
+    onto ``h1`` for ~1/m of keys and quietly degrade the (fp)^k bound to fp
+    for that key class."""
     h1 = _h64(key) % m_bits
-    h2 = _h64(key, "#b2") % m_bits
+    h2 = _h64(key, "#b2") % (m_bits - 1) + 1
     return F.array(*[(h1 + F.lit(i) * h2) % m_bits for i in range(k)])
+
+
+def _word_mask(pos_df: DataFrame, *carry: str) -> DataFrame:
+    """(pos) → (word, mask) projection shared by the build and probe sides
+    so the bit-addressing scheme has exactly one definition. 32-bit words:
+    every mask is ≤ 2^31, comfortably inside int64 for the identical
+    ``1 << (pos % 32)`` expression on both engines."""
+    return pos_df.select(
+        *carry,
+        F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS BIGINT)").alias(
+            "mask"
+        ),
+    )
 
 
 def bloom_bitmap(
@@ -80,21 +104,12 @@ def bloom_bitmap(
     The ``groupBy(word).bit_or`` partial-aggregates map-side, so the shuffle
     carries at most ``m/32`` rows per partition no matter how many history
     rows feed it — this is what makes the build linear-scan-shaped at
-    100 TB. 32-bit words (not 64) keep every mask strictly below 2^31, so
-    the identical ``1 << (pos % 32)`` expression is safe signed arithmetic
-    in both Spark and DuckDB."""
+    100 TB."""
     key = F.col(key_col).cast("string")
-    return (
-        df.select(F.explode(_bloom_positions(key, m_bits, k)).alias("pos"))
-        .select(
-            F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS BIGINT)").alias(
-                "mask"
-            ),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
+    positions = df.where(key.isNotNull()).select(
+        F.explode(_bloom_positions(key, m_bits, k)).alias("pos")
     )
+    return _word_mask(positions).groupBy("word").agg(F.bit_or("mask").alias("bits"))
 
 
 def bloom_maybe_member(
@@ -107,23 +122,27 @@ def bloom_maybe_member(
     out_col: str = "maybe_member",
 ) -> DataFrame:
     """(id_col, out_col BOOLEAN): true iff ALL ``k`` bit positions of the
-    row's key are set in ``bitmap``.
+    row's key are set in ``bitmap``. Rows whose key is NULL report
+    ``false`` (a NULL is never "already ingested"), not NULL.
+
+    Precondition: ``id_col`` uniquely identifies rows of ``df`` — the
+    verdict is grouped per id, so two rows sharing an id would have their
+    2k probe positions ANDed together and a genuine member could report
+    false. (The catalog query probes (doc_id, text) where doc_id is the
+    primary key.)
 
     The bitmap is ≤ ``m/32`` rows — broadcast it; the membership check is
     then a map-side broadcast join + one groupBy on the row id (the only
     shuffle, and it is k-rows-per-input-row small). An absent word is an
     all-zero word (left join + coalesce 0)."""
     key = F.col(key_col).cast("string")
-    probes = df.select(
-        F.col(id_col), F.explode(_bloom_positions(key, m_bits, k)).alias("pos")
-    ).select(
-        id_col,
-        F.expr("CAST(pos DIV 32 AS INT)").alias("word"),
-        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS BIGINT)").alias(
-            "mask"
+    probes = _word_mask(
+        df.where(key.isNotNull()).select(
+            F.col(id_col), F.explode(_bloom_positions(key, m_bits, k)).alias("pos")
         ),
+        id_col,
     )
-    return (
+    flags = (
         probes.join(F.broadcast(bitmap), "word", "left")
         .select(
             id_col,
@@ -132,6 +151,8 @@ def bloom_maybe_member(
         .groupBy(id_col)
         .agg(F.bool_and("hit").alias(out_col))
     )
+    null_rows = df.where(key.isNull()).select(F.col(id_col), F.lit(False).alias(out_col))
+    return flags.unionByName(null_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -139,10 +160,22 @@ def bloom_maybe_member(
 # ---------------------------------------------------------------------------
 
 
-def _cms_col(key: Column, row: int, width: int) -> Column:
-    """Counter column for sketch row ``row``: independent salted hash per
-    row (salt '#r<row>'), reduced mod width."""
-    return _h64(key, f"#r{row}") % width
+def _cms_probes(key: Column, depth: int, width: int) -> Column:
+    """Exploded-struct array of the key's ``depth`` cells — ONE definition
+    of the cell-addressing scheme (salt '#r<row>', reduced mod width),
+    shared by the build and estimate sides so they can never drift apart
+    (a mismatch would silently break the never-undercounts guarantee)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row_i"),
+                    (_h64(key, f"#r{i}") % width).cast("int").alias("col_i"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
 
 
 def cms_cells(
@@ -157,22 +190,39 @@ def cms_cells(
     key = F.col(key_col).cast("string")
     return (
         df.where(key.isNotNull())
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("row_i"),
-                            _cms_col(key, i, width).cast("int").alias("col_i"),
-                        )
-                        for i in range(depth)
-                    ]
-                )
-            ).alias("c")
-        )
+        .select(_cms_probes(key, depth, width).alias("c"))
         .groupBy(F.col("c.row_i").alias("row_i"), F.col("c.col_i").alias("col_i"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def cms_estimates(
+    keys: DataFrame,
+    cells: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """(key_col, out_col BIGINT): min over the key's ``depth`` counters.
+    ``cells`` is ≤ depth×width rows — broadcast join, then one groupBy per
+    key. Guarantee: out_col ≥ the key's true count (collisions only add)."""
+    key = F.col(key_col).cast("string")
+    probes = (
+        keys.where(key.isNotNull())
+        .select(key.alias(key_col), _cms_probes(key, depth, width).alias("c"))
+        .select(key_col, "c.row_i", "c.col_i")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_i", "col_i"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
 
 
 def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
@@ -180,14 +230,16 @@ def hll_registers(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
     rows after one partial-aggregated ``groupBy(bucket).max(rho)``.
 
     The register table IS the sketch: registers merge across partitions,
-    streams, and days via ``max`` (see ``test_sketches.py::test_hll_merge``)
-    and the estimate derives from it alone. The rank ``rho`` is computed
-    integer-exactly — ``length(bin(w))`` is ``floor(log2 w) + 1`` with no
-    float in sight — so the whole construction reproduces bit-for-bit in
-    DuckDB (``bin`` exists there with identical semantics).
+    streams, and days via ``max`` (see
+    ``test_sketches.py::TestHll::test_merge_via_max``) and the estimate
+    derives from it alone. The rank ``rho`` is computed integer-exactly —
+    ``length(bin(w))`` is ``floor(log2 w) + 1`` with no float in sight — so
+    the whole construction reproduces bit-for-bit in DuckDB (``bin`` exists
+    there with identical semantics).
 
-    ``m`` must be a power of two; the hash is 60 bits (15 md5 hex chars),
-    leaving ``61 - log2(m)`` bits of rank field."""
+    ``m`` must be a power of two; the hash is 60 bits (15 md5 hex chars):
+    log2(m) bucket bits leave a ``60 − log2(m)``-bit rank field, so
+    ``rho ∈ [1, 61 − log2(m)]``."""
     if m & (m - 1):
         raise ValueError("m must be a power of two")
     field_bits = 60 - (m.bit_length() - 1)
@@ -253,6 +305,11 @@ def hll_estimate(registers: DataFrame, m: int = 256) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Priority sampling
+# ---------------------------------------------------------------------------
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,
@@ -283,37 +340,4 @@ def priority_sample(
         df.select(id_col, weight_col, priority.alias("priority"))
         .orderBy(F.col("priority").desc(), F.col(id_col))
         .limit(k)
-    )
-
-
-def cms_estimates(
-    keys: DataFrame,
-    cells: DataFrame,
-    key_col: str,
-    depth: int = 4,
-    width: int = 256,
-    out_col: str = "cms_est",
-) -> DataFrame:
-    """(key_col, out_col BIGINT): min over the key's ``depth`` counters.
-    ``cells`` is ≤ depth×width rows — broadcast join, then one groupBy per
-    key. Guarantee: out_col ≥ the key's true count (collisions only add)."""
-    key = F.col(key_col).cast("string")
-    probes = keys.select(
-        key.alias(key_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row_i"),
-                        _cms_col(key, i, width).cast("int").alias("col_i"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("c"),
-    ).select(key_col, "c.row_i", "c.col_i")
-    return (
-        probes.join(F.broadcast(cells), ["row_i", "col_i"], "left")
-        .groupBy(key_col)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias(out_col))
     )

@@ -39,14 +39,14 @@ _BLOOM_K = 4
 
 _BLOOM_SQL = f"""
     WITH hist AS (
-      SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0
+      SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0 AND text IS NOT NULL
     ), inc AS (
       SELECT doc_id, text FROM documents
-      WHERE doc_id % 4 = 0 OR doc_id % 20 = 1
+      WHERE (doc_id % 4 = 0 OR doc_id % 20 = 1) AND text IS NOT NULL
     ), ks AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i),
     hh AS (
       SELECT CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % {_BLOOM_M} AS h1,
-             CAST(('0x' || substring(md5(text || '#b2'), 1, 15)) AS BIGINT) % {_BLOOM_M} AS h2
+             (CAST(('0x' || substring(md5(text || '#b2'), 1, 15)) AS BIGINT) % {_BLOOM_M - 1}) + 1 AS h2
       FROM hist
     ), hpos AS (
       SELECT DISTINCT (h1 + ks.i * h2) % {_BLOOM_M} AS pos FROM hh CROSS JOIN ks
@@ -57,7 +57,7 @@ _BLOOM_SQL = f"""
     ), ih AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % {_BLOOM_M} AS h1,
-             CAST(('0x' || substring(md5(text || '#b2'), 1, 15)) AS BIGINT) % {_BLOOM_M} AS h2
+             (CAST(('0x' || substring(md5(text || '#b2'), 1, 15)) AS BIGINT) % {_BLOOM_M - 1}) + 1 AS h2
       FROM inc
     ), ipos AS (
       SELECT doc_id, (h1 + ks.i * h2) % {_BLOOM_M} AS pos FROM ih CROSS JOIN ks
@@ -90,7 +90,7 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg (shuffle carries ≤ m/32 rows/partition); the probe side
     never shuffles the history at all — only rows the filter flags proceed
     to the exact confirm join, which is the entire point of the sketch."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     hist = docs.filter(F.col("doc_id") % 4 != 0).select("text").distinct()
     inc = docs.filter((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 20 == 1)).select(
         "doc_id", "text"

@@ -60,6 +60,22 @@ class TestBloom:
         # Allow a wide deterministic margin; the point is "far below 50%".
         assert fp / 1000 < 0.05
 
+    def test_null_keys_report_false_not_null(self, spark, keys):
+        bitmap = bloom_bitmap(keys, "k", M, K)
+        probe = spark.sql(
+            "SELECT id, CASE WHEN id % 2 = 0 THEN concat('key-', id) END AS k FROM range(10)"
+        )
+        rows = {r["id"]: r["maybe_member"] for r in
+                bloom_maybe_member(probe, bitmap, "k", "id", M, K).collect()}
+        assert len(rows) == 10
+        # odd ids have NULL keys → false (never NULL); even ids are members
+        assert all(rows[i] is False for i in rows if i % 2 == 1)
+        assert all(rows[i] is True for i in rows if i % 2 == 0)
+
+    def test_null_keys_excluded_from_bitmap(self, spark):
+        df = spark.sql("SELECT CAST(NULL AS STRING) AS k FROM range(5)")
+        assert bloom_bitmap(df, "k", M, K).count() == 0
+
     def test_membership_is_deterministic(self, spark, keys):
         bitmap = bloom_bitmap(keys, "k", M, K)
         a = sorted(bloom_maybe_member(keys, bitmap, "k", "id", M, K).collect())

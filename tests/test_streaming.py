@@ -528,7 +528,7 @@ def test_streaming_sketch_rollup(spark, sf_dir, stream_dirs, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "sketch-rollup stream did not finish in 120s"
 
     whole = ev.filter(F.col("event_id") < 1000)
     rolled_regs = (

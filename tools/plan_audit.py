@@ -333,7 +333,7 @@ CHECKS: dict[str, list] = {
         # the history is never shuffled against the incoming batch
         ("all_joins_broadcast", lambda p: "SortMergeJoin" not in p
          and "BroadcastHashJoin" in p),
-        ("partial_bit_or", lambda p: "partial_bit_or" in p or "bit_or" in p),
+        ("partial_bit_or", lambda p: "partial_bit_or" in p),
         ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
