@@ -194,3 +194,36 @@ class TestPrioritySample:
         ps = [r["priority"] for r in rows]
         assert all(p > 0 for p in ps)
         assert ps == sorted(ps, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the guarantees must hold for ARBITRARY unicode keys, not
+# just the deterministic ascii fixtures above (encoding edge cases: empty
+# string, non-BMP code points, keys differing only in normalization).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys_strategy = st.lists(
+    st.text(min_size=0, max_size=40), min_size=1, max_size=40, unique=True
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ks=_keys_strategy)
+def test_bloom_no_false_negatives_property(spark, ks):
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(ks)], "id long, k string")
+    bitmap = bloom_bitmap(df, "k", M, K)
+    flags = bloom_maybe_member(df, bitmap, "k", "id", M, K)
+    assert flags.where(~F.col("maybe_member")).count() == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ks=st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=60))
+def test_cms_never_undercounts_property(spark, ks):
+    df = spark.createDataFrame([(k,) for k in ks], "k string")
+    cells = cms_cells(df, "k", 4, 32)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    est = cms_estimates(df.distinct(), cells, "k", 4, 32)
+    assert exact.join(est, "k").where(F.col("cms_est") < F.col("exact_cnt")).count() == 0
