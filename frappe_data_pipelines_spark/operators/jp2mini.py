@@ -1,0 +1,890 @@
+"""JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) — minimal reversible profile.
+
+The last scanned-page encoding the A10 raster path did not speak:
+``/JPXDecode`` image XObjects (reference dispatch surface:
+``fdp/services/text_extraction.py`` routes scanned pages through OCR; the
+PDF spec allows JPX-coded rasters there). Stdlib-only, both directions, so
+fixtures need no external encoder:
+
+* **5/3 reversible integer wavelet** (lifting with symmetric extension,
+  arbitrary dimensions, NL decomposition levels) — exact round-trip;
+* **EBCOT Tier-1** code-block coder: bit-plane coding with the three pass
+  types (significance propagation, magnitude refinement, cleanup with
+  run-length mode), 19 MQ contexts over the shared T.88 arithmetic coder
+  from ``operators/jbig2mini`` (JBIG2 and JPEG 2000 specify the same MQ
+  coder; reusing it means the coder itself is already round-trip- and
+  fixture-proven);
+* **Tier-2**: tag trees (inclusion + zero-bitplanes), packet headers with
+  0xFF bit-stuffing, one layer, LRCP progression, default precincts,
+  64×64 code-blocks, single tile / single 8-bit gray component;
+* **codestream syntax**: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers, plus the
+  JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
+
+Scope honesty: this is the lossless gray profile a scanned-page pipeline
+produces and consumes — no 9/7 irreversible transform, no quantization,
+no multiple layers/components/tiles, no precinct subdivision, no ROI, no
+coder options (bypass/reset/termall/causal). Streams using those raise
+``Jp2Error`` and the PDF dispatch falls back exactly like any other
+unsupported filter. The EBCOT context-formation tables follow the spec's
+Table D.1-D.4 as published; encoder and decoder share one context
+builder, and the whole path is validated by exhaustive round-trip fuzzing
+plus the OCR integration fixture (same validation posture as the JBIG2
+module — no external JPX encoder exists in this environment).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from frappe_data_pipelines_spark.operators.jbig2mini import MQDecoder, MQEncoder
+
+
+class Jp2Error(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible wavelet (lifting, symmetric extension)
+# ---------------------------------------------------------------------------
+
+
+def _ext(x: list, i: int) -> int:
+    """Symmetric extension without boundary repetition (mirror on the
+    boundary sample): E(-1) = x[1], E(n) = x[n-2]."""
+    n = len(x)
+    if i < 0:
+        i = -i
+    if i >= n:
+        i = 2 * n - 2 - i
+    return x[i]
+
+
+def _fwd53(x: list) -> tuple[list, list]:
+    """One 1-D level: returns (low, high) subband samples."""
+    n = len(x)
+    if n == 1:
+        return list(x), []
+    y = list(x)
+    for i in range(1, n, 2):  # predict (high-pass at odd positions)
+        y[i] = x[i] - ((_ext(x, i - 1) + _ext(x, i + 1)) >> 1)
+    for i in range(0, n, 2):  # update (low-pass at even positions)
+        y[i] = x[i] + ((_ext(y, i - 1) + _ext(y, i + 1) + 2) >> 2)
+    return y[0::2], y[1::2]
+
+
+def _inv53(low: list, high: list) -> list:
+    n = len(low) + len(high)
+    if n == 1:
+        return list(low)
+    y = [0] * n
+    y[0::2] = low
+    y[1::2] = high
+    x = list(y)
+    for i in range(0, n, 2):
+        x[i] = y[i] - ((_ext(y, i - 1) + _ext(y, i + 1) + 2) >> 2)
+    for i in range(1, n, 2):
+        x[i] = y[i] + ((_ext(x, i - 1) + _ext(x, i + 1)) >> 1)
+    return x
+
+
+def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
+    """Full 2-D decomposition. Returns subbands outer-to-inner:
+    [{lvl, 'HL': m, 'LH': m, 'HH': m}, ..., {'LL': m}] where each m is a
+    row-list matrix (possibly 0-sized on degenerate dims)."""
+    ll = [list(r) for r in rows]
+    out: list[dict] = []
+    for lvl in range(levels):
+        h = len(ll)
+        w = len(ll[0]) if h else 0
+        if h <= 1 and w <= 1:
+            break
+        # columns first or rows first is a convention; rows then columns
+        lows, highs = [], []
+        for r in ll:
+            lo, hi = _fwd53(r)
+            lows.append(lo)
+            highs.append(hi)
+        # vertical transform on each half
+        def vsplit(mat):
+            if not mat or not mat[0]:
+                return [m for m in ([], [])]
+            cols = list(zip(*mat))
+            lo_c, hi_c = [], []
+            for c in cols:
+                lo, hi = _fwd53(list(c))
+                lo_c.append(lo)
+                hi_c.append(hi)
+            lo_m = [list(r) for r in zip(*lo_c)] if lo_c and lo_c[0] else []
+            hi_m = [list(r) for r in zip(*hi_c)] if hi_c and hi_c[0] else []
+            return lo_m, hi_m
+
+        ll_m, lh_m = vsplit(lows)   # low-horizontal → LL / LH (vert high)
+        hl_m, hh_m = vsplit(highs)  # high-horizontal → HL / HH
+        out.append({"lvl": lvl, "HL": hl_m, "LH": lh_m, "HH": hh_m})
+        ll = ll_m
+    out.append({"LL": ll})
+    return out
+
+
+def dwt53_inverse(bands: list[dict]) -> list[list[int]]:
+    ll = [list(r) for r in bands[-1]["LL"]]
+    for d in reversed(bands[:-1]):
+        hl_m, lh_m, hh_m = d["HL"], d["LH"], d["HH"]
+
+        def vjoin(lo_m, hi_m):
+            lo_c = list(zip(*lo_m)) if lo_m and lo_m[0] else [() for _ in range(len(hi_m[0]) if hi_m and hi_m[0] else 0)]
+            hi_c = list(zip(*hi_m)) if hi_m and hi_m[0] else [() for _ in range(len(lo_m[0]) if lo_m and lo_m[0] else 0)]
+            ncols = max(len(lo_c), len(hi_c))
+            cols = []
+            for i in range(ncols):
+                lo = list(lo_c[i]) if i < len(lo_c) else []
+                hi = list(hi_c[i]) if i < len(hi_c) else []
+                cols.append(_inv53(lo, hi))
+            return [list(r) for r in zip(*cols)] if cols and cols[0] else []
+
+        lows = vjoin(ll, lh_m)
+        highs = vjoin(hl_m, hh_m)
+        rows = []
+        for i in range(max(len(lows), len(highs))):
+            lo = lows[i] if i < len(lows) else []
+            hi = highs[i] if i < len(highs) else []
+            rows.append(_inv53(lo, hi))
+        ll = rows
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 contexts (Table D.1-D.4 shapes)
+# ---------------------------------------------------------------------------
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _fresh_contexts() -> list:
+    cx = [[0, 0] for _ in range(_N_CTX)]
+    cx[_CTX_UNI][0] = 46
+    cx[_CTX_RL][0] = 3
+    cx[0][0] = 4
+    return cx
+
+
+def _sig_ctx(h: int, v: int, d: int, band: str) -> int:
+    """Significance-coding context (0-8) from neighbor counts."""
+    if band == "HL":  # horizontally high-pass band: swap h/v roles
+        h, v = v, h
+    if band != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d  # d in {0,1} → ctx 0/1
+    # HH: diagonal-primary
+    if d >= 3:
+        return 8
+    hv = h + v
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else hv  # hv in {0,1} → ctx 0/1
+
+
+_SIGN_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+
+class _Block:
+    """Shared encoder/decoder state for one code-block."""
+
+    def __init__(self, w: int, h: int, band: str):
+        self.w, self.h, self.band = w, h, band
+        n = w * h
+        self.sigma = [0] * n      # significant
+        self.sign = [0] * n       # 1 = negative (valid once significant)
+        self.visited = [0] * n    # coded in current plane's SPP
+        self.refined = [0] * n    # has had ≥1 magnitude refinement
+
+    def _sig(self, x: int, y: int) -> int:
+        if 0 <= x < self.w and 0 <= y < self.h:
+            return self.sigma[y * self.w + x]
+        return 0
+
+    def _sgn(self, x: int, y: int) -> int:
+        """+1 / -1 / 0 contribution of a neighbor for sign coding."""
+        if 0 <= x < self.w and 0 <= y < self.h and self.sigma[y * self.w + x]:
+            return -1 if self.sign[y * self.w + x] else 1
+        return 0
+
+    def counts(self, x: int, y: int) -> tuple[int, int, int]:
+        h = self._sig(x - 1, y) + self._sig(x + 1, y)
+        v = self._sig(x, y - 1) + self._sig(x, y + 1)
+        d = (
+            self._sig(x - 1, y - 1) + self._sig(x + 1, y - 1)
+            + self._sig(x - 1, y + 1) + self._sig(x + 1, y + 1)
+        )
+        return h, v, d
+
+    def sign_ctx(self, x: int, y: int) -> tuple[int, int]:
+        hc = self._sgn(x - 1, y) + self._sgn(x + 1, y)
+        vc = self._sgn(x, y - 1) + self._sgn(x, y + 1)
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        return _SIGN_TABLE[(hc, vc)]
+
+    def magref_ctx(self, x: int, y: int) -> int:
+        if self.refined[y * self.w + x]:
+            return 16
+        h, v, d = self.counts(x, y)
+        return 15 if (h + v + d) > 0 else 14
+
+    def stripes(self):
+        """Scan order: stripes of 4 rows, column-major inside a stripe."""
+        for y0 in range(0, self.h, 4):
+            for x in range(self.w):
+                for y in range(y0, min(y0 + 4, self.h)):
+                    yield x, y, y0
+
+
+def t1_encode_block(coefs: list[list[int]], band: str) -> tuple[bytes, int, int]:
+    """Encode one code-block. Returns (data, n_planes, n_passes)."""
+    h = len(coefs)
+    w = len(coefs[0]) if h else 0
+    mag = [abs(c) for row in coefs for c in row]
+    neg = [1 if c < 0 else 0 for row in coefs for c in row]
+    planes = max(mag).bit_length() if mag and max(mag) else 0
+    if planes == 0:
+        return b"", 0, 0
+    st = _Block(w, h, band)
+    mq = MQEncoder()
+    cx = _fresh_contexts()
+
+    def code_sign(i, x, y):
+        ctx, xor = st.sign_ctx(x, y)
+        mq.encode(cx[ctx], neg[i] ^ xor)
+        st.sign[i] = neg[i]
+
+    n_passes = 0
+    for p in range(planes - 1, -1, -1):
+        first = p == planes - 1
+        bit = lambda i: (mag[i] >> p) & 1  # noqa: E731
+        if not first:
+            # significance propagation
+            for x, y, _y0 in st.stripes():
+                i = y * w + x
+                st.visited[i] = 0
+                if st.sigma[i]:
+                    continue
+                hh, vv, dd = st.counts(x, y)
+                if hh + vv + dd == 0:
+                    continue
+                st.visited[i] = 1
+                mq.encode(cx[_sig_ctx(hh, vv, dd, band)], bit(i))
+                if bit(i):
+                    code_sign(i, x, y)
+                    st.sigma[i] = 1
+            n_passes += 1
+            # magnitude refinement: refines samples significant at the START
+            # of this plane — SPP arrivals of this plane carry visited=1 and
+            # are skipped
+            for x, y, _y0 in st.stripes():
+                i = y * w + x
+                if st.sigma[i] and not st.visited[i]:
+                    mq.encode(cx[st.magref_ctx(x, y)], bit(i))
+                    st.refined[i] = 1
+            n_passes += 1
+        # cleanup
+        x = y = 0
+        col_iter = []
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                col_iter.append((x, y0))
+        for x, y0 in col_iter:
+            y = y0
+            span = min(4, h - y0)
+            # run-length mode: full 4-high column, all insignificant,
+            # all zero-context, none visited
+            def rl_ok():
+                if span != 4:
+                    return False
+                for yy in range(y0, y0 + 4):
+                    i = yy * w + x
+                    if st.sigma[i] or st.visited[i]:
+                        return False
+                    hh, vv, dd = st.counts(x, yy)
+                    if hh + vv + dd:
+                        return False
+                return True
+
+            if rl_ok():
+                r = next(
+                    (k for k in range(4) if bit((y0 + k) * w + x)), None
+                )
+                if r is None:
+                    mq.encode(cx[_CTX_RL], 0)
+                    continue
+                mq.encode(cx[_CTX_RL], 1)
+                mq.encode(cx[_CTX_UNI], (r >> 1) & 1)
+                mq.encode(cx[_CTX_UNI], r & 1)
+                i = (y0 + r) * w + x
+                code_sign(i, x, y0 + r)
+                st.sigma[i] = 1
+                start = r + 1
+            else:
+                start = 0
+            for k in range(start, span):
+                yy = y0 + k
+                i = yy * w + x
+                if st.sigma[i] or st.visited[i]:
+                    continue
+                hh, vv, dd = st.counts(x, yy)
+                mq.encode(cx[_sig_ctx(hh, vv, dd, band)], bit(i))
+                if bit(i):
+                    code_sign(i, x, yy)
+                    st.sigma[i] = 1
+        n_passes += 1
+    return mq.flush(), planes, n_passes
+
+
+def t1_decode_block(
+    data: bytes, w: int, h: int, band: str, planes: int, n_passes: int
+) -> list[list[int]]:
+    """Decode one code-block back to signed coefficients."""
+    if planes == 0:
+        return [[0] * w for _ in range(h)]
+    st = _Block(w, h, band)
+    mag = [0] * (w * h)
+    mq = MQDecoder(data)
+    cx = _fresh_contexts()
+    passes_done = 0
+
+    def decode_sign(i, x, y):
+        ctx, xor = st.sign_ctx(x, y)
+        st.sign[i] = mq.decode(cx[ctx]) ^ xor
+
+    for p in range(planes - 1, -1, -1):
+        first = p == planes - 1
+        if not first:
+            if passes_done >= n_passes:
+                break
+            for x, y, _y0 in st.stripes():
+                i = y * w + x
+                st.visited[i] = 0
+                if st.sigma[i]:
+                    continue
+                hh, vv, dd = st.counts(x, y)
+                if hh + vv + dd == 0:
+                    continue
+                st.visited[i] = 1
+                if mq.decode(cx[_sig_ctx(hh, vv, dd, band)]):
+                    decode_sign(i, x, y)
+                    st.sigma[i] = 1
+                    mag[i] |= 1 << p
+            passes_done += 1
+            if passes_done >= n_passes:
+                break
+            for x, y, _y0 in st.stripes():
+                i = y * w + x
+                if st.sigma[i] and not st.visited[i]:
+                    if mq.decode(cx[st.magref_ctx(x, y)]):
+                        mag[i] |= 1 << p
+                    st.refined[i] = 1
+            passes_done += 1
+            if passes_done >= n_passes:
+                break
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                span = min(4, h - y0)
+
+                def rl_ok():
+                    if span != 4:
+                        return False
+                    for yy in range(y0, y0 + 4):
+                        i = yy * w + x
+                        if st.sigma[i] or st.visited[i]:
+                            return False
+                        hh, vv, dd = st.counts(x, yy)
+                        if hh + vv + dd:
+                            return False
+                    return True
+
+                if rl_ok():
+                    if not mq.decode(cx[_CTX_RL]):
+                        continue
+                    r = (mq.decode(cx[_CTX_UNI]) << 1) | mq.decode(cx[_CTX_UNI])
+                    i = (y0 + r) * w + x
+                    decode_sign(i, x, y0 + r)
+                    st.sigma[i] = 1
+                    mag[i] |= 1 << p
+                    start = r + 1
+                else:
+                    start = 0
+                for k in range(start, span):
+                    yy = y0 + k
+                    i = yy * w + x
+                    if st.sigma[i] or st.visited[i]:
+                        continue
+                    hh, vv, dd = st.counts(x, yy)
+                    if mq.decode(cx[_sig_ctx(hh, vv, dd, band)]):
+                        decode_sign(i, x, yy)
+                        st.sigma[i] = 1
+                        mag[i] |= 1 << p
+        passes_done += 1
+        if passes_done >= n_passes:
+            break
+    out = []
+    for y in range(h):
+        out.append(
+            [
+                -mag[y * w + x] if st.sign[y * w + x] else mag[y * w + x]
+                for x in range(w)
+            ]
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tag trees + header bit IO (0xFF stuffing)
+# ---------------------------------------------------------------------------
+
+
+class _HdrWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.bits = 0
+        self.nbits = 0
+
+    def put(self, b: int) -> None:
+        limit = 7 if self.out and self.out[-1] == 0xFF else 8
+        self.bits = (self.bits << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == limit:
+            self.out.append(self.bits)
+            self.bits = 0
+            self.nbits = 0
+
+    def put_int(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            limit = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.bits << (limit - self.nbits))
+            self.bits = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:  # header must not end in FF
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _HdrReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise Jp2Error("packet header overrun")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise Jp2Error("invalid stuffing after 0xFF")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+            self.bits = b
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def get_int(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Byte-align and return the next byte position (consuming the
+        trailing-FF padding byte rule)."""
+        self.nbits = 0
+        if self.prev_ff:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+class _TagTree:
+    def __init__(self, n: int):
+        # single code-block per subband in this profile → n == 1
+        self.n = n
+        self.value = [0] * n
+        self.low = [0] * n
+        self.known = [False] * n
+
+    def set(self, i: int, v: int) -> None:
+        self.value[i] = v
+
+    def encode(self, w: _HdrWriter, i: int, threshold: int) -> None:
+        while not self.known[i] and self.low[i] < threshold:
+            if self.low[i] == self.value[i]:
+                w.put(1)
+                self.known[i] = True
+            else:
+                w.put(0)
+                self.low[i] += 1
+
+    def decode(self, r: _HdrReader, i: int, threshold: int) -> bool:
+        while not self.known[i] and self.low[i] < threshold:
+            if r.get():
+                self.known[i] = True
+                self.value[i] = self.low[i]
+            else:
+                self.low[i] += 1
+        return self.known[i] and self.value[i] < threshold
+
+
+def _passes_codeword(w: _HdrWriter, n: int) -> None:
+    if n == 1:
+        w.put(0)
+    elif n == 2:
+        w.put(1)
+        w.put(0)
+    elif 3 <= n <= 5:
+        w.put(1)
+        w.put(1)
+        w.put_int(n - 3, 2)
+    elif 6 <= n <= 36:
+        w.put_int(0b1111, 4)
+        w.put_int(n - 6, 5)
+    elif 37 <= n <= 164:
+        w.put_int(0b111111111, 9)
+        w.put_int(n - 37, 7)
+    else:
+        raise Jp2Error(f"cannot signal {n} passes")
+
+
+def _passes_read(r: _HdrReader) -> int:
+    if not r.get():
+        return 1
+    if not r.get():
+        return 2
+    v = r.get_int(2)
+    if v < 3:
+        return 3 + v
+    v = r.get_int(5)
+    if v < 31:
+        return 6 + v
+    return 37 + r.get_int(7)
+
+
+# ---------------------------------------------------------------------------
+# Codestream (single tile, single gray component, one layer, LRCP)
+# ---------------------------------------------------------------------------
+
+_GUARD_BITS = 2
+def _cb_exponents(band_shapes: list[tuple[int, int]]) -> tuple[int, int]:
+    """One code-block per subband: pick (xcb, ycb) just large enough for
+    the biggest band, within the spec's limits (each in [2,10], sum ≤ 12 —
+    rectangular blocks like 128×32 are legal and fit wide-short scans)."""
+    max_w = max((w for _h, w in band_shapes), default=1)
+    max_h = max((h for h, _w in band_shapes), default=1)
+    xcb = max(2, (max_w - 1).bit_length())
+    ycb = max(2, (max_h - 1).bit_length())
+    if xcb > 10 or ycb > 10 or xcb + ycb > 12:
+        raise Jp2Error(
+            f"image needs {1 << xcb}x{1 << ycb} code-blocks — beyond the "
+            "single-code-block-per-subband profile"
+        )
+    return xcb, ycb
+
+
+def jp2_encode_gray(rows: list[bytes], levels: int = 2) -> bytes:
+    """8-bit gray rows → raw JPEG 2000 codestream (lossless)."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if not (h and w):
+        raise Jp2Error("empty image")
+    shifted = [[px - 128 for px in r] for r in rows]
+    bands = dwt53_forward(shifted, levels)
+    n_res = len(bands)  # levels+1 resolutions (bands has levels detail dicts + LL)
+
+    # encode every subband as ONE code-block (profile constraint)
+    packets = []
+    # resolution 0: LL; resolution r>0: HL/LH/HH of that level
+    res_bands: list[list[tuple[str, list[list[int]]]]] = [[("LL", bands[-1]["LL"])]]
+    for d in reversed(bands[:-1]):
+        res_bands.append([("HL", d["HL"]), ("LH", d["LH"]), ("HH", d["HH"])])
+
+    xcb, ycb = _cb_exponents(
+        [
+            (len(m), len(m[0]) if m else 0)
+            for bl in res_bands
+            for _n, m in bl
+        ]
+    )
+
+    for bandlist in res_bands:
+        hdr = _HdrWriter()
+        body = bytearray()
+        hdr.put(1)  # packet non-empty
+        for name, mat in bandlist:
+            bh = len(mat)
+            bw = len(mat[0]) if bh else 0
+            if bh == 0 or bw == 0:
+                continue
+            data, planes, n_passes = t1_encode_block(mat, name)
+            incl = _TagTree(1)
+            incl.set(0, 0)
+            incl.encode(hdr, 0, 1)  # included in layer 0
+            mb = _GUARD_BITS + _coef_bits(name) - 1
+            if planes > mb:
+                raise Jp2Error("coefficient magnitude exceeds Mb budget")
+            zb = mb - planes
+            zt = _TagTree(1)
+            zt.set(0, zb)
+            t = 1
+            while not zt.known[0]:
+                zt.encode(hdr, 0, t)
+                t += 1
+            _passes_codeword(hdr, max(n_passes, 1))
+            lblock = 3
+            nlen = lblock + (max(n_passes, 1).bit_length() - 1)
+            while len(data) >= (1 << nlen):
+                hdr.put(1)
+                lblock += 1
+                nlen += 1
+            hdr.put(0)
+            hdr.put_int(len(data), nlen)
+            body += data
+        packets.append(hdr.finish() + bytes(body))
+
+    # markers
+    siz_body = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
+    ) + struct.pack(">BBB", 7, 1, 1)  # Ssiz=7 (8-bit unsigned), XRsiz=YRsiz=1
+    siz = b"\xff\x51" + struct.pack(">H", 2 + len(siz_body)) + siz_body
+    cod_body = struct.pack(
+        ">BBHBBBBBB",
+        0,      # Scod: no precincts/SOP/EPH
+        0,      # progression LRCP
+        1,      # layers
+        0,      # MCT
+        levels,  # decomposition levels
+        xcb - 2, ycb - 2,  # code-block exponents sized to the largest band
+        0,      # code-block style
+        1,      # transform: 5/3 reversible
+    )
+    cod = b"\xff\x52" + struct.pack(">H", 2 + len(cod_body)) + cod_body
+    # QCD: style 0 (no quantization), guard bits, one exponent byte per
+    # subband in packet order (LL, then HL/LH/HH inner→outer) chosen so a
+    # conforming Mb = G + eps_b − 1 equals the decoder's per-band budget
+    exps = [_coef_bits("LL")] + [
+        _coef_bits(n) for _ in range(levels) for n in ("HL", "LH", "HH")
+    ]
+    qcd_body = bytes([_GUARD_BITS << 5]) + bytes([e << 3 for e in exps])
+    qcd = b"\xff\x5c" + struct.pack(">H", 2 + len(qcd_body)) + qcd_body
+    data = b"".join(packets)
+    sot_body = struct.pack(">HIBB", 0, 12 + len(data) + 2, 0, 1)
+    sot = b"\xff\x90" + struct.pack(">H", 10) + sot_body
+    return b"\xff\x4f" + siz + cod + qcd + sot + b"\xff\x93" + data + b"\xff\xd9"
+
+
+def _coef_bits(band: str) -> int:
+    """Bits needed for subband coefficients of an 8-bit DC-shifted image:
+    the QCD exponent we emit is guard-agnostic 8 + gain; keep one budget
+    (8 magnitude bits + up to 2 transform gains) for every band — the
+    encoder checks actual magnitudes against it."""
+    return 8 + {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[band] + 1
+
+
+def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
+    if pos + 2 > len(data):
+        raise Jp2Error("truncated codestream")
+    if data[pos] != 0xFF:
+        raise Jp2Error(f"expected marker at {pos}")
+    m = data[pos + 1]
+    if m in (0x4F, 0x93, 0xD9):  # SOC/SOD/EOC have no segment length
+        return m, pos + 2, 0
+    (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+    return m, pos + 4, ln - 2
+
+
+def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """JPEG 2000 codestream (or JP2 box wrapper) → (w, h, gray rows)."""
+    data = payload
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+        # JP2 file format: walk boxes to the jp2c codestream box
+        pos = 0
+        data = None
+        while pos + 8 <= len(payload):
+            (box_len,) = struct.unpack(">I", payload[pos : pos + 4])
+            btype = payload[pos + 4 : pos + 8]
+            if box_len == 0:
+                box_len = len(payload) - pos
+            if btype == b"jp2c":
+                data = payload[pos + 8 : pos + box_len]
+                break
+            pos += max(box_len, 8)
+        if data is None:
+            raise Jp2Error("JP2 wrapper without jp2c box")
+    if data[:2] != b"\xff\x4f":
+        raise Jp2Error("not a JPEG 2000 codestream")
+    pos = 2
+    w = h = None
+    levels = None
+    transform = None
+    sod_at = None
+    guard = _GUARD_BITS
+    qcd_exps: list[int] = []
+    cb_w = cb_h = 64
+    while pos < len(data):
+        m, body_at, ln = _find_marker(data, pos)
+        body = data[body_at : body_at + ln]
+        if m == 0x51:  # SIZ
+            (_rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack(
+                ">HIIIIIIIIH", body[:36]
+            )
+            if ncomp != 1:
+                raise Jp2Error("only single-component (gray) supported")
+            if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xsiz, ysiz):
+                raise Jp2Error("tiled/offset images unsupported")
+            ssiz, xr, yr = body[36], body[37], body[38]
+            if ssiz != 7 or xr != 1 or yr != 1:
+                raise Jp2Error("only 8-bit unsigned, no subsampling")
+            w, h = xsiz, ysiz
+        elif m == 0x52:  # COD
+            scod, prog, layers, mct, lev, xcb_s, ycb_s, style, transform = struct.unpack(
+                ">BBHBBBBBB", body[:10]
+            )
+            if scod & 0x01:
+                raise Jp2Error("user precincts unsupported")
+            if prog != 0 or layers != 1 or mct != 0:
+                raise Jp2Error("only 1-layer LRCP supported")
+            if style != 0:
+                raise Jp2Error("code-block style options unsupported")
+            if transform != 1:
+                raise Jp2Error("only the 5/3 reversible transform supported")
+            levels = lev
+            cb_w, cb_h = 1 << (xcb_s + 2), 1 << (ycb_s + 2)
+        elif m == 0x5C:  # QCD
+            if body[0] & 0x1F != 0:
+                raise Jp2Error("quantization unsupported (lossless profile)")
+            guard = body[0] >> 5
+            qcd_exps = [b >> 3 for b in body[1:]]
+        elif m == 0x93:  # SOD
+            sod_at = body_at
+            break
+        pos = body_at + ln
+    if w is None or levels is None or sod_at is None:
+        raise Jp2Error("missing SIZ/COD/SOD")
+
+    # subband geometry must match the encoder's convention: recompute by
+    # running the forward transform shape-wise
+    shape_rows = [[0] * w for _ in range(h)]
+    bands = dwt53_forward(shape_rows, levels)
+    for d in bands[:-1]:
+        for n in ("HL", "LH", "HH"):
+            m = d[n]
+            if m and (len(m) > cb_h or len(m[0]) > cb_w):
+                raise Jp2Error(
+                    "subband exceeds one code-block — multi-code-block "
+                    "streams unsupported"
+                )
+    res_bands: list[list[tuple[str, int, int]]] = [
+        [("LL", len(bands[-1]["LL"]), len(bands[-1]["LL"][0]) if bands[-1]["LL"] else 0)]
+    ]
+    for d in reversed(bands[:-1]):
+        res_bands.append(
+            [
+                (n, len(d[n]), len(d[n][0]) if d[n] else 0)
+                for n in ("HL", "LH", "HH")
+            ]
+        )
+
+    pos = sod_at
+    decoded: dict[int, list[list[int]]] = {}
+    idx = 0
+    band_no = 0
+    for bandlist in res_bands:
+        rd = _HdrReader(data, pos)
+        if not rd.get():
+            for _name, bh, bw in bandlist:
+                decoded[idx] = [[0] * bw for _ in range(bh)]
+                idx += 1
+                band_no += 1
+            pos = rd.align()
+            continue
+        segs = []
+        for name, bh, bw in bandlist:
+            eps = qcd_exps[band_no] if band_no < len(qcd_exps) else _coef_bits(name)
+            band_no += 1
+            if bh == 0 or bw == 0:
+                segs.append((name, bh, bw, 0, 0, 0))
+                continue
+            incl = _TagTree(1)
+            if not incl.decode(rd, 0, 1):
+                segs.append((name, bh, bw, 0, 0, 0))
+                continue
+            zt = _TagTree(1)
+            t = 1
+            while not zt.known[0]:
+                zt.decode(rd, 0, t)
+                t += 1
+            zb = zt.value[0]
+            n_passes = _passes_read(rd)
+            lblock = 3
+            while rd.get():
+                lblock += 1
+            nlen = lblock + (n_passes.bit_length() - 1)
+            seg_len = rd.get_int(nlen)
+            mb = guard + eps - 1  # conforming Mb from the QCD segment
+            segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
+        pos = rd.align()
+        for name, bh, bw, planes, n_passes, seg_len in segs:
+            if bh == 0 or bw == 0:
+                decoded[idx] = []
+                idx += 1
+                continue
+            blk = data[pos : pos + seg_len]
+            pos += seg_len
+            decoded[idx] = t1_decode_block(blk, bw, bh, name, planes, n_passes)
+            idx += 1
+
+    # reassemble band structure
+    seq_shapes = res_bands
+    mats = iter([decoded[k] for k in sorted(decoded)])
+    ll_mat = next(mats)
+    detail_dicts = []
+    for bandlist in seq_shapes[1:]:
+        dd = {}
+        for name, bh, bw in bandlist:
+            m = next(mats)
+            dd[name] = m if (bh and bw) else []
+        detail_dicts.append(dd)
+    # seq was inner→outer; dwt53_inverse expects outer-to-inner list + LL last
+    rebuilt = [
+        {"lvl": k, "HL": dd["HL"], "LH": dd["LH"], "HH": dd["HH"]}
+        for k, dd in enumerate(reversed(detail_dicts))
+    ] + [{"LL": ll_mat}]
+    shifted = dwt53_inverse(rebuilt)
+    rows = [
+        bytes(min(255, max(0, px + 128)) for px in r) for r in shifted
+    ]
+    if len(rows) != h or (rows and len(rows[0]) != w):
+        raise Jp2Error("decoded dims disagree with SIZ")
+    return w, h, rows

@@ -1437,6 +1437,20 @@ def _pdf_page_images_impl(payload: bytes) -> list[tuple[int, int, int, list[byte
                 ]
                 images.append((jw, jh, 1, rows))
                 continue
+            if any(str(doc.resolve(f)) == "JPXDecode" for f in flist):
+                from frappe_data_pipelines_spark.operators.jp2mini import (
+                    Jp2Error,
+                    jp2_decode_gray,
+                )
+
+                try:
+                    jw, jh, rows = jp2_decode_gray(xobj[1])
+                except Jp2Error as e:
+                    raise PdfParseError(f"JPXDecode: {e}") from e
+                if (jw, jh) != (width, height):
+                    raise PdfParseError("JPX dims disagree with /Width /Height")
+                images.append((jw, jh, 1, rows))
+                continue
             if any(str(doc.resolve(f)) in ("DCTDecode", "DCT") for f in flist):
                 from frappe_data_pipelines_spark.operators.jpegmini import (
                     JpegError,

@@ -1,0 +1,179 @@
+"""JPEG 2000 minimal reversible profile (operators/jp2mini.py).
+
+Layered validation, mirroring the JBIG2 module's posture: exact wavelet
+round-trip (hypothesis over dims/values), EBCOT Tier-1 block round-trip
+across bands and magnitudes, full codestream round-trip, JP2 box unwrap,
+honest refusals for out-of-profile streams, corruption totality, and the
+scanned-PDF → OCR integration fixture reading the exact golden text.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frappe_data_pipelines_spark.operators.jp2mini import (
+    Jp2Error,
+    _fwd53,
+    _inv53,
+    dwt53_forward,
+    dwt53_inverse,
+    jp2_decode_gray,
+    jp2_encode_gray,
+    t1_decode_block,
+    t1_encode_block,
+)
+
+SCANNED_TEXT = "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+
+
+class TestDwt53:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+    def test_1d_roundtrip(self, x):
+        lo, hi = _fwd53(x)
+        assert _inv53(lo, hi) == x
+        assert len(lo) + len(hi) == len(x)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 20),
+        st.integers(1, 20),
+        st.integers(1, 3),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_2d_roundtrip(self, h, w, levels, seed):
+        rng = random.Random(seed)
+        m = [[rng.randint(-255, 255) for _ in range(w)] for _ in range(h)]
+        assert dwt53_inverse(dwt53_forward(m, levels)) == m
+
+    def test_lowpass_tracks_dc(self):
+        # a flat image decomposes to a flat LL and zero detail bands
+        m = [[77] * 16 for _ in range(16)]
+        bands = dwt53_forward(m, 2)
+        assert all(v == 77 for r in bands[-1]["LL"] for v in r)
+        for d in bands[:-1]:
+            for n in ("HL", "LH", "HH"):
+                assert all(v == 0 for r in d[n] for v in r)
+
+
+class TestTier1:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.sampled_from(["LL", "HL", "LH", "HH"]),
+        st.integers(0, 511),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_block_roundtrip(self, h, w, band, mx, seed):
+        rng = random.Random(seed)
+        m = [
+            [rng.randint(-mx, mx) if rng.random() < 0.6 else 0 for _ in range(w)]
+            for _ in range(h)
+        ]
+        data, planes, n_passes = t1_encode_block(m, band)
+        assert t1_decode_block(data, w, h, band, planes, n_passes) == m
+
+    def test_zero_block(self):
+        m = [[0] * 5 for _ in range(7)]
+        data, planes, n_passes = t1_encode_block(m, "HH")
+        assert (data, planes, n_passes) == (b"", 0, 0)
+        assert t1_decode_block(b"", 5, 7, "HH", 0, 0) == m
+
+    def test_pass_count_matches_planes(self):
+        m = [[5, -3], [0, 7]]  # max magnitude 7 → 3 planes → 3*3-2 passes
+        _data, planes, n_passes = t1_encode_block(m, "LL")
+        assert planes == 3 and n_passes == 7
+
+
+class TestCodestream:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(4, 40),
+        st.integers(4, 40),
+        st.integers(1, 3),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_roundtrip_random(self, h, w, levels, seed):
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+        got_w, got_h, out = jp2_decode_gray(jp2_encode_gray(rows, levels))
+        assert (got_w, got_h) == (w, h) and out == rows
+
+    def test_wide_short_raster(self):
+        # scan-shaped: wider than 64 → rectangular code-blocks (128×32)
+        rng = random.Random(9)
+        rows = [bytes(rng.randrange(256) for _ in range(129)) for _ in range(20)]
+        assert jp2_decode_gray(jp2_encode_gray(rows, 2))[2] == rows
+
+    def test_bilevel_text_raster(self):
+        from frappe_data_pipelines_spark.operators.imaging import (
+            png_decode,
+            render_text_png,
+        )
+
+        _w, _h, _c, rows = png_decode(render_text_png(SCANNED_TEXT))
+        assert jp2_decode_gray(jp2_encode_gray(rows, 2))[2] == rows
+
+    def test_jp2_box_wrapper(self):
+        rows = [bytes([10, 200, 30, 40])] * 4
+        cs = jp2_encode_gray(rows, 1)
+        sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+        ftyp = struct.pack(">I", 20) + b"ftypjp2 " + b"\x00\x00\x00\x00jp2 "
+        jp2c = struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs
+        assert jp2_decode_gray(sig + ftyp + jp2c)[2] == rows
+
+    def test_refuses_out_of_profile(self):
+        rows = [bytes([1, 2, 3, 4])] * 4
+        cs = bytearray(jp2_encode_gray(rows, 1))
+        # flip the transform byte (5/3 → 9/7 irreversible) inside COD
+        cod_at = bytes(cs).find(b"\xff\x52")
+        cs2 = bytearray(cs)
+        cs2[cod_at + 13] = 0  # SPcod transform byte
+        with pytest.raises(Jp2Error):
+            jp2_decode_gray(bytes(cs2))
+        with pytest.raises(Jp2Error):
+            jp2_decode_gray(b"\xff\x4f\xff\xd9")  # no SIZ/COD/SOD
+        with pytest.raises((Jp2Error, ValueError)):
+            jp2_decode_gray(b"not a codestream")
+
+    def test_corruption_totality(self):
+        rng = random.Random(13)
+        rows = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(16)]
+        cs = jp2_encode_gray(rows, 2)
+        for _ in range(200):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode_gray(bytes(b))
+            except (Jp2Error, ValueError, IndexError, struct.error):
+                pass  # any *declared* failure is fine; hangs/other types are not
+
+
+def test_jpx_fixture_pdf_ocrs_to_golden():
+    """Integration: the /JPXDecode scanned-PDF fixture decodes through
+    pdf_page_images and the bitmap OCR reads the exact golden text."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.imaging import ocr_bitmap, png_encode
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_page_images
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jpx.pdf"), "rb") as f:
+        payload = f.read()
+    images = pdf_page_images(payload)
+    assert len(images) == 1
+    w, h, channels, rows = images[0]
+    assert channels == 1 and (w, h) == (129, 20)
+    res = ocr_bitmap(png_encode(rows))
+    assert res["text"] == SCANNED_TEXT
+    assert res["confidence"] == 1.0

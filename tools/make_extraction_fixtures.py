@@ -292,6 +292,20 @@ def make_ocr_jpeg() -> bytes:
     return jpeg_encode_gray(rows, quality=90)
 
 
+def make_scanned_jpx_pdf() -> bytes:
+    """Same page, raster as a lossless JPEG 2000 codestream behind
+    /JPXDecode (single-tile gray 5/3-reversible profile) — the remaining
+    scanned-page encoding; exercises operators/jp2mini end-to-end through
+    pdf_page_images → OCR."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode_gray
+
+    w, h, rows = _scanned_raster()
+    return _scanned_pdf_from_image(w, h, jp2_encode_gray(rows, levels=2), b"JPXDecode")
+
+
 def make_scanned_jpeg_pdf() -> bytes:
     """Same page, but the raster is a baseline JPEG behind /DCTDecode — the
     encoding real scanners actually embed. Exercises the stdlib JPEG
@@ -352,6 +366,8 @@ def main() -> None:
     _write_if_missing("sample_cff.pdf.txt", CFF_TEXT)
     _write_if_missing("sample_scanned_g4.pdf", make_scanned_g4_pdf())
     _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpx.pdf", make_scanned_jpx_pdf())
+    _write_if_missing("sample_scanned_jpx.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
