@@ -53,8 +53,10 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Magic-sniffed real decode: PNG (full pixel decode), GIF (block walk),
     JPEG (SOF scan), BMP (header+pixels), WebP (VP8/VP8L/VP8X header),
     TIFF (first IFD) — every image format the reference dispatch routes
-    (text_extraction.py:13-27). Raises ValueError for anything else — the
-    caller falls back to the deterministic fake."""
+    (text_extraction.py:13-27) — plus JPEG 2000 (JP2 box or raw
+    codestream, full pixel decode via operators/jp2mini). Raises
+    ValueError for anything else — the caller falls back to the
+    deterministic fake."""
     from frappe_data_pipelines_spark.operators.imaging import (
         bmp_decode,
         gif_meta,
@@ -83,6 +85,11 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         w, h = tiff_meta(payload)
         return w, h, 1, f"image/tiff {w}x{h}"
+    if payload[:8] == b"\x00\x00\x00\x0cjP  " or payload[:4] == b"\xff\x4f\xff\x51":
+        from frappe_data_pipelines_spark.operators.jp2mini import jp2_decode_gray
+
+        w, h, _rows = jp2_decode_gray(payload)
+        return w, h, 1, f"image/jp2 {w}x{h}"
     raise ValueError("no stdlib decoder for this payload")
 
 

@@ -156,6 +156,19 @@ class TestCodestream:
                 pass  # any *declared* failure is fine; hangs/other types are not
 
 
+def test_multimodal_sniffs_jp2():
+    """Standalone .jp2 payloads (box wrapper AND raw codestream) decode
+    through the multimodal real-decode path."""
+    from frappe_data_pipelines_spark.operators import multimodal
+
+    rows = [bytes([0, 128, 255, 64])] * 4
+    cs = jp2_encode_gray(rows, 1)
+    assert multimodal._real_decode(cs) == (4, 4, 1, "image/jp2 4x4")
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    jp2c = struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs
+    assert multimodal._real_decode(sig + jp2c) == (4, 4, 1, "image/jp2 4x4")
+
+
 def test_jpx_fixture_pdf_ocrs_to_golden():
     """Integration: the /JPXDecode scanned-PDF fixture decodes through
     pdf_page_images and the bitmap OCR reads the exact golden text."""
