@@ -1,4 +1,4 @@
-"""JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) — minimal reversible profile.
+"""JPEG 2000 (ISO/IEC 15444-1 / ITU-T T.800) — reversible AND lossy profiles.
 
 The last scanned-page encoding the A10 raster path did not speak:
 ``/JPXDecode`` image XObjects (reference dispatch surface:
@@ -8,6 +8,15 @@ fixtures need no external encoder:
 
 * **5/3 reversible integer wavelet** (lifting with symmetric extension,
   arbitrary dimensions, NL decomposition levels) — exact round-trip;
+* **9/7 irreversible wavelet** (CDF 9/7 float lifting per T.800 F.4.8:
+  the four α/β/γ/δ steps + K scaling) with **scalar-expounded
+  quantization** (QCD style 2, per-subband (ε, μ) 16-bit values,
+  Δ_b = 2^(R_b−ε_b)·(1+μ_b/2¹¹), midpoint r=½ reconstruction) — the
+  lossy profile real scanners emit;
+* **multi-component color**: 1 or 3 components, with the **ICT**
+  (irreversible YCbCr, used with 9/7) and **RCT** (reversible
+  integer transform, exact with 5/3) component transforms per T.800
+  G.2/G.3, LRCP packet progression over resolution→component;
 * **EBCOT Tier-1** code-block coder: bit-plane coding with the three pass
   types (significance propagation, magnitude refinement, cleanup with
   run-length mode), 19 MQ contexts over the shared T.88 arithmetic coder
@@ -16,20 +25,21 @@ fixtures need no external encoder:
   fixture-proven);
 * **Tier-2**: tag trees (inclusion + zero-bitplanes), packet headers with
   0xFF bit-stuffing, one layer, LRCP progression, default precincts,
-  64×64 code-blocks, single tile / single 8-bit gray component;
+  one code-block per subband, single tile;
 * **codestream syntax**: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers, plus the
   JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
 
-Scope honesty: this is the lossless gray profile a scanned-page pipeline
-produces and consumes — no 9/7 irreversible transform, no quantization,
-no multiple layers/components/tiles, no precinct subdivision, no ROI, no
-coder options (bypass/reset/termall/causal). Streams using those raise
-``Jp2Error`` and the PDF dispatch falls back exactly like any other
-unsupported filter. The EBCOT context-formation tables follow the spec's
-Table D.1-D.4 as published; encoder and decoder share one context
-builder, and the whole path is validated by exhaustive round-trip fuzzing
-plus the OCR integration fixture (same validation posture as the JBIG2
-module — no external JPX encoder exists in this environment).
+Scope honesty: no multiple layers/tiles, no subsampling, no precinct
+subdivision, no ROI, no coder options (bypass/reset/termall/causal), no
+scalar-derived (style 1) quantization, no >3-component or non-8-bit
+images. Streams using those raise ``Jp2Error`` and the PDF dispatch
+falls back exactly like any other unsupported filter. The EBCOT
+context-formation tables follow the spec's Table D.1-D.4 as published;
+encoder and decoder share one context builder, and the whole path is
+validated by exhaustive round-trip fuzzing (exact for reversible,
+error-bounded for 9/7+quantization) plus the OCR integration fixtures
+(same validation posture as the JBIG2 module — no external JPX encoder
+exists in this environment).
 """
 
 from __future__ import annotations
@@ -87,10 +97,57 @@ def _inv53(low: list, high: list) -> list:
     return x
 
 
-def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
-    """Full 2-D decomposition. Returns subbands outer-to-inner:
-    [{lvl, 'HL': m, 'LH': m, 'HH': m}, ..., {'LL': m}] where each m is a
-    row-list matrix (possibly 0-sized on degenerate dims)."""
+# 9/7 irreversible lifting constants (T.800 F.4.8.2, CDF 9/7)
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd97(x: list) -> tuple[list, list]:
+    """One 1-D irreversible level: four lifting steps + K scaling. In-place
+    over alternating parities is safe — each step's neighbors are the other
+    parity, already in their post-previous-step state, exactly the spec's
+    sequential formulation."""
+    n = len(x)
+    if n == 1:
+        return [float(x[0])], []
+    y = [float(v) for v in x]
+    for i in range(1, n, 2):
+        y[i] += _A97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(0, n, 2):
+        y[i] += _B97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(1, n, 2):
+        y[i] += _G97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(0, n, 2):
+        y[i] += _D97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    return [v / _K97 for v in y[0::2]], [v * _K97 for v in y[1::2]]
+
+
+def _inv97(low: list, high: list) -> list:
+    n = len(low) + len(high)
+    if n == 1:
+        return [float(v) for v in low]
+    y = [0.0] * n
+    y[0::2] = [v * _K97 for v in low]
+    y[1::2] = [v / _K97 for v in high]
+    for i in range(0, n, 2):
+        y[i] -= _D97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(1, n, 2):
+        y[i] -= _G97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(0, n, 2):
+        y[i] -= _B97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    for i in range(1, n, 2):
+        y[i] -= _A97 * (_ext(y, i - 1) + _ext(y, i + 1))
+    return y
+
+
+def _dwt_forward(rows: list[list], levels: int, f1d) -> list[dict]:
+    """Full 2-D decomposition with ``f1d`` as the 1-D split. Returns
+    subbands outer-to-inner: [{lvl, 'HL': m, 'LH': m, 'HH': m}, ...,
+    {'LL': m}] where each m is a row-list matrix (possibly 0-sized on
+    degenerate dims)."""
     ll = [list(r) for r in rows]
     out: list[dict] = []
     for lvl in range(levels):
@@ -101,7 +158,7 @@ def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
         # columns first or rows first is a convention; rows then columns
         lows, highs = [], []
         for r in ll:
-            lo, hi = _fwd53(r)
+            lo, hi = f1d(r)
             lows.append(lo)
             highs.append(hi)
         # vertical transform on each half
@@ -111,7 +168,7 @@ def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
             cols = list(zip(*mat))
             lo_c, hi_c = [], []
             for c in cols:
-                lo, hi = _fwd53(list(c))
+                lo, hi = f1d(list(c))
                 lo_c.append(lo)
                 hi_c.append(hi)
             lo_m = [list(r) for r in zip(*lo_c)] if lo_c and lo_c[0] else []
@@ -126,7 +183,7 @@ def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
     return out
 
 
-def dwt53_inverse(bands: list[dict]) -> list[list[int]]:
+def _dwt_inverse(bands: list[dict], i1d) -> list[list]:
     ll = [list(r) for r in bands[-1]["LL"]]
     for d in reversed(bands[:-1]):
         hl_m, lh_m, hh_m = d["HL"], d["LH"], d["HH"]
@@ -139,7 +196,7 @@ def dwt53_inverse(bands: list[dict]) -> list[list[int]]:
             for i in range(ncols):
                 lo = list(lo_c[i]) if i < len(lo_c) else []
                 hi = list(hi_c[i]) if i < len(hi_c) else []
-                cols.append(_inv53(lo, hi))
+                cols.append(i1d(lo, hi))
             return [list(r) for r in zip(*cols)] if cols and cols[0] else []
 
         lows = vjoin(ll, lh_m)
@@ -148,9 +205,120 @@ def dwt53_inverse(bands: list[dict]) -> list[list[int]]:
         for i in range(max(len(lows), len(highs))):
             lo = lows[i] if i < len(lows) else []
             hi = highs[i] if i < len(highs) else []
-            rows.append(_inv53(lo, hi))
+            rows.append(i1d(lo, hi))
         ll = rows
     return ll
+
+
+def dwt53_forward(rows: list[list[int]], levels: int) -> list[dict]:
+    return _dwt_forward(rows, levels, _fwd53)
+
+
+def dwt53_inverse(bands: list[dict]) -> list[list[int]]:
+    return _dwt_inverse(bands, _inv53)
+
+
+def dwt97_forward(rows: list[list], levels: int) -> list[dict]:
+    return _dwt_forward(rows, levels, _fwd97)
+
+
+def dwt97_inverse(bands: list[dict]) -> list[list[float]]:
+    return _dwt_inverse(bands, _inv97)
+
+
+# ---------------------------------------------------------------------------
+# Component transforms (T.800 G.2 RCT / G.3 ICT) and scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def _rct_forward(comps: list[list[list[int]]]) -> list[list[list[int]]]:
+    """Reversible color transform on DC-shifted integer planes."""
+    r_p, g_p, b_p = comps
+    y_p, u_p, v_p = [], [], []
+    for rr, gr, br in zip(r_p, g_p, b_p):
+        y_p.append([(r + 2 * g + b) >> 2 for r, g, b in zip(rr, gr, br)])
+        u_p.append([b - g for g, b in zip(gr, br)])
+        v_p.append([r - g for r, g in zip(rr, gr)])
+    return [y_p, u_p, v_p]
+
+
+def _rct_inverse(comps: list[list[list[int]]]) -> list[list[list[int]]]:
+    y_p, u_p, v_p = comps
+    r_p, g_p, b_p = [], [], []
+    for yr, ur, vr in zip(y_p, u_p, v_p):
+        gr = [y - ((u + v) >> 2) for y, u, v in zip(yr, ur, vr)]
+        r_p.append([v + g for v, g in zip(vr, gr)])
+        g_p.append(gr)
+        b_p.append([u + g for u, g in zip(ur, gr)])
+    return [r_p, g_p, b_p]
+
+
+def _ict_forward(comps: list[list[list[int]]]) -> list[list[list[float]]]:
+    """Irreversible color transform (YCbCr) on DC-shifted planes."""
+    r_p, g_p, b_p = comps
+    y_p, cb_p, cr_p = [], [], []
+    for rr, gr, br in zip(r_p, g_p, b_p):
+        y_p.append([0.299 * r + 0.587 * g + 0.114 * b
+                    for r, g, b in zip(rr, gr, br)])
+        cb_p.append([-0.168736 * r - 0.331264 * g + 0.5 * b
+                     for r, g, b in zip(rr, gr, br)])
+        cr_p.append([0.5 * r - 0.418688 * g - 0.081312 * b
+                     for r, g, b in zip(rr, gr, br)])
+    return [y_p, cb_p, cr_p]
+
+
+def _ict_inverse(comps: list[list[list[float]]]) -> list[list[list[float]]]:
+    y_p, cb_p, cr_p = comps
+    r_p, g_p, b_p = [], [], []
+    for yr, cbr, crr in zip(y_p, cb_p, cr_p):
+        r_p.append([y + 1.402 * cr for y, cr in zip(yr, crr)])
+        g_p.append([y - 0.344136 * cb - 0.714136 * cr
+                    for y, cb, cr in zip(yr, cbr, crr)])
+        b_p.append([y + 1.772 * cb for y, cb in zip(yr, cbr)])
+    return [r_p, g_p, b_p]
+
+
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _step_to_eps_mu(step: float, rb: int) -> tuple[int, int]:
+    """(ε_b, μ_b) whose reconstructed Δ_b = 2^(R_b−ε_b)·(1+μ_b/2¹¹) is the
+    closest representable value to ``step`` (E.1.1). The encoder MUST then
+    quantize with the reconstructed Δ, not with ``step``, so both sides use
+    the identical step."""
+    import math
+
+    if step <= 0:
+        raise Jp2Error("quantization step must be positive")
+    e = math.floor(math.log2(step))
+    mu = round((step / (2.0 ** e) - 1.0) * 2048)
+    if mu >= 2048:
+        e += 1
+        mu = 0
+    eps = rb - e
+    if not (0 <= eps <= 31) or not (0 <= mu <= 2047):
+        raise Jp2Error(f"quantization step {step} out of signalable range")
+    return eps, mu
+
+
+def _qdelta(eps: int, mu: int, rb: int) -> float:
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def _quantize(mat: list[list[float]], delta: float) -> list[list[int]]:
+    return [
+        [int(abs(c) / delta) * (1 if c >= 0 else -1) for c in row]
+        for row in mat
+    ]
+
+
+def _dequantize(mat: list[list[int]], delta: float) -> list[list[float]]:
+    # midpoint reconstruction (r = 1/2), the canonical decoder choice
+    return [
+        [0.0 if q == 0 else (abs(q) + 0.5) * delta * (1 if q > 0 else -1)
+         for q in row]
+        for row in mat
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -613,90 +781,161 @@ def _cb_exponents(band_shapes: list[tuple[int, int]]) -> tuple[int, int]:
     return xcb, ycb
 
 
-def jp2_encode_gray(rows: list[bytes], levels: int = 2) -> bytes:
-    """8-bit gray rows → raw JPEG 2000 codestream (lossless)."""
-    h = len(rows)
-    w = len(rows[0]) if h else 0
+def _coef_bits(band: str, base: int = 8) -> int:
+    """Reversible-profile per-band exponent budget: ``base`` magnitude bits
+    (8 for plain 8-bit planes, 9 for RCT chroma whose range doubles) + the
+    subband's transform gain + 1 headroom bit. The encoder checks actual
+    magnitudes against the budget; the decoder recovers Mb = G + eps - 1
+    straight from the QCD segment, so both sides agree by construction."""
+    return base + _BAND_GAIN[band] + 1
+
+
+def _res_band_names(levels: int) -> list[list[str]]:
+    """Band names per resolution in packet order: res 0 is LL, each further
+    resolution is that level's HL/LH/HH (inner level first)."""
+    return [["LL"]] + [["HL", "LH", "HH"] for _ in range(levels)]
+
+
+def jp2_encode(
+    comps: list[list],
+    levels: int = 2,
+    irreversible: bool = False,
+    step: float = 0.5,
+    mct: bool = True,
+) -> bytes:
+    """8-bit planes -> raw JPEG 2000 codestream.
+
+    ``comps`` is 1 (gray) or 3 (RGB) planes of equal dims, each a list of
+    rows (bytes or int lists). ``irreversible=False`` -> 5/3 reversible,
+    exact (with the RCT when 3 components and ``mct``). ``irreversible=True``
+    -> 9/7 wavelet + scalar-expounded quantization with step ``step`` (in
+    units of one gray level; with the ICT when 3 components and ``mct``).
+    """
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise Jp2Error("only 1- or 3-component images supported")
+    h = len(comps[0])
+    w = len(comps[0][0]) if h else 0
     if not (h and w):
         raise Jp2Error("empty image")
-    shifted = [[px - 128 for px in r] for r in rows]
-    bands = dwt53_forward(shifted, levels)
-    n_res = len(bands)  # levels+1 resolutions (bands has levels detail dicts + LL)
+    for c in comps:
+        if len(c) != h or any(len(r) != w for r in c):
+            raise Jp2Error("component dims disagree")
+    shifted = [[[px - 128 for px in row] for row in c] for c in comps]
+    use_mct = mct and ncomp == 3
+    if use_mct:
+        planes_in = _ict_forward(shifted) if irreversible else _rct_forward(shifted)
+    else:
+        planes_in = shifted
+    # shared QCD budget: RCT chroma doubles the range -> one extra bit for
+    # every band (the QCD applies to all components alike in this profile)
+    base_bits = 8 + (1 if (use_mct and not irreversible) else 0)
+    fwd = dwt97_forward if irreversible else dwt53_forward
 
-    # encode every subband as ONE code-block (profile constraint)
-    packets = []
-    # resolution 0: LL; resolution r>0: HL/LH/HH of that level
-    res_bands: list[list[tuple[str, list[list[int]]]]] = [[("LL", bands[-1]["LL"])]]
-    for d in reversed(bands[:-1]):
-        res_bands.append([("HL", d["HL"]), ("LH", d["LH"]), ("HH", d["HH"])])
+    comp_res_bands: list[list[list[tuple[str, list]]]] = []
+    for plane in planes_in:
+        bands = fwd(plane, levels)
+        rb: list[list[tuple[str, list]]] = [[("LL", bands[-1]["LL"])]]
+        for d in reversed(bands[:-1]):
+            rb.append([("HL", d["HL"]), ("LH", d["LH"]), ("HH", d["HH"])])
+        comp_res_bands.append(rb)
+    n_res = len(comp_res_bands[0])
+    if levels and n_res != levels + 1:
+        # degenerate 1x1 images stop early; re-read the actual level count
+        levels = n_res - 1
 
     xcb, ycb = _cb_exponents(
         [
             (len(m), len(m[0]) if m else 0)
-            for bl in res_bands
+            for rb in comp_res_bands
+            for bl in rb
             for _n, m in bl
         ]
     )
 
-    for bandlist in res_bands:
-        hdr = _HdrWriter()
-        body = bytearray()
-        hdr.put(1)  # packet non-empty
-        for name, mat in bandlist:
-            bh = len(mat)
-            bw = len(mat[0]) if bh else 0
-            if bh == 0 or bw == 0:
-                continue
-            data, planes, n_passes = t1_encode_block(mat, name)
-            incl = _TagTree(1)
-            incl.set(0, 0)
-            incl.encode(hdr, 0, 1)  # included in layer 0
-            mb = _GUARD_BITS + _coef_bits(name) - 1
-            if planes > mb:
-                raise Jp2Error("coefficient magnitude exceeds Mb budget")
-            zb = mb - planes
-            zt = _TagTree(1)
-            zt.set(0, zb)
-            t = 1
-            while not zt.known[0]:
-                zt.encode(hdr, 0, t)
-                t += 1
-            _passes_codeword(hdr, max(n_passes, 1))
-            lblock = 3
-            nlen = lblock + (max(n_passes, 1).bit_length() - 1)
-            while len(data) >= (1 << nlen):
-                hdr.put(1)
-                lblock += 1
-                nlen += 1
-            hdr.put(0)
-            hdr.put_int(len(data), nlen)
-            body += data
-        packets.append(hdr.finish() + bytes(body))
+    # per-band quantization table in packet/QCD order
+    qtab: list[tuple[int, int, int]] = []  # (eps, mu, rb)
+    for names in _res_band_names(levels):
+        for name in names:
+            rb_bits = 8 + _BAND_GAIN[name]
+            if irreversible:
+                eps, mu = _step_to_eps_mu(step, rb_bits)
+            else:
+                eps, mu = _coef_bits(name, base_bits), 0
+            qtab.append((eps, mu, rb_bits))
+
+    packets = []
+    for r in range(n_res):
+        qbase = 0 if r == 0 else 1 + 3 * (r - 1)
+        for c in range(ncomp):
+            bandlist = comp_res_bands[c][r]
+            hdr = _HdrWriter()
+            body = bytearray()
+            hdr.put(1)  # packet non-empty
+            for k, (name, mat) in enumerate(bandlist):
+                bh = len(mat)
+                bw = len(mat[0]) if bh else 0
+                if bh == 0 or bw == 0:
+                    continue
+                eps, mu, rb_bits = qtab[qbase + k]
+                if irreversible:
+                    qmat = _quantize(mat, _qdelta(eps, mu, rb_bits))
+                else:
+                    qmat = mat
+                data, planes, n_passes = t1_encode_block(qmat, name)
+                incl = _TagTree(1)
+                incl.set(0, 0)
+                incl.encode(hdr, 0, 1)  # included in layer 0
+                mb = _GUARD_BITS + eps - 1
+                if planes > mb:
+                    raise Jp2Error("coefficient magnitude exceeds Mb budget")
+                zb = mb - planes
+                zt = _TagTree(1)
+                zt.set(0, zb)
+                t = 1
+                while not zt.known[0]:
+                    zt.encode(hdr, 0, t)
+                    t += 1
+                _passes_codeword(hdr, max(n_passes, 1))
+                lblock = 3
+                nlen = lblock + (max(n_passes, 1).bit_length() - 1)
+                while len(data) >= (1 << nlen):
+                    hdr.put(1)
+                    lblock += 1
+                    nlen += 1
+                hdr.put(0)
+                hdr.put_int(len(data), nlen)
+                body += data
+            packets.append(hdr.finish() + bytes(body))
 
     # markers
     siz_body = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1
-    ) + struct.pack(">BBB", 7, 1, 1)  # Ssiz=7 (8-bit unsigned), XRsiz=YRsiz=1
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + struct.pack(">BBB", 7, 1, 1) * ncomp  # Ssiz=7 (8-bit), XRsiz=YRsiz=1
     siz = b"\xff\x51" + struct.pack(">H", 2 + len(siz_body)) + siz_body
     cod_body = struct.pack(
         ">BBHBBBBBB",
         0,      # Scod: no precincts/SOP/EPH
         0,      # progression LRCP
         1,      # layers
-        0,      # MCT
+        1 if use_mct else 0,  # MCT (ICT with 9/7, RCT with 5/3)
         levels,  # decomposition levels
         xcb - 2, ycb - 2,  # code-block exponents sized to the largest band
         0,      # code-block style
-        1,      # transform: 5/3 reversible
+        0 if irreversible else 1,  # transform: 9/7 irreversible / 5/3
     )
     cod = b"\xff\x52" + struct.pack(">H", 2 + len(cod_body)) + cod_body
-    # QCD: style 0 (no quantization), guard bits, one exponent byte per
-    # subband in packet order (LL, then HL/LH/HH inner→outer) chosen so a
-    # conforming Mb = G + eps_b − 1 equals the decoder's per-band budget
-    exps = [_coef_bits("LL")] + [
-        _coef_bits(n) for _ in range(levels) for n in ("HL", "LH", "HH")
-    ]
-    qcd_body = bytes([_GUARD_BITS << 5]) + bytes([e << 3 for e in exps])
+    if irreversible:
+        # QCD style 2 (scalar expounded): guard bits + 16-bit (eps, mu)
+        # per subband in packet order
+        qcd_body = bytes([(_GUARD_BITS << 5) | 2]) + b"".join(
+            struct.pack(">H", (eps << 11) | mu) for eps, mu, _rb in qtab
+        )
+    else:
+        # QCD style 0 (no quantization): one exponent byte per subband
+        qcd_body = bytes([_GUARD_BITS << 5]) + bytes(
+            [eps << 3 for eps, _mu, _rb in qtab]
+        )
     qcd = b"\xff\x5c" + struct.pack(">H", 2 + len(qcd_body)) + qcd_body
     data = b"".join(packets)
     sot_body = struct.pack(">HIBB", 0, 12 + len(data) + 2, 0, 1)
@@ -704,12 +943,9 @@ def jp2_encode_gray(rows: list[bytes], levels: int = 2) -> bytes:
     return b"\xff\x4f" + siz + cod + qcd + sot + b"\xff\x93" + data + b"\xff\xd9"
 
 
-def _coef_bits(band: str) -> int:
-    """Bits needed for subband coefficients of an 8-bit DC-shifted image:
-    the QCD exponent we emit is guard-agnostic 8 + gain; keep one budget
-    (8 magnitude bits + up to 2 transform gains) for every band — the
-    encoder checks actual magnitudes against it."""
-    return 8 + {"LL": 0, "HL": 1, "LH": 1, "HH": 2}[band] + 1
+def jp2_encode_gray(rows: list[bytes], levels: int = 2) -> bytes:
+    """8-bit gray rows -> raw JPEG 2000 codestream (lossless)."""
+    return jp2_encode([rows], levels=levels, irreversible=False, mct=False)
 
 
 def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
@@ -724,8 +960,14 @@ def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
     return m, pos + 4, ln - 2
 
 
-def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """JPEG 2000 codestream (or JP2 box wrapper) → (w, h, gray rows)."""
+def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
+    """JPEG 2000 codestream (or JP2 box wrapper) -> (w, h, component rows).
+
+    Handles both in-profile stream families: 5/3 reversible with QCD
+    style 0 (exact; with RCT when MCT is signalled) and 9/7 irreversible
+    with QCD style 2 scalar-expounded quantization (midpoint
+    reconstruction; with ICT when MCT is signalled), 1 or 3 components.
+    """
     data = payload
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
         # JP2 file format: walk boxes to the jp2c codestream box
@@ -746,55 +988,75 @@ def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise Jp2Error("not a JPEG 2000 codestream")
     pos = 2
     w = h = None
+    ncomp = 1
     levels = None
     transform = None
+    use_mct = False
     sod_at = None
     guard = _GUARD_BITS
-    qcd_exps: list[int] = []
+    qstyle = 0
+    qcd_eps: list[int] = []
+    qcd_mu: list[int] = []
     cb_w = cb_h = 64
     while pos < len(data):
         m, body_at, ln = _find_marker(data, pos)
         body = data[body_at : body_at + ln]
         if m == 0x51:  # SIZ
-            (_rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp) = struct.unpack(
+            (_rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc) = struct.unpack(
                 ">HIIIIIIIIH", body[:36]
             )
-            if ncomp != 1:
-                raise Jp2Error("only single-component (gray) supported")
+            if nc not in (1, 3):
+                raise Jp2Error("only 1- or 3-component images supported")
             if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xsiz, ysiz):
                 raise Jp2Error("tiled/offset images unsupported")
-            ssiz, xr, yr = body[36], body[37], body[38]
-            if ssiz != 7 or xr != 1 or yr != 1:
-                raise Jp2Error("only 8-bit unsigned, no subsampling")
-            w, h = xsiz, ysiz
+            for c in range(nc):
+                ssiz, xr, yr = body[36 + 3 * c], body[37 + 3 * c], body[38 + 3 * c]
+                if ssiz != 7 or xr != 1 or yr != 1:
+                    raise Jp2Error("only 8-bit unsigned, no subsampling")
+            w, h, ncomp = xsiz, ysiz, nc
         elif m == 0x52:  # COD
-            scod, prog, layers, mct, lev, xcb_s, ycb_s, style, transform = struct.unpack(
+            scod, prog, layers, mct_b, lev, xcb_s, ycb_s, style, transform = struct.unpack(
                 ">BBHBBBBBB", body[:10]
             )
             if scod & 0x01:
                 raise Jp2Error("user precincts unsupported")
-            if prog != 0 or layers != 1 or mct != 0:
+            if prog != 0 or layers != 1:
                 raise Jp2Error("only 1-layer LRCP supported")
+            if mct_b not in (0, 1):
+                raise Jp2Error("unknown MCT value")
             if style != 0:
                 raise Jp2Error("code-block style options unsupported")
-            if transform != 1:
-                raise Jp2Error("only the 5/3 reversible transform supported")
+            if transform not in (0, 1):
+                raise Jp2Error("unknown wavelet transform")
+            use_mct = mct_b == 1
             levels = lev
             cb_w, cb_h = 1 << (xcb_s + 2), 1 << (ycb_s + 2)
         elif m == 0x5C:  # QCD
-            if body[0] & 0x1F != 0:
-                raise Jp2Error("quantization unsupported (lossless profile)")
+            qstyle = body[0] & 0x1F
             guard = body[0] >> 5
-            qcd_exps = [b >> 3 for b in body[1:]]
+            if qstyle == 0:
+                qcd_eps = [b >> 3 for b in body[1:]]
+                qcd_mu = [0] * len(qcd_eps)
+            elif qstyle == 2:
+                vals = struct.unpack(f">{(len(body) - 1) // 2}H", body[1:])
+                qcd_eps = [v >> 11 for v in vals]
+                qcd_mu = [v & 0x7FF for v in vals]
+            else:
+                raise Jp2Error("scalar-derived quantization unsupported")
         elif m == 0x93:  # SOD
             sod_at = body_at
             break
         pos = body_at + ln
     if w is None or levels is None or sod_at is None:
         raise Jp2Error("missing SIZ/COD/SOD")
+    irreversible = transform == 0
+    if irreversible and qstyle != 2:
+        raise Jp2Error("9/7 streams need scalar-expounded quantization")
+    if not irreversible and qstyle != 0:
+        raise Jp2Error("5/3 streams with quantization unsupported")
 
     # subband geometry must match the encoder's convention: recompute by
-    # running the forward transform shape-wise
+    # running the (shape-equivalent) 5/3 forward transform on zeros
     shape_rows = [[0] * w for _ in range(h)]
     bands = dwt53_forward(shape_rows, levels)
     for d in bands[:-1]:
@@ -815,76 +1077,118 @@ def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
                 for n in ("HL", "LH", "HH")
             ]
         )
+    n_res = len(res_bands)
 
     pos = sod_at
-    decoded: dict[int, list[list[int]]] = {}
-    idx = 0
-    band_no = 0
-    for bandlist in res_bands:
-        rd = _HdrReader(data, pos)
-        if not rd.get():
-            for _name, bh, bw in bandlist:
-                decoded[idx] = [[0] * bw for _ in range(bh)]
-                idx += 1
-                band_no += 1
+    # decoded[comp] = list of band matrices in packet order
+    decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
+    for r, bandlist in enumerate(res_bands):
+        qbase = 0 if r == 0 else 1 + 3 * (r - 1)
+        for c in range(ncomp):
+            rd = _HdrReader(data, pos)
+            if not rd.get():
+                for _name, bh, bw in bandlist:
+                    decoded[c].append([[0] * bw for _ in range(bh)])
+                pos = rd.align()
+                continue
+            segs = []
+            for k, (name, bh, bw) in enumerate(bandlist):
+                qi = qbase + k
+                eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
+                if bh == 0 or bw == 0:
+                    segs.append((name, bh, bw, 0, 0, 0))
+                    continue
+                incl = _TagTree(1)
+                if not incl.decode(rd, 0, 1):
+                    segs.append((name, bh, bw, 0, 0, 0))
+                    continue
+                zt = _TagTree(1)
+                t = 1
+                while not zt.known[0]:
+                    zt.decode(rd, 0, t)
+                    t += 1
+                zb = zt.value[0]
+                n_passes = _passes_read(rd)
+                lblock = 3
+                while rd.get():
+                    lblock += 1
+                nlen = lblock + (n_passes.bit_length() - 1)
+                seg_len = rd.get_int(nlen)
+                mb = guard + eps - 1  # conforming Mb from the QCD segment
+                segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
             pos = rd.align()
-            continue
-        segs = []
-        for name, bh, bw in bandlist:
-            eps = qcd_exps[band_no] if band_no < len(qcd_exps) else _coef_bits(name)
-            band_no += 1
-            if bh == 0 or bw == 0:
-                segs.append((name, bh, bw, 0, 0, 0))
-                continue
-            incl = _TagTree(1)
-            if not incl.decode(rd, 0, 1):
-                segs.append((name, bh, bw, 0, 0, 0))
-                continue
-            zt = _TagTree(1)
-            t = 1
-            while not zt.known[0]:
-                zt.decode(rd, 0, t)
-                t += 1
-            zb = zt.value[0]
-            n_passes = _passes_read(rd)
-            lblock = 3
-            while rd.get():
-                lblock += 1
-            nlen = lblock + (n_passes.bit_length() - 1)
-            seg_len = rd.get_int(nlen)
-            mb = guard + eps - 1  # conforming Mb from the QCD segment
-            segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
-        pos = rd.align()
-        for name, bh, bw, planes, n_passes, seg_len in segs:
-            if bh == 0 or bw == 0:
-                decoded[idx] = []
-                idx += 1
-                continue
-            blk = data[pos : pos + seg_len]
-            pos += seg_len
-            decoded[idx] = t1_decode_block(blk, bw, bh, name, planes, n_passes)
-            idx += 1
+            for name, bh, bw, planes, n_passes, seg_len in segs:
+                if bh == 0 or bw == 0:
+                    decoded[c].append([])
+                    continue
+                blk = data[pos : pos + seg_len]
+                pos += seg_len
+                decoded[c].append(t1_decode_block(blk, bw, bh, name, planes, n_passes))
 
-    # reassemble band structure
-    seq_shapes = res_bands
-    mats = iter([decoded[k] for k in sorted(decoded)])
-    ll_mat = next(mats)
-    detail_dicts = []
-    for bandlist in seq_shapes[1:]:
-        dd = {}
-        for name, bh, bw in bandlist:
+    # reassemble band structure and invert per component
+    out_planes: list[list[list]] = []
+    for c in range(ncomp):
+        mats = iter(decoded[c])
+        band_idx = 0
+
+        def next_mat(name: str) -> list[list]:
+            nonlocal band_idx
             m = next(mats)
-            dd[name] = m if (bh and bw) else []
-        detail_dicts.append(dd)
-    # seq was inner→outer; dwt53_inverse expects outer-to-inner list + LL last
-    rebuilt = [
-        {"lvl": k, "HL": dd["HL"], "LH": dd["LH"], "HH": dd["HH"]}
-        for k, dd in enumerate(reversed(detail_dicts))
-    ] + [{"LL": ll_mat}]
-    shifted = dwt53_inverse(rebuilt)
+            if irreversible:
+                qi = band_idx
+                eps, mu = qcd_eps[qi], qcd_mu[qi]
+                rb_bits = 8 + _BAND_GAIN[name]
+                m = _dequantize(m, _qdelta(eps, mu, rb_bits))
+            band_idx += 1
+            return m
+
+        ll_mat = next_mat("LL")
+        detail_dicts = []
+        for bandlist in res_bands[1:]:
+            dd = {}
+            for name, bh, bw in bandlist:
+                m = next_mat(name)
+                dd[name] = m if (bh and bw) else []
+            detail_dicts.append(dd)
+        # seq was inner-to-outer; the inverse expects outer-to-inner + LL last
+        rebuilt = [
+            {"lvl": k, "HL": dd["HL"], "LH": dd["LH"], "HH": dd["HH"]}
+            for k, dd in enumerate(reversed(detail_dicts))
+        ] + [{"LL": ll_mat}]
+        inv = dwt97_inverse if irreversible else dwt53_inverse
+        out_planes.append(inv(rebuilt))
+
+    if use_mct:
+        if ncomp != 3:
+            raise Jp2Error("MCT signalled on a non-3-component stream")
+        out_planes = (
+            _ict_inverse(out_planes) if irreversible else _rct_inverse(out_planes)
+        )
+    comps_rows: list[list[bytes]] = []
+    for plane in out_planes:
+        rows = [
+            bytes(min(255, max(0, int(round(px)) + 128)) for px in r)
+            for r in plane
+        ]
+        if len(rows) != h or (rows and len(rows[0]) != w):
+            raise Jp2Error("decoded dims disagree with SIZ")
+        comps_rows.append(rows)
+    return w, h, comps_rows
+
+
+def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """JPEG 2000 codestream (or JP2 wrapper) -> (w, h, gray rows). Color
+    streams are luma-combined (BT.601 weights) — the shape every raster
+    consumer here (OCR, metadata) wants."""
+    w, h, comps = jp2_decode(payload)
+    if len(comps) == 1:
+        return w, h, comps[0]
+    r_p, g_p, b_p = comps
     rows = [
-        bytes(min(255, max(0, px + 128)) for px in r) for r in shifted
+        bytes(
+            min(255, max(0, int(round(0.299 * r + 0.587 * g + 0.114 * b))))
+            for r, g, b in zip(rr, gr, br)
+        )
+        for rr, gr, br in zip(r_p, g_p, b_p)
     ]
-    if len(rows) != h or (rows and len(rows[0]) != w):
-        raise Jp2Error("decoded dims disagree with SIZ")
     return w, h, rows

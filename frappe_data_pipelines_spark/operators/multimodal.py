@@ -86,10 +86,10 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
         w, h = tiff_meta(payload)
         return w, h, 1, f"image/tiff {w}x{h}"
     if payload[:8] == b"\x00\x00\x00\x0cjP  " or payload[:4] == b"\xff\x4f\xff\x51":
-        from frappe_data_pipelines_spark.operators.jp2mini import jp2_decode_gray
+        from frappe_data_pipelines_spark.operators.jp2mini import jp2_decode
 
-        w, h, _rows = jp2_decode_gray(payload)
-        return w, h, 1, f"image/jp2 {w}x{h}"
+        w, h, comps = jp2_decode(payload)
+        return w, h, len(comps), f"image/jp2 {w}x{h}"
     raise ValueError("no stdlib decoder for this payload")
 
 

@@ -595,6 +595,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jpx.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jpx97.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample.pdf', 'pdf', false,
        'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
         || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
@@ -611,8 +614,9 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, baseline AND progressive /DCTDecode via operators/jpegmini,
     CCITT Group-4 /CCITTFaxDecode via operators/faxmini, /JBIG2Decode
     via operators/jbig2mini in BOTH generic-region and symbol-dictionary +
-    text-region form, and lossless JPEG 2000 /JPXDecode via
-    operators/jp2mini — the profiles real scanners embed), and the real
+    text-region form, and JPEG 2000 /JPXDecode via operators/jp2mini in
+    both its lossless-gray 5/3 and lossy-color 9/7+ICT+quantization
+    profiles — the profiles real scanners embed), and the real
     bitmap OCR kernel reads it (method ``pdf-ocr``). The text-bearing
     sample.pdf rides along to prove routing picks text extraction when text
     exists. Reference: render+OCR loop ocr_service.py:228-289, scanned
@@ -631,7 +635,7 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_g4.pdf", "sample_scanned_pjpeg.pdf",
         "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf",
         "sample_scanned_jbig2ref.pdf", "sample_scanned_jpx.pdf",
-        "sample.pdf",
+        "sample_scanned_jpx97.pdf", "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))

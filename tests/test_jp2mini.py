@@ -190,3 +190,199 @@ def test_jpx_fixture_pdf_ocrs_to_golden():
     res = ocr_bitmap(png_encode(rows))
     assert res["text"] == SCANNED_TEXT
     assert res["confidence"] == 1.0
+
+
+class TestIrreversibleAndColor:
+    """9/7 + quantization + multi-component profiles (round 6): exact
+    round-trips where the math is exact (RCT+5/3), error-bounded ones where
+    it is quantized (9/7), and honest refusals for out-of-profile QCD."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+    def test_97_1d_roundtrip_close(self, x):
+        from frappe_data_pipelines_spark.operators.jp2mini import _fwd97, _inv97
+
+        lo, hi = _fwd97(x)
+        back = _inv97(lo, hi)
+        assert len(lo) + len(hi) == len(x)
+        assert all(abs(a - b) < 1e-6 for a, b in zip(back, x))
+
+    def test_97_kills_dc_in_highpass(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import _fwd97
+
+        lo, hi = _fwd97([77.0] * 16)
+        # DC gain 1 on the low band, ~0 on the high band (CDF 9/7 with the
+        # 1/K low-pass normalization)
+        assert all(abs(v - 77.0) < 1e-9 for v in lo)
+        assert all(abs(v) < 1e-9 for v in hi)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(2, 24),
+        st.integers(2, 24),
+        st.integers(1, 3),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_gray_lossy_error_bounded(self, h, w, levels, seed):
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        cs = jp2_encode([rows], levels=levels, irreversible=True, step=0.5)
+        dw, dh, comps = jp2_decode(cs)
+        assert (dw, dh, len(comps)) == (w, h, 1)
+        err = max(
+            abs(a - b) for ra, rb in zip(comps[0], rows) for a, b in zip(ra, rb)
+        )
+        # midpoint reconstruction of a step-0.5 quantizer, through two float
+        # transforms: worst case a few gray levels even on pure noise
+        assert err <= 4
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(2, 20), st.integers(2, 20), st.integers(0, 2**32 - 1))
+    def test_rgb_lossless_rct_exact(self, h, w, seed):
+        rng = random.Random(seed)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+            for _ in range(3)
+        ]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        cs = jp2_encode(comps, levels=2, irreversible=False)
+        dw, dh, out = jp2_decode(cs)
+        assert (dw, dh) == (w, h)
+        assert [[bytes(r) for r in c] for c in out] == comps
+
+    def test_rgb_lossy_ict_error_bounded(self):
+        rng = random.Random(99)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(31)) for _ in range(17)]
+            for _ in range(3)
+        ]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        cs = jp2_encode(comps, levels=2, irreversible=True, step=0.5)
+        _w, _h, out = jp2_decode(cs)
+        err = max(
+            abs(a - b)
+            for c, oc in zip(comps, out)
+            for ra, rb in zip(c, oc)
+            for a, b in zip(ra, rb)
+        )
+        assert err <= 6
+
+    def test_quantization_actually_compresses(self):
+        # a gradient with low-amplitude sensor noise: lossless must spend
+        # ~2 bits/px on the noise planes, a coarse quantizer deletes them —
+        # the lossy stream must be much smaller
+        rng = random.Random(3)
+        rows = [
+            bytes(min(255, (x + y) // 2 + rng.randrange(4)) for x in range(64))
+            for y in range(64)
+        ]
+        from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+        lossless = jp2_encode([rows], levels=3, irreversible=False)
+        lossy = jp2_encode([rows], levels=3, irreversible=True, step=8.0)
+        assert len(lossy) < len(lossless) / 2
+
+    def test_coarser_step_is_smaller_and_noisier(self):
+        rng = random.Random(5)
+        rows = [bytes(rng.randrange(256) for _ in range(32)) for _ in range(32)]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        sizes, errs = [], []
+        for step in (0.5, 2.0, 8.0):
+            cs = jp2_encode([rows], levels=2, irreversible=True, step=step)
+            _w, _h, (g,) = jp2_decode(cs)
+            sizes.append(len(cs))
+            errs.append(
+                max(abs(a - b) for ra, rb in zip(g, rows) for a, b in zip(ra, rb))
+            )
+        assert sizes[0] > sizes[1] > sizes[2]
+        assert errs[0] < errs[1] < errs[2]
+
+    def test_refusals(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rows = [bytes([0, 255] * 4)] * 8
+        with pytest.raises(Jp2Error):
+            jp2_encode([rows, rows], levels=1)  # 2 components
+        with pytest.raises(Jp2Error):
+            jp2_encode([rows], levels=1, irreversible=True, step=-1.0)
+        # scalar-derived (style 1) QCD: flip the style bits in a lossy stream
+        cs = bytearray(jp2_encode([rows], levels=1, irreversible=True))
+        qcd_at = bytes(cs).find(b"\xff\x5c")
+        cs[qcd_at + 4] = (cs[qcd_at + 4] & 0xE0) | 1
+        with pytest.raises(Jp2Error):
+            jp2_decode(bytes(cs))
+
+    def test_lossy_corruption_totality(self):
+        rng = random.Random(21)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(12)) for _ in range(12)]
+            for _ in range(3)
+        ]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        cs = jp2_encode(comps, levels=2, irreversible=True, step=1.0)
+        for _ in range(200):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode(bytes(b))
+            except (Jp2Error, ValueError, IndexError, struct.error):
+                pass
+
+
+def test_jpx97_fixture_pdf_ocrs_to_golden():
+    """Integration: the LOSSY COLOR /JPXDecode fixture (9/7 + quantization +
+    ICT, sepia-tinted page) decodes through pdf_page_images (luma merge) and
+    the bitmap OCR reads the exact golden text through the quantization
+    noise."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.imaging import ocr_bitmap, png_encode
+    from frappe_data_pipelines_spark.operators.pdfmini import pdf_page_images
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jpx97.pdf"), "rb") as f:
+        payload = f.read()
+    images = pdf_page_images(payload)
+    assert len(images) == 1
+    _w, _h, channels, rows = images[0]
+    assert channels == 1
+    res = ocr_bitmap(png_encode(rows))
+    assert res["text"] == SCANNED_TEXT
+    assert res["confidence"] == 1.0
+
+
+def test_multimodal_sniffs_color_jp2():
+    from frappe_data_pipelines_spark.operators import multimodal
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    comps = [[bytes([10, 20, 30, 40])] * 4 for _ in range(3)]
+    cs = jp2_encode(comps, levels=1, irreversible=True, step=1.0)
+    assert multimodal._real_decode(cs) == (4, 4, 3, "image/jp2 4x4")

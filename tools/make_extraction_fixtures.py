@@ -203,7 +203,8 @@ SCANNED_TEXT = "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
 
 
 def _scanned_pdf_from_image(
-    w: int, h: int, samples: bytes, filt: bytes, bpc: int = 8, extra: bytes = b""
+    w: int, h: int, samples: bytes, filt: bytes, bpc: int = 8, extra: bytes = b"",
+    colorspace: bytes = b"DeviceGray",
 ) -> bytes:
     content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
     objs = [
@@ -212,9 +213,9 @@ def _scanned_pdf_from_image(
         b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
         b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>\nendobj\n",
         b"4 0 obj\n<</Type/XObject/Subtype/Image/Width %d/Height %d"
-        b"/ColorSpace/DeviceGray/BitsPerComponent %d/Filter/%s%s"
+        b"/ColorSpace/%s/BitsPerComponent %d/Filter/%s%s"
         b"/Length %d>>\nstream\n%s\nendstream\nendobj\n"
-        % (w, h, bpc, filt, extra, len(samples), samples),
+        % (w, h, colorspace, bpc, filt, extra, len(samples), samples),
         b"5 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
         % (len(content), content),
     ]
@@ -306,6 +307,30 @@ def make_scanned_jpx_pdf() -> bytes:
     return _scanned_pdf_from_image(w, h, jp2_encode_gray(rows, levels=2), b"JPXDecode")
 
 
+def make_scanned_jpx97_pdf() -> bytes:
+    """Same page once more, as a LOSSY COLOR JPEG 2000: the gray raster
+    sepia-tinted to RGB (a scanner's color cast), 9/7 irreversible wavelet +
+    scalar-expounded quantization + ICT — the profile real color scanners
+    emit behind /JPXDecode. Exercises the irreversible decode path
+    (dequantize -> inverse 9/7 -> inverse ICT -> luma) through
+    pdf_page_images -> OCR; the golden text must survive the quantization
+    noise."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    w, h, rows = _scanned_raster()
+    r_p = [bytes(v for v in row) for row in rows]
+    g_p = [bytes(v * 9 // 10 for v in row) for row in rows]
+    b_p = [bytes(v * 3 // 4 for v in row) for row in rows]
+    return _scanned_pdf_from_image(
+        w, h,
+        jp2_encode([r_p, g_p, b_p], levels=2, irreversible=True, step=0.5),
+        b"JPXDecode", colorspace=b"DeviceRGB",
+    )
+
+
 def make_scanned_jpeg_pdf() -> bytes:
     """Same page, but the raster is a baseline JPEG behind /DCTDecode — the
     encoding real scanners actually embed. Exercises the stdlib JPEG
@@ -368,6 +393,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_g4.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jpx.pdf", make_scanned_jpx_pdf())
     _write_if_missing("sample_scanned_jpx.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpx97.pdf", make_scanned_jpx97_pdf())
+    _write_if_missing("sample_scanned_jpx97.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
