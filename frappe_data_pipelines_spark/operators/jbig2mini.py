@@ -504,6 +504,260 @@ def _ref_ctx_bank() -> list:
     return [[0, 0] for _ in range(1 << _REF_CTX_BITS)]
 
 
+# -- Huffman coding layer (T.88 Annex B + 7.4.3/7.4.4 huffman profiles) ------
+#
+# JBIG2's second coding family: bit-packed Huffman streams instead of the MQ
+# coder. Tables are (PREFLEN, RANGELEN, RANGELOW) lines with canonical prefix
+# codes assigned per B.3 (increasing length, table order inside a length);
+# "lower"/"upper" lines carry 32-bit offsets off the table ends, and OOB
+# terminates sequences exactly like the arithmetic coder's OOB.
+#
+# Scope: standard tables B.1-B.5 (the symbol-dictionary set — their line
+# lists are Kraft-complete, which cross-checks the transcription) plus fully
+# general CUSTOM table segments (type 53, spec B.2 — self-describing, so no
+# transcription risk). The text-region table slots (FS/DS/DT) are served by
+# custom tables; streams selecting standard tables B.6-B.15 raise (honest
+# refusal: their line lists are spec data we cannot validate in-container).
+
+
+class _HuffBitReader:
+    """MSB-first bit reader with byte realignment (collective bitmaps and
+    MMR payloads sit byte-aligned inside the same segment body)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.nbits = 0
+        self.cur = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise Jbig2Error("huffman stream overrun")
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+class _HuffBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append(self.cur << (8 - self.nbits))
+            self.cur = 0
+            self.nbits = 0
+
+    def write_bytes(self, b: bytes) -> None:
+        if self.nbits:
+            raise Jbig2Error("raw bytes need byte alignment")
+        self.out += b
+
+    def finish(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class HuffTable:
+    """One JBIG2 Huffman table. ``lines`` are (preflen, rangelen, rangelow,
+    kind) with kind 'n' (normal: rangelow + RANGELEN-bit offset), 'l'
+    (lower: rangelow - 32-bit offset), 'u' (upper: rangelow + 32-bit
+    offset), 'o' (OOB -> None). Codes assigned canonically (B.3)."""
+
+    def __init__(self, lines: list[tuple[int, int, int, str]]):
+        self.lines = [ln for ln in lines if ln[0] > 0]
+        if not self.lines:
+            raise Jbig2Error("huffman table with no coded lines")
+        maxlen = max(ln[0] for ln in self.lines)
+        if maxlen > 32:
+            raise Jbig2Error("huffman prefix length beyond 32")
+        count = [0] * (maxlen + 1)
+        for ln in self.lines:
+            count[ln[0]] += 1
+        self.by_code: dict[tuple[int, int], tuple[int, int, int, str]] = {}
+        self.code_of: dict[int, tuple[int, int]] = {}  # line idx -> (len, code)
+        firstcode = 0
+        for ln_len in range(1, maxlen + 1):
+            firstcode = (firstcode + count[ln_len - 1]) << 1
+            c = firstcode
+            for i, ln in enumerate(self.lines):
+                if ln[0] == ln_len:
+                    if c >= (1 << ln_len):
+                        raise Jbig2Error("over-subscribed huffman table")
+                    self.by_code[(ln_len, c)] = ln
+                    self.code_of[i] = (ln_len, c)
+                    c += 1
+        self.maxlen = maxlen
+
+    def decode(self, br: _HuffBitReader) -> int | None:
+        code = 0
+        for ln_len in range(1, self.maxlen + 1):
+            code = (code << 1) | br.bit()
+            ln = self.by_code.get((ln_len, code))
+            if ln is not None:
+                preflen, rangelen, rangelow, kind = ln
+                if kind == "o":
+                    return None
+                if kind == "l":
+                    return rangelow - br.bits(32)
+                if kind == "u":
+                    return rangelow + br.bits(32)
+                return rangelow + br.bits(rangelen)
+        raise Jbig2Error("invalid huffman code")
+
+    def _line_for(self, value: int | None) -> int:
+        if value is None:
+            for i, ln in enumerate(self.lines):
+                if ln[3] == "o":
+                    return i
+            raise Jbig2Error("table has no OOB line")
+        for i, ln in enumerate(self.lines):
+            if ln[3] == "n" and ln[2] <= value < ln[2] + (1 << ln[1]):
+                return i
+        for i, ln in enumerate(self.lines):
+            if (ln[3] == "l" and value <= ln[2]) or (ln[3] == "u" and value >= ln[2]):
+                return i
+        raise Jbig2Error(f"value {value} not codable by this table")
+
+    def encode(self, bw: _HuffBitWriter, value: int | None) -> None:
+        i = self._line_for(value)
+        preflen, rangelen, rangelow, kind = self.lines[i]
+        ln_len, code = self.code_of[i]
+        bw.write(ln_len, code)
+        if kind == "o":
+            return
+        if kind == "l":
+            bw.write(32, rangelow - value)
+        elif kind == "u":
+            bw.write(32, value - rangelow)
+        else:
+            bw.write(rangelen, value - rangelow)
+
+
+# standard tables B.1-B.5 (T.88 Annex B) — the symbol-dictionary family.
+# Each transcription is Kraft-complete (sum 2^-len == 1), asserted below.
+_STD_TABLE_LINES = {
+    1: [(1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
+        (3, 32, 65808, "u")],
+    2: [(1, 0, 0, "n"), (2, 0, 1, "n"), (3, 0, 2, "n"), (4, 3, 3, "n"),
+        (5, 6, 11, "n"), (6, 32, 75, "u"), (6, 0, 0, "o")],
+    3: [(8, 8, -256, "n"), (1, 0, 0, "n"), (2, 0, 1, "n"), (3, 0, 2, "n"),
+        (4, 3, 3, "n"), (5, 6, 11, "n"), (8, 32, -257, "l"),
+        (7, 32, 75, "u"), (6, 0, 0, "o")],
+    4: [(1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"), (4, 3, 4, "n"),
+        (5, 6, 12, "n"), (5, 32, 76, "u")],
+    5: [(7, 8, -255, "n"), (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"),
+        (4, 3, 4, "n"), (5, 6, 12, "n"), (7, 32, -256, "l"),
+        (6, 32, 76, "u")],
+}
+for _n, _lines in _STD_TABLE_LINES.items():
+    assert sum(2.0 ** -ln[0] for ln in _lines) == 1.0, f"table B.{_n} not complete"
+
+
+def standard_table(n: int) -> HuffTable:
+    if n not in _STD_TABLE_LINES:
+        raise Jbig2Error(
+            f"standard huffman table B.{n} unsupported (only B.1-B.5 are "
+            "transcribed; use custom table segments)"
+        )
+    return HuffTable(_STD_TABLE_LINES[n])
+
+
+_MAX_TABLE_LINES = 4096
+
+
+def parse_table_segment(body: bytes) -> HuffTable:
+    """Custom Huffman table segment (type 53, spec B.2): fully
+    self-describing — flags carry the prefix/range field widths, then
+    bit-packed (PREFLEN, RANGELEN) pairs tile [HTLOW, HTHIGH), followed by
+    lower/upper/optional-OOB prefix lengths."""
+    if len(body) < 9:
+        raise Jbig2Error("truncated table segment")
+    fl = body[0]
+    htoob = fl & 1
+    htps = ((fl >> 1) & 7) + 1
+    htrs = ((fl >> 4) & 7) + 1
+    htlow = int.from_bytes(body[1:5], "big", signed=True)
+    hthigh = int.from_bytes(body[5:9], "big", signed=True)
+    if hthigh <= htlow:
+        raise Jbig2Error("table segment with empty range")
+    br = _HuffBitReader(body, 9)
+    lines: list[tuple[int, int, int, str]] = []
+    cur = htlow
+    while cur < hthigh:
+        if len(lines) > _MAX_TABLE_LINES:
+            raise Jbig2Error("table segment exceeds line budget")
+        pl = br.bits(htps)
+        rl = br.bits(htrs)
+        if rl > 32:
+            raise Jbig2Error("table range length beyond 32")
+        lines.append((pl, rl, cur, "n"))
+        cur += 1 << rl
+    lines.append((br.bits(htps), 32, htlow - 1, "l"))
+    lines.append((br.bits(htps), 32, hthigh, "u"))
+    if htoob:
+        lines.append((br.bits(htps), 0, 0, "o"))
+    return HuffTable(lines)
+
+
+def build_table_segment(low: int, high: int, oob: bool = False) -> bytes:
+    """Fixture-encoder custom table: ONE normal line spanning [low, low+2^r)
+    with r sized to cover ``high``, plus lower/upper (and OOB) lines with
+    Kraft-complete prefix lengths. Round-trips through parse_table_segment."""
+    span = max(high - low, 1)
+    r = max((span - 1).bit_length(), 0)
+    if r > 32:
+        raise Jbig2Error("custom table range too wide")
+    hthigh = low + (1 << r)
+    bw = _HuffBitWriter()
+    htps, htrs = 4, 6
+    if oob:
+        # lengths: normal 1, OOB 2, lower 3, upper 3 -> complete
+        plans = [(1, r)]
+        tail = (3, 3, 2)
+    else:
+        # lengths: normal 1, lower 2, upper 2 -> complete
+        plans = [(1, r)]
+        tail = (2, 2, None)
+    for pl, rl in plans:
+        bw.write(htps, pl)
+        bw.write(htrs, rl)
+    bw.write(htps, tail[0])  # lower
+    bw.write(htps, tail[1])  # upper
+    if oob:
+        bw.write(htps, tail[2])
+    fl = (1 if oob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    return (
+        bytes([fl])
+        + low.to_bytes(4, "big", signed=True)
+        + hthigh.to_bytes(4, "big", signed=True)
+        + bw.finish()
+    )
+
+
 # -- symbol dictionary (T.88 6.5, segment type 0) ----------------------------
 
 _MAX_SYMBOLS = 1 << 16
@@ -528,19 +782,159 @@ def _read_at(body: bytes, pos: int, template: int) -> int:
     return pos + 2 * n_at
 
 
-def decode_symbol_dict(body: bytes, input_syms: list) -> list:
+def _decode_symbol_dict_huffman(
+    body: bytes, flags: int, input_syms: list, tables: list
+) -> list:
+    """SDHUFF=1 profile (6.5.9): the height-class walk of the arithmetic
+    path, but DH/DW/BMSIZE through Annex B Huffman tables and each height
+    class's symbols carried as ONE collective bitmap — uncompressed rows
+    (BMSIZE=0) or an MMR (T.6) stream — split by the decoded widths.
+    Refinement-aggregate huffman dictionaries are refused."""
+    if flags & 0x0002:
+        raise Jbig2Error("huffman REFAGG symbol dictionary unsupported")
+    sel_dh = (flags >> 2) & 3
+    sel_dw = (flags >> 4) & 3
+    sel_bm = (flags >> 6) & 1
+    it = iter(tables)
+
+    def pick(sel: int, std_a: int, std_b: int | None, what: str) -> HuffTable:
+        if sel == 3 or (std_b is None and sel == 1):
+            try:
+                return next(it)
+            except StopIteration:
+                raise Jbig2Error(f"missing custom table for {what}") from None
+        if sel == 0:
+            return standard_table(std_a)
+        if sel == 1 and std_b is not None:
+            return standard_table(std_b)
+        raise Jbig2Error(f"reserved table selector for {what}")
+
+    t_dh = pick(sel_dh, 4, 5, "SDHUFFDH")
+    t_dw = pick(sel_dw, 2, 3, "SDHUFFDW")
+    t_bm = pick(sel_bm, 1, None, "SDHUFFBMSIZE")
+    t_ex = standard_table(1)  # 6.5.10: EXRUNLENGTH uses Table B.1 when SDHUFF
+    if len(body) < 10:
+        raise Jbig2Error("truncated symbol dictionary header")
+    num_ex = int.from_bytes(body[2:6], "big")
+    num_new = int.from_bytes(body[6:10], "big")
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
+        raise Jbig2Error("symbol dictionary exceeds symbol budget")
+
+    br = _HuffBitReader(body, 10)
+    new_syms: list = []
+    hc_height = 0
+    guard = 0
+    while len(new_syms) < num_new:
+        guard += 1
+        if guard > 2 * num_new + 16:
+            raise Jbig2Error("symbol dictionary fails to make progress")
+        dh = t_dh.decode(br)
+        if dh is None:
+            raise Jbig2Error("OOB delta-height in symbol dictionary")
+        hc_height += dh
+        if not 0 < hc_height <= _MAX_SYM_DIM:
+            raise Jbig2Error(f"symbol height {hc_height} out of range")
+        widths: list[int] = []
+        sym_width = 0
+        tot_width = 0
+        while True:
+            dw = t_dw.decode(br)
+            if dw is None:
+                break  # end of height class
+            sym_width += dw
+            if not 0 < sym_width <= _MAX_SYM_DIM:
+                raise Jbig2Error(f"symbol width {sym_width} out of range")
+            if len(new_syms) + len(widths) >= num_new:
+                raise Jbig2Error("more symbols than SDNUMNEWSYMS declares")
+            if sym_width * hc_height > _MAX_PIXELS:
+                raise Jbig2Error("symbol exceeds pixel budget")
+            widths.append(sym_width)
+            tot_width += sym_width
+        if not widths:
+            continue
+        if tot_width * hc_height > _MAX_PIXELS:
+            raise Jbig2Error("collective bitmap exceeds pixel budget")
+        bmsize = t_bm.decode(br)
+        if bmsize is None or bmsize < 0:
+            raise Jbig2Error("bad collective bitmap size")
+        br.align()
+        if bmsize == 0:
+            # uncompressed: rows padded to byte boundaries (6.5.9 b)
+            stride = (tot_width + 7) // 8
+            need = stride * hc_height
+            if br.pos + need > len(body):
+                raise Jbig2Error("truncated collective bitmap")
+            coll = []
+            for y in range(hc_height):
+                off = br.pos + y * stride
+                coll.append(bytearray(
+                    (body[off + (x >> 3)] >> (7 - (x & 7))) & 1
+                    for x in range(tot_width)
+                ))
+            br.pos += need
+        else:
+            from frappe_data_pipelines_spark.operators.faxmini import (
+                FaxError,
+                g4_decode,
+            )
+
+            if br.pos + bmsize > len(body):
+                raise Jbig2Error("truncated MMR collective bitmap")
+            try:
+                coll = g4_decode(
+                    body[br.pos : br.pos + bmsize], tot_width, hc_height
+                )
+            except (FaxError, ValueError, IndexError) as e:
+                raise Jbig2Error(f"MMR collective bitmap: {e}") from e
+            if len(coll) < hc_height:
+                coll += [bytearray(tot_width)] * (hc_height - len(coll))
+            br.pos += bmsize
+        x0 = 0
+        for wdt in widths:
+            new_syms.append([bytes(row[x0 : x0 + wdt]) for row in coll])
+            x0 += wdt
+
+    all_syms = list(input_syms) + new_syms
+    exported: list = []
+    i, exflag, ex_guard = 0, 0, 0
+    while i < len(all_syms):
+        ex_guard += 1
+        if ex_guard > 2 * len(all_syms) + 8:
+            raise Jbig2Error("export runs fail to make progress")
+        run = t_ex.decode(br)
+        if run is None or run < 0 or i + run > len(all_syms):
+            raise Jbig2Error("bad export run in symbol dictionary")
+        if exflag:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != num_ex:
+        raise Jbig2Error(
+            f"symbol dictionary exported {len(exported)}, declared {num_ex}"
+        )
+    return exported
+
+
+def decode_symbol_dict(
+    body: bytes, input_syms: list, tables: list | None = None
+) -> list:
     """Symbol-dictionary segment body → exported symbol bitmaps (each a
     list of 0/1-byte rows). Supported profiles: SDHUFF=0 (arithmetic) with
     SDREFAGG=0 (direct coding — what jbig2enc emits for lossless symbol
     mode) or SDREFAGG=1 single-instance refinement (each symbol refined
-    from an earlier one via GRTEMPLATE 1). Height classes via IADH/IADW
-    (6.5.5), per-symbol bitmaps through the SHARED MQ decoder + GB/GR
-    contexts (6.5.8), exports via IAEX run lengths (6.5.10)."""
+    from an earlier one via GRTEMPLATE 1); and SDHUFF=1 (huffman, 6.5.9:
+    per-height-class DH/DW deltas through Annex B tables, collective
+    bitmaps either uncompressed or MMR via the T.6 kernel, exports via
+    Table B.1 run lengths). ``tables`` are custom HuffTables from referred
+    type-53 segments, consumed in selector order (DH, DW, BMSIZE).
+    Arithmetic path: height classes via IADH/IADW (6.5.5), per-symbol
+    bitmaps through the SHARED MQ decoder + GB/GR contexts (6.5.8),
+    exports via IAEX run lengths (6.5.10)."""
     if len(body) < 2:
         raise Jbig2Error("truncated symbol dictionary")
     flags = int.from_bytes(body[0:2], "big")
     if flags & 0x0001:
-        raise Jbig2Error("huffman-coded symbol dictionary unsupported")
+        return _decode_symbol_dict_huffman(body, flags, input_syms, tables or [])
     refagg = bool(flags & 0x0002)
     template = (flags >> 10) & 0x03
     r_template = (flags >> 12) & 0x01
@@ -650,11 +1044,14 @@ def decode_symbol_dict(body: bytes, input_syms: list) -> list:
 # -- text region (T.88 6.4, segment types 4/6/7) -----------------------------
 
 
-def decode_text_region(body: bytes, syms: list):
+def decode_text_region(body: bytes, syms: list, tables: list | None = None):
     """Text-region segment body + referred symbols → (rw, rh, rx, ry,
-    comb_op, rows). Supported profile: SBHUFF=0; refined instances (RI=1)
-    via GRTEMPLATE-1 refinement; TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
-    of two (IAIT decoded when SBSTRIPS > 1); SBDSOFFSET honored."""
+    comb_op, rows). Supported profiles: SBHUFF=0 (arithmetic; refined
+    instances (RI=1) via GRTEMPLATE-1 refinement) and SBHUFF=1 (huffman:
+    FS/DS/DT through Annex B tables — custom type-53 segments or standard
+    B.1-B.5 — with the run-coded symbol ID code lengths of 7.4.4.1.7;
+    refinement in huffman mode is refused). TRANSPOSED both orientations;
+    REFCORNER all four; SBSTRIPS any power of two; SBDSOFFSET honored."""
     if len(body) < 19:
         raise Jbig2Error("truncated text region")
     rw = int.from_bytes(body[0:4], "big")
@@ -663,8 +1060,7 @@ def decode_text_region(body: bytes, syms: list):
     ry = int.from_bytes(body[12:16], "big")
     ext_comb = body[16] & 0x07
     flags = int.from_bytes(body[17:19], "big")
-    if flags & 0x0001:
-        raise Jbig2Error("huffman-coded text region unsupported")
+    sbhuff = flags & 0x0001
     refine = (flags >> 1) & 1
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3
@@ -676,6 +1072,11 @@ def decode_text_region(body: bytes, syms: list):
         ds_offset -= 32
     r_template = (flags >> 15) & 1
     pos = 19
+    if sbhuff:
+        if len(body) < pos + 2:
+            raise Jbig2Error("truncated text region huffman flags")
+        hflags = int.from_bytes(body[pos : pos + 2], "big")
+        pos += 2
     if refine and r_template == 0:
         pos += 4  # refinement AT pixels (validated only if an RI=1 arrives)
     if len(body) < pos + 4:
@@ -692,14 +1093,133 @@ def decode_text_region(body: bytes, syms: list):
         raise Jbig2Error("text region exceeds budget")
     code_len = max(len(syms) - 1, 0).bit_length()
 
-    mq = MQDecoder(body[pos:])
-    iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
-    iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
-    iaid = _iaid_ctx(code_len)
-    gr_cxs = _ref_ctx_bank()  # refinement contexts persist across instances
+    if sbhuff:
+        if refine:
+            raise Jbig2Error("huffman text region with refinement unsupported")
+        it = iter(tables or [])
+
+        def pick(sel: int, stds: tuple[int, ...], what: str) -> HuffTable:
+            if sel == 3:
+                try:
+                    return next(it)
+                except StopIteration:
+                    raise Jbig2Error(f"missing custom table for {what}") from None
+            if sel < len(stds):
+                return standard_table(stds[sel])
+            raise Jbig2Error(f"reserved table selector for {what}")
+
+        t_fs = pick(hflags & 3, (6, 7), "SBHUFFFS")
+        t_ds = pick((hflags >> 2) & 3, (8, 9, 10), "SBHUFFDS")
+        t_dt = pick((hflags >> 4) & 3, (11, 12, 13), "SBHUFFDT")
+        br = _HuffBitReader(body, pos)
+        # 7.4.4.1.7: symbol ID code lengths — 35 run-codes (4-bit prefix
+        # lengths), then the per-symbol lengths via the run-code table:
+        # <32 literal, 32 repeat-prev 3+2bits, 33 zeros 3+3bits, 34 zeros
+        # 11+7bits; byte-align afterwards
+        runlines = [
+            (ln, 0, r, "n")
+            for r, ln in enumerate(br.bits(4) for _ in range(35))
+            if ln > 0
+        ]
+        runtab = HuffTable(runlines)
+        codelens: list[int] = []
+        prev = 0
+        while len(codelens) < len(syms):
+            c = runtab.decode(br)
+            if c is None or not 0 <= c <= 34:
+                raise Jbig2Error("bad symbol ID run-code")
+            if c < 32:
+                codelens.append(c)
+                prev = c
+            elif c == 32:
+                codelens.extend([prev] * (3 + br.bits(2)))
+            elif c == 33:
+                codelens.extend([0] * (3 + br.bits(3)))
+            else:
+                codelens.extend([0] * (11 + br.bits(7)))
+        if len(codelens) != len(syms):
+            raise Jbig2Error("symbol ID code lengths overrun the symbol count")
+        symtab = HuffTable(
+            [(ln, 0, i, "n") for i, ln in enumerate(codelens) if ln > 0]
+        )
+        br.align()
+        curt_bits = (strips - 1).bit_length()
+
+        def get_dt():
+            return t_dt.decode(br)
+
+        def get_fs():
+            return t_fs.decode(br)
+
+        def get_ds():
+            return t_ds.decode(br)
+
+        def get_curt():
+            return br.bits(curt_bits) if strips > 1 else 0
+
+        def get_sid():
+            return symtab.decode(br)
+
+        def get_ri():
+            return 0  # refine refused above
+
+        decode_refinement = None
+    else:
+        mq = MQDecoder(body[pos:])
+        iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
+        iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
+        iaid = _iaid_ctx(code_len)
+        gr_cxs = _ref_ctx_bank()  # refinement contexts persist across instances
+
+        def get_dt():
+            return arith_int_decode(mq, iadt)
+
+        def get_fs():
+            return arith_int_decode(mq, iafs)
+
+        def get_ds():
+            return arith_int_decode(mq, iads)
+
+        def get_curt():
+            v = arith_int_decode(mq, iait) if strips > 1 else 0
+            return v
+
+        def get_sid():
+            return arith_iaid_decode(mq, iaid, code_len)
+
+        def get_ri():
+            return arith_int_decode(mq, iari)
+
+        def decode_refinement(sym):
+            # 6.4.11: the instance bitmap is a refinement of the symbol —
+            # size adjusted by RDW/RDH, reference placed at
+            # (floor(RDW/2)+RDX, floor(RDH/2)+RDY)
+            if r_template != 1:
+                raise Jbig2Error(
+                    "refined text instance with GRTEMPLATE 0 unsupported"
+                )
+            rdw = arith_int_decode(mq, iardw)
+            rdh = arith_int_decode(mq, iardh)
+            rdx = arith_int_decode(mq, iardx)
+            rdy = arith_int_decode(mq, iardy)
+            if None in (rdw, rdh, rdx, rdy):
+                raise Jbig2Error("OOB refinement delta")
+            nw = len(sym[0]) + rdw if sym else rdw
+            nh = len(sym) + rdh
+            # same per-dimension cap as dictionary symbols — the area check
+            # alone admits 67M x 1 shapes that pin a core on pure-Python
+            # refinement of free MQ bits
+            if (nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM
+                    or nh > _MAX_SYM_DIM):
+                raise Jbig2Error("refined instance exceeds budget")
+            return refinement_region_decode(
+                mq, gr_cxs, nw, nh, sym,
+                dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+            )
+
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
 
-    dt = arith_int_decode(mq, iadt)
+    dt = get_dt()
     if dt is None:
         raise Jbig2Error("OOB initial STRIPT")
     stript = -dt * strips
@@ -710,11 +1230,11 @@ def decode_text_region(body: bytes, syms: list):
         guard += 1
         if guard > 2 * num_instances + 16:
             raise Jbig2Error("text region fails to make progress")
-        dt = arith_int_decode(mq, iadt)
+        dt = get_dt()
         if dt is None:
             raise Jbig2Error("OOB strip delta-T")
         stript += dt * strips
-        dfs = arith_int_decode(mq, iafs)
+        dfs = get_fs()
         if dfs is None:
             raise Jbig2Error("OOB first-S")
         firsts += dfs
@@ -724,48 +1244,24 @@ def decode_text_region(body: bytes, syms: list):
             if first:
                 first = False
             else:
-                ids = arith_int_decode(mq, iads)
+                ids = get_ds()
                 if ids is None:
                     break  # end of strip
                 curs += ids + ds_offset
-            curt = arith_int_decode(mq, iait) if strips > 1 else 0
+            curt = get_curt()
             if curt is None:
                 raise Jbig2Error("OOB in-strip T")
             tt = stript + curt
-            sid = arith_iaid_decode(mq, iaid, code_len)
-            if not 0 <= sid < len(syms):
+            sid = get_sid()
+            if sid is None or not 0 <= sid < len(syms):
                 raise Jbig2Error(f"symbol id {sid} out of range")
             sym = syms[sid]
             if refine:
-                ri = arith_int_decode(mq, iari)
+                ri = get_ri()
                 if ri is None:
                     raise Jbig2Error("OOB refinement flag")  # totality: raise
                 if ri:
-                    # 6.4.11: the instance bitmap is a refinement of the
-                    # symbol — size adjusted by RDW/RDH, reference placed
-                    # at (floor(RDW/2)+RDX, floor(RDH/2)+RDY)
-                    if r_template != 1:
-                        raise Jbig2Error(
-                            "refined text instance with GRTEMPLATE 0 unsupported"
-                        )
-                    rdw = arith_int_decode(mq, iardw)
-                    rdh = arith_int_decode(mq, iardh)
-                    rdx = arith_int_decode(mq, iardx)
-                    rdy = arith_int_decode(mq, iardy)
-                    if None in (rdw, rdh, rdx, rdy):
-                        raise Jbig2Error("OOB refinement delta")
-                    nw = len(sym[0]) + rdw if sym else rdw
-                    nh = len(sym) + rdh
-                    # same per-dimension cap as dictionary symbols — the
-                    # area check alone admits 67M x 1 shapes that pin a
-                    # core on pure-Python refinement of free MQ bits
-                    if (nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM
-                            or nh > _MAX_SYM_DIM):
-                        raise Jbig2Error("refined instance exceeds budget")
-                    sym = refinement_region_decode(
-                        mq, gr_cxs, nw, nh, sym,
-                        dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
-                    )
+                    sym = decode_refinement(sym)
             hs = len(sym)
             ws = len(sym[0]) if hs else 0
             if transposed:
@@ -1053,19 +1549,24 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
     """PDF-embedded JBIG2 → (width, height, rows of 0/1 bytes, 1 = black).
 
     Supported: page-info + generic regions (arithmetic templates 0-3 with
-    nominal AT and TPGDON, or MMR through the T.6 kernel), arithmetic
-    symbol dictionaries (SDHUFF=0; direct or single-instance-REFAGG
-    refinement coding) and immediate text regions (SBHUFF=0, both
-    TRANSPOSED orientations, refined instances via GRTEMPLATE 1) — the
-    profiles real symbol-mode encoders emit — all composed onto the page
-    bitmap, as are pattern dictionaries + immediate halftone regions.
-    Huffman, GRTEMPLATE-0 refinement, and multi-instance aggregates raise —
-    the PDF raster path treats that like any other unsupported filter
-    (fallback, not a crash)."""
+    nominal AT and TPGDON, or MMR through the T.6 kernel), symbol
+    dictionaries in BOTH coding families (arithmetic SDHUFF=0, direct or
+    single-instance-REFAGG refinement; huffman SDHUFF=1 with
+    uncompressed or MMR collective bitmaps) and immediate text regions in
+    both families (arithmetic with refined instances via GRTEMPLATE 1;
+    huffman with run-coded symbol ID lengths and Annex B tables — custom
+    type-53 segments or standard B.1-B.5), both TRANSPOSED orientations —
+    the profiles real symbol-mode encoders emit — all composed onto the
+    page bitmap, as are pattern dictionaries + immediate halftone regions.
+    Untranscribed standard tables (B.6+), GRTEMPLATE-0 refinement,
+    huffman refinement, and multi-instance aggregates raise — the PDF
+    raster path treats that like any other unsupported filter (fallback,
+    not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
     sym_store: dict[int, list] = {}   # segment number → exported symbols
     pat_store: dict[int, list] = {}   # segment number → pattern bitmaps
+    tab_store: dict[int, HuffTable] = {}  # segment number → custom table
     for blob in (globals_data, data):
         pos = 0
         while pos < len(blob):
@@ -1133,20 +1634,32 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
                 _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
             elif t == 0:  # symbol dictionary
                 input_syms: list = []
+                tabs: list = []
                 for r in head["refs"]:
                     input_syms.extend(sym_store.get(r, []))
-                sym_store[head["number"]] = decode_symbol_dict(body, input_syms)
+                    if r in tab_store:
+                        tabs.append(tab_store[r])
+                sym_store[head["number"]] = decode_symbol_dict(
+                    body, input_syms, tabs
+                )
             elif t in (6, 7):  # immediate (lossless) text region
                 syms: list = []
+                tabs = []
                 for r in head["refs"]:
                     syms.extend(sym_store.get(r, []))
-                rw, rh, rx, ry, comb_op, rows = decode_text_region(body, syms)
+                    if r in tab_store:
+                        tabs.append(tab_store[r])
+                rw, rh, rx, ry, comb_op, rows = decode_text_region(
+                    body, syms, tabs
+                )
                 if page is None:
                     page_w, page_h = rx + rw, ry + rh
                     page = [bytearray(page_w) for _ in range(page_h)]
                 _compose_region(page, page_w, rows, rx, ry, rw, rh, comb_op)
             elif t == 16:  # pattern dictionary
                 pat_store[head["number"]] = decode_pattern_dict(body)
+            elif t == 53:  # custom huffman table
+                tab_store[head["number"]] = parse_table_segment(body)
             elif t in (22, 23):  # immediate (lossless) halftone region
                 pats: list = []
                 for r in head["refs"]:
@@ -1394,6 +1907,163 @@ def jbig2_encode_symbol_text_refagg(
         + _seg_with_refs(2, 0, 1, d2, refs=(1,))
         + _seg_with_refs(3, 6, 1, tr, refs=(2,))
         + _seg_with_refs(4, 49, 1, b"")
+    )
+
+
+def jbig2_encode_symbol_text_huffman(
+    glyphs: list[list[bytes]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    transposed: bool = False,
+    collective: str = "raw",
+) -> bytes:
+    """Huffman twin of ``jbig2_encode_symbol_text`` (SDHUFF=1 / SBHUFF=1):
+    page info + huffman symbol dictionary (standard tables B.4/B.2/B.1,
+    height-class collective bitmaps ``raw`` uncompressed or ``mmr`` T.6) +
+    three custom FS/DS/DT table segments (type 53) + immediate huffman
+    text region (run-coded symbol ID lengths per 7.4.4.1.7, TOPLEFT
+    corner, SBSTRIPS=1) + end-of-page. Symbols are ordered by (height,
+    width) so the B.4/B.2 tables' non-negative ranges always apply."""
+    if not glyphs or not placements:
+        raise Jbig2Error("symbol-mode encoder needs glyphs and placements")
+    if collective not in ("raw", "mmr"):
+        raise Jbig2Error("collective must be 'raw' or 'mmr'")
+
+    # --- symbol dictionary: order by (height, width) — huffman DW >= 0 ---
+    order = sorted(
+        range(len(glyphs)),
+        key=lambda g: (len(glyphs[g]), len(glyphs[g][0]) if glyphs[g] else 0, g),
+    )
+    new_id = {g: i for i, g in enumerate(order)}
+    t_dh, t_dw, t_bm, t_ex = (standard_table(n) for n in (4, 2, 1, 1))
+    bw = _HuffBitWriter()
+    hc = 0
+    i = 0
+    while i < len(order):
+        h = len(glyphs[order[i]])
+        t_dh.encode(bw, h - hc)
+        hc = h
+        sw = 0
+        cls: list = []
+        while i < len(order) and len(glyphs[order[i]]) == h:
+            gl = glyphs[order[i]]
+            w = len(gl[0]) if gl else 0
+            t_dw.encode(bw, w - sw)
+            sw = w
+            cls.append(gl)
+            i += 1
+        t_dw.encode(bw, None)  # OOB closes the height class
+        # collective bitmap for the class (6.5.9)
+        tot = sum(len(g[0]) if g else 0 for g in cls)
+        coll_rows = [
+            bytearray(b"").join(bytearray(g[y]) for g in cls) for y in range(h)
+        ]
+        if collective == "raw":
+            t_bm.encode(bw, 0)
+            bw.align()
+            stride = (tot + 7) // 8
+            packed = bytearray()
+            for row in coll_rows:
+                acc = bytearray(stride)
+                for x, px in enumerate(row):
+                    if px:
+                        acc[x >> 3] |= 0x80 >> (x & 7)
+                packed += acc
+            bw.write_bytes(bytes(packed))
+        else:
+            from frappe_data_pipelines_spark.operators.faxmini import g4_encode
+
+            mmr = g4_encode([bytes(r) for r in coll_rows], tot)
+            t_bm.encode(bw, len(mmr))
+            bw.align()
+            bw.write_bytes(mmr)
+    t_ex.encode(bw, 0)
+    t_ex.encode(bw, len(order))
+    sd_flags = 0x0001  # SDHUFF=1, all selectors standard (B.4/B.2/B.1)
+    sd_body = (
+        sd_flags.to_bytes(2, "big")
+        + len(order).to_bytes(4, "big")   # SDNUMEXSYMS
+        + len(order).to_bytes(4, "big")   # SDNUMNEWSYMS
+        + bw.finish()
+    )
+
+    # --- text region: dry-run the strip walk to size the custom tables ---
+    strips = _group_strips(placements, transposed)
+
+    def extent(g: int) -> int:
+        gl = glyphs[g]
+        return len(gl) if transposed else (len(gl[0]) if gl else 0)
+
+    events: list[tuple[str, int | None]] = [("dt", 0)]
+    stript = firsts = 0
+    for t_coord in sorted(strips):
+        events.append(("dt", t_coord - stript))
+        stript = t_coord
+        insts = sorted(strips[t_coord])
+        events.append(("fs", insts[0][0] - firsts))
+        firsts = insts[0][0]
+        curs = firsts
+        for j, (s_coord, g) in enumerate(insts):
+            if j > 0:
+                events.append(("ds", s_coord - curs))
+                curs = s_coord
+            events.append(("id", g))
+            curs += extent(g) - 1
+        events.append(("ds", None))
+
+    def rng(kind: str) -> tuple[int, int]:
+        vals = [v for k, v in events if k == kind and v is not None]
+        return (min(vals), max(vals) + 1) if vals else (0, 1)
+
+    fs_seg = build_table_segment(*rng("fs"))
+    ds_seg = build_table_segment(*rng("ds"), oob=True)
+    dt_seg = build_table_segment(*rng("dt"))
+    t_fs = parse_table_segment(fs_seg)
+    t_ds = parse_table_segment(ds_seg)
+    t_dt = parse_table_segment(dt_seg)
+
+    nsyms = len(order)
+    code_len = max(max(nsyms - 1, 0).bit_length(), 1)
+    bw = _HuffBitWriter()
+    # 7.4.4.1.7 symbol ID code lengths: one run-code (= code_len) used
+    for r in range(35):
+        bw.write(4, 1 if r == code_len else 0)
+    runtab = HuffTable([(1, 0, code_len, "n")])
+    for _ in range(nsyms):
+        runtab.encode(bw, code_len)  # every symbol: fixed-length code
+    bw.align()
+    symtab = HuffTable([(code_len, 0, k, "n") for k in range(nsyms)])
+    for kind, v in events:
+        if kind == "dt":
+            t_dt.encode(bw, v)
+        elif kind == "fs":
+            t_fs.encode(bw, v)
+        elif kind == "ds":
+            t_ds.encode(bw, v)
+        else:
+            symtab.encode(bw, new_id[v])
+    # SBHUFF=1, TOPLEFT corner, optional TRANSPOSED; huffman flags select
+    # custom tables for FS/DS/DT (consumed from the referred segments in
+    # that order)
+    tr_flags = 0x0001 | (1 << 4) | ((1 << 6) if transposed else 0)
+    hflags = 0b0011_1111  # FS=3, DS=3, DT=3 (custom); refinement unused
+    tr_body = (
+        _region_info(page_w, page_h)
+        + tr_flags.to_bytes(2, "big")
+        + hflags.to_bytes(2, "big")
+        + len(placements).to_bytes(4, "big")
+        + bw.finish()
+    )
+
+    return (
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
+        + _seg_with_refs(1, 0, 1, sd_body)
+        + _seg_with_refs(2, 53, 1, fs_seg)
+        + _seg_with_refs(3, 53, 1, ds_seg)
+        + _seg_with_refs(4, 53, 1, dt_seg)
+        + _seg_with_refs(5, 6, 1, tr_body, refs=(1, 2, 3, 4))
+        + _seg_with_refs(6, 49, 1, b"")
     )
 
 

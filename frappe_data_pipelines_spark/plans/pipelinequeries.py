@@ -592,6 +592,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jbig2ref.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jbig2huff.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample_scanned_jpx.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
@@ -613,8 +616,9 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     render→OCR hand-off — pdfmini extracts the page raster (Flate raw
     samples, baseline AND progressive /DCTDecode via operators/jpegmini,
     CCITT Group-4 /CCITTFaxDecode via operators/faxmini, /JBIG2Decode
-    via operators/jbig2mini in BOTH generic-region and symbol-dictionary +
-    text-region form, and JPEG 2000 /JPXDecode via operators/jp2mini in
+    via operators/jbig2mini in generic-region and symbol-dictionary +
+    text-region form across BOTH coding families (arithmetic and huffman),
+    and JPEG 2000 /JPXDecode via operators/jp2mini in
     both its lossless-gray 5/3 and lossy-color 9/7+ICT+quantization
     profiles — the profiles real scanners embed), and the real
     bitmap OCR kernel reads it (method ``pdf-ocr``). The text-bearing
@@ -634,7 +638,8 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned.pdf", "sample_scanned_jpeg.pdf",
         "sample_scanned_g4.pdf", "sample_scanned_pjpeg.pdf",
         "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf",
-        "sample_scanned_jbig2ref.pdf", "sample_scanned_jpx.pdf",
+        "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2huff.pdf",
+        "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:

@@ -455,14 +455,19 @@ class TestSymbolText:
 
         at = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
         base = at + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
-        with pytest.raises(Jbig2Error, match="huffman"):
+        # SDHUFF alone is now supported — but huffman + REFAGG still refuses
+        with pytest.raises(Jbig2Error, match="huffman REFAGG"):
+            decode_symbol_dict((0x0003).to_bytes(2, "big") + base, [])
+        # a garbage huffman dictionary must still raise, not misbehave
+        with pytest.raises(Jbig2Error):
             decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
         # SDREFAGG alone is now supported (GRTEMPLATE 1); template 0 refuses
         with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
             decode_symbol_dict((0x0002).to_bytes(2, "big") + base, [])
         region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
-        with pytest.raises(Jbig2Error, match="huffman"):
+        # huffman text region selecting an untranscribed standard table (B.6)
+        with pytest.raises(Jbig2Error, match="B.6"):
             decode_text_region(region + (0x0001).to_bytes(2, "big") + tail, [self.I])
         with pytest.raises(Jbig2Error, match="no symbols"):
             decode_text_region(region + (1 << 4).to_bytes(2, "big") + tail, [])
@@ -914,3 +919,144 @@ class TestHalftone:
                 jbig2_decode_embedded(bytes(b))
             except Jbig2Error:
                 pass
+
+
+class TestHuffmanProfiles:
+    """JBIG2's second coding family (round 6): Annex B Huffman tables,
+    SDHUFF symbol dictionaries with collective bitmaps, SBHUFF text regions
+    with run-coded symbol ID lengths, custom type-53 table segments."""
+
+    A = [bytes([1, 1, 1]), bytes([1, 0, 1]), bytes([1, 1, 1]), bytes([1, 0, 1])]
+    B = [bytes([1, 1]), bytes([1, 0]), bytes([1, 1])]
+
+    def test_standard_tables_roundtrip(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            _HuffBitReader,
+            _HuffBitWriter,
+            standard_table,
+        )
+
+        cases = {
+            1: [0, 15, 16, 271, 272, 65807, 65808, 10**7],
+            2: [0, 1, 2, 3, 10, 11, 74, 75, 10**6, None],
+            3: [-256, -1, 0, 11, 74, 75, -257, -(10**6), 10**6, None],
+            4: [1, 2, 3, 4, 11, 12, 75, 76, 10**6],
+            5: [-255, 0, 1, 12, 75, 76, -256, -(10**5), 10**5],
+        }
+        for n, vals in cases.items():
+            t = standard_table(n)
+            for v in vals:
+                bw = _HuffBitWriter()
+                t.encode(bw, v)
+                assert t.decode(_HuffBitReader(bw.finish())) == v, (n, v)
+
+    def test_standard_tables_b6_plus_refuse(self):
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            standard_table,
+        )
+
+        for n in (6, 9, 13, 15):
+            with pytest.raises(Jbig2Error, match=f"B.{n}"):
+                standard_table(n)
+
+    def test_custom_table_segment_roundtrip(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            _HuffBitReader,
+            _HuffBitWriter,
+            build_table_segment,
+            parse_table_segment,
+        )
+
+        t = parse_table_segment(build_table_segment(-100, 1000, oob=True))
+        for v in (-100, 0, 999, 1000, 99999, -101, -(10**6), None):
+            bw = _HuffBitWriter()
+            t.encode(bw, v)
+            assert t.decode(_HuffBitReader(bw.finish())) == v, v
+
+    def _expected_page(self, glyphs, placements, w, h):
+        exp = [bytearray(w) for _ in range(h)]
+        for g, x, y in placements:
+            for yy, r in enumerate(glyphs[g]):
+                for xx, px in enumerate(r):
+                    if px:
+                        exp[y + yy][x + xx] |= 1
+        return [bytes(r) for r in exp]
+
+    def test_huffman_symbol_text_roundtrip_all_modes(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        glyphs = [self.A, self.B]
+        placements = [(0, 2, 1), (1, 7, 2), (0, 11, 1), (1, 15, 2), (1, 18, 0)]
+        exp = self._expected_page(glyphs, placements, 24, 8)
+        for collective in ("raw", "mmr"):
+            for transposed in (False, True):
+                data = jbig2_encode_symbol_text_huffman(
+                    glyphs, placements, 24, 8,
+                    transposed=transposed, collective=collective,
+                )
+                w, h, rows = jbig2_decode_embedded(data)
+                assert (w, h) == (24, 8)
+                assert rows == exp, (collective, transposed)
+
+    def test_huffman_matches_arithmetic_page(self):
+        """Same glyphs/placements through BOTH coding families decode to
+        the identical page bitmap."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        glyphs = [self.A, self.B]
+        placements = [(0, 1, 0), (1, 6, 1), (0, 10, 3), (1, 14, 0)]
+        arith = jbig2_decode_embedded(
+            jbig2_encode_symbol_text(glyphs, placements, 20, 8)
+        )
+        huff = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_huffman(glyphs, placements, 20, 8)
+        )
+        assert arith == huff
+
+    def test_huffman_corruption_totality(self):
+        import random
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        glyphs = [self.A, self.B]
+        placements = [(0, 2, 1), (1, 7, 2)]
+        data = jbig2_encode_symbol_text_huffman(glyphs, placements, 16, 8)
+        rng = random.Random(17)
+        for _ in range(300):
+            b = bytearray(data)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except (Jbig2Error, ValueError, IndexError, _struct.error):
+                pass  # declared failures only — no hangs, no other types
+
+    def test_huffman_fixture_pdf_ocrs_to_golden(self):
+        import os
+
+        from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+        fixtures = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "frappe_data_pipelines_spark", "resources", "fixtures",
+        )
+        with open(os.path.join(fixtures, "sample_scanned_jbig2huff.pdf"), "rb") as f:
+            data = f.read()
+        text, conf = pdf_ocr_scanned(data)
+        assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+        assert conf == 1.0

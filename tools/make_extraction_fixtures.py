@@ -399,6 +399,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
     _write_if_missing("sample_scanned_jbig2sym.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2huff.pdf", make_scanned_jbig2huff_pdf())
+    _write_if_missing("sample_scanned_jbig2huff.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2ref.pdf", make_scanned_jbig2ref_pdf())
     _write_if_missing("sample_scanned_jbig2ref.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
@@ -807,6 +809,24 @@ def make_scanned_jbig2sym_pdf() -> bytes:
 
     glyphs, placements, w, h = _scanned_symbol_layout()
     data = jbig2_encode_symbol_text(glyphs, placements, w, h)
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2huff_pdf() -> bytes:
+    """JBIG2 HUFFMAN-family scanned page: the same symbol layout, but coded
+    with SDHUFF=1/SBHUFF=1 — huffman symbol dictionary (standard tables
+    B.4/B.2/B.1, MMR collective bitmaps through the T.6 kernel), custom
+    FS/DS/DT table segments (type 53), and a huffman text region with
+    run-coded symbol ID lengths — JBIG2's second coding family, added in
+    round 6. Must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_huffman,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
+    data = jbig2_encode_symbol_text_huffman(
+        glyphs, placements, w, h, collective="mmr"
+    )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 
