@@ -259,9 +259,20 @@ class HTTPCaptioner(HTTPChatClient):
     ``image_url`` content part, followed by the text prompt; max_tokens=150,
     temperature=0.1 at :164-166)."""
 
+    # The reference ships two prompt revisions: the checked-in source's
+    # "Extract the content from this image for search indexing" (50-100
+    # words, vision_service.py:34-41) and a newer CONTEXT/CONTENT/CONTEXT
+    # structure visible only in its compiled vision_service.cpython-314.pyc
+    # ("Analyze this image for search retrieval ... 100-150 words"). The
+    # default mirrors the source revision; callers targeting the newer
+    # deployment pass the structured prompt explicitly.
     prompt: str = (
-        "Describe this image factually in 50-100 words. Note any charts, "
-        "tables, diagrams, or visible text."
+        "Extract the content from this image for search indexing.\n\n"
+        "Output format (50-100 words max):\n"
+        "[1-2 sentence context about what this image is]\n\n"
+        "[Exact text/content visible in the image]\n\n"
+        "Do NOT explain, analyze, or add commentary. Just state what type "
+        "of image it is, then transcribe/describe what's actually shown."
     )
     max_tokens: int = 150   # reference: vision_service.py:164
 
