@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 import pytest
 
 from frappe_data_pipelines_spark.operators.jbig2mini import (
@@ -1060,3 +1063,49 @@ class TestHuffmanProfiles:
         text, conf = pdf_ocr_scanned(data)
         assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
         assert conf == 1.0
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def test_huffman_vs_arithmetic_differential(self, seed):
+        """Property: ANY random glyph set + placements decodes to the same
+        page bitmap through the huffman family (raw and MMR collectives) as
+        through the arithmetic family — the two coders must agree on the
+        composed page, not just on fixtures."""
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        rng = random.Random(seed)
+        n_glyphs = rng.randint(1, 5)
+        glyphs = []
+        for _ in range(n_glyphs):
+            gw, gh = rng.randint(1, 6), rng.randint(1, 6)
+            glyphs.append(
+                [bytes(rng.randint(0, 1) for _ in range(gw)) for _ in range(gh)]
+            )
+        pw, ph = 40, 24
+        placements = []
+        for _ in range(rng.randint(1, 8)):
+            g = rng.randrange(n_glyphs)
+            gw = len(glyphs[g][0])
+            gh = len(glyphs[g])
+            placements.append(
+                (g, rng.randint(0, pw - gw), rng.randint(0, ph - gh))
+            )
+        transposed = rng.random() < 0.5
+        ref = jbig2_decode_embedded(
+            jbig2_encode_symbol_text(glyphs, placements, pw, ph,
+                                     transposed=transposed)
+        )
+        for collective in ("raw", "mmr"):
+            got = jbig2_decode_embedded(
+                jbig2_encode_symbol_text_huffman(
+                    glyphs, placements, pw, ph,
+                    transposed=transposed, collective=collective,
+                )
+            )
+            assert got == ref, (seed, collective, transposed)
