@@ -12,16 +12,23 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   encoders enable by default); MMR-coded regions decode through the T.6
   kernel in ``operators/faxmini``;
 * **symbol dictionaries** (arithmetic: IADH/IADW height classes, shared
-  MQ + GB contexts per 6.5.8.1, IAEX export runs) and **immediate text
-  regions** (strip walk with IADT/IAFS/IADS/IAIT, IAID symbol codes, all
-  four reference corners, both TRANSPOSED orientations) — the profile real scanned PDFs ship — plus the
-  Annex A arithmetic integer coder both directions;
+  MQ + GB contexts per 6.5.8.1, IAEX export runs; huffman: Annex B DH/DW
+  tables with uncompressed or MMR collective bitmaps per 6.5.9) and
+  **immediate text regions** (strip walk with IADT/IAFS/IADS/IAIT, IAID
+  symbol codes — or their Annex B huffman equivalents with the run-coded
+  symbol ID lengths of 7.4.4.1.7 — all four reference corners, both
+  TRANSPOSED orientations) — the profile real scanned PDFs ship — plus
+  the Annex A arithmetic integer coder and the Annex B huffman table
+  layer (standard tables B.1-B.5, custom type-53 segments), all both
+  directions;
 * the **PDF-embedded segment stream** (no file header): segment headers
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: huffman-coded segments, GRTEMPLATE-0 refinement, and
-multi-instance aggregates are NOT implemented — a stream using them raises
+Scope honesty: standard huffman tables B.6-B.15 (untranscribed spec data;
+custom-table streams cover those selector slots), huffman refinement,
+huffman REFAGG dictionaries, GRTEMPLATE-0 refinement, and multi-instance
+aggregates are NOT implemented — a stream using them raises
 ``Jbig2Error`` and the PDF dispatch falls back exactly like any other
 unsupported filter. Every ARITHMETIC region type IS implemented, both
 directions: generic (incl. custom AT + MMR via T.6), symbol/text,
@@ -650,11 +657,15 @@ class HuffTable:
         if kind == "o":
             return
         if kind == "l":
-            bw.write(32, rangelow - value)
+            off = rangelow - value
         elif kind == "u":
-            bw.write(32, value - rangelow)
+            off = value - rangelow
         else:
             bw.write(rangelen, value - rangelow)
+            return
+        if off >= 1 << 32:
+            raise Jbig2Error(f"value {value} beyond the 32-bit tail range")
+        bw.write(32, off)
 
 
 # standard tables B.1-B.5 (T.88 Annex B) — the symbol-dictionary family.

@@ -1038,6 +1038,8 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                 qcd_eps = [b >> 3 for b in body[1:]]
                 qcd_mu = [0] * len(qcd_eps)
             elif qstyle == 2:
+                if (len(body) - 1) % 2:
+                    raise Jp2Error("odd-length scalar-expounded QCD body")
                 vals = struct.unpack(f">{(len(body) - 1) // 2}H", body[1:])
                 qcd_eps = [v >> 11 for v in vals]
                 qcd_mu = [v & 0x7FF for v in vals]
@@ -1136,6 +1138,8 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
             m = next(mats)
             if irreversible:
                 qi = band_idx
+                if qi >= len(qcd_eps):
+                    raise Jp2Error("QCD carries fewer entries than subbands")
                 eps, mu = qcd_eps[qi], qcd_mu[qi]
                 rb_bits = 8 + _BAND_GAIN[name]
                 m = _dequantize(m, _qdelta(eps, mu, rb_bits))

@@ -1109,3 +1109,21 @@ class TestHuffmanProfiles:
                 )
             )
             assert got == ref, (seed, collective, transposed)
+
+    def test_encode_rejects_offsets_beyond_32_bits(self):
+        """Review regression: the lower/upper tail lines carry 32-bit
+        offsets — an uncodable value must raise, not silently truncate."""
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            _HuffBitWriter,
+            standard_table,
+        )
+
+        t = standard_table(4)
+        with pytest.raises(Jbig2Error, match="32-bit"):
+            t.encode(_HuffBitWriter(), 76 + 2**32)
+        t3 = standard_table(3)
+        with pytest.raises(Jbig2Error, match="32-bit"):
+            t3.encode(_HuffBitWriter(), -257 - 2**32)

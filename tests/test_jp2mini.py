@@ -386,3 +386,28 @@ def test_multimodal_sniffs_color_jp2():
     comps = [[bytes([10, 20, 30, 40])] * 4 for _ in range(3)]
     cs = jp2_encode(comps, levels=1, irreversible=True, step=1.0)
     assert multimodal._real_decode(cs) == (4, 4, 3, "image/jp2 4x4")
+
+
+def test_malformed_qcd_raises_jp2error_not_struct_error():
+    """Review regression: a truncated/odd QCD segment must raise Jp2Error
+    (the type the PDF dispatch catches for its filter fallback), never a
+    bare struct.error or IndexError."""
+    import struct as _struct
+
+    from frappe_data_pipelines_spark.operators.jp2mini import (
+        Jp2Error,
+        jp2_decode,
+        jp2_encode,
+    )
+
+    cs = bytes(jp2_encode([[bytes([0, 255] * 4)] * 8], levels=1, irreversible=True))
+    q = cs.find(b"\xff\x5c")
+    (ln,) = _struct.unpack(">H", cs[q + 2 : q + 4])
+    # odd-length style-2 payload
+    odd = cs[: q + 2] + _struct.pack(">H", ln - 1) + cs[q + 4 : q + 2 + ln - 1] + cs[q + 2 + ln :]
+    with pytest.raises(Jp2Error, match="odd-length"):
+        jp2_decode(odd)
+    # one (eps, mu) entry short of the subband count
+    short = cs[: q + 2] + _struct.pack(">H", ln - 2) + cs[q + 4 : q + 2 + ln - 2] + cs[q + 2 + ln :]
+    with pytest.raises(Jp2Error, match="fewer entries"):
+        jp2_decode(short)
