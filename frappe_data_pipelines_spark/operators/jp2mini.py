@@ -802,6 +802,7 @@ def jp2_encode(
     irreversible: bool = False,
     step: float = 0.5,
     mct: bool = True,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
     """8-bit planes -> raw JPEG 2000 codestream.
 
@@ -810,6 +811,9 @@ def jp2_encode(
     exact (with the RCT when 3 components and ``mct``). ``irreversible=True``
     -> 9/7 wavelet + scalar-expounded quantization with step ``step`` (in
     units of one gray level; with the ICT when 3 components and ``mct``).
+    ``tile_size=(tw, th)`` splits the image into a tile grid (one SOT/SOD
+    tile-part per tile, row-major, edge tiles clipped) — the layout real
+    scanners use for large pages; None = single tile.
     """
     ncomp = len(comps)
     if ncomp not in (1, 3):
@@ -821,9 +825,17 @@ def jp2_encode(
     for c in comps:
         if len(c) != h or any(len(r) != w for r in c):
             raise Jp2Error("component dims disagree")
+    if tile_size is None:
+        xt, yt = w, h
+    else:
+        xt, yt = tile_size
+        if xt <= 0 or yt <= 0:
+            raise Jp2Error("tile dims must be positive")
     shifted = [[[px - 128 for px in row] for row in c] for c in comps]
     use_mct = mct and ncomp == 3
     if use_mct:
+        # the component transforms are pointwise, so applying them globally
+        # and slicing per tile equals the spec's per-tile application
         planes_in = _ict_forward(shifted) if irreversible else _rct_forward(shifted)
     else:
         planes_in = shifted
@@ -832,26 +844,21 @@ def jp2_encode(
     base_bits = 8 + (1 if (use_mct and not irreversible) else 0)
     fwd = dwt97_forward if irreversible else dwt53_forward
 
-    comp_res_bands: list[list[list[tuple[str, list]]]] = []
-    for plane in planes_in:
-        bands = fwd(plane, levels)
-        rb: list[list[tuple[str, list]]] = [[("LL", bands[-1]["LL"])]]
-        for d in reversed(bands[:-1]):
-            rb.append([("HL", d["HL"]), ("LH", d["LH"]), ("HH", d["HH"])])
-        comp_res_bands.append(rb)
-    n_res = len(comp_res_bands[0])
-    if levels and n_res != levels + 1:
-        # degenerate 1x1 images stop early; re-read the actual level count
-        levels = n_res - 1
+    # clamp the signalled level count to what the NOMINAL tile supports
+    # (degenerate edge tiles may stop even earlier — handled per tile)
+    nom_w, nom_h = min(xt, w), min(yt, h)
+    nom_res = len(fwd([[0] * nom_w for _ in range(nom_h)], levels))
+    levels = nom_res - 1
 
-    xcb, ycb = _cb_exponents(
-        [
-            (len(m), len(m[0]) if m else 0)
-            for rb in comp_res_bands
-            for bl in rb
-            for _n, m in bl
-        ]
-    )
+    # code-block exponents sized to the nominal (largest) tile's bands
+    shape_bands = dwt53_forward([[0] * nom_w for _ in range(nom_h)], levels)
+    shapes = [(len(shape_bands[-1]["LL"]),
+               len(shape_bands[-1]["LL"][0]) if shape_bands[-1]["LL"] else 0)]
+    for d in shape_bands[:-1]:
+        for n in ("HL", "LH", "HH"):
+            m = d[n]
+            shapes.append((len(m), len(m[0]) if m else 0))
+    xcb, ycb = _cb_exponents(shapes)
 
     # per-band quantization table in packet/QCD order
     qtab: list[tuple[int, int, int]] = []  # (eps, mu, rb)
@@ -864,53 +871,80 @@ def jp2_encode(
                 eps, mu = _coef_bits(name, base_bits), 0
             qtab.append((eps, mu, rb_bits))
 
-    packets = []
-    for r in range(n_res):
-        qbase = 0 if r == 0 else 1 + 3 * (r - 1)
-        for c in range(ncomp):
-            bandlist = comp_res_bands[c][r]
-            hdr = _HdrWriter()
-            body = bytearray()
-            hdr.put(1)  # packet non-empty
-            for k, (name, mat) in enumerate(bandlist):
-                bh = len(mat)
-                bw = len(mat[0]) if bh else 0
-                if bh == 0 or bw == 0:
-                    continue
-                eps, mu, rb_bits = qtab[qbase + k]
-                if irreversible:
-                    qmat = _quantize(mat, _qdelta(eps, mu, rb_bits))
-                else:
-                    qmat = mat
-                data, planes, n_passes = t1_encode_block(qmat, name)
-                incl = _TagTree(1)
-                incl.set(0, 0)
-                incl.encode(hdr, 0, 1)  # included in layer 0
-                mb = _GUARD_BITS + eps - 1
-                if planes > mb:
-                    raise Jp2Error("coefficient magnitude exceeds Mb budget")
-                zb = mb - planes
-                zt = _TagTree(1)
-                zt.set(0, zb)
-                t = 1
-                while not zt.known[0]:
-                    zt.encode(hdr, 0, t)
-                    t += 1
-                _passes_codeword(hdr, max(n_passes, 1))
-                lblock = 3
-                nlen = lblock + (max(n_passes, 1).bit_length() - 1)
-                while len(data) >= (1 << nlen):
-                    hdr.put(1)
-                    lblock += 1
-                    nlen += 1
-                hdr.put(0)
-                hdr.put_int(len(data), nlen)
-                body += data
-            packets.append(hdr.finish() + bytes(body))
+    n_tx = (w + xt - 1) // xt
+    n_ty = (h + yt - 1) // yt
+    tile_parts = []
+    for t_idx in range(n_tx * n_ty):
+        ty, tx = divmod(t_idx, n_tx)
+        x0, y0 = tx * xt, ty * yt
+        tw, th = min(xt, w - x0), min(yt, h - y0)
+        tile_planes = [
+            [row[x0 : x0 + tw] for row in plane[y0 : y0 + th]]
+            for plane in planes_in
+        ]
+        comp_res_bands: list[list[list[tuple[str, list]]]] = []
+        for plane in tile_planes:
+            bands = fwd(plane, levels)
+            rb: list[list[tuple[str, list]]] = [[("LL", bands[-1]["LL"])]]
+            for d in reversed(bands[:-1]):
+                rb.append([("HL", d["HL"]), ("LH", d["LH"]), ("HH", d["HH"])])
+            comp_res_bands.append(rb)
+        n_res = len(comp_res_bands[0])
 
-    # markers
+        packets = []
+        for r in range(n_res):
+            qbase = 0 if r == 0 else 1 + 3 * (r - 1)
+            for c in range(ncomp):
+                bandlist = comp_res_bands[c][r]
+                hdr = _HdrWriter()
+                body = bytearray()
+                hdr.put(1)  # packet non-empty
+                for k, (name, mat) in enumerate(bandlist):
+                    bh = len(mat)
+                    bw = len(mat[0]) if bh else 0
+                    if bh == 0 or bw == 0:
+                        continue
+                    eps, mu, rb_bits = qtab[qbase + k]
+                    if irreversible:
+                        qmat = _quantize(mat, _qdelta(eps, mu, rb_bits))
+                    else:
+                        qmat = mat
+                    data, planes, n_passes = t1_encode_block(qmat, name)
+                    incl = _TagTree(1)
+                    incl.set(0, 0)
+                    incl.encode(hdr, 0, 1)  # included in layer 0
+                    mb = _GUARD_BITS + eps - 1
+                    if planes > mb:
+                        raise Jp2Error("coefficient magnitude exceeds Mb budget")
+                    zb = mb - planes
+                    zt = _TagTree(1)
+                    zt.set(0, zb)
+                    t = 1
+                    while not zt.known[0]:
+                        zt.encode(hdr, 0, t)
+                        t += 1
+                    _passes_codeword(hdr, max(n_passes, 1))
+                    lblock = 3
+                    nlen = lblock + (max(n_passes, 1).bit_length() - 1)
+                    while len(data) >= (1 << nlen):
+                        hdr.put(1)
+                        lblock += 1
+                        nlen += 1
+                    hdr.put(0)
+                    hdr.put_int(len(data), nlen)
+                    body += data
+                packets.append(hdr.finish() + bytes(body))
+        tile_data = b"".join(packets)
+        # Psot spans SOT marker .. end of tile-part data (12 + SOD + data)
+        sot_body = struct.pack(">HIBB", t_idx, 14 + len(tile_data), 0, 1)
+        tile_parts.append(
+            b"\xff\x90" + struct.pack(">H", 10) + sot_body
+            + b"\xff\x93" + tile_data
+        )
+
+    # main header markers
     siz_body = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + struct.pack(">BBB", 7, 1, 1) * ncomp  # Ssiz=7 (8-bit), XRsiz=YRsiz=1
     siz = b"\xff\x51" + struct.pack(">H", 2 + len(siz_body)) + siz_body
     cod_body = struct.pack(
@@ -937,10 +971,9 @@ def jp2_encode(
             [eps << 3 for eps, _mu, _rb in qtab]
         )
     qcd = b"\xff\x5c" + struct.pack(">H", 2 + len(qcd_body)) + qcd_body
-    data = b"".join(packets)
-    sot_body = struct.pack(">HIBB", 0, 12 + len(data) + 2, 0, 1)
-    sot = b"\xff\x90" + struct.pack(">H", 10) + sot_body
-    return b"\xff\x4f" + siz + cod + qcd + sot + b"\xff\x93" + data + b"\xff\xd9"
+    return (
+        b"\xff\x4f" + siz + cod + qcd + b"".join(tile_parts) + b"\xff\xd9"
+    )
 
 
 def jp2_encode_gray(rows: list[bytes], levels: int = 2) -> bytes:
@@ -960,13 +993,42 @@ def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
     return m, pos + 4, ln - 2
 
 
+
+def _tile_res_bands(
+    tw: int, th: int, levels: int, cb_w: int, cb_h: int
+) -> list[list[tuple[str, int, int]]]:
+    """Per-resolution (name, bh, bw) shapes for one tile, validated against
+    the one-code-block-per-subband profile."""
+    bands = dwt53_forward([[0] * tw for _ in range(th)], levels)
+    for d in bands[:-1]:
+        for n in ("HL", "LH", "HH"):
+            m = d[n]
+            if m and (len(m) > cb_h or len(m[0]) > cb_w):
+                raise Jp2Error(
+                    "subband exceeds one code-block — multi-code-block "
+                    "streams unsupported"
+                )
+    ll = bands[-1]["LL"]
+    if ll and (len(ll) > cb_h or len(ll[0]) > cb_w):
+        raise Jp2Error("LL subband exceeds one code-block")
+    res: list[list[tuple[str, int, int]]] = [
+        [("LL", len(ll), len(ll[0]) if ll else 0)]
+    ]
+    for d in reversed(bands[:-1]):
+        res.append(
+            [(n, len(d[n]), len(d[n][0]) if d[n] else 0) for n in ("HL", "LH", "HH")]
+        )
+    return res
+
+
 def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     """JPEG 2000 codestream (or JP2 box wrapper) -> (w, h, component rows).
 
     Handles both in-profile stream families: 5/3 reversible with QCD
     style 0 (exact; with RCT when MCT is signalled) and 9/7 irreversible
     with QCD style 2 scalar-expounded quantization (midpoint
-    reconstruction; with ICT when MCT is signalled), 1 or 3 components.
+    reconstruction; with ICT when MCT is signalled), 1 or 3 components,
+    single- or multi-tile (one tile-part per tile, row-major grid).
     """
     data = payload
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
@@ -988,32 +1050,35 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         raise Jp2Error("not a JPEG 2000 codestream")
     pos = 2
     w = h = None
+    xt = yt = None
     ncomp = 1
     levels = None
     transform = None
     use_mct = False
-    sod_at = None
     guard = _GUARD_BITS
     qstyle = 0
     qcd_eps: list[int] = []
     qcd_mu: list[int] = []
     cb_w = cb_h = 64
+    tiles: dict[int, tuple[int, int]] = {}  # isot -> (data_start, data_end)
     while pos < len(data):
         m, body_at, ln = _find_marker(data, pos)
         body = data[body_at : body_at + ln]
         if m == 0x51:  # SIZ
-            (_rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc) = struct.unpack(
+            (_rsiz, xsiz, ysiz, xo, yo, xts, yts, xto, yto, nc) = struct.unpack(
                 ">HIIIIIIIIH", body[:36]
             )
             if nc not in (1, 3):
                 raise Jp2Error("only 1- or 3-component images supported")
-            if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xsiz, ysiz):
-                raise Jp2Error("tiled/offset images unsupported")
+            if (xo, yo, xto, yto) != (0, 0, 0, 0):
+                raise Jp2Error("image/tile offsets unsupported")
+            if xts == 0 or yts == 0:
+                raise Jp2Error("zero tile dims")
             for c in range(nc):
                 ssiz, xr, yr = body[36 + 3 * c], body[37 + 3 * c], body[38 + 3 * c]
                 if ssiz != 7 or xr != 1 or yr != 1:
                     raise Jp2Error("only 8-bit unsigned, no subsampling")
-            w, h, ncomp = xsiz, ysiz, nc
+            w, h, ncomp, xt, yt = xsiz, ysiz, nc, xts, yts
         elif m == 0x52:  # COD
             scod, prog, layers, mct_b, lev, xcb_s, ycb_s, style, transform = struct.unpack(
                 ">BBHBBBBBB", body[:10]
@@ -1045,122 +1110,140 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                 qcd_mu = [v & 0x7FF for v in vals]
             else:
                 raise Jp2Error("scalar-derived quantization unsupported")
-        elif m == 0x93:  # SOD
-            sod_at = body_at
+        elif m == 0x90:  # SOT — one tile-part per tile in this profile
+            if ln < 8:
+                raise Jp2Error("truncated SOT")
+            isot, psot, tpsot, _tnsot = struct.unpack(">HIBB", body[:8])
+            if tpsot != 0:
+                raise Jp2Error("multiple tile-parts per tile unsupported")
+            sot_at = body_at - 4  # marker start
+            data_at = body_at + ln
+            nm, nbody, _nl = _find_marker(data, data_at)
+            if nm != 0x93:
+                raise Jp2Error("tile-part headers unsupported (expected SOD)")
+            end = sot_at + psot if psot else len(data) - 2
+            if end > len(data) or end < nbody:
+                raise Jp2Error("SOT Psot out of range")
+            if isot in tiles:
+                raise Jp2Error(f"duplicate tile index {isot}")
+            tiles[isot] = (nbody, end)
+            pos = end
+            continue
+        elif m == 0xD9:  # EOC
             break
         pos = body_at + ln
-    if w is None or levels is None or sod_at is None:
-        raise Jp2Error("missing SIZ/COD/SOD")
+    if w is None or levels is None or not tiles:
+        raise Jp2Error("missing SIZ/COD/tiles")
     irreversible = transform == 0
     if irreversible and qstyle != 2:
         raise Jp2Error("9/7 streams need scalar-expounded quantization")
     if not irreversible and qstyle != 0:
         raise Jp2Error("5/3 streams with quantization unsupported")
 
-    # subband geometry must match the encoder's convention: recompute by
-    # running the (shape-equivalent) 5/3 forward transform on zeros
-    shape_rows = [[0] * w for _ in range(h)]
-    bands = dwt53_forward(shape_rows, levels)
-    for d in bands[:-1]:
-        for n in ("HL", "LH", "HH"):
-            m = d[n]
-            if m and (len(m) > cb_h or len(m[0]) > cb_w):
-                raise Jp2Error(
-                    "subband exceeds one code-block — multi-code-block "
-                    "streams unsupported"
-                )
-    res_bands: list[list[tuple[str, int, int]]] = [
-        [("LL", len(bands[-1]["LL"]), len(bands[-1]["LL"][0]) if bands[-1]["LL"] else 0)]
-    ]
-    for d in reversed(bands[:-1]):
-        res_bands.append(
-            [
-                (n, len(d[n]), len(d[n][0]) if d[n] else 0)
-                for n in ("HL", "LH", "HH")
-            ]
+    n_tx = (w + xt - 1) // xt
+    n_ty = (h + yt - 1) // yt
+    if set(tiles) != set(range(n_tx * n_ty)):
+        raise Jp2Error(
+            f"stream has tiles {sorted(tiles)}, grid needs {n_tx * n_ty}"
         )
-    n_res = len(res_bands)
 
-    pos = sod_at
-    # decoded[comp] = list of band matrices in packet order
-    decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
-    for r, bandlist in enumerate(res_bands):
-        qbase = 0 if r == 0 else 1 + 3 * (r - 1)
-        for c in range(ncomp):
-            rd = _HdrReader(data, pos)
-            if not rd.get():
-                for _name, bh, bw in bandlist:
-                    decoded[c].append([[0] * bw for _ in range(bh)])
+    # global output planes (pre-MCT domain)
+    out_planes: list[list[list]] = [
+        [[0] * w for _ in range(h)] for _ in range(ncomp)
+    ]
+    for t_idx, (tpos, tend) in sorted(tiles.items()):
+        ty, tx = divmod(t_idx, n_tx)
+        x0, y0 = tx * xt, ty * yt
+        tw, th = min(xt, w - x0), min(yt, h - y0)
+        res_bands = _tile_res_bands(tw, th, levels, cb_w, cb_h)
+
+        pos = tpos
+        decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
+        for r, bandlist in enumerate(res_bands):
+            qbase = 0 if r == 0 else 1 + 3 * (r - 1)
+            for c in range(ncomp):
+                rd = _HdrReader(data, pos)
+                if not rd.get():
+                    for _name, bh, bw in bandlist:
+                        decoded[c].append([[0] * bw for _ in range(bh)])
+                    pos = rd.align()
+                    continue
+                segs = []
+                for k, (name, bh, bw) in enumerate(bandlist):
+                    qi = qbase + k
+                    eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
+                    if bh == 0 or bw == 0:
+                        segs.append((name, bh, bw, 0, 0, 0))
+                        continue
+                    incl = _TagTree(1)
+                    if not incl.decode(rd, 0, 1):
+                        segs.append((name, bh, bw, 0, 0, 0))
+                        continue
+                    zt = _TagTree(1)
+                    t = 1
+                    while not zt.known[0]:
+                        zt.decode(rd, 0, t)
+                        t += 1
+                    zb = zt.value[0]
+                    n_passes = _passes_read(rd)
+                    lblock = 3
+                    while rd.get():
+                        lblock += 1
+                    nlen = lblock + (n_passes.bit_length() - 1)
+                    seg_len = rd.get_int(nlen)
+                    mb = guard + eps - 1  # conforming Mb from the QCD segment
+                    segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
                 pos = rd.align()
-                continue
-            segs = []
-            for k, (name, bh, bw) in enumerate(bandlist):
-                qi = qbase + k
-                eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
-                if bh == 0 or bw == 0:
-                    segs.append((name, bh, bw, 0, 0, 0))
-                    continue
-                incl = _TagTree(1)
-                if not incl.decode(rd, 0, 1):
-                    segs.append((name, bh, bw, 0, 0, 0))
-                    continue
-                zt = _TagTree(1)
-                t = 1
-                while not zt.known[0]:
-                    zt.decode(rd, 0, t)
-                    t += 1
-                zb = zt.value[0]
-                n_passes = _passes_read(rd)
-                lblock = 3
-                while rd.get():
-                    lblock += 1
-                nlen = lblock + (n_passes.bit_length() - 1)
-                seg_len = rd.get_int(nlen)
-                mb = guard + eps - 1  # conforming Mb from the QCD segment
-                segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
-            pos = rd.align()
-            for name, bh, bw, planes, n_passes, seg_len in segs:
-                if bh == 0 or bw == 0:
-                    decoded[c].append([])
-                    continue
-                blk = data[pos : pos + seg_len]
-                pos += seg_len
-                decoded[c].append(t1_decode_block(blk, bw, bh, name, planes, n_passes))
+                for name, bh, bw, planes, n_passes, seg_len in segs:
+                    if bh == 0 or bw == 0:
+                        decoded[c].append([])
+                        continue
+                    if pos + seg_len > tend:
+                        raise Jp2Error("code-block data overruns the tile-part")
+                    blk = data[pos : pos + seg_len]
+                    pos += seg_len
+                    decoded[c].append(
+                        t1_decode_block(blk, bw, bh, name, planes, n_passes)
+                    )
 
-    # reassemble band structure and invert per component
-    out_planes: list[list[list]] = []
-    for c in range(ncomp):
-        mats = iter(decoded[c])
-        band_idx = 0
+        # reassemble band structure and invert per component
+        for c in range(ncomp):
+            mats = iter(decoded[c])
+            band_idx = 0
 
-        def next_mat(name: str) -> list[list]:
-            nonlocal band_idx
-            m = next(mats)
-            if irreversible:
-                qi = band_idx
-                if qi >= len(qcd_eps):
-                    raise Jp2Error("QCD carries fewer entries than subbands")
-                eps, mu = qcd_eps[qi], qcd_mu[qi]
-                rb_bits = 8 + _BAND_GAIN[name]
-                m = _dequantize(m, _qdelta(eps, mu, rb_bits))
-            band_idx += 1
-            return m
+            def next_mat(name: str) -> list[list]:
+                nonlocal band_idx
+                m = next(mats)
+                if irreversible:
+                    qi = band_idx
+                    if qi >= len(qcd_eps):
+                        raise Jp2Error("QCD carries fewer entries than subbands")
+                    eps, mu = qcd_eps[qi], qcd_mu[qi]
+                    rb_bits = 8 + _BAND_GAIN[name]
+                    m = _dequantize(m, _qdelta(eps, mu, rb_bits))
+                band_idx += 1
+                return m
 
-        ll_mat = next_mat("LL")
-        detail_dicts = []
-        for bandlist in res_bands[1:]:
-            dd = {}
-            for name, bh, bw in bandlist:
-                m = next_mat(name)
-                dd[name] = m if (bh and bw) else []
-            detail_dicts.append(dd)
-        # seq was inner-to-outer; the inverse expects outer-to-inner + LL last
-        rebuilt = [
-            {"lvl": k, "HL": dd["HL"], "LH": dd["LH"], "HH": dd["HH"]}
-            for k, dd in enumerate(reversed(detail_dicts))
-        ] + [{"LL": ll_mat}]
-        inv = dwt97_inverse if irreversible else dwt53_inverse
-        out_planes.append(inv(rebuilt))
+            ll_mat = next_mat("LL")
+            detail_dicts = []
+            for bandlist in res_bands[1:]:
+                dd = {}
+                for name, bh, bw in bandlist:
+                    m = next_mat(name)
+                    dd[name] = m if (bh and bw) else []
+                detail_dicts.append(dd)
+            # seq was inner-to-outer; the inverse expects outer-to-inner + LL
+            rebuilt = [
+                {"lvl": k, "HL": dd["HL"], "LH": dd["LH"], "HH": dd["HH"]}
+                for k, dd in enumerate(reversed(detail_dicts))
+            ] + [{"LL": ll_mat}]
+            inv = dwt97_inverse if irreversible else dwt53_inverse
+            tile_plane = inv(rebuilt)
+            if len(tile_plane) != th or (tile_plane and len(tile_plane[0]) != tw):
+                raise Jp2Error("decoded tile dims disagree with the grid")
+            dst = out_planes[c]
+            for yy in range(th):
+                dst[y0 + yy][x0 : x0 + tw] = tile_plane[yy]
 
     if use_mct:
         if ncomp != 3:

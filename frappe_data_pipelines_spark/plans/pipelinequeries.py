@@ -601,6 +601,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jpx97.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jpxtiled.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample.pdf', 'pdf', false,
        'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
         || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
@@ -640,7 +643,8 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf",
         "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2huff.pdf",
         "sample_scanned_jpx.pdf",
-        "sample_scanned_jpx97.pdf", "sample.pdf",
+        "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
+        "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))

@@ -411,3 +411,105 @@ def test_malformed_qcd_raises_jp2error_not_struct_error():
     short = cs[: q + 2] + _struct.pack(">H", ln - 2) + cs[q + 4 : q + 2 + ln - 2] + cs[q + 2 + ln :]
     with pytest.raises(Jp2Error, match="fewer entries"):
         jp2_decode(short)
+
+
+class TestMultiTile:
+    """Multi-tile codestreams (round 6): one SOT/SOD tile-part per tile,
+    row-major grid, edge tiles clipped — the layout real scanners use for
+    large pages."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(5, 40),
+        st.integers(5, 40),
+        st.integers(2, 16),
+        st.integers(2, 16),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_gray_lossless_tiled_exact(self, h, w, xt, yt, seed):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+        dw, dh, (g,) = jp2_decode(
+            jp2_encode([rows], levels=2, tile_size=(xt, yt))
+        )
+        assert (dw, dh) == (w, h) and g == rows
+
+    def test_rgb_both_profiles_tiled(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(11)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(29)) for _ in range(21)]
+            for _ in range(3)
+        ]
+        # lossless RCT: exact through an uneven 2x3 grid
+        _w, _h, out = jp2_decode(
+            jp2_encode(comps, levels=2, tile_size=(12, 11))
+        )
+        assert [[bytes(r) for r in c] for c in out] == comps
+        # lossy ICT: error-bounded through the same grid
+        _w, _h, out = jp2_decode(
+            jp2_encode(comps, levels=2, irreversible=True, step=0.5,
+                       tile_size=(12, 11))
+        )
+        err = max(
+            abs(a - b)
+            for c, oc in zip(comps, out)
+            for ra, rb in zip(c, oc)
+            for a, b in zip(ra, rb)
+        )
+        assert err <= 6
+
+    def test_tile_seams_are_exact_on_lossless(self):
+        # a gradient crossing every tile boundary: any seam artifact would
+        # break exactness
+        rows = [bytes(min(255, x + y) for x in range(33)) for y in range(17)]
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        assert jp2_decode(jp2_encode([rows], levels=3, tile_size=(8, 8)))[2][0] == rows
+
+    def test_tiled_refusals_and_totality(self):
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rows = [bytes([7, 99] * 8)] * 8
+        with pytest.raises(Jp2Error):
+            jp2_encode([rows], levels=1, tile_size=(0, 4))
+        cs = bytearray(jp2_encode([rows], levels=1, tile_size=(8, 8)))
+        # duplicate tile index: flip the second SOT's Isot to 0
+        sot1 = bytes(cs).find(b"\xff\x90")
+        sot2 = bytes(cs).find(b"\xff\x90", sot1 + 2)
+        cs2 = bytearray(cs)
+        cs2[sot2 + 4 : sot2 + 6] = (0).to_bytes(2, "big")
+        with pytest.raises(Jp2Error, match="duplicate tile"):
+            jp2_decode(bytes(cs2))
+        # missing tile: truncate before the second SOT (and keep EOC)
+        cs3 = bytes(cs[:sot2]) + b"\xff\xd9"
+        with pytest.raises(Jp2Error, match="grid needs"):
+            jp2_decode(cs3)
+        # bit-flip totality over the tiled stream
+        rng = random.Random(23)
+        for _ in range(200):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode(bytes(b))
+            except (Jp2Error, ValueError, IndexError, _struct.error):
+                pass

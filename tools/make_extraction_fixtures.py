@@ -395,6 +395,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jpx.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jpx97.pdf", make_scanned_jpx97_pdf())
     _write_if_missing("sample_scanned_jpx97.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpxtiled.pdf", make_scanned_jpxtiled_pdf())
+    _write_if_missing("sample_scanned_jpxtiled.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
@@ -810,6 +812,29 @@ def make_scanned_jbig2sym_pdf() -> bytes:
     glyphs, placements, w, h = _scanned_symbol_layout()
     data = jbig2_encode_symbol_text(glyphs, placements, w, h)
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jpxtiled_pdf() -> bytes:
+    """Tiled JPX scanned page: the sepia RGB raster again, but as a 3x2
+    TILE GRID (64x16 tiles, edge tiles clipped) of lossy 9/7+ICT
+    tile-parts — the layout real scanners emit for large pages (one
+    SOT/SOD per tile). Seam-free decode is part of the golden: OCR reads
+    across tile boundaries."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    w, h, rows = _scanned_raster()
+    r_p = [bytes(v for v in row) for row in rows]
+    g_p = [bytes(v * 9 // 10 for v in row) for row in rows]
+    b_p = [bytes(v * 3 // 4 for v in row) for row in rows]
+    return _scanned_pdf_from_image(
+        w, h,
+        jp2_encode([r_p, g_p, b_p], levels=2, irreversible=True, step=0.5,
+                   tile_size=(64, 16)),
+        b"JPXDecode", colorspace=b"DeviceRGB",
+    )
 
 
 def make_scanned_jbig2huff_pdf() -> bytes:
