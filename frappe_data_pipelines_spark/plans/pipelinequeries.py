@@ -604,6 +604,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jpxtiled.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_mixed.pdf', 'pdf', false,
+       'Mixed doc page one' || chr(10) || chr(10) || 'Mixed doc page three',
+       'pdf-mini', 1.0),
       ('/fixtures/sample.pdf', 'pdf', false,
        'Hello PDF world' || chr(10) || 'Second line with (escaped) parens'
         || chr(10) || 'Café menu' || chr(10) || chr(10) || 'Flate page two',
@@ -626,7 +629,10 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles — the profiles real scanners embed), and the real
     bitmap OCR kernel reads it (method ``pdf-ocr``). The text-bearing
     sample.pdf rides along to prove routing picks text extraction when text
-    exists. Reference: render+OCR loop ocr_service.py:228-289, scanned
+    exists, and sample_mixed.pdf (text page + image-only JBIG2 page + text
+    page) pins the MIXED-document semantic: textless pages are skipped,
+    the doc is NOT scanned, text pages join with the page separator
+    (reference: text_extraction.py:70-75 'if page_text'). Reference: render+OCR loop ocr_service.py:228-289, scanned
     detection :291-321."""
     import os
 
@@ -644,7 +650,7 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2huff.pdf",
         "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
-        "sample.pdf",
+        "sample_mixed.pdf", "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:
             rows.append((f"/fixtures/{name}", bytearray(f.read())))

@@ -616,3 +616,21 @@ class TestCffCharsetRecovery:
         assert _cff_gid_to_unicode(b"") == {}
         assert _cff_gid_to_unicode(b"\x01\x00\x04\x01\xff\xff") == {}
         assert _cff_gid_to_unicode(b"OTTO\x00\x01") == {}
+
+
+def test_mixed_text_image_pdf_skips_textless_pages():
+    """Mixed-document routing pin (reference text_extraction.py:70-75):
+    a doc with text pages AND an image-only scanned page extracts the text
+    pages joined by the page separator — it is NOT routed to OCR, and the
+    image page contributes nothing."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_extract_text
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_mixed.pdf"), "rb") as f:
+        data = f.read()
+    assert pdf_extract_text(data) == "Mixed doc page one\n\nMixed doc page three"

@@ -403,6 +403,10 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2sym.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2huff.pdf", make_scanned_jbig2huff_pdf())
     _write_if_missing("sample_scanned_jbig2huff.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_mixed.pdf", make_mixed_text_image_pdf())
+    _write_if_missing(
+        "sample_mixed.pdf.txt", "Mixed doc page one\n\nMixed doc page three"
+    )
     _write_if_missing("sample_scanned_jbig2ref.pdf", make_scanned_jbig2ref_pdf())
     _write_if_missing("sample_scanned_jbig2ref.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
@@ -853,6 +857,51 @@ def make_scanned_jbig2huff_pdf() -> bytes:
         glyphs, placements, w, h, collective="mmr"
     )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_mixed_text_image_pdf() -> bytes:
+    """MIXED document (A10/A11 routing pin): page 1 carries Flate text,
+    page 2 is an image-only scanned page (JBIG2 raster, no text operators),
+    page 3 carries plain text. The reference's extractor skips textless
+    pages ('if page_text', text_extraction.py:70-74) and its scanned
+    detector samples average chars — a mixed doc is NOT scanned, so the
+    golden is the two text pages joined by the page separator, method
+    pdf-mini, and the image page contributes nothing."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jbig2mini import jbig2_encode_embedded
+
+    w, h, rows = _scanned_raster()
+    bitrows = [bytes(1 if px < 128 else 0 for px in r) for r in rows]
+    jbig2 = jbig2_encode_embedded(bitrows, w, h)
+    page1 = b"BT /F1 12 Tf (Mixed doc page one) Tj ET"
+    page3_raw = b"BT /F1 12 Tf (Mixed doc page three) Tj ET"
+    page3 = zlib.compress(page3_raw)
+    img_content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R 8 0 R] /Count 3 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 10 0 R >> >> /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(page1), page1),
+        b"5 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im0 6 0 R >> >> /Contents 7 0 R >> endobj\n",
+        b"6 0 obj << /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+        b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (w, h, len(jbig2), jbig2),
+        b"7 0 obj << /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(img_content), img_content),
+        b"8 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 10 0 R >> >> /Contents 9 0 R >> endobj\n",
+        b"9 0 obj << /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(page3), page3),
+        b"10 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n",
+    ]
+    body = b"%PDF-1.4\n" + b"".join(objs)
+    return body + b"trailer << /Root 1 0 R >>\n%%EOF\n"
 
 
 def make_scanned_jbig2ref_pdf() -> bytes:
