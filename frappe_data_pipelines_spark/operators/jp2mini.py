@@ -25,14 +25,17 @@ fixtures need no external encoder:
   fixture-proven);
 * **Tier-2**: tag trees (inclusion + zero-bitplanes), packet headers with
   0xFF bit-stuffing, one layer, LRCP progression, default precincts,
-  one code-block per subband, single tile;
+  one code-block per subband;
+* **multi-tile grids**: SOT/SOD tile-parts over a row-major grid with
+  clipped edge tiles (Psot-framed, Isot-indexed), seam-exact on
+  lossless and error-bounded on 9/7;
 * **codestream syntax**: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers, plus the
   JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
 
-Scope honesty: no multiple layers/tiles, no subsampling, no precinct
-subdivision, no ROI, no coder options (bypass/reset/termall/causal), no
-scalar-derived (style 1) quantization, no >3-component or non-8-bit
-images. Streams using those raise ``Jp2Error`` and the PDF dispatch
+Scope honesty: no multiple quality layers, no multiple tile-parts per
+tile, no subsampling, no precinct subdivision, no ROI, no coder options
+(bypass/reset/termall/causal), no scalar-derived (style 1) quantization,
+no >3-component or non-8-bit images. Streams using those raise ``Jp2Error`` and the PDF dispatch
 falls back exactly like any other unsupported filter. The EBCOT
 context-formation tables follow the spec's Table D.1-D.4 as published;
 encoder and decoder share one context builder, and the whole path is
@@ -655,16 +658,19 @@ class _HdrWriter:
 
 
 class _HdrReader:
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes, pos: int = 0, end: int | None = None):
         self.data = data
         self.pos = pos
+        # hard stop: multi-tile streams must not let a corrupt tile-part's
+        # packet headers silently consume the NEXT tile's bytes
+        self.end = len(data) if end is None else min(end, len(data))
         self.bits = 0
         self.nbits = 0
         self.prev_ff = False
 
     def get(self) -> int:
         if self.nbits == 0:
-            if self.pos >= len(self.data):
+            if self.pos >= self.end:
                 raise Jp2Error("packet header overrun")
             b = self.data[self.pos]
             self.pos += 1
@@ -690,7 +696,7 @@ class _HdrReader:
         trailing-FF padding byte rule)."""
         self.nbits = 0
         if self.prev_ff:
-            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+            if self.pos < self.end and self.data[self.pos] == 0x00:
                 self.pos += 1
             self.prev_ff = False
         return self.pos
@@ -796,6 +802,40 @@ def _res_band_names(levels: int) -> list[list[str]]:
     return [["LL"]] + [["HL", "LH", "HH"] for _ in range(levels)]
 
 
+def _tile_res_bands(
+    tw: int, th: int, levels: int,
+    cb_w: int | None = None, cb_h: int | None = None,
+) -> list[list[tuple[str, int, int]]]:
+    """Per-resolution (name, bh, bw) shapes for one tile — the ONE place
+    the band-ordering convention lives (encoder and decoder both call it).
+    With ``cb_w``/``cb_h`` set, validates the one-code-block-per-subband
+    profile; the shape walk itself only depends on dims (5/3 and 9/7 share
+    the lifting geometry), so a single integer zero pass serves both
+    transforms."""
+    bands = dwt53_forward([[0] * tw for _ in range(th)], levels)
+    if cb_w is not None and cb_h is not None:
+        for d in bands[:-1]:
+            for n in ("HL", "LH", "HH"):
+                m = d[n]
+                if m and (len(m) > cb_h or len(m[0]) > cb_w):
+                    raise Jp2Error(
+                        "subband exceeds one code-block — multi-code-block "
+                        "streams unsupported"
+                    )
+        ll = bands[-1]["LL"]
+        if ll and (len(ll) > cb_h or len(ll[0]) > cb_w):
+            raise Jp2Error("LL subband exceeds one code-block")
+    ll = bands[-1]["LL"]
+    res: list[list[tuple[str, int, int]]] = [
+        [("LL", len(ll), len(ll[0]) if ll else 0)]
+    ]
+    for d in reversed(bands[:-1]):
+        res.append(
+            [(n, len(d[n]), len(d[n][0]) if d[n] else 0) for n in ("HL", "LH", "HH")]
+        )
+    return res
+
+
 def jp2_encode(
     comps: list[list],
     levels: int = 2,
@@ -844,21 +884,16 @@ def jp2_encode(
     base_bits = 8 + (1 if (use_mct and not irreversible) else 0)
     fwd = dwt97_forward if irreversible else dwt53_forward
 
-    # clamp the signalled level count to what the NOMINAL tile supports
-    # (degenerate edge tiles may stop even earlier — handled per tile)
+    # one zero-plane shape pass on the NOMINAL tile: _dwt_forward's
+    # early-stop depends only on dims, so the 5/3 walk both clamps the
+    # signalled level count AND yields the band shapes for the code-block
+    # exponents (degenerate edge tiles may stop even earlier — per tile)
     nom_w, nom_h = min(xt, w), min(yt, h)
-    nom_res = len(fwd([[0] * nom_w for _ in range(nom_h)], levels))
-    levels = nom_res - 1
-
-    # code-block exponents sized to the nominal (largest) tile's bands
-    shape_bands = dwt53_forward([[0] * nom_w for _ in range(nom_h)], levels)
-    shapes = [(len(shape_bands[-1]["LL"]),
-               len(shape_bands[-1]["LL"][0]) if shape_bands[-1]["LL"] else 0)]
-    for d in shape_bands[:-1]:
-        for n in ("HL", "LH", "HH"):
-            m = d[n]
-            shapes.append((len(m), len(m[0]) if m else 0))
-    xcb, ycb = _cb_exponents(shapes)
+    nom_res = _tile_res_bands(nom_w, nom_h, levels)
+    levels = len(nom_res) - 1
+    xcb, ycb = _cb_exponents(
+        [(bh, bw) for bandlist in nom_res for _n, bh, bw in bandlist]
+    )
 
     # per-band quantization table in packet/QCD order
     qtab: list[tuple[int, int, int]] = []  # (eps, mu, rb)
@@ -873,6 +908,10 @@ def jp2_encode(
 
     n_tx = (w + xt - 1) // xt
     n_ty = (h + yt - 1) // yt
+    if n_tx * n_ty > 0xFFFF:
+        raise Jp2Error(
+            f"{n_tx * n_ty} tiles exceed the u16 Isot space — use larger tiles"
+        )
     tile_parts = []
     for t_idx in range(n_tx * n_ty):
         ty, tx = divmod(t_idx, n_tx)
@@ -992,33 +1031,6 @@ def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
     (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
     return m, pos + 4, ln - 2
 
-
-
-def _tile_res_bands(
-    tw: int, th: int, levels: int, cb_w: int, cb_h: int
-) -> list[list[tuple[str, int, int]]]:
-    """Per-resolution (name, bh, bw) shapes for one tile, validated against
-    the one-code-block-per-subband profile."""
-    bands = dwt53_forward([[0] * tw for _ in range(th)], levels)
-    for d in bands[:-1]:
-        for n in ("HL", "LH", "HH"):
-            m = d[n]
-            if m and (len(m) > cb_h or len(m[0]) > cb_w):
-                raise Jp2Error(
-                    "subband exceeds one code-block — multi-code-block "
-                    "streams unsupported"
-                )
-    ll = bands[-1]["LL"]
-    if ll and (len(ll) > cb_h or len(ll[0]) > cb_w):
-        raise Jp2Error("LL subband exceeds one code-block")
-    res: list[list[tuple[str, int, int]]] = [
-        [("LL", len(ll), len(ll[0]) if ll else 0)]
-    ]
-    for d in reversed(bands[:-1]):
-        res.append(
-            [(n, len(d[n]), len(d[n][0]) if d[n] else 0) for n in ("HL", "LH", "HH")]
-        )
-    return res
 
 
 def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
@@ -1151,18 +1163,21 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     out_planes: list[list[list]] = [
         [[0] * w for _ in range(h)] for _ in range(ncomp)
     ]
+    shape_cache: dict[tuple[int, int], list] = {}  # ≤4 distinct edge shapes
     for t_idx, (tpos, tend) in sorted(tiles.items()):
         ty, tx = divmod(t_idx, n_tx)
         x0, y0 = tx * xt, ty * yt
         tw, th = min(xt, w - x0), min(yt, h - y0)
-        res_bands = _tile_res_bands(tw, th, levels, cb_w, cb_h)
+        if (tw, th) not in shape_cache:
+            shape_cache[(tw, th)] = _tile_res_bands(tw, th, levels, cb_w, cb_h)
+        res_bands = shape_cache[(tw, th)]
 
         pos = tpos
         decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
         for r, bandlist in enumerate(res_bands):
             qbase = 0 if r == 0 else 1 + 3 * (r - 1)
             for c in range(ncomp):
-                rd = _HdrReader(data, pos)
+                rd = _HdrReader(data, pos, end=tend)
                 if not rd.get():
                     for _name, bh, bw in bandlist:
                         decoded[c].append([[0] * bw for _ in range(bh)])

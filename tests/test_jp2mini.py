@@ -513,3 +513,32 @@ class TestMultiTile:
                 jp2_decode(bytes(b))
             except (Jp2Error, ValueError, IndexError, _struct.error):
                 pass
+
+
+def test_tiled_fixture_pdf_ocrs_to_golden():
+    """The committed TILED lossy-color /JPXDecode fixture (3x2 grid of
+    64x16 tiles) must OCR to the exact golden in the fast unit suite, not
+    only through the Spark catalog query."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jpxtiled.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == SCANNED_TEXT
+    assert conf == 1.0
+
+
+def test_tile_grid_beyond_u16_isot_refuses():
+    """Review regression: Isot is a u16 — a grid over 65535 tiles must
+    raise Jp2Error, not struct.error."""
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    rows = [bytes(300) for _ in range(300)]
+    with pytest.raises(Jp2Error, match="Isot"):
+        jp2_encode([rows], levels=0, tile_size=(1, 1))
