@@ -24,18 +24,20 @@ fixtures need no external encoder:
   coder; reusing it means the coder itself is already round-trip- and
   fixture-proven);
 * **Tier-2**: tag trees (inclusion + zero-bitplanes), packet headers with
-  0xFF bit-stuffing, one layer, LRCP progression, default precincts,
-  one code-block per subband;
+  0xFF bit-stuffing, LRCP progression, default precincts, one code-block
+  per subband, and **multiple quality layers** (first-inclusion tag-tree
+  + single-bit re-inclusion signaling, per-layer pass counts and segment
+  lengths over one contiguous MQ stream);
 * **multi-tile grids**: SOT/SOD tile-parts over a row-major grid with
   clipped edge tiles (Psot-framed, Isot-indexed), seam-exact on
   lossless and error-bounded on 9/7;
 * **codestream syntax**: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers, plus the
   JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
 
-Scope honesty: no multiple quality layers, no multiple tile-parts per
-tile, no subsampling, no precinct subdivision, no ROI, no coder options
-(bypass/reset/termall/causal), no scalar-derived (style 1) quantization,
-no >3-component or non-8-bit images. Streams using those raise ``Jp2Error`` and the PDF dispatch
+Scope honesty: no multiple tile-parts per tile, no subsampling, no
+precinct subdivision, no ROI, no coder options (bypass/reset/termall/
+causal), no scalar-derived (style 1) quantization, no >3-component or
+non-8-bit images. Streams using those raise ``Jp2Error`` and the PDF dispatch
 falls back exactly like any other unsupported filter. The EBCOT
 context-formation tables follow the spec's Table D.1-D.4 as published;
 encoder and decoder share one context builder, and the whole path is
@@ -843,6 +845,7 @@ def jp2_encode(
     step: float = 0.5,
     mct: bool = True,
     tile_size: tuple[int, int] | None = None,
+    n_layers: int = 1,
 ) -> bytes:
     """8-bit planes -> raw JPEG 2000 codestream.
 
@@ -853,8 +856,16 @@ def jp2_encode(
     units of one gray level; with the ICT when 3 components and ``mct``).
     ``tile_size=(tw, th)`` splits the image into a tile grid (one SOT/SOD
     tile-part per tile, row-major, edge tiles clipped) — the layout real
-    scanners use for large pages; None = single tile.
+    scanners use for large pages; None = single tile. ``n_layers`` splits
+    every code-block's coding passes across that many quality layers
+    (inclusion tag-tree first-layer signaling, single-bit inclusion
+    afterwards, per-layer pass counts and segment lengths). The split is
+    even by passes and bytes — valid for any full decode; truncation-
+    optimal rate allocation is an encoder quality concern outside this
+    profile's scope.
     """
+    if not 1 <= n_layers <= 0xFFFF:
+        raise Jp2Error("layer count must fit the COD u16 field")
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise Jp2Error("only 1- or 3-component images supported")
@@ -930,15 +941,14 @@ def jp2_encode(
             comp_res_bands.append(rb)
         n_res = len(comp_res_bands[0])
 
-        packets = []
+        # Tier-1 every block once, then plan its pass/byte split across
+        # the quality layers (an even split — any split of the contiguous
+        # MQ stream decodes identically in a full decode)
+        blocks: dict[tuple[int, int, int], dict] = {}
         for r in range(n_res):
             qbase = 0 if r == 0 else 1 + 3 * (r - 1)
             for c in range(ncomp):
-                bandlist = comp_res_bands[c][r]
-                hdr = _HdrWriter()
-                body = bytearray()
-                hdr.put(1)  # packet non-empty
-                for k, (name, mat) in enumerate(bandlist):
+                for k, (name, mat) in enumerate(comp_res_bands[c][r]):
                     bh = len(mat)
                     bw = len(mat[0]) if bh else 0
                     if bh == 0 or bw == 0:
@@ -949,30 +959,75 @@ def jp2_encode(
                     else:
                         qmat = mat
                     data, planes, n_passes = t1_encode_block(qmat, name)
-                    incl = _TagTree(1)
-                    incl.set(0, 0)
-                    incl.encode(hdr, 0, 1)  # included in layer 0
                     mb = _GUARD_BITS + eps - 1
                     if planes > mb:
                         raise Jp2Error("coefficient magnitude exceeds Mb budget")
-                    zb = mb - planes
+                    total_p = max(n_passes, 1)
+                    psplit = [
+                        total_p * (i + 1) // n_layers - total_p * i // n_layers
+                        for i in range(n_layers)
+                    ]
+                    contrib = [i for i, pp in enumerate(psplit) if pp]
+                    bsplit = [
+                        len(data) * (i + 1) // len(contrib)
+                        - len(data) * i // len(contrib)
+                        for i in range(len(contrib))
+                    ]
+                    plan = {
+                        lyr: (psplit[lyr], bsplit[i])
+                        for i, lyr in enumerate(contrib)
+                    }
+                    incl = _TagTree(1)
+                    incl.set(0, contrib[0])
                     zt = _TagTree(1)
-                    zt.set(0, zb)
-                    t = 1
-                    while not zt.known[0]:
-                        zt.encode(hdr, 0, t)
-                        t += 1
-                    _passes_codeword(hdr, max(n_passes, 1))
-                    lblock = 3
-                    nlen = lblock + (max(n_passes, 1).bit_length() - 1)
-                    while len(data) >= (1 << nlen):
-                        hdr.put(1)
-                        lblock += 1
-                        nlen += 1
-                    hdr.put(0)
-                    hdr.put_int(len(data), nlen)
-                    body += data
-                packets.append(hdr.finish() + bytes(body))
+                    zt.set(0, mb - planes)
+                    blocks[(r, c, k)] = {
+                        "data": data, "plan": plan, "incl": incl, "zt": zt,
+                        "included": False, "lblock": 3, "off": 0,
+                    }
+
+        packets = []
+        for lyr in range(n_layers):
+            for r in range(n_res):
+                for c in range(ncomp):
+                    existing = [
+                        (k, blocks[(r, c, k)])
+                        for k in range(len(comp_res_bands[c][r]))
+                        if (r, c, k) in blocks
+                    ]
+                    hdr = _HdrWriter()
+                    body = bytearray()
+                    if not any(lyr in b["plan"] for _k, b in existing):
+                        hdr.put(0)  # empty packet this layer
+                        packets.append(hdr.finish())
+                        continue
+                    hdr.put(1)
+                    for _k, b in existing:
+                        here = lyr in b["plan"]
+                        if b["included"]:
+                            hdr.put(1 if here else 0)
+                        else:
+                            b["incl"].encode(hdr, 0, lyr + 1)
+                        if not here:
+                            continue
+                        if not b["included"]:
+                            b["included"] = True
+                            t = 1
+                            while not b["zt"].known[0]:
+                                b["zt"].encode(hdr, 0, t)
+                                t += 1
+                        p_l, n_bytes = b["plan"][lyr]
+                        _passes_codeword(hdr, p_l)
+                        nlen = b["lblock"] + (p_l.bit_length() - 1)
+                        while n_bytes >= (1 << nlen):
+                            hdr.put(1)
+                            b["lblock"] += 1
+                            nlen += 1
+                        hdr.put(0)
+                        hdr.put_int(n_bytes, nlen)
+                        body += b["data"][b["off"] : b["off"] + n_bytes]
+                        b["off"] += n_bytes
+                    packets.append(hdr.finish() + bytes(body))
         tile_data = b"".join(packets)
         # Psot spans SOT marker .. end of tile-part data (12 + SOD + data)
         sot_body = struct.pack(">HIBB", t_idx, 14 + len(tile_data), 0, 1)
@@ -990,7 +1045,7 @@ def jp2_encode(
         ">BBHBBBBBB",
         0,      # Scod: no precincts/SOP/EPH
         0,      # progression LRCP
-        1,      # layers
+        n_layers,  # quality layers
         1 if use_mct else 0,  # MCT (ICT with 9/7, RCT with 5/3)
         levels,  # decomposition levels
         xcb - 2, ycb - 2,  # code-block exponents sized to the largest band
@@ -1064,6 +1119,7 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     w = h = None
     xt = yt = None
     ncomp = 1
+    n_layers = 1
     levels = None
     transform = None
     use_mct = False
@@ -1097,8 +1153,10 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
             )
             if scod & 0x01:
                 raise Jp2Error("user precincts unsupported")
-            if prog != 0 or layers != 1:
-                raise Jp2Error("only 1-layer LRCP supported")
+            if prog != 0:
+                raise Jp2Error("only LRCP progression supported")
+            if not 1 <= layers <= 0xFFFF:
+                raise Jp2Error("bad layer count")
             if mct_b not in (0, 1):
                 raise Jp2Error("unknown MCT value")
             if style != 0:
@@ -1107,6 +1165,7 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                 raise Jp2Error("unknown wavelet transform")
             use_mct = mct_b == 1
             levels = lev
+            n_layers = layers
             cb_w, cb_h = 1 << (xcb_s + 2), 1 << (ycb_s + 2)
         elif m == 0x5C:  # QCD
             qstyle = body[0] & 0x1F
@@ -1173,53 +1232,75 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         res_bands = shape_cache[(tw, th)]
 
         pos = tpos
+        # per-block state persists across quality layers: inclusion and
+        # zero-bitplane tag trees, the growing lblock, accumulated pass
+        # counts, and the coding-pass byte segments (which concatenate into
+        # one contiguous MQ stream — this profile signals no terminations)
+        states: dict[tuple[int, int, int], dict] = {}
+        for lyr in range(n_layers):
+            for r, bandlist in enumerate(res_bands):
+                for c in range(ncomp):
+                    rd = _HdrReader(data, pos, end=tend)
+                    if not rd.get():
+                        pos = rd.align()  # empty packet: nothing this layer
+                        continue
+                    contrib = []
+                    for k, (name, bh, bw) in enumerate(bandlist):
+                        if bh == 0 or bw == 0:
+                            continue
+                        st = states.setdefault((r, c, k), {
+                            "incl": _TagTree(1), "zt": _TagTree(1),
+                            "included": False, "lblock": 3,
+                            "zb": 0, "passes": 0, "segs": [],
+                        })
+                        if st["included"]:
+                            inc_now = rd.get() == 1
+                        else:
+                            inc_now = st["incl"].decode(rd, 0, lyr + 1)
+                        if not inc_now:
+                            continue
+                        if not st["included"]:
+                            st["included"] = True
+                            t = 1
+                            while not st["zt"].known[0]:
+                                st["zt"].decode(rd, 0, t)
+                                t += 1
+                            st["zb"] = st["zt"].value[0]
+                        np_l = _passes_read(rd)
+                        while rd.get():
+                            st["lblock"] += 1
+                        nlen = st["lblock"] + (np_l.bit_length() - 1)
+                        seg_len = rd.get_int(nlen)
+                        st["passes"] += np_l
+                        contrib.append((r, c, k, seg_len))
+                    pos = rd.align()
+                    for key_r, key_c, key_k, seg_len in contrib:
+                        if pos + seg_len > tend:
+                            raise Jp2Error("code-block data overruns the tile-part")
+                        states[(key_r, key_c, key_k)]["segs"].append(
+                            data[pos : pos + seg_len]
+                        )
+                        pos += seg_len
+
         decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
         for r, bandlist in enumerate(res_bands):
             qbase = 0 if r == 0 else 1 + 3 * (r - 1)
             for c in range(ncomp):
-                rd = _HdrReader(data, pos, end=tend)
-                if not rd.get():
-                    for _name, bh, bw in bandlist:
-                        decoded[c].append([[0] * bw for _ in range(bh)])
-                    pos = rd.align()
-                    continue
-                segs = []
                 for k, (name, bh, bw) in enumerate(bandlist):
-                    qi = qbase + k
-                    eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
-                    if bh == 0 or bw == 0:
-                        segs.append((name, bh, bw, 0, 0, 0))
-                        continue
-                    incl = _TagTree(1)
-                    if not incl.decode(rd, 0, 1):
-                        segs.append((name, bh, bw, 0, 0, 0))
-                        continue
-                    zt = _TagTree(1)
-                    t = 1
-                    while not zt.known[0]:
-                        zt.decode(rd, 0, t)
-                        t += 1
-                    zb = zt.value[0]
-                    n_passes = _passes_read(rd)
-                    lblock = 3
-                    while rd.get():
-                        lblock += 1
-                    nlen = lblock + (n_passes.bit_length() - 1)
-                    seg_len = rd.get_int(nlen)
-                    mb = guard + eps - 1  # conforming Mb from the QCD segment
-                    segs.append((name, bh, bw, mb - zb, n_passes, seg_len))
-                pos = rd.align()
-                for name, bh, bw, planes, n_passes, seg_len in segs:
                     if bh == 0 or bw == 0:
                         decoded[c].append([])
                         continue
-                    if pos + seg_len > tend:
-                        raise Jp2Error("code-block data overruns the tile-part")
-                    blk = data[pos : pos + seg_len]
-                    pos += seg_len
-                    decoded[c].append(
-                        t1_decode_block(blk, bw, bh, name, planes, n_passes)
-                    )
+                    st = states.get((r, c, k))
+                    if st is None or not st["included"]:
+                        decoded[c].append([[0] * bw for _ in range(bh)])
+                        continue
+                    qi = qbase + k
+                    eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
+                    mb = guard + eps - 1  # conforming Mb from the QCD segment
+                    decoded[c].append(t1_decode_block(
+                        b"".join(st["segs"]), bw, bh, name,
+                        mb - st["zb"], st["passes"],
+                    ))
 
         # reassemble band structure and invert per component
         for c in range(ncomp):

@@ -542,3 +542,91 @@ def test_tile_grid_beyond_u16_isot_refuses():
     rows = [bytes(300) for _ in range(300)]
     with pytest.raises(Jp2Error, match="Isot"):
         jp2_encode([rows], levels=0, tile_size=(1, 1))
+
+
+class TestQualityLayers:
+    """Multiple quality layers (round 6): the per-block pass/byte split
+    across layers must be decode-transparent — a full decode of an L-layer
+    stream is bit-identical to the single-layer decode."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(4, 30),
+        st.integers(4, 30),
+        st.integers(2, 5),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_layered_decode_equals_single_layer(self, h, w, layers, irr, seed):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+        ref = jp2_decode(jp2_encode([rows], levels=2, irreversible=irr))
+        got = jp2_decode(
+            jp2_encode([rows], levels=2, irreversible=irr, n_layers=layers)
+        )
+        assert got == ref
+        if not irr:
+            assert got[2][0] == rows  # lossless stays exact through layers
+
+    def test_layers_compose_with_tiles_and_color(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(31)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(33)) for _ in range(21)]
+            for _ in range(3)
+        ]
+        ref = jp2_decode(
+            jp2_encode(comps, levels=2, irreversible=True, step=0.5,
+                       tile_size=(16, 8))
+        )
+        got = jp2_decode(
+            jp2_encode(comps, levels=2, irreversible=True, step=0.5,
+                       tile_size=(16, 8), n_layers=3)
+        )
+        assert got == ref
+
+    def test_more_layers_than_passes(self):
+        # blocks whose pass count is below the layer count contribute to a
+        # subset of layers (first-inclusion may be a later layer)
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rows = [bytes([128] * 8) for _ in range(8)]  # flat -> few passes
+        out = jp2_decode(jp2_encode([rows], levels=2, n_layers=8))
+        assert out[2][0] == rows
+
+    def test_layer_count_refusals_and_totality(self):
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rows = [bytes([5, 200] * 4)] * 8
+        with pytest.raises(Jp2Error, match="layer count"):
+            jp2_encode([rows], levels=1, n_layers=0)
+        with pytest.raises(Jp2Error, match="layer count"):
+            jp2_encode([rows], levels=1, n_layers=1 << 16)
+        cs = jp2_encode([rows], levels=2, n_layers=3)
+        rng = random.Random(41)
+        for _ in range(200):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode(bytes(b))
+            except (Jp2Error, ValueError, IndexError, _struct.error):
+                pass
