@@ -986,23 +986,28 @@ def jp2_encode(
                         "included": False, "lblock": 3, "off": 0,
                     }
 
+        by_packet = {
+            (r, c): [
+                blocks[(r, c, k)]
+                for k in range(len(comp_res_bands[c][r]))
+                if (r, c, k) in blocks
+            ]
+            for r in range(n_res)
+            for c in range(ncomp)
+        }
         packets = []
         for lyr in range(n_layers):
             for r in range(n_res):
                 for c in range(ncomp):
-                    existing = [
-                        (k, blocks[(r, c, k)])
-                        for k in range(len(comp_res_bands[c][r]))
-                        if (r, c, k) in blocks
-                    ]
+                    existing = by_packet[(r, c)]
                     hdr = _HdrWriter()
                     body = bytearray()
-                    if not any(lyr in b["plan"] for _k, b in existing):
+                    if not any(lyr in b["plan"] for b in existing):
                         hdr.put(0)  # empty packet this layer
                         packets.append(hdr.finish())
                         continue
                     hdr.put(1)
-                    for _k, b in existing:
+                    for b in existing:
                         here = lyr in b["plan"]
                         if b["included"]:
                             hdr.put(1 if here else 0)
@@ -1248,11 +1253,13 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                     for k, (name, bh, bw) in enumerate(bandlist):
                         if bh == 0 or bw == 0:
                             continue
-                        st = states.setdefault((r, c, k), {
-                            "incl": _TagTree(1), "zt": _TagTree(1),
-                            "included": False, "lblock": 3,
-                            "zb": 0, "passes": 0, "segs": [],
-                        })
+                        st = states.get((r, c, k))
+                        if st is None:
+                            st = states[(r, c, k)] = {
+                                "incl": _TagTree(1), "zt": _TagTree(1),
+                                "included": False, "lblock": 3,
+                                "zb": 0, "passes": 0, "segs": [],
+                            }
                         if st["included"]:
                             inc_now = rd.get() == 1
                         else:
@@ -1272,14 +1279,12 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                         nlen = st["lblock"] + (np_l.bit_length() - 1)
                         seg_len = rd.get_int(nlen)
                         st["passes"] += np_l
-                        contrib.append((r, c, k, seg_len))
+                        contrib.append((st, seg_len))
                     pos = rd.align()
-                    for key_r, key_c, key_k, seg_len in contrib:
+                    for st, seg_len in contrib:
                         if pos + seg_len > tend:
                             raise Jp2Error("code-block data overruns the tile-part")
-                        states[(key_r, key_c, key_k)]["segs"].append(
-                            data[pos : pos + seg_len]
-                        )
+                        st["segs"].append(data[pos : pos + seg_len])
                         pos += seg_len
 
         decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
