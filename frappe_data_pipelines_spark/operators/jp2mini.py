@@ -23,11 +23,13 @@ fixtures need no external encoder:
   from ``operators/jbig2mini`` (JBIG2 and JPEG 2000 specify the same MQ
   coder; reusing it means the coder itself is already round-trip- and
   fixture-proven);
-* **Tier-2**: tag trees (inclusion + zero-bitplanes), packet headers with
-  0xFF bit-stuffing, LRCP progression, default precincts, one code-block
-  per subband, and **multiple quality layers** (first-inclusion tag-tree
-  + single-bit re-inclusion signaling, per-layer pass counts and segment
-  lengths over one contiguous MQ stream);
+* **Tier-2**: full 2-D TAG TREES (B.10.2 quad-tree pyramids for
+  inclusion + zero-bitplanes) over **multi-code-block subband grids**
+  (the OpenJPEG-default layout for untiled full pages), packet headers
+  with 0xFF bit-stuffing, LRCP progression, default precincts, and
+  **multiple quality layers** (first-inclusion tag-tree + single-bit
+  re-inclusion signaling, per-layer pass counts and segment lengths over
+  one contiguous MQ stream);
 * **multi-tile grids**: SOT/SOD tile-parts over a row-major grid with
   clipped edge tiles (Psot-framed, Isot-indexed), seam-exact on
   lossless and error-bounded on 9/7;
@@ -705,33 +707,83 @@ class _HdrReader:
 
 
 class _TagTree:
-    def __init__(self, n: int):
-        # single code-block per subband in this profile → n == 1
-        self.n = n
-        self.value = [0] * n
-        self.low = [0] * n
-        self.known = [False] * n
+    """2-D tag tree over an ncx x ncy code-block grid (T.800 B.10.2): a
+    quad-tree pyramid whose internal values are the min of their children;
+    each leaf query walks root -> leaf carrying the parent's lower bound as
+    the child's floor. A 1x1 grid degenerates to the single-node 0*-then-1
+    walk, bit-identical to the former single-code-block profile — streams
+    from earlier encoders decode unchanged."""
 
-    def set(self, i: int, v: int) -> None:
-        self.value[i] = v
+    def __init__(self, ncx: int = 1, ncy: int = 1):
+        self.ncx, self.ncy = ncx, ncy
+        dims = [(ncx, ncy)]
+        w_, h_ = ncx, ncy
+        while w_ > 1 or h_ > 1:
+            w_, h_ = (w_ + 1) // 2, (h_ + 1) // 2
+            dims.append((w_, h_))
+        self.dims = dims
+        self.value = [[0] * (dw * dh) for dw, dh in dims]
+        self.low = [[0] * (dw * dh) for dw, dh in dims]
+        self.known = [[False] * (dw * dh) for dw, dh in dims]
+        self._final = False
 
-    def encode(self, w: _HdrWriter, i: int, threshold: int) -> None:
-        while not self.known[i] and self.low[i] < threshold:
-            if self.low[i] == self.value[i]:
-                w.put(1)
-                self.known[i] = True
-            else:
-                w.put(0)
-                self.low[i] += 1
+    def set(self, x: int, y: int, v: int) -> None:
+        self.value[0][y * self.ncx + x] = v
+        self._final = False
 
-    def decode(self, r: _HdrReader, i: int, threshold: int) -> bool:
-        while not self.known[i] and self.low[i] < threshold:
-            if r.get():
-                self.known[i] = True
-                self.value[i] = self.low[i]
-            else:
-                self.low[i] += 1
-        return self.known[i] and self.value[i] < threshold
+    def _finalize(self) -> None:
+        for lvl in range(1, len(self.dims)):
+            dw, dh = self.dims[lvl]
+            cw, ch = self.dims[lvl - 1]
+            for y in range(dh):
+                for x in range(dw):
+                    self.value[lvl][y * dw + x] = min(
+                        self.value[lvl - 1][cy * cw + cx]
+                        for dy in (0, 1) for dx in (0, 1)
+                        if (cx := 2 * x + dx) < cw and (cy := 2 * y + dy) < ch
+                    )
+        self._final = True
+
+    def leaf_known(self, x: int, y: int) -> bool:
+        return self.known[0][y * self.ncx + x]
+
+    def leaf_value(self, x: int, y: int) -> int:
+        return self.value[0][y * self.ncx + x]
+
+    def encode(self, w: _HdrWriter, x: int, y: int, threshold: int) -> None:
+        if not self._final:
+            self._finalize()
+        floor = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            dw = self.dims[lvl][0]
+            i = (y >> lvl) * dw + (x >> lvl)
+            if self.low[lvl][i] < floor:
+                self.low[lvl][i] = floor
+            while not self.known[lvl][i] and self.low[lvl][i] < threshold:
+                if self.low[lvl][i] == self.value[lvl][i]:
+                    w.put(1)
+                    self.known[lvl][i] = True
+                else:
+                    w.put(0)
+                    self.low[lvl][i] += 1
+            floor = self.low[lvl][i]
+
+    def decode(self, r: _HdrReader, x: int, y: int, threshold: int) -> bool:
+        floor = 0
+        for lvl in range(len(self.dims) - 1, -1, -1):
+            dw = self.dims[lvl][0]
+            i = (y >> lvl) * dw + (x >> lvl)
+            if self.low[lvl][i] < floor:
+                self.low[lvl][i] = floor
+            while not self.known[lvl][i] and self.low[lvl][i] < threshold:
+                if r.get():
+                    self.known[lvl][i] = True
+                    self.value[lvl][i] = self.low[lvl][i]
+                else:
+                    self.low[lvl][i] += 1
+            floor = self.low[lvl][i]
+        i = y * self.ncx + x
+        return self.known[0][i] and self.value[0][i] < threshold
 
 
 def _passes_codeword(w: _HdrWriter, n: int) -> None:
@@ -774,18 +826,20 @@ def _passes_read(r: _HdrReader) -> int:
 
 _GUARD_BITS = 2
 def _cb_exponents(band_shapes: list[tuple[int, int]]) -> tuple[int, int]:
-    """One code-block per subband: pick (xcb, ycb) just large enough for
-    the biggest band, within the spec's limits (each in [2,10], sum ≤ 12 —
-    rectangular blocks like 128×32 are legal and fit wide-short scans)."""
+    """Pick (xcb, ycb): just large enough for the biggest band when that
+    fits the spec's limits (each in [2,10], sum ≤ 12 — rectangular blocks
+    like 128×32 are legal and fit wide-short scans), else shrink toward a
+    64×64-style grid and let the band split into MULTIPLE code-blocks
+    (tag-tree-signalled packets, the OpenJPEG-default layout)."""
     max_w = max((w for _h, w in band_shapes), default=1)
     max_h = max((h for h, _w in band_shapes), default=1)
-    xcb = max(2, (max_w - 1).bit_length())
-    ycb = max(2, (max_h - 1).bit_length())
-    if xcb > 10 or ycb > 10 or xcb + ycb > 12:
-        raise Jp2Error(
-            f"image needs {1 << xcb}x{1 << ycb} code-blocks — beyond the "
-            "single-code-block-per-subband profile"
-        )
+    xcb = max(2, min(10, (max_w - 1).bit_length()))
+    ycb = max(2, min(10, (max_h - 1).bit_length()))
+    while xcb + ycb > 12:
+        if xcb >= ycb:
+            xcb -= 1
+        else:
+            ycb -= 1
     return xcb, ycb
 
 
@@ -805,28 +859,13 @@ def _res_band_names(levels: int) -> list[list[str]]:
 
 
 def _tile_res_bands(
-    tw: int, th: int, levels: int,
-    cb_w: int | None = None, cb_h: int | None = None,
+    tw: int, th: int, levels: int
 ) -> list[list[tuple[str, int, int]]]:
     """Per-resolution (name, bh, bw) shapes for one tile — the ONE place
     the band-ordering convention lives (encoder and decoder both call it).
-    With ``cb_w``/``cb_h`` set, validates the one-code-block-per-subband
-    profile; the shape walk itself only depends on dims (5/3 and 9/7 share
-    the lifting geometry), so a single integer zero pass serves both
-    transforms."""
+    The shape walk only depends on dims (5/3 and 9/7 share the lifting
+    geometry), so a single integer zero pass serves both transforms."""
     bands = dwt53_forward([[0] * tw for _ in range(th)], levels)
-    if cb_w is not None and cb_h is not None:
-        for d in bands[:-1]:
-            for n in ("HL", "LH", "HH"):
-                m = d[n]
-                if m and (len(m) > cb_h or len(m[0]) > cb_w):
-                    raise Jp2Error(
-                        "subband exceeds one code-block — multi-code-block "
-                        "streams unsupported"
-                    )
-        ll = bands[-1]["LL"]
-        if ll and (len(ll) > cb_h or len(ll[0]) > cb_w):
-            raise Jp2Error("LL subband exceeds one code-block")
     ll = bands[-1]["LL"]
     res: list[list[tuple[str, int, int]]] = [
         [("LL", len(ll), len(ll[0]) if ll else 0)]
@@ -941,10 +980,12 @@ def jp2_encode(
             comp_res_bands.append(rb)
         n_res = len(comp_res_bands[0])
 
-        # Tier-1 every block once, then plan its pass/byte split across
-        # the quality layers (an even split — any split of the contiguous
-        # MQ stream decodes identically in a full decode)
-        blocks: dict[tuple[int, int, int], dict] = {}
+        # Tier-1 every code-block once (bands split into a cbw x cbh grid,
+        # raster order), then plan each block's pass/byte split across the
+        # quality layers (an even split — any split of the contiguous MQ
+        # stream decodes identically in a full decode)
+        cbw, cbh = 1 << xcb, 1 << ycb
+        bands: dict[tuple[int, int, int], dict] = {}
         for r in range(n_res):
             qbase = 0 if r == 0 else 1 + 3 * (r - 1)
             for c in range(ncomp):
@@ -958,39 +999,53 @@ def jp2_encode(
                         qmat = _quantize(mat, _qdelta(eps, mu, rb_bits))
                     else:
                         qmat = mat
-                    data, planes, n_passes = t1_encode_block(qmat, name)
                     mb = _GUARD_BITS + eps - 1
-                    if planes > mb:
-                        raise Jp2Error("coefficient magnitude exceeds Mb budget")
-                    total_p = max(n_passes, 1)
-                    psplit = [
-                        total_p * (i + 1) // n_layers - total_p * i // n_layers
-                        for i in range(n_layers)
-                    ]
-                    contrib = [i for i, pp in enumerate(psplit) if pp]
-                    bsplit = [
-                        len(data) * (i + 1) // len(contrib)
-                        - len(data) * i // len(contrib)
-                        for i in range(len(contrib))
-                    ]
-                    plan = {
-                        lyr: (psplit[lyr], bsplit[i])
-                        for i, lyr in enumerate(contrib)
-                    }
-                    incl = _TagTree(1)
-                    incl.set(0, contrib[0])
-                    zt = _TagTree(1)
-                    zt.set(0, mb - planes)
-                    blocks[(r, c, k)] = {
-                        "data": data, "plan": plan, "incl": incl, "zt": zt,
-                        "included": False, "lblock": 3, "off": 0,
-                    }
+                    ncx = (bw + cbw - 1) // cbw
+                    ncy = (bh + cbh - 1) // cbh
+                    incl = _TagTree(ncx, ncy)
+                    zt = _TagTree(ncx, ncy)
+                    blks = []
+                    for by in range(ncy):
+                        for bx in range(ncx):
+                            sub = [
+                                row[bx * cbw : bx * cbw + cbw]
+                                for row in qmat[by * cbh : by * cbh + cbh]
+                            ]
+                            data, planes, n_passes = t1_encode_block(sub, name)
+                            if planes > mb:
+                                raise Jp2Error(
+                                    "coefficient magnitude exceeds Mb budget"
+                                )
+                            total_p = max(n_passes, 1)
+                            psplit = [
+                                total_p * (i + 1) // n_layers
+                                - total_p * i // n_layers
+                                for i in range(n_layers)
+                            ]
+                            contrib = [i for i, pp in enumerate(psplit) if pp]
+                            bsplit = [
+                                len(data) * (i + 1) // len(contrib)
+                                - len(data) * i // len(contrib)
+                                for i in range(len(contrib))
+                            ]
+                            plan = {
+                                lyr: (psplit[lyr], bsplit[i])
+                                for i, lyr in enumerate(contrib)
+                            }
+                            incl.set(bx, by, contrib[0])
+                            zt.set(bx, by, mb - planes)
+                            blks.append({
+                                "bx": bx, "by": by, "data": data,
+                                "plan": plan, "included": False,
+                                "lblock": 3, "off": 0,
+                            })
+                    bands[(r, c, k)] = {"incl": incl, "zt": zt, "blocks": blks}
 
         by_packet = {
             (r, c): [
-                blocks[(r, c, k)]
+                bands[(r, c, k)]
                 for k in range(len(comp_res_bands[c][r]))
-                if (r, c, k) in blocks
+                if (r, c, k) in bands
             ]
             for r in range(n_res)
             for c in range(ncomp)
@@ -1002,36 +1057,40 @@ def jp2_encode(
                     existing = by_packet[(r, c)]
                     hdr = _HdrWriter()
                     body = bytearray()
-                    if not any(lyr in b["plan"] for b in existing):
+                    if not any(
+                        lyr in b["plan"]
+                        for band in existing for b in band["blocks"]
+                    ):
                         hdr.put(0)  # empty packet this layer
                         packets.append(hdr.finish())
                         continue
                     hdr.put(1)
-                    for b in existing:
-                        here = lyr in b["plan"]
-                        if b["included"]:
-                            hdr.put(1 if here else 0)
-                        else:
-                            b["incl"].encode(hdr, 0, lyr + 1)
-                        if not here:
-                            continue
-                        if not b["included"]:
-                            b["included"] = True
-                            t = 1
-                            while not b["zt"].known[0]:
-                                b["zt"].encode(hdr, 0, t)
-                                t += 1
-                        p_l, n_bytes = b["plan"][lyr]
-                        _passes_codeword(hdr, p_l)
-                        nlen = b["lblock"] + (p_l.bit_length() - 1)
-                        while n_bytes >= (1 << nlen):
-                            hdr.put(1)
-                            b["lblock"] += 1
-                            nlen += 1
-                        hdr.put(0)
-                        hdr.put_int(n_bytes, nlen)
-                        body += b["data"][b["off"] : b["off"] + n_bytes]
-                        b["off"] += n_bytes
+                    for band in existing:
+                        for b in band["blocks"]:
+                            here = lyr in b["plan"]
+                            if b["included"]:
+                                hdr.put(1 if here else 0)
+                            else:
+                                band["incl"].encode(hdr, b["bx"], b["by"], lyr + 1)
+                            if not here:
+                                continue
+                            if not b["included"]:
+                                b["included"] = True
+                                t = 1
+                                while not band["zt"].leaf_known(b["bx"], b["by"]):
+                                    band["zt"].encode(hdr, b["bx"], b["by"], t)
+                                    t += 1
+                            p_l, n_bytes = b["plan"][lyr]
+                            _passes_codeword(hdr, p_l)
+                            nlen = b["lblock"] + (p_l.bit_length() - 1)
+                            while n_bytes >= (1 << nlen):
+                                hdr.put(1)
+                                b["lblock"] += 1
+                                nlen += 1
+                            hdr.put(0)
+                            hdr.put_int(n_bytes, nlen)
+                            body += b["data"][b["off"] : b["off"] + n_bytes]
+                            b["off"] += n_bytes
                     packets.append(hdr.finish() + bytes(body))
         tile_data = b"".join(packets)
         # Psot spans SOT marker .. end of tile-part data (12 + SOD + data)
@@ -1233,14 +1292,15 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         x0, y0 = tx * xt, ty * yt
         tw, th = min(xt, w - x0), min(yt, h - y0)
         if (tw, th) not in shape_cache:
-            shape_cache[(tw, th)] = _tile_res_bands(tw, th, levels, cb_w, cb_h)
+            shape_cache[(tw, th)] = _tile_res_bands(tw, th, levels)
         res_bands = shape_cache[(tw, th)]
 
         pos = tpos
-        # per-block state persists across quality layers: inclusion and
-        # zero-bitplane tag trees, the growing lblock, accumulated pass
-        # counts, and the coding-pass byte segments (which concatenate into
-        # one contiguous MQ stream — this profile signals no terminations)
+        # per-band state persists across quality layers: the inclusion and
+        # zero-bitplane TAG TREES over the band's code-block grid, and per
+        # code-block the growing lblock, accumulated pass counts, and the
+        # coding-pass byte segments (which concatenate into one contiguous
+        # MQ stream — this profile signals no terminations)
         states: dict[tuple[int, int, int], dict] = {}
         for lyr in range(n_layers):
             for r, bandlist in enumerate(res_bands):
@@ -1255,36 +1315,45 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                             continue
                         st = states.get((r, c, k))
                         if st is None:
+                            ncx = (bw + cb_w - 1) // cb_w
+                            ncy = (bh + cb_h - 1) // cb_h
                             st = states[(r, c, k)] = {
-                                "incl": _TagTree(1), "zt": _TagTree(1),
-                                "included": False, "lblock": 3,
-                                "zb": 0, "passes": 0, "segs": [],
+                                "incl": _TagTree(ncx, ncy),
+                                "zt": _TagTree(ncx, ncy),
+                                "blocks": [
+                                    {"included": False, "lblock": 3,
+                                     "zb": 0, "passes": 0, "segs": []}
+                                    for _ in range(ncx * ncy)
+                                ],
+                                "ncx": ncx, "ncy": ncy,
                             }
-                        if st["included"]:
-                            inc_now = rd.get() == 1
-                        else:
-                            inc_now = st["incl"].decode(rd, 0, lyr + 1)
-                        if not inc_now:
-                            continue
-                        if not st["included"]:
-                            st["included"] = True
-                            t = 1
-                            while not st["zt"].known[0]:
-                                st["zt"].decode(rd, 0, t)
-                                t += 1
-                            st["zb"] = st["zt"].value[0]
-                        np_l = _passes_read(rd)
-                        while rd.get():
-                            st["lblock"] += 1
-                        nlen = st["lblock"] + (np_l.bit_length() - 1)
-                        seg_len = rd.get_int(nlen)
-                        st["passes"] += np_l
-                        contrib.append((st, seg_len))
+                        for bi, blk in enumerate(st["blocks"]):
+                            bx, by = bi % st["ncx"], bi // st["ncx"]
+                            if blk["included"]:
+                                inc_now = rd.get() == 1
+                            else:
+                                inc_now = st["incl"].decode(rd, bx, by, lyr + 1)
+                            if not inc_now:
+                                continue
+                            if not blk["included"]:
+                                blk["included"] = True
+                                t = 1
+                                while not st["zt"].leaf_known(bx, by):
+                                    st["zt"].decode(rd, bx, by, t)
+                                    t += 1
+                                blk["zb"] = st["zt"].leaf_value(bx, by)
+                            np_l = _passes_read(rd)
+                            while rd.get():
+                                blk["lblock"] += 1
+                            nlen = blk["lblock"] + (np_l.bit_length() - 1)
+                            seg_len = rd.get_int(nlen)
+                            blk["passes"] += np_l
+                            contrib.append((blk, seg_len))
                     pos = rd.align()
-                    for st, seg_len in contrib:
+                    for blk, seg_len in contrib:
                         if pos + seg_len > tend:
                             raise Jp2Error("code-block data overruns the tile-part")
-                        st["segs"].append(data[pos : pos + seg_len])
+                        blk["segs"].append(data[pos : pos + seg_len])
                         pos += seg_len
 
         decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]
@@ -1296,16 +1365,26 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                         decoded[c].append([])
                         continue
                     st = states.get((r, c, k))
-                    if st is None or not st["included"]:
-                        decoded[c].append([[0] * bw for _ in range(bh)])
-                        continue
-                    qi = qbase + k
-                    eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
-                    mb = guard + eps - 1  # conforming Mb from the QCD segment
-                    decoded[c].append(t1_decode_block(
-                        b"".join(st["segs"]), bw, bh, name,
-                        mb - st["zb"], st["passes"],
-                    ))
+                    mat = [[0] * bw for _ in range(bh)]
+                    if st is not None:
+                        qi = qbase + k
+                        eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
+                        mb = guard + eps - 1  # conforming Mb from QCD
+                        for bi, blk in enumerate(st["blocks"]):
+                            if not blk["included"]:
+                                continue
+                            bx, by = bi % st["ncx"], bi // st["ncx"]
+                            sbw = min(cb_w, bw - bx * cb_w)
+                            sbh = min(cb_h, bh - by * cb_h)
+                            sub = t1_decode_block(
+                                b"".join(blk["segs"]), sbw, sbh, name,
+                                mb - blk["zb"], blk["passes"],
+                            )
+                            for yy in range(sbh):
+                                mat[by * cb_h + yy][
+                                    bx * cb_w : bx * cb_w + sbw
+                                ] = sub[yy]
+                    decoded[c].append(mat)
 
         # reassemble band structure and invert per component
         for c in range(ncomp):

@@ -630,3 +630,94 @@ class TestQualityLayers:
                 jp2_decode(bytes(b))
             except (Jp2Error, ValueError, IndexError, _struct.error):
                 pass
+
+
+class TestCodeBlockGrids:
+    """Multi-code-block subbands (round 6): bands larger than one
+    code-block split into a raster grid signalled through real 2-D tag
+    trees (B.10.2) — the layout untiled full-page encoders emit."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.integers(70, 160),
+        st.integers(70, 160),
+        st.integers(1, 3),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def test_large_untiled_roundtrip(self, h, w, levels, irr, seed):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(seed)
+        rows = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+        dw, dh, (g,) = jp2_decode(
+            jp2_encode([rows], levels=levels, irreversible=irr, step=0.5)
+        )
+        assert (dw, dh) == (w, h)
+        if irr:
+            err = max(abs(a - b) for ra, rb in zip(g, rows) for a, b in zip(ra, rb))
+            assert err <= 4
+        else:
+            assert g == rows
+
+    def test_full_page_text_raster_lossless(self):
+        # a real rendered-text page wider AND taller than one code-block
+        from frappe_data_pipelines_spark.operators.imaging import (
+            png_decode,
+            render_text_png,
+        )
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        _w, _h, _c, rows = png_decode(render_text_png(
+            "FULL PAGE GRID TEST\nLINE TWO OF THE SCAN\nLINE THREE HERE"
+        ))
+        # triple the raster in both axes to force a multi-block LL band
+        big = [row * 3 for row in rows] * 3
+        got = jp2_decode(jp2_encode([big], levels=2))[2][0]
+        assert got == big
+
+    def test_grids_compose_with_tiles_layers_color(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(77)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(140)) for _ in range(100)]
+            for _ in range(3)
+        ]
+        ref = jp2_decode(jp2_encode(comps, levels=2))
+        # an 80x64 tile still yields multi-block bands at resolution 2
+        tiled = jp2_decode(
+            jp2_encode(comps, levels=2, tile_size=(80, 64), n_layers=2)
+        )
+        assert [[bytes(r) for r in c] for c in ref[2]] == comps
+        assert [[bytes(r) for r in c] for c in tiled[2]] == comps
+
+    def test_grid_corruption_totality(self):
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(55)
+        rows = [bytes(rng.randrange(256) for _ in range(90)) for _ in range(80)]
+        cs = jp2_encode([rows], levels=2)
+        for _ in range(150):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode(bytes(b))
+            except (Jp2Error, ValueError, IndexError, _struct.error):
+                pass
