@@ -1,0 +1,137 @@
+"""Generic plan linter (operators/planlint.py): each smell is provoked by
+a deliberately bad plan and must be flagged; each good plan must pass
+clean. The linter is pure plan-text analysis — nothing executes.
+
+(No ``from __future__ import annotations`` here: stringified type hints
+break pandas_udf signature inference.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.planlint import (
+    PlanLintError,
+    assert_scale_safe,
+    lint_plan,
+)
+
+
+def _checks(findings):
+    return {f.check for f in findings}
+
+
+class TestSmells:
+    def test_cartesian_flagged_and_sanctionable(self, spark):
+        a = spark.range(10).select(F.col("id").alias("x"))
+        b = spark.range(10).select(F.col("id").alias("y"))
+        bad = a.crossJoin(b)
+        assert "cartesian" in _checks(lint_plan(bad))
+        with pytest.raises(PlanLintError, match="cartesian"):
+            assert_scale_safe(bad)
+        # the sanctioned scalar-broadcast pattern is opt-in
+        assert_scale_safe(bad, allow_cartesian=True)
+
+    def test_row_at_a_time_udf_flagged(self, spark):
+        slow = F.udf(lambda v: v + 1, "bigint")
+        bad = spark.range(10).select(slow("id").alias("v"))
+        assert "python_udf" in _checks(lint_plan(bad))
+        with pytest.raises(PlanLintError, match="python_udf"):
+            assert_scale_safe(bad)
+
+    def test_pandas_udf_not_flagged(self, spark):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("bigint")
+        def fast(v: pd.Series) -> pd.Series:
+            return v + 1
+
+        good = spark.range(10).select(fast("id").alias("v"))
+        assert "python_udf" not in _checks(lint_plan(good))
+
+    def test_global_sort_flagged_but_topk_is_fine(self, spark):
+        df = spark.range(100)
+        sorted_all = df.orderBy(F.col("id").desc())
+        assert "global_sort" in _checks(lint_plan(sorted_all))
+        topk = df.orderBy(F.col("id").desc()).limit(5)
+        assert "global_sort" not in _checks(lint_plan(topk))
+
+    def test_join_sorts_not_flagged(self, spark):
+        # SortMergeJoin's per-partition sorts are local — no finding
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.range(1000).select(F.col("id").alias("k"), F.lit(1).alias("va"))
+            b = spark.range(1000).select(F.col("id").alias("k"), F.lit(2).alias("vb"))
+            joined = a.join(b, "k")
+            assert "global_sort" not in _checks(lint_plan(joined))
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_pushdown_clean_on_parquet_filter(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(100).select(
+            "id", (F.col("id") % 7).alias("grp")
+        ).write.parquet(path)
+        good = spark.read.parquet(path).filter(F.col("grp") == 3)
+        assert "unpushed_filter" not in _checks(lint_plan(good))
+
+    def test_unpushed_filter_flagged_on_udf_predicate(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        path = str(tmp_path / "t2")
+        spark.range(100).write.parquet(path)
+
+        @pandas_udf("boolean")
+        def pred(v: pd.Series) -> pd.Series:
+            return v % 7 == 3
+
+        bad = spark.read.parquet(path).filter(pred("id"))
+        assert "unpushed_filter" in _checks(lint_plan(bad))
+
+    def test_many_shuffles_info(self, spark):
+        df = spark.range(1000).select("id", (F.col("id") % 10).alias("k"))
+        for i in range(4):
+            df = df.repartition(8, F.col("id") + i)
+        df = df.groupBy("k").count()
+        findings = lint_plan(df, max_shuffles=3)
+        assert "many_shuffles" in _checks(findings)
+        assert all(
+            f.severity == "info" for f in findings if f.check == "many_shuffles"
+        )
+
+    def test_clean_aggregation_passes(self, spark):
+        df = (
+            spark.range(1000)
+            .select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        findings = assert_scale_safe(df)
+        assert "cartesian" not in _checks(findings)
+        assert "python_udf" not in _checks(findings)
+
+
+class TestEngineQueriesAreCleanByLint:
+    """The generic linter agrees with the hand-written audit: headline
+    engine plans carry no error-severity findings (KNN passes its
+    sanctioned-cartesian flag)."""
+
+    def test_tpch_q5(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.plans.catalog import queries
+
+        q = queries()
+        assert_scale_safe(q["tpch_q5_local_supplier_volume"](spark, sf_dir))
+        assert_scale_safe(q["c1_permission_semi_join"](spark, sf_dir))
+
+    def test_knn_under_sanctioned_cartesian(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.plans.catalog import queries
+
+        df = queries()["c6_knn_topk"](spark, sf_dir)
+        assert_scale_safe(df, allow_cartesian=True)
+
+
+def test_codegen_detected_in_formatted_plans(spark):
+    # a plain aggregation runs inside codegen spans -> no finding; formatted
+    # mode marks spans with "[codegen id : N]", not "WholeStageCodegen"
+    df = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
+    assert "no_codegen" not in _checks(lint_plan(df))
