@@ -89,7 +89,10 @@ def _real_decode(payload: bytes) -> tuple[int, int, int, str]:
         from frappe_data_pipelines_spark.operators.jp2mini import jp2_decode
 
         w, h, comps = jp2_decode(payload)
-        return w, h, len(comps), f"image/jp2 {w}x{h}"
+        kind = {1: "gray", 3: "rgb"}.get(len(comps), f"{len(comps)}comp")
+        # third slot is the FRAME count (a still image is 1 frame); the
+        # component count rides in the caption like PNG's channel kind
+        return w, h, 1, f"image/jp2 {w}x{h} {kind}"
     raise ValueError("no stdlib decoder for this payload")
 
 

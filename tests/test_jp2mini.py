@@ -163,10 +163,10 @@ def test_multimodal_sniffs_jp2():
 
     rows = [bytes([0, 128, 255, 64])] * 4
     cs = jp2_encode_gray(rows, 1)
-    assert multimodal._real_decode(cs) == (4, 4, 1, "image/jp2 4x4")
+    assert multimodal._real_decode(cs) == (4, 4, 1, "image/jp2 4x4 gray")
     sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
     jp2c = struct.pack(">I", 8 + len(cs)) + b"jp2c" + cs
-    assert multimodal._real_decode(sig + jp2c) == (4, 4, 1, "image/jp2 4x4")
+    assert multimodal._real_decode(sig + jp2c) == (4, 4, 1, "image/jp2 4x4 gray")
 
 
 def test_jpx_fixture_pdf_ocrs_to_golden():
@@ -385,7 +385,8 @@ def test_multimodal_sniffs_color_jp2():
 
     comps = [[bytes([10, 20, 30, 40])] * 4 for _ in range(3)]
     cs = jp2_encode(comps, levels=1, irreversible=True, step=1.0)
-    assert multimodal._real_decode(cs) == (4, 4, 3, "image/jp2 4x4")
+    # one FRAME (still image); the component count rides in the caption
+    assert multimodal._real_decode(cs) == (4, 4, 1, "image/jp2 4x4 rgb")
 
 
 def test_malformed_qcd_raises_jp2error_not_struct_error():
