@@ -209,6 +209,93 @@ def lm_perplexity_buckets(
 
 
 
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_pred: Column,
+    out_pred: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (Moore & Lewis 2010,
+    "Intelligent Selection of Language Model Training Data", public): score
+    every document by H_in(d) - H_out(d) — its cross-entropy under a
+    unigram LM trained on the IN-DOMAIN slice (``in_pred``) minus the one
+    under a GENERAL LM (``out_pred``, default the complement) — and select
+    documents whose difference is below ``threshold``. Lower means "looks
+    like the target domain, not merely generically fluent": the classic
+    domain-adaptation data filter.
+
+    Spark-first shape, identical discipline to ``lm_perplexity_buckets``:
+    each LM is one word-count shuffle (map-side combined), both join the
+    SAME per-(doc, word) tf relation, add-one smoothing covers OOV, and
+    per-word log-probs are round(·,6) DECIMALs so the per-doc sums are
+    associative — hash-stable vs the DuckDB oracle under any partitioning.
+    At 100 TB cap each dictionary by frequency or hash-bucket it (the DSIR
+    trick); everything else already scales — no window, no collect.
+
+    Returns (id, n_tokens, lm_in, lm_out, ce_diff, selected): lm_* are the
+    average token log-probs (H = -lm), ce_diff = round(lm_out - lm_in, 6),
+    selected = ce_diff < threshold.
+    """
+    if out_pred is None:
+        out_pred = ~in_pred
+    toks = tokens_expr(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+    def _lm(pred: Column, out_name: str) -> DataFrame:
+        ids = docs.filter(pred).select(id_col)
+        counts = (
+            tf.join(F.broadcast(ids), id_col, "left_semi")
+            .groupBy("w")
+            .agg(F.sum("tf").alias("c"))
+        )
+        stats = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+        scored = counts.crossJoin(F.broadcast(stats)).select(
+            "w",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+        oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))), 6).cast(
+            "decimal(18,6)"
+        )
+        return (
+            tf.join(scored, "w", "left")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                id_col,
+                "tf",
+                F.coalesce(F.col("lp"), oov).alias("lp"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.sum("tf").cast("bigint").alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp"))
+                    .cast("double") / F.sum("tf"),
+                    6,
+                ).alias(out_name),
+            )
+        )
+
+    lm_in = _lm(in_pred, "lm_in")
+    lm_out = _lm(out_pred, "lm_out").drop("n_tokens")
+    diff = F.round(F.col("lm_out") - F.col("lm_in"), 6)
+    return (
+        lm_in.join(lm_out, id_col)
+        .select(
+            id_col, "n_tokens", "lm_in", "lm_out",
+            diff.alias("ce_diff"),
+            (diff < F.lit(threshold)).alias("selected"),
+        )
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget_tokens: int,

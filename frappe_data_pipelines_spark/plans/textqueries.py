@@ -1413,6 +1413,69 @@ def lm_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy-difference selection (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_ML_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+    ), words AS (
+      SELECT doc_id, lang, unnest(t) AS w FROM toks WHERE len(t) > 0
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words GROUP BY 1, 2
+    ), ref_in AS (
+      SELECT tf.w, SUM(tf.tf) AS c
+      FROM tf JOIN (SELECT doc_id FROM documents WHERE lang = 'en') r USING (doc_id)
+      GROUP BY tf.w
+    ), st_in AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM ref_in),
+    ref_out AS (
+      SELECT tf.w, SUM(tf.tf) AS c
+      FROM tf JOIN (SELECT doc_id FROM documents WHERE lang <> 'en') r USING (doc_id)
+      GROUP BY tf.w
+    ), st_out AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM ref_out),
+    d_in AS (
+      SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+               CAST(round(ln((COALESCE(ref_in.c, 0) + 1.0) / (st_in.n + st_in.v)), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS lm_in
+      FROM tf LEFT JOIN ref_in USING (w) CROSS JOIN st_in
+      GROUP BY tf.doc_id
+    ), d_out AS (
+      SELECT tf.doc_id,
+             round(CAST(SUM(CAST(tf AS DECIMAL(10,0)) *
+               CAST(round(ln((COALESCE(ref_out.c, 0) + 1.0) / (st_out.n + st_out.v)), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS lm_out
+      FROM tf LEFT JOIN ref_out USING (w) CROSS JOIN st_out
+      GROUP BY tf.doc_id
+    )
+    SELECT d_in.doc_id, n_tokens, lm_in, lm_out,
+           round(lm_out - lm_in, 6) AS ce_diff,
+           round(lm_out - lm_in, 6) < 0.0 AS selected
+    FROM d_in JOIN d_out ON d_in.doc_id = d_out.doc_id
+"""
+
+
+@register(
+    "moore_lewis_selection",
+    oracle=_ML_SQL,
+    tags=("data-selection", "quality", "extension"),
+)
+def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+    2010): unigram LMs word-counted from the English (in-domain) and
+    non-English (general) slices, every document scored by
+    H_in - H_out = lm_out - lm_in, selected when below 0 — the classic
+    domain-adaptation data filter, as three shuffles over one shared tf
+    relation. Complements DSIR (importance weights) and the CCNet
+    perplexity buckets in the selection toolbox."""
+    from frappe_data_pipelines_spark.operators.selection import moore_lewis_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return moore_lewis_scores(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
 # Corpus statistics: Zipf rank-frequency fit
 # ---------------------------------------------------------------------------
 

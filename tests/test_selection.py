@@ -119,3 +119,45 @@ class TestTokenBudget:
         # greedy maximality: the worst unkept doc cannot fit in the slack
         kept_min = sel.agg(F.min("score")).first()[0]
         assert kept_min is not None
+
+
+class TestMooreLewis:
+    def test_scores_and_selection_semantics(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            moore_lewis_scores,
+        )
+
+        rows = [
+            # in-domain docs speak "alpha beta"; general docs "gamma delta"
+            (1, "in", "alpha beta alpha beta"),
+            (2, "in", "alpha beta beta"),
+            (3, "out", "gamma delta gamma"),
+            (4, "out", "delta delta gamma"),
+            (5, "?", "alpha beta alpha"),   # looks in-domain
+            (6, "?", "gamma delta delta"),  # looks general
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, src string, text string")
+        got = {
+            r["doc_id"]: r
+            for r in moore_lewis_scores(docs, F.col("src") == "in").collect()
+        }
+        assert got[5]["ce_diff"] < 0 and got[5]["selected"]
+        assert got[6]["ce_diff"] > 0 and not got[6]["selected"]
+        # the training docs themselves score strongly toward their own LM
+        assert got[1]["ce_diff"] < got[3]["ce_diff"]
+        assert got[1]["n_tokens"] == 4
+
+    def test_explicit_general_pred(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            moore_lewis_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y"), (2, "b", "x z"), (3, "c", "y z")],
+            "doc_id long, src string, text string",
+        )
+        out = moore_lewis_scores(
+            docs, F.col("src") == "a", out_pred=F.col("src") == "c",
+            threshold=0.5,
+        ).collect()
+        assert len(out) == 3 and all(r["lm_in"] is not None for r in out)
