@@ -15,15 +15,16 @@ plan surface; this guards the Spark-first re-expression):
 * ``python_udf``     — BatchEvalPython: row-at-a-time Python UDFs
                        serialize row by row; Arrow-batched pandas UDFs
                        (ArrowEvalPython / mapInPandas) are the fast path.
-* ``global_sort``    — a global Sort that is NOT the TakeOrderedAndProject
-                       top-k pattern range-partitions the whole dataset;
-                       at 100 TB that is usually an accident.
+* ``global_sort``    — a global Sort range-partitions the whole dataset;
+                       at 100 TB that is usually an accident (the
+                       orderBy+limit top-k pattern compiles to
+                       TakeOrderedAndProject with no Sort node and passes).
+                       Codegen coverage is NOT linted: adaptive plans only
+                       assign codegen spans at execution, so it cannot be
+                       assessed from a pre-execution plan.
 * ``unpushed_filter``— a Filter sitting directly on a parquet scan whose
                        PushedFilters list is empty: the predicate is
                        evaluated post-scan instead of skipping row groups.
-* ``no_codegen``     — relational operators outside WholeStageCodegen
-                       spans (only flagged when the plan has codegen-able
-                       operators but no span at all).
 * ``many_shuffles``  — Exchange count above a threshold: each shuffle is a
                        full write+read of the stream; chained groupBys and
                        repartitions often collapse with better keys.
@@ -87,55 +88,56 @@ def lint_plan(
             "rewrite as built-in Column expressions or an Arrow-batched "
             "pandas_udf / mapInPandas",
         ))
-    # global Sort that is not the top-k TakeOrderedAndProject pattern.
-    # Formatted plans print one block per node: "(3) Sort" followed by an
-    # "Arguments: [keys], true, 0" line whose boolean is the GLOBAL flag —
-    # SortMergeJoin / window sorts are per-partition ("false") and pass.
-    if "TakeOrderedAndProject" not in p:
+    # global Sort nodes. orderBy(...).limit(k) compiles to
+    # TakeOrderedAndProject with NO Sort node at all, so ANY Sort block
+    # whose Arguments carry the global=true flag is a real full-dataset
+    # range partition; SortMergeJoin / window sorts are per-partition
+    # ("false") and pass. Checked per node block — a top-k on one branch
+    # does not exempt a global sort on another.
+    for block in re.split(r"\n(?=\(\d+\) )", p):
+        if re.match(r"\(\d+\) Sort\b", block) and re.search(
+            r"Arguments: \[[^\n]*\], true,", block
+        ):
+            findings.append(Finding(
+                "global_sort", "warn",
+                "global Sort — range-partitions the full dataset; for "
+                "top-k use orderBy(...).limit(k) (TakeOrderedAndProject), "
+                "for writes prefer sortWithinPartitions",
+            ))
+            break
+    # unpushed filters: a Filter whose CONDITION references columns that a
+    # parquet scan produced, while that scan carries no PushedFilters list
+    # (formatted mode omits the line entirely when nothing pushed).
+    # Post-aggregation/HAVING filters reference derived columns, not scan
+    # outputs, and pass.
+    unpushed_cols: set[str] = set()
+    for block in re.split(r"\n(?=\(\d+\) )", p):
+        # "no pushed predicates" = the line is absent or an empty list;
+        # a residual Filter over a scan that DID push (partial pushdown)
+        # is normal Spark behavior and not flagged
+        if re.match(r"\(\d+\) Scan parquet\b", block) and not re.search(
+            r"PushedFilters: \[(?!\])", block
+        ):
+            out_line = re.search(r"Output \[\d+\]: \[([^\n]*)\]", block)
+            if out_line:
+                unpushed_cols.update(re.findall(r"\w+#\d+", out_line.group(1)))
+    if unpushed_cols:
         for block in re.split(r"\n(?=\(\d+\) )", p):
-            if re.match(r"\(\d+\) Sort\b", block) and re.search(
-                r"Arguments: \[[^\n]*\], true,", block
-            ):
+            if not re.match(r"\(\d+\) Filter\b", block):
+                continue
+            cond = re.search(r"Condition : ([^\n]*)", block)
+            if cond and unpushed_cols & set(re.findall(r"\w+#\d+", cond.group(1))):
                 findings.append(Finding(
-                    "global_sort", "warn",
-                    "global Sort without a following limit — "
-                    "range-partitions the full dataset; for top-k use "
-                    "orderBy(...).limit(k) (TakeOrderedAndProject), for "
-                    "writes prefer sortWithinPartitions",
+                    "unpushed_filter", "warn",
+                    "a Filter references columns of a parquet scan that "
+                    "carries no pushed predicates — check the predicate is "
+                    "deterministic, non-UDF, and directly on scan columns "
+                    "so row groups can be skipped",
                 ))
                 break
-    # unpushed filters: the plan filters rows over a parquet scan, yet NO
-    # scan carries a PushedFilters list (formatted mode omits the line
-    # entirely when nothing pushed). Heuristic: a plan mixing pushed and
-    # unpushed scans passes — the per-query audit tool covers those.
-    if (
-        "Scan parquet" in p
-        and re.search(r"\(\d+\) Filter\b", p)
-        and "PushedFilters: [" not in p
-    ):
-        findings.append(Finding(
-            "unpushed_filter", "warn",
-            "the plan filters rows over a parquet scan but no scan carries "
-            "pushed filters — check the predicate is deterministic, "
-            "non-UDF, and on scan columns so row groups can be skipped",
-        ))
-    # codegen spans are only assigned once AQE finalizes the plan, so the
-    # check is meaningful only for non-adaptive (or executed) plans —
-    # adaptive pre-execution plans print neither marker and must not be
-    # flagged
-    relational = any(op in p for op in ("HashAggregate", "Project", "Filter"))
-    if (
-        relational
-        and "AdaptiveSparkPlan" not in p
-        and "codegen id" not in p
-        and "WholeStageCodegen" not in p
-    ):
-        findings.append(Finding(
-            "no_codegen", "warn",
-            "no WholeStageCodegen span in a relational plan — UDFs or "
-            "unsupported expressions are forcing interpreted evaluation",
-        ))
-    n_exchange = p.count("Exchange")
+    # count shuffle NODES exactly: formatted plans print "(n) Exchange" once
+    # per node block; BroadcastExchange / ReusedExchange are not shuffles
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", p))
     if n_exchange > max_shuffles:
         findings.append(Finding(
             "many_shuffles", "info",

@@ -126,6 +126,74 @@ def dsir_select(
     )
 
 
+def _doc_term_freq(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, word) term frequencies — the relation every unigram-LM
+    scorer here joins against."""
+    toks = tokens_expr(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def _unigram_lm_scores(
+    tf: DataFrame,
+    docs: DataFrame,
+    pred: Column,
+    id_col: str,
+    score_name: str,
+    what: str,
+) -> DataFrame:
+    """Average token log-probability per document under a unigram LM
+    word-counted from the ``pred`` slice, with add-one smoothing for OOV.
+    THE one home of the determinism discipline: per-word log-probs are
+    round(·,6) DECIMALs so per-doc sums are associative under any
+    partitioning — hash-stable vs the DuckDB oracles. No broadcast hints:
+    a slice can be most of the corpus (Moore-Lewis' general LM), so join
+    strategy is left to AQE's runtime sizes. Raises when the slice is
+    empty — an empty training slice would otherwise propagate NULL scores
+    to every row."""
+    ids = docs.filter(pred).select(id_col)
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    if not collect_bounded(ids.limit(1), 2, f"{what} slice probe"):
+        raise ValueError(
+            f"{what} matches no documents — cannot train its unigram LM"
+        )
+    counts = (
+        tf.join(ids, id_col, "left_semi")
+        .groupBy("w")
+        .agg(F.sum("tf").alias("c"))
+    )
+    stats = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    scored = counts.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tf.join(scored, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "tf", F.coalesce(F.col("lp"), oov).alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            # divide as DOUBLE on both engines: decimal-division scale
+            # rules differ between Spark and DuckDB at the last digit
+            F.round(
+                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp"))
+                .cast("double") / F.sum("tf"),
+                6,
+            ).alias(score_name),
+        )
+    )
+
+
 def lm_perplexity_buckets(
     docs: DataFrame,
     ref_pred: Column,
@@ -153,49 +221,9 @@ def lm_perplexity_buckets(
     window."""
     from pyspark.sql.window import Window
 
-    toks = tokens_expr(F.col(text_col))
-    tf = (
-        docs.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    ref_ids = docs.filter(ref_pred).select(id_col)
-    dict_counts = (
-        tf.join(F.broadcast(ref_ids), id_col, "left_semi")
-        .groupBy("w")
-        .agg(F.sum("tf").alias("c"))
-    )
-    stats = dict_counts.agg(
-        F.sum("c").alias("n_ref"), F.count("*").alias("v")
-    )
-    scored_dict = dict_counts.crossJoin(F.broadcast(stats)).select(
-        "w",
-        F.round(F.log((F.col("c") + 1.0) / (F.col("n_ref") + F.col("v"))), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
-    oov = F.round(
-        F.log(1.0 / (F.col("n_ref") + F.col("v"))), 6
-    ).cast("decimal(18,6)")
-    per_doc = (
-        tf.join(scored_dict, "w", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col,
-            "tf",
-            F.coalesce(F.col("lp"), oov).alias("lp"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens"),
-            # divide as DOUBLE on both engines: decimal-division scale
-            # rules differ between Spark and DuckDB at the last digit
-            F.round(
-                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp")).cast("double")
-                / F.sum("tf"),
-                6,
-            ).alias("lm_score"),
-        )
+    tf = _doc_term_freq(docs, id_col, text_col)
+    per_doc = _unigram_lm_scores(
+        tf, docs, ref_pred, id_col, "lm_score", "ref_pred"
     )
     w = Window.orderBy(F.col("lm_score").desc(), F.col(id_col).asc())
     labels = {1: "head", 2: "middle", 3: "tail"}
@@ -226,13 +254,15 @@ def moore_lewis_scores(
     like the target domain, not merely generically fluent": the classic
     domain-adaptation data filter.
 
-    Spark-first shape, identical discipline to ``lm_perplexity_buckets``:
-    each LM is one word-count shuffle (map-side combined), both join the
-    SAME per-(doc, word) tf relation, add-one smoothing covers OOV, and
-    per-word log-probs are round(·,6) DECIMALs so the per-doc sums are
-    associative — hash-stable vs the DuckDB oracle under any partitioning.
-    At 100 TB cap each dictionary by frequency or hash-bucket it (the DSIR
-    trick); everything else already scales — no window, no collect.
+    Spark-first shape: both LMs are word-count shuffles joining the SAME
+    per-(doc, word) tf relation through ``_unigram_lm_scores`` (shared
+    with ``lm_perplexity_buckets`` — one home for the round(·,6) DECIMAL
+    determinism discipline and the add-one OOV smoothing). No broadcast
+    hints anywhere: the general slice is typically most of the corpus, so
+    join strategies are AQE's call. Empty slices raise instead of
+    propagating NULL scores. At 100 TB cap each dictionary by frequency
+    or hash-bucket it (the DSIR trick); everything else already scales —
+    no window, no unbounded collect.
 
     Returns (id, n_tokens, lm_in, lm_out, ce_diff, selected): lm_* are the
     average token log-probs (H = -lm), ce_diff = round(lm_out - lm_in, 6),
@@ -240,51 +270,11 @@ def moore_lewis_scores(
     """
     if out_pred is None:
         out_pred = ~in_pred
-    toks = tokens_expr(F.col(text_col))
-    tf = (
-        docs.select(F.col(id_col), F.explode(toks).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-
-    def _lm(pred: Column, out_name: str) -> DataFrame:
-        ids = docs.filter(pred).select(id_col)
-        counts = (
-            tf.join(F.broadcast(ids), id_col, "left_semi")
-            .groupBy("w")
-            .agg(F.sum("tf").alias("c"))
-        )
-        stats = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
-        scored = counts.crossJoin(F.broadcast(stats)).select(
-            "w",
-            F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))), 6)
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
-        oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))), 6).cast(
-            "decimal(18,6)"
-        )
-        return (
-            tf.join(scored, "w", "left")
-            .crossJoin(F.broadcast(stats))
-            .select(
-                id_col,
-                "tf",
-                F.coalesce(F.col("lp"), oov).alias("lp"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.sum("tf").cast("bigint").alias("n_tokens"),
-                F.round(
-                    F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp"))
-                    .cast("double") / F.sum("tf"),
-                    6,
-                ).alias(out_name),
-            )
-        )
-
-    lm_in = _lm(in_pred, "lm_in")
-    lm_out = _lm(out_pred, "lm_out").drop("n_tokens")
+    tf = _doc_term_freq(docs, id_col, text_col)
+    lm_in = _unigram_lm_scores(tf, docs, in_pred, id_col, "lm_in", "in_pred")
+    lm_out = _unigram_lm_scores(
+        tf, docs, out_pred, id_col, "lm_out", "out_pred"
+    ).drop("n_tokens")
     diff = F.round(F.col("lm_out") - F.col("lm_in"), 6)
     return (
         lm_in.join(lm_out, id_col)

@@ -74,30 +74,76 @@ class TestSmells:
         good = spark.read.parquet(path).filter(F.col("grp") == 3)
         assert "unpushed_filter" not in _checks(lint_plan(good))
 
-    def test_unpushed_filter_flagged_on_udf_predicate(self, spark, tmp_path):
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
+    def test_unpushed_filter_flagged_on_unpushable_predicate(self, spark, tmp_path):
         path = str(tmp_path / "t2")
         spark.range(100).write.parquet(path)
-
-        @pandas_udf("boolean")
-        def pred(v: pd.Series) -> pd.Series:
-            return v % 7 == 3
-
-        bad = spark.read.parquet(path).filter(pred("id"))
+        # null-tolerant arithmetic predicates yield NO pushed filters (not
+        # even an inferred IsNotNull), while the Filter sits on the scan's
+        # column — the shape the warn exists for
+        bad = spark.read.parquet(path).filter(
+            F.coalesce(F.col("id"), F.lit(0)) % 7 == 3
+        )
         assert "unpushed_filter" in _checks(lint_plan(bad))
 
+    def test_partial_pushdown_residual_not_flagged(self, spark, tmp_path):
+        # Spark keeps a residual Filter even when it pushed predicates —
+        # a scan with ANY pushed filter passes
+        path = str(tmp_path / "t2b")
+        spark.range(100).write.parquet(path)
+        ok = spark.read.parquet(path).filter((F.col("id") % 7) == 3)
+        assert "unpushed_filter" not in _checks(lint_plan(ok))
+
+    def test_post_aggregation_filter_not_flagged(self, spark, tmp_path):
+        # a HAVING-style filter on an aggregate output can never push to the
+        # scan — must NOT be reported (review regression)
+        path = str(tmp_path / "t3")
+        spark.range(100).select(
+            "id", (F.col("id") % 5).alias("g")
+        ).write.parquet(path)
+        df = (
+            spark.read.parquet(path)
+            .groupBy("g").count()
+            .filter(F.col("count") > 5)
+        )
+        assert "unpushed_filter" not in _checks(lint_plan(df))
+
     def test_many_shuffles_info(self, spark):
-        df = spark.range(1000).select("id", (F.col("id") % 10).alias("k"))
-        for i in range(4):
-            df = df.repartition(8, F.col("id") + i)
-        df = df.groupBy("k").count()
-        findings = lint_plan(df, max_shuffles=3)
+        # adjacent repartitions collapse; a repartition on one key followed
+        # by a groupBy on another leaves two REAL shuffles
+        df = (
+            spark.range(1000)
+            .select("id", (F.col("id") % 10).alias("k"))
+            .repartition(8, "id")
+            .groupBy("k")
+            .count()
+        )
+        findings = lint_plan(df, max_shuffles=1)
         assert "many_shuffles" in _checks(findings)
         assert all(
             f.severity == "info" for f in findings if f.check == "many_shuffles"
         )
+
+    def test_shuffle_count_is_node_exact(self, spark):
+        # one real shuffle: the count must be 1 (not doubled by the details
+        # section), and a broadcast join must contribute 0 (review regression)
+        one = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
+        assert "many_shuffles" not in _checks(lint_plan(one, max_shuffles=1))
+        dim = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("n"))
+        joined = (
+            spark.range(1000).select((F.col("id") % 5).alias("k"))
+            .join(F.broadcast(dim), "k")
+        )
+        assert "many_shuffles" not in _checks(lint_plan(joined, max_shuffles=0))
+
+    def test_global_sort_on_one_branch_not_exempted_by_topk(self, spark):
+        # a top-k subquery on one branch must not hide a genuine global
+        # sort on another (review regression)
+        base = spark.range(100).select("id", (F.col("id") % 7).alias("s"))
+        topk = base.orderBy(F.col("s").desc()).limit(5).select(
+            F.col("id").alias("tid")
+        )
+        df = base.join(topk, base.id == topk.tid, "left").orderBy("s")
+        assert "global_sort" in _checks(lint_plan(df))
 
     def test_clean_aggregation_passes(self, spark):
         df = (
@@ -129,9 +175,3 @@ class TestEngineQueriesAreCleanByLint:
         df = queries()["c6_knn_topk"](spark, sf_dir)
         assert_scale_safe(df, allow_cartesian=True)
 
-
-def test_codegen_detected_in_formatted_plans(spark):
-    # a plain aggregation runs inside codegen spans -> no finding; formatted
-    # mode marks spans with "[codegen id : N]", not "WholeStageCodegen"
-    df = spark.range(100).groupBy((F.col("id") % 3).alias("k")).count()
-    assert "no_codegen" not in _checks(lint_plan(df))

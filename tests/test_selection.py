@@ -1,5 +1,6 @@
 """DSIR importance weighting (operators/selection.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from frappe_data_pipelines_spark.operators.selection import dsir_select, dsir_weights
@@ -161,3 +162,14 @@ class TestMooreLewis:
             threshold=0.5,
         ).collect()
         assert len(out) == 3 and all(r["lm_in"] is not None for r in out)
+
+    def test_empty_slice_raises(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            moore_lewis_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y")], "doc_id long, src string, text string"
+        )
+        with pytest.raises(ValueError, match="in_pred matches no documents"):
+            moore_lewis_scores(docs, F.col("src") == "nope").collect()
