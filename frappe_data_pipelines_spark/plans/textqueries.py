@@ -601,6 +601,79 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_funnel_accounting",
+    oracle=f"""
+    WITH p AS (
+      SELECT regexp_matches(text, '[a-zA-Z]')
+               AND NOT regexp_matches(text, '[{chr(0x0600)}-{chr(0x06FF)}{chr(0x4E00)}-{chr(0x9FFF)}]') AS p1,
+             n_chars BETWEEN 100 AND 100000 AS p2,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               <= length(text) * 0.2 AS p3,
+             len(list_filter({_SQL_TOKS}, t -> list_contains({_SQL_SW}, t)))
+               * 10 >= len({_SQL_TOKS}) AS p4
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+      FROM p
+    )
+    SELECT 0 AS stage, 'input' AS rule, s0 AS n_pass,
+           CAST(0 AS BIGINT) AS n_dropped_here FROM agg
+    UNION ALL SELECT 1, 'latin_script', s1, s0 - s1 FROM agg
+    UNION ALL SELECT 2, 'length_bounds', s2, s1 - s2 FROM agg
+    UNION ALL SELECT 3, 'punct_ratio', s3, s2 - s3 FROM agg
+    UNION ALL SELECT 4, 'stopword_ratio', s4, s3 - s4 FROM agg
+    """,
+    tags=("text-analysis", "quality", "extension"),
+)
+def quality_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style filter-cascade accounting: the corpus_quality_filter
+    rules applied CUMULATIVELY, one row per stage with survivors and
+    per-stage drops — the report a corpus curator reads before shipping a
+    filter change. ONE scan, one 5-counter aggregate (conditional sums
+    combine map-side), then a 5-row reshape — nothing here grows with
+    corpus size, so the query is scale-free beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(
+        F.lit(STOPWORDS).cast("array<string>"), t)))
+    punct_len = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9\\s]", ""))
+    p1 = F.col("text").rlike("[a-zA-Z]") & ~F.col("text").rlike("[؀-ۿ一-鿿]")
+    p2 = F.col("n_chars").between(100, 100000)
+    p3 = punct_len <= F.length("text") * 0.2
+    p4 = n_stop * 10 >= n_toks
+    one = F.lit(1)
+    agg = docs.agg(
+        F.count("*").cast("bigint").alias("s0"),
+        F.sum(F.when(p1, one).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(p1 & p2, one).otherwise(0)).cast("bigint").alias("s2"),
+        F.sum(F.when(p1 & p2 & p3, one).otherwise(0)).cast("bigint").alias("s3"),
+        F.sum(F.when(p1 & p2 & p3 & p4, one).otherwise(0)).cast("bigint").alias("s4"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return agg.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("input").alias("rule"),
+                 F.col("s0").alias("n_pass"), zero.alias("n_dropped_here")),
+        F.struct(F.lit(1).alias("stage"), F.lit("latin_script").alias("rule"),
+                 F.col("s1").alias("n_pass"),
+                 (F.col("s0") - F.col("s1")).alias("n_dropped_here")),
+        F.struct(F.lit(2).alias("stage"), F.lit("length_bounds").alias("rule"),
+                 F.col("s2").alias("n_pass"),
+                 (F.col("s1") - F.col("s2")).alias("n_dropped_here")),
+        F.struct(F.lit(3).alias("stage"), F.lit("punct_ratio").alias("rule"),
+                 F.col("s3").alias("n_pass"),
+                 (F.col("s2") - F.col("s3")).alias("n_dropped_here")),
+        F.struct(F.lit(4).alias("stage"), F.lit("stopword_ratio").alias("rule"),
+                 F.col("s4").alias("n_pass"),
+                 (F.col("s3") - F.col("s4")).alias("n_dropped_here")),
+    )).alias("r")).select("r.stage", "r.rule", "r.n_pass", "r.n_dropped_here")
+
+
+@register(
     "text_bpe_token_estimate",
     oracle="""
     SELECT doc_id,
