@@ -286,6 +286,121 @@ def moore_lewis_scores(
     )
 
 
+def kneser_ney_bigram_scores(
+    docs: DataFrame,
+    ref_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    interpolated form of Chen & Goodman 1998, public). CCNet's production
+    quality filter is a KenLM n-gram model with modified KN smoothing
+    (Wenzek et al. 2020; Heafield 2011); this is the canonical bigram
+    member of that family, trained distributed and scored distributed:
+
+        P(w|u)      = (max(c(u,w) - D, 0) + D * N1+(u*) * Pcont(w)) / c(u)
+        Pcont(w)    = (N1+(*w) + 1) / (B + V + 1)     [add-one for OOV]
+        unseen u    → P(w|u) = Pcont(w)
+
+    with c(u,w) bigram counts from the reference slice (``ref_pred``),
+    N1+(u*) the context fertility (distinct continuations of u), N1+(*w)
+    the continuation count (distinct contexts preceding w), B the number
+    of distinct bigram types and V the continuation vocabulary. The
+    KN insight — score a word by how many contexts it FOLLOWS, not how
+    often it occurs — is what kills repeated-boilerplate corpora that
+    fool plain frequency LMs ("San Francisco" inflating "Francisco").
+
+    Spark-first shape: training is three groupBy aggregates over one
+    bigram relation (all map-side combined, one shuffle each, keyed by
+    u / w / (u,w)); scoring is three left joins of the per-(doc,u,w) tf
+    relation against those dictionaries plus one broadcast stats row.
+    No broadcast hints on the dictionaries — the reference slice can be
+    most of the corpus, so sizes are AQE's call. Per-transition log-probs
+    are round(·,6) DECIMALs so per-doc sums are associative under any
+    partitioning — hash-stable vs the DuckDB oracle (the discipline of
+    ``_unigram_lm_scores``). At 100 TB the bigram dictionary is the
+    memory term: cap it by count pruning (c(u,w) >= k) or hash-bucketing
+    (the DSIR trick) — the plan shape is unchanged.
+
+    Returns (id, n_transitions BIGINT, kn_score DOUBLE) over documents
+    with >= 2 tokens; kn_score is the average transition log-prob
+    (perplexity = exp(-kn_score)).
+    """
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    toks = tokens_expr(F.col(text_col))
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
+    )
+    base = docs.select(
+        F.col(id_col), ref_pred.alias("is_ref"), pairs.alias("ps")
+    ).filter(F.size("ps") > 0)
+    tfb = (
+        base.select(id_col, "is_ref", F.explode("ps").alias("p"))
+        .select(id_col, "is_ref", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
+        .groupBy(id_col, "is_ref", "u", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    bi = (
+        tfb.filter("is_ref")
+        .groupBy("u", "w")
+        .agg(F.sum("tf").cast("bigint").alias("c"))
+    )
+    if not collect_bounded(bi.limit(1), 2, "KN reference-slice probe"):
+        raise ValueError(
+            "ref_pred yields no bigrams — cannot train the Kneser-Ney LM"
+        )
+    ctx = bi.groupBy("u").agg(
+        F.sum("c").cast("bigint").alias("c_u"),
+        F.count("*").cast("bigint").alias("n1p_u"),
+    )
+    cont = bi.groupBy("w").agg(F.count("*").cast("bigint").alias("n1p_w"))
+    stats = bi.agg(F.count("*").alias("b")).crossJoin(
+        cont.agg(F.count("*").alias("v"))
+    )
+    d = F.lit(float(discount))
+    scored = (
+        tfb.join(bi, ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "pcont",
+            (F.coalesce("n1p_w", F.lit(0)) + F.lit(1.0))
+            / (F.col("b") + F.col("v") + F.lit(1.0)),
+        )
+        .withColumn(
+            "p",
+            F.when(
+                F.coalesce("c_u", F.lit(0)) > 0,
+                (
+                    F.greatest(
+                        F.coalesce("c", F.lit(0)).cast("double") - d, F.lit(0.0)
+                    )
+                    + d * F.col("n1p_u") * F.col("pcont")
+                )
+                / F.col("c_u"),
+            ).otherwise(F.col("pcont")),
+        )
+        .select(
+            id_col,
+            "tf",
+            F.round(F.log("p"), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp")).cast("double")
+            / F.sum("tf"),
+            6,
+        ).alias("kn_score"),
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget_tokens: int,

@@ -1549,6 +1549,77 @@ def moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_KN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> struct_pack(u := t[i], w := t[i+1]))) AS p
+      FROM toks WHERE len(t) >= 2
+    ), tfb AS (
+      SELECT doc_id, lang, p.u AS u, p.w AS w, CAST(count(*) AS BIGINT) AS tf
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ), bi AS (
+      SELECT u, w, CAST(SUM(tf) AS BIGINT) AS c
+      FROM tfb WHERE lang = 'en' GROUP BY u, w
+    ), ctx AS (
+      SELECT u, CAST(SUM(c) AS BIGINT) AS c_u, CAST(COUNT(*) AS BIGINT) AS n1p_u
+      FROM bi GROUP BY u
+    ), cont AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bi GROUP BY w
+    ), st AS (
+      SELECT (SELECT COUNT(*) FROM bi) AS b, (SELECT COUNT(*) FROM cont) AS v
+    ), scored AS (
+      SELECT doc_id, tf,
+             CAST(round(ln(CASE WHEN COALESCE(c_u, 0) > 0
+               THEN (greatest(CAST(COALESCE(c, 0) AS DOUBLE) - 0.75, 0.0)
+                     + 0.75 * n1p_u * ((COALESCE(n1p_w, 0) + 1.0) / (b + v + 1.0)))
+                    / c_u
+               ELSE (COALESCE(n1p_w, 0) + 1.0) / (b + v + 1.0) END), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tfb
+      LEFT JOIN bi USING (u, w)
+      LEFT JOIN ctx USING (u)
+      LEFT JOIN cont USING (w)
+      CROSS JOIN st
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+           round(CAST(SUM(CAST(tf AS DECIMAL(10,0)) * lp) AS DOUBLE) / SUM(tf), 6)
+             AS kn_score
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle=_KN_SQL,
+    tags=("data-selection", "quality", "extension"),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality scoring (Kneser & Ney
+    1995 / Chen & Goodman 1998): the canonical bigram member of the
+    modified-KN family that CCNet's production KenLM filter uses
+    (Wenzek et al. 2020; Heafield 2011). Trains on the English slice —
+    absolute-discount bigram probabilities interpolated with the
+    continuation distribution ("how many contexts does w follow"), the
+    statistic that defeats repeated-boilerplate corpora fooling plain
+    frequency LMs — and scores every document's average transition
+    log-prob. Three word-count shuffles to train, three dictionary
+    joins to score; round(·,6) DECIMAL transition terms keep the
+    per-doc sum associative and hash-stable vs the oracle."""
+    from frappe_data_pipelines_spark.operators.selection import (
+        kneser_ney_bigram_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kneser_ney_bigram_scores(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
 # Corpus statistics: Zipf rank-frequency fit
 # ---------------------------------------------------------------------------
 

@@ -173,3 +173,73 @@ class TestMooreLewis:
         )
         with pytest.raises(ValueError, match="in_pred matches no documents"):
             moore_lewis_scores(docs, F.col("src") == "nope").collect()
+
+
+class TestKneserNey:
+    def test_continuation_beats_raw_frequency(self, spark):
+        """The KN signature: a word seen in MANY contexts gets a higher
+        backoff probability after a novel context than a word seen more
+        often but always in the SAME context ('san francisco')."""
+        from frappe_data_pipelines_spark.operators.selection import (
+            kneser_ney_bigram_scores,
+        )
+
+        rows = [
+            # training slice: 'francisco' occurs 4x, always after 'san';
+            # 'city' occurs 3x after three DIFFERENT contexts
+            (1, True, "san francisco san francisco san francisco san francisco"),
+            (2, True, "big city small city old city"),
+            # probes share the novel context 'the' → both back off; KN
+            # must favor the many-context word
+            (3, False, "the city"),
+            (4, False, "the francisco"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, ref boolean, text string")
+        got = {
+            r["doc_id"]: r["kn_score"]
+            for r in kneser_ney_bigram_scores(docs, F.col("ref")).collect()
+        }
+        assert got[3] > got[4]
+
+    def test_in_domain_scores_higher_and_covers_docs(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.selection import (
+            kneser_ney_bigram_scores,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = kneser_ney_bigram_scores(docs, F.col("lang") == "en")
+        joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+        means = {
+            r["is_en"]: r["m"]
+            for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg("kn_score").alias("m"))
+            .collect()
+        }
+        assert means[True] > means[False]
+        # every document with >= 2 tokens is scored exactly once
+        n_multi = docs.filter(
+            F.size(F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != "")) >= 2
+        ).count()
+        assert out.count() == n_multi
+        assert out.filter(F.col("kn_score").isNull()).count() == 0
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.selection import (
+            kneser_ney_bigram_scores,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = kneser_ney_bigram_scores(docs, F.col("lang") == "en")
+        b = kneser_ney_bigram_scores(docs.repartition(13), F.col("lang") == "en")
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_empty_reference_raises(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            kneser_ney_bigram_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y")], "doc_id long, src string, text string"
+        )
+        with pytest.raises(ValueError, match="no bigrams"):
+            kneser_ney_bigram_scores(docs, F.col("src") == "nope").collect()
