@@ -401,6 +401,93 @@ def kneser_ney_bigram_scores(
     )
 
 
+def unimax_language_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", public): allocate a total training-token budget across
+    languages by water-filling under a per-language epoch cap — every
+    language gets an equal share of the remaining budget unless its whole
+    corpus repeated ``max_epochs`` times is smaller, in which case it gets
+    exactly that cap and the surplus is redistributed. The fix for both
+    failure modes of temperature sampling: head languages can't swallow
+    the budget, tail languages can't be repeated into memorization.
+
+    The paper's greedy (smallest corpus first, equal share of what's
+    left) is exactly the water-filling solution, so it needs no loop:
+    with languages sorted by cap ascending, language i is saturated iff
+        cap_i * (n - i + 1) <= B - presum_i
+    (pure INTEGER arithmetic — cross-engine exact), and every
+    unsaturated language receives the common water level
+        theta = (B - sum(saturated caps)) / n_unsaturated.
+
+    Spark-first shape: ONE map-side-combined groupBy computes per-language
+    token counts; the windows after it run over one row per language (a
+    bounded relation at any corpus size — there are thousands of
+    languages, not billions), so the global sort the water-fill implies
+    is free. Returns one row per language: n_docs, n_tokens, cap_tokens,
+    budget_tokens (round 6), epochs (budget / corpus size, round 6).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.size(tokens_expr(F.col(text_col))).cast("bigint").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cap_tokens", (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("bigint"))
+    )
+    w = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
+    wall = Window.partitionBy(F.lit(1))
+    b = F.lit(int(total_budget))
+    ranked = (
+        counts.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "presum",
+            F.coalesce(
+                F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n", F.count("*").over(wall))
+        .withColumn(
+            "saturated",
+            F.col("cap_tokens") * (F.col("n") - F.col("i") + 1) <= b - F.col("presum"),
+        )
+    )
+    levels = ranked.withColumn(
+        "sat_sum",
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("cap_tokens"))).over(wall),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "n_unsat", F.sum(F.when(~F.col("saturated"), 1).otherwise(0)).over(wall)
+    )
+    budget = F.when(F.col("saturated"), F.col("cap_tokens").cast("double")).otherwise(
+        (b - F.col("sat_sum")).cast("double") / F.col("n_unsat")
+    )
+    return levels.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "cap_tokens",
+        F.round(budget, 6).alias("budget_tokens"),
+        F.round(budget / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget_tokens: int,

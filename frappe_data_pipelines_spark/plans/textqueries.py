@@ -1620,6 +1620,70 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# UniMax language-budget water-filling (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_SQL = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+      HAVING SUM(len({_SQL_TOKS})) > 0
+    ), capped AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(2 * n_tokens AS BIGINT) AS cap_tokens
+      FROM counts
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens ASC, lang ASC) AS i,
+             COALESCE(SUM(cap_tokens) OVER (
+               ORDER BY cap_tokens ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS presum,
+             COUNT(*) OVER () AS n
+      FROM capped
+    ), sat AS (
+      SELECT *, cap_tokens * (n - i + 1) <= 40000 - presum AS saturated
+      FROM ranked
+    ), lev AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN saturated THEN cap_tokens END) OVER (), 0)
+               AS sat_sum,
+             SUM(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS n_unsat
+      FROM sat
+    )
+    SELECT lang, n_docs, n_tokens, cap_tokens,
+           round(CASE WHEN saturated THEN CAST(cap_tokens AS DOUBLE)
+                      ELSE CAST(40000 - sat_sum AS DOUBLE) / n_unsat END, 6)
+             AS budget_tokens,
+           round((CASE WHEN saturated THEN CAST(cap_tokens AS DOUBLE)
+                       ELSE CAST(40000 - sat_sum AS DOUBLE) / n_unsat END)
+                 / n_tokens, 6) AS epochs
+    FROM lev
+"""
+
+
+@register(
+    "unimax_language_budgets",
+    oracle=_UNIMAX_SQL,
+    tags=("data-selection", "mixture", "extension"),
+)
+def unimax_language_budgets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): water-fill a
+    40k-token training budget across languages under a 2-epoch cap —
+    small corpora receive their full repeated size, the rest split the
+    remainder equally. The saturation predicate is pure integer
+    arithmetic (cap·remaining <= budget−prefix), so the allocation is
+    cross-engine exact; the only shuffle is the per-language token
+    count, after which every window runs over one row per language."""
+    from frappe_data_pipelines_spark.operators.selection import (
+        unimax_language_budgets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_language_budgets(docs, total_budget=40_000, max_epochs=2)
+
+
+# ---------------------------------------------------------------------------
 # Corpus statistics: Zipf rank-frequency fit
 # ---------------------------------------------------------------------------
 

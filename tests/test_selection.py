@@ -243,3 +243,59 @@ class TestKneserNey:
         )
         with pytest.raises(ValueError, match="no bigrams"):
             kneser_ney_bigram_scores(docs, F.col("src") == "nope").collect()
+
+
+class TestUniMax:
+    def test_known_water_fill(self, spark):
+        from frappe_data_pipelines_spark.operators.selection import (
+            unimax_language_budgets,
+        )
+
+        # caps (2 epochs): a=8, b=16, c=40; budget 40
+        # a saturated (8*3=24<=40), b saturated (16*2=32<=32), c gets 16
+        rows = [
+            (1, "a", "t1 t2 t3 t4"),
+            (2, "b", "t1 t2 t3 t4 t5 t6 t7 t8"),
+            (3, "c", " ".join(f"w{i}" for i in range(20))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r["lang"]: r
+            for r in unimax_language_budgets(docs, total_budget=40, max_epochs=2).collect()
+        }
+        assert got["a"]["budget_tokens"] == 8.0 and got["a"]["epochs"] == 2.0
+        assert got["b"]["budget_tokens"] == 16.0
+        assert got["c"]["budget_tokens"] == 16.0 and got["c"]["epochs"] == 0.8
+
+    def test_invariants_on_corpus(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.selection import (
+            unimax_language_budgets,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = unimax_language_budgets(docs, total_budget=40_000, max_epochs=2).collect()
+        total_caps = sum(r["cap_tokens"] for r in out)
+        spent = sum(r["budget_tokens"] for r in out)
+        # budget fully spent unless the whole corpus fits under the caps
+        assert abs(spent - min(40_000, total_caps)) < 1e-3
+        for r in out:
+            assert r["budget_tokens"] <= r["cap_tokens"] + 1e-9
+            assert r["epochs"] <= 2.0 + 1e-9
+        # water level property: every budget-capped language sits at a
+        # common level that is >= every saturated language's cap
+        unsat = [r["budget_tokens"] for r in out if r["budget_tokens"] < r["cap_tokens"]]
+        sat_caps = [r["cap_tokens"] for r in out if r["budget_tokens"] >= r["cap_tokens"]]
+        if unsat:
+            assert max(unsat) - min(unsat) < 1e-9
+            if sat_caps:
+                assert min(unsat) >= max(sat_caps) - 1e-9
+
+    def test_partition_invariant(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.selection import (
+            unimax_language_budgets,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        a = unimax_language_budgets(docs, 40_000)
+        b = unimax_language_budgets(docs.repartition(13), 40_000)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
