@@ -362,6 +362,25 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "kneser_ney_bigram_lm": [
+        # KN training/scoring is pure word-count joins: every aggregate
+        # partial-combines map-side; the only nested-loop join is the
+        # broadcast of the 1-row (B, V) stats; JVM-side throughout
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+        ("stats_broadcast_only_bnlj", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+    ],
+    "unimax_language_budgets": [
+        # one corpus-scale stage (the per-language token count, map-side
+        # combined); the water-fill windows run over one row per language
+        # behind a SinglePartition exchange, never a corpus-wide sort
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
