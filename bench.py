@@ -69,6 +69,9 @@ HEADLINE = [
     "heavy_hitters_cms",
     "approx_distinct_hll_registers",
     "priority_weighted_sample",
+    "kneser_ney_bigram_lm",
+    "unimax_language_budgets",
+    "image_dhash_neardup",
 ]
 
 

@@ -1,0 +1,307 @@
+"""Perceptual image hashing (dHash) + banded near-duplicate pairing.
+
+The training-data move this implements: a 100 TB multimodal corpus carries
+billions of images; exact byte-dedup misses re-encodes, brightness tweaks,
+and rescales. The standard cheap answer is a *difference hash* (dHash):
+decode → grayscale → area-average down to a 9×8 grid → 64 bits, one per
+adjacent-pixel comparison. Near-duplicates are then found WITHOUT an n²
+scan by splitting the 64 bits into 4 bands of 16 and bucket-joining on
+band equality (the Hamming-space analogue of MinHash-LSH banding): any
+pair within Hamming distance 6 agrees exactly on ≥1 band whenever the
+differing bits land in ≤3 bands, and the final Hamming filter makes the
+report exact for every surfaced pair.
+
+Everything pixel-side runs through the REAL stdlib codecs in
+``operators/imaging.py`` (PNG/BMP/GIF/TIFF decode), Arrow-batched via
+``mapInPandas``; the pair join is pure DataFrame ops (explode → shuffle on
+16-bit band keys → bit_count on JVM longs), so the scale path is one
+bounded shuffle, no cartesian anywhere.
+
+Reference parity: the reference's media surface stops at decode+describe
+(fdp/services/vision_service.py); image-level near-dup is part of this
+engine's beyond-reference training-pipeline surface, same family as
+operators/dedup.py's MinHash-LSH (text) — this is the pixel twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# dHash grid: 9 columns × 8 rows of grayscale means → 8×8 comparison bits.
+_GRID_W, _GRID_H = 9, 8
+
+
+def dhash_gray(width: int, height: int, channels: int, rows: list[bytes]) -> tuple[int, int]:
+    """64-bit dHash of decoded scanlines → two unsigned 32-bit halves.
+
+    Area-average downsample to the 9×8 grid (exact for images whose
+    dimensions are integer multiples of the grid — constant source blocks
+    average back to themselves), integer-luminance for multi-channel rows
+    (ITU-R 601 weights on a /1000 integer scale, so the kernel is
+    float-free and bit-reproducible everywhere). Bit (r, c) of the hash is
+    1 iff grid[r][c+1] > grid[r][c]; rows 0-3 fill ``hi``, rows 4-7 ``lo``,
+    bit index ``(r % 4) * 8 + c`` — both halves fit a BIGINT unsigned.
+    """
+    if width < _GRID_W or height < _GRID_H:
+        raise ValueError(f"image {width}x{height} smaller than dhash grid")
+    # integer luminance per pixel (value * 1000 scale keeps it exact)
+    lum: list[list[int]] = []
+    for row in rows:
+        vals = []
+        for x in range(width):
+            if channels == 1:
+                vals.append(row[x] * 1000)
+            else:
+                base = x * channels
+                r8, g8, b8 = row[base], row[base + 1], row[base + 2]
+                vals.append(299 * r8 + 587 * g8 + 114 * b8)
+        lum.append(vals)
+    # area-average: cell (gr, gc) covers source rows [gr*h//8, (gr+1)*h//8)
+    # and cols [gc*w//9, (gc+1)*w//9) — exact integer box sums, compared
+    # as cross-multiplied fractions so no float division enters the hash.
+    row_edges = [gr * height // _GRID_H for gr in range(_GRID_H + 1)]
+    col_edges = [gc * width // _GRID_W for gc in range(_GRID_W + 1)]
+    sums = [[0] * _GRID_W for _ in range(_GRID_H)]
+    areas = [[0] * _GRID_W for _ in range(_GRID_H)]
+    for gr in range(_GRID_H):
+        for gc in range(_GRID_W):
+            s = 0
+            for y in range(row_edges[gr], row_edges[gr + 1]):
+                lrow = lum[y]
+                for x in range(col_edges[gc], col_edges[gc + 1]):
+                    s += lrow[x]
+            sums[gr][gc] = s
+            areas[gr][gc] = (row_edges[gr + 1] - row_edges[gr]) * (
+                col_edges[gc + 1] - col_edges[gc]
+            )
+    hi = lo = 0
+    for gr in range(_GRID_H):
+        for gc in range(_GRID_W - 1):
+            # mean(right) > mean(left)  ⇔  sum_r * area_l > sum_l * area_r
+            if sums[gr][gc + 1] * areas[gr][gc] > sums[gr][gc] * areas[gr][gc + 1]:
+                bit = 1 << ((gr % 4) * 8 + gc)
+                if gr < 4:
+                    hi |= bit
+                else:
+                    lo |= bit
+    return hi, lo
+
+
+def dhash_payload(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, hi, lo) for any image the real codecs can read:
+    magic-sniffed PNG / BMP / GIF (first frame) / grayscale TIFF."""
+    from frappe_data_pipelines_spark.operators.imaging import (
+        bmp_decode,
+        gif_decode_first_frame,
+        png_decode,
+        tiff_decode_gray,
+    )
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, rows = png_decode(payload)
+    elif payload[:2] == b"BM":
+        w, h, rows = bmp_decode(payload)
+        ch = 1
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, rows = gif_decode_first_frame(payload)
+        ch = 1
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        w, h, rows = tiff_decode_gray(payload)
+        ch = 1
+    else:
+        raise ValueError("unsupported image format for dhash")
+    hi, lo = dhash_gray(w, h, ch, rows)
+    return w, h, hi, lo
+
+
+# ---------------------------------------------------------------------------
+# deterministic pattern corpus (the oracle-closed-form image generator)
+# ---------------------------------------------------------------------------
+#
+# pix(r, c) = (seed + (r·16 + c)·m + off) mod 256 over a 9×8 grid,
+# optionally magnified by an integer scale with constant scale×scale
+# blocks (so the area-average downsample reconstructs the grid EXACTLY).
+# The parameters are pure integer functions of doc_id:
+#
+#   g    = doc_id // 4                   (4 consecutive docs form a group)
+#   m    = 97 + 2·((g·7) mod 64)         (odd multiplicative stride)
+#   seed = (g·137) mod 251               (group base level)
+#   off  = (doc_id mod 4) · 4            (within-group brightness shift)
+#   scale= 1 + (doc_id mod 2) · 3        (1× or 4× magnification)
+#
+# The odd stride m ≥ 97 makes adjacent-pixel differences wrap mod 256
+# pseudo-uniformly, so the comparison bits are BALANCED (measured ≈36/64
+# ones, hottest 16-bit band bucket 35 docs at N=500) instead of the
+# all-ones hash a small additive step produces — the band join stays a
+# real LSH workload rather than one giant cluster. Within a group the
+# four docs share (seed, m) and differ only by a uniform +off brightness
+# shift — dHash compares ADJACENT pixels, so bits flip only where the
+# shift moves a comparison across the mod-256 wrap: genuine
+# near-duplicates with small Hamming distance. Because every pixel is
+# closed-form integer arithmetic, a SQL oracle reproduces the hashes
+# bit-for-bit — which pins the whole Spark path (real PNG encode → real
+# PNG decode → downsample → hash → band join) end to end.
+
+
+def _pattern_params(doc_id: int) -> tuple[int, int, int, int]:
+    g = doc_id // 4
+    m = 97 + 2 * ((g * 7) % 64)
+    seed = (g * 137) % 251
+    off = (doc_id % 4) * 4
+    scale = 1 + (doc_id % 2) * 3
+    return seed, m, off, scale
+
+
+def synth_pattern_png(doc_id: int) -> bytes:
+    """Real PNG bytes (grayscale, filter 0, zlib) of the pattern image."""
+    from frappe_data_pipelines_spark.operators.imaging import png_encode
+
+    seed, m, off, scale = _pattern_params(doc_id)
+    rows = []
+    for r in range(_GRID_H):
+        line = bytes(
+            (seed + (r * 16 + c) * m + off) % 256 for c in range(_GRID_W)
+        )
+        expanded = b"".join(bytes([v]) * scale for v in line)
+        rows.extend([expanded] * scale)
+    return png_encode(rows, color_type=0)
+
+
+def documents_as_pattern_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content BINARY) of real pattern PNGs — the image twin of
+    ``documents_as_wav``: real containers the codec must actually parse."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [synth_pattern_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=schema)
+    )
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("hash_error", T.StringType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:
+    """binary image column → (width, height, dhash_hi, dhash_lo) via the
+    real decoders; decode failures land in ``hash_error`` (totality — a
+    corrupt image must not kill a 100 TB scan)."""
+    import pandas as pd
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(bin_col).alias("content")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_DHASH_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    w, h, hi, lo = dhash_payload(bytes(payload))
+                    out["doc_id"].append(did)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+                    out["hash_error"].append(None)
+                except (ValueError, IndexError, EOFError) as exc:
+                    out["doc_id"].append(did)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["dhash_hi"].append(None)
+                    out["dhash_lo"].append(None)
+                    out["hash_error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded near-dup pairs: explode 4×16-bit bands → shuffle on
+    (band_index, band_value) → distinct candidate pairs → exact Hamming
+    filter on the JVM (``bit_count(hi⊕hi) + bit_count(lo⊕lo)``).
+
+    Scale shape: one shuffle keyed on 16-bit band values (bounded key
+    cardinality 4·65536 with corpus-proportional bucket sizes); no n² term.
+    Recall contract: a pair at Hamming ≤ max_hamming is surfaced whenever
+    its differing bits touch ≤ 3 of the 4 bands (guaranteed complete for
+    Hamming ≤ 3; the standard LSH-banding trade above that). Every
+    surfaced pair is EXACT — the final filter recomputes true distance.
+    """
+    h = hashes.where(F.col("dhash_hi").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "dhash_hi", "dhash_lo"
+    )
+    bands = h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.posexplode(
+            F.array(
+                F.col("dhash_lo") % 65536,
+                (F.col("dhash_lo") / 65536).cast("long"),
+                F.col("dhash_hi") % 65536,
+                (F.col("dhash_hi") / 65536).cast("long"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.alias("x")
+    right = bands.alias("y")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("x.band_idx") == F.col("y.band_idx"),
+                F.col("x.band_val") == F.col("y.band_val"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.dhash_hi").alias("hi_a"),
+            F.col("x.dhash_lo").alias("lo_a"),
+            F.col("y.dhash_hi").alias("hi_b"),
+            F.col("y.dhash_lo").alias("lo_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1440,3 +1440,126 @@ def provider_dead_letter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing / pixel-level near-dup (beyond-reference
+# training-pipeline surface; the pixel twin of dedup.py's MinHash-LSH)
+# ---------------------------------------------------------------------------
+
+# Closed-form dHash recompute shared by both image-hash oracles: the
+# pattern corpus (operators/imagehash.py) is pure integer arithmetic in
+# doc_id, so DuckDB rebuilds every 64-bit hash bit-for-bit — pinning the
+# whole Spark path (real PNG encode → real PNG decode → area-average
+# downsample → comparison bits → band join) end to end.
+_DHASH_HASHES_CTE = """
+    params AS (
+      SELECT doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64) AS m,
+             ((doc_id // 4) * 137) % 251         AS seed,
+             (doc_id % 4) * 4                    AS off,
+             1 + (doc_id % 2) * 3                AS scale
+      FROM documents
+    ),
+    bits AS (
+      SELECT p.doc_id, r.r, c.c,
+             CASE WHEN (p.seed + (r.r * 16 + c.c + 1) * p.m + p.off) % 256
+                     > (p.seed + (r.r * 16 + c.c) * p.m + p.off) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM params p, range(8) r(r), range(8) c(c)
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN r < 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN r >= 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "image_dhash_corpus",
+    oracle="WITH " + _DHASH_HASHES_CTE + """
+    SELECT p.doc_id,
+           CAST(9 * p.scale AS INT) AS width,
+           CAST(8 * p.scale AS INT) AS height,
+           h.dhash_hi, h.dhash_lo
+    FROM params p JOIN hashes h USING (doc_id)
+    """,
+    tags=("multimodal", "dedup", "A7"),
+)
+def image_dhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over a real-PNG corpus: every document becomes a
+    genuine PNG container (zlib, filter chain) whose pixels are closed-form
+    in doc_id, then the 64-bit difference hash is computed from the DECODED
+    scanlines — so a single bit disagreeing anywhere in encode, decode,
+    area-average, or luminance arithmetic fails the oracle. Beyond-reference
+    surface (the reference's media path stops at decode+describe,
+    fdp/services/vision_service.py); this is the image analogue of MinHash
+    document signatures."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_images,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    images = documents_as_pattern_images(docs)
+    return image_dhash(images).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "dhash_hi",
+        "dhash_lo",
+    )
+
+
+@register(
+    "image_dhash_neardup",
+    oracle="WITH " + _DHASH_HASHES_CTE + """,
+    bands AS (
+      SELECT doc_id, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN dhash_lo % 65536
+                      WHEN 1 THEN dhash_lo // 65536
+                      WHEN 2 THEN dhash_hi % 65536
+                      ELSE dhash_hi // 65536 END AS band_val,
+             dhash_hi, dhash_lo
+      FROM hashes, range(4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.dhash_hi AS hi_a, x.dhash_lo AS lo_a,
+             y.dhash_hi AS hi_b, y.dhash_lo AS lo_b
+      FROM bands x
+      JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+    """,
+    tags=("multimodal", "dedup", "C5"),
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level near-duplicate pairs via banded dHash LSH: 4×16-bit
+    bands → one bounded shuffle on band value → exact Hamming filter on
+    the JVM (``bit_count(hi⊕hi)+bit_count(lo⊕lo)``) — no n² term anywhere,
+    the Hamming-space analogue of MinHash-LSH banding. The oracle rebuilds
+    hashes closed-form AND re-runs the banding contract in SQL, so both
+    the recall rule (pair surfaced iff it agrees on ≥1 band) and the
+    exactness rule (every surfaced pair's distance is true) are pinned."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        dhash_neardup_pairs,
+        documents_as_pattern_images,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_dhash(documents_as_pattern_images(docs))
+    return dhash_neardup_pairs(hashes, max_hamming=6)

@@ -1,0 +1,150 @@
+"""Perceptual dHash + banded near-dup (operators/imagehash.py).
+
+Covers: pure-kernel determinism and geometry invariance, the closed-form
+pattern corpus contract (PNG encode → decode → hash equals integer
+arithmetic), banding recall vs a brute-force Hamming scan, decode-failure
+totality, and the within-group near-duplicate semantics the corpus is
+designed to exhibit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from frappe_data_pipelines_spark.operators.imagehash import (
+    _pattern_params,
+    dhash_gray,
+    dhash_payload,
+    documents_as_pattern_images,
+    image_dhash,
+    synth_pattern_png,
+)
+
+
+def _closed_form(doc_id: int) -> tuple[int, int]:
+    seed, m, off, _scale = _pattern_params(doc_id)
+
+    def pix(r: int, c: int) -> int:
+        return (seed + (r * 16 + c) * m + off) % 256
+
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            if pix(r, c + 1) > pix(r, c):
+                bit = 1 << ((r % 4) * 8 + c)
+                if r < 4:
+                    hi |= bit
+                else:
+                    lo |= bit
+    return hi, lo
+
+
+def _ham(a: tuple[int, int], b: tuple[int, int]) -> int:
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_pattern_png_roundtrip_matches_closed_form():
+    for doc_id in range(0, 300, 7):
+        png = synth_pattern_png(doc_id)
+        _seed, _m, _off, scale = _pattern_params(doc_id)
+        w, h, hi, lo = dhash_payload(png)
+        assert (w, h) == (9 * scale, 8 * scale)
+        assert (hi, lo) == _closed_form(doc_id), doc_id
+
+
+def test_dhash_scale_invariant():
+    # constant scale×scale blocks average back exactly → hash is identical
+    # at 1× and 4× magnification (doc 0 is 1×, doc 1 is 4× but different
+    # off — so compare the same doc rendered by hand at both scales)
+    for doc_id in (0, 4, 13):
+        seed, m, off, _ = _pattern_params(doc_id)
+        grids = []
+        for scale in (1, 4):
+            rows = []
+            for r in range(8):
+                line = bytes((seed + (r * 16 + c) * m + off) % 256 for c in range(9))
+                expanded = b"".join(bytes([v]) * scale for v in line)
+                rows.extend([expanded] * scale)
+            grids.append(dhash_gray(9 * scale, 8 * scale, 1, rows))
+        assert grids[0] == grids[1]
+
+
+def test_dhash_rgb_luminance_path():
+    # an RGB image with R=G=B=v hashes identically to the grayscale image
+    gray_rows = [bytes((r * 31 + c * 17) % 256 for c in range(9)) for r in range(8)]
+    rgb_rows = [b"".join(bytes([v, v, v]) for v in row) for row in gray_rows]
+    assert dhash_gray(9, 8, 1, gray_rows) == dhash_gray(9, 8, 3, rgb_rows)
+
+
+def test_dhash_rejects_tiny_images():
+    with pytest.raises(ValueError):
+        dhash_gray(4, 4, 1, [bytes(4)] * 4)
+    with pytest.raises(ValueError):
+        dhash_payload(b"\x00not-an-image")
+
+
+def test_within_group_docs_are_near_duplicates():
+    # four docs per group share (seed, m); +16 brightness steps flip only
+    # wrap-crossing comparisons — small but usually nonzero Hamming
+    close = far = 0
+    for g in range(40):
+        base = _closed_form(4 * g)
+        for v in range(1, 4):
+            d = _ham(base, _closed_form(4 * g + v))
+            if d <= 6:
+                close += 1
+            else:
+                far += 1
+    assert close >= 2 * far, (close, far)  # most in-group pairs are near-dups
+
+
+def test_spark_image_dhash_and_banded_pairs(spark):
+    n = 160
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    hashes = image_dhash(documents_as_pattern_images(docs))
+    rows = {r.doc_id: r for r in hashes.collect()}
+    assert len(rows) == n
+    assert all(r.hash_error is None for r in rows.values())
+    for doc_id in (0, 7, 63, 159):
+        assert (rows[doc_id].dhash_hi, rows[doc_id].dhash_lo) == _closed_form(doc_id)
+
+    from frappe_data_pipelines_spark.operators.imagehash import dhash_neardup_pairs
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_neardup_pairs(hashes, max_hamming=6).collect()
+    }
+    # brute-force reference: every surfaced pair must be exact, and every
+    # pair ≤6 that agrees on ≥1 band must be surfaced (the banding contract)
+    hs = {d: _closed_form(d) for d in range(n)}
+
+    def bands(h: tuple[int, int]) -> list[int]:
+        hi, lo = h
+        return [lo % 65536, lo >> 16, hi % 65536, hi >> 16]
+
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            d = _ham(hs[a], hs[b])
+            if d <= 6 and any(x == y for x, y in zip(bands(hs[a]), bands(hs[b]))):
+                expected[(a, b)] = d
+    assert got == expected
+    assert expected, "corpus produced no near-dup pairs — degenerate fixture"
+
+
+def test_decode_failure_totality(spark):
+    import pyspark.sql.functions as F
+
+    good = synth_pattern_png(5)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")), (3, bytearray(b""))],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in image_dhash(df).collect()}
+    assert out[1].hash_error is None and out[1].dhash_hi is not None
+    assert out[2].hash_error is not None and out[2].dhash_hi is None
+    assert out[3].hash_error is not None
+    # and the banded join silently skips failed rows
+    from frappe_data_pipelines_spark.operators.imagehash import dhash_neardup_pairs
+
+    assert dhash_neardup_pairs(image_dhash(df)).count() == 0

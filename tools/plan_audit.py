@@ -381,6 +381,25 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "image_dhash_corpus": [
+        # PNG synth+decode+hash is the one Arrow-batched kernel; the docs
+        # scan must be pruned to doc_id only (pixels are derived, not read)
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+        ("pruned_docs_scan", lambda p: "doc_id" in _read_schema(p, "documents")
+         and "text" not in _read_schema(p, "documents")),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "image_dhash_neardup": [
+        # banded Hamming LSH: the self-join shuffles on equality keys
+        # (band_idx, band_val) — hash/sort-merge, never a nested loop or
+        # cartesian; the exact Hamming filter is JVM bit_count, and no
+        # global sort anywhere
+        ("equi_band_join", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+    ],
 }
 
 
