@@ -72,6 +72,8 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "unimax_language_budgets",
     "image_dhash_neardup",
+    "soft_dedup_weights",
+    "hard_negative_mining",
 ]
 
 

@@ -564,6 +564,7 @@ def knn_batch(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    pair_filter=None,
 ) -> DataFrame:
     """Batched multi-query KNN: ALL queries scored in ONE job — broadcast
     the query set against the collection, per-query top-k via a two-level
@@ -582,8 +583,15 @@ def knn_batch(
     so it keeps every row that could reach the global top-k) runs BEFORE
     the window, and the merge shuffles only ≤ partitions·|queries|·k rows.
     """
+    joined = vectors.join(F.broadcast(queries))
+    if pair_filter is not None:
+        # per-pair eligibility (e.g. hard-negative mining excludes a
+        # query's positive set) — applied BEFORE the projection so it can
+        # reference any vector or query column, and before the local
+        # top-k so ineligible rows never occupy heap slots
+        joined = joined.where(pair_filter)
     scored = (
-        vectors.join(F.broadcast(queries))
+        joined
         .select(
             F.col(query_id_col),
             F.col(id_col),

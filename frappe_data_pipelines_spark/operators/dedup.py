@@ -1197,3 +1197,69 @@ def longest_intra_doc_repeat(
             )
 
     return base.mapInPandas(run, "doc_id long, max_repeat_tokens long")
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft deduplication: REWEIGHT common documents instead of removing
+    them (the SoftDedup idea — He et al. 2024, "SoftDedup: an Efficient
+    Data Reweighting Method for Speeding Up Language Model Pretraining":
+    hard removal throws away the signal that popular text carries; a
+    per-sample "commonness" score lets training keep every document but
+    spend less compute on duplicated content).
+
+    Commonness here is the mean log document-frequency of the document's
+    DISTINCT word n-grams: c_d = mean_{g∈G_d} ln(df(g)), with df counted
+    over distinct (doc, gram) pairs corpus-wide. A document whose n-grams
+    appear nowhere else gets c_d = 0 (ln 1) and weight 1; boilerplate that
+    recurs in thousands of docs gets weight → 0 under
+    w_d = 1 / (1 + c_d).
+
+    Scale shape: two bounded shuffles — one on the n-gram (the df count,
+    map-side combined) and one back on doc_id (the mean) — the same keys
+    the hard-dedup path (``ngram_jaccard_pairs``) already shuffles on, no
+    pair enumeration and no n² term anywhere. Cross-engine determinism:
+    per-gram ln(df) is rounded to 6 decimals and accumulated in DECIMAL,
+    so the mean is summation-order exact.
+    """
+    from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .withColumn(
+            "lndf", F.round(F.log(F.col("df").cast("double")), 6).cast("decimal(28,6)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum("lndf").alias("sum_lndf"),
+        )
+    )
+    commonness = F.col("sum_lndf").cast("double") / F.col("n_ngrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        F.round(commonness, 6).alias("commonness"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + commonness), 6).alias("weight"),
+    )

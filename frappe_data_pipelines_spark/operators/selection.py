@@ -559,3 +559,64 @@ def token_budget_select(
         .drop("__cum")
     )
     return kept_whole.unionByName(boundary)
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based language sampling (the multilingual-pretraining
+    standard before UniMax: XLM-R, Conneau et al. 2020 §3.1; mT5, Xue et
+    al. 2021 §3.2): sample language l with probability q_l ∝ n_l^alpha,
+    flattening the natural distribution p_l = n_l / N so head languages
+    stop dominating and tail languages surface. alpha=0.3 is the XLM-R
+    setting; alpha=1 is natural sampling, alpha=0 uniform.
+
+    Shape: the same ONE map-side-combined per-language token count
+    ``unimax_language_budgets`` uses, then per-row arithmetic against two
+    whole-relation scalars (token total + temperature partition function)
+    computed over the bounded one-row-per-language relation. Cross-engine
+    determinism: pow() is rounded to 6 decimals per language and summed in
+    DECIMAL, so the partition function is exact in any summation order.
+
+    Returns one row per language: n_docs, n_tokens, share_natural (p_l),
+    share_temperature (q_l), boost (q_l / p_l — the up/down-sampling
+    factor a mixture executor applies to that language).
+    """
+    from pyspark.sql.window import Window
+
+    from frappe_data_pipelines_spark.functions.text import tokens_expr
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.size(tokens_expr(F.col(text_col))).cast("bigint").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "qpow",
+            F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha))), 6)
+            .cast("decimal(28,6)"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    scaled = counts.withColumn(
+        "zt", F.sum("qpow").over(wall).cast("double")
+    ).withColumn("total", F.sum("n_tokens").over(wall).cast("double"))
+    p = F.col("n_tokens").cast("double") / F.col("total")
+    q = F.col("qpow").cast("double") / F.col("zt")
+    return scaled.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("share_natural"),
+        F.round(q, 6).alias("share_temperature"),
+        F.round(q / p, 6).alias("boost"),
+    )

@@ -1563,3 +1563,66 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hashes = image_dhash(documents_as_pattern_images(docs))
     return dhash_neardup_pairs(hashes, max_hamming=6)
+
+
+@register(
+    "image_dhash_clusters",
+    oracle="WITH RECURSIVE " + _DHASH_HASHES_CTE + """,
+    bands AS (
+      SELECT doc_id, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN dhash_lo % 65536
+                      WHEN 1 THEN dhash_lo // 65536
+                      WHEN 2 THEN dhash_hi % 65536
+                      ELSE dhash_hi // 65536 END AS band_val,
+             dhash_hi, dhash_lo
+      FROM hashes, range(4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.dhash_hi AS hi_a, x.dhash_lo AS lo_a,
+             y.dhash_hi AS hi_b, y.dhash_lo AS lo_b
+      FROM bands x
+      JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("multimodal", "dedup", "scale-path"),
+)
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup END PRODUCT: near-dup PAIRS become duplicate
+    CLUSTERS via alternating large-star/small-star contraction (Kiveris
+    et al., SoCC'14 — O(log n) shuffle rounds on any pair topology), so a
+    keep-list is one ``cluster_id = doc_id`` filter away. Same component
+    algorithm the text path uses (``dedup_star_clusters``) — pairs from
+    pixels, clusters from the identical relational machinery; the oracle
+    rebuilds hashes closed-form, re-runs the banding contract AND the
+    transitive closure in SQL."""
+    from frappe_data_pipelines_spark.operators.dedup import connected_components_star
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        dhash_neardup_pairs,
+        documents_as_pattern_images,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_dhash(documents_as_pattern_images(docs))
+    pairs = dhash_neardup_pairs(hashes, max_hamming=6).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return connected_components_star(pairs)

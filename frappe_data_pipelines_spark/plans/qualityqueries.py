@@ -1172,3 +1172,54 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("g").cast("long").alias("distinct_ngrams"),
         F.round(F.countDistinct("g") / F.count("*"), 6).alias("distinct_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication: reweight common docs instead of removing them
+# (SoftDedup, He et al. 2024 — operators/dedup.py:soft_dedup_weights)
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ), dfc AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY gram
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ngrams,
+             SUM(CAST(round(ln(CAST(d.df AS DOUBLE)), 6) AS DECIMAL(28,6)))
+               AS sum_lndf
+      FROM grams g JOIN dfc d USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_ngrams,
+           round(CAST(sum_lndf AS DOUBLE) / n_ngrams, 6) AS commonness,
+           round(1.0 / (1.0 + CAST(sum_lndf AS DOUBLE) / n_ngrams), 6) AS weight
+    FROM per_doc
+"""
+
+
+@register(
+    "soft_dedup_weights",
+    oracle=_SOFT_DEDUP_SQL,
+    tags=("dedup", "quality", "extension", "training"),
+)
+def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDedup, He et al. 2024): per-document training
+    weight from n-gram commonness — keep everything, down-weight
+    duplicated content, the reweight-don't-remove alternative to
+    ``dedup_canonical_corpus``. Two bounded shuffles (gram df, doc mean),
+    DECIMAL-accumulated mean so the score is summation-order exact."""
+    from frappe_data_pipelines_spark.operators.dedup import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs, n=3)

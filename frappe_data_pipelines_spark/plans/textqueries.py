@@ -1826,3 +1826,52 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_terms").cast("bigint").alias("new_terms"),
         F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language sampling (operators/selection.py) — the
+# pre-UniMax multilingual mixing standard (XLM-R alpha=0.3, mT5)
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_SQL = f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+      HAVING SUM(len({_SQL_TOKS})) > 0
+    ), pw AS (
+      SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6)
+                     AS DECIMAL(28,6)) AS qpow
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(qpow) AS DOUBLE) AS zt,
+             CAST(SUM(n_tokens) AS DOUBLE) AS total
+      FROM pw
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS share_natural,
+           round(CAST(qpow AS DOUBLE) / zt, 6) AS share_temperature,
+           round((CAST(qpow AS DOUBLE) / zt)
+                 / (CAST(n_tokens AS DOUBLE) / total), 6) AS boost
+    FROM pw, tot
+"""
+
+
+@register(
+    "temperature_language_mixture",
+    oracle=_TEMP_MIX_SQL,
+    tags=("data-selection", "mixture", "extension"),
+)
+def temperature_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling q_l ∝ n_l^0.3 (XLM-R / mT5): the flattened
+    language distribution plus per-language boost factor (q_l/p_l) a
+    mixture executor applies. Complements ``unimax_language_budgets``
+    (the fix for temperature sampling's failure modes) so an engine user
+    can run either policy. pow() rounded to 6 decimals per language and
+    summed in DECIMAL — the partition function is summation-order exact."""
+    from frappe_data_pipelines_spark.operators.selection import (
+        temperature_mixture_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, alpha=0.3)

@@ -525,3 +525,56 @@ def search_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM q JOIN embeddings e ON e.label <> q.qlabel
+    ), ranked AS (
+      SELECT query_id, neg_id, neg_label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neg_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, neg_id, neg_label, score FROM ranked WHERE rn <= 5
+    """,
+    tags=("C6", "extension", "training"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (DPR,
+    Karpukhin et al. 2020): for every training query, the top-k most
+    similar vectors that are NOT in its positive set (here: a different
+    label) — the negatives that actually move the loss. One broadcast of
+    the query batch against the collection, the positive-exclusion
+    predicate applied BEFORE the map-side bounded top-k (so positives never
+    occupy heap slots), then the usual two-level reduction — the same
+    single-scan shape as ``knn_batch_topk``, no per-query jobs, no n² term."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    negs = ann.knn_batch(
+        emb,
+        queries,
+        k=5,
+        pair_filter=F.col("label") != F.col("query_label"),
+    )
+    # re-attach the negative's label (knn_batch projects to id+score);
+    # |negs| ≤ |queries|·k, so this is a broadcast-sized join
+    return negs.join(
+        emb.select("vec_id", F.col("label").alias("neg_label")), "vec_id"
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neg_id"),
+        "neg_label",
+        "score",
+    )

@@ -462,3 +462,30 @@ class TestIvfAppend:
         r2 = ann.ivf_append(spark, path, d2)
         assert r2["n_rows"] == r1["n_rows"] + 10
         assert r1["train_mse"] == r2["train_mse"]  # baseline is pinned
+
+
+def test_knn_batch_pair_filter_excludes_positives(spark, sf_dir):
+    """pair_filter (hard-negative mining) removes a query's positive set
+    BEFORE ranking: no same-label row ever appears, and the survivors are
+    exactly the brute-force top-k of the different-label subset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [0, 100]
+    qdf = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = ann.knn_batch(
+        emb, qdf, k=5, pair_filter=F.col("label") != F.col("query_label")
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in ids:
+        qlabel = labels[qid]
+        assert all(labels[v] != qlabel for v, _ in by_q[qid])
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        negs_only = emb.filter(F.col("label") != qlabel)
+        expect = [(r["vec_id"], r["score"]) for r in knn_topk(negs_only, qv, k=5).collect()]
+        assert sorted(by_q[qid]) == sorted(expect), f"query {qid} diverged"

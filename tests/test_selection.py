@@ -299,3 +299,41 @@ class TestUniMax:
         a = unimax_language_budgets(docs, 40_000)
         b = unimax_language_budgets(docs.repartition(13), 40_000)
         assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """Temperature shares sum to 1, and alpha=0.3 moves mass from the
+    largest language to the smallest (the whole point of the method);
+    alpha=1 recovers natural sampling."""
+    from frappe_data_pipelines_spark.operators.selection import (
+        temperature_mixture_weights,
+    )
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = temperature_mixture_weights(docs, alpha=0.3).collect()
+    assert abs(sum(r.share_temperature for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_natural for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    if big.n_tokens > small.n_tokens:
+        assert big.boost < 1.0 < small.boost
+    nat = temperature_mixture_weights(docs, alpha=1.0).collect()
+    for r in nat:
+        assert abs(r.share_temperature - r.share_natural) <= 2e-6
+        assert abs(r.boost - 1.0) <= 2e-6
+
+
+def test_soft_dedup_weights_orders_by_commonness(spark):
+    """A doc made of corpus-wide boilerplate scores lower than a unique
+    doc; a fully unique doc gets weight exactly 1 (ln df = ln 1 = 0)."""
+    from frappe_data_pipelines_spark.operators.dedup import soft_dedup_weights
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [(i, boiler) for i in range(10)]
+    rows.append((100, "entirely unique prose about marmalade physics"))
+    rows.append((101, boiler + " with a rare unique tail sentence attached"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {r.doc_id: r for r in soft_dedup_weights(docs, n=3).collect()}
+    assert w[100].weight == 1.0 and w[100].commonness == 0.0
+    assert w[0].weight < w[101].weight < w[100].weight

@@ -400,6 +400,43 @@ CHECKS: dict[str, list] = {
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
         ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
     ],
+    "hard_negative_mining": [
+        # query batch broadcast against the collection (non-equi exclusion
+        # predicate → nested-loop is expected, but ONLY with a broadcast
+        # side, never a shuffled cartesian); map-side bounded top-k pruning
+        # before the ranking window
+        ("broadcast_queries", lambda p: "BroadcastNestedLoopJoin" in p
+         or "BroadcastHashJoin" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("local_topk_prune", lambda p: "MapInPandas" in p),
+    ],
+    "temperature_language_mixture": [
+        # one corpus-scale aggregate (per-language token count, map-side
+        # combined); everything after runs over one row per language
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "soft_dedup_weights": [
+        # reweight-don't-remove dedup: shuffles only on gram (df count)
+        # and doc_id (mean) — no pair enumeration, no n² join, JVM-side.
+        # The gram relation feeds BOTH the df aggregate and the join-back,
+        # so the pruned (doc_id, text) projection scans twice — the
+        # deliberate trade: an equi-join (AQE skew-splittable on hot
+        # stopword grams) instead of a window-over-gram (unsplittable hot
+        # partition) or collect_list fan-back (OOM on a billion-doc gram)
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+        ("two_scans_max", lambda p: _final_plan(p).count("FileScan") <= 2),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "image_dhash_clusters": [
+        # pairs → components: star contraction is iterative groupBy+join
+        # rounds, never a cartesian; the pixel kernel is the one Arrow stage
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+    ],
 }
 
 
