@@ -24,7 +24,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+from frappe_data_pipelines_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    vector_norm,
+)
 
 
 def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -583,7 +587,17 @@ def knn_batch(
     so it keeps every row that could reach the global top-k) runs BEFORE
     the window, and the merge shuffles only ≤ partitions·|queries|·k rows.
     """
-    joined = vectors.join(F.broadcast(queries))
+    # hoist both norms out of the pair loop: cosine(a,q) recomputed per
+    # pair costs THREE array aggregates (dot, |a|, |q|) × |vectors|·|queries|
+    # rows; |a| depends only on the vector row and |q| only on the query
+    # row, so each is computed once and the pair pays one dot product.
+    # sqrt(Σa²)·sqrt(Σq²) is the exact same double arithmetic as inline
+    # cosine_similarity — hoisting changes evaluation count, not values.
+    vnorm = vectors.withColumn("__vn", vector_norm(F.col(vec_col)))
+    qnorm = queries.withColumn(
+        "__qn", vector_norm(F.col(query_vec_col).cast("array<double>"))
+    )
+    joined = vnorm.join(F.broadcast(qnorm))
     if pair_filter is not None:
         # per-pair eligibility (e.g. hard-negative mining excludes a
         # query's positive set) — applied BEFORE the projection so it can
@@ -596,7 +610,11 @@ def knn_batch(
             F.col(query_id_col),
             F.col(id_col),
             F.round(
-                cosine_similarity(F.col(vec_col), F.col(query_vec_col).cast("array<double>")), 6
+                F.try_divide(
+                    dot_product(F.col(vec_col), F.col(query_vec_col).cast("array<double>")),
+                    F.col("__vn") * F.col("__qn"),
+                ),
+                6,
             ).alias("score"),
         )
         # NaN scores (an embedding containing NaN) would rank FIRST under

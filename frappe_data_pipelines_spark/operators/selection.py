@@ -338,16 +338,26 @@ def kneser_ney_bigram_scores(
     base = docs.select(
         F.col(id_col), ref_pred.alias("is_ref"), pairs.alias("ps")
     ).filter(F.size("ps") > 0)
+    # tfb feeds BOTH training (via bi) and scoring, and bi feeds four
+    # consumers (ctx, cont, the B stat, the scoring join) — without
+    # caching, Catalyst re-executes the tokenize→explode→groupBy subtree
+    # once per consumer (measured: 6 FileScans, 6 Generates, 0 reused
+    # exchanges). Cache both: tfb is one row per (doc, bigram type),
+    # bi one per reference bigram type — the same dictionaries that must
+    # fit for the joins to run at all, so the cache adds no new memory
+    # constraint at scale.
     tfb = (
         base.select(id_col, "is_ref", F.explode("ps").alias("p"))
         .select(id_col, "is_ref", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
         .groupBy(id_col, "is_ref", "u", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        .cache()
     )
     bi = (
         tfb.filter("is_ref")
         .groupBy("u", "w")
         .agg(F.sum("tf").cast("bigint").alias("c"))
+        .cache()
     )
     if not collect_bounded(bi.limit(1), 2, "KN reference-slice probe"):
         raise ValueError(
