@@ -1068,7 +1068,15 @@ def exact_dup_spans(
         .select("s")
     )
     marked = win.join(dup, "s").select("doc_id", "pos")
+    return _merge_marked_windows(marked, min_len)
 
+
+def _merge_marked_windows(marked: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands merge of stride-1 hit windows: each (doc_id, pos)
+    row covers chars [pos, pos + min_len); overlapping/adjacent covers
+    fuse into one maximal span. Per-doc sort window, shuffled on doc_id —
+    shared by the self-dedup (``exact_dup_spans``) and eval-set
+    (``benchmark_span_decontaminate``) span paths."""
     from pyspark.sql.window import Window
 
     prev = (
@@ -1098,6 +1106,48 @@ def exact_dup_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def benchmark_span_decontaminate(
+    docs: DataFrame,
+    eval_sources: list[str],
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Span-level benchmark decontamination (the GPT-3 appendix-C /
+    Lee et al. 2021 move, and what ``benchmark_contamination`` only FLAGS):
+    every maximal region of a training document covered by stride-1
+    ``min_len``-char windows that occur VERBATIM anywhere in the eval set
+    — the exact char ranges a decontamination pass cuts out, rather than a
+    whole-document drop that wastes the clean 99% of a barely-contaminated
+    doc. Returns (doc_id, span_start, span_end, span_len), 1-based
+    [start, end), training docs only.
+
+    Exactness: identical argument to ``exact_dup_spans`` — any shared
+    substring of length >= min_len contains a shared window of exactly
+    min_len, and every char of it lies in one, so merged islands are
+    precisely the maximal leaked regions.
+
+    Scale shape: eval benchmarks are tiny next to a training corpus, so
+    the eval window set broadcasts; training windows hit it with one
+    semi-join (no inverted-index shuffle over the corpus at all — CHEAPER
+    than self-dedup), then the per-doc island merge. At 100 TB the
+    stride-1 blowup on the training side is the cost; winnow-prefilter
+    against eval fingerprints the same way exact_dup_spans does if needed.
+    """
+    is_eval = F.col(source_col).isin(*eval_sources)
+    eval_win = (
+        _char_windows(docs.filter(is_eval), min_len, id_col, text_col)
+        .select("s")
+        .distinct()
+    )
+    train_win = _char_windows(docs.filter(~is_eval), min_len, id_col, text_col)
+    marked = train_win.join(F.broadcast(eval_win), "s", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return _merge_marked_windows(marked, min_len)
 
 
 # ---------------------------------------------------------------------------

@@ -1223,3 +1223,71 @@ def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return soft_dedup_weights(docs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Span-level benchmark decontamination (operators/dedup.py:
+# benchmark_span_decontaminate) — cut the leaked chars, not the whole doc
+# ---------------------------------------------------------------------------
+
+_SPAN_DECON_SQL = """
+    WITH ev AS (
+      SELECT DISTINCT substr(text, p.p, 40) AS s
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS p) p
+      WHERE source IN ('src0', 'src1') AND len(text) >= 40
+    ), tw AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS p) p
+      WHERE source NOT IN ('src0', 'src1') AND len(text) >= 40
+    ), d AS (
+      SELECT tw.doc_id, tw.pos FROM tw JOIN ev USING (s)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM d
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 40 AS BIGINT) AS span_end,
+           CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+    FROM isl2
+    GROUP BY doc_id, island
+    """
+
+
+@register(
+    "benchmark_span_decontaminate",
+    oracle=_SPAN_DECON_SQL,
+    tags=("dedup", "decontamination", "extension", "training"),
+)
+def benchmark_span_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval-set decontamination (GPT-3 appendix C / Lee et al.
+    2021): the exact char ranges of training documents that verbatim-leak
+    a 40-char window of the benchmark slice (sources src0/src1 stand in
+    for the eval set) — what a surgical decontamination pass removes,
+    where ``dedup_benchmark_contamination`` only flags whole documents.
+    The eval window set broadcasts (benchmarks are tiny next to a corpus);
+    one semi-join + the shared per-doc island merge, no corpus-wide
+    inverted index needed."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        benchmark_span_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_span_decontaminate(
+        docs, eval_sources=["src0", "src1"], min_len=40
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+    )

@@ -53,18 +53,28 @@ def dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     ttl_minutes: int | None = None,
+    fp_col: str | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: emit one row per *newly seen* fingerprint;
     duplicates in the same or any later micro-batch are dropped (counted in
     state and reported on the emitted row of their key's next update).
 
+    ``fp_col`` keys the state on a caller-provided fingerprint column
+    instead of the text hash — e.g. the perceptual dHash from
+    ``operators/imagehash.py``, which turns this into a streaming
+    perceptual image dedup (re-encodes/rescales of an already-ingested
+    image are dropped at the door). Default is the exact text fingerprint.
+
     Works on a streaming DataFrame via ``applyInPandasWithState``; on a batch
     DataFrame it degrades to the equivalent groupBy (first id + dupe count)
     so the same callable serves tests and backfills.
     """
-    with_fp = docs.select(
-        fingerprint_expr(F.col(text_col)).alias("fp"), F.col(id_col).alias("doc_id")
+    fp = (
+        F.col(fp_col).cast("string")
+        if fp_col is not None
+        else fingerprint_expr(F.col(text_col))
     )
+    with_fp = docs.select(fp.alias("fp"), F.col(id_col).alias("doc_id"))
 
     if not docs.isStreaming:
         return (

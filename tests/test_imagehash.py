@@ -148,3 +148,67 @@ def test_decode_failure_totality(spark):
     from frappe_data_pipelines_spark.operators.imagehash import dhash_neardup_pairs
 
     assert dhash_neardup_pairs(image_dhash(df)).count() == 0
+
+
+def test_streaming_perceptual_dedup(spark, tmp_path):
+    """dedup_stream keyed on the dHash (fp_col): a re-delivered image with
+    the SAME pixels but a new doc_id is dropped across micro-batches —
+    streaming perceptual dedup end to end through real PNG bytes."""
+    import pyspark.sql.functions as F
+
+    in_dir = str(tmp_path / "img_in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "img_out")
+
+    # batch 1: images 0..9; batch 2: same pixels re-sent under new ids
+    rows1 = [(d, bytearray(synth_pattern_png(d))) for d in range(10)]
+    rows2 = [(1000 + d, bytearray(synth_pattern_png(d))) for d in range(5)]
+    spark.createDataFrame(rows1, "doc_id long, content binary").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, content binary").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    from frappe_data_pipelines_spark.streaming.stateful import dedup_stream
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, content BINARY")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hashed = image_dhash(stream).withColumn(
+        "dhash", F.concat_ws(":", "dhash_hi", "dhash_lo")
+    )
+    q = (
+        dedup_stream(hashed, fp_col="dhash")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # expected survivors: the min doc_id per DISTINCT hash among batch 1
+    # (within a pattern group the brightness variants can land on the
+    # IDENTICAL dhash — those collapse too, by design); batch 2 re-sends
+    # exact pixels of docs 0..4, so it adds nothing
+    first_by_hash = {}
+    for d in range(10):
+        first_by_hash.setdefault(_closed_form(d), d)
+    expected_ids = set(first_by_hash.values())
+
+    out = spark.read.parquet(out_dir)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == expected_ids  # no 1000+ re-encode survives
+    assert all(i < 1000 for i in ids)
+    # the batch degrade path agrees on survivor count and total drops
+    both = spark.createDataFrame(rows1 + rows2, "doc_id long, content binary")
+    batch_hashed = image_dhash(both).withColumn(
+        "dhash", F.concat_ws(":", "dhash_hi", "dhash_lo")
+    )
+    batch = dedup_stream(batch_hashed, fp_col="dhash")
+    assert batch.count() == len(expected_ids)
+    dropped = {r.doc_id: r.n_dupes_dropped for r in batch.collect()}
+    assert sum(dropped.values()) == 15 - len(expected_ids)
