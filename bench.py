@@ -74,6 +74,8 @@ HEADLINE = [
     "image_dhash_neardup",
     "soft_dedup_weights",
     "hard_negative_mining",
+    "audio_fingerprint_neardup",
+    "benchmark_span_decontaminate",
 ]
 
 

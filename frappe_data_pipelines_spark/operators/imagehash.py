@@ -251,9 +251,27 @@ def dhash_neardup_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Banded near-dup pairs: explode 4×16-bit bands → shuffle on
+    """Banded near-dup pairs over dHash columns — see
+    ``banded_hamming_pairs`` (the modality-agnostic join this wraps)."""
+    return banded_hamming_pairs(
+        hashes, max_hamming=max_hamming, id_col=id_col,
+        hi_col="dhash_hi", lo_col="dhash_lo",
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+) -> DataFrame:
+    """Banded near-dup pairs over ANY 64-bit Hamming-space signature
+    (two unsigned 32-bit halves): explode 4×16-bit bands → shuffle on
     (band_index, band_value) → distinct candidate pairs → exact Hamming
-    filter on the JVM (``bit_count(hi⊕hi) + bit_count(lo⊕lo)``).
+    filter on the JVM (``bit_count(hi⊕hi) + bit_count(lo⊕lo)``). The
+    image dHash and the audio energy fingerprint both ride this join —
+    Hamming-space banding is modality-agnostic.
 
     Scale shape: one shuffle keyed on 16-bit band values (bounded key
     cardinality 4·65536 with corpus-proportional bucket sizes); no n² term.
@@ -262,8 +280,10 @@ def dhash_neardup_pairs(
     Hamming ≤ 3; the standard LSH-banding trade above that). Every
     surfaced pair is EXACT — the final filter recomputes true distance.
     """
-    h = hashes.where(F.col("dhash_hi").isNotNull()).select(
-        F.col(id_col).alias("doc_id"), "dhash_hi", "dhash_lo"
+    h = hashes.where(F.col(hi_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(hi_col).alias("dhash_hi"),
+        F.col(lo_col).alias("dhash_lo"),
     )
     bands = h.select(
         "doc_id",

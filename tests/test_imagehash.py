@@ -212,3 +212,70 @@ def test_streaming_perceptual_dedup(spark, tmp_path):
     assert batch.count() == len(expected_ids)
     dropped = {r.doc_id: r.n_dupes_dropped for r in batch.collect()}
     assert sum(dropped.values()) == 15 - len(expected_ids)
+
+
+def test_audio_fingerprint_roundtrip_and_pairs(spark):
+    """Audio twin: WAV encode → wave parse → fingerprint equals the
+    closed form; the banded join surfaces exactly the brute-force pairs
+    that agree on ≥1 band; corrupt clips land in fp_error."""
+    from frappe_data_pipelines_spark.operators.imagehash import banded_hamming_pairs
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        _FP_SAMPLES,
+        audio_fingerprint,
+        documents_as_wav_pattern,
+        synth_wav_pattern,
+    )
+
+    def closed(doc_id):
+        g, v = doc_id // 4, doc_id % 4
+        s = [
+            (((i + g * 1009) * 2654435761) % 4294967296 // 16777216
+             + (61 if ((i * 40503 + g) % 997) < v * 2 else 0)) % 256
+            for i in range(_FP_SAMPLES)
+        ]
+        e = [sum(abs(x - 128) for x in s[f * 64:(f + 1) * 64]) for f in range(33)]
+        d = [sum(abs(s[f * 64 + 2 * j + 1] - s[f * 64 + 2 * j]) for j in range(32))
+             for f in range(33)]
+        hi = lo = 0
+        for f in range(32):
+            if e[f + 1] > e[f]:
+                hi |= 1 << f
+            if d[f + 1] > d[f]:
+                lo |= 1 << f
+        return hi, lo
+
+    n = 120
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    fps = audio_fingerprint(documents_as_wav_pattern(docs))
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert len(rows) == n and all(r.fp_error is None for r in rows.values())
+    for d in (0, 3, 17, 119):
+        assert (rows[d].fp_hi, rows[d].fp_lo) == closed(d), d
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(fps, 6, hi_col="fp_hi", lo_col="fp_lo").collect()
+    }
+    hs = {d: closed(d) for d in range(n)}
+
+    def bands(h):
+        hi, lo = h
+        return [lo % 65536, lo >> 16, hi % 65536, hi >> 16]
+
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            dd = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(hs[a][1] ^ hs[b][1]).count("1")
+            if dd <= 6 and any(x == y for x, y in zip(bands(hs[a]), bands(hs[b]))):
+                expected[(a, b)] = dd
+    assert got == expected and expected
+
+    # totality: truncated / corrupt WAVs error instead of killing the scan
+    bad = spark.createDataFrame(
+        [(1, bytearray(synth_wav_pattern(0))), (2, bytearray(b"RIFFgarbage")),
+         (3, bytearray(synth_wav_pattern(1)[:100]))],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in audio_fingerprint(bad).collect()}
+    assert out[1].fp_error is None
+    assert out[2].fp_error is not None and out[3].fp_error is not None

@@ -437,6 +437,23 @@ CHECKS: dict[str, list] = {
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
     ],
+    "audio_fingerprint_corpus": [
+        # WAV synth+parse+fingerprint is the one Arrow-batched kernel;
+        # docs scan pruned to doc_id (samples are derived, not read)
+        ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+        ("pruned_docs_scan", lambda p: "doc_id" in _read_schema(p, "documents")
+         and "text" not in _read_schema(p, "documents")),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "audio_fingerprint_neardup": [
+        # same modality-agnostic banded-Hamming join as the image path:
+        # equality keys only, no nested loop, no global sort
+        ("equi_band_join", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+    ],
 }
 
 

@@ -49,6 +49,17 @@ QUERIES = [
     "html_extract_main",
     "warc_roundtrip_extract",
     "url_normalize_canonical",
+    # round-6 additions: image near-dup, soft dedup, LM scoring, mixture,
+    # span decontamination, batched serving KNN (fixed query set — the
+    # linear-scaling serving shape; hard_negative_mining is EXCLUDED
+    # because its query set is a fixed fraction of the corpus, so
+    # |queries|×|vectors| work is quadratic by definition, not by plan)
+    "image_dhash_neardup",
+    "soft_dedup_weights",
+    "kneser_ney_bigram_lm",
+    "temperature_language_mixture",
+    "benchmark_span_decontaminate",
+    "knn_batch_topk",
 ]
 
 ID_OFFSET = 10_000_000
@@ -68,7 +79,13 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
                 F.col("text"), alpha + alpha.upper(), shifted + shifted.upper()
             ).alias("text"),
             "lang",
-            F.concat(F.col("source"), F.lit(f"_r{r}")).alias("source"),
+            # keep the eval-slice sources intact (src0/src1) so the
+            # decontamination query's hard-coded eval set scales with the
+            # corpus instead of emptying; other sources get per-replica
+            # names so source-keyed grouping cardinality scales too
+            F.when(
+                F.col("source").isin("src0", "src1"), F.col("source")
+            ).otherwise(F.concat(F.col("source"), F.lit(f"_r{r}"))).alias("source"),
             "n_chars",
         )
         parts.append(d)
