@@ -471,3 +471,75 @@ def mixture_rebalance(
             F.coalesce("sampled_docs", F.lit(0)).cast("bigint").alias("sampled_docs"),
         )
     )
+
+
+def quality_signal_fusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-normalized fusion of heterogeneous quality signals (the
+    FineWeb/ensemble move: no single filter is trustworthy, so selection
+    combines independent families): (1) the prose-likeness heuristic
+    (``quality_score_expr``), (2) Gopher repetition (dup-5gram char
+    fraction, inverted — repetitive docs are bad), (3) SoftDedup
+    commonness (inverted — boilerplate-heavy docs are bad). Each signal is
+    min-max normalized over the WHOLE corpus and the fused score is their
+    mean.
+
+    Normalization-by-rank would need a global sort; min-max needs one
+    6-value aggregate broadcast back — the scale-correct shape (the same
+    reason ``token_budget_select`` avoids the global window). Ties in
+    determinism: every input signal is already 6-dp-cut, min/max select
+    those exact doubles, and the final fuse is floor-6 — bit-stable vs
+    the DuckDB oracle.
+
+    Returns (doc_id, quality, rep_frac, commonness, fused); fused ∈ [0,1],
+    higher = keep.
+    """
+    from frappe_data_pipelines_spark.functions.text import quality_score_expr
+    from frappe_data_pipelines_spark.operators.dedup import soft_dedup_weights
+
+    qual = docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score_expr(F.col(text_col)).alias("quality"),
+    )
+    rep = gopher_repetition_metrics(
+        docs, top_n=2, dup_n=5, top_frac_max=0.20, dup_frac_max=0.10
+    ).select("doc_id", F.col("dup_5gram_char_frac").alias("rep_frac"))
+    com = soft_dedup_weights(docs, n=3, id_col=id_col, text_col=text_col).select(
+        "doc_id", "commonness"
+    )
+    # base feeds BOTH the min/max stats aggregate and the final projection;
+    # cached so the three signal subtrees (5 corpus scans between them)
+    # execute once, not once per consumer. One row per doc, four doubles —
+    # strictly smaller than any of its inputs.
+    base = (
+        qual.join(rep, "doc_id")
+        .join(com, "doc_id", "left")
+        .withColumn("commonness", F.coalesce("commonness", F.lit(0.0)))
+        .cache()
+    )
+    stats = base.agg(
+        F.min("quality").alias("q0"), F.max("quality").alias("q1"),
+        F.min("rep_frac").alias("r0"), F.max("rep_frac").alias("r1"),
+        F.min("commonness").alias("c0"), F.max("commonness").alias("c1"),
+    )
+
+    def norm(x, lo, hi):
+        return F.coalesce(
+            F.try_divide(F.col(x) - F.col(lo), F.col(hi) - F.col(lo)), F.lit(0.5)
+        )
+
+    fused = (
+        norm("quality", "q0", "q1")
+        + (F.lit(1.0) - norm("rep_frac", "r0", "r1"))
+        + (F.lit(1.0) - norm("commonness", "c0", "c1"))
+    ) / F.lit(3.0)
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "quality",
+        "rep_frac",
+        "commonness",
+        (F.floor(fused * 1_000_000) / 1_000_000).alias("fused"),
+    )

@@ -1291,3 +1291,87 @@ def benchmark_span_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("span_end").cast("bigint").alias("span_end"),
         F.col("span_len").cast("bigint").alias("span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-normalized quality-signal fusion (operators/quality.py:
+# quality_signal_fusion) — heuristic + repetition + commonness ensemble
+# ---------------------------------------------------------------------------
+
+from frappe_data_pipelines_spark.functions.text import STOPWORDS as _SW
+
+_FUSION_SW = "['" + "', '".join(_SW) + "']"
+
+_FUSION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), gbase AS (
+      SELECT doc_id, t,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) AS total_chars,
+             list_transform(generate_series(1, greatest(len(t) - 4, 0)), i -> array_to_string(t[i:i+4], ' ')) AS g5
+      FROM toks
+    ), c5 AS (
+      SELECT doc_id, sum(cnt * chars) AS dup_chars FROM (
+        SELECT doc_id, g, count(*) AS cnt, len(g) - 4 AS chars
+        FROM (SELECT doc_id, unnest(g5) AS g FROM gbase) GROUP BY doc_id, g
+      ) WHERE cnt > 1 GROUP BY doc_id
+    ), rep AS (
+      SELECT b.doc_id,
+             round(coalesce(c5.dup_chars / nullif(b.total_chars, 0), 0), 6) AS rep_frac
+      FROM gbase b LEFT JOIN c5 ON b.doc_id = c5.doc_id
+    ), qual AS (
+      SELECT doc_id,
+             floor((least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+                    + (1.0 - least(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 5.0, 1.0))
+                    + least(CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), t -> list_contains({_FUSION_SW}, t))) AS DOUBLE)
+                            / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) * 5.0, 1.0)) / 3.0 * 1000000) / 1000000 AS quality
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+      FROM toks WHERE len(t) >= 3
+    ), dfc AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY gram
+    ), comm AS (
+      SELECT g.doc_id,
+             round(CAST(SUM(CAST(round(ln(CAST(d.df AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*), 6) AS commonness
+      FROM grams g JOIN dfc d USING (gram)
+      GROUP BY g.doc_id
+    ), joined AS (
+      SELECT q.doc_id, q.quality, r.rep_frac,
+             coalesce(c.commonness, 0.0) AS commonness
+      FROM qual q JOIN rep r USING (doc_id) LEFT JOIN comm c USING (doc_id)
+    ), stats AS (
+      SELECT min(quality) AS q0, max(quality) AS q1,
+             min(rep_frac) AS r0, max(rep_frac) AS r1,
+             min(commonness) AS c0, max(commonness) AS c1
+      FROM joined
+    )
+    SELECT doc_id, quality, rep_frac, commonness,
+           floor(((coalesce((quality - q0) / nullif(q1 - q0, 0), 0.5)
+                 + (1.0 - coalesce((rep_frac - r0) / nullif(r1 - r0, 0), 0.5))
+                 + (1.0 - coalesce((commonness - c0) / nullif(c1 - c0, 0), 0.5)))
+                 / 3.0) * 1000000) / 1000000 AS fused
+    FROM joined, stats
+"""
+
+
+@register(
+    "quality_signal_fusion",
+    oracle=_FUSION_SQL,
+    tags=("quality", "extension", "training"),
+)
+def quality_signal_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality selection (the FineWeb move — no single filter is
+    trusted alone): prose-likeness heuristic + Gopher dup-5gram repetition
+    (inverted) + SoftDedup n-gram commonness (inverted), each min-max
+    normalized over the whole corpus, fused by mean. Normalization uses
+    one 6-value aggregate broadcast — never a corpus-wide rank sort."""
+    from frappe_data_pipelines_spark.operators.quality import quality_signal_fusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_signal_fusion(docs)

@@ -454,6 +454,16 @@ CHECKS: dict[str, list] = {
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
         ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
     ],
+    "quality_signal_fusion": [
+        # three signal subtrees over the docs scan (heuristic=1, gopher=1,
+        # soft-dedup=2 by design) + min-max normalization via ONE 6-value
+        # broadcast — never a corpus-wide rank sort, JVM-side throughout
+        ("partial_agg", lambda p: "partial_count" in p or "partial_sum" in p),
+        ("cached_base", lambda p: "InMemoryTableScan" in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
