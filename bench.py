@@ -76,6 +76,7 @@ HEADLINE = [
     "hard_negative_mining",
     "audio_fingerprint_neardup",
     "benchmark_span_decontaminate",
+    "video_dhash_neardup",
 ]
 
 

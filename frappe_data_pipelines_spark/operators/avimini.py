@@ -33,10 +33,19 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
-def avi_write(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
-    """JPEG frame payloads → minimal MJPEG AVI bytes."""
+def avi_write(
+    frames: list[bytes], width: int, height: int, fps: int = 10,
+    codec: bytes = b"MJPG",
+) -> bytes:
+    """Frame payloads → minimal AVI bytes. ``codec=b"MJPG"`` (default)
+    wraps JPEG payloads; ``codec=b"DIB "`` wraps uncompressed bottom-up
+    24-bit BGR frames (the classic Video-for-Windows raw profile) — the
+    lossless tier that lets a SQL oracle reproduce decoded pixels
+    exactly (MJPEG's DCT quantization cannot round-trip closed-form)."""
     if not frames or fps <= 0:
         raise AviError("avi_write needs >= 1 frame and a positive fps")
+    if codec not in (b"MJPG", b"DIB "):
+        raise AviError(f"unsupported codec fourcc: {codec!r}")
     n = len(frames)
     avih = struct.pack(
         "<14I",
@@ -50,13 +59,16 @@ def avi_write(frames: list[bytes], width: int, height: int, fps: int = 10) -> by
         0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + codec
         + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
+    # BITMAPINFOHEADER biCompression: the codec fourcc for MJPG, BI_RGB(0)
+    # for raw DIB frames
+    bi_comp = b"MJPG" if codec == b"MJPG" else b"\x00\x00\x00\x00"
     strf = struct.pack(
         "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+        40, width, height, 1, 24, bi_comp, width * height * 3, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
@@ -90,6 +102,7 @@ def avi_parse(payload: bytes) -> dict:
     end = min(8 + riff_size, len(payload))
     meta: dict = {}
     frames: list[bytes] = []
+    codec_holder: list[bytes] = []
     for fourcc, p, size in _walk(payload, 12, end):
         if fourcc != b"LIST" or size < 4:
             continue
@@ -108,6 +121,11 @@ def avi_parse(payload: bytes) -> dict:
                         "width": vals[8],
                         "height": vals[9],
                     }
+                elif cc2 == b"LIST" and payload[p2 : p2 + 4] == b"strl":
+                    # strh lives one level down, inside the strl LIST
+                    for cc3, p3, s3 in _walk(payload, p2 + 4, p2 + s2):
+                        if cc3 == b"strh" and s3 >= 8:
+                            codec_holder.append(payload[p3 + 4 : p3 + 8])
         elif list_type == b"movi":
             for cc2, p2, s2 in _walk(payload, p + 4, p + size):
                 if cc2 == b"00dc":
@@ -117,4 +135,42 @@ def avi_parse(payload: bytes) -> dict:
     if meta["width"] <= 0 or meta["height"] <= 0:
         raise AviError("non-positive frame geometry")
     meta["frames"] = frames
+    meta["codec"] = (codec_holder[0] if codec_holder else b"MJPG").decode(
+        "latin-1"
+    ).strip()
     return meta
+
+
+# -- raw DIB (BI_RGB 24-bit) frame payloads ----------------------------------
+
+def _dib_stride(width: int) -> int:
+    return (width * 3 + 3) // 4 * 4
+
+
+def dib_encode_gray(rows: list[bytes]) -> bytes:
+    """Grayscale scanlines (top-down) → one 24-bit BI_RGB frame payload:
+    bottom-up row order, B=G=R=v, rows padded to 4-byte stride (the
+    Video-for-Windows DIB rules)."""
+    if not rows:
+        raise AviError("dib_encode_gray needs >= 1 row")
+    width = len(rows[0])
+    pad = b"\x00" * (_dib_stride(width) - width * 3)
+    out = []
+    for row in reversed(rows):
+        if len(row) != width:
+            raise AviError("ragged scanlines")
+        out.append(b"".join(bytes((v, v, v)) for v in row) + pad)
+    return b"".join(out)
+
+
+def dib_decode_gray(payload: bytes, width: int, height: int) -> list[bytes]:
+    """One BI_RGB 24-bit frame payload → top-down grayscale scanlines
+    (takes the blue channel; writer emits B=G=R)."""
+    stride = _dib_stride(width)
+    if len(payload) < stride * height:
+        raise AviError("DIB frame shorter than geometry requires")
+    rows = []
+    for y in range(height - 1, -1, -1):
+        base = y * stride
+        rows.append(bytes(payload[base + 3 * x] for x in range(width)))
+    return rows

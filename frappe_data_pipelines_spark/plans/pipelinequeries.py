@@ -1751,3 +1751,116 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(
         fps, max_hamming=6, hi_col="fp_hi", lo_col="fp_lo"
     )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (operators/imagehash.py video section) — the fourth
+# modality: per-frame dHash over real DIB-coded AVI containers
+# ---------------------------------------------------------------------------
+
+# Closed-form per-frame dHash recompute: pix(r,c,t) adds a +53·t frame
+# drift to the image pattern family, so every frame hash is integer
+# arithmetic in (doc_id, frame_idx).
+_VIDEO_HASHES_CTE = """
+    params AS (
+      SELECT doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64) AS m,
+             ((doc_id // 4) * 137) % 251         AS seed,
+             (doc_id % 4) * 4                    AS off
+      FROM documents
+    ),
+    bits AS (
+      SELECT p.doc_id, t.t AS t, r.r, c.c,
+             CASE WHEN (p.seed + (r.r * 16 + c.c + 1) * p.m + t.t * 53 + p.off) % 256
+                     > (p.seed + (r.r * 16 + c.c) * p.m + t.t * 53 + p.off) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM params p, range(8) t(t), range(8) r(r), range(8) c(c)
+    ),
+    vhashes AS (
+      SELECT doc_id, t AS frame_idx,
+             CAST(SUM(CASE WHEN r < 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN r >= 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY doc_id, t
+    )
+"""
+
+
+@register(
+    "video_dhash_corpus",
+    oracle="WITH " + _VIDEO_HASHES_CTE + """
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, dhash_hi, dhash_lo
+    FROM vhashes
+    """,
+    tags=("multimodal", "dedup", "A7"),
+)
+def video_dhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes over a real-video corpus: every document
+    becomes a genuine RIFF/AVI container with 8 uncompressed DIB frames
+    (the lossless profile — MJPEG's DCT quantization can't round-trip
+    closed-form), walked by the real container parser and hashed from
+    decoded scanlines. One row per (video, frame); a single bit wrong
+    anywhere in container write, chunk walk, DIB decode, or the hash
+    arithmetic fails the oracle."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_videos,
+        video_frame_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = documents_as_pattern_videos(docs)
+    return video_frame_dhash(vids).select(
+        "doc_id", "frame_idx", "dhash_hi", "dhash_lo"
+    )
+
+
+@register(
+    "video_dhash_neardup",
+    oracle="WITH " + _VIDEO_HASHES_CTE + """,
+    bands AS (
+      SELECT doc_id, frame_idx, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN dhash_lo % 65536
+                      WHEN 1 THEN dhash_lo // 65536
+                      WHEN 2 THEN dhash_hi % 65536
+                      ELSE dhash_hi // 65536 END AS band_val,
+             dhash_hi, dhash_lo
+      FROM vhashes, range(4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.frame_idx,
+             x.dhash_hi AS hi_a, x.dhash_lo AS lo_a,
+             y.dhash_hi AS hi_b, y.dhash_lo AS lo_b
+      FROM bands x
+      JOIN bands y
+        ON x.frame_idx = y.frame_idx
+       AND x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_close_frames
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= 6
+    """,
+    tags=("multimodal", "dedup", "C5"),
+)
+def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs: the banded-Hamming join keyed by
+    (frame_idx, band, value) — FRAME-ALIGNED, two videos only pair through
+    the same temporal position — then one aggregation keeps pairs with ≥6
+    of 8 close frames. Completes the four-modality perceptual-dedup set
+    (text MinHash, image dHash, audio energy fingerprint, video frame
+    sequence), all on the same banding machinery; the oracle re-runs the
+    full contract in SQL."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_videos,
+        video_frame_dhash,
+        video_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fh = video_frame_dhash(documents_as_pattern_videos(docs))
+    return video_neardup_pairs(fh, max_hamming=6, min_close_frames=6)

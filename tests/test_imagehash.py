@@ -279,3 +279,77 @@ def test_audio_fingerprint_roundtrip_and_pairs(spark):
     out = {r.doc_id: r for r in audio_fingerprint(bad).collect()}
     assert out[1].fp_error is None
     assert out[2].fp_error is not None and out[3].fp_error is not None
+
+
+def test_video_dhash_and_neardup(spark):
+    """Video path: real AVI (DIB frames) container walk → per-frame dHash
+    equals the closed form; frame-aligned banded join + ≥6/8 aggregation
+    equals brute force; MJPEG containers and garbage error out (totality)."""
+    from frappe_data_pipelines_spark.operators.avimini import avi_write
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_videos,
+        synth_pattern_avi,
+        video_frame_dhash,
+        video_neardup_pairs,
+    )
+
+    def frame_closed(doc_id, t):
+        seed, m, off, _ = _pattern_params(doc_id)
+        pix = lambda r, c: (seed + (r * 16 + c) * m + t * 53 + off) % 256  # noqa: E731
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                if pix(r, c + 1) > pix(r, c):
+                    bit = 1 << ((r % 4) * 8 + c)
+                    if r < 4:
+                        hi |= bit
+                    else:
+                        lo |= bit
+        return hi, lo
+
+    n = 96
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    fh = video_frame_dhash(documents_as_pattern_videos(docs))
+    rows = {(r.doc_id, r.frame_idx): r for r in fh.collect()}
+    assert len(rows) == n * 8
+    for d, t in ((0, 0), (5, 3), (95, 7)):
+        r = rows[(d, t)]
+        assert (r.dhash_hi, r.dhash_lo) == frame_closed(d, t), (d, t)
+
+    got = {
+        (r.doc_a, r.doc_b): r.n_close_frames
+        for r in video_neardup_pairs(fh, 6, 6).collect()
+    }
+    hs = {(d, t): frame_closed(d, t) for d in range(n) for t in range(8)}
+
+    def bands(h):
+        hi, lo = h
+        return [lo % 65536, lo >> 16, hi % 65536, hi >> 16]
+
+    expected = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            close = 0
+            for t in range(8):
+                ha, hb = hs[(a, t)], hs[(b, t)]
+                d = bin(ha[0] ^ hb[0]).count("1") + bin(ha[1] ^ hb[1]).count("1")
+                if d <= 6 and any(x == y for x, y in zip(bands(ha), bands(hb))):
+                    close += 1
+            if close >= 6:
+                expected[(a, b)] = close
+    assert got == expected and expected
+
+    # totality: MJPEG-coded and corrupt containers produce error rows
+    bad = spark.createDataFrame(
+        [(1, bytearray(synth_pattern_avi(3))),
+         (2, bytearray(avi_write([b"\xff\xd8notjpeg"], 9, 8))),
+         (3, bytearray(b"RIFFjunk"))],
+        "doc_id long, content binary",
+    )
+    out = video_frame_dhash(bad).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 8 and all(r.video_error is None for r in by_doc[1])
+    assert len(by_doc[2]) == 1 and by_doc[2][0].video_error is not None
+    assert len(by_doc[3]) == 1 and by_doc[3][0].video_error is not None

@@ -454,6 +454,16 @@ CHECKS: dict[str, list] = {
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
         ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
     ],
+    "video_dhash_neardup": [
+        # frame-aligned banded join (equality keys incl. frame_idx) + one
+        # pair aggregation — no nested loop, no global sort; the container
+        # walk + DIB decode is the one Arrow stage
+        ("equi_band_join", lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("pair_agg_partial", lambda p: "partial_count" in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+    ],
     "quality_signal_fusion": [
         # three signal subtrees over the docs scan (heuristic=1, gopher=1,
         # soft-dedup=2 by design) + min-max normalization via ONE 6-value
