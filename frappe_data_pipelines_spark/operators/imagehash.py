@@ -265,6 +265,7 @@ def banded_hamming_pairs(
     id_col: str = "doc_id",
     hi_col: str = "dhash_hi",
     lo_col: str = "dhash_lo",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Banded near-dup pairs over ANY 64-bit Hamming-space signature
     (two unsigned 32-bit halves): explode 4×16-bit bands → shuffle on
@@ -279,6 +280,19 @@ def banded_hamming_pairs(
     its differing bits touch ≤ 3 of the 4 bands (guaranteed complete for
     Hamming ≤ 3; the standard LSH-banding trade above that). Every
     surfaced pair is EXACT — the final filter recomputes true distance.
+
+    **Hot-bucket bound** (the same degrade ``minhash_lsh_pairs`` carries):
+    a (band, value) bucket holding B signatures yields B² self-join rows
+    in ONE task — a 100 TB image corpus has million-strong families of
+    the same logo/tracking pixel. Buckets larger than ``max_bucket_size``
+    degrade to STAR linking against the bucket's minimum doc_id (B−1
+    rows). Inside a hot bucket, recall degrades from pairwise to
+    hub-distance (a member within ``max_hamming`` of another member but
+    not of the hub is missed) — deterministic, and acceptable precisely
+    because hot Hamming buckets are near-identical families; exactness of
+    every SURFACED pair is unaffected. Catalog oracles run with corpora
+    whose buckets sit far below the default cap, so the SQL mirror needs
+    no hot branch.
     """
     h = hashes.where(F.col(hi_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
@@ -298,8 +312,38 @@ def banded_hamming_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    left = bands.alias("x")
-    right = bands.alias("y")
+    # hot list is tiny by construction (≤ corpus/max_bucket_size rows) →
+    # broadcast both the anti-join (cool path) and the hub join (hot path)
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.count(F.lit(1)).alias("__bsz"),
+            F.min("doc_id").alias("__hub"),
+            F.min_by("dhash_hi", "doc_id").alias("__hub_hi"),
+            F.min_by("dhash_lo", "doc_id").alias("__hub_lo"),
+        )
+        .filter(F.col("__bsz") > F.lit(max_bucket_size))
+    )
+    cool = bands.join(
+        F.broadcast(hot.select("band_idx", "band_val")),
+        ["band_idx", "band_val"],
+        "left_anti",
+    )
+    left = cool.alias("x")
+    right = cool.alias("y")
+    pairs_hot = (
+        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
+        .filter(F.col("doc_id") != F.col("__hub"))
+        .select(
+            # hub = min(doc_id) < member, so (hub, member) is ordered
+            F.col("__hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("__hub_hi").alias("hi_a"),
+            F.col("__hub_lo").alias("lo_a"),
+            F.col("dhash_hi").alias("hi_b"),
+            F.col("dhash_lo").alias("lo_b"),
+        )
+    )
     cand = (
         left.join(
             right,
@@ -317,6 +361,7 @@ def banded_hamming_pairs(
             F.col("y.dhash_hi").alias("hi_b"),
             F.col("y.dhash_lo").alias("lo_b"),
         )
+        .unionByName(pairs_hot)
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
@@ -453,6 +498,7 @@ def video_neardup_pairs(
     max_hamming: int = 6,
     min_close_frames: int = 6,
     id_col: str = "doc_id",
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Video near-dup pairs from per-frame dHashes: the banded-Hamming
     join keyed by (frame_idx, band_idx, band_val) — FRAME-ALIGNED, so two
@@ -465,7 +511,12 @@ def video_neardup_pairs(
 
     Scale shape: one shuffle on (frame, band) keys + one groupBy on the
     pair — per-frame band buckets are strictly smaller than video-level
-    ones, and no n² term exists anywhere."""
+    ones, and no n² term exists anywhere. Hot (frame, band, value) buckets
+    past ``max_bucket_size`` degrade to star linking against the bucket's
+    minimum doc_id (same bound and same rationale as
+    ``banded_hamming_pairs``: a million-strong family of one intro/outro
+    frame must not emit B² rows in one task; hub-anchored counts are the
+    deterministic, observable degrade)."""
     h = frame_hashes.where(F.col("dhash_hi").isNotNull()).select(
         F.col(id_col).alias("doc_id"), "frame_idx", "dhash_hi", "dhash_lo"
     )
@@ -483,8 +534,36 @@ def video_neardup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    left = bands.alias("x")
-    right = bands.alias("y")
+    hot = (
+        bands.groupBy("frame_idx", "band_idx", "band_val")
+        .agg(
+            F.count(F.lit(1)).alias("__bsz"),
+            F.min("doc_id").alias("__hub"),
+            F.min_by("dhash_hi", "doc_id").alias("__hub_hi"),
+            F.min_by("dhash_lo", "doc_id").alias("__hub_lo"),
+        )
+        .filter(F.col("__bsz") > F.lit(max_bucket_size))
+    )
+    cool = bands.join(
+        F.broadcast(hot.select("frame_idx", "band_idx", "band_val")),
+        ["frame_idx", "band_idx", "band_val"],
+        "left_anti",
+    )
+    pairs_hot = (
+        bands.join(F.broadcast(hot), ["frame_idx", "band_idx", "band_val"])
+        .filter(F.col("doc_id") != F.col("__hub"))
+        .select(
+            F.col("__hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("frame_idx").alias("frame_idx"),
+            F.col("__hub_hi").alias("hi_a"),
+            F.col("__hub_lo").alias("lo_a"),
+            F.col("dhash_hi").alias("hi_b"),
+            F.col("dhash_lo").alias("lo_b"),
+        )
+    )
+    left = cool.alias("x")
+    right = cool.alias("y")
     cand = (
         left.join(
             right,
@@ -504,6 +583,7 @@ def video_neardup_pairs(
             F.col("y.dhash_hi").alias("hi_b"),
             F.col("y.dhash_lo").alias("lo_b"),
         )
+        .unionByName(pairs_hot)
         .dropDuplicates(["doc_a", "doc_b", "frame_idx"])
     )
     hamming = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))

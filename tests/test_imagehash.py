@@ -353,3 +353,53 @@ def test_video_dhash_and_neardup(spark):
     assert len(by_doc[1]) == 8 and all(r.video_error is None for r in by_doc[1])
     assert len(by_doc[2]) == 1 and by_doc[2][0].video_error is not None
     assert len(by_doc[3]) == 1 and by_doc[3][0].video_error is not None
+
+
+def test_banded_pairs_hot_bucket_star_degrade(spark):
+    """A band bucket past max_bucket_size degrades to star linking: output
+    stays linear in bucket size (hub pairs only), surfaced pairs remain
+    exact, and under the default cap the same input yields full pairwise
+    output."""
+    import pyspark.sql.functions as F
+
+    from frappe_data_pipelines_spark.operators.imagehash import banded_hamming_pairs
+
+    # 40 signatures identical in band 0 only (lo % 65536 == 7); the other
+    # three bands are unique per doc, so exactly one bucket crosses the cap
+    rows = [(d, d * 65537, 7 + (d << 16)) for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, dhash_hi long, dhash_lo long")
+
+    capped = banded_hamming_pairs(df, max_hamming=64, max_bucket_size=10)
+    got = capped.collect()
+    # every surfaced pair is hub-anchored: doc_a == 0 (the min id), B-1 rows
+    assert {r.doc_a for r in got} == {0}
+    assert len(got) == 39
+    # exactness of surfaced pairs holds: recompute hamming per row
+    for r in got:
+        a = rows[0]
+        b = rows[r.doc_b]
+        expect = bin(a[1] ^ b[1]).count("1") + bin(a[2] ^ b[2]).count("1")
+        assert r.hamming == expect
+
+    # same input under the default cap: full pairwise output (40*39/2)
+    full = banded_hamming_pairs(df, max_hamming=64)
+    assert full.count() == 40 * 39 // 2
+
+
+def test_video_pairs_hot_bucket_star_degrade(spark):
+    """A hot (frame, band, value) bucket degrades to hub linking: per-frame
+    output linear in bucket size; under the default cap the same frame
+    hashes yield full pairwise output."""
+    from frappe_data_pipelines_spark.operators.imagehash import video_neardup_pairs
+
+    # 30 videos, single frame 0, identical in band 0 only; all within
+    # hamming of the hub so the pair aggregation keeps them
+    rows = [(d, 0, d * 65537, 7 + (d << 16)) for d in range(30)]
+    fh = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, dhash_hi long, dhash_lo long"
+    )
+    capped = video_neardup_pairs(fh, max_hamming=64, min_close_frames=1, max_bucket_size=8)
+    got = capped.collect()
+    assert {r.doc_a for r in got} == {0} and len(got) == 29
+    full = video_neardup_pairs(fh, max_hamming=64, min_close_frames=1)
+    assert full.count() == 30 * 29 // 2

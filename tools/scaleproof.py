@@ -55,6 +55,8 @@ QUERIES = [
     # because its query set is a fixed fraction of the corpus, so
     # |queries|×|vectors| work is quadratic by definition, not by plan)
     "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "video_dhash_neardup",
     "soft_dedup_weights",
     "kneser_ney_bigram_lm",
     "temperature_language_mixture",
@@ -70,11 +72,21 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
 
     alpha = "abcdefghijklmnopqrstuvwxyz"
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    # Replica doc ids are CONSECUTIVE spans (r * (max_id + 1)), not the big
+    # ID_OFFSET: the image/audio/video pattern corpora derive pixels from
+    # doc_id arithmetic with parameter period 64,256, and a large offset
+    # aliases into that space — replica pairs whose offset difference mod
+    # 64,256 is small collide on identical patterns, inflating cross-replica
+    # near-dups ∝ replicas² (measured: video exponent 1.23 under ID_OFFSET
+    # vs sublinear with spans). Consecutive spans keep every replica's
+    # parameter groups distinct, so duplicate density per row stays constant
+    # — the honest scaling regime for id-derived corpora too.
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = []
     for r in range(replicas):
         shifted = alpha[r % 26:] + alpha[: r % 26]
         d = docs.select(
-            (F.col("doc_id") + r * ID_OFFSET).alias("doc_id"),
+            (F.col("doc_id") + r * doc_span).alias("doc_id"),
             F.translate(
                 F.col("text"), alpha + alpha.upper(), shifted + shifted.upper()
             ).alias("text"),
