@@ -93,7 +93,11 @@ def dhash_gray(width: int, height: int, channels: int, rows: list[bytes]) -> tup
 
 def dhash_payload(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, hi, lo) for any image the real codecs can read:
-    magic-sniffed PNG / BMP / GIF (first frame) / grayscale TIFF."""
+    magic-sniffed PNG / BMP / GIF (first frame) / grayscale TIFF / JPEG
+    (baseline + progressive, via the jpegmini decoder — the format most
+    of a web crawl's images arrive in, and the one where perceptual
+    hashing earns its keep: a JPEG re-encode changes every byte but only
+    a few dHash bits)."""
     from frappe_data_pipelines_spark.operators.imaging import (
         bmp_decode,
         gif_decode_first_frame,
@@ -111,6 +115,17 @@ def dhash_payload(payload: bytes) -> tuple[int, int, int, int]:
         ch = 1
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         w, h, rows = tiff_decode_gray(payload)
+        ch = 1
+    elif payload[:2] == b"\xff\xd8":
+        from frappe_data_pipelines_spark.operators.jpegmini import (
+            JpegError,
+            jpeg_decode_gray,
+        )
+
+        try:
+            w, h, rows = jpeg_decode_gray(payload)
+        except JpegError as e:
+            raise ValueError(str(e)) from e
         ch = 1
     else:
         raise ValueError("unsupported image format for dhash")

@@ -403,3 +403,30 @@ def test_video_pairs_hot_bucket_star_degrade(spark):
     assert {r.doc_a for r in got} == {0} and len(got) == 29
     full = video_neardup_pairs(fh, max_hamming=64, min_close_frames=1)
     assert full.count() == 30 * 29 // 2
+
+
+def test_dhash_jpeg_reencode_is_near_duplicate():
+    """The whole point of perceptual hashing: a JPEG re-encode of the same
+    pixels changes every byte but lands within a few dHash bits — and the
+    hash of the decoded JPEG matches dhash_gray of its own decoded rows
+    (the JPEG path is wired through the real jpegmini decoder)."""
+    from frappe_data_pipelines_spark.operators.jpegmini import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    # a smooth 36x32 gradient survives quantization with small hash drift
+    rows = [bytes(min(255, 40 + 3 * r + 4 * c) for c in range(36)) for r in range(32)]
+    ref_hi, ref_lo = dhash_gray(36, 32, 1, rows)
+    for quality in (95, 75):
+        payload = jpeg_encode_gray(rows, quality=quality)
+        w, h, hi, lo = dhash_payload(payload)
+        assert (w, h) == (36, 32)
+        # consistency: payload hash == hash of what the decoder yields
+        dw, dh, drows = jpeg_decode_gray(payload)
+        assert (hi, lo) == dhash_gray(dw, dh, 1, drows)
+        drift = bin(hi ^ ref_hi).count("1") + bin(lo ^ ref_lo).count("1")
+        assert drift <= 6, (quality, drift)
+
+    with pytest.raises(ValueError):
+        dhash_payload(b"\xff\xd8truncated-jpeg")
