@@ -1375,3 +1375,105 @@ def quality_signal_fusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_signal_fusion(docs)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: collapse each near-dup cluster to its
+# BEST member, not its min-id member
+# ---------------------------------------------------------------------------
+
+_QUALITY_CANONICAL_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(c / (sa.n_sh + sb.n_sh - c), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), clusters AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ), qual AS (
+      SELECT doc_id,
+             floor((least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)
+                    + (1.0 - least(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) * 5.0, 1.0))
+                    + least(CAST(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), t -> list_contains({SW}, t))) AS DOUBLE)
+                            / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) * 5.0, 1.0)) / 3.0 * 1000000) / 1000000 AS quality
+      FROM documents
+    ), members AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM members WHERE rn = 1
+""".replace("{SW}", "__SW__")
+
+
+@register(
+    "dedup_quality_canonical",
+    oracle=_QUALITY_CANONICAL_SQL.replace("__SW__", _FUSION_SW),
+    tags=("dedup", "quality", "extension", "training"),
+)
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: near-dup clusters (n-gram
+    Jaccard pairs → star-contraction components) each collapse to their
+    HIGHEST-quality member (prose-likeness heuristic; ties broken by min
+    doc_id) — the production dedup move ``dedup_canonical_corpus``'s
+    min-id policy approximates: when a crawl holds five copies of an
+    article, keep the cleanest one, not the one with the smallest id.
+    One row per duplicate cluster: (cluster_id, kept_doc_id,
+    kept_quality, cluster_size). The per-cluster argmax is a window over
+    the cluster relation (bounded: one row per DUPLICATE doc, a tiny
+    fraction of any corpus), never a corpus-wide sort."""
+    from pyspark.sql.window import Window
+
+    from frappe_data_pipelines_spark.functions.text import quality_score_expr
+    from frappe_data_pipelines_spark.operators.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    clusters = connected_components_star(pairs)
+    qual = docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+    members = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "cluster_size",
+        )
+    )
