@@ -464,6 +464,14 @@ CHECKS: dict[str, list] = {
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
         ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
     ],
+    "dedup_quality_canonical": [
+        # cluster argmax is a window PARTITIONED by cluster_id (hash
+        # exchange), never a corpus-wide range sort; components are the
+        # iterative star-contraction joins — no cartesian anywhere
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python", lambda p: "Python" not in p and "MapInPandas" not in p),
+    ],
     "quality_signal_fusion": [
         # three signal subtrees over the docs scan (heuristic=1, gopher=1,
         # soft-dedup=2 by design) + min-max normalization via ONE 6-value
