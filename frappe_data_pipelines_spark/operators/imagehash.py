@@ -171,11 +171,16 @@ def _pattern_params(doc_id: int) -> tuple[int, int, int, int]:
     return seed, m, off, scale
 
 
-def synth_pattern_png(doc_id: int) -> bytes:
-    """Real PNG bytes (grayscale, filter 0, zlib) of the pattern image."""
+def synth_pattern_png(doc_id: int, extra_off: int = 0) -> bytes:
+    """Real PNG bytes (grayscale, filter 0, zlib) of the pattern image.
+    ``extra_off`` adds a further uniform brightness shift — a deterministic
+    stand-in for a re-crawl/re-encode of the same image (flips only
+    wrap-crossing comparisons, keeping the re-render a near-duplicate of
+    the original)."""
     from frappe_data_pipelines_spark.operators.imaging import png_encode
 
     seed, m, off, scale = _pattern_params(doc_id)
+    off += extra_off
     rows = []
     for r in range(_GRID_H):
         line = bytes(
@@ -186,9 +191,13 @@ def synth_pattern_png(doc_id: int) -> bytes:
     return png_encode(rows, color_type=0)
 
 
-def documents_as_pattern_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def documents_as_pattern_images(
+    docs: DataFrame, id_col: str = "doc_id", extra_off: int = 0
+) -> DataFrame:
     """(doc_id, content BINARY) of real pattern PNGs — the image twin of
-    ``documents_as_wav``: real containers the codec must actually parse."""
+    ``documents_as_wav``: real containers the codec must actually parse.
+    ``extra_off`` renders every image as its re-crawl variant (see
+    ``synth_pattern_png``)."""
     import pandas as pd
 
     schema = T.StructType(
@@ -203,7 +212,9 @@ def documents_as_pattern_images(docs: DataFrame, id_col: str = "doc_id") -> Data
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "content": [synth_pattern_png(int(d)) for d in pdf["doc_id"]],
+                    "content": [
+                        synth_pattern_png(int(d), extra_off) for d in pdf["doc_id"]
+                    ],
                 }
             )
 
@@ -607,4 +618,66 @@ def video_neardup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_close_frames"))
         .where(F.col("n_close_frames") >= min_close_frames)
+    )
+
+
+def banded_hamming_join(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+) -> DataFrame:
+    """INCREMENTAL perceptual dedup: match a NEW batch of signatures
+    against an EXISTING corpus (the ingest-time shape — a re-crawl's
+    images checked at the door, the image analogue of
+    ``simhash_incremental_pairs``). Returns (new_id, corpus_id, hamming),
+    every surfaced pair exact, recall per the usual 4×16-bit banding
+    contract.
+
+    Scale shape: the new batch is a micro-batch — orders of magnitude
+    smaller than the corpus — so its exploded band rows BROADCAST and the
+    corpus pays ONE scan with a map-side hash-join probe: no shuffle of
+    the corpus at all, which is what makes this runnable per ingest batch
+    rather than per dedup campaign. (For a big backfill where the 'new'
+    side is itself corpus-sized, union both sides into
+    ``banded_hamming_pairs`` instead.)"""
+
+    def explode_bands(df: DataFrame, prefix: str) -> DataFrame:
+        h = df.where(F.col(hi_col).isNotNull()).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(hi_col).alias(f"{prefix}_hi"),
+            F.col(lo_col).alias(f"{prefix}_lo"),
+        )
+        return h.select(
+            f"{prefix}_id",
+            f"{prefix}_hi",
+            f"{prefix}_lo",
+            F.posexplode(
+                F.array(
+                    F.col(f"{prefix}_lo") % 65536,
+                    (F.col(f"{prefix}_lo") / 65536).cast("long"),
+                    F.col(f"{prefix}_hi") % 65536,
+                    (F.col(f"{prefix}_hi") / 65536).cast("long"),
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    new_bands = explode_bands(new_hashes, "new")
+    corpus_bands = explode_bands(corpus_hashes, "corpus")
+    cand = (
+        corpus_bands.join(
+            F.broadcast(new_bands), ["band_idx", "band_val"]
+        )
+        .select("new_id", "corpus_id", "new_hi", "new_lo", "corpus_hi", "corpus_lo")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    hamming = F.bit_count(F.expr("new_hi ^ corpus_hi")) + F.bit_count(
+        F.expr("new_lo ^ corpus_lo")
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
     )

@@ -1864,3 +1864,97 @@ def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     fh = video_frame_dhash(documents_as_pattern_videos(docs))
     return video_neardup_pairs(fh, max_hamming=6, min_close_frames=6)
+
+
+@register(
+    "image_dhash_incremental",
+    oracle="""
+    WITH corpus_params AS (
+      SELECT doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64) AS m,
+             ((doc_id // 4) * 137) % 251         AS seed,
+             (doc_id % 4) * 4                    AS off
+      FROM documents
+    ),
+    new_params AS (
+      SELECT doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64) AS m,
+             ((doc_id // 4) * 137) % 251         AS seed,
+             (doc_id % 4) * 4 + 2                AS off
+      FROM documents WHERE doc_id % 20 = 3
+    ),
+    cbits AS (
+      SELECT p.doc_id, r.r, c.c,
+             CASE WHEN (p.seed + (r.r * 16 + c.c + 1) * p.m + p.off) % 256
+                     > (p.seed + (r.r * 16 + c.c) * p.m + p.off) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM corpus_params p, range(8) r(r), range(8) c(c)
+    ),
+    nbits AS (
+      SELECT p.doc_id, r.r, c.c,
+             CASE WHEN (p.seed + (r.r * 16 + c.c + 1) * p.m + p.off) % 256
+                     > (p.seed + (r.r * 16 + c.c) * p.m + p.off) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM new_params p, range(8) r(r), range(8) c(c)
+    ),
+    chashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN r < 4 THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN r >= 4 THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) ELSE 0 END) AS BIGINT) AS lo
+      FROM cbits GROUP BY doc_id
+    ),
+    nhashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN r < 4 THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) ELSE 0 END) AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN r >= 4 THEN bit * (1::BIGINT << ((r % 4) * 8 + c)) ELSE 0 END) AS BIGINT) AS lo
+      FROM nbits GROUP BY doc_id
+    ),
+    cbands AS (
+      SELECT doc_id, hi, lo, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                      WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM chashes, range(4) b(i)
+    ),
+    nbands AS (
+      SELECT doc_id, hi, lo, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                      WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS band_val
+      FROM nhashes, range(4) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             n.hi AS nhi, n.lo AS nlo, c.hi AS chi, c.lo AS clo
+      FROM nbands n JOIN cbands c
+        ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+    )
+    SELECT new_id, corpus_id,
+           CAST(bit_count(xor(nhi, chi)) + bit_count(xor(nlo, clo)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(nhi, chi)) + bit_count(xor(nlo, clo)) <= 6
+    """,
+    tags=("multimodal", "dedup", "I1", "extension"),
+)
+def image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image dedup at the ingest door (the image analogue of
+    the incremental SimHash path): a re-crawl batch — every 20th document
+    re-rendered with a +2 brightness shift, the deterministic stand-in
+    for a re-encode — is hashed and banded against the EXISTING corpus
+    hashes. The new batch's band rows broadcast, so the corpus pays one
+    scan with a map-side probe and NO corpus shuffle: runnable per
+    micro-batch, which is the point. The oracle rebuilds both hash sets
+    closed-form and re-runs the asymmetric banding contract in SQL;
+    every new image must rediscover its own original (small re-encode
+    Hamming) plus any near-dup group siblings."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        banded_hamming_join,
+        documents_as_pattern_images,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = image_dhash(documents_as_pattern_images(docs))
+    new_batch = image_dhash(
+        documents_as_pattern_images(docs.filter(F.col("doc_id") % 20 == 3), extra_off=2)
+    )
+    return banded_hamming_join(new_batch, corpus, max_hamming=6)

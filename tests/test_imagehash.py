@@ -430,3 +430,54 @@ def test_dhash_jpeg_reencode_is_near_duplicate():
 
     with pytest.raises(ValueError):
         dhash_payload(b"\xff\xd8truncated-jpeg")
+
+
+def test_incremental_join_finds_originals(spark):
+    """banded_hamming_join: a re-rendered batch (extra_off=2) rediscovers
+    its own originals with small Hamming, and matches exactly the
+    brute-force banded contract against the corpus."""
+    from frappe_data_pipelines_spark.operators.imagehash import banded_hamming_join
+
+    n = 120
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    corpus = image_dhash(documents_as_pattern_images(docs))
+    new = image_dhash(
+        documents_as_pattern_images(
+            docs.filter((docs.doc_id % 10) == 3), extra_off=2
+        )
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.hamming
+        for r in banded_hamming_join(new, corpus, max_hamming=6).collect()
+    }
+
+    def closed(doc_id, extra=0):
+        seed, m, off, _ = _pattern_params(doc_id)
+        off += extra
+        pix = lambda r, c: (seed + (r * 16 + c) * m + off) % 256  # noqa: E731
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                if pix(r, c + 1) > pix(r, c):
+                    bit = 1 << ((r % 4) * 8 + c)
+                    if r < 4:
+                        hi |= bit
+                    else:
+                        lo |= bit
+        return hi, lo
+
+    def bands(h):
+        hi, lo = h
+        return [lo % 65536, lo >> 16, hi % 65536, hi >> 16]
+
+    corpus_h = {d: closed(d) for d in range(n)}
+    new_h = {d: closed(d, 2) for d in range(n) if d % 10 == 3}
+    expected = {}
+    for a, ha in new_h.items():
+        for b, hb in corpus_h.items():
+            d = bin(ha[0] ^ hb[0]).count("1") + bin(ha[1] ^ hb[1]).count("1")
+            if d <= 6 and any(x == y for x, y in zip(bands(ha), bands(hb))):
+                expected[(a, b)] = d
+    assert got == expected
+    # every re-rendered image rediscovers its own original
+    assert all((d, d) in got for d in new_h), "a re-crawl missed its original"

@@ -464,6 +464,14 @@ CHECKS: dict[str, list] = {
         ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
         ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
     ],
+    "image_dhash_incremental": [
+        # ingest-door shape: the new batch's band rows BROADCAST so the
+        # corpus pays one scan with a map-side probe — no corpus shuffle
+        ("new_side_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_global_sort", lambda p: "rangepartitioning" not in _final_plan(p)),
+        ("arrow_batched_kernel", lambda p: "MapInPandas" in p),
+    ],
     "dedup_quality_canonical": [
         # cluster argmax is a window PARTITIONED by cluster_id (hash
         # exchange), never a corpus-wide range sort; components are the
