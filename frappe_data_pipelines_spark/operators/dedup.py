@@ -555,7 +555,10 @@ def benchmark_contamination(
         docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")),
         "doc_id",
     )
-    is_eval = F.col("source").isin(*eval_sources)
+    # NULL sources must land on the training side (X.isin(...) is NULL for
+    # NULL X, and both NULL and ~NULL filter to nothing — a NULL-source doc
+    # would silently skip the contamination check entirely).
+    is_eval = F.coalesce(F.col("source").isin(*eval_sources), F.lit(False))
     eval_sh = sh.filter(is_eval).select("shingle").distinct()
     train = sh.filter(~is_eval)
     sizes = train.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_shingles"))
@@ -1137,7 +1140,9 @@ def benchmark_span_decontaminate(
     stride-1 blowup on the training side is the cost; winnow-prefilter
     against eval fingerprints the same way exact_dup_spans does if needed.
     """
-    is_eval = F.col(source_col).isin(*eval_sources)
+    # coalesce: NULL-source docs are training docs, not unfilterable limbo
+    # (NULL.isin(...) is NULL; both branches would drop the row).
+    is_eval = F.coalesce(F.col(source_col).isin(*eval_sources), F.lit(False))
     eval_win = (
         _char_windows(docs.filter(is_eval), min_len, id_col, text_col)
         .select("s")

@@ -32,6 +32,27 @@ class TemplateContextProvider:
         ]
 
 
+def attach_doc_text(
+    chunks: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Join the full document text onto chunk rows as ``doc_text`` so a
+    ``wants_document`` provider (e.g. ``HTTPContextualizer``) can fill the
+    reference prompt's <document> slot with real content
+    (context_service.py:26-44). A plain equi-join on doc_id — Catalyst
+    broadcasts the doc side when it is small, and at 100 TB it is the same
+    shuffle the chunker already paid, so co-partitioning on doc_id reuses
+    the exchange. Drop ``doc_text`` after enrichment; it is prompt fuel,
+    not a sink column."""
+    return chunks.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("doc_text")),
+        "doc_id",
+        "left",
+    )
+
+
 def enrich_chunks(chunks: DataFrame, provider=None) -> DataFrame:
     """Add context_prefix + embedded_text columns (H16 concat rule: prefix
     joined with a blank line only when non-empty).
@@ -84,13 +105,19 @@ def _enrich_with_provider(chunks: DataFrame, provider) -> DataFrame:
 
     # providers that build prompts from real chunk content (reference
     # document+chunk template, context_service.py:26-44) declare
-    # ``wants_text = True`` and receive the chunk texts as a 4th argument
+    # ``wants_text = True`` and receive the chunk texts as a 4th argument;
+    # ``wants_document = True`` additionally receives the full document
+    # texts (the reference prompt's <document> slot) as a 5th argument,
+    # read from a ``doc_text`` column when the caller attached one
     wants_text = bool(getattr(provider, "wants_text", False))
+    wants_document = bool(getattr(provider, "wants_document", False))
 
     def run(batches):
         import pandas as pd
 
-        def call(ids, idxs, totals, texts):
+        def call(ids, idxs, totals, texts, doc_texts):
+            if wants_document:
+                return provider.contextualize(ids, idxs, totals, texts, doc_texts)
             if wants_text:
                 return provider.contextualize(ids, idxs, totals, texts)
             return provider.contextualize(ids, idxs, totals)
@@ -102,14 +129,17 @@ def _enrich_with_provider(chunks: DataFrame, provider) -> DataFrame:
             texts = (
                 list(pdf["chunk_text"]) if "chunk_text" in pdf.columns else [""] * len(ids)
             )
+            doc_texts = (
+                list(pdf["doc_text"]) if "doc_text" in pdf.columns else [None] * len(ids)
+            )
             try:
-                ctxs = call(ids, idxs, totals, texts)
+                ctxs = call(ids, idxs, totals, texts, doc_texts)
                 errs = [None] * len(ctxs)
             except Exception:  # noqa: BLE001 — isolate failing rows
                 ctxs, errs = [], []
-                for d, i, t, x in zip(ids, idxs, totals, texts):
+                for d, i, t, x, dx in zip(ids, idxs, totals, texts, doc_texts):
                     try:
-                        ctxs.append(call([d], [i], [t], [x])[0])
+                        ctxs.append(call([d], [i], [t], [x], [dx])[0])
                         errs.append(None)
                     except Exception as row_e:  # noqa: BLE001
                         ctxs.append("")  # reference: failure → empty context

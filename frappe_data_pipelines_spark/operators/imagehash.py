@@ -320,10 +320,19 @@ def banded_hamming_pairs(
     whose buckets sit far below the default cap, so the SQL mirror needs
     no hot branch.
     """
-    h = hashes.where(F.col(hi_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(hi_col).alias("dhash_hi"),
-        F.col(lo_col).alias("dhash_lo"),
+    # cache the narrow post-kernel hash table (3 longs/row): the hot
+    # groupBy, the cool anti-join, and the hub join all re-reference this
+    # subtree, and without the cache Spark re-runs the upstream Python
+    # signature stage (decode + hash) three times — the dominant cost when
+    # hashes come off a mapInPandas kernel
+    h = (
+        hashes.where(F.col(hi_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(hi_col).alias("dhash_hi"),
+            F.col(lo_col).alias("dhash_lo"),
+        )
+        .cache()
     )
     bands = h.select(
         "doc_id",
@@ -543,8 +552,12 @@ def video_neardup_pairs(
     ``banded_hamming_pairs``: a million-strong family of one intro/outro
     frame must not emit B² rows in one task; hub-anchored counts are the
     deterministic, observable degrade)."""
-    h = frame_hashes.where(F.col("dhash_hi").isNotNull()).select(
-        F.col(id_col).alias("doc_id"), "frame_idx", "dhash_hi", "dhash_lo"
+    # cache: same rationale as banded_hamming_pairs — three downstream
+    # references must not re-run the per-frame decode+hash Python stage
+    h = (
+        frame_hashes.where(F.col("dhash_hi").isNotNull())
+        .select(F.col(id_col).alias("doc_id"), "frame_idx", "dhash_hi", "dhash_lo")
+        .cache()
     )
     bands = h.select(
         "doc_id",

@@ -825,6 +825,12 @@ def _passes_read(r: _HdrReader) -> int:
 # ---------------------------------------------------------------------------
 
 _GUARD_BITS = 2
+
+# Decode-size guard (mirrors jbig2mini._MAX_PIXELS): crawl payloads reach
+# this decoder via multimodal._real_decode and pdfmini /JPXDecode, where
+# only Jp2Error dead-letters — a hostile SIZ header must raise, not
+# allocate. Caps total pixels-times-components and the tile-grid size.
+_MAX_PIXELS = 1 << 26
 def _cb_exponents(band_shapes: list[tuple[int, int]]) -> tuple[int, int]:
     """Pick (xcb, ycb): just large enough for the biggest band when that
     fits the spec's limits (each in [2,10], sum ≤ 12 — rectangular blocks
@@ -1206,6 +1212,15 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                 raise Jp2Error("image/tile offsets unsupported")
             if xts == 0 or yts == 0:
                 raise Jp2Error("zero tile dims")
+            if xsiz == 0 or ysiz == 0:
+                raise Jp2Error("zero image dims")
+            if xsiz * ysiz * nc > _MAX_PIXELS:
+                raise Jp2Error(
+                    f"image {xsiz}x{ysiz}x{nc} exceeds pixel cap {_MAX_PIXELS}"
+                )
+            n_t = ((xsiz + xts - 1) // xts) * ((ysiz + yts - 1) // yts)
+            if n_t > _MAX_PIXELS >> 8:
+                raise Jp2Error(f"tile grid of {n_t} tiles exceeds cap")
             for c in range(nc):
                 ssiz, xr, yr = body[36 + 3 * c], body[37 + 3 * c], body[38 + 3 * c]
                 if ssiz != 7 or xr != 1 or yr != 1:

@@ -358,6 +358,7 @@ VIDEO_AUDIT_SCHEMA = T.StructType([
     T.StructField("frames_intact", T.BooleanType()),
     T.StructField("first_frame_decodes", T.BooleanType()),
     T.StructField("n_sampled", T.LongType()),
+    T.StructField("video_error", T.StringType()),
 ])
 
 
@@ -368,30 +369,43 @@ def video_frame_audit(df: DataFrame, id_col: str = "doc_id",
     codec) and emit per-video accounting: geometry, frame counts, byte
     round-trip integrity against the deterministic synthesis, and the
     every-2nd frame-sampling count — the decode → sample → featurize shape
-    of a video pipeline with every stage real."""
+    of a video pipeline with every stage real. A malformed container
+    dead-letters its row into ``video_error`` (I3 semantics, matching
+    ``audio_features``/``image_dhash``) instead of failing the scan."""
     import pandas as pd
 
     from frappe_data_pipelines_spark.operators.avimini import avi_parse
     from frappe_data_pipelines_spark.operators.jpegmini import jpeg_decode_gray
 
+    def one(doc_id, payload: bytes):
+        m = avi_parse(payload)
+        frames = m["frames"]
+        expected, _, _ = _synth_video_frames(int(doc_id))
+        dw, dh, _rows = jpeg_decode_gray(frames[0]) if frames else (0, 0, [])
+        intact = len(frames) == m["n_frames_declared"] and frames == expected
+        return (m["width"], m["height"], m["fps"], len(frames), intact,
+                (dw, dh) == (m["width"], m["height"]), (len(frames) + 1) // 2)
+
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             out = {k: [] for k in VIDEO_AUDIT_SCHEMA.fieldNames()}
             for doc_id, content in zip(pdf[id_col], pdf[bin_col]):
-                m = avi_parse(bytes(content))
-                frames = m["frames"]
-                expected, _, _ = _synth_video_frames(int(doc_id))
-                dw, dh, _rows = jpeg_decode_gray(frames[0]) if frames else (0, 0, [])
+                payload = bytes(content) if content is not None else b""
+                try:
+                    w, h, fps, nf, intact, dec, ns = one(doc_id, payload)
+                    err = None
+                except Exception as e:  # noqa: BLE001 — dead-letter the row
+                    w = h = fps = nf = intact = dec = ns = None
+                    err = str(e)[:500]
                 out["doc_id"].append(doc_id)
-                out["width"].append(m["width"])
-                out["height"].append(m["height"])
-                out["fps"].append(m["fps"])
-                out["n_frames"].append(len(frames))
-                out["frames_intact"].append(
-                    len(frames) == m["n_frames_declared"] and frames == expected
-                )
-                out["first_frame_decodes"].append((dw, dh) == (m["width"], m["height"]))
-                out["n_sampled"].append((len(frames) + 1) // 2)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["n_frames"].append(nf)
+                out["frames_intact"].append(intact)
+                out["first_frame_decodes"].append(dec)
+                out["n_sampled"].append(ns)
+                out["video_error"].append(err)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=VIDEO_AUDIT_SCHEMA)

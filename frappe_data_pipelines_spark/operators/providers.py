@@ -298,21 +298,42 @@ class HTTPContextualizer(HTTPChatClient):
     chunk producing a <=120-token situating context
     (context_service.py:145-196). Implements the ``contextualize`` contract
     of ``operators/enrich.py``; ``wants_text = True`` asks the enrich stage
-    to pass chunk texts so the prompt carries real content, mirroring the
-    reference's document+chunk template (context_service.py:26-44)."""
+    to pass chunk texts and ``wants_document = True`` asks it to pass the
+    full document text, so the prompt carries real content in BOTH slots of
+    the reference's document+chunk template (context_service.py:26-44). When
+    the enrich stage has no document column to offer, the <document> slot
+    degrades to the doc-id placeholder rather than failing."""
 
     wants_text = True
+    wants_document = True
     template: str = (
-        "<document>\ndocument {doc} (chunk {i} of {n})\n</document>\n\n"
-        "<chunk>\n{chunk}\n</chunk>\n\n"
-        "Write a one-sentence context situating this chunk within the document."
+        "<document>\n{document}\n</document>\n\n"
+        "<chunk>\nchunk {i} of {n}:\n{chunk}\n</chunk>\n\n"
+        "Situate the chunk within the overall document in two or three "
+        "sentences so a search index can retrieve it out of context: name "
+        "the document's subject, say what part of it this chunk covers, and "
+        "mention any entities or totals the chunk refers to that are only "
+        "defined elsewhere in the document. Reply with the situating "
+        "context only — no preamble, no quotes, no restatement of the "
+        "chunk itself."
     )
 
-    def contextualize(self, doc_ids, chunk_indexes, totals, texts=None) -> list[str]:
+    def contextualize(
+        self, doc_ids, chunk_indexes, totals, texts=None, doc_texts=None
+    ) -> list[str]:
         texts = texts if texts is not None else [""] * len(doc_ids)
+        if doc_texts is None:
+            doc_texts = [None] * len(doc_ids)
         return [
-            self.complete(self.template.format(doc=d, i=int(i) + 1, n=int(n), chunk=t or ""))
-            for d, i, n, t in zip(doc_ids, chunk_indexes, totals, texts)
+            self.complete(
+                self.template.format(
+                    document=(dt if dt else f"document {d} (text unavailable)"),
+                    i=int(i) + 1,
+                    n=int(n),
+                    chunk=t or "",
+                )
+            )
+            for d, i, n, t, dt in zip(doc_ids, chunk_indexes, totals, texts, doc_texts)
         ]
 
 

@@ -255,7 +255,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 3 AS BIGINT) AS n_frames,
            true AS frames_intact,
            true AS first_frame_decodes,
-           CAST((1 + doc_id % 3 + 1) // 2 AS BIGINT) AS n_sampled
+           CAST((1 + doc_id % 3 + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(NULL AS VARCHAR) AS video_error
     FROM documents
     """,
     tags=("multimodal", "A7", "extension"),

@@ -73,3 +73,18 @@ def test_video_frame_audit_operator(spark):
         assert r.n_frames == 1 + d % 3
         assert r.frames_intact and r.first_frame_decodes
         assert r.n_sampled == (r.n_frames + 1) // 2
+        assert r.video_error is None
+
+
+def test_video_frame_audit_dead_letters_corrupt_rows(spark):
+    from frappe_data_pipelines_spark.operators.multimodal import video_frame_audit
+
+    df = spark.createDataFrame(
+        [(1, b"RIFFxxxxAVI "), (2, b""), (3, None)],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in video_frame_audit(df).collect()}
+    assert len(rows) == 3
+    for d in (1, 2, 3):
+        assert rows[d].video_error is not None
+        assert rows[d].width is None

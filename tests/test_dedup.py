@@ -324,6 +324,31 @@ def test_exact_dup_spans_semantics(spark):
     assert 3 not in spans and 4 not in spans
 
 
+def test_null_source_docs_are_training_side(spark):
+    """NULL-source docs must be decontaminated as training docs — the
+    three-valued NULL.isin() would otherwise drop them from BOTH sides and
+    silently skip contamination checks on them."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        benchmark_contamination,
+        benchmark_span_decontaminate,
+    )
+
+    leak = "the secret benchmark answer key block that leaks verbatim!!!"
+    assert len(leak) == 60
+    docs = spark.createDataFrame(
+        [
+            (1, "eval doc holds " + leak + " inside", "mmlu"),
+            (2, "prefix--" + leak + "--suffix padding here", None),  # NULL source
+            (3, "clean training text with nothing shared at all, long enough", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    spans = benchmark_span_decontaminate(docs, ["mmlu"], min_len=40).collect()
+    assert {r.doc_id for r in spans} == {2}
+    flagged = benchmark_contamination(docs, ["mmlu"], n=3).collect()
+    assert 2 in {r.doc_id for r in flagged}
+
+
 def test_exact_dup_spans_winnow_prefilter_lossless(spark, sf_dir):
     """The winnowing guarantee (any >=40-char cross-doc duplicate shares a
     selected fingerprint at k=8, w=33) makes the prefiltered path EXACTLY

@@ -142,6 +142,25 @@ class TestCodestream:
         with pytest.raises((Jp2Error, ValueError)):
             jp2_decode_gray(b"not a codestream")
 
+    def test_hostile_siz_dims_raise_before_allocation(self):
+        """A crawl payload declaring absurd SIZ dims must dead-letter
+        (Jp2Error) instead of allocating w*h*nc pixel planes — the
+        jbig2mini _MAX_PIXELS convention applied here."""
+        rows = [bytes([1, 2, 3, 4])] * 4
+        cs = bytearray(jp2_encode_gray(rows, 1))
+        siz_at = bytes(cs).find(b"\xff\x51")
+        body = siz_at + 4  # 2-byte marker + 2-byte length
+        for xsiz, ysiz in ((0xFFFFFFF0, 0xFFFFFFF0), (1 << 20, 1 << 20)):
+            hostile = bytearray(cs)
+            hostile[body + 2 : body + 6] = struct.pack(">I", xsiz)
+            hostile[body + 6 : body + 10] = struct.pack(">I", ysiz)
+            with pytest.raises(Jp2Error, match="cap"):
+                jp2_decode_gray(bytes(hostile))
+        zero = bytearray(cs)
+        zero[body + 2 : body + 6] = struct.pack(">I", 0)
+        with pytest.raises(Jp2Error, match="zero image dims"):
+            jp2_decode_gray(bytes(zero))
+
     def test_corruption_totality(self):
         rng = random.Random(13)
         rows = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(16)]

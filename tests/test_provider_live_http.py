@@ -313,8 +313,19 @@ def test_contextualizer_roundtrip_and_exhaustion(live_server):
         sleeper=lambda _: None,
     )
     (got,) = ctx.contextualize([7], [0], [3], ["some chunk text"])
-    prompt = ctx.template.format(doc=7, i=1, n=3, chunk="some chunk text")
+    prompt = ctx.template.format(
+        document="document 7 (text unavailable)", i=1, n=3, chunk="some chunk text"
+    )
     assert got == "ctx:" + hashlib.md5(prompt.encode()).hexdigest()[:8]
+    # the wants_document slot carries the REAL document text when offered
+    (got_doc,) = ctx.contextualize(
+        [7], [0], [3], ["some chunk text"], ["the whole document body"]
+    )
+    prompt_doc = ctx.template.format(
+        document="the whole document body", i=1, n=3, chunk="some chunk text"
+    )
+    assert got_doc == "ctx:" + hashlib.md5(prompt_doc.encode()).hexdigest()[:8]
+    assert got_doc != got
     with pytest.raises(ProviderError, match="retries exhausted"):
         ctx.contextualize([8], [0], [1], ["always500 text"])
 
@@ -364,7 +375,9 @@ def test_enrich_chunks_live_contextualizer_dead_letters(live_server, spark):
     assert "retries exhausted" in poisoned.enrich_error
     assert poisoned.embedded_text == "always500 poison"  # H16: empty prefix
     clean = by_key[(1, 0)]
-    prompt = prov.template.format(doc=1, i=1, n=2, chunk="clean alpha")
+    prompt = prov.template.format(
+        document="document 1 (text unavailable)", i=1, n=2, chunk="clean alpha"
+    )
     assert clean.context_prefix == "ctx:" + hashlib.md5(prompt.encode()).hexdigest()[:8]
     assert clean.embedded_text == clean.context_prefix + "\n\nclean alpha"
     assert clean.enrich_error is None

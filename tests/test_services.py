@@ -131,6 +131,40 @@ def test_enrich_provider_dead_letters(spark, sf_dir):
             assert r["embedded_text"].startswith(r["context_prefix"])
 
 
+def test_enrich_wants_document_seam(spark, sf_dir):
+    """A wants_document provider receives the full document text (joined on
+    via attach_doc_text) as the 5th argument through the Arrow stage."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+    from frappe_data_pipelines_spark.operators.enrich import (
+        attach_doc_text,
+        enrich_chunks,
+    )
+
+    class DocEchoProvider:
+        wants_text = True
+        wants_document = True
+
+        def contextualize(self, doc_ids, chunk_indexes, totals, texts=None,
+                          doc_texts=None):
+            assert doc_texts is not None and len(doc_texts) == len(doc_ids)
+            return [
+                f"doc[{(dt or '')[:12]}] chunk[{(t or '')[:8]}]"
+                for t, dt in zip(texts, doc_texts)
+            ]
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    chunks = chunk_documents(docs, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    enriched = enrich_chunks(attach_doc_text(chunks, docs), provider=DocEchoProvider())
+    rows = enriched.collect()
+    assert rows
+    doc_text = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert r["enrich_error"] is None
+        assert r["context_prefix"] == (
+            f"doc[{doc_text[r['doc_id']][:12]}] chunk[{r['chunk_text'][:8]}]"
+        )
+
+
 class TestPipelineEngine:
     @pytest.fixture()
     def engine(self, spark, sf_dir):
