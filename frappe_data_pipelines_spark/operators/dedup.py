@@ -1111,6 +1111,81 @@ def _merge_marked_windows(marked: DataFrame, min_len: int) -> DataFrame:
     )
 
 
+def exact_substring_scrub(
+    docs: DataFrame,
+    min_len: int = 40,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: str | None = None,
+    k: int = 32,
+) -> DataFrame:
+    """APPLY exact-substring dedup: emit the cleaned corpus with every
+    ``exact_dup_spans`` region cut out, plus removal accounting — the
+    second half of the Lee et al. 2021 ExactSubstr pipeline (their tool
+    likewise cuts EVERY occurrence of a duplicated substring; what remains
+    contains no cross-document repeat of length >= min_len anywhere).
+
+    Returns (doc_id, n_chars, n_spans, chars_removed, n_kept,
+    cleaned_text): docs without spans pass through byte-identical. The
+    stitch is pure JVM — spans are maximal and non-overlapping by
+    construction, so one ``F.aggregate`` over the sorted span array
+    concatenates the kept gaps; no UDF, no per-char explode.
+
+    Scale shape: adds exactly one doc_id shuffle (span collect_list) and
+    one doc_id join on top of ``exact_dup_spans``; at 100 TB run it with
+    ``prefilter='winnow'`` like the span query itself."""
+    spans = exact_dup_spans(
+        docs, min_len, min_docs, id_col, text_col, prefilter, k
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("int").alias("s"),
+                    F.col("span_end").cast("int").alias("e"),
+                )
+            )
+        ).alias("spans"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("chars_removed"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    j = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce("spans", empty).alias("spans"),
+        F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce("chars_removed", F.lit(0).cast("bigint")).alias("chars_removed"),
+    )
+    acc0 = F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc"))
+    stitched = F.aggregate(
+        "spans",
+        acc0,
+        lambda a, sp: F.struct(
+            sp["e"].alias("pos"),
+            F.concat(
+                a["acc"], F.col("text").substr(a["pos"], sp["s"] - a["pos"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("text").substr(a["pos"], F.length("text") - a["pos"] + 1),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "n_spans",
+        "chars_removed",
+        (F.length("text") - F.col("chars_removed")).cast("bigint").alias("n_kept"),
+        stitched.alias("cleaned_text"),
+    )
+
+
 def benchmark_span_decontaminate(
     docs: DataFrame,
     eval_sources: list[str],
@@ -1282,9 +1357,13 @@ def soft_dedup_weights(
     so the mean is summation-order exact.
     """
     from frappe_data_pipelines_spark.functions.text import tokens_expr
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+    base = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    toks = base.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= n)
     grams = toks.select(
         "doc_id",
@@ -1297,12 +1376,19 @@ def soft_dedup_weights(
             )
         ).alias("gram"),
     )
-    df_counts = grams.groupBy("gram").agg(
-        F.count("*").cast("bigint").alias("df")
+    # df(gram) via a whole-partition window instead of groupBy + self-join:
+    # one shuffle on the gram key annotates every (doc, gram) row with its
+    # document frequency in place — no second tokenize branch, no broadcast
+    # hash relation of millions of gram strings, no join. The window frame
+    # is the full gram partition (no orderBy), so this is a hash-window
+    # count, not a running sort.
+    from pyspark.sql import Window
+
+    per_gram = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
     per_doc = (
-        grams.join(df_counts, "gram")
-        .withColumn(
+        per_gram.withColumn(
             "lndf", F.round(F.log(F.col("df").cast("double")), 6).cast("decimal(28,6)")
         )
         .groupBy("doc_id")

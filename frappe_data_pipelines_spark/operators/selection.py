@@ -329,14 +329,30 @@ def kneser_ney_bigram_scores(
     """
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
 
-    toks = tokens_expr(F.col(text_col))
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    # Tokenize BEFORE the spread shuffle, build bigrams AFTER it: the
+    # shuffle boundary materializes ``toks`` exactly once, so the regex
+    # split never re-evaluates per consumer (heads/tails/size share the
+    # subtree — fused into one projection they each re-run it), and the
+    # explode + partial-agg lands on every core instead of the single
+    # partition a small one-file scan plans as (spread_scan: no-op on real
+    # multi-file corpora). Measured at sf0.1: ~30% off the tfb subtree.
+    tk = spread_scan(
+        docs.select(
+            F.col(id_col),
+            ref_pred.alias("is_ref"),
+            tokens_expr(F.col(text_col)).alias("toks"),
+        )
+    )
+    toks = F.col("toks")
     heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     pairs = F.zip_with(
         heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
     )
-    base = docs.select(
-        F.col(id_col), ref_pred.alias("is_ref"), pairs.alias("ps")
+    base = tk.select(
+        F.col(id_col), "is_ref", pairs.alias("ps")
     ).filter(F.size("ps") > 0)
     # tfb feeds BOTH training (via bi) and scoring, and bi feeds four
     # consumers (ctx, cont, the B stat, the scoring join) — without

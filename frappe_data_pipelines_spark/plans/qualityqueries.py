@@ -662,6 +662,57 @@ def exact_substring_spans_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_SQL = f"""
+    WITH spans AS ({_EXACT_SPAN_SQL}
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_len) AS BIGINT) AS chars_removed
+      FROM spans GROUP BY doc_id
+    ), segs AS (
+      -- kept gaps between spans (maximal + non-overlapping by construction)
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1)
+               AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      -- the tail gap after the last span
+      SELECT s.doc_id, max(s.span_end), max(len(d.text)) + 1
+      FROM spans s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id
+    ), stitched AS (
+      SELECT g.doc_id,
+             string_agg(substr(d.text, CAST(g.seg_start AS INT),
+                               CAST(g.seg_end - g.seg_start AS INT)),
+                        '' ORDER BY g.seg_start) AS cleaned_text
+      FROM segs g JOIN documents d USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.chars_removed, 0) AS chars_removed,
+           CAST(len(d.text) - coalesce(p.chars_removed, 0) AS BIGINT) AS n_kept,
+           coalesce(s.cleaned_text, d.text) AS cleaned_text
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN stitched s USING (doc_id)
+    """
+
+
+@register("exact_substring_scrub", oracle=_SCRUB_SQL, tags=("dedup", "extension"))
+def exact_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact-substring dedup (Lee et al. 2021): cut every
+    duplicated span out of every document and emit the cleaned corpus with
+    removal accounting. The oracle restitches the text from the span
+    complement in SQL, so the emitted cleaned_text is value-checked
+    character for character — not just counted."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_substring_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_scrub(docs, min_len=40, min_docs=2)
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

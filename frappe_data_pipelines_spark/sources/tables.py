@@ -79,6 +79,28 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Decouple CPU parallelism from input file layout for compute-heavy
+    stages (token/shingle explosion, per-row kernels).
+
+    A scan of one sub-``maxPartitionBytes`` parquet file plans as ONE
+    partition, so everything up to the first shuffle — tokenize, n-gram
+    explode, partial aggregation — runs on one core while the rest of the
+    cluster idles. Round-robin repartition to the session's default
+    parallelism when (and only when) the planned partition count is below
+    it; the shuffle moves just the narrow pre-explosion rows.
+
+    At 100 TB this is a no-op by construction: a real corpus scan already
+    has thousands of ≥128 MB partitions (``getNumPartitions >= target``),
+    so no shuffle is ever added where the data is large — the helper only
+    fires where the input is small enough that shuffling it is trivially
+    cheap."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Expose the tables to ``spark.sql`` under their bare names."""
     for n in names or TABLE_NAMES:

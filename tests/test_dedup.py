@@ -324,6 +324,55 @@ def test_exact_dup_spans_semantics(spark):
     assert 3 not in spans and 4 not in spans
 
 
+def test_exact_substring_scrub_semantics(spark):
+    """The scrub removes the duplicated block from BOTH docs (Lee et al.
+    cut-every-occurrence policy), stitches the remainder byte-exact, and
+    passes clean docs through unchanged."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_substring_scrub
+
+    block = "the quick brown fox jumps over the lazy dog AGAIN and again!"
+    assert len(block) == 60
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa-" + block + "-bbbb"),
+            (2, "cccccccc~" + block + "~dddd"),
+            (3, "totally unique text that reaches forty characters easily!!"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in exact_substring_scrub(docs, min_len=40).collect()}
+    assert rows[1].cleaned_text == "aaaa--bbbb"
+    assert rows[2].cleaned_text == "cccccccc~~dddd"
+    assert (rows[1].n_spans, rows[1].chars_removed, rows[1].n_kept) == (1, 60, 10)
+    assert rows[3].cleaned_text == docs.filter("doc_id=3").first().text
+    assert (rows[3].n_spans, rows[3].chars_removed) == (0, 0)
+    # no cross-doc >=40-char repeat survives in the cleaned corpus
+    cleaned = spark.createDataFrame(
+        [(r.doc_id, r.cleaned_text) for r in rows.values()],
+        "doc_id long, text string",
+    )
+    from frappe_data_pipelines_spark.operators.dedup import exact_dup_spans
+
+    assert exact_dup_spans(cleaned, min_len=40, min_docs=2).count() == 0
+
+
+def test_exact_substring_scrub_span_at_edges(spark):
+    """Spans touching position 1 or the end of the text stitch correctly
+    (empty head/tail gaps)."""
+    from frappe_data_pipelines_spark.operators.dedup import exact_substring_scrub
+
+    block = "B" * 45
+    docs = spark.createDataFrame(
+        [(1, block + "-tail"), (2, "head-" + block), (3, block)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in exact_substring_scrub(docs, min_len=40).collect()}
+    assert rows[1].cleaned_text == "-tail"
+    assert rows[2].cleaned_text == "head-"
+    assert rows[3].cleaned_text == ""
+    assert rows[3].n_kept == 0
+
+
 def test_null_source_docs_are_training_side(spark):
     """NULL-source docs must be decontaminated as training docs — the
     three-valued NULL.isin() would otherwise drop them from BOTH sides and
