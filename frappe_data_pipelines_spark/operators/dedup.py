@@ -1064,13 +1064,27 @@ def exact_dup_spans(
             cohort, base[id_col] == cohort["doc_id"], "left_semi"
         )
     win = _char_windows(base, min_len, id_col, text_col)
-    dup = (
+    # ONE content-key shuffle: group the windows by content, keep buckets
+    # spanning >= min_docs documents, explode the occurrences back out.
+    # The previous groupBy(countDistinct) + join-back formulation shuffled
+    # the stride-1 window set TWICE (and re-ran the explode for the join
+    # side). Hot-window skew is linear (B occurrence structs in one row,
+    # never B²); a corpus where one window recurs across millions of docs
+    # is exactly the case for prefilter='winnow', which shrinks the input
+    # to the sharing cohort before this shuffle.
+    occ = (
         win.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("s")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+        .filter(
+            F.size(
+                F.array_distinct(F.transform(F.col("occ"), lambda x: x["doc_id"]))
+            )
+            >= min_docs
+        )
     )
-    marked = win.join(dup, "s").select("doc_id", "pos")
+    marked = occ.select(F.explode("occ").alias("o")).select(
+        F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos")
+    )
     return _merge_marked_windows(marked, min_len)
 
 
