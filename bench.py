@@ -77,6 +77,7 @@ HEADLINE = [
     "audio_fingerprint_neardup",
     "benchmark_span_decontaminate",
     "video_dhash_neardup",
+    "exact_substring_scrub",
 ]
 
 

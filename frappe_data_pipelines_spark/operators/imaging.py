@@ -40,6 +40,13 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
 
+# Decode-size guard shared by every raster decoder here (the jbig2mini /
+# jp2mini / jpegmini convention): these kernels sit behind dead-lettering
+# dispatch (multimodal._real_decode, extraction), so a hostile header must
+# raise a ValueError — which dead-letters the row — instead of allocating
+# planes or inflating unbounded streams on an executor.
+_MAX_PIXELS = 1 << 26
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -78,6 +85,12 @@ def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
                     f"interlace={interlace})"
                 )
             channels = 1 if color_type == 3 else _CHANNELS[color_type]
+            if width == 0 or height == 0:
+                raise ValueError("zero PNG dimensions")
+            if width * height * channels > _MAX_PIXELS:
+                raise ValueError(
+                    f"PNG {width}x{height}x{channels} exceeds pixel cap"
+                )
         elif ctype == b"PLTE":
             palette = data
         elif ctype == b"IDAT":
@@ -86,9 +99,13 @@ def png_decode(payload: bytes) -> tuple[int, int, int, list[bytes]]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    want = (stride + 1) * height
+    # bounded inflate: a zip-bombed IDAT must not expand past the geometry
+    # the (capped) header declares — inflate at most want+1 bytes and treat
+    # any overrun exactly like the length mismatch it is
+    raw = zlib.decompressobj().decompress(bytes(idat), want + 1)
+    if len(raw) != want:
         raise ValueError("PNG pixel data length mismatch")
     rows: list[bytes] = []
     prev = bytearray(stride)
@@ -291,6 +308,8 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
         size = {3: 2, 4: 4}.get(typ)
         if size is None:
             raise ValueError(f"TIFF tag {tag} type {typ} unsupported")
+        if count > 1 << 20:
+            raise ValueError(f"TIFF tag {tag} count {count} exceeds cap")
         if count * size <= 4:
             return [u(inline[k * size : (k + 1) * size]) for k in range(count)]
         off = u(inline)
@@ -300,6 +319,10 @@ def tiff_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:
 
     w, h = values(256)[0], values(257)[0]
     spp = values(277)[0] if 277 in tags else 1
+    if w == 0 or h == 0:
+        raise ValueError("zero TIFF dimensions")
+    if w * h * spp > _MAX_PIXELS:
+        raise ValueError(f"TIFF {w}x{h}x{spp} exceeds pixel cap")
     if 259 in tags and values(259)[0] != 1:
         raise ValueError("compressed TIFF unsupported")
     if 258 in tags and any(b != 8 for b in values(258)):
@@ -369,6 +392,10 @@ def bmp_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(f"compressed BMP unsupported ({compression})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"BMP {w}x{h} exceeds pixel cap")
     palette = None
     if bpp == 8:
         n_colors = struct.unpack("<I", payload[46:50])[0] or 256
@@ -444,6 +471,10 @@ def gif_decode_first_frame(payload: bytes) -> tuple[int, int, list[bytes]]:
         if b != 0x2C:
             raise ValueError(f"bad GIF block 0x{b:02x}")
         x0, y0, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+        if iw == 0 or ih == 0:
+            raise ValueError("zero GIF frame dimensions")
+        if iw * ih > _MAX_PIXELS:
+            raise ValueError(f"GIF {iw}x{ih} exceeds pixel cap")
         lflags = payload[pos + 9]
         pos += 10
         table = gct
@@ -460,7 +491,7 @@ def gif_decode_first_frame(payload: bytes) -> tuple[int, int, list[bytes]]:
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += ln + 1
-        indices = _lzw_decode(bytes(data), min_code)
+        indices = _lzw_decode(bytes(data), min_code, max_out=iw * ih)
         gray = [
             (table[3 * i] * 299 + table[3 * i + 1] * 587 + table[3 * i + 2] * 114)
             // 1000
@@ -483,8 +514,15 @@ def gif_decode_first_frame(payload: bytes) -> tuple[int, int, list[bytes]]:
     raise ValueError("GIF has no image data")
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
-    """GIF-variant LZW: variable code width, clear + end codes."""
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> list[int]:
+    """GIF-variant LZW: variable code width, clear + end codes.
+
+    ``max_out`` bounds the emitted pixel count: LZW expands up to ~2700x
+    its input, so a small hostile stream could otherwise inflate to
+    gigabytes — callers pass the (capped) frame geometry, which is all
+    they ever consume."""
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -523,6 +561,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                 raise ValueError("corrupt LZW stream")
             out += entry
             prev = entry
+            if max_out is not None and len(out) >= max_out:
+                return out
             if len(table) == (1 << width) and width < 12:
                 width += 1
     return out

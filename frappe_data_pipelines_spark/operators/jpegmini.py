@@ -32,6 +32,21 @@ class JpegError(ValueError):
     pass
 
 
+# Decode-size guard (the jbig2mini/jp2mini convention): crawl payloads
+# reach this decoder via multimodal dispatch and pdfmini /DCTDecode, where
+# JpegError dead-letters — a hostile SOF header must raise before any
+# per-pixel allocation. 65535x65535 is legal per the marker fields but
+# 4.3e9 pixels of Python lists is an OOM, not an image.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w == 0 or h == 0:
+        raise JpegError("zero JPEG dimensions")
+    if w * h > _MAX_PIXELS:
+        raise JpegError(f"JPEG {w}x{h} exceeds pixel cap {_MAX_PIXELS}")
+
+
 # Annex K.1 — luminance quantization table, natural (row-major) order
 _QUANT_LUMA = [
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -473,6 +488,7 @@ def _jpeg_decode_gray_impl(payload: bytes) -> tuple[int, int, list[bytes]]:
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            _check_dims(w, h)
             n = body[5]
             comps = []
             for ci in range(n):
@@ -757,6 +773,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, list[bytes]]:
         elif marker == 0xC2:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            _check_dims(w, h)
             n = body[5]
             comps = []
             for ci in range(n):

@@ -113,6 +113,80 @@ def test_png_decode_rejects_non_png_and_bad_depth():
         png_decode(bad)
 
 
+def test_hostile_headers_raise_before_allocation():
+    """Every raster decoder must reject absurd declared geometry (and PNG a
+    zip-bombed IDAT) with a ValueError — dead-letter fuel — rather than
+    allocating planes or inflating unbounded streams (the jbig2/jp2/jpeg
+    _MAX_PIXELS convention, applied across the whole decoder family)."""
+    import struct
+    from binascii import crc32
+
+    from frappe_data_pipelines_spark.operators.imaging import (
+        bmp_decode,
+        gif_decode_first_frame,
+        tiff_decode_gray,
+    )
+    from frappe_data_pipelines_spark.operators.jpegmini import (
+        JpegError,
+        jpeg_decode_gray,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc32(ctype + data) & 0xFFFFFFFF))
+
+    # PNG: 2^31-ish dims
+    huge_png = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="pixel cap"):
+        png_decode(huge_png)
+    # PNG: sane dims, zip-bombed IDAT (decompresses far past the geometry)
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 22)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_decode(bomb)
+
+    # BMP: huge declared dims over a tiny payload
+    bmp = bytearray(b"BM" + b"\x00" * 60)
+    struct.pack_into("<I", bmp, 10, 54)
+    struct.pack_into("<I", bmp, 14, 40)
+    struct.pack_into("<ii", bmp, 18, 1 << 20, 1 << 20)
+    struct.pack_into("<H", bmp, 28, 24)
+    with pytest.raises(ValueError, match="pixel cap"):
+        bmp_decode(bytes(bmp))
+
+    # GIF: huge frame geometry
+    gif = (b"GIF89a" + struct.pack("<HH", 8, 8) + bytes([0x80, 0, 0])
+           + b"\x00" * 6  # 2-entry global color table
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, 0xFFFF, 0xFFFF) + b"\x00")
+    with pytest.raises(ValueError, match="pixel cap"):
+        gif_decode_first_frame(gif)
+
+    # TIFF: huge dims in the IFD
+    def tiff_with(w, h):
+        out = bytearray(b"II\x2a\x00" + (8).to_bytes(4, "little"))
+        entries = [(256, 3, 1, w), (257, 3, 1, h)]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, val in entries:
+            out += struct.pack("<HHI", tag, typ, count)
+            out += struct.pack("<HH", val, 0)
+        out += b"\x00\x00\x00\x00"
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="pixel cap"):
+        tiff_decode_gray(tiff_with(0xFFFF, 0xFFFF))
+
+    # JPEG: 65535x65535 SOF0 — legal fields, absurd product
+    jpg = (b"\xff\xd8"
+           + b"\xff\xc0" + struct.pack(">H", 11)
+           + bytes([8]) + struct.pack(">HH", 0xFFFF, 0xFFFF)
+           + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(JpegError, match="pixel cap"):
+        jpeg_decode_gray(jpg)
+
+
 # ------------------------------------------------------------- GIF/JPEG meta
 
 
