@@ -21,6 +21,19 @@ class FaxError(ValueError):
     """Structural decode failure (caller falls back / reports)."""
 
 
+# Geometry cap (the shared decoder convention): /Columns and /Rows come
+# from a hostile PDF dict, and the reference-line allocation is O(columns)
+# before any coded data is read — guard first, dead-letter via FaxError.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_fax_dims(columns: int, rows: int) -> None:
+    if columns <= 0 or rows < 0:
+        raise FaxError(f"bad fax geometry {columns}x{rows}")
+    if columns * max(rows, 1) > _MAX_PIXELS:
+        raise FaxError(f"fax {columns}x{rows} exceeds pixel cap {_MAX_PIXELS}")
+
+
 # ITU-T T.4 terminating + makeup codes, run length -> bitstring.
 _WHITE = {
     0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011", 5: "1100",
@@ -177,6 +190,7 @@ def _b1_b2(ref: list[int], a0: int, color: int) -> tuple[int, int]:
 
 def g4_decode(data: bytes, columns: int, rows: int) -> list[bytearray]:
     """T.6 (Group 4) decode → ``rows`` lines of 0/1 pixels (1 = black)."""
+    _check_fax_dims(columns, rows)
     br = _BitReader(data)
     ref = _changes([0] * columns)  # imaginary all-white reference line
     out: list[bytearray] = []
@@ -305,6 +319,7 @@ def g3_1d_decode(
     ``byte_align`` = the PDF /EncodedByteAlign flag (each coded line
     starts on a byte boundary). Each line is white-first alternating
     runs."""
+    _check_fax_dims(columns, rows)
     br = _BitReader(data)
     out: list[bytearray] = []
     for _ in range(rows):

@@ -147,6 +147,13 @@ class PdfParseError(ValueError):
     """Structural parse failure — caller falls back to simpler kernels."""
 
 
+# Per-stream decompressed-size ceiling (the imaging/jbig2 _MAX_PIXELS
+# convention applied to stream filters): Flate/RunLength bombs in crawled
+# PDFs must dead-letter via PdfParseError, never expand unbounded on an
+# executor. 64 MB decompressed is far past any stream this engine reads.
+_MAX_STREAM = 1 << 26
+
+
 class Ref:
     __slots__ = ("num", "gen")
 
@@ -330,6 +337,11 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     """Undo PNG row predictors 0-4 (used by xref streams, /Predictor >= 10)."""
     bpp = max(1, (colors * bpc) // 8)
     row_len = columns * bpp
+    if row_len <= 0:
+        raise PdfParseError(f"bad predictor columns {columns}")
+    if 1 + row_len > len(data):
+        # zero full rows; return before allocating a hostile-width prev row
+        return b""
     out = bytearray()
     prev = bytearray(row_len)
     pos = 0
@@ -377,9 +389,13 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
         f = str(resolve(f))
         if f in ("FlateDecode", "Fl"):
             try:
-                data = zlib.decompress(data)
+                # bounded inflate: a flate bomb in a crawled PDF must
+                # dead-letter (PdfParseError), not expand to gigabytes
+                data = zlib.decompressobj().decompress(data, _MAX_STREAM + 1)
             except zlib.error as e:
                 raise PdfParseError(f"FlateDecode: {e}") from e
+            if len(data) > _MAX_STREAM:
+                raise PdfParseError("FlateDecode output exceeds stream cap")
         elif f in ("ASCIIHexDecode", "AHx"):
             hx = re.sub(rb"[^0-9A-Fa-f>]", b"", data).rstrip(b">")
             if len(hx) % 2:
@@ -398,6 +414,8 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
                 else:
                     out += data[i + 1 : i + 2] * (257 - length)
                     i += 2
+                if len(out) > _MAX_STREAM:
+                    raise PdfParseError("RunLengthDecode output exceeds stream cap")
             data = bytes(out)
         else:
             raise PdfParseError(f"unsupported stream filter /{f}")

@@ -186,6 +186,18 @@ def test_hostile_headers_raise_before_allocation():
     with pytest.raises(JpegError, match="pixel cap"):
         jpeg_decode_gray(jpg)
 
+    # CCITT fax: hostile /Columns allocates the reference line up front
+    from frappe_data_pipelines_spark.operators.faxmini import (
+        FaxError,
+        g3_1d_decode,
+        g4_decode,
+    )
+
+    with pytest.raises(FaxError, match="pixel cap"):
+        g4_decode(b"\x00\x01", 1 << 30, 8)
+    with pytest.raises(FaxError, match="pixel cap"):
+        g3_1d_decode(b"\x00\x01", 1 << 20, 1 << 20)
+
 
 # ------------------------------------------------------------- GIF/JPEG meta
 
