@@ -90,6 +90,11 @@ def docx_extract_text(payload: bytes) -> str:
     import zipfile
 
     with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        info = z.getinfo("word/document.xml")
+        # zip-bomb guard: the declared size gates the read (ZipFile honors
+        # it — a lying header truncates and the XML parse fails instead)
+        if info.file_size > 1 << 26:
+            raise ValueError("DOCX document.xml exceeds size cap")
         root = ET.fromstring(z.read("word/document.xml"))
     paras = []
     for p in root.iter(f"{_DOCX_W}p"):
@@ -166,8 +171,12 @@ def _pdf_extract_streamorder(payload: bytes) -> str:
         meta, data = m.group(1), m.group(2)
         if b"/FlateDecode" in meta:
             try:
-                data = zlib.decompress(data)
+                # bounded inflate (pdfmini._MAX_STREAM convention): a
+                # flate-bombed stream is skipped, not expanded unbounded
+                data = zlib.decompressobj().decompress(data, (1 << 26) + 1)
             except zlib.error:
+                continue
+            if len(data) > 1 << 26:
                 continue
         if b"BT" not in data:
             continue  # not a text content stream (image XObject, fonts, ...)
