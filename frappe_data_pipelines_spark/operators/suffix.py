@@ -1,0 +1,173 @@
+"""Distributed suffix-array construction (prefix doubling).
+
+Lee et al. 2021 build their exact-substring dedup on a SINGLE-NODE suffix
+array; this engine's production dedup path is the windowed/winnowed span
+machinery (``operators/dedup.py``), which is cheaper at 100 TB because it
+never globally sorts. A suffix array is still the right tool when the
+question needs full lexicographic suffix order with NO length threshold —
+longest repeated substring, arbitrary-length substring counts, suffix-rank
+fingerprints — so the construction itself must exist in distributed form.
+
+The classic prefix-doubling algorithm (Manber & Myers 1990) is a natural
+BSP/Spark fit: O(log n) rounds, each one global sort + one per-document
+shift. Rank of every suffix after round h is the dense rank of its first
+h characters; doubling combines (rank[i], rank[i+h]) and re-ranks. The
+only non-trivial distributed piece is the GLOBAL dense rank, which we do
+without a single-partition window: range-repartition the distinct keys,
+row_number within partitions, and add per-partition offsets (the
+zipWithIndex pattern, expressed in DataFrames — the offset table has one
+row per partition, so its window is driver-tiny by construction).
+
+Semantics: suffixes are compared as plain strings, so a proper prefix
+sorts before its extensions — the '$ < every char' sentinel convention.
+Identical suffixes (two documents sharing an entire tail) share a rank
+(dense). Cross-engine: the DuckDB oracle is one window function,
+``dense_rank() OVER (ORDER BY substr(text, pos))``.
+
+Scale notes: each round shuffles the (doc, pos, rank) relation twice
+(lead + re-rank join) and the distinct-key relation twice; rounds =
+ceil(log2(max_len / start_width)). Lineage is truncated per round with
+``localCheckpoint`` — the standard move for iterative algorithms (GraphX
+does the same) — so the plan stays O(1) deep regardless of text length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _global_dense_rank(keys: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """Dense-rank DISTINCT ``keys`` rows by ``cols`` ascending, 1-based,
+    without a global single-partition window.
+
+    Range-repartition puts partition ids in key order; row_number inside
+    each partition plus the cumulative size of earlier partitions is the
+    global position. The offsets table has exactly one row per shuffle
+    partition, so its ordering window is bounded by the partition count,
+    never by the data."""
+    spark = keys.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = keys.distinct().repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ordered.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    )
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_width: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, rank): 1-based dense rank of every suffix of every
+    document under plain string order, via distributed prefix doubling.
+
+    ``start_width`` seeds round 0 with the dense rank of the first
+    ``start_width`` characters (fewer rounds than the textbook 1-char
+    seed); each round doubles the compared prefix until it covers the
+    longest document, at which point ranks are exact for all suffixes
+    (equal suffixes keep equal ranks — dense semantics)."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    if start_width < 1:
+        raise ValueError("start_width must be >= 1")
+    base = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).filter(F.length("text") > 0)
+
+    (max_len_row,) = collect_bounded(
+        base.agg(F.max(F.length("text")).alias("m")), 1, "suffix_ranks max-length probe"
+    )
+    max_len = max_len_row["m"] or 0
+    if max_len == 0:
+        return base.select(
+            "doc_id", F.lit(1).cast("long").alias("pos"), F.lit(1).cast("long").alias("rank")
+        ).limit(0)
+
+    suf = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.substring(F.col("text"), F.col("pos"), F.lit(start_width)).alias("k"),
+    )
+    ranked0 = _global_dense_rank(suf.select("k"), ["k"], "rank")
+    cur = (
+        suf.join(ranked0, "k")
+        .select("doc_id", "pos", "rank")
+        .localCheckpoint(eager=True)
+    )
+
+    h = start_width
+    lead_w = Window.partitionBy("doc_id").orderBy("pos")
+    while h < max_len:
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("rank", h).over(lead_w), F.lit(0).cast("long"))
+        )
+        reranked = _global_dense_rank(
+            paired.select("rank", "r2"), ["rank", "r2"], "new_rank"
+        )
+        cur = (
+            paired.join(reranked, ["rank", "r2"])
+            .select("doc_id", "pos", F.col("new_rank").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        h *= 2
+    return cur
+
+
+def longest_duplicated_prefix_len(ranked: DataFrame, docs: DataFrame,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """From a ``suffix_ranks`` result: per duplicated-rank group (two or
+    more suffixes sharing a rank are IDENTICAL strings), report the group
+    size and the suffix length — the exact 'repeated tail' accounting the
+    dense ranks make free. (Full LCP/Kasai is driver-side future work;
+    equal-suffix groups need no character comparison at all.)"""
+    dup = (
+        ranked.groupBy("rank")
+        .agg(F.count("*").cast("bigint").alias("n_suffixes"))
+        .filter(F.col("n_suffixes") >= 2)
+    )
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).cast("long").alias("n")
+    )
+    return (
+        ranked.join(dup, "rank")
+        .join(lens, "doc_id")
+        .select(
+            "rank",
+            "n_suffixes",
+            "doc_id",
+            "pos",
+            (F.col("n") - F.col("pos") + 1).alias("suffix_len"),
+        )
+    )

@@ -713,6 +713,32 @@ def exact_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_scrub(docs, min_len=40, min_docs=2)
 
 
+_SUFFIX_SQL = """
+    SELECT doc_id,
+           CAST(p.p AS BIGINT) AS pos,
+           CAST(dense_rank() OVER (ORDER BY substr(text, CAST(p.p AS INT)))
+                AS BIGINT) AS rank
+    FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS p) p
+    WHERE doc_id % 50 = 0 AND len(text) > 0
+    """
+
+
+@register("suffix_array_ranks", oracle=_SUFFIX_SQL, tags=("dedup", "extension"))
+def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix-array construction (Manber-Myers prefix doubling,
+    operators/suffix.py): the dense lexicographic rank of EVERY suffix of
+    every document in the slice, built as O(log max_len) rounds of global
+    re-ranking — range-partitioned rank assignment, no single-partition
+    window, no per-string sort key longer than the doubling width. The
+    oracle is the definition itself (dense_rank over the string-sorted
+    suffixes), so every rank is value-checked. The slice keeps the gate
+    fast; the construction is corpus-size-agnostic."""
+    from frappe_data_pipelines_spark.operators.suffix import suffix_ranks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return suffix_ranks(docs)
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

@@ -1,0 +1,75 @@
+"""Distributed prefix-doubling suffix ranks vs brute force."""
+
+from __future__ import annotations
+
+import random
+
+import pytest  # noqa: F401
+
+from frappe_data_pipelines_spark.operators.suffix import (
+    longest_duplicated_prefix_len,
+    suffix_ranks,
+)
+
+
+def _brute_ranks(texts: dict[int, str]) -> dict[tuple[int, int], int]:
+    sufs = [
+        (d, p + 1, t[p:]) for d, t in texts.items() for p in range(len(t))
+    ]
+    uniq = sorted({s for _, _, s in sufs})
+    rank_of = {s: i + 1 for i, s in enumerate(uniq)}
+    return {(d, p): rank_of[s] for d, p, s in sufs}
+
+
+def _check(spark, texts: dict[int, str], start_width: int = 8) -> None:
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.rank
+        for r in suffix_ranks(docs, start_width=start_width).collect()
+    }
+    assert got == _brute_ranks(texts)
+
+
+def test_suffix_ranks_small_corpus(spark):
+    _check(spark, {1: "banana", 2: "bandana", 3: "ananas"}, start_width=2)
+
+
+def test_suffix_ranks_shared_tails_tie(spark):
+    """Identical cross-document suffixes share a dense rank."""
+    texts = {1: "xyzcommon-tail", 2: "abcommon-tail", 3: "common-tail"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos): r.rank
+        for r in suffix_ranks(docs, start_width=4).collect()
+    }
+    assert got == _brute_ranks(texts)
+    # the shared "common-tail" suffix: one rank, three holders
+    shared = [k for k, v in got.items() if v == got[(3, 1)]]
+    assert len(shared) == 3
+
+
+def test_suffix_ranks_random_differential(spark):
+    rng = random.Random(7)
+    texts = {
+        d: "".join(rng.choice("abcab") for _ in range(rng.randrange(1, 60)))
+        for d in range(1, 9)
+    }
+    _check(spark, texts, start_width=8)
+
+
+def test_suffix_ranks_repetitive_text(spark):
+    """Highly repetitive strings exercise many doubling rounds (ranks only
+    separate at large h)."""
+    _check(spark, {1: "a" * 70, 2: "a" * 50 + "b", 3: "aa"}, start_width=2)
+
+
+def test_longest_duplicated_prefix_groups(spark):
+    texts = {1: "prefix-SHARED", 2: "other-SHARED", 3: "unrelated"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    ranked = suffix_ranks(docs, start_width=4)
+    groups = longest_duplicated_prefix_len(ranked, docs).collect()
+    # "-SHARED" (and its proper suffixes) is duplicated across docs 1 and 2
+    best = max(groups, key=lambda r: r.suffix_len)
+    assert best.n_suffixes == 2
+    assert best.suffix_len == len("-SHARED")
+    assert {r.doc_id for r in groups if r.rank == best.rank} == {1, 2}
