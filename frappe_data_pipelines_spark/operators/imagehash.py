@@ -397,12 +397,15 @@ def banded_hamming_pairs(
             F.col("y.dhash_lo").alias("lo_b"),
         )
         .unionByName(pairs_hot)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact Hamming BEFORE the pair dedup: the distance is functionally
+    # determined by (doc_a, doc_b), so filtering first is equivalent — and
+    # it prunes non-matching candidates before they pay the dedup shuffle
     hamming = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -623,11 +626,14 @@ def video_neardup_pairs(
             F.col("y.dhash_lo").alias("lo_b"),
         )
         .unionByName(pairs_hot)
-        .dropDuplicates(["doc_a", "doc_b", "frame_idx"])
     )
+    # Hamming filter BEFORE the (pair, frame) dedup — the distance is
+    # functionally determined by (doc_a, doc_b, frame_idx), so the reorder
+    # is exact and prunes far candidates ahead of both shuffles
     hamming = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
     return (
         cand.where(hamming.cast("int") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b", "frame_idx"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_close_frames"))
         .where(F.col("n_close_frames") >= min_close_frames)
