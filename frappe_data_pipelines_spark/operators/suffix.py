@@ -61,10 +61,14 @@ def _global_dense_rank(keys: DataFrame, cols: list[str], out: str) -> DataFrame:
         .withColumn(
             "__off",
             F.coalesce(
+                # constant partition key: the relation is one row per
+                # shuffle partition (≤ a few hundred rows), so the single
+                # window partition is bounded by cluster width, not data —
+                # the lit(0) key just states that to Spark (no WARN)
                 F.sum("__cnt").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                    Window.partitionBy(F.lit(0))
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
@@ -78,20 +82,21 @@ def _global_dense_rank(keys: DataFrame, cols: list[str], out: str) -> DataFrame:
     )
 
 
-def suffix_ranks(
+def suffix_rank_levels(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     start_width: int = 8,
-) -> DataFrame:
-    """(doc_id, pos, rank): 1-based dense rank of every suffix of every
-    document under plain string order, via distributed prefix doubling.
+) -> list[tuple[int, DataFrame]]:
+    """Prefix-doubling rank tables at every width: [(h, df)] ascending,
+    where each df is (doc_id, pos, rank) with rank = dense rank of the
+    first ``h`` characters of the suffix (corpus-global). The last table's
+    width covers the longest document, so its ranks order full suffixes.
 
-    ``start_width`` seeds round 0 with the dense rank of the first
-    ``start_width`` characters (fewer rounds than the textbook 1-char
-    seed); each round doubles the compared prefix until it covers the
-    longest document, at which point ranks are exact for all suffixes
-    (equal suffixes keep equal ranks — dense semantics)."""
+    Keeping every level is the classic O(n log n)-space trade that buys
+    O(log n) LCP queries WITHOUT character access (``suffix_lcp_adjacent``
+    consumes it); callers that only need final ranks use
+    ``suffix_ranks`` and hold one table."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
@@ -106,9 +111,10 @@ def suffix_ranks(
     )
     max_len = max_len_row["m"] or 0
     if max_len == 0:
-        return base.select(
+        empty = base.select(
             "doc_id", F.lit(1).cast("long").alias("pos"), F.lit(1).cast("long").alias("rank")
         ).limit(0)
+        return [(start_width, empty)]
 
     suf = base.select(
         "doc_id",
@@ -125,6 +131,7 @@ def suffix_ranks(
         .select("doc_id", "pos", "rank")
         .localCheckpoint(eager=True)
     )
+    levels = [(start_width, cur)]
 
     h = start_width
     lead_w = Window.partitionBy("doc_id").orderBy("pos")
@@ -141,7 +148,140 @@ def suffix_ranks(
             .localCheckpoint(eager=True)
         )
         h *= 2
-    return cur
+        levels.append((h, cur))
+    return levels
+
+
+def suffix_ranks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_width: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, rank): 1-based dense rank of every suffix of every
+    document under plain string order, via distributed prefix doubling.
+
+    ``start_width`` seeds round 0 with the dense rank of the first
+    ``start_width`` characters (fewer rounds than the textbook 1-char
+    seed); each round doubles the compared prefix until it covers the
+    longest document, at which point ranks are exact for all suffixes
+    (equal suffixes keep equal ranks — dense semantics)."""
+    return suffix_rank_levels(docs, id_col, text_col, start_width)[-1][1]
+
+
+def longest_repeated_substrings(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` longest substrings occurring at least twice in the corpus
+    (across or within documents) — the flagship suffix-array application,
+    fully distributed and character-comparison-free.
+
+    Classic reduction: the longest repeated substring is the maximum LCP
+    between ADJACENT suffixes in lexicographic order (any two suffixes'
+    LCP is bounded by some adjacent pair's between them). Adjacency comes
+    from a global row_number over (rank, doc, pos); each adjacent pair's
+    LCP is then decomposed over the prefix-doubling rank tables descending
+    (rank_h equal → first h chars equal → consume h and advance both
+    suffixes), the O(log n)-level LCP scheme that never touches text. The
+    end-of-string convention (a short suffix's rank key is its whole tail)
+    can overcount only when both suffixes ended, so one final clamp to the
+    remaining lengths makes every LCP exact.
+
+    Returns (lcp, doc_a, pos_a, doc_b, pos_b, repeated) ordered by
+    (lcp DESC, doc_a, pos_a, doc_b, pos_b), limit ``k`` — a total
+    deterministic order, so the row set is oracle-stable."""
+    levels = suffix_rank_levels(docs, id_col, text_col, start_width=1)
+    final = levels[-1][1]
+    idx = _global_dense_rank(
+        final.select("rank", "doc_id", "pos"), ["rank", "doc_id", "pos"], "idx"
+    )
+    a = idx.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "idx"
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        (F.col("idx") - 1).alias("idx"),
+    )
+    state = (
+        a.join(b, "idx")
+        .select(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.col("pos_a").alias("pa"),
+            F.col("pos_b").alias("pb"),
+            F.lit(0).cast("long").alias("lcp"),
+        )
+    )
+    for h, tbl in reversed(levels):
+        ra = tbl.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pa"),
+            F.col("rank").alias("__ra"),
+        )
+        rb = tbl.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("pos").alias("pb"),
+            F.col("rank").alias("__rb"),
+        )
+        eq = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        state = (
+            state.join(ra, ["doc_a", "pa"], "left")
+            .join(rb, ["doc_b", "pb"], "left")
+            .select(
+                "doc_a",
+                "pos_a",
+                "doc_b",
+                "pos_b",
+                F.when(eq, F.col("pa") + h).otherwise(F.col("pa")).alias("pa"),
+                F.when(eq, F.col("pb") + h).otherwise(F.col("pb")).alias("pb"),
+                F.when(eq, F.col("lcp") + h).otherwise(F.col("lcp")).alias("lcp"),
+            )
+        )
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).cast("long").alias("__n")
+    )
+    texts = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a")
+    )
+    return (
+        state.join(lens.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__n", "__na"), "doc_a")
+        .join(lens.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__n", "__nb"), "doc_b")
+        .select(
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.least(
+                F.col("lcp"),
+                F.col("__na") - F.col("pos_a") + 1,
+                F.col("__nb") - F.col("pos_b") + 1,
+            ).alias("lcp"),
+        )
+        .filter(F.col("lcp") >= 1)
+        .join(texts, "doc_a")
+        .select(
+            "lcp",
+            "doc_a",
+            "pos_a",
+            "doc_b",
+            "pos_b",
+            F.expr("substring(__text_a, int(pos_a), int(lcp))").alias("repeated"),
+        )
+        .orderBy(
+            F.col("lcp").desc(), "doc_a", "pos_a", "doc_b", "pos_b"
+        )
+        .limit(k)
+    )
 
 
 def longest_duplicated_prefix_len(ranked: DataFrame, docs: DataFrame,

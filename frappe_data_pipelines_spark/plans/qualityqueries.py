@@ -739,6 +739,51 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(docs)
 
 
+_LRS_SQL = """
+    WITH sufs AS (
+      SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS p) p
+      WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), ordered AS (
+      SELECT doc_id AS doc_a, pos AS pos_a, s,
+             lead(doc_id) OVER w AS doc_b,
+             lead(pos) OVER w AS pos_b,
+             lead(s) OVER w AS s2
+      FROM sufs WINDOW w AS (ORDER BY s, doc_id, pos)
+    ), lcps AS (
+      SELECT doc_a, pos_a, doc_b, pos_b,
+             (SELECT coalesce(max(k.k), 0)
+              FROM (SELECT unnest(generate_series(1, least(len(s), len(s2)))) AS k) k
+              WHERE substr(s, 1, CAST(k.k AS INT)) = substr(s2, 1, CAST(k.k AS INT)))
+               AS lcp
+      FROM ordered WHERE s2 IS NOT NULL
+    )
+    SELECT CAST(lcp AS BIGINT) AS lcp, doc_a, pos_a, doc_b, pos_b,
+           substr(s, 1, CAST(lcp AS INT)) AS repeated
+    FROM lcps JOIN sufs ON sufs.doc_id = lcps.doc_a AND sufs.pos = lcps.pos_a
+    WHERE lcp >= 1
+    ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+    LIMIT 5
+    """
+
+
+@register("longest_repeated_substring", oracle=_LRS_SQL, tags=("dedup", "extension"))
+def longest_repeated_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest substrings occurring >= 2 times in the slice — the
+    flagship suffix-array application (operators/suffix.py): global
+    suffix adjacency from the prefix-doubling ranks, per-pair LCP
+    decomposed over the O(log n) rank tables with no character
+    comparison anywhere. The oracle recomputes every adjacent-pair LCP
+    by direct prefix comparison in SQL, so lengths, occurrence
+    coordinates, AND the repeated text itself are value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        longest_repeated_substrings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return longest_repeated_substrings(docs, k=5)
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

@@ -63,6 +63,57 @@ def test_suffix_ranks_repetitive_text(spark):
     _check(spark, {1: "a" * 70, 2: "a" * 50 + "b", 3: "aa"}, start_width=2)
 
 
+def _brute_lrs(texts: dict[int, str]) -> int:
+    """Length of the longest substring occurring >= 2 times (any docs,
+    overlaps allowed) — O(n^2 log) brute force over all pairs of suffixes."""
+    sufs = sorted(t[p:] for t in texts.values() for p in range(len(t)))
+    best = 0
+    for x, y in zip(sufs, sufs[1:]):
+        m = 0
+        for cx, cy in zip(x, y):
+            if cx != cy:
+                break
+            m += 1
+        best = max(best, m)
+    return best
+
+
+def test_longest_repeated_substrings_differential(spark):
+    from frappe_data_pipelines_spark.operators.suffix import (
+        longest_repeated_substrings,
+    )
+
+    rng = random.Random(11)
+    texts = {
+        d: "".join(rng.choice("abc") for _ in range(rng.randrange(5, 50)))
+        for d in range(1, 7)
+    }
+    texts[7] = "XXmarkerXX" + texts[1][:20]  # guaranteed cross-doc repeat
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = longest_repeated_substrings(docs, k=3).collect()
+    assert rows, "some repeat must exist"
+    top = rows[0]
+    assert top.lcp == _brute_lrs(texts)
+    # the reported occurrences really carry the reported substring
+    assert texts[top.doc_a][top.pos_a - 1 : top.pos_a - 1 + top.lcp] == top.repeated
+    assert texts[top.doc_b][top.pos_b - 1 : top.pos_b - 1 + top.lcp] == top.repeated
+    assert (top.doc_a, top.pos_a) != (top.doc_b, top.pos_b)
+    # rows are sorted by lcp desc with deterministic tie-break
+    assert [r.lcp for r in rows] == sorted([r.lcp for r in rows], reverse=True)
+
+
+def test_longest_repeated_substring_intra_doc_overlap(spark):
+    """Overlapping intra-document repeats count ('aaaa' repeats 'aaa')."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        longest_repeated_substrings,
+    )
+
+    docs = spark.createDataFrame([(1, "aaaa"), (2, "xyz")], "doc_id long, text string")
+    top = longest_repeated_substrings(docs, k=1).collect()[0]
+    assert top.lcp == 3
+    assert top.repeated == "aaa"
+
+
 def test_longest_duplicated_prefix_groups(spark):
     texts = {1: "prefix-SHARED", 2: "other-SHARED", 3: "unrelated"}
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
