@@ -53,7 +53,13 @@ def nb_train(
 
     ``prior``: single row (p DECIMAL(28,6)) = round(ln(n_pos/n_neg), 6).
     """
-    toks = docs.select(label.alias("pos"), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    # spread before the token explode: single-small-file scans plan as one
+    # partition and would serialize the tokenize+explode (no-op at scale)
+    toks = spread_scan(docs.select(label.alias("pos"), F.col(text_col))).select(
+        "pos", F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
     counts = (
         toks.groupBy("term")
         .agg(
@@ -104,7 +110,11 @@ def nb_score(
     multiplicity* (multinomial NB); pred = nb_llr ≥ 0. Documents whose
     tokens were all pruned score at the bare prior (left join + coalesce),
     so the operator is total over the corpus."""
-    toks = docs.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    toks = spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
     sums = (
         toks.join(weights, "term")
         .groupBy(id_col)

@@ -129,9 +129,14 @@ def dsir_select(
 def _doc_term_freq(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-(doc, word) term frequencies — the relation every unigram-LM
     scorer here joins against."""
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
     toks = tokens_expr(F.col(text_col))
+    # spread first: the explode below is the CPU-heavy step and a single
+    # small input file would otherwise pin it to one core (no-op at scale)
     return (
-        docs.select(F.col(id_col), F.explode(toks).alias("w"))
+        spread_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
