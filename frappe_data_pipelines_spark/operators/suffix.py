@@ -169,30 +169,22 @@ def suffix_ranks(
     return suffix_rank_levels(docs, id_col, text_col, start_width)[-1][1]
 
 
-def longest_repeated_substrings(
+def suffix_lcp_adjacent(
     docs: DataFrame,
-    k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-``k`` longest substrings occurring at least twice in the corpus
-    (across or within documents) — the flagship suffix-array application,
-    fully distributed and character-comparison-free.
+    """(doc_a, pos_a, doc_b, pos_b, lcp) for every ADJACENT pair of
+    suffixes in corpus-wide lexicographic order — the LCP array of the
+    generalized suffix array, computed character-comparison-free.
 
-    Classic reduction: the longest repeated substring is the maximum LCP
-    between ADJACENT suffixes in lexicographic order (any two suffixes'
-    LCP is bounded by some adjacent pair's between them). Adjacency comes
-    from a global row_number over (rank, doc, pos); each adjacent pair's
-    LCP is then decomposed over the prefix-doubling rank tables descending
-    (rank_h equal → first h chars equal → consume h and advance both
-    suffixes), the O(log n)-level LCP scheme that never touches text. The
-    end-of-string convention (a short suffix's rank key is its whole tail)
-    can overcount only when both suffixes ended, so one final clamp to the
-    remaining lengths makes every LCP exact.
-
-    Returns (lcp, doc_a, pos_a, doc_b, pos_b, repeated) ordered by
-    (lcp DESC, doc_a, pos_a, doc_b, pos_b), limit ``k`` — a total
-    deterministic order, so the row set is oracle-stable."""
+    Adjacency comes from a global row_number over (rank, doc, pos); each
+    pair's LCP is decomposed over the prefix-doubling rank tables
+    descending (rank_h equal → first h chars equal → consume h and
+    advance both suffixes), the O(log n)-level LCP scheme. The
+    end-of-string convention (a short suffix's rank key is its whole
+    tail) can overcount only when both suffixes ended, so one final clamp
+    to the remaining lengths makes every LCP exact."""
     levels = suffix_rank_levels(docs, id_col, text_col, start_width=1)
     final = levels[-1][1]
     idx = _global_dense_rank(
@@ -250,9 +242,6 @@ def longest_repeated_substrings(
     lens = docs.select(
         F.col(id_col).alias("doc_id"), F.length(text_col).cast("long").alias("__n")
     )
-    texts = docs.select(
-        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a")
-    )
     return (
         state.join(lens.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("__n", "__na"), "doc_a")
         .join(lens.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("__n", "__nb"), "doc_b")
@@ -267,6 +256,30 @@ def longest_repeated_substrings(
                 F.col("__nb") - F.col("pos_b") + 1,
             ).alias("lcp"),
         )
+    )
+
+
+def longest_repeated_substrings(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` longest substrings occurring at least twice in the corpus
+    (across or within documents) — the flagship suffix-array application.
+
+    Classic reduction: the longest repeated substring is the maximum LCP
+    between ADJACENT suffixes in lexicographic order (any two suffixes'
+    LCP is bounded by some adjacent pair's between them); the LCPs come
+    from ``suffix_lcp_adjacent``. Returns (lcp, doc_a, pos_a, doc_b,
+    pos_b, repeated) ordered by (lcp DESC, doc_a, pos_a, doc_b, pos_b),
+    limit ``k`` — a total deterministic order, so the row set is
+    oracle-stable."""
+    texts = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__text_a")
+    )
+    return (
+        suffix_lcp_adjacent(docs, id_col, text_col)
         .filter(F.col("lcp") >= 1)
         .join(texts, "doc_a")
         .select(
@@ -281,6 +294,37 @@ def longest_repeated_substrings(
             F.col("lcp").desc(), "doc_a", "pos_a", "doc_b", "pos_b"
         )
         .limit(k)
+    )
+
+
+def distinct_substring_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_suffix_chars, sum_lcp, n_distinct_substrings) for the
+    corpus — the generalized-suffix-array identity
+
+        #distinct substrings = Σ len(suffix) − Σ LCP(adjacent pairs),
+
+    which holds with duplicate suffixes too (an identical adjacent pair
+    contributes len and cancels via lcp = len). A corpus-diversity
+    statistic no sketch gives exactly: it counts every distinct substring
+    of every length in one pass over the suffix machinery."""
+    lcps = suffix_lcp_adjacent(docs, id_col, text_col)
+    chars = docs.filter(F.length(text_col) > 0).agg(
+        F.sum(
+            (F.length(text_col).cast("long") * (F.length(text_col) + 1).cast("long"))
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("n_suffix_chars")
+    )
+    lsum = lcps.agg(F.coalesce(F.sum("lcp"), F.lit(0)).cast("long").alias("sum_lcp"))
+    return chars.crossJoin(lsum).select(
+        "n_suffix_chars",
+        "sum_lcp",
+        (F.col("n_suffix_chars") - F.col("sum_lcp")).alias("n_distinct_substrings"),
     )
 
 

@@ -784,6 +784,45 @@ def longest_repeated_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_repeated_substrings(docs, k=5)
 
 
+_DISTINCT_SUBSTR_SQL = """
+    WITH sufs AS (
+      SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS p) p
+      WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), ordered AS (
+      SELECT s, lead(s) OVER (ORDER BY s, doc_id, pos) AS s2 FROM sufs
+    ), lcps AS (
+      SELECT (SELECT coalesce(max(k.k), 0)
+              FROM (SELECT unnest(generate_series(1, least(len(s), len(s2)))) AS k) k
+              WHERE substr(s, 1, CAST(k.k AS INT)) = substr(s2, 1, CAST(k.k AS INT)))
+               AS lcp
+      FROM ordered WHERE s2 IS NOT NULL
+    )
+    SELECT (SELECT CAST(sum(len(s)) AS BIGINT) FROM sufs) AS n_suffix_chars,
+           (SELECT CAST(coalesce(sum(lcp), 0) AS BIGINT) FROM lcps) AS sum_lcp,
+           (SELECT CAST(sum(len(s)) AS BIGINT) FROM sufs)
+             - (SELECT CAST(coalesce(sum(lcp), 0) AS BIGINT) FROM lcps)
+             AS n_distinct_substrings
+    """
+
+
+@register("corpus_distinct_substrings", oracle=_DISTINCT_SUBSTR_SQL,
+          tags=("dedup", "extension"))
+def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count of DISTINCT substrings of every length in the slice —
+    the generalized-suffix-array identity (sum of suffix lengths minus the
+    LCP-array sum), a corpus-diversity statistic no sketch computes
+    exactly. Rides the same character-comparison-free LCP machinery as
+    longest_repeated_substring; the oracle recomputes every adjacent LCP
+    by direct prefix comparison."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        distinct_substring_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return distinct_substring_stats(docs)
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

@@ -114,6 +114,31 @@ def test_longest_repeated_substring_intra_doc_overlap(spark):
     assert top.repeated == "aaa"
 
 
+def test_distinct_substring_stats_differential(spark):
+    from frappe_data_pipelines_spark.operators.suffix import (
+        distinct_substring_stats,
+    )
+
+    rng = random.Random(3)
+    texts = {
+        d: "".join(rng.choice("abz") for _ in range(rng.randrange(1, 40)))
+        for d in range(1, 7)
+    }
+    texts[7] = texts[1]  # an exact duplicate document
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    row = distinct_substring_stats(docs).collect()[0]
+    brute = {
+        t[i:j]
+        for t in texts.values()
+        for i in range(len(t))
+        for j in range(i + 1, len(t) + 1)
+    }
+    assert row.n_distinct_substrings == len(brute)
+    assert row.n_suffix_chars == sum(
+        n * (n + 1) // 2 for n in map(len, texts.values())
+    )
+
+
 def test_longest_duplicated_prefix_groups(spark):
     texts = {1: "prefix-SHARED", 2: "other-SHARED", 3: "unrelated"}
     docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")

@@ -62,6 +62,11 @@ QUERIES = [
     "temperature_language_mixture",
     "benchmark_span_decontaminate",
     "knn_batch_topk",
+    # round-7 additions: the scrub pays the span machinery plus one doc_id
+    # shuffle + join; the suffix queries are slice-bound by design (doc_id
+    # filter), so replication changes their input only via the slice —
+    # still a valid plan-shape probe
+    "exact_substring_scrub",
 ]
 
 ID_OFFSET = 10_000_000
