@@ -232,6 +232,29 @@ CHECKS: dict[str, list] = {
         ("cohort_semi_join", lambda p: "LeftSemi" in p),
         ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
     ],
+    "exact_substring_scrub": [
+        # the apply half: span machinery + ONE doc_id collect_list shuffle
+        # + one left join back; the stitch is a pure higher-order aggregate
+        # (no UDF, no per-char explode)
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python_stitch", lambda p: "BatchEvalPython" not in p),
+        ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
+        ("jvm_aggregate_stitch", lambda p: "aggregate(" in p.lower()),
+    ],
+    "suffix_array_ranks": [
+        # prefix doubling: every rank assignment is range-partitioned +
+        # per-partition row_number — no global sort of the data relation,
+        # no cartesian, no Python anywhere
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
+    ],
+    "longest_repeated_substring": [
+        # LCP decomposition over the rank tables: joins keyed on (doc,pos),
+        # final top-k is TakeOrdered (bounded), never a full global sort
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),
+    ],
     "j3_caption_dead_letter_audit": [
         # caption dead-letter path: one scan through one Arrow stage,
         # shuffle-free (I3 is row-grained, never a repartition)
