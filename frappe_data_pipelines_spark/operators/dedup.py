@@ -1064,26 +1064,26 @@ def exact_dup_spans(
             cohort, base[id_col] == cohort["doc_id"], "left_semi"
         )
     win = _char_windows(base, min_len, id_col, text_col)
-    # ONE content-key shuffle: group the windows by content, keep buckets
-    # spanning >= min_docs documents, explode the occurrences back out.
+    # ONE content-key shuffle: annotate every window row with the count of
+    # DISTINCT documents sharing its content via two window functions over
+    # the same partition key (dense_rank by doc_id, then its unbounded
+    # max), and keep rows from buckets spanning >= min_docs documents.
     # The previous groupBy(countDistinct) + join-back formulation shuffled
     # the stride-1 window set TWICE (and re-ran the explode for the join
-    # side). Hot-window skew is linear (B occurrence structs in one row,
-    # never B²); a corpus where one window recurs across millions of docs
-    # is exactly the case for prefilter='winnow', which shrinks the input
-    # to the sharing cohort before this shuffle.
-    occ = (
-        win.groupBy("s")
-        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
-        .filter(
-            F.size(
-                F.array_distinct(F.transform(F.col("occ"), lambda x: x["doc_id"]))
-            )
-            >= min_docs
-        )
-    )
-    marked = occ.select(F.explode("occ").alias("o")).select(
-        F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos")
+    # side). Rows stay rows — a hot window (same boilerplate line across
+    # millions of docs) lands in one sort-spillable window partition,
+    # never a single collect_list cell — and a corpus with such windows is
+    # also exactly the prefilter='winnow' case, which shrinks the input to
+    # the sharing cohort before this shuffle.
+    from pyspark.sql.window import Window as _W
+
+    by_s = _W.partitionBy("s").orderBy("doc_id")
+    over_s = _W.partitionBy("s")
+    marked = (
+        win.withColumn("__dr", F.dense_rank().over(by_s))
+        .withColumn("__nd", F.max("__dr").over(over_s))
+        .filter(F.col("__nd") >= min_docs)
+        .select("doc_id", "pos")
     )
     return _merge_marked_windows(marked, min_len)
 

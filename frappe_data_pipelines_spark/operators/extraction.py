@@ -173,10 +173,14 @@ def _pdf_extract_streamorder(payload: bytes) -> str:
             try:
                 # bounded inflate (pdfmini._MAX_STREAM convention): a
                 # flate-bombed stream is skipped, not expanded unbounded
-                data = zlib.decompressobj().decompress(data, (1 << 26) + 1)
+                d = zlib.decompressobj()
+                data = d.decompress(data, (1 << 26) + 1)
             except zlib.error:
                 continue
-            if len(data) > 1 << 26:
+            if len(data) > 1 << 26 or not d.eof:
+                # over-cap or truncated (plain zlib.decompress raised on
+                # truncation; keep skipping those streams, never emit a
+                # half-decoded prefix as extracted text)
                 continue
         if b"BT" not in data:
             continue  # not a text content stream (image XObject, fonts, ...)

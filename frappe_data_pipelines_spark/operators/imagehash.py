@@ -324,7 +324,12 @@ def banded_hamming_pairs(
     # groupBy, the cool anti-join, and the hub join all re-reference this
     # subtree, and without the cache Spark re-runs the upstream Python
     # signature stage (decode + hash) three times — the dominant cost when
-    # hashes come off a mapInPandas kernel
+    # hashes come off a mapInPandas kernel. Lifetime: the CacheManager
+    # dedupes by analyzed plan, so repeated calls over the same source
+    # reuse one entry rather than piling up; distinct sources accumulate
+    # until spark.catalog.clearCache() (which the bench harness issues per
+    # pass) or session end — the repo-wide .cache() convention
+    # (tpch_extra, textqueries fps).
     h = (
         hashes.where(F.col(hi_col).isNotNull())
         .select(

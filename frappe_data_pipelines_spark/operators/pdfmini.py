@@ -391,11 +391,18 @@ def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
             try:
                 # bounded inflate: a flate bomb in a crawled PDF must
                 # dead-letter (PdfParseError), not expand to gigabytes
-                data = zlib.decompressobj().decompress(data, _MAX_STREAM + 1)
+                d = zlib.decompressobj()
+                data = d.decompress(data, _MAX_STREAM + 1)
             except zlib.error as e:
                 raise PdfParseError(f"FlateDecode: {e}") from e
             if len(data) > _MAX_STREAM:
                 raise PdfParseError("FlateDecode output exceeds stream cap")
+            if not d.eof:
+                # plain zlib.decompress raised on truncation; decompressobj
+                # returns the partial prefix silently — keep the old
+                # contract (truncated stream = structural failure, never a
+                # half-decoded xref/object stream parsed as valid)
+                raise PdfParseError("FlateDecode: incomplete or truncated stream")
         elif f in ("ASCIIHexDecode", "AHx"):
             hx = re.sub(rb"[^0-9A-Fa-f>]", b"", data).rstrip(b">")
             if len(hx) % 2:

@@ -312,13 +312,18 @@ def distinct_substring_stats(
     statistic no sketch gives exactly: it counts every distinct substring
     of every length in one pass over the suffix machinery."""
     lcps = suffix_lcp_adjacent(docs, id_col, text_col)
-    chars = docs.filter(F.length(text_col) > 0).agg(
-        F.sum(
-            (F.length(text_col).cast("long") * (F.length(text_col) + 1).cast("long"))
-            / F.lit(2)
-        )
-        .cast("long")
-        .alias("n_suffix_chars")
+    # integer arithmetic end to end: len*(len+1) is even, `/` would detour
+    # through double (silent low-bit loss past 2^53 — exactly the corpus
+    # sums this operator exists for), and the running total accumulates in
+    # DECIMAL(38,0) so even a 10^20-substring corpus sums exactly.
+    per_doc = (
+        F.length(text_col).cast("long")
+        * (F.length(text_col).cast("long") + F.lit(1).cast("long"))
+    ).cast("decimal(38,0)")
+    chars = (
+        docs.filter(F.length(text_col) > 0)
+        .agg(F.sum(per_doc).alias("__twice"))
+        .select((F.col("__twice") / 2).cast("long").alias("n_suffix_chars"))
     )
     lsum = lcps.agg(F.coalesce(F.sum("lcp"), F.lit(0)).cast("long").alias("sum_lcp"))
     return chars.crossJoin(lsum).select(

@@ -233,24 +233,25 @@ CHECKS: dict[str, list] = {
         ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
     ],
     "exact_substring_scrub": [
-        # the apply half: span machinery + ONE doc_id collect_list shuffle
-        # + one left join back; the stitch is a pure higher-order aggregate
-        # (no UDF, no per-char explode)
+        # the apply half: span machinery + ONE doc_id span-collect shuffle
+        # + one left join back; the stitch is the HIGHER-ORDER aggregate
+        # expression over the span array (match the HOF over the spans
+        # column specifically — a bare 'aggregate(' would be satisfied by
+        # any HashAggregate node), no UDF, no per-char explode
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("no_python_stitch", lambda p: "BatchEvalPython" not in p),
         ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
-        ("jvm_aggregate_stitch", lambda p: "aggregate(" in p.lower()),
+        ("hof_stitch_over_spans", lambda p: re.search(r"aggregate\(spans", p)),
     ],
-    "suffix_array_ranks": [
-        # prefix doubling: every rank assignment is range-partitioned +
-        # per-partition row_number — no global sort of the data relation,
-        # no cartesian, no Python anywhere
-        ("no_cartesian", lambda p: "CartesianProduct" not in p),
-        ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
-    ],
+    # NOTE: suffix_array_ranks deliberately has no entry — its returned
+    # DataFrame is the last localCheckpoint, so the audited plan is just a
+    # Scan ExistingRDD and any check against it would be vacuous. The
+    # construction's plan properties are asserted structurally instead
+    # (tests/test_suffix.py differential + the no-single-partition-window
+    # design in operators/suffix.py). longest_repeated_substring IS
+    # audited: everything after the last checkpoint (idx ranking, the LCP
+    # join chain, the bounded top-k) appears in its plan.
     "longest_repeated_substring": [
-        # LCP decomposition over the rank tables: joins keyed on (doc,pos),
-        # final top-k is TakeOrdered (bounded), never a full global sort
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),

@@ -62,10 +62,11 @@ QUERIES = [
     "temperature_language_mixture",
     "benchmark_span_decontaminate",
     "knn_batch_topk",
-    # round-7 additions: the scrub pays the span machinery plus one doc_id
-    # shuffle + join; the suffix queries are slice-bound by design (doc_id
-    # filter), so replication changes their input only via the slice —
-    # still a valid plan-shape probe
+    # round-7 addition: the scrub pays the span machinery plus one doc_id
+    # shuffle + join. The suffix queries are deliberately NOT probed here:
+    # their doc_id-slice filters keep input size fixed under replication
+    # (replica ids land outside the slice), so a scaling exponent over
+    # them would measure nothing.
     "exact_substring_scrub",
 ]
 
