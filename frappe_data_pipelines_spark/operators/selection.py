@@ -380,6 +380,11 @@ def kneser_ney_bigram_scores(
         .agg(F.sum("tf").cast("bigint").alias("c"))
         .cache()
     )
+    # the probe doubles as the cache-priming job: materializing bi (and
+    # tfb under it) BEFORE the scoring job runs means the four downstream
+    # consumers all hit a populated cache — probing a cheaper relation was
+    # measured SLOWER (the consumers then race to populate the cache
+    # inside one job, each recomputing the subtree)
     if not collect_bounded(bi.limit(1), 2, "KN reference-slice probe"):
         raise ValueError(
             "ref_pred yields no bigrams — cannot train the Kneser-Ney LM"
