@@ -1137,8 +1137,11 @@ def exact_substring_scrub(
     """APPLY exact-substring dedup: emit the cleaned corpus with every
     ``exact_dup_spans`` region cut out, plus removal accounting — the
     second half of the Lee et al. 2021 ExactSubstr pipeline (their tool
-    likewise cuts EVERY occurrence of a duplicated substring; what remains
-    contains no cross-document repeat of length >= min_len anywhere).
+    likewise cuts EVERY occurrence of a duplicated substring). Every
+    pre-existing cross-document repeat of length >= min_len is removed;
+    note the same caveat as the original: cutting a span concatenates its
+    flanks, which can in principle mint NEW adjacent text (run a second
+    pass if that matters — in practice, as in the paper, it does not).
 
     Returns (doc_id, n_chars, n_spans, chars_removed, n_kept,
     cleaned_text): docs without spans pass through byte-identical. The

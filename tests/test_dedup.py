@@ -356,6 +356,58 @@ def test_exact_substring_scrub_semantics(spark):
     assert exact_dup_spans(cleaned, min_len=40, min_docs=2).count() == 0
 
 
+def test_exact_substring_scrub_random_differential(spark):
+    """Randomized corpora with planted cross-doc blocks: the scrub output
+    must equal an independent brute-force reimplementation (mark every
+    duplicated stride-1 window, merge islands, cut), and the cleaned
+    corpus must contain no cross-doc >= min_len repeat."""
+    import random as _random
+    from collections import defaultdict
+
+    from frappe_data_pipelines_spark.operators.dedup import (
+        exact_dup_spans,
+        exact_substring_scrub,
+    )
+
+    L = 12  # small min_len keeps the brute force meaningful on short docs
+    rng = _random.Random(23)
+    block_a = "SHAREDBLOCK_" + "x" * 8
+    block_b = "zqzqzqzqzqzq"
+    texts = {}
+    for d in range(1, 10):
+        bits = ["".join(rng.choice("abcdef ") for _ in range(rng.randrange(5, 40)))]
+        if d % 2 == 0:
+            bits.append(block_a)
+        if d % 3 == 0:
+            bits.append(block_b)
+        bits.append("".join(rng.choice("ghijkl ") for _ in range(rng.randrange(0, 30))))
+        texts[d] = "".join(bits)
+
+    # brute force: every L-char window -> docs holding it; mark, merge, cut
+    owners = defaultdict(set)
+    for d, t in texts.items():
+        for p in range(len(t) - L + 1):
+            owners[t[p : p + L]].add(d)
+    expected = {}
+    for d, t in texts.items():
+        covered = [False] * len(t)
+        for p in range(len(t) - L + 1):
+            if len(owners[t[p : p + L]]) >= 2:
+                for i in range(p, p + L):
+                    covered[i] = True
+        expected[d] = "".join(c for c, hit in zip(t, covered) if not hit)
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = {r.doc_id: r for r in exact_substring_scrub(docs, min_len=L).collect()}
+    for d in texts:
+        assert rows[d].cleaned_text == expected[d], d
+        assert rows[d].n_kept == len(expected[d])
+    cleaned = spark.createDataFrame(
+        [(d, rows[d].cleaned_text) for d in texts], "doc_id long, text string"
+    )
+    assert exact_dup_spans(cleaned, min_len=L, min_docs=2).count() == 0
+
+
 def test_exact_substring_scrub_span_at_edges(spark):
     """Spans touching position 1 or the end of the text stitch correctly
     (empty head/tail gaps)."""
