@@ -1203,6 +1203,67 @@ def exact_substring_scrub(
     )
 
 
+def incremental_dup_spans(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: str | None = "winnow",
+    k: int = 32,
+) -> DataFrame:
+    """Exact-substring dedup AT THE INGEST DOOR: for every NEW document,
+    the maximal spans whose stride-1 ``min_len``-char windows occur
+    verbatim anywhere in the EXISTING corpus — the span-level member of
+    the incremental family (``bloom_incremental`` doc-level,
+    ``simhash_incremental_pairs`` near-dup, ``banded_hamming_join``
+    perceptual). Returns (doc_id, span_start, span_end, span_len) for new
+    docs, 1-based [start, end) — feed to ``exact_substring_scrub``-style
+    stitching or reject the doc outright.
+
+    Scale shape (the whole point): with ``prefilter='winnow'`` (default)
+    the corpus pays only a fingerprint scan at ~2/(w+1) density — never
+    the stride-1 window blowup. The new batch's fingerprints broadcast
+    (micro-batch ≪ corpus); only corpus docs sharing a fingerprint (the
+    cohort) expand to windows. Lossless by the SIGMOD'03 guarantee: any
+    cross-side duplicate of length >= w + k - 1 = min_len shares a
+    selected fingerprint, so the cohort contains every corpus doc that
+    could mark a window. ``prefilter=None`` is the direct two-sided
+    window semi-join (what the SQL oracle mirrors)."""
+    if prefilter == "winnow":
+        if not 1 <= k <= min_len:
+            raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")
+        w = min_len - k + 1
+        new_fp = (
+            winnow_fingerprints_fast(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
+            .select("fp")
+            .distinct()
+        )
+        corp_fp = winnow_fingerprints_fast(
+            corpus, k=k, w=w, id_col=id_col, text_col=text_col
+        )
+        cohort = (
+            corp_fp.join(F.broadcast(new_fp), "fp", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        corpus = corpus.join(
+            cohort, corpus[id_col] == cohort["doc_id"], "left_semi"
+        )
+    # the micro-batch's windows BROADCAST; cohort corpus windows stream
+    # against the hash with NO corpus-side shuffle (no distinct either —
+    # per-occurrence duplicates collapse in the tiny dropDuplicates over
+    # the marked output, which is bounded by the new batch's window count)
+    new_win = _char_windows(new_docs, min_len, id_col, text_col)
+    corp_win = _char_windows(corpus, min_len, id_col, text_col).select("s")
+    marked = (
+        corp_win.join(F.broadcast(new_win), "s")
+        .select("doc_id", "pos")
+        .dropDuplicates(["doc_id", "pos"])
+    )
+    return _merge_marked_windows(marked, min_len)
+
+
 def benchmark_span_decontaminate(
     docs: DataFrame,
     eval_sources: list[str],

@@ -823,6 +823,60 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_substring_stats(docs)
 
 
+_INCR_SPAN_SQL = """
+    WITH win AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS p) p
+      WHERE len(text) >= 40
+    ), corp AS (
+      SELECT DISTINCT s FROM win WHERE doc_id % 20 <> 3
+    ), d AS (
+      SELECT w.doc_id, w.pos FROM win w JOIN corp USING (s)
+      WHERE w.doc_id % 20 = 3
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 40) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM d
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 40 AS BIGINT) AS span_end,
+           CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+    FROM isl2
+    GROUP BY doc_id, island
+    """
+
+
+@register("incremental_dup_spans", oracle=_INCR_SPAN_SQL, tags=("dedup", "extension"))
+def incremental_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at the ingest door: the doc_id%20==3 slice
+    plays the arriving micro-batch, everything else the standing corpus;
+    every maximal span of a new doc whose 40-char windows occur verbatim
+    in the corpus is reported. The Spark path runs the winnow-prefiltered
+    production shape (corpus pays a ~2/(w+1)-density fingerprint scan,
+    never the stride-1 blowup; new windows broadcast) — lossless by the
+    SIGMOD'03 guarantee, so it matches the direct two-sided window
+    semi-join the oracle runs."""
+    from frappe_data_pipelines_spark.operators.dedup import incremental_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    return incremental_dup_spans(corpus, new, min_len=40).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_len").cast("bigint").alias("span_len"),
+    )
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

@@ -425,6 +425,41 @@ def test_exact_substring_scrub_span_at_edges(spark):
     assert rows[3].n_kept == 0
 
 
+def test_incremental_dup_spans_semantics(spark):
+    """Ingest-door span matching: spans of NEW docs covered by corpus
+    windows, winnow prefilter lossless vs the direct path; corpus-only and
+    intra-new duplication never marks."""
+    from frappe_data_pipelines_spark.operators.dedup import incremental_dup_spans
+
+    block = "the quick brown fox jumps over the lazy dog AGAIN and again!"
+    assert len(block) == 60
+    corpus = spark.createDataFrame(
+        [
+            (1, "corpus doc one ~~ " + block + " ~~ tail"),
+            (2, "another corpus document with its own distinct text body!"),
+            (3, "corpus twin A " + "Z" * 45),
+            (4, "corpus twin B " + "Z" * 45),  # corpus-internal dup only
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "arriving--" + block + "--doc"),
+            (102, "clean arriving document, nothing shared with the corpus"),
+            (103, "intra-new repeat " + "Q" * 45),
+            (104, "intra-new repeat " + "Q" * 45),  # dup only within batch
+        ],
+        "doc_id long, text string",
+    )
+    for pf in ("winnow", None):
+        spans = {
+            r.doc_id: (r.span_start, r.span_end, r.span_len)
+            for r in incremental_dup_spans(corpus, new, min_len=40, prefilter=pf).collect()
+        }
+        # block occupies 1-based [11, 71) in doc 101
+        assert spans == {101: (11, 71, 60)}, (pf, spans)
+
+
 def test_null_source_docs_are_training_side(spark):
     """NULL-source docs must be decontaminated as training docs — the
     three-valued NULL.isin() would otherwise drop them from BOTH sides and
