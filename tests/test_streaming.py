@@ -547,3 +547,50 @@ def test_streaming_sketch_rollup(spark, sf_dir, stream_dirs, tmp_path):
     assert sorted(map(tuple, rolled_cells.collect())) == sorted(
         map(tuple, cms_cells(whole, "k", 4, 64).collect())
     )
+
+
+def test_streaming_ingest_door_span_dedup(spark, sf_dir, stream_dirs, tmp_path):
+    """Exact-substring dedup at the ingest door, IN A STREAM: each
+    micro-batch of arriving docs is span-checked against the standing
+    corpus inside foreachBatch; the union over batches equals the
+    batch-at-once answer, and multiple micro-batches really ran."""
+    from frappe_data_pipelines_spark.operators.dedup import incremental_dup_spans
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 3).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 20 == 3).select("doc_id", "text")
+
+    # arrivals land as three parquet files -> three micro-batches
+    for lo, hi in ((0, 150), (150, 320), (320, 10_000)):
+        new.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dirs["input"])
+
+    spans_dir = str(tmp_path / "spans")
+    batches_run: list[int] = []  # foreachBatch runs in-process on local mode
+
+    def sink(batch_df, batch_id):
+        batches_run.append(batch_id)
+        incremental_dup_spans(corpus, batch_df, min_len=40).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(spans_dir)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dirs["input"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", stream_dirs["checkpoint"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "ingest-door span stream did not finish"
+
+    got = spark.read.parquet(spans_dir)
+    assert len(set(batches_run)) >= 2  # spans may be sparse; batches must not be
+    streamed = sorted(
+        map(tuple, got.select("doc_id", "span_start", "span_end", "span_len").collect())
+    )
+    whole = sorted(map(tuple, incremental_dup_spans(corpus, new, min_len=40).collect()))
+    assert streamed == whole
