@@ -433,7 +433,8 @@ _FP_FRAMES, _FP_FLEN = 33, 64
 _FP_SAMPLES = _FP_FRAMES * _FP_FLEN  # 2112
 
 
-def synth_wav_pattern(doc_id: int, sample_rate: int = 8000) -> bytes:
+def synth_wav_pattern(doc_id: int, sample_rate: int = 8000,
+                      extra_v: int = 0) -> bytes:
     """Deterministic REAL WAV bytes whose PCM is closed-form in doc_id —
     the audio twin of ``imagehash.synth_pattern_png``. Four consecutive
     docs form a group: same multiplicative-hash base waveform
@@ -446,11 +447,13 @@ def synth_wav_pattern(doc_id: int, sample_rate: int = 8000) -> bytes:
     genuine near-duplicates: measured in-group Hamming ≈ 2.6 bits,
     cross-group ≈ 32, balanced bits (31.4/64 ones at N=500). Everything
     is integer arithmetic, so the DuckDB oracle rebuilds every sample,
-    frame energy, and fingerprint bit exactly."""
+    frame energy, and fingerprint bit exactly. ``extra_v`` bumps the
+    variant index — the audio re-encode stand-in for incremental dedup
+    (the twin of the image path's extra_off brightness shift)."""
     import io
     import wave
 
-    g, v = doc_id // 4, doc_id % 4
+    g, v = doc_id // 4, doc_id % 4 + extra_v
     frames = bytes(
         (
             ((i + g * 1009) * 2654435761) % 4294967296 // 16777216
@@ -468,9 +471,11 @@ def synth_wav_pattern(doc_id: int, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def documents_as_wav_pattern(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def documents_as_wav_pattern(docs: DataFrame, id_col: str = "doc_id",
+                             extra_v: int = 0) -> DataFrame:
     """(doc_id, content BINARY) of real pattern WAVs — real RIFF containers
-    the fingerprint kernel must actually parse."""
+    the fingerprint kernel must actually parse; ``extra_v`` produces the
+    re-encoded arrival batch for incremental dedup."""
     import pandas as pd
 
     schema = T.StructType([
@@ -482,7 +487,7 @@ def documents_as_wav_pattern(docs: DataFrame, id_col: str = "doc_id") -> DataFra
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "content": [synth_wav_pattern(int(d)) for d in pdf["doc_id"]],
+                "content": [synth_wav_pattern(int(d), extra_v=extra_v) for d in pdf["doc_id"]],
             })
 
     par = docs.sparkSession.sparkContext.defaultParallelism

@@ -1868,6 +1868,99 @@ def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_fingerprint_incremental",
+    oracle="""
+    WITH both_params AS (
+      SELECT 'c' AS side, doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+      FROM documents
+      UNION ALL
+      SELECT 'n', doc_id, doc_id // 4, doc_id % 4 + 1
+      FROM documents WHERE doc_id % 20 = 3
+    ), smp AS (
+      SELECT side, doc_id, i.i AS i, i.i // 64 AS f,
+             (((i.i + g * 1009) * 2654435761) % 4294967296 // 16777216
+              + CASE WHEN ((i.i * 40503 + g) % 997) < v * 2
+                     THEN 61 ELSE 0 END) % 256 AS s
+      FROM both_params, range(2112) i(i)
+    ), smp2 AS (
+      SELECT side, doc_id, i, f, s,
+             lag(s) OVER (PARTITION BY side, doc_id ORDER BY i) AS prev_s
+      FROM smp
+    ), feat AS (
+      SELECT side, doc_id, f,
+             SUM(abs(s - 128)) AS e,
+             SUM(CASE WHEN i % 2 = 1 THEN abs(s - prev_s) ELSE 0 END) AS dr
+      FROM smp2 GROUP BY side, doc_id, f
+    ), bits AS (
+      SELECT side, doc_id, f,
+             CASE WHEN lead(e) OVER w > e THEN 1 ELSE 0 END AS be,
+             CASE WHEN lead(dr) OVER w > dr THEN 1 ELSE 0 END AS bd
+      FROM feat
+      WINDOW w AS (PARTITION BY side, doc_id ORDER BY f)
+    ), fps AS (
+      SELECT side, doc_id,
+             CAST(SUM(be * (1::BIGINT << f)) AS BIGINT) AS fp_hi,
+             CAST(SUM(bd * (1::BIGINT << f)) AS BIGINT) AS fp_lo
+      FROM bits WHERE f < 32 GROUP BY side, doc_id
+    ), nbands AS (
+      SELECT doc_id, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN fp_lo % 65536
+                      WHEN 1 THEN fp_lo // 65536
+                      WHEN 2 THEN fp_hi % 65536
+                      ELSE fp_hi // 65536 END AS band_val,
+             fp_hi, fp_lo
+      FROM fps, range(4) b(i) WHERE side = 'n'
+    ), cbands AS (
+      SELECT doc_id, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN fp_lo % 65536
+                      WHEN 1 THEN fp_lo // 65536
+                      WHEN 2 THEN fp_hi % 65536
+                      ELSE fp_hi // 65536 END AS band_val,
+             fp_hi, fp_lo
+      FROM fps, range(4) b(i) WHERE side = 'c'
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             n.fp_hi AS nhi, n.fp_lo AS nlo, c.fp_hi AS chi, c.fp_lo AS clo
+      FROM nbands n JOIN cbands c
+        ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+    )
+    SELECT new_id, corpus_id,
+           CAST(bit_count(xor(nhi, chi)) + bit_count(xor(nlo, clo)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(nhi, chi)) + bit_count(xor(nlo, clo)) <= 6
+    """,
+    tags=("multimodal", "dedup", "I1", "extension"),
+)
+def audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL audio dedup at the ingest door — the audio member of
+    the incremental family (doc-level Bloom, SimHash text, image dHash,
+    span-level exact-substring): a re-upload batch (every 20th document
+    re-synthesized at the next variant index, the deterministic stand-in
+    for a re-encode) is fingerprinted through the REAL WAV kernel and
+    banded against the existing corpus fingerprints via the same
+    asymmetric broadcast join the image path uses — new band rows
+    broadcast, corpus pays one scan, no corpus shuffle. The oracle
+    rebuilds both fingerprint sets closed-form and re-runs the banding
+    contract; every re-upload must rediscover its original within the
+    re-encode Hamming budget."""
+    from frappe_data_pipelines_spark.operators.imagehash import banded_hamming_join
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_pattern,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = audio_fingerprint(documents_as_wav_pattern(docs))
+    new_batch = audio_fingerprint(
+        documents_as_wav_pattern(docs.filter(F.col("doc_id") % 20 == 3), extra_v=1)
+    )
+    return banded_hamming_join(
+        new_batch, corpus, max_hamming=6, hi_col="fp_hi", lo_col="fp_lo"
+    )
+
+
+@register(
     "image_dhash_incremental",
     oracle="""
     WITH corpus_params AS (
