@@ -424,7 +424,7 @@ def banded_hamming_pairs(
 _VIDEO_FRAMES = 8  # frames per synthetic pattern video
 
 
-def synth_pattern_avi(doc_id: int) -> bytes:
+def synth_pattern_avi(doc_id: int, extra_off: int = 0) -> bytes:
     """Real RIFF/AVI bytes (uncompressed DIB frames — the lossless profile
     ``avimini`` carries precisely so decoded pixels stay closed-form; MJPEG
     quantization cannot round-trip exactly): 8 frames of the scrambled
@@ -442,6 +442,7 @@ def synth_pattern_avi(doc_id: int) -> bytes:
     )
 
     seed, m, off, _scale = _pattern_params(doc_id)
+    off += extra_off  # re-encode stand-in (uniform brightness shift)
     frames = []
     for t in range(_VIDEO_FRAMES):
         rows = [
@@ -452,8 +453,10 @@ def synth_pattern_avi(doc_id: int) -> bytes:
     return avi_write(frames, _GRID_W, _GRID_H, fps=10, codec=b"DIB ")
 
 
-def documents_as_pattern_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, content BINARY) of real pattern AVIs."""
+def documents_as_pattern_videos(docs: DataFrame, id_col: str = "doc_id",
+                                extra_off: int = 0) -> DataFrame:
+    """(doc_id, content BINARY) of real pattern AVIs; ``extra_off``
+    produces the re-encoded arrival batch for incremental dedup."""
     import pandas as pd
 
     schema = T.StructType(
@@ -468,7 +471,7 @@ def documents_as_pattern_videos(docs: DataFrame, id_col: str = "doc_id") -> Data
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "content": [synth_pattern_avi(int(d)) for d in pdf["doc_id"]],
+                    "content": [synth_pattern_avi(int(d), extra_off) for d in pdf["doc_id"]],
                 }
             )
 
@@ -640,6 +643,67 @@ def video_neardup_pairs(
         cand.where(hamming.cast("int") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b", "frame_idx"])
         .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_close_frames"))
+        .where(F.col("n_close_frames") >= min_close_frames)
+    )
+
+
+def video_neardup_join(
+    new_frame_hashes: DataFrame,
+    corpus_frame_hashes: DataFrame,
+    max_hamming: int = 6,
+    min_close_frames: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL video dedup: match a NEW batch of per-frame dHashes
+    against the EXISTING corpus — ``video_neardup_pairs``'s frame-aligned
+    banding in the asymmetric ingest-door shape of
+    ``banded_hamming_join``. Returns (new_id, corpus_id, n_close_frames)
+    for pairs with >= ``min_close_frames`` frames within
+    ``max_hamming``.
+
+    Scale shape: the new batch's exploded (frame, band) rows BROADCAST;
+    the corpus pays one scan with a map-side probe and no shuffle —
+    runnable per micro-batch."""
+
+    def explode(df: DataFrame, prefix: str) -> DataFrame:
+        h = df.where(F.col("dhash_hi").isNotNull()).select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            "frame_idx",
+            F.col("dhash_hi").alias(f"{prefix}_hi"),
+            F.col("dhash_lo").alias(f"{prefix}_lo"),
+        )
+        return h.select(
+            f"{prefix}_id",
+            "frame_idx",
+            f"{prefix}_hi",
+            f"{prefix}_lo",
+            F.posexplode(
+                F.array(
+                    F.col(f"{prefix}_lo") % 65536,
+                    (F.col(f"{prefix}_lo") / 65536).cast("long"),
+                    F.col(f"{prefix}_hi") % 65536,
+                    (F.col(f"{prefix}_hi") / 65536).cast("long"),
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    cand = (
+        explode(corpus_frame_hashes, "corpus")
+        .join(
+            F.broadcast(explode(new_frame_hashes, "new")),
+            ["frame_idx", "band_idx", "band_val"],
+        )
+        .select("new_id", "corpus_id", "frame_idx", "new_hi", "new_lo",
+                "corpus_hi", "corpus_lo")
+    )
+    hamming = F.bit_count(F.expr("new_hi ^ corpus_hi")) + F.bit_count(
+        F.expr("new_lo ^ corpus_lo")
+    )
+    return (
+        cand.where(hamming.cast("int") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id", "frame_idx"])
+        .groupBy("new_id", "corpus_id")
         .agg(F.count("*").cast("bigint").alias("n_close_frames"))
         .where(F.col("n_close_frames") >= min_close_frames)
     )

@@ -1961,6 +1961,94 @@ def audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "video_dhash_incremental",
+    oracle="""
+    WITH both_params AS (
+      SELECT 'c' AS side, doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64) AS m,
+             ((doc_id // 4) * 137) % 251         AS seed,
+             (doc_id % 4) * 4                    AS off
+      FROM documents
+      UNION ALL
+      SELECT 'n', doc_id,
+             97 + 2 * (((doc_id // 4) * 7) % 64),
+             ((doc_id // 4) * 137) % 251,
+             (doc_id % 4) * 4 + 2
+      FROM documents WHERE doc_id % 20 = 3
+    ), bits AS (
+      SELECT p.side, p.doc_id, t.t AS t, r.r, c.c,
+             CASE WHEN (p.seed + (r.r * 16 + c.c + 1) * p.m + t.t * 53 + p.off) % 256
+                     > (p.seed + (r.r * 16 + c.c) * p.m + t.t * 53 + p.off) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM both_params p, range(8) t(t), range(8) r(r), range(8) c(c)
+    ), vhashes AS (
+      SELECT side, doc_id, t AS frame_idx,
+             CAST(SUM(CASE WHEN r < 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN r >= 4
+                           THEN bit * (1::BIGINT << ((r % 4) * 8 + c))
+                           ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY side, doc_id, t
+    ), nbands AS (
+      SELECT doc_id, frame_idx, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN dhash_lo % 65536
+                      WHEN 1 THEN dhash_lo // 65536
+                      WHEN 2 THEN dhash_hi % 65536
+                      ELSE dhash_hi // 65536 END AS band_val,
+             dhash_hi, dhash_lo
+      FROM vhashes, range(4) b(i) WHERE side = 'n'
+    ), cbands AS (
+      SELECT doc_id, frame_idx, b.i AS band_idx,
+             CASE b.i WHEN 0 THEN dhash_lo % 65536
+                      WHEN 1 THEN dhash_lo // 65536
+                      WHEN 2 THEN dhash_hi % 65536
+                      ELSE dhash_hi // 65536 END AS band_val,
+             dhash_hi, dhash_lo
+      FROM vhashes, range(4) b(i) WHERE side = 'c'
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id, n.frame_idx,
+             n.dhash_hi AS nhi, n.dhash_lo AS nlo,
+             c.dhash_hi AS chi, c.dhash_lo AS clo
+      FROM nbands n JOIN cbands c
+        ON n.frame_idx = c.frame_idx
+       AND n.band_idx = c.band_idx AND n.band_val = c.band_val
+    )
+    SELECT new_id, corpus_id, CAST(count(*) AS BIGINT) AS n_close_frames
+    FROM cand
+    WHERE bit_count(xor(nhi, chi)) + bit_count(xor(nlo, clo)) <= 6
+    GROUP BY new_id, corpus_id
+    HAVING count(*) >= 6
+    """,
+    tags=("multimodal", "dedup", "I1", "extension"),
+)
+def video_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL video dedup at the ingest door — completes the
+    incremental set across all four perceptual modalities (text SimHash,
+    image dHash, audio fingerprint, video frame sequence): every 20th
+    document re-rendered with a +2 brightness shift (the re-encode
+    stand-in) is frame-hashed through the real AVI/DIB walk and matched
+    frame-aligned against the standing corpus — new (frame, band) rows
+    broadcast, corpus pays one scan, >= 6 of 8 frames within Hamming 6.
+    The oracle rebuilds both hash sets closed-form and re-runs the
+    asymmetric frame-aligned contract in SQL."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_videos,
+        video_frame_dhash,
+        video_neardup_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = video_frame_dhash(documents_as_pattern_videos(docs))
+    new_batch = video_frame_dhash(
+        documents_as_pattern_videos(docs.filter(F.col("doc_id") % 20 == 3), extra_off=2)
+    )
+    return video_neardup_join(
+        new_batch, corpus, max_hamming=6, min_close_frames=6
+    )
+
+
+@register(
     "image_dhash_incremental",
     oracle="""
     WITH corpus_params AS (
