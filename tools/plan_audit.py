@@ -256,6 +256,25 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),
     ],
+    "incremental_dup_spans": [
+        # ingest door: new-side fingerprints/windows broadcast; corpus is
+        # probed, never hash-shuffled on content; islands per new doc
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("broadcast_probe", lambda p: "BroadcastHashJoin" in p),
+        ("no_sort_merge_join", lambda p: "SortMergeJoin" not in p),
+        ("islands_windowed_by_doc", lambda p: "windowspecdefinition(doc_id" in p),
+    ],
+    "audio_fingerprint_incremental": [
+        # asymmetric banding: new band rows broadcast, corpus streams
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("broadcast_probe", lambda p: "BroadcastHashJoin" in p),
+        ("no_sort_merge_join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "video_dhash_incremental": [
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("broadcast_probe", lambda p: "BroadcastHashJoin" in p),
+        ("no_sort_merge_join", lambda p: "SortMergeJoin" not in p),
+    ],
     "j3_caption_dead_letter_audit": [
         # caption dead-letter path: one scan through one Arrow stage,
         # shuffle-free (I3 is row-grained, never a repartition)
