@@ -1155,6 +1155,22 @@ def exact_substring_scrub(
     spans = exact_dup_spans(
         docs, min_len, min_docs, id_col, text_col, prefilter, k
     )
+    return apply_span_removal(docs, spans, id_col, text_col)
+
+
+def apply_span_removal(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut ``spans`` (doc_id, span_start, span_end, span_len — maximal,
+    non-overlapping, 1-based [start, end)) out of ``docs`` and emit
+    (doc_id, n_chars, n_spans, chars_removed, n_kept, cleaned_text):
+    the shared stitch behind ``exact_substring_scrub`` (self-dedup) and
+    ``incremental_substring_scrub`` (ingest door). One doc_id shuffle
+    (span collect_list) + one join; the stitch itself is a single JVM
+    higher-order aggregate over the sorted span array."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
@@ -1262,6 +1278,27 @@ def incremental_dup_spans(
         .dropDuplicates(["doc_id", "pos"])
     )
     return _merge_marked_windows(marked, min_len)
+
+
+def incremental_substring_scrub(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: str | None = "winnow",
+    k: int = 32,
+) -> DataFrame:
+    """Clean arriving documents AT THE DOOR: ``incremental_dup_spans``
+    marks every region of a new doc that already exists verbatim in the
+    standing corpus, and the shared stitch emits the cleaned text with
+    removal accounting — the ingest-time APPLY (docs leave the door
+    containing no >= min_len substring the corpus already holds; corpus
+    cost is the winnow fingerprint scan, never the stride-1 blowup)."""
+    spans = incremental_dup_spans(
+        corpus, new_docs, min_len, id_col, text_col, prefilter, k
+    )
+    return apply_span_removal(new_docs, spans, id_col, text_col)
 
 
 def benchmark_span_decontaminate(

@@ -877,6 +877,62 @@ def incremental_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_SCRUB_SQL = f"""
+    WITH spans AS ({_INCR_SPAN_SQL}
+    ), newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 3
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_len) AS BIGINT) AS chars_removed
+      FROM spans GROUP BY doc_id
+    ), segs AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 1)
+               AS seg_start,
+             span_start AS seg_end
+      FROM spans
+      UNION ALL
+      SELECT s.doc_id, max(s.span_end), max(len(d.text)) + 1
+      FROM spans s JOIN newdocs d USING (doc_id)
+      GROUP BY s.doc_id
+    ), stitched AS (
+      SELECT g.doc_id,
+             string_agg(substr(d.text, CAST(g.seg_start AS INT),
+                               CAST(g.seg_end - g.seg_start AS INT)),
+                        '' ORDER BY g.seg_start) AS cleaned_text
+      FROM segs g JOIN newdocs d USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.text) AS BIGINT) AS n_chars,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.chars_removed, 0) AS chars_removed,
+           CAST(len(d.text) - coalesce(p.chars_removed, 0) AS BIGINT) AS n_kept,
+           coalesce(s.cleaned_text, d.text) AS cleaned_text
+    FROM newdocs d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN stitched s USING (doc_id)
+    """
+
+
+@register("incremental_substring_scrub", oracle=_INCR_SCRUB_SQL,
+          tags=("dedup", "extension"))
+def incremental_substring_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean arriving documents at the ingest door: every region of a
+    doc_id%20==3 arrival that exists verbatim in the standing corpus is
+    cut before the doc proceeds — the incremental APPLY, sharing the
+    winnow-prefiltered span detection and the JVM stitch with the batch
+    scrub. cleaned_text is value-checked character for character."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        incremental_substring_scrub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 3)
+    corpus = docs.filter(F.col("doc_id") % 20 != 3)
+    return incremental_substring_scrub(corpus, new, min_len=40)
+
+
 _WINNOW_SQL = """
     WITH grams AS (
       SELECT doc_id, p.p AS pos,

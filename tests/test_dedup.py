@@ -460,6 +460,33 @@ def test_incremental_dup_spans_semantics(spark):
         assert spans == {101: (11, 71, 60)}, (pf, spans)
 
 
+def test_incremental_substring_scrub_cleans_at_the_door(spark):
+    """Arriving docs leave the door with corpus-held regions cut; clean
+    arrivals pass byte-identical; corpus rows are never emitted."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        incremental_substring_scrub,
+    )
+
+    block = "the quick brown fox jumps over the lazy dog AGAIN and again!"
+    corpus = spark.createDataFrame(
+        [(1, "corpus holds ~~ " + block + " ~~ right here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "arriving--" + block + "--doc"),
+            (102, "clean arriving document, nothing shared with the corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in incremental_substring_scrub(corpus, new, min_len=40).collect()}
+    assert set(rows) == {101, 102}
+    assert rows[101].cleaned_text == "arriving----doc"
+    assert (rows[101].n_spans, rows[101].chars_removed) == (1, 60)
+    assert rows[102].cleaned_text.startswith("clean arriving")
+    assert rows[102].chars_removed == 0
+
+
 def test_null_source_docs_are_training_side(spark):
     """NULL-source docs must be decontaminated as training docs — the
     three-valued NULL.isin() would otherwise drop them from BOTH sides and
