@@ -57,6 +57,19 @@ def test_suffix_ranks_random_differential(spark):
     _check(spark, texts, start_width=8)
 
 
+def test_suffix_ranks_unicode(spark):
+    """Multibyte text: Spark compares strings in UTF-8 byte order, Python
+    in code-point order — identical orders (UTF-8 preserves code points),
+    so the brute force must still agree, including astral-plane chars."""
+    texts = {
+        1: "héllo wörld héllo",
+        2: "日本語のテキスト日本語",
+        3: "mixed ascii と 日本語 and 🎉 emoji 🎉 tail",
+        4: "🎉 emoji 🎉 tail",  # shares a multibyte tail with doc 3
+    }
+    _check(spark, texts, start_width=2)
+
+
 def test_suffix_ranks_repetitive_text(spark):
     """Highly repetitive strings exercise many doubling rounds (ranks only
     separate at large h)."""
