@@ -48,6 +48,8 @@ def start_ingest_stream(
     txn_app_id: str | None = None,
     optimize_every: int | None = 8,
     source_stream: DataFrame | None = None,
+    scrub_against: DataFrame | None = None,
+    scrub_min_len: int = 40,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -56,6 +58,14 @@ def start_ingest_stream(
     DOC_SCHEMA shape (e.g. a Kafka topic through
     ``streaming/sources.parse_document_messages``) — the micro-batch body,
     sinks, and exactly-once contract are source-agnostic.
+
+    ``scrub_against``: a static corpus DataFrame (doc_id, text) enabling
+    exact-substring dedup AT THE DOOR — every micro-batch doc has regions
+    already present verbatim in the corpus (>= ``scrub_min_len`` chars)
+    cut before chunking (``operators/dedup.incremental_substring_scrub``:
+    the corpus pays a winnow fingerprint scan per batch, never the
+    stride-1 blowup; the batch's windows broadcast). Docs scrubbed to
+    empty dead-letter as Failed jobs like any other empty text.
 
     Scale notes: maxFilesPerTrigger bounds micro-batch size; the per-batch
     plan is the same shuffle-free chunk+embed DAG as the batch engine, so
@@ -76,6 +86,19 @@ def start_ingest_stream(
     metrics_dir = os.path.join(output_dir, "metrics")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if scrub_against is not None:
+            from frappe_data_pipelines_spark.operators.dedup import (
+                incremental_substring_scrub,
+            )
+
+            cleaned = incremental_substring_scrub(
+                scrub_against, batch_df, min_len=scrub_min_len
+            ).select("doc_id", F.col("cleaned_text").alias("text"))
+            batch_df = (
+                batch_df.drop("text", "n_chars")
+                .join(cleaned, "doc_id")
+                .withColumn("n_chars", F.length("text").cast("long"))
+            )
         # every action below re-derives from the micro-batch source; persist
         # once so the sinks/aggregates share one scan (and one chunk+embed
         # computation) instead of re-running it per action

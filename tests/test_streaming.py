@@ -594,3 +594,48 @@ def test_streaming_ingest_door_span_dedup(spark, sf_dir, stream_dirs, tmp_path):
     )
     whole = sorted(map(tuple, incremental_dup_spans(corpus, new, min_len=40).collect()))
     assert streamed == whole
+
+
+def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
+    """scrub_against: corpus-held regions are cut from arriving docs
+    BEFORE chunking; clean docs flow untouched; fully-duplicated docs
+    scrub to empty and dead-letter as Failed."""
+    block = "the quick brown fox jumps over the lazy dog AGAIN and again!"
+    corpus = spark.createDataFrame(
+        [(900, "corpus holds ~~ " + block + " ~~ right here")],
+        "doc_id long, text string",
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (1, "arrival keeps this prefix " + block + " and this suffix text", "en", "s", 0),
+            (2, "totally clean arriving document with enough words to chunk", "en", "s", 0),
+            (3, block, "en", "s", 0),  # fully corpus-duplicated -> empty
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    arrivals.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+
+    q = start_ingest_stream(
+        spark,
+        stream_dirs["input"],
+        stream_dirs["output"],
+        stream_dirs["checkpoint"],
+        scrub_against=corpus,
+    )
+    q.awaitTermination(120)
+
+    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    text_of = {
+        r.doc_id: r.joined
+        for r in chunks.groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("chunk_text")).alias("joined"))
+        .collect()
+    }
+    assert block not in text_of.get(1, "")
+    assert "arrival keeps this prefix" in text_of[1]
+    assert "and this suffix text" in text_of[1]
+    assert "totally clean arriving document" in text_of[2]
+    assert 3 not in text_of  # scrubbed to empty -> no chunks
+    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    failed = {r.source_doc_id for r in jobs.filter("status = 'Failed'").collect()}
+    assert failed == {3}
