@@ -784,6 +784,47 @@ def longest_repeated_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_repeated_substrings(docs, k=5)
 
 
+_LCP_ARRAY_SQL = """
+    WITH sufs AS (
+      SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text))) AS p) p
+      WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), ordered AS (
+      SELECT doc_id AS doc_a, pos AS pos_a, s,
+             lead(doc_id) OVER w AS doc_b,
+             lead(pos) OVER w AS pos_b,
+             lead(s) OVER w AS s2
+      FROM sufs WINDOW w AS (ORDER BY s, doc_id, pos)
+    )
+    SELECT doc_a, pos_a, doc_b, pos_b,
+           CAST((SELECT coalesce(max(k.k), 0)
+                 FROM (SELECT unnest(generate_series(1, least(len(s), len(s2)))) AS k) k
+                 WHERE substr(s, 1, CAST(k.k AS INT)) = substr(s2, 1, CAST(k.k AS INT)))
+                AS BIGINT) AS lcp
+    FROM ordered WHERE s2 IS NOT NULL
+    """
+
+
+@register("suffix_lcp_array", oracle=_LCP_ARRAY_SQL, tags=("dedup", "extension"))
+def suffix_lcp_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LCP array of the generalized suffix array as a first-class
+    relation: EVERY lexicographically adjacent suffix pair with its
+    longest-common-prefix length, computed character-comparison-free over
+    the prefix-doubling rank tables (operators/suffix.py). The oracle
+    recomputes each LCP by direct prefix comparison, so the whole array
+    — including the zero entries — is value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import suffix_lcp_adjacent
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return suffix_lcp_adjacent(docs).select(
+        "doc_a",
+        F.col("pos_a").cast("bigint").alias("pos_a"),
+        "doc_b",
+        F.col("pos_b").cast("bigint").alias("pos_b"),
+        F.col("lcp").cast("bigint").alias("lcp"),
+    )
+
+
 _DISTINCT_SUBSTR_SQL = """
     WITH sufs AS (
       SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s
