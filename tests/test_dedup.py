@@ -460,6 +460,46 @@ def test_incremental_dup_spans_semantics(spark):
         assert spans == {101: (11, 71, 60)}, (pf, spans)
 
 
+def test_incremental_dup_spans_winnow_lossless_random(spark):
+    """Cross-side winnow losslessness: on random corpora with planted
+    shared blocks, the winnow-prefiltered ingest-door spans equal the
+    direct two-sided window join — the SIGMOD'03 guarantee applied
+    between a new batch and the corpus (both sides select the same
+    fingerprint inside any shared >= 40-char region)."""
+    import random as _random
+
+    from frappe_data_pipelines_spark.operators.dedup import incremental_dup_spans
+
+    rng = _random.Random(41)
+    blocks = [
+        "".join(rng.choice("ABCDEFgh ") for _ in range(rng.randrange(40, 90)))
+        for _ in range(3)
+    ]
+
+    def noise(n):
+        return "".join(rng.choice("xyzw .") for _ in range(n))
+
+    corpus_rows = [
+        (i, noise(rng.randrange(10, 60)) + blocks[i % 3] + noise(rng.randrange(0, 40)))
+        for i in range(1, 7)
+    ]
+    new_rows = [
+        (101, noise(15) + blocks[0] + noise(5)),
+        (102, blocks[1] + noise(30) + blocks[2]),
+        (103, noise(80)),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, incremental_dup_spans(corpus, new, min_len=40, prefilter=None).collect())
+    )
+    winnowed = sorted(
+        map(tuple, incremental_dup_spans(corpus, new, min_len=40, prefilter="winnow").collect())
+    )
+    assert direct == winnowed
+    assert {t[0] for t in direct} >= {101, 102}
+
+
 def test_incremental_substring_scrub_cleans_at_the_door(spark):
     """Arriving docs leave the door with corpus-held regions cut; clean
     arrivals pass byte-identical; corpus rows are never emitted."""
