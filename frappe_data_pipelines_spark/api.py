@@ -198,6 +198,23 @@ class PipelineEngine:
         days = self.settings.retention_days if self.settings else 30
         return self.cleanup_old_jobs(days=days)
 
+    def scrub_incoming(self, new_docs: DataFrame, min_len: int = 40) -> DataFrame:
+        """Ingest-door hygiene (beyond-reference surface): cut every region
+        of an arriving document that already exists verbatim in the
+        engine's file corpus — (doc_id, n_chars, n_spans, chars_removed,
+        n_kept, cleaned_text) via the winnow-prefiltered incremental scrub
+        (the corpus pays a fingerprint scan, never the stride-1 blowup).
+        Requires ``files`` to carry a ``text`` column."""
+        if "text" not in self.files.columns:
+            raise ValueError(
+                "scrub_incoming needs the engine's files table to carry text"
+            )
+        from frappe_data_pipelines_spark.operators.dedup import (
+            incremental_substring_scrub,
+        )
+
+        return incremental_substring_scrub(self.files, new_docs, min_len=min_len)
+
 
 def search_documents(
     service: SearchService,

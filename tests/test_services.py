@@ -179,6 +179,26 @@ class TestPipelineEngine:
         )
         return PipelineEngine(files=docs, jobs=jobs)
 
+    def test_scrub_incoming(self, engine, spark):
+        corpus_text = engine.files.filter("doc_id = 2").first()["text"]
+        shared = corpus_text[:60]
+        new = spark.createDataFrame(
+            [(9001, "brand new prefix >> " + shared + " << brand new suffix")],
+            "doc_id long, text string",
+        )
+        row = engine.scrub_incoming(new, min_len=40).first()
+        assert shared not in row["cleaned_text"]
+        assert row["cleaned_text"].startswith("brand new prefix >> ")
+        assert row["chars_removed"] >= 60
+        # text-less files table refuses loudly
+        from frappe_data_pipelines_spark.api import PipelineEngine
+
+        bare = PipelineEngine(files=engine.files.drop("text"), jobs=engine.jobs)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="carry text"):
+            bare.scrub_incoming(new)
+
     def test_backfill_skips_active(self, engine):
         out = engine.process_existing_files()
         # Completed jobs (doc_id % 4 == 0) block re-queue; Failed jobs do NOT
