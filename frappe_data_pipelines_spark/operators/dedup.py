@@ -1219,6 +1219,28 @@ def apply_span_removal(
     )
 
 
+def corpus_winnow_fingerprints(
+    corpus: DataFrame,
+    min_len: int = 40,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, fp) winnow fingerprints of a STANDING corpus, with the
+    (k, w) pairing ``incremental_dup_spans`` derives from ``min_len`` —
+    compute once and ``.persist()`` when the corpus is probed repeatedly
+    (a streaming ingest door fingerprints the same static corpus every
+    micro-batch otherwise; the fingerprint table is ~2/(w+1) of the corpus'
+    gram count, so caching it is the scale move, re-scanning 100 TB per
+    trigger is not). Pass the result as ``corpus_fp=`` to
+    ``incremental_dup_spans`` / ``incremental_substring_scrub`` called with
+    the SAME ``min_len`` and ``k``."""
+    if not 1 <= k <= min_len:
+        raise ValueError(f"winnow fingerprints need 1 <= k <= min_len, got k={k}")
+    w = min_len - k + 1
+    return winnow_fingerprints_fast(corpus, k=k, w=w, id_col=id_col, text_col=text_col)
+
+
 def incremental_dup_spans(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -1227,6 +1249,7 @@ def incremental_dup_spans(
     text_col: str = "text",
     prefilter: str | None = "winnow",
     k: int = 32,
+    corpus_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring dedup AT THE INGEST DOOR: for every NEW document,
     the maximal spans whose stride-1 ``min_len``-char windows occur
@@ -1245,7 +1268,13 @@ def incremental_dup_spans(
     cross-side duplicate of length >= w + k - 1 = min_len shares a
     selected fingerprint, so the cohort contains every corpus doc that
     could mark a window. ``prefilter=None`` is the direct two-sided
-    window semi-join (what the SQL oracle mirrors)."""
+    window semi-join (what the SQL oracle mirrors).
+
+    ``corpus_fp``: pre-computed (and typically persisted) corpus
+    fingerprints from ``corpus_winnow_fingerprints`` with the same
+    (min_len, k) — skips re-fingerprinting the standing corpus on every
+    call, which is what a streaming door needs (the corpus is static
+    across micro-batches; only the new batch's side changes)."""
     if prefilter == "winnow":
         if not 1 <= k <= min_len:
             raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")
@@ -1255,8 +1284,12 @@ def incremental_dup_spans(
             .select("fp")
             .distinct()
         )
-        corp_fp = winnow_fingerprints_fast(
-            corpus, k=k, w=w, id_col=id_col, text_col=text_col
+        corp_fp = (
+            corpus_fp
+            if corpus_fp is not None
+            else winnow_fingerprints_fast(
+                corpus, k=k, w=w, id_col=id_col, text_col=text_col
+            )
         )
         cohort = (
             corp_fp.join(F.broadcast(new_fp), "fp", "left_semi")
@@ -1288,15 +1321,18 @@ def incremental_substring_scrub(
     text_col: str = "text",
     prefilter: str | None = "winnow",
     k: int = 32,
+    corpus_fp: DataFrame | None = None,
 ) -> DataFrame:
     """Clean arriving documents AT THE DOOR: ``incremental_dup_spans``
     marks every region of a new doc that already exists verbatim in the
     standing corpus, and the shared stitch emits the cleaned text with
     removal accounting — the ingest-time APPLY (docs leave the door
     containing no >= min_len substring the corpus already holds; corpus
-    cost is the winnow fingerprint scan, never the stride-1 blowup)."""
+    cost is the winnow fingerprint scan, never the stride-1 blowup; pass
+    a persisted ``corpus_fp`` from ``corpus_winnow_fingerprints`` to pay
+    that scan once across many calls, e.g. per-micro-batch)."""
     spans = incremental_dup_spans(
-        corpus, new_docs, min_len, id_col, text_col, prefilter, k
+        corpus, new_docs, min_len, id_col, text_col, prefilter, k, corpus_fp
     )
     return apply_span_removal(new_docs, spans, id_col, text_col)
 

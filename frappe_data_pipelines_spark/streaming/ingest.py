@@ -85,19 +85,50 @@ def start_ingest_stream(
     jobs_dir = os.path.join(output_dir, "jobs")
     metrics_dir = os.path.join(output_dir, "metrics")
 
+    scrub_corpus_fp = None
+    if scrub_against is not None:
+        from frappe_data_pipelines_spark.operators.dedup import (
+            corpus_winnow_fingerprints,
+        )
+
+        # fingerprint the STATIC corpus once for the stream's lifetime —
+        # without this every micro-batch re-scans (and re-shuffles) the
+        # whole corpus just to rebuild identical fingerprints
+        scrub_corpus_fp = corpus_winnow_fingerprints(
+            scrub_against, min_len=scrub_min_len
+        ).persist()
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if scrub_against is not None:
             from frappe_data_pipelines_spark.operators.dedup import (
                 incremental_substring_scrub,
             )
 
+            # one row per doc id into the scrub: a doc delivered twice in
+            # one micro-batch must not square through the join (the MERGE
+            # sink's on_duplicate='any' last-writer contract, applied at
+            # the door); null-id rows can't key a scrub — pass them
+            # through untouched so they dead-letter or chunk exactly as
+            # the unscrubbed path would
+            with_id = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
+                ["doc_id"]
+            )
+            no_id = batch_df.filter(F.col("doc_id").isNull())
             cleaned = incremental_substring_scrub(
-                scrub_against, batch_df, min_len=scrub_min_len
+                scrub_against,
+                with_id,
+                min_len=scrub_min_len,
+                corpus_fp=scrub_corpus_fp,
             ).select("doc_id", F.col("cleaned_text").alias("text"))
             batch_df = (
-                batch_df.drop("text", "n_chars")
+                with_id.drop("text", "n_chars")
                 .join(cleaned, "doc_id")
                 .withColumn("n_chars", F.length("text").cast("long"))
+                .unionByName(
+                    no_id.drop("n_chars").withColumn(
+                        "n_chars", F.length("text").cast("long")
+                    )
+                )
             )
         # every action below re-derives from the micro-batch source; persist
         # once so the sinks/aggregates share one scan (and one chunk+embed

@@ -4,6 +4,7 @@ space."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from frappe_data_pipelines_spark.operators.dedup import (
@@ -498,6 +499,48 @@ def test_incremental_dup_spans_winnow_lossless_random(spark):
     )
     assert direct == winnowed
     assert {t[0] for t in direct} >= {101, 102}
+
+
+def test_incremental_scrub_precomputed_corpus_fp_identical(spark):
+    """A persisted corpus fingerprint table (the streaming-door cache) must
+    change NOTHING about the result — same spans, same cleaned text as
+    re-fingerprinting the corpus inline."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        corpus_winnow_fingerprints,
+        incremental_substring_scrub,
+    )
+
+    block = "shared block of corpus text long enough to carry a fingerprint!"
+    corpus = spark.createDataFrame(
+        [(1, "lead-in ~~ " + block + " ~~ tail"), (2, "unrelated corpus row entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, "prefix--" + block + "--suffix"), (102, "a clean arriving document here")],
+        "doc_id long, text string",
+    )
+    fp = corpus_winnow_fingerprints(corpus, min_len=40).persist()
+    try:
+        with_cache = sorted(
+            map(tuple, incremental_substring_scrub(corpus, new, min_len=40, corpus_fp=fp).collect())
+        )
+        inline = sorted(
+            map(tuple, incremental_substring_scrub(corpus, new, min_len=40).collect())
+        )
+        assert with_cache == inline
+        assert any(r[2] > 0 for r in with_cache)  # n_spans: something was cut
+    finally:
+        fp.unpersist()
+
+
+def test_corpus_winnow_fingerprints_rejects_bad_k(spark):
+    from frappe_data_pipelines_spark.operators.dedup import (
+        corpus_winnow_fingerprints,
+    )
+
+    corpus = spark.createDataFrame([(1, "x" * 80)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="1 <= k <= min_len"):
+        corpus_winnow_fingerprints(corpus, min_len=10, k=32)
 
 
 def test_incremental_substring_scrub_cleans_at_the_door(spark):

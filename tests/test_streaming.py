@@ -610,6 +610,12 @@ def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
             (1, "arrival keeps this prefix " + block + " and this suffix text", "en", "s", 0),
             (2, "totally clean arriving document with enough words to chunk", "en", "s", 0),
             (3, block, "en", "s", 0),  # fully corpus-duplicated -> empty
+            # same id delivered twice in one batch: the door must collapse to
+            # ONE row before the scrub join (no row squaring / double chunks)
+            (2, "totally clean arriving document with enough words to chunk", "en", "s", 0),
+            # null id: can't key a scrub — passes through and dead-letters the
+            # same way the unscrubbed path would
+            (None, None, "en", "s", 0),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).withColumn("n_chars", F.length("text").cast("long"))
@@ -635,7 +641,10 @@ def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
     assert "arrival keeps this prefix" in text_of[1]
     assert "and this suffix text" in text_of[1]
     assert "totally clean arriving document" in text_of[2]
+    # the doubly-delivered doc 2 collapsed at the door: its text appears ONCE
+    assert text_of[2].count("totally clean arriving document") == 1
     assert 3 not in text_of  # scrubbed to empty -> no chunks
     jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
     failed = {r.source_doc_id for r in jobs.filter("status = 'Failed'").collect()}
-    assert failed == {3}
+    assert 3 in failed  # scrubbed-to-empty dead-letters
+    assert failed - {3, None} == set()  # null-id arrival dead-letters, not crashes
