@@ -87,6 +87,8 @@ def suffix_rank_levels(
     id_col: str = "doc_id",
     text_col: str = "text",
     start_width: int = 8,
+    checkpoint_dir: str | None = None,
+    max_width: int | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """Prefix-doubling rank tables at every width: [(h, df)] ascending,
     where each df is (doc_id, pos, rank) with rank = dense rank of the
@@ -96,12 +98,37 @@ def suffix_rank_levels(
     Keeping every level is the classic O(n log n)-space trade that buys
     O(log n) LCP queries WITHOUT character access (``suffix_lcp_adjacent``
     consumes it); callers that only need final ranks use
-    ``suffix_ranks`` and hold one table."""
+    ``suffix_ranks`` and hold one table.
+
+    ``checkpoint_dir``: per-round lineage truncation defaults to
+    ``localCheckpoint`` (blocks live on executors — lost with an executor,
+    fine in local mode and for short jobs). Pass a directory to use
+    RELIABLE checkpoints instead (``sparkContext.setCheckpointDir`` +
+    ``.checkpoint()``): blocks go to the shared filesystem, so a
+    multi-hour 100 TB construction survives executor loss at the price of
+    one write+read per round. Identical results either way.
+
+    ``max_width``: stop doubling once the level width reaches this bound —
+    ranks then order suffixes by their first ``max_width`` chars only.
+    Callers that never compare beyond a known width (pattern counting
+    bounded by the longest pattern) pay O(log max_width) rounds instead of
+    O(log max_doc_len): at 100 TB that is the difference between ~5 and
+    ~25 global re-rank shuffles."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
     if start_width < 1:
         raise ValueError("start_width must be >= 1")
+    if max_width is not None and max_width < start_width:
+        raise ValueError("max_width must be >= start_width")
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     base = spread_scan(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ).filter(F.length("text") > 0)
@@ -126,26 +153,22 @@ def suffix_rank_levels(
         F.substring(F.col("text"), F.col("pos"), F.lit(start_width)).alias("k"),
     )
     ranked0 = _global_dense_rank(suf.select("k"), ["k"], "rank")
-    cur = (
-        suf.join(ranked0, "k")
-        .select("doc_id", "pos", "rank")
-        .localCheckpoint(eager=True)
-    )
+    cur = _truncate(suf.join(ranked0, "k").select("doc_id", "pos", "rank"))
     levels = [(start_width, cur)]
 
     h = start_width
+    target = max_len if max_width is None else min(max_len, max_width)
     lead_w = Window.partitionBy("doc_id").orderBy("pos")
-    while h < max_len:
+    while h < target:
         paired = cur.withColumn(
             "r2", F.coalesce(F.lead("rank", h).over(lead_w), F.lit(0).cast("long"))
         )
         reranked = _global_dense_rank(
             paired.select("rank", "r2"), ["rank", "r2"], "new_rank"
         )
-        cur = (
+        cur = _truncate(
             paired.join(reranked, ["rank", "r2"])
             .select("doc_id", "pos", F.col("new_rank").alias("rank"))
-            .localCheckpoint(eager=True)
         )
         h *= 2
         levels.append((h, cur))
@@ -157,6 +180,7 @@ def suffix_ranks(
     id_col: str = "doc_id",
     text_col: str = "text",
     start_width: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, pos, rank): 1-based dense rank of every suffix of every
     document under plain string order, via distributed prefix doubling.
@@ -166,7 +190,7 @@ def suffix_ranks(
     seed); each round doubles the compared prefix until it covers the
     longest document, at which point ranks are exact for all suffixes
     (equal suffixes keep equal ranks — dense semantics)."""
-    return suffix_rank_levels(docs, id_col, text_col, start_width)[-1][1]
+    return suffix_rank_levels(docs, id_col, text_col, start_width, checkpoint_dir)[-1][1]
 
 
 def suffix_lcp_adjacent(
@@ -330,6 +354,188 @@ def distinct_substring_stats(
         "n_suffix_chars",
         "sum_lcp",
         (F.col("n_suffix_chars") - F.col("sum_lcp")).alias("n_distinct_substrings"),
+    )
+
+
+def substring_pattern_counts(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """Exact occurrence counts of arbitrary-length patterns over the corpus
+    via the suffix machinery — the 'substring frequency query' a suffix
+    array exists to answer (count any pattern with NO length threshold and
+    no corpus rescan per pattern; overlapping occurrences counted, the
+    Lee-et-al./infini-gram counting semantics).
+
+    ``patterns``: (pattern_id, pattern) — query parameters, bounded by
+    contract (``max_patterns``). Returns one row per pattern:
+    (pattern_id, pattern, pattern_len, n_docs, n_occurrences), zero rows
+    included.
+
+    How: patterns join the corpus as pseudo-documents before prefix
+    doubling, so every rank table prices pattern substrings and corpus
+    suffixes on ONE scale — rank equality at width h ⟺ the h-char strings
+    are equal, making the whole match character-comparison-free. A pattern
+    of length L is consumed by its binary decomposition: seed candidates
+    from the level h0 = 2^floor(log2 L) (one broadcast-join against that
+    level — suffixes whose first h0 chars rank-match the pattern's), then
+    refine down the remaining bit-widths, each step one join of the
+    (shrinking) candidate set against a checkpointed level table plus a
+    broadcast of the pattern-side ranks. Ends with rem = 0: every
+    surviving (doc, pos) is an exact occurrence.
+
+    Scale shape: corpus cost is the shared level construction (already
+    paid if levels are reused) + one scan of each seed level + one scan of
+    each refinement level against a broadcast candidate set; per-pattern
+    cost is O(log L) tiny joins. No per-pattern corpus scan, no character
+    access after construction."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    pats = patterns.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        F.col("pattern").cast("string").alias("pattern"),
+    )
+    pat_rows = collect_bounded(
+        pats, max_patterns, "substring_pattern_counts patterns"
+    )
+    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
+        raise ValueError("substring_pattern_counts: empty/null pattern")
+    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
+        raise ValueError("substring_pattern_counts: duplicate pattern_id")
+
+    spark = docs.sparkSession
+    zero = pats.select(
+        "pattern_id",
+        "pattern",
+        F.length("pattern").cast("long").alias("pattern_len"),
+    )
+    if not pat_rows:
+        return zero.select(
+            "pattern_id", "pattern", "pattern_len",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        ).limit(0)
+
+    # patterns ride along as pseudo-docs: 'p:' keys; corpus docs 'd:'
+    corp = docs.select(
+        F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    pseudo = pats.select(
+        F.concat(F.lit("p:"), F.col("pattern_id").cast("string")).alias("doc_id"),
+        F.col("pattern").alias("text"),
+    )
+
+    # driver-side routing (patterns are collected, bounded): the seed level
+    # per pattern and the union of refinement bit-widths
+    import math
+
+    h0_of = {
+        r["pattern_id"]: 1 << int(math.log2(len(r["pattern"]))) for r in pat_rows
+    }
+    # rank levels stop at the largest seed width — ranks never need to see
+    # past the longest pattern, so construction is O(log max_pattern_len)
+    # rounds, not O(log max_doc_len)
+    levels = suffix_rank_levels(
+        corp.unionByName(pseudo), start_width=1, max_width=max(h0_of.values())
+    )
+    by_width = dict(levels)
+    plen_of = {r["pattern_id"]: len(r["pattern"]) for r in pat_rows}
+    seed_widths = sorted({h0_of[p] for p in h0_of})
+    refine_widths = set()
+    for p, h0 in h0_of.items():
+        rem = plen_of[p] - h0
+        w = h0 >> 1
+        while rem > 0 and w >= 1:
+            if rem >= w:
+                refine_widths.add(w)
+                rem -= w
+            w >>= 1
+
+    def pat_ranks(tbl: DataFrame) -> DataFrame:
+        """(pattern_id, pos, rank) slice of a level table."""
+        return tbl.filter(F.col("doc_id").startswith("p:")).select(
+            F.expr("CAST(substring(doc_id, 3) AS BIGINT)").alias("pattern_id"),
+            "pos",
+            "rank",
+        )
+
+    meta = spark.createDataFrame(
+        [(p, plen_of[p], h0_of[p]) for p in plen_of],
+        "pattern_id long, plen long, h0 long",
+    )
+
+    seeds = None
+    for w in seed_widths:
+        tbl = by_width[w]
+        targets = (
+            pat_ranks(tbl)
+            .filter(F.col("pos") == 1)
+            .join(meta.filter(F.col("h0") == w), "pattern_id")
+            .select("pattern_id", "plen", "rank")
+        )
+        s = (
+            tbl.filter(F.col("doc_id").startswith("d:"))
+            .join(F.broadcast(targets), "rank")
+            .select(
+                "doc_id",
+                "pos",
+                "pattern_id",
+                (F.col("pos") + w).alias("pa"),
+                F.lit(1 + w).cast("long").alias("pp"),
+                (F.col("plen") - w).alias("rem"),
+            )
+        )
+        seeds = s if seeds is None else seeds.unionByName(s)
+
+    state = seeds
+    for w in sorted(refine_widths, reverse=True):
+        tbl = by_width[w]
+        ra = tbl.select(
+            "doc_id", F.col("pos").alias("pa"), F.col("rank").alias("__ra")
+        )
+        rp = pat_ranks(tbl).select(
+            "pattern_id", F.col("pos").alias("pp"), F.col("rank").alias("__rp")
+        )
+        app = F.col("rem") >= w
+        state = (
+            state.join(ra, ["doc_id", "pa"], "left")
+            .join(F.broadcast(rp), ["pattern_id", "pp"], "left")
+            .filter(
+                ~app
+                | (
+                    F.col("__ra").isNotNull()
+                    & F.col("__rp").isNotNull()
+                    & (F.col("__ra") == F.col("__rp"))
+                )
+            )
+            .select(
+                "doc_id",
+                "pos",
+                "pattern_id",
+                F.when(app, F.col("pa") + w).otherwise(F.col("pa")).alias("pa"),
+                F.when(app, F.col("pp") + w).otherwise(F.col("pp")).alias("pp"),
+                F.when(app, F.col("rem") - w).otherwise(F.col("rem")).alias("rem"),
+            )
+        )
+
+    per_pat = (
+        state.filter(F.col("rem") == 0)  # invariant: binary decomposition consumed
+        .groupBy("pattern_id")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
     )
 
 

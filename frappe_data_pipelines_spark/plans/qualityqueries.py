@@ -864,6 +864,61 @@ def corpus_distinct_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_substring_stats(docs)
 
 
+# fixed query parameters, identical on both sides: lengths 1..21 exercise
+# every shape of the binary rank decomposition (1 / 8+2 / 16+2+1 / 16+4 /
+# 16+4+1), with present AND absent patterns so the zero path is checked too
+_FREQ_PATTERNS = [
+    (1, "value"),
+    (2, "value fast"),
+    (3, "the line sort table"),
+    (4, "zz-not-in-the-corpus"),
+    (5, "a"),
+    (6, "batch part value fast"),
+]
+
+_SUBSTR_FREQ_SQL = """
+    WITH pats(pattern_id, pattern) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), occ AS (
+      SELECT p.pattern_id, d.doc_id
+      FROM docs d CROSS JOIN pats p,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(p.pattern) + 1)) AS i) i
+      WHERE substr(d.text, CAST(i.i AS INT), CAST(len(p.pattern) AS INT))
+              = p.pattern
+    )
+    SELECT p.pattern_id, p.pattern,
+           CAST(len(p.pattern) AS BIGINT) AS pattern_len,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(o.doc_id) AS BIGINT) AS n_occurrences
+    FROM pats p LEFT JOIN occ o USING (pattern_id)
+    GROUP BY p.pattern_id, p.pattern
+    """.format(vals=", ".join(f"({i}, '{p}')" for i, p in _FREQ_PATTERNS))
+
+
+@register("substring_frequency_search", oracle=_SUBSTR_FREQ_SQL,
+          tags=("dedup", "extension"))
+def substring_frequency_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-frequency queries over the suffix machinery
+    (operators/suffix.py:substring_pattern_counts): exact overlapping
+    occurrence counts of arbitrary-length patterns — the rank-range
+    application a suffix array exists for (infini-gram-style counting).
+    Patterns join the corpus as pseudo-documents before prefix doubling,
+    then each is consumed by its binary decomposition over the rank
+    levels: seed at 2^floor(log2 L), refine down the bit-widths — no
+    character comparison, no per-pattern corpus scan. The oracle counts
+    by direct substring comparison at every position, so hit counts,
+    doc counts, AND the zero rows are value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        substring_pattern_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    pats = spark.createDataFrame(_FREQ_PATTERNS, "pattern_id long, pattern string")
+    return substring_pattern_counts(docs, pats)
+
+
 _INCR_SPAN_SQL = """
     WITH win AS (
       SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s

@@ -162,3 +162,113 @@ def test_longest_duplicated_prefix_groups(spark):
     assert best.n_suffixes == 2
     assert best.suffix_len == len("-SHARED")
     assert {r.doc_id for r in groups if r.rank == best.rank} == {1, 2}
+
+
+def _brute_pattern_counts(texts: dict[int, str], pats: dict[int, str]):
+    out = {}
+    for pid, p in pats.items():
+        nd = no = 0
+        for _, t in texts.items():
+            c = sum(1 for i in range(len(t) - len(p) + 1) if t[i : i + len(p)] == p)
+            if c:
+                nd += 1
+            no += c
+        out[pid] = (nd, no)
+    return out
+
+
+def test_substring_pattern_counts_random_differential(spark):
+    """Randomized corpus + planted/absent patterns of every decomposition
+    shape (1, 2+1, 4+2, 8, 8+4+1 ...) vs direct per-position comparison.
+    Overlapping occurrences count (the 'aaa' in 'aaaaa' → 3 semantics)."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        substring_pattern_counts,
+    )
+
+    rng = random.Random(23)
+    texts = {
+        d: "".join(rng.choice("abAB ") for _ in range(rng.randrange(0, 150)))
+        for d in range(1, 15)
+    }
+    planted = [t for t in texts.values() if len(t) >= 30]
+    pats = {
+        1: "a",
+        2: "ab",
+        3: "aba",
+        4: planted[0][4:17],  # length 13 = 8+4+1
+        5: planted[1][:8],
+        6: "zz-not-present-zz",
+        7: "aaa",
+    }
+    texts[99] = "aaaaa" + pats[4]  # overlap stress + a second planted hit
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pdf = spark.createDataFrame(list(pats.items()), "pattern_id long, pattern string")
+    got = {
+        r.pattern_id: (r.n_docs, r.n_occurrences)
+        for r in substring_pattern_counts(docs, pdf).collect()
+    }
+    assert got == _brute_pattern_counts(texts, pats)
+
+
+def test_substring_pattern_counts_guards(spark):
+    from frappe_data_pipelines_spark.operators.suffix import (
+        substring_pattern_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    empty = spark.createDataFrame([(1, "")], "pattern_id long, pattern string")
+    with pytest.raises(ValueError, match="empty/null pattern"):
+        substring_pattern_counts(docs, empty).collect()
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "pattern_id long, pattern string"
+    )
+    with pytest.raises(ValueError, match="duplicate pattern_id"):
+        substring_pattern_counts(docs, dup).collect()
+
+
+def test_substring_pattern_counts_longer_than_corpus(spark):
+    """A pattern longer than every document counts zero (and the seed level
+    for its width still exists — patterns ride in the pseudo-corpus)."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        substring_pattern_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "short"), (2, "tiny")], "doc_id long, text string")
+    pdf = spark.createDataFrame(
+        [(1, "much-longer-than-any-document-here")], "pattern_id long, pattern string"
+    )
+    (row,) = substring_pattern_counts(docs, pdf).collect()
+    assert (row.n_docs, row.n_occurrences) == (0, 0)
+
+
+def test_suffix_ranks_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir= (reliable checkpoints) must be result-identical to
+    the localCheckpoint default."""
+    texts = {1: "banana", 2: "bandana", 3: "ananas", 4: "ba"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    local = {
+        (r.doc_id, r.pos): r.rank for r in suffix_ranks(docs, start_width=2).collect()
+    }
+    reliable = {
+        (r.doc_id, r.pos): r.rank
+        for r in suffix_ranks(
+            docs, start_width=2, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local == _brute_ranks(texts)
+
+
+def test_suffix_rank_levels_max_width_prefix_semantics(spark):
+    """Capped levels rank by the first max_width chars only: equal
+    prefixes share a rank even when the full suffixes differ."""
+    from frappe_data_pipelines_spark.operators.suffix import suffix_rank_levels
+
+    texts = {1: "prefixAAAA", 2: "prefixBBBB"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    levels = suffix_rank_levels(docs, start_width=1, max_width=4)
+    assert [h for h, _ in levels] == [1, 2, 4]
+    top = {(r.doc_id, r.pos): r.rank for r in levels[-1][1].collect()}
+    # first 4 chars at pos 1 are "pref" in both docs -> shared rank
+    assert top[(1, 1)] == top[(2, 1)]
+    # but pos 7 ("AAAA" vs "BBBB") differ
+    assert top[(1, 7)] != top[(2, 7)]

@@ -256,6 +256,15 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),
     ],
+    "substring_frequency_search": [
+        # seed/refine joins over the (checkpointed) rank levels: pattern
+        # side always broadcasts, candidates never cartesian, no Python
+        # after construction, and the per-pattern rollup is a hash agg
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
+        ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("rollup_hash_agg", lambda p: "HashAggregate" in p),
+    ],
     "incremental_dup_spans": [
         # ingest door: new-side fingerprints/windows broadcast; corpus is
         # probed, never hash-shuffled on content; islands per new doc
