@@ -657,6 +657,61 @@ def connected_components_star(
     )
 
 
+def cluster_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/validation/test assignment at the NEAR-DUP level:
+    the split hash is salted over the doc's near-duplicate CLUSTER id
+    (connected components over ``pairs``), so transitively-near-duplicate
+    documents — which an exact-fingerprint split still scatters — always
+    land in the same split and can never leak eval text into training
+    (Lee et al. 2021 §5's contamination argument, applied to the split
+    boundary itself). Docs in no pair are their own singleton cluster.
+
+    Returns (doc_id, cluster_id, split) for EVERY doc. Deterministic: no
+    rand(), survives re-partitioning and re-runs; appending new docs never
+    moves an existing doc's split (its cluster id is stable unless a new
+    pair merges clusters — exactly the case where re-assignment is the
+    CORRECT behavior, because the merged cluster must not straddle splits).
+
+    Scale shape: components are O(log n) star-contraction shuffles over the
+    pair set (usually ≪ corpus); the assignment itself is one left join +
+    a hash — no corpus shuffle."""
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("need 0 < train_pct, 0 <= val_pct, train+val <= 100")
+    cc = connected_components_star(pairs)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    j = base.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("cluster_id").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "validation")
+        .otherwise("test")
+    )
+    return j.select("doc_id", "cluster_id", split.alias("split"))
+
+
 def semdedup(
     vectors: DataFrame,
     n_clusters: int = 8,

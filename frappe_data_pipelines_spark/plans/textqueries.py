@@ -566,6 +566,75 @@ def dedup_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_safe_splits",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(c / (sa.n_sh + sb.n_sh - c), 6) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), cc AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ), assigned AS (
+      SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substring(
+                    md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substring(
+                    md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 100 < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("text-analysis", "dedup", "extension", "scale-path"),
+)
+def cluster_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUP rung of leakage-safe splitting: ``dedup_aware_splits``
+    keeps byte-identical docs together, but transitively-near-duplicate
+    docs (jaccard >= 0.5 chains) still straddle splits there. Here the
+    split hash is salted over the connected-component id of the near-dup
+    graph (star contraction, O(log n) rounds), so a whole duplicate
+    FAMILY lands in one split — eval text can never leak into training
+    through a paraphrased or lightly-edited copy. The oracle rebuilds the
+    components via recursive transitive closure and re-derives every
+    assignment."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        cluster_safe_splits,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    return cluster_safe_splits(docs, pairs)
+
+
+@register(
     "corpus_quality_filter",
     oracle=f"""
     SELECT doc_id, lang, n_chars

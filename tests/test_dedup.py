@@ -774,3 +774,41 @@ def test_winnow_fast_string_ids_and_byte_budget(spark, monkeypatch):
     ).coalesce(1)
     with pytest.raises(Exception, match="position budget"):
         dd.winnow_fingerprints_fast(big, k=8, w=4).count()
+
+
+def test_cluster_safe_splits_family_stays_together(spark):
+    """A transitive near-dup chain A~B, B~C must land in ONE split even
+    though A and C share no pair; docs in no pair are singleton clusters;
+    every doc is assigned."""
+    from frappe_data_pipelines_spark.operators.dedup import cluster_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {r.doc_id: r for r in cluster_safe_splits(docs, pairs).collect()}
+    assert set(rows) == set(range(1, 8))
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[1].split == rows[2].split == rows[3].split
+    assert rows[5].cluster_id == rows[6].cluster_id == 5
+    assert rows[5].split == rows[6].split
+    assert rows[4].cluster_id == 4 and rows[7].cluster_id == 7
+    assert all(r.split in ("train", "validation", "test") for r in rows.values())
+
+
+def test_cluster_safe_splits_deterministic_and_guarded(spark):
+    from frappe_data_pipelines_spark.operators.dedup import cluster_safe_splits
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id long, text string"
+    )
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    a = sorted(map(tuple, cluster_safe_splits(docs, no_pairs).collect()))
+    b = sorted(map(tuple, cluster_safe_splits(docs, no_pairs).collect()))
+    assert a == b  # no rand() anywhere
+    splits = {t[2] for t in a}
+    assert splits == {"train", "validation", "test"}  # 200 hashes hit all three
+    with pytest.raises(ValueError, match="train\\+val"):
+        cluster_safe_splits(docs, no_pairs, train_pct=95, val_pct=10)
