@@ -2140,3 +2140,41 @@ def image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents_as_pattern_images(docs.filter(F.col("doc_id") % 20 == 3), extra_off=2)
     )
     return banded_hamming_join(new_batch, corpus, max_hamming=6)
+
+
+@register(
+    "training_shard_manifest",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS INT) AS shard,
+             doc_id,
+             strlen(coalesce(text, '')) AS b,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')), 1, 15))
+                  AS BIGINT) AS dig
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS n_bytes,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           bit_xor(dig) AS content_digest
+    FROM a GROUP BY shard
+    """,
+    tags=("sink", "extension", "scale-path"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export accounting (sources/shards.py): the deterministic
+    md5-bucketed shard assignment every engine can re-derive, with per-shard
+    row count, utf-8 byte count, id range, and an ORDER-INDEPENDENT content
+    digest (bit_xor of 60-bit md5 prefixes) — the manifest a training job
+    checks before trusting an exported corpus. One narrow projection + one
+    16-row groupBy; the oracle recomputes assignment, sizes, and digest from
+    scratch, so a single lost/duplicated/bit-flipped doc flips its shard's
+    digest row. The write/read/verify path is exercised in
+    tests/test_shards.py."""
+    from frappe_data_pipelines_spark.sources.shards import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16)

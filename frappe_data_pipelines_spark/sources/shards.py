@@ -1,0 +1,188 @@
+"""Training-shard export: the last mile of a training-data pipeline.
+
+A cleaned corpus ships to trainers as a fixed set of SHARDS — stable,
+hash-assigned, individually-loadable files with a manifest the training
+job can trust (doc counts, byte counts, content digest per shard). The
+reference repo stops at vector/chunk sinks; this sink covers the
+export-for-training surface a 100 TB corpus actually needs:
+
+* **Deterministic assignment.** shard = md5('shard:' || doc_id) % n —
+  content-independent, re-run-stable, and re-derivable by ANY engine
+  (the manifest is DuckDB-oracle-checked in the catalog). No rand(),
+  no partition-index dependence (SURVEY hard spot (c)).
+* **Balanced writes.** One shuffle (repartition on the shard key) puts
+  each shard's rows in one task → one file per shard; for 100 TB runs
+  set ``max_records_per_file`` so Spark splits giant shards into
+  part-files without breaking the shard directory contract.
+* **Manifest accounting.** Per shard: row count, utf-8 byte count,
+  id range, and an ORDER-INDEPENDENT content digest (bit_xor of a
+  60-bit md5 prefix per doc) — equality of manifests proves equality
+  of shard contents without re-reading either side in order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def shard_assignment(n_shards: int, id_col: str = "doc_id"):
+    """The deterministic shard key as a Column: md5-bucketed so any engine
+    (the DuckDB oracle, a downstream loader) re-derives it from the id
+    alone."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("shard:"), F.col(id_col).cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+
+
+def _doc_digest(id_col: str, text_col: str):
+    """60-bit per-doc digest (md5 prefix of id:text) — xor-aggregated into
+    the order-independent shard digest."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col(text_col), F.lit("")),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, n_docs, n_bytes, min_doc_id, max_doc_id, content_digest)
+    for the deterministic assignment — pure accounting, computable before
+    OR after the write (comparing the two catches a lost/duplicated row;
+    the digest is xor-of-md5-prefixes so row order never matters).
+
+    One narrow projection + one groupBy on the shard key; output is
+    ``n_shards`` rows regardless of corpus size."""
+    return (
+        docs.select(
+            shard_assignment(n_shards, id_col).alias("shard"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("__bytes"),
+            _doc_digest(id_col, text_col).alias("__dig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__bytes").cast("long").alias("n_bytes"),
+            F.min("__id").alias("min_doc_id"),
+            F.max("__id").alias("max_doc_id"),
+            F.expr("bit_xor(__dig)").alias("content_digest"),
+        )
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Export ``docs`` as hash-assigned parquet shards under
+    ``out_dir/data/shard=K/`` plus a parquet manifest at
+    ``out_dir/manifest/`` computed from the SAME plan that wrote the data.
+    Returns the manifest DataFrame (read back, so callers can join/verify
+    without recomputation).
+
+    The write is one shuffle: repartition on the shard key co-locates each
+    shard into one task, so ``partitionBy`` emits one file per shard (or
+    several, bounded by ``max_records_per_file``, for shards bigger than
+    one task should hold)."""
+    spark = docs.sparkSession
+    assigned = docs.withColumn("shard", shard_assignment(n_shards, id_col))
+    writer = (
+        assigned.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(os.path.join(out_dir, "data"))
+    shard_manifest(docs, n_shards, id_col, text_col).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "manifest")
+    )
+    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def read_training_shards(
+    spark: SparkSession, out_dir: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read exported shards back; ``shards`` selects a subset via partition
+    pruning (the shard column is a partition key, so Spark reads only the
+    named directories — the loader-side point of sharding)."""
+    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df
+
+
+def verify_shard_export(
+    spark: SparkSession,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recompute the manifest FROM THE WRITTEN FILES and diff it against
+    the stored manifest: one row per shard with boolean ``ok`` (count,
+    bytes, digest all equal). A lost, duplicated, or bit-flipped row shows
+    up as ok = false on exactly the shard holding it."""
+    stored = spark.read.parquet(os.path.join(out_dir, "manifest")).select(
+        "shard",
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_bytes").alias("m_bytes"),
+        F.col("content_digest").alias("m_digest"),
+    )
+    actual = shard_manifest(
+        read_training_shards(spark, out_dir), n_shards, id_col, text_col
+    )
+    return (
+        actual.join(stored, "shard", "full")
+        .select(
+            "shard",
+            "n_docs",
+            "m_docs",
+            "n_bytes",
+            "m_bytes",
+            (
+                F.col("n_docs").eqNullSafe(F.col("m_docs"))
+                & F.col("n_bytes").eqNullSafe(F.col("m_bytes"))
+                & F.col("content_digest").eqNullSafe(F.col("m_digest"))
+            ).alias("ok"),
+        )
+    )

@@ -256,6 +256,14 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),
     ],
+    "training_shard_manifest": [
+        # export accounting: one narrow projection + ONE shard-key shuffle,
+        # all JVM expression work (md5/conv/bit_xor), no Python
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("single_shuffle", lambda p: p.count("Exchange") <= 2),  # partial+final agg
+        ("hash_agg", lambda p: "HashAggregate" in p),
+    ],
     "substring_frequency_search": [
         # seed/refine joins over the (checkpointed) rank levels: pattern
         # side always broadcasts, candidates never cartesian, no Python
