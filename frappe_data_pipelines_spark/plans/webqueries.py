@@ -389,3 +389,52 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(fetched))
         .select("n_fetched", "n_quality", "n_unique", "quality_chars")
     )
+
+
+# Blocklist terms are query parameters, identical on both sides: corpus-vocab
+# words that DO occur, a multi-word phrase, and a guaranteed miss, so the
+# zero/null path is value-checked too.
+_BLOCK_TERMS = [
+    (1, "slow"),
+    (2, "hash value"),
+    (3, "Customer"),  # case-insensitive: matches lowercase corpus text
+    (4, "zz-banned-term"),
+]
+
+_BLOCKLIST_SQL = """
+    WITH terms(term_id, term) AS (VALUES {vals}),
+    occ AS (
+      SELECT d.doc_id, t.term_id, i.i AS pos
+      FROM documents d CROSS JOIN terms t,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(t.term) + 1)) AS i) i
+      WHERE substr(lower(d.text), CAST(i.i AS INT), CAST(len(t.term) AS INT))
+              = lower(t.term)
+    )
+    SELECT d.doc_id,
+           CAST(count(o.term_id) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT o.term_id) AS BIGINT) AS n_terms,
+           CAST(min(o.pos) AS BIGINT) AS first_pos
+    FROM documents d LEFT JOIN occ o USING (doc_id)
+    GROUP BY d.doc_id
+    """.format(vals=", ".join(f"({i}, '{t}')" for i, t in _BLOCK_TERMS))
+
+
+@register("blocklist_term_audit", oracle=_BLOCKLIST_SQL,
+          tags=("text-analysis", "web", "extension", "scale-path"))
+def blocklist_term_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 §2.2 banned-words rule as per-document accounting
+    (operators/blocklist.py): ONE Aho-Corasick automaton pass per doc
+    finds every overlapping occurrence of every blocklist term —
+    O(text + matches) however long the list, vs per-term regex's
+    O(terms x text). Emits (doc_id, n_hits, n_terms, first_pos) for
+    EVERY doc, null first_pos when clean; the oracle recounts by direct
+    substring comparison at each position, so hit totals, distinct-term
+    counts, and the clean rows are all value-checked. The drop rule
+    itself (``blocklist_filter``) and the word-boundary variant are
+    differentially tested in tests/test_blocklist.py."""
+    from frappe_data_pipelines_spark.operators.blocklist import blocklist_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(_BLOCK_TERMS, "term_id long, term string")
+    return blocklist_hits(docs, terms)

@@ -1,0 +1,103 @@
+"""Aho-Corasick blocklist kernel vs naive per-position scanning."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from frappe_data_pipelines_spark.operators.blocklist import (
+    blocklist_filter,
+    blocklist_hits,
+)
+
+
+def _naive(texts, terms, ci=True, wb=False):
+    out = {}
+    for did, txt in texts.items():
+        t = (txt or "").lower() if ci else (txt or "")
+        n = 0
+        seen = set()
+        first = None
+        for tid, term in terms.items():
+            q = term.lower() if ci else term
+            for i in range(len(t) - len(q) + 1):
+                if t[i : i + len(q)] != q:
+                    continue
+                if wb:
+                    before = t[i - 1] if i > 0 else ""
+                    after = t[i + len(q)] if i + len(q) < len(t) else ""
+                    if (before and before.isalnum()) or (after and after.isalnum()):
+                        continue
+                n += 1
+                seen.add(tid)
+                if first is None or i + 1 < first:
+                    first = i + 1
+        out[did] = (n, len(seen), first)
+    return out
+
+
+def _run(spark, texts, terms, **kw):
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(terms.items()), "term_id long, term string")
+    return {
+        r.doc_id: (r.n_hits, r.n_terms, r.first_pos)
+        for r in blocklist_hits(docs, tdf, **kw).collect()
+    }
+
+
+def test_blocklist_overlapping_and_nested_terms(spark):
+    """'aba' in 'ababa' hits twice (overlap); 'a' nests inside 'aba'; a
+    term that is a suffix of another is still reported (fail-link output
+    merging)."""
+    texts = {1: "ababa", 2: "xx", 3: None}
+    terms = {1: "aba", 2: "a", 3: "ba"}
+    assert _run(spark, texts, terms) == _naive(texts, terms)
+
+
+def test_blocklist_random_differential(spark):
+    rng = random.Random(11)
+    texts = {
+        d: "".join(rng.choice("abcAB ._") for _ in range(rng.randrange(0, 200)))
+        for d in range(20)
+    }
+    terms = {
+        i: "".join(rng.choice("abc .") for _ in range(rng.randrange(1, 6)))
+        for i in range(1, 12)
+    }
+    assert _run(spark, texts, terms) == _naive(texts, terms)
+    # case-sensitive variant diverges from the folded one on mixed-case text
+    assert _run(spark, texts, terms, case_insensitive=False) == _naive(
+        texts, terms, ci=False
+    )
+
+
+def test_blocklist_word_boundaries(spark):
+    """'ass' must not hit inside 'class' or 'assignment' under the
+    whole-word rule, but still hits standalone."""
+    texts = {1: "class assignment", 2: "an ass here", 3: "ass", 4: "bad-ass!"}
+    terms = {1: "ass"}
+    wb = _run(spark, texts, terms, word_boundaries=True)
+    assert wb == _naive(texts, terms, wb=True)
+    assert wb[1][0] == 0 and wb[2][0] == 1 and wb[3][0] == 1 and wb[4][0] == 1
+
+
+def test_blocklist_filter_drop_rule(spark):
+    texts = {1: "totally clean text", 2: "contains banned word", 3: "banned banned"}
+    docs = spark.createDataFrame(
+        [(k, v, "en") for k, v in texts.items()], "doc_id long, text string, lang string"
+    )
+    terms = spark.createDataFrame([(1, "banned")], "term_id long, term string")
+    kept = blocklist_filter(docs, terms).collect()
+    assert {r.doc_id for r in kept} == {1}
+    assert set(kept[0].asDict()) == {"doc_id", "text", "lang"}  # schema preserved
+    lax = blocklist_filter(docs, terms, max_hits=1)
+    assert {r.doc_id for r in lax.collect()} == {1, 2}
+
+
+def test_blocklist_guards(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    empty = spark.createDataFrame([(1, "")], "term_id long, term string")
+    with pytest.raises(ValueError, match="empty/null term"):
+        blocklist_hits(docs, empty).collect()

@@ -256,6 +256,17 @@ CHECKS: dict[str, list] = {
         ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
         ("topk_take_ordered", lambda p: "TakeOrderedAndProject" in p),
     ],
+    "blocklist_term_audit": [
+        # one Arrow-batched automaton pass, spread ahead of the kernel
+        # (single-file scans must not serialize the CPU work), no row-UDF,
+        # no shuffle at all after the spread
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("single_kernel_pass",
+         lambda p: _final_plan(p).count("MapInPandas") == 1),
+        ("no_row_udf", lambda p: "BatchEvalPython" not in p),
+        ("spread_before_kernel", lambda p: "Exchange" in _final_plan(p)
+         and _final_plan(p).index("MapInPandas") < _final_plan(p).index("Exchange")),
+    ],
     "training_shard_manifest": [
         # export accounting: one narrow projection + ONE shard-key shuffle,
         # all JVM expression work (md5/conv/bit_xor), no Python

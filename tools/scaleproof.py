@@ -63,11 +63,19 @@ QUERIES = [
     "benchmark_span_decontaminate",
     "knn_batch_topk",
     # round-7 addition: the scrub pays the span machinery plus one doc_id
-    # shuffle + join. The suffix queries are deliberately NOT probed here:
-    # their doc_id-slice filters keep input size fixed under replication
-    # (replica ids land outside the slice), so a scaling exponent over
-    # them would measure nothing.
+    # shuffle + join.
     "exact_substring_scrub",
+    # round-7 ninth-session additions. substring_frequency_search is
+    # probeable: consecutive replica id spans put ~1/100 of every replica
+    # inside its doc_id % 100 slice, so the sliced input genuinely scales
+    # with the corpus. The FULL-suffix queries (ranks/LCP) stay excluded:
+    # at this corpus size their O(log max_len) fixed round count dominates
+    # wall time, so the exponent would measure scheduler overhead, not the
+    # plan.
+    "substring_frequency_search",
+    "cluster_safe_splits",
+    "blocklist_term_audit",
+    "training_shard_manifest",
 ]
 
 ID_OFFSET = 10_000_000
