@@ -78,6 +78,12 @@ HEADLINE = [
     "benchmark_span_decontaminate",
     "video_dhash_neardup",
     "exact_substring_scrub",
+    # round-7 ninth session: near-dup-cluster splits, AC blocklist, shard
+    # manifest (full-corpus ops; the suffix-slice frequency query stays out
+    # — its wall time is fixed round-count overhead, not data)
+    "cluster_safe_splits",
+    "blocklist_term_audit",
+    "training_shard_manifest",
 ]
 
 

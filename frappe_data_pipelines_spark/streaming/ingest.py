@@ -50,6 +50,8 @@ def start_ingest_stream(
     source_stream: DataFrame | None = None,
     scrub_against: DataFrame | None = None,
     scrub_min_len: int = 40,
+    blocklist_terms: DataFrame | None = None,
+    blocklist_max_hits: int = 0,
 ):
     """Stream parquet document files → chunk → embed → append chunks +
     job-state rows + metrics. Returns the StreamingQuery.
@@ -66,6 +68,13 @@ def start_ingest_stream(
     the corpus pays a winnow fingerprint scan per batch, never the
     stride-1 blowup; the batch's windows broadcast). Docs scrubbed to
     empty dead-letter as Failed jobs like any other empty text.
+
+    ``blocklist_terms``: (term_id, term) enabling the C4 banned-words rule
+    AT THE DOOR (``operators/blocklist.py``): docs whose post-scrub text
+    contains more than ``blocklist_max_hits`` blocklist occurrences are
+    dead-lettered as Failed jobs (error names the hit count) instead of
+    being chunked — the drop is recorded, never silent. One Aho-Corasick
+    pass per micro-batch, however long the list.
 
     Scale notes: maxFilesPerTrigger bounds micro-batch size; the per-batch
     plan is the same shuffle-free chunk+embed DAG as the batch engine, so
@@ -130,6 +139,26 @@ def start_ingest_stream(
                     )
                 )
             )
+        if blocklist_terms is not None:
+            from frappe_data_pipelines_spark.operators.blocklist import (
+                blocklist_hits,
+            )
+
+            # the rule applies to the text as it will be STORED (post-scrub);
+            # dedupe flagged rows so a doc delivered twice in one batch
+            # can't multiply through the join; null-id rows never match a
+            # join key, so they pass through unblocked like the scrub path
+            flagged = (
+                blocklist_hits(
+                    batch_df.filter(F.col("doc_id").isNotNull()), blocklist_terms
+                )
+                .filter(F.col("n_hits") > blocklist_max_hits)
+                .select("doc_id", F.col("n_hits").alias("__bl_hits"))
+                .dropDuplicates(["doc_id"])
+            )
+            batch_df = batch_df.join(flagged, "doc_id", "left")
+        else:
+            batch_df = batch_df.withColumn("__bl_hits", F.lit(None).cast("long"))
         # every action below re-derives from the micro-batch source; persist
         # once so the sinks/aggregates share one scan (and one chunk+embed
         # computation) instead of re-running it per action
@@ -151,16 +180,26 @@ def start_ingest_stream(
         # I3: guard the procedural stage per-row — unprocessable rows become
         # Failed job rows with a captured error (dead letters), never a
         # batch abort (process_embedding.py:69-81)
-        bad = F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0
+        blocked = F.col("__bl_hits").isNotNull()
+        bad = blocked | (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0)
         failed = batch_df.filter(bad).select(
             F.col("doc_id").alias("source_doc_id"),
             F.lit("Failed").alias("status"),
             F.lit(batch_id).alias("batch_id"),
             F.current_timestamp().alias("created_at"),
-            F.lit("empty or null text").alias("error_message"),
+            F.when(
+                blocked,
+                F.concat(
+                    F.lit("blocklist ("),
+                    F.col("__bl_hits").cast("string"),
+                    F.lit(" hits)"),
+                ),
+            )
+            .otherwise(F.lit("empty or null text"))
+            .alias("error_message"),
         )
         chunks = chunk_documents(
-            batch_df.filter(~bad),
+            batch_df.filter(~bad).drop("__bl_hits"),
             strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap,
         )
         embedded = embed_documents(chunks, text_col="chunk_text", provider=embed_provider)

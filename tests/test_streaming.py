@@ -648,3 +648,42 @@ def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
     failed = {r.source_doc_id for r in jobs.filter("status = 'Failed'").collect()}
     assert 3 in failed  # scrubbed-to-empty dead-letters
     assert failed - {3, None} == set()  # null-id arrival dead-letters, not crashes
+
+
+def test_ingest_stream_with_blocklist_door(spark, sf_dir, stream_dirs):
+    """blocklist_terms: docs over the hit budget dead-letter as Failed
+    with the hit count in the error; clean docs chunk normally; the drop
+    is recorded (Queued + Failed), never silent."""
+    arrivals = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document with enough words to chunk", "en", "s", 0),
+            (2, "this one contains FORBIDDEN content twice: forbidden", "en", "s", 0),
+            (3, "single forbidden mention is within the lax budget", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    arrivals.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+    terms = spark.createDataFrame([(1, "forbidden")], "term_id long, term string")
+
+    q = start_ingest_stream(
+        spark,
+        stream_dirs["input"],
+        stream_dirs["output"],
+        stream_dirs["checkpoint"],
+        blocklist_terms=terms,
+        blocklist_max_hits=1,
+    )
+    q.awaitTermination(120)
+
+    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    chunked = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert chunked == {1, 3}  # doc 2 (2 hits > budget 1) never chunks
+    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    failed = {
+        r.source_doc_id: r.error_message
+        for r in jobs.filter("status = 'Failed'").collect()
+    }
+    assert set(failed) == {2}
+    assert failed[2] == "blocklist (2 hits)"
+    queued = {r.source_doc_id for r in jobs.filter("status = 'Queued'").collect()}
+    assert 2 in queued  # the drop is recorded, not silent
