@@ -215,6 +215,23 @@ class PipelineEngine:
 
         return incremental_substring_scrub(self.files, new_docs, min_len=min_len)
 
+    def screen_incoming(
+        self, new_docs: DataFrame, terms: DataFrame, max_hits: int = 0
+    ) -> DataFrame:
+        """Ingest-door blocklist screening (the C4 banned-words rule,
+        ``operators/blocklist.py``): per arriving doc, (doc_id, n_hits,
+        n_terms, first_pos, blocked) — one Aho-Corasick pass however long
+        the term list; ``blocked`` applies the keep-at-most-``max_hits``
+        rule so callers can dead-letter or drop. Pairs with
+        ``scrub_incoming`` as the facade's door-hygiene surface (the
+        streaming engine wires both via ``scrub_against`` /
+        ``blocklist_terms``)."""
+        from frappe_data_pipelines_spark.operators.blocklist import blocklist_hits
+
+        return blocklist_hits(new_docs, terms).withColumn(
+            "blocked", F.col("n_hits") > max_hits
+        )
+
 
 def search_documents(
     service: SearchService,

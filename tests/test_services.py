@@ -199,6 +199,21 @@ class TestPipelineEngine:
         with _pytest.raises(ValueError, match="carry text"):
             bare.scrub_incoming(new)
 
+    def test_screen_incoming(self, engine, spark):
+        new = spark.createDataFrame(
+            [
+                (1, "totally fine text"),
+                (2, "has a BANNED word"),
+                (3, "banned twice: banned"),
+            ],
+            "doc_id long, text string",
+        )
+        terms = spark.createDataFrame([(1, "banned")], "term_id long, term string")
+        rows = {r.doc_id: r for r in engine.screen_incoming(new, terms).collect()}
+        assert [rows[i].blocked for i in (1, 2, 3)] == [False, True, True]
+        lax = {r.doc_id: r.blocked for r in engine.screen_incoming(new, terms, max_hits=1).collect()}
+        assert lax == {1: False, 2: False, 3: True}
+
     def test_backfill_skips_active(self, engine):
         out = engine.process_existing_files()
         # Completed jobs (doc_id % 4 == 0) block re-queue; Failed jobs do NOT
