@@ -139,6 +139,70 @@ def write_training_shards(
     return spark.read.parquet(os.path.join(out_dir, "manifest"))
 
 
+def append_training_shards(
+    new_docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append new documents to an existing export WITHOUT rewriting or
+    re-reading it: rows land in their hash-assigned shard directories
+    (parquet append), and the manifest merges arithmetically — counts and
+    bytes add, id ranges extend, and the xor-of-md5-prefixes digest is a
+    GROUP HOMOMORPHISM (xor of the new docs' digests folds straight into
+    the stored value). Manifest maintenance is O(new docs) however large
+    the standing export; ``verify_shard_export`` still validates the
+    merged manifest against a full recompute.
+
+    Contract: doc ids must be new — appending an id already exported puts
+    a duplicate row in its shard (the digest stays honest and verify
+    still passes, but loaders see the doc twice; run the export-side
+    dedup first, which is what the rest of this engine is for)."""
+    spark = new_docs.sparkSession
+    assigned = new_docs.withColumn("shard", shard_assignment(n_shards, id_col))
+    assigned.repartition(n_shards, "shard").write.mode("append").partitionBy(
+        "shard"
+    ).parquet(os.path.join(out_dir, "data"))
+    delta = shard_manifest(new_docs, n_shards, id_col, text_col).select(
+        "shard",
+        F.col("n_docs").alias("d_docs"),
+        F.col("n_bytes").alias("d_bytes"),
+        F.col("min_doc_id").alias("d_min"),
+        F.col("max_doc_id").alias("d_max"),
+        F.col("content_digest").alias("d_digest"),
+    )
+    stored = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    merged = (
+        stored.join(delta, "shard", "full")
+        .select(
+            "shard",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce("n_bytes", F.lit(0)) + F.coalesce("d_bytes", F.lit(0)))
+            .cast("long")
+            .alias("n_bytes"),
+            F.least("min_doc_id", "d_min").alias("min_doc_id"),
+            F.greatest("max_doc_id", "d_max").alias("max_doc_id"),
+            # xor with the identity (0) on the side that is absent
+            F.coalesce("content_digest", F.lit(0))
+            .bitwiseXOR(F.coalesce("d_digest", F.lit(0)))
+            .alias("content_digest"),
+        )
+    )
+    # write via temp + swap: the manifest read above is lazy, so writing
+    # over it in place would race the scan
+    tmp = os.path.join(out_dir, "manifest_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    final = os.path.join(out_dir, "manifest")
+    import shutil
+
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    return spark.read.parquet(final)
+
+
 def read_training_shards(
     spark: SparkSession, out_dir: str, shards: list[int] | None = None
 ) -> DataFrame:

@@ -93,3 +93,25 @@ def test_manifest_digest_order_independent(spark):
     ma = sorted(map(tuple, shard_manifest(a, n_shards=4).collect()))
     mb = sorted(map(tuple, shard_manifest(b, n_shards=4).collect()))
     assert ma == mb
+
+
+def test_append_merges_manifest_homomorphically(spark, tmp_path):
+    """Appending docs updates data + manifest in O(new docs); the merged
+    manifest equals a from-scratch manifest of the union (counts, bytes,
+    ranges, xor digest), and verify passes on the files."""
+    from frappe_data_pipelines_spark.sources.shards import append_training_shards
+
+    first = spark.createDataFrame(
+        [(i, f"early doc {i}") for i in range(120)], "doc_id long, text string"
+    )
+    later = spark.createDataFrame(
+        [(i, f"late doc {i}") for i in range(120, 200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    write_training_shards(first, out, n_shards=4)
+    merged = append_training_shards(later, out, n_shards=4)
+    scratch = shard_manifest(first.unionByName(later), n_shards=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, scratch.collect()))
+    checks = verify_shard_export(spark, out, n_shards=4).collect()
+    assert len(checks) == 4 and all(r.ok for r in checks)
+    assert read_training_shards(spark, out).count() == 200
