@@ -420,6 +420,33 @@ def substring_pattern_counts(
         ).limit(0)
 
     # patterns ride along as pseudo-docs: 'p:' keys; corpus docs 'd:'
+    matches = _pattern_match_positions(docs, pats, pat_rows, id_col, text_col)
+    per_pat = matches.groupBy("pattern_id").agg(
+        F.countDistinct("doc_key").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+    )
+
+
+def _pattern_match_positions(
+    docs: DataFrame,
+    pats: DataFrame,
+    pat_rows,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Every exact occurrence of every pattern as (doc_key, pos,
+    pattern_id, pattern_len) — doc_key is the ORIGINAL id rendered as a
+    string. The binary rank-decomposition engine behind
+    ``substring_pattern_counts`` and ``pattern_continuations``; see the
+    former's docstring for the algorithm and scale shape."""
+    spark = docs.sparkSession
     corp = docs.select(
         F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -522,20 +549,75 @@ def substring_pattern_counts(
             )
         )
 
-    per_pat = (
+    return (
         state.filter(F.col("rem") == 0)  # invariant: binary decomposition consumed
-        .groupBy("pattern_id")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_occurrences"),
+        .join(F.broadcast(meta.select("pattern_id", "plen")), "pattern_id")
+        .select(
+            F.expr("substring(doc_id, 3)").alias("doc_key"),
+            "pos",
+            "pattern_id",
+            F.col("plen").alias("pattern_len"),
         )
     )
-    return zero.join(per_pat, "pattern_id", "left").select(
+
+
+def pattern_continuations(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """The infini-gram continuation query (Liu et al. 2024's ∞-gram,
+    restated over the distributed suffix machinery): for each context
+    pattern, the distribution of the NEXT character across every exact
+    corpus occurrence — (pattern_id, pattern, next_char, n_continuations),
+    with next_char = '' when the match ends at a document boundary (the
+    end-of-text event). Normalizing n_continuations per pattern gives the
+    backoff-free ∞-gram LM probability of each continuation.
+
+    Same engine as ``substring_pattern_counts`` (patterns ride the rank
+    levels, binary decomposition, no character comparison to MATCH); the
+    one extra step is a broadcast join of the match positions back to the
+    corpus to read the single following character. Patterns with zero
+    occurrences contribute no rows (an empty distribution)."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    pats = patterns.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        F.col("pattern").cast("string").alias("pattern"),
+    )
+    pat_rows = collect_bounded(pats, max_patterns, "pattern_continuations patterns")
+    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
+        raise ValueError("pattern_continuations: empty/null pattern")
+    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
+        raise ValueError("pattern_continuations: duplicate pattern_id")
+    if not pat_rows:
+        return (
+            pats.select(
+                "pattern_id",
+                "pattern",
+                F.lit("").alias("next_char"),
+                F.lit(0).cast("long").alias("n_continuations"),
+            ).limit(0)
+        )
+    matches = _pattern_match_positions(docs, pats, pat_rows, id_col, text_col)
+    corpus = docs.select(
+        F.col(id_col).cast("string").alias("doc_key"), F.col(text_col).alias("text")
+    )
+    # matches ≪ corpus: broadcast them so the corpus pays one scan with a
+    # map-side probe, then read exactly one char per occurrence
+    nxt = corpus.join(F.broadcast(matches), "doc_key").select(
         "pattern_id",
-        "pattern",
-        "pattern_len",
-        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
-        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+        F.expr("substring(text, CAST(pos + pattern_len AS INT), 1)").alias(
+            "next_char"
+        ),
+    )
+    return (
+        nxt.groupBy("pattern_id", "next_char")
+        .agg(F.count("*").cast("long").alias("n_continuations"))
+        .join(F.broadcast(pats), "pattern_id")
+        .select("pattern_id", "pattern", "next_char", "n_continuations")
     )
 
 

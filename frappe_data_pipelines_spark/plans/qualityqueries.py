@@ -919,6 +919,49 @@ def substring_frequency_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_pattern_counts(docs, pats)
 
 
+_CONT_PATTERNS = [(1, "value"), (2, "the "), (3, "a"), (4, "zz-none")]
+
+_CONTINUATION_SQL = """
+    WITH pats(pattern_id, pattern) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), occ AS (
+      SELECT p.pattern_id, p.pattern,
+             substr(d.text, CAST(i.i + len(p.pattern) AS INT), 1) AS next_char
+      FROM docs d CROSS JOIN pats p,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(p.pattern) + 1)) AS i) i
+      WHERE substr(d.text, CAST(i.i AS INT), CAST(len(p.pattern) AS INT))
+              = p.pattern
+    )
+    SELECT pattern_id, pattern, next_char,
+           CAST(count(*) AS BIGINT) AS n_continuations
+    FROM occ GROUP BY 1, 2, 3
+    """.format(vals=", ".join(f"({i}, '{p}')" for i, p in _CONT_PATTERNS))
+
+
+@register("pattern_continuation_counts", oracle=_CONTINUATION_SQL,
+          tags=("dedup", "extension"))
+def pattern_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ∞-gram continuation query (infini-gram, Liu et al. 2024) over
+    the suffix machinery (operators/suffix.py:pattern_continuations): for
+    each context pattern, the full next-character distribution across
+    every exact corpus occurrence — normalize per pattern and you have
+    the backoff-free ∞-gram LM the paper serves from a suffix array.
+    Matching is the character-comparison-free binary rank decomposition;
+    the single extra step reads one following char per occurrence via a
+    broadcast join. The oracle recounts every continuation positionally,
+    so the whole distribution is value-checked (absent patterns
+    contribute no rows on either side)."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        pattern_continuations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    pats = spark.createDataFrame(_CONT_PATTERNS, "pattern_id long, pattern string")
+    return pattern_continuations(docs, pats)
+
+
 _INCR_SPAN_SQL = """
     WITH win AS (
       SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s

@@ -272,3 +272,36 @@ def test_suffix_rank_levels_max_width_prefix_semantics(spark):
     assert top[(1, 1)] == top[(2, 1)]
     # but pos 7 ("AAAA" vs "BBBB") differ
     assert top[(1, 7)] != top[(2, 7)]
+
+
+def test_pattern_continuations_differential(spark):
+    """∞-gram continuation counts vs direct per-position scanning,
+    including the end-of-document '' event and overlapping matches."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        pattern_continuations,
+    )
+
+    rng = random.Random(31)
+    texts = {
+        d: "".join(rng.choice("abX ") for _ in range(rng.randrange(0, 120)))
+        for d in range(1, 12)
+    }
+    texts[99] = "abababX"  # overlap + one match ending at doc end ('X' tail)
+    texts[98] = "the end ab"  # match flush at the boundary -> '' continuation
+    pats = {1: "ab", 2: "X ", 3: "zz-none"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pdf = spark.createDataFrame(list(pats.items()), "pattern_id long, pattern string")
+    got = {
+        (r.pattern_id, r.next_char): r.n_continuations
+        for r in pattern_continuations(docs, pdf).collect()
+    }
+    exp = {}
+    for pid, p in pats.items():
+        for t in texts.values():
+            for i in range(len(t) - len(p) + 1):
+                if t[i : i + len(p)] == p:
+                    k = (pid, t[i + len(p) : i + len(p) + 1])
+                    exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+    assert (1, "") in got  # the end-of-text event is represented
+    assert not any(pid == 3 for pid, _ in got)  # absent pattern -> no rows

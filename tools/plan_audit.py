@@ -284,6 +284,14 @@ CHECKS: dict[str, list] = {
         ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
+    "pattern_continuation_counts": [
+        # same engine + one broadcast join back to the corpus for the
+        # following char — matches must broadcast, corpus pays one probe
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
+        ("matches_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("rollup_hash_agg", lambda p: "HashAggregate" in p),
+    ],
     "incremental_dup_spans": [
         # ingest door: new-side fingerprints/windows broadcast; corpus is
         # probed, never hash-shuffled on content; islands per new doc
