@@ -1033,3 +1033,95 @@ def sq_search(
 
     scored = codes_df.mapInPandas(score, "id long, score double")
     return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ) — 1 bit/dim, Hamming pre-rank + exact re-rank
+# ---------------------------------------------------------------------------
+
+def bq_encode(
+    vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, words ARRAY<BIGINT>): sign-bit binary quantization — bit j of
+    word w is 1 iff ``v[64w + j] > 0``. 32x smaller than float32 and the
+    distance kernel collapses to XOR + popcount, which is why every modern
+    vector store ships a BQ tier (cosine sign agreement is a monotone
+    proxy for angle on roughly-isotropic embeddings). Deterministic — no
+    training state — so unlike PQ/SQ the whole search is DuckDB-oracleable.
+    Pure Column expressions; map-only at any scale."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    n_words = (dim + 63) // 64
+    words = F.expr(
+        f"transform(sequence(0, {n_words - 1}), w -> "
+        f"  aggregate(transform(slice({vec_col}, w * 64 + 1, 64), "
+        f"            (x, j) -> IF(x > 0D, shiftleft(1L, j), 0L)), "
+        f"            0L, (a, b) -> a | b))"
+    )
+    return vectors.select(F.col(id_col).alias("id"), words.alias("words"))
+
+
+def bq_query_words(query_vec: list[float]) -> list[int]:
+    """The query's sign words as SIGNED 64-bit ints (bit 63 two's-complement
+    wrapped, matching shiftleft(1L, 63) on the JVM)."""
+    n_words = (len(query_vec) + 63) // 64
+    out = []
+    for w in range(n_words):
+        raw = 0
+        for j, x in enumerate(query_vec[w * 64 : (w + 1) * 64]):
+            if x > 0:
+                raw |= 1 << j
+        out.append(raw - (1 << 64) if raw >= (1 << 63) else raw)
+    return out
+
+
+def bq_search(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BQ two-stage search: Hamming pre-rank over the packed sign words
+    (XOR + bit_count per word — the SIMD shape), shortlist of
+    ``k * overfetch`` by (hamming ASC, id ASC), then EXACT cosine re-rank
+    of the shortlist only. Returns (id, score) — k rows, deterministic
+    total order (score DESC, id ASC), scores round(·, 6) like every
+    serving query in this engine.
+
+    Scale shape: the corpus pays one scan over 1-bit codes (bounded
+    map-side top-k via TakeOrderedAndProject — no global sort), and exact
+    float math touches only the shortlist via a broadcast semi-join."""
+    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+
+    dim = len(query_vec)
+    qwords = bq_query_words(query_vec)
+    codes = bq_encode(vectors, dim, id_col, vec_col)
+    qarr = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+    hamming = F.aggregate(
+        F.zip_with(F.col("words"), qarr, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        codes.select("id", hamming.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("id").asc())
+        .limit(int(k) * int(overfetch))
+        .select("id")
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        vectors.join(
+            F.broadcast(shortlist.withColumnRenamed("id", id_col)), id_col, "left_semi"
+        )
+        .select(
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), qcol), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(int(k))
+    )
