@@ -414,6 +414,41 @@ def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann.sq_encode(emb, lo, hi)
     return ann.sq_search(codes, lo, hi, _query_vec(spark, sf_dir), k=10)
 
+
+@register(
+    "ann_bq_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    h AS (
+      SELECT e.vec_id,
+             (SELECT count(*)
+              FROM (SELECT unnest(generate_series(1, len(e.embedding))) AS i) i
+              WHERE (e.embedding[CAST(i.i AS INT)] > 0)
+                      <> (q.qv[CAST(i.i AS INT)] > 0)) AS hamming
+      FROM embeddings e CROSS JOIN q
+    ), s AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 40)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT qv::DOUBLE[] FROM q)), 6) AS score
+    FROM embeddings e JOIN s USING (vec_id)
+    ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """,
+    tags=("O10", "extension", "scale-path"),
+)
+def ann_bq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization — the modern 1-bit ANN tier (operators/ann.py):
+    sign-bit codes pack 64 dims into one BIGINT (32x smaller than
+    float32), Hamming pre-rank is XOR + bit_count per word, and exact
+    cosine touches only the k*overfetch shortlist via a broadcast
+    semi-join. BQ has NO training state, so unlike PQ/SQ the entire
+    two-stage search is deterministic and fully DuckDB-oracled — the
+    oracle recomputes every sign comparison, the shortlist cut (total
+    (hamming, id) order), and the re-ranked scores. Recall-vs-overfetch
+    is characterized in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.bq_search(emb, _query_vec(spark, sf_dir), k=10, overfetch=4)
+
+
 # ---------------------------------------------------------------------------
 # Retrieval evaluation: MRR@10 / nDCG@10 over label ground truth
 # ---------------------------------------------------------------------------

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from pyspark.sql import functions as F
@@ -489,3 +491,50 @@ def test_knn_batch_pair_filter_excludes_positives(spark, sf_dir):
         negs_only = emb.filter(F.col("label") != qlabel)
         expect = [(r["vec_id"], r["score"]) for r in knn_topk(negs_only, qv, k=5).collect()]
         assert sorted(by_q[qid]) == sorted(expect), f"query {qid} diverged"
+
+
+class TestBinaryQuantization:
+    def test_encode_matches_python_bits(self, spark, sf_dir):
+        """Packed words equal the Python sign-bit packing for every vector
+        (incl. the two's-complement wrap when bit 63 is set)."""
+        import pyspark.sql.functions as F
+
+        from frappe_data_pipelines_spark.operators.ann import (
+            bq_encode,
+            bq_query_words,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+        dim = len(next(iter(rows.values())))
+        got = {r.id: list(r.words) for r in bq_encode(emb, dim).collect()}
+        assert got == {k: bq_query_words(v) for k, v in rows.items()}
+
+    def test_recall_improves_with_overfetch(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.ann import bq_search
+        from frappe_data_pipelines_spark.operators.search import knn_topk
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = list(emb.filter("vec_id = 7").first()["embedding"])
+        exact = {r.vec_id for r in knn_topk(emb, q, k=10).collect()}
+
+        def recall(ov):
+            got = {r.vec_id for r in bq_search(emb, q, k=10, overfetch=ov).collect()}
+            return len(exact & got) / 10
+
+        r4, r16 = recall(4), recall(16)
+        assert r4 >= 0.3  # 1-bit codes on 64 dims: coarse but useful
+        assert r16 >= r4
+        assert r16 >= 0.6
+
+    def test_search_deterministic_and_guarded(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators.ann import bq_encode, bq_search
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = list(emb.filter("vec_id = 0").first()["embedding"])
+        a = [tuple(r) for r in bq_search(emb, q, k=5).collect()]
+        b = [tuple(r) for r in bq_search(emb, q, k=5).collect()]
+        assert a == b and len(a) == 5
+        assert a[0][0] == 0  # the query's own vector ranks first
+        with pytest.raises(ValueError, match="dim"):
+            bq_encode(emb, 0)

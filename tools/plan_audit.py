@@ -284,6 +284,14 @@ CHECKS: dict[str, list] = {
         ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
+    "ann_bq_search": [
+        # 1-bit tier: Hamming shortlist is a bounded top-k (TakeOrdered),
+        # exact math only after a broadcast semi-join, JVM throughout
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python", lambda p: "BatchEvalPython" not in p and "MapInPandas" not in p),
+        ("bounded_topk", lambda p: "TakeOrderedAndProject" in p),
+        ("shortlist_broadcast", lambda p: "BroadcastHashJoin" in p),
+    ],
     "pattern_continuation_counts": [
         # same engine + one broadcast join back to the corpus for the
         # following char — matches must broadcast, corpus pays one probe
