@@ -89,6 +89,10 @@ def blocklist_hits(
     ``terms``: (term_id, term), a bounded query parameter.
     ``word_boundaries``: count a hit only when not flanked by
     alphanumerics (the whole-word rule some lists require).
+    ``case_insensitive`` folds via Python ``str.lower()`` — identical to
+    SQL ``lower()`` on ASCII; locale-special codepoints (dotted-I, ß)
+    can fold differently across engines, so keep blocklists
+    pre-lowercased when exact cross-engine parity matters.
 
     Scale shape: one shuffle-free ``mapInPandas`` pass; the automaton is
     rebuilt per task from the broadcast term list, never pickled."""

@@ -1944,3 +1944,55 @@ def temperature_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture_weights(docs, alpha=0.3)
+
+
+@register(
+    "char_entropy_signal",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i.i AS INT), 1) AS c
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) i
+      WHERE len(text) > 0
+    ), f AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, sum(k) AS n FROM f GROUP BY 1
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((k / n) * ln(k / n)), 6) AS char_entropy_nats
+    FROM f JOIN n USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+    tags=("text-analysis", "extension"),
+)
+def char_entropy_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram character entropy per document — the information-density
+    quality signal corpus pipelines use to catch keyboard-mash, repeated
+    padding, and base64-ish blobs (low or anomalously high entropy;
+    Dolma's unigram-entropy filter family). Two hash aggregations on
+    (doc_id, char) then doc_id — no window, no Python; entropy in nats,
+    round(·, 6) so the cross-engine double-addition-order jitter (~1e-15)
+    can't flip a hash. Empty docs are excluded (entropy undefined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    )
+    f = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    n = f.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    return (
+        f.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy_nats"),
+        )
+    )

@@ -101,3 +101,11 @@ def test_blocklist_guards(spark):
     empty = spark.createDataFrame([(1, "")], "term_id long, term string")
     with pytest.raises(ValueError, match="empty/null term"):
         blocklist_hits(docs, empty).collect()
+
+
+def test_blocklist_unicode_terms(spark):
+    """Automaton transitions are per-codepoint: CJK/accented terms match
+    exactly; no byte-level aliasing."""
+    texts = {1: "café culture 中文文本 here", 2: "cafe culture"}
+    terms = {1: "café", 2: "文本", 3: "caf"}
+    assert _run(spark, texts, terms) == _naive(texts, terms)

@@ -305,3 +305,33 @@ def test_pattern_continuations_differential(spark):
     assert got == exp
     assert (1, "") in got  # the end-of-text event is represented
     assert not any(pid == 3 for pid, _ in got)  # absent pattern -> no rows
+
+
+def test_substring_pattern_counts_unicode(spark):
+    """Codepoint-exact matching for non-ASCII corpora (the rank keys are
+    substrings, so engine char semantics carry through)."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        substring_pattern_counts,
+    )
+
+    texts = {
+        1: "中文文本中文文本",  # CJK with repetition
+        2: "café au lait, café noir",
+        3: "plain ascii text",
+    }
+    pats = {1: "中文", 2: "café", 3: "文本中", 4: "caf"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pdf = spark.createDataFrame(list(pats.items()), "pattern_id long, pattern string")
+    got = {
+        r.pattern_id: (r.n_docs, r.n_occurrences)
+        for r in substring_pattern_counts(docs, pdf).collect()
+    }
+    exp = {}
+    for pid, p in pats.items():
+        nd = no = 0
+        for t in texts.values():
+            c = sum(1 for i in range(len(t) - len(p) + 1) if t[i : i + len(p)] == p)
+            nd += 1 if c else 0
+            no += c
+        exp[pid] = (nd, no)
+    assert got == exp
