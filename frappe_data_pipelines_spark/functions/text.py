@@ -62,6 +62,28 @@ def fingerprint_expr(text: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+def md5_bucket_expr(
+    key: Column, salt: str, n_hex: int = 8, mod: int | None = None
+) -> Column:
+    """The engine's ONE deterministic hash-bucket convention: BIGINT from
+    the first ``n_hex`` hex digits of ``md5(salt || key)``, optionally
+    ``% mod``. Every split/shard/digest assignment routes through this so
+    prefix length, salt placement, and casts can't drift between call
+    sites — the DuckDB mirror is
+    ``CAST(('0x' || substring(md5('<salt>' || key), 1, n)) AS BIGINT) % m``.
+    ``n_hex`` must stay <= 15 so the value fits a signed BIGINT."""
+    if not 1 <= n_hex <= 15:
+        raise ValueError("n_hex must be in 1..15 (signed BIGINT budget)")
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, n_hex
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return raw if mod is None else raw % mod
+
+
 def quality_score_expr(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: rewards mid-length docs, low
     punctuation, presence of stopwords (prose-likeness). Deterministic and

@@ -1055,11 +1055,21 @@ def bq_encode(
     if dim < 1:
         raise ValueError("dim must be >= 1")
     n_words = (dim + 63) // 64
-    words = F.expr(
-        f"transform(sequence(0, {n_words - 1}), w -> "
-        f"  aggregate(transform(slice({vec_col}, w * 64 + 1, 64), "
-        f"            (x, j) -> IF(x > 0D, shiftleft(1L, j), 0L)), "
-        f"            0L, (a, b) -> a | b))"
+    # per-word slice lengths computed driver-side so the LAST word reads
+    # exactly dim % 64 dims — a stored vector longer than `dim` must not
+    # leak its tail into the codes (it would inflate every Hamming
+    # distance against a dim-length query); shorter vectors just
+    # contribute 0-bits for their missing dims
+    words = F.array(
+        *[
+            F.expr(
+                f"aggregate(transform(slice({vec_col}, {w * 64 + 1}, "
+                f"{min(64, dim - w * 64)}), "
+                f"(x, j) -> IF(x > 0D, shiftleft(1L, j), 0L)), "
+                f"0L, (a, b) -> a | b)"
+            )
+            for w in range(n_words)
+        ]
     )
     return vectors.select(F.col(id_col).alias("id"), words.alias("words"))
 

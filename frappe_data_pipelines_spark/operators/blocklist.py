@@ -161,22 +161,90 @@ def blocklist_hits(
     )
 
 
+def blocklist_annotate(
+    docs: DataFrame,
+    terms: DataFrame,
+    text_col: str = "text",
+    case_insensitive: bool = True,
+    word_boundaries: bool = False,
+    max_terms: int = 200_000,
+    out_col: str = "n_blocklist_hits",
+) -> DataFrame:
+    """``docs`` with its FULL schema plus an ``out_col`` hit count — the
+    join-free sibling of ``blocklist_hits``: the kernel echoes every input
+    row (whatever its id situation — null ids and duplicate ids keep
+    per-ROW accounting, which a keyed join back cannot give), appending
+    one column. Shuffle-free; this is the primitive ``blocklist_filter``
+    builds on."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    if out_col in docs.columns:
+        raise ValueError(f"blocklist_annotate: column {out_col!r} already exists")
+    rows = collect_bounded(
+        terms.select(
+            F.col("term_id").cast("long").alias("term_id"),
+            F.col("term").cast("string").alias("term"),
+        ),
+        max_terms,
+        "blocklist terms",
+    )
+    if any(r["term"] is None or len(r["term"]) == 0 for r in rows):
+        raise ValueError("blocklist_annotate: empty/null term")
+    term_list = [
+        (r["term_id"], r["term"].lower() if case_insensitive else r["term"])
+        for r in rows
+    ]
+
+    def run(batches):
+        machine = _build_automaton(term_list)
+        for pdf in batches:
+            hits = []
+            for txt in pdf[text_col]:
+                t = txt or ""
+                if case_insensitive:
+                    t = t.lower()
+                n = 0
+                for tid, pos, ln in _scan(t, *machine):
+                    if word_boundaries:
+                        before = t[pos - 2] if pos >= 2 else ""
+                        after = t[pos + ln - 1] if pos + ln - 1 < len(t) else ""
+                        if (before and before.isalnum()) or (
+                            after and after.isalnum()
+                        ):
+                            continue
+                    n += 1
+                hits.append(n)
+            out = pdf.copy()
+            out[out_col] = pd.array(hits, dtype="int64")
+            yield out
+
+    schema = T.StructType(docs.schema.fields + [T.StructField(out_col, T.LongType())])
+    return docs.mapInPandas(run, schema=schema)
+
+
 def blocklist_filter(
     docs: DataFrame,
     terms: DataFrame,
     max_hits: int = 0,
-    id_col: str = "doc_id",
+    id_col: str = "doc_id",  # kept for API stability; unused (row-level now)
     text_col: str = "text",
     case_insensitive: bool = True,
     word_boundaries: bool = False,
 ) -> DataFrame:
     """The C4 drop rule: keep only documents with at most ``max_hits``
-    blocklist occurrences (default 0 — any hit drops the page). One
-    automaton pass + a semi-join back on doc_id; ``docs`` passes through
-    with its full schema."""
-    clean = blocklist_hits(
-        docs, terms, id_col, text_col, case_insensitive, word_boundaries
-    ).filter(F.col("n_hits") <= max_hits)
-    return docs.join(
-        clean.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    blocklist occurrences (default 0 — any hit drops the page). Built on
+    ``blocklist_annotate`` so the decision is per ROW — a null-id doc is
+    judged on its own text (a keyed semi-join would silently drop it),
+    and two rows sharing an id are judged independently (a semi-join
+    would let a dirty row ride a clean sibling's key). ``docs`` passes
+    through with its full schema; no shuffle."""
+    return (
+        blocklist_annotate(
+            docs, terms, text_col, case_insensitive, word_boundaries
+        )
+        .filter(F.col("n_blocklist_hits") <= max_hits)
+        .drop("n_blocklist_hits")
     )

@@ -681,6 +681,8 @@ def cluster_safe_splits(
     Scale shape: components are O(log n) star-contraction shuffles over the
     pair set (usually ≪ corpus); the assignment itself is one left join +
     a hash — no corpus shuffle."""
+    from frappe_data_pipelines_spark.functions.text import md5_bucket_expr
+
     if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
         raise ValueError("need 0 < train_pct, 0 <= val_pct, train+val <= 100")
     cc = connected_components_star(pairs)
@@ -688,22 +690,7 @@ def cluster_safe_splits(
     j = base.join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("split:"), F.col("cluster_id").cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket_expr(F.col("cluster_id"), "split:", 8, 100)
     split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "validation")

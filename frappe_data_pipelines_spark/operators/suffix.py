@@ -406,7 +406,6 @@ def substring_pattern_counts(
     if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
         raise ValueError("substring_pattern_counts: duplicate pattern_id")
 
-    spark = docs.sparkSession
     zero = pats.select(
         "pattern_id",
         "pattern",
@@ -578,9 +577,12 @@ def pattern_continuations(
 
     Same engine as ``substring_pattern_counts`` (patterns ride the rank
     levels, binary decomposition, no character comparison to MATCH); the
-    one extra step is a broadcast join of the match positions back to the
-    corpus to read the single following character. Patterns with zero
-    occurrences contribute no rows (an empty distribution)."""
+    one extra step joins the match positions back to the corpus to read
+    the single following character — unhinted, so AQE broadcasts a small
+    match set and shuffle-joins a large one (a frequent context's
+    occurrence count grows with the corpus; forcing a broadcast would be
+    a driver OOM at scale). Patterns with zero occurrences contribute no
+    rows (an empty distribution)."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
 
     pats = patterns.select(
@@ -605,9 +607,11 @@ def pattern_continuations(
     corpus = docs.select(
         F.col(id_col).cast("string").alias("doc_key"), F.col(text_col).alias("text")
     )
-    # matches ≪ corpus: broadcast them so the corpus pays one scan with a
-    # map-side probe, then read exactly one char per occurrence
-    nxt = corpus.join(F.broadcast(matches), "doc_key").select(
+    # no broadcast HINT here: a frequent context ("the ") has occurrences
+    # proportional to corpus size, so forcing matches to the driver is a
+    # broadcast OOM at scale — let AQE pick broadcast when the match set
+    # measures small and fall back to a shuffle join when it doesn't
+    nxt = corpus.join(matches, "doc_key").select(
         "pattern_id",
         F.expr("substring(text, CAST(pos + pattern_len AS INT), 1)").alias(
             "next_char"

@@ -501,14 +501,10 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash — the standard training-data split that survives
     re-partitioning, re-runs, and incremental appends (no rand(), SURVEY
     hard spot (c))."""
+    from frappe_data_pipelines_spark.functions.text import md5_bucket_expr
+
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")), 1, 8),
-            16, 10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket_expr(F.col("doc_id"), "split:", 8, 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
     )
@@ -544,19 +540,14 @@ def dedup_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     test document into training. The standard eval-hygiene complement to
     dedup (Lee et al. 2021 §5 discuss train/test contamination via
     duplicates); one narrow projection + hash, no shuffle at all."""
-    from frappe_data_pipelines_spark.functions.text import fingerprint_expr
+    from frappe_data_pipelines_spark.functions.text import (
+        fingerprint_expr,
+        md5_bucket_expr,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     fp = fingerprint_expr(F.col("text"))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), fp).cast("binary")), 1, 8
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket_expr(fp, "split:", 8, 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
     )

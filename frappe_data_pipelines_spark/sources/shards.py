@@ -29,47 +29,27 @@ from pyspark.sql import functions as F
 
 
 def shard_assignment(n_shards: int, id_col: str = "doc_id"):
-    """The deterministic shard key as a Column: md5-bucketed so any engine
-    (the DuckDB oracle, a downstream loader) re-derives it from the id
-    alone."""
+    """The deterministic shard key as a Column: md5-bucketed (the shared
+    ``md5_bucket_expr`` convention) so any engine — the DuckDB oracle, a
+    downstream loader — re-derives it from the id alone."""
+    from frappe_data_pipelines_spark.functions.text import md5_bucket_expr
+
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("shard:"), F.col(id_col).cast("string")).cast(
-                        "binary"
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % n_shards
-    ).cast("int")
+    return md5_bucket_expr(F.col(id_col), "shard:", 8, n_shards).cast("int")
 
 
 def _doc_digest(id_col: str, text_col: str):
     """60-bit per-doc digest (md5 prefix of id:text) — xor-aggregated into
     the order-independent shard digest."""
-    return F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col(id_col).cast("string"),
-                    F.lit(":"),
-                    F.coalesce(F.col(text_col), F.lit("")),
-                ).cast("binary")
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from frappe_data_pipelines_spark.functions.text import md5_bucket_expr
+
+    key = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    return md5_bucket_expr(key, "", 15)
 
 
 def shard_manifest(
@@ -191,15 +171,24 @@ def append_training_shards(
             .alias("content_digest"),
         )
     )
-    # write via temp + swap: the manifest read above is lazy, so writing
-    # over it in place would race the scan
+    # write via temp + rename swap: the manifest read above is lazy, so
+    # writing over it in place would race the scan. The danger window is
+    # two instant renames (never a slow rmtree of the live manifest) —
+    # a crash in between leaves BOTH manifest_old and manifest_tmp on
+    # disk for recovery instead of nothing. Local-filesystem semantics;
+    # an object-store deployment would version manifests in a commit log
+    # (see sources/merge.py) instead of renaming.
+    import shutil
+
     tmp = os.path.join(out_dir, "manifest_tmp")
     merged.write.mode("overwrite").parquet(tmp)
     final = os.path.join(out_dir, "manifest")
-    import shutil
-
-    shutil.rmtree(final)
+    old = os.path.join(out_dir, "manifest_old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(final, old)
     os.rename(tmp, final)
+    shutil.rmtree(old)
     return spark.read.parquet(final)
 
 
@@ -224,16 +213,39 @@ def verify_shard_export(
 ) -> DataFrame:
     """Recompute the manifest FROM THE WRITTEN FILES and diff it against
     the stored manifest: one row per shard with boolean ``ok`` (count,
-    bytes, digest all equal). A lost, duplicated, or bit-flipped row shows
-    up as ok = false on exactly the shard holding it."""
+    bytes, digest all equal AND no misplaced rows). Grouping is by the
+    shard DIRECTORY each row was read from — not a re-derivation from the
+    id — so a part-file dropped into the wrong shard=K directory (which a
+    partition-pruned loader would miss) surfaces as ``n_misplaced`` > 0
+    on the directory actually holding it, instead of verifying clean. A
+    lost, duplicated, or bit-flipped row shows up as ok = false on
+    exactly the shard holding it."""
     stored = spark.read.parquet(os.path.join(out_dir, "manifest")).select(
         "shard",
         F.col("n_docs").alias("m_docs"),
         F.col("n_bytes").alias("m_bytes"),
         F.col("content_digest").alias("m_digest"),
     )
-    actual = shard_manifest(
-        read_training_shards(spark, out_dir), n_shards, id_col, text_col
+    data = read_training_shards(spark, out_dir)
+    actual = (
+        data.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("__bytes"),
+            _doc_digest(id_col, text_col).alias("__dig"),
+            (shard_assignment(n_shards, id_col) != F.col("shard"))
+            .cast("long")
+            .alias("__misp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__bytes").cast("long").alias("n_bytes"),
+            F.expr("bit_xor(__dig)").alias("content_digest"),
+            F.sum("__misp").cast("long").alias("n_misplaced"),
+        )
     )
     return (
         actual.join(stored, "shard", "full")
@@ -243,10 +255,12 @@ def verify_shard_export(
             "m_docs",
             "n_bytes",
             "m_bytes",
+            F.coalesce("n_misplaced", F.lit(0)).alias("n_misplaced"),
             (
                 F.col("n_docs").eqNullSafe(F.col("m_docs"))
                 & F.col("n_bytes").eqNullSafe(F.col("m_bytes"))
                 & F.col("content_digest").eqNullSafe(F.col("m_digest"))
+                & (F.coalesce("n_misplaced", F.lit(0)) == 0)
             ).alias("ok"),
         )
     )

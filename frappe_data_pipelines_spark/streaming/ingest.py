@@ -269,4 +269,11 @@ def start_ingest_stream(
     # continuous arrival (the latency bench / production tail-ingest mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    if scrub_corpus_fp is not None:
+        # the fingerprint cache lives as long as the stream; hand the
+        # handle to the caller so an app running many streams can
+        # q.scrub_corpus_fp.unpersist() after q terminates instead of
+        # pinning dead blocks in executor storage for the app's lifetime
+        q.scrub_corpus_fp = scrub_corpus_fp
+    return q

@@ -109,3 +109,24 @@ def test_blocklist_unicode_terms(spark):
     texts = {1: "café culture 中文文本 here", 2: "cafe culture"}
     terms = {1: "café", 2: "文本", 3: "caf"}
     assert _run(spark, texts, terms) == _naive(texts, terms)
+
+
+def test_blocklist_filter_row_level_null_and_dup_ids(spark):
+    """A clean null-id doc survives; a dirty row sharing an id with a
+    clean row is dropped on ITS OWN text (no semi-join key riding)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=None, text="clean text with a null id"),
+            Row(doc_id=7, text="clean sibling"),
+            Row(doc_id=7, text="dirty sibling: banned"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame([(1, "banned")], "term_id long, term string")
+    kept = [(r.doc_id, r.text) for r in blocklist_filter(docs, terms).collect()]
+    assert (None, "clean text with a null id") in kept
+    assert (7, "clean sibling") in kept
+    assert all("banned" not in t for _, t in kept)
+    assert len(kept) == 2
