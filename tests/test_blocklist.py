@@ -130,3 +130,36 @@ def test_blocklist_filter_row_level_null_and_dup_ids(spark):
     assert (7, "clean sibling") in kept
     assert all("banned" not in t for _, t in kept)
     assert len(kept) == 2
+
+
+# ---------------------------------------------------------------------------
+# Property test over the pure-Python automaton (no Spark in the loop)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alpha = st.text(alphabet="abAB 你.é", min_size=0, max_size=60)
+_term = st.text(alphabet="abAB 你é", min_size=1, max_size=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_alpha, terms=st.lists(_term, min_size=1, max_size=8, unique=True))
+def test_automaton_matches_naive_scan(text, terms):
+    """Aho-Corasick occurrence set == per-position naive scan for
+    arbitrary text/term combinations (overlaps, nesting, shared
+    prefixes/suffixes, unicode)."""
+    from frappe_data_pipelines_spark.operators.blocklist import (
+        _build_automaton,
+        _scan,
+    )
+
+    machine = _build_automaton(list(enumerate(terms)))
+    got = sorted(_scan(text, *machine))
+    exp = sorted(
+        (tid, i + 1, len(q))
+        for tid, q in enumerate(terms)
+        for i in range(len(text) - len(q) + 1)
+        if text[i : i + len(q)] == q
+    )
+    assert got == exp

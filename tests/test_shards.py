@@ -115,3 +115,53 @@ def test_append_merges_manifest_homomorphically(spark, tmp_path):
     checks = verify_shard_export(spark, out, n_shards=4).collect()
     assert len(checks) == 4 and all(r.ok for r in checks)
     assert read_training_shards(spark, out).count() == 200
+
+
+def test_streaming_shard_export_composition(spark, tmp_path):
+    """foreachBatch(append_training_shards) across micro-batches: the
+    homomorphic manifest merge makes streaming export per-batch-cheap,
+    and the final manifest equals a from-scratch manifest of everything
+    ingested."""
+    import os
+
+    from frappe_data_pipelines_spark.sources.shards import append_training_shards
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "export")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    a = spark.createDataFrame(
+        [(i, f"batch-a doc {i}") for i in range(60)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"batch-b doc {i}") for i in range(60, 100)], "doc_id long, text string"
+    )
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    # seed the export so every micro-batch takes the append path
+    seed = spark.createDataFrame([(10_000, "seed doc")], "doc_id long, text string")
+    write_training_shards(seed, out, n_shards=4)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: append_training_shards(batch, out, n_shards=4) and None
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    everything = seed.unionByName(a).unionByName(b)
+    scratch = sorted(map(tuple, shard_manifest(everything, n_shards=4).collect()))
+    stored = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "manifest")).collect())
+    )
+    assert stored == scratch
+    checks = verify_shard_export(spark, out, n_shards=4).collect()
+    assert all(r.ok for r in checks)
