@@ -625,6 +625,57 @@ def pattern_continuations(
     )
 
 
+def infinigram_backoff(
+    docs: DataFrame,
+    query_text: str,
+    min_context: int = 1,
+    max_context: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ∞-gram INFERENCE step (infini-gram, Liu et al. 2024 §3): find
+    the LONGEST suffix of ``query_text`` that occurs anywhere in the
+    corpus and return that context's next-character distribution with
+    backoff-free probabilities — (context_len, context, next_char,
+    n_continuations, p), p = round(n / Σn, 6). Empty result iff no query
+    suffix of length >= ``min_context`` occurs at all.
+
+    One pass: every candidate suffix (lengths ``min_context`` ..
+    ``max_context``) rides the SAME rank levels as a pattern pseudo-doc —
+    total pattern chars are O(L²) in the query length, which for prompts
+    is trivia next to the corpus — then the longest context with any
+    occurrence is selected with a 1-row cross join (no driver round
+    trip), and its distribution normalizes via a window-free groupBy
+    join."""
+    L = len(query_text)
+    hi = min(max_context if max_context is not None else L, L)
+    if min_context < 1 or min_context > hi:
+        raise ValueError("need 1 <= min_context <= max_context <= len(query_text)")
+    spark = docs.sparkSession
+    pats = spark.createDataFrame(
+        [(n, query_text[L - n :]) for n in range(min_context, hi + 1)],
+        "pattern_id long, pattern string",
+    )
+    cont = pattern_continuations(docs, pats, id_col, text_col)
+    best = cont.agg(F.max("pattern_id").alias("__best"))
+    chosen = cont.crossJoin(F.broadcast(best)).filter(
+        F.col("pattern_id") == F.col("__best")
+    )
+    totals = chosen.groupBy("pattern_id").agg(
+        F.sum("n_continuations").alias("__total")
+    )
+    return (
+        chosen.join(F.broadcast(totals), "pattern_id")
+        .select(
+            F.col("pattern_id").alias("context_len"),
+            F.col("pattern").alias("context"),
+            "next_char",
+            "n_continuations",
+            F.round(F.col("n_continuations") / F.col("__total"), 6).alias("p"),
+        )
+    )
+
+
 def longest_duplicated_prefix_len(ranked: DataFrame, docs: DataFrame,
                                   id_col: str = "doc_id",
                                   text_col: str = "text") -> DataFrame:

@@ -962,6 +962,61 @@ def pattern_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_continuations(docs, pats)
 
 
+# the inference prompt: its 3+-char suffixes miss the corpus, so backoff
+# must land on the 2-char context ' s' — which fans out into a real
+# multi-char distribution (words starting with s)
+_BACKOFF_QUERY = "zzqq s"
+
+_BACKOFF_SQL = """
+    WITH pats(pattern_id, pattern) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), occ AS (
+      SELECT p.pattern_id, p.pattern,
+             substr(d.text, CAST(i.i + len(p.pattern) AS INT), 1) AS next_char
+      FROM docs d CROSS JOIN pats p,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(p.pattern) + 1)) AS i) i
+      WHERE substr(d.text, CAST(i.i AS INT), CAST(len(p.pattern) AS INT))
+              = p.pattern
+    ), best AS (SELECT max(pattern_id) AS b FROM occ),
+    chosen AS (SELECT o.* FROM occ o JOIN best ON o.pattern_id = best.b),
+    f AS (
+      SELECT pattern_id, pattern, next_char,
+             CAST(count(*) AS BIGINT) AS n_continuations
+      FROM chosen GROUP BY 1, 2, 3
+    ), t AS (SELECT pattern_id, sum(n_continuations) AS total FROM f GROUP BY 1)
+    SELECT f.pattern_id AS context_len, f.pattern AS context, f.next_char,
+           f.n_continuations,
+           round(f.n_continuations / t.total, 6) AS p
+    FROM f JOIN t USING (pattern_id)
+    """.format(
+    vals=", ".join(
+        f"({n}, '{_BACKOFF_QUERY[len(_BACKOFF_QUERY) - n:]}')"
+        for n in range(1, len(_BACKOFF_QUERY) + 1)
+    )
+)
+
+
+@register("infinigram_backoff_inference", oracle=_BACKOFF_SQL,
+          tags=("dedup", "extension"))
+def infinigram_backoff_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ∞-gram INFERENCE step (operators/suffix.py:infinigram_backoff):
+    longest query suffix present in the corpus wins, and its
+    next-character distribution with backoff-free probabilities is the
+    answer — the full infini-gram LM serving operation, not just the
+    counting primitive. All of the prompt's candidate suffixes ride ONE
+    rank-level construction as pseudo-docs; the winning context is
+    selected with a 1-row cross join, no driver round trip. The oracle
+    recounts every candidate suffix positionally, re-derives the argmax
+    context, and re-normalizes — lengths, contexts, counts, AND
+    probabilities all value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import infinigram_backoff
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return infinigram_backoff(docs, _BACKOFF_QUERY)
+
+
 _INCR_SPAN_SQL = """
     WITH win AS (
       SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s

@@ -335,3 +335,34 @@ def test_substring_pattern_counts_unicode(spark):
             no += c
         exp[pid] = (nd, no)
     assert got == exp
+
+
+def test_infinigram_backoff_selects_longest_context(spark):
+    """Backoff lands on the LONGEST query suffix present in the corpus;
+    probabilities normalize to 1; a query with no matching suffix at all
+    yields an empty distribution."""
+    from frappe_data_pipelines_spark.operators.suffix import infinigram_backoff
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "a cat and a dog",
+        3: "concatenate the strings",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    # suffix "cat" occurs; "x cat" does not -> context must be "cat" (wait:
+    # " cat" DOES occur in docs 1 and 2 -> longest hit among suffixes of
+    # "xx cat" is " cat", len 4)
+    rows = infinigram_backoff(docs, "xx cat").collect()
+    assert rows and all(r.context == " cat" and r.context_len == 4 for r in rows)
+    exp = {}
+    for t in texts.values():
+        for i in range(len(t) - 4 + 1):
+            if t[i : i + 4] == " cat":
+                nxt = t[i + 4 : i + 5]
+                exp[nxt] = exp.get(nxt, 0) + 1
+    got = {r.next_char: r.n_continuations for r in rows}
+    assert got == exp
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-6
+    assert infinigram_backoff(docs, "qqqq").count() == 0
+    with pytest.raises(ValueError, match="min_context"):
+        infinigram_backoff(docs, "abc", min_context=5)

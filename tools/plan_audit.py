@@ -293,11 +293,20 @@ CHECKS: dict[str, list] = {
         ("shortlist_broadcast", lambda p: "BroadcastHashJoin" in p),
     ],
     "pattern_continuation_counts": [
-        # same engine + one broadcast join back to the corpus for the
-        # following char — matches must broadcast, corpus pays one probe
+        # same engine + one unhinted join back to the corpus for the
+        # following char (AQE picks broadcast when the match set is small)
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
-        ("matches_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("rollup_hash_agg", lambda p: "HashAggregate" in p),
+    ],
+    "infinigram_backoff_inference": [
+        # argmax context via a 1-ROW cross join (the only sanctioned
+        # cartesian: the best-length aggregate), normalization via
+        # broadcast totals — no unbounded nested loop, no Python
+        ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
+        ("onerow_argmax_join", lambda p: "BroadcastNestedLoopJoin" in p
+         or "CartesianProduct" not in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
     "incremental_dup_spans": [
