@@ -625,6 +625,59 @@ def pattern_continuations(
     )
 
 
+def pattern_token_continuations(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """Next-TOKEN distribution after each context pattern — the unit an
+    ∞-gram LM actually predicts (``pattern_continuations``' next-char is
+    the primitive; here the continuation is the maximal space-delimited
+    token starting at the match end, leading blanks skipped, '' at a
+    document boundary). Same matcher, one regexp over the post-match
+    substring: (pattern_id, pattern, next_token, n_continuations)."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    pats = patterns.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        F.col("pattern").cast("string").alias("pattern"),
+    )
+    pat_rows = collect_bounded(
+        pats, max_patterns, "pattern_token_continuations patterns"
+    )
+    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
+        raise ValueError("pattern_token_continuations: empty/null pattern")
+    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
+        raise ValueError("pattern_token_continuations: duplicate pattern_id")
+    if not pat_rows:
+        return pats.select(
+            "pattern_id",
+            "pattern",
+            F.lit("").alias("next_token"),
+            F.lit(0).cast("long").alias("n_continuations"),
+        ).limit(0)
+    matches = _pattern_match_positions(docs, pats, pat_rows, id_col, text_col)
+    corpus = docs.select(
+        F.col(id_col).cast("string").alias("doc_key"), F.col(text_col).alias("text")
+    )
+    nxt = corpus.join(matches, "doc_key").select(
+        "pattern_id",
+        F.regexp_extract(
+            F.expr("substring(text, CAST(pos + pattern_len AS INT))"),
+            "^ *([^ ]*)",
+            1,
+        ).alias("next_token"),
+    )
+    return (
+        nxt.groupBy("pattern_id", "next_token")
+        .agg(F.count("*").cast("long").alias("n_continuations"))
+        .join(F.broadcast(pats), "pattern_id")
+        .select("pattern_id", "pattern", "next_token", "n_continuations")
+    )
+
+
 def infinigram_backoff(
     docs: DataFrame,
     query_text: str,

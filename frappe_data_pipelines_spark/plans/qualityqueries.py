@@ -962,6 +962,49 @@ def pattern_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pattern_continuations(docs, pats)
 
 
+_TOKEN_CONT_PATTERNS = [(1, "the"), (2, "hash"), (3, "zz-none")]
+
+_TOKEN_CONT_SQL = """
+    WITH pats(pattern_id, pattern) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), occ AS (
+      SELECT p.pattern_id, p.pattern,
+             regexp_extract(substr(d.text, CAST(i.i + len(p.pattern) AS INT)),
+                            '^ *([^ ]*)', 1) AS next_token
+      FROM docs d CROSS JOIN pats p,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(p.pattern) + 1)) AS i) i
+      WHERE substr(d.text, CAST(i.i AS INT), CAST(len(p.pattern) AS INT))
+              = p.pattern
+    )
+    SELECT pattern_id, pattern, next_token,
+           CAST(count(*) AS BIGINT) AS n_continuations
+    FROM occ GROUP BY 1, 2, 3
+    """.format(vals=", ".join(f"({i}, '{p}')" for i, p in _TOKEN_CONT_PATTERNS))
+
+
+@register("pattern_token_continuations", oracle=_TOKEN_CONT_SQL,
+          tags=("dedup", "extension"))
+def pattern_token_continuations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-TOKEN distributions after each context — the unit an ∞-gram
+    LM actually predicts (operators/suffix.py:pattern_token_continuations):
+    the shared character-comparison-free matcher plus one regexp over the
+    post-match substring extracts the maximal space-delimited token. The
+    oracle recounts positionally and re-extracts every token, so the
+    whole distribution — including the absent pattern's empty one — is
+    value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import (
+        pattern_token_continuations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    pats = spark.createDataFrame(
+        _TOKEN_CONT_PATTERNS, "pattern_id long, pattern string"
+    )
+    return pattern_token_continuations(docs, pats)
+
+
 # the inference prompt: its 3+-char suffixes miss the corpus, so backoff
 # must land on the 2-char context ' s' — which fans out into a real
 # multi-char distribution (words starting with s)

@@ -366,3 +366,37 @@ def test_infinigram_backoff_selects_longest_context(spark):
     assert infinigram_backoff(docs, "qqqq").count() == 0
     with pytest.raises(ValueError, match="min_context"):
         infinigram_backoff(docs, "abc", min_context=5)
+
+
+def test_pattern_token_continuations_differential(spark):
+    """Next-token semantics: leading blanks skipped, maximal run of
+    non-space chars, '' at a document boundary; counts vs naive scan."""
+    import re
+
+    from frappe_data_pipelines_spark.operators.suffix import (
+        pattern_token_continuations,
+    )
+
+    texts = {
+        1: "the cat  sat",   # double space after 'cat'
+        2: "breathe deep",   # 'the' inside a word
+        3: "end with the",   # boundary -> ''
+    }
+    pats = {1: "the", 2: "cat", 3: "zz"}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    pdf = spark.createDataFrame(list(pats.items()), "pattern_id long, pattern string")
+    got = {
+        (r.pattern_id, r.next_token): r.n_continuations
+        for r in pattern_token_continuations(docs, pdf).collect()
+    }
+    exp = {}
+    for pid, p in pats.items():
+        for t in texts.values():
+            for i in range(len(t) - len(p) + 1):
+                if t[i : i + len(p)] == p:
+                    nt = re.match(" *([^ ]*)", t[i + len(p) :]).group(1)
+                    k = (pid, nt)
+                    exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+    assert (1, "") in got          # doc-boundary event (doc 3)
+    assert (1, "deep") in got      # intra-word 'the' in 'breathe'

@@ -300,6 +300,12 @@ CHECKS: dict[str, list] = {
         ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
+    "pattern_token_continuations": [
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
+        ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("rollup_hash_agg", lambda p: "HashAggregate" in p),
+    ],
     "infinigram_backoff_inference": [
         # argmax context via a 1-ROW cross join (the only sanctioned
         # cartesian: the best-length aggregate), normalization via
