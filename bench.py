@@ -84,6 +84,7 @@ HEADLINE = [
     "cluster_safe_splits",
     "blocklist_term_audit",
     "training_shard_manifest",
+    "ann_bq_search",
 ]
 
 

@@ -193,6 +193,105 @@ def suffix_ranks(
     return suffix_rank_levels(docs, id_col, text_col, start_width, checkpoint_dir)[-1][1]
 
 
+def token_suffix_rank_levels(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    start_width: int = 4,
+    checkpoint_dir: str | None = None,
+    max_width: int | None = None,
+) -> list[tuple[int, DataFrame]]:
+    """Prefix-doubling rank tables over TOKEN sequences — the unit Lee et
+    al. 2021 and infini-gram actually operate on. Identical algorithm to
+    ``suffix_rank_levels`` with ``slice`` in place of ``substring``:
+    Spark and DuckDB both order ``array<string>`` lexicographically
+    element-wise with shorter-prefix-first, exactly the string-suffix
+    convention, so the global dense rank machinery (range partition +
+    per-partition row_number + offsets) is reused unchanged on the array
+    keys. Returns [(h, (doc_id, pos, rank))] with pos a 1-based TOKEN
+    position and rank the corpus-global dense rank of the suffix's first
+    ``h`` tokens."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    if start_width < 1:
+        raise ValueError("start_width must be >= 1")
+    if max_width is not None and max_width < start_width:
+        raise ValueError("max_width must be >= start_width")
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    base = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks"))
+    ).filter(F.size("toks") > 0)
+
+    (max_len_row,) = collect_bounded(
+        base.agg(F.max(F.size("toks")).alias("m")),
+        1,
+        "token_suffix_ranks max-length probe",
+    )
+    max_len = max_len_row["m"] or 0
+    if max_len == 0:
+        empty = base.select(
+            "doc_id",
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(1).cast("long").alias("rank"),
+        ).limit(0)
+        return [(start_width, empty)]
+
+    suf = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"slice(toks, pos, {start_width})").alias("k"),
+    )
+    ranked0 = _global_dense_rank(suf.select("k"), ["k"], "rank")
+    cur = _truncate(suf.join(ranked0, "k").select("doc_id", "pos", "rank"))
+    levels = [(start_width, cur)]
+
+    h = start_width
+    target = max_len if max_width is None else min(max_len, max_width)
+    lead_w = Window.partitionBy("doc_id").orderBy("pos")
+    while h < target:
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("rank", h).over(lead_w), F.lit(0).cast("long"))
+        )
+        reranked = _global_dense_rank(
+            paired.select("rank", "r2"), ["rank", "r2"], "new_rank"
+        )
+        cur = _truncate(
+            paired.join(reranked, ["rank", "r2"])
+            .select("doc_id", "pos", F.col("new_rank").alias("rank"))
+        )
+        h *= 2
+        levels.append((h, cur))
+    return levels
+
+
+def token_suffix_ranks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    start_width: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, pos, rank): corpus-global dense rank of every TOKEN
+    suffix of every document — the token-level twin of ``suffix_ranks``
+    (see ``token_suffix_rank_levels`` for why the array ordering makes
+    this a drop-in generalization)."""
+    return token_suffix_rank_levels(
+        docs, id_col, tokens_col, start_width, checkpoint_dir
+    )[-1][1]
+
+
 def suffix_lcp_adjacent(
     docs: DataFrame,
     id_col: str = "doc_id",

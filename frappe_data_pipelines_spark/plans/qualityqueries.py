@@ -739,6 +739,47 @@ def suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(docs)
 
 
+_TOKEN_SUFFIX_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ), s AS (
+      SELECT doc_id, CAST(p.p AS BIGINT) AS pos, t[CAST(p.p AS INT):] AS suf
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS p) p
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, pos,
+           CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS rank
+    FROM s
+    """
+
+
+@register("token_suffix_array_ranks", oracle=_TOKEN_SUFFIX_SQL,
+          tags=("dedup", "extension"))
+def token_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-level distributed suffix array — the unit Lee et al. 2021's
+    exact-substring dedup and infini-gram actually index
+    (operators/suffix.py:token_suffix_ranks): the corpus-global dense
+    lexicographic rank of every token suffix, built by the same
+    prefix-doubling rounds as the char-level array with array ``slice``
+    keys (Spark and DuckDB order array<string> identically —
+    element-wise, shorter-prefix-first). The oracle is the definition:
+    dense_rank over the list-sliced suffixes, so every rank is
+    value-checked."""
+    from frappe_data_pipelines_spark.operators.suffix import token_suffix_ranks
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tokens = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("tokens"),
+    )
+    return token_suffix_ranks(tokens)
+
+
 _LRS_SQL = """
     WITH sufs AS (
       SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s

@@ -400,3 +400,28 @@ def test_pattern_token_continuations_differential(spark):
     assert got == exp
     assert (1, "") in got          # doc-boundary event (doc 3)
     assert (1, "deep") in got      # intra-word 'the' in 'breathe'
+
+
+def test_token_suffix_ranks_random_differential(spark):
+    """Token-level suffix ranks == dense rank of token-tuple suffixes
+    (shared tails across docs get one rank; shorter-prefix-first array
+    order matches tuple order)."""
+    from frappe_data_pipelines_spark.operators.suffix import token_suffix_ranks
+
+    rng = random.Random(19)
+    vocab = ["the", "cat", "sat", "on", "a", "zz", "élan"]
+    docs = {
+        d: [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        for d in range(1, 12)
+    }
+    docs[99] = docs[1][:]  # byte-identical doc: every suffix shares ranks
+    ddf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, tokens array<string>"
+    )
+    got = {
+        (r.doc_id, r.pos): r.rank
+        for r in token_suffix_ranks(ddf, start_width=2).collect()
+    }
+    sufs = [(d, p + 1, tuple(t[p:])) for d, t in docs.items() for p in range(len(t))]
+    rank_of = {s: i + 1 for i, s in enumerate(sorted({s for _, _, s in sufs}))}
+    assert got == {(d, p): rank_of[s] for d, p, s in sufs}
