@@ -544,7 +544,8 @@ def _pattern_match_positions(
     string. The binary rank-decomposition engine behind
     ``substring_pattern_counts`` and ``pattern_continuations``; see the
     former's docstring for the algorithm and scale shape."""
-    spark = docs.sparkSession
+    import math
+
     corp = docs.select(
         F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -553,22 +554,28 @@ def _pattern_match_positions(
         F.concat(F.lit("p:"), F.col("pattern_id").cast("string")).alias("doc_id"),
         F.col("pattern").alias("text"),
     )
-
-    # driver-side routing (patterns are collected, bounded): the seed level
-    # per pattern and the union of refinement bit-widths
-    import math
-
-    h0_of = {
-        r["pattern_id"]: 1 << int(math.log2(len(r["pattern"]))) for r in pat_rows
-    }
+    plen_of = {r["pattern_id"]: len(r["pattern"]) for r in pat_rows}
+    h0_of = {p: 1 << int(math.log2(n)) for p, n in plen_of.items()}
     # rank levels stop at the largest seed width — ranks never need to see
     # past the longest pattern, so construction is O(log max_pattern_len)
     # rounds, not O(log max_doc_len)
     levels = suffix_rank_levels(
         corp.unionByName(pseudo), start_width=1, max_width=max(h0_of.values())
     )
-    by_width = dict(levels)
-    plen_of = {r["pattern_id"]: len(r["pattern"]) for r in pat_rows}
+    return _refine_pattern_candidates(
+        docs.sparkSession, dict(levels), plen_of, h0_of
+    )
+
+
+def _refine_pattern_candidates(
+    spark, by_width: dict, plen_of: dict, h0_of: dict
+) -> DataFrame:
+    """The key-type-independent half of the pattern matcher: given rank
+    levels over a combined corpus ('d:' keys) + patterns ('p:' keys) —
+    char substrings or token slices, the loop never looks at the keys —
+    seed candidates at each pattern's h0 level and refine down the binary
+    bit-widths. Returns (doc_key, pos, pattern_id, pattern_len) for every
+    exact occurrence."""
     seed_widths = sorted({h0_of[p] for p in h0_of})
     refine_widths = set()
     for p, h0 in h0_of.items():
@@ -721,6 +728,79 @@ def pattern_continuations(
         .agg(F.count("*").cast("long").alias("n_continuations"))
         .join(F.broadcast(pats), "pattern_id")
         .select("pattern_id", "pattern", "next_char", "n_continuations")
+    )
+
+
+def token_pattern_counts(
+    docs: DataFrame,
+    patterns: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    pattern_col: str = "pattern",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """TOKEN-level substring-frequency search — exact overlapping
+    occurrence counts of token n-grams of ANY length, the query unit
+    infini-gram serves (``substring_pattern_counts`` is the char twin).
+    ``patterns``: (pattern_id, pattern array<string>). Returns
+    (pattern_id, pattern_len, n_docs, n_occurrences) with zero rows kept
+    (the pattern array itself is omitted from the output: array columns
+    don't hash into the oracle compare, and the id is the key).
+
+    Same engine: patterns ride ``token_suffix_rank_levels`` as pseudo-docs
+    (array slice keys), candidates seed at 2^floor(log2 L) and refine
+    down the binary bit-widths — rank-table joins only, no token
+    comparison after construction, no per-pattern corpus scan."""
+    import math
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    pats = patterns.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        F.col(pattern_col).cast("array<string>").alias("pattern"),
+    )
+    pat_rows = collect_bounded(pats, max_patterns, "token_pattern_counts patterns")
+    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
+        raise ValueError("token_pattern_counts: empty/null pattern")
+    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
+        raise ValueError("token_pattern_counts: duplicate pattern_id")
+    zero = pats.select(
+        "pattern_id", F.size("pattern").cast("long").alias("pattern_len")
+    )
+    if not pat_rows:
+        return zero.select(
+            "pattern_id",
+            "pattern_len",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        ).limit(0)
+
+    corp = docs.select(
+        F.concat(F.lit("d:"), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(tokens_col).alias("toks"),
+    )
+    pseudo = pats.select(
+        F.concat(F.lit("p:"), F.col("pattern_id").cast("string")).alias("doc_id"),
+        F.col("pattern").alias("toks"),
+    )
+    plen_of = {r["pattern_id"]: len(r["pattern"]) for r in pat_rows}
+    h0_of = {p: 1 << int(math.log2(n)) for p, n in plen_of.items()}
+    levels = token_suffix_rank_levels(
+        corp.unionByName(pseudo), id_col="doc_id", tokens_col="toks",
+        start_width=1, max_width=max(h0_of.values()),
+    )
+    matches = _refine_pattern_candidates(
+        docs.sparkSession, dict(levels), plen_of, h0_of
+    )
+    per_pat = matches.groupBy("pattern_id").agg(
+        F.countDistinct("doc_key").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
     )
 
 

@@ -780,6 +780,70 @@ def token_suffix_array_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_suffix_ranks(tokens)
 
 
+# token n-gram query parameters, identical in the Spark createDataFrame
+# and the SQL VALUES: lengths 1/2/3/5 exercise every decomposition shape,
+# with a guaranteed miss for the zero row
+_TOKEN_FREQ_PATTERNS = [
+    (1, ["value"]),
+    (2, ["hash", "value"]),
+    (3, ["the", "line", "sort"]),
+    (4, ["no", "such", "gram"]),
+    (5, ["row", "fast", "merge", "batch", "part"]),
+]
+
+_TOKEN_FREQ_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ), pats AS (
+      SELECT * FROM (VALUES {vals}) v(pattern_id, pat)
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+    ), occ AS (
+      SELECT p.pattern_id, x.doc_id
+      FROM pos x CROSS JOIN pats p
+      WHERE x.i + len(p.pat) - 1 <= len(x.t)
+        AND list_slice(x.t, CAST(x.i AS INT),
+                       CAST(x.i + len(p.pat) - 1 AS INT)) = p.pat
+    )
+    SELECT p.pattern_id, CAST(len(p.pat) AS BIGINT) AS pattern_len,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(o.doc_id) AS BIGINT) AS n_occurrences
+    FROM pats p LEFT JOIN occ o USING (pattern_id)
+    GROUP BY p.pattern_id, p.pat
+    """.format(vals=", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{t}'" for t in p))
+        for i, p in _TOKEN_FREQ_PATTERNS
+    ))
+
+
+@register("token_ngram_frequency_search", oracle=_TOKEN_FREQ_SQL,
+          tags=("dedup", "extension"))
+def token_ngram_frequency_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-n-gram frequency search — the infini-gram query unit at the
+    unit it actually serves (operators/suffix.py:token_pattern_counts):
+    exact overlapping occurrence counts of token sequences of any length
+    over the token-level suffix machinery (array slice keys, binary rank
+    decomposition, no token comparison after construction). The oracle
+    recounts every position by direct list-slice comparison, zero rows
+    included."""
+    from frappe_data_pipelines_spark.operators.suffix import token_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tokens = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("tokens"),
+    )
+    pats = spark.createDataFrame(
+        _TOKEN_FREQ_PATTERNS, "pattern_id long, pattern array<string>"
+    )
+    return token_pattern_counts(tokens, pats)
+
+
 _LRS_SQL = """
     WITH sufs AS (
       SELECT doc_id, CAST(p.p AS BIGINT) AS pos, substr(text, CAST(p.p AS INT)) AS s

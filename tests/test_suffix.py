@@ -425,3 +425,47 @@ def test_token_suffix_ranks_random_differential(spark):
     sufs = [(d, p + 1, tuple(t[p:])) for d, t in docs.items() for p in range(len(t))]
     rank_of = {s: i + 1 for i, s in enumerate(sorted({s for _, _, s in sufs}))}
     assert got == {(d, p): rank_of[s] for d, p, s in sufs}
+
+
+def test_token_pattern_counts_differential(spark):
+    """Token-n-gram occurrence counts vs naive tuple scanning — exact,
+    overlapping, zero rows kept; single-token and power-of-two lengths
+    exercise every decomposition shape."""
+    from frappe_data_pipelines_spark.operators.suffix import token_pattern_counts
+
+    rng = random.Random(29)
+    vocab = ["the", "cat", "sat", "on", "a"]
+    docs = {
+        d: [rng.choice(vocab) for _ in range(rng.randrange(0, 40))]
+        for d in range(1, 12)
+    }
+    pats = {
+        1: ["the"],
+        2: ["the", "cat"],
+        3: ["cat", "sat", "on"],
+        4: ["no", "such", "gram"],
+        5: ["a", "a", "a", "a", "a"],  # overlap stress, len 5 = 4+1
+    }
+    ddf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, tokens array<string>"
+    )
+    pdf = spark.createDataFrame(
+        [(k, v) for k, v in pats.items()], "pattern_id long, pattern array<string>"
+    )
+    got = {
+        r.pattern_id: (r.pattern_len, r.n_docs, r.n_occurrences)
+        for r in token_pattern_counts(ddf, pdf).collect()
+    }
+    exp = {}
+    for pid, p in pats.items():
+        nd = no = 0
+        for t in docs.values():
+            c = sum(
+                1
+                for i in range(len(t) - len(p) + 1)
+                if t[i : i + len(p)] == p
+            )
+            nd += 1 if c else 0
+            no += c
+        exp[pid] = (len(p), nd, no)
+    assert got == exp

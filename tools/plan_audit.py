@@ -300,6 +300,14 @@ CHECKS: dict[str, list] = {
         ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
+    "token_ngram_frequency_search": [
+        # token-level matcher: same rank-table seed/refine joins as the
+        # char path (key-type independent), pattern side broadcast
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
+        ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
+        ("pattern_side_broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("rollup_hash_agg", lambda p: "HashAggregate" in p),
+    ],
     "pattern_token_continuations": [
         ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
