@@ -456,6 +456,32 @@ def distinct_substring_stats(
     )
 
 
+def _collect_patterns(
+    patterns: DataFrame,
+    label: str,
+    max_patterns: int,
+    pattern_type: str = "string",
+    pattern_col: str = "pattern",
+):
+    """Shared pattern-parameter intake for the whole matcher family: cast
+    to (pattern_id long, pattern <type>), bound-collect (patterns are
+    query parameters by contract), and validate — one place to change the
+    rules for all char/token counting, continuation, and backoff
+    entrypoints. Returns (pats DataFrame, collected rows)."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    pats = patterns.select(
+        F.col("pattern_id").cast("long").alias("pattern_id"),
+        F.col(pattern_col).cast(pattern_type).alias("pattern"),
+    )
+    rows = collect_bounded(pats, max_patterns, f"{label} patterns")
+    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in rows):
+        raise ValueError(f"{label}: empty/null pattern")
+    if len({r["pattern_id"] for r in rows}) != len(rows):
+        raise ValueError(f"{label}: duplicate pattern_id")
+    return pats, rows
+
+
 def substring_pattern_counts(
     docs: DataFrame,
     patterns: DataFrame,
@@ -491,20 +517,9 @@ def substring_pattern_counts(
     each refinement level against a broadcast candidate set; per-pattern
     cost is O(log L) tiny joins. No per-pattern corpus scan, no character
     access after construction."""
-    from frappe_data_pipelines_spark.operators.guards import collect_bounded
-
-    pats = patterns.select(
-        F.col("pattern_id").cast("long").alias("pattern_id"),
-        F.col("pattern").cast("string").alias("pattern"),
+    pats, pat_rows = _collect_patterns(
+        patterns, "substring_pattern_counts", max_patterns
     )
-    pat_rows = collect_bounded(
-        pats, max_patterns, "substring_pattern_counts patterns"
-    )
-    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
-        raise ValueError("substring_pattern_counts: empty/null pattern")
-    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
-        raise ValueError("substring_pattern_counts: duplicate pattern_id")
-
     zero = pats.select(
         "pattern_id",
         "pattern",
@@ -689,17 +704,9 @@ def pattern_continuations(
     occurrence count grows with the corpus; forcing a broadcast would be
     a driver OOM at scale). Patterns with zero occurrences contribute no
     rows (an empty distribution)."""
-    from frappe_data_pipelines_spark.operators.guards import collect_bounded
-
-    pats = patterns.select(
-        F.col("pattern_id").cast("long").alias("pattern_id"),
-        F.col("pattern").cast("string").alias("pattern"),
+    pats, pat_rows = _collect_patterns(
+        patterns, "pattern_continuations", max_patterns
     )
-    pat_rows = collect_bounded(pats, max_patterns, "pattern_continuations patterns")
-    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
-        raise ValueError("pattern_continuations: empty/null pattern")
-    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
-        raise ValueError("pattern_continuations: duplicate pattern_id")
     if not pat_rows:
         return (
             pats.select(
@@ -753,17 +760,9 @@ def token_pattern_counts(
     comparison after construction, no per-pattern corpus scan."""
     import math
 
-    from frappe_data_pipelines_spark.operators.guards import collect_bounded
-
-    pats = patterns.select(
-        F.col("pattern_id").cast("long").alias("pattern_id"),
-        F.col(pattern_col).cast("array<string>").alias("pattern"),
+    pats, pat_rows = _collect_patterns(
+        patterns, "token_pattern_counts", max_patterns, "array<string>", pattern_col
     )
-    pat_rows = collect_bounded(pats, max_patterns, "token_pattern_counts patterns")
-    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
-        raise ValueError("token_pattern_counts: empty/null pattern")
-    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
-        raise ValueError("token_pattern_counts: duplicate pattern_id")
     zero = pats.select(
         "pattern_id", F.size("pattern").cast("long").alias("pattern_len")
     )
@@ -817,19 +816,9 @@ def pattern_token_continuations(
     token starting at the match end, leading blanks skipped, '' at a
     document boundary). Same matcher, one regexp over the post-match
     substring: (pattern_id, pattern, next_token, n_continuations)."""
-    from frappe_data_pipelines_spark.operators.guards import collect_bounded
-
-    pats = patterns.select(
-        F.col("pattern_id").cast("long").alias("pattern_id"),
-        F.col("pattern").cast("string").alias("pattern"),
+    pats, pat_rows = _collect_patterns(
+        patterns, "pattern_token_continuations", max_patterns
     )
-    pat_rows = collect_bounded(
-        pats, max_patterns, "pattern_token_continuations patterns"
-    )
-    if any(r["pattern"] is None or len(r["pattern"]) == 0 for r in pat_rows):
-        raise ValueError("pattern_token_continuations: empty/null pattern")
-    if len({r["pattern_id"] for r in pat_rows}) != len(pat_rows):
-        raise ValueError("pattern_token_continuations: duplicate pattern_id")
     if not pat_rows:
         return pats.select(
             "pattern_id",
@@ -888,7 +877,13 @@ def infinigram_backoff(
         [(n, query_text[L - n :]) for n in range(min_context, hi + 1)],
         "pattern_id long, pattern string",
     )
-    cont = pattern_continuations(docs, pats, id_col, text_col)
+    # materialize once: the aggregated distribution is tiny (≤ query_len ×
+    # alphabet rows) but its subtree — the whole matcher — is referenced
+    # three times below (argmax, totals, final select); relying on
+    # exchange reuse would make single evaluation optimizer-dependent
+    cont = pattern_continuations(docs, pats, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     best = cont.agg(F.max("pattern_id").alias("__best"))
     chosen = cont.crossJoin(F.broadcast(best)).filter(
         F.col("pattern_id") == F.col("__best")

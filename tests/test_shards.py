@@ -155,7 +155,10 @@ def test_streaming_shard_export_composition(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout without raising — assert so
+    # a slow host fails HERE, not on a confusing manifest diff against a
+    # still-writing export
+    assert q.awaitTermination(120)
 
     everything = seed.unionByName(a).unionByName(b)
     scratch = sorted(map(tuple, shard_manifest(everything, n_shards=4).collect()))

@@ -319,8 +319,9 @@ CHECKS: dict[str, list] = {
         # cartesian: the best-length aggregate), normalization via
         # broadcast totals — no unbounded nested loop, no Python
         ("no_python_after_levels", lambda p: "BatchEvalPython" not in p),
-        ("onerow_argmax_join", lambda p: "BroadcastNestedLoopJoin" in p
-         or "CartesianProduct" not in p),
+        # the 1-row argmax cross join compiles to BroadcastNestedLoopJoin;
+        # an actual CartesianProduct anywhere would be a regression
+        ("no_cartesian", lambda p: "CartesianProduct" not in p),
         ("rollup_hash_agg", lambda p: "HashAggregate" in p),
     ],
     "incremental_dup_spans": [
