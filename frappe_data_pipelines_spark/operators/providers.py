@@ -337,6 +337,84 @@ class HTTPContextualizer(HTTPChatClient):
         ]
 
 
+@dataclass
+class HTTPReranker:
+    """J4 rerank provider over HTTP — the Cohere-shaped API the reference
+    uses (search_service.py:238-316, CohereReranker: request carries
+    ``{"model", "query", "documents", "top_n"}``, response carries
+    ``{"results": [{"index", "relevance_score"}, ...]}`` ordered by
+    relevance; the caller reorders its own rows by those scores).
+
+    Implements the ``rerank(query, texts) -> scores`` contract of
+    ``operators/search.rerank_with_provider``, which already owns the
+    reference's failure semantics (fall back to incoming vector order on
+    ANY provider failure — reranking is an enhancement, never a point of
+    failure). ``top_n`` is sent as ``len(documents)`` so every candidate
+    gets a score and the cut stays with the caller, mirroring how the
+    reference maps ``item.index`` back onto its own result list.
+
+    Same injectable transport / retry / token-bucket seams as the other
+    three HTTP providers (J1 HTTPEmbedder, J2 HTTPContextualizer, J3
+    HTTPCaptioner) — J4 was the one provider without a real transport."""
+
+    model: str = "rerank-english-v3.0"  # reference default: search_service.py:281
+    transport: Callable[[dict], dict] | None = None
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    rate_limit_per_sec: float | None = None
+    sleeper: Callable[[float], None] = time.sleep
+    _bucket: TokenBucket | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        if self.rate_limit_per_sec:
+            self._bucket = TokenBucket(self.rate_limit_per_sec, sleeper=self.sleeper)
+        if self.transport is None:
+            raise ValueError(
+                "HTTPReranker needs a transport; use make_transport(url) for real HTTP"
+            )
+
+    def _rerank_once(self, query: str, texts: list[str]) -> list[float]:
+        if self._bucket is not None:
+            self._bucket.acquire()
+        resp = self.transport({
+            "model": self.model,
+            "query": query,
+            "documents": list(texts),
+            "top_n": len(texts),
+        })
+        results = resp.get("results")
+        if not isinstance(results, list):
+            raise ProviderError("malformed response: no results list", retryable=False)
+        scores: list[float | None] = [None] * len(texts)
+        for item in results:
+            try:
+                idx = int(item["index"])
+                score = float(item["relevance_score"])
+            except (KeyError, TypeError, ValueError):
+                raise ProviderError(
+                    "malformed response: result without index/relevance_score",
+                    retryable=False,
+                )
+            if not 0 <= idx < len(texts):
+                raise ProviderError(
+                    f"malformed response: index {idx} out of range", retryable=False
+                )
+            scores[idx] = score
+        if any(s is None for s in scores):
+            raise ProviderError(
+                f"malformed response: expected {len(texts)} scored documents, "
+                f"got {sum(s is not None for s in scores)}",
+                retryable=False,
+            )
+        return scores  # type: ignore[return-value]
+
+    def rerank(self, query: str, texts: list[str]) -> list[float]:
+        if not texts:
+            return []
+        return _call_with_retry(
+            lambda: self._rerank_once(query, texts), self.retry, self.sleeper
+        )
+
+
 def caption_with_dead_letter(
     df: DataFrame,
     bin_col: str = "content",

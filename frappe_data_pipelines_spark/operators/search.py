@@ -173,20 +173,57 @@ def rrf_fuse(
     score_b: str = "bm25",
     k: int = RRF_K,
     top_k: int = 10,
+    overfetch: int = 5,
 ) -> DataFrame:
     """Reciprocal Rank Fusion: rrf = Σ_r 1/(k + rank_r). Full outer join so a
-    doc ranked by only one side still scores."""
-    ra = ranking_a.select(
-        F.col(id_col).alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(score_a), F.col(id_col).asc()))
-        .alias("rank_a"),
+    doc ranked by only one side still scores.
+
+    Scale shape: each side is first cut to a bounded candidate pool of
+    ``top_k × overfetch`` via orderBy().limit() — Spark compiles that to
+    TakeOrderedAndProject (a distributed per-partition heap + driver merge,
+    never a global sort), and only the ≤N survivors pay the unpartitioned
+    row_number() window. Ranking the full scored corpus through one
+    window task was the old shape — correct at sf0.1, single-partition
+    serialization at 100×. The ×5 overfetch mirrors the reference's own
+    candidate pool (search_service.py:83); ranks inside the pool equal
+    the global ranks (a top-N prefix preserves order), so fusion over the
+    pools is the standard bounded-candidate RRF every hybrid-search
+    system runs."""
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
+    n_cand = top_k * overfetch
+    # the windows key on a constant partition: their input is the ≤n_cand
+    # survivors of the TakeOrderedAndProject above, so the single partition
+    # is bounded by construction — bounded_window_key states that in the
+    # physical plan (no WindowExec warning, and the planlint global-window
+    # rule stays strict)
+    ra = (
+        ranking_a.orderBy(F.desc(score_a), F.col(id_col).asc())
+        .limit(n_cand)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.row_number()
+            .over(
+                Window.partitionBy(bounded_window_key(id_col)).orderBy(
+                    F.desc(score_a), F.col(id_col).asc()
+                )
+            )
+            .alias("rank_a"),
+        )
     )
-    rb = ranking_b.select(
-        F.col(id_col).alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(score_b), F.col(id_col).asc()))
-        .alias("rank_b"),
+    rb = (
+        ranking_b.orderBy(F.desc(score_b), F.col(id_col).asc())
+        .limit(n_cand)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.row_number()
+            .over(
+                Window.partitionBy(bounded_window_key(id_col)).orderBy(
+                    F.desc(score_b), F.col(id_col).asc()
+                )
+            )
+            .alias("rank_b"),
+        )
     )
     fused = (
         ra.join(rb, "doc_id", "full_outer")

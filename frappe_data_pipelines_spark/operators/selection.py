@@ -199,6 +199,76 @@ def _unigram_lm_scores(
     )
 
 
+def _global_ntile(df: DataFrame, sort_exprs: list, n_buckets: int, out: str) -> DataFrame:
+    """EXACT SQL ntile(n) over a total order WITHOUT an unpartitioned
+    window: range-repartition by the order (so partition ids follow it),
+    row_number within each partition, add the cumulative size of earlier
+    partitions for the 1-based global position, then the SQL-standard
+    ntile bucket in closed form from (position, total) — the first
+    ``total mod n`` buckets hold ``total div n + 1`` rows, the rest
+    ``total div n``. Same machinery as suffix.py:_global_dense_rank; the
+    only windows here key a one-row-per-shuffle-partition relation, so
+    their single partition is bounded by cluster width, never by data.
+    Results are independent of where the range sampler places boundaries
+    (positions are boundary-invariant for a unique total order), so the
+    output is deterministic and identical to a global ntile window."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n_parts, *sort_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ordered.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_exprs)),
+    )
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
+    # the offsets relation is one row per shuffle partition (bounded by
+    # cluster width, never by data) — bounded_window_key declares that
+    one_row_per_part = Window.partitionBy(bounded_window_key("__pid"))
+    offs = (
+        local.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    one_row_per_part.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__n", F.sum("__cnt").over(one_row_per_part))
+        .select("__pid", "__off", "__n")
+    )
+    # integer ceil-division via `div` (never a double detour); the
+    # base == 0 case (fewer rows than buckets) always takes the first
+    # branch because cap == total there
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__pos", (F.col("__off") + F.col("__lrn")).cast("long"))
+        .withColumn("__base", F.expr(f"__n div {n_buckets}"))
+        .withColumn("__cap", (F.col("__n") % n_buckets) * (F.col("__base") + 1))
+        .withColumn(
+            out,
+            F.when(
+                F.col("__pos") <= F.col("__cap"),
+                F.expr("(__pos + __base) div (__base + 1)"),
+            )
+            .otherwise(
+                F.col("__n") % n_buckets
+                + F.expr("(__pos - __cap + __base - 1) div __base")
+            )
+            .cast("int"),
+        )
+        .drop("__pid", "__lrn", "__off", "__n", "__pos", "__base", "__cap")
+    )
+
+
 def lm_perplexity_buckets(
     docs: DataFrame,
     ref_pred: Column,
@@ -219,24 +289,27 @@ def lm_perplexity_buckets(
     the dictionary; add-one smoothing covers OOV. Per-word contributions
     are round(·,6)-ed and accumulated in DECIMAL so the sum is associative
     — identical under any partitioning, hash-stable vs the DuckDB oracle.
-    The bucket split is one ntile window over (score, id) — deterministic
-    total order. At 100 TB cap the dictionary by frequency or hash-bucket
-    it (the DSIR trick above); the ntile over all docs becomes a
-    quantile-cut against approx_percentile bounds instead of a global
-    window."""
-    from pyspark.sql.window import Window
-
+    The bucket split is an EXACT ntile over the deterministic (score desc,
+    id asc) total order computed by ``_global_ntile`` — range-partitioned
+    global positions plus the closed-form bucket boundary, never a
+    single-partition global window (the old shape serialized the whole
+    corpus through one WindowExec task at scale). At 100 TB also cap the
+    dictionary by frequency or hash-bucket it (the DSIR trick above)."""
     tf = _doc_term_freq(docs, id_col, text_col)
     per_doc = _unigram_lm_scores(
         tf, docs, ref_pred, id_col, "lm_score", "ref_pred"
     )
-    w = Window.orderBy(F.col("lm_score").desc(), F.col(id_col).asc())
-    labels = {1: "head", 2: "middle", 3: "tail"}
-    bucket = F.ntile(n_buckets).over(w)
+    bucketed = _global_ntile(
+        per_doc,
+        [F.col("lm_score").desc(), F.col(id_col).asc()],
+        n_buckets,
+        "__bucket",
+    )
+    bucket = F.col("__bucket")
     label = bucket.cast("string") if n_buckets != 3 else (
         F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
     )
-    return per_doc.select(
+    return bucketed.select(
         id_col, "n_tokens", "lm_score", label.alias("ppl_bucket")
     )
 
@@ -484,8 +557,16 @@ def unimax_language_budgets(
         .filter(F.col("n_tokens") > 0)
         .withColumn("cap_tokens", (F.lit(int(max_epochs)) * F.col("n_tokens")).cast("bigint"))
     )
-    w = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
-    wall = Window.partitionBy(F.lit(1))
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
+    # one row per LANGUAGE — bounded at any corpus size; the constant
+    # bounded_window_key keeps the single partition declared (a bare
+    # lit() key is constant-folded out of the spec and reads as a global
+    # window to both Spark's WindowExec warning and the planlint rule)
+    w = Window.partitionBy(bounded_window_key("lang")).orderBy(
+        F.col("cap_tokens").asc(), F.col("lang").asc()
+    )
+    wall = Window.partitionBy(bounded_window_key("lang"))
     b = F.lit(int(total_budget))
     ranked = (
         counts.withColumn("i", F.row_number().over(w))
@@ -642,7 +723,10 @@ def temperature_mixture_weights(
             .cast("decimal(28,6)"),
         )
     )
-    wall = Window.partitionBy(F.lit(1))
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
+    # one row per language — bounded by construction (see unimax above)
+    wall = Window.partitionBy(bounded_window_key("lang"))
     scaled = counts.withColumn(
         "zt", F.sum("qpow").over(wall).cast("double")
     ).withColumn("total", F.sum("n_tokens").over(wall).cast("double"))

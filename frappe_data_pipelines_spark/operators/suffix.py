@@ -55,6 +55,8 @@ def _global_dense_rank(keys: DataFrame, cols: list[str], out: str) -> DataFrame:
     local = ordered.withColumn(
         "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
     )
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
     offs = (
         local.groupBy("__pid")
         .agg(F.count("*").alias("__cnt"))
@@ -64,9 +66,10 @@ def _global_dense_rank(keys: DataFrame, cols: list[str], out: str) -> DataFrame:
                 # constant partition key: the relation is one row per
                 # shuffle partition (≤ a few hundred rows), so the single
                 # window partition is bounded by cluster width, not data —
-                # the lit(0) key just states that to Spark (no WARN)
+                # bounded_window_key states that in the physical plan
+                # (a bare lit(0) would be constant-folded OUT of the spec)
                 F.sum("__cnt").over(
-                    Window.partitionBy(F.lit(0))
+                    Window.partitionBy(bounded_window_key("__pid"))
                     .orderBy("__pid")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
@@ -437,8 +440,11 @@ def distinct_substring_stats(
     lcps = suffix_lcp_adjacent(docs, id_col, text_col)
     # integer arithmetic end to end: len*(len+1) is even, `/` would detour
     # through double (silent low-bit loss past 2^53 — exactly the corpus
-    # sums this operator exists for), and the running total accumulates in
-    # DECIMAL(38,0) so even a 10^20-substring corpus sums exactly.
+    # sums this operator exists for), and the totals accumulate AND are
+    # RETURNED in DECIMAL(38,0) — a 10^20-substring corpus sums exactly
+    # and never passes through a BIGINT cast that would wrap (non-ANSI)
+    # or throw (ANSI) past 2^63. `div` is exact integer division on
+    # decimals (the product is even by construction).
     per_doc = (
         F.length(text_col).cast("long")
         * (F.length(text_col).cast("long") + F.lit(1).cast("long"))
@@ -446,13 +452,21 @@ def distinct_substring_stats(
     chars = (
         docs.filter(F.length(text_col) > 0)
         .agg(F.sum(per_doc).alias("__twice"))
-        .select((F.col("__twice") / 2).cast("long").alias("n_suffix_chars"))
+        .select(
+            F.expr("CAST(__twice DIV 2 AS DECIMAL(38,0))").alias("n_suffix_chars")
+        )
     )
-    lsum = lcps.agg(F.coalesce(F.sum("lcp"), F.lit(0)).cast("long").alias("sum_lcp"))
+    lsum = lcps.agg(
+        F.coalesce(F.sum("lcp"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("sum_lcp")
+    )
     return chars.crossJoin(lsum).select(
         "n_suffix_chars",
         "sum_lcp",
-        (F.col("n_suffix_chars") - F.col("sum_lcp")).alias("n_distinct_substrings"),
+        (F.col("n_suffix_chars") - F.col("sum_lcp"))
+        .cast("decimal(38,0)")
+        .alias("n_distinct_substrings"),
     )
 
 

@@ -944,10 +944,11 @@ _DISTINCT_SUBSTR_SQL = """
                AS lcp
       FROM ordered WHERE s2 IS NOT NULL
     )
-    SELECT (SELECT CAST(sum(len(s)) AS BIGINT) FROM sufs) AS n_suffix_chars,
-           (SELECT CAST(coalesce(sum(lcp), 0) AS BIGINT) FROM lcps) AS sum_lcp,
-           (SELECT CAST(sum(len(s)) AS BIGINT) FROM sufs)
-             - (SELECT CAST(coalesce(sum(lcp), 0) AS BIGINT) FROM lcps)
+    SELECT (SELECT CAST(sum(len(s)) AS DECIMAL(38,0)) FROM sufs) AS n_suffix_chars,
+           (SELECT CAST(coalesce(sum(lcp), 0) AS DECIMAL(38,0)) FROM lcps) AS sum_lcp,
+           CAST((SELECT CAST(sum(len(s)) AS DECIMAL(38,0)) FROM sufs)
+             - (SELECT CAST(coalesce(sum(lcp), 0) AS DECIMAL(38,0)) FROM lcps)
+             AS DECIMAL(38,0))
              AS n_distinct_substrings
     """
 

@@ -406,8 +406,14 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
       FROM embeddings e
     ),
-    ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_a FROM dense),
-    rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_b FROM bm)
+    dense_pool AS (
+      SELECT doc_id, score FROM dense ORDER BY score DESC, doc_id ASC LIMIT 100
+    ),
+    bm_pool AS (
+      SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 100
+    ),
+    ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_a FROM dense_pool),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_b FROM bm_pool)
     SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
            round(COALESCE(1.0 / (60 + rank_a), 0.0) + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf
     FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
@@ -1795,9 +1801,18 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
     top = tf.orderBy(F.col("c").desc(), F.col("w").asc()).limit(1000)
+    # the rank window's input is the ≤1000-row TakeOrderedAndProject pool —
+    # bounded_window_key declares that bounded single partition
     ranked = top.withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(bounded_window_key("w")).orderBy(
+                F.col("c").desc(), F.col("w").asc()
+            )
+        ),
     )
     d6 = "decimal(18,6)"
     xy = ranked.select(
@@ -1880,7 +1895,14 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count("*").alias("new_terms"))
     )
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    from frappe_data_pipelines_spark.operators.guards import bounded_window_key
+
+    # ≤10 decile rows — bounded by construction
+    w = (
+        Window.partitionBy(bounded_window_key("decile"))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return bucketed.select(
         "decile",
         F.col("new_terms").cast("bigint").alias("new_terms"),

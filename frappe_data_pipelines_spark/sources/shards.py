@@ -85,6 +85,79 @@ def shard_manifest(
     )
 
 
+_PTR_NAME = "MANIFEST"
+
+
+def _manifest_dir(out_dir: str) -> str:
+    """Resolve the CURRENT manifest directory via the pointer file.
+
+    The pointer (``out_dir/MANIFEST``) holds the name of a versioned
+    manifest directory (``manifest_v{N}``) and is flipped with ONE atomic
+    ``os.rename`` — there is never a window where no manifest exists
+    (the old two-rename swap had a crash window between ``manifest`` →
+    ``manifest_old`` and ``manifest_tmp`` → ``manifest`` during which a
+    reader saw nothing). Falls back to the legacy un-versioned
+    ``manifest`` directory for exports written before the pointer scheme.
+    """
+    ptr = os.path.join(out_dir, _PTR_NAME)
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            return os.path.join(out_dir, f.read().strip())
+    return os.path.join(out_dir, "manifest")
+
+
+def _flip_manifest_pointer(out_dir: str, version: int) -> str:
+    """Point ``out_dir/MANIFEST`` at ``manifest_v{version}`` atomically:
+    write a temp pointer then one ``os.rename`` (atomic on POSIX). A
+    reader racing the flip sees either the old or the new pointer — both
+    name a fully-written manifest directory."""
+    ptr = os.path.join(out_dir, _PTR_NAME)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"manifest_v{version}")
+    os.rename(tmp, ptr)
+    return os.path.join(out_dir, f"manifest_v{version}")
+
+
+def _manifest_version(out_dir: str) -> int:
+    """Version number of the current manifest (-1 for legacy/none)."""
+    cur = os.path.basename(_manifest_dir(out_dir))
+    if cur.startswith("manifest_v"):
+        return int(cur[len("manifest_v"):])
+    return -1
+
+
+class ShardAppendLock:
+    """O_EXCL lock file guarding concurrent ``append_training_shards``
+    calls on one export: two appenders racing would each read the same
+    stored manifest and the loser's merge would drop the winner's delta.
+    A crashed holder leaves the lock on disk — the error message names
+    the file and the recovery path (``rebuild_manifest`` recomputes the
+    manifest from the written files, then remove the lock)."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, ".append.lock")
+        self._fd = None
+
+    def __enter__(self):
+        try:
+            self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"append_training_shards: lock file {self.path} exists — "
+                "another append is in flight, or a previous one crashed. "
+                "If crashed: run rebuild_manifest() to restore manifest/"
+                "data consistency, then delete the lock file."
+            ) from None
+        os.write(self._fd, str(os.getpid()).encode())
+        return self
+
+    def __exit__(self, *exc):
+        os.close(self._fd)
+        os.remove(self.path)
+        return False
+
+
 def write_training_shards(
     docs: DataFrame,
     out_dir: str,
@@ -113,10 +186,11 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(os.path.join(out_dir, "data"))
+    version = _manifest_version(out_dir) + 1
     shard_manifest(docs, n_shards, id_col, text_col).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "manifest")
+        os.path.join(out_dir, f"manifest_v{version}")
     )
-    return spark.read.parquet(os.path.join(out_dir, "manifest"))
+    return spark.read.parquet(_flip_manifest_pointer(out_dir, version))
 
 
 def append_training_shards(
@@ -138,58 +212,106 @@ def append_training_shards(
     Contract: doc ids must be new — appending an id already exported puts
     a duplicate row in its shard (the digest stays honest and verify
     still passes, but loaders see the doc twice; run the export-side
-    dedup first, which is what the rest of this engine is for)."""
-    spark = new_docs.sparkSession
-    assigned = new_docs.withColumn("shard", shard_assignment(n_shards, id_col))
-    assigned.repartition(n_shards, "shard").write.mode("append").partitionBy(
-        "shard"
-    ).parquet(os.path.join(out_dir, "data"))
-    delta = shard_manifest(new_docs, n_shards, id_col, text_col).select(
-        "shard",
-        F.col("n_docs").alias("d_docs"),
-        F.col("n_bytes").alias("d_bytes"),
-        F.col("min_doc_id").alias("d_min"),
-        F.col("max_doc_id").alias("d_max"),
-        F.col("content_digest").alias("d_digest"),
-    )
-    stored = spark.read.parquet(os.path.join(out_dir, "manifest"))
-    merged = (
-        stored.join(delta, "shard", "full")
-        .select(
-            "shard",
-            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
-            .cast("long")
-            .alias("n_docs"),
-            (F.coalesce("n_bytes", F.lit(0)) + F.coalesce("d_bytes", F.lit(0)))
-            .cast("long")
-            .alias("n_bytes"),
-            F.least("min_doc_id", "d_min").alias("min_doc_id"),
-            F.greatest("max_doc_id", "d_max").alias("max_doc_id"),
-            # xor with the identity (0) on the side that is absent
-            F.coalesce("content_digest", F.lit(0))
-            .bitwiseXOR(F.coalesce("d_digest", F.lit(0)))
-            .alias("content_digest"),
-        )
-    )
-    # write via temp + rename swap: the manifest read above is lazy, so
-    # writing over it in place would race the scan. The danger window is
-    # two instant renames (never a slow rmtree of the live manifest) —
-    # a crash in between leaves BOTH manifest_old and manifest_tmp on
-    # disk for recovery instead of nothing. Local-filesystem semantics;
-    # an object-store deployment would version manifests in a commit log
-    # (see sources/merge.py) instead of renaming.
+    dedup first, which is what the rest of this engine is for).
+
+    Crash safety: the merged manifest lands in a NEW versioned directory
+    and becomes current via one atomic pointer rename — a reader racing
+    the append sees either the pre-append or post-append manifest, never
+    a missing one. The parquet data append itself is not transactional
+    with the pointer flip: a crash between the two leaves the stored
+    manifest STALE relative to the data (detected by
+    ``verify_shard_export``, repaired by ``rebuild_manifest``). A lock
+    file serializes concurrent appenders (two racing merges would each
+    drop the other's delta). Local-filesystem semantics; an object-store
+    deployment would version manifests in a commit log (see
+    sources/merge.py) instead."""
     import shutil
 
-    tmp = os.path.join(out_dir, "manifest_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(out_dir, "manifest")
-    old = os.path.join(out_dir, "manifest_old")
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(final, old)
-    os.rename(tmp, final)
-    shutil.rmtree(old)
-    return spark.read.parquet(final)
+    spark = new_docs.sparkSession
+    with ShardAppendLock(out_dir):
+        assigned = new_docs.withColumn("shard", shard_assignment(n_shards, id_col))
+        assigned.repartition(n_shards, "shard").write.mode("append").partitionBy(
+            "shard"
+        ).parquet(os.path.join(out_dir, "data"))
+        delta = shard_manifest(new_docs, n_shards, id_col, text_col).select(
+            "shard",
+            F.col("n_docs").alias("d_docs"),
+            F.col("n_bytes").alias("d_bytes"),
+            F.col("min_doc_id").alias("d_min"),
+            F.col("max_doc_id").alias("d_max"),
+            F.col("content_digest").alias("d_digest"),
+        )
+        prev_dir = _manifest_dir(out_dir)
+        stored = spark.read.parquet(prev_dir)
+        merged = (
+            stored.join(delta, "shard", "full")
+            .select(
+                "shard",
+                (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+                .cast("long")
+                .alias("n_docs"),
+                (F.coalesce("n_bytes", F.lit(0)) + F.coalesce("d_bytes", F.lit(0)))
+                .cast("long")
+                .alias("n_bytes"),
+                F.least("min_doc_id", "d_min").alias("min_doc_id"),
+                F.greatest("max_doc_id", "d_max").alias("max_doc_id"),
+                # xor with the identity (0) on the side that is absent
+                F.coalesce("content_digest", F.lit(0))
+                .bitwiseXOR(F.coalesce("d_digest", F.lit(0)))
+                .alias("content_digest"),
+            )
+        )
+        version = _manifest_version(out_dir) + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"manifest_v{version}")
+        )
+        final = _flip_manifest_pointer(out_dir, version)
+        # the superseded manifest is removed only AFTER the flip; a reader
+        # that resolved the pointer pre-flip scans a fully-intact directory
+        # (its lazy scan races only this rmtree — the window the versioned
+        # scheme shrinks from "no manifest at all" to "stale dir vanishing
+        # under an already-resolved read, retry resolves the new pointer")
+        if os.path.normpath(prev_dir) != os.path.normpath(final):
+            shutil.rmtree(prev_dir, ignore_errors=True)
+        return spark.read.parquet(final)
+
+
+def rebuild_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recovery path: recompute the manifest FROM THE WRITTEN FILES
+    (grouped by the shard directory each row lives in, like
+    ``verify_shard_export``) and install it as the new current version
+    via the atomic pointer flip. Use after a crash between a data append
+    and its manifest flip — one full data scan restores consistency
+    without rewriting any shard."""
+    data = read_training_shards(spark, out_dir)
+    rebuilt = (
+        data.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("__bytes"),
+            _doc_digest(id_col, text_col).alias("__dig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__bytes").cast("long").alias("n_bytes"),
+            F.min("__id").alias("min_doc_id"),
+            F.max("__id").alias("max_doc_id"),
+            F.expr("bit_xor(__dig)").alias("content_digest"),
+        )
+    )
+    version = _manifest_version(out_dir) + 1
+    rebuilt.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"manifest_v{version}")
+    )
+    return spark.read.parquet(_flip_manifest_pointer(out_dir, version))
 
 
 def read_training_shards(
@@ -220,7 +342,7 @@ def verify_shard_export(
     on the directory actually holding it, instead of verifying clean. A
     lost, duplicated, or bit-flipped row shows up as ok = false on
     exactly the shard holding it."""
-    stored = spark.read.parquet(os.path.join(out_dir, "manifest")).select(
+    stored = spark.read.parquet(_manifest_dir(out_dir)).select(
         "shard",
         F.col("n_docs").alias("m_docs"),
         F.col("n_bytes").alias("m_bytes"),

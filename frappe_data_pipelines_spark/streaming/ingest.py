@@ -141,22 +141,24 @@ def start_ingest_stream(
             )
         if blocklist_terms is not None:
             from frappe_data_pipelines_spark.operators.blocklist import (
-                blocklist_hits,
+                blocklist_annotate,
             )
 
-            # the rule applies to the text as it will be STORED (post-scrub);
-            # dedupe flagged rows so a doc delivered twice in one batch
-            # can't multiply through the join; null-id rows never match a
-            # join key, so they pass through unblocked like the scrub path
-            flagged = (
-                blocklist_hits(
-                    batch_df.filter(F.col("doc_id").isNotNull()), blocklist_terms
-                )
-                .filter(F.col("n_hits") > blocklist_max_hits)
-                .select("doc_id", F.col("n_hits").alias("__bl_hits"))
-                .dropDuplicates(["doc_id"])
-            )
-            batch_df = batch_df.join(flagged, "doc_id", "left")
+            # the rule applies to the text as it will be STORED (post-scrub),
+            # and it is ROW-level — blocklist_annotate appends the hit count
+            # to every row in place (no keyed join back), so a null-id doc
+            # with banned content is judged on its own text instead of
+            # sliding past a join key, and a doc delivered twice in one
+            # batch is judged per row (blocklist.py's own rationale for the
+            # per-row primitives). Shuffle-free: one Aho-Corasick pass.
+            batch_df = blocklist_annotate(
+                batch_df, blocklist_terms, out_col="__bl_raw"
+            ).withColumn(
+                "__bl_hits",
+                F.when(
+                    F.col("__bl_raw") > blocklist_max_hits, F.col("__bl_raw")
+                ),
+            ).drop("__bl_raw")
         else:
             batch_df = batch_df.withColumn("__bl_hits", F.lit(None).cast("long"))
         # every action below re-derives from the micro-batch source; persist

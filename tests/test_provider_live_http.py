@@ -52,6 +52,8 @@ class _Handler(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         if "messages" in body:
             return self._do_chat(body)
+        if "documents" in body:
+            return self._do_rerank(body)
         texts = body["input"]
         with self.lock:
             self.state["n_requests"] = self.state.get("n_requests", 0) + 1
@@ -114,6 +116,39 @@ class _Handler(BaseHTTPRequestHandler):
         return self._respond_json(
             {"choices": [{"message": {"role": "assistant", "content": " " + reply + " "}}]}
         )
+
+
+    def _do_rerank(self, body):
+        """Scripted Cohere-shaped rerank endpoint for the J4 provider:
+        deterministic relevance derived from (query, document); faults
+        keyed on marker substrings inside the documents."""
+        query, docs = body["query"], body["documents"]
+        with self.lock:
+            self.state["n_requests"] = self.state.get("n_requests", 0) + 1
+            key = query + "|" + "|".join(docs)
+            seen = self.state.setdefault("per_key", {})
+            seen[key] = seen.get(key, 0) + 1
+            n_seen = seen[key]
+        if any("always500" in d for d in docs):
+            return self.send_error(500, "internal")
+        if any("badreq" in d for d in docs):
+            return self.send_error(400, "bad request")
+        if any("flaky429" in d for d in docs) and n_seen <= 2:
+            return self.send_error(429, "rate limited")
+        results = [
+            {"index": i, "relevance_score": _relevance(query, d)}
+            for i, d in enumerate(docs)
+        ]
+        if any("partialscores" in d for d in docs):
+            results = results[:1]  # malformed: not every document scored
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = body.get("top_n", len(docs))
+        return self._respond_json({"results": results[:top_n]})
+
+
+def _relevance(query: str, text: str) -> float:
+    h = hashlib.md5(f"{query}|{text}".encode()).digest()
+    return round(int.from_bytes(h[:4], "big") / 2**32, 6)
 
 
 @pytest.fixture()
@@ -446,3 +481,92 @@ def test_caption_with_dead_letter_operator(live_server, spark):
     assert rows[2].caption is None
     assert "HTTP 400" in rows[2].caption_error
     assert len(rows[2].caption_error) <= 500
+
+
+# -- J4 rerank provider through the REAL urllib transport --------------------
+
+
+def test_reranker_roundtrip_scores_by_index(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPReranker
+
+    url, state = live_server
+    rr = HTTPReranker(transport=make_transport(url))
+    texts = ["first doc", "second doc", "third doc"]
+    scores = rr.rerank("the query", texts)
+    # the server replies relevance-sorted; the provider must map results
+    # back to INPUT order via index (reference: results[item.index])
+    assert scores == [_relevance("the query", t) for t in texts]
+    assert state["n_requests"] == 1
+    assert rr.rerank("anything", []) == []
+
+
+def test_reranker_429_retry_then_success(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPReranker
+
+    url, state = live_server
+    sleeps: list[float] = []
+    rr = HTTPReranker(
+        transport=make_transport(url),
+        retry=RetryPolicy(max_attempts=4, base_delay=0.5, multiplier=2.0),
+        sleeper=sleeps.append,
+    )
+    scores = rr.rerank("q", ["flaky429 doc", "other"])
+    assert scores == [_relevance("q", "flaky429 doc"), _relevance("q", "other")]
+    assert state["n_requests"] == 3  # 429, 429, 200
+    assert sleeps == [0.5, 1.0]
+
+
+def test_reranker_400_is_permanent_no_retry(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPReranker
+
+    url, state = live_server
+    rr = HTTPReranker(transport=make_transport(url))
+    with pytest.raises(ProviderError) as ei:
+        rr.rerank("q", ["badreq doc"])
+    assert not ei.value.retryable
+    assert state["n_requests"] == 1
+
+
+def test_reranker_partial_scores_is_permanent(live_server):
+    from frappe_data_pipelines_spark.operators.providers import HTTPReranker
+
+    url, state = live_server
+    rr = HTTPReranker(transport=make_transport(url))
+    with pytest.raises(ProviderError, match="scored documents"):
+        rr.rerank("q", ["partialscores doc", "other"])
+    assert state["n_requests"] == 1  # malformed = permanent, no retry
+
+
+def test_rerank_with_provider_live_roundtrip_and_fallback(live_server, spark):
+    """The full J4 path against the live server: success reorders by the
+    endpoint's relevance; a failing endpoint falls back to the incoming
+    vector order cut to top_k (reference search_service.py:305-316) —
+    reranking is an enhancement, never a point of failure."""
+    from frappe_data_pipelines_spark.operators.providers import HTTPReranker
+    from frappe_data_pipelines_spark.operators.search import rerank_with_provider
+
+    url, _state = live_server
+    cands = spark.createDataFrame(
+        [(1, "alpha doc", 0.9), (2, "beta doc", 0.8), (3, "gamma doc", 0.7)],
+        "doc_id long, text string, score double",
+    )
+    rr = HTTPReranker(transport=make_transport(url))
+    out = rerank_with_provider(cands, "the query", provider=rr, top_k=2).collect()
+    want = sorted(
+        [(d, _relevance("the query", t)) for d, t in
+         [(1, "alpha doc"), (2, "beta doc"), (3, "gamma doc")]],
+        key=lambda p: (-p[1], p[0]),
+    )[:2]
+    assert [(r.doc_id, r.relevance) for r in out] == want
+
+    poisoned = spark.createDataFrame(
+        [(1, "always500 doc", 0.9), (2, "fine doc", 0.8)],
+        "doc_id long, text string, score double",
+    )
+    rr_fast = HTTPReranker(
+        transport=make_transport(url),
+        retry=RetryPolicy(max_attempts=2, base_delay=0.01),
+        sleeper=lambda _: None,
+    )
+    fb = rerank_with_provider(poisoned, "q", provider=rr_fast, top_k=2).collect()
+    assert [(r.doc_id, r.relevance) for r in fb] == [(1, None), (2, None)]

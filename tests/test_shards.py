@@ -162,9 +162,87 @@ def test_streaming_shard_export_composition(spark, tmp_path):
 
     everything = seed.unionByName(a).unionByName(b)
     scratch = sorted(map(tuple, shard_manifest(everything, n_shards=4).collect()))
-    stored = sorted(
-        map(tuple, spark.read.parquet(os.path.join(out, "manifest")).collect())
-    )
+    from frappe_data_pipelines_spark.sources.shards import _manifest_dir
+
+    stored = sorted(map(tuple, spark.read.parquet(_manifest_dir(out)).collect()))
     assert stored == scratch
     checks = verify_shard_export(spark, out, n_shards=4).collect()
     assert all(r.ok for r in checks)
+
+
+def test_manifest_pointer_flip_and_versioning(spark, tmp_path):
+    """The manifest is versioned with a pointer file that flips atomically:
+    a manifest directory exists at EVERY instant of an append (the old
+    two-rename swap had a window with none), and appends advance the
+    version while retiring the superseded directory."""
+    import os
+
+    from frappe_data_pipelines_spark.sources.shards import (
+        _manifest_dir,
+        append_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"v {i}") for i in range(50)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    write_training_shards(docs, out, n_shards=4)
+    assert os.path.basename(_manifest_dir(out)) == "manifest_v0"
+    more = spark.createDataFrame(
+        [(i, f"v {i}") for i in range(50, 80)], "doc_id long, text string"
+    )
+    append_training_shards(more, out, n_shards=4)
+    assert os.path.basename(_manifest_dir(out)) == "manifest_v1"
+    assert not os.path.exists(os.path.join(out, "manifest_v0"))
+    checks = verify_shard_export(spark, out, n_shards=4).collect()
+    assert all(r.ok for r in checks)
+
+
+def test_append_lock_blocks_concurrent_appenders(spark, tmp_path):
+    """A held lock file makes a second append fail loudly (naming the
+    recovery path) instead of silently dropping the other's delta."""
+    import os
+
+    from frappe_data_pipelines_spark.sources.shards import append_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"x {i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    write_training_shards(docs, out, n_shards=2)
+    lock = os.path.join(out, ".append.lock")
+    with open(lock, "w") as f:
+        f.write("9999")
+    more = spark.createDataFrame([(100, "y")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="rebuild_manifest"):
+        append_training_shards(more, out, n_shards=2)
+    os.remove(lock)
+    append_training_shards(more, out, n_shards=2)  # lock released → works
+    checks = verify_shard_export(spark, out, n_shards=2).collect()
+    assert all(r.ok for r in checks)
+
+
+def test_rebuild_manifest_recovers_stale_manifest(spark, tmp_path):
+    """Crash simulation: data appended but manifest never flipped. verify
+    flags the stale manifest; rebuild_manifest restores consistency from
+    the written files without touching any shard."""
+    import os
+
+    from frappe_data_pipelines_spark.sources.shards import rebuild_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"p {i}") for i in range(60)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    write_training_shards(docs, out, n_shards=4)
+    # simulate the crash window: raw data append WITHOUT a manifest merge
+    orphan = spark.createDataFrame(
+        [(i, f"p {i}") for i in range(60, 90)], "doc_id long, text string"
+    ).withColumn("shard", shard_assignment(4))
+    orphan.repartition(4, "shard").write.mode("append").partitionBy("shard").parquet(
+        os.path.join(out, "data")
+    )
+    assert not all(r.ok for r in verify_shard_export(spark, out, n_shards=4).collect())
+    rebuild_manifest(spark, out)
+    checks = verify_shard_export(spark, out, n_shards=4).collect()
+    assert len(checks) == 4 and all(r.ok for r in checks)

@@ -654,6 +654,33 @@ def main() -> None:
             if not ok:
                 print(f"FAIL  {name}.{check_name}", file=sys.stderr)
 
+    # --- catalog-wide rule: no unpartitioned Window over unbounded input ---
+    # (VERDICT r7: the 245 shape checks above missed rrf_fuse's and
+    # lm_perplexity_buckets' single-partition global windows because no
+    # rule banned them.) Every catalog query's OPTIMIZED plan is swept —
+    # plan-only, no execution — and any Window with an empty partition
+    # spec fails the audit. There is no allowlist: windows whose input is
+    # bounded by construction must key on guards.bounded_window_key,
+    # which makes the spec non-empty (and documents the boundedness).
+    from frappe_data_pipelines_spark.operators.planlint import (
+        find_unpartitioned_windows,
+    )
+
+    gw_results: dict[str, bool] = {}
+    for name, fn in q.items():
+        try:
+            offenders = find_unpartitioned_windows(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — a build error is a failure
+            offenders = [f"query build error: {e}"]
+        ok = not offenders
+        gw_results[name] = ok
+        n_pass += ok
+        n_fail += not ok
+        if not ok:
+            print(f"FAIL  {name}.no_global_window: {offenders[0][:160]}",
+                  file=sys.stderr)
+    results["__no_global_window__"] = gw_results
+
     out = {"sf_dir": sf_dir, "checks_pass": n_pass, "checks_fail": n_fail, "results": results}
     print(json.dumps(out, indent=2))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
