@@ -971,6 +971,32 @@ def sq_train(
     return lo, hi
 
 
+def sq_grid(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The SQ8 training state as an EXACT relation: (d, lo, hi) per
+    dimension of the L2-normalized vectors, computed entirely JVM-side —
+    ``l2_normalize`` is a sequential fold (matching DuckDB list semantics,
+    functions/vectors.py), posexplode turns dims into rows, and min/max
+    are order-independent comparisons. Every double is therefore
+    bit-reproducible by the SQL oracle, which is what lets the whole SQ
+    tier be hash-checked (``sq_train`` is the numpy fast path for
+    production training; its pairwise-summed norms can differ from a SQL
+    replay in the last ulp).
+
+    Scale shape: one narrow projection (normalize once, below the
+    explode so projection collapse cannot re-inline the fold per
+    aggregate child — the trap sq_train's docstring records), one
+    explode, one groupBy(d) with map-side partial min/max — output is
+    ``dim`` rows at any corpus size."""
+    from frappe_data_pipelines_spark.functions.vectors import l2_normalize
+
+    normed = vectors.select(l2_normalize(F.col(vec_col)).alias("v"))
+    return (
+        normed.select(F.posexplode("v").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("d"))
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
 def sq_encode(
     vectors: DataFrame,
     lo: np.ndarray,
@@ -1008,18 +1034,60 @@ def sq_search(
     hi: np.ndarray,
     query_vec: list[float],
     k: int = 10,
+    exact: bool = False,
 ) -> DataFrame:
-    """Asymmetric SQ search: decode each candidate to its grid midpoint and
-    dot-product against the (normalized) query — numpy over Arrow batches,
-    one matrix op per batch, then a global top-k heap
-    (TakeOrderedAndProject, no full sort)."""
+    """Asymmetric SQ search: decode each candidate to its grid point and
+    dot-product against the (normalized) query.
+
+    Two kernels, same semantics:
+    * default (numpy): one matrix op per Arrow batch, then a global top-k
+      heap (TakeOrderedAndProject, no full sort) — the throughput path.
+    * ``exact=True`` (Column expressions): per-dim contributions
+      ``round((lo_d + c_d/255·span_d)·q_d, 9)`` accumulated in DECIMAL so
+      the sum is associative — bit-reproducible by the DuckDB oracle
+      under any partitioning (the engine's float-determinism convention),
+      and still fully JVM-side whole-stage codegen. The query is
+      normalized by a sequential Python fold, which is bit-identical to
+      the JVM/DuckDB sequential list folds (all binary64)."""
     import pandas as pd
+
+    span = np.where((hi - lo) > 0, hi - lo, 1.0)
+    if exact:
+        acc = 0.0
+        for x in query_vec:  # sequential fold == JVM/DuckDB list fold
+            acc += float(x) * float(x)
+        qn = acc ** 0.5
+        qs = [float(x) / qn if qn > 0 else 0.0 for x in query_vec]
+        los = F.array(*[F.lit(float(x)) for x in lo])
+        spans = F.array(*[F.lit(float(s)) for s in span])
+        qlit = F.array(*[F.lit(float(x)) for x in qs])
+        d9 = "decimal(20,9)"
+        contribs = F.transform(
+            F.col("codes"),
+            lambda c, i: F.round(
+                (
+                    F.element_at(los, i + 1)
+                    + c.cast("double") / F.lit(255.0) * F.element_at(spans, i + 1)
+                )
+                * F.element_at(qlit, i + 1),
+                9,
+            ).cast(d9),
+        )
+        score_col = F.round(
+            F.aggregate(
+                contribs,
+                F.lit(0).cast(d9),
+                lambda a, x: (a + x).cast(d9),
+            ).cast("double"),
+            6,
+        )
+        scored = codes_df.select(F.col("id"), score_col.alias("score"))
+        return scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
         q = q / qn
-    span = np.where((hi - lo) > 0, hi - lo, 1.0)
     sess = codes_df.sparkSession
     bc = sess.sparkContext.broadcast((lo, span, q))
 

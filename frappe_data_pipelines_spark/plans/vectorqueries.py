@@ -400,19 +400,66 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_clusters=8, n_iter=2, threshold=0.40)
 
 
-@register("ann_sq_search", tags=("O10", "extension", "rows-only"))
+_SQ_SQL = f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+      FROM embeddings
+    ), dims AS (
+      SELECT vec_id, CAST(i.i AS INT) AS d, v[CAST(i.i AS INT)] AS x
+      FROM n, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+    ), grid AS (
+      SELECT d, min(x) AS lo, max(x) AS hi FROM dims GROUP BY d
+    ), g2 AS (
+      SELECT d, lo, CASE WHEN hi - lo > 0 THEN hi - lo ELSE 1.0 END AS span
+      FROM grid
+    ), qd AS (
+      SELECT CAST(i.i AS INT) AS d, q.v[CAST(i.i AS INT)] AS qx
+      FROM (SELECT v FROM n WHERE vec_id = {QUERY_VEC_ID}) q,
+           LATERAL (SELECT unnest(generate_series(1, len(q.v))) AS i) i
+    ), codes AS (
+      SELECT dm.vec_id, dm.d,
+             least(255, greatest(0,
+               CAST(round((dm.x - g.lo) / g.span * 255) AS INT))) AS c
+      FROM dims dm JOIN g2 g USING (d)
+    ), scored AS (
+      SELECT c.vec_id AS id,
+             round(CAST(sum(CAST(round((g.lo + c.c / 255.0 * g.span) * q.qx, 9)
+                                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS score
+      FROM codes c JOIN g2 g USING (d) JOIN qd q USING (d)
+      GROUP BY c.vec_id
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+
+@register("ann_sq_search", oracle=_SQ_SQL, tags=("O10", "extension", "scale-path"))
 def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization SQ8 (O10 ladder rung between brute force and
     PQ): per-dimension uniform 8-bit grids — 4x smaller vectors with no
-    codebook training and far lower distortion than PQ. Encode is pure
-    Column expressions (map-only); search decodes to grid midpoints and
-    dots against the query in numpy over Arrow batches. Rows-only (min/max
-    training state is driver-held, bounded by dimensionality); recall vs
-    brute force asserted in tests/test_ann.py."""
+    codebook training and far lower distortion than PQ.
+
+    Fully DuckDB-oracled (the second quantizer after BQ to move off
+    rows-only): the grid comes from ``sq_grid`` — per-dim min/max of the
+    sequential-fold-normalized vectors, every double bit-reproducible in
+    SQL — the encode is pure Column expressions (map-only), and the
+    asymmetric search uses the ``exact`` Column kernel whose per-dim
+    contributions are round(·,9) DECIMALs, so the dot product is
+    associative and hash-stable under any partitioning. The numpy batch
+    kernels (``sq_train``/default ``sq_search``) remain the production
+    throughput path; recall vs brute force is asserted in
+    tests/test_ann.py."""
+    import numpy as np
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
     emb = load_table(spark, sf_dir, "embeddings")
-    lo, hi = ann.sq_train(emb)
+    grid = collect_bounded(ann.sq_grid(emb).orderBy("d"), 4096, "SQ8 grid")
+    lo = np.array([r["lo"] for r in grid])
+    hi = np.array([r["hi"] for r in grid])
     codes = ann.sq_encode(emb, lo, hi)
-    return ann.sq_search(codes, lo, hi, _query_vec(spark, sf_dir), k=10)
+    return ann.sq_search(codes, lo, hi, _query_vec(spark, sf_dir), k=10, exact=True)
 
 
 @register(

@@ -538,3 +538,27 @@ class TestBinaryQuantization:
         assert a[0][0] == 0  # the query's own vector ranks first
         with pytest.raises(ValueError, match="dim"):
             bq_encode(emb, 0)
+
+
+def test_sq8_exact_kernel_matches_numpy_and_grid(spark, sf_dir):
+    """The oracle-grade Column kernel (sq_grid + exact scoring) returns the
+    same ranking as the numpy throughput path on the same grid, and
+    sq_grid's exact min/max agree with sq_train's within float tolerance."""
+    import numpy as np
+
+    from frappe_data_pipelines_spark.operators import ann
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    grid = ann.sq_grid(emb).orderBy("d").collect()
+    lo = np.array([r["lo"] for r in grid])
+    hi = np.array([r["hi"] for r in grid])
+    lo_np, hi_np = ann.sq_train(emb)
+    assert np.allclose(lo, lo_np, atol=1e-12) and np.allclose(hi, hi_np, atol=1e-12)
+    codes = ann.sq_encode(emb, lo, hi)
+    exact = [(r.id, r.score) for r in ann.sq_search(codes, lo, hi, q, k=10, exact=True).collect()]
+    fast = [(r.id, r.score) for r in ann.sq_search(codes, lo, hi, q, k=10).collect()]
+    assert [i for i, _ in exact] == [i for i, _ in fast]
+    for (_, a), (_, b) in zip(exact, fast):
+        assert abs(a - b) < 1e-5
