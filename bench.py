@@ -85,6 +85,13 @@ HEADLINE = [
     "blocklist_term_audit",
     "training_shard_manifest",
     "ann_bq_search",
+    # round-8: the token-level suffix machinery and its serving step join
+    # the headline so the O(log n)-round construction's wall time is
+    # TRACKED per round, not assumed (VERDICT r7 #7); ann_sq_search joins
+    # as the second exactly-oracled quantizer tier
+    "token_suffix_array_ranks",
+    "infinigram_backoff_inference",
+    "ann_sq_search",
 ]
 
 

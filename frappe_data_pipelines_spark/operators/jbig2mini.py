@@ -27,13 +27,14 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
 
 Scope honesty: standard huffman tables B.6-B.15 (untranscribed spec data;
 custom-table streams cover those selector slots), huffman refinement,
-huffman REFAGG dictionaries, GRTEMPLATE-0 refinement, and multi-instance
-aggregates are NOT implemented — a stream using them raises
-``Jbig2Error`` and the PDF dispatch falls back exactly like any other
-unsupported filter. Every ARITHMETIC region type IS implemented, both
-directions: generic (incl. custom AT + MMR via T.6), symbol/text,
-GRTEMPLATE-1 refinement (refined instances + single-instance REFAGG), and
-halftone (pattern dictionaries with the A1=(-HDPW,0) collective template,
+huffman REFAGG dictionaries, multi-instance aggregates, and non-causal
+template-0 refinement AT1 pixels are NOT implemented — a stream using
+them raises ``Jbig2Error`` and the PDF dispatch falls back exactly like
+any other unsupported filter. Every ARITHMETIC region type IS
+implemented, both directions: generic (incl. custom AT + MMR via T.6),
+symbol/text, refinement in BOTH templates (GRTEMPLATE 1 fixed and
+GRTEMPLATE 0 with movable SDRAT/SBRAT pixels; refined instances +
+single-instance REFAGG), and halftone (pattern dictionaries with the A1=(-HDPW,0) collective template,
 gray-coded bitplanes, skewable grid placement). The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
 their nominal positions); encoder and decoder share one context builder
@@ -448,30 +449,60 @@ def _iaid_ctx(code_len: int) -> list:
     return [[0, 0] for _ in range(1 << (code_len + 1))]
 
 
-# -- generic refinement regions (T.88 6.3, GRTEMPLATE 1) ---------------------
+# -- generic refinement regions (T.88 6.3, GRTEMPLATE 0 + 1) -----------------
 
 # Refinement decodes a bitmap given a REFERENCE bitmap: each pixel's
-# context mixes already-decoded neighbors of the current bitmap with a 3x2
-# neighborhood of the reference (template 1 geometry, T.88 figure 12 — the
-# fixed-AT template; template 0's movable AT pixels are refused). Context
-# bit order: coding pixels then reference pixels, raster order, matching
-# the shared-builder convention of the generic templates.
-_REF_CODING = ((-1, -1), (0, -1), (1, -1), (-1, 0))
-_REF_REFERENCE = ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1))
-_REF_CTX_BITS = len(_REF_CODING) + len(_REF_REFERENCE)
+# context mixes already-decoded neighbors of the current bitmap with a
+# neighborhood of the reference. Two template geometries (T.88 figure 12):
+# template 1 is fixed (4 coding + 6 reference pixels); template 0 adds two
+# MOVABLE AT pixels — A1 in the coding bitmap (must be causal: above the
+# current row, or left of the current pixel) and A2 in the reference
+# bitmap — for 13 context bits. Context bit order: coding pixels then AT1,
+# reference pixels then AT2, raster order — an arbitrary-but-fixed
+# bijection (adaptive contexts are just probability bins, so any
+# consistent numbering of the same PIXEL SET decodes any conforming
+# stream identically).
+_REF_TEMPLATES = {
+    0: (
+        ((0, -1), (1, -1), (-1, 0)),
+        ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    ),
+    1: (
+        ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+        ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+    ),
+}
+# nominal causal AT for the template-0 ENCODER (decoders accept any causal
+# A1 a stream carries; A2 has no causality constraint — the reference
+# bitmap is fully available)
+_NOMINAL_RAT = ((-2, -1), (-1, -1))
 
 
-def _ref_context(rows, ref, x, y, w, dx, dy) -> int:
+def _ref_pixel_sets(template: int, at=None):
+    coding, reference = _REF_TEMPLATES[template]
+    if template == 0:
+        a1, a2 = at if at is not None else _NOMINAL_RAT
+        if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
+            raise Jbig2Error(
+                f"non-causal refinement AT1 {a1} unsupported (would read "
+                "pixels the decoder has not produced yet)"
+            )
+        coding = coding + (tuple(a1),)
+        reference = reference + (tuple(a2),)
+    return coding, reference
+
+
+def _ref_context(rows, ref, x, y, w, dx, dy, coding, reference) -> int:
     ctx = 0
-    for ddx, ddy in _REF_CODING:
-        # every coding pixel is already decoded by raster order (row y-1,
-        # or left of x in row y); only bounds need guarding
+    for ddx, ddy in coding:
+        # every coding pixel is already decoded (causality enforced for
+        # AT1 at template selection); only bounds need guarding
         xx, yy = x + ddx, y + ddy
         bit = rows[yy][xx] if 0 <= yy < len(rows) and 0 <= xx < w else 0
         ctx = (ctx << 1) | bit
     rh = len(ref)
     rw = len(ref[0]) if rh else 0
-    for ddx, ddy in _REF_REFERENCE:
+    for ddx, ddy in reference:
         xx, yy = x - dx + ddx, y - dy + ddy
         bit = ref[yy][xx] if 0 <= yy < rh and 0 <= xx < rw else 0
         ctx = (ctx << 1) | bit
@@ -479,36 +510,67 @@ def _ref_context(rows, ref, x, y, w, dx, dy) -> int:
 
 
 def refinement_region_decode(
-    mq: MQDecoder, cxs: list, w: int, h: int, ref: list, dx: int = 0, dy: int = 0
+    mq: MQDecoder, cxs: list, w: int, h: int, ref: list, dx: int = 0, dy: int = 0,
+    template: int = 1, at=None,
 ) -> list[bytes]:
-    """GRTEMPLATE-1 refinement decode driven by a shared MQ decoder +
-    context bank (the form both refined text instances and REFAGG symbol
-    dictionaries use). ``ref`` is the reference bitmap; (dx, dy) position
-    it under the decoded bitmap (GRREFERENCEDX/DY)."""
+    """Refinement decode (GRTEMPLATE 0 or 1) driven by a shared MQ decoder
+    + context bank (the form refined text instances, REFAGG symbol
+    dictionaries, and standalone refinement use). ``ref`` is the reference
+    bitmap; (dx, dy) position it under the decoded bitmap
+    (GRREFERENCEDX/DY); ``at`` carries template 0's two AT pairs."""
+    coding, reference = _ref_pixel_sets(template, at)
     rows: list[bytearray] = []
     for y in range(h):
         row = bytearray(w)
         rows.append(row)
         for x in range(w):
-            row[x] = mq.decode(cxs[_ref_context(rows, ref, x, y, w, dx, dy)])
+            row[x] = mq.decode(
+                cxs[_ref_context(rows, ref, x, y, w, dx, dy, coding, reference)]
+            )
     return [bytes(r) for r in rows]
 
 
 def refinement_region_encode(
     mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
-    ref: list, dx: int = 0, dy: int = 0,
+    ref: list, dx: int = 0, dy: int = 0, template: int = 1, at=None,
 ) -> None:
     """Encoder twin of refinement_region_decode (no flush)."""
+    coding, reference = _ref_pixel_sets(template, at)
     built: list[bytearray] = []
     for y in range(h):
         row = bytearray(rows[y][:w])
         built.append(row)
         for x in range(w):
-            mq.encode(cxs[_ref_context(built, ref, x, y, w, dx, dy)], row[x] & 1)
+            mq.encode(
+                cxs[_ref_context(built, ref, x, y, w, dx, dy, coding, reference)],
+                row[x] & 1,
+            )
 
 
-def _ref_ctx_bank() -> list:
-    return [[0, 0] for _ in range(1 << _REF_CTX_BITS)]
+def _ref_ctx_bank(template: int = 1) -> list:
+    n_bits = sum(len(t) for t in _REF_TEMPLATES[template]) + (
+        2 if template == 0 else 0
+    )
+    return [[0, 0] for _ in range(1 << n_bits)]
+
+
+def _read_rat(body: bytes, pos: int):
+    """Two signed refinement-AT pairs (SDRAT/SBRAT, present only when the
+    refinement template is 0). A1 causality is validated HERE, at header
+    parse time, so a stream carrying an unsupported geometry refuses
+    before any MQ decoding starts."""
+    if len(body) < pos + 4:
+        raise Jbig2Error("truncated refinement AT pixel coordinates")
+    def sb(b):
+        return b - 256 if b > 127 else b
+    a1 = (sb(body[pos]), sb(body[pos + 1]))
+    a2 = (sb(body[pos + 2]), sb(body[pos + 3]))
+    if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
+        raise Jbig2Error(
+            f"non-causal refinement AT1 {a1} unsupported (would read "
+            "pixels the decoder has not produced yet)"
+        )
+    return (a1, a2), pos + 4
 
 
 # -- Huffman coding layer (T.88 Annex B + 7.4.3/7.4.4 huffman profiles) ------
@@ -950,8 +1012,9 @@ def decode_symbol_dict(
     template = (flags >> 10) & 0x03
     r_template = (flags >> 12) & 0x01
     pos = _read_at(body, 2, template)
+    rat = None
     if refagg and r_template == 0:
-        raise Jbig2Error("REFAGG symbol dictionary with GRTEMPLATE 0 unsupported")
+        rat, pos = _read_rat(body, pos)  # SDRAT (7.4.3.1.3)
     if len(body) < pos + 8:
         raise Jbig2Error("truncated symbol dictionary header")
     num_ex = int.from_bytes(body[pos : pos + 4], "big")
@@ -971,7 +1034,7 @@ def decode_symbol_dict(
         # DECLARING 64k symbols would otherwise churn ~25 MB up front)
         iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
         iaid = _iaid_ctx(ref_code_len)
-        gr_cxs = _ref_ctx_bank()
+        gr_cxs = _ref_ctx_bank(r_template)
     # one growing pool: input symbols + decoded-so-far (all_syms at the
     # end); avoids the O(n^2) per-symbol list rebuild for REFAGG streams
     pool: list = list(input_syms)
@@ -1022,7 +1085,7 @@ def decode_symbol_dict(
                     raise Jbig2Error("OOB refinement offset")
                 sym = refinement_region_decode(
                     mq, gr_cxs, sym_width, hc_height, pool[rid],
-                    dx=rdx, dy=rdy,
+                    dx=rdx, dy=rdy, template=r_template, at=rat,
                 )
             else:
                 sym = _generic_decode_into(mq, cx_gb, sym_width, hc_height,
@@ -1088,8 +1151,9 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
             raise Jbig2Error("truncated text region huffman flags")
         hflags = int.from_bytes(body[pos : pos + 2], "big")
         pos += 2
+    rat = None
     if refine and r_template == 0:
-        pos += 4  # refinement AT pixels (validated only if an RI=1 arrives)
+        rat, pos = _read_rat(body, pos)  # SBRAT (7.4.4.1.2)
     if len(body) < pos + 4:
         raise Jbig2Error("truncated text region header")
     num_instances = int.from_bytes(body[pos : pos + 4], "big")
@@ -1180,7 +1244,8 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
         iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
         iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
         iaid = _iaid_ctx(code_len)
-        gr_cxs = _ref_ctx_bank()  # refinement contexts persist across instances
+        # refinement contexts persist across instances
+        gr_cxs = _ref_ctx_bank(r_template)
 
         def get_dt():
             return arith_int_decode(mq, iadt)
@@ -1205,10 +1270,6 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
             # 6.4.11: the instance bitmap is a refinement of the symbol —
             # size adjusted by RDW/RDH, reference placed at
             # (floor(RDW/2)+RDX, floor(RDH/2)+RDY)
-            if r_template != 1:
-                raise Jbig2Error(
-                    "refined text instance with GRTEMPLATE 0 unsupported"
-                )
             rdw = arith_int_decode(mq, iardw)
             rdh = arith_int_decode(mq, iardh)
             rdx = arith_int_decode(mq, iardx)
@@ -1226,6 +1287,7 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
             return refinement_region_decode(
                 mq, gr_cxs, nw, nh, sym,
                 dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+                template=r_template, at=rat,
             )
 
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
@@ -1830,13 +1892,20 @@ def jbig2_encode_symbol_text_refagg(
     page_w: int,
     page_h: int,
     inline_refine_last: bool = True,
+    r_template: int = 1,
 ) -> bytes:
     """Refinement-profile fixture producer: dictionary 1 direct-codes the
     ROUGH glyphs, dictionary 2 REFAGG-refines each rough glyph into its
     CLEAN form (exporting only the clean set), and the text region places
     clean symbols — optionally refining the last instance inline (RI=1).
     Decodes to exactly the clean-glyph composition, so an OCR golden pinned
-    on the clean font survives the whole refinement path."""
+    on the clean font survives the whole refinement path.
+
+    ``r_template`` selects the refinement geometry: 1 (fixed) or 0 (the
+    13-bit movable-AT template — SDRAT/SBRAT pairs are then written into
+    the dictionary and text-region headers, nominal causal values)."""
+    if r_template not in (0, 1):
+        raise Jbig2Error(f"refinement template {r_template} out of range")
     if len(rough_glyphs) != len(clean_glyphs) or not placements:
         raise Jbig2Error("refagg encoder needs paired glyph lists + placements")
     for r, c in zip(rough_glyphs, clean_glyphs):
@@ -1847,6 +1916,11 @@ def jbig2_encode_symbol_text_refagg(
     new_id = {g: i for i, g in enumerate(order)}
     n = len(order)
     at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+    rat_bytes = b""
+    if r_template == 0:
+        rat_bytes = b"".join(
+            bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_RAT
+        )
 
     # --- dict 1: rough glyphs, direct-coded, export all ------------------
     mq = MQEncoder()
@@ -1865,18 +1939,20 @@ def jbig2_encode_symbol_text_refagg(
     iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
     code_len = max(2 * n - 1, 0).bit_length()  # ids over input + new
     iaid = _iaid_ctx(code_len)
-    gr = _ref_ctx_bank()
+    gr = _ref_ctx_bank(r_template)
 
     def refine_symbol(g, gl, w, h):
         arith_int_encode(mq, iaai, 1)
         arith_iaid_encode(mq, iaid, new_id[g], code_len)  # rough twin's id
         arith_int_encode(mq, iardx, 0)
         arith_int_encode(mq, iardy, 0)
-        refinement_region_encode(mq, gr, gl, w, h, rough_glyphs[g])
+        refinement_region_encode(
+            mq, gr, gl, w, h, rough_glyphs[g], template=r_template
+        )
 
     _emit_dict_classes(mq, order, clean_glyphs, refine_symbol)
     _emit_export_runs(mq, n, n)  # skip the rough inputs, export the clean
-    d2 = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
+    d2 = ((0x0002 | (r_template << 12)).to_bytes(2, "big") + at + rat_bytes
           + n.to_bytes(4, "big") + n.to_bytes(4, "big") + mq.flush())
 
     # --- text region over the clean exports (refs dict 2 only) -----------
@@ -1886,7 +1962,7 @@ def jbig2_encode_symbol_text_refagg(
     iardw, iardh = _int_ctx(), _int_ctx()
     iardx2, iardy2 = _int_ctx(), _int_ctx()
     t_iaid = _iaid_ctx(t_code_len)
-    t_gr = _ref_ctx_bank()
+    t_gr = _ref_ctx_bank(r_template)
     n_total = len(placements)
     n_done = 0
 
@@ -1902,15 +1978,18 @@ def jbig2_encode_symbol_text_refagg(
             arith_int_encode(mq, iardh, 0)
             arith_int_encode(mq, iardx2, 0)
             arith_int_encode(mq, iardy2, 0)
-            refinement_region_encode(mq, t_gr, gl, len(gl[0]), len(gl), gl)
+            refinement_region_encode(
+                mq, t_gr, gl, len(gl[0]), len(gl), gl, template=r_template
+            )
         else:
             arith_int_encode(mq, iari, 0)
         return len(gl[0])
 
     _emit_strip_walk(mq, _group_strips(placements, transposed=False), emit_instance)
-    tr_flags = (1 << 4) | (1 << 1) | (1 << 15)  # TOPLEFT, REFINE, GRTEMPLATE1
+    # TOPLEFT, REFINE, and the selected refinement template
+    tr_flags = (1 << 4) | (1 << 1) | (r_template << 15)
     tr = (_region_info(page_w, page_h) + tr_flags.to_bytes(2, "big")
-          + n_total.to_bytes(4, "big") + mq.flush())
+          + rat_bytes + n_total.to_bytes(4, "big") + mq.flush())
 
     return (
         _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))

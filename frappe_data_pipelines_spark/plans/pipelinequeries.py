@@ -593,6 +593,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jbig2ref.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jbig2ref0.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample_scanned_jbig2huff.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
@@ -648,7 +651,8 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned.pdf", "sample_scanned_jpeg.pdf",
         "sample_scanned_g4.pdf", "sample_scanned_pjpeg.pdf",
         "sample_scanned_jbig2.pdf", "sample_scanned_jbig2sym.pdf",
-        "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2huff.pdf",
+        "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2ref0.pdf",
+        "sample_scanned_jbig2huff.pdf",
         "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
         "sample_mixed.pdf", "sample.pdf",

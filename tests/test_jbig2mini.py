@@ -464,9 +464,16 @@ class TestSymbolText:
         # a garbage huffman dictionary must still raise, not misbehave
         with pytest.raises(Jbig2Error):
             decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
-        # SDREFAGG alone is now supported (GRTEMPLATE 1); template 0 refuses
-        with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
-            decode_symbol_dict((0x0002).to_bytes(2, "big") + base, [])
+        # SDREFAGG with GRTEMPLATE 0 is now supported — but a NON-CAUSAL
+        # AT1 in its SDRAT pairs still refuses (at header parse time,
+        # before any MQ decoding)
+        bad_rat = bytes([1, 0, 0, 0])  # A1=(1,0): right of current pixel
+        with pytest.raises(Jbig2Error, match="non-causal"):
+            decode_symbol_dict(
+                (0x0002).to_bytes(2, "big") + at + bad_rat
+                + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8,
+                [],
+            )
         region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
         # huffman text region selecting an untranscribed standard table (B.6)
@@ -779,18 +786,68 @@ class TestRefinement:
         with pytest.raises(Jbig2Error, match="aggregate"):
             decode_symbol_dict(body, [[bytes([1])]])
 
-    def test_refagg_template0_refused(self):
+    def test_refinement_template0_roundtrip_random(self):
+        """GRTEMPLATE-0 (13-bit movable-AT) refinement: random bitmaps
+        round-trip through the shared encoder/decoder pair at several
+        sizes and offsets, including non-nominal causal AT pairs."""
+        import random
+
         from frappe_data_pipelines_spark.operators.jbig2mini import (
-            _NOMINAL_AT,
-            decode_symbol_dict,
-            Jbig2Error,
+            MQDecoder,
+            MQEncoder,
+            _ref_ctx_bank,
+            refinement_region_decode,
+            refinement_region_encode,
         )
 
-        at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
-        body = ((0x0002).to_bytes(2, "big") + at  # SDREFAGG, GRTEMPLATE 0
-                + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8)
-        with pytest.raises(Jbig2Error, match="GRTEMPLATE 0"):
-            decode_symbol_dict(body, [])
+        rng = random.Random(77)
+        for at in (None, ((-1, -2), (2, 1)), ((-3, 0), (0, -2))):
+            for _ in range(4):
+                w, h = rng.randrange(1, 14), rng.randrange(1, 12)
+                rw, rh = rng.randrange(1, 14), rng.randrange(1, 12)
+                ref = [bytes(rng.randrange(2) for _ in range(rw)) for _ in range(rh)]
+                rows = [bytes(rng.randrange(2) for _ in range(w)) for _ in range(h)]
+                dx, dy = rng.randrange(-2, 3), rng.randrange(-2, 3)
+                enc = MQEncoder()
+                refinement_region_encode(
+                    enc, _ref_ctx_bank(0), rows, w, h, ref, dx, dy,
+                    template=0, at=at,
+                )
+                dec = MQDecoder(enc.flush())
+                got = refinement_region_decode(
+                    dec, _ref_ctx_bank(0), w, h, ref, dx, dy, template=0, at=at
+                )
+                assert got == rows
+
+    def test_refagg_template0_full_stream_roundtrip(self):
+        """The whole GRTEMPLATE-0 pipeline: REFAGG dictionary (SDRAT in the
+        header) + refined text instance (SBRAT in the header) decode back
+        to the clean-glyph composition."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_refagg,
+        )
+
+        clean = [self.I, self.O]
+        rough = []
+        for g in clean:
+            top = bytearray(g[0])
+            top[0] ^= 1
+            rough.append([bytes(top)] + list(g[1:]))
+        placements = [(0, 0, 0), (1, 4, 0), (0, 9, 0)]  # (glyph, x, y)
+        w, h = 14, 6
+        data = jbig2_encode_symbol_text_refagg(
+            rough, clean, placements, w, h, r_template=0
+        )
+        _, _, rows = jbig2_decode_embedded(data)
+        page = [bytearray(w) for _ in range(h)]
+        for g, x0, y0 in placements:
+            gl = clean[g]
+            for yy, r in enumerate(gl):
+                for xx, bit in enumerate(r):
+                    if bit:
+                        page[y0 + yy][x0 + xx] |= 1
+        assert rows == [bytes(r) for r in page]
 
 
 def test_symbol_stream_corruption_totality(monkeypatch):
@@ -1127,3 +1184,21 @@ class TestHuffmanProfiles:
         t3 = standard_table(3)
         with pytest.raises(Jbig2Error, match="32-bit"):
             t3.encode(_HuffBitWriter(), -257 - 2**32)
+
+
+def test_refagg_template0_fixture_pdf_ocrs_to_golden():
+    """The checked-in GRTEMPLATE-0 scanned PDF (SDRAT + SBRAT headers, AT
+    pixels in every refined context) OCRs to the exact golden text."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jbig2ref0.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+    assert conf == 1.0

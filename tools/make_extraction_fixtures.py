@@ -409,6 +409,8 @@ def main() -> None:
     )
     _write_if_missing("sample_scanned_jbig2ref.pdf", make_scanned_jbig2ref_pdf())
     _write_if_missing("sample_scanned_jbig2ref.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2ref0.pdf", make_scanned_jbig2ref0_pdf())
+    _write_if_missing("sample_scanned_jbig2ref0.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -923,6 +925,29 @@ def make_scanned_jbig2ref_pdf() -> bytes:
 
     rough = [roughen(g) for g in clean]
     data = jbig2_encode_symbol_text_refagg(rough, clean, placements, w, h)
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2ref0_pdf() -> bytes:
+    """Same refinement pipeline but GRTEMPLATE 0 — the 13-bit movable-AT
+    refinement geometry: SDRAT pairs in the dictionary header, SBRAT pairs
+    in the text-region header, and the AT-extended context in every
+    refined pixel. OCRs to the same golden text."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_refagg,
+    )
+
+    clean, placements, w, h = _scanned_symbol_layout()
+
+    def roughen(gl: list[bytes]) -> list[bytes]:
+        top = bytearray(gl[0])
+        top[0] ^= 1
+        return [bytes(top)] + list(gl[1:])
+
+    rough = [roughen(g) for g in clean]
+    data = jbig2_encode_symbol_text_refagg(
+        rough, clean, placements, w, h, r_template=0
+    )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 

@@ -76,6 +76,14 @@ QUERIES = [
     "cluster_safe_splits",
     "blocklist_term_audit",
     "training_shard_manifest",
+    # round-8: measure the token-suffix prefix-doubling machinery and the
+    # backoff serving step directly (VERDICT r7 #7). Their doc_id-slice
+    # inputs scale with the replicated corpus (consecutive replica spans
+    # keep 1/50 and 1/100 of every replica inside the slice); the round
+    # count stays O(log max_len) — the exponent measures per-round work
+    # growth, which is the claim to prove.
+    "token_suffix_array_ranks",
+    "infinigram_backoff_inference",
 ]
 
 ID_OFFSET = 10_000_000

@@ -1,10 +1,19 @@
 """Streaming latency/throughput bench: feeds document files into the ingest
 stream one batch at a time and measures per-micro-batch latency percentiles
-(arrival → chunks durably written) plus steady-state docs/sec.
+(arrival → the micro-batch's job rows durably written, which happens after
+the chunk sink in the same batch) plus steady-state docs/sec.
 
 Complements bench.py's bulk-ingest rate with the latency view a streaming
 pipeline is judged on (SURVEY §2.I): p50/p95 micro-batch latency under a
-steady trickle. Artifact: STREAM_BENCH.json.
+steady trickle — measured for BOTH door configurations so the cost of the
+round-7 ingest doors is visible (VERDICT r7 #8):
+
+* ``doors_off`` — the plain chunk→embed path;
+* ``doors_on``  — exact-substring scrub against a standing corpus
+  (winnow fingerprints persisted once per stream lifetime) plus the
+  Aho-Corasick blocklist screen, both at the door.
+
+Artifact: STREAM_BENCH.json.
 
 Usage: python tools/stream_bench.py [sf_dir] [n_waves] [docs_per_wave]
 """
@@ -27,52 +36,50 @@ def pctl(xs: list[float], p: float) -> float:
     return s[i]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    docs_per_wave = int(sys.argv[3]) if len(sys.argv) > 3 else 200
-
-    from frappe_data_pipelines_spark.session import get_spark
-    from frappe_data_pipelines_spark.sources.tables import load_table
+def run_config(
+    spark, waves, docs_per_wave: int, scrub_against=None, blocklist_terms=None
+) -> dict:
     from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
-
-    spark = get_spark(app_name="stream-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    docs = load_table(spark, sf_dir, "documents").limit(n_waves * docs_per_wave).cache()
-    waves = [
-        docs.filter((docs.doc_id % n_waves) == i).coalesce(1) for i in range(n_waves)
-    ]
-    [w.count() for w in waves]
 
     tmp = tempfile.mkdtemp(prefix="fdp_stream_bench_")
     inp, outp, ckpt = (os.path.join(tmp, d) for d in ("in", "out", "ckpt"))
     os.makedirs(inp)
 
     q = start_ingest_stream(
-        spark, inp, outp, ckpt, max_files_per_trigger=1, available_now=False
+        spark,
+        inp,
+        outp,
+        ckpt,
+        max_files_per_trigger=1,
+        available_now=False,
+        scrub_against=scrub_against,
+        blocklist_terms=blocklist_terms,
     )
 
-    chunks_dir = os.path.join(outp, "chunks")
+    jobs_dir = os.path.join(outp, "jobs")
 
-    def chunks_rows() -> int:
+    def jobs_rows() -> int:
+        # the jobs append is the LAST sink write of a micro-batch (after
+        # the chunk sink), so jobs-visible == batch durably complete —
+        # and unlike chunk counts it grows for every wave regardless of
+        # how many docs the doors dead-letter
         try:
-            return spark.read.parquet(chunks_dir).count()
+            return spark.read.parquet(jobs_dir).count()
         except Exception:  # noqa: BLE001 — sink not created yet
             return 0
 
-    # wave 0 warms the stream (JVM source init, first python workers)
+    # wave 0 warms the stream (JVM source init, first python workers,
+    # and — doors_on — the one-time corpus fingerprint persist)
     latencies: list[float] = []
     total_docs = 0
     t_start = None
     for i, w in enumerate(waves):
-        before = chunks_rows()
+        before = jobs_rows()
         t0 = time.time()
         w.write.mode("append").parquet(inp)
-        # wait until this wave's chunks are durably visible in the sink
-        deadline = t0 + 120
+        deadline = t0 + 300
         while time.time() < deadline:
-            if chunks_rows() > before:
+            if jobs_rows() > before:
                 break
             time.sleep(0.2)
         dt = time.time() - t0
@@ -83,19 +90,72 @@ def main() -> None:
             total_docs += docs_per_wave
     steady_sec = time.time() - t_start
     q.stop()
+    if getattr(q, "scrub_corpus_fp", None) is not None:
+        q.scrub_corpus_fp.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "p50_batch_latency_sec": round(pctl(latencies, 0.50), 3),
+        "p95_batch_latency_sec": round(pctl(latencies, 0.95), 3),
+        "max_batch_latency_sec": round(max(latencies), 3),
+        "steady_docs_per_sec": round(total_docs / steady_sec, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    docs_per_wave = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+
+    from pyspark.sql import functions as F
+
+    from frappe_data_pipelines_spark.session import get_spark
+    from frappe_data_pipelines_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_stream = n_waves * docs_per_wave
+    all_docs = load_table(spark, sf_dir, "documents")
+    docs = all_docs.limit(n_stream).cache()
+    waves = [
+        docs.filter((docs.doc_id % n_waves) == i).coalesce(1) for i in range(n_waves)
+    ]
+    [w.count() for w in waves]
+    streamed_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+
+    # standing corpus for the scrub door: a DISJOINT slice of the corpus
+    # (scrubbing the streamed docs against themselves would cut everything
+    # to empty and measure only the dead-letter path)
+    corpus = (
+        all_docs.filter(~F.col("doc_id").isin(list(streamed_ids)))
+        .limit(2 * n_stream)
+        .select("doc_id", "text")
+        .cache()
+    )
+    corpus.count()
+    terms = spark.createDataFrame(
+        [(1, "zzxqunobtanium"), (2, "qqzzforbidden")], "term_id long, term string"
+    )
+
+    off = run_config(spark, waves, docs_per_wave)
+    on = run_config(
+        spark, waves, docs_per_wave, scrub_against=corpus, blocklist_terms=terms
+    )
 
     out = {
         "sf_dir": sf_dir,
         "waves": n_waves,
         "docs_per_wave": docs_per_wave,
-        "p50_batch_latency_sec": round(pctl(latencies, 0.50), 3),
-        "p95_batch_latency_sec": round(pctl(latencies, 0.95), 3),
-        "max_batch_latency_sec": round(max(latencies), 3),
-        "steady_docs_per_sec": round(total_docs / steady_sec, 1),
-        "note": "latency = file arrival -> chunk rows durably readable in the "
-        "sink (poll 200ms); wave 0 excluded as stream warmup",
+        "doors_off": off,
+        "doors_on": on,
+        # legacy top-level keys mirror doors_off (pre-r8 artifact shape)
+        **off,
+        "note": "latency = file arrival -> the micro-batch's job rows durably "
+        "readable (the last sink write of the batch; poll 200ms); wave 0 "
+        "excluded as stream warmup. doors_on = exact-substring scrub vs a "
+        "disjoint standing corpus + Aho-Corasick blocklist screen at the "
+        "door; doors_off = plain chunk->embed.",
     }
-    shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out, indent=2))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "STREAM_BENCH.json"), "w") as f:
