@@ -1203,3 +1203,178 @@ def bq_search(
         .orderBy(F.desc("score"), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def pq_exact_dims(
+    vectors: DataFrame,
+    m_subvectors: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, j, x): the L2-normalized vectors exploded to one row per
+    dimension, tagged with subspace ``m`` and within-subspace position
+    ``j``, each coordinate rounded to 9 dp. This dims-as-rows relation is
+    the shared substrate of the EXACT product-quantization tier
+    (``pq_exact_search``): every downstream quantity — Lloyd assignment
+    distances, centroid means, ADC inner products — is a sum of per-term
+    round(·,9) DECIMAL(20,9) values over these rows, so it is associative,
+    order-independent, and bit-reproducible by a SQL replay under ANY
+    partitioning (the convention the SQ8 oracle established)."""
+    from frappe_data_pipelines_spark.functions.vectors import l2_normalize
+
+    dsub = None  # per-row from array length — validated by the caller
+    return (
+        vectors.select(F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("v"))
+        .select(
+            "vec_id",
+            F.posexplode("v").alias("i0", "x0"),
+            F.size("v").alias("dim"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i0") / (F.col("dim") / m_subvectors)).cast("int").alias("m"),
+            (F.col("i0") % (F.col("dim") / m_subvectors).cast("int")).alias("j"),
+            F.round("x0", 9).alias("x"),
+        )
+    )
+
+
+def pq_exact_search(
+    vectors: DataFrame,
+    query_id: int = 0,
+    m_subvectors: int = 16,
+    k_centroids: int = 16,
+    n_iter: int = 2,
+    sample_rows: int = 256,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization with an EXACTLY reproducible training +
+    encode + ADC-scoring pipeline — the third oracled quantizer tier
+    (after BQ's sign bits and SQ8's min/max grids), and the first with
+    *trained* codebooks under the hash gate.
+
+    Determinism recipe (everything a SQL twin can replay bit-for-bit):
+
+    * training sample = first ``sample_rows`` ids by md5(id) — the IVF
+      oracle's hash-ordered sample;
+    * init codebook m = the first ``k_centroids`` sample rows' subvectors;
+    * Lloyd assignment distance = Σ_j round((x−c)², 9) as DECIMAL(20,9) —
+      exact sums, ties broken on smaller centroid id;
+    * centroid update = CAST(Σ_j-group DECIMAL(20,9) sum AS DOUBLE)/count —
+      exact numerator, one IEEE division; empty clusters keep their
+      previous centroid;
+    * ADC score = Σ_m Σ_j round(c_j·q_j, 9) DECIMAL — associative, so the
+      groupBy order never matters; final score rounds to 6 dp.
+
+    Scale shape: training runs on the bounded sample (16k dim-rows at the
+    defaults); the full-corpus encode is one broadcast join against the
+    m·k·dsub-row codebook relation with map-side partial aggregation. The
+    numpy ``pq_train``/``pq_search`` pair remains the production
+    throughput path (LUT batch kernels); this tier is the correctness
+    anchor that proves the trained-codebook math end-to-end, exactly as
+    ``sq_search(exact=True)`` anchors SQ8. Reference parity:
+    frappe_data_pipelines/services/vector_service.py quantization config
+    (the reference delegates PQ to Qdrant; here the training itself is
+    part of the checked surface)."""
+    from pyspark.sql import Window
+
+    dims = pq_exact_dims(vectors, m_subvectors, id_col, vec_col)
+    dec = "decimal(20,9)"
+
+    samp_ids = (
+        vectors.select(F.col(id_col).alias("vec_id"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_rows)
+    )
+    sampdims = dims.join(F.broadcast(samp_ids), "vec_id").persist()
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    init_rows = collect_bounded(
+        samp_ids.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k_centroids),
+        4096,
+        "PQ init centroid ids",
+    )
+    init_map = {r["vec_id"]: cid for cid, r in enumerate(init_rows)}
+    cid_expr = F.lit(None).cast("int")
+    for vid, cid in init_map.items():
+        cid_expr = F.when(F.col("vec_id") == vid, F.lit(cid)).otherwise(cid_expr)
+    cent = (
+        sampdims.filter(F.col("vec_id").isin(list(init_map)))
+        .select(cid_expr.alias("cid"), "m", "j", F.col("x").alias("cx"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        d2 = (
+            sampdims.join(F.broadcast(cent), ["m", "j"])
+            .groupBy("vec_id", "m", "cid")
+            .agg(
+                F.sum(
+                    F.round((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 9).cast(dec)
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+        asg = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+        centsum = (
+            asg.join(sampdims, ["vec_id", "m"])
+            .groupBy("m", "cid", "j")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))
+                ).alias("cx")
+            )
+        )
+        # empty clusters keep their previous centroid (IVF convention)
+        kept = cent.join(
+            centsum.select("m", "cid").distinct(), ["m", "cid"], "left_anti"
+        )
+        cent = centsum.select("m", "cid", "j", "cx").unionByName(
+            kept.select("m", "cid", "j", "cx")
+        ).localCheckpoint(eager=True)
+
+    # encode the FULL corpus: nearest codebook entry per (row, subspace)
+    edist = (
+        dims.join(F.broadcast(cent), ["m", "j"])
+        .groupBy("vec_id", "m", "cid")
+        .agg(
+            F.sum(
+                F.round((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")), 9).cast(dec)
+            ).alias("d2")
+        )
+    )
+    we = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        edist.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    qdims = dims.filter(F.col("vec_id") == query_id).select(
+        "m", "j", F.col("x").alias("qx")
+    )
+    lut = (
+        cent.join(F.broadcast(qdims), ["m", "j"])
+        .groupBy("m", "cid")
+        .agg(F.sum(F.round(F.col("cx") * F.col("qx"), 9).cast(dec)).alias("ip"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("ip").alias("s"))
+    )
+    sampdims.unpersist()
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(topk)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(F.col("s").cast("double"), 6).alias("score"),
+        )
+    )

@@ -32,13 +32,16 @@ fixtures need no external encoder:
   one contiguous MQ stream);
 * **multi-tile grids**: SOT/SOD tile-parts over a row-major grid with
   clipped edge tiles (Psot-framed, Isot-indexed), seam-exact on
-  lossless and error-bounded on 9/7;
+  lossless and error-bounded on 9/7; **multiple tile-parts per tile**
+  (TPsot-ordered segments concatenated per A.4.2's whole-packets rule);
+* **scalar-derived quantization** (QCD style 1, one (ε₀, μ₀) expanded
+  per T.800 E-5: ε_b = ε₀ + 1 − r for detail resolution r, μ_b = μ₀)
+  alongside the expounded style-2 profile;
 * **codestream syntax**: SOC/SIZ/COD/QCD/SOT/SOD/EOC markers, plus the
   JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
 
-Scope honesty: no multiple tile-parts per tile, no subsampling, no
-precinct subdivision, no ROI, no coder options (bypass/reset/termall/
-causal), no scalar-derived (style 1) quantization, no >3-component or
+Scope honesty: no subsampling, no precinct subdivision, no ROI, no
+coder options (bypass/reset/termall/causal), no >3-component or
 non-8-bit images. Streams using those raise ``Jp2Error`` and the PDF dispatch
 falls back exactly like any other unsupported filter. The EBCOT
 context-formation tables follow the spec's Table D.1-D.4 as published;
@@ -891,6 +894,8 @@ def jp2_encode(
     mct: bool = True,
     tile_size: tuple[int, int] | None = None,
     n_layers: int = 1,
+    derived_quant: bool = False,
+    tile_parts: int = 1,
 ) -> bytes:
     """8-bit planes -> raw JPEG 2000 codestream.
 
@@ -951,12 +956,29 @@ def jp2_encode(
         [(bh, bw) for bandlist in nom_res for _n, bh, bw in bandlist]
     )
 
+    if derived_quant and not irreversible:
+        raise Jp2Error("derived quantization applies to 9/7 streams only")
+    if not 1 <= tile_parts <= 255:
+        raise Jp2Error("tile_parts must fit the u8 TPsot/TNsot fields")
     # per-band quantization table in packet/QCD order
     qtab: list[tuple[int, int, int]] = []  # (eps, mu, rb)
-    for names in _res_band_names(levels):
+    if derived_quant:
+        # style 1: signal ONE (eps0, mu0); every band's exponent derives
+        # from it (E-5: eps0 for LL, eps0 + 1 - r for detail resolution r).
+        # The encoder quantizes with the SAME derived table the decoder
+        # will reconstruct, so both sides agree by construction.
+        eps0, mu0 = _step_to_eps_mu(step, 8 + _BAND_GAIN["LL"])
+        if eps0 + 1 - levels < 0:
+            raise Jp2Error(
+                f"derived eps0 {eps0} underflows at {levels} levels — "
+                "use a smaller step or fewer levels"
+            )
+    for r, names in enumerate(_res_band_names(levels)):
         for name in names:
             rb_bits = 8 + _BAND_GAIN[name]
-            if irreversible:
+            if derived_quant:
+                eps, mu = (eps0 if r == 0 else eps0 + 1 - r), mu0
+            elif irreversible:
                 eps, mu = _step_to_eps_mu(step, rb_bits)
             else:
                 eps, mu = _coef_bits(name, base_bits), 0
@@ -968,7 +990,7 @@ def jp2_encode(
         raise Jp2Error(
             f"{n_tx * n_ty} tiles exceed the u16 Isot space — use larger tiles"
         )
-    tile_parts = []
+    tile_parts_out = []
     for t_idx in range(n_tx * n_ty):
         ty, tx = divmod(t_idx, n_tx)
         x0, y0 = tx * xt, ty * yt
@@ -1098,13 +1120,22 @@ def jp2_encode(
                             body += b["data"][b["off"] : b["off"] + n_bytes]
                             b["off"] += n_bytes
                     packets.append(hdr.finish() + bytes(body))
-        tile_data = b"".join(packets)
-        # Psot spans SOT marker .. end of tile-part data (12 + SOD + data)
-        sot_body = struct.pack(">HIBB", t_idx, 14 + len(tile_data), 0, 1)
-        tile_parts.append(
-            b"\xff\x90" + struct.pack(">H", 10) + sot_body
-            + b"\xff\x93" + tile_data
-        )
+        # A.4.2: every tile-part holds WHOLE packets, so split on packet
+        # boundaries — an even count split across the requested parts
+        # (empty trailing parts are dropped; a tile always emits >= 1)
+        n_tp = min(tile_parts, max(len(packets), 1))
+        for tp in range(n_tp):
+            lo = len(packets) * tp // n_tp
+            hi = len(packets) * (tp + 1) // n_tp
+            tp_data = b"".join(packets[lo:hi])
+            # Psot spans SOT marker .. end of this part (12 + SOD + data)
+            sot_body = struct.pack(
+                ">HIBB", t_idx, 14 + len(tp_data), tp, n_tp
+            )
+            tile_parts_out.append(
+                b"\xff\x90" + struct.pack(">H", 10) + sot_body
+                + b"\xff\x93" + tp_data
+            )
 
     # main header markers
     siz_body = struct.pack(
@@ -1123,7 +1154,12 @@ def jp2_encode(
         0 if irreversible else 1,  # transform: 9/7 irreversible / 5/3
     )
     cod = b"\xff\x52" + struct.pack(">H", 2 + len(cod_body)) + cod_body
-    if irreversible:
+    if derived_quant:
+        # QCD style 1 (scalar derived): guard bits + ONE 16-bit (eps0, mu0)
+        qcd_body = bytes([(_GUARD_BITS << 5) | 1]) + struct.pack(
+            ">H", (eps0 << 11) | mu0
+        )
+    elif irreversible:
         # QCD style 2 (scalar expounded): guard bits + 16-bit (eps, mu)
         # per subband in packet order
         qcd_body = bytes([(_GUARD_BITS << 5) | 2]) + b"".join(
@@ -1136,7 +1172,7 @@ def jp2_encode(
         )
     qcd = b"\xff\x5c" + struct.pack(">H", 2 + len(qcd_body)) + qcd_body
     return (
-        b"\xff\x4f" + siz + cod + qcd + b"".join(tile_parts) + b"\xff\xd9"
+        b"\xff\x4f" + siz + cod + qcd + b"".join(tile_parts_out) + b"\xff\xd9"
     )
 
 
@@ -1197,8 +1233,12 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     qstyle = 0
     qcd_eps: list[int] = []
     qcd_mu: list[int] = []
+    qcd_base: tuple[int, int] | None = None  # style-1 (eps0, mu0)
     cb_w = cb_h = 64
-    tiles: dict[int, tuple[int, int]] = {}  # isot -> (data_start, data_end)
+    # isot -> ordered tile-part byte ranges; T.800 A.4.2 requires TPsot
+    # strictly in order within the codestream, and every tile-part holds
+    # whole packets, so concatenating the ranges restores one packet stream
+    tiles: dict[int, list[tuple[int, int]]] = {}
     while pos < len(data):
         m, body_at, ln = _find_marker(data, pos)
         body = data[body_at : body_at + ln]
@@ -1252,6 +1292,16 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
             if qstyle == 0:
                 qcd_eps = [b >> 3 for b in body[1:]]
                 qcd_mu = [0] * len(qcd_eps)
+            elif qstyle == 1:
+                # scalar derived (E.1.1): ONE (eps0, mu0) pair; per-band
+                # exponents are derived once the COD level count is known
+                if len(body) != 3:
+                    raise Jp2Error(
+                        "scalar-derived QCD carries exactly one SPqcd "
+                        f"(body is {len(body)} bytes, want 3)"
+                    )
+                v = struct.unpack(">H", body[1:3])[0]
+                qcd_base = (v >> 11, v & 0x7FF)
             elif qstyle == 2:
                 if (len(body) - 1) % 2:
                     raise Jp2Error("odd-length scalar-expounded QCD body")
@@ -1259,13 +1309,11 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                 qcd_eps = [v >> 11 for v in vals]
                 qcd_mu = [v & 0x7FF for v in vals]
             else:
-                raise Jp2Error("scalar-derived quantization unsupported")
-        elif m == 0x90:  # SOT — one tile-part per tile in this profile
+                raise Jp2Error(f"QCD quantization style {qstyle} unknown")
+        elif m == 0x90:  # SOT
             if ln < 8:
                 raise Jp2Error("truncated SOT")
             isot, psot, tpsot, _tnsot = struct.unpack(">HIBB", body[:8])
-            if tpsot != 0:
-                raise Jp2Error("multiple tile-parts per tile unsupported")
             sot_at = body_at - 4  # marker start
             data_at = body_at + ln
             nm, nbody, _nl = _find_marker(data, data_at)
@@ -1274,9 +1322,13 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
             end = sot_at + psot if psot else len(data) - 2
             if end > len(data) or end < nbody:
                 raise Jp2Error("SOT Psot out of range")
-            if isot in tiles:
-                raise Jp2Error(f"duplicate tile index {isot}")
-            tiles[isot] = (nbody, end)
+            parts = tiles.setdefault(isot, [])
+            if tpsot != len(parts):
+                raise Jp2Error(
+                    f"tile {isot} tile-part TPsot {tpsot} out of order "
+                    f"(expected {len(parts)}; A.4.2 requires stream order)"
+                )
+            parts.append((nbody, end))
             pos = end
             continue
         elif m == 0xD9:  # EOC
@@ -1285,10 +1337,24 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
     if w is None or levels is None or not tiles:
         raise Jp2Error("missing SIZ/COD/tiles")
     irreversible = transform == 0
-    if irreversible and qstyle != 2:
-        raise Jp2Error("9/7 streams need scalar-expounded quantization")
+    if irreversible and qstyle not in (1, 2):
+        raise Jp2Error("9/7 streams need scalar quantization (style 1 or 2)")
     if not irreversible and qstyle != 0:
         raise Jp2Error("5/3 streams with quantization unsupported")
+    if qstyle == 1:
+        # expand the derived pair into the expounded band order the walk
+        # below consumes: [LL] then per resolution r=1..NL [HL, LH, HH].
+        # T.800 eq. E-5: eps_b = eps0 - NL + n_b with n_b the band's
+        # decomposition level (LL_NL has n_b = NL; detail bands at
+        # resolution r have n_b = NL - r + 1), i.e. eps0 for LL and
+        # eps0 + 1 - r for the r-th detail resolution; mu_b = mu0.
+        eps0, mu0 = qcd_base  # type: ignore[misc]
+        if eps0 + 1 - levels < 0:
+            raise Jp2Error(
+                f"derived eps0 {eps0} underflows at {levels} levels"
+            )
+        qcd_eps = [eps0] + [eps0 + 1 - r for r in range(1, levels + 1) for _ in range(3)]
+        qcd_mu = [mu0] * len(qcd_eps)
 
     n_tx = (w + xt - 1) // xt
     n_ty = (h + yt - 1) // yt
@@ -1302,7 +1368,13 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         [[0] * w for _ in range(h)] for _ in range(ncomp)
     ]
     shape_cache: dict[tuple[int, int], list] = {}  # ≤4 distinct edge shapes
-    for t_idx, (tpos, tend) in sorted(tiles.items()):
+    for t_idx, parts in sorted(tiles.items()):
+        # tile-parts hold whole packets (A.4.2), so their concatenation is
+        # the tile's single contiguous packet stream
+        tdata = data[parts[0][0] : parts[0][1]] if len(parts) == 1 else b"".join(
+            data[s:e] for s, e in parts
+        )
+        tpos, tend = 0, len(tdata)
         ty, tx = divmod(t_idx, n_tx)
         x0, y0 = tx * xt, ty * yt
         tw, th = min(xt, w - x0), min(yt, h - y0)
@@ -1320,7 +1392,7 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         for lyr in range(n_layers):
             for r, bandlist in enumerate(res_bands):
                 for c in range(ncomp):
-                    rd = _HdrReader(data, pos, end=tend)
+                    rd = _HdrReader(tdata, pos, end=tend)
                     if not rd.get():
                         pos = rd.align()  # empty packet: nothing this layer
                         continue
@@ -1368,7 +1440,7 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                     for blk, seg_len in contrib:
                         if pos + seg_len > tend:
                             raise Jp2Error("code-block data overruns the tile-part")
-                        blk["segs"].append(data[pos : pos + seg_len])
+                        blk["segs"].append(tdata[pos : pos + seg_len])
                         pos += seg_len
 
         decoded: list[list[list[list[int]]]] = [[] for _ in range(ncomp)]

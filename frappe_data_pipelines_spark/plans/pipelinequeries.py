@@ -608,6 +608,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jpxtiled.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jpxdq.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample_mixed.pdf', 'pdf', false,
        'Mixed doc page one' || chr(10) || chr(10) || 'Mixed doc page three',
        'pdf-mini', 1.0),
@@ -629,8 +632,10 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     via operators/jbig2mini in generic-region and symbol-dictionary +
     text-region form across BOTH coding families (arithmetic and huffman),
     and JPEG 2000 /JPXDecode via operators/jp2mini in
-    both its lossless-gray 5/3 and lossy-color 9/7+ICT+quantization
-    profiles — the profiles real scanners embed), and the real
+    its lossless-gray 5/3, lossy-color 9/7+ICT+expounded-quantization,
+    tiled, and derived-quantization + multi-tile-part (QCD style 1,
+    TPsot-ordered segments) profiles — the profiles real scanners
+    embed), and the real
     bitmap OCR kernel reads it (method ``pdf-ocr``). The text-bearing
     sample.pdf rides along to prove routing picks text extraction when text
     exists, and sample_mixed.pdf (text page + image-only JBIG2 page + text
@@ -655,6 +660,7 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_jbig2huff.pdf",
         "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
+        "sample_scanned_jpxdq.pdf",
         "sample_mixed.pdf", "sample.pdf",
     ):
         with open(os.path.join(fixtures, name), "rb") as f:

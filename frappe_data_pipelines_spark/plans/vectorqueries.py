@@ -400,6 +400,113 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_clusters=8, n_iter=2, threshold=0.40)
 
 
+def _pq_exact_oracle_sql(
+    m_sub: int = 16, dsub: int = 4, k: int = 16, n_iter: int = 2,
+    sample_rows: int = 256, topk: int = 10,
+) -> str:
+    """DuckDB twin of ann.pq_exact_search: the Lloyd training, encode and
+    ADC scoring replay as a CTE chain over the dims-as-rows relation. All
+    sums are per-term round(·,9) DECIMAL(20,9) — associative, so Spark's
+    partitioned aggregation and DuckDB's single-threaded one reach the
+    SAME decimals; assignment ties break on smaller centroid id in both."""
+    iters = []
+    prev = "cent0"
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+    dist{t} AS (
+      SELECT s.vec_id, s.m, c.cid,
+             sum(CAST(round((s.x - c.cx)*(s.x - c.cx), 9) AS DECIMAL(20,9))) AS d2
+      FROM sampdims s JOIN {prev} c ON c.m = s.m AND c.j = s.j
+      GROUP BY 1, 2, 3
+    ), asg{t} AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM dist{t}) t WHERE rn = 1
+    ), centsum{t} AS (
+      SELECT a.m, a.cid, s.j,
+             CAST(sum(CAST(s.x AS DECIMAL(20,9))) AS DOUBLE) / count(*) AS cx
+      FROM asg{t} a JOIN sampdims s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY 1, 2, 3
+    ), cent{t} AS (
+      SELECT m, cid, j, cx FROM centsum{t}
+      UNION ALL
+      SELECT c.m, c.cid, c.j, c.cx FROM {prev} c
+      WHERE NOT EXISTS (SELECT 1 FROM centsum{t} x
+                        WHERE x.m = c.m AND x.cid = c.cid)
+    )""")
+        prev = f"cent{t}"
+    return f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+      FROM embeddings
+    ), dims AS (
+      SELECT vec_id,
+             CAST((i.i - 1) // {dsub} AS INT) AS m,
+             CAST((i.i - 1) % {dsub} AS INT) AS j,
+             round(v[CAST(i.i AS INT)], 9) AS x
+      FROM n, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+    ), samp AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_rows}
+    ), sampdims AS (
+      SELECT d.* FROM dims d JOIN samp USING (vec_id)
+    ), initids AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM (SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    ), cent0 AS (
+      SELECT s.m, i.cid, s.j, s.x AS cx FROM initids i JOIN sampdims s USING (vec_id)
+    ),{",".join(iters)},
+    edist AS (
+      SELECT d.vec_id, d.m, c.cid,
+             sum(CAST(round((d.x - c.cx)*(d.x - c.cx), 9) AS DECIMAL(20,9))) AS d2
+      FROM dims d JOIN {prev} c ON c.m = d.m AND c.j = d.j
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM edist) t WHERE rn = 1
+    ), qdims AS (
+      SELECT m, j, x AS qx FROM dims WHERE vec_id = {{qid}}
+    ), lut AS (
+      SELECT c.m, c.cid,
+             sum(CAST(round(c.cx * q.qx, 9) AS DECIMAL(20,9))) AS ip
+      FROM {prev} c JOIN qdims q ON q.m = c.m AND q.j = c.j
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT k.vec_id, sum(l.ip) AS s
+      FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+      GROUP BY 1
+    )
+    SELECT vec_id AS id, round(CAST(s AS DOUBLE), 6) AS score
+    FROM scored ORDER BY s DESC, vec_id ASC LIMIT {topk}
+    """.replace("{qid}", str(QUERY_VEC_ID))
+
+
+@register(
+    "ann_pq_exact_search",
+    oracle=_pq_exact_oracle_sql(),
+    tags=("O10", "extension", "scale-path"),
+)
+def ann_pq_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization, EXACT tier (O10): trained codebooks under the
+    hash gate — the third oracled quantizer after BQ and SQ8, and the first
+    whose TRAINING (hash-sampled init + 2 Lloyd rounds) is itself replayed
+    by the DuckDB oracle rather than pinned as literals. All arithmetic is
+    per-term round(·,9) DECIMAL sums over a dims-as-rows relation
+    (ann.pq_exact_dims), so the result is bit-stable under any
+    partitioning. The numpy ``pq_train``/``pq_search`` pair stays the
+    production throughput path (ann_pq_search, rows-only); this tier
+    anchors the trained-codebook math end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.pq_exact_search(emb, query_id=QUERY_VEC_ID)
+
+
 _SQ_SQL = f"""
     WITH n AS (
       SELECT vec_id,

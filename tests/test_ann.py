@@ -562,3 +562,40 @@ def test_sq8_exact_kernel_matches_numpy_and_grid(spark, sf_dir):
     assert [i for i, _ in exact] == [i for i, _ in fast]
     for (_, a), (_, b) in zip(exact, fast):
         assert abs(a - b) < 1e-5
+
+
+class TestPQExactTier:
+    """Round 8: the oracled PQ tier (pq_exact_search) — the gate proves
+    SQL parity; these prove the quantizer is a sane ANN."""
+
+    def test_pq_exact_topk_overlaps_brute_force(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators import ann
+        from frappe_data_pipelines_spark.operators.search import knn_topk
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter("vec_id = 0").first()["embedding"]
+        ]
+        exact = [r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()]
+        got = ann.pq_exact_search(emb, query_id=0, topk=20).collect()
+        ids = [r["id"] for r in got]
+        # 16x16 codebooks (64 bits/vector) on near-orthogonal noise:
+        # expect solid overlap, not equality — and the query itself first
+        assert ids[0] == 0
+        assert len(set(exact) & set(ids)) >= 5
+        # scores are descending, 6-dp rounded
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_pq_exact_deterministic_across_partitionings(self, spark, sf_dir):
+        from frappe_data_pipelines_spark.operators import ann
+        from frappe_data_pipelines_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = ann.pq_exact_search(emb, query_id=0).collect()
+        b = ann.pq_exact_search(emb.repartition(7), query_id=0).collect()
+        assert [(r["id"], r["score"]) for r in a] == [
+            (r["id"], r["score"]) for r in b
+        ]

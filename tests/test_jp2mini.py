@@ -344,11 +344,12 @@ class TestIrreversibleAndColor:
             jp2_encode([rows, rows], levels=1)  # 2 components
         with pytest.raises(Jp2Error):
             jp2_encode([rows], levels=1, irreversible=True, step=-1.0)
-        # scalar-derived (style 1) QCD: flip the style bits in a lossy stream
+        # style bits flipped to 1 on an EXPOUNDED body: style 1 carries
+        # exactly one SPqcd, so the oversized body refuses as malformed
         cs = bytearray(jp2_encode([rows], levels=1, irreversible=True))
         qcd_at = bytes(cs).find(b"\xff\x5c")
         cs[qcd_at + 4] = (cs[qcd_at + 4] & 0xE0) | 1
-        with pytest.raises(Jp2Error):
+        with pytest.raises(Jp2Error, match="exactly one SPqcd"):
             jp2_decode(bytes(cs))
 
     def test_lossy_corruption_totality(self):
@@ -512,12 +513,13 @@ class TestMultiTile:
         with pytest.raises(Jp2Error):
             jp2_encode([rows], levels=1, tile_size=(0, 4))
         cs = bytearray(jp2_encode([rows], levels=1, tile_size=(8, 8)))
-        # duplicate tile index: flip the second SOT's Isot to 0
+        # duplicate tile index: flip the second SOT's Isot to 0 — with
+        # TPsot still 0 that is a tile-part order violation for tile 0
         sot1 = bytes(cs).find(b"\xff\x90")
         sot2 = bytes(cs).find(b"\xff\x90", sot1 + 2)
         cs2 = bytearray(cs)
         cs2[sot2 + 4 : sot2 + 6] = (0).to_bytes(2, "big")
-        with pytest.raises(Jp2Error, match="duplicate tile"):
+        with pytest.raises(Jp2Error, match="out of order|grid needs"):
             jp2_decode(bytes(cs2))
         # missing tile: truncate before the second SOT (and keep EOC)
         cs3 = bytes(cs[:sot2]) + b"\xff\xd9"
@@ -733,6 +735,145 @@ class TestCodeBlockGrids:
         rng = random.Random(55)
         rows = [bytes(rng.randrange(256) for _ in range(90)) for _ in range(80)]
         cs = jp2_encode([rows], levels=2)
+        for _ in range(150):
+            b = bytearray(cs)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                jp2_decode(bytes(b))
+            except (Jp2Error, ValueError, IndexError, _struct.error):
+                pass
+
+
+class TestDerivedQuantAndTileParts:
+    """Round 8: QCD style 1 (scalar derived, T.800 E-5) and multiple
+    tile-parts per tile (A.4.2 whole-packet segments in TPsot order)."""
+
+    def _maxerr(self, a, b):
+        return max(
+            abs(pa - pb) for ra, rb in zip(a, b) for pa, pb in zip(ra, rb)
+        )
+
+    def test_derived_quant_roundtrip_error_bounded(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(31)
+        noise = [
+            bytes(rng.randrange(256) for _ in range(57)) for _ in range(43)
+        ]
+        smooth = [
+            bytes((x * 3 + y * 2) % 256 for x in range(57)) for y in range(43)
+        ]
+        for img in (noise, smooth):
+            w, h, comps = jp2_decode(
+                jp2_encode(
+                    [img], levels=3, irreversible=True, step=0.5,
+                    mct=False, derived_quant=True,
+                )
+            )
+            assert (w, h) == (57, 43)
+            # derived steps double per level; finest-band error stays small
+            assert self._maxerr(img, comps[0]) <= 8
+
+    def test_derived_qcd_is_style_1_and_three_bytes(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+        rows = [bytes((x + y) % 256 for x in range(40)) for y in range(32)]
+        cs = jp2_encode(
+            [rows], levels=2, irreversible=True, mct=False,
+            derived_quant=True,
+        )
+        at = cs.index(b"\xff\x5c")
+        ln = int.from_bytes(cs[at + 2 : at + 4], "big")
+        assert ln == 2 + 3  # Sqcd byte + ONE 16-bit (eps0, mu0)
+        assert cs[at + 4] & 0x1F == 1  # style 1
+
+    def test_derived_refuses_on_5_3_and_on_eps_underflow(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_encode,
+        )
+
+        rows = [bytes((x + y) % 256 for x in range(64)) for y in range(64)]
+        with pytest.raises(Jp2Error, match="9/7"):
+            jp2_encode([rows], levels=2, irreversible=False, mct=False,
+                       derived_quant=True)
+        with pytest.raises(Jp2Error, match="underflow"):
+            # step 128 -> eps0 = 1; 5 levels needs eps0 >= 4
+            jp2_encode([rows], levels=5, irreversible=True, step=128.0,
+                       mct=False, derived_quant=True)
+
+    def test_multi_tile_parts_lossless_exact(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(93)
+        rows = [bytes(rng.randrange(256) for _ in range(90)) for _ in range(70)]
+        ref = jp2_encode([rows], levels=2, mct=False)
+        split = jp2_encode([rows], levels=2, mct=False, tile_parts=3)
+        assert split.count(b"\xff\x90") >= 3  # really framed as 3 parts
+        for cs in (ref, split):
+            _w, _h, comps = jp2_decode(cs)
+            assert [bytes(r) for r in comps[0]] == rows
+
+    def test_tile_parts_compose_with_tiles_layers_color_derived(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(17)
+        comps = [
+            [bytes(rng.randrange(256) for _ in range(100)) for _ in range(80)]
+            for _ in range(3)
+        ]
+        cs = jp2_encode(
+            comps, levels=2, irreversible=True, step=0.5, mct=True,
+            tile_size=(64, 48), n_layers=2, tile_parts=2,
+            derived_quant=True,
+        )
+        w, h, out = jp2_decode(cs)
+        assert (w, h) == (100, 80)
+        assert max(self._maxerr(a, b) for a, b in zip(comps, out)) <= 8
+
+    def test_out_of_order_tpsot_refuses(self):
+        import re as _re
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(5)
+        rows = [bytes(rng.randrange(256) for _ in range(60)) for _ in range(50)]
+        cs = jp2_encode([rows], levels=2, mct=False, tile_parts=2)
+        sots = [m.start() for m in _re.finditer(b"\xff\x90", cs)]
+        assert len(sots) == 2
+        swapped = cs[: sots[0]] + cs[sots[1] : -2] + cs[sots[0] : sots[1]] + cs[-2:]
+        with pytest.raises(Jp2Error, match="out of order"):
+            jp2_decode(swapped)
+
+    def test_tile_part_fuzz_totality(self):
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode,
+            jp2_encode,
+        )
+
+        rng = random.Random(41)
+        rows = [bytes(rng.randrange(256) for _ in range(64)) for _ in range(48)]
+        cs = jp2_encode(
+            [rows], levels=2, irreversible=True, mct=False,
+            derived_quant=True, tile_parts=2,
+        )
         for _ in range(150):
             b = bytearray(cs)
             i = rng.randrange(len(b))

@@ -397,6 +397,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jpx97.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jpxtiled.pdf", make_scanned_jpxtiled_pdf())
     _write_if_missing("sample_scanned_jpxtiled.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpxdq.pdf", make_scanned_jpxdq_pdf())
+    _write_if_missing("sample_scanned_jpxdq.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2.pdf", make_scanned_jbig2_pdf())
     _write_if_missing("sample_scanned_jbig2.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2sym.pdf", make_scanned_jbig2sym_pdf())
@@ -840,6 +842,27 @@ def make_scanned_jpxtiled_pdf() -> bytes:
         jp2_encode([r_p, g_p, b_p], levels=2, irreversible=True, step=0.5,
                    tile_size=(64, 16)),
         b"JPXDecode", colorspace=b"DeviceRGB",
+    )
+
+
+def make_scanned_jpxdq_pdf() -> bytes:
+    """Derived-quantization JPX scanned page (round 8): gray 9/7 raster
+    with QCD style 1 — ONE signalled (ε₀, μ₀) expanded per T.800 E-5 —
+    split across a 2-tile grid whose tiles each carry TWO tile-parts
+    (TPsot 0/1, whole-packet segments per A.4.2). The two remaining
+    codestream-syntax profiles real encoders emit, in one fixture."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    w, h, rows = _scanned_raster()
+    return _scanned_pdf_from_image(
+        w, h,
+        jp2_encode([rows], levels=2, irreversible=True, step=0.5,
+                   mct=False, tile_size=(w, (h + 1) // 2),
+                   derived_quant=True, tile_parts=2),
+        b"JPXDecode",
     )
 
 
