@@ -34,8 +34,10 @@ any other unsupported filter. Every ARITHMETIC region type IS
 implemented, both directions: generic (incl. custom AT + MMR via T.6),
 symbol/text, refinement in BOTH templates (GRTEMPLATE 1 fixed and
 GRTEMPLATE 0 with movable SDRAT/SBRAT pixels; refined instances +
-single-instance REFAGG), and halftone (pattern dictionaries with the A1=(-HDPW,0) collective template,
-gray-coded bitplanes, skewable grid placement). The template-0 context is built in the spec figure's
+single-instance REFAGG), and halftone (pattern dictionaries with the A1=(-HDPW,0) collective template
+or HDMMR T.6 coding, gray-coded bitplanes — arithmetic with optional
+HENABLESKIP cell masking, or HMMR as one unreset T.6 stream across all
+planes — and skewable grid placement). The template-0 context is built in the spec figure's
 raster order (row y−2, row y−1, row y, with the four nominal AT pixels in
 their nominal positions); encoder and decoder share one context builder
 and are validated by exhaustive round-trip fuzzing plus the PDF
@@ -302,11 +304,14 @@ def generic_region_decode(
 
 def _generic_decode_into(
     mq: MQDecoder, cxs: list, w: int, h: int, tpgdon: bool = False, template: int = 0,
-    at: list | None = None,
+    at: list | None = None, skip: list | None = None,
 ) -> list[bytes]:
     """Generic-region decode driven by a SHARED MQ decoder + context array —
     the form symbol dictionaries use (T.88 6.5.8.1: every symbol bitmap in a
-    dictionary continues the same arithmetic decoder and GB contexts)."""
+    dictionary continues the same arithmetic decoder and GB contexts).
+    ``skip`` is the optional USESKIP bitmap (6.2.5.7): a marked pixel is
+    set to 0 WITHOUT consuming a decision — halftone HENABLESKIP cells
+    fully outside the region are never coded."""
     pixels = _template_pixels(template, at)
     sltp_ctx = _SLTP_CTXS[template]
     rows: list[bytearray] = []
@@ -319,7 +324,10 @@ def _generic_decode_into(
                 continue
         row = bytearray(w)
         rows.append(row)
+        srow = skip[y] if skip is not None else None
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue  # skipped: stays 0, no decision consumed
             row[x] = mq.decode(cxs[_context(rows, x, y, w, pixels)])
     return [bytes(r) for r in rows]
 
@@ -337,14 +345,22 @@ def generic_region_encode(
 def _generic_encode_into(
     mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
     tpgdon: bool = False, template: int = 0, at: list | None = None,
+    skip: list | None = None,
 ) -> None:
-    """Encoder twin of _generic_decode_into: no flush, shared MQ + contexts."""
+    """Encoder twin of _generic_decode_into: no flush, shared MQ + contexts.
+    ``skip`` pixels are forced to 0 in the built context rows and emit no
+    decision — mirror of the decoder's USESKIP rule."""
     pixels = _template_pixels(template, at)
     sltp_ctx = _SLTP_CTXS[template]
     built: list[bytearray] = []
     ltp = 0
     for y in range(h):
         row = bytearray(rows[y][:w])
+        srow = skip[y] if skip is not None else None
+        if srow is not None:
+            for x in range(w):
+                if srow[x]:
+                    row[x] = 0  # context rows must agree with the decoder
         if tpgdon:
             typical = y > 0 and row == built[y - 1] or (y == 0 and not any(row))
             # y==0 typical only if all-zero (the implicit row above is blank)
@@ -356,6 +372,8 @@ def _generic_encode_into(
         else:
             built.append(row)
         for x in range(w):
+            if srow is not None and srow[x]:
+                continue
             mq.encode(cxs[_context(built, x, y, w, pixels)], row[x] & 1)
 
 
@@ -1373,6 +1391,20 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
 # -- halftone profile (T.88 6.6/6.7, segment types 16 + 20/22/23) ------------
 
 
+def _mmr_rows(data: bytes, w: int, h: int) -> list:
+    """One T.6 (MMR) stream → ``h`` rows of width ``w``, truncated streams
+    padded with white rows (same convention as the MMR generic region)."""
+    from frappe_data_pipelines_spark.operators.faxmini import FaxError, g4_decode
+
+    try:
+        rows = g4_decode(data, w, h)
+    except (FaxError, ValueError, IndexError) as e:
+        raise Jbig2Error(f"MMR stream: {e}") from e
+    if len(rows) < h:
+        rows = list(rows) + [bytearray(w)] * (h - len(rows))
+    return rows
+
+
 def decode_pattern_dict(body: bytes) -> list:
     """Pattern-dictionary segment body → list of pattern bitmaps. The
     patterns are decoded as ONE collective generic region of width
@@ -1381,8 +1413,7 @@ def decode_pattern_dict(body: bytes) -> list:
     if len(body) < 7:
         raise Jbig2Error("truncated pattern dictionary")
     flags = body[0]
-    if flags & 0x01:
-        raise Jbig2Error("MMR-coded pattern dictionary unsupported")
+    hdmmr = flags & 0x01
     template = (flags >> 1) & 0x03
     hdpw, hdph = body[1], body[2]
     graymax = int.from_bytes(body[3:7], "big")
@@ -1390,23 +1421,48 @@ def decode_pattern_dict(body: bytes) -> list:
         raise Jbig2Error("zero-size halftone pattern")
     if (graymax + 1) * hdpw * hdph > _MAX_PIXELS:
         raise Jbig2Error("pattern dictionary exceeds pixel budget")
-    at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
-    collective = generic_region_decode(
-        body[7:], (graymax + 1) * hdpw, hdph, template=template, at=at
-    )
+    if hdmmr:
+        # 6.7.5: HDMMR=1 codes the collective bitmap as one T.6 stream
+        collective = [
+            bytes(r) for r in _mmr_rows(body[7:], (graymax + 1) * hdpw, hdph)
+        ]
+    else:
+        at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
+        collective = generic_region_decode(
+            body[7:], (graymax + 1) * hdpw, hdph, template=template, at=at
+        )
     return [
         [row[i * hdpw : (i + 1) * hdpw] for row in collective]
         for i in range(graymax + 1)
     ]
 
 
+def _halftone_skip(
+    hgw: int, hgh: int, hgx: int, hgy: int, hrx: int, hry: int,
+    hdpw: int, hdph: int, rw: int, rh: int,
+) -> list:
+    """HSKIP bitmap (6.6.5.1): cell (m, n) is skipped when its pattern
+    footprint lies entirely outside the region rectangle."""
+    skip = []
+    for m in range(hgh):
+        row = bytearray(hgw)
+        for n in range(hgw):
+            x0 = hgx + ((m * hry + n * hrx) >> 8)
+            y0 = hgy + ((m * hrx - n * hry) >> 8)
+            if x0 + hdpw <= 0 or x0 >= rw or y0 + hdph <= 0 or y0 >= rh:
+                row[n] = 1
+        skip.append(row)
+    return skip
+
+
 def decode_halftone_region(body: bytes, patterns: list):
     """Halftone-region segment body + patterns → (rw, rh, rx, ry, comb_op,
-    rows). Grayscale image decoded as gray-coded bitplanes (MSB first, one
-    shared MQ decoder + GB context bank, C.5), each cell's pattern placed
-    on the skewable grid x = HGX + (mg*HRY + ng*HRX)>>8,
-    y = HGY + (mg*HRX - ng*HRY)>>8 (vector components in 1/256 px,
-    6.6.5.2). HMMR and HENABLESKIP refuse."""
+    rows). Grayscale image decoded as gray-coded bitplanes (MSB first —
+    arithmetic: one shared MQ decoder + GB context bank per C.5, with the
+    optional HENABLESKIP/USESKIP cell mask; HMMR=1: one unreset T.6 stream
+    across all planes), each cell's pattern placed on the skewable grid
+    x = HGX + (mg*HRY + ng*HRX)>>8, y = HGY + (mg*HRX - ng*HRY)>>8
+    (vector components in 1/256 px, 6.6.5.2)."""
     if len(body) < 18:
         raise Jbig2Error("truncated halftone region")
     if not patterns:
@@ -1417,11 +1473,9 @@ def decode_halftone_region(body: bytes, patterns: list):
     ry = int.from_bytes(body[12:16], "big")
     ext_comb = body[16] & 0x07
     flags = body[17]
-    if flags & 0x01:
-        raise Jbig2Error("MMR-coded halftone region unsupported")
+    hmmr = flags & 0x01
     template = (flags >> 1) & 0x03
-    if (flags >> 3) & 0x01:
-        raise Jbig2Error("HENABLESKIP unsupported")
+    enable_skip = (flags >> 3) & 0x01
     comb_op = (flags >> 4) & 0x07
     def_pixel = (flags >> 7) & 0x01
     if len(body) < 38:
@@ -1438,11 +1492,33 @@ def decode_halftone_region(body: bytes, patterns: list):
         raise Jbig2Error("halftone grid exceeds budget")
 
     bpv = max(len(patterns) - 1, 0).bit_length() or 1
-    mq = MQDecoder(body[38:])
-    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+    hdph_ = len(patterns[0])
+    hdpw_ = len(patterns[0][0]) if hdph_ else 0
+    hskip = None
+    if enable_skip and not hmmr:
+        # 6.6.5.1: a grid cell whose pattern footprint falls entirely
+        # outside the region is marked and its pixels are never coded
+        # (USESKIP in the bitplane decode). MMR mode carries no skip.
+        hskip = _halftone_skip(
+            hgw, hgh, hgx, hgy, hrx, hry, hdpw_, hdph_, rw, rh
+        )
+    if hmmr:
+        # C.5 with HMMR=1: ALL bitplanes come from ONE unreset T.6 stream —
+        # 2-D rows reference across plane boundaries, which is exactly a
+        # single (hgw x bpv*hgh) decode sliced into consecutive planes
+        stacked = _mmr_rows(body[38:], hgw, bpv * hgh)
+        planes = [stacked[j * hgh : (j + 1) * hgh] for j in range(bpv)]
+    else:
+        mq = MQDecoder(body[38:])
+        cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+        planes = [
+            _generic_decode_into(
+                mq, cxs, hgw, hgh, template=template, skip=hskip
+            )
+            for _ in range(bpv)
+        ]
     gray = [[0] * hgw for _ in range(hgh)]
-    for _j in range(bpv):  # MSB-first gray-code planes share MQ + contexts
-        plane = _generic_decode_into(mq, cxs, hgw, hgh, template=template)
+    for plane in planes:  # MSB-first gray-code planes
         for m in range(hgh):
             gm = gray[m]
             pm = plane[m]
@@ -1485,64 +1561,101 @@ def decode_halftone_region(body: bytes, patterns: list):
     return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
 
 
-def encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
-    """Encoder twin of decode_pattern_dict (equal-size patterns)."""
+def encode_pattern_dict(patterns: list, template: int = 0, mmr: bool = False) -> bytes:
+    """Encoder twin of decode_pattern_dict (equal-size patterns);
+    ``mmr=True`` codes the collective bitmap as one T.6 stream (HDMMR)."""
+    from frappe_data_pipelines_spark.operators.faxmini import g4_encode
+
     hdph = len(patterns[0])
     hdpw = len(patterns[0][0])
     collective = [
         bytes(b for pat in patterns for b in pat[y]) for y in range(hdph)
     ]
-    at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
-    data = generic_region_encode(
-        collective, hdpw * len(patterns), hdph, template=template, at=at
-    )
-    return (bytes([template << 1, hdpw, hdph])
+    if mmr:
+        data = g4_encode(collective, hdpw * len(patterns))
+        flags = 0x01
+    else:
+        at = [(-hdpw, 0)] + list(_NOMINAL_AT[template])[1:]
+        data = generic_region_encode(
+            collective, hdpw * len(patterns), hdph, template=template, at=at
+        )
+        flags = template << 1
+    return (bytes([flags, hdpw, hdph])
             + (len(patterns) - 1).to_bytes(4, "big") + data)
 
 
 def encode_halftone_region(
     values: list[list[int]], patterns: list, rw: int, rh: int,
-    template: int = 0,
+    template: int = 0, mmr: bool = False, enable_skip: bool = False,
 ) -> bytes:
     """Encoder twin of decode_halftone_region: axis-aligned grid at (0,0)
     with x-pitch = pattern width and y-pitch also = pattern width (HRX
-    carries both per the grid equations — fixtures use square patterns)."""
+    carries both per the grid equations — fixtures use square patterns).
+    ``mmr=True`` emits HMMR=1 (one unreset T.6 stream over all bitplanes);
+    ``enable_skip=True`` emits HENABLESKIP=1 (cells fully outside the
+    region are masked out of the arithmetic coder, 6.6.5.1)."""
+    from frappe_data_pipelines_spark.operators.faxmini import g4_encode
+
     hgh = len(values)
     hgw = len(values[0])
     hdpw = len(patterns[0][0])
+    hdph = len(patterns[0])
     bpv = max(len(patterns) - 1, 0).bit_length() or 1
-    mq = MQEncoder()
-    cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
-    for j in reversed(range(bpv)):
+    if mmr and enable_skip:
+        raise Jbig2Error("HENABLESKIP applies to the arithmetic coder only")
+    hskip = None
+    if enable_skip:
+        hskip = _halftone_skip(
+            hgw, hgh, 0, 0, hdpw << 8, 0, hdpw, hdph, rw, rh
+        )
+    planes = [
         # binary→gray MSB-first: plane_j = b_j ^ b_{j+1}
-        plane = [
+        [
             bytes(((v >> j) & 1) ^ ((v >> (j + 1)) & 1) for v in row)
             for row in values
         ]
-        _generic_encode_into(mq, cxs, plane, hgw, hgh, template=template)
+        for j in reversed(range(bpv))
+    ]
+    if mmr:
+        stacked = [row for plane in planes for row in plane]
+        data = g4_encode(stacked, hgw)
+    else:
+        mq = MQEncoder()
+        cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+        for plane in planes:
+            _generic_encode_into(
+                mq, cxs, plane, hgw, hgh, template=template, skip=hskip
+            )
+        data = mq.flush()
+    flags = (1 if mmr else 0) | (template << 1) | ((1 if enable_skip else 0) << 3)
     head = (
         rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
         + (0).to_bytes(8, "big") + bytes([0])       # region at (0,0), OR
-        + bytes([template << 1])                     # flags: arithmetic, no skip
+        + bytes([flags])
         + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
         + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # HGX, HGY
         + (hdpw << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")  # HRX, HRY
     )
-    return head + mq.flush()
+    return head + data
 
 
 def jbig2_encode_halftone(
     values: list[list[int]], patterns: list, page_w: int, page_h: int,
-    template: int = 0,
+    template: int = 0, mmr: bool = False, enable_skip: bool = False,
 ) -> bytes:
     """Halftone fixture producer: page info + pattern dictionary + one
-    immediate lossless halftone region + end-of-page."""
+    immediate lossless halftone region + end-of-page. ``mmr`` selects the
+    HDMMR/HMMR T.6 family for both segments; ``enable_skip`` exercises
+    HENABLESKIP in the arithmetic family."""
     return (
         _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
-        + _seg_with_refs(1, 16, 1, encode_pattern_dict(patterns, template))
+        + _seg_with_refs(1, 16, 1, encode_pattern_dict(patterns, template, mmr=mmr))
         + _seg_with_refs(
             2, 23, 1,
-            encode_halftone_region(values, patterns, page_w, page_h, template),
+            encode_halftone_region(
+                values, patterns, page_w, page_h, template,
+                mmr=mmr, enable_skip=enable_skip,
+            ),
             refs=(1,),
         )
         + _seg_with_refs(3, 49, 1, b"")

@@ -945,15 +945,10 @@ class TestHalftone:
             decode_pattern_dict,
         )
 
-        with pytest.raises(Jbig2Error, match="MMR"):
-            decode_pattern_dict(bytes([1, 4, 4]) + (3).to_bytes(4, "big") + b"\x00" * 4)
         with pytest.raises(Jbig2Error, match="zero-size"):
             decode_pattern_dict(bytes([0, 0, 4]) + (3).to_bytes(4, "big") + b"\x00" * 4)
         region = ((8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0]))
         tail = (2).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + (1 << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
-        pats = self._pats(2)
-        with pytest.raises(Jbig2Error, match="HENABLESKIP"):
-            decode_halftone_region(region + bytes([1 << 3]) + tail + b"\x00" * 8, pats)
         with pytest.raises(Jbig2Error, match="no pattern"):
             decode_halftone_region(region + bytes([0]) + tail + b"\x00" * 8, [])
 
@@ -1202,3 +1197,110 @@ def test_refagg_template0_fixture_pdf_ocrs_to_golden():
     text, conf = pdf_ocr_scanned(data)
     assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
     assert conf == 1.0
+
+
+class TestHalftoneMMRAndSkip:
+    """Round 8: the halftone profile's remaining coding options — HDMMR
+    pattern dictionaries, HMMR bitplanes (one unreset T.6 stream across
+    all planes), and HENABLESKIP cell masking (6.6.5.1/6.2.5.7)."""
+
+    @staticmethod
+    def _pats(n, size=4):
+        return [
+            [
+                bytes(1 if (x + y * size) < lvl * (size + 1) else 0 for x in range(size))
+                for y in range(size)
+            ]
+            for lvl in range(n)
+        ]
+
+    def test_mmr_family_matches_arithmetic(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_halftone,
+        )
+
+        rng = random.Random(3)
+        pats = self._pats(4)
+        values = [[rng.randrange(4) for _ in range(12)] for _ in range(9)]
+        ref = jbig2_decode_embedded(jbig2_encode_halftone(values, pats, 48, 36))
+        got = jbig2_decode_embedded(
+            jbig2_encode_halftone(values, pats, 48, 36, mmr=True)
+        )
+        assert got == ref
+
+    def test_pattern_dict_mmr_roundtrip(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            decode_pattern_dict,
+            encode_pattern_dict,
+        )
+
+        pats = self._pats(5)
+        back = decode_pattern_dict(encode_pattern_dict(pats, mmr=True))
+        assert [[bytes(r) for r in p] for p in back] == [
+            [bytes(r) for r in p] for p in pats
+        ]
+
+    def test_enable_skip_matches_and_actually_skips(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            encode_halftone_region,
+            jbig2_decode_embedded,
+            jbig2_encode_halftone,
+        )
+
+        rng = random.Random(3)
+        pats = self._pats(4)
+        # grid footprint 48x36 vs region 40x28: the last two cell columns
+        # and cell rows fall fully outside -> genuinely skipped cells
+        values = [[rng.randrange(4) for _ in range(12)] for _ in range(9)]
+        ref = jbig2_decode_embedded(jbig2_encode_halftone(values, pats, 40, 28))
+        got = jbig2_decode_embedded(
+            jbig2_encode_halftone(values, pats, 40, 28, enable_skip=True)
+        )
+        assert got == ref
+        # the skip mask removes real decisions: the coded stream shrinks
+        a = encode_halftone_region(values, pats, 40, 28)
+        b = encode_halftone_region(values, pats, 40, 28, enable_skip=True)
+        assert len(b) < len(a)
+
+    def test_mmr_with_skip_refuses_at_encode(self):
+        import pytest as _pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            encode_halftone_region,
+        )
+
+        with _pytest.raises(Jbig2Error, match="arithmetic"):
+            encode_halftone_region(
+                [[0]], self._pats(2), 8, 8, mmr=True, enable_skip=True
+            )
+
+    def test_mmr_stream_mutation_totality(self, monkeypatch):
+        import random
+
+        from frappe_data_pipelines_spark.operators import jbig2mini
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_halftone,
+        )
+
+        monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+        pats = self._pats(3)
+        values = [[(m + n) % 3 for n in range(4)] for m in range(3)]
+        base = jbig2_encode_halftone(values, pats, 18, 14, mmr=True)
+        assert jbig2_decode_embedded(base)[0] == 18
+        rng = random.Random(48)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except Jbig2Error:
+                pass
