@@ -27,10 +27,12 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
 
 Scope honesty: standard huffman tables B.6-B.15 (untranscribed spec data;
 custom-table streams cover those selector slots), huffman refinement,
-huffman REFAGG dictionaries, multi-instance aggregates, and non-causal
-template-0 refinement AT1 pixels are NOT implemented — a stream using
-them raises ``Jbig2Error`` and the PDF dispatch falls back exactly like
-any other unsupported filter. Every ARITHMETIC region type IS
+huffman REFAGG dictionaries, and non-causal template-0 refinement AT1
+pixels are NOT implemented — a stream using them raises ``Jbig2Error``
+and the PDF dispatch falls back exactly like any other unsupported
+filter. Multi-instance aggregates (REFAGGNINST > 1) ARE implemented in
+the arithmetic family: the symbol decodes as a nested text region driven
+by the dictionary's shared decoder and context banks (6.5.8.2, Table 17). Every ARITHMETIC region type IS
 implemented, both directions: generic (incl. custom AT + MMR via T.6),
 symbol/text, refinement in BOTH templates (GRTEMPLATE 1 fixed and
 GRTEMPLATE 0 with movable SDRAT/SBRAT pixels; refined instances +
@@ -1053,6 +1055,11 @@ def decode_symbol_dict(
         iaai, iardx, iardy = _int_ctx(), _int_ctx(), _int_ctx()
         iaid = _iaid_ctx(ref_code_len)
         gr_cxs = _ref_ctx_bank(r_template)
+        # 6.5.8.2: multi-instance aggregates run a text region INSIDE the
+        # dictionary; its IADT/IAFS/IADS/IAIT/IARI/IARDW/IARDH contexts
+        # persist across every aggregate in the dictionary (Table 17)
+        iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
+        iardw, iardh = _int_ctx(), _int_ctx()
     # one growing pool: input symbols + decoded-so-far (all_syms at the
     # end); avoids the O(n^2) per-symbol list rebuild for REFAGG streams
     pool: list = list(input_syms)
@@ -1085,15 +1092,27 @@ def decode_symbol_dict(
             if sym_width * hc_height > _MAX_PIXELS:
                 raise Jbig2Error("symbol exceeds pixel budget")
             if refagg:
-                # 6.5.8.2: each symbol is a refinement of an earlier one.
-                # Only the single-instance form (REFAGGNINST == 1) is
-                # decoded — the multi-instance form embeds a full text
-                # region and is refused like the huffman profile.
+                # 6.5.8.2: REFAGGNINST == 1 → the symbol is a refinement
+                # of an earlier one; REFAGGNINST > 1 → the symbol is a
+                # nested TEXT REGION of its own dimensions composed from
+                # already-decoded symbols (Table 17 parameters: one strip,
+                # TOPLEFT corner, OR composition, REFINE=1, all contexts
+                # shared with the dictionary's arithmetic decoder)
                 n_inst = arith_int_decode(mq, iaai)
-                if n_inst != 1:
-                    raise Jbig2Error(
-                        f"aggregate symbol with {n_inst} instances unsupported"
+                if n_inst is None or n_inst < 1:
+                    raise Jbig2Error(f"bad aggregate instance count {n_inst}")
+                if n_inst > 1:
+                    if n_inst > _MAX_SYMBOLS:
+                        raise Jbig2Error("aggregate instance count exceeds budget")
+                    sym = _decode_aggregate_symbol(
+                        mq, pool, sym_width, hc_height, n_inst, ref_code_len,
+                        r_template, rat, gr_cxs,
+                        iadt, iafs, iads, iait, iari,
+                        iardw, iardh, iardx, iardy, iaid,
                     )
+                    new_syms.append(sym)
+                    pool.append(sym)
+                    continue
                 rid = arith_iaid_decode(mq, iaid, ref_code_len)
                 if not 0 <= rid < len(pool):
                     raise Jbig2Error(f"refinement reference id {rid} out of range")
@@ -1131,6 +1150,60 @@ def decode_symbol_dict(
             f"symbol dictionary exported {len(exported)}, declared {num_ex}"
         )
     return exported
+
+
+def _decode_aggregate_symbol(
+    mq, pool, sym_width, hc_height, n_inst, ref_code_len,
+    r_template, rat, gr_cxs,
+    iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy, iaid,
+) -> list[bytes]:
+    """Multi-instance aggregate symbol (6.5.8.2.2): the symbol's bitmap is
+    a nested text region of its own dimensions, composed of REFAGGNINST
+    placements of already-decoded symbols (optionally refined), driven by
+    the dictionary's OWN arithmetic decoder and persistent context banks
+    (Table 17: SBSTRIPS=1, TOPLEFT corner, OR composition, REFINE=1,
+    SBDSOFFSET=0, SBSYMCODELEN = the dictionary's ref code length)."""
+
+    def get_dt():
+        return arith_int_decode(mq, iadt)
+
+    def get_fs():
+        return arith_int_decode(mq, iafs)
+
+    def get_ds():
+        return arith_int_decode(mq, iads)
+
+    def get_curt():
+        return 0  # SBSTRIPS == 1: CURT is 0 without a decode (6.4.5)
+
+    def get_sid():
+        return arith_iaid_decode(mq, iaid, ref_code_len)
+
+    def get_ri():
+        return arith_int_decode(mq, iari)
+
+    def decode_refinement(sym):
+        rdw = arith_int_decode(mq, iardw)
+        rdh = arith_int_decode(mq, iardh)
+        rdx = arith_int_decode(mq, iardx)
+        rdy = arith_int_decode(mq, iardy)
+        if None in (rdw, rdh, rdx, rdy):
+            raise Jbig2Error("OOB refinement delta in aggregate")
+        nw = (len(sym[0]) if sym else 0) + rdw
+        nh = len(sym) + rdh
+        if nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM or nh > _MAX_SYM_DIM:
+            raise Jbig2Error("refined aggregate instance exceeds budget")
+        return refinement_region_decode(
+            mq, gr_cxs, nw, nh, sym,
+            dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+            template=r_template, at=rat,
+        )
+
+    return _text_region_place(
+        sym_width, hc_height, n_inst, pool,
+        1, 1, 0, 0, 0, 0, 1,  # strips, TOPLEFT, not transposed, OR, 0, 0, REFINE
+        get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
+    )
 
 
 # -- text region (T.88 6.4, segment types 4/6/7) -----------------------------
@@ -1308,6 +1381,23 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
                 template=r_template, at=rat,
             )
 
+    rows = _text_region_place(
+        rw, rh, num_instances, syms, strips, refcorner, transposed,
+        comb_op, def_pixel, ds_offset, refine,
+        get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
+    )
+    return rw, rh, rx, ry, ext_comb, rows
+
+
+def _text_region_place(
+    rw, rh, num_instances, syms, strips, refcorner, transposed,
+    comb_op, def_pixel, ds_offset, refine,
+    get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
+) -> list[bytes]:
+    """The text-region PLACEMENT loop (6.4.5), factored out of
+    ``decode_text_region`` so multi-instance aggregate symbols (6.5.8.2)
+    can run the same procedure inside a symbol dictionary with the
+    dictionary's shared arithmetic decoder and context banks (Table 17)."""
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
 
     dt = get_dt()
@@ -1385,7 +1475,7 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
                         prow[px] = 1 - (p ^ b)
             curs += (hs if transposed else ws) - 1
             ninst += 1
-    return rw, rh, rx, ry, ext_comb, [bytes(r) for r in rows]
+    return [bytes(r) for r in rows]
 
 
 # -- halftone profile (T.88 6.6/6.7, segment types 16 + 20/22/23) ------------
@@ -2103,6 +2193,132 @@ def jbig2_encode_symbol_text_refagg(
     tr_flags = (1 << 4) | (1 << 1) | (r_template << 15)
     tr = (_region_info(page_w, page_h) + tr_flags.to_bytes(2, "big")
           + rat_bytes + n_total.to_bytes(4, "big") + mq.flush())
+
+    return (
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
+        + _seg_with_refs(1, 0, 1, d1)
+        + _seg_with_refs(2, 0, 1, d2, refs=(1,))
+        + _seg_with_refs(3, 6, 1, tr, refs=(2,))
+        + _seg_with_refs(4, 49, 1, b"")
+    )
+
+
+def jbig2_encode_symbol_text_aggregate(
+    base_glyphs: list[list[bytes]],
+    composites: list[list[tuple[int, int]]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    inline_refine_last: bool = False,
+) -> bytes:
+    """Multi-instance-aggregate fixture producer (6.5.8.2.2): dictionary 1
+    direct-codes the base glyphs; dictionary 2 (REFAGG=1) builds each
+    COMPOSITE symbol as a nested text region of REFAGGNINST>1 base-glyph
+    placements (RI=0, one strip, TOPLEFT, OR) sharing the dictionary's MQ
+    stream and context banks — no trailing OOB is written, because the
+    nested placement loop stops exactly at the instance count and any
+    extra decision would desync the shared decoder. The page text region
+    then places the composites. ``composites`` is a list of instance
+    lists [(base_glyph_id, x_offset), ...] (all bases equal height)."""
+    if not base_glyphs or not composites or not placements:
+        raise Jbig2Error("aggregate encoder needs bases, composites, placements")
+    bh = len(base_glyphs[0])
+    if any(len(g) != bh for g in base_glyphs):
+        raise Jbig2Error("aggregate fixture bases must share one height")
+    if any(len(insts) < 2 for insts in composites):
+        raise Jbig2Error("a composite needs >= 2 instances (else REFAGGNINST=1)")
+
+    at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
+    n_base = len(base_glyphs)
+    n_comp = len(composites)
+
+    # --- dict 1: base glyphs, direct-coded, export all --------------------
+    order1 = sorted(range(n_base), key=lambda g: (len(base_glyphs[g]), g))
+    base_id = {g: i for i, g in enumerate(order1)}
+    mq = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << len(_TEMPLATES[0]))]
+    _emit_dict_classes(
+        mq, order1, base_glyphs,
+        lambda g, gl, w, h: _generic_encode_into(mq, cx, gl, w, h),
+    )
+    _emit_export_runs(mq, 0, n_base)
+    d1 = ((0).to_bytes(2, "big") + at
+          + n_base.to_bytes(4, "big") + n_base.to_bytes(4, "big") + mq.flush())
+
+    # composite bitmaps (the OR composition the nested region reproduces)
+    comp_bitmaps: list[list[bytes]] = []
+    for insts in composites:
+        cw = max(x + len(base_glyphs[b][0]) for b, x in insts)
+        rows = [bytearray(cw) for _ in range(bh)]
+        for b, x in insts:
+            gl = base_glyphs[b]
+            for y in range(bh):
+                for xx, px in enumerate(gl[y]):
+                    rows[y][x + xx] |= px
+        comp_bitmaps.append([bytes(r) for r in rows])
+
+    # --- dict 2: REFAGG multi-instance composites, export only them ------
+    mq = MQEncoder()
+    iaai = _int_ctx()
+    ref_code_len = max(n_base + n_comp - 1, 0).bit_length()
+    iaid = _iaid_ctx(ref_code_len)
+    # nested-text-region banks persist across all composites (Table 17)
+    iadt, iafs, iads, iari = (_int_ctx() for _ in range(4))
+    iardw, iardh, iardx, iardy = (_int_ctx() for _ in range(4))
+    gr = _ref_ctx_bank(1)
+
+    order2 = sorted(range(n_comp), key=lambda c: (len(comp_bitmaps[c]), c))
+    last_comp = order2[-1]
+
+    def agg_symbol(c: int, gl, w: int, h: int) -> None:
+        insts = sorted(composites[c], key=lambda bx: bx[1])
+        arith_int_encode(mq, iaai, len(insts))
+        arith_int_encode(mq, iadt, 0)  # initial STRIPT
+        arith_int_encode(mq, iadt, 0)  # the single strip at T = 0
+        arith_int_encode(mq, iafs, insts[0][1])
+        curs = None
+        for j, (b, x) in enumerate(insts):
+            if j > 0:
+                arith_int_encode(mq, iads, x - curs)
+            arith_iaid_encode(mq, iaid, base_id[b], ref_code_len)
+            base = base_glyphs[b]
+            if inline_refine_last and c == last_comp and j == len(insts) - 1:
+                # identity refinement INSIDE the aggregate: RI=1 with
+                # RDW/RDH/RDX/RDY = 0 and bitmap == the base symbol
+                arith_int_encode(mq, iari, 1)
+                arith_int_encode(mq, iardw, 0)
+                arith_int_encode(mq, iardh, 0)
+                arith_int_encode(mq, iardx, 0)
+                arith_int_encode(mq, iardy, 0)
+                refinement_region_encode(
+                    mq, gr, base, len(base[0]), len(base), base, template=1
+                )
+            else:
+                arith_int_encode(mq, iari, 0)
+            curs = x + len(base[0]) - 1
+        # NO trailing OOB: the nested loop exits on the instance count
+
+    _emit_dict_classes(mq, order2, comp_bitmaps, agg_symbol)
+    _emit_export_runs(mq, n_base, n_comp)
+    # REFAGG=1 with GRTEMPLATE 1 (no SDRAT bytes) — RI=0 everywhere, so
+    # the refinement template never actually fires
+    d2 = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
+          + n_comp.to_bytes(4, "big") + n_comp.to_bytes(4, "big") + mq.flush())
+
+    # --- text region placing the composites (refs dict 2 only) -----------
+    comp_id = {c: i for i, c in enumerate(order2)}
+    t_code_len = max(n_comp - 1, 0).bit_length()
+    mq = MQEncoder()
+    t_iaid = _iaid_ctx(t_code_len)
+
+    def emit_instance(c: int) -> int:
+        arith_iaid_encode(mq, t_iaid, comp_id[c], t_code_len)
+        return len(comp_bitmaps[c][0])
+
+    _emit_strip_walk(mq, _group_strips(placements, transposed=False), emit_instance)
+    tr_flags = 1 << 4  # TOPLEFT, no refinement
+    tr = (_region_info(page_w, page_h) + tr_flags.to_bytes(2, "big")
+          + len(placements).to_bytes(4, "big") + mq.flush())
 
     return (
         _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))

@@ -765,7 +765,12 @@ class TestRefinement:
                     page[1 + yy][x + xx] |= b
         assert rows == [bytes(r) for r in page]
 
-    def test_refagg_multi_instance_refused(self):
+    def test_refagg_multi_instance_truncated_raises(self):
+        """A REFAGGNINST=2 aggregate whose nested text region is missing
+        from the stream must raise (exhausted MQ decodes OOB), never spin
+        or return garbage. (Until round 8 this profile refused outright;
+        it now decodes — TestMultiInstanceAggregates — so this pins the
+        totality of the truncated case.)"""
         from frappe_data_pipelines_spark.operators.jbig2mini import (
             MQEncoder,
             _NOMINAL_AT,
@@ -779,11 +784,11 @@ class TestRefinement:
         iadh, iadw, iaai = _int_ctx(), _int_ctx(), _int_ctx()
         arith_int_encode(mq, iadh, 1)
         arith_int_encode(mq, iadw, 1)
-        arith_int_encode(mq, iaai, 2)  # two aggregate instances: refused
+        arith_int_encode(mq, iaai, 2)  # nested region follows — but doesn't
         at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
         body = ((0x0002 | (1 << 12)).to_bytes(2, "big") + at
                 + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + mq.flush())
-        with pytest.raises(Jbig2Error, match="aggregate"):
+        with pytest.raises(Jbig2Error):
             decode_symbol_dict(body, [[bytes([1])]])
 
     def test_refinement_template0_roundtrip_random(self):
@@ -1304,3 +1309,83 @@ class TestHalftoneMMRAndSkip:
                 jbig2_decode_embedded(bytes(b))
             except Jbig2Error:
                 pass
+
+
+class TestMultiInstanceAggregates:
+    """Round 8: REFAGGNINST > 1 — the aggregate symbol decodes as a nested
+    text region inside the symbol dictionary, sharing the dictionary's MQ
+    decoder and context banks (T.88 6.5.8.2, Table 17)."""
+
+    A = [bytes([1, 1, 1]), bytes([1, 0, 1]), bytes([1, 1, 1]), bytes([1, 0, 1])]
+    B = [bytes([1, 1]), bytes([1, 0]), bytes([1, 1]), bytes([0, 1])]
+    C = [bytes([0, 1, 0]), bytes([1, 1, 1]), bytes([0, 1, 0]), bytes([0, 1, 0])]
+
+    def _compose(self, bases, insts):
+        cw = max(x + len(bases[b][0]) for b, x in insts)
+        rows = [bytearray(cw) for _ in range(len(bases[0]))]
+        for b, x in insts:
+            for y in range(len(bases[b])):
+                for xx, px in enumerate(bases[b][y]):
+                    rows[y][x + xx] |= px
+        return [bytes(r) for r in rows]
+
+    def test_aggregate_equals_plain_composition(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text,
+            jbig2_encode_symbol_text_aggregate,
+        )
+
+        bases = [self.A, self.B, self.C]
+        composites = [[(0, 0), (1, 4)], [(1, 0), (2, 3), (0, 7)]]
+        placements = [(0, 2, 1), (1, 10, 1), (0, 3, 8)]
+        ref = jbig2_decode_embedded(
+            jbig2_encode_symbol_text(
+                [self._compose(bases, c) for c in composites], placements, 24, 16
+            )
+        )
+        for refine in (False, True):
+            got = jbig2_decode_embedded(
+                jbig2_encode_symbol_text_aggregate(
+                    bases, composites, placements, 24, 16,
+                    inline_refine_last=refine,
+                )
+            )
+            assert got == ref, f"inline_refine_last={refine}"
+
+    def test_aggregate_stream_mutation_totality(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_aggregate,
+        )
+
+        bases = [self.A, self.B]
+        base = jbig2_encode_symbol_text_aggregate(
+            bases, [[(0, 0), (1, 4)]], [(0, 1, 1)], 12, 8
+        )
+        assert jbig2_decode_embedded(base)[0] == 12
+        rng = random.Random(49)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except Jbig2Error:
+                pass
+
+    def test_bad_instance_count_refuses(self):
+        import pytest as _pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_encode_symbol_text_aggregate,
+        )
+
+        with _pytest.raises(Jbig2Error, match=">= 2 instances"):
+            jbig2_encode_symbol_text_aggregate(
+                [self.A], [[(0, 0)]], [(0, 0, 0)], 8, 8
+            )

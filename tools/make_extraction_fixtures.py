@@ -413,6 +413,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2ref.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2ref0.pdf", make_scanned_jbig2ref0_pdf())
     _write_if_missing("sample_scanned_jbig2ref0.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2agg.pdf", make_scanned_jbig2agg_pdf())
+    _write_if_missing("sample_scanned_jbig2agg.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -763,6 +765,38 @@ def make_scanned_jbig2_pdf() -> bytes:
     w, h, rows = _scanned_raster()
     bitrows = [bytes(1 if b < 128 else 0 for b in r) for r in rows]
     data = jbig2_encode_embedded(bitrows, w, h)
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2agg_pdf() -> bytes:
+    """Multi-instance-aggregate JBIG2 scanned page (round 8): every glyph
+    is dictionary-coded as a REFAGGNINST=2 aggregate of its LEFT and RIGHT
+    half-glyphs — the nested-text-region dictionary path of 6.5.8.2 —
+    with the last instance identity-refined inline (RI=1 inside the
+    aggregate). Must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_aggregate,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
+    bases: list = []
+    base_idx: dict = {}
+    composites: list = []
+    for g in glyphs:
+        gw = len(g[0])
+        half = gw // 2
+        comp = []
+        for lo, hi, off in ((0, half, 0), (half, gw, half)):
+            part = [bytes(row[lo:hi]) for row in g]
+            key = tuple(part)
+            if key not in base_idx:
+                base_idx[key] = len(bases)
+                bases.append(part)
+            comp.append((base_idx[key], off))
+        composites.append(comp)
+    data = jbig2_encode_symbol_text_aggregate(
+        bases, composites, placements, w, h, inline_refine_last=True
+    )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
 
