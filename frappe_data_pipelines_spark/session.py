@@ -48,6 +48,17 @@ def get_spark(
         # local mode runs every executor thread inside the driver JVM, so
         # the "driver" heap is the whole engine's heap — size accordingly
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Stopping a stream mid-batch makes Spark classify the interrupted
+        # batch's exception (StreamExecution.isInterruptionException) by
+        # running a Scala regex over the exception MESSAGE — for an
+        # interrupted py4j foreachBatch that message embeds the full Java
+        # cause chain (can be 100s of KB) and java.util.regex recursion
+        # overflows the stream thread's default 1 MB stack, killing the
+        # thread instead of stopping cleanly (reproduced round 8 in
+        # tools/stream_bench.py). A deeper default thread stack absorbs
+        # it; streaming/ingest.stop_streaming_query avoids the interrupt
+        # entirely by stopping at trigger-idle.
+        .config("spark.driver.extraJavaOptions", "-Xss32m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

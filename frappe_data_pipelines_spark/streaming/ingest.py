@@ -279,3 +279,32 @@ def start_ingest_stream(
         # pinning dead blocks in executor storage for the app's lifetime
         q.scrub_corpus_fp = scrub_corpus_fp
     return q
+
+
+def stop_streaming_query(q, idle_timeout: float = 60.0, poll: float = 0.2) -> None:
+    """Stop a streaming query WITHOUT interrupting an in-flight micro-batch.
+
+    ``StreamingQuery.stop()`` interrupts the stream execution thread; if a
+    foreachBatch is mid-flight, Spark then classifies the resulting
+    exception by running a regex over its MESSAGE
+    (StreamExecution.isInterruptionException) — and an interrupted py4j
+    foreachBatch error embeds the full Java cause chain, large enough that
+    java.util.regex recursion overflows the stream thread's stack
+    (StackOverflowError observed in tools/stream_bench.py, round 8). The
+    query then dies messily instead of stopping cleanly.
+
+    This helper waits for the trigger to go idle (bounded by
+    ``idle_timeout``) before stopping, so the interrupt never lands inside
+    a running batch. Falls back to a plain stop at the deadline — by then
+    a wedged batch is the bigger problem."""
+    import time as _time
+
+    deadline = _time.time() + idle_timeout
+    while _time.time() < deadline:
+        try:
+            if not q.status.get("isTriggerActive", False):
+                break
+        except Exception:  # noqa: BLE001 — query already terminated
+            break
+        _time.sleep(poll)
+    q.stop()

@@ -400,7 +400,11 @@ def test_kafka_shaped_source_through_ingest(spark, stream_dirs):
                 break
             time.sleep(1)
     finally:
-        q.stop()
+        from frappe_data_pipelines_spark.streaming.ingest import (
+            stop_streaming_query,
+        )
+
+        stop_streaming_query(q)
     assert seen >= 50
 
     chunks = spark.read.parquet(chunks_dir)

@@ -89,7 +89,12 @@ def run_config(
             latencies.append(dt)
             total_docs += docs_per_wave
     steady_sec = time.time() - t_start
-    q.stop()
+    # idle-stop: a mid-batch interrupt trips Spark's interruption-
+    # classification regex on a huge py4j message (see
+    # streaming/ingest.stop_streaming_query) — stop between triggers
+    from frappe_data_pipelines_spark.streaming.ingest import stop_streaming_query
+
+    stop_streaming_query(q)
     if getattr(q, "scrub_corpus_fp", None) is not None:
         q.scrub_corpus_fp.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -142,19 +147,50 @@ def main() -> None:
         spark, waves, docs_per_wave, scrub_against=corpus, blocklist_terms=terms
     )
 
+    # doors-on at 10x the wave size: the door's cost is FIXED per
+    # micro-batch (scrub join + AC pass stage overhead), so per-doc
+    # throughput should rise roughly with the wave size — this config
+    # makes that amortization measurable instead of asserted
+    big_per_wave = docs_per_wave * 10
+    big_n_waves = max(4, n_waves // 2)
+    n_big = big_n_waves * big_per_wave
+    big_docs = all_docs.limit(n_big).cache()
+    big_waves = [
+        big_docs.filter((big_docs.doc_id % big_n_waves) == i).coalesce(1)
+        for i in range(big_n_waves)
+    ]
+    [w.count() for w in big_waves]
+    big_ids = {r.doc_id for r in big_docs.select("doc_id").collect()}
+    big_corpus = (
+        all_docs.filter(~F.col("doc_id").isin(list(big_ids)))
+        .limit(n_big)
+        .select("doc_id", "text")
+        .cache()
+    )
+    big_corpus.count()
+    on_big = run_config(
+        spark, big_waves, big_per_wave,
+        scrub_against=big_corpus, blocklist_terms=terms,
+    )
+    on_big["docs_per_wave"] = big_per_wave
+    on_big["waves"] = big_n_waves
+
     out = {
         "sf_dir": sf_dir,
         "waves": n_waves,
         "docs_per_wave": docs_per_wave,
         "doors_off": off,
         "doors_on": on,
+        "doors_on_10x_waves": on_big,
         # legacy top-level keys mirror doors_off (pre-r8 artifact shape)
         **off,
         "note": "latency = file arrival -> the micro-batch's job rows durably "
         "readable (the last sink write of the batch; poll 200ms); wave 0 "
         "excluded as stream warmup. doors_on = exact-substring scrub vs a "
         "disjoint standing corpus + Aho-Corasick blocklist screen at the "
-        "door; doors_off = plain chunk->embed.",
+        "door; doors_off = plain chunk->embed. doors_on_10x_waves = the "
+        "same doors with 10x docs per micro-batch: door cost is per-batch "
+        "stage overhead, so docs/sec amortizes toward the doors-off rate.",
     }
     print(json.dumps(out, indent=2))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
