@@ -1222,7 +1222,11 @@ def pq_exact_dims(
     partitioning (the convention the SQ8 oracle established)."""
     from frappe_data_pipelines_spark.functions.vectors import l2_normalize
 
-    dsub = None  # per-row from array length — validated by the caller
+    probe = vectors.select(F.size(vec_col).alias("d")).first()
+    if probe is not None and probe["d"] % m_subvectors:
+        raise ValueError(
+            f"dim {probe['d']} not divisible by m={m_subvectors}"
+        )
     return (
         vectors.select(F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("v"))
         .select(
