@@ -1227,6 +1227,8 @@ def pq_exact_dims(
         raise ValueError(
             f"dim {probe['d']} not divisible by m={m_subvectors}"
         )
+    d0 = probe["d"] if probe is not None else 0
+    dsub = max(d0 // m_subvectors, 1)
     return (
         vectors.select(F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("v"))
         .select(
@@ -1236,9 +1238,15 @@ def pq_exact_dims(
         )
         .select(
             "vec_id",
-            (F.col("i0") / (F.col("dim") / m_subvectors)).cast("int").alias("m"),
-            (F.col("i0") % (F.col("dim") / m_subvectors).cast("int")).alias("j"),
-            F.round("x0", 9).alias("x"),
+            (F.col("i0") / dsub).cast("int").alias("m"),
+            (F.col("i0") % dsub).alias("j"),
+            # a row whose length disagrees with the probed dim would score
+            # over wrong/missing subspaces SILENTLY — fail loudly instead
+            F.expr(
+                f"CASE WHEN dim = {d0} THEN round(x0, 9) "
+                f"ELSE raise_error(concat('pq_exact_dims: vector of dim ', "
+                f"dim, ' in a dim-{d0} corpus')) END"
+            ).alias("x"),
         )
     )
 

@@ -1407,6 +1407,13 @@ def _text_region_place(
     firsts = 0
     ninst = 0
     guard = 0
+    # cumulative paste-work budget: each placement loops over the PLACED
+    # symbol's full area even when clipped, so a crafted stream placing a
+    # near-_MAX_PIXELS pool symbol thousands of times (num_instances is
+    # only bounded by _MAX_SYMBOLS; multi-instance aggregates add the
+    # same multiplier inside dictionaries) would pin a core on pure
+    # Python — the module's hostile-input convention is to raise instead
+    paste_budget = 4 * _MAX_PIXELS
     while ninst < num_instances:
         guard += 1
         if guard > 2 * num_instances + 16:
@@ -1445,6 +1452,9 @@ def _text_region_place(
                     sym = decode_refinement(sym)
             hs = len(sym)
             ws = len(sym[0]) if hs else 0
+            paste_budget -= hs * ws
+            if paste_budget < 0:
+                raise Jbig2Error("text region placement work exceeds budget")
             if transposed:
                 # S runs down the page, T across: x from T (right corners
                 # back up by the width), y from CURS (6.4.5 step 3c)
@@ -1592,29 +1602,36 @@ def decode_halftone_region(body: bytes, patterns: list):
         hskip = _halftone_skip(
             hgw, hgh, hgx, hgy, hrx, hry, hdpw_, hdph_, rw, rh
         )
-    if hmmr:
-        # C.5 with HMMR=1: ALL bitplanes come from ONE unreset T.6 stream —
-        # 2-D rows reference across plane boundaries, which is exactly a
-        # single (hgw x bpv*hgh) decode sliced into consecutive planes
-        stacked = _mmr_rows(body[38:], hgw, bpv * hgh)
-        planes = [stacked[j * hgh : (j + 1) * hgh] for j in range(bpv)]
-    else:
-        mq = MQDecoder(body[38:])
-        cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
-        planes = [
-            _generic_decode_into(
-                mq, cxs, hgw, hgh, template=template, skip=hskip
-            )
-            for _ in range(bpv)
-        ]
     gray = [[0] * hgw for _ in range(hgh)]
-    for plane in planes:  # MSB-first gray-code planes
+
+    def fold(plane) -> None:  # one MSB-first gray-code plane into gray
         for m in range(hgh):
             gm = gray[m]
             pm = plane[m]
             for n in range(hgw):
                 bit = pm[n] ^ (gm[n] & 1)
                 gm[n] = (gm[n] << 1) | bit
+
+    if hmmr:
+        # C.5 with HMMR=1: ALL bitplanes come from ONE unreset T.6 stream —
+        # 2-D rows reference across plane boundaries, which is exactly a
+        # single (hgw x bpv*hgh) decode sliced into consecutive planes
+        # (the stacked rows are materialized once by the T.6 kernel; that
+        # peak is inherent to the single-stream design)
+        stacked = _mmr_rows(body[38:], hgw, bpv * hgh)
+        for j in range(bpv):
+            fold(stacked[j * hgh : (j + 1) * hgh])
+    else:
+        # decode AND fold plane-by-plane: peak memory is one plane, not
+        # bpv planes (bpv can reach ~26 with hgw*hgh at the pixel cap)
+        mq = MQDecoder(body[38:])
+        cxs = [[0, 0] for _ in range(1 << len(_TEMPLATES[template]))]
+        for _ in range(bpv):
+            fold(
+                _generic_decode_into(
+                    mq, cxs, hgw, hgh, template=template, skip=hskip
+                )
+            )
 
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
     hph = len(patterns[0])

@@ -401,7 +401,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_exact_oracle_sql(
-    m_sub: int = 16, dsub: int = 4, k: int = 16, n_iter: int = 2,
+    m_sub: int = 16, dim: int = 64, k: int = 16, n_iter: int = 2,
     sample_rows: int = 256, topk: int = 10,
 ) -> str:
     """DuckDB twin of ann.pq_exact_search: the Lloyd training, encode and
@@ -409,6 +409,9 @@ def _pq_exact_oracle_sql(
     sums are per-term round(·,9) DECIMAL(20,9) — associative, so Spark's
     partitioned aggregation and DuckDB's single-threaded one reach the
     SAME decimals; assignment ties break on smaller centroid id in both."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m={m_sub}")
+    dsub = dim // m_sub
     iters = []
     prev = "cent0"
     for t in range(1, n_iter + 1):

@@ -13,6 +13,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _with_stack_size(opts: str, xss: str = "-Xss32m") -> str:
+    """Append ``xss`` to a driver-java-options string unless the caller
+    already pins a stack size — their -Xss wins."""
+    if "-Xss" in opts:
+        return opts
+    return f"{opts} {xss}".strip()
+
+
 def get_spark(
     app_name: str = "frappe-data-pipelines-spark",
     master: str | None = None,
@@ -57,8 +65,13 @@ def get_spark(
         # thread instead of stopping cleanly (reproduced round 8 in
         # tools/stream_bench.py). A deeper default thread stack absorbs
         # it; streaming/ingest.stop_streaming_query avoids the interrupt
-        # entirely by stopping at trigger-idle.
-        .config("spark.driver.extraJavaOptions", "-Xss32m")
+        # by stopping at trigger-idle. APPEND to any options the caller
+        # already carries (env var / spark-defaults) instead of clobbering
+        # them; respect an explicit -Xss if one is present.
+        .config(
+            "spark.driver.extraJavaOptions",
+            _with_stack_size(os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", "")),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -294,9 +294,12 @@ def stop_streaming_query(q, idle_timeout: float = 60.0, poll: float = 0.2) -> No
     query then dies messily instead of stopping cleanly.
 
     This helper waits for the trigger to go idle (bounded by
-    ``idle_timeout``) before stopping, so the interrupt never lands inside
-    a running batch. Falls back to a plain stop at the deadline — by then
-    a wedged batch is the bigger problem."""
+    ``idle_timeout``) before stopping, so the interrupt almost never lands
+    inside a running batch. It is check-then-act: a new trigger CAN start
+    in the gap between the last poll and ``stop()`` — that residual race
+    is what ``session.get_spark``'s ``-Xss32m`` backstop absorbs. Falls
+    back to a plain stop at the deadline — by then a wedged batch is the
+    bigger problem."""
     import time as _time
 
     deadline = _time.time() + idle_timeout

@@ -1389,3 +1389,25 @@ class TestMultiInstanceAggregates:
             jbig2_encode_symbol_text_aggregate(
                 [self.A], [[(0, 0)]], [(0, 0, 0)], 8, 8
             )
+
+
+def test_text_region_paste_budget(monkeypatch):
+    """Hostile placement streams raise instead of pinning a core: the
+    placement loop's cumulative paste work (placed-symbol area summed over
+    instances, clip or no clip) is bounded by 4x the pixel budget."""
+    from frappe_data_pipelines_spark.operators import jbig2mini
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        Jbig2Error,
+        jbig2_decode_embedded,
+        jbig2_encode_symbol_text,
+    )
+
+    monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+    glyph = [bytes([1] * 32)] * 32  # 1024 px per paste
+    few = [(0, 0, 0) for _ in range(4)]
+    many = [(0, 0, 0) for _ in range(20)]  # 20 * 1024 > 4 * 4096
+    ok = jbig2_encode_symbol_text([glyph], few, 64, 64)
+    assert jbig2_decode_embedded(ok)[0] == 64
+    bad = jbig2_encode_symbol_text([glyph], many, 64, 64)
+    with pytest.raises(Jbig2Error, match="placement work exceeds budget"):
+        jbig2_decode_embedded(bad)
