@@ -26,13 +26,15 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   generic-region, symbol-dictionary and text-region segments.
 
 Scope honesty: standard huffman tables B.6-B.15 (untranscribed spec data;
-custom-table streams cover those selector slots), huffman refinement,
-huffman REFAGG dictionaries, and non-causal template-0 refinement AT1
-pixels are NOT implemented — a stream using them raises ``Jbig2Error``
-and the PDF dispatch falls back exactly like any other unsupported
-filter. Multi-instance aggregates (REFAGGNINST > 1) ARE implemented in
-the arithmetic family: the symbol decodes as a nested text region driven
-by the dictionary's shared decoder and context banks (6.5.8.2, Table 17). Every ARITHMETIC region type IS
+custom-table streams cover those selector slots — huffman REFINEMENT
+therefore decodes with custom RDW/RDH/RDX/RDY tables and refuses only the
+B.14/B.15 selectors themselves), huffman REFAGG dictionaries, and
+non-causal template-0 refinement AT1 pixels are NOT implemented — a
+stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
+exactly like any other unsupported filter. Multi-instance aggregates
+(REFAGGNINST > 1) ARE implemented in the arithmetic family: the symbol
+decodes as a nested text region driven by the dictionary's shared
+decoder and context banks (6.5.8.2, Table 17). Every ARITHMETIC region type IS
 implemented, both directions: generic (incl. custom AT + MMR via T.6),
 symbol/text, refinement in BOTH templates (GRTEMPLATE 1 fixed and
 GRTEMPLATE 0 with movable SDRAT/SBRAT pixels; refined instances +
@@ -1215,8 +1217,11 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
     instances (RI=1) via GRTEMPLATE-1 refinement) and SBHUFF=1 (huffman:
     FS/DS/DT through Annex B tables — custom type-53 segments or standard
     B.1-B.5 — with the run-coded symbol ID code lengths of 7.4.4.1.7;
-    refinement in huffman mode is refused). TRANSPOSED both orientations;
-    REFCORNER all four; SBSTRIPS any power of two; SBDSOFFSET honored."""
+    refinement via CUSTOM RDW/RDH/RDX/RDY tables and B.1-or-custom RSIZE,
+    each instance's bitmap its own byte-aligned MQ codeword per 6.4.11 —
+    only the untranscribed B.14/B.15 standard selectors refuse).
+    TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
+    of two; SBDSOFFSET honored."""
     if len(body) < 19:
         raise Jbig2Error("truncated text region")
     rw = int.from_bytes(body[0:4], "big")
@@ -1260,8 +1265,6 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
     code_len = max(len(syms) - 1, 0).bit_length()
 
     if sbhuff:
-        if refine:
-            raise Jbig2Error("huffman text region with refinement unsupported")
         it = iter(tables or [])
 
         def pick(sel: int, stds: tuple[int, ...], what: str) -> HuffTable:
@@ -1277,6 +1280,16 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
         t_fs = pick(hflags & 3, (6, 7), "SBHUFFFS")
         t_ds = pick((hflags >> 2) & 3, (8, 9, 10), "SBHUFFDS")
         t_dt = pick((hflags >> 4) & 3, (11, 12, 13), "SBHUFFDT")
+        if refine:
+            # 7.4.4.1.2-1.6: RDW/RDH/RDX/RDY via B.14/B.15 or custom
+            # (B.14/B.15 are untranscribed spec data — standard_table
+            # refuses them; CUSTOM-table streams decode), RSIZE via B.1
+            # or custom. Consumption order continues FS, DS, DT.
+            t_rdw = pick((hflags >> 6) & 3, (14, 15), "SBHUFFRDW")
+            t_rdh = pick((hflags >> 8) & 3, (14, 15), "SBHUFFRDH")
+            t_rdx = pick((hflags >> 10) & 3, (14, 15), "SBHUFFRDX")
+            t_rdy = pick((hflags >> 12) & 3, (14, 15), "SBHUFFRDY")
+            t_rs = pick(3 if (hflags >> 14) & 1 else 0, (1,), "SBHUFFRSIZE")
         br = _HuffBitReader(body, pos)
         # 7.4.4.1.7: symbol ID code lengths — 35 run-codes (4-bit prefix
         # lengths), then the per-symbol lengths via the run-code table:
@@ -1327,9 +1340,38 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
             return symtab.decode(br)
 
         def get_ri():
-            return 0  # refine refused above
+            # 7.4.4.5: in huffman mode RI is a single raw bit
+            return br.bit() if refine else 0
 
-        decode_refinement = None
+        def decode_refinement(sym):
+            # 6.4.11 huffman mode: RDW/RDH/RDX/RDY huffman-coded, then
+            # BMSIZE, byte-align, and the refinement itself is its OWN
+            # MQ codeword of exactly BMSIZE bytes (statistics reset per
+            # instance), byte-aligned again afterwards
+            rdw = t_rdw.decode(br)
+            rdh = t_rdh.decode(br)
+            rdx = t_rdx.decode(br)
+            rdy = t_rdy.decode(br)
+            bmsize = t_rs.decode(br)
+            if None in (rdw, rdh, rdx, rdy) or bmsize is None or bmsize <= 0:
+                raise Jbig2Error("bad huffman refinement record")
+            br.align()
+            start = br.pos
+            if start + bmsize > len(body):
+                raise Jbig2Error("huffman refinement overruns the segment")
+            nw = (len(sym[0]) if sym else 0) + rdw
+            nh = len(sym) + rdh
+            if nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM or nh > _MAX_SYM_DIM:
+                raise Jbig2Error("refined instance exceeds budget")
+            out = refinement_region_decode(
+                MQDecoder(body[start : start + bmsize]),
+                _ref_ctx_bank(r_template), nw, nh, sym,
+                dx=(rdw >> 1) + rdx, dy=(rdh >> 1) + rdy,
+                template=r_template, at=rat,
+            )
+            br.pos = start + bmsize
+            br.nbits = 0
+            return out
     else:
         mq = MQDecoder(body[pos:])
         iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
@@ -2018,13 +2060,15 @@ def jbig2_encode_embedded(
 
 def _seg_with_refs(number: int, seg_type: int, page: int, body: bytes,
                    refs: tuple[int, ...] = ()) -> bytes:
-    """Segment header incl. referred-segment numbers (count <= 4, 1-byte
-    refs — enough for fixture streams; real streams with more use the
-    long-count form the parser already reads)."""
-    if len(refs) > 4:
-        raise Jbig2Error("fixture encoder supports <= 4 referred segments")
+    """Segment header incl. referred-segment numbers: short-count form for
+    <= 4 refs, the 7.2.4 long-count form (0b111 marker + 29-bit count +
+    retain-flag bytes) beyond — both read by ``_parse_segment_header``."""
     head = number.to_bytes(4, "big") + bytes([seg_type & 0x3F])
-    head += bytes([len(refs) << 5])
+    if len(refs) <= 4:
+        head += bytes([len(refs) << 5])
+    else:
+        head += ((0b111 << 29) | len(refs)).to_bytes(4, "big")
+        head += bytes((len(refs) + 8) // 8)  # retain bits: all zero
     head += bytes(refs)  # number <= 256 → 1-byte referred numbers
     head += bytes([page]) + len(body).to_bytes(4, "big")
     return head + body
@@ -2353,6 +2397,7 @@ def jbig2_encode_symbol_text_huffman(
     page_h: int,
     transposed: bool = False,
     collective: str = "raw",
+    inline_refine_last: bool = False,
 ) -> bytes:
     """Huffman twin of ``jbig2_encode_symbol_text`` (SDHUFF=1 / SBHUFF=1):
     page info + huffman symbol dictionary (standard tables B.4/B.2/B.1,
@@ -2431,8 +2476,10 @@ def jbig2_encode_symbol_text_huffman(
         gl = glyphs[g]
         return len(gl) if transposed else (len(gl[0]) if gl else 0)
 
+    n_inst_total = sum(len(v) for v in strips.values())
     events: list[tuple[str, int | None]] = [("dt", 0)]
     stript = firsts = 0
+    seen = 0
     for t_coord in sorted(strips):
         events.append(("dt", t_coord - stript))
         stript = t_coord
@@ -2445,6 +2492,11 @@ def jbig2_encode_symbol_text_huffman(
                 events.append(("ds", s_coord - curs))
                 curs = s_coord
             events.append(("id", g))
+            seen += 1
+            if inline_refine_last:
+                # 7.4.4.5: RI is one raw bit per instance in huffman mode;
+                # the LAST instance carries an identity refinement record
+                events.append(("ri", 1 if seen == n_inst_total else 0))
             curs += extent(g) - 1
         events.append(("ds", None))
 
@@ -2458,6 +2510,9 @@ def jbig2_encode_symbol_text_huffman(
     t_fs = parse_table_segment(fs_seg)
     t_ds = parse_table_segment(ds_seg)
     t_dt = parse_table_segment(dt_seg)
+    rd_seg = build_table_segment(0, 1)  # identity refinement: all deltas 0
+    t_rd = parse_table_segment(rd_seg)
+    t_rs = standard_table(1)
 
     nsyms = len(order)
     code_len = max(max(nsyms - 1, 0).bit_length(), 1)
@@ -2470,6 +2525,9 @@ def jbig2_encode_symbol_text_huffman(
         runtab.encode(bw, code_len)  # every symbol: fixed-length code
     bw.align()
     symtab = HuffTable([(code_len, 0, k, "n") for k in range(nsyms)])
+    last_glyph = next(
+        (v for k, v in reversed(events) if k == "id"), None
+    )
     for kind, v in events:
         if kind == "dt":
             t_dt.encode(bw, v)
@@ -2477,13 +2535,34 @@ def jbig2_encode_symbol_text_huffman(
             t_fs.encode(bw, v)
         elif kind == "ds":
             t_ds.encode(bw, v)
+        elif kind == "ri":
+            bw.write(1, v)
+            if v:
+                gl = glyphs[last_glyph]
+                w_g = len(gl[0]) if gl else 0
+                for t in (t_rd, t_rd, t_rd, t_rd):  # RDW RDH RDX RDY = 0
+                    t.encode(bw, 0)
+                mq = MQEncoder()
+                refinement_region_encode(
+                    mq, _ref_ctx_bank(1), gl, w_g, len(gl), gl, template=1
+                )
+                ref_bytes = mq.flush()
+                t_rs.encode(bw, len(ref_bytes))
+                bw.align()
+                bw.write_bytes(ref_bytes)
         else:
             symtab.encode(bw, new_id[v])
     # SBHUFF=1, TOPLEFT corner, optional TRANSPOSED; huffman flags select
     # custom tables for FS/DS/DT (consumed from the referred segments in
     # that order)
-    tr_flags = 0x0001 | (1 << 4) | ((1 << 6) if transposed else 0)
-    hflags = 0b0011_1111  # FS=3, DS=3, DT=3 (custom); refinement unused
+    tr_flags = (0x0001 | (1 << 4) | ((1 << 6) if transposed else 0)
+                | ((1 << 1) | (1 << 15) if inline_refine_last else 0))
+    # FS=3, DS=3, DT=3 custom; with refinement also RDW/RDH/RDX/RDY=3
+    # custom and RSIZE=0 (standard B.1); SBRTEMPLATE=1 (no SBRAT bytes)
+    hflags = 0b0011_1111 | (
+        (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
+        if inline_refine_last else 0
+    )
     tr_body = (
         _region_info(page_w, page_h)
         + tr_flags.to_bytes(2, "big")
@@ -2492,15 +2571,26 @@ def jbig2_encode_symbol_text_huffman(
         + bw.finish()
     )
 
-    return (
+    segs = (
         _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
         + _seg_with_refs(1, 0, 1, sd_body)
         + _seg_with_refs(2, 53, 1, fs_seg)
         + _seg_with_refs(3, 53, 1, ds_seg)
         + _seg_with_refs(4, 53, 1, dt_seg)
-        + _seg_with_refs(5, 6, 1, tr_body, refs=(1, 2, 3, 4))
-        + _seg_with_refs(6, 49, 1, b"")
     )
+    if inline_refine_last:
+        # four more custom-table slots, consumed as RDW/RDH/RDX/RDY
+        for n in (5, 6, 7, 8):
+            segs += _seg_with_refs(n, 53, 1, rd_seg)
+        segs += _seg_with_refs(
+            9, 6, 1, tr_body, refs=(1, 2, 3, 4, 5, 6, 7, 8)
+        ) + _seg_with_refs(10, 49, 1, b"")
+    else:
+        segs += (
+            _seg_with_refs(5, 6, 1, tr_body, refs=(1, 2, 3, 4))
+            + _seg_with_refs(6, 49, 1, b"")
+        )
+    return segs
 
 
 def jbig2_encode_symbol_text(

@@ -1411,3 +1411,82 @@ def test_text_region_paste_budget(monkeypatch):
     bad = jbig2_encode_symbol_text([glyph], many, 64, 64)
     with pytest.raises(Jbig2Error, match="placement work exceeds budget"):
         jbig2_decode_embedded(bad)
+
+
+class TestHuffmanRefinement:
+    """Round 8: SBHUFF=1 text regions WITH refinement — RDW/RDH/RDX/RDY
+    through custom type-53 tables, RSIZE through B.1, each instance's
+    refinement its own byte-aligned MQ codeword (6.4.11)."""
+
+    A = [bytes([1, 1, 1]), bytes([1, 0, 1]), bytes([1, 1, 1]), bytes([1, 0, 1])]
+    B = [bytes([1, 1]), bytes([1, 0]), bytes([1, 1]), bytes([0, 1])]
+
+    def test_refined_equals_plain(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        placements = [(0, 2, 1), (1, 8, 1), (0, 3, 8)]
+        ref = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_huffman([self.A, self.B], placements, 16, 16)
+        )
+        for collective in ("raw", "mmr"):
+            got = jbig2_decode_embedded(
+                jbig2_encode_symbol_text_huffman(
+                    [self.A, self.B], placements, 16, 16,
+                    collective=collective, inline_refine_last=True,
+                )
+            )
+            assert got == ref, collective
+
+    def test_b14_b15_selectors_refuse(self):
+        """A stream selecting the untranscribed B.14/B.15 standard tables
+        for the refinement deltas must refuse, not decode garbage."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        data = bytearray(
+            jbig2_encode_symbol_text_huffman(
+                [self.A], [(0, 1, 1)], 8, 8, inline_refine_last=True
+            )
+        )
+        # text region is segment 9; find its huffman flags (2 bytes after
+        # the 17-byte region info + 2-byte tr flags) and flip SBHUFFRDW
+        # from 3 (custom) to 0 (B.14)
+        at = bytes(data).find((9).to_bytes(4, "big"))
+        assert at >= 0
+        body_at = bytes(data).find(b"\x00\x00\x00\x08\x00\x00\x00\x08", at)
+        hf_at = body_at + 17 + 2
+        hflags = int.from_bytes(data[hf_at : hf_at + 2], "big")
+        assert (hflags >> 6) & 3 == 3
+        data[hf_at : hf_at + 2] = (hflags & ~(3 << 6)).to_bytes(2, "big")
+        with pytest.raises(Jbig2Error, match="B.14"):
+            jbig2_decode_embedded(bytes(data))
+
+    def test_refinement_mutation_totality(self):
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman,
+        )
+
+        base = jbig2_encode_symbol_text_huffman(
+            [self.A, self.B], [(0, 1, 1), (1, 6, 1)], 12, 8,
+            inline_refine_last=True,
+        )
+        assert jbig2_decode_embedded(base)[0] == 12
+        rng = random.Random(53)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except Jbig2Error:
+                pass

@@ -405,6 +405,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2sym.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2huff.pdf", make_scanned_jbig2huff_pdf())
     _write_if_missing("sample_scanned_jbig2huff.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2huffref.pdf", make_scanned_jbig2huffref_pdf())
+    _write_if_missing("sample_scanned_jbig2huffref.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_mixed.pdf", make_mixed_text_image_pdf())
     _write_if_missing(
         "sample_mixed.pdf.txt", "Mixed doc page one\n\nMixed doc page three"
@@ -914,6 +916,24 @@ def make_scanned_jbig2huff_pdf() -> bytes:
     glyphs, placements, w, h = _scanned_symbol_layout()
     data = jbig2_encode_symbol_text_huffman(
         glyphs, placements, w, h, collective="mmr"
+    )
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2huffref_pdf() -> bytes:
+    """Huffman text region WITH refinement (round 8): the same huffman
+    page, but the last symbol instance carries an inline RI=1 refinement
+    record — RDW/RDH/RDX/RDY through CUSTOM type-53 tables (the
+    untranscribed B.14/B.15 standard selectors refuse), RSIZE through
+    B.1, the instance's bitmap its own byte-aligned MQ codeword per
+    6.4.11. Must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_huffman,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
+    data = jbig2_encode_symbol_text_huffman(
+        glyphs, placements, w, h, collective="mmr", inline_refine_last=True
     )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
