@@ -1229,24 +1229,24 @@ def pq_exact_dims(
         )
     d0 = probe["d"] if probe is not None else 0
     dsub = max(d0 // m_subvectors, 1)
+    # validate the ARRAY length before the explode: a mismatched row would
+    # otherwise score over wrong/missing subspaces silently, and an EMPTY
+    # array would vanish entirely (posexplode emits no rows for it)
+    checked = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"CASE WHEN size({vec_col}) = {d0} THEN {vec_col} "
+            f"ELSE raise_error(concat('pq_exact_dims: vector of dim ', "
+            f"size({vec_col}), ' in a dim-{d0} corpus')) END"
+        ).alias("__raw"),
+    ).select("vec_id", l2_normalize(F.col("__raw")).alias("v"))
     return (
-        vectors.select(F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("v"))
-        .select(
-            "vec_id",
-            F.posexplode("v").alias("i0", "x0"),
-            F.size("v").alias("dim"),
-        )
+        checked.select("vec_id", F.posexplode("v").alias("i0", "x0"))
         .select(
             "vec_id",
             (F.col("i0") / dsub).cast("int").alias("m"),
             (F.col("i0") % dsub).alias("j"),
-            # a row whose length disagrees with the probed dim would score
-            # over wrong/missing subspaces SILENTLY — fail loudly instead
-            F.expr(
-                f"CASE WHEN dim = {d0} THEN round(x0, 9) "
-                f"ELSE raise_error(concat('pq_exact_dims: vector of dim ', "
-                f"dim, ' in a dim-{d0} corpus')) END"
-            ).alias("x"),
+            F.round("x0", 9).alias("x"),
         )
     )
 

@@ -1062,6 +1062,9 @@ def decode_symbol_dict(
         # persist across every aggregate in the dictionary (Table 17)
         iadt, iafs, iads, iait, iari = (_int_ctx() for _ in range(5))
         iardw, iardh = _int_ctx(), _int_ctx()
+        # ONE paste-work budget across every aggregate in this dictionary
+        # — per-call budgets would multiply by the declared symbol count
+        agg_budget = [4 * _MAX_PIXELS]
     # one growing pool: input symbols + decoded-so-far (all_syms at the
     # end); avoids the O(n^2) per-symbol list rebuild for REFAGG streams
     pool: list = list(input_syms)
@@ -1111,6 +1114,7 @@ def decode_symbol_dict(
                         r_template, rat, gr_cxs,
                         iadt, iafs, iads, iait, iari,
                         iardw, iardh, iardx, iardy, iaid,
+                        budget=agg_budget,
                     )
                     new_syms.append(sym)
                     pool.append(sym)
@@ -1158,6 +1162,7 @@ def _decode_aggregate_symbol(
     mq, pool, sym_width, hc_height, n_inst, ref_code_len,
     r_template, rat, gr_cxs,
     iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy, iaid,
+    budget: list | None = None,
 ) -> list[bytes]:
     """Multi-instance aggregate symbol (6.5.8.2.2): the symbol's bitmap is
     a nested text region of its own dimensions, composed of REFAGGNINST
@@ -1205,6 +1210,7 @@ def _decode_aggregate_symbol(
         sym_width, hc_height, n_inst, pool,
         1, 1, 0, 0, 0, 0, 1,  # strips, TOPLEFT, not transposed, OR, 0, 0, REFINE
         get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
+        budget=budget,
     )
 
 
@@ -1435,11 +1441,17 @@ def _text_region_place(
     rw, rh, num_instances, syms, strips, refcorner, transposed,
     comb_op, def_pixel, ds_offset, refine,
     get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
+    budget: list | None = None,
 ) -> list[bytes]:
     """The text-region PLACEMENT loop (6.4.5), factored out of
     ``decode_text_region`` so multi-instance aggregate symbols (6.5.8.2)
     can run the same procedure inside a symbol dictionary with the
-    dictionary's shared arithmetic decoder and context banks (Table 17)."""
+    dictionary's shared arithmetic decoder and context banks (Table 17).
+
+    ``budget`` is a 1-element mutable paste-work allowance; callers that
+    invoke this procedure REPEATEDLY from one stream (a REFAGG dictionary
+    decoding many aggregate symbols) MUST pass one shared budget, or a
+    crafted stream multiplies the per-call bound by the symbol count."""
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
 
     dt = get_dt()
@@ -1453,9 +1465,10 @@ def _text_region_place(
     # symbol's full area even when clipped, so a crafted stream placing a
     # near-_MAX_PIXELS pool symbol thousands of times (num_instances is
     # only bounded by _MAX_SYMBOLS; multi-instance aggregates add the
-    # same multiplier inside dictionaries) would pin a core on pure
-    # Python — the module's hostile-input convention is to raise instead
-    paste_budget = 4 * _MAX_PIXELS
+    # same multiplier inside dictionaries — hence the SHARED budget) would
+    # pin a core on pure Python — the convention is to raise instead
+    if budget is None:
+        budget = [4 * _MAX_PIXELS]
     while ninst < num_instances:
         guard += 1
         if guard > 2 * num_instances + 16:
@@ -1494,8 +1507,8 @@ def _text_region_place(
                     sym = decode_refinement(sym)
             hs = len(sym)
             ws = len(sym[0]) if hs else 0
-            paste_budget -= hs * ws
-            if paste_budget < 0:
+            budget[0] -= hs * ws
+            if budget[0] < 0:
                 raise Jbig2Error("text region placement work exceeds budget")
             if transposed:
                 # S runs down the page, T across: x from T (right corners
@@ -1885,18 +1898,22 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
 
     Supported: page-info + generic regions (arithmetic templates 0-3 with
     nominal AT and TPGDON, or MMR through the T.6 kernel), symbol
-    dictionaries in BOTH coding families (arithmetic SDHUFF=0, direct or
-    single-instance-REFAGG refinement; huffman SDHUFF=1 with
-    uncompressed or MMR collective bitmaps) and immediate text regions in
-    both families (arithmetic with refined instances via GRTEMPLATE 1;
-    huffman with run-coded symbol ID lengths and Annex B tables — custom
-    type-53 segments or standard B.1-B.5), both TRANSPOSED orientations —
-    the profiles real symbol-mode encoders emit — all composed onto the
-    page bitmap, as are pattern dictionaries + immediate halftone regions.
-    Untranscribed standard tables (B.6+), GRTEMPLATE-0 refinement,
-    huffman refinement, and multi-instance aggregates raise — the PDF
-    raster path treats that like any other unsupported filter (fallback,
-    not a crash)."""
+    dictionaries in BOTH coding families (arithmetic SDHUFF=0: direct,
+    single-instance REFAGG refinement in both GRTEMPLATEs, and
+    multi-instance aggregates as nested text regions per 6.5.8.2;
+    huffman SDHUFF=1 with uncompressed or MMR collective bitmaps) and
+    immediate text regions in both families (arithmetic with refined
+    instances in both GRTEMPLATEs; huffman with run-coded symbol ID
+    lengths, Annex B tables — custom type-53 segments or standard
+    B.1-B.5 — and refinement via custom delta tables, 6.4.11), both
+    TRANSPOSED orientations — the profiles real symbol-mode encoders
+    emit — all composed onto the page bitmap, as are pattern
+    dictionaries + immediate halftone regions (HDMMR/HMMR/HENABLESKIP
+    included). Untranscribed standard tables (B.6-B.15, which also
+    blocks huffman REFAGG dictionaries since the spec hardcodes
+    B.6/B.8/B.11/B.15 there) and non-causal refinement AT1 pixels
+    raise — the PDF raster path treats that like any other unsupported
+    filter (fallback, not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
     sym_store: dict[int, list] = {}   # segment number → exported symbols

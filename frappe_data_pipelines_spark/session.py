@@ -65,9 +65,10 @@ def get_spark(
         # thread instead of stopping cleanly (reproduced round 8 in
         # tools/stream_bench.py). A deeper default thread stack absorbs
         # it; streaming/ingest.stop_streaming_query avoids the interrupt
-        # by stopping at trigger-idle. APPEND to any options the caller
-        # already carries (env var / spark-defaults) instead of clobbering
-        # them; respect an explicit -Xss if one is present.
+        # by stopping at trigger-idle. NOTE an explicit .config still
+        # overrides spark-defaults.conf (builder semantics) — callers who
+        # need extra driver flags pass them via SPARK_DRIVER_JAVA_OPTIONS
+        # (appended here; an explicit -Xss in them wins over ours).
         .config(
             "spark.driver.extraJavaOptions",
             _with_stack_size(os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", "")),

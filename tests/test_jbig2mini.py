@@ -1490,3 +1490,28 @@ class TestHuffmanRefinement:
                 jbig2_decode_embedded(bytes(b))
             except Jbig2Error:
                 pass
+
+
+def test_aggregate_dictionary_budget_is_shared(monkeypatch):
+    """Review r8 pass 2: the paste-work budget must span ALL aggregates in
+    one dictionary — per-call budgets would let a stream multiply the
+    bound by the declared symbol count."""
+    from frappe_data_pipelines_spark.operators import jbig2mini
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        Jbig2Error,
+        jbig2_decode_embedded,
+        jbig2_encode_symbol_text_aggregate,
+    )
+
+    monkeypatch.setattr(jbig2mini, "_MAX_PIXELS", 1 << 12)
+    base = [bytes([1] * 16)] * 16  # 256 px per paste
+    # each composite pastes 2 instances = 512 px; budget = 4*4096 = 16384
+    few = [[(0, 0), (0, 8)] for _ in range(8)]     # 4096 px total: fits
+    many = [[(0, 0), (0, 8)] for _ in range(40)]   # 20480 px: exceeds
+    ok = jbig2_encode_symbol_text_aggregate([base], few, [(0, 0, 0)], 24, 16)
+    assert jbig2_decode_embedded(ok)[0] == 24
+    bad = jbig2_encode_symbol_text_aggregate(
+        [base], many, [(0, 0, 0)], 24, 16
+    )
+    with pytest.raises(Jbig2Error, match="placement work exceeds budget"):
+        jbig2_decode_embedded(bad)
