@@ -232,6 +232,32 @@ def main() -> None:
             )
         codes.unpersist()
 
+    # PQ EXACT tier (the oracled correctness anchor, round 8): trained
+    # codebooks under the hash gate. Each call replays the FULL pipeline
+    # (sample, 2 Lloyd rounds, encode, ADC), so qps here is the
+    # train-included figure, not an amortized-index serving rate — the
+    # numpy pq rows above are the throughput path
+    ex_q = queries[: min(8, len(queries))]
+    t0 = time.time()
+    hits = 0
+    for qid, _qv in ex_q:
+        got = {
+            r["id"]
+            for r in ann.pq_exact_search(vectors, query_id=qid, topk=k).collect()
+        }
+        hits += len(got & truth[qid])
+    results.append(
+        {
+            "variant": "pq_exact",
+            "recall_at_k": round(hits / (k * len(ex_q)), 4),
+            "qps": round(len(ex_q) / (time.time() - t0), 3),
+            "params": {
+                "m_subvectors": 16, "k_centroids": 16,
+                "note": "oracled tier; qps includes per-call training replay",
+            },
+        }
+    )
+
     # SQ8: per-dim 8-bit scalar quantization — 4 bytes/dim -> 1, no
     # codebooks; distortion (and so recall) far better than PQ at 4x the
     # code size
