@@ -398,6 +398,14 @@ class HTTPReranker:
                 raise ProviderError(
                     f"malformed response: index {idx} out of range", retryable=False
                 )
+            if scores[idx] is not None:
+                # a repeat would silently overwrite the earlier score while
+                # still "covering" every slot — treat like the other
+                # malformed-response shapes instead
+                raise ProviderError(
+                    f"malformed response: duplicate index {idx} in rerank response",
+                    retryable=False,
+                )
             scores[idx] = score
         if any(s is None for s in scores):
             raise ProviderError(

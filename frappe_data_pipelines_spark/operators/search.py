@@ -173,10 +173,23 @@ def rrf_fuse(
     score_b: str = "bm25",
     k: int = RRF_K,
     top_k: int = 10,
-    overfetch: int = 5,
+    overfetch: int | None = 5,
 ) -> DataFrame:
     """Reciprocal Rank Fusion: rrf = Σ_r 1/(k + rank_r). Full outer join so a
     doc ranked by only one side still scores.
+
+    APPROXIMATION (default): each ranking is truncated to a
+    ``top_k × overfetch`` candidate pool before fusion, so a doc ranked
+    just outside one side's pool (e.g. #51 of a 50-pool) loses that
+    side's 1/(k+rank) contribution entirely rather than receiving its
+    true rank — results near the top_k boundary can differ from
+    full-corpus RRF. Pass ``overfetch=None`` to recover EXACT fusion:
+    every scored doc on each side gets its true global rank. Exact mode
+    ranks each full side through one window partition — correct and fine
+    for small/driver-side corpora, a single-task serialization at 100 TB,
+    which is why bounded pools are the default (and the standard
+    hybrid-search shape; the reference overfetches ×5 the same way,
+    search_service.py:83).
 
     Scale shape: each side is first cut to a bounded candidate pool of
     ``top_k × overfetch`` via orderBy().limit() — Spark compiles that to
@@ -191,40 +204,29 @@ def rrf_fuse(
     system runs."""
     from frappe_data_pipelines_spark.operators.guards import bounded_window_key
 
-    n_cand = top_k * overfetch
     # the windows key on a constant partition: their input is the ≤n_cand
     # survivors of the TakeOrderedAndProject above, so the single partition
     # is bounded by construction — bounded_window_key states that in the
     # physical plan (no WindowExec warning, and the planlint global-window
-    # rule stays strict)
-    ra = (
-        ranking_a.orderBy(F.desc(score_a), F.col(id_col).asc())
-        .limit(n_cand)
-        .select(
+    # rule stays strict). overfetch=None (exact mode) skips the cut: the
+    # caller accepted the single-partition rank for a small corpus.
+    def _ranked(side: DataFrame, score: str, out: str) -> DataFrame:
+        pool = side.orderBy(F.desc(score), F.col(id_col).asc())
+        if overfetch is not None:
+            pool = pool.limit(top_k * overfetch)
+        return pool.select(
             F.col(id_col).alias("doc_id"),
             F.row_number()
             .over(
                 Window.partitionBy(bounded_window_key(id_col)).orderBy(
-                    F.desc(score_a), F.col(id_col).asc()
+                    F.desc(score), F.col(id_col).asc()
                 )
             )
-            .alias("rank_a"),
+            .alias(out),
         )
-    )
-    rb = (
-        ranking_b.orderBy(F.desc(score_b), F.col(id_col).asc())
-        .limit(n_cand)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.row_number()
-            .over(
-                Window.partitionBy(bounded_window_key(id_col)).orderBy(
-                    F.desc(score_b), F.col(id_col).asc()
-                )
-            )
-            .alias("rank_b"),
-        )
-    )
+
+    ra = _ranked(ranking_a, score_a, "rank_a")
+    rb = _ranked(ranking_b, score_b, "rank_b")
     fused = (
         ra.join(rb, "doc_id", "full_outer")
         .withColumn(

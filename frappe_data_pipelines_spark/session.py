@@ -13,6 +13,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+def jvm_has_deep_stack(spark: SparkSession, min_bytes: int = 8 << 20) -> bool:
+    """True if the RUNNING driver JVM was launched with a thread stack of
+    at least ``min_bytes`` (default 8 MB). Authoritative — reads the JVM's
+    actual launch arguments via the runtime MX bean, not the SparkConf
+    (which still *shows* ``spark.driver.extraJavaOptions`` on a session
+    that pre-existed getOrCreate, where the option was silently ignored).
+    Used by ``streaming.ingest.stop_streaming_query`` to decide whether
+    the -Xss32m mid-batch-interrupt backstop is really in place."""
+    try:
+        mx = spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()  # noqa: SLF001
+        for arg in mx.getInputArguments():
+            s = str(arg)
+            if not s.startswith("-Xss"):
+                continue
+            size, unit = s[4:], 1
+            if size and size[-1] in "kKmMgG":
+                unit = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[size[-1].lower()]
+                size = size[:-1]
+            try:
+                return int(size) * unit >= min_bytes
+            except ValueError:
+                return False
+    except Exception:  # noqa: BLE001 — py4j / non-JVM session: assume absent
+        return False
+    return False
+
+
 def _with_stack_size(opts: str, xss: str = "-Xss32m") -> str:
     """Append ``xss`` to a driver-java-options string unless the caller
     already pins a stack size — their -Xss wins."""
@@ -69,6 +96,12 @@ def get_spark(
         # overrides spark-defaults.conf (builder semantics) — callers who
         # need extra driver flags pass them via SPARK_DRIVER_JAVA_OPTIONS
         # (appended here; an explicit -Xss in them wins over ours).
+        # FRESH-JVM REQUIREMENT: extraJavaOptions only takes effect when
+        # getOrCreate launches the JVM. If a SparkSession already exists
+        # (tests, notebooks, an earlier get_spark with other args), this
+        # config is silently ignored and the running JVM keeps its 1 MB
+        # stacks — stop_streaming_query detects that (jvm_has_deep_stack)
+        # and extends its idle wait rather than trusting the backstop.
         .config(
             "spark.driver.extraJavaOptions",
             _with_stack_size(os.environ.get("SPARK_DRIVER_JAVA_OPTIONS", "")),

@@ -133,26 +133,59 @@ class ShardAppendLock:
     stored manifest and the loser's merge would drop the winner's delta.
     A crashed holder leaves the lock on disk — the error message names
     the file and the recovery path (``rebuild_manifest`` recomputes the
-    manifest from the written files, then remove the lock)."""
+    manifest from the written files, then remove the lock).
+
+    The same contract holds for PYTHON-level failures, not just process
+    kills: the appender calls :meth:`mark_dirty` immediately before the
+    data write, and ``__exit__`` keeps the lock (stamped ``FAILED``) when
+    an exception escapes after that point — the data may then be ahead of
+    the stored manifest, and releasing the lock would let the next
+    appender merge against a silently stale manifest. A failure *before*
+    ``mark_dirty`` (nothing written yet) still releases the lock."""
 
     def __init__(self, out_dir: str):
         self.path = os.path.join(out_dir, ".append.lock")
         self._fd = None
+        self._dirty = False
 
     def __enter__(self):
         try:
             self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            try:
+                with open(self.path, encoding="utf-8") as f:
+                    state = f.read()
+            except OSError:
+                state = ""
+            why = (
+                "a previous append FAILED mid-write (data may be ahead of "
+                "the manifest)"
+                if "FAILED" in state
+                else "another append is in flight, or a previous one crashed"
+            )
             raise RuntimeError(
                 f"append_training_shards: lock file {self.path} exists — "
-                "another append is in flight, or a previous one crashed. "
-                "If crashed: run rebuild_manifest() to restore manifest/"
-                "data consistency, then delete the lock file."
+                f"{why}. Recovery: run rebuild_manifest() to restore "
+                "manifest/data consistency, then delete the lock file."
             ) from None
         os.write(self._fd, str(os.getpid()).encode())
         return self
 
-    def __exit__(self, *exc):
+    def mark_dirty(self):
+        """Call right before the first durable write: from here on, an
+        escaping exception keeps the lock so the stale-manifest state is
+        never silently merged against."""
+        self._dirty = True
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and self._dirty:
+            # Data write may have landed without its manifest flip: keep
+            # the lock (stamped) so the next appender is forced through
+            # the rebuild_manifest recovery message instead of merging
+            # against a stale manifest.
+            os.write(self._fd, b" FAILED")
+            os.close(self._fd)
+            return False
         os.close(self._fd)
         os.remove(self.path)
         return False
@@ -228,8 +261,9 @@ def append_training_shards(
     import shutil
 
     spark = new_docs.sparkSession
-    with ShardAppendLock(out_dir):
+    with ShardAppendLock(out_dir) as lock:
         assigned = new_docs.withColumn("shard", shard_assignment(n_shards, id_col))
+        lock.mark_dirty()
         assigned.repartition(n_shards, "shard").write.mode("append").partitionBy(
             "shard"
         ).parquet(os.path.join(out_dir, "data"))

@@ -281,7 +281,9 @@ def start_ingest_stream(
     return q
 
 
-def stop_streaming_query(q, idle_timeout: float = 60.0, poll: float = 0.2) -> None:
+def stop_streaming_query(
+    q, idle_timeout: float | None = None, poll: float = 0.2
+) -> None:
     """Stop a streaming query WITHOUT interrupting an in-flight micro-batch.
 
     ``StreamingQuery.stop()`` interrupts the stream execution thread; if a
@@ -293,20 +295,65 @@ def stop_streaming_query(q, idle_timeout: float = 60.0, poll: float = 0.2) -> No
     (StackOverflowError observed in tools/stream_bench.py, round 8). The
     query then dies messily instead of stopping cleanly.
 
-    This helper waits for the trigger to go idle (bounded by
-    ``idle_timeout``) before stopping, so the interrupt almost never lands
-    inside a running batch. It is check-then-act: a new trigger CAN start
-    in the gap between the last poll and ``stop()`` — that residual race
-    is what ``session.get_spark``'s ``-Xss32m`` backstop absorbs. Falls
-    back to a plain stop at the deadline — by then a wedged batch is the
+    This helper waits for a SAFE WINDOW before stopping:
+
+    - trigger idle (``isTriggerActive`` false) — no batch in flight; or
+    - two consecutive polls with ``isDataAvailable`` false while the
+      trigger loops — the no-data poll phase of an always-triggering
+      source (availableNow draining an empty dir, short ProcessingTime),
+      which previously burned the whole timeout without ever reading
+      trigger-idle.
+
+    It is check-then-act: a new trigger CAN start in the gap between the
+    last poll and ``stop()`` — that residual race is what
+    ``session.get_spark``'s ``-Xss32m`` backstop absorbs. When the RUNNING
+    JVM lacks a deep stack (session pre-existed getOrCreate, so
+    extraJavaOptions was silently ignored — see session.py), this warns
+    and doubles the idle wait, since the backstop is absent and a mid-batch
+    interrupt is the failure mode that kills the stream thread.
+    ``idle_timeout=None`` → 60 s (120 s without the backstop). Falls back
+    to a plain stop at the deadline — by then a wedged batch is the
     bigger problem."""
     import time as _time
+    import warnings
 
+    deep = True
+    try:
+        from pyspark.sql import SparkSession
+
+        from frappe_data_pipelines_spark.session import jvm_has_deep_stack
+
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            deep = jvm_has_deep_stack(sess)
+    except Exception:  # noqa: BLE001 — no live session to introspect
+        pass
+    if idle_timeout is None:
+        idle_timeout = 60.0 if deep else 120.0
+    elif not deep:
+        idle_timeout *= 2
+    if not deep:
+        warnings.warn(
+            "stop_streaming_query: driver JVM lacks the -Xss32m backstop "
+            "(SparkSession pre-existed get_spark, extraJavaOptions ignored) "
+            "— extending idle wait; a mid-batch interrupt here can "
+            "StackOverflow the stream thread",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     deadline = _time.time() + idle_timeout
+    no_data_polls = 0
     while _time.time() < deadline:
         try:
-            if not q.status.get("isTriggerActive", False):
+            st = q.status
+            if not st.get("isTriggerActive", False):
                 break
+            if not st.get("isDataAvailable", True):
+                no_data_polls += 1
+                if no_data_polls >= 2:
+                    break
+            else:
+                no_data_polls = 0
         except Exception:  # noqa: BLE001 — query already terminated
             break
         _time.sleep(poll)

@@ -175,3 +175,28 @@ def test_error_message_truncated(spark):
     out = embed_with_dead_letter(df, provider_factory=long_error_factory)
     err = out.collect()[0].embed_error
     assert len(err) == 500  # reference truncation process_embedding.py:71
+
+
+def test_reranker_duplicate_index_is_permanent():
+    """A malformed response with a duplicate index must raise, even when
+    every slot ends up covered (the duplicate would otherwise silently
+    overwrite the earlier score) — round-9 ADVICE fix."""
+    from frappe_data_pipelines_spark.operators.providers import (
+        HTTPReranker,
+        ProviderError,
+    )
+
+    def dup_transport(_req):
+        return {
+            "results": [
+                {"index": 0, "relevance_score": 0.9},
+                {"index": 1, "relevance_score": 0.8},
+                {"index": 1, "relevance_score": 0.7},  # repeat
+                {"index": 0, "relevance_score": 0.6},  # repeat covers slot 0 again
+            ]
+        }
+
+    rr = HTTPReranker(transport=dup_transport)
+    with pytest.raises(ProviderError, match="duplicate index") as ei:
+        rr.rerank("q", ["a", "b"])
+    assert not ei.value.retryable

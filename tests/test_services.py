@@ -392,3 +392,79 @@ def test_pipeline_engine_settings_drive_chunking(spark, sf_dir):
     rows = embedded.collect()
     assert rows and all("section_path" in r.asDict() for r in rows)
     assert done.count() == 20
+
+
+def test_rrf_exact_mode_recovers_boundary_doc(spark):
+    """overfetch=None (round-9 ADVICE): a doc ranked just outside one
+    side's bounded pool keeps its true-rank contribution in exact mode.
+    With top_k=2, overfetch=1 the pools are 2 deep — doc 3 (rank 3 on side
+    A, rank 1 on side B) loses its A-side 1/(60+3) under the default
+    approximation but receives it exactly when overfetch=None."""
+    from frappe_data_pipelines_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (5, 0.7)], "doc_id long, bm25 double"
+    )
+    approx = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse(a, b, top_k=2, overfetch=1).collect()
+    }
+    exact = {
+        r.doc_id: r.rrf
+        for r in rrf_fuse(a, b, top_k=2, overfetch=None).collect()
+    }
+    # approximate: doc 3 only scores its B-side rank-1 contribution
+    assert approx[3] == round(1 / 61, 6)
+    # exact: doc 3 adds its true A-side rank-3 contribution and wins
+    assert exact[3] == round(1 / 61 + 1 / 63, 6)
+    assert max(exact, key=lambda d: exact[d]) == 3
+
+
+def test_stop_streaming_query_no_data_fast_path(spark):
+    """A stream stuck in the no-data poll loop (trigger active, no data)
+    is stopped after two quiet polls instead of burning the whole idle
+    timeout — round-9 ADVICE fix."""
+    import time
+
+    from frappe_data_pipelines_spark.streaming.ingest import stop_streaming_query
+
+    class FakeQuery:
+        def __init__(self, status):
+            self._status = status
+            self.stopped = False
+
+        @property
+        def status(self):
+            return dict(self._status)
+
+        def stop(self):
+            self.stopped = True
+
+    # trigger active but no data: fast path (2 polls ≈ 0.4 s, not 60 s)
+    q = FakeQuery({"isTriggerActive": True, "isDataAvailable": False})
+    t0 = time.time()
+    stop_streaming_query(q)
+    assert q.stopped and time.time() - t0 < 5.0
+
+    # trigger idle: immediate
+    q2 = FakeQuery({"isTriggerActive": False, "isDataAvailable": True})
+    t0 = time.time()
+    stop_streaming_query(q2)
+    assert q2.stopped and time.time() - t0 < 5.0
+
+    # genuinely mid-batch: waits the (short) deadline out, then stops
+    q3 = FakeQuery({"isTriggerActive": True, "isDataAvailable": True})
+    t0 = time.time()
+    stop_streaming_query(q3, idle_timeout=0.5)
+    assert q3.stopped and 0.4 < time.time() - t0 < 5.0
+
+
+def test_jvm_has_deep_stack_on_engine_session(spark):
+    """get_spark launches the JVM with -Xss32m, and the introspection
+    reads the RUNNING JVM's args (not the conf)."""
+    from frappe_data_pipelines_spark.session import jvm_has_deep_stack
+
+    assert jvm_has_deep_stack(spark) is True

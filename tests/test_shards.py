@@ -246,3 +246,61 @@ def test_rebuild_manifest_recovers_stale_manifest(spark, tmp_path):
     rebuild_manifest(spark, out)
     checks = verify_shard_export(spark, out, n_shards=4).collect()
     assert len(checks) == 4 and all(r.ok for r in checks)
+
+
+def test_python_failure_after_data_write_keeps_lock(spark, tmp_path, monkeypatch):
+    """Round-9 ADVICE fix: an exception escaping append_training_shards
+    AFTER the data append must keep the lock (stamped FAILED) — releasing
+    it would let the next appender merge against the now-stale manifest.
+    A failure BEFORE any write still releases the lock."""
+    import os
+
+    import frappe_data_pipelines_spark.sources.shards as shards_mod
+    from frappe_data_pipelines_spark.sources.shards import (
+        append_training_shards,
+        rebuild_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"x {i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    write_training_shards(docs, out, n_shards=2)
+
+    # -- failure AFTER the data write (shard_manifest runs post-append) --
+    real_manifest = shards_mod.shard_manifest
+
+    def boom(*a, **k):
+        raise ValueError("simulated post-write failure")
+
+    monkeypatch.setattr(shards_mod, "shard_manifest", boom)
+    more = spark.createDataFrame([(100, "y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="simulated post-write failure"):
+        append_training_shards(more, out, n_shards=2)
+    lock = os.path.join(out, ".append.lock")
+    assert os.path.exists(lock)  # kept: data is ahead of the manifest
+    with open(lock) as f:
+        assert "FAILED" in f.read()
+    # the next appender is forced through the recovery message
+    monkeypatch.setattr(shards_mod, "shard_manifest", real_manifest)
+    with pytest.raises(RuntimeError, match="FAILED mid-write"):
+        append_training_shards(more, out, n_shards=2)
+    # documented recovery: rebuild from files, drop the lock, append works
+    rebuild_manifest(spark, out)
+    os.remove(lock)
+    append_training_shards(
+        spark.createDataFrame([(101, "z")], "doc_id long, text string"),
+        out,
+        n_shards=2,
+    )
+    checks = verify_shard_export(spark, out, n_shards=2).collect()
+    assert all(r.ok for r in checks)
+
+    # -- failure BEFORE any write releases the lock (nothing stale) --
+    def boom_assign(*a, **k):
+        raise ValueError("simulated pre-write failure")
+
+    monkeypatch.setattr(shards_mod, "shard_assignment", boom_assign)
+    with pytest.raises(ValueError, match="pre-write"):
+        append_training_shards(more, out, n_shards=2)
+    assert not os.path.exists(lock)
