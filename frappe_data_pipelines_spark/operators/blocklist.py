@@ -25,6 +25,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Worker-side automaton memo: Spark reuses python workers across tasks and
+# micro-batches (spark.python.worker.reuse, default on), so a streaming door
+# scanning the SAME blocklist every batch should build the trie once per
+# worker process, not once per batch. Keyed on the term tuple; bounded to
+# one entry (a second distinct blocklist evicts the first — the door use
+# case has exactly one list, and batch operators tolerate a rebuild).
+_AUTOMATON_MEMO: dict = {}
+
+
+def _cached_automaton(term_key: tuple):
+    m = _AUTOMATON_MEMO.get(term_key)
+    if m is None:
+        m = _build_automaton(list(term_key))
+        _AUTOMATON_MEMO.clear()
+        _AUTOMATON_MEMO[term_key] = m
+    return m
+
+
 def _build_automaton(terms: list[tuple[int, str]]):
     """Classic Aho-Corasick: goto trie, BFS fail links, output lists of
     (term_id, term_len) merged down the fail chain."""
@@ -176,13 +194,26 @@ def blocklist_annotate(
     per-ROW accounting, which a keyed join back cannot give), appending
     one column. Shuffle-free; this is the primitive ``blocklist_filter``
     builds on."""
-    import pandas as pd
-    from pyspark.sql import types as T
+    return blocklist_annotate_prepared(
+        docs,
+        collect_blocklist_terms(terms, case_insensitive, max_terms),
+        text_col=text_col,
+        case_insensitive=case_insensitive,
+        word_boundaries=word_boundaries,
+        out_col=out_col,
+    )
 
+
+def collect_blocklist_terms(
+    terms: DataFrame, case_insensitive: bool = True, max_terms: int = 200_000
+) -> list[tuple[int, str]]:
+    """Collect + validate a blocklist terms table into the bounded
+    driver-side ``term_list`` the scan kernels close over. A streaming
+    door calls this ONCE at stream start — collecting the (static) terms
+    table inside every micro-batch was one Spark action per batch of pure
+    fixed overhead (round-9 door-latency profile)."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
 
-    if out_col in docs.columns:
-        raise ValueError(f"blocklist_annotate: column {out_col!r} already exists")
     rows = collect_bounded(
         terms.select(
             F.col("term_id").cast("long").alias("term_id"),
@@ -192,14 +223,34 @@ def blocklist_annotate(
         "blocklist terms",
     )
     if any(r["term"] is None or len(r["term"]) == 0 for r in rows):
-        raise ValueError("blocklist_annotate: empty/null term")
-    term_list = [
+        raise ValueError("blocklist terms: empty/null term")
+    return [
         (r["term_id"], r["term"].lower() if case_insensitive else r["term"])
         for r in rows
     ]
 
+
+def blocklist_annotate_prepared(
+    docs: DataFrame,
+    term_list: list[tuple[int, str]],
+    text_col: str = "text",
+    case_insensitive: bool = True,
+    word_boundaries: bool = False,
+    out_col: str = "n_blocklist_hits",
+) -> DataFrame:
+    """``blocklist_annotate`` over an already-collected ``term_list``
+    (from ``collect_blocklist_terms``) — no per-call Spark action, and the
+    worker-side automaton memo makes repeat scans of the same list (a
+    streaming door, every micro-batch) skip the trie build."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if out_col in docs.columns:
+        raise ValueError(f"blocklist_annotate: column {out_col!r} already exists")
+    term_key = tuple(term_list)
+
     def run(batches):
-        machine = _build_automaton(term_list)
+        machine = _cached_automaton(term_key)
         for pdf in batches:
             hits = []
             for txt in pdf[text_col]:

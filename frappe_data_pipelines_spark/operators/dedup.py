@@ -1211,6 +1211,7 @@ def apply_span_removal(
     spans: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Cut ``spans`` (doc_id, span_start, span_end, span_len — maximal,
     non-overlapping, 1-based [start, end)) out of ``docs`` and emit
@@ -1218,7 +1219,12 @@ def apply_span_removal(
     the shared stitch behind ``exact_substring_scrub`` (self-dedup) and
     ``incremental_substring_scrub`` (ingest door). One doc_id shuffle
     (span collect_list) + one join; the stitch itself is a single JVM
-    higher-order aggregate over the sorted span array."""
+    higher-order aggregate over the sorted span array.
+
+    ``carry_cols``: additional ``docs`` columns echoed through unchanged
+    (appended after ``cleaned_text``) — a streaming door that needs the
+    full row back avoids a second keyed join against its own batch."""
+    carry_cols = carry_cols or []
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
@@ -1232,7 +1238,9 @@ def apply_span_removal(
         F.sum("span_len").cast("bigint").alias("chars_removed"),
     )
     base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *[F.col(c) for c in carry_cols],
     )
     empty = F.array().cast("array<struct<s:int,e:int>>")
     j = base.join(per_doc, "doc_id", "left").select(
@@ -1241,6 +1249,7 @@ def apply_span_removal(
         F.coalesce("spans", empty).alias("spans"),
         F.coalesce("n_spans", F.lit(0).cast("bigint")).alias("n_spans"),
         F.coalesce("chars_removed", F.lit(0).cast("bigint")).alias("chars_removed"),
+        *[F.col(c) for c in carry_cols],
     )
     acc0 = F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc"))
     stitched = F.aggregate(
@@ -1264,6 +1273,7 @@ def apply_span_removal(
         "chars_removed",
         (F.length("text") - F.col("chars_removed")).cast("bigint").alias("n_kept"),
         stitched.alias("cleaned_text"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -1370,6 +1380,8 @@ def incremental_substring_scrub(
     prefilter: str | None = "winnow",
     k: int = 32,
     corpus_fp: DataFrame | None = None,
+    carry_cols: list[str] | None = None,
+    probe_empty_spans: bool = False,
 ) -> DataFrame:
     """Clean arriving documents AT THE DOOR: ``incremental_dup_spans``
     marks every region of a new doc that already exists verbatim in the
@@ -1378,11 +1390,35 @@ def incremental_substring_scrub(
     containing no >= min_len substring the corpus already holds; corpus
     cost is the winnow fingerprint scan, never the stride-1 blowup; pass
     a persisted ``corpus_fp`` from ``corpus_winnow_fingerprints`` to pay
-    that scan once across many calls, e.g. per-micro-batch)."""
+    that scan once across many calls, e.g. per-micro-batch).
+
+    ``carry_cols``: extra ``new_docs`` columns echoed through (see
+    ``apply_span_removal``) so a caller gets the full row back without a
+    second keyed join against its own batch.
+
+    ``probe_empty_spans``: run one bounded driver probe (``limit(1)``)
+    on the span set first; when it is EMPTY — the common case at a
+    steady-state ingest door, where most arriving docs share nothing
+    with the standing corpus — the stitch-and-join machinery is skipped
+    entirely and the result is a pure projection of ``new_docs`` with
+    zero-removal accounting. Identical output either way; the probe
+    trades one tiny job for the stitch's join + shuffle in the hot path
+    (same move as the KN ``limit(1)`` probe, measured not guessed)."""
     spans = incremental_dup_spans(
         corpus, new_docs, min_len, id_col, text_col, prefilter, k, corpus_fp
     )
-    return apply_span_removal(new_docs, spans, id_col, text_col)
+    if probe_empty_spans and not spans.limit(1).take(1):
+        zero = F.lit(0).cast("bigint")
+        return new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("bigint").alias("n_chars"),
+            zero.alias("n_spans"),
+            zero.alias("chars_removed"),
+            F.length(text_col).cast("bigint").alias("n_kept"),
+            F.col(text_col).alias("cleaned_text"),
+            *[F.col(c) for c in (carry_cols or [])],
+        )
+    return apply_span_removal(new_docs, spans, id_col, text_col, carry_cols)
 
 
 def benchmark_span_decontaminate(

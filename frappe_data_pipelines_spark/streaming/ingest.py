@@ -107,7 +107,25 @@ def start_ingest_stream(
             scrub_against, min_len=scrub_min_len
         ).persist()
 
+    # door prep that is FIXED across micro-batches runs once, at stream
+    # start: the blocklist terms collect was one Spark action per batch of
+    # pure overhead (round-9 door-latency profile: ~0.5 s/batch), and the
+    # worker-side automaton memo in blocklist.py makes batch 2+ skip the
+    # trie build too (python workers are reused across batches)
+    bl_term_list = None
+    if blocklist_terms is not None:
+        from frappe_data_pipelines_spark.operators.blocklist import (
+            collect_blocklist_terms,
+        )
+
+        bl_term_list = collect_blocklist_terms(blocklist_terms)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist the RAW batch before the doors: the door plan needs the
+        # batch several times (fingerprint broadcast build, window
+        # broadcast, the main pass) and each pre-persist use re-read the
+        # micro-batch files — one cached 200-doc scan instead
+        raw = batch_df.persist()
         if scrub_against is not None:
             from frappe_data_pipelines_spark.operators.dedup import (
                 incremental_substring_scrub,
@@ -119,40 +137,52 @@ def start_ingest_stream(
             # the door); null-id rows can't key a scrub — pass them
             # through untouched so they dead-letter or chunk exactly as
             # the unscrubbed path would
-            with_id = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
+            with_id = raw.filter(F.col("doc_id").isNotNull()).dropDuplicates(
                 ["doc_id"]
             )
-            no_id = batch_df.filter(F.col("doc_id").isNull())
+            no_id = raw.filter(F.col("doc_id").isNull())
+            # carry_cols returns the FULL row from the stitch (no keyed
+            # join back against the batch), and probe_empty_spans short-
+            # circuits the stitch entirely when the batch shares nothing
+            # with the corpus — the steady-state door case
+            carry = [
+                c for c in with_id.columns if c not in ("doc_id", "text", "n_chars")
+            ]
             cleaned = incremental_substring_scrub(
                 scrub_against,
                 with_id,
                 min_len=scrub_min_len,
                 corpus_fp=scrub_corpus_fp,
-            ).select("doc_id", F.col("cleaned_text").alias("text"))
-            batch_df = (
-                with_id.drop("text", "n_chars")
-                .join(cleaned, "doc_id")
-                .withColumn("n_chars", F.length("text").cast("long"))
-                .unionByName(
-                    no_id.drop("n_chars").withColumn(
-                        "n_chars", F.length("text").cast("long")
-                    )
+                carry_cols=carry,
+                probe_empty_spans=True,
+            )
+            batch_df = cleaned.select(
+                "doc_id",
+                F.col("cleaned_text").alias("text"),
+                *carry,
+                F.length("cleaned_text").cast("long").alias("n_chars"),
+            ).unionByName(
+                no_id.drop("n_chars").withColumn(
+                    "n_chars", F.length("text").cast("long")
                 )
             )
-        if blocklist_terms is not None:
+        else:
+            batch_df = raw
+        if bl_term_list is not None:
             from frappe_data_pipelines_spark.operators.blocklist import (
-                blocklist_annotate,
+                blocklist_annotate_prepared,
             )
 
             # the rule applies to the text as it will be STORED (post-scrub),
-            # and it is ROW-level — blocklist_annotate appends the hit count
+            # and it is ROW-level — the annotate kernel appends the hit count
             # to every row in place (no keyed join back), so a null-id doc
             # with banned content is judged on its own text instead of
             # sliding past a join key, and a doc delivered twice in one
             # batch is judged per row (blocklist.py's own rationale for the
-            # per-row primitives). Shuffle-free: one Aho-Corasick pass.
-            batch_df = blocklist_annotate(
-                batch_df, blocklist_terms, out_col="__bl_raw"
+            # per-row primitives). Shuffle-free: one Aho-Corasick pass over
+            # the stream-start term list.
+            batch_df = blocklist_annotate_prepared(
+                batch_df, bl_term_list, out_col="__bl_raw"
             ).withColumn(
                 "__bl_hits",
                 F.when(
@@ -161,6 +191,12 @@ def start_ingest_stream(
             ).drop("__bl_raw")
         else:
             batch_df = batch_df.withColumn("__bl_hits", F.lit(None).cast("long"))
+        # I6 telemetry rides the first action as an Observation instead of
+        # costing its own count job at the end of the batch
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n_docs"))
         # every action below re-derives from the micro-batch source; persist
         # once so the sinks/aggregates share one scan (and one chunk+embed
         # computation) instead of re-running it per action
@@ -257,11 +293,14 @@ def start_ingest_stream(
             )
         )
         queued.unionByName(done).unionByName(failed).write.mode("append").parquet(jobs_dir)
+        # the Observation was satisfied by the first action through
+        # batch_df (the chunk sink) — no dedicated count job
         batch_df.sparkSession.createDataFrame(
-            [(batch_id, batch_df.count())], "batch_id LONG, n_docs LONG"
+            [(batch_id, int(obs.get["n_docs"]))], "batch_id LONG, n_docs LONG"
         ).write.mode("append").parquet(metrics_dir)
         embedded.unpersist()
         batch_df.unpersist()
+        raw.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
