@@ -150,6 +150,53 @@ def main() -> None:
     timings = {n: round(t, 3) for n, t in timings.items()}
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
+    # --- automatic mover adjudication (VERDICT r8 task 5) -----------------
+    # Any query moving >15% (and >0.3s absolute) against the latest
+    # recorded BENCH_r{N}.json gets an ISOLATED best-of-3 re-run right
+    # here, and the A/B verdict ships inside the artifact — the manual
+    # late-day-throttling investigations of rounds 6-8 (BENCH_RUNS_*.json)
+    # become a machine step. "environmental" = the isolated best returns
+    # to within 15% of the prior round; "real" = it does not.
+    adjudication = []
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(
+            _glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"BENCH_r0*(\d+)", p).group(1)),
+        )
+        prior = {}
+        if benches:
+            with open(benches[-1]) as f:
+                prior = json.load(f).get("queries", {})
+        movers = [
+            n for n, t in timings.items()
+            if t > 0 and prior.get(n, 0) > 0
+            and abs(t - prior[n]) > max(0.15 * prior[n], 0.3)
+        ]
+        for name in movers:
+            spark.catalog.clearCache()
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                df = q[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            still_moved = abs(best - prior[name]) > max(0.15 * prior[name], 0.3)
+            adjudication.append({
+                "query": name,
+                "prior_round": round(prior[name], 3),
+                "suite_best3": timings[name],
+                "isolated_best3": round(best, 3),
+                "verdict": "real" if still_moved else "environmental",
+            })
+        spark.catalog.clearCache()
+    except Exception as e:  # noqa: BLE001 — adjudication must never sink the bench
+        print(f"# bench adjudication error: {e}", file=sys.stderr)
+
     # streaming ingest throughput (docs/sec, steady-state: JVM/stream init
     # already warmed by the suite above); measured for BOTH sink tiers —
     # parquet-append (default) and the exactly-once MERGE sink (VERDICT r4
@@ -199,6 +246,8 @@ def main() -> None:
         out["ingest_docs_per_sec"] = ingest_rate
     if exactly_once_rate is not None:
         out["ingest_exactly_once_docs_per_sec"] = exactly_once_rate
+    if adjudication:
+        out["adjudication"] = adjudication
     print(json.dumps(out))
 
 

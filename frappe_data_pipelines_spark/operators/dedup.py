@@ -1015,7 +1015,14 @@ def winnow_fingerprints_fast(
         g = (POS_MASK - (kmin & POS_MASK)).astype(np.int64)
         g = np.unique(g)  # selected gram offsets (global)
         doc_idx = np.searchsorted(starts, g, side="right") - 1
-        local_pos = g - starts[doc_idx] + 1  # 1-based within the doc
+        # 1-based CHAR position within the doc (the md5 twin's semantic —
+        # grams are byte-level, so a gram starting on a continuation byte
+        # reports its CONTAINING char; incremental_dup_spans' narrowed
+        # window expansion needs char coordinates to slice text with
+        # substr). cum0[i] = chars fully started within the first i bytes.
+        cont = (c & np.uint64(0xC0)) == np.uint64(0x80)
+        cum0 = np.concatenate([[0], np.cumsum(~cont, dtype=np.int64)])
+        local_pos = cum0[g + 1] - cum0[starts[doc_idx]]
         out_ids = [doc_ids[i] for i in doc_idx.tolist()]  # any id type
         return out_ids, local_pos.tolist(), h[g].view(np.int64).tolist()
 
@@ -1333,15 +1340,17 @@ def incremental_dup_spans(
     (min_len, k) — skips re-fingerprinting the standing corpus on every
     call, which is what a streaming door needs (the corpus is static
     across micro-batches; only the new batch's side changes)."""
+    new_win = _char_windows(new_docs, min_len, id_col, text_col)
     if prefilter == "winnow":
         if not 1 <= k <= min_len:
             raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")
         w = min_len - k + 1
-        new_fp = (
-            winnow_fingerprints_fast(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
-            .select("fp")
-            .distinct()
-        )
+        # no .distinct() before the broadcast: a semi-join build side
+        # tolerates duplicate keys, and the distinct was one extra shuffle
+        # per micro-batch (round-9 door latency work)
+        new_fp = winnow_fingerprints_fast(
+            new_docs, k=k, w=w, id_col=id_col, text_col=text_col
+        ).select("fp")
         corp_fp = (
             corpus_fp
             if corpus_fp is not None
@@ -1349,20 +1358,58 @@ def incremental_dup_spans(
                 corpus, k=k, w=w, id_col=id_col, text_col=text_col
             )
         )
-        cohort = (
-            corp_fp.join(F.broadcast(new_fp), "fp", "left_semi")
-            .select("doc_id")
-            .distinct()
+        # NARROWED corpus-side expansion (round 9; lossless): a corpus
+        # window that equals a new-doc window is a shared substring of
+        # length exactly w + k - 1, so winnowing selects the same gram on
+        # both sides INSIDE it — every matching corpus window therefore
+        # contains a matched corpus fingerprint, and only the <= w window
+        # starts reaching back from each matched gram can match. The old
+        # shape expanded every stride-1 window of every cohort DOC (pay
+        # proportional to cohort text volume, per batch); this shape pays
+        # proportional to MATCHED FINGERPRINTS — at 100 TB the difference
+        # between re-scanning hot boilerplate docs every micro-batch and
+        # touching a few hundred candidate offsets. Fingerprint positions
+        # are char-based; for non-ASCII docs the gram may start mid-char
+        # and k bytes span fewer than k chars, so the reach-back widens to
+        # min_len - 1 there (still < the doc's window count).
+        matched = corp_fp.join(F.broadcast(new_fp), "fp", "left_semi")
+        cand = matched.groupBy("doc_id").agg(F.collect_set("pos").alias("qs"))
+        slack = F.when(
+            F.octet_length(text_col) == F.length(text_col), F.lit(w - 1)
+        ).otherwise(F.lit(min_len - 1))
+        hi_bound = F.length(text_col) - (min_len - 1)
+        starts_arr = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.col("qs"),
+                    lambda q: F.sequence(
+                        F.greatest(F.lit(1).cast("long"), q - slack),
+                        F.least(q, hi_bound.cast("long")),
+                    ),
+                )
+            )
         )
-        corpus = corpus.join(
-            cohort, corpus[id_col] == cohort["doc_id"], "left_semi"
+        short_docs = corpus.filter(F.length(text_col) >= min_len)
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        corp_win = (
+            short_docs.join(
+                F.broadcast(cand),
+                short_docs[id_col] == cand["doc_id"],
+            )
+            .select(F.col(text_col), starts_arr.alias("ps"))
+            # spread BEFORE the explode: a limit()/small-file corpus often
+            # sits in one partition, and the candidate-window expansion is
+            # the CPU-heavy step (same move as _char_windows)
+            .repartition(par)
+            .select(F.explode("ps").alias("p"), F.col(text_col))
+            .select(F.col(text_col).substr(F.col("p"), F.lit(min_len)).alias("s"))
         )
-    # the micro-batch's windows BROADCAST; cohort corpus windows stream
+    else:
+        corp_win = _char_windows(corpus, min_len, id_col, text_col).select("s")
+    # the micro-batch's windows BROADCAST; candidate corpus windows stream
     # against the hash with NO corpus-side shuffle (no distinct either —
     # per-occurrence duplicates collapse in the tiny dropDuplicates over
     # the marked output, which is bounded by the new batch's window count)
-    new_win = _char_windows(new_docs, min_len, id_col, text_col)
-    corp_win = _char_windows(corpus, min_len, id_col, text_col).select("s")
     marked = (
         corp_win.join(F.broadcast(new_win), "s")
         .select("doc_id", "pos")
@@ -1397,13 +1444,14 @@ def incremental_substring_scrub(
     second keyed join against its own batch.
 
     ``probe_empty_spans``: run one bounded driver probe (``limit(1)``)
-    on the span set first; when it is EMPTY — the common case at a
-    steady-state ingest door, where most arriving docs share nothing
-    with the standing corpus — the stitch-and-join machinery is skipped
-    entirely and the result is a pure projection of ``new_docs`` with
-    zero-removal accounting. Identical output either way; the probe
-    trades one tiny job for the stitch's join + shuffle in the hot path
-    (same move as the KN ``limit(1)`` probe, measured not guessed)."""
+    on the span set first; when it is EMPTY the stitch-and-join
+    machinery is skipped entirely and the result is a pure projection
+    of ``new_docs`` with zero-removal accounting. Identical output
+    either way. MEASURED NEGATIVE at the ingest door (round 9): the
+    probe is its own job over the whole span plan, and boilerplate-heavy
+    corpora make spans NONEMPTY almost every batch, so the plan ran
+    twice (2.0-2.7s vs 0.8s probe-off at 200-doc batches). Only enable
+    it when arriving docs genuinely share nothing with the corpus."""
     spans = incremental_dup_spans(
         corpus, new_docs, min_len, id_col, text_col, prefilter, k, corpus_fp
     )

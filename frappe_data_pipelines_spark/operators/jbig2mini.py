@@ -25,14 +25,20 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: standard huffman tables B.6-B.15 (untranscribed spec data;
-custom-table streams cover those selector slots — huffman REFINEMENT
-therefore decodes with custom RDW/RDH/RDX/RDY tables and refuses only the
-B.14/B.15 selectors themselves), huffman REFAGG dictionaries, and
-non-causal template-0 refinement AT1 pixels are NOT implemented — a
-stream using them raises ``Jbig2Error`` and the PDF dispatch falls back
-exactly like any other unsupported filter. Multi-instance aggregates
-(REFAGGNINST > 1) ARE implemented in the arithmetic family: the symbol
+Scope honesty: standard huffman tables B.7 and B.10 (our reconstructions
+fail the Kraft checksum, so they stay untranscribed — custom-table streams
+cover those two selector slots) and non-causal template-0 refinement AT1
+pixels are NOT implemented — a stream using them raises ``Jbig2Error``
+and the PDF dispatch falls back exactly like any other unsupported
+filter. Everything else in the huffman family IS implemented: standard
+tables B.1-B.6, B.8-B.9, B.11-B.15 (doubly checksummed transcriptions —
+exact Kraft completeness and gap-free range tiling), huffman REFINEMENT
+through standard B.14/B.15 or custom tables, and huffman REFAGG
+dictionaries (6.5.8.2 with SDHUFF=1: single-instance refinements via raw
+SBSYMCODELEN-bit ids + B.15 offsets + B.1-sized MQ codewords, and
+multi-instance aggregates as nested huffman text regions over the
+hardcoded B.6/B.8/B.11/B.15/B.1 tables of Table 17). Multi-instance
+aggregates (REFAGGNINST > 1) are implemented in BOTH families: the symbol
 decodes as a nested text region driven by the dictionary's shared
 decoder and context banks (6.5.8.2, Table 17). Every ARITHMETIC region type IS
 implemented, both directions: generic (incl. custom AT + MMR via T.6),
@@ -603,12 +609,15 @@ def _read_rat(body: bytes, pos: int):
 # "lower"/"upper" lines carry 32-bit offsets off the table ends, and OOB
 # terminates sequences exactly like the arithmetic coder's OOB.
 #
-# Scope: standard tables B.1-B.5 (the symbol-dictionary set — their line
-# lists are Kraft-complete, which cross-checks the transcription) plus fully
-# general CUSTOM table segments (type 53, spec B.2 — self-describing, so no
-# transcription risk). The text-region table slots (FS/DS/DT) are served by
-# custom tables; streams selecting standard tables B.6-B.15 raise (honest
-# refusal: their line lists are spec data we cannot validate in-container).
+# Scope: standard tables B.1-B.6, B.8-B.9, B.11-B.15 (every transcription is
+# doubly checksummed: exact Kraft completeness — sum 2^-PREFLEN == 1.0,
+# asserted at import — AND gap-free range tiling from the lowest normal line
+# to the upper-range line, asserted below; a mistranscribed line fails one or
+# both) plus fully general CUSTOM table segments (type 53, spec B.2 —
+# self-describing, so no transcription risk). B.7 and B.10 remain refused:
+# our reconstructions of those two line lists fail the Kraft checksum, so
+# shipping them would be guessing — custom-table streams cover their
+# selector slots.
 
 
 class _HuffBitReader:
@@ -752,8 +761,19 @@ class HuffTable:
         bw.write(32, off)
 
 
-# standard tables B.1-B.5 (T.88 Annex B) — the symbol-dictionary family.
-# Each transcription is Kraft-complete (sum 2^-len == 1), asserted below.
+# standard tables (T.88 Annex B). B.1-B.5: the symbol-dictionary family
+# (DH/DW/BMSIZE/EX). B.6: SBHUFFFS; B.8-B.9: SBHUFFDS (OOB-terminated);
+# B.11-B.13: SBHUFFDT; B.14: RDW/RDH (bounded -2..2, no 32-bit tails);
+# B.15: RDX/RDY — B.6/B.8/B.11/B.15 are also the tables 6.5.8.2.1 hardcodes
+# for huffman refinement/aggregate dictionaries. Line order follows the
+# printed spec tables: normal lines by ascending RANGELOW, then the lower
+# 32-bit line, then the upper, then OOB — order matters, it IS the
+# canonical code-assignment order of B.3. Every transcription is doubly
+# checksummed below: exact Kraft completeness (sum 2^-PREFLEN == 1.0) and
+# gap-free range tiling. B.7 and B.10 are deliberately absent — our
+# reconstructions of those two fail the Kraft checksum, so shipping them
+# would be guessing (standard_table refuses; custom-table streams cover
+# their selector slots).
 _STD_TABLE_LINES = {
     1: [(1, 4, 0, "n"), (2, 8, 16, "n"), (3, 16, 272, "n"),
         (3, 32, 65808, "u")],
@@ -767,16 +787,67 @@ _STD_TABLE_LINES = {
     5: [(7, 8, -255, "n"), (1, 0, 1, "n"), (2, 0, 2, "n"), (3, 0, 3, "n"),
         (4, 3, 4, "n"), (5, 6, 12, "n"), (7, 32, -256, "l"),
         (6, 32, 76, "u")],
+    6: [(5, 10, -2048, "n"), (4, 9, -1024, "n"), (4, 8, -512, "n"),
+        (4, 7, -256, "n"), (5, 6, -128, "n"), (5, 5, -64, "n"),
+        (4, 5, -32, "n"), (2, 7, 0, "n"), (3, 7, 128, "n"),
+        (3, 8, 256, "n"), (4, 9, 512, "n"), (4, 10, 1024, "n"),
+        (6, 32, -2049, "l"), (6, 32, 2048, "u")],
+    8: [(8, 3, -15, "n"), (9, 1, -7, "n"), (8, 1, -5, "n"),
+        (9, 0, -3, "n"), (7, 0, -2, "n"), (4, 0, -1, "n"),
+        (2, 1, 0, "n"), (5, 0, 2, "n"), (6, 0, 3, "n"),
+        (3, 4, 4, "n"), (6, 1, 20, "n"), (4, 4, 22, "n"),
+        (4, 5, 38, "n"), (5, 6, 70, "n"), (5, 7, 134, "n"),
+        (6, 7, 262, "n"), (7, 8, 390, "n"), (6, 10, 646, "n"),
+        (9, 32, -16, "l"), (9, 32, 1670, "u"), (2, 0, 0, "o")],
+    9: [(8, 4, -31, "n"), (9, 2, -15, "n"), (8, 2, -11, "n"),
+        (9, 1, -7, "n"), (7, 1, -5, "n"), (4, 1, -3, "n"),
+        (3, 1, -1, "n"), (3, 1, 1, "n"), (5, 1, 3, "n"),
+        (6, 1, 5, "n"), (3, 5, 7, "n"), (6, 2, 39, "n"),
+        (4, 5, 43, "n"), (4, 6, 75, "n"), (5, 7, 139, "n"),
+        (5, 8, 267, "n"), (6, 8, 523, "n"), (7, 9, 779, "n"),
+        (6, 11, 1291, "n"), (9, 32, -32, "l"), (9, 32, 3339, "u"),
+        (2, 0, 0, "o")],
+    11: [(1, 0, 1, "n"), (2, 1, 2, "n"), (4, 0, 4, "n"), (4, 1, 5, "n"),
+         (5, 1, 7, "n"), (5, 2, 9, "n"), (6, 2, 13, "n"), (7, 2, 17, "n"),
+         (7, 3, 21, "n"), (7, 4, 29, "n"), (7, 5, 45, "n"),
+         (7, 6, 77, "n"), (7, 32, 141, "u")],
+    12: [(1, 0, 1, "n"), (2, 0, 2, "n"), (3, 1, 3, "n"), (5, 0, 5, "n"),
+         (5, 1, 6, "n"), (6, 1, 8, "n"), (7, 0, 10, "n"), (7, 1, 11, "n"),
+         (7, 2, 13, "n"), (7, 3, 17, "n"), (7, 4, 25, "n"),
+         (8, 5, 41, "n"), (8, 32, 73, "u")],
+    13: [(1, 0, 1, "n"), (3, 0, 2, "n"), (4, 0, 3, "n"), (5, 0, 4, "n"),
+         (4, 1, 5, "n"), (3, 3, 7, "n"), (6, 1, 15, "n"), (6, 2, 17, "n"),
+         (6, 3, 21, "n"), (6, 4, 29, "n"), (6, 5, 45, "n"),
+         (7, 6, 77, "n"), (7, 32, 141, "u")],
+    14: [(3, 0, -2, "n"), (3, 0, -1, "n"), (1, 0, 0, "n"),
+         (3, 0, 1, "n"), (3, 0, 2, "n")],
+    15: [(7, 4, -24, "n"), (6, 2, -8, "n"), (5, 1, -4, "n"),
+         (4, 0, -2, "n"), (3, 0, -1, "n"), (1, 0, 0, "n"),
+         (3, 0, 1, "n"), (4, 0, 2, "n"), (5, 1, 3, "n"),
+         (6, 2, 5, "n"), (7, 4, 9, "n"), (7, 32, -25, "l"),
+         (7, 32, 25, "u")],
 }
 for _n, _lines in _STD_TABLE_LINES.items():
     assert sum(2.0 ** -ln[0] for ln in _lines) == 1.0, f"table B.{_n} not complete"
+    # range tiling: normal lines cover one contiguous span, the lower line
+    # (if any) starts exactly one below it, the upper exactly at its end
+    _norm = [ln for ln in _lines if ln[3] == "n"]
+    _lo = _norm[0][2]
+    for _pl, _rl, _rlow, _k in _norm:
+        assert _rlow == _lo, f"table B.{_n} has a range gap at {_rlow}"
+        _lo = _rlow + (1 << _rl)
+    for _pl, _rl, _rlow, _k in _lines:
+        if _k == "l":
+            assert _rlow == _norm[0][2] - 1, f"table B.{_n} lower line misplaced"
+        if _k == "u":
+            assert _rlow == _lo, f"table B.{_n} upper line misplaced"
 
 
 def standard_table(n: int) -> HuffTable:
     if n not in _STD_TABLE_LINES:
         raise Jbig2Error(
-            f"standard huffman table B.{n} unsupported (only B.1-B.5 are "
-            "transcribed; use custom table segments)"
+            f"standard huffman table B.{n} unsupported (B.7 and B.10 are "
+            "untranscribed; use custom table segments)"
         )
     return HuffTable(_STD_TABLE_LINES[n])
 
@@ -877,6 +948,88 @@ def _read_at(body: bytes, pos: int, template: int) -> int:
     return pos + 2 * n_at
 
 
+def _huffman_refagg_symbol(
+    br: _HuffBitReader, body: bytes, pool: list, sym_width: int,
+    hc_height: int, code_len: int, t_agg: HuffTable,
+    r_template: int, rat, budget: list,
+) -> list[bytes]:
+    """One SDHUFF=1/SDREFAGG=1 symbol (6.5.8.2). REFAGGNINST == 1: the
+    symbol refines an earlier one — raw SBSYMCODELEN-bit id, RDX/RDY via
+    Table B.15, BMSIZE via Table B.1, then the refinement as its own
+    byte-aligned MQ codeword of exactly BMSIZE bytes. REFAGGNINST > 1:
+    the symbol is a nested huffman TEXT REGION of its own dimensions over
+    the Table 17 hardcoded tables — FS=B.6, DS=B.8, DT=B.11,
+    RDW/RDH/RDX/RDY=B.15, RSIZE=B.1 — with SBSTRIPS=1, TOPLEFT corner, OR
+    composition, REFINE=1 (RI one raw bit per instance) and raw
+    SBSYMCODELEN-bit symbol ids."""
+    n_inst = t_agg.decode(br)
+    if n_inst is None or n_inst < 1:
+        raise Jbig2Error(f"bad aggregate instance count {n_inst}")
+    t_b15 = standard_table(15)
+    t_b1 = standard_table(1)
+
+    def own_mq_refinement(ref, w, h, dx, dy):
+        bmsize = t_b1.decode(br)
+        if bmsize is None or bmsize <= 0:
+            raise Jbig2Error("bad refinement BMSIZE in huffman dictionary")
+        br.align()
+        start = br.pos
+        if start + bmsize > len(body):
+            raise Jbig2Error("huffman refinement overruns the dictionary")
+        out = refinement_region_decode(
+            MQDecoder(body[start : start + bmsize]),
+            _ref_ctx_bank(r_template), w, h, ref,
+            dx=dx, dy=dy, template=r_template, at=rat,
+        )
+        br.pos = start + bmsize
+        br.nbits = 0
+        return out
+
+    if n_inst == 1:
+        rid = br.bits(code_len)
+        if not 0 <= rid < len(pool):
+            raise Jbig2Error(f"refinement reference id {rid} out of range")
+        rdx = t_b15.decode(br)
+        rdy = t_b15.decode(br)
+        if rdx is None or rdy is None:
+            raise Jbig2Error("OOB refinement offset in huffman dictionary")
+        return own_mq_refinement(pool[rid], sym_width, hc_height, rdx, rdy)
+
+    if n_inst > _MAX_SYMBOLS:
+        raise Jbig2Error("aggregate instance count exceeds budget")
+    t_fs = standard_table(6)
+    t_ds = standard_table(8)
+    t_dt = standard_table(11)
+
+    def get_sid():
+        sid = br.bits(code_len)
+        if not 0 <= sid < len(pool):
+            raise Jbig2Error(f"aggregate symbol id {sid} out of range")
+        return sid
+
+    def decode_refinement(sym):
+        rdw = t_b15.decode(br)
+        rdh = t_b15.decode(br)
+        rdx = t_b15.decode(br)
+        rdy = t_b15.decode(br)
+        if None in (rdw, rdh, rdx, rdy):
+            raise Jbig2Error("OOB refinement delta in huffman aggregate")
+        nw = (len(sym[0]) if sym else 0) + rdw
+        nh = len(sym) + rdh
+        if nw <= 0 or nh <= 0 or nw > _MAX_SYM_DIM or nh > _MAX_SYM_DIM:
+            raise Jbig2Error("refined huffman aggregate instance exceeds budget")
+        return own_mq_refinement(sym, nw, nh, (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+
+    return _text_region_place(
+        sym_width, hc_height, n_inst, pool,
+        1, 1, 0, 0, 0, 0, 1,  # strips, TOPLEFT, not transposed, OR, 0, 0, REFINE
+        lambda: t_dt.decode(br), lambda: t_fs.decode(br),
+        lambda: t_ds.decode(br), lambda: 0, get_sid,
+        lambda: br.bit(), decode_refinement,
+        budget=budget,
+    )
+
+
 def _decode_symbol_dict_huffman(
     body: bytes, flags: int, input_syms: list, tables: list
 ) -> list:
@@ -884,12 +1037,19 @@ def _decode_symbol_dict_huffman(
     path, but DH/DW/BMSIZE through Annex B Huffman tables and each height
     class's symbols carried as ONE collective bitmap — uncompressed rows
     (BMSIZE=0) or an MMR (T.6) stream — split by the decoded widths.
-    Refinement-aggregate huffman dictionaries are refused."""
-    if flags & 0x0002:
-        raise Jbig2Error("huffman REFAGG symbol dictionary unsupported")
+    SDREFAGG=1 switches the per-symbol payload to 6.5.8.2: REFAGGNINST
+    through the SDHUFFAGGINST table (B.1 default); one instance → a
+    refinement of an earlier symbol (raw SBSYMCODELEN-bit id, RDX/RDY via
+    Table B.15, a B.1-coded BMSIZE, then the refinement as its OWN
+    byte-aligned MQ codeword); several → a nested huffman text region
+    over the Table 17 hardcoded tables (B.6/B.8/B.11, refinement via
+    B.15, RSIZE via B.1)."""
+    refagg = bool(flags & 0x0002)
     sel_dh = (flags >> 2) & 3
     sel_dw = (flags >> 4) & 3
     sel_bm = (flags >> 6) & 1
+    sel_agg = (flags >> 7) & 1
+    r_template = (flags >> 12) & 1
     it = iter(tables)
 
     def pick(sel: int, std_a: int, std_b: int | None, what: str) -> HuffTable:
@@ -907,15 +1067,27 @@ def _decode_symbol_dict_huffman(
     t_dh = pick(sel_dh, 4, 5, "SDHUFFDH")
     t_dw = pick(sel_dw, 2, 3, "SDHUFFDW")
     t_bm = pick(sel_bm, 1, None, "SDHUFFBMSIZE")
+    t_agg = pick(sel_agg, 1, None, "SDHUFFAGGINST") if refagg else None
     t_ex = standard_table(1)  # 6.5.10: EXRUNLENGTH uses Table B.1 when SDHUFF
-    if len(body) < 10:
+    pos = 2
+    rat = None
+    if refagg and r_template == 0:
+        rat, pos = _read_rat(body, pos)  # SDRAT (7.4.3.1.3)
+    if len(body) < pos + 8:
         raise Jbig2Error("truncated symbol dictionary header")
-    num_ex = int.from_bytes(body[2:6], "big")
-    num_new = int.from_bytes(body[6:10], "big")
+    num_ex = int.from_bytes(body[pos : pos + 4], "big")
+    num_new = int.from_bytes(body[pos + 4 : pos + 8], "big")
+    pos += 8
     if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS + len(input_syms):
         raise Jbig2Error("symbol dictionary exceeds symbol budget")
+    # 6.5.8.2.3 with SDHUFF=1: symbol ids inside refinements/aggregates are
+    # plain SBSYMCODELEN-bit fields over input + new symbols (min 1 bit)
+    code_len = max(1, max(len(input_syms) + num_new - 1, 0).bit_length())
+    pool: list = list(input_syms)
+    if refagg:
+        agg_budget = [4 * _MAX_PIXELS]  # shared across every aggregate
 
-    br = _HuffBitReader(body, 10)
+    br = _HuffBitReader(body, pos)
     new_syms: list = []
     hc_height = 0
     guard = 0
@@ -943,9 +1115,19 @@ def _decode_symbol_dict_huffman(
                 raise Jbig2Error("more symbols than SDNUMNEWSYMS declares")
             if sym_width * hc_height > _MAX_PIXELS:
                 raise Jbig2Error("symbol exceeds pixel budget")
+            if refagg:
+                # per-symbol payload, decoded immediately (no collective
+                # bitmap in refinement/aggregate dictionaries)
+                sym = _huffman_refagg_symbol(
+                    br, body, pool, sym_width, hc_height, code_len,
+                    t_agg, r_template, rat, agg_budget,
+                )
+                new_syms.append(sym)
+                pool.append(sym)
+                continue
             widths.append(sym_width)
             tot_width += sym_width
-        if not widths:
+        if refagg or not widths:
             continue
         if tot_width * hc_height > _MAX_PIXELS:
             raise Jbig2Error("collective bitmap exceeds pixel budget")
@@ -2407,33 +2589,13 @@ def jbig2_encode_symbol_text_aggregate(
     )
 
 
-def jbig2_encode_symbol_text_huffman(
-    glyphs: list[list[bytes]],
-    placements: list[tuple[int, int, int]],
-    page_w: int,
-    page_h: int,
-    transposed: bool = False,
-    collective: str = "raw",
-    inline_refine_last: bool = False,
+def _huffman_dict_body(
+    glyphs: list[list[bytes]], order: list[int], collective: str = "raw"
 ) -> bytes:
-    """Huffman twin of ``jbig2_encode_symbol_text`` (SDHUFF=1 / SBHUFF=1):
-    page info + huffman symbol dictionary (standard tables B.4/B.2/B.1,
-    height-class collective bitmaps ``raw`` uncompressed or ``mmr`` T.6) +
-    three custom FS/DS/DT table segments (type 53) + immediate huffman
-    text region (run-coded symbol ID lengths per 7.4.4.1.7, TOPLEFT
-    corner, SBSTRIPS=1) + end-of-page. Symbols are ordered by (height,
-    width) so the B.4/B.2 tables' non-negative ranges always apply."""
-    if not glyphs or not placements:
-        raise Jbig2Error("symbol-mode encoder needs glyphs and placements")
-    if collective not in ("raw", "mmr"):
-        raise Jbig2Error("collective must be 'raw' or 'mmr'")
-
-    # --- symbol dictionary: order by (height, width) — huffman DW >= 0 ---
-    order = sorted(
-        range(len(glyphs)),
-        key=lambda g: (len(glyphs[g]), len(glyphs[g][0]) if glyphs[g] else 0, g),
-    )
-    new_id = {g: i for i, g in enumerate(order)}
+    """SDHUFF=1 plain (SDREFAGG=0) dictionary body: standard tables
+    B.4/B.2/B.1, per-height-class collective bitmaps ``raw`` uncompressed
+    or ``mmr`` T.6, exports everything. ``order`` must be sorted by
+    (height, width) so the non-negative DH/DW ranges of B.4/B.2 apply."""
     t_dh, t_dw, t_bm, t_ex = (standard_table(n) for n in (4, 2, 1, 1))
     bw = _HuffBitWriter()
     hc = 0
@@ -2479,12 +2641,51 @@ def jbig2_encode_symbol_text_huffman(
     t_ex.encode(bw, 0)
     t_ex.encode(bw, len(order))
     sd_flags = 0x0001  # SDHUFF=1, all selectors standard (B.4/B.2/B.1)
-    sd_body = (
+    return (
         sd_flags.to_bytes(2, "big")
         + len(order).to_bytes(4, "big")   # SDNUMEXSYMS
         + len(order).to_bytes(4, "big")   # SDNUMNEWSYMS
         + bw.finish()
     )
+
+
+def jbig2_encode_symbol_text_huffman(
+    glyphs: list[list[bytes]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    transposed: bool = False,
+    collective: str = "raw",
+    inline_refine_last: bool = False,
+    std_tables: bool = False,
+) -> bytes:
+    """Huffman twin of ``jbig2_encode_symbol_text`` (SDHUFF=1 / SBHUFF=1):
+    page info + huffman symbol dictionary (standard tables B.4/B.2/B.1,
+    height-class collective bitmaps ``raw`` uncompressed or ``mmr`` T.6) +
+    three custom FS/DS/DT table segments (type 53) + immediate huffman
+    text region (run-coded symbol ID lengths per 7.4.4.1.7, TOPLEFT
+    corner, SBSTRIPS=1) + end-of-page. Symbols are ordered by (height,
+    width) so the B.4/B.2 tables' non-negative ranges always apply.
+
+    ``std_tables=True`` drops the custom table segments and selects the
+    STANDARD text-region tables instead — FS=B.6, DS=B.8, DT=B.11, and
+    (with ``inline_refine_last``) RDW/RDH=B.14, RDX/RDY=B.15 — exercising
+    the transcribed Annex B data through the public selector path. B.11
+    cannot code a 0 delta (its range starts at 1), so the strip walk is
+    emitted with the standard initial-DT=1 trick: the decoder's STRIPT
+    starts at -1 and the first strip's delta is t0+1."""
+    if not glyphs or not placements:
+        raise Jbig2Error("symbol-mode encoder needs glyphs and placements")
+    if collective not in ("raw", "mmr"):
+        raise Jbig2Error("collective must be 'raw' or 'mmr'")
+
+    # --- symbol dictionary: order by (height, width) — huffman DW >= 0 ---
+    order = sorted(
+        range(len(glyphs)),
+        key=lambda g: (len(glyphs[g]), len(glyphs[g][0]) if glyphs[g] else 0, g),
+    )
+    new_id = {g: i for i, g in enumerate(order)}
+    sd_body = _huffman_dict_body(glyphs, order, collective)
 
     # --- text region: dry-run the strip walk to size the custom tables ---
     strips = _group_strips(placements, transposed)
@@ -2494,8 +2695,10 @@ def jbig2_encode_symbol_text_huffman(
         return len(gl) if transposed else (len(gl[0]) if gl else 0)
 
     n_inst_total = sum(len(v) for v in strips.values())
-    events: list[tuple[str, int | None]] = [("dt", 0)]
-    stript = firsts = 0
+    dt_bias = 1 if std_tables else 0  # B.11's lowest codable value is 1
+    events: list[tuple[str, int | None]] = [("dt", dt_bias)]
+    stript = -dt_bias
+    firsts = 0
     seen = 0
     for t_coord in sorted(strips):
         events.append(("dt", t_coord - stript))
@@ -2521,14 +2724,21 @@ def jbig2_encode_symbol_text_huffman(
         vals = [v for k, v in events if k == kind and v is not None]
         return (min(vals), max(vals) + 1) if vals else (0, 1)
 
-    fs_seg = build_table_segment(*rng("fs"))
-    ds_seg = build_table_segment(*rng("ds"), oob=True)
-    dt_seg = build_table_segment(*rng("dt"))
-    t_fs = parse_table_segment(fs_seg)
-    t_ds = parse_table_segment(ds_seg)
-    t_dt = parse_table_segment(dt_seg)
-    rd_seg = build_table_segment(0, 1)  # identity refinement: all deltas 0
-    t_rd = parse_table_segment(rd_seg)
+    if std_tables:
+        fs_seg = ds_seg = dt_seg = rd_seg = None
+        t_fs, t_ds, t_dt = (standard_table(n) for n in (6, 8, 11))
+        # identity refinement deltas are 0 — codable by B.14 (RDW/RDH)
+        # and B.15 (RDX/RDY) alike
+        t_rdwh, t_rdxy = standard_table(14), standard_table(15)
+    else:
+        fs_seg = build_table_segment(*rng("fs"))
+        ds_seg = build_table_segment(*rng("ds"), oob=True)
+        dt_seg = build_table_segment(*rng("dt"))
+        t_fs = parse_table_segment(fs_seg)
+        t_ds = parse_table_segment(ds_seg)
+        t_dt = parse_table_segment(dt_seg)
+        rd_seg = build_table_segment(0, 1)  # identity refinement: all deltas 0
+        t_rdwh = t_rdxy = parse_table_segment(rd_seg)
     t_rs = standard_table(1)
 
     nsyms = len(order)
@@ -2557,7 +2767,7 @@ def jbig2_encode_symbol_text_huffman(
             if v:
                 gl = glyphs[last_glyph]
                 w_g = len(gl[0]) if gl else 0
-                for t in (t_rd, t_rd, t_rd, t_rd):  # RDW RDH RDX RDY = 0
+                for t in (t_rdwh, t_rdwh, t_rdxy, t_rdxy):  # RDW RDH RDX RDY = 0
                     t.encode(bw, 0)
                 mq = MQEncoder()
                 refinement_region_encode(
@@ -2574,12 +2784,17 @@ def jbig2_encode_symbol_text_huffman(
     # that order)
     tr_flags = (0x0001 | (1 << 4) | ((1 << 6) if transposed else 0)
                 | ((1 << 1) | (1 << 15) if inline_refine_last else 0))
-    # FS=3, DS=3, DT=3 custom; with refinement also RDW/RDH/RDX/RDY=3
-    # custom and RSIZE=0 (standard B.1); SBRTEMPLATE=1 (no SBRAT bytes)
-    hflags = 0b0011_1111 | (
-        (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
-        if inline_refine_last else 0
-    )
+    if std_tables:
+        # FS=0 (B.6), DS=0 (B.8), DT=0 (B.11); with refinement RDW/RDH=0
+        # (B.14), RDX/RDY=1 (B.15), RSIZE=0 (B.1); SBRTEMPLATE=1
+        hflags = ((1 << 10) | (1 << 12)) if inline_refine_last else 0
+    else:
+        # FS=3, DS=3, DT=3 custom; with refinement also RDW/RDH/RDX/RDY=3
+        # custom and RSIZE=0 (standard B.1); SBRTEMPLATE=1 (no SBRAT bytes)
+        hflags = 0b0011_1111 | (
+            (3 << 6) | (3 << 8) | (3 << 10) | (3 << 12)
+            if inline_refine_last else 0
+        )
     tr_body = (
         _region_info(page_w, page_h)
         + tr_flags.to_bytes(2, "big")
@@ -2591,7 +2806,15 @@ def jbig2_encode_symbol_text_huffman(
     segs = (
         _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
         + _seg_with_refs(1, 0, 1, sd_body)
-        + _seg_with_refs(2, 53, 1, fs_seg)
+    )
+    if std_tables:
+        return (
+            segs
+            + _seg_with_refs(2, 6, 1, tr_body, refs=(1,))
+            + _seg_with_refs(3, 49, 1, b"")
+        )
+    segs += (
+        _seg_with_refs(2, 53, 1, fs_seg)
         + _seg_with_refs(3, 53, 1, ds_seg)
         + _seg_with_refs(4, 53, 1, dt_seg)
     )
@@ -2608,6 +2831,177 @@ def jbig2_encode_symbol_text_huffman(
             + _seg_with_refs(6, 49, 1, b"")
         )
     return segs
+
+
+def jbig2_encode_symbol_text_huffman_refagg(
+    base_glyphs: list[list[bytes]],
+    composites: list[list[tuple[int, int]]],
+    placements: list[tuple[int, int, int]],
+    page_w: int,
+    page_h: int,
+    refine_in_aggregate: bool = False,
+) -> bytes:
+    """Huffman twin of ``jbig2_encode_symbol_text_aggregate`` (SDHUFF=1
+    SDREFAGG=1, 6.5.8.2): dictionary 1 carries the base glyphs as a plain
+    huffman dictionary (collective bitmaps); dictionary 2 (SDREFAGG=1)
+    builds each composite — a single-instance entry ``[(base_id, 0)]``
+    becomes an identity REFINEMENT of that base (raw SBSYMCODELEN-bit id,
+    RDX/RDY via Table B.15, a B.1-coded BMSIZE and the refinement as its
+    own byte-aligned MQ codeword), a multi-instance entry a nested
+    huffman TEXT REGION over the Table 17 hardcoded tables
+    (FS=B.6, DS=B.8, DT=B.11 with the initial-DT=1 trick, refinement via
+    B.15, RSIZE via B.1, raw ids, RI one raw bit per instance, no
+    trailing OOB). The page text region then places the composites
+    through the STANDARD B.6/B.8/B.11 selector path.
+    ``refine_in_aggregate`` flips the last instance of the last
+    multi-instance composite to RI=1 with an identity refinement."""
+    if not base_glyphs or not composites or not placements:
+        raise Jbig2Error("refagg encoder needs bases, composites, placements")
+    bh = len(base_glyphs[0])
+    if any(len(g) != bh for g in base_glyphs):
+        raise Jbig2Error("refagg fixture bases must share one height")
+
+    n_base = len(base_glyphs)
+    n_comp = len(composites)
+
+    # --- dict 1: plain huffman dictionary of the bases ---------------------
+    order1 = sorted(
+        range(n_base),
+        key=lambda g: (len(base_glyphs[g]), len(base_glyphs[g][0]), g),
+    )
+    base_id = {g: i for i, g in enumerate(order1)}
+    d1 = _huffman_dict_body(base_glyphs, order1)
+
+    # composite bitmaps (what the nested regions/refinements reproduce)
+    comp_bitmaps: list[list[bytes]] = []
+    for insts in composites:
+        cw = max(x + len(base_glyphs[b][0]) for b, x in insts)
+        rows = [bytearray(cw) for _ in range(bh)]
+        for b, x in insts:
+            gl = base_glyphs[b]
+            for y in range(bh):
+                for xx, px in enumerate(gl[y]):
+                    rows[y][x + xx] |= px
+        comp_bitmaps.append([bytes(r) for r in rows])
+
+    # --- dict 2: SDHUFF=1 SDREFAGG=1 over the bases ------------------------
+    code_len = max(1, max(n_base + n_comp - 1, 0).bit_length())
+    t_dh, t_dw, t_ex = (standard_table(n) for n in (4, 2, 1))
+    t_b1, t_b15 = standard_table(1), standard_table(15)
+    t_fs, t_ds, t_dt = (standard_table(n) for n in (6, 8, 11))
+    order2 = sorted(
+        range(n_comp), key=lambda c: (len(comp_bitmaps[c][0]), c)
+    )
+    last_multi = next(
+        (c for c in reversed(order2) if len(composites[c]) > 1), None
+    )
+    bw = _HuffBitWriter()
+    t_dh.encode(bw, bh)  # one height class (all composites share bh)
+
+    def identity_refinement_codeword(gl: list[bytes]) -> None:
+        mq = MQEncoder()
+        refinement_region_encode(
+            mq, _ref_ctx_bank(1), gl, len(gl[0]), len(gl), gl, template=1
+        )
+        data = mq.flush()
+        t_b1.encode(bw, len(data))
+        bw.align()
+        bw.write_bytes(data)
+
+    sw = 0
+    for c in order2:
+        cw = len(comp_bitmaps[c][0])
+        t_dw.encode(bw, cw - sw)
+        sw = cw
+        insts = sorted(composites[c], key=lambda bx: bx[1])
+        t_b1.encode(bw, len(insts))  # REFAGGNINST via SDHUFFAGGINST (B.1)
+        if len(insts) == 1:
+            # single-instance refinement (6.5.8.2.2): identity of the base
+            b, x = insts[0]
+            if x != 0 or len(base_glyphs[b][0]) != cw:
+                raise Jbig2Error(
+                    "single-instance composite must be [(base, 0)]"
+                )
+            bw.write(code_len, base_id[b])
+            t_b15.encode(bw, 0)  # RDX
+            t_b15.encode(bw, 0)  # RDY
+            identity_refinement_codeword(base_glyphs[b])
+            continue
+        # nested huffman text region: DT0=1/DT1=1 (B.11 cannot code 0)
+        t_dt.encode(bw, 1)
+        t_dt.encode(bw, 1)
+        t_fs.encode(bw, insts[0][1])
+        curs = None
+        for j, (b, x) in enumerate(insts):
+            if j > 0:
+                t_ds.encode(bw, x - curs)
+            bw.write(code_len, base_id[b])
+            base = base_glyphs[b]
+            if refine_in_aggregate and c == last_multi and j == len(insts) - 1:
+                bw.write(1, 1)  # RI
+                for _ in range(4):  # RDW RDH RDX RDY = 0 via B.15
+                    t_b15.encode(bw, 0)
+                identity_refinement_codeword(base)
+            else:
+                bw.write(1, 0)
+            curs = x + len(base[0]) - 1
+        # no trailing OOB: the nested loop stops at the instance count
+    t_dw.encode(bw, None)  # OOB closes the single height class
+    t_ex.encode(bw, n_base)  # skip the input symbols
+    t_ex.encode(bw, n_comp)  # export the composites
+    sd_flags = 0x0003 | (1 << 12)  # SDHUFF | SDREFAGG | SDRTEMPLATE=1
+    d2 = (
+        sd_flags.to_bytes(2, "big")
+        + n_comp.to_bytes(4, "big")
+        + n_comp.to_bytes(4, "big")
+        + bw.finish()
+    )
+
+    # --- page text region over the STANDARD selector path ------------------
+    comp_id = {c: i for i, c in enumerate(order2)}
+    strips = _group_strips(placements, transposed=False)
+    t_code_len = max(max(n_comp - 1, 0).bit_length(), 1)
+    bw = _HuffBitWriter()
+    for r in range(35):  # 7.4.4.1.7 run-codes: one length used
+        bw.write(4, 1 if r == t_code_len else 0)
+    runtab = HuffTable([(1, 0, t_code_len, "n")])
+    for _ in range(n_comp):
+        runtab.encode(bw, t_code_len)
+    bw.align()
+    symtab = HuffTable([(t_code_len, 0, k, "n") for k in range(n_comp)])
+    t_dt.encode(bw, 1)  # initial DT=1: STRIPT starts at -1
+    stript = -1
+    firsts = 0
+    for t_coord in sorted(strips):
+        t_dt.encode(bw, t_coord - stript)
+        stript = t_coord
+        insts = sorted(strips[t_coord])
+        t_fs.encode(bw, insts[0][0] - firsts)
+        firsts = insts[0][0]
+        curs = None
+        for j, (s_coord, c) in enumerate(insts):
+            if j > 0:
+                t_ds.encode(bw, s_coord - curs)
+            symtab.encode(bw, comp_id[c])
+            curs = s_coord + len(comp_bitmaps[c][0]) - 1
+        t_ds.encode(bw, None)
+    tr_flags = 0x0001 | (1 << 4)  # SBHUFF, TOPLEFT
+    hflags = 0  # FS=B.6, DS=B.8, DT=B.11 — all standard selector 0
+    tr = (
+        _region_info(page_w, page_h)
+        + tr_flags.to_bytes(2, "big")
+        + hflags.to_bytes(2, "big")
+        + len(placements).to_bytes(4, "big")
+        + bw.finish()
+    )
+
+    return (
+        _seg_with_refs(0, 48, 1, _page_info(page_w, page_h))
+        + _seg_with_refs(1, 0, 1, d1)
+        + _seg_with_refs(2, 0, 1, d2, refs=(1,))
+        + _seg_with_refs(3, 6, 1, tr, refs=(2,))
+        + _seg_with_refs(4, 49, 1, b"")
+    )
 
 
 def jbig2_encode_symbol_text(

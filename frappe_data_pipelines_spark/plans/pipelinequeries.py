@@ -605,6 +605,12 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jbig2huffref.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jbig2huffagg.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jbig2stdtbl.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample_scanned_jpx.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
@@ -638,8 +644,12 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     via operators/jbig2mini in generic-region and symbol-dictionary +
     text-region form across BOTH coding families (arithmetic and huffman),
     including multi-instance aggregate symbols (nested text region inside
-    the dictionary, 6.5.8.2) and huffman-mode refined instances (custom
-    RDW/RDH/RDX/RDY tables, per-instance MQ codewords, 6.4.11),
+    the dictionary, 6.5.8.2 — in BOTH families: arithmetic and round-9
+    huffman REFAGG over the Table 17 hardcoded B.6/B.8/B.11/B.15/B.1),
+    huffman-mode refined instances (custom RDW/RDH/RDX/RDY tables or the
+    round-9-transcribed standard B.14/B.15, per-instance MQ codewords,
+    6.4.11), and pages whose selectors pick the standard Annex B text
+    tables B.6/B.8/B.11 with no type-53 segments at all,
     and JPEG 2000 /JPXDecode via operators/jp2mini in
     its lossless-gray 5/3, lossy-color 9/7+ICT+expounded-quantization,
     tiled, and derived-quantization + multi-tile-part (QCD style 1,
@@ -668,6 +678,7 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_jbig2ref.pdf", "sample_scanned_jbig2ref0.pdf",
         "sample_scanned_jbig2agg.pdf",
         "sample_scanned_jbig2huff.pdf", "sample_scanned_jbig2huffref.pdf",
+        "sample_scanned_jbig2huffagg.pdf", "sample_scanned_jbig2stdtbl.pdf",
         "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
         "sample_scanned_jpxdq.pdf",

@@ -120,7 +120,23 @@ def start_ingest_stream(
 
         bl_term_list = collect_blocklist_terms(blocklist_terms)
 
+    # FDP_INGEST_PROFILE=1 prints per-action wall times to stderr — the
+    # round-9 door-latency work showed per-batch cost is invisible without
+    # action-level marks (component microbenchmarks summed to half the
+    # observed latency)
+    profile = os.environ.get("FDP_INGEST_PROFILE") == "1"
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import sys
+        import time as _time
+
+        t_batch = _time.monotonic()
+        marks: list[tuple[str, float]] = []
+
+        def mark(tag: str) -> None:
+            if profile:
+                marks.append((tag, _time.monotonic() - t_batch))
+
         # persist the RAW batch before the doors: the door plan needs the
         # batch several times (fingerprint broadcast build, window
         # broadcast, the main pass) and each pre-persist use re-read the
@@ -142,9 +158,10 @@ def start_ingest_stream(
             )
             no_id = raw.filter(F.col("doc_id").isNull())
             # carry_cols returns the FULL row from the stitch (no keyed
-            # join back against the batch), and probe_empty_spans short-
-            # circuits the stitch entirely when the batch shares nothing
-            # with the corpus — the steady-state door case
+            # join back against the batch). probe_empty_spans stays OFF:
+            # the probe pays the whole span plan as a second job, and the
+            # round-9 door profile measured it NONEMPTY for boilerplate-
+            # heavy corpora (probe-on scrub 2.0-2.7s vs 0.8s without)
             carry = [
                 c for c in with_id.columns if c not in ("doc_id", "text", "n_chars")
             ]
@@ -154,7 +171,6 @@ def start_ingest_stream(
                 min_len=scrub_min_len,
                 corpus_fp=scrub_corpus_fp,
                 carry_cols=carry,
-                probe_empty_spans=True,
             )
             batch_df = cleaned.select(
                 "doc_id",
@@ -197,10 +213,25 @@ def start_ingest_stream(
 
         obs = Observation()
         batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n_docs"))
-        # every action below re-derives from the micro-batch source; persist
-        # once so the sinks/aggregates share one scan (and one chunk+embed
-        # computation) instead of re-running it per action
-        batch_df.persist()
+        # every action below re-derives from the micro-batch source.
+        # Doors ON → localCheckpoint, not persist: persist keeps the whole
+        # door logical plan alive, and EVERY downstream action (chunk sink,
+        # job rows, metrics) re-canonicalizes it for cache matching — the
+        # round-9 profile showed the door batches paying ~2x on the jobs
+        # sink for that alone. The eager checkpoint materializes the door
+        # output once and hands downstream actions a LogicalRDD with an
+        # O(1) plan (same move as suffix.py's per-round truncation); it
+        # also satisfies the Observation. Blocks are freed by Spark's
+        # ContextCleaner once the batch's DataFrame goes out of scope.
+        # Doors OFF → plain persist: the plan is already tiny and the
+        # checkpoint's extra job boundary measurably ADDS latency there
+        # (doors-off p50 1.3s -> 2.2s when checkpointing unconditionally).
+        has_doors = scrub_against is not None or bl_term_list is not None
+        if has_doors:
+            batch_df = batch_df.localCheckpoint(eager=True)
+        else:
+            batch_df.persist()
+        mark("door (scrub+blocklist) materialized")
         # I2: job rows for this micro-batch start Queued. The Queued rows
         # are UNIONED with the terminal (Completed/Failed) rows into one
         # parquet append at the end of the batch — both states still land
@@ -279,6 +310,7 @@ def start_ingest_stream(
                     t.vacuum()
         else:
             embedded.write.mode("append").parquet(chunks_dir)
+        mark("chunk+embed+chunk-sink")
 
         # I2 terminal states + I6 telemetry in the same batch
         done = (
@@ -293,14 +325,24 @@ def start_ingest_stream(
             )
         )
         queued.unionByName(done).unionByName(failed).write.mode("append").parquet(jobs_dir)
+        mark("jobs sink")
         # the Observation was satisfied by the first action through
         # batch_df (the chunk sink) — no dedicated count job
         batch_df.sparkSession.createDataFrame(
             [(batch_id, int(obs.get["n_docs"]))], "batch_id LONG, n_docs LONG"
         ).write.mode("append").parquet(metrics_dir)
+        mark("metrics sink")
         embedded.unpersist()
-        batch_df.unpersist()
+        if not has_doors:
+            batch_df.unpersist()
         raw.unpersist()
+        if profile:
+            print(
+                f"[ingest-profile] batch {batch_id}: "
+                + ", ".join(f"{tag}={t:.2f}s" for tag, t in marks),
+                file=sys.stderr,
+                flush=True,
+            )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

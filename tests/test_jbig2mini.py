@@ -458,10 +458,10 @@ class TestSymbolText:
 
         at = bytes([3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE])
         base = at + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8
-        # SDHUFF alone is now supported — but huffman + REFAGG still refuses
-        with pytest.raises(Jbig2Error, match="huffman REFAGG"):
-            decode_symbol_dict((0x0003).to_bytes(2, "big") + base, [])
-        # a garbage huffman dictionary must still raise, not misbehave
+        # huffman + REFAGG is now supported (round 9) — a GARBAGE stream
+        # of either huffman flavor must still raise, never misbehave
+        with pytest.raises(Jbig2Error):
+            decode_symbol_dict((0x0003 | (1 << 12)).to_bytes(2, "big") + base, [])
         with pytest.raises(Jbig2Error):
             decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
         # SDREFAGG with GRTEMPLATE 0 is now supported — but a NON-CAUSAL
@@ -476,9 +476,14 @@ class TestSymbolText:
             )
         region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
-        # huffman text region selecting an untranscribed standard table (B.6)
-        with pytest.raises(Jbig2Error, match="B.6"):
-            decode_text_region(region + (0x0001).to_bytes(2, "big") + tail, [self.I])
+        # huffman text region selecting an UNTRANSCRIBED standard table:
+        # FS selector 1 = B.7 (B.6 decodes since round 9; B.7/B.10 stay
+        # honest refusals — their reconstructions fail the Kraft checksum)
+        with pytest.raises(Jbig2Error, match="B.7"):
+            decode_text_region(
+                region + (0x0001).to_bytes(2, "big")
+                + (0x0001).to_bytes(2, "big") + tail, [self.I]
+            )
         with pytest.raises(Jbig2Error, match="no symbols"):
             decode_text_region(region + (1 << 4).to_bytes(2, "big") + tail, [])
 
@@ -1010,7 +1015,9 @@ class TestHuffmanProfiles:
                 t.encode(bw, v)
                 assert t.decode(_HuffBitReader(bw.finish())) == v, (n, v)
 
-    def test_standard_tables_b6_plus_refuse(self):
+    def test_standard_tables_b7_b10_refuse(self):
+        """Round 9 transcribed B.6, B.8-B.9, B.11-B.15; only B.7 and B.10
+        (failed the Kraft checksum reconstruction) stay honest refusals."""
         import pytest
 
         from frappe_data_pipelines_spark.operators.jbig2mini import (
@@ -1018,9 +1025,11 @@ class TestHuffmanProfiles:
             standard_table,
         )
 
-        for n in (6, 9, 13, 15):
+        for n in (7, 10):
             with pytest.raises(Jbig2Error, match=f"B.{n}"):
                 standard_table(n)
+        for n in (6, 8, 9, 11, 12, 13, 14, 15):
+            standard_table(n)  # transcribed: must construct
 
     def test_custom_table_segment_roundtrip(self):
         from frappe_data_pipelines_spark.operators.jbig2mini import (
@@ -1440,31 +1449,46 @@ class TestHuffmanRefinement:
             )
             assert got == ref, collective
 
-    def test_b14_b15_selectors_refuse(self):
-        """A stream selecting the untranscribed B.14/B.15 standard tables
-        for the refinement deltas must refuse, not decode garbage."""
+    def test_std_table_refinement_b14_b15(self):
+        """Round 9: B.14/B.15 are transcribed — a text region selecting
+        the STANDARD refinement tables (RDW/RDH via B.14, RDX/RDY via
+        B.15) decodes to the same page as the custom-table twin, and a
+        RESERVED refinement selector still refuses."""
         from frappe_data_pipelines_spark.operators.jbig2mini import (
             Jbig2Error,
             jbig2_decode_embedded,
             jbig2_encode_symbol_text_huffman,
         )
 
-        data = bytearray(
+        placements = [(0, 2, 1), (1, 8, 1), (0, 3, 8)]
+        ref = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_huffman([self.A, self.B], placements, 16, 16)
+        )
+        got = jbig2_decode_embedded(
             jbig2_encode_symbol_text_huffman(
-                [self.A], [(0, 1, 1)], 8, 8, inline_refine_last=True
+                [self.A, self.B], placements, 16, 16,
+                inline_refine_last=True, std_tables=True,
             )
         )
-        # text region is segment 9; find its huffman flags (2 bytes after
-        # the 17-byte region info + 2-byte tr flags) and flip SBHUFFRDW
-        # from 3 (custom) to 0 (B.14)
-        at = bytes(data).find((9).to_bytes(4, "big"))
-        assert at >= 0
-        body_at = bytes(data).find(b"\x00\x00\x00\x08\x00\x00\x00\x08", at)
+        assert got == ref
+
+        # reserved selector (2) for SBHUFFRDW must refuse at parse time
+        data = bytearray(
+            jbig2_encode_symbol_text_huffman(
+                [self.A, self.B], placements, 16, 16,
+                inline_refine_last=True, std_tables=True,
+            )
+        )
+        # the page-info body ALSO opens with the 16x16 dims; the text
+        # region body is the second occurrence
+        first = bytes(data).find(b"\x00\x00\x00\x10\x00\x00\x00\x10")
+        body_at = bytes(data).find(b"\x00\x00\x00\x10\x00\x00\x00\x10", first + 1)
+        assert body_at >= 0
         hf_at = body_at + 17 + 2
         hflags = int.from_bytes(data[hf_at : hf_at + 2], "big")
-        assert (hflags >> 6) & 3 == 3
-        data[hf_at : hf_at + 2] = (hflags & ~(3 << 6)).to_bytes(2, "big")
-        with pytest.raises(Jbig2Error, match="B.14"):
+        assert (hflags >> 6) & 3 == 0  # B.14 selected by the encoder
+        data[hf_at : hf_at + 2] = (hflags | (2 << 6)).to_bytes(2, "big")
+        with pytest.raises(Jbig2Error, match="reserved"):
             jbig2_decode_embedded(bytes(data))
 
     def test_refinement_mutation_totality(self):
@@ -1490,6 +1514,145 @@ class TestHuffmanRefinement:
                 jbig2_decode_embedded(bytes(b))
             except Jbig2Error:
                 pass
+
+
+class TestHuffmanRefagg:
+    """Round 9: SDHUFF=1 SDREFAGG=1 dictionaries (6.5.8.2) — single-
+    instance refinements (raw ids + B.15 offsets + B.1-sized MQ
+    codewords) and multi-instance aggregates as nested huffman text
+    regions over the Table 17 hardcoded standard tables, plus the
+    standard-selector page path (FS=B.6, DS=B.8, DT=B.11)."""
+
+    A = [bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1]),
+         bytes([1, 1, 1, 1]), bytes([1, 0, 0, 1])]
+    B = [bytes([1, 1, 0, 0]), bytes([0, 1, 1, 0]),
+         bytes([0, 0, 1, 1]), bytes([1, 1, 0, 1])]
+
+    COMPOSITES = [
+        [(0, 0), (1, 5)],
+        [(1, 0), (0, 3), (1, 8)],
+        [(0, 0)],  # single instance → 6.5.8.2.2 refinement path
+    ]
+    PLACEMENTS = [(0, 1, 1), (1, 12, 1), (2, 1, 8), (0, 14, 8)]
+
+    def _expected(self, page_w, page_h):
+        comp_bm = []
+        for insts in self.COMPOSITES:
+            cw = max(x + 4 for _, x in insts)
+            rows = [bytearray(cw) for _ in range(4)]
+            for b, x in insts:
+                gl = (self.A, self.B)[b]
+                for y in range(4):
+                    for xx, px in enumerate(gl[y]):
+                        rows[y][x + xx] |= px
+            comp_bm.append(rows)
+        page = [bytearray(page_w) for _ in range(page_h)]
+        for c, x, y in self.PLACEMENTS:
+            for yy in range(4):
+                for xx, px in enumerate(comp_bm[c][yy]):
+                    page[y + yy][x + xx] |= px
+        return [bytes(r) for r in page]
+
+    def test_refagg_roundtrip(self):
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman_refagg,
+        )
+
+        exp = self._expected(28, 14)
+        for refine in (False, True):
+            w, h, rows = jbig2_decode_embedded(
+                jbig2_encode_symbol_text_huffman_refagg(
+                    [self.A, self.B], self.COMPOSITES, self.PLACEMENTS,
+                    28, 14, refine_in_aggregate=refine,
+                )
+            )
+            assert (w, h) == (28, 14)
+            assert rows == exp, f"refine_in_aggregate={refine}"
+
+    def test_refagg_matches_arithmetic_aggregate(self):
+        """The huffman REFAGG family and the arithmetic aggregate family
+        must compose the identical page for the same layout (the
+        single-instance composite is dropped: the arithmetic fixture
+        encoder requires >= 2 instances per composite)."""
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_aggregate,
+            jbig2_encode_symbol_text_huffman_refagg,
+        )
+
+        comps = [c for c in self.COMPOSITES if len(c) > 1]
+        placements = [(c, x, y) for c, x, y in self.PLACEMENTS if c < len(comps)]
+        arith = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_aggregate(
+                [self.A, self.B], comps, placements, 28, 14
+            )
+        )
+        huff = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_huffman_refagg(
+                [self.A, self.B], comps, placements, 28, 14
+            )
+        )
+        assert arith == huff
+
+    def test_refagg_mutation_totality(self):
+        import random
+        import struct as _struct
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_huffman_refagg,
+        )
+
+        base = jbig2_encode_symbol_text_huffman_refagg(
+            [self.A, self.B], self.COMPOSITES, self.PLACEMENTS, 28, 14,
+            refine_in_aggregate=True,
+        )
+        assert jbig2_decode_embedded(base)[0] == 28
+        rng = random.Random(97)
+        for _ in range(300):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                jbig2_decode_embedded(bytes(b))
+            except (Jbig2Error, ValueError, IndexError, _struct.error):
+                pass  # declared failures only — no hangs, no other types
+
+    def test_standard_tables_roundtrip_all(self):
+        """Every transcribed standard table round-trips its full value
+        shape (normal ranges, 32-bit lower/upper tails, OOB), and the
+        untranscribed B.7/B.10 refuse."""
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            Jbig2Error,
+            _HuffBitReader,
+            _HuffBitWriter,
+            standard_table,
+        )
+
+        for n in (1, 2, 3, 4, 5, 6, 8, 9, 11, 12, 13, 14, 15):
+            t = standard_table(n)
+            vals = []
+            for pl, rl, rlow, kind in t.lines:
+                if kind == "n":
+                    vals += [rlow, rlow + (1 << rl) - 1]
+                elif kind == "l":
+                    vals += [rlow, rlow - 1000]
+                elif kind == "u":
+                    vals += [rlow, rlow + 1000]
+                else:
+                    vals.append(None)
+            bw = _HuffBitWriter()
+            for v in vals:
+                t.encode(bw, v)
+            br = _HuffBitReader(bw.finish())
+            assert [t.decode(br) for v in vals] == vals, f"B.{n}"
+        for n in (7, 10):
+            with pytest.raises(Jbig2Error, match=f"B.{n}"):
+                standard_table(n)
 
 
 def test_aggregate_dictionary_budget_is_shared(monkeypatch):

@@ -97,6 +97,122 @@ def filtered_grid(spark, vectors, queries, k) -> list[dict]:
     return out
 
 
+def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
+    """Recall@k for the APPROXIMATE tiers (HNSW, OPQ, OPQ+rerank) over a
+    10x corpus: nine seeded gaussian-perturbed replicas join the original
+    vectors (near-duplicate structure — the adversarial regime for graph
+    and quantizer tiers, and what a dedup-light 100 TB corpus looks like).
+    Ground truth is brute force over the EXPANDED set, so these rows
+    measure approximate-tier quality at scale instead of assuming the 1x
+    figure transfers (VERDICT r8 task 6)."""
+    from pyspark.sql import functions as F
+
+    replicas = 9
+    base_max = vectors.agg(F.max("vec_id")).first()[0]
+
+    def perturb(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            ids = pdf["vec_id"].to_numpy()
+            out_i, out_v = [ids], [X]
+            for rep in range(1, replicas + 1):
+                # per-(vector, replica) deterministic noise
+                rng = np.random.default_rng(100_000 * rep + int(ids[0]))
+                out_i.append(ids + rep * (base_max + 1))
+                out_v.append(X + rng.normal(0.0, 0.05, X.shape))
+            allv = np.concatenate(out_v)
+            yield pd.DataFrame(
+                {"vec_id": np.concatenate(out_i),
+                 "embedding": [row.astype(np.float32).tolist() for row in allv]}
+            )
+
+    big = (
+        vectors.select("vec_id", "embedding")
+        .repartition(16)
+        .mapInPandas(perturb, "vec_id long, embedding array<float>")
+        .cache()
+    )
+    n_big = big.count()
+
+    from frappe_data_pipelines_spark.functions.vectors import cosine_similarity
+
+    truth: dict[int, set] = {}
+    for qid, qv in probe_queries:
+        qcol = F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>")
+        truth[qid] = {
+            r["vec_id"]
+            for r in big.withColumn(
+                "score", F.round(cosine_similarity(F.col("embedding"), qcol), 6)
+            )
+            .orderBy(F.desc("score"), F.col("vec_id").asc())
+            .limit(k)
+            .collect()
+        }
+
+    rows: list[dict] = []
+    import time as _t
+
+    # HNSW at 10x
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in probe_queries], "query_id long, query_vec array<float>"
+    )
+    t0 = _t.time()
+    got_rows = ann.hnsw_partition_search(
+        big.repartition(16), qdf, k=k, M=8, ef_construction=64, ef_search=64
+    ).collect()
+    sec = _t.time() - t0
+    by_q: dict = {}
+    for r_ in got_rows:
+        by_q.setdefault(r_["query_id"], set()).add(r_["vec_id"])
+    hits = sum(len(by_q.get(qid, set()) & truth[qid]) for qid, _ in probe_queries)
+    rows.append(
+        {
+            "variant": "hnsw_10x",
+            "recall_at_k": round(hits / (k * len(probe_queries)), 4),
+            "qps": round(len(probe_queries) / sec, 2),
+            "params": {"n_vectors": n_big, "M": 8, "ef_search": 64, "partitions": 16},
+        }
+    )
+
+    # OPQ (+rerank) at 10x
+    if dim % 8 == 0:
+        R, books = ann.opq_train(big, m_subvectors=8, k_centroids=16)
+        codes = ann.pq_encode(big, books, rotation=R).cache()
+        codes.count()
+        for depth, variant in ((None, "opq_10x"), (100, "opq_rerank_10x")):
+            t0 = _t.time()
+            hits = 0
+            for qid, qv in probe_queries:
+                if depth is None:
+                    got = {
+                        r["id"]
+                        for r in ann.pq_search(codes, books, qv, k=k, rotation=R).collect()
+                    }
+                else:
+                    got = {
+                        r["vec_id"]
+                        for r in ann.pq_search_rerank(
+                            codes, big, books, qv, k=k, rerank_depth=depth, rotation=R
+                        ).collect()
+                    }
+                hits += len(got & truth[qid])
+            rows.append(
+                {
+                    "variant": variant,
+                    "recall_at_k": round(hits / (k * len(probe_queries)), 4),
+                    "qps": round(len(probe_queries) / (_t.time() - t0), 2),
+                    "params": {"n_vectors": n_big, "m_subvectors": 8,
+                               **({"rerank_depth": depth} if depth else {})},
+                }
+            )
+        codes.unpersist()
+    big.unpersist()
+    return rows
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if a != "--filtered-only"]
     filtered_only = "--filtered-only" in sys.argv
@@ -231,6 +347,79 @@ def main() -> None:
                 }
             )
         codes.unpersist()
+
+    # OPQ (Ge et al. CVPR'13): learned rotation before PQ — same code
+    # size as pq m=8, distortion redistributed across subspaces. Guarded
+    # by the fixed-seed pure-python differential in tests/test_ann.py
+    # (VERDICT r8 task 6); recall here measures the tier's QUALITY.
+    if dim % 8 == 0:
+        R, obooks = ann.opq_train(vectors, m_subvectors=8, k_centroids=16)
+        ocodes = ann.pq_encode(vectors, obooks, rotation=R).cache()
+        ocodes.count()
+
+        def opq_one(qv, _codes=ocodes, _b=obooks, _r=R):
+            return ann.pq_search(_codes, _b, qv, k=k, rotation=_r)
+
+        opq_one.id_col = "id"
+        r, qps = recall(opq_one)
+        results.append(
+            {
+                "variant": "opq",
+                "recall_at_k": round(r, 4),
+                "qps": round(qps, 2),
+                "params": {"m_subvectors": 8, "k_centroids": 16, "opq_iters": 10},
+            }
+        )
+
+        def opqr_one(qv, _codes=ocodes, _b=obooks, _r=R):
+            return ann.pq_search_rerank(
+                _codes, vectors, _b, qv, k=k, rerank_depth=100, rotation=_r
+            )
+
+        opqr_one.id_col = "vec_id"
+        r, qps = recall(opqr_one)
+        results.append(
+            {
+                "variant": "opq_rerank",
+                "recall_at_k": round(r, 4),
+                "qps": round(qps, 2),
+                "params": {"m_subvectors": 8, "rerank_depth": 100},
+            }
+        )
+        ocodes.unpersist()
+
+    # HNSW (sharded graph, the Qdrant-shaped rung): per-partition graphs,
+    # window-merged top-k; ALL queries in one job, so qps is batched
+    qdf_all = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries], "query_id long, query_vec array<float>"
+    )
+    t0 = time.time()
+    hnsw_rows = ann.hnsw_partition_search(
+        vectors.repartition(8), qdf_all, k=k, M=8,
+        ef_construction=64, ef_search=64,
+    ).collect()
+    hnsw_sec = time.time() - t0
+    by_q: dict = {}
+    for r_ in hnsw_rows:
+        by_q.setdefault(r_["query_id"], set()).add(r_["vec_id"])
+    hits = sum(len(by_q.get(qid, set()) & truth[qid]) for qid, _ in queries)
+    results.append(
+        {
+            "variant": "hnsw",
+            "recall_at_k": round(hits / (k * n_queries), 4),
+            "qps": round(n_queries / hnsw_sec, 2),
+            "params": {"M": 8, "ef_construction": 64, "ef_search": 64,
+                       "partitions": 8, "note": "batched: all queries one job"},
+        }
+    )
+
+    # 10x-SCALE recall probe for the approximate tiers (VERDICT r8 task 6):
+    # the corpus is expanded 10x with seeded gaussian-perturbed replicas
+    # (sigma=0.05 before renormalization — near-duplicate structure, the
+    # adversarial case for graph/quantizer tiers), ground truth re-derived
+    # by brute force over the expanded set, and HNSW/OPQ recall@k measured
+    # AT SCALE rather than assumed from the 1x rows.
+    results.extend(scale10x_probe(spark, ann, vectors, queries[:8], k, dim))
 
     # PQ EXACT tier (the oracled correctness anchor, round 8): trained
     # codebooks under the hash gate. Each call replays the FULL pipeline

@@ -407,6 +407,10 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2huff.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2huffref.pdf", make_scanned_jbig2huffref_pdf())
     _write_if_missing("sample_scanned_jbig2huffref.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2huffagg.pdf", make_scanned_jbig2huffagg_pdf())
+    _write_if_missing("sample_scanned_jbig2huffagg.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2stdtbl.pdf", make_scanned_jbig2stdtbl_pdf())
+    _write_if_missing("sample_scanned_jbig2stdtbl.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_mixed.pdf", make_mixed_text_image_pdf())
     _write_if_missing(
         "sample_mixed.pdf.txt", "Mixed doc page one\n\nMixed doc page three"
@@ -923,10 +927,10 @@ def make_scanned_jbig2huff_pdf() -> bytes:
 def make_scanned_jbig2huffref_pdf() -> bytes:
     """Huffman text region WITH refinement (round 8): the same huffman
     page, but the last symbol instance carries an inline RI=1 refinement
-    record — RDW/RDH/RDX/RDY through CUSTOM type-53 tables (the
-    untranscribed B.14/B.15 standard selectors refuse), RSIZE through
-    B.1, the instance's bitmap its own byte-aligned MQ codeword per
-    6.4.11. Must OCR to the identical SCANNED_TEXT golden."""
+    record — RDW/RDH/RDX/RDY through CUSTOM type-53 tables (the standard
+    B.14/B.15 selector path is the separate jbig2stdtbl fixture), RSIZE
+    through B.1, the instance's bitmap its own byte-aligned MQ codeword
+    per 6.4.11. Must OCR to the identical SCANNED_TEXT golden."""
     from frappe_data_pipelines_spark.operators.jbig2mini import (
         jbig2_encode_symbol_text_huffman,
     )
@@ -934,6 +938,61 @@ def make_scanned_jbig2huffref_pdf() -> bytes:
     glyphs, placements, w, h = _scanned_symbol_layout()
     data = jbig2_encode_symbol_text_huffman(
         glyphs, placements, w, h, collective="mmr", inline_refine_last=True
+    )
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2huffagg_pdf() -> bytes:
+    """Huffman REFAGG scanned page (round 9): the half-glyph composite
+    layout of the arithmetic aggregate fixture, but SDHUFF=1/SDREFAGG=1 —
+    each glyph is a REFAGGNINST=2 nested huffman TEXT REGION over the
+    Table 17 hardcoded standard tables (FS=B.6, DS=B.8, DT=B.11,
+    refinement via B.15, RSIZE via B.1), the last aggregate instance
+    identity-refined inline (RI=1), and the page text region selects the
+    standard B.6/B.8/B.11 tables. Must OCR to the identical SCANNED_TEXT
+    golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_huffman_refagg,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
+    bases: list = []
+    base_idx: dict = {}
+    composites: list = []
+    for g in glyphs:
+        gw = len(g[0])
+        half = gw // 2
+        comp = []
+        for lo, hi, off in ((0, half, 0), (half, gw, half)):
+            part = [bytes(row[lo:hi]) for row in g]
+            key = tuple(part)
+            if key not in base_idx:
+                base_idx[key] = len(bases)
+                bases.append(part)
+            comp.append((base_idx[key], off))
+        composites.append(comp)
+    data = jbig2_encode_symbol_text_huffman_refagg(
+        bases, composites, placements, w, h, refine_in_aggregate=True
+    )
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2stdtbl_pdf() -> bytes:
+    """Standard-table huffman scanned page (round 9): the huffman symbol
+    layout with the page text region selecting the STANDARD Annex B
+    tables through the public selector path — FS=B.6, DS=B.8, DT=B.11
+    (initial-DT=1 trick, B.11 cannot code 0), and the last instance
+    refined inline through the standard B.14 (RDW/RDH) and B.15 (RDX/RDY)
+    selectors, RSIZE via B.1. No type-53 segments in the stream at all.
+    Must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_huffman,
+    )
+
+    glyphs, placements, w, h = _scanned_symbol_layout()
+    data = jbig2_encode_symbol_text_huffman(
+        glyphs, placements, w, h, collective="mmr",
+        inline_refine_last=True, std_tables=True,
     )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 

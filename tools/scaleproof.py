@@ -93,6 +93,20 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
     from pyspark.sql import functions as F
 
     alpha = "abcdefghijklmnopqrstuvwxyz"
+    # per-replica AFFINE substitution x -> a*x + b (mod 26), a coprime to
+    # 26: 12 x 26 = 312 distinct maps, and two distinct affine maps agree
+    # on at most TWO letters (26 = 2 x 13), so no window using >= 3
+    # distinct letters collides across replicas — word-like text always
+    # does. Plain Caesar (the original r < 10 scheme) repeats at shift
+    # distance 26 — a 100x corpus would give every doc ~3 exact twins and
+    # dedup timings would measure that artifact, not the plan.
+    _AS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+    def subst(r: int) -> str:
+        a = _AS[(r // 26) % len(_AS)]
+        b = r % 26
+        return "".join(alpha[(a * i + b) % 26] for i in range(26))
+
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
     # Replica doc ids are CONSECUTIVE spans (r * (max_id + 1)), not the big
     # ID_OFFSET: the image/audio/video pattern corpora derive pixels from
@@ -106,7 +120,7 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
     doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = []
     for r in range(replicas):
-        shifted = alpha[r % 26:] + alpha[: r % 26]
+        shifted = subst(r)
         d = docs.select(
             (F.col("doc_id") + r * doc_span).alias("doc_id"),
             F.translate(
@@ -162,8 +176,17 @@ def time_query(q, spark, sf_dir: str, passes: int = 2) -> float:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "SCALE_PROOF.json"
+    # usage: scaleproof.py [replicas] [out_json] [--queries a,b,c]
+    #   --queries restricts the probe set (the 100x flagship run probes
+    #   only the dedup/suffix/knn family; all 27 at 100x would take hours)
+    argv = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    replicas = int(argv[0]) if argv else 10
+    out_path = argv[1] if len(argv) > 1 else "SCALE_PROOF.json"
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from frappe_data_pipelines_spark.plans.catalog import queries
@@ -183,7 +206,7 @@ def main() -> None:
         ).count()
 
         results = {}
-        for name in QUERIES:
+        for name in (only or QUERIES):
             try:
                 t1 = time_query(q[name], spark, src)
                 t10 = time_query(q[name], spark, tmp)
