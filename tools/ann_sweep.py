@@ -100,8 +100,11 @@ def filtered_grid(spark, vectors, queries, k) -> list[dict]:
 def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
     """Recall@k for the APPROXIMATE tiers (HNSW, OPQ, OPQ+rerank) over a
     10x corpus: nine seeded gaussian-perturbed replicas join the original
-    vectors (near-duplicate structure — the adversarial regime for graph
-    and quantizer tiers, and what a dedup-light 100 TB corpus looks like).
+    vectors. Noise sigma = 0.25 per dim (noise norm ~2x the unit vector)
+    so replicas are genuinely NEW points — a 10x-denser space where the
+    query's neighborhood holds 10x more candidates — not trivial
+    near-twins of the originals (sigma 0.05 was measured to hand every
+    tier recall 1.0: each query's top-k was just its own replica family).
     Ground truth is brute force over the EXPANDED set, so these rows
     measure approximate-tier quality at scale instead of assuming the 1x
     figure transfers (VERDICT r8 task 6)."""
@@ -122,7 +125,7 @@ def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
                 # per-(vector, replica) deterministic noise
                 rng = np.random.default_rng(100_000 * rep + int(ids[0]))
                 out_i.append(ids + rep * (base_max + 1))
-                out_v.append(X + rng.normal(0.0, 0.05, X.shape))
+                out_v.append(X + rng.normal(0.0, 0.25, X.shape))
             allv = np.concatenate(out_v)
             yield pd.DataFrame(
                 {"vec_id": np.concatenate(out_i),
@@ -214,8 +217,10 @@ def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--filtered-only"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--filtered-only", "--scale10x-only")]
     filtered_only = "--filtered-only" in sys.argv
+    scale10x_only = "--scale10x-only" in sys.argv
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     n_queries = int(argv[1]) if len(argv) > 1 else 32
     k = int(argv[2]) if len(argv) > 2 else 10
@@ -250,6 +255,20 @@ def main() -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_path = os.path.join(root, "ANN_SWEEP.json")
+    if scale10x_only:
+        # refresh just the 10x-scale probe rows, preserving the rest
+        from frappe_data_pipelines_spark.operators import ann as _ann
+
+        with open(out_path) as f:
+            out = json.load(f)
+        out["results"] = [
+            r for r in out["results"] if not r.get("variant", "").endswith("_10x")
+        ] + scale10x_probe(spark, _ann, vectors, queries[:8], k, dim)
+        print(json.dumps([r for r in out["results"]
+                          if r["variant"].endswith("_10x")], indent=2))
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+        return
     if filtered_only:
         # refresh just the filtered grid, preserving other sweep rows
         with open(out_path) as f:
