@@ -170,7 +170,22 @@ def main() -> None:
         prior = {}
         if benches:
             with open(benches[-1]) as f:
-                prior = json.load(f).get("queries", {})
+                rec = json.load(f)
+            # the driver wraps the bench line under "parsed" (sometimes
+            # None with only a TRUNCATED "tail" string when the line
+            # overflowed its capture — r7/r8 are like that); a raw
+            # bench.py line carries "queries" at top level. Fall back to
+            # regex-scraping name/seconds pairs from the tail.
+            prior = (rec.get("queries")
+                     or (rec.get("parsed") or {}).get("queries")
+                     or {
+                         m.group(1): float(m.group(2))
+                         for m in _re.finditer(
+                             r'"([a-z0-9_]+)":\s*(-?\d+\.?\d*)',
+                             rec.get("tail", ""),
+                         )
+                         if m.group(1) in timings
+                     })
         movers = [
             n for n, t in timings.items()
             if t > 0 and prior.get(n, 0) > 0
