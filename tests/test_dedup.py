@@ -501,6 +501,57 @@ def test_incremental_dup_spans_winnow_lossless_random(spark):
     assert {t[0] for t in direct} >= {101, 102}
 
 
+def test_incremental_dup_spans_winnow_lossless_multibyte(spark):
+    """Round 9: the narrowed corpus-side expansion slices text by CHAR
+    positions derived from the byte-level winnow kernel — multi-byte docs
+    take the widened min_len-1 reach-back. Winnow vs direct must stay
+    identical on text where byte and char offsets diverge (accents + CJK
+    before, inside, and after the shared block)."""
+    import random as _random
+
+    from frappe_data_pipelines_spark.operators.dedup import incremental_dup_spans
+
+    rng = _random.Random(59)
+    pool = "àéîöü中文字符xyz .!"
+    blocks = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(45, 80)))
+        for _ in range(3)
+    ]
+
+    def noise(n):
+        return "".join(rng.choice(pool) for _ in range(n))
+
+    corpus_rows = [
+        (i, noise(rng.randrange(5, 50)) + blocks[i % 3] + noise(rng.randrange(0, 30)))
+        for i in range(1, 7)
+    ]
+    new_rows = [
+        (201, noise(12) + blocks[0] + noise(7)),
+        (202, blocks[2] + noise(25) + blocks[1]),
+        (203, noise(70)),  # may or may not share — the differential decides
+        (204, "pure ascii arriving doc sharing nothing with that corpus!!"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, incremental_dup_spans(corpus, new, min_len=40, prefilter=None).collect())
+    )
+    winnowed = sorted(
+        map(tuple, incremental_dup_spans(corpus, new, min_len=40, prefilter="winnow").collect())
+    )
+    assert direct == winnowed
+    assert {t[0] for t in direct} >= {201, 202}
+
+    # and the scrub built on it stitches the same cleaned text both ways
+    from frappe_data_pipelines_spark.operators.dedup import incremental_substring_scrub
+
+    a = sorted(map(tuple, incremental_substring_scrub(
+        corpus, new, min_len=40, prefilter=None).collect()))
+    b = sorted(map(tuple, incremental_substring_scrub(
+        corpus, new, min_len=40, prefilter="winnow").collect()))
+    assert a == b
+
+
 def test_incremental_scrub_precomputed_corpus_fp_identical(spark):
     """A persisted corpus fingerprint table (the streaming-door cache) must
     change NOTHING about the result — same spans, same cleaned text as
