@@ -1340,7 +1340,6 @@ def incremental_dup_spans(
     (min_len, k) — skips re-fingerprinting the standing corpus on every
     call, which is what a streaming door needs (the corpus is static
     across micro-batches; only the new batch's side changes)."""
-    new_win = _char_windows(new_docs, min_len, id_col, text_col)
     if prefilter == "winnow":
         if not 1 <= k <= min_len:
             raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")
@@ -1348,9 +1347,9 @@ def incremental_dup_spans(
         # no .distinct() before the broadcast: a semi-join build side
         # tolerates duplicate keys, and the distinct was one extra shuffle
         # per micro-batch (round-9 door latency work)
-        new_fp = winnow_fingerprints_fast(
+        new_fp_full = winnow_fingerprints_fast(
             new_docs, k=k, w=w, id_col=id_col, text_col=text_col
-        ).select("fp")
+        )
         corp_fp = (
             corpus_fp
             if corpus_fp is not None
@@ -1358,22 +1357,33 @@ def incremental_dup_spans(
                 corpus, k=k, w=w, id_col=id_col, text_col=text_col
             )
         )
-        # NARROWED corpus-side expansion (round 9; lossless): a corpus
+        # NARROWED expansion on BOTH sides (round 9; lossless): a corpus
         # window that equals a new-doc window is a shared substring of
         # length exactly w + k - 1, so winnowing selects the same gram on
-        # both sides INSIDE it — every matching corpus window therefore
-        # contains a matched corpus fingerprint, and only the <= w window
-        # starts reaching back from each matched gram can match. The old
-        # shape expanded every stride-1 window of every cohort DOC (pay
-        # proportional to cohort text volume, per batch); this shape pays
-        # proportional to MATCHED FINGERPRINTS — at 100 TB the difference
-        # between re-scanning hot boilerplate docs every micro-batch and
-        # touching a few hundred candidate offsets. Fingerprint positions
-        # are char-based; for non-ASCII docs the gram may start mid-char
-        # and k bytes span fewer than k chars, so the reach-back widens to
-        # min_len - 1 there (still < the doc's window count).
-        matched = corp_fp.join(F.broadcast(new_fp), "fp", "left_semi")
-        cand = matched.groupBy("doc_id").agg(F.collect_set("pos").alias("qs"))
+        # both sides INSIDE it — every matching window (either side)
+        # contains a MATCHED fingerprint, and only the <= w window starts
+        # reaching back from each matched gram can match. The old shape
+        # expanded every stride-1 window of every cohort corpus doc AND of
+        # the whole arriving batch (per micro-batch, the batch's ~n_chars
+        # window set built and broadcast every trigger); this shape pays
+        # proportional to MATCHED FINGERPRINTS on both sides — at 100 TB
+        # the difference between re-scanning hot boilerplate docs every
+        # micro-batch and touching a few hundred candidate offsets.
+        # Fingerprint positions are char-based; for non-ASCII docs the
+        # gram may start mid-char and k bytes span fewer than k chars, so
+        # the reach-back widens to min_len - 1 there.
+        matched = corp_fp.join(
+            F.broadcast(new_fp_full.select("fp")), "fp", "left_semi"
+        )
+        # which of the BATCH's fingerprints matched: the fp values
+        # surviving the corpus semi-join (bounded by the batch fp count)
+        # re-broadcast into the batch's own fingerprint table. `matched`
+        # is traversed twice (here and for the corpus candidates) — free
+        # when corp_fp is a persisted door cache; a one-shot caller
+        # without corpus_fp pays the corpus kernel twice.
+        matched_fps = matched.select("fp").distinct()
+        matched_new = new_fp_full.join(F.broadcast(matched_fps), "fp", "left_semi")
+
         slack = F.when(
             F.octet_length(text_col) == F.length(text_col), F.lit(w - 1)
         ).otherwise(F.lit(min_len - 1))
@@ -1389,22 +1399,38 @@ def incremental_dup_spans(
                 )
             )
         )
-        short_docs = corpus.filter(F.length(text_col) >= min_len)
         par = corpus.sparkSession.sparkContext.defaultParallelism
-        corp_win = (
-            short_docs.join(
-                F.broadcast(cand),
-                short_docs[id_col] == cand["doc_id"],
+
+        def cand_windows(side_docs: DataFrame, side_fps: DataFrame, keep_id: bool):
+            cand = side_fps.groupBy("doc_id").agg(
+                F.collect_set("pos").alias("qs")
             )
-            .select(F.col(text_col), starts_arr.alias("ps"))
-            # spread BEFORE the explode: a limit()/small-file corpus often
+            short = side_docs.filter(F.length(text_col) >= min_len)
+            joined = short.join(
+                F.broadcast(cand), short[id_col] == cand["doc_id"]
+            ).select(
+                short[id_col].alias("doc_id"), F.col(text_col),
+                starts_arr.alias("ps"),
+            )
+            if not keep_id:
+                joined = joined.drop("doc_id")
+            # spread BEFORE the explode: a limit()/small-file source often
             # sits in one partition, and the candidate-window expansion is
             # the CPU-heavy step (same move as _char_windows)
-            .repartition(par)
-            .select(F.explode("ps").alias("p"), F.col(text_col))
-            .select(F.col(text_col).substr(F.col("p"), F.lit(min_len)).alias("s"))
-        )
+            win = joined.repartition(par).select(
+                *(["doc_id"] if keep_id else []),
+                F.explode("ps").alias("pos"),
+                F.col(text_col),
+            ).select(
+                *(["doc_id", "pos"] if keep_id else []),
+                F.col(text_col).substr(F.col("pos"), F.lit(min_len)).alias("s"),
+            )
+            return win
+
+        corp_win = cand_windows(corpus, matched, keep_id=False)
+        new_win = cand_windows(new_docs, matched_new, keep_id=True)
     else:
+        new_win = _char_windows(new_docs, min_len, id_col, text_col)
         corp_win = _char_windows(corpus, min_len, id_col, text_col).select("s")
     # the micro-batch's windows BROADCAST; candidate corpus windows stream
     # against the hash with NO corpus-side shuffle (no distinct either —
