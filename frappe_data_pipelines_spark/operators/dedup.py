@@ -1340,6 +1340,12 @@ def incremental_dup_spans(
     (min_len, k) — skips re-fingerprinting the standing corpus on every
     call, which is what a streaming door needs (the corpus is static
     across micro-batches; only the new batch's side changes)."""
+    # null-id arriving rows are excluded up front on BOTH paths: a span
+    # cannot be attributed (or later stitched — apply_span_removal keys on
+    # doc_id) without an id, and the round-9 candidate join would silently
+    # drop them from the winnow path anyway — one explicit rule instead of
+    # two divergent implicit ones (same semantic as exact_dup_spans).
+    new_docs = new_docs.filter(F.col(id_col).isNotNull())
     if prefilter == "winnow":
         if not 1 <= k <= min_len:
             raise ValueError(f"winnow prefilter needs 1 <= k <= min_len, got k={k}")

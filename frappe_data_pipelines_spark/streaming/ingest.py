@@ -65,8 +65,9 @@ def start_ingest_stream(
     exact-substring dedup AT THE DOOR — every micro-batch doc has regions
     already present verbatim in the corpus (>= ``scrub_min_len`` chars)
     cut before chunking (``operators/dedup.incremental_substring_scrub``:
-    the corpus pays a winnow fingerprint scan per batch, never the
-    stride-1 blowup; the batch's windows broadcast). Docs scrubbed to
+    the corpus pays a cached fingerprint scan per batch, never the
+    stride-1 blowup, and since round 9 BOTH sides expand only the <= w
+    candidate windows around matched fingerprints). Docs scrubbed to
     empty dead-letter as Failed jobs like any other empty text.
 
     ``blocklist_terms``: (term_id, term) enabling the C4 banned-words rule
