@@ -204,16 +204,38 @@ class PipelineEngine:
         engine's file corpus — (doc_id, n_chars, n_spans, chars_removed,
         n_kept, cleaned_text) via the winnow-prefiltered incremental scrub
         (the corpus pays a fingerprint scan, never the stride-1 blowup).
-        Requires ``files`` to carry a ``text`` column."""
+        The corpus fingerprint table is built ONCE per engine per
+        ``min_len`` and persisted — repeat calls (the facade's whole point
+        at an ingest door) reuse it instead of re-fingerprinting the
+        corpus, the same cache ``start_ingest_stream`` keeps for its
+        stream lifetime. ``release_caches()`` frees it. Requires
+        ``files`` to carry a ``text`` column."""
         if "text" not in self.files.columns:
             raise ValueError(
                 "scrub_incoming needs the engine's files table to carry text"
             )
         from frappe_data_pipelines_spark.operators.dedup import (
+            corpus_winnow_fingerprints,
             incremental_substring_scrub,
         )
 
-        return incremental_substring_scrub(self.files, new_docs, min_len=min_len)
+        if getattr(self, "_scrub_fp", None) is None or self._scrub_fp_min_len != min_len:
+            self.release_caches()
+            self._scrub_fp = corpus_winnow_fingerprints(
+                self.files, min_len=min_len
+            ).persist()
+            self._scrub_fp_min_len = min_len
+        return incremental_substring_scrub(
+            self.files, new_docs, min_len=min_len, corpus_fp=self._scrub_fp
+        )
+
+    def release_caches(self) -> None:
+        """Unpersist engine-held caches (the scrub fingerprint table) —
+        call when the engine is done, or before swapping ``files``."""
+        fp = getattr(self, "_scrub_fp", None)
+        if fp is not None:
+            fp.unpersist()
+            self._scrub_fp = None
 
     def screen_incoming(
         self, new_docs: DataFrame, terms: DataFrame, max_hits: int = 0

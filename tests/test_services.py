@@ -190,6 +190,18 @@ class TestPipelineEngine:
         assert shared not in row["cleaned_text"]
         assert row["cleaned_text"].startswith("brand new prefix >> ")
         assert row["chars_removed"] >= 60
+        # round 9: the fingerprint cache is engine-held — a second call
+        # reuses the SAME persisted table; a different min_len rebuilds;
+        # release_caches frees it
+        fp1 = engine._scrub_fp
+        assert fp1.storageLevel.useMemory
+        row2 = engine.scrub_incoming(new, min_len=40).first()
+        assert engine._scrub_fp is fp1
+        assert row2["cleaned_text"] == row["cleaned_text"]
+        engine.scrub_incoming(new, min_len=50).first()
+        assert engine._scrub_fp is not fp1
+        engine.release_caches()
+        assert engine._scrub_fp is None
         # text-less files table refuses loudly
         from frappe_data_pipelines_spark.api import PipelineEngine
 
