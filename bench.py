@@ -92,6 +92,10 @@ HEADLINE = [
     "token_suffix_array_ranks",
     "infinigram_backoff_inference",
     "ann_sq_search",
+    # round-9: the ingest-door scrub (symmetric fingerprint-narrowed
+    # expansion) joins the headline so the door's batch-side cost is
+    # tracked per round, not only in STREAM_BENCH's latency view
+    "incremental_substring_scrub",
 ]
 
 
