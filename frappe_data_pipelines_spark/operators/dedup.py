@@ -1356,12 +1356,18 @@ def incremental_dup_spans(
         new_fp_full = winnow_fingerprints_fast(
             new_docs, k=k, w=w, id_col=id_col, text_col=text_col
         )
+        # one-shot callers (no cached corpus_fp) would otherwise run the
+        # corpus kernel TWICE — `matched` sits under both the corpus-side
+        # candidates and the matched-fp derivation, and a mapInPandas
+        # subtree is not an exchange Spark can reuse. A LAZY local
+        # checkpoint materializes the fingerprints once on first use and
+        # serves the second traversal from executor blocks.
         corp_fp = (
             corpus_fp
             if corpus_fp is not None
             else winnow_fingerprints_fast(
                 corpus, k=k, w=w, id_col=id_col, text_col=text_col
-            )
+            ).localCheckpoint(eager=False)
         )
         # NARROWED expansion on BOTH sides (round 9; lossless): a corpus
         # window that equals a new-doc window is a shared substring of
@@ -1411,9 +1417,17 @@ def incremental_dup_spans(
             cand = side_fps.groupBy("doc_id").agg(
                 F.collect_set("pos").alias("qs")
             )
+            # broadcast only the BATCH side's candidates (bounded by the
+            # arriving batch). The corpus side's matched-doc set is
+            # bounded by the CORPUS — a hot boilerplate fingerprint can
+            # match millions of docs — so the planner/AQE picks the join
+            # strategy there (broadcast when small, shuffle when not)
+            # instead of a forced driver collect.
+            if keep_id:
+                cand = F.broadcast(cand)
             short = side_docs.filter(F.length(text_col) >= min_len)
             joined = short.join(
-                F.broadcast(cand), short[id_col] == cand["doc_id"]
+                cand, short[id_col] == cand["doc_id"]
             ).select(
                 short[id_col].alias("doc_id"), F.col(text_col),
                 starts_arr.alias("ps"),

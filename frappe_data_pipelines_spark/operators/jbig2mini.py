@@ -1403,13 +1403,13 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
     """Text-region segment body + referred symbols → (rw, rh, rx, ry,
     comb_op, rows). Supported profiles: SBHUFF=0 (arithmetic; refined
     instances (RI=1) via GRTEMPLATE-1 refinement) and SBHUFF=1 (huffman:
-    FS/DS/DT through Annex B tables — custom type-53 segments or standard
-    B.1-B.5 — with the run-coded symbol ID code lengths of 7.4.4.1.7;
-    refinement via CUSTOM RDW/RDH/RDX/RDY tables and B.1-or-custom RSIZE,
-    each instance's bitmap its own byte-aligned MQ codeword per 6.4.11 —
-    only the untranscribed B.14/B.15 standard selectors refuse).
-    TRANSPOSED both orientations; REFCORNER all four; SBSTRIPS any power
-    of two; SBDSOFFSET honored."""
+    FS/DS/DT through Annex B tables — custom type-53 segments or the
+    standard selectors (B.6, B.8-B.9, B.11-B.13; the unreconstructable
+    B.7/B.10 refuse) — with the run-coded symbol ID code lengths of
+    7.4.4.1.7; refinement via standard B.14/B.15 or CUSTOM RDW/RDH/RDX/
+    RDY tables and B.1-or-custom RSIZE, each instance's bitmap its own
+    byte-aligned MQ codeword per 6.4.11). TRANSPOSED both orientations;
+    REFCORNER all four; SBSTRIPS any power of two; SBDSOFFSET honored."""
     if len(body) < 19:
         raise Jbig2Error("truncated text region")
     rw = int.from_bytes(body[0:4], "big")
@@ -1469,10 +1469,10 @@ def decode_text_region(body: bytes, syms: list, tables: list | None = None):
         t_ds = pick((hflags >> 2) & 3, (8, 9, 10), "SBHUFFDS")
         t_dt = pick((hflags >> 4) & 3, (11, 12, 13), "SBHUFFDT")
         if refine:
-            # 7.4.4.1.2-1.6: RDW/RDH/RDX/RDY via B.14/B.15 or custom
-            # (B.14/B.15 are untranscribed spec data — standard_table
-            # refuses them; CUSTOM-table streams decode), RSIZE via B.1
-            # or custom. Consumption order continues FS, DS, DT.
+            # 7.4.4.1.2-1.6: RDW/RDH/RDX/RDY via standard B.14/B.15
+            # (transcribed in round 9 — selectors 0/1 decode) or CUSTOM
+            # tables, RSIZE via B.1 or custom. Consumption order
+            # continues FS, DS, DT.
             t_rdw = pick((hflags >> 6) & 3, (14, 15), "SBHUFFRDW")
             t_rdh = pick((hflags >> 8) & 3, (14, 15), "SBHUFFRDH")
             t_rdx = pick((hflags >> 10) & 3, (14, 15), "SBHUFFRDX")

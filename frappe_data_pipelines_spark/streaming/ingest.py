@@ -224,6 +224,13 @@ def start_ingest_stream(
         # O(1) plan (same move as suffix.py's per-round truncation); it
         # also satisfies the Observation. Blocks are freed by Spark's
         # ContextCleaner once the batch's DataFrame goes out of scope.
+        # Fault story on a real cluster: localCheckpoint blocks die with
+        # their executor and have no lineage to recompute — but the
+        # recovery unit HERE is the micro-batch itself: a failed
+        # foreachBatch fails the batch, and the stream replays it from
+        # SOURCE offsets on restart (at-least-once into the idempotent /
+        # MERGE sinks, the module's documented contract), so executor
+        # loss costs a batch retry, not correctness.
         # Doors OFF → plain persist: the plan is already tiny and the
         # checkpoint's extra job boundary measurably ADDS latency there
         # (doors-off p50 1.3s -> 2.2s when checkpointing unconditionally).

@@ -122,10 +122,17 @@ def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
             ids = pdf["vec_id"].to_numpy()
             out_i, out_v = [ids], [X]
             for rep in range(1, replicas + 1):
-                # per-(vector, replica) deterministic noise
-                rng = np.random.default_rng(100_000 * rep + int(ids[0]))
+                # truly per-(vector, replica) deterministic noise: seeding
+                # from the batch's first id would make the expanded corpus
+                # depend on partitioning/Arrow batch layout
+                noise = np.stack([
+                    np.random.default_rng([rep, int(vid)]).normal(
+                        0.0, 0.25, X.shape[1]
+                    )
+                    for vid in ids
+                ])
                 out_i.append(ids + rep * (base_max + 1))
-                out_v.append(X + rng.normal(0.0, 0.25, X.shape))
+                out_v.append(X + noise)
             allv = np.concatenate(out_v)
             yield pd.DataFrame(
                 {"vec_id": np.concatenate(out_i),
@@ -433,11 +440,10 @@ def main() -> None:
     )
 
     # 10x-SCALE recall probe for the approximate tiers (VERDICT r8 task 6):
-    # the corpus is expanded 10x with seeded gaussian-perturbed replicas
-    # (sigma=0.05 before renormalization — near-duplicate structure, the
-    # adversarial case for graph/quantizer tiers), ground truth re-derived
-    # by brute force over the expanded set, and HNSW/OPQ recall@k measured
-    # AT SCALE rather than assumed from the 1x rows.
+    # sigma=0.25 perturbed replicas make a genuinely 10x-DENSER space (see
+    # scale10x_probe's docstring — sigma=0.05 near-twins handed every tier
+    # a trivial recall 1.0); ground truth re-derived by brute force over
+    # the expanded set, recall@k measured AT SCALE, not assumed from 1x.
     results.extend(scale10x_probe(spark, ann, vectors, queries[:8], k, dim))
 
     # PQ EXACT tier (the oracled correctness anchor, round 8): trained
