@@ -19,8 +19,8 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   symbol ID lengths of 7.4.4.1.7 — all four reference corners, both
   TRANSPOSED orientations) — the profile real scanned PDFs ship — plus
   the Annex A arithmetic integer coder and the Annex B huffman table
-  layer (standard tables B.1-B.5, custom type-53 segments), all both
-  directions;
+  layer (standard tables B.1-B.6, B.8-B.9, B.11-B.15 + custom type-53
+  segments), all both directions;
 * the **PDF-embedded segment stream** (no file header): segment headers
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
@@ -2086,16 +2086,17 @@ def jbig2_decode_embedded(data: bytes, globals_data: bytes = b"") -> tuple[int, 
     huffman SDHUFF=1 with uncompressed or MMR collective bitmaps) and
     immediate text regions in both families (arithmetic with refined
     instances in both GRTEMPLATEs; huffman with run-coded symbol ID
-    lengths, Annex B tables — custom type-53 segments or standard
-    B.1-B.5 — and refinement via custom delta tables, 6.4.11), both
+    lengths, Annex B tables — custom type-53 segments or the standard
+    set B.1-B.6, B.8-B.9, B.11-B.15 — refinement via standard B.14/B.15
+    or custom delta tables, 6.4.11, and SDHUFF=1 REFAGG dictionaries
+    over the Table 17 hardcoded B.6/B.8/B.11/B.15/B.1), both
     TRANSPOSED orientations — the profiles real symbol-mode encoders
     emit — all composed onto the page bitmap, as are pattern
     dictionaries + immediate halftone regions (HDMMR/HMMR/HENABLESKIP
-    included). Untranscribed standard tables (B.6-B.15, which also
-    blocks huffman REFAGG dictionaries since the spec hardcodes
-    B.6/B.8/B.11/B.15 there) and non-causal refinement AT1 pixels
-    raise — the PDF raster path treats that like any other unsupported
-    filter (fallback, not a crash)."""
+    included). The two unreconstructable standard tables (B.7/B.10,
+    whose transcriptions fail the Kraft checksum) and non-causal
+    refinement AT1 pixels raise — the PDF raster path treats that like
+    any other unsupported filter (fallback, not a crash)."""
     page_w = page_h = None
     page: list[bytearray] | None = None
     sym_store: dict[int, list] = {}   # segment number → exported symbols
