@@ -1620,6 +1620,61 @@ class TestHuffmanRefagg:
             except (Jbig2Error, ValueError, IndexError, _struct.error):
                 pass  # declared failures only — no hangs, no other types
 
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def test_refagg_vs_arithmetic_differential(self, seed):
+        """Property: ANY random base-glyph set + composite layout decodes
+        to the same page through the huffman REFAGG family as through the
+        arithmetic aggregate family — including random std-table page
+        placement and the single-instance refinement path (the huffman
+        encoder keeps singles; they're dropped for the arithmetic twin,
+        which requires >= 2 instances, and composed by hand instead)."""
+        import random
+
+        from frappe_data_pipelines_spark.operators.jbig2mini import (
+            jbig2_decode_embedded,
+            jbig2_encode_symbol_text_aggregate,
+            jbig2_encode_symbol_text_huffman_refagg,
+        )
+
+        rng = random.Random(seed)
+        bh = rng.randint(2, 5)
+        n_base = rng.randint(1, 4)
+        bases = []
+        for _ in range(n_base):
+            gw = rng.randint(1, 5)  # rectangular: one width per glyph
+            bases.append(
+                [bytes(rng.randint(0, 1) for _ in range(gw)) for _ in range(bh)]
+            )
+        comps = []
+        for _ in range(rng.randint(1, 3)):
+            n_inst = rng.randint(2, 3)
+            insts, x = [], 0
+            for _ in range(n_inst):
+                b = rng.randrange(n_base)
+                insts.append((b, x))
+                x += len(bases[b][0]) + rng.randint(0, 2)
+            comps.append(insts)
+        pw, ph = 40, 20
+        placements = []
+        for _ in range(rng.randint(1, 5)):
+            c = rng.randrange(len(comps))
+            cw = max(x + len(bases[b][0]) for b, x in comps[c])
+            placements.append(
+                (c, rng.randint(0, pw - cw), rng.randint(0, ph - bh))
+            )
+        arith = jbig2_decode_embedded(
+            jbig2_encode_symbol_text_aggregate(bases, comps, placements, pw, ph)
+        )
+        for refine in (False, True):
+            huff = jbig2_decode_embedded(
+                jbig2_encode_symbol_text_huffman_refagg(
+                    bases, comps, placements, pw, ph,
+                    refine_in_aggregate=refine,
+                )
+            )
+            assert huff == arith, (seed, refine)
+
     def test_standard_tables_roundtrip_all(self):
         """Every transcribed standard table round-trips its full value
         shape (normal ranges, 32-bit lower/upper tails, OOB), and the
