@@ -99,6 +99,22 @@ HEADLINE = [
 ]
 
 
+def scrape_prior_tail(tail: str, known: set) -> dict:
+    """name→seconds pairs regex-scraped from a driver-truncated bench
+    ``tail`` string. Anchored on a terminating comma/brace so a timing cut
+    off mid-digits at the truncation point is DROPPED rather than misread
+    as a (wrong) prior (ADVICE r9)."""
+    import re as _re
+
+    return {
+        m.group(1): float(m.group(2))
+        for m in _re.finditer(
+            r'"([a-z0-9_]+)":\s*(-?\d+\.?\d*)\s*[,}]', tail
+        )
+        if m.group(1) in known
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -154,14 +170,37 @@ def main() -> None:
     timings = {n: round(t, 3) for n, t in timings.items()}
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
-    # --- automatic mover adjudication (VERDICT r8 task 5) -----------------
+    # --- automatic mover adjudication (VERDICT r8 task 5, r9 task 2) -------
     # Any query moving >15% (and >0.3s absolute) against the latest
     # recorded BENCH_r{N}.json gets an ISOLATED best-of-3 re-run right
     # here, and the A/B verdict ships inside the artifact — the manual
     # late-day-throttling investigations of rounds 6-8 (BENCH_RUNS_*.json)
     # become a machine step. "environmental" = the isolated best returns
     # to within 15% of the prior round; "real" = it does not.
+    #
+    # CANARY NORMALIZATION (VERDICT r9: the r9 adjudicator labeled three
+    # queries whose plans had ZERO code changes "real" inside a window the
+    # canary showed 2.17x throttled). tpch_q6 — pure-JVM scan+agg,
+    # untouched since round 2 — is the host-drift meter: every cross-round
+    # comparison divides the current reading by the same-window canary
+    # ratio (current q6 / prior q6) before labeling, and the canary block
+    # ships in the artifact. If q6 itself ever regresses by CODE, the plan
+    # audit + its own BASELINE row catch it — normalization only launders
+    # host drift, not plan changes.
     adjudication = []
+    canary_block = None
+    CANARY = "tpch_q6_forecast_revenue"
+
+    def _isolated_best3(name: str) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            df = q[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     try:
         import glob as _glob
         import re as _re
@@ -179,37 +218,48 @@ def main() -> None:
             # None with only a TRUNCATED "tail" string when the line
             # overflowed its capture — r7/r8 are like that); a raw
             # bench.py line carries "queries" at top level. Fall back to
-            # regex-scraping name/seconds pairs from the tail.
+            # regex-scraping name/seconds pairs from the tail — anchored on
+            # a terminating comma/brace so a number cut off mid-digits at
+            # the truncation point is dropped, not misread (ADVICE r9).
             prior = (rec.get("queries")
                      or (rec.get("parsed") or {}).get("queries")
-                     or {
-                         m.group(1): float(m.group(2))
-                         for m in _re.finditer(
-                             r'"([a-z0-9_]+)":\s*(-?\d+\.?\d*)',
-                             rec.get("tail", ""),
-                         )
-                         if m.group(1) in timings
-                     })
+                     or scrape_prior_tail(rec.get("tail", ""), set(timings)))
+        ratio = 1.0
+        if prior.get(CANARY, 0) > 0 and timings.get(CANARY, 0) > 0:
+            ratio = timings[CANARY] / prior[CANARY]
+            canary_block = {
+                "query": CANARY,
+                "prior_round": round(prior[CANARY], 3),
+                "suite_best3": timings[CANARY],
+                "suite_ratio": round(ratio, 3),
+            }
         movers = [
             n for n, t in timings.items()
-            if t > 0 and prior.get(n, 0) > 0
-            and abs(t - prior[n]) > max(0.15 * prior[n], 0.3)
+            if n != CANARY and t > 0 and prior.get(n, 0) > 0
+            and abs(t / ratio - prior[n]) > max(0.15 * prior[n], 0.3)
         ]
+        iso_ratio = ratio
+        if movers and prior.get(CANARY, 0) > 0:
+            # re-measure the canary ISOLATED in the same window as the
+            # isolated mover re-runs — the suite ratio carries suite-order
+            # contention the isolated runs won't see
+            spark.catalog.clearCache()
+            iso_canary = _isolated_best3(CANARY)
+            iso_ratio = iso_canary / prior[CANARY]
+            canary_block["isolated_best3"] = round(iso_canary, 3)
+            canary_block["isolated_ratio"] = round(iso_ratio, 3)
         for name in movers:
             spark.catalog.clearCache()
-            best = None
-            for _ in range(3):
-                t0 = time.time()
-                df = q[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            still_moved = abs(best - prior[name]) > max(0.15 * prior[name], 0.3)
+            best = _isolated_best3(name)
+            norm = best / iso_ratio
+            still_moved = abs(norm - prior[name]) > max(0.15 * prior[name], 0.3)
             adjudication.append({
                 "query": name,
                 "prior_round": round(prior[name], 3),
                 "suite_best3": timings[name],
                 "isolated_best3": round(best, 3),
+                "canary_ratio": round(iso_ratio, 3),
+                "normalized_best3": round(norm, 3),
                 "verdict": "real" if still_moved else "environmental",
             })
         spark.catalog.clearCache()
@@ -265,6 +315,8 @@ def main() -> None:
         out["ingest_docs_per_sec"] = ingest_rate
     if exactly_once_rate is not None:
         out["ingest_exactly_once_docs_per_sec"] = exactly_once_rate
+    if canary_block:
+        out["canary"] = canary_block
     if adjudication:
         out["adjudication"] = adjudication
     print(json.dumps(out))

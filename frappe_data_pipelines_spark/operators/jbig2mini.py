@@ -30,7 +30,12 @@ fail the Kraft checksum, so they stay untranscribed — custom-table streams
 cover those two selector slots) and non-causal template-0 refinement AT1
 pixels are NOT implemented — a stream using them raises ``Jbig2Error``
 and the PDF dispatch falls back exactly like any other unsupported
-filter. Everything else in the huffman family IS implemented: standard
+filter. Likewise NOT implemented (ADVICE r9): huffman refinement
+codewords with BMSIZE=0 — 6.4.11 allows "data not byte-counted", where
+the MQ refinement's length is discovered only by decoding; both the
+text-region path and the REFAGG dictionary path require a positive
+B.1/RSIZE-coded byte count and raise on BMSIZE=0 rather than guess the
+consumed-byte accounting without a conformant fixture to validate it. Everything else in the huffman family IS implemented: standard
 tables B.1-B.6, B.8-B.9, B.11-B.15 (doubly checksummed transcriptions —
 exact Kraft completeness and gap-free range tiling), huffman REFINEMENT
 through standard B.14/B.15 or custom tables, and huffman REFAGG
@@ -971,6 +976,8 @@ def _huffman_refagg_symbol(
     def own_mq_refinement(ref, w, h, dx, dy):
         bmsize = t_b1.decode(br)
         if bmsize is None or bmsize <= 0:
+            # BMSIZE=0 (6.4.11 not-byte-counted) is a documented refusal —
+            # see the module scope-honesty note
             raise Jbig2Error("bad refinement BMSIZE in huffman dictionary")
         br.align()
         start = br.pos
@@ -1026,7 +1033,7 @@ def _huffman_refagg_symbol(
         lambda: t_dt.decode(br), lambda: t_fs.decode(br),
         lambda: t_ds.decode(br), lambda: 0, get_sid,
         lambda: br.bit(), decode_refinement,
-        budget=budget,
+        budget=budget, expect_strip_oob=True,
     )
 
 
@@ -1392,7 +1399,7 @@ def _decode_aggregate_symbol(
         sym_width, hc_height, n_inst, pool,
         1, 1, 0, 0, 0, 0, 1,  # strips, TOPLEFT, not transposed, OR, 0, 0, REFINE
         get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
-        budget=budget,
+        budget=budget, expect_strip_oob=True,
     )
 
 
@@ -1624,6 +1631,7 @@ def _text_region_place(
     comb_op, def_pixel, ds_offset, refine,
     get_dt, get_fs, get_ds, get_curt, get_sid, get_ri, decode_refinement,
     budget: list | None = None,
+    expect_strip_oob: bool = False,
 ) -> list[bytes]:
     """The text-region PLACEMENT loop (6.4.5), factored out of
     ``decode_text_region`` so multi-instance aggregate symbols (6.5.8.2)
@@ -1633,7 +1641,17 @@ def _text_region_place(
     ``budget`` is a 1-element mutable paste-work allowance; callers that
     invoke this procedure REPEATEDLY from one stream (a REFAGG dictionary
     decoding many aggregate symbols) MUST pass one shared budget, or a
-    crafted stream multiplies the per-call bound by the symbol count."""
+    crafted stream multiplies the per-call bound by the symbol count.
+
+    ``expect_strip_oob``: 6.4.5 terminates EVERY strip — including the
+    last — with an OOB from the DS decoder (pdf.js decodeTextRegion's
+    do/while reads DS after each placement). A top-level region can skip
+    the trailing OOB because nothing follows it in the segment, but a
+    NESTED region inside a symbol dictionary shares the dictionary's bit
+    stream/decoder: leaving the OOB unconsumed desyncs every later read.
+    Nested callers set this to consume exactly one trailing DS code and
+    require it to be OOB (a real value means the stream carries more
+    instances than REFAGGNINST declared — raise, totality convention)."""
     rows = [bytearray([def_pixel]) * rw for _ in range(rh)]
 
     dt = get_dt()
@@ -1722,6 +1740,12 @@ def _text_region_place(
                         prow[px] = 1 - (p ^ b)
             curs += (hs if transposed else ws) - 1
             ninst += 1
+    if expect_strip_oob:
+        trailing = get_ds()
+        if trailing is not None:
+            raise Jbig2Error(
+                "aggregate text region carries instances past REFAGGNINST"
+            )
     return [bytes(r) for r in rows]
 
 
@@ -2476,9 +2500,8 @@ def jbig2_encode_symbol_text_aggregate(
     direct-codes the base glyphs; dictionary 2 (REFAGG=1) builds each
     COMPOSITE symbol as a nested text region of REFAGGNINST>1 base-glyph
     placements (RI=0, one strip, TOPLEFT, OR) sharing the dictionary's MQ
-    stream and context banks — no trailing OOB is written, because the
-    nested placement loop stops exactly at the instance count and any
-    extra decision would desync the shared decoder. The page text region
+    stream and context banks, the strip closed by the 6.4.5 OOB the
+    nested decoder consumes to stay in sync. The page text region
     then places the composites. ``composites`` is a list of instance
     lists [(base_glyph_id, x_offset), ...] (all bases equal height)."""
     if not base_glyphs or not composites or not placements:
@@ -2557,7 +2580,9 @@ def jbig2_encode_symbol_text_aggregate(
             else:
                 arith_int_encode(mq, iari, 0)
             curs = x + len(base[0]) - 1
-        # NO trailing OOB: the nested loop exits on the instance count
+        # 6.4.5 strip-terminating OOB: conformant streams close the final
+        # strip too, and the nested decoder consumes it to stay in sync
+        arith_int_encode(mq, iads, None)
 
     _emit_dict_classes(mq, order2, comp_bitmaps, agg_symbol)
     _emit_export_runs(mq, n_base, n_comp)
@@ -2851,8 +2876,8 @@ def jbig2_encode_symbol_text_huffman_refagg(
     own byte-aligned MQ codeword), a multi-instance entry a nested
     huffman TEXT REGION over the Table 17 hardcoded tables
     (FS=B.6, DS=B.8, DT=B.11 with the initial-DT=1 trick, refinement via
-    B.15, RSIZE via B.1, raw ids, RI one raw bit per instance, no
-    trailing OOB). The page text region then places the composites
+    B.15, RSIZE via B.1, raw ids, RI one raw bit per instance, the strip
+    closed by the 6.4.5 OOB). The page text region then places the composites
     through the STANDARD B.6/B.8/B.11 selector path.
     ``refine_in_aggregate`` flips the last instance of the last
     multi-instance composite to RI=1 with an identity refinement."""
@@ -2946,7 +2971,9 @@ def jbig2_encode_symbol_text_huffman_refagg(
             else:
                 bw.write(1, 0)
             curs = x + len(base[0]) - 1
-        # no trailing OOB: the nested loop stops at the instance count
+        # 6.4.5 strip-terminating OOB closes the final (only) strip; the
+        # nested decoder consumes it to keep the shared bit reader in sync
+        t_ds.encode(bw, None)
     t_dw.encode(bw, None)  # OOB closes the single height class
     t_ex.encode(bw, n_base)  # skip the input symbols
     t_ex.encode(bw, n_comp)  # export the composites

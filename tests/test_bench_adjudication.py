@@ -1,0 +1,56 @@
+"""bench.py adjudication plumbing (ADVICE r9 + VERDICT r9 task 2).
+
+The harness itself needs a Spark session and minutes of wall time; these
+tests cover the two pure pieces the round-9 judge flagged: the
+truncated-tail prior scraper (a digit cut off mid-number must be dropped,
+not misread) and the canary-normalized verdict math.
+"""
+
+from __future__ import annotations
+
+from bench import scrape_prior_tail
+
+
+def test_tail_scraper_drops_number_cut_at_truncation_point():
+    known = {"tpch_q1_pricing_summary", "c6_knn_topk", "dedup_minhash_lsh"}
+    tail = (
+        '"queries": {"tpch_q1_pricing_summary": 0.84, '
+        '"c6_knn_topk": 0.512, "dedup_minhash_lsh": 1.2'
+    )  # truncated mid-record: 1.2 might really be 1.234 — no terminator
+    got = scrape_prior_tail(tail, known)
+    assert got == {"tpch_q1_pricing_summary": 0.84, "c6_knn_topk": 0.512}
+
+
+def test_tail_scraper_keeps_terminated_pairs_and_filters_unknown():
+    tail = '{"a_query": 1.5, "not_known": 2.0, "b_query": 0.3}'
+    got = scrape_prior_tail(tail, {"a_query", "b_query"})
+    assert got == {"a_query": 1.5, "b_query": 0.3}
+
+
+def test_tail_scraper_handles_negative_and_integer_values():
+    tail = '{"err_query": -1.0, "int_query": 3}'
+    got = scrape_prior_tail(tail, {"err_query", "int_query"})
+    assert got == {"err_query": -1.0, "int_query": 3.0}
+
+
+def test_canary_normalization_relabels_throttle_drift_as_environmental():
+    """The r9 failure mode in miniature: a 2.17x-throttled host makes an
+    untouched query read 2x its prior. Raw labeling calls it 'real';
+    dividing by the same-window canary ratio must not."""
+    prior = 1.0
+    measured = 2.0          # same plan, throttled host
+    canary_ratio = 2.17     # q6 drift measured in the same window
+    norm = measured / canary_ratio
+    assert abs(norm - prior) <= max(0.15 * prior, 0.3)  # environmental
+    # and a genuine 3x regression still surfaces through the same math
+    real = 6.0 / canary_ratio
+    assert abs(real - prior) > max(0.15 * prior, 0.3)
+
+
+def test_bench_module_compiles_and_exposes_contract():
+    """The driver execs bench.py directly; a syntax error or a renamed
+    entry would only surface at round end. Compile-check it in-suite."""
+    src = open("bench.py").read()
+    compile(src, "bench.py", "exec")
+    assert "def main" in src and "scrape_prior_tail" in src
+    assert '"canary_ratio"' in src and '"normalized_best3"' in src

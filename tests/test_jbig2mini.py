@@ -1733,3 +1733,68 @@ def test_aggregate_dictionary_budget_is_shared(monkeypatch):
     )
     with pytest.raises(Jbig2Error, match="placement work exceeds budget"):
         jbig2_decode_embedded(bad)
+
+
+def test_nested_region_consumes_strip_terminating_oob():
+    """ADVICE r9 (medium): 6.4.5 closes EVERY strip with an OOB from the
+    DS decoder. A nested (in-dictionary) region shares the dictionary's
+    stream, so the decoder must consume that OOB — and must raise when a
+    conformant-looking stream carries MORE instances than REFAGGNINST
+    declared. Exercised directly against the factored placement loop."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        Jbig2Error,
+        _text_region_place,
+    )
+
+    def run(ds_codes):
+        ds_iter = iter(ds_codes)
+        consumed = []
+
+        def get_ds():
+            v = next(ds_iter)
+            consumed.append(v)
+            return v
+
+        rows = _text_region_place(
+            8, 4, 2, [[bytes([1] * 4)] * 4],  # 2 instances of a 4x4 glyph
+            1, 1, 0, 0, 0, 0, 0,  # strips=1 TOPLEFT OR defpx=0 dsoff=0 REFINE=0
+            lambda: 0, lambda: 0,  # DT, FS
+            get_ds, lambda: 0, lambda: 0,  # DS, CURT, SID
+            lambda: None, lambda s: s,
+            expect_strip_oob=True,
+        )
+        return rows, consumed
+
+    # conformant: DS=3 between the two instances, then the strip OOB
+    rows, consumed = run([3, None])
+    assert consumed == [3, None]  # the trailing OOB was consumed
+    assert rows[0] == bytes([1, 1, 1, 1, 0, 0, 1, 1])
+    # over-declared: a real DS where the terminating OOB belongs
+    with pytest.raises(Jbig2Error, match="past REFAGGNINST"):
+        run([3, 5])
+
+
+def test_aggregate_encoders_emit_strip_terminating_oob():
+    """Both nested fixture encoders write the 6.4.5 OOB so a conformant
+    decoder (pdf.js-shaped do/while that reads DS after each placement)
+    stays in sync; our decoder roundtrips them through the strict path."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_decode_embedded,
+        jbig2_encode_symbol_text_aggregate,
+        jbig2_encode_symbol_text_huffman_refagg,
+    )
+
+    base_l = [bytes([1, 0, 1, 0])] * 6
+    base_r = [bytes([0, 1, 0, 1])] * 6
+    composites = [[(0, 0), (1, 4)], [(1, 0), (0, 4)]]
+    placements = [(0, 0, 0), (1, 10, 0)]
+    for enc in (
+        jbig2_encode_symbol_text_aggregate,
+        jbig2_encode_symbol_text_huffman_refagg,
+    ):
+        w, h, rows = jbig2_decode_embedded(
+            enc([base_l, base_r], composites, placements, 20, 8)
+        )
+        assert (w, h) == (20, 8)
+        assert rows[0][:8] == bytes([1, 0, 1, 0, 0, 1, 0, 1])
+        assert rows[0][10:18] == bytes([0, 1, 0, 1, 1, 0, 1, 0])
