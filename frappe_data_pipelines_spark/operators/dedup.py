@@ -929,6 +929,86 @@ def winnow_fingerprints(
 # shrink it to exercise the guard without a 4 GiB batch.
 _WINNOW_POS_BITS = 32
 
+# rolling-hash base for the fast winnowing kernel (odd → invertible mod 2^64)
+_WINNOW_B = 1000003
+_WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)
+
+
+def _winnow_kernel(doc_ids, texts, k: int, w: int, pos_bits: int | None = None):
+    """One vectorized winnowing pass over a list of documents: all docs are
+    concatenated into a single byte buffer; the rolling content hash is
+    position-independent so it computes globally, and per-doc isolation
+    comes from masking to windows whose full extent lies inside one
+    document (grams crossing a boundary only ever appear in masked-out
+    windows — no separator padding needed). Returns (ids, char_positions
+    1-based, fp int64 values). Module-level so the distributed
+    ``winnow_fingerprints_fast`` pass and the driver-local trickle door
+    (``incremental_scrub_local``) run the IDENTICAL selection."""
+    import numpy as np
+
+    B = _WINNOW_B
+    BINV = _WINNOW_BINV
+    # pos_bits is captured DRIVER-side by callers (winnow_fingerprints_fast
+    # pickles it into the task closure) so a test-shrunk budget reaches the
+    # workers, where this module is re-imported with the pristine global
+    POS_BITS = _WINNOW_POS_BITS if pos_bits is None else pos_bits
+    POS_MASK = np.uint64((1 << POS_BITS) - 1)
+
+    blobs = [(t or "").encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    data = b"".join(blobs)
+    n = len(data)
+    if n < k:
+        return [], [], []
+    if n > int(POS_MASK):
+        # the inverted position must fit in POS_BITS or the order key
+        # silently corrupts (missed duplicate spans downstream) — fail
+        # loudly; Arrow batches are row-capped, not byte-capped, so a
+        # corpus of huge documents CAN get here
+        raise ValueError(
+            f"winnow kernel: batch holds {n} bytes of text, "
+            f"over the 2^{POS_BITS}-1 position budget; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]  # doc byte offsets
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    binv_pow = np.empty(n, dtype=np.uint64)
+    binv_pow[0] = 1
+    np.cumprod(np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:])
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(c * binv_pow, out=s[1:])
+    n_grams = n - k + 1
+    b_pow = np.empty(n_grams, dtype=np.uint64)
+    b_pow[0] = pow(B, k - 1, 1 << 64)
+    if n_grams > 1:
+        np.cumprod(np.full(n_grams - 1, B, dtype=np.uint64), out=b_pow[1:])
+        b_pow[1:] = b_pow[1:] * b_pow[0]
+    # content hash of the k-gram at global offset g (uint64 wrap = mod 2^64)
+    h = (s[k : k + n_grams] - s[:n_grams]) * b_pow
+    inv_pos = POS_MASK - np.arange(n_grams, dtype=np.uint64)
+    key = ((h >> np.uint64(POS_BITS)) << np.uint64(POS_BITS)) | inv_pos
+    if n_grams < w:
+        return [], [], []
+    kmin = np.lib.stride_tricks.sliding_window_view(key, w).min(axis=1)
+    # valid window starts: [doc_start, doc_start + doc_len - (k + w - 1)]
+    n_win_per_doc = np.maximum(lens - (k + w - 1) + 1, 0)
+    valid = np.concatenate(
+        [np.arange(nw, dtype=np.int64) + st for st, nw in zip(starts, n_win_per_doc)]
+    ) if len(starts) else np.empty(0, dtype=np.int64)
+    kmin = kmin[valid]
+    g = (POS_MASK - (kmin & POS_MASK)).astype(np.int64)
+    g = np.unique(g)  # selected gram offsets (global)
+    doc_idx = np.searchsorted(starts, g, side="right") - 1
+    # 1-based CHAR position within the doc (the md5 twin's semantic —
+    # grams are byte-level, so a gram starting on a continuation byte
+    # reports its CONTAINING char). cum0[i] = chars fully started within
+    # the first i bytes.
+    cont = (c & np.uint64(0xC0)) == np.uint64(0x80)
+    cum0 = np.concatenate([[0], np.cumsum(~cont, dtype=np.int64)])
+    local_pos = cum0[g + 1] - cum0[starts[doc_idx]]
+    out_ids = [doc_ids[i] for i in doc_idx.tolist()]  # any id type
+    return out_ids, local_pos.tolist(), h[g].view(np.int64).tolist()
+
 
 def winnow_fingerprints_fast(
     docs: DataFrame,
@@ -954,78 +1034,10 @@ def winnow_fingerprints_fast(
     selection stays content-determined — two copies of a string of length
     >= w + k - 1 still share a selected fingerprint, which is the
     lossless-prefilter guarantee."""
-    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    B = 1000003  # odd → invertible mod 2^64
-    BINV = pow(B, -1, 1 << 64)
-    POS_BITS = _WINNOW_POS_BITS  # per-batch positions must fit; guarded below
-    POS_MASK = np.uint64((1 << POS_BITS) - 1)
-
-    def winnow_batch(doc_ids, texts):
-        """One vectorized pass over a whole Arrow batch: all docs are
-        concatenated into a single byte buffer; the rolling content hash is
-        position-independent so it computes globally, and per-doc isolation
-        comes from masking to windows whose full extent lies inside one
-        document (grams crossing a boundary only ever appear in masked-out
-        windows — no separator padding needed)."""
-        blobs = [(t or "").encode("utf-8") for t in texts]
-        lens = np.array([len(b) for b in blobs], dtype=np.int64)
-        data = b"".join(blobs)
-        n = len(data)
-        if n < k:
-            return [], [], []
-        if n > int(POS_MASK):
-            # the inverted position must fit in POS_BITS or the order key
-            # silently corrupts (missed duplicate spans downstream) — fail
-            # loudly; Arrow batches are row-capped, not byte-capped, so a
-            # corpus of huge documents CAN get here
-            raise ValueError(
-                f"winnow_fingerprints_fast: batch holds {n} bytes of text, "
-                f"over the 2^{POS_BITS}-1 position budget; lower "
-                "spark.sql.execution.arrow.maxRecordsPerBatch"
-            )
-        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]  # doc byte offsets
-        c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-        binv_pow = np.empty(n, dtype=np.uint64)
-        binv_pow[0] = 1
-        np.cumprod(np.full(n - 1, BINV, dtype=np.uint64), out=binv_pow[1:])
-        s = np.zeros(n + 1, dtype=np.uint64)
-        np.cumsum(c * binv_pow, out=s[1:])
-        n_grams = n - k + 1
-        b_pow = np.empty(n_grams, dtype=np.uint64)
-        b_pow[0] = pow(B, k - 1, 1 << 64)
-        if n_grams > 1:
-            np.cumprod(np.full(n_grams - 1, B, dtype=np.uint64), out=b_pow[1:])
-            b_pow[1:] = b_pow[1:] * b_pow[0]
-        # content hash of the k-gram at global offset g (uint64 wrap = mod 2^64)
-        h = (s[k : k + n_grams] - s[:n_grams]) * b_pow
-        inv_pos = POS_MASK - np.arange(n_grams, dtype=np.uint64)
-        key = ((h >> np.uint64(POS_BITS)) << np.uint64(POS_BITS)) | inv_pos
-        if n_grams < w:
-            return [], [], []
-        kmin = np.lib.stride_tricks.sliding_window_view(key, w).min(axis=1)
-        # valid window starts: [doc_start, doc_start + doc_len - (k + w - 1)]
-        n_win_per_doc = np.maximum(lens - (k + w - 1) + 1, 0)
-        valid = np.concatenate(
-            [np.arange(nw, dtype=np.int64) + st for st, nw in zip(starts, n_win_per_doc)]
-        ) if len(starts) else np.empty(0, dtype=np.int64)
-        kmin = kmin[valid]
-        g = (POS_MASK - (kmin & POS_MASK)).astype(np.int64)
-        g = np.unique(g)  # selected gram offsets (global)
-        doc_idx = np.searchsorted(starts, g, side="right") - 1
-        # 1-based CHAR position within the doc (the md5 twin's semantic —
-        # grams are byte-level, so a gram starting on a continuation byte
-        # reports its CONTAINING char; incremental_dup_spans' narrowed
-        # window expansion needs char coordinates to slice text with
-        # substr). cum0[i] = chars fully started within the first i bytes.
-        cont = (c & np.uint64(0xC0)) == np.uint64(0x80)
-        cum0 = np.concatenate([[0], np.cumsum(~cont, dtype=np.int64)])
-        local_pos = cum0[g + 1] - cum0[starts[doc_idx]]
-        out_ids = [doc_ids[i] for i in doc_idx.tolist()]  # any id type
-        return out_ids, local_pos.tolist(), h[g].view(np.int64).tolist()
-
+    pos_bits = _WINNOW_POS_BITS  # captured here so tests' monkeypatch ships
     # carry the caller's id type through (string doc ids are as legal here
     # as bigints — the md5 twin never casts either)
     id_type = docs.schema[id_col].dataType
@@ -1037,7 +1049,9 @@ def winnow_fingerprints_fast(
 
     def run(batches):
         for pdf in batches:
-            ids, poss, fps = winnow_batch(list(pdf["doc_id"]), list(pdf["text"]))
+            ids, poss, fps = _winnow_kernel(
+                list(pdf["doc_id"]), list(pdf["text"]), k, w, pos_bits
+            )
             yield pd.DataFrame({"doc_id": ids, "pos": poss, "fp": fps})
 
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -1304,6 +1318,229 @@ def corpus_winnow_fingerprints(
         raise ValueError(f"winnow fingerprints need 1 <= k <= min_len, got k={k}")
     w = min_len - k + 1
     return winnow_fingerprints_fast(corpus, k=k, w=w, id_col=id_col, text_col=text_col)
+
+
+def corpus_doc_fingerprints(
+    corpus: DataFrame,
+    min_len: int = 40,
+    k: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_fp: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document fingerprint table for the TRICKLE door fast path:
+    (doc_id, text, fp_pos: array<long>, fp_val: array<long>) — one row per
+    corpus doc holding its text plus ALL its winnow fingerprints as
+    parallel arrays. ``incremental_scrub_local`` probes this with a single
+    mapInPandas scan per micro-batch: no joins, no broadcast exchanges, no
+    shuffles inside the trigger. Compute once at stream start and
+    ``.persist()`` (same lifecycle as ``corpus_winnow_fingerprints``).
+
+    Docs shorter than ``min_len`` are dropped — they cannot contain a
+    ``min_len``-char window, and every doc of length >= min_len has
+    >= 1 fingerprint (n_grams = len-k+1 >= w), so the inner join loses
+    nothing the scrub could use."""
+    fp = (
+        corpus_fp
+        if corpus_fp is not None
+        else corpus_winnow_fingerprints(
+            corpus, min_len=min_len, k=k, id_col=id_col, text_col=text_col
+        )
+    )
+    grouped = fp.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("fp_pos"),
+        F.collect_list("fp").alias("fp_val"),
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .filter(F.length("text") >= min_len)
+        .join(grouped, "doc_id")
+        .repartition(par)
+    )
+
+
+# Worker-side memo for the trickle door: Spark reuses python workers across
+# tasks and micro-batches, so the arriving batch's candidate-window table is
+# derived from the (tiny) broadcast payload ONCE per worker per batch, not
+# once per task. Keyed on the batch token; bounded to one entry.
+_LOCAL_SCRUB_MEMO: dict = {}
+
+
+def _local_batch_windows(token, ids, texts, min_len: int, k: int, w: int):
+    """(sorted fp array, {window_string: [(batch_doc_id, pos), ...]}) for
+    the arriving micro-batch — the batch side of the scrub computed in
+    plain numpy/python. Candidates expand around ALL batch fingerprints
+    (a superset of the distributed path's matched-only narrowing); the
+    final window-string equality keeps the OUTPUT identical: any corpus
+    window equal to a batch window shares its in-window selected gram
+    (SIGMOD'03 rule is content-determined), so extra batch candidates can
+    never create a mark, and no mark is lost because the corpus side still
+    filters on the batch's full fingerprint set."""
+    ent = _LOCAL_SCRUB_MEMO.get(token)
+    if ent is not None:
+        return ent
+    import numpy as np
+
+    f_idx, f_pos, f_val = _winnow_kernel(list(range(len(texts))), texts, k, w)
+    fp_arr = np.unique(np.asarray(f_val, dtype=np.int64))
+    by_doc: dict[int, list[int]] = {}
+    for di, p in zip(f_idx, f_pos):
+        by_doc.setdefault(di, []).append(p)
+    win: dict[str, list] = {}
+    for di, ps in by_doc.items():
+        t = texts[di]
+        n_chars = len(t)
+        hi = n_chars - (min_len - 1)
+        if hi < 1:
+            continue
+        # ascii docs: a matching window's selected gram lies < w chars
+        # after the window start; multi-byte chars shrink k bytes to fewer
+        # chars, so the reach-back widens to min_len-1 (same rule as the
+        # distributed path's `slack` expression)
+        slack = (w - 1) if len(t.encode("utf-8")) == n_chars else (min_len - 1)
+        qs = np.asarray(ps, dtype=np.int64)
+        los = np.maximum(1, qs - slack)
+        tops = np.minimum(qs, hi)
+        keep = tops >= los
+        starts = np.unique(
+            np.concatenate(
+                [np.arange(lo, top + 1) for lo, top in zip(los[keep], tops[keep])]
+            )
+        ) if keep.any() else np.empty(0, dtype=np.int64)
+        did = ids[di]
+        for st in starts.tolist():
+            win.setdefault(t[st - 1 : st - 1 + min_len], []).append((did, st))
+    ent = (fp_arr, win)
+    _LOCAL_SCRUB_MEMO.clear()
+    _LOCAL_SCRUB_MEMO[token] = ent
+    return ent
+
+
+def incremental_scrub_local(
+    spark,
+    corpus_doc_fp: DataFrame,
+    ids: list,
+    texts: list,
+    min_len: int = 40,
+    k: int = 32,
+) -> list[tuple[int, int, str]]:
+    """TRICKLE-door twin of ``incremental_substring_scrub``: the arriving
+    micro-batch lives as driver-side lists; the standing corpus is probed
+    with ONE distributed scan of ``corpus_doc_fingerprints``'s table. Per
+    trigger this costs exactly one Spark job — no broadcast exchanges
+    (the batch ships as a tiny sc.broadcast payload, expanded per worker
+    via a batch-token memo), no corpus joins, no localCheckpoint — which
+    is what a 200-doc trickle batch's latency is made of (VERDICT r9
+    task 1: per-trigger JOB COUNT, not data work).
+
+    Returns [(n_spans, chars_removed, cleaned_text), ...] aligned with
+    the inputs. Differential-tested byte-identical against the
+    distributed ``incremental_substring_scrub`` (tests/test_streaming.py).
+
+    Scale shape: the corpus side stays fully distributed (the persisted
+    per-doc fingerprint table is the ~2/(w+1)-density cache, scanned
+    map-only); only the arriving batch is driver-local, and the ingest
+    door bounds that by ``local_door_max_chars`` before choosing this
+    path. ``ids`` must be unique and non-null (the door dedups first)."""
+    if not ids:
+        return []
+    if not 1 <= k <= min_len:
+        raise ValueError(f"scrub needs 1 <= k <= min_len, got k={k}")
+    w = min_len - k + 1
+    import uuid
+
+    token = uuid.uuid4().hex
+    payload = (token, list(ids), list(texts), min_len, k, w)
+    bc = spark.sparkContext.broadcast(payload)
+    id_field = corpus_doc_fp.schema["doc_id"]
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        tok, b_ids, b_texts, ml, kk, ww = bc.value
+        fp_arr, win = _local_batch_windows(tok, b_ids, b_texts, ml, kk, ww)
+        seen: set = set()
+        for pdf in batches:
+            if not len(fp_arr) or not win:
+                continue
+            for t, fpos, fval in zip(pdf["text"], pdf["fp_pos"], pdf["fp_val"]):
+                fval = np.asarray(fval, dtype=np.int64)
+                # positions of corpus fingerprints present in the batch
+                idx = np.searchsorted(fp_arr, fval)
+                idx[idx == len(fp_arr)] = 0
+                hit = fp_arr[idx] == fval
+                if not hit.any():
+                    continue
+                qs = np.asarray(fpos, dtype=np.int64)[hit]
+                n_chars = len(t)
+                hi = n_chars - (ml - 1)
+                if hi < 1:
+                    continue
+                slack = (ww - 1) if len(t.encode("utf-8")) == n_chars else (ml - 1)
+                los = np.maximum(1, qs - slack)
+                tops = np.minimum(qs, hi)
+                keep = tops >= los
+                if not keep.any():
+                    continue
+                starts = np.unique(
+                    np.concatenate(
+                        [np.arange(lo, top + 1)
+                         for lo, top in zip(los[keep], tops[keep])]
+                    )
+                )
+                for st in starts.tolist():
+                    hits = win.get(t[st - 1 : st - 1 + ml])
+                    if hits:
+                        seen.update(hits)
+        yield pd.DataFrame(
+            {"doc_id": [p[0] for p in seen], "pos": [p[1] for p in seen]}
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", id_field.dataType),
+        T.StructField("pos", T.LongType()),
+    ])
+    try:
+        # per-task dedup above bounds the collect by (tasks x batch
+        # windows); the global dedup is a driver-side set union
+        marked: dict = {}
+        for r in corpus_doc_fp.mapInPandas(probe, schema=schema).collect():
+            marked.setdefault(r["doc_id"], set()).add(r["pos"])
+    finally:
+        bc.unpersist(blocking=False)
+
+    out = []
+    for did, t in zip(ids, texts):
+        poss = marked.get(did)
+        if not poss:
+            out.append((0, 0, t))
+            continue
+        # gaps-and-islands merge of [pos, pos+min_len) covers — the python
+        # twin of _merge_marked_windows — then the apply_span_removal
+        # stitch (1-based char [start, end) slicing)
+        spans = []
+        cur_s = cur_e = None
+        for p in sorted(poss):
+            if cur_e is None or p > cur_e:
+                if cur_e is not None:
+                    spans.append((cur_s, cur_e))
+                cur_s, cur_e = p, p + min_len
+            else:
+                cur_e = max(cur_e, p + min_len)
+        spans.append((cur_s, cur_e))
+        pieces = []
+        pos = 1
+        for s, e in spans:
+            pieces.append(t[pos - 1 : s - 1])
+            pos = e
+        pieces.append(t[pos - 1 :])
+        removed = sum(e - s for s, e in spans)
+        out.append((len(spans), removed, "".join(pieces)))
+    return out
 
 
 def incremental_dup_spans(

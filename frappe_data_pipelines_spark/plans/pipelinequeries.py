@@ -812,9 +812,11 @@ def i1_i2_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
 
-        jobs = spark.read.parquet(os.path.join(out, "jobs"))
+        from frappe_data_pipelines_spark.streaming.ingest import read_ingest_sink
+
+        jobs = read_ingest_sink(spark, out, "jobs")
         chunks = MergeTable(os.path.join(out, "chunks")).read(spark)
-        metrics = spark.read.parquet(os.path.join(out, "metrics"))
+        metrics = read_ingest_sink(spark, out, "metrics")
         docs_in = spark.read.parquet(inp).select(
             "doc_id", F.col("text").alias("doc_text")
         )

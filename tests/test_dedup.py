@@ -863,3 +863,64 @@ def test_cluster_safe_splits_deterministic_and_guarded(spark):
     assert splits == {"train", "validation", "test"}  # 200 hashes hit all three
     with pytest.raises(ValueError, match="train\\+val"):
         cluster_safe_splits(docs, no_pairs, train_pct=95, val_pct=10)
+
+
+def test_incremental_scrub_local_differential(spark):
+    """Round-10 trickle door: the driver-local scrub twin must be
+    byte-identical to the distributed ``incremental_substring_scrub`` on
+    randomized corpora — multibyte text, exact copies, short docs, docs
+    with nothing shared — across two (min_len, k) configs."""
+    import random
+
+    from frappe_data_pipelines_spark.operators.dedup import (
+        corpus_doc_fingerprints,
+        corpus_winnow_fingerprints,
+        incremental_scrub_local,
+        incremental_substring_scrub,
+    )
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "épsilon", "ζeta",
+             "данные", "model", "träin", "data"]
+
+    def mktext(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    boiler = [mktext(30) for _ in range(6)]
+    corpus_rows = []
+    for i in range(40):
+        t = mktext(rng.randint(5, 60))
+        if rng.random() < 0.7:
+            t = t + " " + rng.choice(boiler) + " " + mktext(10)
+        corpus_rows.append((i, t))
+    batch_rows = []
+    for j in range(15):
+        t = mktext(rng.randint(3, 50))
+        if rng.random() < 0.6:
+            t = mktext(5) + " " + rng.choice(boiler) + " " + t
+        batch_rows.append((1000 + j, t))
+    batch_rows.append((2000, corpus_rows[0][1]))  # exact corpus copy
+    batch_rows.append((2001, "short"))
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    for min_len, k in [(40, 32), (25, 20)]:
+        fp = corpus_winnow_fingerprints(corpus, min_len=min_len, k=k).persist()
+        docfp = corpus_doc_fingerprints(
+            corpus, min_len=min_len, k=k, corpus_fp=fp
+        ).persist()
+        dist = {
+            r.doc_id: (r.n_spans, r.chars_removed, r.cleaned_text)
+            for r in incremental_substring_scrub(
+                corpus, batch, min_len=min_len, k=k, corpus_fp=fp
+            ).collect()
+        }
+        ids = [r[0] for r in batch_rows]
+        texts = [r[1] for r in batch_rows]
+        loc = incremental_scrub_local(
+            spark, docfp, ids, texts, min_len=min_len, k=k
+        )
+        for did, got in zip(ids, loc):
+            assert dist[did] == got, f"min_len={min_len} doc {did}"
+        fp.unpersist()
+        docfp.unpersist()

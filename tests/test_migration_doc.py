@@ -87,6 +87,9 @@ def test_migration_doc_snippets_execute(spark, tmp_path):
             pytest.fail(f"MIGRATION.md block {i} no longer executes: {e}\n{block}")
 
     # the ingestion snippet really ran: its stream drained the backlog
-    assert spark.read.parquet(os.path.join(output_dir, "chunks")).count() > 0
+    # (exactly-once mode: the chunk sink is the MergeTable at chunks/)
+    from frappe_data_pipelines_spark.sources.merge import MergeTable
+
+    assert MergeTable(os.path.join(output_dir, "chunks")).read(spark).count() > 0
     # the batch snippet returned live plans
     assert ns["chunks"].count() >= 0

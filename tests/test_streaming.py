@@ -10,7 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from frappe_data_pipelines_spark.sources.tables import load_table
-from frappe_data_pipelines_spark.streaming.ingest import start_ingest_stream
+from frappe_data_pipelines_spark.streaming.ingest import (
+    read_ingest_sink,
+    start_ingest_stream,
+)
 
 
 @pytest.fixture()
@@ -39,8 +42,8 @@ def test_ingest_stream_end_to_end(spark, sf_dir, stream_dirs):
     )
     q.awaitTermination(120)
 
-    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
-    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
 
     # every input doc produced chunks with embeddings
     assert chunks.select("doc_id").distinct().count() == n_docs
@@ -52,7 +55,7 @@ def test_ingest_stream_end_to_end(spark, sf_dir, stream_dirs):
     assert per_status == {"Queued": n_docs, "Completed": n_docs}
 
     # I6: metrics recorded per batch
-    metrics = spark.read.parquet(os.path.join(stream_dirs["output"], "metrics"))
+    metrics = read_ingest_sink(spark, stream_dirs["output"], "metrics")
     assert metrics.agg(F.sum("n_docs")).first()[0] == n_docs
 
 
@@ -62,21 +65,21 @@ def test_ingest_incremental_and_checkpointed(spark, sf_dir, stream_dirs):
     _feed(spark, sf_dir, stream_dirs["input"], limit=20)
     q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
     q.awaitTermination(120)
-    chunks_dir = os.path.join(stream_dirs["output"], "chunks")
-    n1 = spark.read.parquet(chunks_dir).count()
+    out_dir = stream_dirs["output"]
+    n1 = read_ingest_sink(spark, out_dir, "chunks").count()
 
     # re-run without new input: nothing re-processed (I5 idempotence)
     q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
     q.awaitTermination(120)
-    assert spark.read.parquet(chunks_dir).count() == n1
+    assert read_ingest_sink(spark, out_dir, "chunks").count() == n1
 
     # feed 20 more docs → only the delta is processed
     _feed(spark, sf_dir, stream_dirs["input"], limit=20, offset=20)
     q = start_ingest_stream(spark, stream_dirs["input"], stream_dirs["output"], stream_dirs["checkpoint"])
     q.awaitTermination(120)
-    n2 = spark.read.parquet(chunks_dir).count()
+    n2 = read_ingest_sink(spark, out_dir, "chunks").count()
     assert n2 > n1
-    docs_seen = spark.read.parquet(chunks_dir).select("doc_id").distinct().count()
+    docs_seen = read_ingest_sink(spark, out_dir, "chunks").select("doc_id").distinct().count()
     assert docs_seen == 40
 
 
@@ -213,7 +216,7 @@ def test_ingest_dead_letters_failed_rows(spark, sf_dir, stream_dirs):
     )
     q.awaitTermination(120)
 
-    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
     failed = jobs.filter(F.col("status") == "Failed").collect()
     assert [r["source_doc_id"] for r in failed] == [3]
     assert failed[0]["error_message"] == "empty or null text"
@@ -221,7 +224,7 @@ def test_ingest_dead_letters_failed_rows(spark, sf_dir, stream_dirs):
         (F.col("status") == "Completed") & (F.col("source_doc_id") == 3)
     ).count() == 0
     assert jobs.filter(F.col("status") == "Completed").count() == 9
-    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
     assert chunks.filter(F.col("doc_id") == 3).count() == 0
 
 
@@ -385,14 +388,14 @@ def test_kafka_shaped_source_through_ingest(spark, stream_dirs):
         source_stream=docs,
         available_now=False,
     )
-    chunks_dir = os.path.join(stream_dirs["output"], "chunks")
     try:
         deadline = time.time() + 120
         seen = 0
         while time.time() < deadline:
             try:
                 seen = (
-                    spark.read.parquet(chunks_dir).select("doc_id").distinct().count()
+                    read_ingest_sink(spark, stream_dirs["output"], "chunks")
+                    .select("doc_id").distinct().count()
                 )
             except Exception:  # noqa: BLE001 — sink not created yet
                 seen = 0
@@ -407,7 +410,7 @@ def test_kafka_shaped_source_through_ingest(spark, stream_dirs):
         stop_streaming_query(q)
     assert seen >= 50
 
-    chunks = spark.read.parquet(chunks_dir)
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
     # offsets are deterministic 0..N so doc ids are dense from 0
     ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
     assert set(range(25)) <= ids
@@ -415,7 +418,7 @@ def test_kafka_shaped_source_through_ingest(spark, stream_dirs):
     sample = chunks.filter(F.col("doc_id") == 3).first()
     assert "stream document 3" in sample["chunk_text"]
 
-    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
     per_status = {
         r["status"]: r["n"]
         for r in jobs.groupBy("status")
@@ -482,8 +485,8 @@ def test_warc_stream_through_ingest(spark, stream_dirs):
     )
     q.awaitTermination(180)
 
-    chunks = spark.read.parquet(os.path.join(out, "chunks"))
-    jobs = spark.read.parquet(os.path.join(out, "jobs"))
+    chunks = read_ingest_sink(spark, out, "chunks")
+    jobs = read_ingest_sink(spark, out, "jobs")
     assert chunks.select("doc_id").distinct().count() == 12
     done = {r["source_doc_id"] for r in jobs.filter(F.col("status") == "Completed").collect()}
     assert done == set(range(12))
@@ -634,7 +637,7 @@ def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
     )
     q.awaitTermination(120)
 
-    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
     text_of = {
         r.doc_id: r.joined
         for r in chunks.groupBy("doc_id")
@@ -648,7 +651,7 @@ def test_ingest_stream_with_door_scrub(spark, sf_dir, stream_dirs):
     # the doubly-delivered doc 2 collapsed at the door: its text appears ONCE
     assert text_of[2].count("totally clean arriving document") == 1
     assert 3 not in text_of  # scrubbed to empty -> no chunks
-    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
     failed = {r.source_doc_id for r in jobs.filter("status = 'Failed'").collect()}
     assert 3 in failed  # scrubbed-to-empty dead-letters
     assert failed - {3, None} == set()  # null-id arrival dead-letters, not crashes
@@ -679,10 +682,10 @@ def test_ingest_stream_with_blocklist_door(spark, sf_dir, stream_dirs):
     )
     q.awaitTermination(120)
 
-    chunks = spark.read.parquet(os.path.join(stream_dirs["output"], "chunks"))
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
     chunked = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
     assert chunked == {1, 3}  # doc 2 (2 hits > budget 1) never chunks
-    jobs = spark.read.parquet(os.path.join(stream_dirs["output"], "jobs"))
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
     failed = {
         r.source_doc_id: r.error_message
         for r in jobs.filter("status = 'Failed'").collect()
@@ -691,3 +694,101 @@ def test_ingest_stream_with_blocklist_door(spark, sf_dir, stream_dirs):
     assert failed[2] == "blocklist (2 hits)"
     queued = {r.source_doc_id for r in jobs.filter("status = 'Queued'").collect()}
     assert 2 in queued  # the drop is recorded, not silent
+
+
+def test_local_door_fast_path_matches_distributed(spark, tmp_path):
+    """Round-10 trickle fast path: the SAME micro-batch — scrub corpus
+    overlap, blocklist hit, empty text, a null-id row, a duplicated id,
+    multibyte text — must land row-identical chunks/jobs/metrics whether
+    the door runs driver-local (default, small batch) or fully
+    distributed (local_door_max_rows=0)."""
+    boiler = (
+        "этот общий шаблонный текст повторяется в каждом документе "
+        "корпуса и должен быть вырезан на входе целиком"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, f"corpus doc {i} says: {boiler} and then more {i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    terms = spark.createDataFrame(
+        [(1, "verboten")], "term_id long, term string"
+    )
+    arrivals = [
+        (1, f"fresh unique text one with plenty of words. {boiler} trailing", "en", "s", 0),
+        (2, "VERBOTEN content verboten twice here in this arriving doc", "en", "s", 0),
+        (3, "   ", "en", "s", 0),
+        (None, f"null id doc still judged on its own text {boiler}", "en", "s", 0),
+        (5, "dup id first delivery with its own unique words here", "en", "s", 0),
+        (5, "dup id second delivery that must not square the join", "en", "s", 0),
+        (6, "café naïve déjà-vu unicode text unlike anything in corpus", "fr", "s", 0),
+    ]
+
+    def run(mode: str, **kw) -> dict:
+        inp = str(tmp_path / f"in_{mode}")
+        out = str(tmp_path / f"out_{mode}")
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        os.makedirs(inp)
+        df = spark.createDataFrame(
+            arrivals, "doc_id long, text string, lang string, source string, n_chars long"
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        df.coalesce(1).write.mode("append").parquet(inp)
+        q = start_ingest_stream(
+            spark, inp, out, ckpt,
+            scrub_against=corpus, blocklist_terms=terms,
+            blocklist_max_hits=1, **kw,
+        )
+        q.awaitTermination(120)
+        for attr in ("scrub_corpus_fp", "scrub_corpus_doc_fp"):
+            cache = getattr(q, attr, None)
+            if cache is not None:
+                cache.unpersist()
+        chunks = read_ingest_sink(spark, out, "chunks")
+        jobs = read_ingest_sink(spark, out, "jobs")
+        metrics = read_ingest_sink(spark, out, "metrics")
+        return {
+            "chunks": sorted(
+                ((r["doc_id"], r["chunk_index"], r["chunk_text"])
+                 for r in chunks.collect()),
+                key=str,
+            ),
+            "jobs": sorted(
+                ((r["source_doc_id"], r["status"], r["error_message"])
+                 for r in jobs.collect()),
+                key=str,
+            ),
+            "n_docs": metrics.agg(F.sum("n_docs")).first()[0],
+        }
+
+    fast = run("fast")  # default bounds: 7 rows -> driver-local door
+    slow = run("slow", local_door_max_rows=0)  # forced distributed door
+    assert fast["chunks"] == slow["chunks"]
+    assert fast["jobs"] == slow["jobs"]
+    assert fast["n_docs"] == slow["n_docs"]
+    # the doors actually did something: doc 2 dead-lettered by blocklist,
+    # doc 3 by empty text, and the boilerplate got scrubbed out of doc 1
+    failed = {d: e for d, s, e in fast["jobs"] if s == "Failed"}
+    assert failed[2].startswith("blocklist (2")
+    assert failed[3] == "empty or null text"
+    # scrubbed out of every KEYED doc; the null-id row passes the scrub
+    # untouched by design (no key to attribute spans to) and keeps it
+    assert all(boiler not in c for d, _, c in fast["chunks"] if d is not None)
+    assert any(boiler in c for d, _, c in fast["chunks"] if d is None)
+
+
+def test_chunker_emits_at_least_one_chunk_per_nonempty_doc(spark):
+    """The door's Completed rows are derived from the surviving doc set
+    (NOT from chunk counts) — sound only while the recursive chunker
+    emits >= 1 chunk for every text that survives the empty-trim guard.
+    Pin that guarantee on adversarial shapes."""
+    from frappe_data_pipelines_spark.operators.chunker import chunk_documents
+
+    texts = ["x", ".", "a" * 5000, " lead", "\n\n\n.p\n\n\n", "ünï",
+             "  a  ", "word " * 2000, ". . . . .", "\t\nz\t\n", " z"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = chunk_documents(df, strategy="recursive", chunk_size=200, chunk_overlap=40)
+    got = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert got == set(range(len(texts)))

@@ -56,13 +56,13 @@ def run_config(
         blocklist_terms=blocklist_terms,
     )
 
-    jobs_dir = os.path.join(outp, "jobs")
+    jobs_dir = os.path.join(outp, "records", "sink=jobs")
 
     def jobs_rows() -> int:
-        # the jobs append is the LAST sink write of a micro-batch (after
-        # the chunk sink), so jobs-visible == batch durably complete —
-        # and unlike chunk counts it grows for every wave regardless of
-        # how many docs the doors dead-letter
+        # job rows land in the batch's single unified write (round 10),
+        # so jobs-visible == batch durably complete — and unlike chunk
+        # counts they grow for every wave regardless of how many docs the
+        # doors dead-letter
         try:
             return spark.read.parquet(jobs_dir).count()
         except Exception:  # noqa: BLE001 — sink not created yet
@@ -95,8 +95,10 @@ def run_config(
     from frappe_data_pipelines_spark.streaming.ingest import stop_streaming_query
 
     stop_streaming_query(q)
-    if getattr(q, "scrub_corpus_fp", None) is not None:
-        q.scrub_corpus_fp.unpersist()
+    for cache_attr in ("scrub_corpus_fp", "scrub_corpus_doc_fp"):
+        cache = getattr(q, cache_attr, None)
+        if cache is not None:
+            cache.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "p50_batch_latency_sec": round(pctl(latencies, 0.50), 3),
