@@ -224,7 +224,14 @@ def start_ingest_stream(
                 T.StructField("created_at", T.TimestampType()),
                 T.StructField("error_message", T.StringType()),
             ])
-        return spark_sess.createDataFrame(rows, jobs_schema)
+        # explicit numSlices=1 (NOT createDataFrame().coalesce(1)): the
+        # plain createDataFrame parallelizes into defaultParallelism
+        # pickled slices, and a coalesce(1) then makes ONE task evaluate
+        # all 32 parents SEQUENTIALLY — each a python-stage round trip,
+        # ~5s of pure handshake per unified write (measured)
+        return spark_sess.createDataFrame(
+            spark_sess.sparkContext.parallelize(rows, 1), jobs_schema
+        )
 
     def _chunk_sink_parts(
         spark_sess, embedded: DataFrame, batch_id: int
@@ -354,8 +361,18 @@ def start_ingest_stream(
         done = [(d, "Completed", batch_id, now, None) for d in done_ids]
 
         src_cols = [f.name for f in stream.schema.fields]
+        # chunk+embed is real CPU — keep it on every core, but slice via
+        # explicit numSlices (a coalesce over default parallelize slices
+        # makes tasks pay SEQUENTIAL python-stage round trips per parent;
+        # see _jobs_df), capped at the doc count so a 3-doc batch doesn't
+        # schedule 32 near-empty kernel tasks
+        par = spark_sess.sparkContext.defaultParallelism
+        npart = max(1, min(par, len(good)))
         good_df = spark_sess.createDataFrame(
-            [tuple(rd[c] for c in src_cols) for rd in good], stream.schema
+            spark_sess.sparkContext.parallelize(
+                [tuple(rd[c] for c in src_cols) for rd in good], npart
+            ),
+            stream.schema,
         )
         chunks = chunk_documents(
             good_df, strategy="recursive",
@@ -370,7 +387,10 @@ def start_ingest_stream(
         parts.append((
             "metrics",
             spark_sess.createDataFrame(
-                [(batch_id, len(rdicts))], "batch_id LONG, n_docs LONG"
+                spark_sess.sparkContext.parallelize(
+                    [(batch_id, len(rdicts))], 1
+                ),
+                "batch_id LONG, n_docs LONG",
             ),
         ))
         _write_unified(spark_sess, parts)

@@ -59,13 +59,18 @@ def run_config(
     jobs_dir = os.path.join(outp, "records", "sink=jobs")
 
     def jobs_rows() -> int:
-        # job rows land in the batch's single unified write (round 10),
-        # so jobs-visible == batch durably complete — and unlike chunk
-        # counts they grow for every wave regardless of how many docs the
-        # doors dead-letter
+        # job rows land in the batch's single unified write (round 10) —
+        # parquet part-files appear in the final dir at JOB COMMIT, so a
+        # new file == the batch durably complete, and they grow for every
+        # wave regardless of how many docs the doors dead-letter. Counted
+        # via the filesystem: the previous spark.read...count() poll every
+        # 200 ms was ~30 competing Spark jobs inside each measured window,
+        # inflating the very latency it measured.
         try:
-            return spark.read.parquet(jobs_dir).count()
-        except Exception:  # noqa: BLE001 — sink not created yet
+            return sum(
+                1 for f in os.listdir(jobs_dir) if f.endswith(".parquet")
+            )
+        except OSError:
             return 0
 
     # wave 0 warms the stream (JVM source init, first python workers,
