@@ -198,7 +198,12 @@ class PipelineEngine:
         days = self.settings.retention_days if self.settings else 30
         return self.cleanup_old_jobs(days=days)
 
-    def scrub_incoming(self, new_docs: DataFrame, min_len: int = 40) -> DataFrame:
+    def scrub_incoming(
+        self,
+        new_docs: DataFrame,
+        min_len: int = 40,
+        fp_cache_path: str | None = None,
+    ) -> DataFrame:
         """Ingest-door hygiene (beyond-reference surface): cut every region
         of an arriving document that already exists verbatim in the
         engine's file corpus — (doc_id, n_chars, n_spans, chars_removed,
@@ -209,11 +214,23 @@ class PipelineEngine:
         at an ingest door) reuse it instead of re-fingerprinting the
         corpus, the same cache ``start_ingest_stream`` keeps for its
         stream lifetime. ``release_caches()`` frees it. Requires
-        ``files`` to carry a ``text`` column."""
+        ``files`` to carry a ``text`` column.
+
+        ``fp_cache_path``: optional DISK cache so the corpus fingerprint
+        scan survives ENGINE RESTARTS (VERDICT r9 task 7) — a parquet
+        table plus a meta sidecar recording (min_len, k). A fresh engine
+        pointed at a matching cache loads it instead of re-running the
+        corpus kernel; a (min_len)-mismatched cache is rebuilt in place.
+        Staleness is the caller's contract, exactly like any materialized
+        derived table: rebuild (delete the path) when the corpus
+        changes."""
         if "text" not in self.files.columns:
             raise ValueError(
                 "scrub_incoming needs the engine's files table to carry text"
             )
+        import json
+        import os
+
         from frappe_data_pipelines_spark.operators.dedup import (
             corpus_winnow_fingerprints,
             incremental_substring_scrub,
@@ -221,9 +238,28 @@ class PipelineEngine:
 
         if getattr(self, "_scrub_fp", None) is None or self._scrub_fp_min_len != min_len:
             self.release_caches()
-            self._scrub_fp = corpus_winnow_fingerprints(
-                self.files, min_len=min_len
-            ).persist()
+            spark = self.files.sparkSession
+            fp = None
+            meta_path = data_path = None
+            if fp_cache_path is not None:
+                meta_path = os.path.join(fp_cache_path, "_scrub_fp_meta.json")
+                data_path = os.path.join(fp_cache_path, "fingerprints")
+                if os.path.isfile(meta_path):
+                    with open(meta_path) as f:
+                        meta = json.load(f)
+                    if meta.get("min_len") == min_len:
+                        fp = spark.read.parquet(data_path)
+            if fp is None:
+                fp = corpus_winnow_fingerprints(self.files, min_len=min_len)
+                if fp_cache_path is not None:
+                    # data first, meta last: a crash between the two
+                    # leaves no meta, so the next engine rebuilds instead
+                    # of trusting a half-written table
+                    fp.write.mode("overwrite").parquet(data_path)
+                    with open(meta_path, "w") as f:
+                        json.dump({"min_len": min_len, "kernel": "winnow"}, f)
+                    fp = spark.read.parquet(data_path)
+            self._scrub_fp = fp.persist()
             self._scrub_fp_min_len = min_len
         return incremental_substring_scrub(
             self.files, new_docs, min_len=min_len, corpus_fp=self._scrub_fp

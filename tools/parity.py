@@ -38,6 +38,26 @@ def df_to_rows(cols, rows):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+def catalog_fingerprint() -> tuple[int, str]:
+    """(query count, stable sha256) over the registered catalog — query
+    names plus their oracle SQL. Stamped into every --json PARITY export
+    and asserted by tests/test_parity_gate.py, so an artifact exported
+    before the catalog changed reads as STALE instead of as evidence
+    (VERDICT r9 task 8)."""
+    import hashlib
+
+    from frappe_data_pipelines_spark.plans.catalog import REGISTRY, queries
+
+    queries()  # trigger registration
+    h = hashlib.sha256()
+    for name in sorted(REGISTRY):
+        h.update(name.encode())
+        h.update(b"\x00")
+        h.update((REGISTRY[name].oracle or "").encode())
+        h.update(b"\x01")
+    return len(REGISTRY), h.hexdigest()
+
+
 def run_parity(sf_dir: str, only=None, spark=None, echo=print, results=None):
     """Run the gate; returns (n_pass, n_fail, n_rows_only, failures list).
     Importable so the pytest suite carries the same check as the driver.
@@ -138,11 +158,15 @@ def main() -> int:
         sf_dir, only=argv[1:], results=results
     )
     if json_out:
+        n_queries, cat_hash = catalog_fingerprint()
         payload = {
             "sf_dir": sf_dir,
             "n_pass": n_pass,
             "n_fail": n_fail,
             "n_rows_only": n_rows_only,
+            "n_queries": n_queries,
+            "catalog_hash": cat_hash,
+            "partial": bool(argv[1:]),  # a subset run is never the artifact
             "queries": results,
         }
         with open(json_out, "w") as f:
