@@ -89,17 +89,29 @@ QUERIES = [
 ID_OFFSET = 10_000_000
 
 
-def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+def replicate_documents(docs, replicas: int):
+    """Duplication-free replicated documents DF (see module docstring).
+
+    Per-replica AFFINE substitution x -> a*x + b (mod 26), a coprime to
+    26: 12 x 26 = 312 distinct maps, and two distinct affine maps agree
+    on at most TWO letters (26 = 2 x 13), so no window using >= 3
+    distinct letters collides across replicas — word-like text always
+    does. Plain Caesar (the original r < 10 scheme) repeats at shift
+    distance 26 — a 100x corpus would give every doc ~3 exact twins and
+    dedup timings would measure that artifact, not the plan.
+
+    Replica doc ids are CONSECUTIVE spans (r * (max_id + 1)), not the big
+    ID_OFFSET: the image/audio/video pattern corpora derive pixels from
+    doc_id arithmetic with parameter period 64,256, and a large offset
+    aliases into that space — replica pairs whose offset difference mod
+    64,256 is small collide on identical patterns, inflating cross-replica
+    near-dups ∝ replicas² (measured: video exponent 1.23 under ID_OFFSET
+    vs sublinear with spans). Consecutive spans keep every replica's
+    parameter groups distinct, so duplicate density per row stays constant
+    — the honest scaling regime for id-derived corpora too."""
     from pyspark.sql import functions as F
 
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    # per-replica AFFINE substitution x -> a*x + b (mod 26), a coprime to
-    # 26: 12 x 26 = 312 distinct maps, and two distinct affine maps agree
-    # on at most TWO letters (26 = 2 x 13), so no window using >= 3
-    # distinct letters collides across replicas — word-like text always
-    # does. Plain Caesar (the original r < 10 scheme) repeats at shift
-    # distance 26 — a 100x corpus would give every doc ~3 exact twins and
-    # dedup timings would measure that artifact, not the plan.
     _AS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
 
     def subst(r: int) -> str:
@@ -107,16 +119,6 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
         b = r % 26
         return "".join(alpha[(a * i + b) % 26] for i in range(26))
 
-    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
-    # Replica doc ids are CONSECUTIVE spans (r * (max_id + 1)), not the big
-    # ID_OFFSET: the image/audio/video pattern corpora derive pixels from
-    # doc_id arithmetic with parameter period 64,256, and a large offset
-    # aliases into that space — replica pairs whose offset difference mod
-    # 64,256 is small collide on identical patterns, inflating cross-replica
-    # near-dups ∝ replicas² (measured: video exponent 1.23 under ID_OFFSET
-    # vs sublinear with spans). Consecutive spans keep every replica's
-    # parameter groups distinct, so duplicate density per row stays constant
-    # — the honest scaling regime for id-derived corpora too.
     doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = []
     for r in range(replicas):
@@ -140,9 +142,16 @@ def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(dst_dir, "documents.parquet")
-    )
+    return out
+
+
+def build_corpus(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    replicate_documents(docs, replicas).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dst_dir, "documents.parquet"))
 
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     dim = len(emb.select("embedding").first()["embedding"])
