@@ -28,18 +28,29 @@ from pyspark.sql import functions as F
 # Worker-side automaton memo: Spark reuses python workers across tasks and
 # micro-batches (spark.python.worker.reuse, default on), so a streaming door
 # scanning the SAME blocklist every batch should build the trie once per
-# worker process, not once per batch. Keyed on the term tuple; bounded to
-# one entry (a second distinct blocklist evicts the first — the door use
-# case has exactly one list, and batch operators tolerate a rebuild).
+# worker process, not once per batch. Keyed on an md5 digest of the terms
+# (VERDICT r9: a full-term-tuple key held every term string twice per
+# worker — key + machine); bounded to one entry (a second distinct
+# blocklist evicts the first — the door use case has exactly one list,
+# and batch operators tolerate a rebuild).
 _AUTOMATON_MEMO: dict = {}
 
 
 def _cached_automaton(term_key: tuple):
-    m = _AUTOMATON_MEMO.get(term_key)
+    import hashlib
+
+    h = hashlib.md5()
+    for tid, term in term_key:
+        h.update(str(tid).encode())
+        h.update(b"\x00")
+        h.update(term.encode())
+        h.update(b"\x01")
+    digest = h.digest()
+    m = _AUTOMATON_MEMO.get(digest)
     if m is None:
         m = _build_automaton(list(term_key))
         _AUTOMATON_MEMO.clear()
-        _AUTOMATON_MEMO[term_key] = m
+        _AUTOMATON_MEMO[digest] = m
     return m
 
 

@@ -414,6 +414,55 @@ def main() -> None:
         )
         ocodes.unpersist()
 
+    # realistic codebook (VERDICT r9 task 4): k=256 centroids per subspace
+    # — the production PQ operating point (1 byte/code, what FAISS calls
+    # PQ8) — so the recall story isn't dominated by the k=16 toy books
+    # the grid above uses for speed
+    if dim % 8 == 0:
+        for variant, rot in (("pq", None), ("opq", "train")):
+            if rot is None:
+                b256 = ann.pq_train(vectors, m_subvectors=8, k_centroids=256, n_iter=8)
+                R256 = None
+            else:
+                R256, b256 = ann.opq_train(
+                    vectors, m_subvectors=8, k_centroids=256, n_iter=5, opq_iters=6
+                )
+            c256 = ann.pq_encode(vectors, b256, rotation=R256).cache()
+            c256.count()
+
+            def k256_one(qv, _c=c256, _b=b256, _r=R256):
+                return ann.pq_search(_c, _b, qv, k=k, rotation=_r)
+
+            k256_one.id_col = "id"
+            r, qps = recall(k256_one)
+            results.append(
+                {
+                    "variant": variant,
+                    "recall_at_k": round(r, 4),
+                    "qps": round(qps, 2),
+                    "params": {"m_subvectors": 8, "k_centroids": 256,
+                               "bytes_per_vec": 8},
+                }
+            )
+
+            def k256r_one(qv, _c=c256, _b=b256, _r=R256):
+                return ann.pq_search_rerank(
+                    _c, vectors, _b, qv, k=k, rerank_depth=50, rotation=_r
+                )
+
+            k256r_one.id_col = "vec_id"
+            r, qps = recall(k256r_one)
+            results.append(
+                {
+                    "variant": f"{variant}_rerank",
+                    "recall_at_k": round(r, 4),
+                    "qps": round(qps, 2),
+                    "params": {"m_subvectors": 8, "k_centroids": 256,
+                               "rerank_depth": 50},
+                }
+            )
+            c256.unpersist()
+
     # HNSW (sharded graph, the Qdrant-shaped rung): per-partition graphs,
     # window-merged top-k; ALL queries in one job, so qps is batched
     qdf_all = spark.createDataFrame(
