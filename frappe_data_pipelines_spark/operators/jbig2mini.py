@@ -25,12 +25,15 @@ implements the arithmetically-coded generic-region subset, stdlib-only:
   (type, referred-segment bytes, page association, data length), page-info,
   generic-region, symbol-dictionary and text-region segments.
 
-Scope honesty: standard huffman tables B.7 and B.10 (our reconstructions
-fail the Kraft checksum, so they stay untranscribed — custom-table streams
-cover those two selector slots) and non-causal template-0 refinement AT1
-pixels are NOT implemented — a stream using them raises ``Jbig2Error``
-and the PDF dispatch falls back exactly like any other unsupported
-filter. Likewise NOT implemented (ADVICE r9): huffman refinement
+Scope honesty: standard huffman tables B.7 and B.10 are NOT implemented
+(our reconstructions fail the Kraft checksum, so they stay untranscribed —
+custom-table streams cover those two selector slots); a stream selecting
+them raises ``Jbig2Error`` and the PDF dispatch falls back exactly like
+any other unsupported filter. Non-causal template-0 refinement AT1 pixels
+ARE implemented (round 10): a coding tap at/after the current pixel reads
+0 through the zero-initialized output bitmap (the 6.2.5.7 not-yet-decoded
+convention), and the encoder mirrors it by revealing each row
+progressively. Likewise NOT implemented (ADVICE r9): huffman refinement
 codewords with BMSIZE=0 — 6.4.11 allows "data not byte-counted", where
 the MQ refinement's length is discovered only by decoding; both the
 text-region path and the REFAGG dictionary path require a positive
@@ -515,11 +518,6 @@ def _ref_pixel_sets(template: int, at=None):
     coding, reference = _REF_TEMPLATES[template]
     if template == 0:
         a1, a2 = at if at is not None else _NOMINAL_RAT
-        if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
-            raise Jbig2Error(
-                f"non-causal refinement AT1 {a1} unsupported (would read "
-                "pixels the decoder has not produced yet)"
-            )
         coding = coding + (tuple(a1),)
         reference = reference + (tuple(a2),)
     return coding, reference
@@ -528,8 +526,11 @@ def _ref_pixel_sets(template: int, at=None):
 def _ref_context(rows, ref, x, y, w, dx, dy, coding, reference) -> int:
     ctx = 0
     for ddx, ddy in coding:
-        # every coding pixel is already decoded (causality enforced for
-        # AT1 at template selection); only bounds need guarding
+        # a NON-CAUSAL coding tap (a movable AT1 at/after the current
+        # pixel — allowed by T.88, round 10) reads 0: the output bitmap
+        # is zero-initialized and pixels are revealed as they are coded,
+        # the 6.2.5.7 convention for not-yet-decoded pixels, mirrored
+        # exactly by the encoder's progressive row reveal
         xx, yy = x + ddx, y + ddy
         bit = rows[yy][xx] if 0 <= yy < len(rows) and 0 <= xx < w else 0
         ctx = (ctx << 1) | bit
@@ -567,17 +568,24 @@ def refinement_region_encode(
     mq: MQEncoder, cxs: list, rows: list[bytes], w: int, h: int,
     ref: list, dx: int = 0, dy: int = 0, template: int = 1, at=None,
 ) -> None:
-    """Encoder twin of refinement_region_decode (no flush)."""
+    """Encoder twin of refinement_region_decode (no flush). Rows are
+    revealed PROGRESSIVELY — each pixel lands in ``built`` only after its
+    context is formed — so a non-causal coding tap reads 0 exactly like
+    the decoder's zero-initialized bitmap does (pre-filling the current
+    row with final values would desync every non-causal AT1 stream)."""
     coding, reference = _ref_pixel_sets(template, at)
     built: list[bytearray] = []
     for y in range(h):
-        row = bytearray(rows[y][:w])
+        row = bytearray(w)
         built.append(row)
+        src = rows[y]
         for x in range(w):
+            bit = src[x] & 1
             mq.encode(
                 cxs[_ref_context(built, ref, x, y, w, dx, dy, coding, reference)],
-                row[x] & 1,
+                bit,
             )
+            row[x] = bit
 
 
 def _ref_ctx_bank(template: int = 1) -> list:
@@ -589,20 +597,16 @@ def _ref_ctx_bank(template: int = 1) -> list:
 
 def _read_rat(body: bytes, pos: int):
     """Two signed refinement-AT pairs (SDRAT/SBRAT, present only when the
-    refinement template is 0). A1 causality is validated HERE, at header
-    parse time, so a stream carrying an unsupported geometry refuses
-    before any MQ decoding starts."""
+    refinement template is 0). Any geometry is accepted (round 10):
+    non-causal A1 taps read 0 through the decoder's zero-initialized
+    output bitmap, the 6.2.5.7 not-yet-decoded convention the encoder
+    mirrors with its progressive row reveal."""
     if len(body) < pos + 4:
         raise Jbig2Error("truncated refinement AT pixel coordinates")
     def sb(b):
         return b - 256 if b > 127 else b
     a1 = (sb(body[pos]), sb(body[pos + 1]))
     a2 = (sb(body[pos + 2]), sb(body[pos + 3]))
-    if not (a1[1] < 0 or (a1[1] == 0 and a1[0] < 0)):
-        raise Jbig2Error(
-            f"non-causal refinement AT1 {a1} unsupported (would read "
-            "pixels the decoder has not produced yet)"
-        )
     return (a1, a2), pos + 4
 
 
@@ -2381,6 +2385,7 @@ def jbig2_encode_symbol_text_refagg(
     page_h: int,
     inline_refine_last: bool = True,
     r_template: int = 1,
+    rat: tuple | None = None,
 ) -> bytes:
     """Refinement-profile fixture producer: dictionary 1 direct-codes the
     ROUGH glyphs, dictionary 2 REFAGG-refines each rough glyph into its
@@ -2391,7 +2396,9 @@ def jbig2_encode_symbol_text_refagg(
 
     ``r_template`` selects the refinement geometry: 1 (fixed) or 0 (the
     13-bit movable-AT template — SDRAT/SBRAT pairs are then written into
-    the dictionary and text-region headers, nominal causal values)."""
+    the dictionary and text-region headers). ``rat`` overrides the two
+    template-0 AT pairs (default nominal); a NON-CAUSAL A1 is legal
+    (round 10) — both sides read not-yet-coded pixels as 0."""
     if r_template not in (0, 1):
         raise Jbig2Error(f"refinement template {r_template} out of range")
     if len(rough_glyphs) != len(clean_glyphs) or not placements:
@@ -2406,9 +2413,13 @@ def jbig2_encode_symbol_text_refagg(
     at = b"".join(bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_AT[0])
     rat_bytes = b""
     if r_template == 0:
+        if rat is None:
+            rat = _NOMINAL_RAT
         rat_bytes = b"".join(
-            bytes([x & 0xFF, y & 0xFF]) for x, y in _NOMINAL_RAT
+            bytes([x & 0xFF, y & 0xFF]) for x, y in rat
         )
+    else:
+        rat = None
 
     # --- dict 1: rough glyphs, direct-coded, export all ------------------
     mq = MQEncoder()
@@ -2435,7 +2446,7 @@ def jbig2_encode_symbol_text_refagg(
         arith_int_encode(mq, iardx, 0)
         arith_int_encode(mq, iardy, 0)
         refinement_region_encode(
-            mq, gr, gl, w, h, rough_glyphs[g], template=r_template
+            mq, gr, gl, w, h, rough_glyphs[g], template=r_template, at=rat
         )
 
     _emit_dict_classes(mq, order, clean_glyphs, refine_symbol)
@@ -2467,7 +2478,8 @@ def jbig2_encode_symbol_text_refagg(
             arith_int_encode(mq, iardx2, 0)
             arith_int_encode(mq, iardy2, 0)
             refinement_region_encode(
-                mq, t_gr, gl, len(gl[0]), len(gl), gl, template=r_template
+                mq, t_gr, gl, len(gl[0]), len(gl), gl, template=r_template,
+                at=rat,
             )
         else:
             arith_int_encode(mq, iari, 0)

@@ -464,16 +464,17 @@ class TestSymbolText:
             decode_symbol_dict((0x0003 | (1 << 12)).to_bytes(2, "big") + base, [])
         with pytest.raises(Jbig2Error):
             decode_symbol_dict((0x0001).to_bytes(2, "big") + base, [])
-        # SDREFAGG with GRTEMPLATE 0 is now supported — but a NON-CAUSAL
-        # AT1 in its SDRAT pairs still refuses (at header parse time,
-        # before any MQ decoding)
+        # SDREFAGG with GRTEMPLATE 0 + a NON-CAUSAL AT1 is now supported
+        # (round 10) — the header parses; this garbage BODY must still
+        # raise for a stream reason, never the old causality refusal
         bad_rat = bytes([1, 0, 0, 0])  # A1=(1,0): right of current pixel
-        with pytest.raises(Jbig2Error, match="non-causal"):
+        with pytest.raises(Jbig2Error) as ei:
             decode_symbol_dict(
                 (0x0002).to_bytes(2, "big") + at + bad_rat
                 + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + b"\x00" * 8,
                 [],
             )
+        assert "non-causal" not in str(ei.value)
         region = (8).to_bytes(4, "big") * 2 + (0).to_bytes(8, "big") + bytes([0])
         tail = (1).to_bytes(4, "big") + b"\x00" * 8
         # huffman text region selecting an UNTRANSCRIBED standard table:
@@ -1798,3 +1799,75 @@ def test_aggregate_encoders_emit_strip_terminating_oob():
         assert (w, h) == (20, 8)
         assert rows[0][:8] == bytes([1, 0, 1, 0, 0, 1, 0, 1])
         assert rows[0][10:18] == bytes([0, 1, 0, 1, 1, 0, 1, 0])
+
+
+def test_noncausal_refinement_at1_roundtrips():
+    """Round 10 closes the non-causal template-0 refinement AT1 refusal:
+    a coding tap at/after the current pixel reads 0 (zero-initialized
+    output, the 6.2.5.7 not-yet-decoded convention) and the encoder
+    mirrors it with a progressive row reveal. Kernel-level roundtrip over
+    several geometries, then the embedded REFAGG path end-to-end."""
+    import random
+
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        MQDecoder,
+        MQEncoder,
+        _ref_ctx_bank,
+        jbig2_decode_embedded,
+        jbig2_encode_symbol_text_refagg,
+        refinement_region_decode,
+        refinement_region_encode,
+    )
+
+    rng = random.Random(11)
+    w, h = 13, 9
+    ref = [bytes(rng.randrange(2) for _ in range(w)) for _ in range(h)]
+    target = [
+        bytes(ref[y][x] ^ (rng.random() < 0.15) for x in range(w))
+        for y in range(h)
+    ]
+    for a1 in ((1, 0), (0, 1), (0, 0), (3, 2), (-2, 1), (127, 0)):
+        at = (a1, (-1, -1))
+        mq = MQEncoder()
+        refinement_region_encode(
+            mq, _ref_ctx_bank(0), target, w, h, ref, template=0, at=at
+        )
+        got = refinement_region_decode(
+            MQDecoder(mq.flush()), _ref_ctx_bank(0), w, h, ref,
+            template=0, at=at,
+        )
+        assert [bytes(r) for r in got] == target, f"AT1={a1}"
+
+    # embedded: rough->clean REFAGG dictionary + inline-refined text
+    # region, SDRAT/SBRAT carrying a non-causal A1 through the headers
+    rough = [[bytes([1, 1, 0, 0])] * 6, [bytes([0, 0, 1, 1])] * 6]
+    clean = [[bytes([1, 0, 1, 0])] * 6, [bytes([0, 1, 0, 1])] * 6]
+    placements = [(0, 0, 0), (1, 6, 0), (0, 12, 2)]
+    data = jbig2_encode_symbol_text_refagg(
+        rough, clean, placements, 20, 10,
+        r_template=0, rat=((1, 0), (-1, -1)),
+    )
+    gw, gh, rows = jbig2_decode_embedded(data)
+    assert (gw, gh) == (20, 10)
+    assert rows[0][:4] == bytes([1, 0, 1, 0])
+    assert rows[0][6:10] == bytes([0, 1, 0, 1])
+    assert rows[2][12:16] == bytes([1, 0, 1, 0])
+
+
+def test_noncausal_at1_fixture_pdf_ocrs_to_golden():
+    """The checked-in non-causal-AT1 scanned PDF (SDRAT/SBRAT A1 at
+    (+1, 0) — right of the pixel being coded) OCRs to the exact golden:
+    round 10's closure of the last template-0 refinement refusal."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jbig2nc.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+    assert conf == 1.0

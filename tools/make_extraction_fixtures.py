@@ -421,6 +421,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2ref0.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2agg.pdf", make_scanned_jbig2agg_pdf())
     _write_if_missing("sample_scanned_jbig2agg.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jbig2nc.pdf", make_scanned_jbig2nc_pdf())
+    _write_if_missing("sample_scanned_jbig2nc.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
@@ -1083,6 +1085,31 @@ def make_scanned_jbig2ref0_pdf() -> bytes:
     rough = [roughen(g) for g in clean]
     data = jbig2_encode_symbol_text_refagg(
         rough, clean, placements, w, h, r_template=0
+    )
+    return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
+
+
+def make_scanned_jbig2nc_pdf() -> bytes:
+    """Non-causal-AT1 refinement scanned page (round 10): the GRTEMPLATE 0
+    refinement pipeline of the ref0 fixture, but with SDRAT/SBRAT A1 at
+    (+1, 0) — one pixel RIGHT of the pixel being coded. Both sides read
+    the not-yet-coded tap as 0 (the 6.2.5.7 convention; encoder reveals
+    rows progressively). Must OCR to the identical SCANNED_TEXT golden."""
+    from frappe_data_pipelines_spark.operators.jbig2mini import (
+        jbig2_encode_symbol_text_refagg,
+    )
+
+    clean, placements, w, h = _scanned_symbol_layout()
+
+    def roughen(gl: list[bytes]) -> list[bytes]:
+        top = bytearray(gl[0])
+        top[0] ^= 1
+        return [bytes(top)] + list(gl[1:])
+
+    rough = [roughen(g) for g in clean]
+    data = jbig2_encode_symbol_text_refagg(
+        rough, clean, placements, w, h,
+        r_template=0, rat=((1, 0), (-1, -1)),
     )
     return _scanned_pdf_from_image(w, h, data, b"JBIG2Decode", bpc=1)
 
