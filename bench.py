@@ -115,6 +115,31 @@ def scrape_prior_tail(tail: str, known: set) -> dict:
     }
 
 
+def load_prior_timings(here: str, known: set, canary: str) -> tuple[dict, str | None]:
+    """(prior name→seconds, source filename) from the NEWEST BENCH_r*.json
+    whose record yields a prior containing the canary. The driver's capture
+    sometimes truncates the bench line so hard that only adjudication rows
+    survive (BENCH_r09 is like that) — walking backwards keeps a real
+    baseline instead of silently comparing against nothing."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    benches = sorted(
+        _glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"BENCH_r0*(\d+)", p).group(1)),
+    )
+    for path in reversed(benches):
+        with open(path) as f:
+            rec = _json.load(f)
+        cand = (rec.get("queries")
+                or (rec.get("parsed") or {}).get("queries")
+                or scrape_prior_tail(rec.get("tail", ""), known))
+        if cand.get(canary, 0) > 0:
+            return cand, os.path.basename(path)
+    return {}, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -202,34 +227,15 @@ def main() -> None:
         return best
 
     try:
-        import glob as _glob
-        import re as _re
-
         here = os.path.dirname(os.path.abspath(__file__))
-        benches = sorted(
-            _glob.glob(os.path.join(here, "BENCH_r*.json")),
-            key=lambda p: int(_re.search(r"BENCH_r0*(\d+)", p).group(1)),
-        )
-        prior = {}
-        if benches:
-            with open(benches[-1]) as f:
-                rec = json.load(f)
-            # the driver wraps the bench line under "parsed" (sometimes
-            # None with only a TRUNCATED "tail" string when the line
-            # overflowed its capture — r7/r8 are like that); a raw
-            # bench.py line carries "queries" at top level. Fall back to
-            # regex-scraping name/seconds pairs from the tail — anchored on
-            # a terminating comma/brace so a number cut off mid-digits at
-            # the truncation point is dropped, not misread (ADVICE r9).
-            prior = (rec.get("queries")
-                     or (rec.get("parsed") or {}).get("queries")
-                     or scrape_prior_tail(rec.get("tail", ""), set(timings)))
+        prior, prior_src = load_prior_timings(here, set(timings), CANARY)
         ratio = 1.0
         if prior.get(CANARY, 0) > 0 and timings.get(CANARY, 0) > 0:
             ratio = timings[CANARY] / prior[CANARY]
             canary_block = {
                 "query": CANARY,
                 "prior_round": round(prior[CANARY], 3),
+                "prior_source": prior_src,
                 "suite_best3": timings[CANARY],
                 "suite_ratio": round(ratio, 3),
             }
