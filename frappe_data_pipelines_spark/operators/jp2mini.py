@@ -41,9 +41,12 @@ fixtures need no external encoder:
   JP2 box wrapper (``jp2c`` unwrap) PDFs may embed.
 
 Scope honesty: no subsampling, no precinct subdivision, no ROI, no
-coder options (bypass/reset/termall/causal), no >3-component or
-non-8-bit images. Streams using those raise ``Jp2Error`` and the PDF dispatch
-falls back exactly like any other unsupported filter. The EBCOT
+coder options (bypass/reset/termall/causal), no >3-component, signed, or
+mixed-depth images; unsigned depths 1..16 ARE supported (round 10: Ssiz
+parse, depth-scaled DC level shift and quantization range budgets,
+``jp2_decode`` normalizes to 8-bit while ``jp2_decode_raw`` returns
+native precision). Out-of-profile streams raise ``Jp2Error`` and the PDF
+dispatch falls back exactly like any other unsupported filter. The EBCOT
 context-formation tables follow the spec's Table D.1-D.4 as published;
 encoder and decoder share one context builder, and the whole path is
 validated by exhaustive round-trip fuzzing (exact for reversible,
@@ -896,11 +899,14 @@ def jp2_encode(
     n_layers: int = 1,
     derived_quant: bool = False,
     tile_parts: int = 1,
+    depth: int = 8,
 ) -> bytes:
-    """8-bit planes -> raw JPEG 2000 codestream.
+    """Unsigned planes -> raw JPEG 2000 codestream.
 
     ``comps`` is 1 (gray) or 3 (RGB) planes of equal dims, each a list of
-    rows (bytes or int lists). ``irreversible=False`` -> 5/3 reversible,
+    rows (bytes or int lists). ``depth`` (1..16, round 10) sets the
+    unsigned sample precision: Ssiz = depth-1, the DC level shift is
+    2^(depth-1), and every quantization range budget scales with it. ``irreversible=False`` -> 5/3 reversible,
     exact (with the RCT when 3 components and ``mct``). ``irreversible=True``
     -> 9/7 wavelet + scalar-expounded quantization with step ``step`` (in
     units of one gray level; with the ICT when 3 components and ``mct``).
@@ -916,6 +922,8 @@ def jp2_encode(
     """
     if not 1 <= n_layers <= 0xFFFF:
         raise Jp2Error("layer count must fit the COD u16 field")
+    if not 1 <= depth <= 16:
+        raise Jp2Error("depth must be 1..16 (unsigned)")
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise Jp2Error("only 1- or 3-component images supported")
@@ -932,7 +940,8 @@ def jp2_encode(
         xt, yt = tile_size
         if xt <= 0 or yt <= 0:
             raise Jp2Error("tile dims must be positive")
-    shifted = [[[px - 128 for px in row] for row in c] for c in comps]
+    half = 1 << (depth - 1)
+    shifted = [[[px - half for px in row] for row in c] for c in comps]
     use_mct = mct and ncomp == 3
     if use_mct:
         # the component transforms are pointwise, so applying them globally
@@ -942,7 +951,7 @@ def jp2_encode(
         planes_in = shifted
     # shared QCD budget: RCT chroma doubles the range -> one extra bit for
     # every band (the QCD applies to all components alike in this profile)
-    base_bits = 8 + (1 if (use_mct and not irreversible) else 0)
+    base_bits = depth + (1 if (use_mct and not irreversible) else 0)
     fwd = dwt97_forward if irreversible else dwt53_forward
 
     # one zero-plane shape pass on the NOMINAL tile: _dwt_forward's
@@ -967,7 +976,7 @@ def jp2_encode(
         # from it (E-5: eps0 for LL, eps0 + 1 - r for detail resolution r).
         # The encoder quantizes with the SAME derived table the decoder
         # will reconstruct, so both sides agree by construction.
-        eps0, mu0 = _step_to_eps_mu(step, 8 + _BAND_GAIN["LL"])
+        eps0, mu0 = _step_to_eps_mu(step, depth + _BAND_GAIN["LL"])
         if eps0 + 1 - levels < 0:
             raise Jp2Error(
                 f"derived eps0 {eps0} underflows at {levels} levels — "
@@ -975,7 +984,7 @@ def jp2_encode(
             )
     for r, names in enumerate(_res_band_names(levels)):
         for name in names:
-            rb_bits = 8 + _BAND_GAIN[name]
+            rb_bits = depth + _BAND_GAIN[name]
             if derived_quant:
                 eps, mu = (eps0 if r == 0 else eps0 + 1 - r), mu0
             elif irreversible:
@@ -1140,7 +1149,7 @@ def jp2_encode(
     # main header markers
     siz_body = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
-    ) + struct.pack(">BBB", 7, 1, 1) * ncomp  # Ssiz=7 (8-bit), XRsiz=YRsiz=1
+    ) + struct.pack(">BBB", depth - 1, 1, 1) * ncomp  # Ssiz, XRsiz=YRsiz=1
     siz = b"\xff\x51" + struct.pack(">H", 2 + len(siz_body)) + siz_body
     cod_body = struct.pack(
         ">BBHBBBBBB",
@@ -1195,13 +1204,37 @@ def _find_marker(data: bytes, pos: int) -> tuple[int, int, int]:
 
 
 def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
-    """JPEG 2000 codestream (or JP2 box wrapper) -> (w, h, component rows).
+    """JPEG 2000 codestream (or JP2 box wrapper) -> (w, h, component rows)
+    NORMALIZED TO 8-BIT bytes — what every raster consumer here (OCR,
+    metadata, PDF page assembly) wants. Depths over 8 shift down; depths
+    under 8 rescale to the full 0..255 range (exact integer rounding).
+    ``jp2_decode_raw`` returns the native-precision samples + depth."""
+    w, h, planes, depth = jp2_decode_raw(payload)
+    out: list[list[bytes]] = []
+    if depth == 8:
+        out = [[bytes(r) for r in plane] for plane in planes]
+    elif depth > 8:
+        sh = depth - 8
+        out = [[bytes(px >> sh for px in r) for r in plane] for plane in planes]
+    else:
+        top = (1 << depth) - 1
+        out = [
+            [bytes((px * 255 + top // 2) // top for px in r) for r in plane]
+            for plane in planes
+        ]
+    return w, h, out
+
+
+def jp2_decode_raw(payload: bytes) -> tuple[int, int, list[list[list[int]]], int]:
+    """JPEG 2000 codestream (or JP2 box wrapper) -> (w, h, component rows
+    as native-precision int lists, bit depth).
 
     Handles both in-profile stream families: 5/3 reversible with QCD
     style 0 (exact; with RCT when MCT is signalled) and 9/7 irreversible
     with QCD style 2 scalar-expounded quantization (midpoint
     reconstruction; with ICT when MCT is signalled), 1 or 3 components,
-    single- or multi-tile (one tile-part per tile, row-major grid).
+    unsigned depths 1..16 (Ssiz; round 10), single- or multi-tile (one
+    tile-part per tile, row-major grid).
     """
     data = payload
     if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
@@ -1261,10 +1294,19 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
             n_t = ((xsiz + xts - 1) // xts) * ((ysiz + yts - 1) // yts)
             if n_t > _MAX_PIXELS >> 8:
                 raise Jp2Error(f"tile grid of {n_t} tiles exceeds cap")
+            depths = []
             for c in range(nc):
                 ssiz, xr, yr = body[36 + 3 * c], body[37 + 3 * c], body[38 + 3 * c]
-                if ssiz != 7 or xr != 1 or yr != 1:
-                    raise Jp2Error("only 8-bit unsigned, no subsampling")
+                if ssiz & 0x80:
+                    raise Jp2Error("signed components unsupported")
+                if not 0 <= ssiz <= 15:
+                    raise Jp2Error("component depth over 16 bits unsupported")
+                if xr != 1 or yr != 1:
+                    raise Jp2Error("component subsampling unsupported")
+                depths.append(ssiz + 1)
+            if len(set(depths)) != 1:
+                raise Jp2Error("mixed component depths unsupported")
+            depth = depths[0]
             w, h, ncomp, xt, yt = xsiz, ysiz, nc, xts, yts
         elif m == 0x52:  # COD
             scod, prog, layers, mct_b, lev, xcb_s, ycb_s, style, transform = struct.unpack(
@@ -1455,7 +1497,8 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                     mat = [[0] * bw for _ in range(bh)]
                     if st is not None:
                         qi = qbase + k
-                        eps = qcd_eps[qi] if qi < len(qcd_eps) else _coef_bits(name)
+                        eps = (qcd_eps[qi] if qi < len(qcd_eps)
+                               else _coef_bits(name, depth))
                         mb = guard + eps - 1  # conforming Mb from QCD
                         for bi, blk in enumerate(st["blocks"]):
                             if not blk["included"]:
@@ -1486,7 +1529,7 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
                     if qi >= len(qcd_eps):
                         raise Jp2Error("QCD carries fewer entries than subbands")
                     eps, mu = qcd_eps[qi], qcd_mu[qi]
-                    rb_bits = 8 + _BAND_GAIN[name]
+                    rb_bits = depth + _BAND_GAIN[name]
                     m = _dequantize(m, _qdelta(eps, mu, rb_bits))
                 band_idx += 1
                 return m
@@ -1518,16 +1561,18 @@ def jp2_decode(payload: bytes) -> tuple[int, int, list[list[bytes]]]:
         out_planes = (
             _ict_inverse(out_planes) if irreversible else _rct_inverse(out_planes)
         )
-    comps_rows: list[list[bytes]] = []
+    top = (1 << depth) - 1
+    half = 1 << (depth - 1)
+    comps_rows: list[list[list[int]]] = []
     for plane in out_planes:
         rows = [
-            bytes(min(255, max(0, int(round(px)) + 128)) for px in r)
+            [min(top, max(0, int(round(px)) + half)) for px in r]
             for r in plane
         ]
         if len(rows) != h or (rows and len(rows[0]) != w):
             raise Jp2Error("decoded dims disagree with SIZ")
         comps_rows.append(rows)
-    return w, h, comps_rows
+    return w, h, comps_rows, depth
 
 
 def jp2_decode_gray(payload: bytes) -> tuple[int, int, list[bytes]]:

@@ -1421,11 +1421,17 @@ def _pdf_page_images_impl(payload: bytes) -> list[tuple[int, int, int, list[byte
                 str(doc.resolve(f)) in ("CCITTFaxDecode", "CCF") for f in flist
             )
             is_jbig2 = any(str(doc.resolve(f)) == "JBIG2Decode" for f in flist)
+            is_jpx = any(str(doc.resolve(f)) == "JPXDecode" for f in flist)
             if (
                 bpc != 8
                 and not (indexed and bpc in (1, 2, 4))
                 and not ((is_ccitt or is_jbig2) and bpc == 1)
+                and not is_jpx
             ):
+                # JPX is exempt: ISO 32000 7.4.9 — width/height/colorspace/
+                # bits come from the JPX codestream itself (the dictionary
+                # entries are advisory); jp2mini validates the real Ssiz
+                # (unsigned 1..16) and normalizes samples to 8-bit
                 raise PdfParseError(f"unsupported image depth {bpc}")
             if is_jbig2:
                 from frappe_data_pipelines_spark.operators.jbig2mini import (

@@ -614,6 +614,9 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('/fixtures/sample_scanned_jbig2nc.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
+      ('/fixtures/sample_scanned_jpx16.pdf', 'pdf', true,
+       'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
+       'pdf-ocr', 1.0),
       ('/fixtures/sample_scanned_jpx.pdf', 'pdf', true,
        'SCANNED ARCHIVE BOX 7' || chr(10) || 'REF NO: 2019-114',
        'pdf-ocr', 1.0),
@@ -682,7 +685,7 @@ def a10_real_scanned_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_scanned_jbig2agg.pdf",
         "sample_scanned_jbig2huff.pdf", "sample_scanned_jbig2huffref.pdf",
         "sample_scanned_jbig2huffagg.pdf", "sample_scanned_jbig2stdtbl.pdf",
-        "sample_scanned_jbig2nc.pdf",
+        "sample_scanned_jbig2nc.pdf", "sample_scanned_jpx16.pdf",
         "sample_scanned_jpx.pdf",
         "sample_scanned_jpx97.pdf", "sample_scanned_jpxtiled.pdf",
         "sample_scanned_jpxdq.pdf",

@@ -882,3 +882,119 @@ class TestDerivedQuantAndTileParts:
                 jp2_decode(bytes(b))
             except (Jp2Error, ValueError, IndexError, _struct.error):
                 pass
+
+
+class TestNon8BitDepth:
+    """Round 10: unsigned depths 1..16 (Ssiz) — depth-scaled DC shift and
+    quantization budgets, native-precision jp2_decode_raw, 8-bit
+    normalization in jp2_decode."""
+
+    @staticmethod
+    def _plane(w, h, depth, seed):
+        import random
+
+        rng = random.Random(seed)
+        top = (1 << depth) - 1
+        return [[rng.randint(0, top) for _ in range(w)] for _ in range(h)]
+
+    def test_lossless_roundtrip_depths(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode_raw,
+            jp2_encode,
+        )
+
+        for depth in (4, 12, 16):
+            plane = self._plane(19, 11, depth, depth)
+            w, h, got, d = jp2_decode_raw(
+                jp2_encode([plane], levels=2, depth=depth)
+            )
+            assert (w, h, d) == (19, 11, depth)
+            assert got[0] == plane, f"depth {depth} not exact"
+
+    def test_lossless_rgb_rct_depth12(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode_raw,
+            jp2_encode,
+        )
+
+        comps = [self._plane(13, 9, 12, 20 + i) for i in range(3)]
+        w, h, got, d = jp2_decode_raw(
+            jp2_encode(comps, levels=1, depth=12, mct=True)
+        )
+        assert (w, h, d) == (13, 9, 12)
+        assert got == comps  # RCT exact at any depth
+
+    def test_irreversible_depth12_error_bounded(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode_raw,
+            jp2_encode,
+        )
+
+        plane = self._plane(16, 16, 12, 7)
+        _w, _h, got, d = jp2_decode_raw(
+            jp2_encode([plane], levels=2, depth=12, irreversible=True, step=0.5)
+        )
+        assert d == 12
+        worst = max(
+            abs(a - b) for ra, rb in zip(got[0], plane) for a, b in zip(ra, rb)
+        )
+        # same bound family as the 8-bit 9/7 tests: a few quantization
+        # steps of drift, never gross corruption
+        assert worst <= 16, f"9/7 depth-12 worst error {worst}"
+
+    def test_decode_normalizes_to_8bit(self):
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            jp2_decode,
+            jp2_encode,
+        )
+
+        # 4-bit: 0..15 rescales onto 0..255 (15 -> 255, 0 -> 0)
+        plane4 = [[0, 5, 10, 15]] * 4
+        _w, _h, comps = jp2_decode(jp2_encode([plane4], levels=1, depth=4))
+        assert list(comps[0][0]) == [(v * 255 + 7) // 15 for v in [0, 5, 10, 15]]
+        # 12-bit: shifts down by 4
+        plane12 = [[0, 256, 2048, 4095]] * 4
+        _w, _h, comps = jp2_decode(jp2_encode([plane12], levels=1, depth=12))
+        assert list(comps[0][0]) == [0, 16, 128, 255]
+
+    def test_out_of_profile_depths_refuse(self):
+        import pytest
+
+        from frappe_data_pipelines_spark.operators.jp2mini import (
+            Jp2Error,
+            jp2_decode_raw,
+            jp2_encode,
+        )
+
+        with pytest.raises(Jp2Error, match="depth"):
+            jp2_encode([[[0]]], depth=17)
+        ok = jp2_encode([self._plane(8, 8, 8, 1)], levels=1, depth=8)
+        # flip the Ssiz byte to SIGNED (high bit) and to depth 17
+        siz_at = ok.find(b"\xff\x51")
+        ssiz_at = siz_at + 4 + 36
+        signed = ok[:ssiz_at] + bytes([0x87]) + ok[ssiz_at + 1:]
+        with pytest.raises(Jp2Error, match="signed"):
+            jp2_decode_raw(signed)
+        deep = ok[:ssiz_at] + bytes([16]) + ok[ssiz_at + 1:]
+        with pytest.raises(Jp2Error, match="16 bits"):
+            jp2_decode_raw(deep)
+
+
+def test_jpx16_fixture_pdf_ocrs_to_golden():
+    """The checked-in 16-bit grayscale JPX scanned PDF (Ssiz=15,
+    BitsPerComponent 16 in the image dict — advisory per ISO 32000
+    7.4.9) OCRs to the exact golden through the normalize-to-8-bit
+    bridge."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.extraction import pdf_ocr_scanned
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frappe_data_pipelines_spark", "resources", "fixtures",
+    )
+    with open(os.path.join(fixtures, "sample_scanned_jpx16.pdf"), "rb") as f:
+        data = f.read()
+    text, conf = pdf_ocr_scanned(data)
+    assert text == "SCANNED ARCHIVE BOX 7\nREF NO: 2019-114"
+    assert conf == 1.0

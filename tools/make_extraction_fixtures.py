@@ -307,6 +307,23 @@ def make_scanned_jpx_pdf() -> bytes:
     return _scanned_pdf_from_image(w, h, jp2_encode_gray(rows, levels=2), b"JPXDecode")
 
 
+def make_scanned_jpx16_pdf() -> bytes:
+    """Same page as a 16-BIT grayscale lossless JPEG 2000 (round 10:
+    Ssiz=15, depth-scaled DC shift/quant budgets) — medical/archival
+    scanners emit high-precision JPX; jp2_decode normalizes to 8-bit for
+    the raster consumers, so OCR reads the identical golden. Per the PDF
+    spec, JPX image parameters come from the codestream itself."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from frappe_data_pipelines_spark.operators.jp2mini import jp2_encode
+
+    w, h, rows = _scanned_raster()
+    plane16 = [[px << 8 | px for px in r] for r in rows]  # 0->0, 255->65535
+    data = jp2_encode([plane16], levels=2, depth=16)
+    return _scanned_pdf_from_image(w, h, data, b"JPXDecode", bpc=16)
+
+
 def make_scanned_jpx97_pdf() -> bytes:
     """Same page once more, as a LOSSY COLOR JPEG 2000: the gray raster
     sepia-tinted to RGB (a scanner's color cast), 9/7 irreversible wavelet +
@@ -423,6 +440,8 @@ def main() -> None:
     _write_if_missing("sample_scanned_jbig2agg.pdf.txt", SCANNED_TEXT)
     _write_if_missing("sample_scanned_jbig2nc.pdf", make_scanned_jbig2nc_pdf())
     _write_if_missing("sample_scanned_jbig2nc.pdf.txt", SCANNED_TEXT)
+    _write_if_missing("sample_scanned_jpx16.pdf", make_scanned_jpx16_pdf())
+    _write_if_missing("sample_scanned_jpx16.pdf.txt", SCANNED_TEXT)
     print(f"wrote fixtures to {OUT}")
 
 
