@@ -222,8 +222,18 @@ class PipelineEngine:
         pointed at a matching cache loads it instead of re-running the
         corpus kernel; a (min_len)-mismatched cache is rebuilt in place.
         Staleness is the caller's contract, exactly like any materialized
-        derived table: rebuild (delete the path) when the corpus
-        changes."""
+        derived table: rebuild (delete the path) when the corpus changes.
+
+        CONSTRAINT (ADVICE r10): ``fp_cache_path`` must live on a
+        filesystem the DRIVER can reach with plain ``os`` I/O (local disk,
+        NFS) — the meta sidecar is driver-local by design while the parquet
+        data goes through Spark's Hadoop FS, so on a purely remote default
+        FS (HDFS/S3) the meta check would never match and the cache would
+        silently rebuild every restart. The data+meta pair is committed
+        via write-to-temp-then-rename (data first, meta last), so a reader
+        never sees a half-written table; two engines racing on the SAME
+        path still last-write-win — give concurrent writers distinct
+        paths."""
         if "text" not in self.files.columns:
             raise ValueError(
                 "scrub_incoming needs the engine's files table to carry text"
@@ -252,12 +262,21 @@ class PipelineEngine:
             if fp is None:
                 fp = corpus_winnow_fingerprints(self.files, min_len=min_len)
                 if fp_cache_path is not None:
-                    # data first, meta last: a crash between the two
-                    # leaves no meta, so the next engine rebuilds instead
-                    # of trusting a half-written table
-                    fp.write.mode("overwrite").parquet(data_path)
-                    with open(meta_path, "w") as f:
+                    import shutil
+
+                    # temp-then-rename, data first, meta last: a crash at
+                    # any point leaves either the old consistent pair or a
+                    # missing meta (→ rebuild), never a half-written table
+                    # visible under the final name (ADVICE r10)
+                    tmp_data = data_path + f".tmp-{os.getpid()}"
+                    fp.write.mode("overwrite").parquet(tmp_data)
+                    if os.path.isdir(data_path):
+                        shutil.rmtree(data_path)
+                    os.rename(tmp_data, data_path)
+                    tmp_meta = meta_path + f".tmp-{os.getpid()}"
+                    with open(tmp_meta, "w") as f:
                         json.dump({"min_len": min_len, "kernel": "winnow"}, f)
+                    os.replace(tmp_meta, meta_path)
                     fp = spark.read.parquet(data_path)
             self._scrub_fp = fp.persist()
             self._scrub_fp_min_len = min_len

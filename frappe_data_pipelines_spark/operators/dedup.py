@@ -1352,10 +1352,22 @@ def corpus_doc_fingerprints(
         F.collect_list("fp").alias("fp_val"),
     )
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    # stamp the build config as FIELD METADATA (survives persist AND a
+    # parquet round trip in Spark's schema blob): incremental_scrub_local
+    # validates it against its own (min_len, k) so a cache built with one
+    # config and probed with another raises instead of silently mis-scrubbing
+    # (ADVICE r10)
+    cfg = {"scrub_min_len": int(min_len), "scrub_k": int(k)}
     return (
         corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .filter(F.length("text") >= min_len)
         .join(grouped, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.col("fp_pos").alias("fp_pos", metadata=cfg),
+            F.col("fp_val").alias("fp_val", metadata=cfg),
+        )
         .repartition(par)
     )
 
@@ -1447,6 +1459,18 @@ def incremental_scrub_local(
         return []
     if not 1 <= k <= min_len:
         raise ValueError(f"scrub needs 1 <= k <= min_len, got k={k}")
+    # config-mismatch guard (ADVICE r10): corpus_doc_fingerprints stamps its
+    # (min_len, k) into field metadata — probing a cache built under a
+    # different config would silently produce wrong scrub output, so raise.
+    # Tables without the stamp (pre-round-11 caches) pass through unchecked.
+    fp_meta = corpus_doc_fp.schema["fp_pos"].metadata or {}
+    stamped = (fp_meta.get("scrub_min_len"), fp_meta.get("scrub_k"))
+    if stamped[0] is not None and stamped != (min_len, k):
+        raise ValueError(
+            f"corpus_doc_fp was built with (min_len, k)={stamped}, but this "
+            f"scrub call uses ({min_len}, {k}) — rebuild the fingerprint "
+            "table with matching parameters"
+        )
     w = min_len - k + 1
     import uuid
 

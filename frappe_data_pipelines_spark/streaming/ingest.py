@@ -71,11 +71,18 @@ def read_ingest_sink(spark: SparkSession, output_dir: str, which: str) -> DataFr
                 if c in df.columns]
         return df.drop(*drop)
     legacy = os.path.join(output_dir, which)
-    if which == "chunks" and os.path.isdir(os.path.join(legacy, "_log")):
+    if which == "chunks" and (
+        os.path.isdir(os.path.join(legacy, "_log"))
+        or os.path.isdir(os.path.join(legacy, "_delta_log"))
+    ):
+        # _log = local MergeTable layout; _delta_log = the same sink when a
+        # real Delta runtime is present (sources.merge.HAS_DELTA) — both are
+        # versioned stores whose raw files include superseded row versions
+        # (ADVICE r10: the Delta layout used to fall through to raw parquet)
         raise ValueError(
-            "this stream's chunk sink is an exactly-once MergeTable — read "
-            "it with sources.merge.MergeTable(path).read(spark), not as "
-            "raw parquet (raw files include superseded row versions)"
+            "this stream's chunk sink is an exactly-once MergeTable/Delta "
+            "table — read it with sources.merge.MergeTable(path).read(spark)"
+            ", not as raw parquet (raw files include superseded row versions)"
         )
     return spark.read.parquet(legacy)
 
@@ -331,7 +338,19 @@ def start_ingest_stream(
         def is_bad(rd) -> bool:
             return rd["__bl"] is not None or not (rd["text"] or "").strip(" ")
 
-        now = _dt.datetime.now()
+        # stamp in the SESSION timezone, not the driver system tz: the
+        # distributed path's F.current_timestamp() renders in
+        # spark.sql.session.timeZone, and createDataFrame interprets naive
+        # datetimes in the same zone — using datetime.now() here would skew
+        # created_at between the two door paths whenever they differ
+        # (ADVICE r10)
+        try:
+            from zoneinfo import ZoneInfo
+
+            _tz = ZoneInfo(spark_sess.conf.get("spark.sql.session.timeZone"))
+            now = _dt.datetime.now(_tz).replace(tzinfo=None)
+        except Exception:  # noqa: BLE001 — unknown/unset zone: system tz
+            now = _dt.datetime.now()
         queued = [(rd["doc_id"], "Queued", batch_id, now, None) for rd in rdicts]
         failed = [
             (

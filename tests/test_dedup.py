@@ -924,3 +924,34 @@ def test_incremental_scrub_local_differential(spark):
             assert dist[did] == got, f"min_len={min_len} doc {did}"
         fp.unpersist()
         docfp.unpersist()
+
+
+def test_incremental_scrub_local_config_mismatch_raises(spark, tmp_path):
+    """ADVICE r10: corpus_doc_fingerprints stamps (min_len, k) as field
+    metadata; probing with a different config must raise — including after
+    a parquet round trip (the restart-cache path) — instead of silently
+    mis-scrubbing."""
+    import pytest as _pytest
+
+    from frappe_data_pipelines_spark.operators.dedup import (
+        corpus_doc_fingerprints,
+        incremental_scrub_local,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3)],
+        "doc_id long, text string",
+    )
+    docfp = corpus_doc_fingerprints(corpus, min_len=40, k=32)
+    with _pytest.raises(ValueError, match="min_len"):
+        incremental_scrub_local(spark, docfp, [9], ["x" * 50], min_len=25, k=20)
+    # metadata survives the disk cache round trip
+    p = str(tmp_path / "fp")
+    docfp.write.parquet(p)
+    reread = spark.read.parquet(p)
+    with _pytest.raises(ValueError, match="min_len"):
+        incremental_scrub_local(spark, reread, [9], ["x" * 50], min_len=25, k=20)
+    # matching config still works on both
+    assert incremental_scrub_local(
+        spark, reread, [9], ["x" * 50], min_len=40, k=32
+    )[0][2] == "x" * 50

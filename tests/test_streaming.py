@@ -795,3 +795,18 @@ def test_chunker_emits_at_least_one_chunk_per_nonempty_doc(spark):
     out = chunk_documents(df, strategy="recursive", chunk_size=200, chunk_overlap=40)
     got = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
     assert got == set(range(len(texts)))
+
+
+def test_read_ingest_sink_rejects_versioned_chunk_layouts(spark, tmp_path):
+    """ADVICE r10: the legacy-chunks misuse guard must fire for BOTH
+    versioned layouts — the local MergeTable's `_log` AND a real Delta
+    table's `_delta_log` — because raw-parquet reads of either include
+    superseded row versions."""
+    import pytest as _pytest
+
+    for marker in ("_log", "_delta_log"):
+        out = tmp_path / f"out_{marker}"
+        legacy = out / "chunks"
+        (legacy / marker).mkdir(parents=True)
+        with _pytest.raises(ValueError, match="MergeTable/Delta"):
+            read_ingest_sink(spark, str(out), "chunks")
