@@ -1,9 +1,14 @@
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints the full result JSON line
 
     {"metric": "headline_suite_sec", "value": N, "unit": "sec",
      "queries": {...}, "sf": ...}
+
+followed by a COMPACT summary as the final stdout line (the driver's
+artifact keeps only a ~2000-char tail; the compact line always fits), and
+persists the full object to BENCH_LOCAL_LAST.json (sf0.1 runs only) as
+the next round's adjudication prior.
 
 Each query is executed to completion via a ``noop``-format write: the full
 physical plan runs on the executors (scans, shuffles, UDFs, sorts), but rows
@@ -92,6 +97,11 @@ HEADLINE = [
     "token_suffix_array_ranks",
     "infinigram_backoff_inference",
     "ann_sq_search",
+    # round-11: the ∞-gram build/query split (VERDICT r10 task 2) — build
+    # cost and serving cost tracked as SEPARATE rows; the cached query
+    # path must hold ≤1s at sf0.1 (build runs first so the cache is warm)
+    "suffix_index_build",
+    "infinigram_query_cached",
     # round-9: the ingest-door scrub (symmetric fingerprint-narrowed
     # expansion) joins the headline so the door's batch-side cost is
     # tracked per round, not only in STREAM_BENCH's latency view
@@ -115,8 +125,11 @@ def scrape_prior_tail(tail: str, known: set) -> dict:
     }
 
 
-def load_prior_timings(here: str, known: set, canary: str) -> tuple[dict, str | None]:
-    """(prior name→seconds, source filename) from the NEWEST BENCH_r*.json
+def load_prior_timings(here: str, known: set, canary: str,
+                       sf: str = "0.1") -> tuple[dict, str | None]:
+    """(prior name→seconds, source filename) — prefers BENCH_LOCAL_LAST.json
+    (the FULL object bench.py now writes on every sf-matching run, immune
+    to the driver's tail truncation), then walks the NEWEST BENCH_r*.json
     whose record yields a prior containing the canary. The driver's capture
     sometimes truncates the bench line so hard that only adjudication rows
     survive (BENCH_r09 is like that) — walking backwards keeps a real
@@ -125,6 +138,16 @@ def load_prior_timings(here: str, known: set, canary: str) -> tuple[dict, str | 
     import json as _json
     import re as _re
 
+    local = os.path.join(here, "BENCH_LOCAL_LAST.json")
+    if os.path.isfile(local):
+        try:
+            with open(local) as f:
+                rec = _json.load(f)
+            cand = rec.get("queries") or {}
+            if str(rec.get("sf")) == str(sf) and cand.get(canary, 0) > 0:
+                return cand, "BENCH_LOCAL_LAST.json"
+        except Exception:  # noqa: BLE001 — unreadable local record: walk back
+            pass
     benches = sorted(
         _glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(_re.search(r"BENCH_r0*(\d+)", p).group(1)),
@@ -228,7 +251,7 @@ def main() -> None:
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        prior, prior_src = load_prior_timings(here, set(timings), CANARY)
+        prior, prior_src = load_prior_timings(here, set(timings), CANARY, sf)
         ratio = 1.0
         if prior.get(CANARY, 0) > 0 and timings.get(CANARY, 0) > 0:
             ratio = timings[CANARY] / prior[CANARY]
@@ -244,30 +267,55 @@ def main() -> None:
             if n != CANARY and t > 0 and prior.get(n, 0) > 0
             and abs(t / ratio - prior[n]) > max(0.15 * prior[n], 0.3)
         ]
-        iso_ratio = ratio
-        if movers and prior.get(CANARY, 0) > 0:
-            # re-measure the canary ISOLATED in the same window as the
-            # isolated mover re-runs — the suite ratio carries suite-order
-            # contention the isolated runs won't see
-            spark.catalog.clearCache()
-            iso_canary = _isolated_best3(CANARY)
-            iso_ratio = iso_canary / prior[CANARY]
-            canary_block["isolated_best3"] = round(iso_canary, 3)
-            canary_block["isolated_ratio"] = round(iso_ratio, 3)
-        for name in movers:
-            spark.catalog.clearCache()
-            best = _isolated_best3(name)
-            norm = best / iso_ratio
-            still_moved = abs(norm - prior[name]) > max(0.15 * prior[name], 0.3)
-            adjudication.append({
-                "query": name,
-                "prior_round": round(prior[name], 3),
-                "suite_best3": timings[name],
-                "isolated_best3": round(best, 3),
-                "canary_ratio": round(iso_ratio, 3),
-                "normalized_best3": round(norm, 3),
-                "verdict": "real" if still_moved else "environmental",
-            })
+
+        # BRACKETED per-mover adjudication (VERDICT r10 task 1): the r10
+        # adjudicator sampled the canary ONCE for the whole phase, so a
+        # throttle burst landing inside one mover's isolated A/B was
+        # invisible (the host swings 2.3-5.5x within minutes). Now each
+        # mover's isolated best-of-3 is bracketed by its OWN canary
+        # best-of-3 immediately before and after; a bracket whose two
+        # readings disagree >1.3x is retried once and, if still unstable,
+        # the verdict is "unadjudicable" — never "real" on a reading the
+        # canary cannot vouch for. Normalization divides by the geometric
+        # mean of the two bracket ratios.
+        def _bracketed(name: str) -> dict:
+            rec = {"query": name, "prior_round": round(prior[name], 3),
+                   "suite_best3": timings[name]}
+            for attempt in range(2):
+                spark.catalog.clearCache()
+                c_b = _isolated_best3(CANARY)
+                spark.catalog.clearCache()
+                best = _isolated_best3(name)
+                spark.catalog.clearCache()
+                c_a = _isolated_best3(CANARY)
+                rec.update({
+                    "isolated_best3": round(best, 3),
+                    "canary_before": round(c_b, 3),
+                    "canary_after": round(c_a, 3),
+                })
+                spread = max(c_b, c_a) / max(min(c_b, c_a), 1e-9)
+                if spread <= 1.3:
+                    g_ratio = (
+                        (c_b * c_a) ** 0.5 / prior[CANARY]
+                        if prior.get(CANARY, 0) > 0 else 1.0
+                    )
+                    norm = best / g_ratio
+                    moved = abs(norm - prior[name]) > max(
+                        0.15 * prior[name], 0.3
+                    )
+                    rec.update({
+                        "canary_ratio": round(g_ratio, 3),
+                        "normalized_best3": round(norm, 3),
+                        "verdict": "real" if moved else "environmental",
+                    })
+                    return rec
+                rec["bracket_spread"] = round(spread, 3)
+            rec["verdict"] = "unadjudicable"
+            return rec
+
+        if prior.get(CANARY, 0) > 0:
+            for name in movers:
+                adjudication.append(_bracketed(name))
         spark.catalog.clearCache()
     except Exception as e:  # noqa: BLE001 — adjudication must never sink the bench
         print(f"# bench adjudication error: {e}", file=sys.stderr)
@@ -325,7 +373,42 @@ def main() -> None:
         out["canary"] = canary_block
     if adjudication:
         out["adjudication"] = adjudication
+
+    # FULL object to a local artifact (next round's adjudication prior —
+    # immune to the driver's tail truncation; only for the headline sf so
+    # an sf0.01 iteration run never poisons the prior)
+    if str(out["sf"]) == "0.1":
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LOCAL_LAST.json"), "w") as f:
+                json.dump(out, f)
+        except Exception as e:  # noqa: BLE001 — artifact write must not sink the bench
+            print(f"# bench local-artifact error: {e}", file=sys.stderr)
+
     print(json.dumps(out))
+    # COMPACT summary as the FINAL stdout line (VERDICT r10 task 5): the
+    # driver keeps only a ~2000-char tail of stdout, which for ten rounds
+    # held just the big line's trailing adjudication rows ("parsed": null
+    # every round). This line is small enough to always survive the tail
+    # whole — suite total, canary, ingest rates, verdicts, worst offenders.
+    slowest = dict(sorted(
+        ((n, t) for n, t in timings.items() if t > 0),
+        key=lambda kv: -kv[1],
+    )[:5])
+    compact = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": sum(1 for t in timings.values() if t > 0),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "ingest_docs_per_sec": ingest_rate,
+        "ingest_exactly_once_docs_per_sec": exactly_once_rate,
+        "canary": canary_block,
+        "verdicts": {a["query"]: a["verdict"] for a in adjudication},
+        "slowest5": slowest,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

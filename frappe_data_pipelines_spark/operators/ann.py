@@ -758,15 +758,30 @@ class HNSWIndex:
         return [candidates[int(i)] for i in order]
 
     def build(self, X: np.ndarray) -> "HNSWIndex":
-        self.X = np.ascontiguousarray(X, dtype=np.float64)
-        n = len(X)
-        self.levels = [self._level_for(i, self.ml) for i in range(n)]
-        max_level = max(self.levels, default=0)
-        self.graphs = [dict() for _ in range(max_level + 1)]
+        self.X = None
+        self.levels = []
+        self.graphs = []
         self.entry = -1
-        top = -1
-        for i in range(n):
+        self._top = -1
+        return self.extend(X)
+
+    def extend(self, X_new: np.ndarray) -> "HNSWIndex":
+        """Insert ``X_new`` rows AFTER the existing nodes — the incremental
+        half of the persisted-index lifecycle (``hnsw_append``). Level
+        assignment hashes the GLOBAL insert index, so
+        ``build(concat(A, B)) == build(A).extend(B)`` exactly (same levels,
+        same insertion order, same neighbor selection) — differential-
+        tested in tests/test_ann.py."""
+        X_new = np.ascontiguousarray(X_new, dtype=np.float64)
+        lo = 0 if self.X is None else len(self.X)
+        self.X = X_new if self.X is None else np.concatenate([self.X, X_new])
+        n = len(self.X)
+        self.levels.extend(self._level_for(i, self.ml) for i in range(lo, n))
+        top = getattr(self, "_top", len(self.graphs) - 1 if self.graphs else -1)
+        for i in range(lo, n):
             li = self.levels[i]
+            while len(self.graphs) <= li:
+                self.graphs.append({})
             if self.entry < 0:
                 self.entry, top = i, li
                 for l in range(li + 1):
@@ -792,6 +807,7 @@ class HNSWIndex:
                 for l in range(top + 1, li + 1):
                     self.graphs[l][i] = []
                 self.entry, top = i, li
+        self._top = top
         return self
 
     def search(self, q: np.ndarray, k: int, ef: int = 64) -> list[tuple[int, float]]:
@@ -875,6 +891,269 @@ def hnsw_partition_search(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+_HNSW_ROW_SCHEMA = (
+    "shard long, kind string, idx long, vec_id long, "
+    "embedding array<double>, layer long, neighbors array<long>, entry long"
+)
+
+
+def _hnsw_shard_rows(shard, index, ids, raw):
+    """Serialize one shard's HNSWIndex as columnar rows: kind='vec' (local
+    insert idx → vec_id + RAW embedding), kind='edge' (layer, node,
+    neighbors), kind='meta' (entry local idx, n in ``idx``)."""
+    import pandas as pd
+
+    recs = []
+    for j, (vid, emb) in enumerate(zip(ids, raw)):
+        recs.append((shard, "vec", j, int(vid), [float(x) for x in emb],
+                     None, None, None))
+    for layer, g in enumerate(index.graphs):
+        for node, nbrs in g.items():
+            recs.append((shard, "edge", int(node), None, None, layer,
+                         [int(x) for x in nbrs], None))
+    recs.append((shard, "meta", len(ids), None, None, None, None,
+                 int(index.entry)))
+    return pd.DataFrame(
+        recs, columns=["shard", "kind", "idx", "vec_id", "embedding",
+                       "layer", "neighbors", "entry"],
+    )
+
+
+def _hnsw_load_shard(pdf, M, ef_construction):
+    """(index, ids, raw) from one shard's serialized rows. Levels are
+    derived (a node holds graph keys at every layer ≤ its level — an
+    insertion invariant), ``_top`` from the entry's level."""
+    vec = pdf[pdf["kind"] == "vec"].sort_values("idx")
+    ids = vec["vec_id"].astype("int64").to_numpy()
+    raw = np.stack(vec["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    nrm = np.linalg.norm(raw, axis=1, keepdims=True)
+    X = np.divide(raw, nrm, out=np.zeros_like(raw), where=nrm > 0)
+    index = HNSWIndex(M=M, ef_construction=ef_construction)
+    edges = pdf[pdf["kind"] == "edge"]
+    n_layers = int(edges["layer"].max()) + 1 if len(edges) else 0
+    index.graphs = [dict() for _ in range(n_layers)]
+    for node, layer, nbrs in zip(edges["idx"], edges["layer"], edges["neighbors"]):
+        index.graphs[int(layer)][int(node)] = [int(x) for x in nbrs]
+    index.X = np.ascontiguousarray(X)
+    levels = [0] * len(ids)
+    for layer, g in enumerate(index.graphs):
+        for node in g:
+            levels[node] = max(levels[node], layer)
+    index.levels = levels
+    meta = pdf[pdf["kind"] == "meta"].iloc[0]
+    index.entry = int(meta["entry"])
+    index._top = levels[index.entry] if len(ids) else -1
+    return index, ids, raw
+
+
+def hnsw_write(
+    vectors: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    M: int = 8,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a sharded HNSW index (VERDICT r10 task 6 — the lifecycle
+    ``ivf_write`` already has): vectors are routed to ``n_shards`` shards
+    by ``id % n_shards`` (stable, so appends land in the same shard), each
+    shard's graph is built independently (groupBy → applyInPandas, one
+    group per shard — embarrassingly parallel), and the graph+vectors
+    serialize as COLUMNAR rows partitioned by shard (so per-shard reads
+    and appends are parquet partition pruning, and no row ever holds a
+    whole shard). A ``_hnsw_meta.json`` sidecar pins (M, ef_construction,
+    n_shards) — search and append must replay the same build parameters.
+
+    Insertion order within a shard is vec_id ascending — deterministic
+    across writers and replays."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    spark = vectors.sparkSession
+
+    def build_shard(key, pdf):
+        pdf = pdf.sort_values("vec_id")
+        raw = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        nrm = np.linalg.norm(raw, axis=1, keepdims=True)
+        X = np.divide(raw, nrm, out=np.zeros_like(raw), where=nrm > 0)
+        index = HNSWIndex(M=M, ef_construction=ef_construction).build(X)
+        return _hnsw_shard_rows(int(key[0]), index, pdf["vec_id"].tolist(), raw)
+
+    rows = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        .withColumn("shard", F.pmod(F.col("vec_id"), F.lit(n_shards)).cast("long"))
+        .groupBy("shard")
+        .applyInPandas(build_shard, _HNSW_ROW_SCHEMA)
+    )
+    rows.write.partitionBy("shard").mode("overwrite").parquet(path)
+    with open(_os.path.join(path, "_hnsw_meta.json"), "w") as f:
+        _json.dump({"n_shards": n_shards, "M": M,
+                    "ef_construction": ef_construction}, f)
+
+
+def hnsw_read_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    ef_search: int = 64,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve KNN from a PERSISTED sharded HNSW — no graph rebuild: each
+    shard's rows deserialize executor-side (groupBy shard →
+    applyInPandas), answer every query by graph traversal, and a window
+    merge keeps the global top-k. Same result contract as
+    ``hnsw_partition_search`` (query_id, vec_id, dist); L2-normalized, so
+    euclidean ranking equals cosine ranking."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    from .guards import MAX_BATCH_QUERIES, collect_bounded
+
+    with open(_os.path.join(path, "_hnsw_meta.json")) as f:
+        meta = _json.load(f)
+    qrows = collect_bounded(
+        queries.select(query_id_col, query_vec_col), MAX_BATCH_QUERIES,
+        "persisted-HNSW query batch",
+    )
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.array([list(map(float, r[query_vec_col])) for r in qrows],
+                 dtype=np.float64)
+    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = np.divide(Q, nrm, out=np.zeros_like(Q), where=nrm > 0)
+    bc = spark.sparkContext.broadcast((qids, Q))
+    M, efc = meta["M"], meta["ef_construction"]
+
+    def search_shard(key, pdf):
+        index, ids, _raw = _hnsw_load_shard(pdf, M, efc)
+        q_ids, Qm = bc.value
+        out_q, out_id, out_d = [], [], []
+        for qi, qv in zip(q_ids, Qm):
+            for local, dist in index.search(qv, k, ef=ef_search):
+                out_q.append(qi)
+                out_id.append(int(ids[local]))
+                out_d.append(round(dist, 6))
+        return pd.DataFrame(
+            {query_id_col: out_q, "vec_id": out_id, "dist": out_d}
+        )
+
+    local_topk = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .applyInPandas(search_shard, f"{query_id_col} long, vec_id long, dist double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        local_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hnsw_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance of a persisted sharded HNSW: route the new
+    batch to its shards (same ``id % n_shards`` rule as ``hnsw_write``),
+    deserialize ONLY the touched shards, ``HNSWIndex.extend`` them (real
+    graph insertion — ``build(A+B) == build(A).extend(B)`` exactly), and
+    rewrite those shards via dynamic partition overwrite. Untouched
+    shards' files are never read or written.
+
+    Honest trade vs ``ivf_append`` (pure file append): HNSW insertion
+    mutates EXISTING nodes' back-links, so the touched shard must be
+    rewritten, not appended — cost ∝ touched-shard bytes, which is why
+    production HNSW stores shard aggressively. Returns
+    {"touched_shards", "n_appended"}. New vec_ids must not collide with
+    resident ones (same contract as the MERGE sink's key uniqueness)."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    with open(_os.path.join(path, "_hnsw_meta.json")) as f:
+        meta = _json.load(f)
+    n_shards, M, efc = meta["n_shards"], meta["M"], meta["ef_construction"]
+
+    new = (
+        new_vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        .withColumn("shard", F.pmod(F.col("vec_id"), F.lit(n_shards)).cast("long"))
+    )
+    from .guards import collect_bounded
+
+    touched = [
+        r["shard"]
+        for r in collect_bounded(
+            new.select("shard").distinct(), n_shards + 1, "hnsw_append shards"
+        )
+    ]
+    n_appended = new.count()
+    resident = spark.read.parquet(path).filter(F.col("shard").isin(touched))
+    incoming = new.select(
+        "shard", F.lit("new").alias("kind"),
+        F.lit(None).cast("long").alias("idx"), "vec_id", "embedding",
+        F.lit(None).cast("long").alias("layer"),
+        F.lit(None).cast("array<long>").alias("neighbors"),
+        F.lit(None).cast("long").alias("entry"),
+    )
+
+    def extend_shard(key, pdf):
+        newbie = pdf[pdf["kind"] == "new"].sort_values("vec_id")
+        add_raw = np.stack(
+            newbie["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+        )
+        nrm = np.linalg.norm(add_raw, axis=1, keepdims=True)
+        add_X = np.divide(add_raw, nrm, out=np.zeros_like(add_raw), where=nrm > 0)
+        resident_rows = pdf[pdf["kind"] != "new"]
+        if len(resident_rows):
+            index, ids, raw = _hnsw_load_shard(resident_rows, M, efc)
+            index.extend(add_X)
+            all_ids = list(ids) + newbie["vec_id"].tolist()
+            all_raw = np.concatenate([raw, add_raw])
+        else:  # first vectors ever routed to this shard
+            index = HNSWIndex(M=M, ef_construction=efc).build(add_X)
+            all_ids = newbie["vec_id"].tolist()
+            all_raw = add_raw
+        return _hnsw_shard_rows(int(key[0]), index, all_ids, all_raw)
+
+    # materialize BEFORE the overwrite: the updated rows' lineage reads the
+    # very partitions the write replaces (Spark rejects self-overwrites, and
+    # even where it didn't, lazy re-scan mid-delete would corrupt)
+    updated = (
+        resident.unionByName(incoming)
+        .groupBy("shard")
+        .applyInPandas(extend_shard, _HNSW_ROW_SCHEMA)
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updated.write.partitionBy("shard").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_shards": sorted(int(s) for s in touched),
+            "n_appended": int(n_appended)}
 
 
 def filtered_ann_search(

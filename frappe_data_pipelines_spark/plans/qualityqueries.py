@@ -1166,6 +1166,94 @@ def infinigram_backoff_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infinigram_backoff(docs, _BACKOFF_QUERY)
 
 
+def _suffix_index_cache_dir(sf_dir: str) -> str:
+    """Deterministic per-(sf_dir, corpus-subset, max_width) cache location
+    for the persisted suffix index — keyed so sf0.01 correctness runs and
+    sf0.1 bench runs never share an index. /tmp because the index is a
+    derived cache, not repo content; testdata is immutable per session so
+    staleness is bounded to the key."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|doc_id%100|w8|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"fdp_suffix_index_{key}")
+
+
+# the index stores, per power-of-two width w: a rank LEVEL (one row per
+# suffix position) and the dense-rank DICTIONARY that created it. The
+# oracle re-derives both tables' invariants from scratch: n_positions =
+# every (doc, pos), and n_distinct = max(rank) = the number of distinct
+# clamped w-char substrings ((r1, r2) pairs biject onto clamped 2h-strings
+# under prefix doubling, so count(DISTINCT substr) checks the dictionary
+# sizes exactly). Assumes max doc length >= 8, which the documents table
+# guarantees at every sf.
+_SUFFIX_INDEX_SQL = """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), pos AS (
+      SELECT text, i.i FROM docs,
+             LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) i
+    ), w(width) AS (VALUES (1), (2), (4), (8))
+    SELECT CAST(w.width AS BIGINT) AS width,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(count(DISTINCT substr(text, CAST(i AS INT), w.width)) AS BIGINT)
+             AS n_distinct
+    FROM pos CROSS JOIN w
+    GROUP BY w.width
+    """
+
+
+@register("suffix_index_build", oracle=_SUFFIX_INDEX_SQL,
+          tags=("dedup", "extension"))
+def suffix_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD half of the ∞-gram build-once/query-many split (VERDICT r10
+    task 2; operators/suffixindex.py:build_suffix_index): construct and
+    persist the prefix-doubling rank levels + dense-rank dictionaries up
+    to width 8 — the suite's per-round tracking of the construction cost,
+    separated from the serving cost (``infinigram_query_cached``). Always
+    rebuilds (that is the cost being measured); the index lands in the
+    cache dir the query half reads. Returns the per-level summary
+    (width, n_positions, n_distinct), which the oracle re-derives from
+    the raw text — so what's ON DISK is value-checked, not just row
+    counts."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        build_suffix_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    idx = build_suffix_index(docs, _suffix_index_cache_dir(sf_dir), max_width=8)
+    return spark.createDataFrame(
+        idx.summary(), "width long, n_positions long, n_distinct long"
+    )
+
+
+@register("infinigram_query_cached", oracle=_BACKOFF_SQL,
+          tags=("dedup", "extension"))
+def infinigram_query_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY half of the split (operators/suffixindex.py:
+    infinigram_backoff_indexed): ∞-gram inference served from the
+    PERSISTED index — pattern ranks come from the stored dense-rank
+    dictionaries (O(log max_width) map-only broadcast joins), the match
+    reuses the uncached path's refinement loop, and NO rank construction
+    runs. Same oracle as ``infinigram_backoff_inference``: identical
+    result contract, so the cached path is value-checked against the
+    from-scratch SQL recount. Builds the index on a cold cache (first
+    call after ``suffix_index_build`` is always warm)."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        SuffixIndex,
+        infinigram_backoff_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    idx = SuffixIndex.read_or_build(
+        spark, docs, _suffix_index_cache_dir(sf_dir), max_width=8
+    )
+    return infinigram_backoff_indexed(docs, idx, _BACKOFF_QUERY)
+
+
 _INCR_SPAN_SQL = """
     WITH win AS (
       SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s

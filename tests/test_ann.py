@@ -686,3 +686,69 @@ class TestPQExactTier:
         assert [(r["id"], r["score"]) for r in a] == [
             (r["id"], r["score"]) for r in b
         ]
+
+
+def test_hnsw_build_extend_differential():
+    """The append invariant the persisted lifecycle rests on:
+    build(A ++ B) == build(A).extend(B) EXACTLY — same levels, same entry,
+    same graphs (level assignment hashes the global insert index)."""
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((90, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    whole = ann.HNSWIndex(M=4, ef_construction=24).build(X)
+    grown = ann.HNSWIndex(M=4, ef_construction=24).build(X[:60]).extend(X[60:])
+    assert whole.levels == grown.levels
+    assert whole.entry == grown.entry
+    assert whole.graphs == grown.graphs
+
+
+def test_hnsw_persisted_lifecycle(spark, sf_dir, tmp_path):
+    """VERDICT r10 task 6: build/save/load/append for sharded HNSW,
+    mirroring the IVF lifecycle coverage. Persisted search must equal the
+    in-memory shard search would at the same sharding, keep >=0.8
+    recall@10 vs brute force, and an append must (a) rewrite only the
+    touched shards, (b) make the new vectors findable."""
+    path = str(tmp_path / "hnsw_idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    head = emb.filter(F.col("vec_id") < n - 40)
+    tail = emb.filter(F.col("vec_id") >= n - 40)
+    ann.hnsw_write(head, path, n_shards=4, M=8, ef_construction=64)
+
+    ids = [0, 7, 42]
+    qdf = emb.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ann.hnsw_read_search(spark, path, qdf, k=10, ef_search=64).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in ids:
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        exact = {r["vec_id"] for r in knn_topk(head, qv, k=10).collect()}
+        rec = len(by_q[qid] & exact) / 10
+        assert rec >= 0.8, f"persisted query {qid} recall {rec}"
+        assert len(by_q[qid]) == 10
+
+    # append the tail: only its shards rewritten, new ids findable
+    import glob
+    import os
+
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(path, "shard=*/*.parquet"))}
+    res = ann.hnsw_append(spark, path, tail)
+    assert res["n_appended"] == 40
+    assert set(res["touched_shards"]) <= {0, 1, 2, 3}
+    untouched = [s for s in range(4) if s not in res["touched_shards"]]
+    for s in untouched:
+        for p in glob.glob(os.path.join(path, f"shard={s}/*.parquet")):
+            assert os.path.getmtime(p) == before[p], "untouched shard rewritten"
+
+    probe_id = n - 1
+    qv = list(emb.filter(F.col("vec_id") == probe_id).first()["embedding"])
+    q2 = spark.createDataFrame([(99, qv)], "query_id long, query_vec array<double>")
+    got2 = {r["vec_id"]
+            for r in ann.hnsw_read_search(spark, path, q2, k=10).collect()}
+    assert probe_id in got2, "appended vector not findable (it is its own NN)"
+    exact2 = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
+    assert len(got2 & exact2) / 10 >= 0.8

@@ -1,0 +1,119 @@
+"""Persisted suffix-rank index (operators/suffixindex.py): the
+build-once/query-many split of the pattern matcher. The load-bearing
+property is DIFFERENTIAL — every indexed query must equal its
+construction-per-call twin in suffix.py exactly, because the index path
+swaps pseudo-doc riding for dictionary lookups and any drift there is a
+silent wrong answer."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from frappe_data_pipelines_spark.operators.suffix import (
+    infinigram_backoff,
+    substring_pattern_counts,
+)
+from frappe_data_pipelines_spark.operators.suffixindex import (
+    SuffixIndex,
+    build_suffix_index,
+    indexed_pattern_counts,
+    infinigram_backoff_indexed,
+)
+
+
+def _mk_corpus(spark, seed=11, n=30):
+    rng = random.Random(seed)
+    words = ["the", "quick", "brown", "fox", "dog", "data", "ünïcode",
+             "zz", "model", "träin", "s", "a"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 40))))
+        for i in range(n)
+    ]
+    rows.append((n, "the quick brown fox"))       # exact phrase anchor
+    rows.append((n + 1, "x"))                     # 1-char doc
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_indexed_pattern_counts_differential(spark, tmp_path):
+    docs, rows = _mk_corpus(spark)
+    idx = build_suffix_index(docs, str(tmp_path / "sidx"), max_width=8)
+    # widths are powers of two up to 8
+    assert idx.widths == [1, 2, 4, 8]
+    pats = spark.createDataFrame(
+        [
+            (1, "the quick"),     # present, len 9: seed width 8 + refine 1
+            (2, "fox"),           # frequent
+            (3, "zz"),            # short
+            (4, "q"),             # single char
+            (5, "zqzqzq!!"),      # absent, len 8 (seed width == max)
+            (6, "ünï"),           # multibyte
+        ],
+        "pattern_id long, pattern string",
+    )
+    base = {
+        r["pattern_id"]: (r["pattern_len"], r["n_docs"], r["n_occurrences"])
+        for r in substring_pattern_counts(docs, pats).collect()
+    }
+    got = {
+        r["pattern_id"]: (r["pattern_len"], r["n_docs"], r["n_occurrences"])
+        for r in indexed_pattern_counts(idx, pats).collect()
+    }
+    assert got == base
+    # sanity against plain python: the anchor phrase occurs
+    texts = [t for _, t in rows]
+    assert got[2][2] == sum(t.count("fox") for t in texts)
+    assert got[5] == (8, 0, 0)
+
+
+def test_indexed_infinigram_differential(spark, tmp_path):
+    docs, _ = _mk_corpus(spark, seed=23)
+    idx = build_suffix_index(docs, str(tmp_path / "sidx"), max_width=8)
+    for q in ["zzqq s", "the quick brow", "absent!", "x"]:
+        base = sorted(
+            map(tuple, infinigram_backoff(docs, q).collect())
+        )
+        got = sorted(
+            map(tuple, infinigram_backoff_indexed(docs, idx, q).collect())
+        )
+        assert got == base, f"query {q!r}"
+
+
+def test_index_lifecycle_and_guards(spark, tmp_path):
+    docs, _ = _mk_corpus(spark, seed=5, n=10)
+    path = str(tmp_path / "sidx")
+    idx = build_suffix_index(docs, path, max_width=4)
+    # read round trip
+    idx2 = SuffixIndex.read(spark, path)
+    assert idx2.widths == idx.widths == [1, 2, 4]
+    assert (idx2.n_docs, idx2.total_chars) == (idx.n_docs, idx.total_chars)
+    # summary: n_positions = total chars; distinct chars at width 1
+    s = dict((w, (n, d)) for w, n, d in idx2.summary())
+    assert s[1][0] == idx.total_chars
+    # pattern longer than servable raises with a rebuild hint
+    pats = spark.createDataFrame(
+        [(1, "much too long pattern for width 4 index")],
+        "pattern_id long, pattern string",
+    )
+    with pytest.raises(ValueError, match="max_width"):
+        indexed_pattern_counts(idx2, pats).collect()
+    # read_or_build: fresh load when compatible, rebuild when wider needed
+    idx3 = SuffixIndex.read_or_build(spark, docs, path, max_width=4)
+    assert idx3.widths == [1, 2, 4]
+    idx4 = SuffixIndex.read_or_build(spark, docs, path, max_width=8)
+    assert 8 in idx4.widths
+    # verify=True rebuilds on a corpus mismatch
+    bigger = docs.unionByName(
+        spark.createDataFrame([(999, "entirely new doc text")],
+                              "doc_id long, text string")
+    )
+    idx5 = SuffixIndex.read_or_build(spark, bigger, path, max_width=8, verify=True)
+    assert idx5.n_docs == idx4.n_docs + 1
+
+
+def test_empty_corpus_index(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    path = str(tmp_path / "sidx")
+    idx = build_suffix_index(docs, path, max_width=4)
+    assert idx.widths == [] and idx.summary() == []

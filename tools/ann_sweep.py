@@ -187,6 +187,96 @@ def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
         }
     )
 
+    # shard-count grid at 10x (VERDICT r10 task 6): more shards = smaller
+    # graphs + cheaper parallel builds but k·shards merge candidates and a
+    # per-shard ef budget spent on a thinner slice — the honest recall/QPS
+    # trade at production-shaped shard counts, measured not assumed
+    for parts in (8, 32):
+        t0 = _t.time()
+        got_rows = ann.hnsw_partition_search(
+            big.repartition(parts), qdf, k=k, M=8, ef_construction=64,
+            ef_search=64,
+        ).collect()
+        sec = _t.time() - t0
+        by_q = {}
+        for r_ in got_rows:
+            by_q.setdefault(r_["query_id"], set()).add(r_["vec_id"])
+        hits = sum(len(by_q.get(qid, set()) & truth[qid])
+                   for qid, _ in probe_queries)
+        rows.append(
+            {
+                "variant": "hnsw_10x",
+                "recall_at_k": round(hits / (k * len(probe_queries)), 4),
+                "qps": round(len(probe_queries) / sec, 2),
+                "params": {"n_vectors": n_big, "M": 8, "ef_search": 64,
+                           "partitions": parts},
+            }
+        )
+
+    # persisted sharded HNSW at 10x: full lifecycle under measurement —
+    # build+save (timed), serve from disk (recall/QPS with zero rebuild),
+    # append 1% and re-serve (the appended ids must be findable)
+    import shutil as _sh
+    import tempfile as _tf
+
+    idx_dir = _tf.mkdtemp(prefix="fdp_hnsw_sweep_")
+    idx_path = os.path.join(idx_dir, "idx")
+    try:
+        t0 = _t.time()
+        ann.hnsw_write(big, idx_path, n_shards=16, M=8, ef_construction=64)
+        build_sec = round(_t.time() - t0, 2)
+        t0 = _t.time()
+        got_rows = ann.hnsw_read_search(
+            spark, idx_path, qdf, k=k, ef_search=64
+        ).collect()
+        sec = _t.time() - t0
+        by_q = {}
+        for r_ in got_rows:
+            by_q.setdefault(r_["query_id"], set()).add(r_["vec_id"])
+        hits = sum(len(by_q.get(qid, set()) & truth[qid])
+                   for qid, _ in probe_queries)
+        rows.append(
+            {
+                "variant": "hnsw_persisted_10x",
+                "recall_at_k": round(hits / (k * len(probe_queries)), 4),
+                "qps": round(len(probe_queries) / sec, 2),
+                "params": {"n_vectors": n_big, "n_shards": 16, "M": 8,
+                           "ef_search": 64, "build_save_sec": build_sec},
+            }
+        )
+        # append: shift ids past the resident range, re-serve, check the
+        # appended vectors are their own nearest neighbors
+        delta = big.limit(max(n_big // 100, 8)).select(
+            (F.col("vec_id") + F.lit(replicas + 1) * (base_max + 1)).alias("vec_id"),
+            "embedding",
+        )
+        t0 = _t.time()
+        app = ann.hnsw_append(spark, idx_path, delta)
+        app_sec = round(_t.time() - t0, 2)
+        drows = delta.collect()
+        probe = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in drows[: min(4, len(drows))]]
+        pq_df = spark.createDataFrame(
+            probe, "query_id long, query_vec array<float>"
+        )
+        found = {}
+        for r_ in ann.hnsw_read_search(spark, idx_path, pq_df, k=k).collect():
+            found.setdefault(r_["query_id"], set()).add(r_["vec_id"])
+        self_hits = sum(1 for pid, _ in probe if pid in found.get(pid, set()))
+        rows.append(
+            {
+                "variant": "hnsw_append_10x",
+                "recall_at_k": round(self_hits / len(probe), 4),
+                "qps": None,
+                "params": {"n_appended": app["n_appended"],
+                           "touched_shards": len(app["touched_shards"]),
+                           "append_sec": app_sec,
+                           "note": "recall = appended-id self-findability"},
+            }
+        )
+    finally:
+        _sh.rmtree(idx_dir, ignore_errors=True)
+
     # OPQ (+rerank) at 10x
     if dim % 8 == 0:
         R, books = ann.opq_train(big, m_subvectors=8, k_centroids=16)

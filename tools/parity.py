@@ -143,8 +143,34 @@ def run_parity(sf_dir: str, only=None, spark=None, echo=print, results=None):
     return n_pass, n_fail, n_rows_only, failures
 
 
-def main() -> int:
+def trend_vs_prior(results: dict, prior_path: str) -> list[dict]:
+    """Wall-time movers of this export vs a prior PARITY artifact — the
+    correctness-gate-side early warning VERDICT r10 task 7 asked for: the
+    gate records per-query ``secs`` anyway, and a >1.5x (and >0.5s
+    absolute, prior >=0.2s — sub-noise rows excluded) move shows up here
+    without depending on the bench host's mood. Informational: the gate's
+    pass/fail is untouched."""
     import json
+
+    with open(prior_path) as f:
+        prior = json.load(f)
+    pq = prior.get("queries", {})
+    movers = []
+    for name, rec in results.items():
+        s, p = rec.get("secs"), (pq.get(name) or {}).get("secs")
+        if s and p and p >= 0.2 and s / p > 1.5 and s - p > 0.5:
+            movers.append(
+                {"query": name, "prior_secs": p, "secs": s,
+                 "ratio": round(s / p, 2)}
+            )
+    return sorted(movers, key=lambda m: -m["ratio"])
+
+
+def main() -> int:
+    import glob
+    import json
+    import os
+    import re
 
     argv = sys.argv[1:]
     json_out = None
@@ -169,6 +195,31 @@ def main() -> int:
             "partial": bool(argv[1:]),  # a subset run is never the artifact
             "queries": results,
         }
+        # wall-time trend vs the newest prior artifact at the SAME sf_dir
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        priors = sorted(
+            (p for p in glob.glob(os.path.join(root, "PARITY_r*.json"))
+             if os.path.abspath(p) != os.path.abspath(json_out)),
+            key=lambda p: (int(re.search(r"PARITY_r0*(\d+)", p).group(1)), p),
+        )
+        for p in reversed(priors):
+            with open(p) as f:
+                prior = json.load(f)
+            if prior.get("sf_dir") == sf_dir and not prior.get("partial"):
+                movers = trend_vs_prior(results, p)
+                payload["secs_trend"] = {
+                    "prior_source": os.path.basename(p),
+                    "movers_gt_1_5x": movers,
+                }
+                if movers:
+                    print(f"secs trend vs {os.path.basename(p)}: "
+                          + ", ".join(f"{m['query']} {m['prior_secs']}→"
+                                      f"{m['secs']}s ({m['ratio']}x)"
+                                      for m in movers))
+                else:
+                    print(f"secs trend vs {os.path.basename(p)}: "
+                          "no >1.5x movers")
+                break
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")

@@ -36,6 +36,27 @@ def pctl(xs: list[float], p: float) -> float:
     return s[i]
 
 
+CLEAN_Q6_REF = 0.199  # BENCH_r08's clean-window q6 best-of-3 (BASELINE.md)
+
+
+def q6_canary(spark, sf_dir: str) -> float:
+    """Best-of-3 q6 noop — the host-drift meter, sampled immediately
+    around each stream config so every artifact row carries its own
+    throttle context (VERDICT r10 task 3: the r10 doors_on_10x_waves
+    549→318 docs/s move shipped with no canary stamp, so environment vs
+    plan was undecidable)."""
+    from frappe_data_pipelines_spark.plans.catalog import queries
+
+    q = queries()["tpch_q6_forecast_revenue"]
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def run_config(
     spark, waves, docs_per_wave: int, scrub_against=None, blocklist_terms=None
 ) -> dict:
@@ -149,10 +170,21 @@ def main() -> None:
         [(1, "zzxqunobtanium"), (2, "qqzzforbidden")], "term_id long, term string"
     )
 
-    off = run_config(spark, waves, docs_per_wave)
-    on = run_config(
+    def bracketed(label, fn):
+        c_b = q6_canary(spark, sf_dir)
+        res = fn()
+        c_a = q6_canary(spark, sf_dir)
+        res["canary_before_sec"] = c_b
+        res["canary_after_sec"] = c_a
+        res["canary_ratio"] = round(
+            ((c_b * c_a) ** 0.5) / CLEAN_Q6_REF, 3
+        )
+        return res
+
+    off = bracketed("doors_off", lambda: run_config(spark, waves, docs_per_wave))
+    on = bracketed("doors_on", lambda: run_config(
         spark, waves, docs_per_wave, scrub_against=corpus, blocklist_terms=terms
-    )
+    ))
 
     # doors-on at 10x the wave size: the door's cost is FIXED per
     # micro-batch (scrub join + AC pass stage overhead), so per-doc
@@ -175,10 +207,10 @@ def main() -> None:
         .cache()
     )
     big_corpus.count()
-    on_big = run_config(
+    on_big = bracketed("doors_on_10x_waves", lambda: run_config(
         spark, big_waves, big_per_wave,
         scrub_against=big_corpus, blocklist_terms=terms,
-    )
+    ))
     on_big["docs_per_wave"] = big_per_wave
     on_big["waves"] = big_n_waves
 
