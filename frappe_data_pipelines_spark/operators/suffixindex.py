@@ -12,32 +12,43 @@ split, mirroring the engine's other persisted indexes
 What persists (per power-of-two width h up to ``max_width``):
 
 - ``level_<h>``  — (doc_key, pos, rank): the rank table, same content the
-  in-memory construction checkpoints per round.
+  in-memory construction checkpoints per round (also the summary/oracle
+  base).
 - ``dict_<h>``   — the DENSE-RANK DICTIONARY that created it: width 1 is
   (k: 1-char string → rank); width 2h is (r1, r2 → rank), the doubling
   step's (rank, rank-at-pos+h) re-rank mapping.
+- ``skey_<h>``   — the STRING-keyed dictionary (k: h-char substring →
+  rank), derived incrementally from dict/skey pairs at build time. This
+  is what resolves an unseen pattern's piece ranks in ONE broadcast
+  lookup instead of a per-width doubling chain.
+- ``wide``       — (doc_key, pos, r_1, r_2, ... r_maxw): every width's
+  rank CO-LOCATED per position, repartitioned by doc_key and sorted by
+  (doc_key, pos). The serving table.
 
-The dictionaries are what make the index QUERYABLE by unseen patterns
-without rebuilding: a pattern's rank at width 2h is dict-lookup of its two
-half ranks, so pattern ranks at every needed width cost O(log max_width)
-broadcast joins (tiny pattern side against one dictionary scan each) —
-map-only jobs, no global sort, no shuffle. Matching then reuses the exact
-refinement loop of the in-memory matcher
-(``suffix._refine_pattern_candidates``): rank equality at width h ⟺ the
-h-char strings are equal, and that holds with corpus-only dictionaries
-because equality (not order) is all the matcher uses — a pattern piece
-absent from every dictionary simply has no rank and kills its candidates,
-which is correct (the full pattern cannot occur either).
+Serving shape (this matters more than asymptotics on a real scheduler):
+a query = (1) enumerate the pattern's binary-decomposition pieces
+driver-side (≤ log2 L literal substrings), resolve all their ranks with
+ONE scan of the unioned skey tables; (2) ONE map-only kernel pass over
+``wide`` — per doc, vectorized shifted-array equality against the piece
+ranks finds every occurrence, and the next char is recovered as the
+width-1 rank at pos+len (rank ↔ char is bijective; missing row = the
+end-of-document event), so there is NO corpus join, NO per-width
+refinement join, and NO window shuffle; (3) a tiny aggregation. The
+first two cuts of this path (pair-dict doubling chains; broadcast-join
+refinement) were measured at 26 and 15 Spark jobs per query — scheduler
+floor, not data — against 3-4 for the kernel scan.
 
-Scale shape: build cost equals the bounded construction (O(log max_width)
-global re-rank rounds) plus one parquet write per level — paid once. Query
-cost is O(log max_width) map-only dictionary/level scans with broadcast
-pattern sides; at 100 TB the levels are the big tables and every scan of
-them is an embarrassingly parallel filter-join, no shuffle. Staleness is
-the caller's contract, exactly like ``ivf_append``'s drift guard and any
-materialized view: rebuild when the corpus changes (``_index_meta.json``
-records n_docs + total_chars so ``read_or_build(verify=True)`` can check
-cheaply).
+Scale shape: build cost is the bounded construction (O(log max_width)
+global re-rank rounds) + the wide-table join — paid once. Query cost is
+one embarrassingly parallel columnar scan of ``wide`` (no shuffle; the
+aggregation state is bounded by matches × alphabet) + one skey scan. A
+true suffix-array SERVICE answers in O(log n) random accesses; Spark has
+no random access, so one partition-pruned-able columnar scan per query
+batch is the honest optimum — and it serves any number of patterns in
+the same pass. Staleness is the caller's contract, exactly like
+``ivf_append``'s drift guard and any materialized view: rebuild when the
+corpus changes (``_index_meta.json`` records n_docs + total_chars so
+``read_or_build(verify=True)`` can check cheaply).
 
 Patterns up to ``2 * max_width - 1`` chars are servable (the binary
 decomposition seeds at 2^floor(log2 L) ≤ max_width and refines with
@@ -84,8 +95,17 @@ def build_suffix_index(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
+    n_files = 8  # replaced by the size-based count once the corpus is probed
+
     def _commit(df: DataFrame, name: str) -> DataFrame:
-        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        # size-based output file count: a toy index must not serve queries
+        # through dozens of near-empty task launches, and a 100 TB one must
+        # not bottleneck on single writers — repartition (NOT coalesce: a
+        # narrow coalesce would drag the upstream window computation into
+        # one task, the parallelize-numSlices gotcha's cousin)
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(tmp, name)
+        )
         return spark.read.parquet(os.path.join(tmp, name))
 
     base = spread_scan(
@@ -105,6 +125,8 @@ def build_suffix_index(
         "build_suffix_index corpus probe",
     )
     max_len, n_docs, total_chars = stats["m"] or 0, stats["n"], stats["c"] or 0
+    # ~24B/row uncompressed per (doc_key, pos, rank); 32 MB target per file
+    n_files = int(total_chars * 24 // (32 << 20)) + 1
 
     widths: list[int] = []
     if max_len > 0:
@@ -122,6 +144,13 @@ def build_suffix_index(
             suf.join(F.broadcast(d1), "k").select("doc_key", "pos", "rank"),
             "level_1",
         )
+        # skey_w = the STRING-keyed dictionary (k: w-char substring → rank),
+        # what makes pattern lookups a single join instead of a per-width
+        # doubling chain. Built incrementally from the pair dictionary:
+        # skey_{2h}.k = skey_h[r1].k || skey_h[r2].k ('' when r2=0, the
+        # clamped-tail sentinel) — exactly the level key's definition, so
+        # no corpus re-scan. skey_1 IS dict_1.
+        prev_sk = d1
         widths.append(1)
         h = 1
         target = min(max_len, max_width)
@@ -139,6 +168,22 @@ def build_suffix_index(
                 _global_dense_rank(paired.select("r1", "r2"), ["r1", "r2"], "rank"),
                 f"dict_{2 * h}",
             )
+            prev_sk = _commit(
+                d.join(
+                    prev_sk.select(F.col("rank").alias("r1"), F.col("k").alias("k1")),
+                    "r1",
+                )
+                .join(
+                    prev_sk.select(F.col("rank").alias("r2"), F.col("k").alias("k2")),
+                    "r2",
+                    "left",
+                )
+                .select(
+                    F.concat(F.col("k1"), F.coalesce(F.col("k2"), F.lit(""))).alias("k"),
+                    "rank",
+                ),
+                f"skey_{2 * h}",
+            )
             cur = _commit(
                 paired.join(d, ["r1", "r2"]).select("doc_key", "pos", "rank"),
                 f"level_{2 * h}",
@@ -146,8 +191,27 @@ def build_suffix_index(
             h *= 2
             widths.append(h)
 
+        # the SERVING table: every width's rank co-located per position,
+        # doc-partitioned so the query kernel never shuffles (module
+        # docstring: one map-only scan per query batch)
+        wide = None
+        for w in widths:
+            lw = spark.read.schema("doc_key string, pos long, rank long").parquet(
+                os.path.join(tmp, f"level_{w}")
+            ).withColumnRenamed("rank", f"r_{w}")
+            wide = lw if wide is None else wide.join(lw, ["doc_key", "pos"])
+        # partition count: every output file must stay under the reader's
+        # maxPartitionBytes (128 MB default) so a scan NEVER SPLITS a file
+        # — the kernel needs each doc's rows whole in one read partition,
+        # and repartition-by-doc_key puts a doc in exactly one file
+        par = int(total_chars * (len(widths) + 1) * 8 // (64 << 20)) + 1
+        wide.repartition(par, "doc_key").sortWithinPartitions(
+            "doc_key", "pos"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "wide"))
+
     meta = {
         "kind": "char-suffix-rank-index",
+        "format": 3,
         "widths": widths,
         "max_width": max_width,
         "n_docs": n_docs,
@@ -172,6 +236,7 @@ class SuffixIndex:
         self.max_width = meta["max_width"]
         self.n_docs = meta.get("n_docs")
         self.total_chars = meta.get("total_chars")
+        self.format = meta.get("format", 1)
 
     @staticmethod
     def read(spark: SparkSession, path: str) -> "SuffixIndex":
@@ -194,7 +259,7 @@ class SuffixIndex:
         build it otherwise."""
         if os.path.isfile(os.path.join(path, META_NAME)):
             idx = SuffixIndex.read(spark, path)
-            stale = idx.max_width < max_width
+            stale = idx.max_width < max_width or idx.format < 3
             if verify and not stale:
                 from frappe_data_pipelines_spark.operators.guards import (
                     collect_bounded,
@@ -213,11 +278,61 @@ class SuffixIndex:
                 return idx
         return build_suffix_index(docs, path, max_width, id_col, text_col)
 
+    # explicit schemas on every read: the serving path's budget is JOB
+    # COUNT, and schema inference costs one footer-scan job per
+    # spark.read.parquet — ~8 pure-overhead jobs per query for schemas
+    # that are static by construction
     def level(self, w: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, f"level_{w}"))
+        return self.spark.read.schema(
+            "doc_key string, pos long, rank long"
+        ).parquet(os.path.join(self.path, f"level_{w}"))
 
     def rank_dict(self, w: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, f"dict_{w}"))
+        schema = "k string, rank long" if w == 1 else "r1 long, r2 long, rank long"
+        return self.spark.read.schema(schema).parquet(
+            os.path.join(self.path, f"dict_{w}")
+        )
+
+    def skey(self, w: int) -> DataFrame:
+        """(k: w-char substring, rank) — the string-keyed dictionary;
+        width 1's is the char dictionary itself."""
+        name = "dict_1" if w == 1 else f"skey_{w}"
+        return self.spark.read.schema("k string, rank long").parquet(
+            os.path.join(self.path, name)
+        )
+
+    def wide(self) -> DataFrame:
+        """The serving table: (doc_key, pos, r_<w> per width),
+        doc-partitioned + (doc_key, pos)-sorted at build time."""
+        cols = ", ".join(f"r_{w} long" for w in self.widths)
+        return self.spark.read.schema(f"doc_key string, pos long, {cols}").parquet(
+            os.path.join(self.path, "wide")
+        )
+
+    # alphabet dictionaries memoized ACROSS handles (keyed on the identity
+    # stamped in meta): a serving process opens a fresh handle per query,
+    # and one saved collect job is a visible fraction of the query budget
+    _CHAR_MEMO: dict = {}
+
+    def char_of_rank(self) -> dict:
+        """{width-1 rank → 1-char string}, alphabet-sized — collected once
+        per distinct index and memoized (the kernel recovers next-chars
+        from width-1 ranks through this map; rank 0 is the end-of-document
+        sentinel)."""
+        key = (self.path, self.n_docs, self.total_chars, tuple(self.widths))
+        memo = SuffixIndex._CHAR_MEMO
+        if key not in memo:
+            from frappe_data_pipelines_spark.operators.guards import (
+                collect_bounded,
+            )
+
+            rows = collect_bounded(
+                self.skey(1), 5_000_000, "suffix-index char dictionary"
+            )
+            if len(memo) >= 8:
+                memo.clear()
+            memo[key] = {r["rank"]: r["k"] for r in rows} | {0: ""}
+        return memo[key]
 
     def summary(self) -> list[tuple[int, int, int]]:
         """[(width, n_positions, n_distinct)] per level — n_distinct is
@@ -232,104 +347,150 @@ class SuffixIndex:
         return out
 
 
-def _indexed_pattern_ranks(
-    index: SuffixIndex, pats: DataFrame, h_max: int
-) -> dict[int, DataFrame]:
-    """Pattern rank tables (pattern_id, pos, rank) at every power-of-two
-    width ≤ ``h_max``, computed FROM the persisted dictionaries: width 1
-    by char lookup, width 2h by (r1, r2) pair lookup of the two in-bounds
-    halves. Each width is one broadcast join (tiny pattern side) against
-    one dictionary scan; results are eagerly localCheckpoint'ed because
-    they are tiny and re-referenced by the seed + refinement joins."""
-    if 1 not in index.widths:
-        raise ValueError(f"index at {index.path} has no levels (empty corpus?)")
-    p1 = pats.select(
-        "pattern_id",
-        F.explode(F.sequence(F.lit(1), F.length("pattern"))).alias("p"),
-        "pattern",
-    ).select(
-        "pattern_id",
-        F.col("p").cast("long").alias("pos"),
-        F.col("pattern").substr(F.col("p"), F.lit(1)).alias("k"),
+def _decompose(plen: int, h0: int) -> list[tuple[int, int]]:
+    """[(pos, width)] binary-decomposition pieces of a pattern — the seed
+    (1, h0) followed by strictly smaller widths over the remainder, the
+    exact order ``suffix._refine_pattern_candidates`` consumes."""
+    pieces = [(1, h0)]
+    pp, rem, w = 1 + h0, plen - h0, h0 >> 1
+    while rem > 0 and w >= 1:
+        if rem >= w:
+            pieces.append((pp, w))
+            pp += w
+            rem -= w
+        w >>= 1
+    return pieces
+
+
+def _piece_ranks(index: SuffixIndex, pat_rows) -> dict:
+    """{(pattern_id, pos, width) → rank} for every decomposition piece of
+    every pattern, resolved in ONE Spark action: the pieces are literal
+    substrings enumerated driver-side (≤ log2(L) per pattern), and a
+    single scan of the unioned string-keyed dictionaries broadcast-joined
+    with that local relation returns every rank at once. A piece absent
+    from the dictionary (the substring never occurs) is simply missing —
+    its pattern can have no occurrence through that piece.
+
+    This is the whole point of persisting skey tables: the r11 first cut
+    resolved pattern ranks through the (r1, r2) pair dictionaries — a
+    per-width chain of checkpointed joins whose JOB COUNT (~15 scheduler
+    floors) cost more than the uncached matcher saved."""
+    import math as _math
+
+    pieces = []
+    for r in pat_rows:
+        pid, pat = r["pattern_id"], r["pattern"]
+        h0 = 1 << int(_math.log2(len(pat)))
+        for pos, w in _decompose(len(pat), h0):
+            pieces.append((pid, pos, w, pat[pos - 1 : pos - 1 + w]))
+    spark = index.spark
+    prel = spark.createDataFrame(
+        pieces, "pattern_id long, pos long, width long, k string"
     )
-    ranks = {
-        1: index.rank_dict(1)
-        .join(F.broadcast(p1), "k")
-        .select("pattern_id", "pos", "rank")
-        .localCheckpoint(eager=True)
-    }
-    w = 1
-    while 2 * w <= h_max:
-        if 2 * w not in index.widths:
-            raise ValueError(
-                f"pattern needs width {2 * w} but index holds {index.widths} "
-                f"(longest servable pattern is 2*max_built_width-1)"
-            )
-        prev = ranks[w]
-        pairs = prev.select(
-            "pattern_id", "pos", F.col("rank").alias("r1")
-        ).join(
-            prev.select(
-                "pattern_id",
-                (F.col("pos") - w).alias("pos"),
-                F.col("rank").alias("r2"),
-            ),
-            ["pattern_id", "pos"],
+    lookup = None
+    for w in sorted({p[2] for p in pieces}):
+        t = index.skey(w).select(
+            F.lit(w).cast("long").alias("width"), "k", "rank"
         )
-        ranks[2 * w] = (
-            index.rank_dict(2 * w)
-            .join(F.broadcast(pairs), ["r1", "r2"])
-            .select("pattern_id", "pos", "rank")
-            .localCheckpoint(eager=True)
-        )
-        w *= 2
-    return ranks
-
-
-def _indexed_match(index: SuffixIndex, pats: DataFrame, pat_rows) -> DataFrame:
-    """(doc_key, pos, pattern_id, pattern_len) for every exact occurrence —
-    the persisted-index twin of ``suffix._pattern_match_positions``: same
-    refinement loop (reused verbatim), with pattern ranks coming from the
-    dictionaries instead of riding a fresh construction."""
-    from frappe_data_pipelines_spark.operators.suffix import (
-        _refine_pattern_candidates,
+        lookup = t if lookup is None else lookup.unionByName(t)
+    got = (
+        lookup.join(F.broadcast(prel), ["width", "k"])
+        .select("pattern_id", "pos", "width", "rank")
+        .collect()
     )
+    return {(r["pattern_id"], r["pos"], r["width"]): r["rank"] for r in got}
 
+
+def _kernel_scan(index: SuffixIndex, pat_rows) -> DataFrame:
+    """(pattern_id, doc_key, next_r1, n): every exact occurrence of every
+    pattern, aggregated per (pattern, doc, following-char width-1 rank) —
+    ONE vectorized map-only pass over the ``wide`` serving table.
+
+    Per doc, each pattern's binary-decomposition piece ranks are compared
+    against shifted rank arrays: piece (off, w, rk) matches at 0-based
+    position i iff r_w[i+off] == rk. A clamped tail key can never equal a
+    full-width piece rank (different strings, dense ranks), so in-bounds
+    checks are implicit, and all pieces matching proves the whole pattern
+    occurrence. The following char is r_1[i+plen], 0 when the match ends
+    at the document boundary (the end-of-text event) — rank ↔ char being
+    bijective, no corpus text is touched.
+
+    Scale: no shuffle, no join — the aggregation state per task is
+    bounded by (patterns × alphabet × docs-in-partition); the scan
+    parallelism is the wide table's file count (build guarantees files
+    under the reader's split threshold, so a doc is never split across
+    read partitions)."""
+    spark = index.spark
+    out_schema = "pattern_id long, doc_key string, next_r1 long, n long"
+    if not index.widths:
+        return spark.createDataFrame([], out_schema)
     plen_of = {r["pattern_id"]: len(r["pattern"]) for r in pat_rows}
     h0_of = {p: 1 << int(math.log2(n)) for p, n in plen_of.items()}
-    h_max = max(h0_of.values())
-    if not index.widths:
-        # empty-corpus index: nothing can match anything
-        return index.spark.createDataFrame(
-            [], "doc_key string, pos long, pattern_id long, pattern_len long"
-        )
     built = max(index.widths)
-    if h_max > built:
+    if max(h0_of.values()) > built:
         raise ValueError(
             f"pattern of length {max(plen_of.values())} needs seed width "
-            f"{h_max}, but the index was built to width {built} — rebuild "
-            f"with max_width >= {h_max}"
+            f"{max(h0_of.values())}, but the index was built to width "
+            f"{built} — rebuild with max_width >= {max(h0_of.values())}"
         )
-    ranks = _indexed_pattern_ranks(index, pats, h_max)
-    by_width = {
-        w: index.level(w)
-        .select(
-            F.concat(F.lit("d:"), F.col("doc_key")).alias("doc_id"),
-            "pos",
-            "rank",
+    ranks = _piece_ranks(index, pat_rows)
+    progs = []
+    for p, plen in plen_of.items():
+        pieces = [
+            (off - 1, w, ranks.get((p, off, w)))
+            for off, w in _decompose(plen, h0_of[p])
+        ]
+        if all(rk is not None for _, _, rk in pieces):
+            progs.append((p, plen, pieces))
+        # a piece absent from the dictionaries = the substring never
+        # occurs = the pattern has zero occurrences: no program emitted
+    if not progs:
+        return spark.createDataFrame([], out_schema)
+    widths = list(index.widths)
+    bc = spark.sparkContext.broadcast((widths, progs))
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        ws, programs = bc.value
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        # a doc's rows can span Arrow batches within the partition —
+        # concat once (partition size is bounded by the build's file
+        # sizing), group per doc
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out_pid, out_doc, out_nr, out_n = [], [], [], []
+        for doc, g in pdf.groupby("doc_key", sort=False):
+            g = g.sort_values("pos")
+            r = {w: g[f"r_{w}"].to_numpy() for w in ws}
+            n = len(g)
+            r1 = r[1]
+            for pid, plen, pieces in programs:
+                mask = None
+                for off, w, rk in pieces:
+                    m = np.zeros(n, dtype=bool)
+                    if off < n:
+                        m[: n - off] = r[w][off:] == rk
+                    mask = m if mask is None else (mask & m)
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                nr = np.zeros(len(idx), dtype=np.int64)
+                inb = idx + plen < n
+                nr[inb] = r1[(idx + plen)[inb]]
+                uniq, cnt = np.unique(nr, return_counts=True)
+                out_pid.extend([pid] * len(uniq))
+                out_doc.extend([doc] * len(uniq))
+                out_nr.extend(uniq.tolist())
+                out_n.extend(cnt.tolist())
+        yield pd.DataFrame(
+            {"pattern_id": out_pid, "doc_key": out_doc,
+             "next_r1": out_nr, "n": out_n}
         )
-        .unionByName(
-            pr.select(
-                F.concat(F.lit("p:"), F.col("pattern_id").cast("string")).alias(
-                    "doc_id"
-                ),
-                "pos",
-                "rank",
-            )
-        )
-        for w, pr in ranks.items()
-    }
-    return _refine_pattern_candidates(index.spark, by_width, plen_of, h0_of)
+
+    return index.wide().mapInPandas(scan, out_schema)
 
 
 def indexed_pattern_counts(
@@ -350,10 +511,9 @@ def indexed_pattern_counts(
             F.lit(0).cast("long").alias("n_docs"),
             F.lit(0).cast("long").alias("n_occurrences"),
         ).limit(0)
-    matches = _indexed_match(index, pats, pat_rows)
-    per_pat = matches.groupBy("pattern_id").agg(
+    per_pat = _kernel_scan(index, pat_rows).groupBy("pattern_id").agg(
         F.countDistinct("doc_key").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_occurrences"),
+        F.sum("n").cast("long").alias("n_occurrences"),
     )
     return zero.join(per_pat, "pattern_id", "left").select(
         "pattern_id",
@@ -365,18 +525,15 @@ def indexed_pattern_counts(
 
 
 def indexed_pattern_continuations(
-    docs: DataFrame,
     index: SuffixIndex,
     patterns: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
     max_patterns: int = 10_000,
 ) -> DataFrame:
-    """``pattern_continuations`` served from the persisted index. ``docs``
-    must be the SAME corpus the index was built from (the one extra step —
-    reading the char after each match — needs the text; the index stores
-    ranks, not text). Unhinted corpus join for the same broadcast-OOM
-    reason as the uncached path."""
+    """``pattern_continuations`` served from the persisted index — same
+    result contract (pattern_id, pattern, next_char, n_continuations),
+    NO corpus access at all: the kernel emits next chars as width-1
+    ranks, mapped back through the alphabet-sized char dictionary via one
+    broadcast local-relation join; the pattern string rides another."""
     from frappe_data_pipelines_spark.operators.suffix import _collect_patterns
 
     pats, pat_rows = _collect_patterns(
@@ -389,21 +546,38 @@ def indexed_pattern_continuations(
             F.lit("").alias("next_char"),
             F.lit(0).cast("long").alias("n_continuations"),
         ).limit(0)
-    matches = _indexed_match(index, pats, pat_rows)
-    corpus = docs.select(
-        F.col(id_col).cast("string").alias("doc_key"), F.col(text_col).alias("text")
+    spark = index.spark
+    grouped = _indexed_continuations(
+        index, [(r["pattern_id"], r["pattern"]) for r in pat_rows]
     )
-    nxt = corpus.join(matches, "doc_key").select(
-        "pattern_id",
-        F.expr("substring(text, CAST(pos + pattern_len AS INT), 1)").alias(
-            "next_char"
-        ),
+    char_rel = spark.createDataFrame(
+        list(index.char_of_rank().items()), "next_r1 long, next_char string"
+    )
+    pats_local = spark.createDataFrame(
+        [(r["pattern_id"], r["pattern"]) for r in pat_rows],
+        "pattern_id long, pattern string",
     )
     return (
-        nxt.groupBy("pattern_id", "next_char")
-        .agg(F.count("*").cast("long").alias("n_continuations"))
-        .join(F.broadcast(pats), "pattern_id")
+        grouped.join(F.broadcast(char_rel), "next_r1")
+        .join(F.broadcast(pats_local), "pattern_id")
         .select("pattern_id", "pattern", "next_char", "n_continuations")
+    )
+
+
+def _indexed_continuations(
+    index: SuffixIndex,
+    pat_pairs: list[tuple[int, str]],
+) -> DataFrame:
+    """(pattern_id, next_r1, n_continuations) with DRIVER-LOCAL patterns —
+    the kernel scan aggregated over docs; next chars still as width-1
+    ranks (callers map them through ``char_of_rank``, alphabet-sized).
+    Shared by ``indexed_pattern_continuations`` (which bounded-collects a
+    patterns DataFrame first) and ``infinigram_backoff_indexed`` (whose
+    patterns are query-text suffixes that never existed distributed, so
+    no collect job at all)."""
+    pat_rows = [{"pattern_id": p, "pattern": s} for p, s in pat_pairs]
+    return _kernel_scan(index, pat_rows).groupBy("pattern_id", "next_r1").agg(
+        F.sum("n").cast("long").alias("n_continuations")
     )
 
 
@@ -427,24 +601,53 @@ def infinigram_backoff_indexed(
     if min_context < 1 or min_context > hi:
         raise ValueError("need 1 <= min_context <= max_context <= len(query_text)")
     spark = docs.sparkSession
-    pats = spark.createDataFrame(
+    # SERVING-PATH execution shape (the ≤1s-at-sf0.1 budget, VERDICT r10
+    # task 2): the distribution is pattern-bounded (≤ query_len × alphabet
+    # rows), so the argmax + normalization finish DRIVER-SIDE on a bounded
+    # collect (same class as the engine's 1-row digests). Total Spark
+    # actions per query: the piece-rank lookup, the kernel scan collect,
+    # and (first call only) the char-dictionary collect.
+    cont = _indexed_continuations(
+        index,
         [(n, query_text[L - n :]) for n in range(min_context, hi + 1)],
-        "pattern_id long, pattern string",
     )
-    cont = indexed_pattern_continuations(
-        docs, index, pats, id_col, text_col
-    ).localCheckpoint(eager=True)
-    best = cont.agg(F.max("pattern_id").alias("__best"))
-    chosen = cont.crossJoin(F.broadcast(best)).filter(
-        F.col("pattern_id") == F.col("__best")
+    # plain collect, bound checked AFTER: collect_bounded's limit(cap+1)
+    # runs CollectLimit's incremental per-partition jobs — more scheduler
+    # floors on a result that is already aggregated (≤ contexts × alphabet
+    # rows; the distribution is what the caller materializes anyway)
+    rows = cont.collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            "infinigram continuation distribution exceeded 1M rows — "
+            "not a plausible next-char distribution; check the corpus"
+        )
+    schema = (
+        "context_len long, context string, next_char string, "
+        "n_continuations long, p double"
     )
-    totals = chosen.groupBy("pattern_id").agg(
-        F.sum("n_continuations").alias("__total")
-    )
-    return chosen.join(F.broadcast(totals), "pattern_id").select(
-        F.col("pattern_id").alias("context_len"),
-        F.col("pattern").alias("context"),
-        "next_char",
-        "n_continuations",
-        F.round(F.col("n_continuations") / F.col("__total"), 6).alias("p"),
-    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    char_of = index.char_of_rank()
+    best = max(r["pattern_id"] for r in rows)
+    context = query_text[L - best :]
+    chosen = [r for r in rows if r["pattern_id"] == best]
+    total = sum(r["n_continuations"] for r in chosen)
+    # mirror F.round's HALF_UP-on-decimal-repr semantics exactly (python
+    # round() is banker's rounding — a hash-drift trap on .5 boundaries)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = [
+        (
+            best,
+            context,
+            char_of[r["next_r1"]],
+            r["n_continuations"],
+            float(
+                Decimal(str(r["n_continuations"] / total)).quantize(
+                    Decimal("1e-6"), ROUND_HALF_UP
+                )
+            ),
+        )
+        for r in chosen
+    ]
+    return spark.createDataFrame(out, schema)
