@@ -539,7 +539,7 @@ def indexed_pattern_continuations(
     pats, pat_rows = _collect_patterns(
         patterns, "indexed_pattern_continuations", max_patterns
     )
-    if not pat_rows:
+    if not pat_rows or not index.widths:  # no patterns / empty-corpus index
         return pats.select(
             "pattern_id",
             "pattern",

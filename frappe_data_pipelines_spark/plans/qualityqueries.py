@@ -1230,6 +1230,66 @@ def suffix_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cached-counting parameters: lengths 1..15 (the w=8 index's servable
+# bound is 2*8-1) exercising seed-only (1, 8), seed+1 (9), and the full
+# 8+4+2+1 decomposition (15), plus an absent pattern for the zero path
+_FREQ_CACHED_PATTERNS = [
+    (1, "value"),
+    (2, "a"),
+    (3, "value fast"),
+    (4, "zz-not-here"),
+    (5, "the line sort t"),
+    (6, "rank sum"),
+]
+
+_SUBSTR_FREQ_CACHED_SQL = """
+    WITH pats(pattern_id, pattern) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0 AND len(text) > 0
+    ), occ AS (
+      SELECT p.pattern_id, d.doc_id
+      FROM docs d CROSS JOIN pats p,
+           LATERAL (SELECT unnest(generate_series(
+                      1, len(d.text) - len(p.pattern) + 1)) AS i) i
+      WHERE substr(d.text, CAST(i.i AS INT), CAST(len(p.pattern) AS INT))
+              = p.pattern
+    )
+    SELECT p.pattern_id, p.pattern,
+           CAST(len(p.pattern) AS BIGINT) AS pattern_len,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(o.doc_id) AS BIGINT) AS n_occurrences
+    FROM pats p LEFT JOIN occ o USING (pattern_id)
+    GROUP BY p.pattern_id, p.pattern
+    """.format(vals=", ".join(f"({i}, '{p}')" for i, p in _FREQ_CACHED_PATTERNS))
+
+
+@register("substring_frequency_cached", oracle=_SUBSTR_FREQ_CACHED_SQL,
+          tags=("dedup", "extension"))
+def substring_frequency_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-frequency counting served from the PERSISTED index
+    (operators/suffixindex.py:indexed_pattern_counts) — the counting twin
+    of ``infinigram_query_cached``: piece ranks from one string-dictionary
+    lookup, occurrences from one kernel pass over the wide rank table, no
+    construction, no corpus rescan. The oracle counts by direct substring
+    comparison at every position (hit counts, doc counts, AND zero rows
+    value-checked), identical in form to ``substring_frequency_search``'s
+    — so the driver gate proves cached == from-scratch on disjoint
+    pattern shapes up to the servable length bound."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        SuffixIndex,
+        indexed_pattern_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    idx = SuffixIndex.read_or_build(
+        spark, docs, _suffix_index_cache_dir(sf_dir), max_width=8
+    )
+    pats = spark.createDataFrame(
+        _FREQ_CACHED_PATTERNS, "pattern_id long, pattern string"
+    )
+    return indexed_pattern_counts(idx, pats)
+
+
 @register("infinigram_query_cached", oracle=_BACKOFF_SQL,
           tags=("dedup", "extension"))
 def infinigram_query_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
