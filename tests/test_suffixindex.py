@@ -117,3 +117,24 @@ def test_empty_corpus_index(spark, tmp_path):
     path = str(tmp_path / "sidx")
     idx = build_suffix_index(docs, path, max_width=4)
     assert idx.widths == [] and idx.summary() == []
+
+
+def test_decompose_pure():
+    """Pure-python invariants of the binary decomposition the kernel and
+    the uncached matcher both rely on: pieces tile [1, plen] exactly,
+    the seed is 2^floor(log2 L), widths after the seed strictly decrease,
+    and every width is a power of two."""
+    from frappe_data_pipelines_spark.operators.suffixindex import _decompose
+
+    for plen in range(1, 40):
+        h0 = 1 << (plen.bit_length() - 1)
+        pieces = _decompose(plen, h0)
+        assert pieces[0] == (1, h0)
+        covered = []
+        for pos, w in pieces:
+            assert w & (w - 1) == 0  # power of two
+            covered.extend(range(pos, pos + w))
+        assert covered == list(range(1, plen + 1)), f"plen={plen}"
+        widths_after = [w for _, w in pieces[1:]]
+        assert widths_after == sorted(widths_after, reverse=True)
+        assert len(set(widths_after)) == len(widths_after)  # distinct
