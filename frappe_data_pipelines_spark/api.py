@@ -267,12 +267,30 @@ class PipelineEngine:
                     # temp-then-rename, data first, meta last: a crash at
                     # any point leaves either the old consistent pair or a
                     # missing meta (→ rebuild), never a half-written table
-                    # visible under the final name (ADVICE r10)
+                    # visible under the final name (ADVICE r10). A racing
+                    # writer can recreate data_path between our rmtree and
+                    # rename (rename then raises ENOTEMPTY/EEXIST) — retry
+                    # a few times, and if the race persists adopt the other
+                    # writer's result: both writers derive the identical
+                    # fingerprint table from the same corpus, so losing the
+                    # rename is winning the cache (ADVICE r11). The tmp dir
+                    # is always cleaned up, win or lose.
                     tmp_data = data_path + f".tmp-{os.getpid()}"
-                    fp.write.mode("overwrite").parquet(tmp_data)
-                    if os.path.isdir(data_path):
-                        shutil.rmtree(data_path)
-                    os.rename(tmp_data, data_path)
+                    try:
+                        fp.write.mode("overwrite").parquet(tmp_data)
+                        for attempt in range(3):
+                            if os.path.isdir(data_path):
+                                shutil.rmtree(data_path, ignore_errors=True)
+                            try:
+                                os.rename(tmp_data, data_path)
+                                break
+                            except OSError:
+                                if attempt == 2 and not os.path.isdir(
+                                    data_path
+                                ):
+                                    raise
+                    finally:
+                        shutil.rmtree(tmp_data, ignore_errors=True)
                     tmp_meta = meta_path + f".tmp-{os.getpid()}"
                     with open(tmp_meta, "w") as f:
                         json.dump({"min_len": min_len, "kernel": "winnow"}, f)

@@ -956,6 +956,7 @@ def hnsw_write(
     ef_construction: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rebalance_threshold: float = 0.2,
 ) -> None:
     """Persist a sharded HNSW index (VERDICT r10 task 6 — the lifecycle
     ``ivf_write`` already has): vectors are routed to ``n_shards`` shards
@@ -967,8 +968,12 @@ def hnsw_write(
     whole shard). A ``_hnsw_meta.json`` sidecar pins (M, ef_construction,
     n_shards) — search and append must replay the same build parameters.
 
-    Insertion order within a shard is vec_id ascending — deterministic
-    across writers and replays."""
+    Insertion order within a shard at INITIAL write is vec_id ascending —
+    deterministic across writers and replays. After ``hnsw_append`` the
+    persisted order is resident order followed by appended ids (levels
+    hash the insertion index), so an appended shard need not equal a
+    from-scratch build over the same vectors; the contract that holds is
+    ``build(A+B) == build(A).extend(B)`` (ADVICE r11)."""
     import json as _json
     import os as _os
 
@@ -996,7 +1001,15 @@ def hnsw_write(
     rows.write.partitionBy("shard").mode("overwrite").parquet(path)
     with open(_os.path.join(path, "_hnsw_meta.json"), "w") as f:
         _json.dump({"n_shards": n_shards, "M": M,
-                    "ef_construction": ef_construction}, f)
+                    "ef_construction": ef_construction,
+                    # appends route to this single DESIGNATED shard (id =
+                    # n_shards, outside the base id%n_shards range) so a
+                    # small append rewrites ONE shard, not all of them
+                    # (VERDICT r11 task 4); when the delta grows past
+                    # rebalance_threshold of the corpus, hnsw_append drains
+                    # it with a full re-shard — ivf_append's drift contract
+                    "delta_shard": n_shards,
+                    "rebalance_threshold": rebalance_threshold}, f)
 
 
 def hnsw_read_search(
@@ -1027,6 +1040,9 @@ def hnsw_read_search(
         queries.select(query_id_col, query_vec_col), MAX_BATCH_QUERIES,
         "persisted-HNSW query batch",
     )
+    out_schema = f"{query_id_col} long, vec_id long, dist double"
+    if not qrows:  # np.linalg.norm(shape (0,), axis=1) raises (ADVICE r11)
+        return spark.createDataFrame([], out_schema)
     qids = [r[query_id_col] for r in qrows]
     Q = np.array([list(map(float, r[query_vec_col])) for r in qrows],
                  dtype=np.float64)
@@ -1051,7 +1067,7 @@ def hnsw_read_search(
     local_topk = (
         spark.read.parquet(path)
         .groupBy("shard")
-        .applyInPandas(search_shard, f"{query_id_col} long, vec_id long, dist double")
+        .applyInPandas(search_shard, out_schema)
     )
     from pyspark.sql import Window
 
@@ -1072,19 +1088,29 @@ def hnsw_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
-    """Incremental maintenance of a persisted sharded HNSW: route the new
-    batch to its shards (same ``id % n_shards`` rule as ``hnsw_write``),
-    deserialize ONLY the touched shards, ``HNSWIndex.extend`` them (real
-    graph insertion — ``build(A+B) == build(A).extend(B)`` exactly), and
-    rewrite those shards via dynamic partition overwrite. Untouched
-    shards' files are never read or written.
+    """Incremental maintenance of a persisted sharded HNSW: the whole new
+    batch routes to the single DESIGNATED DELTA SHARD (meta's
+    ``delta_shard`` — VERDICT r11 task 4: the old ``id % n_shards``
+    routing sprayed a 200-vector append across all 16 shards, so every
+    small append rewrote the whole index), which is deserialized,
+    ``HNSWIndex.extend``-ed (real graph insertion —
+    ``build(A+B) == build(A).extend(B)`` exactly), and rewritten via
+    dynamic partition overwrite. Base shards' files are never read or
+    written by an append.
+
+    When the delta shard's vector count exceeds ``rebalance_threshold``
+    of the corpus, the append DRAINS it: a full re-shard (same
+    ``id % n_shards`` rule and vec_id-ascending insertion as
+    ``hnsw_write``, so the result is bit-identical to a from-scratch
+    build) — ``ivf_append``'s drift-ratio contract. Amortized cost:
+    appends are O(delta shard) until one O(corpus) rebalance.
 
     Honest trade vs ``ivf_append`` (pure file append): HNSW insertion
     mutates EXISTING nodes' back-links, so the touched shard must be
-    rewritten, not appended — cost ∝ touched-shard bytes, which is why
-    production HNSW stores shard aggressively. Returns
-    {"touched_shards", "n_appended"}. New vec_ids must not collide with
-    resident ones (same contract as the MERGE sink's key uniqueness)."""
+    rewritten, not appended — cost ∝ touched-shard bytes. Returns
+    {"touched_shards", "n_appended", "rebalanced", "delta_fraction"}.
+    New vec_ids must not collide with resident ones (same contract as
+    the MERGE sink's key uniqueness)."""
     import json as _json
     import os as _os
 
@@ -1093,22 +1119,15 @@ def hnsw_append(
     with open(_os.path.join(path, "_hnsw_meta.json")) as f:
         meta = _json.load(f)
     n_shards, M, efc = meta["n_shards"], meta["M"], meta["ef_construction"]
+    delta = meta.get("delta_shard", n_shards)
+    threshold = meta.get("rebalance_threshold", 0.2)
 
-    new = (
-        new_vectors.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).cast("array<double>").alias("embedding"),
-        )
-        .withColumn("shard", F.pmod(F.col("vec_id"), F.lit(n_shards)).cast("long"))
-    )
-    from .guards import collect_bounded
+    new = new_vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).withColumn("shard", F.lit(delta).cast("long"))
 
-    touched = [
-        r["shard"]
-        for r in collect_bounded(
-            new.select("shard").distinct(), n_shards + 1, "hnsw_append shards"
-        )
-    ]
+    touched = [delta]
     n_appended = new.count()
     resident = spark.read.parquet(path).filter(F.col("shard").isin(touched))
     incoming = new.select(
@@ -1152,8 +1171,40 @@ def hnsw_append(
         updated.write.partitionBy("shard").mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # drift check: one metadata-light scan of the vec rows' shard column
+    all_vecs = spark.read.parquet(path).filter(F.col("kind") == "vec")
+    from .guards import collect_bounded
+
+    (cnt,) = collect_bounded(
+        all_vecs.agg(
+            F.count("*").alias("total"),
+            F.sum(
+                F.when(F.col("shard") == delta, 1).otherwise(0)
+            ).alias("in_delta"),
+        ),
+        1,
+        "hnsw_append drift probe",
+    )
+    frac = (cnt["in_delta"] or 0) / max(cnt["total"], 1)
+    rebalanced = False
+    if frac > threshold:
+        # drain the delta: full re-shard, bit-identical to hnsw_write of
+        # the whole corpus (id%n_shards routing, vec_id-ascending inserts)
+        vecs = (
+            all_vecs.select("vec_id", "embedding")
+            .localCheckpoint(eager=True)  # materialize BEFORE self-overwrite
+        )
+        hnsw_write(
+            vecs, path, n_shards=n_shards, M=M, ef_construction=efc,
+            rebalance_threshold=threshold,
+        )
+        touched = list(range(n_shards)) + [delta]
+        rebalanced = True
     return {"touched_shards": sorted(int(s) for s in touched),
-            "n_appended": int(n_appended)}
+            "n_appended": int(n_appended),
+            "rebalanced": rebalanced,
+            "delta_fraction": round(frac, 4)}
 
 
 def filtered_ann_search(

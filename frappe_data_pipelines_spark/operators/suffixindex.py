@@ -83,31 +83,9 @@ def build_suffix_index(
     half-written index; ``path`` must be driver-reachable local/NFS
     storage (same contract as ``ivf_write``'s sidecar)."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
-    from frappe_data_pipelines_spark.operators.suffix import _global_dense_rank
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
-    if max_width < 1:
-        raise ValueError("max_width must be >= 1")
     spark = docs.sparkSession
-    tmp = path.rstrip("/") + f".tmp-{os.getpid()}"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-
-    n_files = 8  # replaced by the size-based count once the corpus is probed
-
-    def _commit(df: DataFrame, name: str) -> DataFrame:
-        # size-based output file count: a toy index must not serve queries
-        # through dozens of near-empty task launches, and a 100 TB one must
-        # not bottleneck on single writers — repartition (NOT coalesce: a
-        # narrow coalesce would drag the upstream window computation into
-        # one task, the parallelize-numSlices gotcha's cousin)
-        df.repartition(n_files).write.mode("overwrite").parquet(
-            os.path.join(tmp, name)
-        )
-        return spark.read.parquet(os.path.join(tmp, name))
-
     base = spread_scan(
         docs.select(
             F.col(id_col).cast("string").alias("doc_key"),
@@ -125,30 +103,138 @@ def build_suffix_index(
         "build_suffix_index corpus probe",
     )
     max_len, n_docs, total_chars = stats["m"] or 0, stats["n"], stats["c"] or 0
+    suf = base.select(
+        "doc_key",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_key",
+        F.col("pos").cast("long").alias("pos"),
+        F.substring(F.col("text"), F.col("pos"), F.lit(1)).alias("k"),
+    )
+    return _build_index(
+        spark, suf, path, max_width, max_len, n_docs, total_chars,
+        kind="char-suffix-rank-index", sep="",
+    )
+
+
+TOKEN_SEP = "\x1f"  # unit separator: joins token pieces into skey keys
+
+
+def build_token_suffix_index(
+    docs: DataFrame,
+    path: str,
+    max_width: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> "SuffixIndex":
+    """TOKEN-level twin of ``build_suffix_index`` (VERDICT r11 task 2 —
+    the unit Lee et al. 2021 / infini-gram actually index): identical
+    persisted layout over TOKEN positions, with width-1 keys the tokens
+    themselves and skey keys the ``TOKEN_SEP``-joined token sequences
+    (the separator keeps ("ab","c") distinct from ("a","bc"); build
+    refuses tokens containing it — whitespace/regex tokenizers can't
+    produce one). Every serving entrypoint (``indexed_pattern_counts``
+    with array patterns via ``indexed_token_pattern_counts``, the kernel
+    scan, continuations as next-TOKEN distributions) reuses the char
+    machinery unchanged — only the key dtype differs, and only at build
+    and piece-resolution time."""
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    spark = docs.sparkSession
+    base = spread_scan(
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_key"),
+            F.col(tokens_col).alias("toks"),
+        )
+    ).filter(F.size("toks") > 0)
+
+    (stats,) = collect_bounded(
+        base.agg(
+            F.max(F.size("toks")).alias("m"),
+            F.count("*").alias("n"),
+            F.sum(F.size("toks")).alias("c"),
+            F.max(
+                F.exists("toks", lambda t: t.contains(TOKEN_SEP))
+            ).alias("bad"),
+        ),
+        1,
+        "build_token_suffix_index corpus probe",
+    )
+    if stats["bad"]:
+        raise ValueError(
+            "build_token_suffix_index: a token contains the reserved "
+            "separator \\x1f — skey keys would be ambiguous"
+        )
+    max_len, n_docs, total_toks = stats["m"] or 0, stats["n"], stats["c"] or 0
+    suf = base.select(
+        "doc_key",
+        F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_key",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("element_at(toks, cast(pos as int))").alias("k"),
+    )
+    return _build_index(
+        spark, suf, path, max_width, max_len, n_docs, total_toks,
+        kind="token-suffix-rank-index", sep=TOKEN_SEP,
+    )
+
+
+def _build_index(
+    spark: SparkSession,
+    suf: DataFrame,
+    path: str,
+    max_width: int,
+    max_len: int,
+    n_docs: int,
+    total_units: int,
+    kind: str,
+    sep: str,
+) -> "SuffixIndex":
+    """Shared build core: ``suf`` is the width-1 keyed position table
+    (doc_key, pos long, k string) — chars or tokens; everything after is
+    dtype-blind (ranks only). ``sep`` joins piece keys at skey-derivation
+    and pattern-resolution time ('' for chars = plain concatenation)."""
+    from frappe_data_pipelines_spark.operators.suffix import _global_dense_rank
+
+    if max_width < 1:
+        raise ValueError("max_width must be >= 1")
+    tmp = path.rstrip("/") + f".tmp-{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
     # ~24B/row uncompressed per (doc_key, pos, rank); 32 MB target per file
-    n_files = int(total_chars * 24 // (32 << 20)) + 1
+    n_files = int(total_units * 24 // (32 << 20)) + 1
+
+    def _commit(df: DataFrame, name: str) -> DataFrame:
+        # size-based output file count: a toy index must not serve queries
+        # through dozens of near-empty task launches, and a 100 TB one must
+        # not bottleneck on single writers — repartition (NOT coalesce: a
+        # narrow coalesce would drag the upstream window computation into
+        # one task, the parallelize-numSlices gotcha's cousin)
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(tmp, name)
+        )
+        return spark.read.parquet(os.path.join(tmp, name))
 
     widths: list[int] = []
     if max_len > 0:
-        suf = base.select(
-            "doc_key",
-            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
-            F.col("text"),
-        ).select(
-            "doc_key",
-            F.col("pos").cast("long").alias("pos"),
-            F.substring(F.col("text"), F.col("pos"), F.lit(1)).alias("k"),
-        )
         d1 = _commit(_global_dense_rank(suf.select("k"), ["k"], "rank"), "dict_1")
         cur = _commit(
             suf.join(F.broadcast(d1), "k").select("doc_key", "pos", "rank"),
             "level_1",
         )
-        # skey_w = the STRING-keyed dictionary (k: w-char substring → rank),
+        # skey_w = the STRING-keyed dictionary (k: w-unit key → rank),
         # what makes pattern lookups a single join instead of a per-width
         # doubling chain. Built incrementally from the pair dictionary:
-        # skey_{2h}.k = skey_h[r1].k || skey_h[r2].k ('' when r2=0, the
-        # clamped-tail sentinel) — exactly the level key's definition, so
+        # skey_{2h}.k = skey_h[r1].k ⊕ skey_h[r2].k (just k1 when r2=0,
+        # the clamped-tail sentinel; ⊕ inserts ``sep`` — '' for chars,
+        # TOKEN_SEP for tokens) — exactly the level key's definition, so
         # no corpus re-scan. skey_1 IS dict_1.
         prev_sk = d1
         widths.append(1)
@@ -179,7 +265,11 @@ def build_suffix_index(
                     "left",
                 )
                 .select(
-                    F.concat(F.col("k1"), F.coalesce(F.col("k2"), F.lit(""))).alias("k"),
+                    F.when(F.col("k2").isNull(), F.col("k1"))
+                    .otherwise(
+                        F.concat(F.col("k1"), F.lit(sep), F.col("k2"))
+                    )
+                    .alias("k"),
                     "rank",
                 ),
                 f"skey_{2 * h}",
@@ -200,27 +290,51 @@ def build_suffix_index(
                 os.path.join(tmp, f"level_{w}")
             ).withColumnRenamed("rank", f"r_{w}")
             wide = lw if wide is None else wide.join(lw, ["doc_key", "pos"])
+        # stamp each doc's length into its rows (RLE-compresses to nothing)
+        # so the scan kernel can CHECK the docs-arrive-whole invariant
+        # instead of assuming it (ADVICE r11): a doc fragmented across read
+        # partitions would silently drop occurrences and misreport
+        # end-of-doc continuations — the check turns that into a loud error
+        lens = (
+            spark.read.schema("doc_key string, pos long, rank long")
+            .parquet(os.path.join(tmp, "level_1"))
+            .groupBy("doc_key")
+            .agg(F.count("*").cast("long").alias("doc_len"))
+        )
+        wide = wide.join(lens, "doc_key")
         # partition count: every output file must stay under the reader's
         # maxPartitionBytes (128 MB default) so a scan NEVER SPLITS a file
         # — the kernel needs each doc's rows whole in one read partition,
         # and repartition-by-doc_key puts a doc in exactly one file
-        par = int(total_chars * (len(widths) + 1) * 8 // (64 << 20)) + 1
+        par = int(total_units * (len(widths) + 2) * 8 // (64 << 20)) + 1
         wide.repartition(par, "doc_key").sortWithinPartitions(
             "doc_key", "pos"
         ).write.mode("overwrite").parquet(os.path.join(tmp, "wide"))
 
+    import uuid
+
     meta = {
-        "kind": "char-suffix-rank-index",
-        "format": 3,
+        "kind": kind,
+        "sep": sep,
+        "format": 4,
         "widths": widths,
         "max_width": max_width,
         "n_docs": n_docs,
-        "total_chars": total_chars,
+        "total_chars": total_units,
+        # build nonce: distinguishes this build from any prior build at the
+        # same path whose (n_docs, total_chars, widths) coincide — the
+        # key-dictionary memo keys on it, so a rebuild over a changed
+        # corpus can never serve a stale rank→key map (ADVICE r11)
+        "nonce": uuid.uuid4().hex,
     }
     with open(os.path.join(tmp, META_NAME), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
+    # evict any memoized alphabet for this path — the new nonce would miss
+    # anyway, but dropping the dead entries keeps the bounded memo useful
+    for k in [k for k in SuffixIndex._CHAR_MEMO if k and k[0] == path]:
+        SuffixIndex._CHAR_MEMO.pop(k, None)
     return SuffixIndex(spark, path, meta)
 
 
@@ -237,6 +351,9 @@ class SuffixIndex:
         self.n_docs = meta.get("n_docs")
         self.total_chars = meta.get("total_chars")
         self.format = meta.get("format", 1)
+        self.nonce = meta.get("nonce")
+        self.kind = meta.get("kind", "char-suffix-rank-index")
+        self.sep = meta.get("sep", "")
 
     @staticmethod
     def read(spark: SparkSession, path: str) -> "SuffixIndex":
@@ -259,7 +376,11 @@ class SuffixIndex:
         build it otherwise."""
         if os.path.isfile(os.path.join(path, META_NAME)):
             idx = SuffixIndex.read(spark, path)
-            stale = idx.max_width < max_width or idx.format < 3
+            stale = (
+                idx.max_width < max_width
+                or idx.format < 4
+                or idx.kind != "char-suffix-rank-index"
+            )
             if verify and not stale:
                 from frappe_data_pipelines_spark.operators.guards import (
                     collect_bounded,
@@ -277,6 +398,43 @@ class SuffixIndex:
             if not stale:
                 return idx
         return build_suffix_index(docs, path, max_width, id_col, text_col)
+
+    @staticmethod
+    def read_or_build_tokens(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        max_width: int = 8,
+        id_col: str = "doc_id",
+        tokens_col: str = "tokens",
+        verify: bool = False,
+    ) -> "SuffixIndex":
+        """Token-index twin of ``read_or_build`` — same staleness rules
+        with the probe over ``size(tokens)``."""
+        if os.path.isfile(os.path.join(path, META_NAME)):
+            idx = SuffixIndex.read(spark, path)
+            stale = (
+                idx.max_width < max_width
+                or idx.format < 4
+                or idx.kind != "token-suffix-rank-index"
+            )
+            if verify and not stale:
+                from frappe_data_pipelines_spark.operators.guards import (
+                    collect_bounded,
+                )
+
+                (st,) = collect_bounded(
+                    docs.filter(F.size(tokens_col) > 0).agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.size(tokens_col)).alias("c"),
+                    ),
+                    1,
+                    "SuffixIndex token verify probe",
+                )
+                stale = (st["n"], st["c"] or 0) != (idx.n_docs, idx.total_chars)
+            if not stale:
+                return idx
+        return build_token_suffix_index(docs, path, max_width, id_col, tokens_col)
 
     # explicit schemas on every read: the serving path's budget is JOB
     # COUNT, and schema inference costs one footer-scan job per
@@ -302,12 +460,15 @@ class SuffixIndex:
         )
 
     def wide(self) -> DataFrame:
-        """The serving table: (doc_key, pos, r_<w> per width),
-        doc-partitioned + (doc_key, pos)-sorted at build time."""
+        """The serving table: (doc_key, pos, r_<w> per width, doc_len),
+        doc-partitioned + (doc_key, pos)-sorted at build time. ``doc_len``
+        is the stored per-doc row count the scan kernel validates against
+        (ADVICE r11 — the docs-arrive-whole invariant is checked, not
+        assumed)."""
         cols = ", ".join(f"r_{w} long" for w in self.widths)
-        return self.spark.read.schema(f"doc_key string, pos long, {cols}").parquet(
-            os.path.join(self.path, "wide")
-        )
+        return self.spark.read.schema(
+            f"doc_key string, pos long, {cols}, doc_len long"
+        ).parquet(os.path.join(self.path, "wide"))
 
     # alphabet dictionaries memoized ACROSS handles (keyed on the identity
     # stamped in meta): a serving process opens a fresh handle per query,
@@ -319,7 +480,8 @@ class SuffixIndex:
         per distinct index and memoized (the kernel recovers next-chars
         from width-1 ranks through this map; rank 0 is the end-of-document
         sentinel)."""
-        key = (self.path, self.n_docs, self.total_chars, tuple(self.widths))
+        key = (self.path, self.nonce, self.n_docs, self.total_chars,
+               tuple(self.widths))
         memo = SuffixIndex._CHAR_MEMO
         if key not in memo:
             from frappe_data_pipelines_spark.operators.guards import (
@@ -382,7 +544,12 @@ def _piece_ranks(index: SuffixIndex, pat_rows) -> dict:
         pid, pat = r["pattern_id"], r["pattern"]
         h0 = 1 << int(_math.log2(len(pat)))
         for pos, w in _decompose(len(pat), h0):
-            pieces.append((pid, pos, w, pat[pos - 1 : pos - 1 + w]))
+            seg = pat[pos - 1 : pos - 1 + w]
+            # char pattern: the piece key IS the substring; token pattern
+            # (a list): the key is the sep-joined slice, matching the
+            # build's skey derivation
+            key = seg if isinstance(pat, str) else index.sep.join(seg)
+            pieces.append((pid, pos, w, key))
     spark = index.spark
     prel = spark.createDataFrame(
         pieces, "pattern_id long, pos long, width long, k string"
@@ -466,6 +633,24 @@ def _kernel_scan(index: SuffixIndex, pat_rows) -> DataFrame:
             g = g.sort_values("pos")
             r = {w: g[f"r_{w}"].to_numpy() for w in ws}
             n = len(g)
+            # docs-arrive-whole invariant, CHECKED not assumed (ADVICE
+            # r11): the build sizes files under the reader's split
+            # threshold, but a skewed doc_key hash or non-default
+            # maxPartitionBytes/parquet.block.size could still fragment a
+            # doc across read partitions — which would silently drop
+            # matches and misreport end-of-doc continuations. The stored
+            # per-doc length turns that into a loud rebuild signal.
+            stored = int(g["doc_len"].iloc[0])
+            pos = g["pos"].to_numpy()
+            if n != stored or int(pos[0]) != 1 or int(pos[-1]) != n:
+                raise ValueError(
+                    f"suffix-index wide table: doc {doc!r} arrived with "
+                    f"{n} rows (positions {pos[0]}..{pos[-1]}) but the "
+                    f"stored doc_len is {stored} — the doc fragmented "
+                    "across read partitions (oversized file or non-default "
+                    "spark.sql.files.maxPartitionBytes). Rebuild the index "
+                    "or restore default read-split configs."
+                )
             r1 = r[1]
             for pid, plen, pieces in programs:
                 mask = None
@@ -651,3 +836,86 @@ def infinigram_backoff_indexed(
         for r in chosen
     ]
     return spark.createDataFrame(out, schema)
+
+
+def indexed_token_pattern_counts(
+    index: SuffixIndex,
+    patterns: DataFrame,
+    pattern_col: str = "pattern",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """``token_pattern_counts`` served from the PERSISTED token index —
+    (pattern_id, pattern_len, n_docs, n_occurrences), zero rows kept, the
+    pattern array omitted from the output (same contract as the uncached
+    twin: array columns don't hash into the oracle compare). ``patterns``
+    is (pattern_id, pattern array<string>). No construction: piece ranks
+    from one skey scan, occurrences from one kernel pass over ``wide``."""
+    from frappe_data_pipelines_spark.operators.suffix import _collect_patterns
+
+    if index.kind != "token-suffix-rank-index":
+        raise ValueError(
+            "indexed_token_pattern_counts needs a token index, got "
+            f"{index.kind!r}"
+        )
+    pats, pat_rows = _collect_patterns(
+        patterns, "indexed_token_pattern_counts", max_patterns,
+        "array<string>", pattern_col,
+    )
+    zero = pats.select(
+        "pattern_id", F.size("pattern").cast("long").alias("pattern_len")
+    )
+    if not pat_rows:
+        return zero.select(
+            "pattern_id", "pattern_len",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        ).limit(0)
+    per_pat = _kernel_scan(index, pat_rows).groupBy("pattern_id").agg(
+        F.countDistinct("doc_key").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+    )
+
+
+def indexed_next_token_distribution(
+    index: SuffixIndex,
+    patterns: DataFrame,
+    pattern_col: str = "pattern",
+    max_patterns: int = 10_000,
+) -> DataFrame:
+    """Next-TOKEN distribution after each context n-gram, served from the
+    persisted token index — the token-unit ∞-gram prediction
+    (``indexed_pattern_continuations`` is the char twin): the kernel
+    emits following tokens as width-1 ranks; one vocabulary-sized
+    broadcast maps them back ('' at a document boundary). Returns
+    (pattern_id, next_token, n_continuations) — patterns with zero
+    occurrences contribute no rows."""
+    from frappe_data_pipelines_spark.operators.suffix import _collect_patterns
+
+    if index.kind != "token-suffix-rank-index":
+        raise ValueError(
+            "indexed_next_token_distribution needs a token index, got "
+            f"{index.kind!r}"
+        )
+    pats, pat_rows = _collect_patterns(
+        patterns, "indexed_next_token_distribution", max_patterns,
+        "array<string>", pattern_col,
+    )
+    spark = index.spark
+    out_schema = "pattern_id long, next_token string, n_continuations long"
+    if not pat_rows or not index.widths:
+        return spark.createDataFrame([], out_schema)
+    grouped = _indexed_continuations(
+        index, [(r["pattern_id"], list(r["pattern"])) for r in pat_rows]
+    )
+    tok_rel = spark.createDataFrame(
+        list(index.char_of_rank().items()), "next_r1 long, next_token string"
+    )
+    return grouped.join(F.broadcast(tok_rel), "next_r1").select(
+        "pattern_id", "next_token", "n_continuations"
+    )

@@ -1314,6 +1314,167 @@ def infinigram_query_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infinigram_backoff_indexed(docs, idx, _BACKOFF_QUERY)
 
 
+def _token_suffix_index_cache_dir(sf_dir: str) -> str:
+    """Cache location for the persisted TOKEN suffix index — keyed like
+    ``_suffix_index_cache_dir`` (per sf_dir, corpus subset, width) so
+    correctness and bench runs never share an index."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|doc_id%50|w8|tok|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"fdp_token_suffix_index_{key}")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str):
+    """The token family's shared corpus: doc_id %% 50 slice, lowercased
+    [^a-z0-9]+ split — identical to ``token_suffix_array_ranks``'s, so
+    every token-index query shares one tokenization contract with its
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("tokens"),
+    )
+
+
+# oracle re-derives both persisted-table invariants from raw text at the
+# TOKEN unit: n_positions = every (doc, token-pos); n_distinct = max(rank)
+# = the number of distinct CLAMPED w-token slices (list_slice clamps at
+# the document tail exactly like the index's clamped keys)
+_TOKEN_INDEX_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ), pos AS (
+      SELECT t, unnest(generate_series(1, len(t))) AS i
+      FROM toks WHERE len(t) > 0
+    ), w(width) AS (VALUES (1), (2), (4), (8))
+    SELECT CAST(w.width AS BIGINT) AS width,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(count(DISTINCT list_slice(t, CAST(i AS INT),
+                  CAST(i + w.width - 1 AS INT))) AS BIGINT) AS n_distinct
+    FROM pos CROSS JOIN w
+    GROUP BY w.width
+    """
+
+
+@register("token_suffix_index_build", oracle=_TOKEN_INDEX_SQL,
+          tags=("dedup", "extension"))
+def token_suffix_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD half of the TOKEN-level build/serve split (VERDICT r11 task
+    2; operators/suffixindex.py:build_token_suffix_index): the same
+    persisted rank-level + dictionary + wide-serving-table layout the
+    char-level ∞-gram index got in r11, at the token unit Lee et al. 2021
+    and infini-gram actually operate on — so the token pattern/
+    continuation family stops paying Manber–Myers construction per query.
+    Always rebuilds (the cost being measured); returns the per-level
+    summary the oracle re-derives from raw tokenized text, value-checking
+    what's ON DISK."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        build_token_suffix_index,
+    )
+
+    idx = build_token_suffix_index(
+        _doc_tokens(spark, sf_dir), _token_suffix_index_cache_dir(sf_dir),
+        max_width=8,
+    )
+    return spark.createDataFrame(
+        idx.summary(), "width long, n_positions long, n_distinct long"
+    )
+
+
+@register("token_ngram_frequency_cached", oracle=_TOKEN_FREQ_SQL,
+          tags=("dedup", "extension"))
+def token_ngram_frequency_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-n-gram frequency served from the PERSISTED token index
+    (operators/suffixindex.py:indexed_token_pattern_counts) — the cached
+    twin of ``token_ngram_frequency_search``, same oracle, same pattern
+    parameters: piece ranks from one skey scan, occurrences from one
+    map-only kernel pass, no construction, no token comparison. The gate
+    proves cached == from-scratch at the token unit."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        SuffixIndex,
+        indexed_token_pattern_counts,
+    )
+
+    tokens = _doc_tokens(spark, sf_dir)
+    idx = SuffixIndex.read_or_build_tokens(
+        spark, tokens, _token_suffix_index_cache_dir(sf_dir), max_width=8
+    )
+    pats = spark.createDataFrame(
+        _TOKEN_FREQ_PATTERNS, "pattern_id long, pattern array<string>"
+    )
+    return indexed_token_pattern_counts(idx, pats)
+
+
+# next-token contexts: a unigram (wide fan-out), a present bigram, and a
+# guaranteed miss (zero rows)
+_TOKEN_NEXT_PATTERNS = [
+    (1, ["the"]),
+    (2, ["hash", "value"]),
+    (3, ["no", "such", "gram"]),
+]
+
+_TOKEN_NEXT_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id % 50 = 0
+    ), pats AS (
+      SELECT * FROM (VALUES {vals}) v(pattern_id, pat)
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+    ), occ AS (
+      SELECT p.pattern_id,
+             coalesce(t[CAST(x.i + len(p.pat) AS INT)], '') AS next_token
+      FROM pos x CROSS JOIN pats p
+      WHERE x.i + len(p.pat) - 1 <= len(x.t)
+        AND list_slice(x.t, CAST(x.i AS INT),
+                       CAST(x.i + len(p.pat) - 1 AS INT)) = p.pat
+    )
+    SELECT pattern_id, next_token,
+           CAST(count(*) AS BIGINT) AS n_continuations
+    FROM occ GROUP BY 1, 2
+    """.format(vals=", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{t}'" for t in p))
+        for i, p in _TOKEN_NEXT_PATTERNS
+    ))
+
+
+@register("token_next_distribution_cached", oracle=_TOKEN_NEXT_SQL,
+          tags=("dedup", "extension"))
+def token_next_distribution_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-TOKEN distribution after each context n-gram, served from the
+    persisted token index (operators/suffixindex.py:
+    indexed_next_token_distribution) — the token-unit ∞-gram prediction:
+    following tokens come back as width-1 ranks from the kernel scan and
+    map to strings through one vocabulary-sized broadcast ('' at a
+    document boundary). The oracle recounts positionally by list-slice
+    comparison — contexts, tokens, AND counts value-checked, boundary
+    events included."""
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        SuffixIndex,
+        indexed_next_token_distribution,
+    )
+
+    tokens = _doc_tokens(spark, sf_dir)
+    idx = SuffixIndex.read_or_build_tokens(
+        spark, tokens, _token_suffix_index_cache_dir(sf_dir), max_width=8
+    )
+    pats = spark.createDataFrame(
+        _TOKEN_NEXT_PATTERNS, "pattern_id long, pattern array<string>"
+    )
+    return indexed_next_token_distribution(idx, pats)
+
+
 _INCR_SPAN_SQL = """
     WITH win AS (
       SELECT doc_id, p.p AS pos, substr(text, p.p, 40) AS s

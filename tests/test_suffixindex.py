@@ -138,3 +138,53 @@ def test_decompose_pure():
         widths_after = [w for _, w in pieces[1:]]
         assert widths_after == sorted(widths_after, reverse=True)
         assert len(set(widths_after)) == len(widths_after)  # distinct
+
+
+def test_wide_doc_len_invariant_checked(spark, tmp_path):
+    """ADVICE r11 (medium): the kernel must VALIDATE that each doc's wide
+    rows arrived whole in one read partition, not assume it. The wide
+    table stores per-doc row counts; a mismatch (simulated here by
+    tampering doc_len — the same observable as a doc fragmenting across
+    read partitions) must raise loudly instead of silently dropping
+    occurrences."""
+    docs, _ = _mk_corpus(spark, seed=7, n=8)
+    idx = build_suffix_index(docs, str(tmp_path / "sidx"), max_width=4)
+    # healthy index: doc_len matches the per-doc row count everywhere
+    from pyspark.sql import functions as F
+
+    bad = (
+        idx.wide()
+        .groupBy("doc_key", "doc_len")
+        .count()
+        .filter(F.col("count") != F.col("doc_len"))
+        .count()
+    )
+    assert bad == 0
+    pats = spark.createDataFrame([(1, "fox")], "pattern_id long, pattern string")
+    assert indexed_pattern_counts(idx, pats).count() == 1
+    # tamper: inflate doc_len → every doc group now looks fragmented
+    real_wide = idx.wide()
+    idx.wide = lambda: real_wide.withColumn(
+        "doc_len", F.col("doc_len") + F.lit(1)
+    )
+    with pytest.raises(Exception, match="fragmented"):
+        indexed_pattern_counts(idx, pats).collect()
+
+
+def test_char_memo_nonce_rebuild_same_stats(spark, tmp_path):
+    """ADVICE r11: rebuilding at the same path over a DIFFERENT corpus
+    whose (n_docs, total_chars, widths) coincide must not serve a stale
+    memoized rank→char map — the build nonce keys the memo."""
+    path = str(tmp_path / "sidx")
+    a = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    idx_a = build_suffix_index(a, path, max_width=2)
+    chars_a = set(idx_a.char_of_rank().values())
+    assert chars_a == {"a", "b", ""}
+    b = spark.createDataFrame([(1, "cd")], "doc_id long, text string")
+    idx_b = build_suffix_index(b, path, max_width=2)
+    # identical stats, same path — only the nonce distinguishes them
+    assert (idx_a.n_docs, idx_a.total_chars, idx_a.widths) == (
+        idx_b.n_docs, idx_b.total_chars, idx_b.widths
+    )
+    assert idx_a.nonce != idx_b.nonce
+    assert set(idx_b.char_of_rank().values()) == {"c", "d", ""}
