@@ -90,22 +90,34 @@ HEADLINE = [
     "blocklist_term_audit",
     "training_shard_manifest",
     "ann_bq_search",
-    # round-8: the token-level suffix machinery and its serving step join
-    # the headline so the O(log n)-round construction's wall time is
-    # TRACKED per round, not assumed (VERDICT r7 #7); ann_sq_search joins
-    # as the second exactly-oracled quantizer tier
-    "token_suffix_array_ranks",
-    "infinigram_backoff_inference",
+    # round-8: ann_sq_search joins as the second exactly-oracled
+    # quantizer tier
     "ann_sq_search",
-    # round-11: the ∞-gram build/query split (VERDICT r10 task 2) — build
-    # cost and serving cost tracked as SEPARATE rows; the cached query
-    # path must hold ≤1s at sf0.1 (build runs first so the cache is warm)
-    "suffix_index_build",
+    # round-12 (VERDICT r11 task 3): the suffix/∞-gram family's headline
+    # rows are the SERVING paths only; construction moved to BUILD_TIER
+    # below (it was being paid twice in the suite sum — once in-memory by
+    # infinigram_backoff_inference, once persisted by suffix_index_build).
+    # The uncached inference + token construction queries remain fully
+    # oracled in the parity gate; they're just not double-billed here.
     "infinigram_query_cached",
+    "substring_frequency_cached",
+    "token_ngram_frequency_cached",
+    "token_next_distribution_cached",
     # round-9: the ingest-door scrub (symmetric fingerprint-narrowed
     # expansion) joins the headline so the door's batch-side cost is
     # tracked per round, not only in STREAM_BENCH's latency view
     "incremental_substring_scrub",
+]
+
+# Construction costs, measured ONCE before the headline passes (warming
+# the serving caches the cached queries read) and reported as their own
+# tier — like ingest rates, not summed into the headline (VERDICT r11
+# task 3: a build is paid once per corpus, so billing it per suite pass
+# misprices the engine). Best-of-2: builds are multi-stage enough to
+# deserve one retry against a contention window.
+BUILD_TIER = [
+    "suffix_index_build",
+    "token_suffix_index_build",
 ]
 
 
@@ -193,6 +205,25 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
+
+    # build tier first: constructions run once, their caches serve the
+    # cached headline rows below
+    build_tier: dict[str, float] = {}
+    for name in BUILD_TIER:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = q[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001
+                best = -1.0
+                print(f"# bench build error {name}: {e}", file=sys.stderr)
+                break
+        build_tier[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     # best-of-3 per query, ROUND-ROBIN passes: the host is shared (driver
     # verify jobs, page-cache drops), and back-to-back repeats put all of a
@@ -365,6 +396,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if build_tier:
+        out["build_tier_sec"] = build_tier
     if ingest_rate is not None:
         out["ingest_docs_per_sec"] = ingest_rate
     if exactly_once_rate is not None:
@@ -373,6 +406,49 @@ def main() -> None:
         out["canary"] = canary_block
     if adjudication:
         out["adjudication"] = adjudication
+
+    # --- BASELINE v3 comparison (VERDICT r11 task 1) ---------------------
+    # BASELINE_V3.json (written by tools/repin_baseline.py) holds
+    # bracketed, canary-normalized pins; compare this run's readings after
+    # normalizing by the SAME clean-q6 anchor, so both sides of every
+    # ratio are in clean-window units and a throttled host can't fake a
+    # regression (or an improvement).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        v3_path = os.path.join(here, "BASELINE_V3.json")
+        if str(out["sf"]) == "0.1" and os.path.isfile(v3_path):
+            with open(v3_path) as f:
+                v3 = json.load(f)
+            anchor = v3.get("clean_q6_ref", 0.199)
+            cur_ratio = (
+                timings.get(CANARY, 0) / anchor
+                if timings.get(CANARY, 0) > 0 else None
+            )
+            if cur_ratio:
+                per = {}
+                for name, row in v3.get("rows", {}).items():
+                    pin = row.get("normalized")
+                    t = timings.get(name, 0)
+                    if pin and pin > 0 and t > 0:
+                        norm = t / cur_ratio
+                        per[name] = {
+                            "pin_normalized": pin,
+                            "current_normalized": round(norm, 3),
+                            "ratio": round(norm / pin, 3),
+                        }
+                if per:
+                    s_pin = sum(p["pin_normalized"] for p in per.values())
+                    s_cur = sum(p["current_normalized"] for p in per.values())
+                    out["baseline_v3"] = {
+                        "source": "BASELINE_V3.json",
+                        "window_ratio": round(cur_ratio, 3),
+                        "sum_pin_normalized": round(s_pin, 3),
+                        "sum_current_normalized": round(s_cur, 3),
+                        "suite_vs_baseline": round(s_cur / s_pin, 3),
+                        "per_query": per,
+                    }
+    except Exception as e:  # noqa: BLE001 — comparison must never sink the bench
+        print(f"# bench baseline-v3 error: {e}", file=sys.stderr)
 
     # FULL object to a local artifact (next round's adjudication prior —
     # immune to the driver's tail truncation; only for the headline sf so
@@ -402,10 +478,12 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": sum(1 for t in timings.values() if t > 0),
         "n_errors": sum(1 for t in timings.values() if t < 0),
+        "build_tier_sec": build_tier,
         "ingest_docs_per_sec": ingest_rate,
         "ingest_exactly_once_docs_per_sec": exactly_once_rate,
         "canary": canary_block,
         "verdicts": {a["query"]: a["verdict"] for a in adjudication},
+        "baseline_v3": (out.get("baseline_v3") or {}).get("suite_vs_baseline"),
         "slowest5": slowest,
     }
     print(json.dumps(compact))

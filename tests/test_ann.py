@@ -730,7 +730,9 @@ def test_hnsw_persisted_lifecycle(spark, sf_dir, tmp_path):
         assert rec >= 0.8, f"persisted query {qid} recall {rec}"
         assert len(by_q[qid]) == 10
 
-    # append the tail: only its shards rewritten, new ids findable
+    # append the tail: ONLY the designated delta shard written (VERDICT
+    # r11 task 4 — the old id%n_shards routing rewrote every shard), new
+    # ids findable
     import glob
     import os
 
@@ -738,11 +740,12 @@ def test_hnsw_persisted_lifecycle(spark, sf_dir, tmp_path):
               for p in glob.glob(os.path.join(path, "shard=*/*.parquet"))}
     res = ann.hnsw_append(spark, path, tail)
     assert res["n_appended"] == 40
-    assert set(res["touched_shards"]) <= {0, 1, 2, 3}
-    untouched = [s for s in range(4) if s not in res["touched_shards"]]
-    for s in untouched:
-        for p in glob.glob(os.path.join(path, f"shard={s}/*.parquet")):
-            assert os.path.getmtime(p) == before[p], "untouched shard rewritten"
+    assert res["touched_shards"] == [4], "append must hit only the delta shard"
+    if not res["rebalanced"]:
+        for s in range(4):  # every BASE shard's files untouched
+            for p in glob.glob(os.path.join(path, f"shard={s}/*.parquet")):
+                assert os.path.getmtime(p) == before[p], \
+                    "base shard rewritten by append"
 
     probe_id = n - 1
     qv = list(emb.filter(F.col("vec_id") == probe_id).first()["embedding"])
@@ -752,3 +755,63 @@ def test_hnsw_persisted_lifecycle(spark, sf_dir, tmp_path):
     assert probe_id in got2, "appended vector not findable (it is its own NN)"
     exact2 = {r["vec_id"] for r in knn_topk(emb, qv, k=10).collect()}
     assert len(got2 & exact2) / 10 >= 0.8
+
+
+def test_hnsw_read_search_empty_queries(spark, sf_dir, tmp_path):
+    """ADVICE r11: an empty query batch must return an empty (query_id,
+    vec_id, dist) frame, not crash in np.linalg.norm on a shape-(0,)
+    array."""
+    path = str(tmp_path / "hnsw_idx")
+    emb = load_table(spark, sf_dir, "embeddings").limit(64)
+    ann.hnsw_write(emb, path, n_shards=2, M=8, ef_construction=32)
+    q0 = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    got = ann.hnsw_read_search(spark, path, q0, k=5)
+    assert got.columns == ["query_id", "vec_id", "dist"]
+    assert got.count() == 0
+
+
+def test_hnsw_append_rebalance_trigger(spark, sf_dir, tmp_path):
+    """Delta-shard drift contract (VERDICT r11 task 4): appends
+    accumulate in the designated delta shard until its share of the
+    corpus crosses rebalance_threshold, at which point the append drains
+    it via a full re-shard that is bit-identical to a from-scratch
+    hnsw_write of the same vectors (id%n_shards routing, vec_id-ascending
+    inserts)."""
+    import os
+
+    path = str(tmp_path / "hnsw_idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    head = emb.filter(F.col("vec_id") < n // 2)
+    tail = emb.filter(F.col("vec_id") >= n // 2)
+    ann.hnsw_write(head, path, n_shards=4, M=8, ef_construction=32)
+
+    # appending half the corpus must blow the 0.2 default threshold
+    res = ann.hnsw_append(spark, path, tail)
+    assert res["rebalanced"] is True
+    assert res["delta_fraction"] > 0.2
+    assert res["touched_shards"] == [0, 1, 2, 3, 4]
+    # delta shard drained: no shard=4 partition remains
+    assert not os.path.isdir(os.path.join(path, "shard=4"))
+
+    # bit-identical to a from-scratch build over the same vectors
+    ref_path = str(tmp_path / "hnsw_ref")
+    ann.hnsw_write(emb, ref_path, n_shards=4, M=8, ef_construction=32)
+    got = spark.read.parquet(path).orderBy("shard", "kind", "idx", "vec_id")
+    ref = spark.read.parquet(ref_path).orderBy("shard", "kind", "idx", "vec_id")
+    assert [r.asDict() for r in got.collect()] == \
+        [r.asDict() for r in ref.collect()]
+
+    # a SMALL append on the rebalanced index stays delta-only
+    extra = spark.createDataFrame(
+        [(n + i, [float(i % 7), 1.0] + [0.0] * 62) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    res2 = ann.hnsw_append(spark, path, extra)
+    assert res2["rebalanced"] is False
+    assert res2["touched_shards"] == [4]
+    qv = [0.0, 1.0] + [0.0] * 62
+    q2 = spark.createDataFrame([(7, qv)], "query_id long, query_vec array<double>")
+    found = {r["vec_id"]
+             for r in ann.hnsw_read_search(spark, path, q2, k=10).collect()}
+    assert found & {n + i for i in range(5)}, "delta-shard vectors not served"
