@@ -122,3 +122,24 @@ def test_bracketed_verdict_rule():
     src = open("bench.py").read()
     assert '"canary_before"' in src and '"canary_after"' in src
     assert '"unadjudicable"' in src and "bracket_spread" in src
+
+
+def test_headline_and_build_tier_names_resolve_in_catalog():
+    """Every bench row must name a registered catalog query — a renamed
+    query would otherwise only surface as -1.0 timings at round end. Also
+    pins the r12 restructure: construction queries live in BUILD_TIER,
+    not the headline sum, and the cached serving twins are headline."""
+    from bench import BUILD_TIER, HEADLINE
+    from frappe_data_pipelines_spark.plans.catalog import queries
+
+    q = queries()
+    missing = [n for n in HEADLINE + BUILD_TIER if n not in q]
+    assert not missing, f"bench names not in catalog: {missing}"
+    assert not set(HEADLINE) & set(BUILD_TIER)
+    for build in ("suffix_index_build", "token_suffix_index_build"):
+        assert build in BUILD_TIER
+    for serving in ("infinigram_query_cached", "substring_frequency_cached",
+                    "token_ngram_frequency_cached",
+                    "token_next_distribution_cached"):
+        assert serving in HEADLINE
+    assert "infinigram_backoff_inference" not in HEADLINE  # double-pay

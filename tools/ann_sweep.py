@@ -270,8 +270,12 @@ def scale10x_probe(spark, ann, vectors, probe_queries, k, dim) -> list[dict]:
                 "qps": None,
                 "params": {"n_appended": app["n_appended"],
                            "touched_shards": len(app["touched_shards"]),
+                           "rebalanced": app["rebalanced"],
+                           "delta_fraction": app["delta_fraction"],
                            "append_sec": app_sec,
-                           "note": "recall = appended-id self-findability"},
+                           "note": "recall = appended-id self-findability; "
+                                   "1%-append must stay delta-shard-only "
+                                   "(VERDICT r11 task 4)"},
             }
         )
     finally:
