@@ -39,9 +39,23 @@ GATE = 1.15
 
 
 def probe() -> dict:
-    """Best-of-3 q6 canary in THIS process — table warmed first so the
-    reading is plan execution, not page-cache fill. Prints/returns
-    {"canary_sec", "ratio"}."""
+    """q6 canary in THIS (fresh) process, best of the last 6 of 18 reps —
+    table warmed first so the reading is plan execution, not page-cache
+    fill.
+
+    WHY 18 reps (round-12 calibration): the original best-of-3 probe
+    could NEVER pass the gate — a fresh JVM's q6 floors at ~0.30-0.42 s
+    (1.5-2.1x) for its first ~10 executions while HotSpot tiers the
+    codegen'd stage, then asymptotes to ~0.21-0.25 s. Measured in a
+    window where a long-warmed session simultaneously read 0.16-0.21 s
+    (the r8 clean-reference regime), rep curves were
+    [1.03, 0.48, 0.37, ..., 0.25, 0.23, 0.22] — best-of-3 reads the JIT
+    warm-up, not the host. That bias is why both r11 watches (and r12's
+    first) reported 'gate never opened' at min 1.7x on hosts that were
+    at times demonstrably clean. Best-of-last-6-of-18 reads ≤1.15x on a
+    clean host and ≥1.5x under real throttle — a discriminating gate.
+
+    Prints/returns {"canary_sec", "ratio", "reps"}."""
     sys.path.insert(0, ROOT)
     from pyspark.sql import functions as F
 
@@ -55,14 +69,14 @@ def probe() -> dict:
     q = queries()["tpch_q6_forecast_revenue"]
     li = load_table(spark, sf_dir, "lineitem")
     li.agg(*[F.count(c).alias(c) for c in li.columns]).collect()
-    best = None
-    for _ in range(3):
+    reps = []
+    for _ in range(18):
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        reps.append(round(time.time() - t0, 3))
+    best = min(reps[-6:])
     rec = {"canary_sec": round(best, 3), "ratio": round(best / CLEAN_Q6_REF, 3),
-           "unix": int(time.time())}
+           "reps": reps, "unix": int(time.time())}
     print(json.dumps(rec))
     return rec
 
@@ -139,7 +153,7 @@ def main() -> int:
     ap.add_argument("--watch", action="store_true")
     ap.add_argument("--interval", type=int, default=1800)
     ap.add_argument("--max-hours", type=float, default=5.0)
-    ap.add_argument("--out", default=os.path.join(ROOT, "QUIET_WINDOW_r11.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "QUIET_WINDOW_LAST.json"))
     args = ap.parse_args()
     if args.probe:
         probe()
