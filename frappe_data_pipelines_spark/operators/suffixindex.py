@@ -919,3 +919,112 @@ def indexed_next_token_distribution(
     return grouped.join(F.broadcast(tok_rel), "next_r1").select(
         "pattern_id", "next_token", "n_continuations"
     )
+
+
+def _validate_local_pats(pat_pairs, label: str) -> None:
+    """Pure-python twin of ``_collect_patterns``'s validation for
+    patterns that never existed distributed — no Spark job."""
+    if any(p is None or len(p) == 0 for _, p in pat_pairs):
+        raise ValueError(f"{label}: empty/null pattern")
+    if len({pid for pid, _ in pat_pairs}) != len(pat_pairs):
+        raise ValueError(f"{label}: duplicate pattern_id")
+
+
+def indexed_pattern_counts_local(
+    index: SuffixIndex, pat_pairs: list[tuple[int, str]]
+) -> DataFrame:
+    """``indexed_pattern_counts`` with DRIVER-LOCAL patterns: same result
+    contract (pattern_id, pattern, pattern_len, n_docs, n_occurrences,
+    zero rows kept), minus the pattern-DataFrame collect job — query
+    literals are driver-side by construction, so shipping them through a
+    distributed relation just to collect them back was one pure-overhead
+    scheduler floor per call (the job-count lesson;
+    ``infinigram_backoff_indexed`` already serves collect-free)."""
+    _validate_local_pats(pat_pairs, "indexed_pattern_counts_local")
+    spark = index.spark
+    zero = spark.createDataFrame(
+        [(pid, p, len(p)) for pid, p in pat_pairs],
+        "pattern_id long, pattern string, pattern_len long",
+    )
+    if not pat_pairs or not index.widths:
+        all_zero = zero.select(
+            "pattern_id", "pattern", "pattern_len",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        )
+        return all_zero.limit(0) if not pat_pairs else all_zero
+    pat_rows = [{"pattern_id": pid, "pattern": p} for pid, p in pat_pairs]
+    per_pat = _kernel_scan(index, pat_rows).groupBy("pattern_id").agg(
+        F.countDistinct("doc_key").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+    )
+
+
+def indexed_token_pattern_counts_local(
+    index: SuffixIndex, pat_pairs: list[tuple[int, list]]
+) -> DataFrame:
+    """``indexed_token_pattern_counts`` with DRIVER-LOCAL patterns —
+    same contract (pattern array omitted from the output), one collect
+    job fewer (see ``indexed_pattern_counts_local``)."""
+    if index.kind != "token-suffix-rank-index":
+        raise ValueError(
+            "indexed_token_pattern_counts_local needs a token index, got "
+            f"{index.kind!r}"
+        )
+    _validate_local_pats(pat_pairs, "indexed_token_pattern_counts_local")
+    spark = index.spark
+    zero = spark.createDataFrame(
+        [(pid, len(p)) for pid, p in pat_pairs],
+        "pattern_id long, pattern_len long",
+    )
+    if not pat_pairs or not index.widths:
+        all_zero = zero.select(
+            "pattern_id", "pattern_len",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_occurrences"),
+        )
+        return all_zero.limit(0) if not pat_pairs else all_zero
+    pat_rows = [{"pattern_id": pid, "pattern": list(p)} for pid, p in pat_pairs]
+    per_pat = _kernel_scan(index, pat_rows).groupBy("pattern_id").agg(
+        F.countDistinct("doc_key").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_occurrences"),
+    )
+    return zero.join(per_pat, "pattern_id", "left").select(
+        "pattern_id",
+        "pattern_len",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0)).cast("long").alias("n_occurrences"),
+    )
+
+
+def indexed_next_token_distribution_local(
+    index: SuffixIndex, pat_pairs: list[tuple[int, list]]
+) -> DataFrame:
+    """``indexed_next_token_distribution`` with DRIVER-LOCAL patterns —
+    same contract, one collect job fewer."""
+    if index.kind != "token-suffix-rank-index":
+        raise ValueError(
+            "indexed_next_token_distribution_local needs a token index, "
+            f"got {index.kind!r}"
+        )
+    _validate_local_pats(pat_pairs, "indexed_next_token_distribution_local")
+    spark = index.spark
+    out_schema = "pattern_id long, next_token string, n_continuations long"
+    if not pat_pairs or not index.widths:
+        return spark.createDataFrame([], out_schema)
+    grouped = _indexed_continuations(
+        index, [(pid, list(p)) for pid, p in pat_pairs]
+    )
+    tok_rel = spark.createDataFrame(
+        list(index.char_of_rank().items()), "next_r1 long, next_token string"
+    )
+    return grouped.join(F.broadcast(tok_rel), "next_r1").select(
+        "pattern_id", "next_token", "n_continuations"
+    )

@@ -1277,17 +1277,16 @@ def substring_frequency_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern shapes up to the servable length bound."""
     from frappe_data_pipelines_spark.operators.suffixindex import (
         SuffixIndex,
-        indexed_pattern_counts,
+        indexed_pattern_counts_local,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
     idx = SuffixIndex.read_or_build(
         spark, docs, _suffix_index_cache_dir(sf_dir), max_width=8
     )
-    pats = spark.createDataFrame(
-        _FREQ_CACHED_PATTERNS, "pattern_id long, pattern string"
-    )
-    return indexed_pattern_counts(idx, pats)
+    # patterns are query literals — the local serving path skips the
+    # pattern-DataFrame collect job (serving budget is JOB COUNT)
+    return indexed_pattern_counts_local(idx, _FREQ_CACHED_PATTERNS)
 
 
 @register("infinigram_query_cached", oracle=_BACKOFF_SQL,
@@ -1401,17 +1400,14 @@ def token_ngram_frequency_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves cached == from-scratch at the token unit."""
     from frappe_data_pipelines_spark.operators.suffixindex import (
         SuffixIndex,
-        indexed_token_pattern_counts,
+        indexed_token_pattern_counts_local,
     )
 
     tokens = _doc_tokens(spark, sf_dir)
     idx = SuffixIndex.read_or_build_tokens(
         spark, tokens, _token_suffix_index_cache_dir(sf_dir), max_width=8
     )
-    pats = spark.createDataFrame(
-        _TOKEN_FREQ_PATTERNS, "pattern_id long, pattern array<string>"
-    )
-    return indexed_token_pattern_counts(idx, pats)
+    return indexed_token_pattern_counts_local(idx, _TOKEN_FREQ_PATTERNS)
 
 
 # next-token contexts: a unigram (wide fan-out), a present bigram, and a
@@ -1462,17 +1458,14 @@ def token_next_distribution_cached(spark: SparkSession, sf_dir: str) -> DataFram
     events included."""
     from frappe_data_pipelines_spark.operators.suffixindex import (
         SuffixIndex,
-        indexed_next_token_distribution,
+        indexed_next_token_distribution_local,
     )
 
     tokens = _doc_tokens(spark, sf_dir)
     idx = SuffixIndex.read_or_build_tokens(
         spark, tokens, _token_suffix_index_cache_dir(sf_dir), max_width=8
     )
-    pats = spark.createDataFrame(
-        _TOKEN_NEXT_PATTERNS, "pattern_id long, pattern array<string>"
-    )
-    return indexed_next_token_distribution(idx, pats)
+    return indexed_next_token_distribution_local(idx, _TOKEN_NEXT_PATTERNS)
 
 
 _INCR_SPAN_SQL = """

@@ -188,3 +188,57 @@ def test_char_memo_nonce_rebuild_same_stats(spark, tmp_path):
     )
     assert idx_a.nonce != idx_b.nonce
     assert set(idx_b.char_of_rank().values()) == {"c", "d", ""}
+
+
+def test_local_pattern_variants_match_dataframe_intake(spark, tmp_path):
+    """The *_local serving entrypoints (driver-local patterns, one fewer
+    collect job) must return exactly what the DataFrame-intake twins do —
+    including zero rows and validation errors."""
+    from pyspark.sql import functions as F
+
+    from frappe_data_pipelines_spark.operators.suffixindex import (
+        build_token_suffix_index,
+        indexed_next_token_distribution,
+        indexed_next_token_distribution_local,
+        indexed_pattern_counts_local,
+        indexed_token_pattern_counts,
+        indexed_token_pattern_counts_local,
+    )
+
+    docs, _ = _mk_corpus(spark, seed=31, n=15)
+    idx = build_suffix_index(docs, str(tmp_path / "cidx"), max_width=8)
+    char_pats = [(1, "the quick"), (2, "fox"), (3, "zz-not-here")]
+    base = sorted(map(tuple, indexed_pattern_counts(
+        idx, spark.createDataFrame(char_pats, "pattern_id long, pattern string")
+    ).collect()))
+    got = sorted(map(tuple, indexed_pattern_counts_local(idx, char_pats).collect()))
+    assert got == base
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), "[^a-z0-9ü]+"),
+                 lambda x: x != "").alias("tokens"),
+    )
+    tidx = build_token_suffix_index(toks, str(tmp_path / "tidx"), max_width=4)
+    tok_pats = [(1, ["the"]), (2, ["quick", "brown"]), (3, ["no", "gram"])]
+    pats_df = spark.createDataFrame(
+        tok_pats, "pattern_id long, pattern array<string>"
+    )
+    base_t = sorted(map(tuple,
+                        indexed_token_pattern_counts(tidx, pats_df).collect()))
+    got_t = sorted(map(tuple,
+                       indexed_token_pattern_counts_local(tidx, tok_pats).collect()))
+    assert got_t == base_t
+    base_n = sorted(map(tuple,
+                        indexed_next_token_distribution(tidx, pats_df).collect()))
+    got_n = sorted(map(tuple,
+                       indexed_next_token_distribution_local(tidx, tok_pats).collect()))
+    assert got_n == base_n
+
+    with pytest.raises(ValueError, match="duplicate"):
+        indexed_pattern_counts_local(idx, [(1, "a"), (1, "b")])
+    with pytest.raises(ValueError, match="empty"):
+        indexed_token_pattern_counts_local(tidx, [(1, [])])
+    # kind guard: char index rejected by the token entrypoints
+    with pytest.raises(ValueError, match="token index"):
+        indexed_token_pattern_counts_local(idx, tok_pats)
