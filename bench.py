@@ -90,9 +90,10 @@ HEADLINE = [
     "blocklist_term_audit",
     "training_shard_manifest",
     "ann_bq_search",
-    # round-8: ann_sq_search joins as the second exactly-oracled
-    # quantizer tier
-    "ann_sq_search",
+    # round-8/12: the exactly-oracled SQ8 quantizer tier — now the CACHED
+    # serving row (persisted codes + sidecar grid); construction moved to
+    # BUILD_TIER, the from-scratch ann_sq_search stays in the parity gate
+    "ann_sq_search_cached",
     # round-12 (VERDICT r11 task 3): the suffix/∞-gram family's headline
     # rows are the SERVING paths only; construction moved to BUILD_TIER
     # below (it was being paid twice in the suite sum — once in-memory by
@@ -118,6 +119,7 @@ HEADLINE = [
 BUILD_TIER = [
     "suffix_index_build",
     "token_suffix_index_build",
+    "sq_index_build",
 ]
 
 

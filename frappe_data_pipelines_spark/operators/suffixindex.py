@@ -53,6 +53,15 @@ corpus changes (``_index_meta.json`` records n_docs + total_chars so
 Patterns up to ``2 * max_width - 1`` chars are servable (the binary
 decomposition seeds at 2^floor(log2 L) ≤ max_width and refines with
 strictly smaller distinct widths).
+
+Round 12 additions: (a) a TOKEN-level twin (``build_token_suffix_index``
+— the unit Lee et al. 2021 / infini-gram actually index) persisting the
+identical layout over token positions, with skey keys joined by a
+reserved separator and every serving path shared; (b) the wide table
+stores each doc's length and the kernel CHECKS the docs-arrive-whole
+invariant instead of assuming it; (c) ``*_local`` serving entrypoints
+take driver-local pattern literals and skip the pattern-DataFrame
+collect job (the serving budget is job count).
 """
 
 from __future__ import annotations

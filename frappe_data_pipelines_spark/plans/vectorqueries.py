@@ -572,6 +572,81 @@ def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.sq_search(codes, lo, hi, _query_vec(spark, sf_dir), k=10, exact=True)
 
 
+def _sq_index_cache_dir(sf_dir: str) -> str:
+    """Cache location for the persisted SQ8 index — keyed per sf_dir so
+    correctness and bench runs never share an index (same convention as
+    the suffix-index caches)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|sq8|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"fdp_sq_index_{key}")
+
+
+_SQ_GRID_SQL = """
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS v
+      FROM embeddings
+    ), dims AS (
+      SELECT vec_id, CAST(i.i AS INT) AS d, v[CAST(i.i AS INT)] AS x
+      FROM n, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+    )
+    SELECT CAST(d AS BIGINT) AS d, min(x) AS lo, max(x) AS hi
+    FROM dims GROUP BY d
+    """
+
+
+@register("sq_index_build", oracle=_SQ_GRID_SQL,
+          tags=("O10", "extension", "scale-path"))
+def sq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD half of the SQ8 build/serve split (operators/ann.py:
+    sq_write): compute the per-dim grid, encode the corpus to int8 codes,
+    persist both. Always rebuilds (the cost being measured — bench's
+    BUILD_TIER row). Returns the grid read back FROM THE SIDECAR, which
+    the oracle re-derives from raw vectors — so what's on disk is
+    value-checked bit-for-bit (sq_grid's sequential-fold normalization
+    is DuckDB-reproducible and JSON float round-tripping is exact)."""
+    import json
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _sq_index_cache_dir(sf_dir)
+    ann.sq_write(emb, path)
+    with open(os.path.join(path, "_sq_meta.json")) as f:
+        meta = json.load(f)
+    return spark.createDataFrame(
+        [(i + 1, lo, hi)
+         for i, (lo, hi) in enumerate(zip(meta["lo"], meta["hi"]))],
+        "d long, lo double, hi double",
+    )
+
+
+@register("ann_sq_search_cached", oracle=_SQ_SQL,
+          tags=("O10", "extension", "scale-path"))
+def ann_sq_search_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY half of the SQ8 split (operators/ann.py:sq_read_search):
+    serve from the persisted codes + sidecar grid — no grid
+    recomputation, no re-encode, ONE map-only scan of int8 codes. SAME
+    oracle as ``ann_sq_search``, so the gate proves persisted ==
+    from-scratch on the full scored top-k (the suffix-index family's
+    cached==uncached pattern). Builds on a cold cache (first call after
+    ``sq_index_build`` is always warm)."""
+    import os
+
+    path = _sq_index_cache_dir(sf_dir)
+    if not os.path.isfile(os.path.join(path, "_sq_meta.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ann.sq_write(emb, path)
+    return ann.sq_read_search(
+        spark, path, _query_vec(spark, sf_dir), k=10, exact=True
+    )
+
+
 @register(
     "ann_bq_search",
     oracle=f"""

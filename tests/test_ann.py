@@ -815,3 +815,36 @@ def test_hnsw_append_rebalance_trigger(spark, sf_dir, tmp_path):
     found = {r["vec_id"]
              for r in ann.hnsw_read_search(spark, path, q2, k=10).collect()}
     assert found & {n + i for i in range(5)}, "delta-shard vectors not served"
+
+
+def test_sq_persisted_lifecycle(spark, sf_dir, tmp_path):
+    """SQ8 build/serve split (round 12): sq_write persists codes + grid
+    sidecar; sq_read_search must return exactly what the in-memory
+    train/encode/search path returns, for BOTH kernels (exact DECIMAL and
+    numpy throughput)."""
+    import json
+    import os
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = str(tmp_path / "sq_idx")
+    ann.sq_write(emb, path)
+
+    with open(os.path.join(path, "_sq_meta.json")) as f:
+        meta = json.load(f)
+    grid = collect_bounded(ann.sq_grid(emb).orderBy("d"), 4096, "grid")
+    assert meta["lo"] == [r["lo"] for r in grid]  # sidecar bit-exact
+    assert meta["hi"] == [r["hi"] for r in grid]
+    assert meta["n_vectors"] == emb.count()
+
+    lo = np.array(meta["lo"])
+    hi = np.array(meta["hi"])
+    codes = ann.sq_encode(emb, lo, hi)
+    for exact in (True, False):
+        base = [tuple(r) for r in
+                ann.sq_search(codes, lo, hi, qv, k=10, exact=exact).collect()]
+        got = [tuple(r) for r in
+               ann.sq_read_search(spark, path, qv, k=10, exact=exact).collect()]
+        assert got == base, f"persisted != in-memory (exact={exact})"

@@ -136,10 +136,12 @@ def test_headline_and_build_tier_names_resolve_in_catalog():
     missing = [n for n in HEADLINE + BUILD_TIER if n not in q]
     assert not missing, f"bench names not in catalog: {missing}"
     assert not set(HEADLINE) & set(BUILD_TIER)
-    for build in ("suffix_index_build", "token_suffix_index_build"):
+    for build in ("suffix_index_build", "token_suffix_index_build",
+                  "sq_index_build"):
         assert build in BUILD_TIER
     for serving in ("infinigram_query_cached", "substring_frequency_cached",
                     "token_ngram_frequency_cached",
-                    "token_next_distribution_cached"):
+                    "token_next_distribution_cached", "ann_sq_search_cached"):
         assert serving in HEADLINE
     assert "infinigram_backoff_inference" not in HEADLINE  # double-pay
+    assert "ann_sq_search" not in HEADLINE  # cached twin serves instead
