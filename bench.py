@@ -74,7 +74,11 @@ HEADLINE = [
     "heavy_hitters_cms",
     "approx_distinct_hll_registers",
     "priority_weighted_sample",
-    "kneser_ney_bigram_lm",
+    # round-12: the KN bigram LM joins the build/serve split family —
+    # the headline row is the persisted-LM scoring path; training moved
+    # to BUILD_TIER (an LM is trained once per reference corpus); the
+    # from-scratch kneser_ney_bigram_lm stays fully oracled in the gate
+    "kneser_ney_cached",
     "unimax_language_budgets",
     "image_dhash_neardup",
     "soft_dedup_weights",
@@ -120,6 +124,7 @@ BUILD_TIER = [
     "suffix_index_build",
     "token_suffix_index_build",
     "sq_index_build",
+    "kn_lm_build",
 ]
 
 

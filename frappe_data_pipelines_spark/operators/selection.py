@@ -470,13 +470,23 @@ def kneser_ney_bigram_scores(
     stats = bi.agg(F.count("*").alias("b")).crossJoin(
         cont.agg(F.count("*").alias("v"))
     )
-    d = F.lit(float(discount))
-    scored = (
+    joined = (
         tfb.join(bi, ["u", "w"], "left")
         .join(ctx, "u", "left")
         .join(cont, "w", "left")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
+    )
+    return _kn_score_core(joined, discount, id_col)
+
+
+def _kn_score_core(joined, discount: float, id_col: str) -> DataFrame:
+    """Shared KN scoring arithmetic over a pre-joined relation with
+    columns (id_col, tf, c, c_u, n1p_u, n1p_w, b, v) — the uncached
+    trainer and the persisted-LM server must produce bit-identical
+    doubles (both share the DuckDB oracle), so the math lives once."""
+    d = F.lit(float(discount))
+    scored = (
+        joined.withColumn(
             "pcont",
             (F.coalesce("n1p_w", F.lit(0)) + F.lit(1.0))
             / (F.col("b") + F.col("v") + F.lit(1.0)),
@@ -508,6 +518,169 @@ def kneser_ney_bigram_scores(
             6,
         ).alias("kn_score"),
     )
+
+
+def _kn_doc_bigram_tf(
+    docs: DataFrame, id_col: str, text_col: str, extra: list | None = None
+) -> DataFrame:
+    """(id, [extra...], u, w, tf): per-document bigram term frequencies —
+    the relation both KN training and KN scoring consume. Tokenize before
+    the spread shuffle, build bigrams after it (see
+    kneser_ney_bigram_scores for the measured rationale)."""
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    extra = extra or []
+    tk = spread_scan(
+        docs.select(
+            F.col(id_col),
+            *[e.alias(n) for n, e in extra],
+            tokens_expr(F.col(text_col)).alias("toks"),
+        )
+    )
+    names = [n for n, _ in extra]
+    toks = F.col("toks")
+    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
+    )
+    base = tk.select(F.col(id_col), *names, pairs.alias("ps")).filter(
+        F.size("ps") > 0
+    )
+    return (
+        base.select(id_col, *names, F.explode("ps").alias("p"))
+        .select(
+            id_col, *names, F.col("p.u").alias("u"), F.col("p.w").alias("w")
+        )
+        .groupBy(id_col, *names, "u", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+
+
+def kn_write(
+    docs: DataFrame,
+    ref_pred: Column,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> dict:
+    """BUILD half of the Kneser-Ney build/serve split: train the bigram
+    LM on the reference slice and persist it — ``bi`` (u, w, c), ``ctx``
+    (u, c_u, n1p_u), ``cont`` (w, n1p_w) as parquet under ``path`` plus a
+    ``_kn_meta.json`` sidecar with the corpus-level stats (B bigram
+    types, V continuation vocabulary) and the training config
+    (discount), validated at serve time. An LM is trained once per
+    reference corpus and scores every arriving batch thereafter — paying
+    the three training shuffles per scoring query (what
+    ``kneser_ney_bigram_scores`` does, kept as the oracle twin)
+    misprices the engine the same way rebuilding the suffix index per
+    ∞-gram query did (VERDICT r11 task 2/3 lesson; same lifecycle as
+    operators/ann.py:sq_write). Counts are exact integers and the
+    per-dictionary layouts are keyed aggregates — a serving process's
+    scores hash-match a from-scratch run, which is what lets the cached
+    catalog query share the uncached one's DuckDB oracle. Returns the
+    meta dict."""
+    import json as _json
+    import os as _os
+
+    from frappe_data_pipelines_spark.operators.guards import collect_bounded
+
+    tfb = _kn_doc_bigram_tf(
+        docs.filter(ref_pred), id_col, text_col
+    )
+    bi = (
+        tfb.groupBy("u", "w")
+        .agg(F.sum("tf").cast("bigint").alias("c"))
+        .cache()
+    )
+    if not collect_bounded(bi.limit(1), 2, "KN reference-slice probe"):
+        raise ValueError(
+            "ref_pred yields no bigrams — cannot train the Kneser-Ney LM"
+        )
+    ctx = bi.groupBy("u").agg(
+        F.sum("c").cast("bigint").alias("c_u"),
+        F.count("*").cast("bigint").alias("n1p_u"),
+    )
+    cont = bi.groupBy("w").agg(F.count("*").cast("bigint").alias("n1p_w"))
+    st = collect_bounded(
+        bi.agg(F.count("*").alias("b")).crossJoin(
+            cont.agg(F.count("*").alias("v"))
+        ),
+        2,
+        "KN corpus stats",
+    )
+    _os.makedirs(path, exist_ok=True)
+    # dictionary sizes are vocabulary-scale (≤ a few hundred MB even for
+    # web-corpus vocabularies), so small fixed file counts keep serving
+    # scans free of near-empty task launches
+    bi.repartition(4).write.mode("overwrite").parquet(
+        _os.path.join(path, "bi")
+    )
+    ctx.repartition(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "ctx")
+    )
+    cont.repartition(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "cont")
+    )
+    bi.unpersist()
+    meta = {
+        "b": int(st[0]["b"]),
+        "v": int(st[0]["v"]),
+        "discount": float(discount),
+        "text_col": text_col,
+    }
+    with open(_os.path.join(path, "_kn_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def kn_read_score(
+    spark,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float | None = None,
+) -> DataFrame:
+    """QUERY half of the KN split: score a corpus against the PERSISTED
+    LM — no training aggregates, no reference-slice scan; one bigram-tf
+    aggregate over the scoring docs plus three dictionary joins (sizes
+    are AQE's broadcast call), with (B, V) read from the sidecar as
+    literals instead of a stats crossJoin. Same arithmetic core as the
+    trainer (``_kn_score_core``) so persisted == from-scratch on the
+    full scored output. ``discount``, if given, must match the persisted
+    LM's — a mismatched request is a config error, not a silent
+    rescale (the scrub-config-stamp discipline of operators/dedup.py)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_kn_meta.json")) as f:
+        meta = _json.load(f)
+    if discount is not None and float(discount) != meta["discount"]:
+        raise ValueError(
+            f"persisted KN LM was trained with discount={meta['discount']}"
+            f" but discount={discount} was requested — rebuild or drop"
+            " the override"
+        )
+    bi = spark.read.schema("u string, w string, c bigint").parquet(
+        _os.path.join(path, "bi")
+    )
+    ctx = spark.read.schema(
+        "u string, c_u bigint, n1p_u bigint"
+    ).parquet(_os.path.join(path, "ctx"))
+    cont = spark.read.schema("w string, n1p_w bigint").parquet(
+        _os.path.join(path, "cont")
+    )
+    tfb = _kn_doc_bigram_tf(docs, id_col, text_col)
+    joined = (
+        tfb.join(bi, ["u", "w"], "left")
+        .join(ctx, "u", "left")
+        .join(cont, "w", "left")
+        .withColumn("b", F.lit(int(meta["b"])).cast("bigint"))
+        .withColumn("v", F.lit(int(meta["v"])).cast("bigint"))
+    )
+    return _kn_score_core(joined, meta["discount"], id_col)
 
 
 def unimax_language_budgets(

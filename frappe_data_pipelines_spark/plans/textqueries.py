@@ -1685,6 +1685,95 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigram_scores(docs, F.col("lang") == "en")
 
 
+def _kn_cache_dir(sf_dir: str) -> str:
+    """Cache location for the persisted KN bigram LM — keyed per sf_dir
+    so correctness and bench runs never share an LM (same convention as
+    the suffix-index and SQ8 caches)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|kn-bigram|v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"fdp_kn_lm_{key}")
+
+
+_KN_CTX_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE lang = 'en'
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                   i -> struct_pack(u := t[i], w := t[i+1]))) AS p
+      FROM toks WHERE len(t) >= 2
+    ), tfb AS (
+      SELECT doc_id, p.u AS u, p.w AS w, CAST(count(*) AS BIGINT) AS tf
+      FROM pairs GROUP BY 1, 2, 3
+    ), bi AS (
+      SELECT u, w, CAST(SUM(tf) AS BIGINT) AS c
+      FROM tfb GROUP BY u, w
+    )
+    SELECT u, CAST(SUM(c) AS BIGINT) AS c_u, CAST(COUNT(*) AS BIGINT) AS n1p_u
+    FROM bi GROUP BY u
+"""
+
+
+@register(
+    "kn_lm_build",
+    oracle=_KN_CTX_SQL,
+    tags=("data-selection", "quality", "extension", "scale-path"),
+)
+def kn_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD half of the Kneser-Ney build/serve split
+    (operators/selection.py:kn_write): train the bigram LM on the
+    English slice, persist the three dictionaries + stats sidecar.
+    Always rebuilds (the cost being measured — bench's BUILD_TIER row).
+    Returns the context dictionary read back FROM DISK, which the
+    oracle re-derives from raw documents — so what's persisted is
+    value-checked bit-for-bit (counts are exact integers; the
+    sq_index_build pattern)."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.selection import kn_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _kn_cache_dir(sf_dir)
+    kn_write(docs, F.col("lang") == "en", path)
+    return spark.read.schema("u string, c_u bigint, n1p_u bigint").parquet(
+        os.path.join(path, "ctx")
+    )
+
+
+@register(
+    "kneser_ney_cached",
+    oracle=_KN_SQL,
+    tags=("data-selection", "quality", "extension", "scale-path"),
+)
+def kneser_ney_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY half of the KN split (operators/selection.py:
+    kn_read_score): score the corpus against the PERSISTED bigram LM —
+    one bigram-tf aggregate over the scoring docs plus three dictionary
+    joins; no training shuffles, no reference-slice scan, (B, V) as
+    sidecar literals. SAME oracle as ``kneser_ney_bigram_lm``, so the
+    gate proves persisted == from-scratch on the full per-document
+    score relation (the suffix-index family's cached==uncached
+    pattern). Builds on a cold cache (first call after ``kn_lm_build``
+    is always warm)."""
+    import os
+
+    from frappe_data_pipelines_spark.operators.selection import (
+        kn_read_score,
+        kn_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _kn_cache_dir(sf_dir)
+    if not os.path.isfile(os.path.join(path, "_kn_meta.json")):
+        kn_write(docs, F.col("lang") == "en", path)
+    return kn_read_score(spark, docs, path)
+
+
 # ---------------------------------------------------------------------------
 # UniMax language-budget water-filling (operators/selection.py)
 # ---------------------------------------------------------------------------

@@ -245,6 +245,83 @@ class TestKneserNey:
             kneser_ney_bigram_scores(docs, F.col("src") == "nope").collect()
 
 
+class TestKneserNeyPersisted:
+    """The KN build/serve split (kn_write / kn_read_score): persisted
+    must equal from-scratch on the full scored relation — that identity
+    is what lets kneser_ney_cached share kneser_ney_bigram_lm's oracle."""
+
+    def test_persisted_equals_from_scratch(self, spark, sf_dir, tmp_path):
+        from frappe_data_pipelines_spark.operators.selection import (
+            kn_read_score,
+            kn_write,
+            kneser_ney_bigram_scores,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        path = str(tmp_path / "kn_lm")
+        meta = kn_write(docs, F.col("lang") == "en", path)
+        assert meta["b"] > 0 and meta["v"] > 0
+        served = kn_read_score(spark, docs, path)
+        fresh = kneser_ney_bigram_scores(docs, F.col("lang") == "en")
+        assert {tuple(r) for r in served.collect()} == {
+            tuple(r) for r in fresh.collect()
+        }
+
+    def test_serves_unseen_batch(self, spark, tmp_path):
+        """The production shape: train once on a reference corpus, score
+        an ARRIVING batch the LM never saw — every multi-token doc gets a
+        finite score (unseen contexts back off to the continuation
+        distribution, never null/NaN)."""
+        import math
+
+        from frappe_data_pipelines_spark.operators.selection import (
+            kn_read_score,
+            kn_write,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, True, "the cat sat on the mat"),
+             (2, True, "the dog sat on the rug")],
+            "doc_id long, ref boolean, text string",
+        )
+        path = str(tmp_path / "kn_lm")
+        kn_write(ref, F.col("ref"), path)
+        batch = spark.createDataFrame(
+            [(10, "the cat sat"), (11, "zebra quark flux")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in kn_read_score(spark, batch, path).collect()}
+        assert set(got) == {10, 11}
+        for r in got.values():
+            assert r["kn_score"] is not None
+            assert math.isfinite(r["kn_score"])
+        # in-domain batch doc scores above the all-OOV one
+        assert got[10]["kn_score"] > got[11]["kn_score"]
+
+    def test_discount_mismatch_raises(self, spark, tmp_path):
+        from frappe_data_pipelines_spark.operators.selection import (
+            kn_read_score,
+            kn_write,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, True, "a b a b")], "doc_id long, ref boolean, text string"
+        )
+        path = str(tmp_path / "kn_lm")
+        kn_write(ref, F.col("ref"), path, discount=0.75)
+        with pytest.raises(ValueError, match="discount"):
+            kn_read_score(spark, ref, path, discount=0.5)
+
+    def test_empty_reference_raises(self, spark, tmp_path):
+        from frappe_data_pipelines_spark.operators.selection import kn_write
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y")], "doc_id long, src string, text string"
+        )
+        with pytest.raises(ValueError, match="no bigrams"):
+            kn_write(docs, F.col("src") == "nope", str(tmp_path / "kn_lm"))
+
+
 class TestUniMax:
     def test_known_water_fill(self, spark):
         from frappe_data_pipelines_spark.operators.selection import (
