@@ -610,28 +610,61 @@ def kn_write(
         2,
         "KN corpus stats",
     )
-    _os.makedirs(path, exist_ok=True)
-    # dictionary sizes are vocabulary-scale (≤ a few hundred MB even for
-    # web-corpus vocabularies), so small fixed file counts keep serving
-    # scans free of near-empty task launches
-    bi.repartition(4).write.mode("overwrite").parquet(
-        _os.path.join(path, "bi")
-    )
-    ctx.repartition(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "ctx")
-    )
-    cont.repartition(1).write.mode("overwrite").parquet(
-        _os.path.join(path, "cont")
-    )
-    bi.unpersist()
     meta = {
         "b": int(st[0]["b"]),
         "v": int(st[0]["v"]),
         "discount": float(discount),
         "text_col": text_col,
     }
-    with open(_os.path.join(path, "_kn_meta.json"), "w") as f:
-        _json.dump(meta, f)
+    # Publish atomically: build the whole index in a tmp sibling (meta
+    # written last inside it), then swap the directory into place — a
+    # reader never sees a half-written LM under the final name, and a
+    # concurrent rebuild of the same path is a loud read error or a
+    # last-write-win, never silently mixed dictionaries (the fp-cache
+    # commit discipline, api.py scrub_incoming / ADVICE r10+r11).
+    import shutil as _shutil
+
+    tmp = path.rstrip("/") + f".tmp-{_os.getpid()}"
+    try:
+        # dictionary sizes are vocabulary-scale (≤ a few hundred MB even
+        # for web-corpus vocabularies), so small fixed file counts keep
+        # serving scans free of near-empty task launches
+        bi.repartition(4).write.mode("overwrite").parquet(
+            _os.path.join(tmp, "bi")
+        )
+        ctx.repartition(1).write.mode("overwrite").parquet(
+            _os.path.join(tmp, "ctx")
+        )
+        cont.repartition(1).write.mode("overwrite").parquet(
+            _os.path.join(tmp, "cont")
+        )
+        with open(_os.path.join(tmp, "_kn_meta.json"), "w") as f:
+            _json.dump(meta, f)
+        for attempt in range(3):
+            if _os.path.isdir(path):
+                _shutil.rmtree(path, ignore_errors=True)
+            try:
+                _os.rename(tmp, path)
+                break
+            except OSError:
+                # a racing writer recreated `path` between our rmtree and
+                # rename; both writers derive the identical LM from the
+                # same corpus+config, so after the retries, losing the
+                # rename is winning the cache — adopt theirs (validated
+                # below), never leave a half-published dir
+                if attempt == 2:
+                    with open(_os.path.join(path, "_kn_meta.json")) as f:
+                        theirs = _json.load(f)
+                    if theirs.get("discount") != meta["discount"]:
+                        raise ValueError(
+                            "concurrent kn_write at the same path used "
+                            f"discount={theirs.get('discount')} — give "
+                            "concurrent writers distinct paths"
+                        )
+                    meta = theirs
+    finally:
+        bi.unpersist()
+        _shutil.rmtree(tmp, ignore_errors=True)
     return meta
 
 

@@ -298,6 +298,30 @@ class TestKneserNeyPersisted:
         # in-domain batch doc scores above the all-OOV one
         assert got[10]["kn_score"] > got[11]["kn_score"]
 
+    def test_rebuild_over_existing_is_atomic(self, spark, tmp_path):
+        """kn_write over an already-published LM swaps the whole dir
+        (tmp-then-rename, meta last): the result equals a fresh build,
+        and no .tmp-* residue is left behind."""
+        import os
+
+        from frappe_data_pipelines_spark.operators.selection import (
+            kn_read_score,
+            kn_write,
+        )
+
+        ref = spark.createDataFrame(
+            [(1, True, "the cat sat on the mat"),
+             (2, True, "the dog sat on the rug")],
+            "doc_id long, ref boolean, text string",
+        )
+        path = str(tmp_path / "kn_lm")
+        kn_write(ref, F.col("ref"), path)
+        first = {tuple(r) for r in kn_read_score(spark, ref, path).collect()}
+        kn_write(ref, F.col("ref"), path)  # rebuild over the published dir
+        second = {tuple(r) for r in kn_read_score(spark, ref, path).collect()}
+        assert first == second
+        assert not [p for p in os.listdir(tmp_path) if ".tmp-" in p]
+
     def test_discount_mismatch_raises(self, spark, tmp_path):
         from frappe_data_pipelines_spark.operators.selection import (
             kn_read_score,
