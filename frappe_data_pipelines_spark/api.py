@@ -327,6 +327,60 @@ class PipelineEngine:
             "blocked", F.col("n_hits") > max_hits
         )
 
+    def score_incoming(
+        self,
+        new_docs: DataFrame,
+        lm_path: str,
+        ref_pred=None,
+        rebuild: bool = False,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Ingest-door quality scoring: per arriving doc, (id,
+        n_transitions, kn_score) from the PERSISTED Kneser-Ney bigram LM
+        (``operators/selection.py:kn_read_score``) — the CCNet move of
+        gating a crawl on an LM trained from the trusted corpus (Wenzek
+        et al. 2020), in the incremental-door shape of
+        ``scrub_incoming``: the LM is trained ONCE from the engine's
+        standing ``files`` table (slice selected by ``ref_pred``; whole
+        corpus when None) and persisted at ``lm_path``; after that every
+        arriving batch pays only its own bigram aggregate plus three
+        dictionary joins — zero standing-corpus work per batch.
+        ``rebuild=True`` forces retraining (e.g. after a corpus swap);
+        callers threshold ``kn_score`` (avg transition log-prob;
+        perplexity = exp(-kn_score)) to keep/dead-letter. Completes the
+        door triad: scrub (dedup) / screen (blocklist) / score
+        (quality)."""
+        import os
+
+        from frappe_data_pipelines_spark.operators.selection import (
+            kn_read_score,
+            kn_write,
+        )
+
+        if rebuild or not os.path.isfile(
+            os.path.join(lm_path, "_kn_meta.json")
+        ):
+            if text_col not in self.files.columns:
+                raise ValueError(
+                    "score_incoming needs the engine's files table to "
+                    f"carry {text_col!r} to train the reference LM"
+                )
+            kn_write(
+                self.files,
+                F.lit(True) if ref_pred is None else ref_pred,
+                lm_path,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        return kn_read_score(
+            new_docs.sparkSession,
+            new_docs,
+            lm_path,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
 
 def search_documents(
     service: SearchService,

@@ -272,6 +272,44 @@ class TestPipelineEngine:
         lax = {r.doc_id: r.blocked for r in engine.screen_incoming(new, terms, max_hits=1).collect()}
         assert lax == {1: False, 2: False, 3: True}
 
+    def test_score_incoming(self, engine, spark, tmp_path, monkeypatch):
+        """The quality door: trains the persisted KN LM from the standing
+        corpus ONCE, then arriving batches are scored with zero
+        corpus-side work (call-counted, the scrub-cache discipline); an
+        in-domain batch outscores an OOV one; a text-less files table
+        refuses loudly; rebuild=True retrains."""
+        from frappe_data_pipelines_spark.api import PipelineEngine
+        from frappe_data_pipelines_spark.operators import selection as sel_mod
+
+        calls = []
+        real = sel_mod.kn_write
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(sel_mod, "kn_write", spy)
+        lm = str(tmp_path / "kn_lm")
+        corpus_text = engine.files.filter("doc_id = 2").first()["text"]
+        new = spark.createDataFrame(
+            [(9001, corpus_text[:120]), (9002, "zxqv gflm wrtk pzns jqxd")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in engine.score_incoming(new, lm).collect()}
+        assert calls == [1]
+        assert set(got) == {9001, 9002}
+        assert got[9001]["kn_score"] > got[9002]["kn_score"]
+        # second batch: LM served from disk, no retrain
+        got2 = engine.score_incoming(new, lm).first()
+        assert calls == [1]
+        assert got2 is not None
+        # rebuild forces retraining
+        engine.score_incoming(new, lm, rebuild=True).first()
+        assert calls == [1, 1]
+        bare = PipelineEngine(files=engine.files.drop("text"), jobs=engine.jobs)
+        with pytest.raises(ValueError, match="carry 'text'"):
+            bare.score_incoming(new, str(tmp_path / "kn_lm2"))
+
     def test_backfill_skips_active(self, engine):
         out = engine.process_existing_files()
         # Completed jobs (doc_id % 4 == 0) block re-queue; Failed jobs do NOT
