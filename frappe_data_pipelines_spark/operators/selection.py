@@ -407,31 +407,6 @@ def kneser_ney_bigram_scores(
     """
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
 
-    from frappe_data_pipelines_spark.sources.tables import spread_scan
-
-    # Tokenize BEFORE the spread shuffle, build bigrams AFTER it: the
-    # shuffle boundary materializes ``toks`` exactly once, so the regex
-    # split never re-evaluates per consumer (heads/tails/size share the
-    # subtree — fused into one projection they each re-run it), and the
-    # explode + partial-agg lands on every core instead of the single
-    # partition a small one-file scan plans as (spread_scan: no-op on real
-    # multi-file corpora). Measured at sf0.1: ~30% off the tfb subtree.
-    tk = spread_scan(
-        docs.select(
-            F.col(id_col),
-            ref_pred.alias("is_ref"),
-            tokens_expr(F.col(text_col)).alias("toks"),
-        )
-    )
-    toks = F.col("toks")
-    heads = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    tails = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-    pairs = F.zip_with(
-        heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
-    )
-    base = tk.select(
-        F.col(id_col), "is_ref", pairs.alias("ps")
-    ).filter(F.size("ps") > 0)
     # tfb feeds BOTH training (via bi) and scoring, and bi feeds four
     # consumers (ctx, cont, the B stat, the scoring join) — without
     # caching, Catalyst re-executes the tokenize→explode→groupBy subtree
@@ -440,13 +415,9 @@ def kneser_ney_bigram_scores(
     # bi one per reference bigram type — the same dictionaries that must
     # fit for the joins to run at all, so the cache adds no new memory
     # constraint at scale.
-    tfb = (
-        base.select(id_col, "is_ref", F.explode("ps").alias("p"))
-        .select(id_col, "is_ref", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
-        .groupBy(id_col, "is_ref", "u", "w")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .cache()
-    )
+    tfb = _kn_doc_bigram_tf(
+        docs, id_col, text_col, extra=[("is_ref", ref_pred)]
+    ).cache()
     bi = (
         tfb.filter("is_ref")
         .groupBy("u", "w")
@@ -524,9 +495,14 @@ def _kn_doc_bigram_tf(
     docs: DataFrame, id_col: str, text_col: str, extra: list | None = None
 ) -> DataFrame:
     """(id, [extra...], u, w, tf): per-document bigram term frequencies —
-    the relation both KN training and KN scoring consume. Tokenize before
-    the spread shuffle, build bigrams after it (see
-    kneser_ney_bigram_scores for the measured rationale)."""
+    the relation both KN training and KN scoring consume. Tokenize BEFORE
+    the spread shuffle, build bigrams AFTER it: the shuffle boundary
+    materializes ``toks`` exactly once, so the regex split never
+    re-evaluates per consumer (heads/tails/size share the subtree — fused
+    into one projection they each re-run it), and the explode +
+    partial-agg lands on every core instead of the single partition a
+    small one-file scan plans as (spread_scan: no-op on real multi-file
+    corpora). Measured at sf0.1: ~30% off the tfb subtree."""
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
     extra = extra or []

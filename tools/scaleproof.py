@@ -84,6 +84,19 @@ QUERIES = [
     # growth, which is the claim to prove.
     "token_suffix_array_ranks",
     "infinigram_backoff_inference",
+    # round-12: the persisted-index SERVING paths the headline suite now
+    # carries. time_query is best-of-2 with a cold first pass, so these
+    # measure the WARM serve (pass 1 pays the one-time build at the
+    # synthesized sf_dir's keyed cache, pass 2 wins the min) — the
+    # exponent proves the serve-side plan scales, independent of
+    # construction. kn/sq serving should grow ~linearly in the scoring
+    # corpus / codes table; the ∞-gram lookups ride the skey dictionary
+    # + wide-table scan.
+    "kneser_ney_cached",
+    "ann_sq_search_cached",
+    "infinigram_query_cached",
+    "substring_frequency_cached",
+    "token_ngram_frequency_cached",
 ]
 
 ID_OFFSET = 10_000_000
