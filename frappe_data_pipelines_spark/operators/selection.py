@@ -661,17 +661,29 @@ def kn_read_score(
     full scored output. ``discount``, if given, must match the persisted
     LM's — a mismatched request is a config error, not a silent
     rescale (the scrub-config-stamp discipline of operators/dedup.py)."""
-    import json as _json
-    import os as _os
-
-    with open(_os.path.join(path, "_kn_meta.json")) as f:
-        meta = _json.load(f)
+    bi, ctx, cont, meta = kn_load(spark, path)
     if discount is not None and float(discount) != meta["discount"]:
         raise ValueError(
             f"persisted KN LM was trained with discount={meta['discount']}"
             f" but discount={discount} was requested — rebuild or drop"
             " the override"
         )
+    return kn_score_against(
+        docs, bi, ctx, cont, meta, id_col=id_col, text_col=text_col
+    )
+
+
+def kn_load(spark, path: str):
+    """Load a persisted KN LM: (bi, ctx, cont, meta). Schema-specified
+    parquet reads (no footer-inference job). Split out of
+    ``kn_read_score`` so long-lived consumers (the streaming ingest
+    door) can load + persist the dictionaries ONCE for a stream's
+    lifetime instead of re-planning the reads per micro-batch."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_kn_meta.json")) as f:
+        meta = _json.load(f)
     bi = spark.read.schema("u string, w string, c bigint").parquet(
         _os.path.join(path, "bi")
     )
@@ -681,6 +693,24 @@ def kn_read_score(
     cont = spark.read.schema("w string, n1p_w bigint").parquet(
         _os.path.join(path, "cont")
     )
+    return bi, ctx, cont, meta
+
+
+def kn_score_against(
+    docs: DataFrame,
+    bi: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``docs`` against already-loaded LM dictionaries (see
+    ``kn_load``): one bigram-tf aggregate over the scoring docs plus
+    three dictionary joins, (B, V) as literals from ``meta``. Docs with
+    fewer than two tokens have no transitions and are absent from the
+    output (callers gating on the score must treat them as
+    unassessable, not failing)."""
     tfb = _kn_doc_bigram_tf(docs, id_col, text_col)
     joined = (
         tfb.join(bi, ["u", "w"], "left")

@@ -105,6 +105,8 @@ def start_ingest_stream(
     scrub_min_len: int = 40,
     blocklist_terms: DataFrame | None = None,
     blocklist_max_hits: int = 0,
+    quality_lm_path: str | None = None,
+    quality_min_score: float | None = None,
     local_door_max_rows: int = 1024,
     local_door_max_chars: int = 4_000_000,
 ):
@@ -131,6 +133,21 @@ def start_ingest_stream(
     dead-lettered as Failed jobs (error names the hit count) instead of
     being chunked — the drop is recorded, never silent. One Aho-Corasick
     pass per micro-batch, however long the list.
+
+    ``quality_lm_path`` (+ required ``quality_min_score``): the CCNet
+    quality gate AT THE DOOR — every micro-batch doc is scored against
+    the PERSISTED Kneser-Ney bigram LM at that path
+    (``operators/selection.py:kn_load`` once at stream start,
+    ``kn_score_against`` per batch: the batch pays only its own bigram
+    aggregate + three dictionary joins against stream-lifetime-persisted
+    dictionaries), and docs with ``kn_score < quality_min_score`` are
+    dead-lettered as Failed jobs (error names the score) instead of
+    being chunked. Applied to the text as it will be stored
+    (post-scrub). Docs the LM cannot assess (< 2 tokens, null ids) pass
+    through to the other guards rather than failing blind. Because the
+    score is a dictionary JOIN (not a row-local kernel), enabling this
+    door routes every batch through the distributed path — the trickle
+    fast path's job budget has no room for a join stage.
 
     ``local_door_max_rows`` / ``local_door_max_chars``: micro-batches at
     or under BOTH bounds take the TRICKLE FAST PATH — the batch is
@@ -195,6 +212,22 @@ def start_ingest_stream(
         )
 
         bl_term_list = collect_blocklist_terms(blocklist_terms)
+
+    # quality-LM door prep, once at stream start: load the persisted
+    # dictionaries (loud FileNotFoundError on a missing LM beats a
+    # per-batch stream crash) and persist them for the stream's lifetime
+    # — without this every micro-batch re-scans the dictionary parquet
+    quality_lm = None
+    if quality_lm_path is not None:
+        if quality_min_score is None:
+            raise ValueError(
+                "quality_lm_path requires quality_min_score — the door "
+                "needs a threshold to dead-letter on"
+            )
+        from frappe_data_pipelines_spark.operators.selection import kn_load
+
+        q_bi, q_ctx, q_cont, q_meta = kn_load(spark, quality_lm_path)
+        quality_lm = (q_bi.persist(), q_ctx.persist(), q_cont.persist(), q_meta)
 
     # FDP_INGEST_PROFILE=1 prints per-action wall times to stderr — the
     # round-9 door-latency work showed per-batch cost is invisible without
@@ -428,8 +461,9 @@ def start_ingest_stream(
 
         # trickle fast path: a batch at or under both local-door bounds is
         # driver-sized — collect it once and skip the distributed door's
-        # per-trigger fixed costs entirely
-        if local_door_max_rows:
+        # per-trigger fixed costs entirely. The quality-LM door is a
+        # dictionary join, so it disables the fast path (docstring).
+        if local_door_max_rows and quality_lm is None:
             head = batch_df.limit(local_door_max_rows + 1).collect()
             mark("limit-collect")
             if (
@@ -516,6 +550,37 @@ def start_ingest_stream(
             ).drop("__bl_raw")
         else:
             batch_df = batch_df.withColumn("__bl_hits", F.lit(None).cast("long"))
+        if quality_lm is not None:
+            from frappe_data_pipelines_spark.operators.selection import (
+                kn_score_against,
+            )
+
+            # the gate applies to the text as it will be STORED
+            # (post-scrub), like the blocklist. One score row per doc id
+            # (the bigram aggregate is keyed on it), left-joined back:
+            # null-id and sub-2-token docs get no score and pass through
+            # to the other guards — the LM cannot assess them, and
+            # failing blind would dead-letter every short-but-fine doc
+            q_bi, q_ctx, q_cont, q_meta = quality_lm
+            scores = kn_score_against(
+                batch_df.filter(F.col("doc_id").isNotNull()).select(
+                    "doc_id", "text"
+                ),
+                q_bi, q_ctx, q_cont, q_meta,
+            )
+            batch_df = batch_df.join(
+                scores.select("doc_id", "kn_score"), "doc_id", "left"
+            ).withColumn(
+                "__q_score",
+                F.when(
+                    F.col("kn_score") < F.lit(float(quality_min_score)),
+                    F.col("kn_score"),
+                ),
+            ).drop("kn_score")
+        else:
+            batch_df = batch_df.withColumn(
+                "__q_score", F.lit(None).cast("double")
+            )
         # every action below re-derives from the micro-batch source.
         # Doors ON → localCheckpoint, not persist: persist keeps the whole
         # door logical plan alive, and EVERY downstream action (chunk sink,
@@ -544,7 +609,11 @@ def start_ingest_stream(
         # Doors OFF → plain persist: the plan is already tiny and the
         # checkpoint's extra job boundary measurably ADDS latency there
         # (doors-off p50 1.3s -> 2.2s when checkpointing unconditionally).
-        has_doors = scrub_against is not None or bl_term_list is not None
+        has_doors = (
+            scrub_against is not None
+            or bl_term_list is not None
+            or quality_lm is not None
+        )
         if has_doors:
             batch_df = batch_df.localCheckpoint(eager=True)
             ckpt_counter[0] += 1
@@ -571,7 +640,12 @@ def start_ingest_stream(
         # Failed job rows with a captured error (dead letters), never a
         # batch abort (process_embedding.py:69-81)
         blocked = F.col("__bl_hits").isNotNull()
-        bad = blocked | (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0)
+        qfailed = F.col("__q_score").isNotNull()
+        bad = (
+            blocked
+            | qfailed
+            | (F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) == 0)
+        )
         failed = batch_df.filter(bad).select(
             F.col("doc_id").alias("source_doc_id"),
             F.lit("Failed").alias("status"),
@@ -585,11 +659,19 @@ def start_ingest_stream(
                     F.lit(" hits)"),
                 ),
             )
+            .when(
+                qfailed,
+                F.concat(
+                    F.lit("quality (kn_score "),
+                    F.round(F.col("__q_score"), 4).cast("string"),
+                    F.lit(f" < {float(quality_min_score or 0)})"),
+                ),
+            )
             .otherwise(F.lit("empty or null text"))
             .alias("error_message"),
         )
         chunks = chunk_documents(
-            batch_df.filter(~bad).drop("__bl_hits"),
+            batch_df.filter(~bad).drop("__bl_hits", "__q_score"),
             strategy="recursive", chunk_size=chunk_size, chunk_overlap=chunk_overlap,
         )
         embedded = embed_documents(

@@ -696,6 +696,81 @@ def test_ingest_stream_with_blocklist_door(spark, sf_dir, stream_dirs):
     assert 2 in queued  # the drop is recorded, not silent
 
 
+def test_ingest_stream_with_quality_door(spark, stream_dirs, tmp_path):
+    """quality_lm_path + quality_min_score: docs scoring under the
+    threshold against the persisted KN LM dead-letter as Failed with the
+    score in the error; in-domain docs chunk normally; docs the LM
+    cannot assess (< 2 tokens) pass through instead of failing blind;
+    the drop is recorded (Queued + Failed), never silent."""
+    from frappe_data_pipelines_spark.operators.selection import (
+        kn_read_score,
+        kn_write,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, True, "the cat sat on the mat and the dog sat on the rug"),
+         (101, True, "a cat and a dog sat on the mat near the rug")],
+        "doc_id long, ref boolean, text string",
+    )
+    lm = str(tmp_path / "kn_lm")
+    kn_write(ref, F.col("ref"), lm)
+
+    good_text = "the cat sat on the mat near the dog"
+    bad_text = "zxqv gflm wrtk pzns jqxd blorp vrzn qmft"
+    probe = spark.createDataFrame(
+        [(1, good_text), (2, bad_text)], "doc_id long, text string"
+    )
+    s = {r.doc_id: r.kn_score for r in kn_read_score(spark, probe, lm).collect()}
+    assert s[1] > s[2]
+    threshold = (s[1] + s[2]) / 2
+
+    arrivals = spark.createDataFrame(
+        [
+            (1, good_text, "en", "s", 0),
+            (2, bad_text, "en", "s", 0),
+            (3, "word", "en", "s", 0),  # < 2 tokens: unassessable, passes
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    arrivals.coalesce(1).write.mode("append").parquet(stream_dirs["input"])
+
+    q = start_ingest_stream(
+        spark,
+        stream_dirs["input"],
+        stream_dirs["output"],
+        stream_dirs["checkpoint"],
+        quality_lm_path=lm,
+        quality_min_score=threshold,
+    )
+    q.awaitTermination(120)
+
+    chunks = read_ingest_sink(spark, stream_dirs["output"], "chunks")
+    chunked = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert chunked == {1, 3}  # the OOV doc never chunks; the 1-token doc does
+    jobs = read_ingest_sink(spark, stream_dirs["output"], "jobs")
+    failed = {
+        r.source_doc_id: r.error_message
+        for r in jobs.filter("status = 'Failed'").collect()
+    }
+    assert set(failed) == {2}
+    assert failed[2].startswith("quality (kn_score ")
+    queued = {r.source_doc_id for r in jobs.filter("status = 'Queued'").collect()}
+    assert 2 in queued  # the drop is recorded, not silent
+
+
+def test_quality_door_requires_threshold(spark, stream_dirs, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quality_min_score"):
+        start_ingest_stream(
+            spark,
+            stream_dirs["input"],
+            stream_dirs["output"],
+            stream_dirs["checkpoint"],
+            quality_lm_path=str(tmp_path / "nope"),
+        )
+
+
 def test_local_door_fast_path_matches_distributed(spark, tmp_path):
     """Round-10 trickle fast path: the SAME micro-batch — scrub corpus
     overlap, blocklist hit, empty text, a null-id row, a duplicated id,
