@@ -127,6 +127,23 @@ BUILD_TIER = [
     "kn_lm_build",
 ]
 
+# Driver-contract continuity (round 12): every query name the r11 bench
+# reported in its `queries` map keeps appearing there — entries may be
+# ADDED, never removed or renamed. The four uncached/construction rows
+# that the r11-task-3 restructure moved out of the headline SUM (their
+# construction cost was being billed twice per suite pass: once here,
+# once by the build tier / cached rows) are still timed every run —
+# best-of-2 each, after the headline passes — and merged into the
+# reported `queries` map alongside the build tier. Only `value` (the
+# suite sum) excludes them; the old per-query numbers remain directly
+# comparable round-over-round. Documented in OPTIMIZATION_r12.md.
+LEGACY_TIER = [
+    "kneser_ney_bigram_lm",
+    "ann_sq_search",
+    "infinigram_backoff_inference",
+    "token_suffix_array_ranks",
+]
+
 
 def scrape_prior_tail(tail: str, known: set) -> dict:
     """name→seconds pairs regex-scraped from a driver-truncated bench
@@ -255,6 +272,28 @@ def main() -> None:
         spark.catalog.clearCache()
     timings = {n: round(t, 3) for n, t in timings.items()}
     total = round(sum(t for t in timings.values() if t > 0), 3)
+
+    # legacy tier: timed (best-of-2) so the r11 query names stay in the
+    # reported map, but not summed into `value` (see LEGACY_TIER note)
+    legacy: dict[str, float] = {}
+    for name in LEGACY_TIER:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = q[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001
+                best = -1.0
+                print(f"# bench legacy error {name}: {e}", file=sys.stderr)
+                break
+        legacy[name] = round(best, 3)
+    spark.catalog.clearCache()
+    # the reported `queries` map: headline + build tier + legacy tier —
+    # a superset of every prior round's keys
+    report_queries = {**timings, **build_tier, **legacy}
 
     # --- automatic mover adjudication (VERDICT r8 task 5, r9 task 2) -------
     # Any query moving >15% (and >0.3s absolute) against the latest
@@ -400,7 +439,7 @@ def main() -> None:
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": report_queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if build_tier:

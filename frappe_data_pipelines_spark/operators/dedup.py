@@ -50,13 +50,22 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def word_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct pairs; shingle = n consecutive lowercase
     word tokens joined by single spaces."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
-    # A small-file source arrives as 1 input partition; shingle generation is
-    # the CPU-heavy step, so spread the rows first (cheap: pre-explode rows).
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
+    # A small-file source arrives as 1 input partition; tokenize + shingle
+    # generation are the CPU-heavy steps, so spread the RAW rows first and
+    # compute tokens after the exchange — and drop short docs via a
+    # null-yielding WHEN inside the projection, not a .filter(size >= n):
+    # Catalyst pushes such a filter below the exchange into the scan with
+    # the tokenize subtree substituted, re-tokenizing every doc serially
+    # on the pre-spread partition (r12 plan audit). explode(null) yields
+    # no rows, so short docs are absent from the output either way.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).repartition(par)
-    d = d.withColumn("n_toks", F.size("toks")).filter(F.col("n_toks") >= n)
-    idx = F.sequence(F.lit(0), F.col("n_toks") - n)
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .repartition(par)
+        .select("doc_id", toks.alias("toks"))
+    )
+    idx = F.when(F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n))
     shingle = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
     # array_distinct dedupes within a document BEFORE the explode, so no
     # global .distinct() shuffle is needed (doc_id is a unique key of docs).
@@ -1901,17 +1910,28 @@ def longest_intra_doc_repeat(
 
     from frappe_data_pipelines_spark.functions.text import tokens_expr
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
-    ).where(F.size("toks") >= 1)
+    from frappe_data_pipelines_spark.sources.tables import spread_scan
+
+    # spread the RAW rows before tokenizing (a small one-file corpus scans
+    # as ONE partition — without the spread both tokenize and the automaton
+    # run on a single core), and drop zero-token docs INSIDE the kernel:
+    # a .where(size(toks) >= 1) is pushed into the scan with the tokenize
+    # subtree substituted — a duplicate, serialized tokenize pass (r12
+    # plan audit). mapInPandas may change cardinality, so the kernel-side
+    # drop is exactly equivalent.
+    base = spread_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", tokens_expr(F.col("text")).alias("toks"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = pdf["toks"].map(len) > 0
+            sub = pdf[keep]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": sub["doc_id"],
                     "max_repeat_tokens": [
-                        _sam_longest_repeat(list(t)) for t in pdf["toks"]
+                        _sam_longest_repeat(list(t)) for t in sub["toks"]
                     ],
                 }
             )
@@ -1954,13 +1974,23 @@ def soft_dedup_weights(
     )
     toks = base.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= n)
+    )
+    # short docs are dropped by a null-yielding WHEN inside the single
+    # projection, NOT a .filter(size(toks) >= n): Catalyst pushes such a
+    # filter below the spread shuffle into the scan with the tokenize
+    # subtree substituted — a second, serialized tokenize pass over the
+    # corpus (r12 plan audit). explode(null) yields no rows, so the
+    # result is identical: docs with < n tokens produce no gram rows
+    # and are absent from the output either way.
     grams = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
+                    F.when(
+                        F.size("toks") >= n,
+                        F.sequence(F.lit(0), F.size("toks") - n),
+                    ),
                     lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
                 )
             )

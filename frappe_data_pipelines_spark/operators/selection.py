@@ -66,9 +66,13 @@ def dsir_weights(
     """
     feat = _ngram_features(F.col(text_col))
     tcol = F.col(target) if isinstance(target, str) else target
+    # no size(feats) > 0 guard: the non-outer explode below already drops
+    # featureless documents, and the guard is costly — Catalyst pushes it
+    # into the scan with the whole _ngram_features subtree substituted,
+    # re-featurizing every document a second time (r12 plan audit)
     base = docs.select(
         F.col(id_col).alias("doc_id"), tcol.alias("is_target"), feat.alias("feats")
-    ).filter(F.size("feats") > 0)
+    )
     exploded = base.select("doc_id", "is_target", F.explode("feats").alias("f"))
     if n_buckets is not None:
         exploded = exploded.withColumn("f", F.pmod(F.xxhash64("f"), F.lit(n_buckets)).cast("string"))
@@ -495,14 +499,14 @@ def _kn_doc_bigram_tf(
     docs: DataFrame, id_col: str, text_col: str, extra: list | None = None
 ) -> DataFrame:
     """(id, [extra...], u, w, tf): per-document bigram term frequencies —
-    the relation both KN training and KN scoring consume. Tokenize BEFORE
-    the spread shuffle, build bigrams AFTER it: the shuffle boundary
-    materializes ``toks`` exactly once, so the regex split never
-    re-evaluates per consumer (heads/tails/size share the subtree — fused
-    into one projection they each re-run it), and the explode +
-    partial-agg lands on every core instead of the single partition a
-    small one-file scan plans as (spread_scan: no-op on real multi-file
-    corpora). Measured at sf0.1: ~30% off the tfb subtree."""
+    the relation both KN training and KN scoring consume. Spread the RAW
+    rows first, tokenize + build bigrams AFTER the exchange: a small
+    one-file corpus scans as ONE partition, so anything computed below
+    the spread shuffle (the r11 shape tokenized there) runs serially on
+    one core while the rest idle. Post-exchange, tokenize + zip_with +
+    explode + partial-agg land on every core; single consumers evaluate
+    the split exactly once, and the multi-consumer trainer caches the
+    aggregated tfb relation anyway (one tokenize per cache populate)."""
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
     extra = extra or []
@@ -510,8 +514,12 @@ def _kn_doc_bigram_tf(
         docs.select(
             F.col(id_col),
             *[e.alias(n) for n, e in extra],
-            tokens_expr(F.col(text_col)).alias("toks"),
+            F.col(text_col).alias("__kn_text"),
         )
+    ).select(
+        F.col(id_col),
+        *[F.col(n) for n, _ in extra],
+        tokens_expr(F.col("__kn_text")).alias("toks"),
     )
     names = [n for n, _ in extra]
     toks = F.col("toks")
@@ -520,9 +528,14 @@ def _kn_doc_bigram_tf(
     pairs = F.zip_with(
         heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
     )
-    base = tk.select(F.col(id_col), *names, pairs.alias("ps")).filter(
-        F.size("ps") > 0
-    )
+    # NO size(ps) > 0 guard here: non-outer explode already drops empty
+    # (and null) arrays, so the filter is pure overhead — and a costly
+    # one: Catalyst pushes it below the spread shuffle into the SCAN,
+    # substituting the whole tokenize+zip_with subtree into the filter
+    # condition, which re-tokenizes every document on the pre-spread
+    # (often single) scan partition before the parallel projection runs
+    # (r12 plan audit: the filter was a 2nd serialized tokenize pass)
+    base = tk.select(F.col(id_col), *names, pairs.alias("ps"))
     return (
         base.select(id_col, *names, F.explode("ps").alias("p"))
         .select(

@@ -9,21 +9,22 @@ its suffix array ONCE and serves queries from it; this module is that
 split, mirroring the engine's other persisted indexes
 (``operators/ann.py:ivf_write/ivf_read/pq_write``).
 
-What persists (per power-of-two width h up to ``max_width``):
+What persists (per power-of-two width h up to ``max_width``; format 5):
 
-- ``level_<h>``  — (doc_key, pos, rank): the rank table, same content the
-  in-memory construction checkpoints per round (also the summary/oracle
-  base).
-- ``dict_<h>``   — the DENSE-RANK DICTIONARY that created it: width 1 is
-  (k: 1-char string → rank); width 2h is (r1, r2 → rank), the doubling
-  step's (rank, rank-at-pos+h) re-rank mapping.
+- ``dict_<h>``   — the DENSE-RANK DICTIONARY per doubling round: width 1
+  is (k: 1-char string → rank); width 2h is (r1, r2 → rank), the
+  doubling step's (rank, rank-at-pos+h) re-rank mapping.
 - ``skey_<h>``   — the STRING-keyed dictionary (k: h-char substring →
   rank), derived incrementally from dict/skey pairs at build time. This
   is what resolves an unseen pattern's piece ranks in ONE broadcast
   lookup instead of a per-width doubling chain.
-- ``wide``       — (doc_key, pos, r_1, r_2, ... r_maxw): every width's
-  rank CO-LOCATED per position, repartitioned by doc_key and sorted by
-  (doc_key, pos). The serving table.
+- ``wide``       — (doc_key, pos, r_1, r_2, ... r_maxw, doc_len): every
+  width's rank CO-LOCATED per position, repartitioned by doc_key and
+  sorted by (doc_key, pos). The serving table AND the summary/oracle
+  base. (Format 4 additionally persisted a full (doc_key, pos, rank)
+  ``level_<h>`` table per round; format 5 accumulates the rank columns
+  through the doubling rounds and writes the position table exactly
+  once — r12 optimization, guide §2.4/§6.)
 
 Serving shape (this matters more than asymptotics on a real scheduler):
 a query = (1) enumerate the pattern's binary-decomposition pieces
@@ -84,13 +85,14 @@ def build_suffix_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "SuffixIndex":
-    """Construct and persist the rank levels + dense-rank dictionaries of
-    ``docs`` up to ``max_width`` chars. Parquet writes double as the
-    per-round lineage truncation (the reliable-checkpoint pattern —
-    what's on disk IS what the next round consumed). The directory is
-    committed by temp-build-then-rename, so readers never see a
-    half-written index; ``path`` must be driver-reachable local/NFS
-    storage (same contract as ``ivf_write``'s sidecar)."""
+    """Construct and persist the rank dictionaries + wide serving table
+    of ``docs`` up to ``max_width`` chars. Dictionary parquet commits
+    double as lineage truncation for the skey chain; the position table
+    is localCheckpoint-truncated per round and written once, at the end,
+    as ``wide``. The directory is committed by temp-build-then-rename,
+    so readers never see a half-written index; ``path`` must be
+    driver-reachable local/NFS storage (same contract as ``ivf_write``'s
+    sidecar)."""
     from frappe_data_pipelines_spark.operators.guards import collect_bounded
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
@@ -234,9 +236,19 @@ def _build_index(
     widths: list[int] = []
     if max_len > 0:
         d1 = _commit(_global_dense_rank(suf.select("k"), ["k"], "rank"), "dict_1")
-        cur = _commit(
-            suf.join(F.broadcast(d1), "k").select("doc_key", "pos", "rank"),
-            "level_1",
+        # ranks ACCUMULATE as r_<w> columns through the doubling rounds —
+        # the serving ``wide`` table is the final round's frame, written
+        # ONCE. The r11 layout committed a full (doc_key, pos, rank)
+        # level_<w> parquet table per round and then re-joined all of
+        # them (plus a per-doc count) into ``wide`` at the end: 4 extra
+        # full-position-table writes + reads + a 4-way self-join chain
+        # (3 shuffles) that this shape removes outright (guide §2.4/§6;
+        # r12 plan audit). Per-round lineage truncation moves from the
+        # parquet commit to an eager localCheckpoint of the windowed
+        # frame (the same pattern the in-memory builder uses); only the
+        # small dictionary artifacts still commit per round.
+        cur = suf.join(F.broadcast(d1), "k").select(
+            "doc_key", "pos", F.col("rank").alias("r_1")
         )
         # skey_w = the STRING-keyed dictionary (k: w-unit key → rank),
         # what makes pattern lookups a single join instead of a per-width
@@ -251,16 +263,24 @@ def _build_index(
         target = min(max_len, max_width)
         lead_w = Window.partitionBy("doc_key").orderBy("pos")
         while h < target:
-            paired = cur.select(
-                "doc_key",
-                "pos",
-                F.col("rank").alias("r1"),
+            # eager localCheckpoint: the windowed frame is consumed twice
+            # (dictionary distinct + rank join) — materializing it makes
+            # the lead-window compute once per round and truncates the
+            # cross-round lineage the committed levels used to cut
+            paired = cur.withColumn(
+                "__r2",
                 F.coalesce(
-                    F.lead("rank", h).over(lead_w), F.lit(0).cast("long")
-                ).alias("r2"),
-            )
+                    F.lead(f"r_{h}", h).over(lead_w), F.lit(0).cast("long")
+                ),
+            ).localCheckpoint(eager=True)
             d = _commit(
-                _global_dense_rank(paired.select("r1", "r2"), ["r1", "r2"], "rank"),
+                _global_dense_rank(
+                    paired.select(
+                        F.col(f"r_{h}").alias("r1"), F.col("__r2").alias("r2")
+                    ),
+                    ["r1", "r2"],
+                    "rank",
+                ),
                 f"dict_{2 * h}",
             )
             prev_sk = _commit(
@@ -283,49 +303,47 @@ def _build_index(
                 ),
                 f"skey_{2 * h}",
             )
-            cur = _commit(
-                paired.join(d, ["r1", "r2"]).select("doc_key", "pos", "rank"),
-                f"level_{2 * h}",
+            cur = (
+                paired.join(
+                    d,
+                    (paired[f"r_{h}"] == d["r1"]) & (paired["__r2"] == d["r2"]),
+                )
+                .drop("r1", "r2", "__r2")
+                .withColumnRenamed("rank", f"r_{2 * h}")
             )
             h *= 2
             widths.append(h)
 
         # the SERVING table: every width's rank co-located per position,
         # doc-partitioned so the query kernel never shuffles (module
-        # docstring: one map-only scan per query batch)
-        wide = None
-        for w in widths:
-            lw = spark.read.schema("doc_key string, pos long, rank long").parquet(
-                os.path.join(tmp, f"level_{w}")
-            ).withColumnRenamed("rank", f"r_{w}")
-            wide = lw if wide is None else wide.join(lw, ["doc_key", "pos"])
-        # stamp each doc's length into its rows (RLE-compresses to nothing)
-        # so the scan kernel can CHECK the docs-arrive-whole invariant
-        # instead of assuming it (ADVICE r11): a doc fragmented across read
-        # partitions would silently drop occurrences and misreport
-        # end-of-doc continuations — the check turns that into a loud error
-        lens = (
-            spark.read.schema("doc_key string, pos long, rank long")
-            .parquet(os.path.join(tmp, "level_1"))
-            .groupBy("doc_key")
-            .agg(F.count("*").cast("long").alias("doc_len"))
-        )
-        wide = wide.join(lens, "doc_key")
+        # docstring: one map-only scan per query batch). ``cur`` already
+        # carries every width's rank; ``doc_len`` (the docs-arrive-whole
+        # invariant the scan kernel CHECKS, ADVICE r11) is a per-doc
+        # count window on the exchange this write needs anyway — the
+        # sortWithinPartitions(doc_key, pos) below satisfies the window's
+        # sort requirement, so no extra exchange or sort is planned.
         # partition count: every output file must stay under the reader's
         # maxPartitionBytes (128 MB default) so a scan NEVER SPLITS a file
         # — the kernel needs each doc's rows whole in one read partition,
         # and repartition-by-doc_key puts a doc in exactly one file
         par = int(total_units * (len(widths) + 2) * 8 // (64 << 20)) + 1
-        wide.repartition(par, "doc_key").sortWithinPartitions(
-            "doc_key", "pos"
-        ).write.mode("overwrite").parquet(os.path.join(tmp, "wide"))
+        (
+            cur.repartition(par, "doc_key")
+            .sortWithinPartitions("doc_key", "pos")
+            .withColumn(
+                "doc_len",
+                F.count("*").over(Window.partitionBy("doc_key")).cast("long"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "wide"))
+        )
 
     import uuid
 
     meta = {
         "kind": kind,
         "sep": sep,
-        "format": 4,
+        "format": 5,
         "widths": widths,
         "max_width": max_width,
         "n_docs": n_docs,
@@ -387,7 +405,7 @@ class SuffixIndex:
             idx = SuffixIndex.read(spark, path)
             stale = (
                 idx.max_width < max_width
-                or idx.format < 4
+                or idx.format < 5
                 or idx.kind != "char-suffix-rank-index"
             )
             if verify and not stale:
@@ -424,7 +442,7 @@ class SuffixIndex:
             idx = SuffixIndex.read(spark, path)
             stale = (
                 idx.max_width < max_width
-                or idx.format < 4
+                or idx.format < 5
                 or idx.kind != "token-suffix-rank-index"
             )
             if verify and not stale:
@@ -449,11 +467,6 @@ class SuffixIndex:
     # COUNT, and schema inference costs one footer-scan job per
     # spark.read.parquet — ~8 pure-overhead jobs per query for schemas
     # that are static by construction
-    def level(self, w: int) -> DataFrame:
-        return self.spark.read.schema(
-            "doc_key string, pos long, rank long"
-        ).parquet(os.path.join(self.path, f"level_{w}"))
-
     def rank_dict(self, w: int) -> DataFrame:
         schema = "k string, rank long" if w == 1 else "r1 long, r2 long, rank long"
         return self.spark.read.schema(schema).parquet(
@@ -507,15 +520,17 @@ class SuffixIndex:
 
     def summary(self) -> list[tuple[int, int, int]]:
         """[(width, n_positions, n_distinct)] per level — n_distinct is
-        max(rank), exact under dense-rank semantics. One tiny agg job per
-        level."""
-        out = []
-        for w in self.widths:
-            row = self.level(w).agg(
-                F.count("*").alias("n"), F.max("rank").alias("m")
-            ).collect()[0]
-            out.append((w, row["n"], row["m"]))
-        return out
+        max(rank), exact under dense-rank semantics. ONE agg job over the
+        wide serving table (every width's rank is a column of it; each
+        level has one row per position, so n_positions is shared) —
+        format 4 paid one agg job per level_<w> table instead."""
+        if not self.widths:
+            return []
+        row = self.wide().agg(
+            F.count("*").alias("n"),
+            *[F.max(f"r_{w}").alias(f"m_{w}") for w in self.widths],
+        ).collect()[0]
+        return [(w, row["n"], row[f"m_{w}"]) for w in self.widths]
 
 
 def _decompose(plen: int, h0: int) -> list[tuple[int, int]]:

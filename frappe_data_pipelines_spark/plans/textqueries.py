@@ -1055,8 +1055,13 @@ def doc_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 4)
-    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    d = docs.select("doc_id", toks.alias("t"))
+    # short docs (< 4 tokens) are dropped by a null-yielding WHEN inside
+    # the projection, not a .filter(size(t) >= 4): such a filter is pushed
+    # into the scan with the tokenize subtree substituted — a duplicate
+    # tokenize pass (r12 plan audit). posexplode(null) yields no rows, so
+    # the result is identical.
+    idx = F.when(F.size("t") >= 4, F.sequence(F.lit(1), F.size("t") - 3))
     gram = F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i, 4), " "))
     grams = d.select("doc_id", F.posexplode(gram).alias("pos0", "g")).select(
         "doc_id",
