@@ -66,14 +66,16 @@ def dsir_weights(
     """
     feat = _ngram_features(F.col(text_col))
     tcol = F.col(target) if isinstance(target, str) else target
-    # no size(feats) > 0 guard: the non-outer explode below already drops
-    # featureless documents, and the guard is costly — Catalyst pushes it
-    # into the scan with the whole _ngram_features subtree substituted,
-    # re-featurizing every document a second time (r12 plan audit)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tcol.alias("is_target"), feat.alias("feats")
+    # no size(feats) > 0 guard (the non-outer explode drops featureless
+    # docs), and the feature expression is INLINED into the explode:
+    # either an explicit guard, or the size>0 AND isnotnull predicate
+    # InferFiltersFromGenerate adds when the generator child is a bare
+    # attribute (SPARK-36715), is pushed into the scan with the whole
+    # _ngram_features subtree substituted — re-featurizing every document
+    # a second time (r12 plan audit). Inline explode plans no such filter.
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), tcol.alias("is_target"), F.explode(feat).alias("f")
     )
-    exploded = base.select("doc_id", "is_target", F.explode("feats").alias("f"))
     if n_buckets is not None:
         exploded = exploded.withColumn("f", F.pmod(F.xxhash64("f"), F.lit(n_buckets)).cast("string"))
     tf = exploded.groupBy("doc_id", "is_target", "f").agg(F.count("*").alias("tf"))
@@ -528,16 +530,22 @@ def _kn_doc_bigram_tf(
     pairs = F.zip_with(
         heads, tails, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
     )
-    # NO size(ps) > 0 guard here: non-outer explode already drops empty
-    # (and null) arrays, so the filter is pure overhead — and a costly
-    # one: Catalyst pushes it below the spread shuffle into the SCAN,
-    # substituting the whole tokenize+zip_with subtree into the filter
-    # condition, which re-tokenizes every document on the pre-spread
-    # (often single) scan partition before the parallel projection runs
-    # (r12 plan audit: the filter was a 2nd serialized tokenize pass)
-    base = tk.select(F.col(id_col), *names, pairs.alias("ps"))
+    # The pairs expression is INLINED into the explode — never
+    # materialized as its own column — because InferFiltersFromGenerate
+    # only infers a size(c)>0 AND isnotnull(c) predicate when the
+    # generator child is a bare attribute (SPARK-36715); an explicit
+    # size(ps)>0 guard, or the inferred twin an `explode(ps)` attribute
+    # form provokes, gets pushed below the spread shuffle into the SCAN
+    # with the whole tokenize+zip_with subtree substituted — a second,
+    # serialized tokenize pass over the corpus on the pre-spread (often
+    # single) scan partition (r12 plan audit). The inline form plans
+    # zero scan-side filters; empty/null pair arrays simply generate no
+    # rows, so dropping the guard does not change the result. ``toks``
+    # stays a materialized column of the projection below (CollapseProject
+    # refuses to merge it — a non-cheap expr referenced 4x, SPARK-36718),
+    # so the corpus is tokenized exactly once, post-exchange, in parallel.
     return (
-        base.select(id_col, *names, F.explode("ps").alias("p"))
+        tk.select(id_col, *names, F.explode(pairs).alias("p"))
         .select(
             id_col, *names, F.col("p.u").alias("u"), F.col("p.w").alias("w")
         )
