@@ -120,33 +120,32 @@ def bm25_scores(
 ) -> DataFrame:
     """Okapi BM25 over a corpus, fully relational (SQL-oracle-able).
 
-    Pipeline: tokenize (spread, once for tf + once for corpus stats) →
-    per-doc length via size() riding through the match-explode (NO
-    doclen join) → per-(doc,dl,term) tf, cached so the per-term df
-    aggregation shares its tokenize pass → idf = ln((N - df + 0.5)/
-    (df + 0.5) + 1) → score sum per doc. Two shuffles total (tf groupBy,
-    doc-level sum); the per-term df table is tiny (|query_terms| rows)
-    and broadcast into the join. The naive explode-then-count doclen
-    form shuffles the ENTIRE exploded token set (every token of every
-    doc) just to count per-doc rows; at 100 TB that shuffle is bigger
-    than the corpus. Filtering the array BEFORE explode likewise bounds
-    the exploded rows by |matches|, not corpus token count.
-    """
-    from frappe_data_pipelines_spark.sources.tables import spread_scan
+    Pipeline: tokenize → per-doc length via size() riding THROUGH the
+    match-explode as a group key (NO doclen join — ``dl`` is functionally
+    dependent on ``doc_id``, so adding it to the tf groupBy keys changes
+    nothing) → per-(doc,dl,term) tf → per-term df → idf = ln((N - df +
+    0.5)/(df + 0.5) + 1) → score sum per doc. Two shuffles total (tf
+    groupBy, doc-level sum); the per-term df table is tiny
+    (|query_terms| rows) and broadcast into the join. The naive
+    explode-then-count doclen form shuffles the ENTIRE exploded token set
+    (every token of every doc) just to count per-doc rows; at 100 TB that
+    shuffle is bigger than the corpus. Filtering the array BEFORE explode
+    likewise bounds the exploded rows by |matches|, not corpus token
+    count.
 
+    Measured and rejected (r12 interleaved A/B, sf0.1 best/median):
+    ``.cache()`` on the tf relation 3.32/3.43 s and a pre-tokenize
+    ``spread_scan`` 1.64/2.46 s vs 0.75/0.97 s for this shape — the
+    InMemoryRelation materialization barrier and the raw-text exchange
+    each cost more than the tokenize passes they deduplicate on a
+    sub-MB corpus scan, and at 100 TB ``spread_scan`` is a no-op by
+    construction anyway (the scan arrives partitioned).
+    """
     terms = [t.lower() for t in query_terms]
-    toks_arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
-    # r12 shape: the r11 plan tokenized the corpus in FOUR separate scan
-    # branches (tf, df, doclen, avgdl), each on the unspread (often
-    # single) scan partition. Now: raw rows spread first, tokenize after
-    # the exchange; ``dl`` rides THROUGH the match-explode so the doclen
-    # join branch disappears (dl is functionally dependent on doc_id, so
-    # adding it to the tf groupBy keys changes nothing); and the tiny tf
-    # relation is cached so the df aggregation and the scoring join share
-    # one tokenize pass. 4 corpus tokenizes → 2, both parallel.
-    base = spread_scan(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    ).select("doc_id", toks_arr.alias("toks"))
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks_arr.alias("toks")
+    )
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
     )
@@ -155,7 +154,7 @@ def bm25_scores(
         F.size("toks").alias("dl"),
         F.explode(F.filter(F.col("toks"), lambda t: t.isin(terms))).alias("term"),
     )
-    tf = qtoks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")).cache()
+    tf = qtoks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
