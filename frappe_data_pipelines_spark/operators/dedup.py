@@ -50,21 +50,20 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def word_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct pairs; shingle = n consecutive lowercase
     word tokens joined by single spaces."""
-    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")
-    # A small-file source arrives as 1 input partition; tokenize + shingle
-    # generation are the CPU-heavy steps, so spread the RAW rows first and
-    # compute tokens after the exchange — and drop short docs via a
-    # null-yielding WHEN inside the projection, not a .filter(size >= n):
-    # Catalyst pushes such a filter below the exchange into the scan with
-    # the tokenize subtree substituted, re-tokenizing every doc serially
-    # on the pre-spread partition (r12 plan audit). explode(null) yields
-    # no rows, so short docs are absent from the output either way.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    d = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .repartition(par)
-        .select("doc_id", toks.alias("toks"))
-    )
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    # Short docs are dropped via a null-yielding WHEN inside the projection,
+    # not a .filter(size >= n): Catalyst pushes such a filter into the scan
+    # with the tokenize subtree substituted — a second tokenize pass over
+    # the corpus (r12 plan audit). explode(null) yields no rows, so short
+    # docs are absent from the output either way. No repartition here: a
+    # per-consumer interleaved A/B (sf0.1, engine session, 5 reps — see
+    # BENCH_RUNS_r12.json.shingle_spread_ab) measured the pre-tokenize
+    # spread a wash for minhash signatures and a net cost for the LSH and
+    # jaccard consumers (the exchange outweighs the serial tokenize on a
+    # small scan), and an unconditional repartition(defaultParallelism)
+    # would DOWN-shuffle a real corpus scan's thousands of partitions at
+    # 100 TB. The first groupBy/join exchange downstream spreads the work.
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     idx = F.when(F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n))
     shingle = F.transform(idx, lambda i: F.array_join(F.slice(F.col("toks"), i + 1, n), " "))
     # array_distinct dedupes within a document BEFORE the explode, so no
@@ -227,8 +226,13 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, num_hashes, shingle_n, id_col, text_col)
     # signatures ride along with the bucket rows (bands× bytes) so pair
     # estimation happens INSIDE the bucket join — no join back to the
-    # signature table, which previously cost two extra shuffle joins
-    bucketed = _lsh_bucketize(sig, num_hashes, bands, keep_sig=True).cache()
+    # signature table, which previously cost two extra shuffle joins.
+    # NOT cached: an interleaved A/B (BENCH_RUNS_r12.json.lsh_cache_ab)
+    # measured the InMemoryRelation materialization barrier at ~0.5-0.8 s
+    # against ~0 recompute saving — the three consumers' passes pipeline
+    # and reuse the bucketize exchange, while the cache serializes them
+    # behind a full materialization.
+    bucketed = _lsh_bucketize(sig, num_hashes, bands, keep_sig=True)
 
     def est(a, b):
         return F.round(
