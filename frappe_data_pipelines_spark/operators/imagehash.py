@@ -272,6 +272,39 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content")
     return narrow.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
 
 
+def pattern_image_dhash(
+    docs: DataFrame, id_col: str = "doc_id", extra_off: int = 0
+) -> DataFrame:
+    """Fused ``image_dhash(documents_as_pattern_images(docs, extra_off))``:
+    the same ``synth_pattern_png`` → ``dhash_payload`` kernel sequence in
+    ONE mapInPandas stage, so the PNG bytes never cross the JVM↔Python
+    Arrow boundary — only doc_id goes in, only the hash row comes out
+    (r12 probe: two-stage 1.30/2.16 s best/median vs fused 0.75/1.24 at
+    sf0.1). Output is bit-identical to the composition by construction."""
+    import pandas as pd
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_DHASH_SCHEMA.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                try:
+                    w, h, hi, lo = dhash_payload(synth_pattern_png(did, extra_off))
+                    vals = (did, w, h, hi, lo, None)
+                except (ValueError, IndexError, EOFError) as exc:
+                    vals = (did, None, None, None, None, f"{type(exc).__name__}: {exc}")
+                for k, v in zip(out, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+    )
+
+
 def dhash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -537,6 +570,54 @@ def video_frame_dhash(
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
+
+
+def pattern_video_frame_dhash(
+    docs: DataFrame, id_col: str = "doc_id", extra_off: int = 0
+) -> DataFrame:
+    """Fused ``video_frame_dhash(documents_as_pattern_videos(docs,
+    extra_off))``: the same ``synth_pattern_avi`` → ``avi_parse`` →
+    ``dib_decode_gray`` → ``dhash_gray`` kernel sequence in ONE
+    mapInPandas stage — the AVI container bytes never cross the
+    JVM↔Python Arrow boundary (see ``pattern_image_dhash``). Output is
+    bit-identical to the composition by construction."""
+    import pandas as pd
+
+    from frappe_data_pipelines_spark.operators.avimini import (
+        AviError,
+        avi_parse,
+        dib_decode_gray,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_DHASH_SCHEMA.fields}
+
+            def emit(did, idx, hi, lo, err):
+                for k, v in zip(out, (did, idx, hi, lo, err)):
+                    out[k].append(v)
+
+            for did in pdf["doc_id"]:
+                did = int(did)
+                try:
+                    meta = avi_parse(synth_pattern_avi(did, extra_off))
+                    if meta["codec"] != "DIB":
+                        raise AviError(f"dhash path needs DIB frames, got {meta['codec']}")
+                    w, h = meta["width"], meta["height"]
+                    for idx, frame in enumerate(meta["frames"]):
+                        rows = dib_decode_gray(frame, w, h)
+                        hi, lo = dhash_gray(w, h, 1, rows)
+                        emit(did, idx, hi, lo, None)
+                except (AviError, ValueError, IndexError) as exc:
+                    emit(did, None, None, None, f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=VIDEO_DHASH_SCHEMA)
+    )
 
 
 def video_neardup_pairs(

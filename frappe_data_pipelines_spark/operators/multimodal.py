@@ -507,6 +507,35 @@ AUDIO_FP_SCHEMA = T.StructType([
 ])
 
 
+def _audio_fp_one(payload: bytes) -> tuple[int, int, int]:
+    """Per-payload fingerprint kernel shared by ``audio_fingerprint`` and
+    the fused ``pattern_audio_fingerprint`` — see the former's docstring."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getsampwidth() != 1 or w.getnchannels() != 1:
+            raise ValueError("fingerprint kernel expects 8-bit mono PCM")
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if n < _FP_SAMPLES:
+        raise ValueError(f"clip too short for fingerprint: {n} < {_FP_SAMPLES}")
+    s = np.frombuffer(raw[:_FP_SAMPLES], dtype=np.uint8).astype(np.int64)
+    frames = s.reshape(_FP_FRAMES, _FP_FLEN)
+    e = np.abs(frames - 128).sum(axis=1)
+    pairs = frames.reshape(_FP_FRAMES, _FP_FLEN // 2, 2)
+    d = np.abs(pairs[:, :, 1] - pairs[:, :, 0]).sum(axis=1)
+    hi = lo = 0
+    for f in range(_FP_FRAMES - 1):
+        if e[f + 1] > e[f]:
+            hi |= 1 << f
+        if d[f + 1] > d[f]:
+            lo |= 1 << f
+    return n, hi, lo
+
+
 def audio_fingerprint(
     df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
 ) -> DataFrame:
@@ -526,32 +555,7 @@ def audio_fingerprint(
     narrow = df.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(bin_col).alias("content")
     )
-
-    def one(payload: bytes) -> tuple[int, int, int]:
-        import io
-        import wave
-
-        import numpy as np
-
-        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-            if w.getsampwidth() != 1 or w.getnchannels() != 1:
-                raise ValueError("fingerprint kernel expects 8-bit mono PCM")
-            n = w.getnframes()
-            raw = w.readframes(n)
-        if n < _FP_SAMPLES:
-            raise ValueError(f"clip too short for fingerprint: {n} < {_FP_SAMPLES}")
-        s = np.frombuffer(raw[:_FP_SAMPLES], dtype=np.uint8).astype(np.int64)
-        frames = s.reshape(_FP_FRAMES, _FP_FLEN)
-        e = np.abs(frames - 128).sum(axis=1)
-        pairs = frames.reshape(_FP_FRAMES, _FP_FLEN // 2, 2)
-        d = np.abs(pairs[:, :, 1] - pairs[:, :, 0]).sum(axis=1)
-        hi = lo = 0
-        for f in range(_FP_FRAMES - 1):
-            if e[f + 1] > e[f]:
-                hi |= 1 << f
-            if d[f + 1] > d[f]:
-                lo |= 1 << f
-        return n, hi, lo
+    one = _audio_fp_one
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -567,3 +571,35 @@ def audio_fingerprint(
             yield pd.DataFrame(out)
 
     return narrow.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def pattern_audio_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", extra_v: int = 0
+) -> DataFrame:
+    """Fused ``audio_fingerprint(documents_as_wav_pattern(docs, extra_v))``:
+    the same ``synth_wav_pattern`` → ``_audio_fp_one`` kernel sequence in
+    ONE mapInPandas stage — the WAV container bytes never cross the
+    JVM↔Python Arrow boundary (see ``imagehash.pattern_image_dhash``).
+    Output is bit-identical to the composition by construction."""
+    import pandas as pd
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FP_SCHEMA.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                try:
+                    n, hi, lo = _audio_fp_one(synth_wav_pattern(did, extra_v=extra_v))
+                    vals = (did, n, hi, lo, None)
+                except Exception as exc:  # noqa: BLE001 — wave raises its own Error; corrupt bytes must not kill the scan
+                    vals = (did, None, None, None, f"{type(exc).__name__}: {exc}")
+                for k, v in zip(out, vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .repartition(par)
+        .mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    )

@@ -1543,13 +1543,11 @@ def image_dhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fdp/services/vision_service.py); this is the image analogue of MinHash
     document signatures."""
     from frappe_data_pipelines_spark.operators.imagehash import (
-        documents_as_pattern_images,
-        image_dhash,
+        pattern_image_dhash,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    images = documents_as_pattern_images(docs)
-    return image_dhash(images).select(
+    return pattern_image_dhash(docs).select(
         "doc_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
@@ -1597,12 +1595,11 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness rule (every surfaced pair's distance is true) are pinned."""
     from frappe_data_pipelines_spark.operators.imagehash import (
         dhash_neardup_pairs,
-        documents_as_pattern_images,
-        image_dhash,
+        pattern_image_dhash,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashes = image_dhash(documents_as_pattern_images(docs))
+    hashes = pattern_image_dhash(docs)
     return dhash_neardup_pairs(hashes, max_hamming=6)
 
 
@@ -1657,12 +1654,11 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frappe_data_pipelines_spark.operators.dedup import connected_components_star
     from frappe_data_pipelines_spark.operators.imagehash import (
         dhash_neardup_pairs,
-        documents_as_pattern_images,
-        image_dhash,
+        pattern_image_dhash,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashes = image_dhash(documents_as_pattern_images(docs))
+    hashes = pattern_image_dhash(docs)
     pairs = dhash_neardup_pairs(hashes, max_hamming=6).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
@@ -1733,13 +1729,11 @@ def audio_fingerprint_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreeing anywhere in WAV write, wave parse, framing, or feature
     arithmetic fails the oracle."""
     from frappe_data_pipelines_spark.operators.multimodal import (
-        audio_fingerprint,
-        documents_as_wav_pattern,
+        pattern_audio_fingerprint,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wavs = documents_as_wav_pattern(docs)
-    return audio_fingerprint(wavs).select("doc_id", "n_samples", "fp_hi", "fp_lo")
+    return pattern_audio_fingerprint(docs).select("doc_id", "n_samples", "fp_hi", "fp_lo")
 
 
 @register(
@@ -1783,12 +1777,11 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_hamming_pairs,
     )
     from frappe_data_pipelines_spark.operators.multimodal import (
-        audio_fingerprint,
-        documents_as_wav_pattern,
+        pattern_audio_fingerprint,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fps = audio_fingerprint(documents_as_wav_pattern(docs))
+    fps = pattern_audio_fingerprint(docs)
     return banded_hamming_pairs(
         fps, max_hamming=6, hi_col="fp_hi", lo_col="fp_lo"
     )
@@ -1847,13 +1840,11 @@ def video_dhash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in container write, chunk walk, DIB decode, or the hash
     arithmetic fails the oracle."""
     from frappe_data_pipelines_spark.operators.imagehash import (
-        documents_as_pattern_videos,
-        video_frame_dhash,
+        pattern_video_frame_dhash,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    vids = documents_as_pattern_videos(docs)
-    return video_frame_dhash(vids).select(
+    return pattern_video_frame_dhash(docs).select(
         "doc_id", "frame_idx", "dhash_hi", "dhash_lo"
     )
 
@@ -1897,13 +1888,12 @@ def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence), all on the same banding machinery; the oracle re-runs the
     full contract in SQL."""
     from frappe_data_pipelines_spark.operators.imagehash import (
-        documents_as_pattern_videos,
-        video_frame_dhash,
+        pattern_video_frame_dhash,
         video_neardup_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fh = video_frame_dhash(documents_as_pattern_videos(docs))
+    fh = pattern_video_frame_dhash(docs)
     return video_neardup_pairs(fh, max_hamming=6, min_close_frames=6)
 
 
@@ -1986,14 +1976,13 @@ def audio_fingerprint_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     re-encode Hamming budget."""
     from frappe_data_pipelines_spark.operators.imagehash import banded_hamming_join
     from frappe_data_pipelines_spark.operators.multimodal import (
-        audio_fingerprint,
-        documents_as_wav_pattern,
+        pattern_audio_fingerprint,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    corpus = audio_fingerprint(documents_as_wav_pattern(docs))
-    new_batch = audio_fingerprint(
-        documents_as_wav_pattern(docs.filter(F.col("doc_id") % 20 == 3), extra_v=1)
+    corpus = pattern_audio_fingerprint(docs)
+    new_batch = pattern_audio_fingerprint(
+        docs.filter(F.col("doc_id") % 20 == 3), extra_v=1
     )
     return banded_hamming_join(
         new_batch, corpus, max_hamming=6, hi_col="fp_hi", lo_col="fp_lo"
@@ -2073,15 +2062,14 @@ def video_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds both hash sets closed-form and re-runs the
     asymmetric frame-aligned contract in SQL."""
     from frappe_data_pipelines_spark.operators.imagehash import (
-        documents_as_pattern_videos,
-        video_frame_dhash,
+        pattern_video_frame_dhash,
         video_neardup_join,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    corpus = video_frame_dhash(documents_as_pattern_videos(docs))
-    new_batch = video_frame_dhash(
-        documents_as_pattern_videos(docs.filter(F.col("doc_id") % 20 == 3), extra_off=2)
+    corpus = pattern_video_frame_dhash(docs)
+    new_batch = pattern_video_frame_dhash(
+        docs.filter(F.col("doc_id") % 20 == 3), extra_off=2
     )
     return video_neardup_join(
         new_batch, corpus, max_hamming=6, min_close_frames=6
@@ -2170,14 +2158,13 @@ def image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming) plus any near-dup group siblings."""
     from frappe_data_pipelines_spark.operators.imagehash import (
         banded_hamming_join,
-        documents_as_pattern_images,
-        image_dhash,
+        pattern_image_dhash,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    corpus = image_dhash(documents_as_pattern_images(docs))
-    new_batch = image_dhash(
-        documents_as_pattern_images(docs.filter(F.col("doc_id") % 20 == 3), extra_off=2)
+    corpus = pattern_image_dhash(docs)
+    new_batch = pattern_image_dhash(
+        docs.filter(F.col("doc_id") % 20 == 3), extra_off=2
     )
     return banded_hamming_join(new_batch, corpus, max_hamming=6)
 

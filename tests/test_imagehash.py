@@ -481,3 +481,43 @@ def test_incremental_join_finds_originals(spark):
     assert got == expected
     # every re-rendered image rediscovers its own original
     assert all((d, d) in got for d in new_h), "a re-crawl missed its original"
+
+
+def test_fused_pattern_kernels_equal_composition(spark):
+    """The fused synth+hash operators (one mapInPandas stage, no binary
+    across the Arrow boundary) must be row-identical to the two-stage
+    compositions they replace, for every modality and for the re-encode
+    variant offsets the incremental doors use."""
+    from frappe_data_pipelines_spark.operators.imagehash import (
+        documents_as_pattern_videos,
+        pattern_image_dhash,
+        pattern_video_frame_dhash,
+        video_frame_dhash,
+    )
+    from frappe_data_pipelines_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_pattern,
+        pattern_audio_fingerprint,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+
+    for off in (0, 2):
+        composed = sorted(
+            image_dhash(documents_as_pattern_images(docs, extra_off=off)).collect()
+        )
+        fused = sorted(pattern_image_dhash(docs, extra_off=off).collect())
+        assert fused == composed
+
+        composed_v = sorted(
+            video_frame_dhash(documents_as_pattern_videos(docs, extra_off=off)).collect()
+        )
+        fused_v = sorted(pattern_video_frame_dhash(docs, extra_off=off).collect())
+        assert fused_v == composed_v
+
+    for v in (0, 1):
+        composed_a = sorted(
+            audio_fingerprint(documents_as_wav_pattern(docs, extra_v=v)).collect()
+        )
+        fused_a = sorted(pattern_audio_fingerprint(docs, extra_v=v).collect())
+        assert fused_a == composed_a
