@@ -360,9 +360,14 @@ CHECKS: dict[str, list] = {
     ],
     "intra_doc_repeat_len": [
         # suffix automaton over per-doc token arrays: one scan feeding one
-        # Arrow-batched map — per-doc work, no shuffle, no join
+        # Arrow-batched map — per-doc work, no keyed shuffle, no join.
+        # r12: a round-robin spread exchange before the kernel is allowed
+        # (measured win, 0.76→0.58 s — the heavy per-doc automaton runs on
+        # every core instead of the single scan partition); a HASH or
+        # RANGE exchange would still flag.
         ("single_scan", lambda p: _final_plan(p).count("FileScan") == 1),
-        ("no_shuffle", lambda p: "Exchange" not in _final_plan(p)),
+        ("no_keyed_shuffle", lambda p: "Exchange hashpartitioning" not in _final_plan(p)
+         and "Exchange rangepartitioning" not in _final_plan(p)),
         ("no_join", lambda p: "Join" not in p),
         ("arrow_map_stage", lambda p: "MapInPandas" in p),
     ],
