@@ -5,10 +5,16 @@
     {"metric": "headline_suite_sec", "value": N, "unit": "sec",
      "queries": {...}, "sf": ...}
 
-followed by a COMPACT summary as the final stdout line (the driver's
-artifact keeps only a ~2000-char tail; the compact line always fits), and
-persists the full object to BENCH_LOCAL_LAST.json (sf0.1 runs only) as
-the next round's adjudication prior.
+followed by a COMPACT summary line, followed by the FINAL stdout line: the
+driver-contract object (metric/value/unit/sf) carrying the 65 headline
+per-query timings at 2 decimals. The driver's artifact keeps only a
+~2000-char stdout tail and parses the final JSON line; rounds 11-12 put the
+full ``queries`` map only on the big first line (truncated away), so PERF's
+per-query and scaling tables came back empty both rounds (VERDICT r12 task
+1). The 65-entry map measures ~1.9k chars — the whole final line survives
+the tail. The full object (all 73 rows, baseline comparison, adjudication)
+is persisted to BENCH_LOCAL_LAST.json (sf0.1 runs only) as the next round's
+adjudication prior.
 
 Each query is executed to completion via a ``noop``-format write: the full
 physical plan runs on the executors (scans, shuffles, UDFs, sorts), but rows
@@ -135,8 +141,11 @@ BUILD_TIER = [
 # once by the build tier / cached rows) are still timed every run —
 # best-of-2 each, after the headline passes — and merged into the
 # reported `queries` map alongside the build tier. Only `value` (the
-# suite sum) excludes them; the old per-query numbers remain directly
-# comparable round-over-round. Documented in OPTIMIZATION_r12.md.
+# suite sum) excludes them. Caveat (ADVICE r12): these rows run best-of-2
+# in a fully warmed session AFTER the headline passes (persisted indexes
+# on disk, warm page cache), while earlier rounds measured them best-of-3
+# round-robin mid-suite — read round-over-round deltas on these four rows
+# as directional, not exact. Documented in OPTIMIZATION_r12.md.
 LEGACY_TIER = [
     "kneser_ney_bigram_lm",
     "ann_sq_search",
@@ -197,6 +206,26 @@ def load_prior_timings(here: str, known: set, canary: str,
         if cand.get(canary, 0) > 0:
             return cand, os.path.basename(path)
     return {}, None
+
+
+def final_contract_line(timings: dict, total: float, sf) -> str:
+    """The FINAL stdout line (VERDICT r12 task 1): the original driver
+    contract — metric/value/unit/sf/queries — with the headline timings at
+    2 decimals. Sized to survive the driver's ~2000-char stdout tail whole
+    (measured ~1.96k chars at 65 queries); if the map ever outgrows the
+    budget, precision degrades to 1 decimal before anything is dropped."""
+    final = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1992:  # tail is 2000 chars; leave room for the newline
+        final["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = json.dumps(final, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -508,15 +537,17 @@ def main() -> None:
             print(f"# bench local-artifact error: {e}", file=sys.stderr)
 
     print(json.dumps(out))
-    # COMPACT summary as the FINAL stdout line (VERDICT r10 task 5): the
-    # driver keeps only a ~2000-char tail of stdout, which for ten rounds
-    # held just the big line's trailing adjudication rows ("parsed": null
-    # every round). This line is small enough to always survive the tail
-    # whole — suite total, canary, ingest rates, verdicts, worst offenders.
+    # COMPACT summary line (VERDICT r10 task 5): small enough that its
+    # trailing fields survive the ~2000-char stdout tail alongside the
+    # final per-query line below — suite total, canary, ingest rates,
+    # verdicts, worst offenders.
     slowest = dict(sorted(
         ((n, t) for n, t in timings.items() if t > 0),
         key=lambda kv: -kv[1],
     )[:5])
+    # key order matters: only this line's trailing ~40 chars survive the
+    # tail once the final per-query line follows, so the single most
+    # valuable scalar (baseline_v3 suite ratio) goes LAST
     compact = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -527,12 +558,20 @@ def main() -> None:
         "build_tier_sec": build_tier,
         "ingest_docs_per_sec": ingest_rate,
         "ingest_exactly_once_docs_per_sec": exactly_once_rate,
+        "slowest5": slowest,
         "canary": canary_block,
         "verdicts": {a["query"]: a["verdict"] for a in adjudication},
         "baseline_v3": (out.get("baseline_v3") or {}).get("suite_vs_baseline"),
-        "slowest5": slowest,
     }
     print(json.dumps(compact))
+    # FINAL stdout line (VERDICT r12 task 1): the driver parses the final
+    # JSON line of its ~2000-char tail; for two rounds that line carried no
+    # `queries` map, so the driver's per-query and scaling adjudication ran
+    # blind (PERF n_common=0). The 8 build/legacy aux rows would push the
+    # line past the tail budget, so they ride the full line +
+    # BENCH_LOCAL_LAST.json instead (they are not part of `value` and not
+    # in the round-over-round common set).
+    print(final_contract_line(timings, total, out["sf"]))
 
 
 if __name__ == "__main__":

@@ -1929,7 +1929,11 @@ def longest_intra_doc_repeat(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep = pdf["toks"].map(len) > 0
+            # null-safe (ADVICE r12): tokens_expr(null text) yields a null
+            # array which arrives here as None — len(None) would kill the
+            # scan; the pre-r12 .where(size(toks) >= 1) dropped such rows
+            # silently and the kernel-side drop must keep that totality
+            keep = pdf["toks"].map(lambda t: 0 if t is None else len(t)) > 0
             sub = pdf[keep]
             yield pd.DataFrame(
                 {

@@ -497,18 +497,16 @@ def _kn_score_core(joined, discount: float, id_col: str) -> DataFrame:
     )
 
 
-def _kn_doc_bigram_tf(
+def _kn_doc_bigram_transitions(
     docs: DataFrame, id_col: str, text_col: str, extra: list | None = None
 ) -> DataFrame:
-    """(id, [extra...], u, w, tf): per-document bigram term frequencies —
-    the relation both KN training and KN scoring consume. Spread the RAW
-    rows first, tokenize + build bigrams AFTER the exchange: a small
-    one-file corpus scans as ONE partition, so anything computed below
-    the spread shuffle (the r11 shape tokenized there) runs serially on
-    one core while the rest idle. Post-exchange, tokenize + zip_with +
-    explode + partial-agg land on every core; single consumers evaluate
-    the split exactly once, and the multi-consumer trainer caches the
-    aggregated tfb relation anyway (one tokenize per cache populate)."""
+    """(id, [extra...], u, w): one row per bigram TRANSITION (token
+    position), before any aggregation. Spread the RAW rows first,
+    tokenize + build bigrams AFTER the exchange: a small one-file corpus
+    scans as ONE partition, so anything computed below the spread
+    shuffle (the r11 shape tokenized there) runs serially on one core
+    while the rest idle. Post-exchange, tokenize + zip_with + explode
+    land on every core."""
     from frappe_data_pipelines_spark.sources.tables import spread_scan
 
     extra = extra or []
@@ -544,11 +542,21 @@ def _kn_doc_bigram_tf(
     # stays a materialized column of the projection below (CollapseProject
     # refuses to merge it — a non-cheap expr referenced 4x, SPARK-36718),
     # so the corpus is tokenized exactly once, post-exchange, in parallel.
+    return tk.select(id_col, *names, F.explode(pairs).alias("p")).select(
+        id_col, *names, F.col("p.u").alias("u"), F.col("p.w").alias("w")
+    )
+
+
+def _kn_doc_bigram_tf(
+    docs: DataFrame, id_col: str, text_col: str, extra: list | None = None
+) -> DataFrame:
+    """(id, [extra...], u, w, tf): per-document bigram term frequencies —
+    the relation KN training consumes (single consumers evaluate the
+    tokenize split exactly once, and the multi-consumer trainer caches
+    the aggregated tfb relation — one tokenize per cache populate)."""
+    names = [n for n, _ in (extra or [])]
     return (
-        tk.select(id_col, *names, F.explode(pairs).alias("p"))
-        .select(
-            id_col, *names, F.col("p.u").alias("u"), F.col("p.w").alias("w")
-        )
+        _kn_doc_bigram_transitions(docs, id_col, text_col, extra)
         .groupBy(id_col, *names, "u", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
@@ -714,6 +722,16 @@ def kn_load(spark, path: str):
     cont = spark.read.schema("w string, n1p_w bigint").parquet(
         _os.path.join(path, "cont")
     )
+    # stamp the LM's on-disk footprint so scoring can decide whether the
+    # dictionaries fit a broadcast (kn_score_against's map-side fast
+    # path) without an extra Spark job — a directory stat, not a scan
+    meta = dict(meta)
+    meta["_lm_disk_bytes"] = sum(
+        _os.path.getsize(_os.path.join(root, fn))
+        for sub in ("bi", "ctx", "cont")
+        for root, _, fns in _os.walk(_os.path.join(path, sub))
+        for fn in fns
+    )
     return bi, ctx, cont, meta
 
 
@@ -727,11 +745,45 @@ def kn_score_against(
     text_col: str = "text",
 ) -> DataFrame:
     """Score ``docs`` against already-loaded LM dictionaries (see
-    ``kn_load``): one bigram-tf aggregate over the scoring docs plus
-    three dictionary joins, (B, V) as literals from ``meta``. Docs with
-    fewer than two tokens have no transitions and are absent from the
-    output (callers gating on the score must treat them as
-    unassessable, not failing)."""
+    ``kn_load``), (B, V) as literals from ``meta``. Docs with fewer than
+    two tokens have no transitions and are absent from the output
+    (callers gating on the score must treat them as unassessable, not
+    failing).
+
+    Two shapes, same result (r13, guide §2.4/§3.1). When the persisted
+    LM fits a broadcast (``meta["_lm_disk_bytes"]`` under
+    ``FDP_KN_BROADCAST_MAX_BYTES``, default 256 MB of parquet — well
+    inside the guide's few-hundred-MB comfort zone after decompression),
+    score at TRANSITION level: explode bigrams, probe the three
+    broadcast dictionaries map-side, partial-aggregate per doc — the
+    per-(doc,u,w) tf aggregate's full-corpus exchange disappears and the
+    one remaining shuffle moves one partial row per (doc, partition)
+    instead of one row per bigram type. Each transition contributes its
+    round(log p, 6) DECIMAL term exactly once (tf=1), so the per-doc sum
+    is the same multiset sum the tf-weighted form computes —
+    hash-identical output (both shapes share the DuckDB oracle). When
+    the LM is too big to broadcast (or its size is unknown — direct
+    callers passing hand-built dictionaries), keep the tf-aggregated
+    relation so the dictionary joins shuffle one row per bigram TYPE,
+    not per occurrence."""
+    import os as _os
+
+    max_bc = int(
+        _os.environ.get("FDP_KN_BROADCAST_MAX_BYTES", str(256 << 20))
+    )
+    disk = meta.get("_lm_disk_bytes")
+    if disk is not None and disk <= max_bc:
+        tr = _kn_doc_bigram_transitions(docs, id_col, text_col).withColumn(
+            "tf", F.lit(1).cast("bigint")
+        )
+        joined = (
+            tr.join(F.broadcast(bi), ["u", "w"], "left")
+            .join(F.broadcast(ctx), "u", "left")
+            .join(F.broadcast(cont), "w", "left")
+            .withColumn("b", F.lit(int(meta["b"])).cast("bigint"))
+            .withColumn("v", F.lit(int(meta["v"])).cast("bigint"))
+        )
+        return _kn_score_core(joined, meta["discount"], id_col)
     tfb = _kn_doc_bigram_tf(docs, id_col, text_col)
     joined = (
         tfb.join(bi, ["u", "w"], "left")

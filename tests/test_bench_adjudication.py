@@ -145,3 +145,27 @@ def test_headline_and_build_tier_names_resolve_in_catalog():
         assert serving in HEADLINE
     assert "infinigram_backoff_inference" not in HEADLINE  # double-pay
     assert "ann_sq_search" not in HEADLINE  # cached twin serves instead
+
+
+def test_final_contract_line_fits_driver_tail_and_parses():
+    """VERDICT r12 task 1: the driver keeps a ~2000-char stdout tail and
+    parses the FINAL JSON line; two rounds of PERF ran per-query-blind
+    because that line had no `queries` map. The final line must (a) be the
+    driver contract (metric/value/unit/sf/queries), (b) carry every
+    headline timing, and (c) fit the tail whole even with pessimistic
+    per-query values."""
+    import json
+
+    from bench import HEADLINE, final_contract_line
+
+    # pessimistic: every query at a 2-digit-seconds reading
+    timings = {n: 12.345 for n in HEADLINE}
+    line = final_contract_line(timings, 802.4, 0.1)
+    assert len(line) <= 1990, f"final line {len(line)} chars > tail budget"
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_suite_sec"
+    assert rec["value"] == 802.4 and rec["unit"] == "sec" and rec["sf"] == 0.1
+    assert set(rec["queries"]) == set(HEADLINE)
+    # realistic sub-10s values keep full 2-decimal precision
+    line2 = final_contract_line({n: 1.234 for n in HEADLINE}, 80.2, 0.1)
+    assert json.loads(line2)["queries"][HEADLINE[0]] == 1.23

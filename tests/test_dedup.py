@@ -955,3 +955,21 @@ def test_incremental_scrub_local_config_mismatch_raises(spark, tmp_path):
     assert incremental_scrub_local(
         spark, reread, [9], ["x" * 50], min_len=40, k=32
     )[0][2] == "x" * 50
+
+
+def test_longest_intra_doc_repeat_null_text_total(spark):
+    """ADVICE r12 (medium): a null text value reaches the suffix-automaton
+    kernel as a None token array; the kernel-side zero-token drop must
+    treat it like the empty doc the old .where(size >= 1) silently
+    dropped — not raise TypeError and kill the scan."""
+    from frappe_data_pipelines_spark.operators.dedup import (
+        longest_intra_doc_repeat,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, None), (3, ""), (4, "x x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["max_repeat_tokens"]
+            for r in longest_intra_doc_repeat(docs).collect()}
+    assert rows == {1: 3, 4: 1}  # null and empty docs dropped, not fatal
