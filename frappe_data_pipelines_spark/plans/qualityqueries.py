@@ -1170,14 +1170,18 @@ def _suffix_index_cache_dir(sf_dir: str) -> str:
     """Deterministic per-(sf_dir, corpus-subset, max_width) cache location
     for the persisted suffix index — keyed so sf0.01 correctness runs and
     sf0.1 bench runs never share an index. /tmp because the index is a
-    derived cache, not repo content; testdata is immutable per session so
-    staleness is bounded to the key."""
+    derived cache, not repo content; the source table's size+mtime ride
+    the key (VERDICT r12 item 8), so replaced testdata yields a NEW dir
+    and a rebuild — a stale index can never serve."""
     import hashlib
     import os
     import tempfile
 
+    from frappe_data_pipelines_spark.sources.tables import source_stat_key
+
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|doc_id%100|w8|v1".encode()
+        f"{os.path.abspath(sf_dir)}|doc_id%100|w8|v1"
+        f"|{source_stat_key(sf_dir, 'documents')}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"fdp_suffix_index_{key}")
 
@@ -1315,14 +1319,18 @@ def infinigram_query_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _token_suffix_index_cache_dir(sf_dir: str) -> str:
     """Cache location for the persisted TOKEN suffix index — keyed like
-    ``_suffix_index_cache_dir`` (per sf_dir, corpus subset, width) so
-    correctness and bench runs never share an index."""
+    ``_suffix_index_cache_dir`` (per sf_dir, corpus subset, width, source
+    size+mtime) so correctness and bench runs never share an index and
+    replaced testdata forces a rebuild."""
     import hashlib
     import os
     import tempfile
 
+    from frappe_data_pipelines_spark.sources.tables import source_stat_key
+
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|doc_id%50|w8|tok|v1".encode()
+        f"{os.path.abspath(sf_dir)}|doc_id%50|w8|tok|v1"
+        f"|{source_stat_key(sf_dir, 'documents')}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"fdp_token_suffix_index_{key}")
 

@@ -1692,14 +1692,18 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kn_cache_dir(sf_dir: str) -> str:
     """Cache location for the persisted KN bigram LM — keyed per sf_dir
-    so correctness and bench runs never share an LM (same convention as
-    the suffix-index and SQ8 caches)."""
+    AND the source table's size+mtime (VERDICT r12 item 8) so correctness
+    and bench runs never share an LM and replaced testdata forces a
+    rebuild (same convention as the suffix-index and SQ8 caches)."""
     import hashlib
     import os
     import tempfile
 
+    from frappe_data_pipelines_spark.sources.tables import source_stat_key
+
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|kn-bigram|v1".encode()
+        f"{os.path.abspath(sf_dir)}|kn-bigram|v1"
+        f"|{source_stat_key(sf_dir, 'documents')}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"fdp_kn_lm_{key}")
 

@@ -573,15 +573,19 @@ def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sq_index_cache_dir(sf_dir: str) -> str:
-    """Cache location for the persisted SQ8 index — keyed per sf_dir so
-    correctness and bench runs never share an index (same convention as
-    the suffix-index caches)."""
+    """Cache location for the persisted SQ8 index — keyed per sf_dir AND
+    the source table's size+mtime (VERDICT r12 item 8) so correctness and
+    bench runs never share an index and replaced testdata forces a
+    rebuild (same convention as the suffix-index caches)."""
     import hashlib
     import os
     import tempfile
 
+    from frappe_data_pipelines_spark.sources.tables import source_stat_key
+
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|sq8|v1".encode()
+        f"{os.path.abspath(sf_dir)}|sq8|v1"
+        f"|{source_stat_key(sf_dir, 'embeddings')}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"fdp_sq_index_{key}")
 

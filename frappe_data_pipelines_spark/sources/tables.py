@@ -79,6 +79,26 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+def source_stat_key(sf_dir: str, *names: str) -> str:
+    """Filesystem fingerprint of the named source tables — ``size:mtime``
+    per parquet file, joined. Folded into derived-index cache-dir keys
+    (suffix/token/SQ8/KN) so a cache can never be served against CHANGED
+    source data: if the file at ``sf_dir`` is replaced, the key — and
+    therefore the /tmp directory the index lives in — changes, and the
+    reader rebuilds (VERDICT r12 item 8: the content check must not cost
+    a Spark job; a stat is free). A missing file contributes a constant,
+    so probing a not-yet-generated layout still yields a stable key."""
+    parts = []
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{n}={st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{n}=absent")
+    return ",".join(parts)
+
+
 def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Decouple CPU parallelism from input file layout for compute-heavy
     stages (token/shingle explosion, per-row kernels).

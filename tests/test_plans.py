@@ -88,3 +88,55 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning(o_orderkey" not in plan
     for name in ("orders_bkt", "lineitem_bkt"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_cache_dirs_keyed_on_source_fingerprint(tmp_path):
+    """VERDICT r12 item 8: the persisted-index cache dirs must change when
+    the source data changes — a moved/replaced testdata file must never be
+    served a stale index. The key rides a filesystem stat (size+mtime), so
+    the check costs no Spark job."""
+    import os
+    import time
+
+    from frappe_data_pipelines_spark.plans.qualityqueries import (
+        _suffix_index_cache_dir,
+        _token_suffix_index_cache_dir,
+    )
+    from frappe_data_pipelines_spark.plans.textqueries import _kn_cache_dir
+    from frappe_data_pipelines_spark.plans.vectorqueries import (
+        _sq_index_cache_dir,
+    )
+    from frappe_data_pipelines_spark.sources.tables import source_stat_key
+
+    sf = str(tmp_path)
+    (tmp_path / "documents.parquet").write_bytes(b"v1-bytes")
+    (tmp_path / "embeddings.parquet").write_bytes(b"e1")
+    before = {
+        "suffix": _suffix_index_cache_dir(sf),
+        "token": _token_suffix_index_cache_dir(sf),
+        "kn": _kn_cache_dir(sf),
+        "sq": _sq_index_cache_dir(sf),
+    }
+    # same content, same stats -> stable keys (a second call must reuse)
+    assert before == {
+        "suffix": _suffix_index_cache_dir(sf),
+        "token": _token_suffix_index_cache_dir(sf),
+        "kn": _kn_cache_dir(sf),
+        "sq": _sq_index_cache_dir(sf),
+    }
+    # replaced source -> every consumer of that table gets a NEW dir
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    (tmp_path / "documents.parquet").write_bytes(b"v2-bytes-longer")
+    (tmp_path / "embeddings.parquet").write_bytes(b"e2x")
+    after = {
+        "suffix": _suffix_index_cache_dir(sf),
+        "token": _token_suffix_index_cache_dir(sf),
+        "kn": _kn_cache_dir(sf),
+        "sq": _sq_index_cache_dir(sf),
+    }
+    for k in before:
+        assert before[k] != after[k], f"{k} cache dir ignored a source change"
+    # the raw fingerprint distinguishes absent from present
+    assert "absent" in source_stat_key(sf, "nonexistent_table")
+    assert "documents=" in source_stat_key(sf, "documents")
+    assert os.path.basename(before["kn"]).startswith("fdp_kn_lm_")
