@@ -9,22 +9,28 @@ its suffix array ONCE and serves queries from it; this module is that
 split, mirroring the engine's other persisted indexes
 (``operators/ann.py:ivf_write/ivf_read/pq_write``).
 
-What persists (per power-of-two width h up to ``max_width``; format 5):
+What persists (per power-of-two width h up to ``max_width``; format 6):
 
-- ``dict_<h>``   — the DENSE-RANK DICTIONARY per doubling round: width 1
-  is (k: 1-char string → rank); width 2h is (r1, r2 → rank), the
-  doubling step's (rank, rank-at-pos+h) re-rank mapping.
-- ``skey_<h>``   — the STRING-keyed dictionary (k: h-char substring →
-  rank), derived incrementally from dict/skey pairs at build time. This
-  is what resolves an unseen pattern's piece ranks in ONE broadcast
-  lookup instead of a per-width doubling chain.
-- ``wide``       — (doc_key, pos, r_1, r_2, ... r_maxw, doc_len): every
-  width's rank CO-LOCATED per position, repartitioned by doc_key and
-  sorted by (doc_key, pos). The serving table AND the summary/oracle
+- ``pairdicts/w=<h>`` — the DENSE-RANK DICTIONARY per doubling round
+  (r1, r2 → rank), the doubling step's (rank, rank-at-pos+h) re-rank
+  mapping, widths 2..max_width.
+- ``skeys/w=<h>``     — the STRING-keyed dictionary (k: h-char substring
+  → rank), derived incrementally from dict/skey pairs at build time;
+  w=1 is the char/token dictionary itself. This is what resolves an
+  unseen pattern's piece ranks in ONE broadcast lookup instead of a
+  per-width doubling chain.
+- ``wide``            — (doc_key, pos, r_1, r_2, ... r_maxw, doc_len):
+  every width's rank CO-LOCATED per position, repartitioned by doc_key
+  and sorted by (doc_key, pos). The serving table AND the summary/oracle
   base. (Format 4 additionally persisted a full (doc_key, pos, rank)
   ``level_<h>`` table per round; format 5 accumulates the rank columns
   through the doubling rounds and writes the position table exactly
-  once — r12 optimization, guide §2.4/§6.)
+  once — r12, guide §2.4/§6. Format 6 batches ALL dictionary commits
+  into the two partitionBy("w") writes above — per-round lineage
+  truncation moves to eager localCheckpoints, and a build whose budget
+  is scheduler floor pays 2 write jobs instead of 7 writes + 7
+  schema-inference read-backs — r13, VERDICT r12 task 6. Format-5
+  directories remain readable: the readers branch on ``meta.format``.)
 
 Serving shape (this matters more than asymptotics on a real scheduler):
 a query = (1) enumerate the pattern's binary-decomposition pieces
@@ -84,12 +90,14 @@ def build_suffix_index(
     max_width: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    explain_dir: str | None = None,
 ) -> "SuffixIndex":
     """Construct and persist the rank dictionaries + wide serving table
-    of ``docs`` up to ``max_width`` chars. Dictionary parquet commits
-    double as lineage truncation for the skey chain; the position table
-    is localCheckpoint-truncated per round and written once, at the end,
-    as ``wide``. The directory is committed by temp-build-then-rename,
+    of ``docs`` up to ``max_width`` chars. Per-round lineage truncation
+    is an eager localCheckpoint (dictionaries AND position table); all
+    dictionaries commit in two batched partitionBy("w") writes and the
+    position table is written once, at the end, as ``wide``. The
+    directory is committed by temp-build-then-rename,
     so readers never see a half-written index; ``path`` must be
     driver-reachable local/NFS storage (same contract as ``ivf_write``'s
     sidecar)."""
@@ -125,7 +133,7 @@ def build_suffix_index(
     )
     return _build_index(
         spark, suf, path, max_width, max_len, n_docs, total_chars,
-        kind="char-suffix-rank-index", sep="",
+        kind="char-suffix-rank-index", sep="", explain_dir=explain_dir,
     )
 
 
@@ -138,6 +146,7 @@ def build_token_suffix_index(
     max_width: int = 8,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    explain_dir: str | None = None,
 ) -> "SuffixIndex":
     """TOKEN-level twin of ``build_suffix_index`` (VERDICT r11 task 2 —
     the unit Lee et al. 2021 / infini-gram actually index): identical
@@ -190,7 +199,7 @@ def build_token_suffix_index(
     )
     return _build_index(
         spark, suf, path, max_width, max_len, n_docs, total_toks,
-        kind="token-suffix-rank-index", sep=TOKEN_SEP,
+        kind="token-suffix-rank-index", sep=TOKEN_SEP, explain_dir=explain_dir,
     )
 
 
@@ -204,6 +213,7 @@ def _build_index(
     total_units: int,
     kind: str,
     sep: str,
+    explain_dir: str | None = None,
 ) -> "SuffixIndex":
     """Shared build core: ``suf`` is the width-1 keyed position table
     (doc_key, pos long, k string) — chars or tokens; everything after is
@@ -222,31 +232,41 @@ def _build_index(
     # ~24B/row uncompressed per (doc_key, pos, rank); 32 MB target per file
     n_files = int(total_units * 24 // (32 << 20)) + 1
 
-    def _commit(df: DataFrame, name: str) -> DataFrame:
-        # size-based output file count: a toy index must not serve queries
-        # through dozens of near-empty task launches, and a 100 TB one must
-        # not bottleneck on single writers — repartition (NOT coalesce: a
-        # narrow coalesce would drag the upstream window computation into
-        # one task, the parallelize-numSlices gotcha's cousin)
-        df.repartition(n_files).write.mode("overwrite").parquet(
-            os.path.join(tmp, name)
-        )
-        return spark.read.parquet(os.path.join(tmp, name))
+    def _dump_plan(df: DataFrame, name: str) -> None:
+        # the build runs eagerly inside this function, so a caller's
+        # df.explain() only ever sees the post-build summary scan — the
+        # REAL write-side plans are captured here, at the exact frames the
+        # writes execute (VERDICT r12 item 2: the r12 plan artifacts for
+        # this operator showed a trivial ExistingRDD scan, not the build)
+        if not explain_dir:
+            return
+        import io
+        from contextlib import redirect_stdout
+
+        os.makedirs(explain_dir, exist_ok=True)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
+            fh.write(buf.getvalue())
 
     widths: list[int] = []
     if max_len > 0:
-        d1 = _commit(_global_dense_rank(suf.select("k"), ["k"], "rank"), "dict_1")
         # ranks ACCUMULATE as r_<w> columns through the doubling rounds —
         # the serving ``wide`` table is the final round's frame, written
-        # ONCE. The r11 layout committed a full (doc_key, pos, rank)
-        # level_<w> parquet table per round and then re-joined all of
-        # them (plus a per-doc count) into ``wide`` at the end: 4 extra
-        # full-position-table writes + reads + a 4-way self-join chain
-        # (3 shuffles) that this shape removes outright (guide §2.4/§6;
-        # r12 plan audit). Per-round lineage truncation moves from the
-        # parquet commit to an eager localCheckpoint of the windowed
-        # frame (the same pattern the in-memory builder uses); only the
-        # small dictionary artifacts still commit per round.
+        # ONCE (format 5, r12: the r11 layout committed a full level_<w>
+        # position table per round and re-joined 4 of them at the end).
+        # Format 6 (r13, VERDICT task 6) extends the same move to the
+        # DICTIONARIES: each round's pair-dict and skey frames are
+        # materialized with an eager localCheckpoint (lineage truncation
+        # + one compute, exactly what the per-round parquet commit
+        # bought) and ALL of them commit in two partitionBy("w") writes
+        # at the end — 7 write jobs + 7 schema-inference read-back jobs
+        # become 2 write jobs on a build whose budget is scheduler floor,
+        # and the filesystem sees 2 commits instead of 7 (guide §1.4/§6).
+        d1 = _global_dense_rank(suf.select("k"), ["k"], "rank").localCheckpoint(
+            eager=True
+        )
         cur = suf.join(F.broadcast(d1), "k").select(
             "doc_key", "pos", F.col("rank").alias("r_1")
         )
@@ -258,6 +278,8 @@ def _build_index(
         # TOKEN_SEP for tokens) — exactly the level key's definition, so
         # no corpus re-scan. skey_1 IS dict_1.
         prev_sk = d1
+        pair_dicts: list[tuple[int, DataFrame]] = []
+        skeys: list[tuple[int, DataFrame]] = [(1, d1)]
         widths.append(1)
         h = 1
         target = min(max_len, max_width)
@@ -273,17 +295,15 @@ def _build_index(
                     F.lead(f"r_{h}", h).over(lead_w), F.lit(0).cast("long")
                 ),
             ).localCheckpoint(eager=True)
-            d = _commit(
-                _global_dense_rank(
-                    paired.select(
-                        F.col(f"r_{h}").alias("r1"), F.col("__r2").alias("r2")
-                    ),
-                    ["r1", "r2"],
-                    "rank",
+            d = _global_dense_rank(
+                paired.select(
+                    F.col(f"r_{h}").alias("r1"), F.col("__r2").alias("r2")
                 ),
-                f"dict_{2 * h}",
-            )
-            prev_sk = _commit(
+                ["r1", "r2"],
+                "rank",
+            ).localCheckpoint(eager=True)
+            pair_dicts.append((2 * h, d))
+            prev_sk = (
                 d.join(
                     prev_sk.select(F.col("rank").alias("r1"), F.col("k").alias("k1")),
                     "r1",
@@ -300,9 +320,10 @@ def _build_index(
                     )
                     .alias("k"),
                     "rank",
-                ),
-                f"skey_{2 * h}",
+                )
+                .localCheckpoint(eager=True)
             )
+            skeys.append((2 * h, prev_sk))
             cur = (
                 paired.join(
                     d,
@@ -313,6 +334,32 @@ def _build_index(
             )
             h *= 2
             widths.append(h)
+
+        # the two batched dictionary commits. repartition keys: ~n_files
+        # files per width — partitionBy("w") routes rows to per-width
+        # directories inside ONE commit; (w, rank % n_files) spreads each
+        # width over n_files writer tasks (rank is dense, so the spread
+        # is even; deterministic key, no rand() — guide §2.5)
+        def _batched(frames: list[tuple[int, DataFrame]], cols: list[str],
+                     name: str) -> None:
+            if not frames:
+                return
+            un = None
+            for w, df in frames:
+                part = df.select(
+                    *[F.col(c) for c in cols], F.lit(w).cast("long").alias("w")
+                )
+                un = part if un is None else un.unionByName(part)
+            out = un.repartition(
+                n_files * len(frames), F.col("w"), F.pmod(F.col("rank"), F.lit(n_files))
+            )
+            _dump_plan(out, f"{name}_write")
+            out.write.mode("overwrite").partitionBy("w").parquet(
+                os.path.join(tmp, name)
+            )
+
+        _batched(skeys, ["k", "rank"], "skeys")
+        _batched(pair_dicts, ["r1", "r2", "rank"], "pairdicts")
 
         # the SERVING table: every width's rank co-located per position,
         # doc-partitioned so the query kernel never shuffles (module
@@ -327,23 +374,23 @@ def _build_index(
         # — the kernel needs each doc's rows whole in one read partition,
         # and repartition-by-doc_key puts a doc in exactly one file
         par = int(total_units * (len(widths) + 2) * 8 // (64 << 20)) + 1
-        (
+        wide_out = (
             cur.repartition(par, "doc_key")
             .sortWithinPartitions("doc_key", "pos")
             .withColumn(
                 "doc_len",
                 F.count("*").over(Window.partitionBy("doc_key")).cast("long"),
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, "wide"))
         )
+        _dump_plan(wide_out, "wide_write")
+        wide_out.write.mode("overwrite").parquet(os.path.join(tmp, "wide"))
 
     import uuid
 
     meta = {
         "kind": kind,
         "sep": sep,
-        "format": 5,
+        "format": 6,
         "widths": widths,
         "max_width": max_width,
         "n_docs": n_docs,
@@ -468,15 +515,23 @@ class SuffixIndex:
     # spark.read.parquet — ~8 pure-overhead jobs per query for schemas
     # that are static by construction
     def rank_dict(self, w: int) -> DataFrame:
-        schema = "k string, rank long" if w == 1 else "r1 long, r2 long, rank long"
-        return self.spark.read.schema(schema).parquet(
-            os.path.join(self.path, f"dict_{w}")
+        if w == 1:
+            return self.skey(1)
+        # format 6: all pair dictionaries live under one partitionBy("w")
+        # layout committed in a single write; reading the w=<w> subdir
+        # directly keeps the explicit-schema, no-footer-job discipline
+        name = f"pairdicts/w={w}" if self.format >= 6 else f"dict_{w}"
+        return self.spark.read.schema("r1 long, r2 long, rank long").parquet(
+            os.path.join(self.path, name)
         )
 
     def skey(self, w: int) -> DataFrame:
         """(k: w-char substring, rank) — the string-keyed dictionary;
         width 1's is the char dictionary itself."""
-        name = "dict_1" if w == 1 else f"skey_{w}"
+        if self.format >= 6:
+            name = f"skeys/w={w}"
+        else:
+            name = "dict_1" if w == 1 else f"skey_{w}"
         return self.spark.read.schema("k string, rank long").parquet(
             os.path.join(self.path, name)
         )
