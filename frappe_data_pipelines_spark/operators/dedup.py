@@ -231,7 +231,12 @@ def minhash_lsh_pairs(
     # measured the InMemoryRelation materialization barrier at ~0.5-0.8 s
     # against ~0 recompute saving — the three consumers' passes pipeline
     # and reuse the bucketize exchange, while the cache serializes them
-    # behind a full materialization.
+    # behind a full materialization. (An r13 A/B also tried an explicit
+    # (band, bucket) repartition to share one exchange across all four
+    # consumers: slower — median 3.23 vs 2.32 s — the added exchange
+    # costs more than the reuse saves; BENCH_RUNS_r13.json.lsh_repart_ab.
+    # Both cache-removal verdicts re-confirmed this round in the same
+    # window: nocache best 2.04/1.96 vs cache 2.38/2.20.)
     bucketed = _lsh_bucketize(sig, num_hashes, bands, keep_sig=True)
 
     def est(a, b):
@@ -254,9 +259,12 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    cool = bucketed.join(
-        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
-    )
+    # ONE broadcast of the full hot relation shared by the anti-join and
+    # the hub join (identical canonical child → one BroadcastExchange,
+    # reused); the 2-column projection previously built a second
+    # broadcast whose child re-ran the hot aggregate (r13)
+    hot_b = F.broadcast(hot)
+    cool = bucketed.join(hot_b, ["band", "bucket"], "left_anti")
     pairs_cool = (
         cool.alias("x")
         .join(cool.alias("y"), ["band", "bucket"])
@@ -270,7 +278,7 @@ def minhash_lsh_pairs(
     # hot buckets: hub = min(doc_id) < every other member, so (hub, member)
     # is already canonically ordered
     pairs_hot = (
-        bucketed.join(F.broadcast(hot), ["band", "bucket"])
+        bucketed.join(hot_b, ["band", "bucket"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             F.col("__hub").alias("id_a"),

@@ -357,10 +357,16 @@ def banded_hamming_pairs(
     # groupBy, the cool anti-join, and the hub join all re-reference this
     # subtree, and without the cache Spark re-runs the upstream Python
     # signature stage (decode + hash) three times — the dominant cost when
-    # hashes come off a mapInPandas kernel. Lifetime: the CacheManager
-    # dedupes by analyzed plan, so repeated calls over the same source
-    # reuse one entry rather than piling up; distinct sources accumulate
-    # until spark.catalog.clearCache() (which the bench harness issues per
+    # hashes come off a mapInPandas kernel. An r13 A/B re-tested the
+    # alternative (drop the cache, share one keyed repartition exchange
+    # across all four consumers — the shape that wins for the JVM-upstream
+    # LSH): it lost here twice running (image median 2.46 vs 2.22 s, video
+    # 3.80 vs 3.00 — BENCH_RUNS_r13.json.banded_cache_ab); the in-memory
+    # columnar cache beats four shuffle-file reads when the upstream rows
+    # are this narrow. Lifetime: the CacheManager dedupes by analyzed
+    # plan, so repeated calls over the same source reuse one entry rather
+    # than piling up; distinct sources accumulate until
+    # spark.catalog.clearCache() (which the bench harness issues per
     # pass) or session end — the repo-wide .cache() convention
     # (tpch_extra, textqueries fps).
     h = (
@@ -397,15 +403,17 @@ def banded_hamming_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    cool = bands.join(
-        F.broadcast(hot.select("band_idx", "band_val")),
-        ["band_idx", "band_val"],
-        "left_anti",
-    )
+    # ONE broadcast of the full hot relation, shared by the anti-join and
+    # the hub join (identical canonical child → one BroadcastExchange,
+    # reused): broadcasting a 3-column projection for the anti-join built
+    # a SECOND broadcast whose child re-ran the hot aggregate (r13; the
+    # anti-join ignores the extra columns)
+    hot_b = F.broadcast(hot)
+    cool = bands.join(hot_b, ["band_idx", "band_val"], "left_anti")
     left = cool.alias("x")
     right = cool.alias("y")
     pairs_hot = (
-        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
+        bands.join(hot_b, ["band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             # hub = min(doc_id) < member, so (hub, member) is ordered
@@ -644,8 +652,11 @@ def video_neardup_pairs(
     ``banded_hamming_pairs``: a million-strong family of one intro/outro
     frame must not emit B² rows in one task; hub-anchored counts are the
     deterministic, observable degrade)."""
-    # cache: same rationale as banded_hamming_pairs — three downstream
-    # references must not re-run the per-frame decode+hash Python stage
+    # cache: same rationale (and same r13 A/B verdict) as
+    # banded_hamming_pairs — three downstream references must not re-run
+    # the per-frame decode+hash Python stage; the shared-exchange
+    # alternative measured slower twice running
+    # (BENCH_RUNS_r13.json.banded_cache_ab)
     h = (
         frame_hashes.where(F.col("dhash_hi").isNotNull())
         .select(F.col(id_col).alias("doc_id"), "frame_idx", "dhash_hi", "dhash_lo")
@@ -675,13 +686,12 @@ def video_neardup_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    cool = bands.join(
-        F.broadcast(hot.select("frame_idx", "band_idx", "band_val")),
-        ["frame_idx", "band_idx", "band_val"],
-        "left_anti",
-    )
+    # one broadcast of hot shared by anti-join + hub join (see
+    # banded_hamming_pairs)
+    hot_b = F.broadcast(hot)
+    cool = bands.join(hot_b, ["frame_idx", "band_idx", "band_val"], "left_anti")
     pairs_hot = (
-        bands.join(F.broadcast(hot), ["frame_idx", "band_idx", "band_val"])
+        bands.join(hot_b, ["frame_idx", "band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             F.col("__hub").alias("doc_a"),
