@@ -641,19 +641,25 @@ def connected_components_star(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # Intermediate .distinct()s removed (r13, guide §2.4 "a distinct
+        # on data that is already unique"): every consumer of these edge
+        # sets is either a min-aggregate (duplicate-insensitive) or feeds
+        # the ONE round-ending distinct, so the three mid-round distincts
+        # were pure extra full-edge-set exchanges — 6 exchanges per round
+        # become 3. Duplicate multiplicity cannot compound: each round
+        # starts from the previous round's distinct+checkpointed edges.
         # -- large-star: bidirectional adjacency, larger neighbors → m
-        adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = adj.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         large = (
             adj.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # -- small-star: orient toward smaller endpoint, ≤ neighbors → m
         directed = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).filter(F.col("u") != F.col("v")).distinct()
+        ).filter(F.col("u") != F.col("v"))
         smins = directed.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             directed.join(smins, "u")
@@ -1635,6 +1641,10 @@ def incremental_dup_spans(
         # no .distinct() before the broadcast: a semi-join build side
         # tolerates duplicate keys, and the distinct was one extra shuffle
         # per micro-batch (round-9 door latency work)
+        # (r13: a lazy localCheckpoint here — the batch kernel is traversed
+        # twice — A/B'd a WASH at sf0.1, swamped by window noise
+        # (BENCH_RUNS_r13.json.scrub_ab), so it is NOT taken; the corpus-
+        # side checkpoint below stays on its r12 structural argument)
         new_fp_full = winnow_fingerprints_fast(
             new_docs, k=k, w=w, id_col=id_col, text_col=text_col
         )
