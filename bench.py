@@ -171,14 +171,22 @@ def scrape_prior_tail(tail: str, known: set) -> dict:
 
 
 def load_prior_timings(here: str, known: set, canary: str,
-                       sf: str = "0.1") -> tuple[dict, str | None]:
+                       sf: str = "0.1",
+                       cpus: str | None = None) -> tuple[dict, str | None]:
     """(prior name→seconds, source filename) — prefers BENCH_LOCAL_LAST.json
     (the FULL object bench.py now writes on every sf-matching run, immune
     to the driver's tail truncation), then walks the NEWEST BENCH_r*.json
     whose record yields a prior containing the canary. The driver's capture
     sometimes truncates the bench line so hard that only adjudication rows
     survive (BENCH_r09 is like that) — walking backwards keeps a real
-    baseline instead of silently comparing against nothing."""
+    baseline instead of silently comparing against nothing.
+
+    ``cpus``: the local record is only a valid per-query prior when it was
+    measured at the SAME core count — the r12 driver's c8 run seeded the
+    r13 c32 adjudication and flagged two untouched queries "real" purely
+    on the core-count delta (BENCH_RUNS_r13.json.bench_run1). A record
+    with a mismatched/absent cpus stamp is skipped in favor of the
+    walk-back (whose canary normalization then carries the comparison)."""
     import glob as _glob
     import json as _json
     import re as _re
@@ -189,7 +197,13 @@ def load_prior_timings(here: str, known: set, canary: str,
             with open(local) as f:
                 rec = _json.load(f)
             cand = rec.get("queries") or {}
-            if str(rec.get("sf")) == str(sf) and cand.get(canary, 0) > 0:
+            cpus_ok = (
+                cpus is None
+                or rec.get("cpus") is None
+                or str(rec.get("cpus")) == str(cpus)
+            )
+            if (str(rec.get("sf")) == str(sf) and cand.get(canary, 0) > 0
+                    and cpus_ok):
                 return cand, "BENCH_LOCAL_LAST.json"
         except Exception:  # noqa: BLE001 — unreadable local record: walk back
             pass
@@ -357,7 +371,10 @@ def main() -> None:
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        prior, prior_src = load_prior_timings(here, set(timings), CANARY, sf)
+        prior, prior_src = load_prior_timings(
+            here, set(timings), CANARY, sf,
+            cpus=os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        )
         ratio = 1.0
         if prior.get(CANARY, 0) > 0 and timings.get(CANARY, 0) > 0:
             ratio = timings[CANARY] / prior[CANARY]
@@ -470,6 +487,9 @@ def main() -> None:
         "unit": "sec",
         "queries": report_queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # core-count stamp: a per-query prior is only core-comparable to a
+        # run at the same count (see load_prior_timings)
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     if build_tier:
         out["build_tier_sec"] = build_tier

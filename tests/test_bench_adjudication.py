@@ -169,3 +169,41 @@ def test_final_contract_line_fits_driver_tail_and_parses():
     # realistic sub-10s values keep full 2-decimal precision
     line2 = final_contract_line({n: 1.234 for n in HEADLINE}, 80.2, 0.1)
     assert json.loads(line2)["queries"][HEADLINE[0]] == 1.23
+
+
+def test_prior_skips_core_count_mismatched_local_record(tmp_path):
+    """A BENCH_LOCAL_LAST written at one core count must not seed the
+    adjudication of a run at another: the r12 driver's c8 record flagged
+    two untouched queries 'real' in the r13 c32 run purely on the
+    core-count delta. Mismatched (or absent-cpus-stamped records against a
+    requested count) fall back to the walk-back; matching stamps are
+    used."""
+    import glob
+    import json
+    import shutil
+
+    from bench import load_prior_timings
+
+    for p in glob.glob("BENCH_r*.json"):
+        shutil.copy(p, tmp_path)
+    rec = {"sf": 0.1, "cpus": "8",
+           "queries": {"tpch_q6_forecast_revenue": 0.25, "x": 1.0}}
+    (tmp_path / "BENCH_LOCAL_LAST.json").write_text(json.dumps(rec))
+    known = {"tpch_q6_forecast_revenue", "x"}
+    # same count -> local record used
+    prior, src = load_prior_timings(
+        str(tmp_path), known, "tpch_q6_forecast_revenue", sf="0.1", cpus="8"
+    )
+    assert src == "BENCH_LOCAL_LAST.json"
+    # different count -> walk-back
+    prior2, src2 = load_prior_timings(
+        str(tmp_path), known, "tpch_q6_forecast_revenue", sf="0.1", cpus="*"
+    )
+    assert src2 == "BENCH_r08.json"
+    # legacy record without a cpus stamp stays usable (continuity)
+    rec.pop("cpus")
+    (tmp_path / "BENCH_LOCAL_LAST.json").write_text(json.dumps(rec))
+    prior3, src3 = load_prior_timings(
+        str(tmp_path), known, "tpch_q6_forecast_revenue", sf="0.1", cpus="32"
+    )
+    assert src3 == "BENCH_LOCAL_LAST.json"
