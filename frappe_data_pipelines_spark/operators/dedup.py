@@ -259,12 +259,12 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    # ONE broadcast of the full hot relation shared by the anti-join and
-    # the hub join (identical canonical child → one BroadcastExchange,
-    # reused); the 2-column projection previously built a second
-    # broadcast whose child re-ran the hot aggregate (r13)
-    hot_b = F.broadcast(hot)
-    cool = bucketed.join(hot_b, ["band", "bucket"], "left_anti")
+    # (r13: sharing one full-hot broadcast between anti-join and hub join
+    # was tried and is a plan no-op — column pruning pushes through the
+    # broadcast hint and the two exchanges stay distinct; kept as r12)
+    cool = bucketed.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
     pairs_cool = (
         cool.alias("x")
         .join(cool.alias("y"), ["band", "bucket"])
@@ -278,7 +278,7 @@ def minhash_lsh_pairs(
     # hot buckets: hub = min(doc_id) < every other member, so (hub, member)
     # is already canonically ordered
     pairs_hot = (
-        bucketed.join(hot_b, ["band", "bucket"])
+        bucketed.join(F.broadcast(hot), ["band", "bucket"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             F.col("__hub").alias("id_a"),

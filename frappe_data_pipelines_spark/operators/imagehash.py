@@ -403,17 +403,22 @@ def banded_hamming_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    # ONE broadcast of the full hot relation, shared by the anti-join and
-    # the hub join (identical canonical child → one BroadcastExchange,
-    # reused): broadcasting a 3-column projection for the anti-join built
-    # a SECOND broadcast whose child re-ran the hot aggregate (r13; the
-    # anti-join ignores the extra columns)
-    hot_b = F.broadcast(hot)
-    cool = bands.join(hot_b, ["band_idx", "band_val"], "left_anti")
+    # hot list is tiny by construction (≤ corpus/max_bucket_size rows) →
+    # broadcast both the anti-join (cool path) and the hub join (hot path).
+    # (r13: sharing ONE full-hot broadcast between the two joins was tried
+    # and is a plan NO-OP — Catalyst prunes the anti-join's build side
+    # back to the key columns through the broadcast hint, so the two
+    # BroadcastExchanges differ and never reuse; before/after plans
+    # byte-identical mod expr ids. Kept in the r12 form.)
+    cool = bands.join(
+        F.broadcast(hot.select("band_idx", "band_val")),
+        ["band_idx", "band_val"],
+        "left_anti",
+    )
     left = cool.alias("x")
     right = cool.alias("y")
     pairs_hot = (
-        bands.join(hot_b, ["band_idx", "band_val"])
+        bands.join(F.broadcast(hot), ["band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             # hub = min(doc_id) < member, so (hub, member) is ordered
@@ -686,12 +691,13 @@ def video_neardup_pairs(
         )
         .filter(F.col("__bsz") > F.lit(max_bucket_size))
     )
-    # one broadcast of hot shared by anti-join + hub join (see
-    # banded_hamming_pairs)
-    hot_b = F.broadcast(hot)
-    cool = bands.join(hot_b, ["frame_idx", "band_idx", "band_val"], "left_anti")
+    cool = bands.join(
+        F.broadcast(hot.select("frame_idx", "band_idx", "band_val")),
+        ["frame_idx", "band_idx", "band_val"],
+        "left_anti",
+    )
     pairs_hot = (
-        bands.join(hot_b, ["frame_idx", "band_idx", "band_val"])
+        bands.join(F.broadcast(hot), ["frame_idx", "band_idx", "band_val"])
         .filter(F.col("doc_id") != F.col("__hub"))
         .select(
             F.col("__hub").alias("doc_a"),
