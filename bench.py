@@ -222,6 +222,15 @@ def load_prior_timings(here: str, known: set, canary: str,
     return {}, None
 
 
+def _cpus_stamp() -> str:
+    """The run's RESOLVED core count: ``local[*]`` and an explicit
+    ``SPARK_GRAFT_CPUS=<n_cores>`` on the same host are the same
+    measurement environment, so stamp the number — otherwise a '*' record
+    would spuriously mismatch the driver's explicit count."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return str(os.cpu_count()) if raw == "*" else raw
+
+
 def final_contract_line(timings: dict, total: float, sf) -> str:
     """The FINAL stdout line (VERDICT r12 task 1): the original driver
     contract — metric/value/unit/sf/queries — with the headline timings at
@@ -372,8 +381,7 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         prior, prior_src = load_prior_timings(
-            here, set(timings), CANARY, sf,
-            cpus=os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            here, set(timings), CANARY, sf, cpus=_cpus_stamp()
         )
         ratio = 1.0
         if prior.get(CANARY, 0) > 0 and timings.get(CANARY, 0) > 0:
@@ -489,7 +497,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # core-count stamp: a per-query prior is only core-comparable to a
         # run at the same count (see load_prior_timings)
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "cpus": _cpus_stamp(),
     }
     if build_tier:
         out["build_tier_sec"] = build_tier
